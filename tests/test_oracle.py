@@ -1,0 +1,88 @@
+"""Driver-style correctness gate: run each queries() entry against its
+oracle_sql() via DuckDB on sf0.01, comparing row count, schema-insensitive
+column set, and order-insensitive values (mirrors the driver's CORRECTNESS
+check)."""
+
+import glob
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _to_pandas(obj):
+    import pyarrow as pa
+
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == np.uint64:
+            df[c] = df[c].astype("int64", errors="ignore") if df[c].max() < 2**63 else df[c].astype(object)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for f in glob.glob(f"{SF_DIR}/*.parquet"):
+        name = os.path.basename(f)[:-8]
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+def _compare(name, entrymod, con):
+    ray_out = _to_pandas(entrymod.queries()[name](SF_DIR))
+    sql = entrymod.oracle_sql()[name]
+    ora = con.execute(sql).df()
+    assert len(ray_out) == len(ora), f"{name}: rows {len(ray_out)} vs {len(ora)}"
+    a, b = _canon(ray_out), _canon(ora)
+    assert list(a.columns) == list(b.columns), f"{name}: cols {a.columns} vs {b.columns}"
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            assert np.allclose(a[c].to_numpy(), b[c].to_numpy(), rtol=0, atol=0), \
+                f"{name}: float col {c} differs"
+        else:
+            assert a[c].astype(str).equals(b[c].astype(str)), f"{name}: col {c} differs"
+
+
+@pytest.mark.parametrize("qname", ["rect_filter", "knn_moscow", "text_identity",
+                                   "pages_per_lang"])
+def test_query_matches_oracle(qname, entrymod, con):
+    _compare(qname, entrymod, con)
+
+
+def test_rows_only_queries_run(entrymod):
+    out = _to_pandas(entrymod.queries()["tile_counts_l8"](SF_DIR))
+    assert len(out) > 0
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    assert out["n_pages"].sum() == n_docs
+
+
+def test_entry_smoke(entrymod):
+    out = _to_pandas(entrymod.entry())
+    assert len(out) > 0
+    assert set(out.columns) == {"cell_id", "cell_token", "n_pages"}
