@@ -22,6 +22,25 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Fixed query-geometry constants shared by queries() and oracle_sql().
 RECT = dict(lat_lo=30.0, lat_hi=60.0, lng_lo=-10.0, lng_hi=45.0)
 KNN_Q = dict(qlat=55.7558, qlng=37.6173, k=20)  # Moscow center
+CAP_RADIUS_M = 150000.0
+
+# PIP query polygons: squares over two of the hot city clusters (CCW in
+# (lat, lng) degrees) — exercised as geodesic-edge loops in the engine and
+# as the exact spherical crossing-parity expression in the SQL oracle.
+PIP_POLYS = {
+    "moscow_sq": [(55.60, 37.46), (55.60, 37.77), (55.91, 37.77), (55.91, 37.46)],
+    "sydney_sq": [(-34.02, 151.05), (-34.02, 151.36), (-33.71, 151.36), (-33.71, 151.05)],
+}
+
+
+def _city_caps():
+    from s2ray.kernel.region import Cap
+    from s2ray.sources.pages import CITIES_E4
+
+    return {
+        f"cap{k}": Cap.from_latlng_radius(la / 1e4, ln / 1e4, CAP_RADIUS_M)
+        for k, (la, ln) in enumerate(CITIES_E4)
+    }
 
 
 def entry() -> Any:
@@ -94,6 +113,46 @@ def _q_pages_per_lang(sf_dir: str):
     )
 
 
+def _q_cap_join(sf_dir: str):
+    from s2ray.pipelines.spatial_join import spatial_join_broadcast
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    ds = pages_with_cells(sf_dir, token_level=None)
+    return spatial_join_broadcast(ds, _city_caps(),
+                                  keep_cols=("page_id",))
+
+
+def _q_pip_join(sf_dir: str):
+    from s2ray.kernel.pip import Polygon
+    from s2ray.pipelines.spatial_join import spatial_join_broadcast
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    regions = {name: Polygon.from_latlng_loops([loop])
+               for name, loop in PIP_POLYS.items()}
+    ds = pages_with_cells(sf_dir, token_level=None)
+    return spatial_join_broadcast(ds, regions, keep_cols=("page_id",))
+
+
+def _q_polygon_covering(sf_dir: str):
+    """Raster<->vector tile assignment: covering tiles of the PIP polygons
+    (S2-specific; rows-only driver check, deterministic output)."""
+    import pandas as pd
+
+    from s2ray.kernel import cellid
+    from s2ray.kernel.coverer import covering_of
+    from s2ray.kernel.pip import Polygon
+
+    rows = []
+    for name, loop in PIP_POLYS.items():
+        poly = Polygon.from_latlng_loops([loop])
+        cov = covering_of(poly, max_cells=16)
+        toks = cellid.to_token(cov)
+        lv = cellid.level(cov)
+        for t, l in zip(toks, lv):
+            rows.append((name, t, int(l)))
+    return pd.DataFrame(rows, columns=["region_id", "cell_token", "level"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tile_counts_l8": _q_tile_counts,
@@ -101,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_moscow": _q_knn,
         "text_identity": _q_text_identity,
         "pages_per_lang": _q_pages_per_lang,
+        "cap_join": _q_cap_join,
+        "pip_join": _q_pip_join,
+        "polygon_covering": _q_polygon_covering,
     }
 
 
@@ -132,11 +194,43 @@ def oracle_sql() -> dict[str, str]:
     per_lang = (
         f"{cte} SELECT lang, count(*) AS n_pages FROM pages_geo GROUP BY lang"
     )
+    # cap join: spherical-cap membership == great-circle distance <= radius
+    from s2ray.sources.pages import CITIES_E4
+
+    city_values = ", ".join(
+        f"('cap{k}', {la / 1e4!r}, {ln / 1e4!r})"
+        for k, (la, ln) in enumerate(CITIES_E4)
+    )
+    cap_dist = (
+        "2 * 6371000 * asin(sqrt("
+        "(1 - cos(radians(p.lat) - radians(c.clat))) / 2 "
+        "+ cos(radians(p.lat)) * cos(radians(c.clat)) "
+        "* (1 - cos(radians(p.lng) - radians(c.clng))) / 2))"
+    )
+    cap_join = (
+        f"{cte} SELECT p.page_id AS page_id, c.region_id AS region_id "
+        f"FROM pages_geo p CROSS JOIN (VALUES {city_values}) AS c(region_id, clat, clng) "
+        f"WHERE {cap_dist} <= {CAP_RADIUS_M!r}"
+    )
+    # pip join: exact spherical crossing-parity expression per polygon
+    from s2ray.kernel.pip import Loop
+    from s2ray.pipelines.spatial_join import loop_pip_sql
+
+    pip_selects = []
+    for name, loop_deg in PIP_POLYS.items():
+        loop = Loop.from_latlng_degrees(loop_deg)
+        expr = loop_pip_sql(loop, lat_expr="radians(lat)", lng_expr="radians(lng)")
+        pip_selects.append(
+            f"SELECT page_id, '{name}' AS region_id FROM pages_geo WHERE {expr}"
+        )
+    pip_join = f"{cte} " + " UNION ALL ".join(pip_selects)
     return {
         "rect_filter": rect,
         "knn_moscow": knn,
         "text_identity": text_id,
         "pages_per_lang": per_lang,
-        # tile_counts_l8: S2 tiling is not SQL-expressible -> rows-only check;
-        # covered by pytest golden/property tests instead.
+        "cap_join": cap_join,
+        "pip_join": pip_join,
+        # tile_counts_l8, polygon_covering: S2 tiling is not SQL-expressible
+        # -> rows-only checks; covered by pytest golden/property tests.
     }

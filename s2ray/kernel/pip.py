@@ -1,0 +1,306 @@
+"""Loops, polygons and vectorized point-in-polygon (crossing parity).
+
+The reference's S2Loop/S2Polygon are empty shells whose semantics live in
+the in-file commented Java spec; this module implements that *intended*
+behavior (SURVEY.md meta-finding):
+
+- point containment = parity of edgeOrVertexCrossing from S2::origin()
+  to the point over all loop edges, bootstrapped by originInside
+  (spec S2Loop.php:601-631, 794-817)
+- loop bound = RectBounder + pole-containment fixups (spec S2Loop.php:819-845)
+- polygon containment = XOR of loop containments (spec S2Polygon.php:330-335)
+
+Vectorization: the parity scan iterates over loop edges (M) and vectorizes
+over probe points (N) — one robust-crossing pass per edge, numpy all the way.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import edges, sphere
+from .interval import R1Interval, S1Interval
+from .region import Cap, Cell, LatLngRect
+
+
+class Loop:
+    """Single closed loop; CCW order = interior on the left.
+
+    vertices: (M, 3) float64 unit vectors.
+    """
+
+    def __init__(self, vertices: np.ndarray):
+        v = np.asarray(vertices, dtype=np.float64)
+        if v.shape[0] < 3:
+            raise ValueError("loop needs >= 3 vertices")
+        self.vertices = v
+        self._edges_a = v
+        self._edges_b = np.roll(v, -1, axis=0)
+        self.origin_inside = self._init_origin()
+        self.bound = self._init_bound()
+
+    @staticmethod
+    def from_latlng_degrees(latlng_pairs) -> "Loop":
+        arr = np.asarray(latlng_pairs, dtype=np.float64)
+        x, y, z = sphere.latlng_to_xyz(
+            sphere.degrees_to_radians(arr[:, 0]),
+            sphere.degrees_to_radians(arr[:, 1]))
+        return Loop(np.stack([x, y, z], axis=1))
+
+    # -- init (spec S2Loop.php:794-845) ------------------------------------
+
+    def _init_origin(self) -> bool:
+        v0, v1, v2 = self.vertices[0], self.vertices[1], self.vertices[2]
+        v1_inside = bool(sphere.ordered_ccw(sphere.ortho(v1), v0, v2, v1))
+        self.origin_inside = False  # temporary for the bootstrap call
+        contains_v1 = self._contains_point_scalar(v1)
+        return v1_inside != contains_v1
+
+    def _init_bound(self) -> LatLngRect:
+        rb = edges.RectBounder()
+        for k in range(len(self.vertices)):
+            rb.add_point(self.vertices[k])
+        rb.add_point(self.vertices[0])
+        b = rb.get_bound()
+        if self._contains_point_scalar(np.array([0.0, 0.0, 1.0])):
+            b = LatLngRect(R1Interval(b.lat.lo, math.pi / 2), S1Interval.full())
+        if b.lng.is_full() and self._contains_point_scalar(
+                np.array([0.0, 0.0, -1.0])):
+            b = LatLngRect(R1Interval(-math.pi / 2, b.lat.hi), b.lng)
+        return b
+
+    # -- containment -------------------------------------------------------
+
+    def _contains_point_scalar(self, p: np.ndarray) -> bool:
+        """Parity scan with full shared-vertex handling (spec S2Loop.php:601-631)."""
+        o = edges.origin()
+        inside = self.origin_inside
+        for k in range(len(self.vertices)):
+            a = self._edges_a[k]
+            b = self._edges_b[k]
+            inside ^= edges.edge_or_vertex_crossing(o, p, a, b)
+        return bool(inside)
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        if not self.bound.contains_point(p):
+            return False
+        return self._contains_point_scalar(p)
+
+    def contains_points_xyz(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized parity over (N,3) points (bound prefilter + per-edge
+        robust-crossing sweep; shared-vertex rows fall back to scalar)."""
+        pts = np.asarray(pts, dtype=np.float64)
+        n = len(pts)
+        lat, lng = sphere.xyz_to_latlng(pts[:, 0], pts[:, 1], pts[:, 2])
+        cand = self.bound.contains_points(lat, lng)
+        out = np.zeros(n, dtype=bool)
+        if not cand.any():
+            return out
+        idx = np.nonzero(cand)[0]
+        sub = pts[idx]
+        o = edges.origin()
+        inside = np.full(len(sub), self.origin_inside, dtype=bool)
+        for k in range(len(self.vertices)):
+            cr = edges.robust_crossing_one_to_many(
+                self._edges_a[k], self._edges_b[k], o, sub)
+            inside ^= cr > 0
+            shared = cr == 0
+            if shared.any():
+                for t in np.nonzero(shared)[0]:
+                    inside[t] ^= edges.vertex_crossing(
+                        o, sub[t], self._edges_a[k], self._edges_b[k])
+        out[idx] = inside
+        return out
+
+    def contains_latlng_degrees(self, lat_deg, lng_deg) -> np.ndarray:
+        x, y, z = sphere.latlng_to_xyz(
+            sphere.degrees_to_radians(lat_deg), sphere.degrees_to_radians(lng_deg))
+        return self.contains_points_xyz(np.stack(
+            [np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1))
+
+    # -- edge crossing against a cell --------------------------------------
+
+    def _crosses_cell_boundary(self, cell: Cell) -> bool:
+        verts = [cell.get_vertex(k) for k in range(4)]
+        for k in range(4):
+            a, b = verts[k], verts[(k + 1) & 3]
+            cr = _crossings_edge_vs_edges(a, b, self._edges_a, self._edges_b)
+            if np.any(cr > 0):
+                return True
+        return False
+
+    def _any_vertex_in_cell(self, cell: Cell) -> bool:
+        return any(cell.contains_point(v) for v in self.vertices)
+
+    # -- region protocol ---------------------------------------------------
+
+    def get_rect_bound(self) -> LatLngRect:
+        return self.bound
+
+    def get_cap_bound(self) -> Cap:
+        return self.bound.get_cap_bound()
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        if not self.bound.intersects_rect(cell.get_rect_bound()):
+            return False
+        if any(self.contains_point(cell.get_vertex(k)) for k in range(4)):
+            return True
+        if self._any_vertex_in_cell(cell):
+            return True
+        return self._crosses_cell_boundary(cell)
+
+    def contains_cell(self, cell: Cell) -> bool:
+        if not self.bound.contains_rect(cell.get_rect_bound()):
+            if not self.bound.intersects_rect(cell.get_rect_bound()):
+                return False
+        if not all(self.contains_point(cell.get_vertex(k)) for k in range(4)):
+            return False
+        if self._crosses_cell_boundary(cell):
+            return False
+        # a loop lying wholly inside the cell would leave cell vertices outside
+        return True
+
+    def invert(self) -> "Loop":
+        """The complement loop (reversed vertex order)."""
+        return Loop(self.vertices[::-1].copy())
+
+    def normalized(self) -> "Loop":
+        """This loop, or its complement, whichever has area <= 2pi."""
+        if self.area() > 2 * math.pi:
+            return self.invert()
+        return self
+
+    # -- measures (spec S2Loop.php:258-319) --------------------------------
+
+    def area(self) -> float:
+        """Signed area sum around vertex(0) mapped to [0, 4pi)."""
+        origin_v = self.vertices[0]
+        total = 0.0
+        for k in range(1, len(self.vertices) - 1):
+            total += float(sphere.signed_area(
+                origin_v, self.vertices[k], self.vertices[k + 1]))
+        if total < 0:
+            total += 4 * math.pi
+        return total
+
+
+def _crossings_edge_vs_edges(a, b, c_arr, d_arr) -> np.ndarray:
+    """robustCrossing of one edge (a,b) against N edges (c_i, d_i)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c_arr = np.asarray(c_arr, dtype=np.float64)
+    d_arr = np.asarray(d_arr, dtype=np.float64)
+    a_cross_b = np.cross(a, b)
+    acb = -sphere.robust_ccw(np.broadcast_to(a, c_arr.shape),
+                             np.broadcast_to(b, c_arr.shape), c_arr,
+                             a_cross_b=np.broadcast_to(a_cross_b, c_arr.shape))
+    bda = sphere.robust_ccw(np.broadcast_to(a, d_arr.shape),
+                            np.broadcast_to(b, d_arr.shape), d_arr,
+                            a_cross_b=np.broadcast_to(a_cross_b, d_arr.shape))
+    out = np.full(len(c_arr), -1, dtype=np.int64)
+    degenerate = (acb == 0) | (bda == 0)
+    maybe = (bda == acb) & ~degenerate
+    if maybe.any():
+        idx = np.nonzero(maybe)[0]
+        ccd = np.cross(c_arr[idx], d_arr[idx])
+        cbd = -sphere.robust_ccw(c_arr[idx], d_arr[idx],
+                                 np.broadcast_to(b, (len(idx), 3)), a_cross_b=ccd)
+        dac = sphere.robust_ccw(c_arr[idx], d_arr[idx],
+                                np.broadcast_to(a, (len(idx), 3)), a_cross_b=ccd)
+        good = (cbd == acb[idx]) & (dac == acb[idx])
+        out[idx[good]] = 1
+    out[degenerate] = 0
+    return out
+
+
+class Polygon:
+    """Multi-loop polygon; interior = XOR of loop interiors
+    (spec S2Polygon.php:330-335: parity over loops)."""
+
+    def __init__(self, loops: list[Loop], normalize: bool = True):
+        if not loops:
+            raise ValueError("polygon needs >= 1 loop")
+        if normalize:
+            # Store every loop as its "small" (area <= 2pi) CCW region so the
+            # XOR parity rule yields shell-minus-holes semantics (canonical
+            # S2Polygon normalization; spec S2Polygon.php:100-143 stores
+            # shells/holes by nesting depth with normalized orientation).
+            loops = [lp.normalized() for lp in loops]
+        self.loops = loops
+        bound = LatLngRect.empty()
+        for lp in loops:
+            bound = bound.union(lp.get_rect_bound())
+        self.bound = bound
+
+    @staticmethod
+    def from_latlng_loops(loops_deg) -> "Polygon":
+        return Polygon([Loop.from_latlng_degrees(lp) for lp in loops_deg])
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        inside = False
+        for lp in self.loops:
+            inside ^= lp.contains_point(p)
+        return inside
+
+    def contains_points_xyz(self, pts: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(pts), dtype=bool)
+        for lp in self.loops:
+            out ^= lp.contains_points_xyz(pts)
+        return out
+
+    def contains_latlng_degrees(self, lat_deg, lng_deg) -> np.ndarray:
+        x, y, z = sphere.latlng_to_xyz(
+            sphere.degrees_to_radians(lat_deg), sphere.degrees_to_radians(lng_deg))
+        return self.contains_points_xyz(np.stack(
+            [np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1))
+
+    def loop_depth(self, i: int) -> int:
+        """Nesting depth = number of other loops containing loop i's vertex
+        (spec S2Polygon.php:906-955 builds the nesting forest the same way)."""
+        depth = 0
+        v = self.loops[i].vertices[0]
+        for j, lp in enumerate(self.loops):
+            if j != i and lp.contains_point(v):
+                depth += 1
+        return depth
+
+    def area(self) -> float:
+        """XOR-region area: even-depth loops add, odd-depth subtract."""
+        total = 0.0
+        for i, lp in enumerate(self.loops):
+            sign = 1.0 if self.loop_depth(i) % 2 == 0 else -1.0
+            total += sign * lp.area()
+        return total
+
+    # region protocol
+    def get_rect_bound(self) -> LatLngRect:
+        return self.bound
+
+    def get_cap_bound(self) -> Cap:
+        return self.bound.get_cap_bound()
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        if not self.bound.intersects_rect(cell.get_rect_bound()):
+            return False
+        if any(self.contains_point(cell.get_vertex(k)) for k in range(4)):
+            return True
+        for lp in self.loops:
+            if lp._any_vertex_in_cell(cell):
+                return True
+            if lp._crosses_cell_boundary(cell):
+                return True
+        return False
+
+    def contains_cell(self, cell: Cell) -> bool:
+        if not self.bound.intersects_rect(cell.get_rect_bound()):
+            return False
+        if not all(self.contains_point(cell.get_vertex(k)) for k in range(4)):
+            return False
+        for lp in self.loops:
+            if lp._crosses_cell_boundary(cell):
+                return False
+            if lp._any_vertex_in_cell(cell):
+                return False
+        return True

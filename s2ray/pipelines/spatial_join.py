@@ -1,0 +1,273 @@
+"""Point-in-region spatial join: pages x query regions.
+
+Two physical plans (SURVEY.md par.2.8 / par.7 step 5):
+
+1. **Broadcast path** (small build side — the common case of a handful of
+   query regions): regions -> coverings on the driver -> a RegionIndex object
+   placed ONCE in the object store via ray.put -> stateless map_batches probe
+   that (a) candidate-filters each page's leaf cell against each region's
+   covering via searchsorted and (b) exact-refines with the region's
+   vectorized predicate (cap chord test / rect interval test / PIP parity).
+   No shuffle at all: cost O(batch * regions * log covering).
+
+2. **Shuffle path** (large build side or when pages must co-locate): both
+   sides keyed by the level-K ancestor cell, groupby(key).map_groups pairs
+   and refines inside the group.  Hot keys (dense city cells) are SALTED:
+   probe rows of a hot key spread across `salt` sub-keys, build rows
+   replicated to every sub-key — skew never lands on one reducer.
+
+Both paths produce identical rows (tested), matching the reference
+predicate semantics (cap: S2Cap contains; rect: S2LatLngRect contains;
+polygon: crossing-parity PIP incl. vertex-crossing rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernel import cellid, cellunion, keys, sphere
+from ..kernel.coverer import covering_of
+
+
+class RegionIndex:
+    """Driver-built, broadcast-once index of query regions.
+
+    Holds per-region: the normalized covering (uint64), its
+    (range_min, range_max) interval arrays for searchsorted candidate tests,
+    and the region object for exact refinement.
+    """
+
+    def __init__(self, regions: dict[str, object], max_cells: int = 16):
+        self.region_ids = list(regions.keys())
+        self.regions = regions
+        self.coverings = {}
+        self.intervals = {}
+        for rid, region in regions.items():
+            cov = cellunion.normalize(covering_of(region, max_cells=max_cells))
+            self.coverings[rid] = cov
+            self.intervals[rid] = (cellid.range_min(cov), cellid.range_max(cov))
+
+    def join_level(self) -> int:
+        """Shuffle-join key level: finest common ancestor level that keeps
+        every covering cell at-or-below it (cells coarser than the covering
+        enumerate children instead)."""
+        min_level = cellid.MAX_LEVEL
+        for cov in self.coverings.values():
+            min_level = min(min_level, int(cellid.level(cov).min()))
+        return min_level
+
+    def probe(self, leaf_ids: np.ndarray, lat_deg: np.ndarray,
+              lng_deg: np.ndarray):
+        """For a batch of pages return (row_idx, region_id) match pairs."""
+        out_rows = []
+        out_rids = []
+        for rid in self.region_ids:
+            starts, ends = self.intervals[rid]
+            pos = np.searchsorted(starts, leaf_ids, side="right")
+            cand = pos > 0
+            safe = np.maximum(pos, 1) - 1
+            cand &= leaf_ids <= ends[safe]
+            if not cand.any():
+                continue
+            idx = np.nonzero(cand)[0]
+            region = self.regions[rid]
+            ok = exact_contains(region, lat_deg[idx], lng_deg[idx])
+            hits = idx[ok]
+            if len(hits):
+                out_rows.append(hits)
+                out_rids.extend([rid] * len(hits))
+        if not out_rows:
+            return np.empty(0, dtype=np.int64), []
+        return np.concatenate(out_rows), out_rids
+
+
+def exact_contains(region, lat_deg, lng_deg) -> np.ndarray:
+    """Vectorized exact membership for any supported region type."""
+    if hasattr(region, "contains_latlng_degrees"):
+        return np.asarray(region.contains_latlng_degrees(lat_deg, lng_deg))
+    if hasattr(region, "contains_points"):  # LatLngRect
+        return np.asarray(region.contains_points(
+            sphere.degrees_to_radians(lat_deg), sphere.degrees_to_radians(lng_deg)))
+    raise TypeError(f"unsupported region type {type(region)}")
+
+
+# ---------------------------------------------------------------------------
+# broadcast path
+
+def spatial_join_broadcast(pages_ds, regions: dict[str, object],
+                           max_cells: int = 16,
+                           keep_cols=("page_id", "url", "lat", "lng")):
+    """pages x regions -> (keep_cols..., region_id) via broadcast index.
+
+    The index is shipped once per worker through Ray's object store
+    (fn_constructor closure over the ray.put handle), not per batch.
+    """
+    import ray
+
+    index_ref = ray.put(RegionIndex(regions, max_cells=max_cells))
+    cols = list(keep_cols)
+
+    class ProbeActor:
+        """Actor pool: deserializes the broadcast index ONCE per actor."""
+
+        def __init__(self, ref):
+            self.index = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            lng = batch["lng"].to_numpy(zero_copy_only=False)
+            rows, rids = self.index.probe(leaf, lat, lng)
+            sub = batch.select(cols).take(pa.array(rows))
+            return sub.append_column("region_id", pa.array(rids, type=pa.string()))
+
+    return pages_ds.map_batches(
+        ProbeActor,
+        fn_constructor_args=(index_ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shuffle path (cell-keyed co-partition with hot-key salting)
+
+def _build_side_rows(index: RegionIndex, level: int, salt: int) -> pa.Table:
+    """Region covering -> (cell_key, salt_id, region_id) rows at join level."""
+    out_keys = []
+    out_salts = []
+    out_rids = []
+    for rid, cov in index.coverings.items():
+        cells = []
+        for cid in cov:
+            lv = int(cellid.level(np.array([cid]))[0])
+            if lv >= level:
+                cells.append(cellid.parent(np.array([cid]), level)[0])
+            else:
+                # enumerate descendants at the join level
+                cells.extend(cellunion.denormalize(
+                    np.array([cid], dtype=np.uint64), level, 1).tolist())
+        cells = np.unique(np.array(cells, dtype=np.uint64))
+        for s in range(salt):
+            out_keys.extend(keys.to_key(cells).tolist())
+            out_salts.extend([s] * len(cells))
+            out_rids.extend([rid] * len(cells))
+    return pa.table({
+        "cell_key": pa.array(out_keys, type=pa.int64()),
+        "salt_id": pa.array(out_salts, type=pa.int8()),
+        "region_id": pa.array(out_rids, type=pa.string()),
+    })
+
+
+def spatial_join_shuffle(pages_ds, regions: dict[str, object],
+                         max_cells: int = 16, salt: int = 4,
+                         keep_cols=("page_id", "url", "lat", "lng")):
+    """Cell-keyed co-partition join with salting.
+
+    Build rows are replicated `salt` times (cheap: |coverings| * salt rows);
+    probe rows pick salt_id = page_id % salt, so a hot cell's pages fan out
+    over `salt` groups instead of one straggler reducer.
+    """
+    import ray
+    import ray.data
+
+    index = RegionIndex(regions, max_cells=max_cells)
+    level = index.join_level()
+    build = _build_side_rows(index, level, salt)
+    index_ref = ray.put(index)
+    cols = list(keep_cols)
+
+    def probe_side(batch: pa.Table) -> pa.Table:
+        leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        anc = cellid.parent(leaf, level)
+        page_id = batch["page_id"].to_numpy(zero_copy_only=False)
+        out = batch.select(cols)
+        out = out.append_column("cell_key", pa.array(keys.to_key(anc), type=pa.int64()))
+        out = out.append_column(
+            "salt_id", pa.array((page_id % salt).astype(np.int8), type=pa.int8()))
+        out = out.append_column("side", pa.array(np.ones(len(batch), dtype=np.int8),
+                                                 type=pa.int8()))
+        return out
+
+    probe = pages_ds.map_batches(probe_side, batch_format="pyarrow")
+    build_tbl = build.append_column(
+        "side", pa.array(np.zeros(len(build), dtype=np.int8), type=pa.int8()))
+    build_ds = ray.data.from_arrow(build_tbl)
+    both = probe.union(build_ds)
+
+    def pair_group(df, index_ref=index_ref):
+        import pandas as pd
+        import ray as _ray
+
+        idx = _ray.get(index_ref)
+        builds = df[df["side"] == 0]
+        probes = df[df["side"] == 1]
+        if len(builds) == 0 or len(probes) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=df[c].dtype if c in df else object)
+                                 for c in cols} | {"region_id": pd.Series(dtype=object)})
+        outs = []
+        lat = probes["lat"].to_numpy()
+        lng = probes["lng"].to_numpy()
+        for rid in builds["region_id"].unique():
+            ok = exact_contains(idx.regions[rid], lat, lng)
+            if ok.any():
+                hit = probes.iloc[np.nonzero(ok)[0]][cols].copy()
+                hit["region_id"] = rid
+                outs.append(hit)
+        if not outs:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols + ["region_id"]})
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        both.groupby(["cell_key", "salt_id"])
+        .map_groups(pair_group, batch_format="pandas")
+        .select_columns(cols + ["region_id"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracle generation (driver correctness gate)
+
+def loop_pip_sql(loop, lat_expr: str = "radians(lat)",
+                 lng_expr: str = "radians(lng)") -> str:
+    """DuckDB boolean expression implementing the EXACT spherical
+    crossing-parity containment test for a fixed loop.
+
+    Same predicate as Loop.contains_points_xyz: parity of robustCrossing of
+    edge (origin, P) against each loop edge (C_k, D_k), with the per-edge
+    constant orientation acb_k = -ccw(C,D,origin) precomputed here.  Signs of
+    the determinants are floating-point-stable for probe points farther than
+    ~1e-15 rad from an edge plane, so SQL double math reproduces the engine
+    bit-for-bit on generic inputs (vertex-crossing cases are measure-zero).
+    origin = S2::origin() = (0,1,0), so (origin x P) . Q = pz*qx - px*qz.
+    """
+    from ..kernel import edges as _edges
+    from ..kernel import sphere as _sphere
+
+    o = _edges.origin()
+    px = f"(cos({lat_expr})*cos({lng_expr}))"
+    py = f"(cos({lat_expr})*sin({lng_expr}))"
+    pz = f"(sin({lat_expr}))"
+    terms = []
+    verts = loop.vertices
+    n = len(verts)
+    for k in range(n):
+        c = verts[k]
+        d = verts[(k + 1) % n]
+        cxd = np.cross(c, d)
+        acb = -_sphere.robust_ccw(c, d, o, cxd)
+        if acb == 0:
+            continue  # degenerate edge w.r.t. origin: robustCrossing <= 0, no crossing
+        cx, cy, cz = (repr(float(v)) for v in c)
+        dx, dy, dz = (repr(float(v)) for v in d)
+        ex, ey, ez = (repr(float(v)) for v in cxd)
+        bda = f"(({ex})*{px} + ({ey})*{py} + ({ez})*{pz})"
+        cbd = f"(-({pz}*({dx}) - {px}*({dz})))"
+        dac = f"({pz}*({cx}) - {px}*({cz}))"
+        op = ">" if acb > 0 else "<"
+        cond = f"({bda} {op} 0 AND {cbd} {op} 0 AND {dac} {op} 0)"
+        terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
+    crossings = " + ".join(terms) if terms else "0"
+    base = "TRUE" if loop.origin_inside else "FALSE"
+    return f"({base} <> ((({crossings}) % 2) = 1))"

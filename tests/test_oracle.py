@@ -68,7 +68,7 @@ def _compare(name, entrymod, con):
 
 
 @pytest.mark.parametrize("qname", ["rect_filter", "knn_moscow", "text_identity",
-                                   "pages_per_lang"])
+                                   "pages_per_lang", "cap_join", "pip_join"])
 def test_query_matches_oracle(qname, entrymod, con):
     _compare(qname, entrymod, con)
 
