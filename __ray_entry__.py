@@ -153,8 +153,120 @@ def _q_polygon_covering(sf_dir: str):
     return pd.DataFrame(rows, columns=["region_id", "cell_token", "level"])
 
 
+NEAR_DUP_TAU = 0.5
+EMB_TAU = 0.45
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+
+def _pages_text_ds(sf_dir: str):
+    from s2ray.functions.extract import drop_html, extract_text
+    from s2ray.sources.pages import read_pages
+
+    ds = read_pages(sf_dir)
+    return ds.map_batches(extract_text, batch_format="pyarrow").map_batches(
+        drop_html, batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from s2ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_pages_text_ds(sf_dir))
+
+
+def _q_near_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from s2ray.pipelines.dedup import near_dup_pairs_exact
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return near_dup_pairs_exact(ds, tau=NEAR_DUP_TAU)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from s2ray.pipelines.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, tau=NEAR_DUP_TAU)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from s2ray.pipelines.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def _q_emb_near_dup(sf_dir: str):
+    from s2ray.pipelines.dedup import embedding_near_dup
+
+    return embedding_near_dup(sf_dir, tau=EMB_TAU)
+
+
+def _q_knn_embeddings(sf_dir: str):
+    from s2ray.pipelines.ann import knn_embeddings
+
+    return knn_embeddings(sf_dir, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_lsh_knn(sf_dir: str):
+    from s2ray.pipelines.ann import lsh_knn
+
+    return lsh_knn(sf_dir, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_text_stats(sf_dir: str):
+    import ray.data
+
+    from s2ray.pipelines.text import text_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(text_stats, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    import ray.data
+
+    from s2ray.pipelines.text import quality_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(quality_score, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from s2ray.pipelines.text import LangId
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LangId, concurrency=(1, 4),
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred", "lang_conf"])
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from s2ray.pipelines.text import fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # S2 / spatial
         "tile_counts_l8": _q_tile_counts,
         "rect_filter": _q_rect_filter,
         "knn_moscow": _q_knn,
@@ -163,6 +275,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_join": _q_cap_join,
         "pip_join": _q_pip_join,
         "polygon_covering": _q_polygon_covering,
+        # dedup family
+        "exact_dedup": _q_exact_dedup,
+        "near_dup_pairs": _q_near_dup_pairs,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "emb_near_dup": _q_emb_near_dup,
+        # similarity search
+        "knn_embeddings": _q_knn_embeddings,
+        "lsh_knn": _q_lsh_knn,
+        # text analysis
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
     }
 
 
@@ -224,6 +350,46 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT page_id, '{name}' AS region_id FROM pages_geo WHERE {expr}"
         )
     pip_join = f"{cte} " + " UNION ALL ".join(pip_selects)
+    exact_dedup_sql = (
+        f"{cte} SELECT min(page_id) AS page_id, count(*) AS n_copies "
+        f"FROM pages_geo GROUP BY text"
+    )
+    near_dup = f"""
+WITH words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM words),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT i, j, inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = pairs.i JOIN sizes sb ON sb.doc_id = pairs.j
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {NEAR_DUP_TAU!r}"""
+    emb_near_dup_sql = (
+        "SELECT a.vec_id AS i, b.vec_id AS j FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])) >= {EMB_TAU!r}"
+    )
+    ann_ids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    knn_emb_sql = f"""
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       CAST(row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.embedding AS DOUBLE[])) DESC,
+                  e.vec_id) AS BIGINT) AS rank
+FROM embeddings e
+CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN ({ann_ids})) q
+WHERE e.vec_id <> q.vec_id
+QUALIFY rank <= {ANN_K}"""
+    text_stats_sql = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
+         / greatest(1, len(toks)) AS avg_token_len
+FROM (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents)"""
     return {
         "rect_filter": rect,
         "knn_moscow": knn,
@@ -231,6 +397,14 @@ def oracle_sql() -> dict[str, str]:
         "pages_per_lang": per_lang,
         "cap_join": cap_join,
         "pip_join": pip_join,
-        # tile_counts_l8, polygon_covering: S2 tiling is not SQL-expressible
-        # -> rows-only checks; covered by pytest golden/property tests.
+        "exact_dedup": exact_dedup_sql,
+        "near_dup_pairs": near_dup,
+        "emb_near_dup": emb_near_dup_sql,
+        "knn_embeddings": knn_emb_sql,
+        "text_stats": text_stats_sql,
+        # rows-only (not SQL-expressible): tile_counts_l8, polygon_covering
+        # (S2 tiling), minhash_pairs / simhash_pairs / lsh_knn (randomized
+        # sketch paths — verified against exact counterparts in pytest),
+        # quality_score / lang_id / fingerprint (heuristic / hash ops —
+        # determinism + invariants covered in pytest).
     }

@@ -1,0 +1,155 @@
+"""Similarity search over the embedding column.
+
+- knn_embeddings: brute-force cosine top-k — queries broadcast once
+  (ray.put), per-batch numpy matmul, per-batch local top-k, global
+  sort+limit per query.  The correctness baseline (SQL-oracle-checkable).
+- lsh_knn: random-hyperplane LSH bucketing — the scale path: probes only
+  buckets within a signature Hamming radius.  Recall < 1 by design;
+  measured against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(1e-300, np.linalg.norm(mat, axis=1, keepdims=True))
+
+
+def knn_embeddings(sf_dir: str, query_ids: list[int], k: int = 10):
+    """For each query vector: top-k most-cosine-similar OTHER vectors.
+
+    Output: (query_id, vec_id, rank) — rank 1..k by descending similarity.
+    """
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    all_ids = qt["vec_id"].to_numpy()
+    sel = np.isin(all_ids, query_ids)
+    q_ids = all_ids[sel]
+    q_mat = _normalize(np.stack(qt["embedding"].to_pandas()[sel].values
+                                ).astype(np.float64))
+    q_ref = ray.put((q_ids, q_mat))
+
+    def stage(batch: pa.Table, q_ref=q_ref) -> pa.Table:
+        q_ids, q_mat = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _normalize(np.stack(batch["embedding"].to_pandas().values
+                                  ).astype(np.float64))
+        sims = q_mat @ emb.T  # (Q, B)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            s = sims[qi]
+            mask = ids != q_ids[qi]
+            idx = np.nonzero(mask)[0]
+            if len(idx) > k:
+                top = idx[np.argpartition(-s[idx], k)[:k]]
+            else:
+                top = idx
+            out_q.extend([q_ids[qi]] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(stage, batch_format="pyarrow")
+
+    def global_topk(df):
+        import pandas as pd
+
+        df = df.sort_values("sim", ascending=False).head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "vec_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas")
+
+
+_N_PLANES = 12
+
+
+def _lsh_planes(dim: int, n_planes: int = _N_PLANES) -> np.ndarray:
+    rng = np.random.RandomState(20240817)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits @ weights
+
+
+def lsh_knn(sf_dir: str, query_ids: list[int], k: int = 10,
+            hamming_radius: int = 3):
+    """ANN top-k: probe only vectors whose LSH bucket is within
+    hamming_radius of the query's bucket.  Scale path: bucket id becomes the
+    shuffle key; here the filter runs inside map_batches against broadcast
+    query signatures."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    all_ids = qt["vec_id"].to_numpy()
+    dim = len(qt["embedding"][0])
+    planes = _lsh_planes(dim)
+    sel = np.isin(all_ids, query_ids)
+    q_ids = all_ids[sel]
+    q_mat = _normalize(np.stack(qt["embedding"].to_pandas()[sel].values
+                                ).astype(np.float64))
+    q_sig = lsh_signature(q_mat, planes)
+    q_ref = ray.put((q_ids, q_mat, q_sig, planes))
+    radius = hamming_radius
+
+    def stage(batch: pa.Table, q_ref=q_ref) -> pa.Table:
+        q_ids, q_mat, q_sig, planes = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _normalize(np.stack(batch["embedding"].to_pandas().values
+                                  ).astype(np.float64))
+        sig = lsh_signature(emb, planes)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            x = np.bitwise_xor(sig, q_sig[qi])
+            ham = np.zeros(len(x), dtype=np.int64)
+            xx = x.copy()
+            for _ in range(_N_PLANES):
+                ham += xx & 1
+                xx >>= 1
+            cand = np.nonzero((ham <= radius) & (ids != q_ids[qi]))[0]
+            if len(cand) == 0:
+                continue
+            s = emb[cand] @ q_mat[qi]
+            if len(cand) > k:
+                top = np.argpartition(-s, k)[:k]
+                cand, s = cand[top], s[top]
+            out_q.extend([q_ids[qi]] * len(cand))
+            out_v.extend(ids[cand].tolist())
+            out_s.extend(s.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(stage, batch_format="pyarrow")
+
+    def global_topk(df):
+        df = df.sort_values("sim", ascending=False).head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "vec_id", "rank", "sim"]]
+
+    return partials.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas")

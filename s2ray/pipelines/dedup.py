@@ -1,0 +1,360 @@
+"""Deduplication operators for the training-data pipeline.
+
+All operators are Ray-Data-first: per-batch vectorized preparation, shuffles
+only over *small derived rows* (hashes / signatures / pair keys), never over
+full document text except the exact-dedup groupby (whose key is the dedup
+criterion itself).
+
+Operators:
+- exact_dedup            hash-partition groupby(text) -> keeper + count
+- near_dup_pairs_exact   word-k-gram shingle inverted-index join ->
+                         exact Jaccard >= tau pairs (SQL-oracle-checkable)
+- minhash_lsh_pairs      MinHash signatures + banded LSH buckets ->
+                         candidate pairs with estimated Jaccard (scale path)
+- simhash_pairs          64-bit SimHash + 16-bit band buckets ->
+                         pairs with Hamming distance <= k
+- embedding_near_dup     brute-force cosine >= tau pairs over a broadcast
+                         normalized matrix (LSH-bucketed variant: ann.py)
+
+Determinism: all hashing is salted FNV-1a/crc-free integer hashing (no
+Python hash()), so signatures are identical across workers and runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def fnv1a_bytes(data: bytes, seed: int = 0) -> int:
+    """Deterministic 64-bit FNV-1a (scalar)."""
+    h = int(_FNV_OFFSET) ^ seed
+    for byte in data:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Token list -> uint64 hashes (C-speed via bytes + int ops)."""
+    return np.array([fnv1a_bytes(t.encode()) for t in tokens], dtype=np.uint64)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct word-k-gram shingle hashes of a document."""
+    words = text.split()
+    if len(words) < k:
+        return np.array([fnv1a_bytes(" ".join(words).encode())], dtype=np.uint64)
+    shingles = {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+    return np.array(sorted(fnv1a_bytes(s.encode()) for s in shingles),
+                    dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "page_id"):
+    """Keep the smallest id per distinct text; also count copies.
+
+    Hash-partition groupby on the text itself (the dedup criterion); the
+    per-batch partial pass shrinks each batch to its distinct texts first so
+    the shuffle moves one row per (batch, distinct-text).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(text_col).aggregate(
+            [(id_col, "min"), (id_col, "count")])
+        return pa.table({
+            text_col: g[text_col],
+            "min_id": g[f"{id_col}_min"],
+            "cnt": g[f"{id_col}_count"],
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(text_col)
+        .aggregate(Min("min_id", alias_name=id_col),
+                   Sum("cnt", alias_name="n_copies"))
+    )
+    return out.select_columns([id_col, "n_copies"])
+
+
+# ---------------------------------------------------------------------------
+# exact near-dup pairs via shingle inverted index
+
+def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         max_posting: int = 10000):
+    """Exact Jaccard >= tau pairs via a distributed inverted-index join.
+
+    doc -> (shingle_hash, doc_id, set_size) rows; groupby shingle emits
+    candidate pairs; groupby pair sums intersections; jaccard from carried
+    set sizes.  ``max_posting`` caps pathological stop-shingles (documented
+    deviation; groups above the cap are dropped — at the default it never
+    triggers on sane corpora).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..kernel import keys as _keys
+
+    def to_postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pandas()
+        sh_all, doc_all, size_all = [], [], []
+        for i, t in zip(ids, texts):
+            sh = shingle_hashes(t, k)
+            sh_all.append(sh)
+            doc_all.append(np.full(len(sh), i, dtype=np.int64))
+            size_all.append(np.full(len(sh), len(sh), dtype=np.int64))
+        return pa.table({
+            "sh": pa.array(_keys.to_key(np.concatenate(sh_all)), type=pa.int64()),
+            "doc": pa.array(np.concatenate(doc_all), type=pa.int64()),
+            "sz": pa.array(np.concatenate(size_all), type=pa.int64()),
+        })
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2 or len(df) > max_posting:
+            return pd.DataFrame({"i": [], "j": [], "si": [], "sj": [],
+                                 "inter": []}).astype(np.int64)
+        d = df.sort_values("doc")
+        docs = d["doc"].to_numpy()
+        szs = d["sz"].to_numpy()
+        ii, jj = np.triu_indices(len(docs), 1)
+        return pd.DataFrame({
+            "i": docs[ii], "j": docs[jj],
+            "si": szs[ii], "sj": szs[jj],
+            "inter": np.ones(len(ii), dtype=np.int64),
+        })
+
+    pairs = (
+        ds.map_batches(to_postings, batch_format="pyarrow")
+        .groupby("sh")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["i", "j", "si", "sj"])
+        .aggregate(Sum("inter", alias_name="inter"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        si = batch["si"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sj = batch["sj"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = inter / (si + sj - inter)
+        keep = jac >= tau
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "i": t["i"], "j": t["j"],
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
+        })
+
+    return pairs.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100-TB scale path)
+
+_N_PERM = 64
+_BAND_ROWS = 4  # 16 bands of 4 rows
+
+
+def _perm_params(n_perm: int = _N_PERM) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(1234567)
+    a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def minhash_signature(sh: np.ndarray) -> np.ndarray:
+    """(n_perm,) uint64 MinHash signature of a shingle-hash set.
+
+    h_i(x) = (a_i * x + b_i) mod 2^61-1, vectorized over shingles x perms.
+    """
+    x = (sh & _MERSENNE61)[:, None]
+    vals = (x * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE61
+    return vals.min(axis=0)
+
+
+def minhash_lsh_pairs(ds, tau: float = 0.5, k: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Near-dup candidate pairs via banded MinHash-LSH.
+
+    doc -> signature -> 16 band-bucket rows; groupby(band, bucket) emits
+    pairs; estimated jaccard = fraction of matching signature components;
+    pairs deduped by groupby.  Scale: the shuffle moves (band_key, doc_id,
+    signature) rows — 16 x (8 + 512) bytes per doc regardless of text size.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    n_bands = _N_PERM // _BAND_ROWS
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pandas()
+        rows_band, rows_doc, rows_sig = [], [], []
+        for i, t in zip(ids, texts):
+            sig = minhash_signature(shingle_hashes(t, k))
+            for band in range(n_bands):
+                chunk = sig[band * _BAND_ROWS:(band + 1) * _BAND_ROWS]
+                key = fnv1a_bytes(chunk.tobytes(), seed=band + 1)
+                rows_band.append(np.int64(key - (1 << 63)))
+                rows_doc.append(i)
+                rows_sig.append(sig.tobytes())
+        return pa.table({
+            "band_key": pa.array(rows_band, type=pa.int64()),
+            "doc": pa.array(rows_doc, type=pa.int64()),
+            "sig": pa.array(rows_sig, type=pa.binary()),
+        })
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates("doc").sort_values("doc")
+        if len(d) < 2:
+            return pd.DataFrame({"i": pd.Series(dtype=np.int64),
+                                 "j": pd.Series(dtype=np.int64),
+                                 "est_jaccard": pd.Series(dtype=np.float64)})
+        docs = d["doc"].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in d["sig"]])
+        ii, jj = np.triu_indices(len(docs), 1)
+        est = (sigs[ii] == sigs[jj]).mean(axis=1)
+        keep = est >= tau
+        return pd.DataFrame({"i": docs[ii][keep], "j": docs[jj][keep],
+                             "est_jaccard": est[keep]})
+
+    return (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["i", "j"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash64(tokens_hashes: np.ndarray) -> int:
+    """64-bit SimHash of token hashes (majority vote per bit)."""
+    if len(tokens_hashes) == 0:
+        return 0
+    bits = ((tokens_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for b in range(64):
+        if votes[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out)
+
+
+def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Banding: 4 x 16-bit chunks — any pair within Hamming 3 shares at least
+    one exact chunk (pigeonhole), so groupby(chunk_id, chunk_value) finds
+    all such pairs; exact Hamming verification inside the group.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pandas()
+        c_chunk, c_val, c_doc, c_sim = [], [], [], []
+        for i, t in zip(ids, texts):
+            sh = simhash64(hash_tokens(t.split()))
+            for c in range(4):
+                c_chunk.append(c)
+                c_val.append((sh >> (16 * c)) & 0xFFFF)
+                c_doc.append(i)
+                c_sim.append(sh - (1 << 63))
+        return pa.table({
+            "chunk": pa.array(c_chunk, type=pa.int8()),
+            "val": pa.array(c_val, type=pa.int32()),
+            "doc": pa.array(c_doc, type=pa.int64()),
+            "sim": pa.array(c_sim, type=pa.int64()),
+        })
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates("doc").sort_values("doc")
+        if len(d) < 2:
+            return pd.DataFrame({"i": pd.Series(dtype=np.int64),
+                                 "j": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        docs = d["doc"].to_numpy()
+        sims = (d["sim"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+        ii, jj = np.triu_indices(len(docs), 1)
+        x = sims[ii] ^ sims[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"i": docs[ii][keep], "j": docs[jj][keep],
+                             "hamming": ham[keep]})
+
+    return (
+        ds.map_batches(to_chunks, batch_format="pyarrow")
+        .groupby(["chunk", "val"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["i", "j"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+def embedding_near_dup(sf_dir: str, tau: float = 0.45):
+    """Pairs of embeddings with cosine similarity >= tau.
+
+    Small-side design: the normalized matrix is broadcast once (ray.put);
+    each batch matmuls its rows against the full matrix and emits pairs
+    (i < j).  The LSH-bucketed variant for matrices that don't fit in one
+    object lives in ann.py (same bucketing as similarity search).
+    """
+    import ray
+    import ray.data
+
+    tbl = _load_embedding_matrix(sf_dir)
+    mat_ref = ray.put(tbl)
+
+    def stage(batch: pa.Table, mat_ref=mat_ref) -> pa.Table:
+        vec_ids, mat = ray.get(mat_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.stack(batch["embedding"].to_pandas().values).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = emb @ mat.T
+        out_i, out_j = [], []
+        for r in range(len(ids)):
+            hits = np.nonzero(sims[r] >= tau)[0]
+            for h in hits:
+                if vec_ids[h] > ids[r]:
+                    out_i.append(ids[r])
+                    out_j.append(vec_ids[h])
+        return pa.table({
+            "i": pa.array(out_i, type=pa.int64()),
+            "j": pa.array(out_j, type=pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def _load_embedding_matrix(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pandas().values).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat

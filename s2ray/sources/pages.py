@@ -45,6 +45,16 @@ _HOT_FRACTION_LT = 4
 _WARC_EPOCH_S = 1704067200  # 2024-01-01T00:00:00Z
 _YEAR_S = 31536000
 
+# Injected exact-duplicate content: Common-Crawl-style boilerplate pages.
+# uid % 17 == 0 -> page text is DUP_TEMPLATES[uid % 3] (byte-identical groups
+# for the dedup operators).  Mirrored in pages_sql_cte.
+_DUP_MOD = 17
+DUP_TEMPLATES = [
+    "welcome to our site the best place for deals and news every day",
+    "page not found the content you are looking for has moved or expired",
+    "sign in to continue enter your email and password to access account",
+]
+
 
 def derive_geo_e4(uid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """uid (int64) -> (lat_e4, lng_e4) int64 fixed-point coordinates.
@@ -87,13 +97,17 @@ def synth_pages_batch(batch: pa.Table, repl: int = 1) -> pa.Table:
     uid = doc_id * repl + r
     lat_e4, lng_e4 = derive_geo_e4(uid)
 
-    uid_s = pa.array(uid.astype("U").tolist(), type=pa.string())
     # vectorized string building with Arrow kernels
     uid_str = pc.cast(pa.array(uid), pa.string())
     lat_str = pc.cast(pa.array(lat_e4), pa.string())
     lng_str = pc.cast(pa.array(lng_e4), pa.string())
     source = batch["source"]
     text = batch["text"]
+    dup_mask = (uid % _DUP_MOD) == 0
+    if dup_mask.any():
+        tarr = np.asarray(text.to_pandas(), dtype=object)
+        tarr[dup_mask] = np.array(DUP_TEMPLATES, dtype=object)[uid[dup_mask] % 3]
+        text = pa.array(tarr.tolist(), type=pa.string())
 
     url = pc.binary_join_element_wise(
         pa.scalar("https://"), source, pa.scalar(".example.com/doc/"), uid_str,
@@ -145,13 +159,16 @@ def pages_sql_cte(repl: int = 1) -> str:
         f"WHEN {k} THEN {c[0]}" for k, c in enumerate(CITIES_E4)) + " END"
     city_lng = "CASE (doc_id % 8) " + " ".join(
         f"WHEN {k} THEN {c[1]}" for k, c in enumerate(CITIES_E4)) + " END"
+    dup_case = ("CASE (doc_id % 3) "
+                + " ".join(f"WHEN {k} THEN '{t}'" for k, t in enumerate(DUP_TEMPLATES))
+                + " END")
     return f"""
 pages AS (
   SELECT
     doc_id AS page_id,
     'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
     lang,
-    text,
+    CASE WHEN doc_id % {_DUP_MOD} = 0 THEN {dup_case} ELSE text END AS text,
     CASE WHEN doc_id % {_HOT_FRACTION_MOD} < {_HOT_FRACTION_LT}
          THEN ({city_lat}) + (doc_id * {_MUL_LAT}) % {_MOD32} % {_CITY_JITTER} - 1000
          ELSE (doc_id * {_MUL_LAT}) % {_MOD32} % 1600001 - 800000 END AS lat_e4,

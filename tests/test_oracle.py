@@ -68,7 +68,10 @@ def _compare(name, entrymod, con):
 
 
 @pytest.mark.parametrize("qname", ["rect_filter", "knn_moscow", "text_identity",
-                                   "pages_per_lang", "cap_join", "pip_join"])
+                                   "pages_per_lang", "cap_join", "pip_join",
+                                   "exact_dedup", "near_dup_pairs",
+                                   "emb_near_dup", "knn_embeddings",
+                                   "text_stats"])
 def test_query_matches_oracle(qname, entrymod, con):
     _compare(qname, entrymod, con)
 
