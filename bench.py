@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark harness for the s2ray engine.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+--flagship-only: time just the flagship tile-assignment pipeline (used by
+--scaling subprocesses).
+--scaling: run the flagship twice in FRESH processes (num_cpus=8 and 32) on
+the same input and report both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Pages replication: sf0.1 documents (5k rows) x 100 -> 500k synthetic pages.
+REPL = int(os.environ.get("GRAFT_PAGES_REPL", "100"))
+
+
+def _init_ray():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    return ray
+
+
+def _flagship(sf_dir: str, repl: int):
+    """Headline pipeline: pages -> extract -> geotag -> cells -> tile counts."""
+    from s2ray.pipelines.tiles import tile_counts
+
+    out = tile_counts(sf_dir, level=8, repl=repl)
+    df = out.to_pandas()  # aggregated result: small
+    return int(df["n_pages"].sum())
+
+
+def run_flagship_only():
+    ray = _init_ray()
+    t0 = time.time()
+    n_pages = _flagship(SF_DIR, REPL)
+    wall = time.time() - t0
+    print(json.dumps({"flagship_sec": wall, "pages": n_pages,
+                      "pages_per_sec": n_pages / wall, "num_cpus": NUM_CPUS}))
+    ray.shutdown()
+
+
+def run_bench():
+    ray = _init_ray()
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return out
+
+    n_pages = timed("flagship_tiles", lambda: _flagship(SF_DIR, REPL))
+    extras["pages"] = n_pages
+    extras["flagship_pages_per_sec"] = round(n_pages / queries["flagship_tiles"], 1)
+
+    def _cap_join():
+        import __ray_entry__ as e
+        from s2ray.pipelines.spatial_join import spatial_join_broadcast
+
+        ds = pages_with_cells(SF_DIR, repl=REPL, token_level=None)
+        return spatial_join_broadcast(ds, e._city_caps(),
+                                      keep_cols=("page_id",)).count()
+
+    timed("cap_join", _cap_join)
+
+    def _pip_join():
+        import __ray_entry__ as e
+        from s2ray.kernel.pip import Polygon
+        from s2ray.pipelines.spatial_join import spatial_join_broadcast
+
+        regions = {name: Polygon.from_latlng_loops([loop])
+                   for name, loop in e.PIP_POLYS.items()}
+        ds = pages_with_cells(SF_DIR, repl=REPL, token_level=None)
+        return spatial_join_broadcast(ds, regions, keep_cols=("page_id",)).count()
+
+    timed("pip_join", _pip_join)
+
+    def _knn():
+        from s2ray.pipelines.knn import knn_pages
+
+        ds = pages_with_cells(SF_DIR, repl=REPL, token_level=None)
+        return len(knn_pages(ds, 55.7558, 37.6173, k=20).to_pandas())
+
+    timed("knn_moscow", _knn)
+
+    def _dedup():
+        from s2ray.functions.extract import drop_html, extract_text
+        from s2ray.pipelines.dedup import exact_dedup
+        from s2ray.sources.pages import read_pages
+
+        ds = read_pages(SF_DIR, repl=REPL)
+        ds = ds.map_batches(extract_text, batch_format="pyarrow")
+        ds = ds.map_batches(drop_html, batch_format="pyarrow")
+        return exact_dedup(ds).count()
+
+    timed("exact_dedup", _dedup)
+
+    def _minhash():
+        import ray.data
+        from s2ray.pipelines.dedup import minhash_lsh_pairs
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return minhash_lsh_pairs(ds, tau=0.5).count()
+
+    timed("minhash_pairs", _minhash)
+
+    def _ann():
+        from s2ray.pipelines.ann import knn_embeddings
+
+        return len(knn_embeddings(SF_DIR, [0, 1, 2, 3, 4], k=10).to_pandas())
+
+    timed("knn_embeddings", _ann)
+
+    total = round(sum(queries.values()), 3)
+    sf = os.path.basename(os.path.normpath(SF_DIR))
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }))
+    ray.shutdown()
+
+
+def run_scaling():
+    """Same flagship job at num_cpus=8 and 32 in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+            env=env, capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["flagship_sec"]
+    t32 = results[32]["flagship_sec"]
+    speedup = t8 / t32
+    efficiency = speedup / 4.0
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(efficiency, 3),
+        "unit": "fraction",
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "pages": results[32]["pages"],
+        "throughput_8cpu_pages_per_sec": round(results[8]["pages_per_sec"], 1),
+        "throughput_32cpu_pages_per_sec": round(results[32]["pages_per_sec"], 1),
+        "wall_8cpu_sec": round(t8, 3),
+        "wall_32cpu_sec": round(t32, 3),
+        "speedup": round(speedup, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--flagship-only" in sys.argv:
+        run_flagship_only()
+    else:
+        run_bench()

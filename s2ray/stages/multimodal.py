@@ -1,0 +1,157 @@
+"""Multimodal (image/audio/video) actor-pool stages.
+
+Media travels as opaque ``binary`` columns with typed metadata — the Ray-side
+plumbing (schema, batch sizing, actor signature, output layout) is real and
+tested; the actual codec work is stubbed because no image/audio libraries
+exist in this container:
+
+- with ``use_real_codec=True`` the stage raises NotImplementedError unless
+  PIL/soundfile import succeeds (import-try gate);
+- the default deterministic fake derives metadata (dimensions, sample rate,
+  duration) from a stable hash of the payload bytes, so pipelines are fully
+  exercisable and reproducible.
+
+At 100 TB: payloads are large, so these stages want SMALL batch_size (payload
+bytes x batch_size x concurrency must fit worker heaps) and actor pools so
+codec state loads once per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..pipelines.dedup import fnv1a_bytes
+
+
+def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
+    """documents rows -> fake media rows (media_id, media_type, payload).
+
+    Deterministic payload derived from doc_id (repeatable across runs).
+    """
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    types = ["image", "audio", "video"]
+    payloads = []
+    mtypes = []
+    for i in doc_id:
+        seed = int(i) * 2654435761 % (1 << 32)
+        rng = np.random.RandomState(seed)
+        payloads.append(rng.bytes(payload_bytes))
+        mtypes.append(types[int(i) % 3])
+    return pa.table({
+        "media_id": batch["doc_id"],
+        "media_type": pa.array(mtypes, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+
+
+def read_media(sf_dir: str, payload_bytes: int = 4096):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(synth_media_batch,
+                          fn_kwargs={"payload_bytes": payload_bytes},
+                          batch_format="pyarrow")
+
+
+class MediaDecodeStage:
+    """Actor-pool stage: binary payload -> typed metadata columns.
+
+    __init__ loads the codec once per actor; __call__ decodes per batch.
+    """
+
+    def __init__(self, use_real_codec: bool = False):
+        self.codec = None
+        if use_real_codec:
+            try:
+                import PIL.Image  # noqa: F401
+
+                self.codec = "pil"
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real image/audio codecs are not available in this "
+                    "environment; run with use_real_codec=False for the "
+                    "deterministic fake decoder") from exc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pandas()
+        mtypes = batch["media_type"].to_pandas()
+        width = np.zeros(len(batch), dtype=np.int32)
+        height = np.zeros(len(batch), dtype=np.int32)
+        n_frames = np.zeros(len(batch), dtype=np.int32)
+        sample_rate = np.zeros(len(batch), dtype=np.int32)
+        duration_ms = np.zeros(len(batch), dtype=np.int32)
+        fmt = []
+        for k, (p, t) in enumerate(zip(payloads, mtypes)):
+            h = fnv1a_bytes(p[:64])
+            if t == "image":
+                width[k] = 64 + h % 1920
+                height[k] = 64 + (h >> 16) % 1080
+                n_frames[k] = 1
+                fmt.append("fake/png")
+            elif t == "audio":
+                sample_rate[k] = (8000, 16000, 44100)[h % 3]
+                duration_ms[k] = 500 + h % 60000
+                fmt.append("fake/wav")
+            else:
+                width[k] = 64 + h % 1280
+                height[k] = 64 + (h >> 16) % 720
+                n_frames[k] = 8 + h % 240
+                duration_ms[k] = n_frames[k] * 40
+                fmt.append("fake/mp4")
+        out = batch.drop_columns(["payload"])
+        for name, col in (("width", width), ("height", height),
+                          ("n_frames", n_frames), ("sample_rate", sample_rate),
+                          ("duration_ms", duration_ms)):
+            out = out.append_column(name, pa.array(col, type=pa.int32()))
+        out = out.append_column("format", pa.array(fmt, type=pa.string()))
+        out = out.append_column(
+            "payload_bytes",
+            pa.array([len(p) for p in payloads], type=pa.int64()))
+        return out
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video rows -> one row per sampled frame
+    (flat_map-shaped batch transform; frame payloads are deterministic
+    slices of the source payload in the fake path)."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        types = batch["media_type"].to_pandas()
+        payloads = batch["payload"].to_pandas()
+        out_id, out_frame, out_bytes = [], [], []
+        for i, t, p in zip(ids, types, payloads):
+            if t != "video":
+                continue
+            h = fnv1a_bytes(p[:64])
+            n_frames = 8 + h % 240
+            for f in range(0, n_frames, self.every_n):
+                lo = (f * 97) % max(1, len(p) - 16)
+                out_id.append(i)
+                out_frame.append(f)
+                out_bytes.append(p[lo:lo + 16])
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_frame, type=pa.int32()),
+            "frame_payload": pa.array(out_bytes, type=pa.binary()),
+        })
+
+
+def media_stats(sf_dir: str):
+    """Demo pipeline: synth media -> decode (actor pool, small batches) ->
+    per-type aggregate."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read_media(sf_dir)
+    decoded = ds.map_batches(MediaDecodeStage, concurrency=(1, 4),
+                             batch_size=256, batch_format="pyarrow")
+    return (
+        decoded.groupby("media_type")
+        .aggregate(Count(alias_name="n"),
+                   Sum("payload_bytes", alias_name="total_bytes"),
+                   Mean("duration_ms", alias_name="avg_duration_ms"))
+    )

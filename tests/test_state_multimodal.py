@@ -1,0 +1,91 @@
+"""Resumable-output manifests and multimodal stage plumbing."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_resumable_run_and_skip(ray_session, tmp_path):
+    from s2ray.functions.extract import extract_geotag, extract_text, drop_html
+    from s2ray.sources.pages import synth_pages_batch
+    from s2ray.stages.assign import assign_cells
+    from s2ray.state.manifest import (load_metrics, pending_fragments,
+                                      run_resumable)
+
+    out = str(tmp_path / "tiles_out")
+    inputs = sorted(glob.glob(f"{SF}/documents.parquet"))
+    transforms = [synth_pages_batch, extract_text, extract_geotag, drop_html,
+                  assign_cells]
+    r1 = run_resumable(inputs, out, transforms)
+    assert r1["fragments_processed"] == 1
+    assert r1["rows_out"] == 500
+    m = load_metrics(out)
+    assert len(m) == 1 and m.rows_out[0] == 500 and m.wall_s[0] > 0
+
+    # second run: everything skipped, outputs untouched
+    data_file = glob.glob(f"{out}/part-*/data.parquet")[0]
+    mtime = os.path.getmtime(data_file)
+    r2 = run_resumable(inputs, out, transforms)
+    assert r2["fragments_processed"] == 0
+    assert r2["fragments_skipped_resume"] == 1
+    assert os.path.getmtime(data_file) == mtime
+
+    # invalidate the manifest -> that partition (only) is recomputed
+    mp = glob.glob(f"{out}/_manifest/*.json")[0]
+    os.remove(mp)
+    assert pending_fragments(inputs, out) == inputs
+    r3 = run_resumable(inputs, out, transforms)
+    assert r3["fragments_processed"] == 1
+
+
+def test_media_decode_pipeline(ray_session):
+    from s2ray.stages.multimodal import media_stats
+
+    out = media_stats(SF).to_pandas().sort_values("media_type", ignore_index=True)
+    assert list(out.media_type) == ["audio", "image", "video"]
+    assert (out.n.sum()) == 500
+    assert (out.total_bytes == out.n * 4096).all()
+
+
+def test_media_decode_deterministic(ray_session):
+    from s2ray.stages.multimodal import MediaDecodeStage, read_media
+
+    ds = read_media(SF)
+    a = ds.map_batches(MediaDecodeStage, concurrency=2, batch_size=128,
+                       batch_format="pyarrow").to_pandas().sort_values(
+        "media_id", ignore_index=True)
+    b = ds.map_batches(MediaDecodeStage, concurrency=2, batch_size=64,
+                       batch_format="pyarrow").to_pandas().sort_values(
+        "media_id", ignore_index=True)
+    assert a.equals(b)
+
+
+def test_frame_sampling(ray_session):
+    from s2ray.stages.multimodal import FrameSampleStage, read_media
+
+    ds = read_media(SF)
+    frames = ds.map_batches(FrameSampleStage, fn_constructor_kwargs={"every_n": 20},
+                            concurrency=2, batch_size=128,
+                            batch_format="pyarrow").to_pandas()
+    assert len(frames) > 0
+    assert (frames.frame_idx % 20 == 0).all()
+    assert frames.frame_payload.map(len).max() <= 16
+
+
+def test_real_codec_gate():
+    from s2ray.stages.multimodal import MediaDecodeStage
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(use_real_codec=True)
