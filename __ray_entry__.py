@@ -101,8 +101,10 @@ def _q_pages_per_lang(sf_dir: str):
     ds = pages_with_cells(sf_dir, token_level=None)
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("lang").aggregate([("page_id", "count")])
-        return pa.table({"lang": g["lang"], "partial_n": g["page_id_count"]})
+        langs = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        u, c = np.unique(langs, return_counts=True)
+        return pa.table({"lang": pa.array(u.tolist(), type=pa.string()),
+                         "partial_n": pa.array(c.astype(np.int64))})
 
     from ray.data.aggregate import Sum
 

@@ -62,7 +62,7 @@ def knn_embeddings(sf_dir: str, query_ids: list[int], k: int = 10):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    partials = ds.map_batches(stage, batch_format="pyarrow")
+    partials = ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
     def global_topk(df):
         import pandas as pd
@@ -144,7 +144,7 @@ def lsh_knn(sf_dir: str, query_ids: list[int], k: int = 10,
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    partials = ds.map_batches(stage, batch_format="pyarrow")
+    partials = ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
     def global_topk(df):
         df = df.sort_values("sim", ascending=False).head(k).reset_index(drop=True)

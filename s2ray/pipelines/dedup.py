@@ -25,32 +25,50 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
 _MERSENNE61 = np.uint64((1 << 61) - 1)
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def fnv1a_bytes(data: bytes, seed: int = 0) -> int:
-    """Deterministic 64-bit FNV-1a (scalar)."""
-    h = int(_FNV_OFFSET) ^ seed
-    for byte in data:
-        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit hash of bytes (C-speed blake2b core)."""
+    import hashlib
+
+    h = hashlib.blake2b(data, digest_size=8,
+                        salt=seed.to_bytes(8, "little", signed=False)[:8])
+    return int.from_bytes(h.digest(), "little")
 
 
 def hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Token list -> uint64 hashes (C-speed via bytes + int ops)."""
-    return np.array([fnv1a_bytes(t.encode()) for t in tokens], dtype=np.uint64)
+    """Token list -> uint64 hashes (two crc32 passes per token, C speed)."""
+    import zlib
+
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for t, tok in enumerate(tokens):
+        b = tok.encode()
+        out[t] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    return out
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Distinct word-k-gram shingle hashes of a document."""
+    """Distinct word-k-gram shingle hashes (vectorized mix of token hashes).
+
+    Token hashes via crc32 (C speed); k-gram combination is a position-
+    dependent multiply-xor mix fully vectorized in numpy.
+    """
     words = text.split()
+    th = hash_tokens(words)
     if len(words) < k:
-        return np.array([fnv1a_bytes(" ".join(words).encode())], dtype=np.uint64)
-    shingles = {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
-    return np.array(sorted(fnv1a_bytes(s.encode()) for s in shingles),
-                    dtype=np.uint64)
+        h = np.uint64(0x84222325)
+        for v in th:
+            h = (h ^ v) * _MIX1
+        return np.array([h], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        sh = th[: len(th) - k + 1].copy()
+        for j in range(1, k):
+            sh = (sh * _MIX1) ^ th[j: len(th) - k + 1 + j]
+        sh = (sh ^ (sh >> np.uint64(29))) * _MIX2
+    return np.unique(sh)
 
 
 # ---------------------------------------------------------------------------
@@ -66,21 +84,83 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "page_id"):
     from ray.data.aggregate import Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(text_col).aggregate(
-            [(id_col, "min"), (id_col, "count")])
+        # pandas hash groupby: pa.Table.group_by is pathologically slow in
+        # this pyarrow version
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "t": batch[text_col].to_pandas(),
+            "i": batch[id_col].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("t", sort=False)["i"].agg(["min", "count"]).reset_index()
         return pa.table({
-            text_col: g[text_col],
-            "min_id": g[f"{id_col}_min"],
-            "cnt": g[f"{id_col}_count"],
+            text_col: pa.array(g["t"], type=pa.string()),
+            "min_id": pa.array(g["min"].to_numpy()),
+            "cnt": pa.array(g["count"].to_numpy().astype(np.int64)),
         })
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(text_col)
         .aggregate(Min("min_id", alias_name=id_col),
                    Sum("cnt", alias_name="n_copies"))
     )
     return out.select_columns([id_col, "n_copies"])
+
+
+_N_PAIR_PARTITIONS = 256
+
+
+def _add_partition(key_col: str):
+    """Append a coarse shuffle partition 'part' = key mod P.
+
+    Grouping by 'part' instead of the raw bucket key gives ~P map_groups
+    calls (vectorized inside) instead of one Python call per tiny bucket —
+    Ray's per-group overhead dominates otherwise.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        part = (k % _N_PAIR_PARTITIONS).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    return fn
+
+
+def _pairs_from_buckets(df, key_col: str, carry: tuple, max_bucket: int):
+    """All intra-bucket pairs (i<j) within a partition, vectorized.
+
+    Buckets of size 1 (the vast majority) are dropped with one value_counts
+    pass; remaining buckets emit upper-triangle pairs.
+    """
+    import pandas as pd
+
+    vc = df[key_col].value_counts()
+    multi = vc[(vc > 1) & (vc <= max_bucket)].index
+    if len(multi) == 0:
+        cols = {"i": pd.Series(dtype=np.int64), "j": pd.Series(dtype=np.int64)}
+        if "sz" in carry:
+            cols["si"] = pd.Series(dtype=np.int64)
+            cols["sj"] = pd.Series(dtype=np.int64)
+        cols["inter"] = pd.Series(dtype=np.int64)
+        return pd.DataFrame(cols)
+    sub = df[df[key_col].isin(multi)].sort_values([key_col, carry[0]])
+    out_i, out_j, out_si, out_sj = [], [], [], []
+    for _key, grp in sub.groupby(key_col, sort=False):
+        docs = grp[carry[0]].to_numpy()
+        ii, jj = np.triu_indices(len(docs), 1)
+        out_i.append(docs[ii])
+        out_j.append(docs[jj])
+        if "sz" in carry:
+            szs = grp["sz"].to_numpy()
+            out_si.append(szs[ii])
+            out_sj.append(szs[jj])
+    res = {"i": np.concatenate(out_i), "j": np.concatenate(out_j)}
+    if "sz" in carry:
+        res["si"] = np.concatenate(out_si)
+        res["sj"] = np.concatenate(out_sj)
+    res["inter"] = np.ones(len(res["i"]), dtype=np.int64)
+    return pd.DataFrame(res)
 
 
 # ---------------------------------------------------------------------------
@@ -118,22 +198,13 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
         })
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2 or len(df) > max_posting:
-            return pd.DataFrame({"i": [], "j": [], "si": [], "sj": [],
-                                 "inter": []}).astype(np.int64)
-        d = df.sort_values("doc")
-        docs = d["doc"].to_numpy()
-        szs = d["sz"].to_numpy()
-        ii, jj = np.triu_indices(len(docs), 1)
-        return pd.DataFrame({
-            "i": docs[ii], "j": docs[jj],
-            "si": szs[ii], "sj": szs[jj],
-            "inter": np.ones(len(ii), dtype=np.int64),
-        })
+        # one call per coarse partition; vectorized bucket scan inside
+        return _pairs_from_buckets(df, "sh", ("doc", "sz"), max_posting)
 
     pairs = (
-        ds.map_batches(to_postings, batch_format="pyarrow")
-        .groupby("sh")
+        ds.map_batches(to_postings, batch_format="pyarrow", batch_size=None)
+        .map_batches(_add_partition("sh"), batch_format="pyarrow")
+        .groupby("part")
         .map_groups(emit_pairs, batch_format="pandas")
         .groupby(["i", "j", "si", "sj"])
         .aggregate(Sum("inter", alias_name="inter"))
@@ -176,8 +247,9 @@ def minhash_signature(sh: np.ndarray) -> np.ndarray:
 
     h_i(x) = (a_i * x + b_i) mod 2^61-1, vectorized over shingles x perms.
     """
-    x = (sh & _MERSENNE61)[:, None]
-    vals = (x * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE61
+    with np.errstate(over="ignore"):
+        x = (sh & _MERSENNE61)[:, None]
+        vals = (x * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE61
     return vals.min(axis=0)
 
 
@@ -214,22 +286,33 @@ def minhash_lsh_pairs(ds, tau: float = 0.5, k: int = 3,
         })
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates("doc").sort_values("doc")
-        if len(d) < 2:
-            return pd.DataFrame({"i": pd.Series(dtype=np.int64),
-                                 "j": pd.Series(dtype=np.int64),
-                                 "est_jaccard": pd.Series(dtype=np.float64)})
-        docs = d["doc"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in d["sig"]])
-        ii, jj = np.triu_indices(len(docs), 1)
-        est = (sigs[ii] == sigs[jj]).mean(axis=1)
-        keep = est >= tau
-        return pd.DataFrame({"i": docs[ii][keep], "j": docs[jj][keep],
-                             "est_jaccard": est[keep]})
+        # one call per coarse partition; per-bucket pair emission inside
+        empty = pd.DataFrame({"i": pd.Series(dtype=np.int64),
+                              "j": pd.Series(dtype=np.int64),
+                              "est_jaccard": pd.Series(dtype=np.float64)})
+        vc = df["band_key"].value_counts()
+        multi = vc[vc > 1].index
+        if len(multi) == 0:
+            return empty
+        out = [empty]
+        sub = df[df["band_key"].isin(multi)]
+        for _key, grp in sub.groupby("band_key", sort=False):
+            d = grp.drop_duplicates("doc").sort_values("doc")
+            if len(d) < 2:
+                continue
+            docs = d["doc"].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in d["sig"]])
+            ii, jj = np.triu_indices(len(docs), 1)
+            est = (sigs[ii] == sigs[jj]).mean(axis=1)
+            keep = est >= tau
+            out.append(pd.DataFrame({"i": docs[ii][keep], "j": docs[jj][keep],
+                                     "est_jaccard": est[keep]}))
+        return pd.concat(out, ignore_index=True)
 
     return (
-        ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby("band_key")
+        ds.map_batches(to_bands, batch_format="pyarrow", batch_size=None)
+        .map_batches(_add_partition("band_key"), batch_format="pyarrow")
+        .groupby("part")
         .map_groups(emit_pairs, batch_format="pandas")
         .groupby(["i", "j"])
         .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
@@ -275,34 +358,44 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
                 c_val.append((sh >> (16 * c)) & 0xFFFF)
                 c_doc.append(i)
                 c_sim.append(sh - (1 << 63))
+        bucket = (np.asarray(c_chunk, dtype=np.int64) << 32) \
+            | np.asarray(c_val, dtype=np.int64)
         return pa.table({
-            "chunk": pa.array(c_chunk, type=pa.int8()),
-            "val": pa.array(c_val, type=pa.int32()),
+            "bucket": pa.array(bucket, type=pa.int64()),
             "doc": pa.array(c_doc, type=pa.int64()),
             "sim": pa.array(c_sim, type=pa.int64()),
         })
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates("doc").sort_values("doc")
-        if len(d) < 2:
-            return pd.DataFrame({"i": pd.Series(dtype=np.int64),
-                                 "j": pd.Series(dtype=np.int64),
-                                 "hamming": pd.Series(dtype=np.int64)})
-        docs = d["doc"].to_numpy()
-        sims = (d["sim"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
-        ii, jj = np.triu_indices(len(docs), 1)
-        x = sims[ii] ^ sims[jj]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"i": docs[ii][keep], "j": docs[jj][keep],
-                             "hamming": ham[keep]})
+        empty = pd.DataFrame({"i": pd.Series(dtype=np.int64),
+                              "j": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64)})
+        vc = df["bucket"].value_counts()
+        multi = vc[vc > 1].index
+        if len(multi) == 0:
+            return empty
+        out = [empty]
+        for _key, grp in df[df["bucket"].isin(multi)].groupby("bucket", sort=False):
+            d = grp.drop_duplicates("doc").sort_values("doc")
+            if len(d) < 2:
+                continue
+            docs = d["doc"].to_numpy()
+            sims = (d["sim"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+            ii, jj = np.triu_indices(len(docs), 1)
+            x = sims[ii] ^ sims[jj]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            keep = ham <= max_hamming
+            out.append(pd.DataFrame({"i": docs[ii][keep], "j": docs[jj][keep],
+                                     "hamming": ham[keep]}))
+        return pd.concat(out, ignore_index=True)
 
     return (
-        ds.map_batches(to_chunks, batch_format="pyarrow")
-        .groupby(["chunk", "val"])
+        ds.map_batches(to_chunks, batch_format="pyarrow", batch_size=None)
+        .map_batches(_add_partition("bucket"), batch_format="pyarrow")
+        .groupby("part")
         .map_groups(emit_pairs, batch_format="pandas")
         .groupby(["i", "j"])
         .aggregate(Min("hamming", alias_name="hamming"))
@@ -346,7 +439,7 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.45):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return ds.map_batches(stage, batch_format="pyarrow")
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
 
 def _load_embedding_matrix(sf_dir: str):

@@ -32,5 +32,5 @@ def knn_pages(pages_ds, qlat: float, qlng: float, k: int = 10,
         batch = batch.select(cols + ["dist_m"])
         return _local_topk(batch, k)
 
-    ds = pages_ds.map_batches(stage, batch_format="pyarrow")
+    ds = pages_ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
     return ds.sort("dist_m").limit(k)

@@ -107,6 +107,7 @@ def spatial_join_broadcast(pages_ds, regions: dict[str, object],
 
     index_ref = ray.put(RegionIndex(regions, max_cells=max_cells))
     cols = list(keep_cols)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
 
     class ProbeActor:
         """Actor pool: deserializes the broadcast index ONCE per actor."""
@@ -125,8 +126,8 @@ def spatial_join_broadcast(pages_ds, regions: dict[str, object],
     return pages_ds.map_batches(
         ProbeActor,
         fn_constructor_args=(index_ref,),
-        concurrency=(1, 8),
-        batch_format="pyarrow",
+        concurrency=(1, ncpu),
+        batch_format="pyarrow", batch_size=None,
     )
 
 
@@ -190,7 +191,7 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
                                                  type=pa.int8()))
         return out
 
-    probe = pages_ds.map_batches(probe_side, batch_format="pyarrow")
+    probe = pages_ds.map_batches(probe_side, batch_format="pyarrow", batch_size=None)
     build_tbl = build.append_column(
         "side", pa.array(np.zeros(len(build), dtype=np.int8), type=pa.int8()))
     build_ds = ray.data.from_arrow(build_tbl)

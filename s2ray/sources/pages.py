@@ -134,17 +134,49 @@ def synth_pages_batch(batch: pa.Table, repl: int = 1) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str, repl: int = 1, **read_kwargs):
-    """documents.parquet -> Dataset of synthetic pages (streaming, zero-copy)."""
+def read_pages(sf_dir: str, repl: int = 1, num_blocks: int | None = None,
+               **read_kwargs):
+    """documents.parquet -> Dataset of synthetic pages (streaming, zero-copy).
+
+    The sf test tables are single parquet files (one read block), which would
+    serialize the whole downstream chain; repartition the small documents
+    rows across ~2x the CPUs BEFORE the synth fan-out so every stage runs
+    wide.  (On a real multi-file corpus the read itself provides the blocks
+    and this repartition is skipped.)
+    """
+    import ray
     import ray.data
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang", "source"],
-        **read_kwargs,
-    )
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "text", "lang", "source"]
+    if num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n_docs = pq.read_metadata(path).num_rows
+        # target ~16k pages (~14 MB of html) per block: bounds worker heaps
+        # AND gives the streaming executor enough tasks to ramp to full
+        # width (measured: 4x fewer/larger blocks ran 2.5x slower)
+        num_blocks = max(8, 2 * ncpu, (n_docs * repl) // 16384)
+    if os.path.getsize(path) < 256 * 1024 * 1024:
+        # Small single-file input: a single ReadParquet task splitting into N
+        # blocks is a serial head-of-pipeline bottleneck (~5s measured).
+        # Slice on the driver instead — one Arrow table per block, zero read
+        # tasks.  Real multi-file corpora take the streaming read path below.
+        table = pq.read_table(path, columns=cols)
+        n = table.num_rows
+        step = max(1, -(-n // num_blocks))
+        slices = [table.slice(i, step) for i in range(0, n, step)]
+        ds = ray.data.from_arrow(slices)
+    else:
+        ds = ray.data.read_parquet(path, columns=cols,
+                                   override_num_blocks=num_blocks,
+                                   **read_kwargs)
     return ds.map_batches(
-        synth_pages_batch, fn_kwargs={"repl": repl}, batch_format="pyarrow"
+        synth_pages_batch, fn_kwargs={"repl": repl}, batch_format="pyarrow",
+        batch_size=None,
     )
 
 

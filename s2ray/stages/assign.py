@@ -15,9 +15,12 @@ from ..kernel import cellid
 
 
 def assign_cells(batch: pa.Table, token_level: int | None = None,
-                 lat_col: str = "lat", lng_col: str = "lng") -> pa.Table:
+                 lat_col: str = "lat", lng_col: str = "lng",
+                 include_token: bool = False) -> pa.Table:
     """Append ``cell_id`` (uint64 leaf id) and, if ``token_level`` is given,
-    ``cell_l{K}`` (uint64 ancestor) + ``cell_token`` (its hex token)."""
+    ``cell_l{K}`` (uint64 ancestor); ``include_token`` additionally emits the
+    hex token string (Python-loop cost — keep off in hot paths and tokenize
+    the small aggregated output instead)."""
     lat = batch[lat_col].to_numpy(zero_copy_only=False)
     lng = batch[lng_col].to_numpy(zero_copy_only=False)
     ok = np.isfinite(lat) & np.isfinite(lng)
@@ -37,9 +40,10 @@ def assign_cells(batch: pa.Table, token_level: int | None = None,
             if c in out.column_names:
                 out = out.drop_columns([c])
         out = out.append_column(col, pa.array(anc, type=pa.uint64()))
-        out = out.append_column(
-            "cell_token", pa.array(cellid.to_token(anc), type=pa.string())
-        )
+        if include_token:
+            out = out.append_column(
+                "cell_token", pa.array(cellid.to_token(anc), type=pa.string())
+            )
     return out
 
 
