@@ -266,6 +266,107 @@ def _q_fingerprint(sf_dir: str):
     return ds.map_batches(fingerprint, batch_format="pyarrow")
 
 
+WRAP_RECT = dict(lat_lo=-20.0, lat_hi=20.0, lng_lo=160.0, lng_hi=-160.0)
+POLYLINE_DEG = [(55.5, 37.0), (55.8, 37.7), (56.0, 38.5), (55.6, 39.5)]
+POLYLINE_MAX_DIST_M = 120000.0
+
+
+def _q_rect_filter_wrap(sf_dir: str):
+    from s2ray.pipelines.filters import rect_filter_batch
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    ds = pages_with_cells(sf_dir, token_level=None)
+    ds = ds.map_batches(rect_filter_batch, fn_kwargs=dict(WRAP_RECT),
+                        batch_format="pyarrow")
+    return ds.select_columns(["page_id", "lat", "lng"])
+
+
+def _q_knn_pruned(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from s2ray.pipelines.knn import knn_pages_pruned
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    ds = pages_with_cells(sf_dir, token_level=None)
+    out = knn_pages_pruned(ds, KNN_Q["qlat"], KNN_Q["qlng"], k=KNN_Q["k"])
+
+    def round_dist(batch: pa.Table) -> pa.Table:
+        d = pc.round(batch["dist_m"], ndigits=3)
+        return batch.drop_columns(["dist_m"]).append_column("dist_m", d)
+
+    return out.map_batches(round_dist, batch_format="pyarrow")
+
+
+def _q_pages_per_month(sf_dir: str):
+    from s2ray.pipelines.analytics import pages_per_month
+    from s2ray.sources.pages import read_pages
+
+    return pages_per_month(read_pages(sf_dir))
+
+
+def _q_url_domains(sf_dir: str):
+    from s2ray.pipelines.analytics import url_domain_counts
+    from s2ray.sources.pages import read_pages
+
+    return url_domain_counts(read_pages(sf_dir))
+
+
+def _q_events_hourly(sf_dir: str):
+    from s2ray.pipelines.analytics import events_hourly
+
+    return events_hourly(sf_dir)
+
+
+def _q_emb_centroids(sf_dir: str):
+    from s2ray.pipelines.analytics import embedding_centroids
+
+    return embedding_centroids(sf_dir)
+
+
+def _q_polyline_near(sf_dir: str):
+    from s2ray.pipelines.polyline import Polyline, polyline_distance_join
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    line = Polyline.from_latlng_degrees(POLYLINE_DEG)
+    ds = pages_with_cells(sf_dir, token_level=None)
+    out = polyline_distance_join(ds, line, POLYLINE_MAX_DIST_M,
+                                 keep_cols=("page_id",))
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def round_dist(batch: pa.Table) -> pa.Table:
+        d = pc.round(batch["dist_m"], ndigits=3)
+        return batch.drop_columns(["dist_m"]).append_column("dist_m", d)
+
+    return out.map_batches(round_dist, batch_format="pyarrow")
+
+
+def _q_covering_setops(sf_dir: str):
+    """Covering set algebra demo: union/intersection/expansion of two cap
+    coverings (deterministic; S2-specific, rows-only)."""
+    import pandas as pd
+
+    from s2ray.kernel import cellid, cellunion
+    from s2ray.kernel.coverer import covering_of
+    from s2ray.kernel.region import Cap
+
+    a = cellunion.normalize(covering_of(
+        Cap.from_latlng_radius(55.7558, 37.6173, 200000.0), max_cells=16))
+    b = cellunion.normalize(covering_of(
+        Cap.from_latlng_radius(55.9, 38.0, 200000.0), max_cells=16))
+    rows = []
+    for op, ids in (
+        ("a", a), ("b", b),
+        ("union", cellunion.get_union(a, b)),
+        ("intersection", cellunion.get_intersection(a, b)),
+        ("a_expanded", cellunion.expand_angle(a, 50000.0 / 6371000.0)),
+    ):
+        for tok in cellid.to_token(ids):
+            rows.append((op, tok))
+    return pd.DataFrame(rows, columns=["op", "cell_token"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # S2 / spatial
@@ -277,6 +378,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_join": _q_cap_join,
         "pip_join": _q_pip_join,
         "polygon_covering": _q_polygon_covering,
+        "rect_filter_wrap": _q_rect_filter_wrap,
+        "knn_pruned_moscow": _q_knn_pruned,
+        "polyline_near": _q_polyline_near,
+        "covering_setops": _q_covering_setops,
+        # generic analytics
+        "pages_per_month": _q_pages_per_month,
+        "url_domain_counts": _q_url_domains,
+        "events_hourly": _q_events_hourly,
+        "emb_centroids": _q_emb_centroids,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "near_dup_pairs": _q_near_dup_pairs,
@@ -392,9 +502,41 @@ SELECT doc_id,
 FROM (SELECT doc_id, text,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
       FROM documents)"""
+    rect_wrap = (
+        f"{cte} SELECT page_id, lat, lng FROM pages_geo "
+        f"WHERE lat >= {WRAP_RECT['lat_lo']} AND lat <= {WRAP_RECT['lat_hi']} "
+        f"AND (lng >= {WRAP_RECT['lng_lo']} OR lng <= {WRAP_RECT['lng_hi']})"
+    )
+    per_month = (
+        f"{cte} SELECT date_trunc('month', make_timestamp("
+        f"(1704067200 + (page_id * 40499) % 31536000) * 1000000)) AS month, "
+        f"count(*) AS n_pages FROM pages_geo GROUP BY 1"
+    )
+    domains = (
+        f"{cte} SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain, "
+        f"count(*) AS n_pages FROM pages_geo GROUP BY 1"
+    )
+    hourly = (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+    centroids = (
+        "SELECT label, CAST(dim AS BIGINT) AS dim, "
+        "round(avg(CAST(v AS DOUBLE)), 4) AS centroid FROM ("
+        "  SELECT label, unnest(embedding) AS v, "
+        "         unnest(range(1, len(embedding) + 1)) AS dim FROM embeddings"
+        ") GROUP BY label, dim"
+    )
     return {
         "rect_filter": rect,
+        "rect_filter_wrap": rect_wrap,
         "knn_moscow": knn,
+        "knn_pruned_moscow": knn,
+        "pages_per_month": per_month,
+        "url_domain_counts": domains,
+        "events_hourly": hourly,
+        "emb_centroids": centroids,
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

@@ -38,6 +38,7 @@ class Loop:
         self.vertices = v
         self._edges_a = v
         self._edges_b = np.roll(v, -1, axis=0)
+        self._edge_index = None
         self.origin_inside = self._init_origin()
         self.bound = self._init_bound()
 
@@ -122,10 +123,25 @@ class Loop:
 
     # -- edge crossing against a cell --------------------------------------
 
+    @property
+    def edge_index(self):
+        """Lazy cell-keyed edge index; built only when the reference cost
+        model favours it (>= ~100 edges, S2EdgeIndex.php:161-204)."""
+        if self._edge_index is None:
+            from .edgeindex import EdgeIndex
+
+            self._edge_index = EdgeIndex(self._edges_a, self._edges_b)
+        return self._edge_index
+
     def _crosses_cell_boundary(self, cell: Cell) -> bool:
         verts = [cell.get_vertex(k) for k in range(4)]
+        use_index = len(self.vertices) >= 100
         for k in range(4):
             a, b = verts[k], verts[(k + 1) & 3]
+            if use_index:
+                if len(self.edge_index.crossing_edges(a, b)):
+                    return True
+                continue
             cr = _crossings_edge_vs_edges(a, b, self._edges_a, self._edges_b)
             if np.any(cr > 0):
                 return True
@@ -255,6 +271,27 @@ class Polygon:
             sphere.degrees_to_radians(lat_deg), sphere.degrees_to_radians(lng_deg))
         return self.contains_points_xyz(np.stack(
             [np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1))
+
+    def is_valid(self) -> bool:
+        """S2Polygon::isValid semantics (S2Polygon.php:161-197): no duplicate
+        undirected edges across loops, no pairwise proper edge crossings."""
+        from .edgeindex import self_intersections
+
+        seen = set()
+        all_a, all_b = [], []
+        for lp in self.loops:
+            if len(lp.vertices) < 3:
+                return False
+            for k in range(len(lp.vertices)):
+                a = lp._edges_a[k]
+                b = lp._edges_b[k]
+                key = tuple(sorted((a.tobytes(), b.tobytes())))
+                if key in seen:
+                    return False
+                seen.add(key)
+                all_a.append(a)
+                all_b.append(b)
+        return len(self_intersections(np.array(all_a), np.array(all_b))) == 0
 
     def loop_depth(self, i: int) -> int:
         """Nesting depth = number of other loops containing loop i's vertex

@@ -34,3 +34,67 @@ def knn_pages(pages_ds, qlat: float, qlng: float, k: int = 10,
 
     ds = pages_ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
     return ds.sort("dist_m").limit(k)
+
+
+def knn_pages_pruned(pages_ds, qlat: float, qlng: float, k: int = 10,
+                     keep_cols=("page_id", "url"), init_radius_m: float = 50000.0,
+                     max_radius_m: float = 2.1e7):
+    """Cap-covering-pruned kNN (SURVEY.md par.2.8): candidates are filtered by
+    membership of their leaf cell in the covering of a query cap whose radius
+    doubles until >= k candidates pass; exact haversine + top-k refine.
+
+    Two-pass design: a cheap distributed count pass per radius (counts only),
+    then one exact pass at the chosen radius.  At scale the count pass reads
+    only the cell_id column; the exact pass computes distances for the ~k
+    candidate rows instead of the whole table.
+    """
+    import ray
+
+    from ..kernel import cellunion
+    from ..kernel.coverer import covering_of
+    from ..kernel.region import Cap
+
+    cols = list(keep_cols)
+    radius = init_radius_m
+    cover = None
+    while radius <= max_radius_m:
+        cap = Cap.from_latlng_radius(qlat, qlng, radius)
+        cover = cellunion.normalize(covering_of(cap, max_cells=16))
+        cover_ref = ray.put(cover)
+
+        def count_stage(batch: pa.Table, cover_ref=cover_ref,
+                        radius=radius) -> pa.Table:
+            cov = ray.get(cover_ref)
+            leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            mask = cellunion.contains_leaf_ids(cov, leaf)
+            # exact within-radius count (covering membership alone is a
+            # superset and would not guarantee the kth neighbor is inside)
+            sub = batch.filter(pa.array(mask))
+            if len(sub):
+                sub = haversine_batch(sub, qlat, qlng)
+                n = int((sub["dist_m"].to_numpy(zero_copy_only=False)
+                         <= radius).sum())
+            else:
+                n = 0
+            return pa.table({"n": pa.array([n], type=pa.int64())})
+
+        n_cand = (pages_ds.map_batches(count_stage, batch_format="pyarrow",
+                                       batch_size=None).sum("n"))
+        if n_cand >= k or radius >= max_radius_m:
+            break
+        radius *= 2.0
+
+    cover_ref = ray.put(cover)
+
+    def filter_stage(batch: pa.Table, cover_ref=cover_ref) -> pa.Table:
+        cov = ray.get(cover_ref)
+        leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = cellunion.contains_leaf_ids(cov, leaf)
+        batch = batch.filter(pa.array(mask))
+        batch = haversine_batch(batch, qlat, qlng)
+        batch = batch.select(cols + ["dist_m"])
+        return _local_topk(batch, k)
+
+    ds = pages_ds.map_batches(filter_stage, batch_format="pyarrow",
+                              batch_size=None)
+    return ds.sort("dist_m").limit(k)

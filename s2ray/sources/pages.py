@@ -121,7 +121,7 @@ def synth_pages_batch(batch: pa.Table, repl: int = 1) -> pa.Table:
         pa.scalar("</article></body></html>"),
         pa.scalar(""),
     )
-    warc_us = (( _WARC_EPOCH_S + (uid * 37) % _YEAR_S) * 1_000_000).astype("datetime64[us]")
+    warc_us = ((_WARC_EPOCH_S + (uid * 40499) % _YEAR_S) * 1_000_000).astype("datetime64[us]")
     return pa.table(
         {
             "page_id": pa.array(uid, type=pa.int64()),

@@ -1,0 +1,127 @@
+"""Extended operators: pruned kNN, polyline ops, edge index, validation."""
+
+import math
+
+import numpy as np
+import pytest
+
+from s2ray.kernel import cellid, sphere
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_pruned_matches_brute(ray_session):
+    from s2ray.pipelines.knn import knn_pages, knn_pages_pruned
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    ds = pages_with_cells(SF, token_level=None)
+    a = knn_pages(ds, 55.7558, 37.6173, k=15).to_pandas()
+    b = knn_pages_pruned(ds, 55.7558, 37.6173, k=15).to_pandas()
+    assert sorted(a.page_id) == sorted(b.page_id)
+    assert np.allclose(np.sort(a.dist_m), np.sort(b.dist_m))
+
+
+def test_knn_pruned_remote_query(ray_session):
+    # query point in the middle of the Pacific: radius must double several
+    # times before k candidates exist
+    from s2ray.pipelines.knn import knn_pages, knn_pages_pruned
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    ds = pages_with_cells(SF, token_level=None)
+    a = knn_pages(ds, -40.0, -140.0, k=5).to_pandas()
+    b = knn_pages_pruned(ds, -40.0, -140.0, k=5).to_pandas()
+    assert sorted(a.page_id) == sorted(b.page_id)
+
+
+def test_polyline_kernels():
+    from s2ray.pipelines.polyline import Polyline
+
+    line = Polyline.from_latlng_degrees([(0.0, 0.0), (0.0, 10.0), (10.0, 10.0)])
+    # arclength = 10 deg + 10 deg of great circle
+    assert line.arclength_radians() == pytest.approx(
+        math.radians(20.0), rel=1e-6)
+    mid = line.interpolate(0.5)
+    lat, lng = sphere.xyz_to_latlng(*mid)
+    assert math.degrees(lng) == pytest.approx(10.0, abs=0.01)
+    assert math.degrees(lat) == pytest.approx(0.0, abs=0.01)
+    # distance of a point 1 deg north of the first segment
+    d = line.distance_m(np.array([1.0]), np.array([5.0]))
+    assert d[0] == pytest.approx(math.radians(1.0) * 6371000, rel=1e-3)
+    # projection lands on the closest segment
+    x, y, z = sphere.latlng_to_xyz(math.radians(1.0), math.radians(5.0))
+    p, seg = line.project(np.array([x, y, z]))
+    assert seg == 0
+
+
+def test_polyline_join_matches_brute(ray_session):
+    import __ray_entry__ as e
+    from s2ray.pipelines.polyline import Polyline
+    from s2ray.sources.pages import derive_geo_e4, e4_to_degrees
+
+    line = Polyline.from_latlng_degrees(e.POLYLINE_DEG)
+    uid = np.arange(500)
+    lat_e4, lng_e4 = derive_geo_e4(uid)
+    lat, lng = e4_to_degrees(lat_e4, lng_e4)
+    d = line.distance_m(lat, lng)
+    expect = set(uid[d <= e.POLYLINE_MAX_DIST_M].tolist())
+    out = e.queries()["polyline_near"](SF).to_pandas()
+    assert set(out.page_id) == expect
+
+
+def test_edge_index_candidates_superset():
+    from s2ray.kernel.edgeindex import EdgeIndex
+    from s2ray.kernel.pip import Loop, _crossings_edge_vs_edges
+
+    # 200-vertex jagged ring around a center: forces the indexed path
+    rng = np.random.RandomState(5)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 200))
+    lat = 40.0 + 3.0 * (1 + 0.3 * rng.rand(200)) * np.sin(angles)
+    lng = -70.0 + 3.0 * (1 + 0.3 * rng.rand(200)) * np.cos(angles)
+    loop = Loop.from_latlng_degrees(np.stack([lat, lng], axis=1))
+    idx = EdgeIndex(loop._edges_a, loop._edges_b)
+    assert not idx.use_brute_force
+    # every true crossing found by brute force must appear via the index
+    for t in range(0, 40, 7):
+        qa, qb = loop._edges_a[t], np.array(
+            sphere.latlng_to_xyz(np.radians(40.0), np.radians(-70.0)))
+        qb = np.asarray(qb, dtype=np.float64)
+        brute = np.nonzero(_crossings_edge_vs_edges(
+            qa, qb, loop._edges_a, loop._edges_b) > 0)[0]
+        via_index = idx.crossing_edges(qa, qb)
+        assert set(brute.tolist()) <= set(int(v) for v in via_index) | set(brute.tolist())
+        assert set(int(v) for v in via_index) == set(brute.tolist())
+
+
+def test_polygon_is_valid():
+    from s2ray.kernel.pip import Polygon
+
+    good = Polygon.from_latlng_loops(
+        [[(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]])
+    assert good.is_valid()
+    # bow-tie: self-intersecting
+    bow = Polygon.from_latlng_loops(
+        [[(0.0, 0.0), (10.0, 10.0), (0.0, 10.0), (10.0, 0.0)]])
+    assert not bow.is_valid()
+
+
+def test_covering_setops_invariants(ray_session):
+    import __ray_entry__ as e
+    from s2ray.kernel import cellunion
+
+    df = e.queries()["covering_setops"](SF)
+    a = cellunion.normalize(cellid.from_token(
+        df[df.op == "a"].cell_token.tolist()))
+    b = cellunion.normalize(cellid.from_token(
+        df[df.op == "b"].cell_token.tolist()))
+    u = cellunion.normalize(cellid.from_token(
+        df[df.op == "union"].cell_token.tolist()))
+    i = cellunion.normalize(cellid.from_token(
+        df[df.op == "intersection"].cell_token.tolist()))
+    ex = cellunion.normalize(cellid.from_token(
+        df[df.op == "a_expanded"].cell_token.tolist()))
+    for cid in a:
+        assert cellunion.contains_ids(u, np.array([cid]))[0]
+        assert cellunion.contains_ids(ex, np.array([cid]))[0]
+    for cid in i:
+        assert cellunion.intersects_ids(a, np.array([cid]))[0]
+        assert cellunion.intersects_ids(b, np.array([cid]))[0]

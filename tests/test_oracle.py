@@ -71,7 +71,10 @@ def _compare(name, entrymod, con):
                                    "pages_per_lang", "cap_join", "pip_join",
                                    "exact_dedup", "near_dup_pairs",
                                    "emb_near_dup", "knn_embeddings",
-                                   "text_stats"])
+                                   "text_stats", "rect_filter_wrap",
+                                   "knn_pruned_moscow", "pages_per_month",
+                                   "url_domain_counts", "events_hourly",
+                                   "emb_centroids"])
 def test_query_matches_oracle(qname, entrymod, con):
     _compare(qname, entrymod, con)
 
