@@ -367,6 +367,42 @@ def _q_covering_setops(sf_dir: str):
     return pd.DataFrame(rows, columns=["op", "cell_token"])
 
 
+def _q_region_relations(sf_dir: str):
+    """Pairwise polygon-polygon relations (contains/intersects/disjoint)
+    over a deterministic region set (S2-specific; rows-only)."""
+    import pandas as pd
+
+    from s2ray.kernel.pip import Polygon
+
+    def sq(lat0, lng0, size):
+        return [(lat0, lng0), (lat0, lng0 + size), (lat0 + size, lng0 + size),
+                (lat0 + size, lng0)]
+
+    regions = {
+        "moscow_sq": Polygon.from_latlng_loops([PIP_POLYS["moscow_sq"]]),
+        "sydney_sq": Polygon.from_latlng_loops([PIP_POLYS["sydney_sq"]]),
+        "moscow_big": Polygon.from_latlng_loops([sq(55.0, 36.8, 1.5)]),
+        "europe": Polygon.from_latlng_loops([sq(35.0, -10.0, 30.0)]),
+        "ring": Polygon.from_latlng_loops(
+            [sq(50.0, 30.0, 15.0), list(reversed(sq(54.0, 35.0, 5.0)))]),
+    }
+    rows = []
+    names = sorted(regions)
+    for a in names:
+        for b in names:
+            if a == b:
+                continue
+            pa_, pb = regions[a], regions[b]
+            if pa_.contains_polygon(pb):
+                rel = "contains"
+            elif pa_.intersects_polygon(pb):
+                rel = "intersects"
+            else:
+                rel = "disjoint"
+            rows.append((a, b, rel))
+    return pd.DataFrame(rows, columns=["a", "b", "relation"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # S2 / spatial
@@ -382,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pruned_moscow": _q_knn_pruned,
         "polyline_near": _q_polyline_near,
         "covering_setops": _q_covering_setops,
+        "region_relations": _q_region_relations,
         # generic analytics
         "pages_per_month": _q_pages_per_month,
         "url_domain_counts": _q_url_domains,

@@ -159,6 +159,147 @@ def closest_point_on_edge(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nda
 
 
 # ---------------------------------------------------------------------------
+# intersection point (S2EdgeUtil::getIntersection, S2EdgeUtil.php:199-250)
+
+def get_intersection(a0, a1, b0, b1) -> np.ndarray:
+    """Intersection point of two crossing edges (requires robustCrossing > 0).
+
+    Cross-product of the two great-circle normals, sign-fixed to the correct
+    hemisphere, with endpoint clipping (CloserResult semantics,
+    S2EdgeUtil.php:797-824) when near-parallel circles put x outside a
+    segment."""
+    a0 = np.asarray(a0, dtype=np.float64)
+    a1 = np.asarray(a1, dtype=np.float64)
+    b0 = np.asarray(b0, dtype=np.float64)
+    b1 = np.asarray(b1, dtype=np.float64)
+    a_norm = sphere.normalize(sphere.robust_cross_prod(a0, a1))
+    b_norm = sphere.normalize(sphere.robust_cross_prod(b0, b1))
+    x = sphere.normalize(sphere.robust_cross_prod(a_norm, b_norm))
+    if float(np.dot(x, (a0 + a1) + (b0 + b1))) < 0:
+        x = -x
+    if sphere.ordered_ccw(a0, x, a1, a_norm) and sphere.ordered_ccw(b0, x, b1, b_norm):
+        return x
+    # clip to the acceptable endpoint closest to x
+    best_d = 10.0
+    best = x
+    for candidate, ok in (
+        (a0, sphere.ordered_ccw(b0, a0, b1, b_norm)),
+        (a1, sphere.ordered_ccw(b0, a1, b1, b_norm)),
+        (b0, sphere.ordered_ccw(a0, b0, a1, a_norm)),
+        (b1, sphere.ordered_ccw(a0, b1, a1, a_norm)),
+    ):
+        if ok:
+            d = float(np.dot(x - candidate, x - candidate))
+            if d < best_d:
+                best_d = d
+                best = candidate
+    return best
+
+
+def get_distance_fraction(x, a0, a1) -> float:
+    """AX / (AX + BX) (S2EdgeUtil.php:257-262)."""
+    d0 = float(sphere.angle_between(x, a0))
+    d1 = float(sphere.angle_between(x, a1))
+    return d0 / (d0 + d1)
+
+
+# ---------------------------------------------------------------------------
+# cheap edge-rejection pruners (S2EdgeUtil.php:541-668) — vectorized forms
+
+class XYZPruner:
+    """xyz-bbox edge rejection with geodesic deformation slack
+    (S2EdgeUtil.php:541-628)."""
+
+    def __init__(self):
+        self._bounds = None  # (min3, max3)
+        self.max_deformation = 0.0
+
+    def add_edge_to_bounds(self, frm: np.ndarray, to: np.ndarray):
+        lo = np.minimum(frm, to)
+        hi = np.maximum(frm, to)
+        if self._bounds is None:
+            self._bounds = (lo.copy(), hi.copy())
+        else:
+            self._bounds = (np.minimum(self._bounds[0], lo),
+                            np.maximum(self._bounds[1], hi))
+        approx_arc = float(np.abs(frm - to).sum())
+        if approx_arc < 0.025:
+            self.max_deformation = max(self.max_deformation, approx_arc * 0.0025)
+        elif approx_arc < 1.0:
+            self.max_deformation = max(self.max_deformation, approx_arc * 0.11)
+        else:
+            self.max_deformation = max(self.max_deformation, approx_arc * 0.5)
+
+    def finalize_bounds(self):
+        d = self.max_deformation
+        self._bounds = (self._bounds[0] - d, self._bounds[1] + d)
+
+    def intersects_edges(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Vectorized over edge arrays (N,3): False => certainly no
+        intersection with the bound."""
+        lo, hi = self._bounds
+        a = np.atleast_2d(a)
+        b = np.atleast_2d(b)
+        out = np.ones(len(a), dtype=bool)
+        for k in range(3):
+            both_below = (a[:, k] < lo[k]) & (b[:, k] < lo[k])
+            both_above = (a[:, k] > hi[k]) & (b[:, k] > hi[k])
+            out &= ~(both_below | both_above)
+        return out
+
+
+class LongitudePruner:
+    """lng-interval edge rejection (S2EdgeUtil.php:641-668)."""
+
+    def __init__(self, interval: S1Interval):
+        self.interval = interval
+
+    def intersects_edges(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        a = np.atleast_2d(a)
+        b = np.atleast_2d(b)
+        lng0 = np.arctan2(a[:, 1], a[:, 0])
+        lng1 = np.arctan2(b[:, 1], b[:, 0])
+        out = np.empty(len(a), dtype=bool)
+        for i in range(len(a)):
+            out[i] = self.interval.intersects(
+                S1Interval.from_point_pair(float(lng0[i]), float(lng1[i])))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# wedge relations at a shared vertex (S2EdgeUtil.php:685-794)
+
+def wedge_contains(a0, ab1, a2, b0, b2) -> int:
+    """+1 if wedge A contains wedge B, else 0."""
+    return int(sphere.ordered_ccw(a2, b2, b0, ab1)
+               and sphere.ordered_ccw(b0, a0, a2, ab1))
+
+
+def wedge_intersects(a0, ab1, a2, b0, b2) -> int:
+    """-1 if the wedges intersect, else 0."""
+    return 0 if (sphere.ordered_ccw(a0, b2, b0, ab1)
+                 and sphere.ordered_ccw(b0, a2, a0, ab1)) else -1
+
+
+def wedge_contains_or_intersects(a0, ab1, a2, b0, b2) -> int:
+    """+1 contains, 0 disjoint, -1 intersects-not-contains."""
+    if sphere.ordered_ccw(a0, a2, b2, ab1):
+        return 1 if sphere.ordered_ccw(b2, b0, a0, ab1) else -1
+    if not sphere.ordered_ccw(a2, b0, b2, ab1):
+        return 0
+    return 0 if np.array_equal(np.asarray(a2), np.asarray(b0)) else -1
+
+
+def wedge_contains_or_crosses(a0, ab1, a2, b0, b2) -> int:
+    """+1 A contains B, 0 B contains A or disjoint, -1 chains cross."""
+    if sphere.ordered_ccw(a0, a2, b2, ab1):
+        if sphere.ordered_ccw(b2, b0, a0, ab1):
+            return 1
+        return 0 if np.array_equal(np.asarray(a2), np.asarray(b2)) else -1
+    return 0 if sphere.ordered_ccw(a0, b0, a2, ab1) else -1
+
+
+# ---------------------------------------------------------------------------
 # RectBounder (S2EdgeUtil.php:461-528)
 
 class RectBounder:

@@ -178,6 +178,87 @@ class Loop:
         # a loop lying wholly inside the cell would leave cell vertices outside
         return True
 
+    # -- loop-pair relations (spec S2Loop.php:365-522, 880-912) -------------
+
+    def _find_vertex(self, p: np.ndarray) -> int:
+        hits = np.nonzero((self.vertices == p).all(axis=1))[0]
+        return int(hits[0]) if len(hits) else -1
+
+    def _check_edge_crossings(self, other: "Loop", wedge_fn) -> int:
+        """-1 if any edges properly cross; else min of wedge_fn over shared
+        vertices (1 if none).  Spec: S2Loop::checkEdgeCrossings
+        (S2Loop.php:880-912)."""
+        result = 1
+        na = len(self.vertices)
+        nb = len(other.vertices)
+        for i in range(na):
+            a0 = self._edges_a[i]
+            a1 = self._edges_b[i]
+            cr = _crossings_edge_vs_edges(a0, a1, other._edges_a, other._edges_b)
+            if np.any(cr > 0):
+                return -1
+            for j in np.nonzero(cr == 0)[0]:
+                b0 = other._edges_a[j]
+                b1 = other._edges_b[j]
+                # shared vertex must be a1 == b0-side midpoint ab1 with
+                # neighbours a0 -> ab1 -> a2 and b0 -> ab1 -> b2
+                if np.array_equal(a1, b1):
+                    a2 = self._edges_b[(i + 1) % na]
+                    b2 = other._edges_b[(j + 1) % nb]
+                    result = min(result, wedge_fn(a0, a1, a2, b0, b2))
+        return result
+
+    def contains_loop(self, b: "Loop") -> bool:
+        """A contains B (spec S2Loop::contains(S2Loop), S2Loop.php:365-417)."""
+        if not self.bound.contains_rect(b.bound):
+            return False
+        if not self.contains_point(b.vertices[0]) and \
+                self._find_vertex(b.vertices[0]) < 0:
+            return False
+        return self._check_edge_crossings(b, edges.wedge_contains) > 0
+
+    def intersects_loop(self, b: "Loop") -> bool:
+        """A intersects B (spec S2Loop::intersects, S2Loop.php:419-470)."""
+        if not self.bound.intersects_rect(b.bound):
+            return False
+        if len(b.vertices) < len(self.vertices):
+            return b.intersects_loop(self)
+        if self.contains_point(b.vertices[0]) and \
+                self._find_vertex(b.vertices[0]) < 0:
+            return True
+        if self._check_edge_crossings(b, edges.wedge_intersects) < 0:
+            return True
+        if b.bound.contains_rect(self.bound):
+            if b.contains_point(self.vertices[0]) and \
+                    b._find_vertex(self.vertices[0]) < 0:
+                return True
+        return False
+
+    def contains_nested(self, b: "Loop") -> bool:
+        """Containment for non-crossing loops (spec S2Loop.php:472-492)."""
+        m = self._find_vertex(b.vertices[1])
+        if m < 0:
+            return self.contains_point(b.vertices[1])
+        return edges.wedge_contains(
+            self.vertices[m - 1], self.vertices[m],
+            self.vertices[(m + 1) % len(self.vertices)],
+            b.vertices[0], b.vertices[2 % len(b.vertices)]) > 0
+
+    def contains_or_crosses(self, b: "Loop") -> int:
+        """+1 contains, 0 disjoint-or-contained-by, -1 boundaries cross
+        (spec S2Loop.php:494-522)."""
+        if not self.bound.intersects_rect(b.bound):
+            return 0
+        result = self._check_edge_crossings(b, edges.wedge_contains_or_crosses)
+        if result <= 0:
+            return result
+        if not self.bound.contains_rect(b.bound):
+            return 0
+        if not self.contains_point(b.vertices[0]) and \
+                self._find_vertex(b.vertices[0]) < 0:
+            return 0
+        return 1
+
     def invert(self) -> "Loop":
         """The complement loop (reversed vertex order)."""
         return Loop(self.vertices[::-1].copy())
@@ -271,6 +352,58 @@ class Polygon:
             sphere.degrees_to_radians(lat_deg), sphere.degrees_to_radians(lng_deg))
         return self.contains_points_xyz(np.stack(
             [np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1))
+
+    # -- polygon-pair relations (spec S2Polygon.php:318-413, 956-1024) ------
+
+    def has_holes(self) -> bool:
+        return any(self.loop_depth(i) % 2 == 1 for i in range(len(self.loops)))
+
+    def _shells(self):
+        return [lp for i, lp in enumerate(self.loops) if self.loop_depth(i) % 2 == 0]
+
+    def _holes(self):
+        return [lp for i, lp in enumerate(self.loops) if self.loop_depth(i) % 2 == 1]
+
+    def _contains_or_crosses_loop(self, b: Loop) -> int:
+        """Spec S2Polygon::containsOrCrosses (S2Polygon.php:956-968)."""
+        inside = False
+        for lp in self.loops:
+            result = lp.contains_or_crosses(b)
+            if result < 0:
+                return -1
+            if result > 0:
+                inside = not inside
+        return 1 if inside else 0
+
+    def _any_loop_contains(self, b: Loop) -> bool:
+        return any(lp.contains_loop(b) for lp in self.loops)
+
+    def contains_polygon(self, b: "Polygon") -> bool:
+        """A contains B (spec S2Polygon::contains, S2Polygon.php:318-375)."""
+        if len(self.loops) == 1 and len(b.loops) == 1:
+            return self.loops[0].contains_loop(b.loops[0])
+        if not self.bound.contains_rect(b.bound):
+            if not self.bound.lng.union(b.bound.lng).is_full():
+                return False
+        if not self.has_holes() and not b.has_holes():
+            return all(self._any_loop_contains(lp) for lp in b.loops)
+        # every shell of B contained by an odd number of loops of A, and
+        # every hole of B not intersecting A
+        if not all(self._contains_or_crosses_loop(lp) > 0 for lp in b._shells()):
+            return False
+        return all(self._contains_or_crosses_loop(lp) == 0 for lp in b._holes())
+
+    def intersects_polygon(self, b: "Polygon") -> bool:
+        """A intersects B (spec S2Polygon::intersects, S2Polygon.php:380-413)."""
+        if len(self.loops) == 1 and len(b.loops) == 1:
+            return self.loops[0].intersects_loop(b.loops[0])
+        if not self.bound.intersects_rect(b.bound):
+            return False
+        if not self.has_holes() and not b.has_holes():
+            return any(la.intersects_loop(lb)
+                       for la in self.loops for lb in b.loops)
+        return (any(self._contains_or_crosses_loop(lp) != 0 for lp in b._shells())
+                or any(b._contains_or_crosses_loop(lp) != 0 for lp in self._shells()))
 
     def is_valid(self) -> bool:
         """S2Polygon::isValid semantics (S2Polygon.php:161-197): no duplicate
