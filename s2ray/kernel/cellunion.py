@@ -207,6 +207,15 @@ def average_based_area(ids) -> float:
     return sphere.AVG_AREA.get_value(ci.MAX_LEVEL) * leaf_cells_covered(ids)
 
 
+def approx_area(ids) -> float:
+    """Sum of per-cell approxArea (S2CellUnion::approxArea,
+    S2CellUnion.php:520-531)."""
+    from .region import Cell
+
+    return float(sum(Cell(int(c)).approx_area()
+                     for c in np.asarray(ids, dtype=np.uint64)))
+
+
 def exact_area(ids) -> float:
     from .region import Cell
 

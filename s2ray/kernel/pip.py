@@ -273,14 +273,27 @@ class Loop:
 
     def area(self) -> float:
         """Signed area sum around vertex(0) mapped to [0, 4pi)."""
+        return self.get_area_centroid()[0]
+
+    def get_area_centroid(self):
+        """(area, area-weighted true centroid vector) — spec
+        S2Loop::getAreaCentroid (S2Loop.php:258-319): signed triangle fan
+        around vertex(0) with true-centroid accumulation."""
         origin_v = self.vertices[0]
         total = 0.0
+        centroid = np.zeros(3)
         for k in range(1, len(self.vertices) - 1):
-            total += float(sphere.signed_area(
+            a = float(sphere.signed_area(
                 origin_v, self.vertices[k], self.vertices[k + 1]))
+            total += a
+            c = sphere.true_centroid(origin_v, self.vertices[k],
+                                     self.vertices[k + 1])
+            sign = 1.0 if a >= 0 else -1.0
+            centroid += sign * np.asarray(c, dtype=np.float64)
         if total < 0:
             total += 4 * math.pi
-        return total
+            centroid = -centroid
+        return total, centroid
 
 
 def _crossings_edge_vs_edges(a, b, c_arr, d_arr) -> np.ndarray:

@@ -134,8 +134,12 @@ def spatial_join_broadcast(pages_ds, regions: dict[str, object],
 # ---------------------------------------------------------------------------
 # shuffle path (cell-keyed co-partition with hot-key salting)
 
-def _build_side_rows(index: RegionIndex, level: int, salt: int) -> pa.Table:
-    """Region covering -> (cell_key, salt_id, region_id) rows at join level."""
+def _build_side_rows(index: RegionIndex, level: int, salt: int,
+                     hot_keys: np.ndarray | None = None) -> pa.Table:
+    """Region covering -> (cell_key, salt_id, region_id) rows at join level.
+
+    hot_keys=None replicates every key `salt` times; otherwise only hot keys
+    are replicated (cold keys get a single salt_id=0 row)."""
     out_keys = []
     out_salts = []
     out_rids = []
@@ -150,10 +154,16 @@ def _build_side_rows(index: RegionIndex, level: int, salt: int) -> pa.Table:
                 cells.extend(cellunion.denormalize(
                     np.array([cid], dtype=np.uint64), level, 1).tolist())
         cells = np.unique(np.array(cells, dtype=np.uint64))
+        ck = keys.to_key(cells)
+        if hot_keys is None:
+            hot_mask = np.ones(len(ck), dtype=bool)
+        else:
+            hot_mask = np.isin(ck, hot_keys)
         for s in range(salt):
-            out_keys.extend(keys.to_key(cells).tolist())
-            out_salts.extend([s] * len(cells))
-            out_rids.extend([rid] * len(cells))
+            sel = ck if s == 0 else ck[hot_mask]
+            out_keys.extend(sel.tolist())
+            out_salts.extend([s] * len(sel))
+            out_rids.extend([rid] * len(sel))
     return pa.table({
         "cell_key": pa.array(out_keys, type=pa.int64()),
         "salt_id": pa.array(out_salts, type=pa.int8()),
@@ -161,32 +171,70 @@ def _build_side_rows(index: RegionIndex, level: int, salt: int) -> pa.Table:
     })
 
 
+def detect_hot_keys(pages_ds, level: int, sample_fraction: float = 0.05,
+                    hot_threshold_frac: float = 0.02) -> np.ndarray:
+    """Sampled key histogram -> cell keys carrying more than
+    hot_threshold_frac of the (sampled) probe rows (SURVEY.md par.4 skew
+    row: hot-key detection via per-batch key histograms on a sample)."""
+    sample = pages_ds.random_sample(sample_fraction, seed=42)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        anc = cellid.parent(leaf, level)
+        u, c = np.unique(anc, return_counts=True)
+        return pa.table({"k": pa.array(keys.to_key(u)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    hist = sample.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if len(hist) == 0:
+        return np.empty(0, dtype=np.int64)
+    agg = hist.groupby("k")["n"].sum()
+    total = agg.sum()
+    hot = agg[agg > hot_threshold_frac * total].index.to_numpy()
+    return np.sort(hot.astype(np.int64))
+
+
 def spatial_join_shuffle(pages_ds, regions: dict[str, object],
                          max_cells: int = 16, salt: int = 4,
+                         auto_salt: bool = False,
                          keep_cols=("page_id", "url", "lat", "lng")):
-    """Cell-keyed co-partition join with salting.
+    """Cell-keyed co-partition join with hot-key salting.
 
-    Build rows are replicated `salt` times (cheap: |coverings| * salt rows);
-    probe rows pick salt_id = page_id % salt, so a hot cell's pages fan out
-    over `salt` groups instead of one straggler reducer.
+    salt semantics: a hot key's probe rows spread over `salt` sub-keys
+    (salt_id = page_id % salt) while its build rows are replicated to every
+    sub-key — skew never lands on one reducer.  With auto_salt=True only
+    cells detected hot by a sampled histogram are salted (cold keys keep
+    salt_id=0 and a single build replica), so build replication cost is
+    |hot cells| * salt instead of |covering| * salt.
     """
     import ray
     import ray.data
 
     index = RegionIndex(regions, max_cells=max_cells)
     level = index.join_level()
-    build = _build_side_rows(index, level, salt)
+    if auto_salt:
+        hot_keys = detect_hot_keys(pages_ds, level)
+    else:
+        hot_keys = None  # salt every key
+    build = _build_side_rows(index, level, salt, hot_keys=hot_keys)
     index_ref = ray.put(index)
     cols = list(keep_cols)
+    hot_ref = ray.put(hot_keys)
 
     def probe_side(batch: pa.Table) -> pa.Table:
         leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         anc = cellid.parent(leaf, level)
         page_id = batch["page_id"].to_numpy(zero_copy_only=False)
+        cell_key = keys.to_key(anc)
+        salt_id = (page_id % salt).astype(np.int8)
+        hk = ray.get(hot_ref)
+        if hk is not None:
+            is_hot = np.isin(cell_key, hk)
+            salt_id = np.where(is_hot, salt_id, 0).astype(np.int8)
         out = batch.select(cols)
-        out = out.append_column("cell_key", pa.array(keys.to_key(anc), type=pa.int64()))
-        out = out.append_column(
-            "salt_id", pa.array((page_id % salt).astype(np.int8), type=pa.int8()))
+        out = out.append_column("cell_key", pa.array(cell_key, type=pa.int64()))
+        out = out.append_column("salt_id", pa.array(salt_id, type=pa.int8()))
         out = out.append_column("side", pa.array(np.ones(len(batch), dtype=np.int8),
                                                  type=pa.int8()))
         return out

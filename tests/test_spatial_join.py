@@ -73,3 +73,29 @@ def test_region_index_probe_direct():
     rows, rids = idx.probe(leaf, lat, lng)
     got = sorted(zip(uid[rows].astype(int), rids))
     assert got == _brute_force(regs)
+
+
+def test_auto_salt_shuffle_matches_broadcast(pages):
+    regs = _regions()
+    a = spatial_join_broadcast(pages, regs).to_pandas()
+    c = spatial_join_shuffle(pages, regs, salt=4, auto_salt=True).to_pandas()
+    ka = sorted(zip(a["page_id"].astype(int), a["region_id"]))
+    kc = sorted(zip(c["page_id"].astype(int), c["region_id"]))
+    assert ka == kc
+
+
+def test_detect_hot_keys_finds_city_cells(pages):
+    from s2ray.pipelines.spatial_join import detect_hot_keys
+    from s2ray.kernel import cellid, keys as kmod
+
+    hot = detect_hot_keys(pages, level=6, sample_fraction=0.5,
+                          hot_threshold_frac=0.03)
+    assert len(hot) >= 3  # city clusters concentrate 40% of pages in 8 cells
+    # hot cells must be among the 8 city ancestor cells
+    from s2ray.sources.pages import CITIES_E4
+    city_cells = set()
+    for la, ln in CITIES_E4:
+        leaf = cellid.from_latlng_degrees(
+            np.array([la / 1e4]), np.array([ln / 1e4]))
+        city_cells.add(int(kmod.to_key(cellid.parent(leaf, 6))[0]))
+    assert set(int(h) for h in hot) <= city_cells
