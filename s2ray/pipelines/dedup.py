@@ -183,6 +183,10 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
     from ..kernel import keys as _keys
 
     def to_postings(batch: pa.Table) -> pa.Table:
+        """Compact per-batch postings: ONE row per coarse partition holding
+        the (sh, doc, sz) arrays as binary blobs — the shuffle then moves
+        ~P rows per batch instead of one row per posting (Ray's sort
+        shuffle costs ~80us/row; postings are numerous)."""
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pandas()
         sh_all, doc_all, size_all = [], [], []
@@ -191,38 +195,108 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
             sh_all.append(sh)
             doc_all.append(np.full(len(sh), i, dtype=np.int64))
             size_all.append(np.full(len(sh), len(sh), dtype=np.int64))
+        sh = _keys.to_key(np.concatenate(sh_all))
+        doc = np.concatenate(doc_all)
+        sz = np.concatenate(size_all)
+        part = (sh % _N_PAIR_PARTITIONS).astype(np.int32)
+        order = np.argsort(part, kind="stable")
+        sh, doc, sz, part = sh[order], doc[order], sz[order], part[order]
+        starts = np.concatenate([[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+                                 [len(part)]])
+        rows_p, rows_sh, rows_doc, rows_sz = [], [], [], []
+        for s, e_ in zip(starts[:-1], starts[1:]):
+            rows_p.append(int(part[s]))
+            rows_sh.append(sh[s:e_].tobytes())
+            rows_doc.append(doc[s:e_].tobytes())
+            rows_sz.append(sz[s:e_].tobytes())
         return pa.table({
-            "sh": pa.array(_keys.to_key(np.concatenate(sh_all)), type=pa.int64()),
-            "doc": pa.array(np.concatenate(doc_all), type=pa.int64()),
-            "sz": pa.array(np.concatenate(size_all), type=pa.int64()),
+            "part": pa.array(rows_p, type=pa.int32()),
+            "sh_b": pa.array(rows_sh, type=pa.binary()),
+            "doc_b": pa.array(rows_doc, type=pa.binary()),
+            "sz_b": pa.array(rows_sz, type=pa.binary()),
         })
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # one call per coarse partition; vectorized bucket scan inside
-        return _pairs_from_buckets(df, "sh", ("doc", "sz"), max_posting)
+        # one call per coarse shingle-partition: decode blobs, bucket scan,
+        # pre-sum duplicate pairs, then re-emit COMPACT rows partitioned by
+        # pair key (pk = i << 32 | j) for the second-level merge.  Both
+        # shuffles move blob rows, never per-pair rows (Ray's sort-based
+        # groupby/aggregate costs ~0.3-1 ms per group in Python).
+        sub = pd.DataFrame({
+            "sh": np.concatenate([np.frombuffer(x, dtype=np.int64)
+                                  for x in df["sh_b"]]),
+            "doc": np.concatenate([np.frombuffer(x, dtype=np.int64)
+                                   for x in df["doc_b"]]),
+            "sz": np.concatenate([np.frombuffer(x, dtype=np.int64)
+                                  for x in df["sz_b"]]),
+        })
+        out = _pairs_from_buckets(sub, "sh", ("doc", "sz"), max_posting)
+        pk = np.left_shift(out["i"].to_numpy().astype(np.int64), 32) \
+            | out["j"].to_numpy().astype(np.int64)
+        si = out["si"].to_numpy().astype(np.int64)
+        sj = out["sj"].to_numpy().astype(np.int64)
+        inter = out["inter"].to_numpy().astype(np.int64)
+        # pre-aggregate within this partition
+        order = np.argsort(pk, kind="stable")
+        pk, si, sj, inter = pk[order], si[order], sj[order], inter[order]
+        starts = (np.concatenate([[0], np.flatnonzero(pk[1:] != pk[:-1]) + 1])
+                  if len(pk) else np.empty(0, dtype=np.int64))
+        u = pk[starts] if len(pk) else pk
+        inter_s = (np.add.reduceat(inter, starts) if len(pk) else inter)
+        si_u = si[starts] if len(pk) else si
+        sj_u = sj[starts] if len(pk) else sj
+        pkpart = (u % _N_PAIR_PARTITIONS).astype(np.int32)
+        porder = np.argsort(pkpart, kind="stable")
+        u, inter_s, si_u, sj_u, pkpart = (u[porder], inter_s[porder],
+                                          si_u[porder], sj_u[porder],
+                                          pkpart[porder])
+        bounds = np.concatenate([[0], np.flatnonzero(
+            pkpart[1:] != pkpart[:-1]) + 1, [len(pkpart)]]) if len(pkpart) \
+            else np.array([0, 0])
+        rows = {"pkpart": [], "pk_b": [], "inter_b": [], "si_b": [], "sj_b": []}
+        for s, e_ in zip(bounds[:-1], bounds[1:]):
+            if e_ <= s:
+                continue
+            rows["pkpart"].append(int(pkpart[s]))
+            rows["pk_b"].append(u[s:e_].tobytes())
+            rows["inter_b"].append(inter_s[s:e_].tobytes())
+            rows["si_b"].append(si_u[s:e_].tobytes())
+            rows["sj_b"].append(sj_u[s:e_].tobytes())
+        return pd.DataFrame(rows)
 
-    pairs = (
-        ds.map_batches(to_postings, batch_format="pyarrow", batch_size=None)
-        .map_batches(_add_partition("sh"), batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["i", "j", "si", "sj"])
-        .aggregate(Sum("inter", alias_name="inter"))
-    )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        si = batch["si"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sj = batch["sj"].to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = inter / (si + sj - inter)
+    def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        pk = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                             for x in df["pk_b"]])
+        inter = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                                for x in df["inter_b"]])
+        si = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                             for x in df["si_b"]])
+        sj = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                             for x in df["sj_b"]])
+        order = np.argsort(pk, kind="stable")
+        pk, inter, si, sj = pk[order], inter[order], si[order], sj[order]
+        starts = (np.concatenate([[0], np.flatnonzero(pk[1:] != pk[:-1]) + 1])
+                  if len(pk) else np.empty(0, dtype=np.int64))
+        u = pk[starts] if len(pk) else pk
+        inter_s = (np.add.reduceat(inter, starts) if len(pk)
+                   else inter).astype(np.float64)
+        si_u = si[starts].astype(np.float64) if len(pk) else si
+        sj_u = sj[starts].astype(np.float64) if len(pk) else sj
+        jac = inter_s / (si_u + sj_u - inter_s) if len(u) else inter_s
         keep = jac >= tau
-        t = batch.filter(pa.array(keep))
-        return pa.table({
-            "i": t["i"], "j": t["j"],
-            "jaccard": pa.array(jac[keep], type=pa.float64()),
+        return pd.DataFrame({
+            "i": (u[keep] >> 32).astype(np.int64),
+            "j": (u[keep] & 0xFFFFFFFF).astype(np.int64),
+            "jaccard": jac[keep],
         })
 
-    return pairs.map_batches(finalize, batch_format="pyarrow")
+    return (
+        ds.map_batches(to_postings, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby("pkpart")
+        .map_groups(merge_pairs, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
