@@ -124,3 +124,55 @@ def tile_counts(sf_dir: str, level: int = 8, repl: int = 1, **read_kwargs):
         })
 
     return ds.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def write_tiles_partitioned(sf_dir: str, out_dir: str, level: int = 8,
+                            partition_level: int = 2, repl: int = 1):
+    """Flagship output as resumable key-range-partitioned parquet: one
+    directory per level-`partition_level` ancestor cell token (Hilbert key
+    ranges), each with a sidecar manifest (rows, cell range, wall time) so a
+    rerun can skip complete partitions (SURVEY.md par.4 resumable-output row).
+    """
+    import json
+    import os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from ..kernel import cellid
+
+    t0 = _time.time()
+    df = tile_counts(sf_dir, level=level, repl=repl).to_pandas()
+    ids = df["cell_id"].to_numpy().astype(np.uint64)
+    part = cellid.parent(ids, partition_level)
+    toks = cellid.to_token(part)
+    df = df.assign(_part=toks)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_dir = os.path.join(out_dir, "_manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+    written = []
+    for tok, grp in df.groupby("_part", sort=True):
+        mp = os.path.join(manifest_dir, f"{tok}.json")
+        if os.path.exists(mp):
+            continue  # resume: partition complete
+        pdir = os.path.join(out_dir, f"cell={tok}")
+        os.makedirs(pdir, exist_ok=True)
+        out_file = os.path.join(pdir, "tiles.parquet")
+        tbl = pa.Table.from_pandas(grp.drop(columns=["_part"]),
+                                   preserve_index=False)
+        pq.write_table(tbl, out_file + ".tmp")
+        os.replace(out_file + ".tmp", out_file)
+        manifest = {
+            "partition": tok,
+            "rows": len(grp),
+            "n_pages": int(grp["n_pages"].sum()),
+            "cell_min": grp["cell_token"].min(),
+            "cell_max": grp["cell_token"].max(),
+            "wall_s": _time.time() - t0,
+        }
+        with open(mp + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mp + ".tmp", mp)
+        written.append(tok)
+    return {"partitions_written": len(written),
+            "partitions_total": int(df["_part"].nunique())}

@@ -89,3 +89,29 @@ def test_real_codec_gate():
         pass
     with pytest.raises(NotImplementedError):
         MediaDecodeStage(use_real_codec=True)
+
+
+def test_write_tiles_partitioned_resume(ray_session, tmp_path):
+    import glob as _glob
+
+    from s2ray.pipelines.tiles import write_tiles_partitioned
+
+    out = str(tmp_path / "tiles_part")
+    r1 = write_tiles_partitioned(SF, out, level=8, partition_level=2)
+    assert r1["partitions_written"] == r1["partitions_total"] > 5
+    parts = _glob.glob(f"{out}/cell=*/tiles.parquet")
+    assert len(parts) == r1["partitions_total"]
+    # rows across partitions sum to 500 pages
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_table(p).column("n_pages").to_pandas().sum()
+                for p in parts)
+    assert total == 500
+    # rerun: everything skipped
+    r2 = write_tiles_partitioned(SF, out, level=8, partition_level=2)
+    assert r2["partitions_written"] == 0
+    # drop one manifest -> only that partition rewritten
+    mp = sorted(_glob.glob(f"{out}/_manifest/*.json"))[0]
+    os.remove(mp)
+    r3 = write_tiles_partitioned(SF, out, level=8, partition_level=2)
+    assert r3["partitions_written"] == 1
