@@ -324,6 +324,20 @@ def _q_emb_centroids(sf_dir: str):
     return embedding_centroids(sf_dir)
 
 
+def _q_events_sliding(sf_dir: str):
+    from s2ray.pipelines.analytics import events_sliding
+
+    return events_sliding(sf_dir)
+
+
+def _q_top3_per_city(sf_dir: str):
+    from s2ray.pipelines.analytics import top_k_per_region
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    ds = pages_with_cells(sf_dir, token_level=None)
+    return top_k_per_region(ds, _city_caps(), k=3)
+
+
 def _q_polyline_near(sf_dir: str):
     from s2ray.pipelines.polyline import Polyline, polyline_distance_join
     from s2ray.pipelines.tiles import pages_with_cells
@@ -423,7 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_per_month": _q_pages_per_month,
         "url_domain_counts": _q_url_domains,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
         "emb_centroids": _q_emb_centroids,
+        "top3_per_city": _q_top3_per_city,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "near_dup_pairs": _q_near_dup_pairs,
@@ -558,6 +574,34 @@ FROM (SELECT doc_id, text,
         "count(*) AS n_events, round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY 1, 2"
     )
+    # sliding windows: 1h window / 30min slide; mirror the engine's
+    # floor-to-second timestamps exactly
+    sliding = """
+SELECT make_timestamp(w * 1000000) AS window_start, event_type,
+       count(*) AS n_events
+FROM (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800 * k.k AS w,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type
+  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+) WHERE es < w + 3600
+GROUP BY 1, 2"""
+    city_dist = (
+        "2 * 6371000 * asin(sqrt("
+        "(1 - cos(radians(p.lat) - radians(c.clat))) / 2 "
+        "+ cos(radians(p.lat)) * cos(radians(c.clat)) "
+        "* (1 - cos(radians(p.lng) - radians(c.clng))) / 2))"
+    )
+    top3 = f"""{cte} SELECT region_id, page_id,
+       CAST(rank AS BIGINT) AS rank, round(d, 3) AS dist_m
+FROM (
+  SELECT c.region_id AS region_id, p.page_id AS page_id, {city_dist} AS d,
+         row_number() OVER (PARTITION BY c.region_id
+                            ORDER BY {city_dist}, p.page_id) AS rank
+  FROM pages_geo p
+  CROSS JOIN (VALUES {{city_values}}) AS c(region_id, clat, clng)
+  WHERE {city_dist} <= {CAP_RADIUS_M!r}
+) WHERE rank <= 3"""
+    top3 = top3.replace("{city_values}", city_values)
     centroids = (
         "SELECT label, CAST(dim AS BIGINT) AS dim, "
         "round(avg(CAST(v AS DOUBLE)), 4) AS centroid FROM ("
@@ -573,7 +617,9 @@ FROM (SELECT doc_id, text,
         "pages_per_month": per_month,
         "url_domain_counts": domains,
         "events_hourly": hourly,
+        "events_sliding": sliding,
         "emb_centroids": centroids,
+        "top3_per_city": top3,
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

@@ -102,6 +102,99 @@ def events_hourly(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 1800):
+    """Sliding-window count per event_type: each event lands in
+    window_s/slide_s overlapping windows (vectorized fan-out inside the
+    batch, partial counts, merged by window start)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    n_windows = window_s // slide_s
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_s = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[s]").astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pandas(), dtype=object)
+        # window starts containing t: floor(t/slide)*slide - k*slide,
+        # k = 0..n_windows-1, keeping only starts with t < start + window
+        base = (ts_s // slide_s) * slide_s
+        starts = base[:, None] - slide_s * np.arange(n_windows)[None, :]
+        valid = ts_s[:, None] < starts + window_s
+        w = starts[valid]
+        e_rep = np.repeat(et, n_windows).reshape(-1, n_windows)[valid]
+        df = pd.DataFrame({"w": w, "event_type": e_rep})
+        g = df.groupby(["w", "event_type"], sort=False).size().reset_index(name="n")
+        return pa.table({
+            "w": pa.array(g["w"].to_numpy()),
+            "event_type": pa.array(g["event_type"], type=pa.string()),
+            "partial_n": pa.array(g["n"].to_numpy().astype(np.int64)),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["w", "event_type"])
+        .aggregate(Sum("partial_n", alias_name="n_events"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        start = w.astype("datetime64[s]").astype("datetime64[us]")
+        return pa.table({
+            "window_start": pa.array(start),
+            "event_type": batch["event_type"],
+            "n_events": batch["n_events"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_k_per_region(pages_ds, regions: dict, k: int = 3):
+    """Per-region k nearest pages to the region's cap axis: the grouped
+    top-k pattern (join + per-group head after in-group sort)."""
+    import math
+
+    import ray
+
+    from ..kernel import sphere
+    from .spatial_join import spatial_join_broadcast
+
+    centers = {}
+    for rid, region in regions.items():
+        axis = region.get_cap_bound().axis
+        lat, lng = sphere.xyz_to_latlng(*axis)
+        centers[rid] = (math.degrees(float(lat)), math.degrees(float(lng)))
+    centers_ref = ray.put(centers)
+
+    joined = spatial_join_broadcast(pages_ds, regions,
+                                    keep_cols=("page_id", "lat", "lng"))
+
+    def with_dist(batch: pa.Table, centers_ref=centers_ref) -> pa.Table:
+        cs = ray.get(centers_ref)
+        lat = sphere.degrees_to_radians(batch["lat"].to_numpy(zero_copy_only=False))
+        lng = sphere.degrees_to_radians(batch["lng"].to_numpy(zero_copy_only=False))
+        rids = batch["region_id"].to_pandas()
+        qlat = np.array([math.radians(cs[r][0]) for r in rids])
+        qlng = np.array([math.radians(cs[r][1]) for r in rids])
+        d = sphere.haversine_distance_m(lat, lng, qlat, qlng)
+        return batch.append_column("dist_m", pa.array(d, type=pa.float64()))
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        # sort on the UNROUNDED distance (ties broken by page_id) so the
+        # ranking matches the SQL oracle's ORDER BY exactly; round after
+        df = df.sort_values(["dist_m", "page_id"]).head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["dist_m"] = np.round(df["dist_m"].to_numpy(), 3)
+        return df[["region_id", "page_id", "rank", "dist_m"]]
+
+    return (
+        joined.map_batches(with_dist, batch_format="pyarrow", batch_size=None)
+        .groupby("region_id")
+        .map_groups(head_k, batch_format="pandas")
+    )
+
+
 def embedding_centroids(sf_dir: str, ndigits: int = 4):
     """Per-label per-dimension centroid of the embedding column:
     (label, dim, centroid)."""

@@ -74,7 +74,8 @@ def _compare(name, entrymod, con):
                                    "text_stats", "rect_filter_wrap",
                                    "knn_pruned_moscow", "pages_per_month",
                                    "url_domain_counts", "events_hourly",
-                                   "emb_centroids"])
+                                   "emb_centroids", "events_sliding",
+                                   "top3_per_city"])
 def test_query_matches_oracle(qname, entrymod, con):
     _compare(qname, entrymod, con)
 
