@@ -57,7 +57,13 @@ def test_s1_union_intersection_consistency(lo, hi, lo2, hi2):
     u = x.union(y)
     i = x.intersection(y)
     assert u.contains_interval(x) and u.contains_interval(y)
-    if not i.is_empty():
+    # Canonical caveat: when the true intersection is TWO disjoint arcs
+    # (each interval contains both endpoints of the other), S1Interval
+    # returns the shorter input — containment need not hold then.
+    two_arcs = (x.fast_contains(y.lo) and x.fast_contains(y.hi)
+                and y.fast_contains(x.lo) and y.fast_contains(x.hi)
+                and not x.contains_interval(y) and not y.contains_interval(x))
+    if not i.is_empty() and not two_arcs:
         assert x.intersects(y)
         # intersection points are in both intervals
         assert x.contains(i.lo) and y.contains(i.lo)
