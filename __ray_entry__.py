@@ -330,6 +330,12 @@ def _q_events_sliding(sf_dir: str):
     return events_sliding(sf_dir)
 
 
+def _q_user_sessions(sf_dir: str):
+    from s2ray.pipelines.analytics import user_sessions
+
+    return user_sessions(sf_dir)
+
+
 def _q_top3_per_city(sf_dir: str):
     from s2ray.pipelines.analytics import top_k_per_region
     from s2ray.pipelines.tiles import pages_with_cells
@@ -438,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_domain_counts": _q_url_domains,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
+        "user_sessions": _q_user_sessions,
         "emb_centroids": _q_emb_centroids,
         "top3_per_city": _q_top3_per_city,
         # dedup family
@@ -585,6 +592,24 @@ FROM (
   FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
 ) WHERE es < w + 3600
 GROUP BY 1, 2"""
+    sessions = """
+SELECT user_id, make_timestamp(start * 1000000) AS session_start,
+       CAST(n AS BIGINT) AS n_events, CAST(dur AS BIGINT) AS duration_s
+FROM (
+  SELECT user_id, min(es) AS start, max(es) - min(es) AS dur, count(*) AS n
+  FROM (
+    SELECT user_id, es,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY es
+                             ROWS UNBOUNDED PRECEDING) AS sess
+    FROM (
+      SELECT user_id, es,
+             CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+                    OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+    )
+  ) GROUP BY user_id, sess
+)"""
     city_dist = (
         "2 * 6371000 * asin(sqrt("
         "(1 - cos(radians(p.lat) - radians(c.clat))) / 2 "
@@ -618,6 +643,7 @@ FROM (
         "url_domain_counts": domains,
         "events_hourly": hourly,
         "events_sliding": sliding,
+        "user_sessions": sessions,
         "emb_centroids": centroids,
         "top3_per_city": top3,
         "text_identity": text_id,

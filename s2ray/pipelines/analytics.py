@@ -195,6 +195,51 @@ def top_k_per_region(pages_ds, regions: dict, k: int = 3):
     )
 
 
+def user_sessions(sf_dir: str, gap_s: int = 1800, n_parts: int = 64):
+    """Sessionization: split each user's event stream at gaps > gap_s.
+
+    Output: (user_id, session_start, n_events, duration_s).  Users are
+    hash-co-partitioned (user_id % n_parts) so one map_groups call handles
+    many users with a single vectorized pandas pass — never one Python call
+    per user (Ray per-group overhead).
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        ts_s = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[0], ts_s[1:] - ts_s[:-1]])
+        is_new = new_user | (gap > gap_s)
+        sess = np.cumsum(is_new)
+        g = pd.DataFrame({"user_id": uid, "sess": sess, "ts_s": ts_s}).groupby(
+            ["user_id", "sess"], sort=False).agg(
+            start=("ts_s", "min"), end=("ts_s", "max"),
+            n_events=("ts_s", "size")).reset_index()
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype(np.int64),
+            "session_start": g["start"].to_numpy().astype("datetime64[s]")
+                              .astype("datetime64[us]"),
+            "n_events": g["n_events"].astype(np.int64),
+            "duration_s": (g["end"] - g["start"]).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
 def embedding_centroids(sf_dir: str, ndigits: int = 4):
     """Per-label per-dimension centroid of the embedding column:
     (label, dim, centroid)."""

@@ -75,7 +75,7 @@ def _compare(name, entrymod, con):
                                    "knn_pruned_moscow", "pages_per_month",
                                    "url_domain_counts", "events_hourly",
                                    "emb_centroids", "events_sliding",
-                                   "top3_per_city"])
+                                   "top3_per_city", "user_sessions"])
 def test_query_matches_oracle(qname, entrymod, con):
     _compare(qname, entrymod, con)
 
