@@ -190,6 +190,31 @@ class RegionCoverer:
         return result
 
 
+def get_simple_covering(region, start_point: np.ndarray, level: int,
+                        max_cells: int = 10000) -> np.ndarray:
+    """Flood-fill covering at a fixed level from a seed point (the commented
+    getSimpleCovering/floodFill spec, S2RegionCoverer.php:236-243): BFS over
+    same-level neighbors keeping cells that may intersect the region."""
+    from . import cellid as _ci
+
+    seed = _ci.parent(_ci.from_xyz(np.array([start_point[0]]),
+                                   np.array([start_point[1]]),
+                                   np.array([start_point[2]])), level)[0]
+    seen = {int(seed)}
+    frontier = [int(seed)]
+    out = []
+    while frontier and len(out) < max_cells:
+        cid = frontier.pop()
+        if not region.may_intersect_cell(Cell(cid)):
+            continue
+        out.append(cid)
+        for nbr in _ci.get_all_neighbors(cid, level):
+            if int(nbr) not in seen:
+                seen.add(int(nbr))
+                frontier.append(int(nbr))
+    return np.sort(np.array(out, dtype=np.uint64))
+
+
 def covering_of(region, max_cells: int = DEFAULT_MAX_CELLS,
                 min_level: int = 0, max_level: int = ci.MAX_LEVEL,
                 level_mod: int = 1, interior: bool = False) -> np.ndarray:

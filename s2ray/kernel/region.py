@@ -160,6 +160,12 @@ class Cell:
         return (self.uv[0][0] <= u <= self.uv[0][1]
                 and self.uv[1][0] <= v <= self.uv[1][1])
 
+    def subdivide(self) -> list["Cell"]:
+        """The 4 children in traversal order (S2Cell::subdivide,
+        S2Cell.php:181-212)."""
+        child_ids = ci.children(np.array([self.id], dtype=np.uint64))[0]
+        return [Cell(int(c)) for c in child_ids]
+
     # areas (S2Cell.php:265-319)
     def average_area(self) -> float:
         return sphere.AVG_AREA.get_value(self.level)

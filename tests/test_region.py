@@ -230,3 +230,37 @@ def test_expand_covers_buffer():
     for p in _points_in_cap(outer, 40, rng):
         leaf = cellid.from_xyz(np.array([p[0]]), np.array([p[1]]), np.array([p[2]]))
         assert cellunion.contains_leaf_ids(grown, leaf)[0]
+
+
+def test_cell_subdivide():
+    cid = cellid.parent(cellid.from_latlng_degrees(
+        np.array([40.0]), np.array([-74.0])), 10)[0]
+    parent = Cell(int(cid))
+    kids = parent.subdivide()
+    assert len(kids) == 4
+    assert all(k.level == 11 for k in kids)
+    for k in kids:
+        assert parent.contains_cell(k)
+        assert parent.contains_point(k.get_center())
+    # children tile the parent: centers distinct, ids are the 4 children
+    ids = sorted(int(k.id) for k in kids)
+    assert ids == sorted(int(c) for c in cellid.children(
+        np.array([cid], dtype=np.uint64))[0])
+
+
+def test_simple_covering_matches_membership():
+    from s2ray.kernel.coverer import get_simple_covering
+
+    cap = Cap.from_latlng_radius(40.0, -74.0, 80000.0)
+    cov = get_simple_covering(cap, cap.axis, level=9)
+    assert len(cov) > 2
+    # every returned cell may-intersect; every point in the cap is covered
+    for cid in cov:
+        assert cap.may_intersect_cell(Cell(int(cid)))
+    rng = np.random.RandomState(3)
+    pts = _points_in_cap(cap, 40, rng)
+    norm = cellunion.normalize(cov)
+    for p in pts:
+        leaf = cellid.from_xyz(np.array([p[0]]), np.array([p[1]]),
+                               np.array([p[2]]))
+        assert cellunion.contains_leaf_ids(norm, leaf)[0]
