@@ -222,11 +222,23 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
     cols = list(keep_cols)
     hot_ref = ray.put(hot_keys)
 
+    # semi-join pushdown: broadcast the (sorted) build key set; probe rows
+    # whose ancestor cell has no build row never enter the shuffle at all —
+    # at web scale the overwhelming majority of pages are outside every
+    # query region.
+    build_keys = np.unique(build["cell_key"].to_numpy())
+    build_keys_ref = ray.put(build_keys)
+
     def probe_side(batch: pa.Table) -> pa.Table:
         leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         anc = cellid.parent(leaf, level)
-        page_id = batch["page_id"].to_numpy(zero_copy_only=False)
         cell_key = keys.to_key(anc)
+        bk = ray.get(build_keys_ref)
+        pos = np.searchsorted(bk, cell_key)
+        keep = (pos < len(bk)) & (bk[np.minimum(pos, len(bk) - 1)] == cell_key)
+        batch = batch.filter(pa.array(keep))
+        cell_key = cell_key[keep]
+        page_id = batch["page_id"].to_numpy(zero_copy_only=False)
         salt_id = (page_id % salt).astype(np.int8)
         hk = ray.get(hot_ref)
         if hk is not None:
@@ -235,7 +247,7 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
         out = batch.select(cols)
         out = out.append_column("cell_key", pa.array(cell_key, type=pa.int64()))
         out = out.append_column("salt_id", pa.array(salt_id, type=pa.int8()))
-        out = out.append_column("side", pa.array(np.ones(len(batch), dtype=np.int8),
+        out = out.append_column("side", pa.array(np.ones(len(out), dtype=np.int8),
                                                  type=pa.int8()))
         return out
 
