@@ -77,10 +77,14 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 def exact_dedup(ds, text_col: str = "text", id_col: str = "page_id"):
     """Keep the smallest id per distinct text; also count copies.
 
-    Hash-partition groupby on the text itself (the dedup criterion); the
-    per-batch partial pass shrinks each batch to its distinct texts first so
-    the shuffle moves one row per (batch, distinct-text).
+    Scale design: the shuffle key is a 128-bit blake2b content digest, NOT
+    the text — the all-to-all moves ~40 B/distinct-text instead of the
+    document body (collision probability ~2^-64: negligible even at 10^12
+    docs).  The per-batch partial pass also shrinks each batch to its
+    distinct texts first.
     """
+    import hashlib
+
     from ray.data.aggregate import Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -93,15 +97,17 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "page_id"):
             "i": batch[id_col].to_numpy(zero_copy_only=False),
         })
         g = df.groupby("t", sort=False)["i"].agg(["min", "count"]).reset_index()
+        digests = [hashlib.blake2b(t.encode(), digest_size=16).digest()
+                   for t in g["t"]]
         return pa.table({
-            text_col: pa.array(g["t"], type=pa.string()),
+            "digest": pa.array(digests, type=pa.binary()),
             "min_id": pa.array(g["min"].to_numpy()),
             "cnt": pa.array(g["count"].to_numpy().astype(np.int64)),
         })
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby(text_col)
+        .groupby("digest")
         .aggregate(Min("min_id", alias_name=id_col),
                    Sum("cnt", alias_name="n_copies"))
     )
