@@ -212,6 +212,12 @@ def _q_emb_near_dup(sf_dir: str):
     return embedding_near_dup(sf_dir, tau=EMB_TAU)
 
 
+def _q_emb_near_dup_lsh(sf_dir: str):
+    from s2ray.pipelines.dedup import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(sf_dir, tau=EMB_TAU)
+
+
 def _q_knn_embeddings(sf_dir: str):
     from s2ray.pipelines.ann import knn_embeddings
 
@@ -453,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         # similarity search
         "knn_embeddings": _q_knn_embeddings,
         "lsh_knn": _q_lsh_knn,

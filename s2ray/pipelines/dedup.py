@@ -522,6 +522,78 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.45):
     return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
 
+def embedding_near_dup_lsh(sf_dir: str, tau: float = 0.45,
+                           multi_probe_hamming: int = 1, n_planes: int = 8):
+    """Scale path for cosine near-dup: random-hyperplane LSH bucketing.
+
+    Each vector is emitted into its own bucket plus all buckets within
+    multi_probe_hamming bit flips (multi-probe); candidate pairs form inside
+    buckets only, verified with the exact cosine.  No broadcast matrix, no
+    O(N^2): the shuffle key is the bucket id.  Recall < 1 by design —
+    measured against the exact operator in tests.
+    """
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from .ann import _lsh_planes, lsh_signature
+
+    import pyarrow.parquet as pq
+
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])["embedding"][0])
+    # fewer planes than the search index: near-dup recall needs coarser
+    # buckets (true near-dups at cos >= 0.9 land within hamming<=2 of 8
+    # bits with ~90% probability)
+    planes = _lsh_planes(dim, n_planes)
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.stack(batch["embedding"].to_pandas().values).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sig = lsh_signature(emb, planes)
+        rows_b, rows_id, rows_v = [], [], []
+        probes = [0] + ([1 << b for b in range(n_planes)]
+                        if multi_probe_hamming >= 1 else [])
+        for r in range(len(ids)):
+            blob = emb[r].tobytes()
+            for flip in probes:
+                rows_b.append(int(sig[r]) ^ flip)
+                rows_id.append(ids[r])
+                rows_v.append(blob)
+        return pa.table({
+            "bucket": pa.array(rows_b, type=pa.int64()),
+            "vec_id": pa.array(rows_id, type=pa.int64()),
+            "vec": pa.array(rows_v, type=pa.binary()),
+        })
+
+    def emit_pairs(df):
+        import pandas as pd
+
+        d = df.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(d) < 2:
+            return pd.DataFrame({"i": pd.Series(dtype=np.int64),
+                                 "j": pd.Series(dtype=np.int64)})
+        ids = d["vec_id"].to_numpy()
+        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in d["vec"]])
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), 1)
+        keep = sims[ii, jj] >= tau
+        return pd.DataFrame({"i": ids[ii][keep], "j": ids[jj][keep]})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(to_buckets, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["i", "j"])
+        .aggregate(Max("i", alias_name="_i"))
+        .select_columns(["i", "j"])
+    )
+
+
 def _load_embedding_matrix(sf_dir: str):
     import pyarrow.parquet as pq
 

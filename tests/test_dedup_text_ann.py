@@ -105,3 +105,16 @@ def test_quality_score_bounds(ray_session):
     out = e.queries()["quality_score"](SF).to_pandas()
     for c in ("stop_ratio", "alpha_ratio", "rep_ratio", "quality"):
         assert out[c].between(0, 1).all(), c
+
+
+def test_emb_near_dup_lsh_recall(ray_session):
+    from s2ray.pipelines.dedup import embedding_near_dup, embedding_near_dup_lsh
+
+    exact = embedding_near_dup(SF, tau=0.4).to_pandas()
+    lsh = embedding_near_dup_lsh(SF, tau=0.4).to_pandas()
+    e_pairs = set(zip(exact.i, exact.j))
+    l_pairs = set(zip(lsh.i.astype(int), lsh.j.astype(int)))
+    assert l_pairs <= e_pairs  # no false positives (exact cosine verify)
+    if e_pairs:
+        recall = len(e_pairs & l_pairs) / len(e_pairs)
+        assert recall >= 0.25, (recall, len(e_pairs))
