@@ -368,6 +368,23 @@ def _q_polyline_near(sf_dir: str):
     return out.map_batches(round_dist, batch_format="pyarrow")
 
 
+def _q_polyline_covering(sf_dir: str):
+    """Covering tiles of the query polyline (raster<->vector for curves;
+    S2-specific, rows-only, deterministic)."""
+    import pandas as pd
+
+    from s2ray.kernel import cellid, cellunion
+    from s2ray.kernel.coverer import covering_of
+    from s2ray.pipelines.polyline import Polyline
+
+    line = Polyline.from_latlng_degrees(POLYLINE_DEG)
+    cov = cellunion.normalize(covering_of(line, max_cells=16))
+    toks = cellid.to_token(cov)
+    lv = cellid.level(cov)
+    return pd.DataFrame({"cell_token": list(toks),
+                         "level": [int(x) for x in lv]})
+
+
 def _q_covering_setops(sf_dir: str):
     """Covering set algebra demo: union/intersection/expansion of two cap
     coverings (deterministic; S2-specific, rows-only)."""
@@ -443,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_filter_wrap": _q_rect_filter_wrap,
         "knn_pruned_moscow": _q_knn_pruned,
         "polyline_near": _q_polyline_near,
+        "polyline_covering": _q_polyline_covering,
         "covering_setops": _q_covering_setops,
         "region_relations": _q_region_relations,
         # generic analytics

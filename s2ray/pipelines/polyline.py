@@ -31,6 +31,10 @@ class Polyline:
         # robust cross products per segment, precomputed once
         self._seg_cross = [sphere.robust_cross_prod(v[i], v[i + 1])
                            for i in range(len(v) - 1)]
+        rb = edges.RectBounder()
+        for vv in v:
+            rb.add_point(vv)
+        self.bound = rb.get_bound()
 
     @staticmethod
     def from_latlng_degrees(latlng_pairs) -> "Polyline":
@@ -79,6 +83,34 @@ class Polyline:
             sphere.degrees_to_radians(lat_deg), sphere.degrees_to_radians(lng_deg))
         pts = np.stack([np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1)
         return self.distance_radians(pts) * radius_m
+
+    # -- region protocol (so RegionCoverer can tile polylines) -------------
+
+    def get_rect_bound(self):
+        return self.bound
+
+    def get_cap_bound(self):
+        return self.get_rect_bound().get_cap_bound()
+
+    def contains_cell(self, cell) -> bool:
+        return False  # a curve contains no 2D cell
+
+    def may_intersect_cell(self, cell) -> bool:
+        from ..kernel.pip import _crossings_edge_vs_edges
+
+        if not self.bound.intersects_rect(cell.get_rect_bound()):
+            return False
+        for v in self.vertices:
+            if cell.contains_point(v):
+                return True
+        verts = [cell.get_vertex(k) for k in range(4)]
+        for k in range(4):
+            cr = _crossings_edge_vs_edges(
+                verts[k], verts[(k + 1) & 3],
+                self.vertices[:-1], self.vertices[1:])
+            if np.any(cr > 0):
+                return True
+        return False
 
     def project(self, p: np.ndarray):
         """Closest point on the polyline + segment index (spec

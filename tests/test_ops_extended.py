@@ -125,3 +125,20 @@ def test_covering_setops_invariants(ray_session):
     for cid in i:
         assert cellunion.intersects_ids(a, np.array([cid]))[0]
         assert cellunion.intersects_ids(b, np.array([cid]))[0]
+
+
+def test_polyline_covering(ray_session):
+    from s2ray.kernel import cellunion
+    from s2ray.kernel.coverer import covering_of
+    from s2ray.pipelines.polyline import Polyline
+
+    line = Polyline.from_latlng_degrees(
+        [(55.5, 37.0), (55.8, 37.7), (56.0, 38.5), (55.6, 39.5)])
+    cov = cellunion.normalize(covering_of(line, max_cells=16))
+    assert 1 <= len(cov) <= 20
+    # every vertex and several interpolated points must be covered
+    for t in np.linspace(0, 1, 25):
+        p = line.interpolate(float(t))
+        leaf = cellid.from_xyz(np.array([p[0]]), np.array([p[1]]),
+                               np.array([p[2]]))
+        assert cellunion.contains_leaf_ids(cov, leaf)[0], t
