@@ -163,6 +163,23 @@ def run_bench():
 
     timed("knn_embeddings", _ann)
 
+    def _near_dup():
+        import ray.data
+        from s2ray.pipelines.dedup import near_dup_pairs_exact
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return near_dup_pairs_exact(ds, tau=0.5).count()
+
+    timed("near_dup_pairs", _near_dup)
+
+    def _sessions():
+        from s2ray.pipelines.analytics import user_sessions
+
+        return user_sessions(SF_DIR).count()
+
+    timed("user_sessions", _sessions)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({

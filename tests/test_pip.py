@@ -119,3 +119,21 @@ def test_polygon_covering_with_hole():
     lng = rng.uniform(0.5, 29.5, 100)
     leaf = cellid.from_latlng_degrees(lat, lng)
     assert np.all(cellunion.contains_leaf_ids(cover, leaf))
+
+
+def test_large_polygon_pip_vs_winding():
+    # 300-vertex star-ish ring: exercises the O(E) vectorized parity scan
+    rng = np.random.RandomState(9)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 300))
+    radius = 5.0 + 1.5 * np.sin(5 * angles)
+    lat = 20.0 + radius * np.sin(angles)
+    lng = 40.0 + radius * np.cos(angles)
+    poly_deg = list(zip(lat, lng))
+    loop = Loop.from_latlng_degrees(poly_deg)
+    qlat = rng.uniform(12, 28, 2000)
+    qlng = rng.uniform(32, 48, 2000)
+    ours = loop.contains_latlng_degrees(qlat, qlng)
+    oracle = _winding_oracle(poly_deg, qlat, qlng)
+    disagree = (ours != oracle).mean()
+    assert disagree < 0.01  # only near-boundary geodesic-vs-planar band
+    assert 0.2 < ours.mean() < 0.8  # nondegenerate test

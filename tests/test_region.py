@@ -264,3 +264,25 @@ def test_simple_covering_matches_membership():
         leaf = cellid.from_xyz(np.array([p[0]]), np.array([p[1]]),
                                np.array([p[2]]))
         assert cellunion.contains_leaf_ids(norm, leaf)[0]
+
+
+def test_covering_deterministic_across_processes():
+    """Cluster-reproducibility requirement: coverings must be identical in a
+    fresh interpreter (no Python-hash or dict-order dependence)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np;"
+        "from s2ray.kernel.region import Cap;"
+        "from s2ray.kernel.coverer import covering_of;"
+        "from s2ray.kernel import cellid;"
+        "cap = Cap.from_latlng_radius(55.7558, 37.6173, 75000.0);"
+        "print(','.join(cellid.to_token(covering_of(cap, max_cells=8))))"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd="/root/repo", timeout=120)
+    remote_tokens = out.stdout.strip().split(",")
+    local = cellid.to_token(covering_of(
+        Cap.from_latlng_radius(55.7558, 37.6173, 75000.0), max_cells=8))
+    assert remote_tokens == list(local)
