@@ -1,0 +1,106 @@
+"""CLI entry points: ``python -m s2ray <command>``.
+
+Owns the Ray session (guarded init — never called when a driver already
+initialised Ray, per the repo contract).
+
+Commands:
+  tiles      pages -> S2 cell assignment -> level-K tile counts -> parquet
+             (``--partitioned`` writes the resumable Hilbert-partitioned
+             layout with per-partition manifests)
+  cap-join   pages x city caps spatial join -> parquet
+  media      synthetic media -> decode actor pool -> per-type stats
+  sessions   events sessionization -> parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="s2ray")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("tiles")
+    t.add_argument("--out", required=True)
+    t.add_argument("--level", type=int, default=8)
+    t.add_argument("--repl", type=int, default=1)
+    t.add_argument("--partitioned", action="store_true")
+
+    c = sub.add_parser("cap-join")
+    c.add_argument("--out", required=True)
+    c.add_argument("--radius-m", type=float, default=150000.0)
+
+    sub.add_parser("media")
+
+    s = sub.add_parser("sessions")
+    s.add_argument("--out", required=True)
+    s.add_argument("--gap-s", type=int, default=1800)
+
+    args = p.parse_args(argv)
+    ray = _ensure_ray(args.num_cpus)
+    try:
+        if args.cmd == "tiles":
+            if args.partitioned:
+                from .pipelines.tiles import write_tiles_partitioned
+
+                res = write_tiles_partitioned(args.sf_dir, args.out,
+                                              level=args.level, repl=args.repl)
+                print(json.dumps({"cmd": "tiles", "partitioned": True, **res}))
+            else:
+                from .pipelines.tiles import tile_counts
+
+                ds = tile_counts(args.sf_dir, level=args.level, repl=args.repl)
+                ds.write_parquet(args.out)
+                print(json.dumps({"cmd": "tiles", "out": args.out}))
+        elif args.cmd == "cap-join":
+            from .kernel.region import Cap
+            from .pipelines.spatial_join import spatial_join_broadcast
+            from .pipelines.tiles import pages_with_cells
+            from .sources.pages import CITIES_E4
+
+            regions = {
+                f"cap{k}": Cap.from_latlng_radius(la / 1e4, ln / 1e4,
+                                                  args.radius_m)
+                for k, (la, ln) in enumerate(CITIES_E4)
+            }
+            ds = pages_with_cells(args.sf_dir, token_level=None)
+            out = spatial_join_broadcast(ds, regions)
+            out.write_parquet(args.out)
+            print(json.dumps({"cmd": "cap-join", "out": args.out}))
+        elif args.cmd == "media":
+            from .stages.multimodal import media_stats
+
+            df = media_stats(args.sf_dir).to_pandas()
+            print(df.to_json(orient="records"))
+        elif args.cmd == "sessions":
+            from .pipelines.analytics import user_sessions
+
+            user_sessions(args.sf_dir, gap_s=args.gap_s).write_parquet(args.out)
+            print(json.dumps({"cmd": "sessions", "out": args.out}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
