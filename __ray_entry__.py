@@ -385,6 +385,25 @@ def _q_polyline_covering(sf_dir: str):
                          "level": [int(x) for x in lv]})
 
 
+def _q_boolean_covering(sf_dir: str):
+    """Approximate region boolean ops (union/intersection/difference) as
+    cell unions (S2-specific; rows-only, deterministic)."""
+    import pandas as pd
+
+    from s2ray.kernel import cellid
+    from s2ray.kernel.cellunion import boolean_covering
+    from s2ray.kernel.pip import Polygon
+    from s2ray.kernel.region import Cap
+
+    a = Polygon.from_latlng_loops([PIP_POLYS["moscow_sq"]])
+    b = Cap.from_latlng_radius(55.75, 37.62, 5000.0)
+    rows = []
+    for op in ("union", "intersection", "difference"):
+        for tok in cellid.to_token(boolean_covering(a, b, op, max_cells=64)):
+            rows.append((op, tok))
+    return pd.DataFrame(rows, columns=["op", "cell_token"])
+
+
 def _q_covering_setops(sf_dir: str):
     """Covering set algebra demo: union/intersection/expansion of two cap
     coverings (deterministic; S2-specific, rows-only)."""
@@ -462,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polyline_near": _q_polyline_near,
         "polyline_covering": _q_polyline_covering,
         "covering_setops": _q_covering_setops,
+        "boolean_covering": _q_boolean_covering,
         "region_relations": _q_region_relations,
         # generic analytics
         "pages_per_month": _q_pages_per_month,

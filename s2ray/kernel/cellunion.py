@@ -222,6 +222,40 @@ def exact_area(ids) -> float:
     return float(sum(Cell(int(c)).exact_area() for c in np.asarray(ids, dtype=np.uint64)))
 
 
+def boolean_covering(region_a, region_b, op: str,
+                     max_cells: int = 64) -> np.ndarray:
+    """Approximate polygon/region boolean ops as cell unions.
+
+    The reference's exact boolean ops (S2Polygon::initToIntersection/Union/
+    Difference) exist only as commented Java (S2Polygon.php:565-780, dead in
+    the reference too); per SURVEY.md par.2.5 the v1 approximation is
+    covering algebra, sandwiched between interior and exterior coverings:
+
+    - union:        exterior(A) | exterior(B)          (superset guarantee)
+    - intersection: exterior(A) & exterior(B)          (superset guarantee)
+    - difference:   interior-ish A minus exterior(B):  cells of exterior(A)
+                    that do NOT intersect exterior(B)  (subset guarantee on
+                    the B side: removed cells may over-remove near the
+                    boundary of B)
+    """
+    from .coverer import covering_of
+
+    a = normalize(covering_of(region_a, max_cells=max_cells))
+    b = normalize(covering_of(region_b, max_cells=max_cells))
+    if op == "union":
+        return get_union(a, b)
+    if op == "intersection":
+        # cells of each covering that intersect the other covering
+        keep_a = a[intersects_ids(b, a)]
+        keep_b = b[intersects_ids(a, b)]
+        return get_union(keep_a, keep_b) if len(keep_a) + len(keep_b) else \
+            np.empty(0, dtype=np.uint64)
+    if op == "difference":
+        keep = a[~intersects_ids(b, a)]
+        return normalize(keep) if len(keep) else np.empty(0, dtype=np.uint64)
+    raise ValueError(f"unknown op {op!r}")
+
+
 class CellUnion:
     """Object wrapper implementing the Region protocol over a normalized
     id array (for use as a coverer input / join build side)."""

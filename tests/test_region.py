@@ -286,3 +286,36 @@ def test_covering_deterministic_across_processes():
     local = cellid.to_token(covering_of(
         Cap.from_latlng_radius(55.7558, 37.6173, 75000.0), max_cells=8))
     assert remote_tokens == list(local)
+
+
+def test_boolean_covering_guarantees():
+    from s2ray.kernel.cellunion import boolean_covering
+
+    a = Cap.from_latlng_radius(10.0, 10.0, 300000.0)
+    b = Cap.from_latlng_radius(11.5, 11.5, 300000.0)  # overlapping
+    rng = np.random.RandomState(5)
+    union_cov = cellunion.normalize(boolean_covering(a, b, "union"))
+    inter_cov = cellunion.normalize(boolean_covering(a, b, "intersection"))
+    diff_cov = cellunion.normalize(boolean_covering(a, b, "difference"))
+    assert len(inter_cov) > 0
+
+    pts_a = _points_in_cap(a, 40, rng)
+    pts_b = _points_in_cap(b, 40, rng)
+    for p in pts_a + pts_b:
+        leaf = cellid.from_xyz(np.array([p[0]]), np.array([p[1]]),
+                               np.array([p[2]]))
+        # union covers every point of A and B
+        assert cellunion.contains_leaf_ids(union_cov, leaf)[0]
+    for p in pts_a:
+        if a.contains_point(p) and b.contains_point(p):
+            leaf = cellid.from_xyz(np.array([p[0]]), np.array([p[1]]),
+                                   np.array([p[2]]))
+            # intersection covering is a superset of A∩B
+            assert cellunion.contains_leaf_ids(inter_cov, leaf)[0]
+    # difference never contains points of B (over-removal is allowed,
+    # inclusion of B is not)
+    for p in pts_b:
+        if b.contains_point(p):
+            leaf = cellid.from_xyz(np.array([p[0]]), np.array([p[1]]),
+                                   np.array([p[2]]))
+            assert not cellunion.contains_leaf_ids(diff_cov, leaf)[0]
