@@ -74,15 +74,44 @@ class Loop:
 
     # -- containment -------------------------------------------------------
 
-    def _contains_point_scalar(self, p: np.ndarray) -> bool:
-        """Parity scan with full shared-vertex handling (spec S2Loop.php:601-631)."""
+    def _parity_scan(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized crossing-parity core over (N,3) points (no bound
+        prefilter; spec S2Loop.php:601-631 incl. vertex-crossing rule).
+
+        Two vectorization orientations with automatic selection:
+        many points -> loop edges, vectorize over points;
+        few points vs many edges -> per point, vectorize over edges
+        (otherwise cell-predicate calls against a 1000-edge loop pay a
+        Python-loop per edge for a 4-point batch).
+        """
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
         o = edges.origin()
-        inside = self.origin_inside
-        for k in range(len(self.vertices)):
-            a = self._edges_a[k]
-            b = self._edges_b[k]
-            inside ^= edges.edge_or_vertex_crossing(o, p, a, b)
-        return bool(inside)
+        n_edges = len(self.vertices)
+        if len(pts) * 8 < n_edges:
+            out = np.empty(len(pts), dtype=bool)
+            for t in range(len(pts)):
+                cr = _crossings_edge_vs_edges(o, pts[t],
+                                              self._edges_a, self._edges_b)
+                inside = bool(self.origin_inside) ^ bool((cr > 0).sum() & 1)
+                for j in np.nonzero(cr == 0)[0]:
+                    inside ^= edges.vertex_crossing(
+                        o, pts[t], self._edges_a[j], self._edges_b[j])
+                out[t] = inside
+            return out
+        inside = np.full(len(pts), self.origin_inside, dtype=bool)
+        for k in range(n_edges):
+            cr = edges.robust_crossing_one_to_many(
+                self._edges_a[k], self._edges_b[k], o, pts)
+            inside ^= cr > 0
+            shared = cr == 0
+            if shared.any():
+                for t in np.nonzero(shared)[0]:
+                    inside[t] ^= edges.vertex_crossing(
+                        o, pts[t], self._edges_a[k], self._edges_b[k])
+        return inside
+
+    def _contains_point_scalar(self, p: np.ndarray) -> bool:
+        return bool(self._parity_scan(np.asarray(p)[None, :])[0])
 
     def contains_point(self, p: np.ndarray) -> bool:
         if not self.bound.contains_point(p):
@@ -100,19 +129,7 @@ class Loop:
         if not cand.any():
             return out
         idx = np.nonzero(cand)[0]
-        sub = pts[idx]
-        o = edges.origin()
-        inside = np.full(len(sub), self.origin_inside, dtype=bool)
-        for k in range(len(self.vertices)):
-            cr = edges.robust_crossing_one_to_many(
-                self._edges_a[k], self._edges_b[k], o, sub)
-            inside ^= cr > 0
-            shared = cr == 0
-            if shared.any():
-                for t in np.nonzero(shared)[0]:
-                    inside[t] ^= edges.vertex_crossing(
-                        o, sub[t], self._edges_a[k], self._edges_b[k])
-        out[idx] = inside
+        out[idx] = self._parity_scan(pts[idx])
         return out
 
     def contains_latlng_degrees(self, lat_deg, lng_deg) -> np.ndarray:
@@ -148,7 +165,7 @@ class Loop:
         return False
 
     def _any_vertex_in_cell(self, cell: Cell) -> bool:
-        return any(cell.contains_point(v) for v in self.vertices)
+        return bool(cell.contains_points_vec(self.vertices).any())
 
     # -- region protocol ---------------------------------------------------
 
@@ -158,10 +175,14 @@ class Loop:
     def get_cap_bound(self) -> Cap:
         return self.bound.get_cap_bound()
 
+    def _cell_vertices_inside(self, cell: Cell) -> np.ndarray:
+        verts = np.array([cell.get_vertex(k) for k in range(4)])
+        return self.contains_points_xyz(verts)
+
     def may_intersect_cell(self, cell: Cell) -> bool:
         if not self.bound.intersects_rect(cell.get_rect_bound()):
             return False
-        if any(self.contains_point(cell.get_vertex(k)) for k in range(4)):
+        if self._cell_vertices_inside(cell).any():
             return True
         if self._any_vertex_in_cell(cell):
             return True
@@ -171,7 +192,7 @@ class Loop:
         if not self.bound.contains_rect(cell.get_rect_bound()):
             if not self.bound.intersects_rect(cell.get_rect_bound()):
                 return False
-        if not all(self.contains_point(cell.get_vertex(k)) for k in range(4)):
+        if not self._cell_vertices_inside(cell).all():
             return False
         if self._crosses_cell_boundary(cell):
             return False
@@ -323,6 +344,84 @@ def _crossings_edge_vs_edges(a, b, c_arr, d_arr) -> np.ndarray:
         out[idx[good]] = 1
     out[degenerate] = 0
     return out
+
+
+class IndexedLoop:
+    """Cell-indexed PIP for large loops: O(edges-near-cell) per probe point
+    instead of O(all edges).
+
+    Build (once, e.g. in an actor __init__): a normalized covering of the
+    loop's bound region; per covering cell, the loop-containment parity of
+    the cell CENTER (full scan, build-time only) and the subset of loop
+    edges that may intersect the cell.  Query: locate the point's covering
+    cell (searchsorted); since S2 cells are geodesically convex (bounded by
+    4 great circles), the geodesic center->P stays inside the cell, so only
+    cell-local edges can cross it:
+        contains(P) = center_parity(cell) XOR crossings(center->P, local edges).
+    Points outside the covering are outside the loop (covering superset).
+    """
+
+    def __init__(self, loop: Loop, max_cells: int = 256):
+        from . import cellid as ci
+        from . import cellunion
+        from .coverer import covering_of
+
+        self.loop = loop
+        cov = cellunion.normalize(covering_of(loop, max_cells=max_cells))
+        self.cells = cov
+        self.starts = ci.range_min(cov)
+        self.ends = ci.range_max(cov)
+        centers = []
+        self.local_edges = []
+        for cid in cov:
+            cell = Cell(int(cid))
+            centers.append(cell.get_center())
+            # superset of edges intersecting the cell: endpoint inside, or
+            # edge crosses any cell boundary edge (vectorized per cell)
+            hit = cell.contains_points_vec(loop._edges_a)
+            verts = [cell.get_vertex(k) for k in range(4)]
+            for k in range(4):
+                cr = _crossings_edge_vs_edges(
+                    verts[k], verts[(k + 1) & 3], loop._edges_a, loop._edges_b)
+                hit |= cr >= 0  # include shared-vertex/degenerate cases
+            self.local_edges.append(np.nonzero(hit)[0])
+        self.centers = np.array(centers)
+        # one vectorized O(E) parity pass over all cell centers at once
+        self.center_parity = loop.contains_points_xyz(self.centers)
+
+    def contains_points_xyz(self, pts: np.ndarray) -> np.ndarray:
+        from . import cellid as ci
+
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        leaf = ci.from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
+        pos = np.searchsorted(self.starts, leaf, side="right")
+        inside_cov = pos > 0
+        cell_idx = np.maximum(pos, 1) - 1
+        inside_cov &= leaf <= self.ends[cell_idx]
+        out = np.zeros(len(pts), dtype=bool)
+        for idx in np.unique(cell_idx[inside_cov]):
+            sel = np.nonzero(inside_cov & (cell_idx == idx))[0]
+            sub = pts[sel]
+            center = self.centers[idx]
+            parity = np.full(len(sub), self.center_parity[idx], dtype=bool)
+            for e in self.local_edges[idx]:
+                cr = edges.robust_crossing_one_to_many(
+                    self.loop._edges_a[e], self.loop._edges_b[e], center, sub)
+                parity ^= cr > 0
+                shared = cr == 0
+                if shared.any():
+                    for t in np.nonzero(shared)[0]:
+                        parity[t] ^= edges.vertex_crossing(
+                            center, sub[t], self.loop._edges_a[e],
+                            self.loop._edges_b[e])
+            out[sel] = parity
+        return out
+
+    def contains_latlng_degrees(self, lat_deg, lng_deg) -> np.ndarray:
+        x, y, z = sphere.latlng_to_xyz(
+            sphere.degrees_to_radians(lat_deg), sphere.degrees_to_radians(lng_deg))
+        return self.contains_points_xyz(np.stack(
+            [np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1))
 
 
 class Polygon:

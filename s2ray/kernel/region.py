@@ -160,6 +160,17 @@ class Cell:
         return (self.uv[0][0] <= u <= self.uv[0][1]
                 and self.uv[1][0] <= v <= self.uv[1][1])
 
+    def contains_points_vec(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized contains over (N,3) points."""
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        comp = pts[:, self.face % 3]
+        on_face = comp > 0 if self.face < 3 else comp < 0
+        face_arr = np.full(len(pts), self.face, dtype=np.int64)
+        u, v = ci.valid_face_xyz_to_uv(face_arr, pts[:, 0], pts[:, 1], pts[:, 2])
+        ok = (on_face & (u >= self.uv[0][0]) & (u <= self.uv[0][1])
+              & (v >= self.uv[1][0]) & (v <= self.uv[1][1]))
+        return np.asarray(ok, dtype=bool)
+
     def subdivide(self) -> list["Cell"]:
         """The 4 children in traversal order (S2Cell::subdivide,
         S2Cell.php:181-212)."""

@@ -137,3 +137,21 @@ def test_large_polygon_pip_vs_winding():
     disagree = (ours != oracle).mean()
     assert disagree < 0.01  # only near-boundary geodesic-vs-planar band
     assert 0.2 < ours.mean() < 0.8  # nondegenerate test
+
+
+def test_indexed_loop_matches_flat():
+    from s2ray.kernel.pip import IndexedLoop
+
+    rng = np.random.RandomState(21)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 400))
+    radius = 4.0 + 1.0 * np.sin(6 * angles)
+    lat = -10.0 + radius * np.sin(angles)
+    lng = 100.0 + radius * np.cos(angles)
+    loop = Loop.from_latlng_degrees(np.stack([lat, lng], axis=1))
+    idx = IndexedLoop(loop, max_cells=128)
+    qlat = rng.uniform(-18, -2, 5000)
+    qlng = rng.uniform(92, 108, 5000)
+    a = loop.contains_latlng_degrees(qlat, qlng)
+    b = idx.contains_latlng_degrees(qlat, qlng)
+    assert np.array_equal(a, b)
+    assert 0.1 < a.mean() < 0.9
