@@ -424,6 +424,42 @@ class IndexedLoop:
             [np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1))
 
 
+class IndexedPolygon:
+    """XOR of IndexedLoops — drop-in for Polygon.contains_latlng_degrees on
+    large polygons (built once per worker/actor, e.g. in a join probe
+    actor's __init__)."""
+
+    def __init__(self, polygon: "Polygon", max_cells: int = 256):
+        self.polygon = polygon
+        self.indexed = [IndexedLoop(lp, max_cells=max_cells)
+                        for lp in polygon.loops]
+
+    def contains_points_xyz(self, pts: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(np.atleast_2d(pts)), dtype=bool)
+        for il in self.indexed:
+            out ^= il.contains_points_xyz(pts)
+        return out
+
+    def contains_latlng_degrees(self, lat_deg, lng_deg) -> np.ndarray:
+        x, y, z = sphere.latlng_to_xyz(
+            sphere.degrees_to_radians(lat_deg), sphere.degrees_to_radians(lng_deg))
+        return self.contains_points_xyz(np.stack(
+            [np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1))
+
+    # region protocol delegates to the exact polygon (used by the coverer)
+    def get_rect_bound(self):
+        return self.polygon.get_rect_bound()
+
+    def get_cap_bound(self):
+        return self.polygon.get_cap_bound()
+
+    def contains_cell(self, cell) -> bool:
+        return self.polygon.contains_cell(cell)
+
+    def may_intersect_cell(self, cell) -> bool:
+        return self.polygon.may_intersect_cell(cell)
+
+
 class Polygon:
     """Multi-loop polygon; interior = XOR of loop interiors
     (spec S2Polygon.php:330-335: parity over loops)."""

@@ -38,15 +38,27 @@ class RegionIndex:
     and the region object for exact refinement.
     """
 
+    # polygons with at least this many edges get a cell-indexed PIP
+    # (IndexedPolygon) built into the broadcast object — probe cost becomes
+    # O(edges near the point's cell) instead of O(all edges)
+    INDEX_POLYGON_MIN_EDGES = 64
+
     def __init__(self, regions: dict[str, object], max_cells: int = 16):
+        from ..kernel.pip import IndexedPolygon, Polygon
+
         self.region_ids = list(regions.keys())
-        self.regions = regions
+        self.regions = {}
         self.coverings = {}
         self.intervals = {}
         for rid, region in regions.items():
             cov = cellunion.normalize(covering_of(region, max_cells=max_cells))
             self.coverings[rid] = cov
             self.intervals[rid] = (cellid.range_min(cov), cellid.range_max(cov))
+            if (isinstance(region, Polygon)
+                    and sum(len(lp.vertices) for lp in region.loops)
+                    >= self.INDEX_POLYGON_MIN_EDGES):
+                region = IndexedPolygon(region)
+            self.regions[rid] = region
 
     def join_level(self) -> int:
         """Shuffle-join key level: finest common ancestor level that keeps

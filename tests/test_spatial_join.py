@@ -99,3 +99,27 @@ def test_detect_hot_keys_finds_city_cells(pages):
             np.array([la / 1e4]), np.array([ln / 1e4]))
         city_cells.add(int(kmod.to_key(cellid.parent(leaf, 6))[0]))
     assert set(int(h) for h in hot) <= city_cells
+
+
+def test_large_polygon_join_uses_index_and_matches(pages):
+    from s2ray.kernel.pip import IndexedPolygon, Polygon
+    from s2ray.pipelines.spatial_join import RegionIndex
+
+    rng = np.random.RandomState(33)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 200))
+    radius = 20.0 + 5.0 * np.sin(4 * angles)
+    lat = 40.0 + radius * np.sin(angles) * 0.5
+    lng = 20.0 + radius * np.cos(angles)
+    big_poly = Polygon.from_latlng_loops([list(zip(lat, lng))])
+    regs = {"blob": big_poly}
+    idx = RegionIndex(regs)
+    assert isinstance(idx.regions["blob"], IndexedPolygon)
+    out = spatial_join_broadcast(pages, regs).to_pandas()
+    # brute force with the UNindexed polygon
+    from s2ray.sources.pages import derive_geo_e4, e4_to_degrees
+
+    uid = np.arange(500)
+    la, ln = e4_to_degrees(*derive_geo_e4(uid))
+    expect = set(uid[big_poly.contains_latlng_degrees(la, ln)].tolist())
+    assert set(out.page_id.astype(int)) == expect
+    assert len(expect) >= 2
