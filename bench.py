@@ -259,10 +259,38 @@ def run_scaling():
     }))
 
 
+def run_stage_stats():
+    """Per-stage wall/rows/throughput of the flagship (north_rule:
+    'reporting per-stage throughput'); one JSON line."""
+    import re
+
+    ray = _init_ray()
+    from s2ray.pipelines.tiles import tile_counts
+
+    ds = tile_counts(SF_DIR, level=8, repl=REPL).materialize()
+    stats = ds.stats()
+    stages = []
+    for m in re.finditer(
+            r"^Operator (\d+) (\S+).*?in ([0-9.]+)s$", stats, re.M):
+        stages.append({"op": m.group(2)[:80], "wall_s": float(m.group(3))})
+    print(json.dumps({
+        "metric": "flagship_stage_stats",
+        "value": len(stages),
+        "unit": "stages",
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "pages": REPL * _n_docs(SF_DIR),
+        "stages": stages,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--flagship-only" in sys.argv:
         run_flagship_only()
+    elif "--stage-stats" in sys.argv:
+        run_stage_stats()
     else:
         run_bench()
