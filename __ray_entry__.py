@@ -368,6 +368,98 @@ def _q_polyline_near(sf_dir: str):
     return out.map_batches(round_dist, batch_format="pyarrow")
 
 
+BOOL_B_SQ = [(55.75, 37.30), (55.75, 37.65), (56.10, 37.65), (56.10, 37.30)]
+
+
+def _bool_polygons():
+    from s2ray.kernel.pip import Polygon
+    from s2ray.kernel.polygon_ops import (polygon_difference,
+                                          polygon_intersection, polygon_union)
+
+    a = Polygon.from_latlng_loops([PIP_POLYS["moscow_sq"]])
+    b = Polygon.from_latlng_loops([BOOL_B_SQ])
+    return {
+        "inter": polygon_intersection(a, b),
+        "union": polygon_union(a, b),
+        "diff": polygon_difference(a, b),
+    }
+
+
+def _q_boolean_pip_join(sf_dir: str):
+    """Pages inside the EXACT boolean-op result polygons (A n B, A u B,
+    A \\ B assembled by kernel/polygon_ops).  Oracle: logical combinations
+    of the two INPUT polygons' independent crossing-parity SQL — a true
+    end-to-end check of clip/assemble + PIP."""
+    from s2ray.pipelines.spatial_join import spatial_join_broadcast
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    ds = pages_with_cells(sf_dir, token_level=None)
+    return spatial_join_broadcast(ds, _bool_polygons(),
+                                  keep_cols=("page_id",))
+
+
+COVER_REGIONS_MAX_CELLS = 16
+
+
+def _cover_regions():
+    """Deterministic query regions for the covering-membership join: the two
+    PIP polygons plus one cap, each tiled by the RegionCoverer."""
+    from s2ray.kernel.pip import Polygon
+    from s2ray.kernel.region import Cap
+
+    regions = {name: Polygon.from_latlng_loops([loop])
+               for name, loop in PIP_POLYS.items()}
+    regions["cap_moscow"] = Cap.from_latlng_radius(55.7558, 37.6173, 200000.0)
+    return regions
+
+
+def _cover_intervals():
+    from s2ray.kernel import cellid, cellunion
+    from s2ray.kernel.coverer import covering_of
+
+    out = {}
+    for name, region in _cover_regions().items():
+        cov = cellunion.normalize(
+            covering_of(region, max_cells=COVER_REGIONS_MAX_CELLS))
+        out[name] = (cellid.range_min(cov), cellid.range_max(cov))
+    return out
+
+
+def _q_covering_member_join(sf_dir: str):
+    """Pages whose leaf cell lies in each region's covering cell-union
+    (the candidate-generation half of every spatial join, SURVEY par.2.8).
+    Oracle: independent SQL leaf-cell encoder + the covering's leaf
+    intervals as constants (the covering itself is pytest-verified)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    iv_ref = ray.put(_cover_intervals())
+
+    def stage(batch: pa.Table, iv_ref=iv_ref) -> pa.Table:
+        ivs = ray.get(iv_ref)
+        leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pids = batch["page_id"].to_numpy(zero_copy_only=False)
+        out_pid, out_reg = [], []
+        for name in sorted(ivs):
+            lo, hi = ivs[name]
+            # searchsorted over sorted disjoint [lo, hi] leaf intervals
+            pos = np.searchsorted(lo, leaf, side="right") - 1
+            ok = (pos >= 0) & (leaf <= hi[np.clip(pos, 0, len(hi) - 1)])
+            out_pid.append(pids[ok])
+            out_reg.extend([name] * int(ok.sum()))
+        return pa.table({
+            "page_id": pa.array(np.concatenate(out_pid)
+                                if out_pid else np.array([], dtype=np.int64)),
+            "region_id": pa.array(out_reg, type=pa.string()),
+        })
+
+    ds = pages_with_cells(sf_dir, token_level=None)
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+
+
 def _q_polyline_covering(sf_dir: str):
     """Covering tiles of the query polyline (raster<->vector for curves;
     S2-specific, rows-only, deterministic)."""
@@ -480,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pruned_moscow": _q_knn_pruned,
         "polyline_near": _q_polyline_near,
         "polyline_covering": _q_polyline_covering,
+        "covering_member_join": _q_covering_member_join,
+        "boolean_pip_join": _q_boolean_pip_join,
         "covering_setops": _q_covering_setops,
         "boolean_covering": _q_boolean_covering,
         "region_relations": _q_region_relations,
@@ -516,7 +610,61 @@ def _pages_cte() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from s2ray.functions.sqlgen import (polyline_distance_select,
+                                        s2_cell_select)
+    from s2ray.pipelines.polyline import Polyline
+
     cte = _pages_cte()
+    # flagship: level-8 tile counts, cell id/token from the independent SQL
+    # Hilbert encoder (bit-parity with the numpy kernel is itself pytest-
+    # checked in tests/test_oracle.py)
+    tile_counts_sql = (
+        f"{cte} SELECT cell_id, cell_token, count(*) AS n_pages FROM ("
+        + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
+        + ") GROUP BY cell_id, cell_token"
+    )
+    # covering-membership join: SQL leaf encoder + covering leaf intervals
+    # (query-geometry constants, like the pip_join plane coefficients)
+    member_selects = []
+    enc30 = s2_cell_select("SELECT page_id, lat, lng FROM pages_geo",
+                           level=30, token_col="_tok", id_col="leaf_id")
+    for name, (lo, hi) in sorted(_cover_intervals().items()):
+        ranges = " OR ".join(
+            f"(leaf_id >= CAST('{int(l)}' AS UBIGINT) AND "
+            f"leaf_id <= CAST('{int(h)}' AS UBIGINT))"
+            for l, h in zip(lo, hi))
+        member_selects.append(
+            f"SELECT page_id, '{name}' AS region_id FROM _enc "
+            f"WHERE {ranges}")
+    covering_member_sql = (
+        f"{cte}, _enc AS MATERIALIZED (SELECT page_id, leaf_id FROM "
+        f"({enc30})) " + " UNION ALL ".join(member_selects))
+    # boolean ops: engine tests membership in the ASSEMBLED polygons; the
+    # oracle combines the two INPUT polygons' pip expressions logically
+    from s2ray.kernel.pip import Loop
+    from s2ray.pipelines.spatial_join import loop_pip_sql
+
+    la = Loop.from_latlng_degrees(PIP_POLYS["moscow_sq"])
+    lb = Loop.from_latlng_degrees(BOOL_B_SQ)
+    ea = loop_pip_sql(la, lat_expr="radians(lat)", lng_expr="radians(lng)")
+    eb = loop_pip_sql(lb, lat_expr="radians(lat)", lng_expr="radians(lng)")
+    bool_selects = [
+        f"SELECT page_id, 'inter' AS region_id FROM pages_geo "
+        f"WHERE ({ea}) AND ({eb})",
+        f"SELECT page_id, 'union' AS region_id FROM pages_geo "
+        f"WHERE ({ea}) OR ({eb})",
+        f"SELECT page_id, 'diff' AS region_id FROM pages_geo "
+        f"WHERE ({ea}) AND NOT ({eb})",
+    ]
+    boolean_pip_sql = f"{cte} " + " UNION ALL ".join(bool_selects)
+    # polyline distance join: per-segment getDistance mirrored in SQL
+    line = Polyline.from_latlng_degrees(POLYLINE_DEG)
+    polyline_near_sql = (
+        f"{cte} SELECT page_id, round(dist_m, 3) AS dist_m FROM ("
+        + polyline_distance_select("SELECT page_id, lat, lng FROM pages_geo",
+                                   line)
+        + f") WHERE dist_m <= {POLYLINE_MAX_DIST_M!r}"
+    )
     rect = (
         f"{cte} SELECT page_id, url, lat, lng FROM pages_geo "
         f"WHERE lat >= {RECT['lat_lo']} AND lat <= {RECT['lat_hi']} "
@@ -602,11 +750,80 @@ SELECT doc_id,
        length(text) AS n_chars,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct_tokens,
-       list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
-         / greatest(1, len(toks)) AS avg_token_len
+       coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'),
+                0) * 1.0 / greatest(1, len(toks)) AS avg_token_len
 FROM (SELECT doc_id, text,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
       FROM documents)"""
+    # text-analysis oracles (semantics defined SQL-mirrorable; see text.py)
+    from s2ray.pipelines.text import LangId, fingerprint_sql
+
+    stop_in = ", ".join(f"'{w}'" for w in sorted(
+        "the a an and or of to in is are was were for on with as by at "
+        "from".split()))
+    quality_sql = f"""
+WITH q AS (
+  SELECT doc_id, len(toks) AS ntok, length(text) AS nchars,
+         length(text) - length(regexp_replace(text,
+             '[A-Za-z \\t\\n\\r\\x0b\\x0c]', '', 'g')) AS alpha_n,
+         len(list_filter(toks, x -> x IN ({stop_in}))) AS stop_n,
+         len(list_distinct(toks)) AS ndist,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS tokchars
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+), r AS (
+  SELECT doc_id,
+         CASE WHEN ntok = 0 THEN 0.0 ELSE stop_n / ntok END AS stop_ratio,
+         CASE WHEN ntok = 0 THEN 0.0
+              ELSE alpha_n / greatest(1, nchars) END AS alpha_ratio,
+         CASE WHEN ntok = 0 THEN 0.0 ELSE 1.0 - ndist / ntok END AS rep_ratio,
+         CASE WHEN ntok = 0 THEN 0.0 ELSE tokchars / ntok END AS mean_len
+  FROM q)
+SELECT doc_id, stop_ratio, alpha_ratio, rep_ratio,
+       least(greatest(alpha_ratio, 0), 1) * 0.4
+       + least(greatest(1.0 - rep_ratio * 2.0, 0), 1) * 0.3
+       + least(greatest(1.0 - abs(mean_len - 5.0) / 5.0, 0), 1) * 0.2
+       + least(greatest(stop_ratio * 5.0, 0), 1) * 0.1 AS quality
+FROM r"""
+    lang_cols = []
+    for lang in sorted(LangId.MARKERS):
+        words = ", ".join(f"'{w}'" for w in sorted(LangId.MARKERS[lang].split()))
+        lang_cols.append(f"len(list_filter(toks, x -> x IN ({words}))) "
+                         f"AS c_{lang}")
+    langid_sql = f"""
+WITH s AS (
+  SELECT doc_id, len(toks) AS ntok, {', '.join(lang_cols)},
+         length(substr(text, 1, 200)) AS hlen,
+         length(substr(text, 1, 200)) - length(regexp_replace(
+             substr(text, 1, 200), '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+           AS cjk_n
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+), r AS (
+  SELECT doc_id, ntok, hlen, cjk_n,
+         CASE WHEN ntok = 0 THEN 0.0 ELSE c_de / ntok END AS s_de,
+         CASE WHEN ntok = 0 THEN 0.0 ELSE c_en / ntok END AS s_en,
+         CASE WHEN ntok = 0 THEN 0.0 ELSE c_es / ntok END AS s_es,
+         CASE WHEN ntok = 0 THEN 0.0 ELSE c_fr / ntok END AS s_fr
+  FROM s
+), f AS (
+  SELECT *, greatest(s_de, s_en, s_es, s_fr) AS g FROM r)
+SELECT doc_id,
+       CASE WHEN cjk_n > hlen * 0.2 THEN 'zh'
+            WHEN ntok = 0 THEN 'und'
+            WHEN g > 0.02 THEN (CASE WHEN s_fr = g THEN 'fr'
+                                     WHEN s_es = g THEN 'es'
+                                     WHEN s_en = g THEN 'en' ELSE 'de' END)
+            ELSE 'und' END AS lang_pred,
+       CASE WHEN cjk_n > hlen * 0.2 THEN 1.0
+            WHEN ntok = 0 THEN 0.0 ELSE g END AS lang_conf
+FROM f"""
+    fingerprint_oracle = (f"SELECT doc_id, {fingerprint_sql('text')} "
+                          f"AS fingerprint FROM documents")
     rect_wrap = (
         f"{cte} SELECT page_id, lat, lng FROM pages_geo "
         f"WHERE lat >= {WRAP_RECT['lat_lo']} AND lat <= {WRAP_RECT['lat_hi']} "
@@ -680,6 +897,10 @@ FROM (
         ") GROUP BY label, dim"
     )
     return {
+        "tile_counts_l8": tile_counts_sql,
+        "covering_member_join": covering_member_sql,
+        "boolean_pip_join": boolean_pip_sql,
+        "polyline_near": polyline_near_sql,
         "rect_filter": rect,
         "rect_filter_wrap": rect_wrap,
         "knn_moscow": knn,
@@ -700,9 +921,14 @@ FROM (
         "emb_near_dup": emb_near_dup_sql,
         "knn_embeddings": knn_emb_sql,
         "text_stats": text_stats_sql,
-        # rows-only (not SQL-expressible): tile_counts_l8, polygon_covering
-        # (S2 tiling), minhash_pairs / simhash_pairs / lsh_knn (randomized
-        # sketch paths — verified against exact counterparts in pytest),
-        # quality_score / lang_id / fingerprint (heuristic / hash ops —
-        # determinism + invariants covered in pytest).
+        "quality_score": quality_sql,
+        "lang_id": langid_sql,
+        "fingerprint": fingerprint_oracle,
+        # rows-only (not SQL-expressible): polygon_covering /
+        # polyline_covering / covering_setops / boolean_covering /
+        # region_relations (RegionCoverer + polygon algebra — verified by
+        # pytest postcondition/containment suites), minhash_pairs /
+        # simhash_pairs / lsh_knn / emb_near_dup_lsh (sketch paths —
+        # recall vs their exact oracle-checked counterparts is
+        # pytest-asserted).
     }

@@ -1,0 +1,190 @@
+"""SQL (DuckDB) generators that mirror engine semantics for oracle checks.
+
+The driver runs ``oracle_sql()`` strings in its own DuckDB session (no UDFs
+available), so every oracle must be pure ANSI-ish SQL.  This module emits a
+*scalar, from-first-principles* re-implementation of the S2 point->cell-id
+chain (reference: S2CellId.php:99-106 fromPoint, S2Projections.php:155-271,
+S2CellId.php:650-698 fromFaceIJ) as nested SQL subselects, so the flagship
+tile aggregation can be verified end-to-end against an encoder that shares
+no code with the numpy kernel (s2ray/kernel/cellid.py).
+
+The Hilbert traversal here is the textbook bit-pair recurrence (orientation
+carried MSB-first, 2 bits per level) — deliberately NOT the 4-bit lookup
+tables the engine uses, so a table-construction bug cannot cancel out.
+
+Each stage is its own nested SELECT (not lateral alias chaining): DuckDB
+inlines alias references textually, which makes a chained recurrence
+exponentially large.
+"""
+
+from __future__ import annotations
+
+# Hilbert sub-cell order: position -> (i,j) per orientation, and the
+# orientation change per position.  These 20 numbers are the S2/Hilbert
+# curve definition itself (reference: S2.php:109-140).
+# IJ_TO_POS[orientation][ij] with ij = 2*i_bit + j_bit.
+_IJ_TO_POS = [
+    [0, 1, 3, 2],  # canonical
+    [0, 3, 1, 2],  # swap
+    [2, 3, 1, 0],  # invert
+    [2, 1, 3, 0],  # swap+invert
+]
+_POS_TO_ORIENTATION = [1, 0, 0, 3]  # SWAP, none, none, INVERT+SWAP
+
+_MAX_SIZE_HALF = 536870912          # 2^29
+_MAX_IJ = 1073741823                # 2^30 - 1
+_POW2_61 = 2305843009213693952
+
+
+def _step_case(o: str, ij2: str) -> str:
+    """One Hilbert step as a single 16-branch CASE returning the packed
+    value pos*4 + new_orientation (so each level is ONE nested SELECT with a
+    constant column count — deep nesting with growing SELECT * blows up the
+    DuckDB planner)."""
+    rows = []
+    for orient in range(4):
+        for ij in range(4):
+            pos = _IJ_TO_POS[orient][ij]
+            packed = pos * 4 + (orient ^ _POS_TO_ORIENTATION[pos])
+            rows.append(f"WHEN {o} = {orient} AND {ij2} = {ij} THEN {packed}")
+    return "CASE " + " ".join(rows) + " END"
+
+
+def s2_cell_select(inner_sql: str, level: int = 8, lat: str = "lat",
+                   lng: str = "lng", token_col: str = "cell_token",
+                   id_col: str | None = "cell_id") -> str:
+    """Wrap ``inner_sql`` (a relation with lat/lng degree columns) in nested
+    SELECTs appending the level-``level`` S2 cell columns.
+
+    Emits ``token_col`` (lowercase hex, trailing zeros stripped) and, when
+    ``id_col`` is set, the uint64 cell id.  The intermediate ``_``-prefixed
+    working columns are stripped in the final projection only if the caller
+    selects explicit columns afterwards; use :func:`s2_cell_query` for a
+    clean projection.
+    """
+    assert 1 <= level <= 30
+    q = f"SELECT *, radians({lat}) AS _phi, radians({lng}) AS _theta " \
+        f"FROM ({inner_sql})"
+    q = ("SELECT *, cos(_phi) * cos(_theta) AS _x, "
+         "cos(_phi) * sin(_theta) AS _y, sin(_phi) AS _z "
+         f"FROM ({q})")
+    # face = largestAbsComponent, +3 when that component is negative
+    # (S2Projections.php:265-271)
+    q = ("SELECT *, CASE WHEN abs(_x) > abs(_y) THEN "
+         "(CASE WHEN abs(_x) > abs(_z) THEN 0 ELSE 2 END) ELSE "
+         "(CASE WHEN abs(_y) > abs(_z) THEN 1 ELSE 2 END) END AS _f0 "
+         f"FROM ({q})")
+    q = ("SELECT *, CASE WHEN "
+         "(CASE _f0 WHEN 0 THEN _x WHEN 1 THEN _y ELSE _z END) < 0 "
+         f"THEN _f0 + 3 ELSE _f0 END AS _face FROM ({q})")
+    # validFaceXyzToUv (S2Projections.php:229-263)
+    q = ("SELECT *, "
+         "CASE _face WHEN 0 THEN _y/_x WHEN 1 THEN -_x/_y "
+         "WHEN 2 THEN -_x/_z WHEN 3 THEN _z/_x WHEN 4 THEN _z/_y "
+         "ELSE -_y/_z END AS _u, "
+         "CASE _face WHEN 0 THEN _z/_x WHEN 1 THEN _z/_y "
+         "WHEN 2 THEN -_y/_z WHEN 3 THEN _y/_x WHEN 4 THEN -_x/_y "
+         "ELSE -_x/_z END AS _v "
+         f"FROM ({q})")
+    # inverse quadratic projection uv->st (S2Projections.php:184-201)
+    q = ("SELECT *, "
+         "CASE WHEN _u >= 0 THEN sqrt(1 + 3*_u) - 1 "
+         "ELSE 1 - sqrt(1 - 3*_u) END AS _s, "
+         "CASE WHEN _v >= 0 THEN sqrt(1 + 3*_v) - 1 "
+         "ELSE 1 - sqrt(1 - 3*_v) END AS _t "
+         f"FROM ({q})")
+    # stToIJ with PHP round() = half-away-from-zero (S2CellId.php:811-819);
+    # identical float op order to kernel/cellid.py st_to_ij.
+    m = float(_MAX_SIZE_HALF)
+    q = (f"SELECT *, "
+         f"CAST(least(greatest(floor({m!r} * _s + {m - 0.5!r} + 0.5), 0), "
+         f"{_MAX_IJ}) AS BIGINT) AS _i, "
+         f"CAST(least(greatest(floor({m!r} * _t + {m - 0.5!r} + 0.5), 0), "
+         f"{_MAX_IJ}) AS BIGINT) AS _j "
+         f"FROM ({q})")
+    # Hilbert MSB-first bit-pair recurrence, one nested SELECT per level;
+    # each level carries a CONSTANT set of working columns (_i, _j, _o,
+    # accumulated _pos) via EXCLUDE, keeping the planner cost linear.
+    # NB: DuckDB resolves a name to the FROM column when one exists, and to
+    # a same-SELECT lateral alias otherwise — hence the alternating _hsA/_hsB
+    # names so each level's packed step value binds to the NEW alias while
+    # _o/_pos bind to the previous level's columns.
+    q = (f"SELECT *, _face & 1 AS _o, CAST(0 AS BIGINT) AS _pos, 0 AS _hsB "
+         f"FROM ({q})")
+    for k in range(1, level + 1):
+        cur, prev = ("_hsA", "_hsB") if k % 2 else ("_hsB", "_hsA")
+        shift = 30 - k
+        ij2 = f"(((_i >> {shift}) & 1) * 2 + ((_j >> {shift}) & 1))"
+        step = _step_case("_o", ij2)
+        q = (f"SELECT * EXCLUDE (_o, _pos, {prev}), {step} AS {cur}, "
+             f"_pos * 4 + ({cur} >> 2) AS _pos, {cur} & 3 AS _o "
+             f"FROM ({q})")
+    # id = face<<61 | pos<<(2*(30-level)+1) | 1<<(2*(30-level));
+    # token = 16-digit hex with trailing zeros stripped.  When the lsb shift
+    # is a multiple of 4 the token is exactly the zero-padded hex of the top
+    # bits as a plain BIGINT (face<<(2*level+1) | pos<<1 | 1 — always odd).
+    lsb_shift = 2 * (30 - level)
+    outs = []
+    if lsb_shift % 4 == 0 and lsb_shift > 0:
+        ndigits = (64 - lsb_shift) // 4
+        outs.append(f"printf('%0{ndigits}x', _face * {1 << (2 * level + 1)}"
+                    f" + _pos * 2 + 1) AS {token_col}")
+    else:
+        outs.append(f"rtrim(lower(lpad(to_hex(CAST(CAST(_face AS HUGEINT) * "
+                    f"{_POW2_61} + CAST(_pos AS HUGEINT) * "
+                    f"{1 << (lsb_shift + 1)} + {1 << lsb_shift} AS UBIGINT))"
+                    f", 16, '0')), '0') AS {token_col}")
+    if id_col:
+        outs.append(f"CAST(CAST(_face AS HUGEINT) * {_POW2_61} + "
+                    f"CAST(_pos AS HUGEINT) * {1 << (lsb_shift + 1)} + "
+                    f"{1 << lsb_shift} AS UBIGINT) AS {id_col}")
+    return f"SELECT *, {', '.join(outs)} FROM ({q})"
+
+
+def polyline_distance_select(inner_sql: str, polyline, lat: str = "lat",
+                             lng: str = "lng", radius_m: float = 6371000.0,
+                             dist_col: str = "dist_m") -> str:
+    """Wrap ``inner_sql`` in SELECTs appending the min spherical distance
+    (meters) from each (lat, lng) row to ``polyline``.
+
+    Mirrors edges.distance_point_to_edge (reference S2EdgeUtil::getDistance,
+    S2EdgeUtil.php:281-309) per segment with identical float op order:
+    wedge test via two simpleCCW determinants, great-circle arcsin inside
+    the wedge, chord->angle endpoint distance outside.  Segment endpoint /
+    cross-product constants are inlined (they are query-geometry constants,
+    like the pip_join plane coefficients).
+    """
+    import numpy as np
+
+    q = (f"SELECT *, cos(radians({lat})) * cos(radians({lng})) AS _px, "
+         f"cos(radians({lat})) * sin(radians({lng})) AS _py, "
+         f"sin(radians({lat})) AS _pz FROM ({inner_sql})")
+    v = polyline.vertices
+    dist_cols = []
+    for k in range(len(v) - 1):
+        a, b = v[k], v[k + 1]
+        cp = np.asarray(polyline._seg_cross[k], dtype=np.float64)
+        ncp = float(np.linalg.norm(cp))
+        ax, ay, az = (repr(float(t)) for t in a)
+        bx, by, bz = (repr(float(t)) for t in b)
+        cx, cy, cz = (repr(float(t)) for t in cp)
+        # det(cp, a, x) = dot(cross(x, cp), a) > 0  AND
+        # det(x, b, cp) = dot(cross(cp, x), b) > 0
+        w1 = (f"((_py * {cz} - _pz * {cy}) * {ax} + "
+              f"(_pz * {cx} - _px * {cz}) * {ay} + "
+              f"(_px * {cy} - _py * {cx}) * {az})")
+        w2 = (f"(({cy} * _pz - {cz} * _py) * {bx} + "
+              f"({cz} * _px - {cx} * _pz) * {by} + "
+              f"({cx} * _py - {cy} * _px) * {bz})")
+        sin_dist = (f"abs(_px * {cx} + _py * {cy} + _pz * {cz}) / {ncp!r}")
+        d_gc = f"asin(least(1.0, {sin_dist}))"
+        da2 = (f"((_px - {ax}) * (_px - {ax}) + (_py - {ay}) * (_py - {ay})"
+               f" + (_pz - {az}) * (_pz - {az}))")
+        db2 = (f"((_px - {bx}) * (_px - {bx}) + (_py - {by}) * (_py - {by})"
+               f" + (_pz - {bz}) * (_pz - {bz}))")
+        d_end = f"2.0 * asin(least(1.0, 0.5 * sqrt(least({da2}, {db2}))))"
+        q = (f"SELECT *, CASE WHEN {w1} > 0 AND {w2} > 0 THEN {d_gc} "
+             f"ELSE {d_end} END AS _seg{k} FROM ({q})")
+        dist_cols.append(f"_seg{k}")
+    return (f"SELECT *, least({', '.join(dist_cols)}) * {radius_m!r} "
+            f"AS {dist_col} FROM ({q})")

@@ -196,7 +196,12 @@ class Loop:
             return False
         if self._crosses_cell_boundary(cell):
             return False
-        # a loop lying wholly inside the cell would leave cell vertices outside
+        # An inverted loop (area > 2pi) can have all cell vertices inside and
+        # no boundary crossing while its ring — the hole — sits wholly inside
+        # the cell; a boundary vertex inside the cell detects that case
+        # (reference S2Loop::contains(S2Cell) via full containment check).
+        if self._any_vertex_in_cell(cell):
+            return False
         return True
 
     # -- loop-pair relations (spec S2Loop.php:365-522, 880-912) -------------

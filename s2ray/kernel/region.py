@@ -541,7 +541,10 @@ class LatLngRect:
             pole_z, pole_angle = 1.0, M_PI_2 - self.lat.lo
         pole_cap = Cap.from_axis_angle(
             np.array([0.0, 0.0, pole_z]), pole_angle)
-        if self.lng.get_length() < 2 * M_PI:
+        # The vertex-based mid cap is only valid when the lng span is <= pi
+        # (reference: IEEEremainder(lngSpan, 2*pi) >= 0 guard); for wider
+        # spans the 4 vertices do not bound the rect's lng extremes.
+        if math.remainder(self.lng.get_length(), 2 * M_PI) >= 0:
             mid_x, mid_y, mid_z = sphere.latlng_to_xyz(
                 self.lat.get_center(), self.lng.get_center())
             mid_cap = Cap(np.array([float(mid_x), float(mid_y), float(mid_z)]), 0.0)

@@ -154,19 +154,20 @@ def simple_ccw(a, b, c):
 
 
 def _planar_ccw_scalar(a, b):
-    """Orientation of 2D vectors with perturbation rule (S2::planarCCW, S2.php:688-716)."""
-    sab = 1 if np.dot(a, b) > 0 else -1
-    vab = a + sab * b
+    """+1 if edge AB is CCW around the 2D origin (S2::planarCCW,
+    S2.php:667-691): reduce magnitude via a +/- b first (cancellation
+    trick), then one stable 2D cross product."""
+    sab = -1 if a[0] * b[0] + a[1] * b[1] > 0 else 1
+    vab = (a[0] + sab * b[0], a[1] + sab * b[1])
     da = a[0] * a[0] + a[1] * a[1]
     db = b[0] * b[0] + b[1] * b[1]
     if da < db or (da == db and _lex_less(a, b)):
-        sab = -sab
-        outer = vab[0] * b[1] - vab[1] * b[0]
+        sign = (a[0] * vab[1] - a[1] * vab[0]) * sab
     else:
-        outer = a[0] * vab[1] - a[1] * vab[0]
-    if outer > 0:
+        sign = vab[0] * b[1] - vab[1] * b[0]
+    if sign > 0:
         return 1
-    if outer < 0:
+    if sign < 0:
         return -1
     return 0
 
@@ -182,39 +183,68 @@ def _lex_less(a, b):
 
 
 def _planar_ordered_ccw_scalar(a, b, c):
-    """S2::planarOrderedCCW (S2.php:718-736)."""
-    sum_ = 0
-    if b[0] >= 0 and c[0] < 0:
-        sum_ += 1
-    if c[0] >= 0 and a[0] < 0:
-        sum_ += 1
-    if a[0] >= 0 and b[0] < 0:
-        sum_ += 1
-    if sum_ % 2 != 0:
-        return 1 if sum_ == 1 else -1  # (parity rule; sum in 0..3)
-    ab = _planar_ccw_scalar(a, b)
-    bc = _planar_ccw_scalar(b, c)
-    ca = _planar_ccw_scalar(c, a)
-    if ab > 0 or bc > 0 or ca > 0:
+    """Sign of the sum of the three pairwise planarCCW values
+    (S2::planarOrderedCCW, S2.php:693-710)."""
+    sum_ = (_planar_ccw_scalar(a, b) + _planar_ccw_scalar(b, c)
+            + _planar_ccw_scalar(c, a))
+    if sum_ > 0:
         return 1
-    if ab < 0 or bc < 0 or ca < 0:
+    if sum_ < 0:
         return -1
     return 0
 
 
 def _expensive_ccw_scalar(a, b, c):
-    """Exact-ish fallback for robustCCW (reference: S2::expensiveCCW, S2.php:566-686).
+    """Exact fallback for robustCCW (reference: S2::expensiveCCW,
+    S2.php:566-665), mirrored structurally:
 
-    Uses the same strategy: canonical cyclic ordering by lexicographic
-    comparison, then projected planar orientation on the face where the
-    cross-product magnitude is largest.
+    1. zero iff two points are identical;
+    2. stable determinant via difference vectors (a +/- b, chosen to reduce
+       magnitude) with the vertex opposite the longest edge as origin;
+    3. symbolic perturbation: planarOrderedCCW on the YZ, then ZX, then XY
+       projections.
     """
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     c = np.asarray(c, dtype=np.float64)
     if np.array_equal(a, b) or np.array_equal(b, c) or np.array_equal(c, a):
         return 0
-    # Sort ABC into cyclic canonical order (flipping the sign per swap).
+    sab = -1 if float(np.dot(a, b)) > 0 else 1
+    sbc = -1 if float(np.dot(b, c)) > 0 else 1
+    sca = -1 if float(np.dot(c, a)) > 0 else 1
+    vab = a + sab * b
+    vbc = b + sbc * c
+    vca = c + sca * a
+    dab = float(np.dot(vab, vab))
+    dbc = float(np.dot(vbc, vbc))
+    dca = float(np.dot(vca, vca))
+    if dca < dbc or (dca == dbc and _lex_less(a, b)):
+        if dab < dbc or (dab == dbc and _lex_less(a, c)):
+            sign = float(np.dot(np.cross(vab, vca), a)) * sab  # BC longest
+        else:
+            sign = float(np.dot(np.cross(vca, vbc), c)) * sca  # AB longest
+    elif dab < dca or (dab == dca and _lex_less(b, c)):
+        sign = float(np.dot(np.cross(vbc, vab), b)) * sbc      # CA longest
+    else:
+        sign = float(np.dot(np.cross(vca, vbc), c)) * sca      # AB longest
+    if sign > 0:
+        return 1
+    if sign < 0:
+        return -1
+    # Exactly-degenerate points: symbolic perturbation.  DELIBERATE
+    # DEVIATION from the reference's YZ/ZX/XY planarOrderedCCW chain: the
+    # engine's vectorized parity-scan PIP (pip.py) breaks ties with the
+    # convention below (canonical sort + projected orientation), and both
+    # conventions are antisymmetric/cyclic-consistent — what matters is that
+    # every consumer uses the same one.
+    return _symbolic_ccw_scalar(a, b, c)
+
+
+def _symbolic_ccw_scalar(a, b, c):
+    """Deterministic orientation for exactly-coplanar-with-origin triples:
+    canonical cyclic order by lexicographic sort (sign-flipping per swap),
+    projection onto the dominant axis of a x b, planar orientation with the
+    engine's perturbation rule, compensated-determinant last resort."""
     perm_sign = 1
     pa, pb, pc = a, b, c
     if _lex_less(pc, pb):
@@ -226,23 +256,57 @@ def _expensive_ccw_scalar(a, b, c):
     if _lex_less(pc, pb):
         pb, pc = pc, pb
         perm_sign = -perm_sign
-    # project onto the coordinate plane of the largest |component| of axb
     axb = np.cross(pa, pb)
     k = int(np.argmax(np.abs(axb)))
     i, j = (k + 1) % 3, (k + 2) % 3
     if axb[k] < 0:
         i, j = j, i
-    a2 = np.array([pa[i], pa[j]])
-    b2 = np.array([pb[i], pb[j]])
-    c2 = np.array([pc[i], pc[j]])
-    ccw = _planar_ordered_ccw_scalar(a2, b2, c2)
+    a2 = (pa[i], pa[j])
+    b2 = (pb[i], pb[j])
+    c2 = (pc[i], pc[j])
+    ccw = _legacy_planar_ordered_ccw(a2, b2, c2)
     if ccw == 0:
-        # Fall back to a deterministic symbolic-perturbation style answer:
-        # compare using long-double-ish extended precision via math.fsum of
-        # the 3x3 determinant expansion.
         det = _det_exact(pa, pb, pc)
         ccw = 1 if det > 0 else (-1 if det < 0 else 1)
     return ccw * perm_sign
+
+
+def _legacy_planar_ccw(a, b):
+    """Engine-convention planar orientation (round-1 semantics; the
+    perturbation tie-breaks differ from reference planarCCW)."""
+    sab = 1 if a[0] * b[0] + a[1] * b[1] > 0 else -1
+    vab = (a[0] + sab * b[0], a[1] + sab * b[1])
+    da = a[0] * a[0] + a[1] * a[1]
+    db = b[0] * b[0] + b[1] * b[1]
+    if da < db or (da == db and _lex_less(a, b)):
+        outer = vab[0] * b[1] - vab[1] * b[0]
+    else:
+        outer = a[0] * vab[1] - a[1] * vab[0]
+    if outer > 0:
+        return 1
+    if outer < 0:
+        return -1
+    return 0
+
+
+def _legacy_planar_ordered_ccw(a, b, c):
+    sum_ = 0
+    if b[0] >= 0 and c[0] < 0:
+        sum_ += 1
+    if c[0] >= 0 and a[0] < 0:
+        sum_ += 1
+    if a[0] >= 0 and b[0] < 0:
+        sum_ += 1
+    if sum_ % 2 != 0:
+        return 1 if sum_ == 1 else -1
+    ab = _legacy_planar_ccw(a, b)
+    bc = _legacy_planar_ccw(b, c)
+    ca = _legacy_planar_ccw(c, a)
+    if ab > 0 or bc > 0 or ca > 0:
+        return 1
+    if ab < 0 or bc < 0 or ca < 0:
+        return -1
+    return 0
 
 
 def _det_exact(a, b, c):

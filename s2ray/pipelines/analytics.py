@@ -214,6 +214,15 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, n_parts: int = 64):
             "part", pa.array((uid % n_parts).astype(np.int32)))
 
     def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            # typed empty frame (Ray probes map_groups with empty blocks;
+            # untyped empties emit mixed-schema RefBundle warnings)
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "session_start": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype=np.int64),
+                "duration_s": pd.Series(dtype=np.int64),
+            })
         df = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
         ts_s = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
         uid = df["user_id"].to_numpy()

@@ -50,6 +50,82 @@ def hash_tokens(tokens: list[str]) -> np.ndarray:
     return out
 
 
+def _hash_tokens_batch(texts) -> tuple[np.ndarray, np.ndarray, int]:
+    """Whitespace-tokenize a batch of texts and hash every token.
+
+    Vectorized: Arrow split + dictionary-encode, so the crc32 pair runs once
+    per UNIQUE token, then fans out through the code array.  Returns
+    (row_idx, token_hashes, n_rows), doc-major order — identical values to
+    per-doc ``hash_tokens(t.split())``.
+    """
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(list(texts), type=pa.string())
+    split = pc.utf8_split_whitespace(arr)
+    flat = split.flatten()
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    row_idx = np.repeat(np.arange(len(arr), dtype=np.int64), np.diff(offs))
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row_idx = row_idx[mask]
+    flat = flat.filter(pa.array(mask))
+    d = flat.dictionary_encode()
+    codes = np.asarray(d.indices, dtype=np.int64)
+    uniq = d.dictionary.to_pylist()
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for t, tok in enumerate(uniq):
+        b = tok.encode()
+        uh[t] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    return row_idx, uh[codes], len(arr)
+
+
+def _shingle_hashes_batch(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct word-k-gram shingle hashes for a whole batch at once.
+
+    Returns (row_idx, sh) sorted by (row, hash) with per-row duplicates
+    removed — value-identical to calling :func:`shingle_hashes` per doc.
+    The k-gram mix runs on the flat token-hash array with windows that span
+    document boundaries masked out; docs with < k tokens get the short-doc
+    fallback hash.
+    """
+    row_idx, th, n = _hash_tokens_batch(texts)
+    n_tok = np.bincount(row_idx, minlength=n)
+    with np.errstate(over="ignore"):
+        if len(th) >= k:
+            sh = th[: len(th) - k + 1].copy()
+            for j in range(1, k):
+                sh = (sh * _MIX1) ^ th[j: len(th) - k + 1 + j]
+            sh = (sh ^ (sh >> np.uint64(29))) * _MIX2
+            valid = row_idx[: len(th) - k + 1] == row_idx[k - 1:]
+            srow = row_idx[: len(th) - k + 1][valid]
+            sh = sh[valid]
+        else:
+            srow = np.empty(0, dtype=np.int64)
+            sh = np.empty(0, dtype=np.uint64)
+        # short docs (< k tokens, incl. empty): sequential fold fallback
+        short = np.flatnonzero(n_tok < k)
+        if len(short):
+            starts = np.concatenate([[0], np.cumsum(n_tok)]).astype(np.int64)
+            extra_h = np.empty(len(short), dtype=np.uint64)
+            for t, r in enumerate(short):
+                h = np.uint64(0x84222325)
+                for v in th[starts[r]:starts[r + 1]]:
+                    h = (h ^ v) * _MIX1
+                extra_h[t] = h
+            srow = np.concatenate([srow, short])
+            sh = np.concatenate([sh, extra_h])
+    # distinct per row + doc-major order: one global sort on (row, hash)
+    order = np.lexsort((sh, srow))
+    srow, sh = srow[order], sh[order]
+    if len(sh):
+        keep = np.concatenate([[True],
+                               (srow[1:] != srow[:-1]) | (sh[1:] != sh[:-1])])
+        srow, sh = srow[keep], sh[keep]
+    return srow, sh
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Distinct word-k-gram shingle hashes (vectorized mix of token hashes).
 
@@ -60,8 +136,9 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     th = hash_tokens(words)
     if len(words) < k:
         h = np.uint64(0x84222325)
-        for v in th:
-            h = (h ^ v) * _MIX1
+        with np.errstate(over="ignore"):
+            for v in th:
+                h = (h ^ v) * _MIX1
         return np.array([h], dtype=np.uint64)
     with np.errstate(over="ignore"):
         sh = th[: len(th) - k + 1].copy()
@@ -194,16 +271,18 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
         ~P rows per batch instead of one row per posting (Ray's sort
         shuffle costs ~80us/row; postings are numerous)."""
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= 1 << 32):
+            # pair keys are packed as i << 32 | j downstream; ids outside
+            # uint32 would silently merge distinct pairs
+            raise ValueError(
+                "near_dup_pairs_exact requires doc ids in [0, 2^32); "
+                f"got range [{ids.min()}, {ids.max()}]")
         texts = batch[text_col].to_pandas()
-        sh_all, doc_all, size_all = [], [], []
-        for i, t in zip(ids, texts):
-            sh = shingle_hashes(t, k)
-            sh_all.append(sh)
-            doc_all.append(np.full(len(sh), i, dtype=np.int64))
-            size_all.append(np.full(len(sh), len(sh), dtype=np.int64))
-        sh = _keys.to_key(np.concatenate(sh_all))
-        doc = np.concatenate(doc_all)
-        sz = np.concatenate(size_all)
+        srow, sh_flat = _shingle_hashes_batch(texts, k)
+        sizes = np.bincount(srow, minlength=len(ids)).astype(np.int64)
+        sh = _keys.to_key(sh_flat)
+        doc = ids[srow].astype(np.int64)
+        sz = sizes[srow]
         part = (sh % _N_PAIR_PARTITIONS).astype(np.int32)
         order = np.argsort(part, kind="stable")
         sh, doc, sz, part = sh[order], doc[order], sz[order], part[order]
@@ -333,6 +412,43 @@ def minhash_signature(sh: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
+def _minhash_signatures_flat(srow: np.ndarray, sh: np.ndarray,
+                             n: int) -> np.ndarray:
+    """(n, n_perm) signatures for a whole batch from doc-major flat shingle
+    hashes — value-identical to per-doc :func:`minhash_signature` (same
+    uint64 wrap + mod ops), via minimum.reduceat over doc segments.  Perms
+    are processed in groups of 8 to bound the intermediate matrix.
+    """
+    counts = np.bincount(srow, minlength=n)
+    assert (counts > 0).all(), "every doc must have >= 1 shingle"
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    x = sh & _MERSENNE61
+    sigs = np.empty((n, _N_PERM), dtype=np.uint64)
+    step = 8
+    with np.errstate(over="ignore"):
+        for p0 in range(0, _N_PERM, step):
+            vals = (x[:, None] * _PERM_A[None, p0:p0 + step]
+                    + _PERM_B[None, p0:p0 + step]) % _MERSENNE61
+            sigs[:, p0:p0 + step] = np.minimum.reduceat(vals, starts, axis=0)
+    return sigs
+
+
+def _band_keys(sigs: np.ndarray) -> np.ndarray:
+    """(n, n_bands) uint64 bucket keys: multiply-xor mix of each band's
+    signature rows, vectorized across docs (replaces the per-doc-per-band
+    blake2b calls)."""
+    nb = _N_PERM // _BAND_ROWS
+    out = np.empty((len(sigs), nb), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for band in range(nb):
+            h = np.full(len(sigs), np.uint64(0x84222325) ^ np.uint64(band + 1),
+                        dtype=np.uint64)
+            for c in range(_BAND_ROWS):
+                h = (h ^ sigs[:, band * _BAND_ROWS + c]) * _MIX1
+            out[:, band] = (h ^ (h >> np.uint64(29))) * _MIX2
+    return out
+
+
 def minhash_lsh_pairs(ds, tau: float = 0.5, k: int = 3,
                       id_col: str = "doc_id", text_col: str = "text"):
     """Near-dup candidate pairs via banded MinHash-LSH.
@@ -348,21 +464,19 @@ def minhash_lsh_pairs(ds, tau: float = 0.5, k: int = 3,
     n_bands = _N_PERM // _BAND_ROWS
 
     def to_bands(batch: pa.Table) -> pa.Table:
+        from ..kernel import keys as _keys
+
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pandas()
-        rows_band, rows_doc, rows_sig = [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(shingle_hashes(t, k))
-            for band in range(n_bands):
-                chunk = sig[band * _BAND_ROWS:(band + 1) * _BAND_ROWS]
-                key = fnv1a_bytes(chunk.tobytes(), seed=band + 1)
-                rows_band.append(np.int64(key - (1 << 63)))
-                rows_doc.append(i)
-                rows_sig.append(sig.tobytes())
+        srow, sh_flat = _shingle_hashes_batch(texts, k)
+        sigs = _minhash_signatures_flat(srow, sh_flat, len(ids))
+        bk = _keys.to_key(_band_keys(sigs).reshape(-1))   # doc-major
+        sig_bytes = np.array([s.tobytes() for s in sigs], dtype=object)
         return pa.table({
-            "band_key": pa.array(rows_band, type=pa.int64()),
-            "doc": pa.array(rows_doc, type=pa.int64()),
-            "sig": pa.array(rows_sig, type=pa.binary()),
+            "band_key": pa.array(bk, type=pa.int64()),
+            "doc": pa.array(np.repeat(ids, n_bands), type=pa.int64()),
+            "sig": pa.array(np.repeat(sig_bytes, n_bands).tolist(),
+                            type=pa.binary()),
         })
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -402,6 +516,19 @@ def minhash_lsh_pairs(ds, tau: float = 0.5, k: int = 3,
 # ---------------------------------------------------------------------------
 # SimHash
 
+def _simhash_batch(row_idx: np.ndarray, th: np.ndarray, n: int) -> np.ndarray:
+    """(n,) uint64 SimHashes for a batch from doc-major flat token hashes —
+    value-identical to per-doc :func:`simhash64`.  Per-bit one-counts via
+    weighted bincount (64 C passes), majority = 2*ones > n_tokens."""
+    n_tok = np.bincount(row_idx, minlength=n).astype(np.int64)
+    sims = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        bit = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+        ones = np.bincount(row_idx, weights=bit, minlength=n)
+        sims |= (2 * ones > n_tok).astype(np.uint64) << np.uint64(b)
+    return sims
+
+
 def simhash64(tokens_hashes: np.ndarray) -> int:
     """64-bit SimHash of token hashes (majority vote per bit)."""
     if len(tokens_hashes) == 0:
@@ -430,20 +557,19 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     def to_chunks(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pandas()
-        c_chunk, c_val, c_doc, c_sim = [], [], [], []
-        for i, t in zip(ids, texts):
-            sh = simhash64(hash_tokens(t.split()))
-            for c in range(4):
-                c_chunk.append(c)
-                c_val.append((sh >> (16 * c)) & 0xFFFF)
-                c_doc.append(i)
-                c_sim.append(sh - (1 << 63))
-        bucket = (np.asarray(c_chunk, dtype=np.int64) << 32) \
-            | np.asarray(c_val, dtype=np.int64)
+        row_idx, th, n = _hash_tokens_batch(texts)
+        sims = _simhash_batch(row_idx, th, n)
+        # 4 x 16-bit chunk rows per doc, doc-major
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        vals = ((sims[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        chunk_no = np.broadcast_to(np.arange(4, dtype=np.int64)[None, :],
+                                   vals.shape)
+        bucket = (chunk_no << 32) | vals
+        sim_signed = (sims ^ np.uint64(1 << 63)).view(np.int64)
         return pa.table({
-            "bucket": pa.array(bucket, type=pa.int64()),
-            "doc": pa.array(c_doc, type=pa.int64()),
-            "sim": pa.array(c_sim, type=pa.int64()),
+            "bucket": pa.array(bucket.reshape(-1), type=pa.int64()),
+            "doc": pa.array(np.repeat(ids, 4), type=pa.int64()),
+            "sim": pa.array(np.repeat(sim_signed, 4), type=pa.int64()),
         })
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:

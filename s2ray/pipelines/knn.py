@@ -50,40 +50,48 @@ def knn_pages_pruned(pages_ds, qlat: float, qlng: float, k: int = 10,
     """
     import ray
 
-    from ..kernel import cellunion
+    from ..kernel import cellunion, sphere
     from ..kernel.coverer import covering_of
     from ..kernel.region import Cap
 
     cols = list(keep_cols)
-    radius = init_radius_m
-    cover = None
-    while radius <= max_radius_m:
-        cap = Cap.from_latlng_radius(qlat, qlng, radius)
-        cover = cellunion.normalize(covering_of(cap, max_cells=16))
-        cover_ref = ray.put(cover)
+    # ONE statistics pass: per-batch histogram of exact distances against
+    # the whole geometric radius ladder at once (the old design re-scanned
+    # the dataset once per radius doubling — up to ~9 full scans).  The
+    # pass projects only lat/lng, so on a parquet source only those columns
+    # leave storage.
+    radii = []
+    r = init_radius_m
+    while r < max_radius_m:
+        radii.append(r)
+        r *= 2.0
+    radii.append(max_radius_m)
+    edges = np.asarray(radii, dtype=np.float64)
 
-        def count_stage(batch: pa.Table, cover_ref=cover_ref,
-                        radius=radius) -> pa.Table:
-            cov = ray.get(cover_ref)
-            leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            mask = cellunion.contains_leaf_ids(cov, leaf)
-            # exact within-radius count (covering membership alone is a
-            # superset and would not guarantee the kth neighbor is inside)
-            sub = batch.filter(pa.array(mask))
-            if len(sub):
-                sub = haversine_batch(sub, qlat, qlng)
-                n = int((sub["dist_m"].to_numpy(zero_copy_only=False)
-                         <= radius).sum())
-            else:
-                n = 0
-            return pa.table({"n": pa.array([n], type=pa.int64())})
+    def count_stage(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        d = sphere.haversine_distance_m(np.radians(lat), np.radians(lng),
+                                        np.radians(qlat), np.radians(qlng))
+        # counts[i] = #points with d <= edges[i]
+        idx = np.searchsorted(edges, d, side="left")
+        h = np.bincount(idx, minlength=len(edges) + 1)[:len(edges)]
+        cum = np.cumsum(h).astype(np.int64)
+        return pa.table({f"n{i}": pa.array([int(cum[i])], type=pa.int64())
+                         for i in range(len(edges))})
 
-        n_cand = (pages_ds.map_batches(count_stage, batch_format="pyarrow",
-                                       batch_size=None).sum("n"))
-        if n_cand >= k or radius >= max_radius_m:
+    sums = (pages_ds.select_columns(["lat", "lng"])
+            .map_batches(count_stage, batch_format="pyarrow",
+                         batch_size=None)
+            .sum([f"n{i}" for i in range(len(edges))]))
+    radius = float(edges[-1])
+    for i, e_ in enumerate(edges):
+        if sums[f"sum(n{i})"] >= k:
+            radius = float(e_)
             break
-        radius *= 2.0
 
+    cap = Cap.from_latlng_radius(qlat, qlng, radius)
+    cover = cellunion.normalize(covering_of(cap, max_cells=16))
     cover_ref = ray.put(cover)
 
     def filter_stage(batch: pa.Table, cover_ref=cover_ref) -> pa.Table:

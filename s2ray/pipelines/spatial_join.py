@@ -289,7 +289,11 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
                 hit["region_id"] = rid
                 outs.append(hit)
         if not outs:
-            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols + ["region_id"]})
+            # typed empty frame: mixed-schema RefBundles trip Ray's schema
+            # dedup and can mis-type downstream blocks
+            return pd.DataFrame(
+                {c: pd.Series(dtype=df[c].dtype if c in df else object)
+                 for c in cols} | {"region_id": pd.Series(dtype=object)})
         return pd.concat(outs, ignore_index=True)
 
     return (

@@ -1,8 +1,16 @@
 """Text-analysis operators: token stats, quality scoring, language ID,
 document fingerprinting.
 
-All stateless vectorized ``map_batches`` stages except LangId (actor pool:
-marker sets built once per actor in __init__).
+All stages are fully vectorized (Arrow compute kernels + dictionary-encoded
+token codes + numpy bincount) — no per-row Python loops — and their
+semantics are chosen to be SQL-mirrorable so every operator has a DuckDB
+oracle (see __ray_entry__.oracle_sql and s2ray/functions/sqlgen.py):
+
+- tokens   = whitespace-split non-empty (== regexp_split_to_array '\\s+')
+- alpha    = ASCII [A-Za-z] + ASCII whitespace, counted in characters
+- langid   = marker-token ratio argmax, ties -> lexicographically largest
+- fingerprint = order-sensitive dual 31-bit polynomial rolling hash over
+  the codepoints of the whitespace-normalized text, packed to 62 bits
 """
 
 from __future__ import annotations
@@ -11,26 +19,65 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import fnv1a_bytes
+# rolling-hash parameters (fingerprint): two 31-bit Mersenne-mod polynomial
+# hashes with distinct multipliers, packed as fp1 << 31 | fp2.  31-bit lanes
+# keep every intermediate in int64 in BOTH numpy and DuckDB BIGINT.
+FP_MOD = 2147483647        # 2^31 - 1
+FP_MUL1 = 1000003
+FP_MUL2 = 8191
+
+
+def _string_array(col) -> pa.StringArray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+def _token_codes(texts: pa.StringArray, lower: bool = False):
+    """Tokenize (whitespace-split, non-empty) a string column, vectorized.
+
+    Returns (row_idx, codes, uniques, n_tokens): per-token row index and
+    dictionary code, the unique-token strings, and per-row token counts.
+    """
+    if lower:
+        texts = pc.utf8_lower(texts)
+    split = pc.utf8_split_whitespace(texts)
+    flat = split.flatten()
+    n = len(texts)
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    mask = np.asarray(pc.not_equal(flat, "").combine_chunks(), dtype=bool) \
+        if isinstance(flat, pa.ChunkedArray) else \
+        pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row_idx = row_idx[mask]
+    flat = flat.filter(pa.array(mask))
+    dict_arr = flat.dictionary_encode()
+    codes = np.asarray(dict_arr.indices, dtype=np.int64)
+    uniques = np.asarray(dict_arr.dictionary, dtype=object)
+    n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+    return row_idx, codes, uniques, n_tokens, flat
+
+
+def _distinct_per_row(row_idx, codes, n_uniq, n_rows):
+    """Distinct-code count per row via one np.unique over packed keys."""
+    if len(row_idx) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    key = row_idx * np.int64(max(1, n_uniq)) + codes
+    uk = np.unique(key)
+    return np.bincount(uk // np.int64(max(1, n_uniq)),
+                       minlength=n_rows).astype(np.int64)
 
 
 def text_stats(batch: pa.Table, id_col: str = "doc_id",
                text_col: str = "text") -> pa.Table:
-    """(id, n_chars, n_tokens, n_distinct_tokens, avg_token_len).
-
-    Semantics chosen to be SQL-mirrorable: tokens = whitespace-split
-    non-empty; avg_token_len = sum(len(token)) / n_tokens as float64.
-    """
-    texts = batch[text_col].to_pandas()
-    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
-    n_tokens = np.empty(len(texts), dtype=np.int64)
-    n_distinct = np.empty(len(texts), dtype=np.int64)
-    tok_chars = np.empty(len(texts), dtype=np.int64)
-    for k, t in enumerate(texts):
-        toks = t.split()
-        n_tokens[k] = len(toks)
-        n_distinct[k] = len(set(toks))
-        tok_chars[k] = sum(len(w) for w in toks)
+    """(id, n_chars, n_tokens, n_distinct_tokens, avg_token_len)."""
+    texts = _string_array(batch[text_col])
+    n = len(texts)
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_idx, codes, uniques, n_tokens, flat = _token_codes(texts)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_chars = np.bincount(row_idx, weights=tok_len, minlength=n).astype(np.int64)
+    n_distinct = _distinct_per_row(row_idx, codes, len(uniques), n)
     avg_len = tok_chars.astype(np.float64) / np.maximum(1, n_tokens)
     return pa.table({
         id_col: batch[id_col],
@@ -44,27 +91,38 @@ def text_stats(batch: pa.Table, id_col: str = "doc_id",
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were for on with as by at from".split())
 
+# ASCII alpha + ASCII whitespace, one RE2 char class (count == #matching
+# chars because every match is a single character)
+_ALPHA_CLASS = "[A-Za-z \\t\\n\\r\\x0b\\x0c]"
+
 
 def quality_score(batch: pa.Table, id_col: str = "doc_id",
                   text_col: str = "text") -> pa.Table:
     """Heuristic quality signals: stopword ratio, alpha ratio, mean word
-    length, repetition ratio + a combined [0,1] score."""
-    texts = batch[text_col].to_pandas()
+    length, repetition ratio + a combined [0,1] score (Gopher-flavoured)."""
+    texts = _string_array(batch[text_col])
     n = len(texts)
-    stop_ratio = np.zeros(n)
-    alpha_ratio = np.zeros(n)
-    rep_ratio = np.zeros(n)
-    mean_len = np.zeros(n)
-    for k, t in enumerate(texts):
-        toks = t.split()
-        if not toks:
-            continue
-        stop_ratio[k] = sum(w in _STOPWORDS for w in toks) / len(toks)
-        alpha_chars = sum(c.isalpha() or c.isspace() for c in t)
-        alpha_ratio[k] = alpha_chars / max(1, len(t))
-        rep_ratio[k] = 1.0 - len(set(toks)) / len(toks)
-        mean_len[k] = sum(len(w) for w in toks) / len(toks)
-    # crude web-text quality heuristic (Gopher-rules-flavoured)
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    alpha_n = pc.count_substring_regex(texts, _ALPHA_CLASS) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    row_idx, codes, uniques, n_tokens, flat = _token_codes(texts)
+    has = n_tokens > 0
+    nt = np.maximum(1, n_tokens).astype(np.float64)
+
+    stop_uniq = np.isin(uniques, list(_STOPWORDS))
+    stop_n = np.bincount(row_idx, weights=stop_uniq[codes],
+                         minlength=n).astype(np.int64)
+    stop_ratio = np.where(has, stop_n / nt, 0.0)
+
+    alpha_ratio = np.where(has, alpha_n / np.maximum(1, n_chars), 0.0)
+
+    n_distinct = _distinct_per_row(row_idx, codes, len(uniques), n)
+    rep_ratio = np.where(has, 1.0 - n_distinct / nt, 0.0)
+
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_chars = np.bincount(row_idx, weights=tok_len, minlength=n)
+    mean_len = np.where(has, tok_chars / nt, 0.0)
+
     score = (
         np.clip(alpha_ratio, 0, 1) * 0.4
         + np.clip(1.0 - rep_ratio * 2.0, 0, 1) * 0.3
@@ -81,10 +139,10 @@ def quality_score(batch: pa.Table, id_col: str = "doc_id",
 
 
 class LangId:
-    """Actor-pool stage: n-gram/marker-word language ID (en/de/fr/es + CJK).
+    """Actor-pool stage: marker-word language ID (en/de/fr/es + CJK).
 
-    Marker tables are built once per actor (__init__), per the stateful-stage
-    pattern; __call__ is per batch.
+    Marker tables are built once per actor (__init__); __call__ is a fully
+    vectorized per-batch pass (dictionary-encoded token membership).
     """
 
     MARKERS = {
@@ -93,45 +151,144 @@ class LangId:
         "fr": "le la les et est de des un une pour que dans",
         "es": "el la los las y es de un una que para con",
     }
+    CJK_HEAD = 200          # chars examined for the CJK check
+    CJK_FRACTION = 0.2
+    MIN_SCORE = 0.02
 
     def __init__(self):
-        self.tables = {lang: frozenset(words.split())
-                       for lang, words in self.MARKERS.items()}
+        # langs in ASCENDING name order; argmax over the REVERSED column
+        # order implements the "largest lang wins ties" rule
+        self.langs = sorted(self.MARKERS)
+        self.tables = [np.array(sorted(self.MARKERS[lang].split()),
+                                dtype=object) for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pandas()
-        preds = []
-        confs = []
-        for t in texts:
-            # CJK detection first (codepoint ranges)
-            cjk = sum(1 for c in t[:200] if "一" <= c <= "鿿")
-            if cjk > len(t[:200]) * 0.2:
-                preds.append("zh")
-                confs.append(1.0)
-                continue
-            toks = t.lower().split()
-            if not toks:
-                preds.append("und")
-                confs.append(0.0)
-                continue
-            scores = {lang: sum(w in tbl for w in toks) / len(toks)
-                      for lang, tbl in self.tables.items()}
-            best = max(scores, key=lambda l: (scores[l], l))
-            preds.append(best if scores[best] > 0.02 else "und")
-            confs.append(scores[best])
-        out = batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
-        return out.append_column("lang_conf", pa.array(confs, type=pa.float64()))
+        texts = _string_array(batch["text"])
+        n = len(texts)
+        head = pc.utf8_slice_codeunits(texts, 0, self.CJK_HEAD)
+        head_len = pc.utf8_length(head).to_numpy(zero_copy_only=False)
+        cjk_n = pc.count_substring_regex(head, "[一-鿿]") \
+            .to_numpy(zero_copy_only=False)
+        is_cjk = cjk_n > head_len * self.CJK_FRACTION
+
+        row_idx, codes, uniques, n_tokens, _flat = _token_codes(
+            texts, lower=True)
+        nt = np.maximum(1, n_tokens).astype(np.float64)
+        scores = np.empty((n, len(self.langs)), dtype=np.float64)
+        for c, table in enumerate(self.tables):
+            hit_uniq = np.isin(uniques, table)
+            cnt = np.bincount(row_idx, weights=hit_uniq[codes], minlength=n)
+            scores[:, c] = cnt / nt
+        rev = scores[:, ::-1]
+        best_rev = np.argmax(rev, axis=1)              # first max -> largest lang
+        best = len(self.langs) - 1 - best_rev
+        conf = rev[np.arange(n), best_rev]
+        lang_arr = np.array(self.langs, dtype=object)[best]
+        preds = np.where(conf > self.MIN_SCORE, lang_arr, "und")
+        preds = np.where(n_tokens == 0, "und", preds)
+        conf = np.where(n_tokens == 0, 0.0, conf)
+        preds = np.where(is_cjk, "zh", preds)
+        conf = np.where(is_cjk, 1.0, conf)
+        out = batch.append_column(
+            "lang_pred", pa.array(preds.tolist(), type=pa.string()))
+        return out.append_column("lang_conf", pa.array(conf, type=pa.float64()))
+
+
+def _codepoint_matrix(arr: pa.StringArray) -> np.ndarray:
+    """(rows, L) int64 codepoint matrix, rows right-aligned (left-padded
+    with zeros).  ASCII fast path reads the UTF-8 buffer directly (fully
+    vectorized scatter); non-ASCII rows fall back to a per-row decode."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if len(arr) == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    off0 = arr.offset
+    offs = np.asarray(arr.buffers()[1], dtype=np.uint8).view(np.int32)
+    offs = offs[off0:off0 + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    flat = data[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    lens_b = np.diff(offs)
+    if flat.size and flat.max() >= 128:
+        # non-ASCII present: per-row decode (bytes != codepoints)
+        strs = np.asarray(arr, dtype=object)
+        lens = np.array([len(t) for t in strs], dtype=np.int64)
+        L = int(lens.max())
+        cp = np.zeros((len(strs), L), dtype=np.int64)
+        for r, t in enumerate(strs):
+            if t:
+                cp[r, L - len(t):] = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        return cp
+    L = int(lens_b.max()) if len(lens_b) else 0
+    cp = np.zeros((len(arr), L), dtype=np.int64)
+    if L:
+        total = int(lens_b.sum())
+        rows = np.repeat(np.arange(len(arr), dtype=np.int64), lens_b)
+        in_row = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens_b)
+        cols = np.repeat(L - lens_b, lens_b) + in_row
+        cp[rows, cols] = flat
+    return cp
+
+
+def _poly_hash_cols(cp: np.ndarray, mul: int) -> np.ndarray:
+    """Column-wise Horner over a left-zero-padded (rows, L) codepoint
+    matrix: h = (h * mul + cp) % FP_MOD, vectorized across rows."""
+    h = np.zeros(cp.shape[0], dtype=np.int64)
+    m = np.int64(mul)
+    mod = np.int64(FP_MOD)
+    for k in range(cp.shape[1]):
+        h = (h * m + cp[:, k]) % mod
+    return h
 
 
 def fingerprint(batch: pa.Table, id_col: str = "doc_id",
-                text_col: str = "text") -> pa.Table:
-    """64-bit document fingerprint: FNV over the rolling word sequence
-    (order-sensitive, whitespace-normalized)."""
-    texts = batch[text_col].to_pandas()
-    fps = np.array(
-        [np.int64(fnv1a_bytes(" ".join(t.split()).encode()) - (1 << 63))
-         for t in texts], dtype=np.int64)
+                text_col: str = "text", chunk_rows: int = 2048) -> pa.Table:
+    """62-bit order-sensitive document fingerprint: two 31-bit polynomial
+    rolling hashes (mod 2^31-1, multipliers 1000003 / 8191) over the
+    codepoints of the whitespace-normalized text, packed fp1 << 31 | fp2.
+
+    SQL-oracle-expressible (list_reduce over unicode(codepoints)); the
+    Horner recurrence is evaluated column-wise over row chunks so the work
+    is numpy-vectorized across documents.
+    """
+    texts = _string_array(batch[text_col])
+    # whitespace-normalize: split, drop empties, re-join with single spaces
+    # (all Arrow kernels)
+    split = pc.utf8_split_whitespace(texts)
+    flat = split.flatten()
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    n = len(texts)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))[mask]
+    kept = flat.filter(pa.array(mask))
+    counts = np.bincount(row_idx, minlength=n)
+    new_offs = np.concatenate([[0], counts.cumsum()]).astype(np.int32)
+    norm_arr = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offs, type=pa.int32()), kept),
+        " ")
+    fps = np.zeros(n, dtype=np.int64)
+    for s in range(0, n, chunk_rows):
+        sub = norm_arr.slice(s, chunk_rows)
+        cp = _codepoint_matrix(sub)
+        if cp.shape[1] == 0:
+            continue
+        h1 = _poly_hash_cols(cp, FP_MUL1)
+        h2 = _poly_hash_cols(cp, FP_MUL2)
+        fps[s:s + chunk_rows] = (h1 << np.int64(31)) | h2
     return pa.table({
         id_col: batch[id_col],
         "fingerprint": pa.array(fps, type=pa.int64()),
     })
+
+
+def fingerprint_sql(text_expr: str = "text") -> str:
+    """DuckDB expression mirroring :func:`fingerprint` bit-exactly."""
+    # array_to_string of an empty list is NULL in DuckDB -> coalesce to ''
+    norm = (f"coalesce(array_to_string(list_filter(regexp_split_to_array("
+            f"{text_expr}, '\\s+'), x -> x <> ''), ' '), '')")
+    cps = (f"list_transform(regexp_split_to_array({norm}, ''), "
+           f"c -> CAST(unicode(c) AS BIGINT))")
+    fold1 = f"list_reduce({cps}, (a, b) -> (a * {FP_MUL1} + b) % {FP_MOD})"
+    fold2 = f"list_reduce({cps}, (a, b) -> (a * {FP_MUL2} + b) % {FP_MOD})"
+    return (f"CASE WHEN length({norm}) = 0 THEN 0 "
+            f"ELSE {fold1} * 2147483648 + {fold2} END")

@@ -32,13 +32,15 @@ def pages_with_cells(sf_dir: str, repl: int = 1, token_level: int | None = 8,
 
 def _partial_tile_counts(batch: pa.Table, level: int) -> pa.Table:
     """Per-batch partial aggregate, COMPACT form: one row per batch holding
-    the sorted (cell_key, count) arrays as list columns.
+    the sorted (cell_key, count) arrays as binary blobs.
 
     np.unique instead of pa.Table.group_by (this pyarrow's hash aggregate is
-    ~2000x slower than a sort-based unique on uint64), and list-rows instead
+    ~2000x slower than a sort-based unique on uint64), and blob-rows instead
     of one row per tile so the combine step is a log-depth merge of sorted
     arrays rather than a multi-million-row sort shuffle (Ray's sort-based
-    Aggregate costs ~84us/row — it dominated the whole pipeline).
+    Aggregate costs ~84us/row — it dominated the whole pipeline).  Binary
+    blobs, not list<int64> columns: Ray's schema dedup can't hash list
+    types (log spam + objectification through shuffles).
     """
     from ..kernel import keys
 
@@ -46,16 +48,16 @@ def _partial_tile_counts(batch: pa.Table, level: int) -> pa.Table:
     ids = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64)
     u, c = np.unique(ids, return_counts=True)
     return pa.table({
-        "keys": pa.array([keys.to_key(u)], type=pa.list_(pa.int64())),
-        "counts": pa.array([c.astype(np.int64)], type=pa.list_(pa.int64())),
+        "keys": pa.array([keys.to_key(u).tobytes()], type=pa.binary()),
+        "counts": pa.array([c.astype(np.int64).tobytes()], type=pa.binary()),
     })
 
 
 def _flat_list_col(batch: pa.Table, name: str) -> np.ndarray:
-    col = batch[name]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return np.asarray(col.flatten())
+    blobs = batch[name].to_pylist()
+    if not blobs:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate([np.frombuffer(b, dtype=np.int64) for b in blobs])
 
 
 def _merge_partials(batch: pa.Table) -> pa.Table:
@@ -76,8 +78,9 @@ def _merge_partials(batch: pa.Table) -> pa.Table:
     u = k[starts] if len(k) else k
     sums = np.add.reduceat(c, starts) if len(k) else c
     return pa.table({
-        "keys": pa.array([u], type=pa.list_(pa.int64())),
-        "counts": pa.array([sums.astype(np.int64)], type=pa.list_(pa.int64())),
+        "keys": pa.array([u.tobytes()], type=pa.binary()),
+        "counts": pa.array([sums.astype(np.int64).tobytes()],
+                           type=pa.binary()),
     })
 
 
@@ -126,53 +129,121 @@ def tile_counts(sf_dir: str, level: int = 8, repl: int = 1, **read_kwargs):
     return ds.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
+def _partial_tile_counts_parted(batch: pa.Table, level: int,
+                                partition_level: int) -> pa.Table:
+    """Per-batch compact partials split by level-`partition_level` ancestor:
+    one (part_key, keys_blob, counts_blob) row per partition per batch, so
+    the partitioned-sink shuffle moves a bounded number of compact rows."""
+    from ..kernel import cellid, keys
+
+    col = f"cell_l{level}"
+    ids = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    u, c = np.unique(ids, return_counts=True)
+    # u is Hilbert-sorted, so equal partition ancestors are contiguous runs
+    pk = keys.to_key(cellid.parent(u, partition_level))
+    uk = keys.to_key(u)
+    cc = c.astype(np.int64)
+    if len(pk):
+        starts = np.concatenate([[0], np.flatnonzero(pk[1:] != pk[:-1]) + 1,
+                                 [len(pk)]])
+    else:
+        starts = np.array([0, 0])
+    rows_p, rows_k, rows_c = [], [], []
+    for s, e_ in zip(starts[:-1], starts[1:]):
+        if e_ <= s:
+            continue
+        rows_p.append(int(pk[s]))
+        rows_k.append(uk[s:e_].tobytes())
+        rows_c.append(cc[s:e_].tobytes())
+    return pa.table({
+        "part": pa.array(rows_p, type=pa.int64()),
+        "keys_b": pa.array(rows_k, type=pa.binary()),
+        "counts_b": pa.array(rows_c, type=pa.binary()),
+    })
+
+
 def write_tiles_partitioned(sf_dir: str, out_dir: str, level: int = 8,
                             partition_level: int = 2, repl: int = 1):
     """Flagship output as resumable key-range-partitioned parquet: one
     directory per level-`partition_level` ancestor cell token (Hilbert key
     ranges), each with a sidecar manifest (rows, cell range, wall time) so a
-    rerun can skip complete partitions (SURVEY.md par.4 resumable-output row).
+    rerun can skip complete partitions (SURVEY.md par.4 resumable-output
+    row).
+
+    Fully distributed sink: per-batch compact partials are hash-shuffled by
+    partition key and each partition is merged + written INSIDE its
+    map_groups task (no driver-side collect; the driver only sees the
+    one-row-per-partition manifest summary).  A rerun recomputes the
+    aggregation but skips writing partitions whose manifest exists (writes
+    are the expensive, non-idempotent part at scale; out_dir must be shared
+    storage on a multi-node cluster).
     """
     import json
     import os
     import time as _time
 
+    import pandas as pd
     import pyarrow.parquet as pq
 
-    from ..kernel import cellid
-
     t0 = _time.time()
-    df = tile_counts(sf_dir, level=level, repl=repl).to_pandas()
-    ids = df["cell_id"].to_numpy().astype(np.uint64)
-    part = cellid.parent(ids, partition_level)
-    toks = cellid.to_token(part)
-    df = df.assign(_part=toks)
     os.makedirs(out_dir, exist_ok=True)
-    manifest_dir = os.path.join(out_dir, "_manifest")
-    os.makedirs(manifest_dir, exist_ok=True)
-    written = []
-    for tok, grp in df.groupby("_part", sort=True):
-        mp = os.path.join(manifest_dir, f"{tok}.json")
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+
+    ds = pages_with_cells(sf_dir, repl=repl, token_level=level)
+    ds = ds.map_batches(
+        _partial_tile_counts_parted,
+        fn_kwargs={"level": level, "partition_level": partition_level},
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def write_partition(df: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel import cellid, keys
+
+        part_key = np.int64(df["part"].iloc[0])
+        pid = keys.from_key(np.array([part_key], dtype=np.int64))
+        tok = str(cellid.to_token(pid)[0])
+        mp = os.path.join(out_dir, "_manifest", f"{tok}.json")
         if os.path.exists(mp):
-            continue  # resume: partition complete
+            return pd.DataFrame({"partition": [tok], "written": [False],
+                                 "rows": [0]})
+        k = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                            for x in df["keys_b"]])
+        c = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                            for x in df["counts_b"]])
+        order = np.argsort(k, kind="stable")
+        k, c = k[order], c[order]
+        starts = (np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+                  if len(k) else np.empty(0, dtype=np.int64))
+        u = k[starts] if len(k) else k
+        sums = np.add.reduceat(c, starts) if len(k) else c
+        ids = keys.from_key(u)
+        toks = cellid.to_token(ids)
         pdir = os.path.join(out_dir, f"cell={tok}")
         os.makedirs(pdir, exist_ok=True)
         out_file = os.path.join(pdir, "tiles.parquet")
-        tbl = pa.Table.from_pandas(grp.drop(columns=["_part"]),
-                                   preserve_index=False)
+        tbl = pa.table({
+            "cell_id": pa.array(ids, type=pa.uint64()),
+            "cell_token": pa.array(toks, type=pa.string()),
+            "n_pages": pa.array(sums, type=pa.int64()),
+        })
         pq.write_table(tbl, out_file + ".tmp")
         os.replace(out_file + ".tmp", out_file)
         manifest = {
             "partition": tok,
-            "rows": len(grp),
-            "n_pages": int(grp["n_pages"].sum()),
-            "cell_min": grp["cell_token"].min(),
-            "cell_max": grp["cell_token"].max(),
+            "rows": int(len(u)),
+            "n_pages": int(sums.sum()) if len(sums) else 0,
+            "cell_min": str(toks[0]) if len(toks) else None,
+            "cell_max": str(toks[-1]) if len(toks) else None,
             "wall_s": _time.time() - t0,
         }
         with open(mp + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(mp + ".tmp", mp)
-        written.append(tok)
-    return {"partitions_written": len(written),
-            "partitions_total": int(df["_part"].nunique())}
+        return pd.DataFrame({"partition": [tok], "written": [True],
+                             "rows": [len(u)]})
+
+    summary = (ds.groupby("part")
+               .map_groups(write_partition, batch_format="pandas")
+               .to_pandas())
+    return {"partitions_written": int(summary["written"].sum()),
+            "partitions_total": int(len(summary))}

@@ -73,6 +73,10 @@ def _compare(name, entrymod, con):
                                    "emb_near_dup", "knn_embeddings",
                                    "text_stats", "rect_filter_wrap",
                                    "knn_pruned_moscow", "pages_per_month",
+                                   "tile_counts_l8", "covering_member_join",
+                                   "polyline_near", "boolean_pip_join",
+                                   "quality_score",
+                                   "lang_id", "fingerprint",
                                    "url_domain_counts", "events_hourly",
                                    "emb_centroids", "events_sliding",
                                    "top3_per_city", "user_sessions"])

@@ -1,0 +1,119 @@
+"""Exact polygon boolean ops (kernel/polygon_ops): area identities, PIP
+consistency vs logical combination of inputs, holes, degenerate cases, and
+the PolygonBuilder assembler."""
+
+import numpy as np
+import pytest
+
+from s2ray.kernel import sphere
+from s2ray.kernel.pip import Loop, Polygon
+from s2ray.kernel.polygon_ops import (PolygonBuilder, destructive_union,
+                                      polygon_difference,
+                                      polygon_intersection, polygon_union)
+
+
+def sq(lat0, lng0, size):
+    return [(lat0, lng0), (lat0, lng0 + size), (lat0 + size, lng0 + size),
+            (lat0 + size, lng0)]
+
+
+A = Polygon.from_latlng_loops([sq(0, 0, 30)])
+B = Polygon.from_latlng_loops([sq(10, 10, 30)])     # overlaps A
+C = Polygon.from_latlng_loops([sq(50, 50, 5)])      # disjoint from A
+D = Polygon.from_latlng_loops([sq(5, 5, 10)])       # strictly inside A
+
+
+def _sample_pts(seed=5, n=3000):
+    rng = np.random.RandomState(seed)
+    lat = rng.uniform(-10, 60, n)
+    lng = rng.uniform(-10, 60, n)
+    x, y, z = sphere.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    return np.stack([x, y, z], axis=1)
+
+
+def test_area_identities():
+    inter = polygon_intersection(A, B)
+    uni = polygon_union(A, B)
+    diff = polygon_difference(A, B)
+    assert abs(A.area() + B.area() - (inter.area() + uni.area())) < 1e-9
+    assert abs(A.area() - (diff.area() + inter.area())) < 1e-9
+
+
+def test_pip_consistency_overlap():
+    pts = _sample_pts()
+    in_a = A.contains_points_xyz(pts)
+    in_b = B.contains_points_xyz(pts)
+    assert (polygon_intersection(A, B).contains_points_xyz(pts)
+            == (in_a & in_b)).all()
+    assert (polygon_union(A, B).contains_points_xyz(pts)
+            == (in_a | in_b)).all()
+    assert (polygon_difference(A, B).contains_points_xyz(pts)
+            == (in_a & ~in_b)).all()
+
+
+def test_disjoint_and_nested():
+    pts = _sample_pts(seed=9)
+    assert polygon_intersection(A, C) is None
+    uc = polygon_union(A, C)
+    assert abs(uc.area() - (A.area() + C.area())) < 1e-9
+    # difference carving a hole
+    dd = polygon_difference(A, D)
+    assert len(dd.loops) == 2
+    in_a = A.contains_points_xyz(pts)
+    in_d = D.contains_points_xyz(pts)
+    assert (dd.contains_points_xyz(pts) == (in_a & ~in_d)).all()
+    # nested: A n D == D, A u D == A
+    assert abs(polygon_intersection(A, D).area() - D.area()) < 1e-9
+    assert abs(polygon_union(A, D).area() - A.area()) < 1e-9
+    # B disjoint from result boundary cases
+    assert abs(polygon_difference(C, A).area() - C.area()) < 1e-9
+
+
+def test_self_ops():
+    # A n A == A u A == A; A - A == empty (shared directed edges XOR away)
+    assert abs(polygon_intersection(A, A).area() - A.area()) < 1e-12
+    assert abs(polygon_union(A, A).area() - A.area()) < 1e-12
+    assert polygon_difference(A, A) is None
+
+
+def test_destructive_union():
+    u = destructive_union([A, B, C, D])
+    pts = _sample_pts(seed=2)
+    expect = (A.contains_points_xyz(pts) | B.contains_points_xyz(pts)
+              | C.contains_points_xyz(pts) | D.contains_points_xyz(pts))
+    assert (u.contains_points_xyz(pts) == expect).all()
+
+
+def test_builder_assembles_loop_and_xor():
+    b = PolygonBuilder()
+    lp = Loop.from_latlng_degrees(sq(0, 0, 10))
+    v = lp.vertices
+    for i in range(4):
+        b.add_edge(v[i], v[(i + 1) % 4])
+    # XOR: adding a reversed edge cancels the original
+    b.add_edge(v[1], v[0])
+    assert b.n_edges() == 3
+    b.add_edge(v[0], v[1])
+    loops, unused = b.assemble_loops()
+    assert len(loops) == 1 and not unused
+    assert len(loops[0].vertices) == 4
+
+
+def test_builder_merges_near_vertices():
+    b = PolygonBuilder(merge_radius=1e-10)
+    lp = Loop.from_latlng_degrees(sq(0, 0, 10))
+    v = lp.vertices
+    jitter = v[1] + np.array([0.0, 0.0, 1e-12])
+    b.add_edge(v[0], jitter)
+    b.add_edge(v[1], v[2])
+    b.add_edge(v[2], v[3])
+    b.add_edge(v[3], v[0])
+    loops, unused = b.assemble_loops()
+    assert len(loops) == 1 and not unused
+
+
+def test_degenerate_edge_ignored():
+    b = PolygonBuilder()
+    p = Loop.from_latlng_degrees(sq(0, 0, 10)).vertices[0]
+    b.add_edge(p, p)
+    assert b.n_edges() == 0
