@@ -12,18 +12,22 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.extract import drop_html, extract_geotag, extract_text
+from ..functions.extract import extract_text_geo
 from ..sources.pages import read_pages
 from ..stages.assign import assign_cells
 
 
 def pages_with_cells(sf_dir: str, repl: int = 1, token_level: int | None = 8,
                      **read_kwargs):
-    """Dataset of pages with lat/lng + cell_id (+ level-K ancestor/token)."""
+    """Dataset of pages with lat/lng + cell_id (+ level-K ancestor/token).
+
+    Text + geotag extraction run as ONE fused regex pass over the html
+    (extract_text_geo) — html is the memory-bandwidth hog of the flagship,
+    so every extra scan of it costs real scaling headroom.
+    """
     ds = read_pages(sf_dir, repl=repl, **read_kwargs)
-    ds = ds.map_batches(extract_text, batch_format="pyarrow", batch_size=None)
-    ds = ds.map_batches(extract_geotag, batch_format="pyarrow", batch_size=None)
-    ds = ds.map_batches(drop_html, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(extract_text_geo, batch_format="pyarrow",
+                        batch_size=None)
     return ds.map_batches(
         assign_cells, fn_kwargs={"token_level": token_level},
         batch_format="pyarrow", batch_size=None,

@@ -5,8 +5,10 @@ plumbing (schema, batch sizing, actor signature, output layout) is real and
 tested; the actual codec work is stubbed because no image/audio libraries
 exist in this container:
 
-- with ``use_real_codec=True`` the stage raises NotImplementedError unless
-  PIL/soundfile import succeeds (import-try gate);
+- with ``use_real_codec=True`` the stage uses PIL when the import-try gate
+  succeeds, else the pure-python HEADER codec (stages/codecs.py): synthetic
+  image/audio payloads carry real PNG / RIFF-WAVE container headers that
+  are parsed byte-exactly (pixel/PCM/mp4 decode stays out of scope);
 - the default deterministic fake derives metadata (dimensions, sample rate,
   duration) from a stable hash of the payload bytes, so pipelines are fully
   exercisable and reproducible.
@@ -29,6 +31,8 @@ def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
 
     Deterministic payload derived from doc_id (repeatable across runs).
     """
+    from .codecs import build_png, build_wav
+
     doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
     types = ["image", "audio", "video"]
     payloads = []
@@ -36,8 +40,20 @@ def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
     for i in doc_id:
         seed = int(i) * 2654435761 % (1 << 32)
         rng = np.random.RandomState(seed)
-        payloads.append(rng.bytes(payload_bytes))
-        mtypes.append(types[int(i) % 3])
+        body = rng.bytes(payload_bytes)
+        t = types[int(i) % 3]
+        # image/audio payloads start with a REAL container header (pure-
+        # python builders) so the use_real_codec path has bytes to parse;
+        # total size stays exactly payload_bytes
+        if t == "image":
+            head = build_png(64 + seed % 1920, 64 + (seed >> 16) % 1080)
+            body = head + body[len(head):]
+        elif t == "audio":
+            rate = (8000, 16000, 44100)[seed % 3]
+            head = build_wav(rate, rate * (1 + seed % 30))
+            body = head + body[len(head):]
+        payloads.append(body[:payload_bytes])
+        mtypes.append(t)
     return pa.table({
         "media_id": batch["doc_id"],
         "media_type": pa.array(mtypes, type=pa.string()),
@@ -67,13 +83,57 @@ class MediaDecodeStage:
                 import PIL.Image  # noqa: F401
 
                 self.codec = "pil"
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "real image/audio codecs are not available in this "
-                    "environment; run with use_real_codec=False for the "
-                    "deterministic fake decoder") from exc
+            except ImportError:
+                # pure-python header codec: parses REAL PNG/WAV container
+                # headers byte-exactly (stages/codecs.py); pixel/PCM/mp4
+                # decode stays out of scope in this container
+                self.codec = "headers"
+
+    def _decode_headers(self, batch: pa.Table) -> pa.Table:
+        from .codecs import parse_png, parse_wav
+
+        payloads = batch["payload"].to_pandas()
+        mtypes = batch["media_type"].to_pandas()
+        n = len(batch)
+        width = np.zeros(n, dtype=np.int32)
+        height = np.zeros(n, dtype=np.int32)
+        n_frames = np.zeros(n, dtype=np.int32)
+        sample_rate = np.zeros(n, dtype=np.int32)
+        duration_ms = np.zeros(n, dtype=np.int32)
+        fmt = []
+        for k, (p, t) in enumerate(zip(payloads, mtypes)):
+            meta = parse_png(p) if t == "image" else (
+                parse_wav(p) if t == "audio" else None)
+            if meta is None:
+                fmt.append("unknown" if t != "video" else "fake/mp4")
+                if t == "video":
+                    h = fnv1a_bytes(p[:64])
+                    width[k] = 64 + h % 1280
+                    height[k] = 64 + (h >> 16) % 720
+                    n_frames[k] = 8 + h % 240
+                    duration_ms[k] = n_frames[k] * 40
+                continue
+            fmt.append(meta["format"])
+            if t == "image":
+                width[k] = meta["width"]
+                height[k] = meta["height"]
+                n_frames[k] = 1
+            else:
+                sample_rate[k] = meta["sample_rate"]
+                duration_ms[k] = meta["duration_ms"]
+        out = batch.drop_columns(["payload"])
+        for name, col in (("width", width), ("height", height),
+                          ("n_frames", n_frames), ("sample_rate", sample_rate),
+                          ("duration_ms", duration_ms)):
+            out = out.append_column(name, pa.array(col, type=pa.int32()))
+        out = out.append_column("format", pa.array(fmt, type=pa.string()))
+        return out.append_column(
+            "payload_bytes",
+            pa.array([len(p) for p in payloads], type=pa.int64()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.codec == "headers":
+            return self._decode_headers(batch)
         payloads = batch["payload"].to_pandas()
         mtypes = batch["media_type"].to_pandas()
         width = np.zeros(len(batch), dtype=np.int32)

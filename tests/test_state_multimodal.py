@@ -78,7 +78,12 @@ def test_frame_sampling(ray_session):
     assert frames.frame_payload.map(len).max() <= 16
 
 
-def test_real_codec_gate():
+def test_real_codec_header_path():
+    """use_real_codec without PIL falls back to the pure-python header
+    codec, which must decode real container bytes byte-exactly."""
+    import pyarrow as pa
+
+    from s2ray.stages.codecs import build_png, build_wav, parse_png, parse_wav
     from s2ray.stages.multimodal import MediaDecodeStage
 
     try:
@@ -87,8 +92,42 @@ def test_real_codec_gate():
         pytest.skip("PIL unexpectedly present")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError):
-        MediaDecodeStage(use_real_codec=True)
+    # round-trip the builders through the parsers
+    png = build_png(640, 480)
+    assert parse_png(png) == {"width": 640, "height": 480, "bit_depth": 8,
+                              "color_type": 2, "format": "image/png"}
+    wav = build_wav(16000, 32000)
+    w = parse_wav(wav)
+    assert (w["sample_rate"], w["n_samples"], w["duration_ms"]) == \
+        (16000, 32000, 2000)
+    # corrupt a header byte -> CRC mismatch -> rejected
+    assert parse_png(png[:16] + b"\xff" + png[17:]) is None
+
+    stage = MediaDecodeStage(use_real_codec=True)
+    assert stage.codec == "headers"
+    batch = pa.table({
+        "media_id": pa.array([1, 2], type=pa.int64()),
+        "media_type": pa.array(["image", "audio"]),
+        "payload": pa.array([png, wav], type=pa.binary()),
+    })
+    out = stage(batch).to_pandas()
+    assert list(out.format) == ["image/png", "audio/wav"]
+    assert out.width[0] == 640 and out.height[0] == 480
+    assert out.sample_rate[1] == 16000 and out.duration_ms[1] == 2000
+
+
+def test_real_codec_on_synth_media(ray_session):
+    """The synthetic corpus's embedded PNG/WAV headers parse end-to-end."""
+    from s2ray.stages.multimodal import MediaDecodeStage, read_media
+
+    out = read_media(SF).map_batches(
+        MediaDecodeStage, fn_constructor_kwargs={"use_real_codec": True},
+        concurrency=2, batch_size=128, batch_format="pyarrow",
+    ).to_pandas()
+    img = out[out.media_type == "image"]
+    aud = out[out.media_type == "audio"]
+    assert (img.format == "image/png").all() and (img.width >= 64).all()
+    assert (aud.format == "audio/wav").all() and (aud.sample_rate > 0).all()
 
 
 def test_write_tiles_partitioned_resume(ray_session, tmp_path):
