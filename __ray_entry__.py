@@ -206,6 +206,22 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    import ray.data
+
+    from s2ray.pipelines.dedup import near_dup_clusters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return near_dup_clusters(ds, tau=NEAR_DUP_TAU)
+
+
+def _q_events_asof(sf_dir: str):
+    from s2ray.pipelines.analytics import events_asof
+
+    return events_asof(sf_dir)
+
+
 def _q_emb_near_dup(sf_dir: str):
     from s2ray.pipelines.dedup import embedding_near_dup
 
@@ -582,12 +598,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_domain_counts": _q_url_domains,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
+        "events_asof": _q_events_asof,
         "user_sessions": _q_user_sessions,
         "emb_centroids": _q_emb_centroids,
         "top3_per_city": _q_top3_per_city,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "near_dup_pairs": _q_near_dup_pairs,
+        "near_dup_clusters": _q_near_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
@@ -719,14 +737,36 @@ def oracle_sql() -> dict[str, str]:
         f"{cte} SELECT min(page_id) AS page_id, count(*) AS n_copies "
         f"FROM pages_geo GROUP BY text"
     )
-    near_dup = f"""
-WITH words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws FROM documents),
+    near_dup_ctes = f"""
+words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws FROM documents),
 sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM words),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT i, j, inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
-FROM pairs JOIN sizes sa ON sa.doc_id = pairs.i JOIN sizes sb ON sb.doc_id = pairs.j
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {NEAR_DUP_TAU!r}"""
+pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+dup AS (SELECT i, j, inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+        FROM pairs JOIN sizes sa ON sa.doc_id = pairs.i
+                   JOIN sizes sb ON sb.doc_id = pairs.j
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {NEAR_DUP_TAU!r})"""
+    near_dup = f"WITH {near_dup_ctes} SELECT i, j, jaccard FROM dup"
+    # connected components of the pair graph: transitive closure by
+    # recursive CTE, label = min reachable node
+    near_dup_clusters_sql = f"""
+WITH RECURSIVE {near_dup_ctes},
+edges AS (SELECT i AS u, j AS v FROM dup UNION ALL SELECT j, i FROM dup),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"""
+    # as-of join: most recent prior click per purchase, same user (inner)
+    events_asof_sql = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     r AS (SELECT event_id AS match_event_id, user_id, ts AS match_ts
+           FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts, r.match_event_id, r.match_ts,
+       date_diff('microsecond', r.match_ts, l.ts) AS gap_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.match_ts"""
     emb_near_dup_sql = (
         "SELECT a.vec_id AS i, b.vec_id AS j FROM embeddings a "
         "JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -918,6 +958,8 @@ FROM (
         "pip_join": pip_join,
         "exact_dedup": exact_dedup_sql,
         "near_dup_pairs": near_dup,
+        "near_dup_clusters": near_dup_clusters_sql,
+        "events_asof": events_asof_sql,
         "emb_near_dup": emb_near_dup_sql,
         "knn_embeddings": knn_emb_sql,
         "text_stats": text_stats_sql,

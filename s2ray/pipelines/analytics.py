@@ -249,6 +249,71 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, n_parts: int = 64):
     )
 
 
+def events_asof(sf_dir: str, left_type: str = "purchase",
+                right_type: str = "click", n_parts: int = 64):
+    """As-of join: each ``left_type`` event matched to the most recent
+    ``right_type`` event of the SAME user at or before its timestamp
+    (inner: unmatched lefts dropped).
+
+    Partitioning assumption (custom-operator contract): rows are hash-co-
+    partitioned by user_id, so every user's full history lands in one
+    map_groups call; within a partition the join is pandas merge_asof
+    (sorted backward search, C speed).  Output: (event_id, user_id, ts,
+    match_event_id, match_ts, gap_us).
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        batch = batch.filter(keep)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            "event_id": np.int64, "user_id": np.int64,
+            "ts": "datetime64[us]", "match_event_id": np.int64,
+            "match_ts": "datetime64[us]", "gap_us": np.int64,
+        }
+        left = df[df.event_type == left_type].sort_values("ts")
+        right = df[df.event_type == right_type].sort_values("ts")
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in out_cols.items()})
+        right = right.rename(columns={"event_id": "match_event_id"})
+        right["match_ts"] = right["ts"]
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["match_event_id", "match_ts", "ts", "user_id"]],
+            on="ts", by="user_id", direction="backward")
+        m = m.dropna(subset=["match_event_id"])
+        ts_us = m["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        mt_us = m["match_ts"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype(np.int64).to_numpy(),
+            "user_id": m["user_id"].astype(np.int64).to_numpy(),
+            "ts": m["ts"].to_numpy().astype("datetime64[us]"),
+            "match_event_id": m["match_event_id"].astype(np.int64).to_numpy(),
+            "match_ts": m["match_ts"].to_numpy().astype("datetime64[us]"),
+            "gap_us": ts_us - mt_us,
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
 def embedding_centroids(sf_dir: str, ndigits: int = 4):
     """Per-label per-dimension centroid of the embedding column:
     (label, dim, centroid)."""

@@ -384,6 +384,62 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
     )
 
 
+def _union_find_labels(pairs_i: np.ndarray, pairs_j: np.ndarray):
+    """Connected-component labels (min member id) for the nodes appearing
+    in the pair list.  Vectorized-ish union-find with path compression."""
+    nodes = np.unique(np.concatenate([pairs_i, pairs_j]))
+    idx = {int(n): k for k, n in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(a: int) -> int:
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for i, j in zip(pairs_i, pairs_j):
+        ri, rj = find(idx[int(i)]), find(idx[int(j)])
+        if ri != rj:
+            # union by smaller node id so the final root is the min member
+            if nodes[ri] < nodes[rj]:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+    roots = np.array([find(k) for k in range(len(nodes))], dtype=np.int64)
+    return nodes, nodes[roots]
+
+
+def near_dup_clusters(ds, tau: float = 0.5, k: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Connected components of the exact near-dup pair graph:
+    (doc_id, cluster_id) for every document in some duplicate cluster,
+    cluster_id = min doc id in its component.
+
+    Scale design: the distributed inverted-index join produces the pair
+    list (compact: only duplicate documents appear — orders of magnitude
+    smaller than the corpus); components are resolved with union-find over
+    that SMALL derived set on the driver and the result returned as a
+    Dataset.  For corpora where even the pair list is huge, pre-shard with
+    the banded LSH operator and cluster within bands.
+    """
+    import pandas as pd
+    import ray.data
+
+    pairs = near_dup_pairs_exact(ds, tau=tau, k=k, id_col=id_col,
+                                 text_col=text_col)
+    pdf = pairs.select_columns(["i", "j"]).to_pandas()
+    if len(pdf) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            id_col: pd.Series(dtype=np.int64),
+            "cluster_id": pd.Series(dtype=np.int64)}))
+    nodes, labels = _union_find_labels(pdf["i"].to_numpy(np.int64),
+                                       pdf["j"].to_numpy(np.int64))
+    return ray.data.from_pandas(pd.DataFrame({
+        id_col: nodes, "cluster_id": labels}))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the 100-TB scale path)
 

@@ -70,6 +70,7 @@ def _compare(name, entrymod, con):
 @pytest.mark.parametrize("qname", ["rect_filter", "knn_moscow", "text_identity",
                                    "pages_per_lang", "cap_join", "pip_join",
                                    "exact_dedup", "near_dup_pairs",
+                                   "near_dup_clusters", "events_asof",
                                    "emb_near_dup", "knn_embeddings",
                                    "text_stats", "rect_filter_wrap",
                                    "knn_pruned_moscow", "pages_per_month",
