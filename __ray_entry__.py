@@ -241,9 +241,20 @@ def _q_knn_embeddings(sf_dir: str):
 
 
 def _q_lsh_knn(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from s2ray.pipelines.ann import lsh_knn
 
-    return lsh_knn(sf_dir, ANN_QUERY_IDS, k=ANN_K)
+    out = lsh_knn(sf_dir, ANN_QUERY_IDS, k=ANN_K)
+
+    def round_sim(batch: pa.Table) -> pa.Table:
+        # engine and SQL compute cosine with different op order; round to
+        # 6 digits on both sides for the value-hash compare
+        s = pc.round(batch["sim"], ndigits=6)
+        return batch.drop_columns(["sim"]).append_column("sim", s)
+
+    return out.map_batches(round_sim, batch_format="pyarrow")
 
 
 def _q_text_stats(sf_dir: str):
@@ -537,18 +548,14 @@ def _q_covering_setops(sf_dir: str):
     return pd.DataFrame(rows, columns=["op", "cell_token"])
 
 
-def _q_region_relations(sf_dir: str):
-    """Pairwise polygon-polygon relations (contains/intersects/disjoint)
-    over a deterministic region set (S2-specific; rows-only)."""
-    import pandas as pd
-
+def _relation_regions():
     from s2ray.kernel.pip import Polygon
 
     def sq(lat0, lng0, size):
         return [(lat0, lng0), (lat0, lng0 + size), (lat0 + size, lng0 + size),
                 (lat0 + size, lng0)]
 
-    regions = {
+    return {
         "moscow_sq": Polygon.from_latlng_loops([PIP_POLYS["moscow_sq"]]),
         "sydney_sq": Polygon.from_latlng_loops([PIP_POLYS["sydney_sq"]]),
         "moscow_big": Polygon.from_latlng_loops([sq(55.0, 36.8, 1.5)]),
@@ -556,6 +563,15 @@ def _q_region_relations(sf_dir: str):
         "ring": Polygon.from_latlng_loops(
             [sq(50.0, 30.0, 15.0), list(reversed(sq(54.0, 35.0, 5.0)))]),
     }
+
+
+def _q_region_relations(sf_dir: str):
+    """Pairwise polygon-polygon relations (contains/intersects/disjoint)
+    over a deterministic region set.  Oracle: first-principles SQL
+    (four-determinant crossing rule + XOR-parity PIP of vertices)."""
+    import pandas as pd
+
+    regions = _relation_regions()
     rows = []
     names = sorted(regions)
     for a in names:
@@ -628,7 +644,8 @@ def _pages_cte() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from s2ray.functions.sqlgen import (polyline_distance_select,
+    from s2ray.functions.sqlgen import (polygon_relations_select,
+                                        polyline_distance_select,
                                         s2_cell_select)
     from s2ray.pipelines.polyline import Polyline
 
@@ -773,7 +790,34 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.match_ts"""
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         f"CAST(b.embedding AS DOUBLE[])) >= {EMB_TAU!r}"
     )
+    # LSH oracles: deterministic hyperplanes inlined, signature/probe
+    # algebra mirrored exactly (multi-probe over 1-bit flips on both sides
+    # of a pair == Hamming distance <= 2)
+    from s2ray.functions.sqlgen import lsh_signature_expr
+    from s2ray.pipelines.ann import _N_PLANES, _lsh_planes
+
     ann_ids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    sig12 = lsh_signature_expr(_lsh_planes(64, _N_PLANES))
+    cos_eq = ("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+              "CAST(q.embedding AS DOUBLE[]))")
+    lsh_knn_sql = f"""
+WITH s AS (SELECT vec_id, embedding, {sig12} AS sig FROM embeddings),
+q AS (SELECT * FROM s WHERE vec_id IN ({ann_ids}))
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY {cos_eq} DESC, e.vec_id) AS BIGINT) AS rank,
+       round({cos_eq}, 6) AS sim
+FROM s e CROSS JOIN q
+WHERE e.vec_id <> q.vec_id AND bit_count(xor(e.sig, q.sig)) <= 3
+QUALIFY rank <= {ANN_K}"""
+    sig8 = lsh_signature_expr(_lsh_planes(64, 8))
+    emb_lsh_sql = f"""
+WITH s AS (SELECT vec_id, embedding, {sig8} AS sig FROM embeddings)
+SELECT a.vec_id AS i, b.vec_id AS j
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 2
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        CAST(b.embedding AS DOUBLE[])) >= {EMB_TAU!r}"""
     knn_emb_sql = f"""
 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
        CAST(row_number() OVER (
@@ -940,6 +984,7 @@ FROM (
         "tile_counts_l8": tile_counts_sql,
         "covering_member_join": covering_member_sql,
         "boolean_pip_join": boolean_pip_sql,
+        "region_relations": polygon_relations_select(_relation_regions()),
         "polyline_near": polyline_near_sql,
         "rect_filter": rect,
         "rect_filter_wrap": rect_wrap,
@@ -961,7 +1006,9 @@ FROM (
         "near_dup_clusters": near_dup_clusters_sql,
         "events_asof": events_asof_sql,
         "emb_near_dup": emb_near_dup_sql,
+        "emb_near_dup_lsh": emb_lsh_sql,
         "knn_embeddings": knn_emb_sql,
+        "lsh_knn": lsh_knn_sql,
         "text_stats": text_stats_sql,
         "quality_score": quality_sql,
         "lang_id": langid_sql,

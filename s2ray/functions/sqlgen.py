@@ -141,6 +141,129 @@ def s2_cell_select(inner_sql: str, level: int = 8, lat: str = "lat",
     return f"SELECT *, {', '.join(outs)} FROM ({q})"
 
 
+def dlit(x) -> str:
+    """Float literal that PARSES AS DOUBLE: bare decimal literals become
+    DECIMAL in DuckDB and chained multiplications overflow its 38-digit
+    scale; an exponent suffix forces DOUBLE."""
+    s = repr(float(x))
+    return s if ("e" in s or "inf" in s or "nan" in s) else s + "e0"
+
+
+def lsh_signature_expr(planes, emb_expr: str = "CAST(embedding AS DOUBLE[])"
+                       ) -> str:
+    """Integer LSH bucket id: bit b set iff dot(embedding, plane_b) > 0 —
+    mirrors ann.lsh_signature (sign bits are scale-invariant, so the raw
+    embedding gives the same bits as the normalized one).  Plane rows are
+    inlined as DOUBLE list literals (deterministic seeded constants)."""
+    terms = []
+    for b, plane in enumerate(planes):
+        vec = "[" + ", ".join(dlit(x) for x in plane) + "]"
+        terms.append(f"(CASE WHEN list_dot_product({emb_expr}, {vec}) > 0 "
+                     f"THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def polygon_relations_select(regions: dict) -> str:
+    """One row per ordered polygon pair with its relation
+    (contains / intersects / disjoint), derived from FIRST PRINCIPLES in
+    SQL rather than the engine's loop-relation code paths:
+
+    - proper edge crossing: S2's four-determinant rule — edges (a,b) and
+      (c,d) cross iff det[a,c,b], det[b,d,a], det[c,b,d], det[d,a,c] all
+      share one sign (robustCrossing, S2EdgeUtil.php:96-140, without the
+      shared-vertex cases — the inputs are in general position);
+    - membership: XOR over loops of the spherical crossing-parity PIP
+      (spatial_join.loop_pip_sql) evaluated at the other polygon's
+      vertices;
+    - relation: contains = no crossing and every B vertex inside A;
+      intersects = any crossing or any vertex of either inside the other.
+
+    Vertex coordinates are inlined as literals (query-geometry constants);
+    all arithmetic happens in DuckDB.
+    """
+    import math
+
+    from ..pipelines.spatial_join import loop_pip_sql
+
+    def edges_of(poly):
+        out = []
+        for lp in poly.loops:
+            v = lp.vertices
+            for k in range(len(v)):
+                out.append((v[k], v[(k + 1) % len(v)]))
+        return out
+
+    def verts_of(poly):
+        out = []
+        for lp in poly.loops:
+            out.extend(list(lp.vertices))
+        return out
+
+    names = sorted(regions)
+    # ---- edge-pair table: one VALUES row per (ordered pair, edge of A,
+    # edge of B); the four determinants are written ONCE over columns
+    ep_rows = []
+    for an in names:
+        for bn in names:
+            if an == bn:
+                continue
+            for a, b in edges_of(regions[an]):
+                for c, d in edges_of(regions[bn]):
+                    coords = ", ".join(dlit(x) for v in (a, b, c, d)
+                                       for x in v)
+                    ep_rows.append(f"('{an}', '{bn}', {coords})")
+
+    def det(p, q, r):
+        return (f"({p}x*({q}y*{r}z - {q}z*{r}y) - "
+                f"{p}y*({q}x*{r}z - {q}z*{r}x) + "
+                f"{p}z*({q}x*{r}y - {q}y*{r}x))")
+
+    d1, d2, d3 = det("a", "c", "b"), det("b", "d", "a"), det("c", "b", "d")
+    d4 = det("d", "a", "c")
+    cross_cond = (f"(({d1} > 0 AND {d2} > 0 AND {d3} > 0 AND {d4} > 0) OR "
+                  f"({d1} < 0 AND {d2} < 0 AND {d3} < 0 AND {d4} < 0))")
+    epairs = ("epairs(a, b, ax, ay, az, bx, by, bz, cx, cy, cz, "
+              "dx, dy, dz) AS (VALUES " + ", ".join(ep_rows) + ")")
+    crossing = ("crossing AS (SELECT a, b, bool_or(" + cross_cond +
+                ") AS crossed FROM epairs GROUP BY a, b)")
+    # ---- vertex-membership tables: per TARGET polygon one VALUES list of
+    # (pair a, pair b, side, lat, lng) + one XOR-parity pip expression
+    member_selects = []
+    for tname in names:
+        target = regions[tname]
+        rows = []
+        for other in names:
+            if other == tname:
+                continue
+            for v in verts_of(regions[other]):
+                lat = math.asin(max(-1.0, min(1.0, float(v[2]))))
+                lng = math.atan2(float(v[1]), float(v[0]))
+                # side b_in_a: target is A of pair (target, other);
+                # side a_in_b: target is B of pair (other, target)
+                rows.append(f"('{tname}', '{other}', 'b_in_a', "
+                            f"{dlit(lat)}, {dlit(lng)})")
+                rows.append(f"('{other}', '{tname}', 'a_in_b', "
+                            f"{dlit(lat)}, {dlit(lng)})")
+        pip = [f"({loop_pip_sql(lp, lat_expr='vlat', lng_expr='vlng')})"
+               for lp in target.loops]
+        pip_expr = "(" + " <> ".join(pip) + ")" if len(pip) > 1 else pip[0]
+        member_selects.append(
+            f"SELECT a, b, side, {pip_expr} AS inside FROM (VALUES "
+            + ", ".join(rows) + ") AS t(a, b, side, vlat, vlng)")
+    members = ("members AS (SELECT a, b, "
+               "bool_and(inside) FILTER (side = 'b_in_a') AS b_all, "
+               "bool_or(inside) FILTER (side = 'b_in_a') AS b_any, "
+               "bool_or(inside) FILTER (side = 'a_in_b') AS a_any "
+               "FROM (" + " UNION ALL ".join(member_selects) +
+               ") GROUP BY a, b)")
+    return (f"WITH {epairs}, {crossing}, {members} "
+            "SELECT c.a AS a, c.b AS b, "
+            "CASE WHEN NOT c.crossed AND m.b_all THEN 'contains' "
+            "WHEN c.crossed OR m.b_any OR m.a_any THEN 'intersects' "
+            "ELSE 'disjoint' END AS relation "
+            "FROM crossing c JOIN members m ON c.a = m.a AND c.b = m.b")
+
+
 def polyline_distance_select(inner_sql: str, polyline, lat: str = "lat",
                              lng: str = "lng", radius_m: float = 6371000.0,
                              dist_col: str = "dist_m") -> str:

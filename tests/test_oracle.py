@@ -71,6 +71,8 @@ def _compare(name, entrymod, con):
                                    "pages_per_lang", "cap_join", "pip_join",
                                    "exact_dedup", "near_dup_pairs",
                                    "near_dup_clusters", "events_asof",
+                                   "region_relations", "lsh_knn",
+                                   "emb_near_dup_lsh",
                                    "emb_near_dup", "knn_embeddings",
                                    "text_stats", "rect_filter_wrap",
                                    "knn_pruned_moscow", "pages_per_month",
