@@ -775,6 +775,76 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 )
 SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"""
+    # sketch oracles: the engine's mod-(2^61-1) hashing is mirrored exactly
+    # in HUGEINT arithmetic (token hash -> shingle Horner -> minhash perms
+    # -> band keys; simhash bit votes)
+    from s2ray.functions.sqlgen import M61, token_hash_sql
+    from s2ray.pipelines.dedup import (_BAND_P, _BAND_ROWS, _N_PERM,
+                                       _PERM_A, _PERM_B, _SHINGLE_Q)
+
+    th_expr = token_hash_sql("t")
+    Q = int(_SHINGLE_Q)
+    P = int(_BAND_P)
+    perm_rows = ", ".join(f"({i}, {int(a)}, {int(b)})" for i, (a, b)
+                          in enumerate(zip(_PERM_A, _PERM_B)))
+    tok_cte = ("tk AS (SELECT doc_id, "
+               "list_filter(regexp_split_to_array(text, '\\s+'), "
+               "x -> x <> '') AS ws FROM documents), "
+               "th AS (SELECT doc_id, list_transform(ws, t -> "
+               f"{th_expr}) AS hs, len(ws) AS n FROM tk)")
+    shingle_cte = f"""
+shs AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN n >= 3 THEN
+    list_transform(generate_series(1, n - 2), i ->
+      CAST((((CAST(hs[i] AS HUGEINT) * {Q} + hs[i+1]) % {M61}) * {Q}
+            + hs[i+2]) % {M61} AS BIGINT))
+  ELSE [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          list_transform(hs, x -> CAST(x AS HUGEINT))),
+          (a, b) -> (a * {Q} + b) % {M61}) AS BIGINT)] END)) AS s
+  FROM th)"""
+    minhash_sql = f"""
+WITH {tok_cte}, {shingle_cte},
+perms(idx, pa, pb) AS (VALUES {perm_rows}),
+sig AS (SELECT doc_id, idx,
+               min(CAST((CAST(pa AS HUGEINT) * s + pb) % {M61} AS BIGINT))
+                 AS v
+        FROM shs CROSS JOIN perms GROUP BY doc_id, idx),
+bk AS (SELECT doc_id, band,
+              CAST(list_reduce(list_prepend(CAST(band + 1 AS HUGEINT), vs),
+                   (a, b) -> (a * {P} + b) % {M61}) AS BIGINT) AS key
+       FROM (SELECT doc_id, idx // {_BAND_ROWS} AS band,
+                    list(CAST(v AS HUGEINT) ORDER BY idx) AS vs
+             FROM sig GROUP BY doc_id, idx // {_BAND_ROWS})),
+cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                             AND a.doc_id < b.doc_id),
+est AS (SELECT c.i, c.j,
+               sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / {_N_PERM}.0
+                 AS est_jaccard
+        FROM cand c JOIN sig sa ON sa.doc_id = c.i
+                    JOIN sig sb ON sb.doc_id = c.j AND sb.idx = sa.idx
+        GROUP BY c.i, c.j)
+SELECT i, j, est_jaccard FROM est WHERE est_jaccard >= {NEAR_DUP_TAU!r}"""
+    simhash_sql = f"""
+WITH {tok_cte},
+tokh AS (SELECT doc_id, unnest(hs) AS h FROM th),
+cnt AS (SELECT doc_id, n AS ntok FROM th),
+bits AS (SELECT doc_id, b, sum((h >> b) & 1) AS ones
+         FROM tokh CROSS JOIN (SELECT unnest(range(0, 61)) AS b)
+         GROUP BY doc_id, b),
+sims AS (SELECT c.doc_id,
+                CAST(coalesce(sum(CASE WHEN 2 * ones > ntok
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 0)
+                  AS BIGINT) AS sim
+         FROM cnt c LEFT JOIN bits USING (doc_id) GROUP BY c.doc_id, ntok),
+chunks AS (SELECT doc_id, sim, t.c AS c, (sim >> (16 * t.c)) & 65535 AS val
+           FROM sims CROSS JOIN (VALUES (0), (1), (2), (3)) t(c)),
+cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+                a.sim AS si, b.sim AS sj
+         FROM chunks a JOIN chunks b ON a.c = b.c AND a.val = b.val
+                                     AND a.doc_id < b.doc_id)
+SELECT i, j, CAST(bit_count(xor(si, sj)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(si, sj)) <= 3"""
     # as-of join: most recent prior click per purchase, same user (inner)
     events_asof_sql = """
 WITH l AS (SELECT event_id, user_id, ts FROM events
@@ -1004,6 +1074,8 @@ FROM (
         "exact_dedup": exact_dedup_sql,
         "near_dup_pairs": near_dup,
         "near_dup_clusters": near_dup_clusters_sql,
+        "minhash_pairs": minhash_sql,
+        "simhash_pairs": simhash_sql,
         "events_asof": events_asof_sql,
         "emb_near_dup": emb_near_dup_sql,
         "emb_near_dup_lsh": emb_lsh_sql,

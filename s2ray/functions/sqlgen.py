@@ -163,6 +163,23 @@ def lsh_signature_expr(planes, emb_expr: str = "CAST(embedding AS DOUBLE[])"
     return "(" + " + ".join(terms) + ")"
 
 
+M61 = 2305843009213693951  # 2^61 - 1: the sketch-hash field modulus
+
+
+def token_hash_sql(tok_expr: str) -> str:
+    """DuckDB expression mirroring dedup._poly_token_hash_array for one
+    token string: dual 31-bit polynomial fold over codepoints, packed and
+    reduced mod 2^61-1.  All intermediates fit BIGINT."""
+    from ..pipelines.text import FP_MOD, FP_MUL1, FP_MUL2
+
+    def fold(mul):
+        return (f"list_reduce(list_transform(regexp_split_to_array("
+                f"{tok_expr}, ''), c -> CAST(unicode(c) AS BIGINT)), "
+                f"(a, b) -> (a * {mul} + b) % {FP_MOD})")
+
+    return (f"(({fold(FP_MUL1)} * 2147483648 + {fold(FP_MUL2)}) % {M61})")
+
+
 def polygon_relations_select(regions: dict) -> str:
     """One row per ordered polygon pair with its relation
     (contains / intersects / disjoint), derived from FIRST PRINCIPLES in

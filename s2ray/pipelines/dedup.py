@@ -29,6 +29,35 @@ _MERSENNE61 = np.uint64((1 << 61) - 1)
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)
 _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
+# All sketch hashing (token hash, shingle combine, minhash perms, band
+# keys) runs in the field mod 2^61-1 with SMALL multipliers (< 2^20), so
+# every step is exactly expressible in DuckDB HUGEINT arithmetic — that is
+# what makes the minhash/simhash oracle SQL possible.  The numpy side
+# emulates the 81-bit products with a 2^61 == 1 (mod M61) fold.
+_SHINGLE_Q = np.uint64(1048573)    # shingle Horner multiplier (prime < 2^20)
+_BAND_P = np.uint64(524287)        # band-key Horner multiplier (2^19-1)
+_MASK32 = np.uint64(0xFFFFFFFF)
+_MASK29 = np.uint64((1 << 29) - 1)
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """Reduce values < 2^63 mod 2^61-1 (fold high bits: 2^61 == 1)."""
+    x = (x & _MERSENNE61) + (x >> np.uint64(61))
+    return np.where(x >= _MERSENNE61, x - _MERSENNE61, x)
+
+
+def _mulmod61_small(a, x):
+    """(a * x) mod 2^61-1 for a < 2^20 and x < 2^61, without overflow:
+    split x = xh*2^32 + xl; a*xh*2^32 folds via 2^61 == 1."""
+    a = np.asarray(a, dtype=np.uint64)
+    x = np.asarray(x, dtype=np.uint64)
+    xh = x >> np.uint64(32)
+    xl = x & _MASK32
+    lo = a * xl                         # < 2^52
+    hi = a * xh                         # < 2^49
+    part = (hi >> np.uint64(29)) + ((hi & _MASK29) << np.uint64(32))
+    return _mod61(_mod61(part) + _mod61(lo))
+
 
 def fnv1a_bytes(data: bytes, seed: int = 0) -> int:
     """Deterministic 64-bit hash of bytes (C-speed blake2b core)."""
@@ -39,27 +68,38 @@ def fnv1a_bytes(data: bytes, seed: int = 0) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
-def hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Token list -> uint64 hashes (two crc32 passes per token, C speed)."""
-    import zlib
+def _poly_token_hash_array(tokens) -> np.ndarray:
+    """Tokens -> uint64 hashes < 2^61-1: the dual 31-bit polynomial rolling
+    hash (same fold as text.fingerprint) packed and reduced mod 2^61-1.
+    SQL-equivalent: (fold1 * 2^31 + fold2) % (2^61-1)."""
+    import pyarrow as pa
 
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for t, tok in enumerate(tokens):
-        b = tok.encode()
-        out[t] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
-    return out
+    from .text import FP_MUL1, FP_MUL2, _codepoint_matrix, _poly_hash_cols
+
+    arr = tokens if isinstance(tokens, pa.Array) \
+        else pa.array(list(tokens), type=pa.string())
+    cp = _codepoint_matrix(arr)
+    if cp.shape[1] == 0:
+        return np.zeros(len(arr), dtype=np.uint64)
+    p1 = _poly_hash_cols(cp, FP_MUL1).astype(np.uint64)
+    p2 = _poly_hash_cols(cp, FP_MUL2).astype(np.uint64)
+    return ((p1 << np.uint64(31)) + p2) % _MERSENNE61
+
+
+def hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Token list -> uint64 hashes < 2^61-1 (scalar convenience wrapper
+    around the vectorized polynomial hash)."""
+    return _poly_token_hash_array(tokens)
 
 
 def _hash_tokens_batch(texts) -> tuple[np.ndarray, np.ndarray, int]:
     """Whitespace-tokenize a batch of texts and hash every token.
 
-    Vectorized: Arrow split + dictionary-encode, so the crc32 pair runs once
-    per UNIQUE token, then fans out through the code array.  Returns
-    (row_idx, token_hashes, n_rows), doc-major order — identical values to
-    per-doc ``hash_tokens(t.split())``.
+    Vectorized: Arrow split + dictionary-encode, so the polynomial hash
+    runs once per UNIQUE token, then fans out through the code array.
+    Returns (row_idx, token_hashes, n_rows), doc-major order — identical
+    values to per-doc ``hash_tokens(t.split())``.
     """
-    import zlib
-
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -73,11 +113,7 @@ def _hash_tokens_batch(texts) -> tuple[np.ndarray, np.ndarray, int]:
     flat = flat.filter(pa.array(mask))
     d = flat.dictionary_encode()
     codes = np.asarray(d.indices, dtype=np.int64)
-    uniq = d.dictionary.to_pylist()
-    uh = np.empty(len(uniq), dtype=np.uint64)
-    for t, tok in enumerate(uniq):
-        b = tok.encode()
-        uh[t] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    uh = _poly_token_hash_array(d.dictionary)
     return row_idx, uh[codes], len(arr)
 
 
@@ -92,30 +128,29 @@ def _shingle_hashes_batch(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """
     row_idx, th, n = _hash_tokens_batch(texts)
     n_tok = np.bincount(row_idx, minlength=n)
-    with np.errstate(over="ignore"):
-        if len(th) >= k:
-            sh = th[: len(th) - k + 1].copy()
-            for j in range(1, k):
-                sh = (sh * _MIX1) ^ th[j: len(th) - k + 1 + j]
-            sh = (sh ^ (sh >> np.uint64(29))) * _MIX2
-            valid = row_idx[: len(th) - k + 1] == row_idx[k - 1:]
-            srow = row_idx[: len(th) - k + 1][valid]
-            sh = sh[valid]
-        else:
-            srow = np.empty(0, dtype=np.int64)
-            sh = np.empty(0, dtype=np.uint64)
-        # short docs (< k tokens, incl. empty): sequential fold fallback
-        short = np.flatnonzero(n_tok < k)
-        if len(short):
-            starts = np.concatenate([[0], np.cumsum(n_tok)]).astype(np.int64)
-            extra_h = np.empty(len(short), dtype=np.uint64)
-            for t, r in enumerate(short):
-                h = np.uint64(0x84222325)
-                for v in th[starts[r]:starts[r + 1]]:
-                    h = (h ^ v) * _MIX1
-                extra_h[t] = h
-            srow = np.concatenate([srow, short])
-            sh = np.concatenate([sh, extra_h])
+    if len(th) >= k:
+        sh = th[: len(th) - k + 1]
+        for j in range(1, k):
+            sh = _mod61(_mulmod61_small(_SHINGLE_Q, sh)
+                        + th[j: len(th) - k + 1 + j])
+        valid = row_idx[: len(th) - k + 1] == row_idx[k - 1:]
+        srow = row_idx[: len(th) - k + 1][valid]
+        sh = sh[valid]
+    else:
+        srow = np.empty(0, dtype=np.int64)
+        sh = np.empty(0, dtype=np.uint64)
+    # short docs (< k tokens, incl. empty): fold over their whole sequence
+    short = np.flatnonzero(n_tok < k)
+    if len(short):
+        starts = np.concatenate([[0], np.cumsum(n_tok)]).astype(np.int64)
+        extra_h = np.empty(len(short), dtype=np.uint64)
+        for t, r in enumerate(short):
+            h = np.zeros(1, dtype=np.uint64)
+            for v in th[starts[r]:starts[r + 1]]:
+                h = _mod61(_mulmod61_small(_SHINGLE_Q, h) + v)
+            extra_h[t] = h[0]
+        srow = np.concatenate([srow, short])
+        sh = np.concatenate([sh, extra_h])
     # distinct per row + doc-major order: one global sort on (row, hash)
     order = np.lexsort((sh, srow))
     srow, sh = srow[order], sh[order]
@@ -127,24 +162,24 @@ def _shingle_hashes_batch(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Distinct word-k-gram shingle hashes (vectorized mix of token hashes).
+    """Distinct word-k-gram shingle hashes (< 2^61-1).
 
-    Token hashes via crc32 (C speed); k-gram combination is a position-
-    dependent multiply-xor mix fully vectorized in numpy.
+    Combination is a Horner fold of the token hashes mod 2^61-1 with a
+    small prime multiplier — SQL-equivalent:
+    ``((th1*Q + th2) % M * Q + th3) % M`` in HUGEINT.  Documents shorter
+    than k tokens hash their whole token sequence with the same fold.
     """
     words = text.split()
     th = hash_tokens(words)
     if len(words) < k:
-        h = np.uint64(0x84222325)
-        with np.errstate(over="ignore"):
-            for v in th:
-                h = (h ^ v) * _MIX1
-        return np.array([h], dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        sh = th[: len(th) - k + 1].copy()
-        for j in range(1, k):
-            sh = (sh * _MIX1) ^ th[j: len(th) - k + 1 + j]
-        sh = (sh ^ (sh >> np.uint64(29))) * _MIX2
+        h = np.zeros(1, dtype=np.uint64)
+        for v in th:
+            h = _mod61(_mulmod61_small(_SHINGLE_Q, h) + v)
+        return h.astype(np.uint64)
+    sh = th[: len(th) - k + 1]
+    for j in range(1, k):
+        sh = _mod61(_mulmod61_small(_SHINGLE_Q, sh)
+                    + th[j: len(th) - k + 1 + j])
     return np.unique(sh)
 
 
@@ -449,7 +484,9 @@ _BAND_ROWS = 4  # 16 bands of 4 rows
 
 def _perm_params(n_perm: int = _N_PERM) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(1234567)
-    a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    # small multipliers (< 2^20) keep a*x inside HUGEINT in the SQL mirror
+    # and inside the fold-emulated 81-bit product on the numpy side
+    a = rng.randint(1, 1 << 20, size=n_perm).astype(np.uint64)
     b = rng.randint(0, (1 << 61) - 1, size=n_perm).astype(np.uint64)
     return a, b
 
@@ -460,11 +497,11 @@ _PERM_A, _PERM_B = _perm_params()
 def minhash_signature(sh: np.ndarray) -> np.ndarray:
     """(n_perm,) uint64 MinHash signature of a shingle-hash set.
 
-    h_i(x) = (a_i * x + b_i) mod 2^61-1, vectorized over shingles x perms.
+    h_i(x) = (a_i * x + b_i) mod 2^61-1 — exact modular arithmetic
+    (SQL-mirrorable), vectorized over shingles x perms.
     """
-    with np.errstate(over="ignore"):
-        x = (sh & _MERSENNE61)[:, None]
-        vals = (x * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE61
+    vals = _mod61(_mulmod61_small(_PERM_A[None, :], sh[:, None])
+                  + _PERM_B[None, :])
     return vals.min(axis=0)
 
 
@@ -478,30 +515,28 @@ def _minhash_signatures_flat(srow: np.ndarray, sh: np.ndarray,
     counts = np.bincount(srow, minlength=n)
     assert (counts > 0).all(), "every doc must have >= 1 shingle"
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    x = sh & _MERSENNE61
     sigs = np.empty((n, _N_PERM), dtype=np.uint64)
     step = 8
-    with np.errstate(over="ignore"):
-        for p0 in range(0, _N_PERM, step):
-            vals = (x[:, None] * _PERM_A[None, p0:p0 + step]
-                    + _PERM_B[None, p0:p0 + step]) % _MERSENNE61
-            sigs[:, p0:p0 + step] = np.minimum.reduceat(vals, starts, axis=0)
+    for p0 in range(0, _N_PERM, step):
+        vals = _mod61(_mulmod61_small(_PERM_A[None, p0:p0 + step],
+                                      sh[:, None])
+                      + _PERM_B[None, p0:p0 + step])
+        sigs[:, p0:p0 + step] = np.minimum.reduceat(vals, starts, axis=0)
     return sigs
 
 
 def _band_keys(sigs: np.ndarray) -> np.ndarray:
-    """(n, n_bands) uint64 bucket keys: multiply-xor mix of each band's
-    signature rows, vectorized across docs (replaces the per-doc-per-band
-    blake2b calls)."""
+    """(n, n_bands) uint64 bucket keys < 2^61-1: Horner fold of each band's
+    signature rows mod 2^61-1, seeded with band_idx+1 (SQL-mirrorable),
+    vectorized across docs."""
     nb = _N_PERM // _BAND_ROWS
     out = np.empty((len(sigs), nb), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for band in range(nb):
-            h = np.full(len(sigs), np.uint64(0x84222325) ^ np.uint64(band + 1),
-                        dtype=np.uint64)
-            for c in range(_BAND_ROWS):
-                h = (h ^ sigs[:, band * _BAND_ROWS + c]) * _MIX1
-            out[:, band] = (h ^ (h >> np.uint64(29))) * _MIX2
+    for band in range(nb):
+        h = np.full(len(sigs), np.uint64(band + 1), dtype=np.uint64)
+        for c in range(_BAND_ROWS):
+            h = _mod61(_mulmod61_small(_BAND_P, h)
+                       + sigs[:, band * _BAND_ROWS + c])
+        out[:, band] = h
     return out
 
 
@@ -642,7 +677,11 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
             if len(d) < 2:
                 continue
             docs = d["doc"].to_numpy()
-            sims = (d["sim"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+            # bias-decode via view+xor: int64 + 2**63 would silently
+            # promote to float64 and corrupt the low bits (bug caught by
+            # the simhash SQL oracle)
+            sims = (d["sim"].to_numpy().astype(np.int64).view(np.uint64)
+                    ^ np.uint64(1 << 63))
             ii, jj = np.triu_indices(len(docs), 1)
             x = sims[ii] ^ sims[jj]
             ham = np.zeros(len(x), dtype=np.int64)

@@ -72,7 +72,8 @@ def _compare(name, entrymod, con):
                                    "exact_dedup", "near_dup_pairs",
                                    "near_dup_clusters", "events_asof",
                                    "region_relations", "lsh_knn",
-                                   "emb_near_dup_lsh",
+                                   "emb_near_dup_lsh", "minhash_pairs",
+                                   "simhash_pairs",
                                    "emb_near_dup", "knn_embeddings",
                                    "text_stats", "rect_filter_wrap",
                                    "knn_pruned_moscow", "pages_per_month",
