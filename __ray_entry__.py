@@ -222,6 +222,18 @@ def _q_events_asof(sf_dir: str):
     return events_asof(sf_dir)
 
 
+CORPUS_MIN_QUALITY = 0.5
+CORPUS_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+def _q_corpus_keep(sf_dir: str):
+    from s2ray.pipelines.dedup import corpus_dedup_keep
+
+    return corpus_dedup_keep(sf_dir, tau=NEAR_DUP_TAU,
+                             min_quality=CORPUS_MIN_QUALITY,
+                             langs=CORPUS_LANGS)
+
+
 def _q_emb_near_dup(sf_dir: str):
     from s2ray.pipelines.dedup import embedding_near_dup
 
@@ -622,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "near_dup_pairs": _q_near_dup_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
+        "corpus_keep": _q_corpus_keep,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
@@ -978,6 +991,30 @@ SELECT doc_id,
 FROM f"""
     fingerprint_oracle = (f"SELECT doc_id, {fingerprint_sql('text')} "
                           f"AS fingerprint FROM documents")
+    # capstone: the composed training-data cleaning pipeline, end-to-end —
+    # language allow-list + quality threshold + exact dedup + near-dup
+    # cluster dedup, each mirroring its already-oracled stage
+    langs_in = ", ".join(f"'{x}'" for x in CORPUS_LANGS)
+    corpus_keep_sql = f"""
+WITH RECURSIVE
+qual AS (SELECT doc_id, quality FROM ({quality_sql}) tq),
+lng AS (SELECT doc_id, lang_pred FROM ({langid_sql}) tl),
+filt AS (SELECT d.doc_id, d.text FROM documents d
+         JOIN qual USING (doc_id) JOIN lng USING (doc_id)
+         WHERE qual.quality >= {CORPUS_MIN_QUALITY!r}
+           AND lng.lang_pred IN ({langs_in})),
+ex AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text),
+{near_dup_ctes.replace("FROM documents", "FROM filt")},
+edges AS (SELECT i AS u, j AS v FROM dup UNION ALL SELECT j, i FROM dup),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clus AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u)
+SELECT doc_id FROM ex
+WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)"""
     rect_wrap = (
         f"{cte} SELECT page_id, lat, lng FROM pages_geo "
         f"WHERE lat >= {WRAP_RECT['lat_lo']} AND lat <= {WRAP_RECT['lat_hi']} "
@@ -1085,6 +1122,7 @@ FROM (
         "quality_score": quality_sql,
         "lang_id": langid_sql,
         "fingerprint": fingerprint_oracle,
+        "corpus_keep": corpus_keep_sql,
         # rows-only (not SQL-expressible): polygon_covering /
         # polyline_covering / covering_setops / boolean_covering /
         # region_relations (RegionCoverer + polygon algebra — verified by

@@ -475,6 +475,61 @@ def near_dup_clusters(ds, tau: float = 0.5, k: int = 3,
         id_col: nodes, "cluster_id": labels}))
 
 
+def corpus_dedup_keep(sf_dir: str, tau: float = 0.5, k: int = 3,
+                      min_quality: float = 0.5, langs=("en", "de", "fr",
+                                                       "es", "zh")):
+    """The canonical training-data cleaning pipeline, composed end-to-end:
+
+    documents -> language allow-list -> quality threshold -> exact dedup
+    (keep min doc_id per byte-identical text) -> near-dup cluster dedup
+    (keep min doc_id per Jaccard>=tau cluster) -> kept doc ids.
+
+    Every stage is an already-oracle-checked operator; the composition has
+    its own end-to-end SQL oracle.  Scale notes: the near-dup removal set
+    is the SMALL derived cluster table broadcast into a filter; exact
+    dedup keys are content digests; quality/langid are vectorized map
+    stages — nothing materializes the corpus.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from .text import LangId, quality_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def keep_mask(batch: pa.Table) -> pa.Table:
+        q = quality_score(batch)
+        lang = LangId()(batch)
+        ok = pc.and_(
+            pc.greater_equal(q["quality"], pa.scalar(float(min_quality))),
+            pc.is_in(lang["lang_pred"],
+                     value_set=pa.array(list(langs))))
+        return batch.filter(ok)
+
+    filtered = ds.map_batches(keep_mask, batch_format="pyarrow",
+                              batch_size=None)
+    # exact dedup keeps min doc_id per text (content-digest shuffle)
+    keepers = exact_dedup(filtered, text_col="text", id_col="doc_id") \
+        .select_columns(["doc_id"])
+    # near-dup clusters over the FILTERED corpus; drop non-minimal members
+    clusters = near_dup_clusters(filtered, tau=tau, k=k)
+    drop = clusters.to_pandas()
+    drop_ids = drop.loc[drop["doc_id"] != drop["cluster_id"],
+                        "doc_id"].to_numpy()
+    drop_ref = ray.put(np.sort(drop_ids))
+
+    def not_near_dup(batch: pa.Table, drop_ref=drop_ref) -> pa.Table:
+        dd = ray.get(drop_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, dd)
+        return batch.filter(pa.array(keep))
+
+    return keepers.map_batches(not_near_dup, batch_format="pyarrow",
+                               batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the 100-TB scale path)
 

@@ -73,7 +73,7 @@ def _compare(name, entrymod, con):
                                    "near_dup_clusters", "events_asof",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",
-                                   "simhash_pairs",
+                                   "simhash_pairs", "corpus_keep",
                                    "emb_near_dup", "knn_embeddings",
                                    "text_stats", "rect_filter_wrap",
                                    "knn_pruned_moscow", "pages_per_month",
