@@ -119,28 +119,40 @@ def spatial_join_broadcast(pages_ds, regions: dict[str, object],
 
     index_ref = ray.put(RegionIndex(regions, max_cells=max_cells))
     cols = list(keep_cols)
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
 
-    class ProbeActor:
-        """Actor pool: deserializes the broadcast index ONCE per actor."""
+    def probe_batch(batch: pa.Table, index_ref=index_ref) -> pa.Table:
+        index = _cached_index(index_ref)
+        leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        rows, rids = index.probe(leaf, lat, lng)
+        sub = batch.select(cols).take(pa.array(rows))
+        return sub.append_column("region_id", pa.array(rids, type=pa.string()))
 
-        def __init__(self, ref):
-            self.index = ray.get(ref)
+    # Task pool, NOT an actor pool: tasks fuse with the upstream map in the
+    # same worker processes (an actor pool pays ~2 s spin-up per query and
+    # breaks operator fusion); the index still deserializes once per worker
+    # via the process-level cache below.
+    return pages_ds.map_batches(probe_batch, batch_format="pyarrow",
+                                batch_size=None)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            lat = batch["lat"].to_numpy(zero_copy_only=False)
-            lng = batch["lng"].to_numpy(zero_copy_only=False)
-            rows, rids = self.index.probe(leaf, lat, lng)
-            sub = batch.select(cols).take(pa.array(rows))
-            return sub.append_column("region_id", pa.array(rids, type=pa.string()))
 
-    return pages_ds.map_batches(
-        ProbeActor,
-        fn_constructor_args=(index_ref,),
-        concurrency=(1, ncpu),
-        batch_format="pyarrow", batch_size=None,
-    )
+_INDEX_CACHE: dict = {}
+
+
+def _cached_index(ref):
+    """Worker-process-level cache: ray.get + unpickle the broadcast index
+    once per worker, not once per task (bounded to a few entries)."""
+    import ray
+
+    key = ref.hex()
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = ray.get(ref)
+        if len(_INDEX_CACHE) >= 4:
+            _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+        _INDEX_CACHE[key] = idx
+    return idx
 
 
 # ---------------------------------------------------------------------------
