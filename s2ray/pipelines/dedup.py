@@ -781,16 +781,11 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.45):
         emb = np.stack(batch["embedding"].to_pandas().values).astype(np.float64)
         emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         sims = emb @ mat.T
-        out_i, out_j = [], []
-        for r in range(len(ids)):
-            hits = np.nonzero(sims[r] >= tau)[0]
-            for h in hits:
-                if vec_ids[h] > ids[r]:
-                    out_i.append(ids[r])
-                    out_j.append(vec_ids[h])
+        rr, cc = np.nonzero(sims >= tau)          # one 2-D pass, no row loop
+        keep = vec_ids[cc] > ids[rr]
         return pa.table({
-            "i": pa.array(out_i, type=pa.int64()),
-            "j": pa.array(out_j, type=pa.int64()),
+            "i": pa.array(ids[rr[keep]], type=pa.int64()),
+            "j": pa.array(vec_ids[cc[keep]], type=pa.int64()),
         })
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -828,20 +823,19 @@ def embedding_near_dup_lsh(sf_dir: str, tau: float = 0.45,
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         emb = np.stack(batch["embedding"].to_pandas().values).astype(np.float64)
         emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        sig = lsh_signature(emb, planes)
-        rows_b, rows_id, rows_v = [], [], []
-        probes = [0] + ([1 << b for b in range(n_planes)]
-                        if multi_probe_hamming >= 1 else [])
-        for r in range(len(ids)):
-            blob = emb[r].tobytes()
-            for flip in probes:
-                rows_b.append(int(sig[r]) ^ flip)
-                rows_id.append(ids[r])
-                rows_v.append(blob)
+        sig = lsh_signature(emb, planes).astype(np.int64)
+        probes = np.array([0] + ([1 << b for b in range(n_planes)]
+                                 if multi_probe_hamming >= 1 else []),
+                          dtype=np.int64)
+        # vectorized multi-probe fan-out: (N, P) buckets, row-major
+        buckets = (sig[:, None] ^ probes[None, :]).reshape(-1)
+        np_ = len(probes)
+        blobs = [emb[r].tobytes() for r in range(len(ids))]  # one per vec
+        rows_v = np.repeat(np.array(blobs, dtype=object), np_)
         return pa.table({
-            "bucket": pa.array(rows_b, type=pa.int64()),
-            "vec_id": pa.array(rows_id, type=pa.int64()),
-            "vec": pa.array(rows_v, type=pa.binary()),
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "vec_id": pa.array(np.repeat(ids, np_), type=pa.int64()),
+            "vec": pa.array(rows_v.tolist(), type=pa.binary()),
         })
 
     def emit_pairs(df):

@@ -112,6 +112,27 @@ def test_builder_merges_near_vertices():
     assert len(loops) == 1 and not unused
 
 
+def test_ops_with_holes_on_either_side():
+    ring = Polygon.from_latlng_loops(
+        [sq(0, 0, 30), list(reversed(sq(10, 10, 8)))])   # square with hole
+    solid = Polygon.from_latlng_loops([sq(5, 5, 20)])    # overlaps the hole
+    pts = _sample_pts(seed=11)
+    in_r = ring.contains_points_xyz(pts)
+    in_s = solid.contains_points_xyz(pts)
+    inter = polygon_intersection(ring, solid)
+    assert (inter.contains_points_xyz(pts) == (in_r & in_s)).all()
+    uni = polygon_union(ring, solid)
+    assert (uni.contains_points_xyz(pts) == (in_r | in_s)).all()
+    diff = polygon_difference(ring, solid)
+    assert (diff.contains_points_xyz(pts) == (in_r & ~in_s)).all()
+    # hole on the RIGHT side
+    diff2 = polygon_difference(solid, ring)
+    assert (diff2.contains_points_xyz(pts) == (in_s & ~in_r)).all()
+    # area identity still holds
+    assert abs(ring.area() + solid.area()
+               - (inter.area() + uni.area())) < 1e-9
+
+
 def test_degenerate_edge_ignored():
     b = PolygonBuilder()
     p = Loop.from_latlng_degrees(sq(0, 0, 10)).vertices[0]
