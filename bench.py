@@ -78,7 +78,10 @@ def run_flagship_only():
     _flagship(SF_DIR, 1)
     wall = float("inf")
     n_pages = 0
-    for _ in range(2):
+    # best-of-N: this host suffers minutes-long interference bursts from
+    # co-tenants (see host_first_touch_mbps); more repeats damp them
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    for _ in range(repeats):
         t0 = time.time()
         n_pages = _flagship(SF_DIR, REPL)
         wall = min(wall, time.time() - t0)
