@@ -209,6 +209,9 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, n_parts: int = 64):
                                columns=["user_id", "ts"])
 
     def add_part(batch: pa.Table) -> pa.Table:
+        # drop the parquet 'pandas' schema metadata: Ray's shuffle schema
+        # dedup can't hash dict-valued metadata (log spam per reduce task)
+        batch = batch.replace_schema_metadata(None)
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         return batch.append_column(
             "part", pa.array((uid % n_parts).astype(np.int32)))
@@ -270,6 +273,7 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
     def prep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        batch = batch.replace_schema_metadata(None)  # see add_part note
         keep = pc.is_in(batch["event_type"],
                         value_set=pa.array([left_type, right_type]))
         batch = batch.filter(keep)
