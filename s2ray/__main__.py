@@ -10,6 +10,8 @@ Commands:
   cap-join   pages x city caps spatial join -> parquet
   media      synthetic media -> decode actor pool -> per-type stats
   sessions   events sessionization -> parquet
+  corpus-keep  training-data cleaning capstone -> kept doc ids parquet
+  asof       events as-of join (latest prior <right> per <left>) -> parquet
 """
 
 from __future__ import annotations
@@ -56,6 +58,16 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--gap-s", type=int, default=1800)
 
+    ck = sub.add_parser("corpus-keep")
+    ck.add_argument("--out", required=True)
+    ck.add_argument("--tau", type=float, default=0.5)
+    ck.add_argument("--min-quality", type=float, default=0.5)
+
+    aj = sub.add_parser("asof")
+    aj.add_argument("--out", required=True)
+    aj.add_argument("--left", default="purchase")
+    aj.add_argument("--right", default="click")
+
     args = p.parse_args(argv)
     ray = _ensure_ray(args.num_cpus)
     try:
@@ -97,6 +109,19 @@ def main(argv=None):
 
             user_sessions(args.sf_dir, gap_s=args.gap_s).write_parquet(args.out)
             print(json.dumps({"cmd": "sessions", "out": args.out}))
+        elif args.cmd == "corpus-keep":
+            from .pipelines.dedup import corpus_dedup_keep
+
+            out = corpus_dedup_keep(args.sf_dir, tau=args.tau,
+                                    min_quality=args.min_quality)
+            out.write_parquet(args.out)
+            print(json.dumps({"cmd": "corpus-keep", "out": args.out}))
+        elif args.cmd == "asof":
+            from .pipelines.analytics import events_asof
+
+            events_asof(args.sf_dir, left_type=args.left,
+                        right_type=args.right).write_parquet(args.out)
+            print(json.dumps({"cmd": "asof", "out": args.out}))
     finally:
         ray.shutdown()
     return 0
