@@ -409,6 +409,31 @@ def _q_polyline_near(sf_dir: str):
 
 BOOL_B_SQ = [(55.75, 37.30), (55.75, 37.65), (56.10, 37.65), (56.10, 37.30)]
 
+# Edge-soup assembly query: each PIP polygon is split into two pieces along
+# a meridian (pieces share the cut edge with identical float vertices) and
+# shipped as a shuffled directed-edge Dataset; the engine must reassemble
+# the regions (S2PolygonBuilder DIRECTED_XOR) before the join.  The oracle
+# is the pip SQL of the known 6-vertex union boundary.
+ASSEMBLY_SPLIT_FRAC = {"moscow_sq": 0.5, "sydney_sq": 0.35}
+
+
+def _assembly_geometry():
+    from s2ray.pipelines.assembly import split_quad_pieces
+
+    pieces, unions = {}, {}
+    for name, loop_deg in PIP_POLYS.items():
+        p, u = split_quad_pieces(loop_deg, frac=ASSEMBLY_SPLIT_FRAC[name])
+        pieces[name] = p
+        unions[name] = u
+    return pieces, unions
+
+
+def _q_assembled_pip_join(sf_dir: str):
+    from s2ray.pipelines.assembly import assembled_pip_join
+
+    pieces, _ = _assembly_geometry()
+    return assembled_pip_join(sf_dir, pieces, keep_cols=("page_id",))
+
 
 def _bool_polygons():
     from s2ray.kernel.pip import Polygon
@@ -618,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polyline_covering": _q_polyline_covering,
         "covering_member_join": _q_covering_member_join,
         "boolean_pip_join": _q_boolean_pip_join,
+        "assembled_pip_join": _q_assembled_pip_join,
         "covering_setops": _q_covering_setops,
         "boolean_covering": _q_boolean_covering,
         "region_relations": _q_region_relations,
@@ -763,6 +789,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT page_id, '{name}' AS region_id FROM pages_geo WHERE {expr}"
         )
     pip_join = f"{cte} " + " UNION ALL ".join(pip_selects)
+    # assembled regions: oracle on the KNOWN 6-vertex union boundary the
+    # edge-soup assembly must reproduce bit-exactly
+    _, union_loops = _assembly_geometry()
+    asm_selects = []
+    for name, loop_deg in sorted(union_loops.items()):
+        expr = loop_pip_sql(Loop.from_latlng_degrees(loop_deg),
+                            lat_expr="radians(lat)", lng_expr="radians(lng)")
+        asm_selects.append(
+            f"SELECT page_id, '{name}' AS region_id FROM pages_geo WHERE {expr}"
+        )
+    assembled_pip_sql = f"{cte} " + " UNION ALL ".join(asm_selects)
     exact_dedup_sql = (
         f"{cte} SELECT min(page_id) AS page_id, count(*) AS n_copies "
         f"FROM pages_geo GROUP BY text"
@@ -1108,6 +1145,7 @@ FROM (
         "pages_per_lang": per_lang,
         "cap_join": cap_join,
         "pip_join": pip_join,
+        "assembled_pip_join": assembled_pip_sql,
         "exact_dedup": exact_dedup_sql,
         "near_dup_pairs": near_dup,
         "near_dup_clusters": near_dup_clusters_sql,

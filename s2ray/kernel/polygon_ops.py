@@ -35,14 +35,47 @@ DEFAULT_INTERSECTION_TOLERANCE = 1.5e-15
 
 
 class PolygonBuilder:
-    """Directed-XOR edge-soup assembler (S2PolygonBuilder.php:44-360)."""
+    """Edge-soup assembler (S2PolygonBuilder.php:44-360).
+
+    Supports the reference's three Options presets:
+      DIRECTED_XOR     (default) — directed edges, duplicate opposite pairs
+                       cancel; used by the boolean ops' clipBoundary output.
+      UNDIRECTED_XOR   — edge orientation unknown; shared boundary pairs
+                       cancel (symmetric difference of sloppy loops).
+      UNDIRECTED_UNION — orientation unknown, duplicates kept (seamless
+                       union of polygons cut into pieces along shared
+                       borders that are counted twice).
+    Plus ``validate`` (reject self-crossing assembled loops into
+    unused_edges, S2PolygonBuilder.php:478-489) and vertex merging within
+    ``merge_radius`` (mergeVertices/moveVertices/PointIndex,
+    S2PolygonBuilder.php:565-716).
+    """
 
     def __init__(self, merge_radius: float = DEFAULT_INTERSECTION_TOLERANCE,
-                 xor_edges: bool = True):
+                 xor_edges: bool = True, undirected_edges: bool = False,
+                 validate: bool = False):
         self.merge_radius = float(merge_radius)
         self.xor_edges = xor_edges
+        self.undirected_edges = undirected_edges
+        self.validate = validate
         self._points: dict[bytes, np.ndarray] = {}
         self._edges: dict[bytes, Counter] = {}
+
+    # Options presets (S2PolygonBuilder.php:57-105)
+    @classmethod
+    def directed_xor(cls, merge_radius: float = 0.0, **kw) -> "PolygonBuilder":
+        return cls(merge_radius=merge_radius, xor_edges=True,
+                   undirected_edges=False, **kw)
+
+    @classmethod
+    def undirected_xor(cls, merge_radius: float = 0.0, **kw) -> "PolygonBuilder":
+        return cls(merge_radius=merge_radius, xor_edges=True,
+                   undirected_edges=True, **kw)
+
+    @classmethod
+    def undirected_union(cls, merge_radius: float = 0.0, **kw) -> "PolygonBuilder":
+        return cls(merge_radius=merge_radius, xor_edges=False,
+                   undirected_edges=True, **kw)
 
     def _key(self, v: np.ndarray) -> bytes:
         k = v.tobytes()
@@ -55,7 +88,8 @@ class PolygonBuilder:
     def add_edge(self, v0: np.ndarray, v1: np.ndarray) -> None:
         """S2PolygonBuilder::addEdge (S2PolygonBuilder.php:198-229):
         degenerate edges ignored; with xor_edges an existing opposite edge
-        cancels instead of inserting."""
+        cancels instead of inserting; undirected edges are stored in both
+        directions."""
         k0, k1 = self._key(v0), self._key(v1)
         if k0 == k1:
             return
@@ -63,6 +97,26 @@ class PolygonBuilder:
             self._erase_edge(k1, k0)
             return
         self._edges.setdefault(k0, Counter())[k1] += 1
+        if self.undirected_edges:
+            self._edges.setdefault(k1, Counter())[k0] += 1
+
+    def add_loop(self, loop: Loop, sign: int | None = None) -> None:
+        """All edges of the loop; holes (sign -1) contribute reversed edges
+        so shells are CCW and holes CW (S2PolygonBuilder.php:231-247).
+        Standalone default mirrors S2Loop::sign() for depth-0 loops: -1 only
+        for inverted loops (area > 2pi)."""
+        n = len(loop.vertices)
+        if sign is None:
+            sign = -1 if loop.area() > 2.0 * np.pi else 1
+        for i in range(n, 0, -1):
+            self.add_edge(loop.vertices[i % n],
+                          loop.vertices[(i + sign) % n])
+
+    def add_polygon(self, polygon: Polygon) -> None:
+        """Shells and holes with opposite orientations, holes = odd nesting
+        depth (S2PolygonBuilder.php:249-259)."""
+        for i, lp in enumerate(polygon.loops):
+            self.add_loop(lp, sign=-1 if polygon.loop_depth(i) % 2 else 1)
 
     def _erase_edge(self, k0: bytes, k1: bytes) -> None:
         c = self._edges[k0]
@@ -71,6 +125,14 @@ class PolygonBuilder:
             del c[k1]
         if not c:
             del self._edges[k0]
+        if self.undirected_edges:
+            c = self._edges.get(k1)
+            if c is not None and c.get(k0, 0) > 0:
+                c[k0] -= 1
+                if c[k0] <= 0:
+                    del c[k0]
+                if not c:
+                    del self._edges[k1]
 
     def n_edges(self) -> int:
         return sum(sum(c.values()) for c in self._edges.values())
@@ -80,7 +142,15 @@ class PolygonBuilder:
     def merge_vertices(self) -> None:
         """Collapse clusters of vertices within merge_radius (chord metric)
         to one representative and re-add affected edges (XOR applies on
-        re-insertion) — S2PolygonBuilder mergeVertices/moveVertices."""
+        re-insertion) — S2PolygonBuilder mergeVertices/moveVertices.
+
+        Clusters are the connected components of the <=merge_radius pair
+        graph (same semantics as the reference's marked BFS).  Candidate
+        pairs come from a brute O(V^2) scan for small V, or from the
+        reference's PointIndex scheme for large V: bucket by the ancestor
+        cell at the deepest level whose cells fully contain a 2r disc, so
+        any pair within r shares a vertex-neighbor bucket
+        (S2PolygonBuilder.php:643-716)."""
         keys = [k for k in self._points
                 if k in self._edges or any(k in c for c in self._edges.values())]
         if not keys:
@@ -97,14 +167,43 @@ class PolygonBuilder:
             return i
 
         d2 = chord * chord
-        for i in range(len(keys)):
-            diff = pts[i + 1:] - pts[i]
-            close = np.flatnonzero(
-                np.einsum("ij,ij->i", diff, diff) <= d2) + i + 1
-            for j in close:
-                ri, rj = find(i), find(int(j))
-                if ri != rj:
-                    parent[rj] = ri
+        n = len(keys)
+        if n <= 512:
+            for i in range(n):
+                diff = pts[i + 1:] - pts[i]
+                close = np.flatnonzero(
+                    np.einsum("ij,ij->i", diff, diff) <= d2) + i + 1
+                for j in close:
+                    ri, rj = find(i), find(int(j))
+                    if ri != rj:
+                        parent[rj] = ri
+        else:
+            from . import cellid as cid
+            level = min(sphere.MIN_WIDTH.get_max_level(2.0 * self.merge_radius),
+                        cid.MAX_LEVEL - 1)
+            leaf = cid.from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
+            own = cid.parent(leaf, level)
+            nbr_ids, counts = cid.get_vertex_neighbors(leaf, level)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            bucket: dict[int, list[int]] = {}
+            for i, c in enumerate(own.tolist()):
+                bucket.setdefault(c, []).append(i)
+            for i in range(n):
+                cand: list[int] = []
+                for c in nbr_ids[offs[i]:offs[i + 1]].tolist():
+                    cand.extend(bucket.get(c, ()))
+                if not cand:
+                    continue
+                ca = np.asarray(cand, dtype=np.int64)
+                ca = ca[ca > i]
+                if not len(ca):
+                    continue
+                diff = pts[ca] - pts[i]
+                close = ca[np.einsum("ij,ij->i", diff, diff) <= d2]
+                for j in close:
+                    ri, rj = find(i), find(int(j))
+                    if ri != rj:
+                        parent[rj] = ri
         merge_map: dict[bytes, bytes] = {}
         for i, k in enumerate(keys):
             r = find(i)
@@ -150,8 +249,25 @@ class PolygonBuilder:
                 path.append(k2)
             else:
                 path = path[index[k2]:]
+                if self.validate and not self._cycle_is_simple(path):
+                    # self-crossing loop => bad input: reject the whole
+                    # cycle into unused (S2PolygonBuilder.php:478-489)
+                    n = len(path)
+                    for i in range(n):
+                        unused.append((path[i - 1], path[i]))
+                    self._erase_loop(path)
+                    return None
                 return [self._points[k] for k in path]
         return None
+
+    def _cycle_is_simple(self, path_keys: list[bytes]) -> bool:
+        """True iff the closed cycle has >= 3 vertices and no proper
+        edge self-crossing (S2Loop::isValid subset used by the builder)."""
+        if len(path_keys) < 3:
+            return False
+        from .edgeindex import self_intersections
+        pts = np.stack([self._points[k] for k in path_keys])
+        return len(self_intersections(pts, np.roll(pts, -1, axis=0))) == 0
 
     def _erase_loop(self, loop_keys: list[bytes]) -> None:
         n = len(loop_keys)
@@ -159,7 +275,10 @@ class PolygonBuilder:
             self._erase_edge(loop_keys[i], loop_keys[(i + 1) % n])
 
     def assemble_loops(self) -> tuple[list[Loop], list]:
-        """(loops, unused_edges) — S2PolygonBuilder.php:264-326."""
+        """(loops, unused_edges) — S2PolygonBuilder.php:264-326.  With
+        undirected edges a clockwise accidental loop is re-assembled from
+        its reverse starting edge until normalized (each retry is interior
+        to the last, so it terminates)."""
         self.merge_vertices()
         unused: list = []
         loops: list[Loop] = []
@@ -169,6 +288,14 @@ class PolygonBuilder:
             verts = self._assemble_loop(k0, k1, unused)
             if verts is None:
                 continue
+            if self.undirected_edges:
+                while (len(verts) >= 3
+                       and Loop(np.stack(verts)).area() > 2.0 * np.pi):
+                    redo = self._assemble_loop(verts[1].tobytes(),
+                                               verts[0].tobytes(), unused)
+                    if redo is None:
+                        break
+                    verts = redo
             keys = [v.tobytes() for v in verts]
             self._erase_loop(keys)
             if len(verts) >= 3:
@@ -176,12 +303,22 @@ class PolygonBuilder:
         return loops, unused
 
     def assemble_polygon(self) -> tuple[Polygon | None, list]:
-        """(polygon-or-None, unused_edges); loops are normalized and fed to
-        the XOR-parity Polygon (S2PolygonBuilder.php:327-357)."""
+        """(polygon-or-None, unused_edges); directed loops are normalized
+        (undirected assembly already yields CCW loops) and fed to the
+        XOR-parity Polygon; with ``validate`` an invalid loop set is
+        rejected into unused_edges (S2PolygonBuilder.php:327-390)."""
         loops, unused = self.assemble_loops()
         if not loops:
             return None, unused
-        return Polygon(loops, normalize=True), unused
+        poly = Polygon(loops, normalize=not self.undirected_edges)
+        if self.validate and not poly.is_valid():
+            for lp in loops:
+                n = len(lp.vertices)
+                for i in range(n):
+                    unused.append((lp.vertices[i - 1].tobytes(),
+                                   lp.vertices[i].tobytes()))
+            return None, unused
+        return poly, unused
 
 
 # ---------------------------------------------------------------------------

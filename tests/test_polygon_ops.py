@@ -138,3 +138,88 @@ def test_degenerate_edge_ignored():
     p = Loop.from_latlng_degrees(sq(0, 0, 10)).vertices[0]
     b.add_edge(p, p)
     assert b.n_edges() == 0
+
+
+# -- round 2: full S2PolygonBuilder option surface ---------------------------
+
+def test_builder_undirected_xor_reassembles_split_pieces():
+    """Lake split by a border: two halves added with ARBITRARY orientations;
+    the shared border cancels (undirected XOR) and the union assembles CCW
+    (S2PolygonBuilder.php:10-14 situation 1)."""
+    left = Loop.from_latlng_degrees([(0, 0), (0, 5), (10, 5), (10, 0)])
+    right = Loop.from_latlng_degrees([(0, 5), (0, 10), (10, 10), (10, 5)])
+    # the expected union keeps the cut endpoints as vertices: a great-circle
+    # arc (10,0)->(10,10) does NOT pass through (10,5)
+    whole = Polygon.from_latlng_loops([
+        [(0, 0), (0, 5), (0, 10), (10, 10), (10, 5), (10, 0)]])
+    b = PolygonBuilder.undirected_xor()
+    b.add_loop(left)
+    b.add_loop(right.invert(), sign=1)  # deliberately CW piece
+    poly, unused = b.assemble_polygon()
+    assert poly is not None and not unused
+    assert len(poly.loops) == 1
+    assert abs(poly.area() - whole.area()) < 1e-9
+    pts = _sample_pts()
+    assert (poly.contains_points_xyz(pts)
+            == whole.contains_points_xyz(pts)).all()
+
+
+def test_builder_undirected_normalizes_cw_loop():
+    """A single clockwise loop under undirected assembly comes out CCW
+    (the !isNormalized retry, S2PolygonBuilder.php:305-312)."""
+    cw = Loop.from_latlng_degrees(sq(0, 0, 10)).invert()
+    b = PolygonBuilder.undirected_union()
+    v = cw.vertices
+    for i in range(len(v)):
+        b.add_edge(v[i], v[(i + 1) % len(v)])
+    loops, unused = b.assemble_loops()
+    assert len(loops) == 1 and not unused
+    assert loops[0].area() <= 2 * np.pi + 1e-12
+
+
+def test_builder_add_polygon_roundtrip_with_hole():
+    shell = sq(0, 0, 30)
+    hole = sq(10, 10, 5)
+    src = Polygon.from_latlng_loops([shell, hole])
+    b = PolygonBuilder.directed_xor()
+    b.add_polygon(src)
+    poly, unused = b.assemble_polygon()
+    assert poly is not None and not unused
+    assert len(poly.loops) == 2
+    assert abs(poly.area() - src.area()) < 1e-9
+    pts = _sample_pts(seed=11)
+    assert (poly.contains_points_xyz(pts)
+            == src.contains_points_xyz(pts)).all()
+
+
+def test_builder_validate_rejects_bowtie():
+    """Self-crossing 'bowtie' cycle is rejected into unused_edges when
+    validate=True (S2PolygonBuilder.php:478-489)."""
+    pts = [Loop.from_latlng_degrees([(0, 0), (10, 10), (0, 10), (10, 0)])
+           .vertices[i] for i in range(4)]
+    b = PolygonBuilder(validate=True)
+    for i in range(4):
+        b.add_edge(pts[i], pts[(i + 1) % 4])
+    loops, unused = b.assemble_loops()
+    assert loops == []
+    assert len(unused) == 4
+
+
+def test_builder_large_vertex_merge_bucketed():
+    """>512 vertices takes the PointIndex-style bucketed merge path; a
+    jittered ring still assembles into a single loop."""
+    n = 700
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    lat = 10 * np.cos(ang)
+    lng = 10 * np.sin(ang)
+    x, y, z = sphere.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    ring = np.stack([x, y, z], axis=1)
+    rng = np.random.RandomState(7)
+    b = PolygonBuilder(merge_radius=1e-9)
+    for i in range(n):
+        a = ring[i] + rng.uniform(-1e-12, 1e-12, 3)
+        c = ring[(i + 1) % n] + rng.uniform(-1e-12, 1e-12, 3)
+        b.add_edge(a, c)
+    loops, unused = b.assemble_loops()
+    assert len(loops) == 1 and not unused
+    assert len(loops[0].vertices) == n
