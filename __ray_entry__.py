@@ -56,6 +56,15 @@ def _q_tile_counts(sf_dir: str):
     return tile_counts(sf_dir, level=8)
 
 
+PYRAMID_LEVELS = (8, 6, 4, 2)
+
+
+def _q_tile_pyramid(sf_dir: str):
+    from s2ray.pipelines.tiles import tile_pyramid
+
+    return tile_pyramid(sf_dir, levels=PYRAMID_LEVELS)
+
+
 def _q_rect_filter(sf_dir: str):
     from s2ray.pipelines.filters import rect_filter_batch
     from s2ray.pipelines.tiles import pages_with_cells
@@ -220,6 +229,15 @@ def _q_events_asof(sf_dir: str):
     from s2ray.pipelines.analytics import events_asof
 
     return events_asof(sf_dir)
+
+
+EVENT_QS = (0.5, 0.9, 0.99)
+
+
+def _q_events_quantiles(sf_dir: str):
+    from s2ray.pipelines.analytics import group_quantiles
+
+    return group_quantiles(sf_dir, qs=EVENT_QS)
 
 
 CORPUS_MIN_QUALITY = 0.5
@@ -630,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # S2 / spatial
         "tile_counts_l8": _q_tile_counts,
+        "tile_pyramid": _q_tile_pyramid,
         "rect_filter": _q_rect_filter,
         "knn_moscow": _q_knn,
         "text_identity": _q_text_identity,
@@ -653,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
+        "events_quantiles": _q_events_quantiles,
         "user_sessions": _q_user_sessions,
         "emb_centroids": _q_emb_centroids,
         "top3_per_city": _q_top3_per_city,
@@ -696,6 +716,34 @@ def oracle_sql() -> dict[str, str]:
         f"{cte} SELECT cell_id, cell_token, count(*) AS n_pages FROM ("
         + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
         + ") GROUP BY cell_id, cell_token"
+    )
+    # pyramid rollup: the l8 SQL encoder output materialized once, coarser
+    # levels derived by pure cell-id bit algebra (parent = clear low bits,
+    # set new lsb) — independent of the engine's kernel parent()
+    fine = max(PYRAMID_LEVELS)
+    pyr_selects = [
+        f"SELECT CAST({fine} AS BIGINT) AS level, cell_id, cell_token, "
+        f"count(*) AS n_pages FROM _enc8 GROUP BY 2, 3"
+    ]
+    for lv in sorted(PYRAMID_LEVELS, reverse=True):
+        if lv == fine:
+            continue
+        shift = 2 * (30 - lv)
+        lsb = 1 << shift
+        assert shift % 4 == 0, "token shortcut needs even level"
+        nd = (64 - shift) // 4
+        pid = (f"(cell_id - (cell_id % CAST('{2 * lsb}' AS UBIGINT)) "
+               f"+ CAST('{lsb}' AS UBIGINT))")
+        pyr_selects.append(
+            f"SELECT CAST({lv} AS BIGINT) AS level, pid AS cell_id, "
+            f"printf('%0{nd}x', CAST(pid >> {shift} AS BIGINT)) AS cell_token, "
+            f"count(*) AS n_pages FROM (SELECT {pid} AS pid FROM _enc8) "
+            f"GROUP BY 2"
+        )
+    tile_pyramid_sql = (
+        f"{cte}, _enc8 AS MATERIALIZED (SELECT cell_id, cell_token FROM ("
+        + s2_cell_select("SELECT lat, lng FROM pages_geo", level=fine)
+        + ")) " + " UNION ALL ".join(pyr_selects)
     )
     # covering-membership join: SQL leaf encoder + covering leaf intervals
     # (query-geometry constants, like the pip_join plane coefficients)
@@ -1126,6 +1174,7 @@ FROM (
     )
     return {
         "tile_counts_l8": tile_counts_sql,
+        "tile_pyramid": tile_pyramid_sql,
         "covering_member_join": covering_member_sql,
         "boolean_pip_join": boolean_pip_sql,
         "region_relations": polygon_relations_select(_relation_regions()),
@@ -1152,6 +1201,13 @@ FROM (
         "minhash_pairs": minhash_sql,
         "simhash_pairs": simhash_sql,
         "events_asof": events_asof_sql,
+        "events_quantiles": (
+            "SELECT event_type, unnest(["
+            + ", ".join(f"{q!r}" for q in EVENT_QS)
+            + "]) AS q, unnest(quantile_disc(value, ["
+            + ", ".join(f"{q!r}" for q in EVENT_QS)
+            + "])) AS value FROM events GROUP BY event_type"
+        ),
         "emb_near_dup": emb_near_dup_sql,
         "emb_near_dup_lsh": emb_lsh_sql,
         "knn_embeddings": knn_emb_sql,

@@ -365,3 +365,154 @@ def embedding_centroids(sf_dir: str, ndigits: int = 4):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                    group_col: str = "event_type", value_col: str = "value",
+                    n_bins: int = 4096):
+    """EXACT per-group quantiles of a float column with bounded memory:
+    (group, q, value), quantile_disc semantics (the element at 0-based rank
+    max(0, ceil(q*n) - 1) of the sorted group).
+
+    Three streaming passes, none of which materializes a group's values:
+      A. per-group (min, max, count) — compact partials, tiny merge;
+      B. per-group fixed-width histogram over [min, max] — per-batch
+         bincount blobs tree-merged; locates the bucket holding each
+         target rank (a 32 KB blob per group per batch, independent of
+         group size);
+      C. fetch ONLY the values inside target buckets (~n/n_bins of the
+         data), sort those, pick the in-bucket offset.
+    At 100 TB a group never needs to fit anywhere; pass C's pull is
+    1/4096th of the column, and could recurse if even that were too big.
+    """
+    import ray
+
+    def read():
+        return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                     columns=[group_col, value_col])
+
+    qs = list(qs)
+
+    # -- pass A: per-group stats -------------------------------------------
+    def stats(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col].to_pandas(), dtype=object)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        starts = (np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
+                  if len(g) else np.empty(0, dtype=np.int64))
+        ends = np.concatenate([starts[1:], [len(g)]]) if len(g) else starts
+        return pa.table({
+            "g": pa.array([str(g[s]) for s in starts], type=pa.string()),
+            "mn": pa.array([float(np.min(v[s:e])) for s, e in zip(starts, ends)]),
+            "mx": pa.array([float(np.max(v[s:e])) for s, e in zip(starts, ends)]),
+            "n": pa.array([int(e - s) for s, e in zip(starts, ends)],
+                          type=pa.int64()),
+        })
+
+    st = (read().map_batches(stats, batch_format="pyarrow", batch_size=None)
+          .to_pandas())
+    st = st.groupby("g").agg(mn=("mn", "min"), mx=("mx", "max"),
+                             n=("n", "sum"))
+    groups = sorted(st.index)
+    gidx = {g: i for i, g in enumerate(groups)}
+    mn = st["mn"].reindex(groups).to_numpy()
+    mx = st["mx"].reindex(groups).to_numpy()
+    cnt = st["n"].reindex(groups).to_numpy()
+    # degenerate ranges still need a nonzero width for searchsorted edges
+    width = np.where(mx > mn, mx - mn, 1.0)
+    ginfo_ref = ray.put((gidx, mn, width, n_bins))
+
+    # Bucketing rule shared by passes B and C (bitwise-identical op order
+    # is what makes the exact selection correct): linear bin in [mn, mx],
+    # floor, clipped to [0, n_bins-1].
+
+    # -- pass B: per-group histograms --------------------------------------
+    def hist(batch: pa.Table) -> pa.Table:
+        gi, mn_, width_, nb = _cached_ginfo(ginfo_ref)
+        g = np.asarray(batch[group_col].to_pandas(), dtype=object)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        codes = np.fromiter((gi[x] for x in g), count=len(g), dtype=np.int64)
+        lo = mn_[codes]
+        w = width_[codes]
+        b = np.clip(((v - lo) * (nb / w)).astype(np.int64), 0, nb - 1)
+        flat = codes * nb + b
+        h = np.bincount(flat, minlength=len(gi) * nb).astype(np.int64)
+        return pa.table({"h": pa.array([h.tobytes()], type=pa.binary())})
+
+    def merge_hist(batch: pa.Table) -> pa.Table:
+        blobs = batch["h"].to_pylist()
+        tot = np.zeros(len(gidx) * n_bins, dtype=np.int64)
+        for b in blobs:
+            tot += np.frombuffer(b, dtype=np.int64)
+        return pa.table({"h": pa.array([tot.tobytes()], type=pa.binary())})
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    hd = (read().map_batches(hist, batch_format="pyarrow", batch_size=None)
+          .repartition(max(1, ncpu))
+          .map_batches(merge_hist, batch_format="pyarrow", batch_size=None)
+          .repartition(1)
+          .map_batches(merge_hist, batch_format="pyarrow", batch_size=None)
+          .take_all())
+    hist_all = np.frombuffer(hd[0]["h"], dtype=np.int64).reshape(
+        len(gidx), n_bins)
+
+    # locate (group, q) -> (bucket, offset inside bucket)
+    targets = {}  # (g_code, bucket) -> [(q, offset)]
+    for g, gi_ in gidx.items():
+        cum = np.concatenate([[0], np.cumsum(hist_all[gi_])])
+        for q in qs:
+            r = max(0, int(np.ceil(q * cnt[gi_])) - 1)
+            b = int(np.searchsorted(cum, r, side="right") - 1)
+            targets.setdefault((gi_, b), []).append((q, r - int(cum[b])))
+    targets_ref = ray.put(targets)
+
+    # -- pass C: candidate values only -------------------------------------
+    def select(batch: pa.Table) -> pa.Table:
+        gi, mn_, width_, nb = _cached_ginfo(ginfo_ref)
+        import ray as _ray
+
+        tg = _ray.get(targets_ref)
+        g = np.asarray(batch[group_col].to_pandas(), dtype=object)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        codes = np.fromiter((gi[x] for x in g), count=len(g), dtype=np.int64)
+        lo = mn_[codes]
+        w = width_[codes]
+        b = np.clip(((v - lo) * (nb / w)).astype(np.int64), 0, nb - 1)
+        keep = np.zeros(len(v), dtype=bool)
+        for (gc, bk) in tg:
+            keep |= (codes == gc) & (b == bk)
+        return pa.table({
+            "gc": pa.array(codes[keep], type=pa.int64()),
+            "bk": pa.array(b[keep], type=pa.int64()),
+            "v": pa.array(v[keep], type=pa.float64()),
+        })
+
+    cand = (read().map_batches(select, batch_format="pyarrow",
+                               batch_size=None).to_pandas())
+    rows = []
+    inv = {v_: k_ for k_, v_ in gidx.items()}
+    for (gc, bk), wants in sorted(targets.items()):
+        vals = np.sort(cand.loc[(cand["gc"] == gc) & (cand["bk"] == bk),
+                                "v"].to_numpy())
+        for q, off in wants:
+            rows.append((inv[gc], float(q), float(vals[off])))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[group_col, "q", value_col])
+
+
+_GINFO_CACHE: dict = {}
+
+
+def _cached_ginfo(ref):
+    """Worker-process-level cache of the broadcast group info (same pattern
+    as the spatial-join index cache)."""
+    import ray
+
+    key = ref.hex if hasattr(ref, "hex") else id(ref)
+    hit = _GINFO_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _GINFO_CACHE.clear()
+        _GINFO_CACHE[key] = hit
+    return hit

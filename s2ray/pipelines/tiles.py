@@ -133,6 +133,101 @@ def tile_counts(sf_dir: str, level: int = 8, repl: int = 1, **read_kwargs):
     return ds.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
+def _partial_pyramid_counts(batch: pa.Table, levels) -> pa.Table:
+    """Per-batch compact partials for EVERY pyramid level from one pass:
+    the finest level's sorted unique (key, count) arrays are rolled up to
+    each coarser level with parent bit-math + reduceat (parents of
+    Hilbert-sorted ids are contiguous runs), so coarser levels cost O(tiles)
+    extra, not another page scan."""
+    from ..kernel import cellid, keys
+
+    fine = max(levels)
+    ids = batch[f"cell_l{fine}"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    u, c = np.unique(ids, return_counts=True)
+    c = c.astype(np.int64)
+    out_lv, out_k, out_c = [], [], []
+    for lv in sorted(levels, reverse=True):
+        if lv != fine and len(u):
+            p = cellid.parent(u, lv)
+            starts = np.concatenate(
+                [[0], np.flatnonzero(p[1:] != p[:-1]) + 1])
+            u = p[starts]
+            c = np.add.reduceat(c, starts)
+        out_lv.append(lv)
+        out_k.append(keys.to_key(u).tobytes())
+        out_c.append(c.tobytes())
+    return pa.table({
+        "level": pa.array(out_lv, type=pa.int64()),
+        "keys": pa.array(out_k, type=pa.binary()),
+        "counts": pa.array(out_c, type=pa.binary()),
+    })
+
+
+def _merge_pyramid_partials(batch: pa.Table) -> pa.Table:
+    """Merge compact pyramid rows level-by-level (rows of different levels
+    never mix); emits one compact row per level present."""
+    lv = batch["level"].to_numpy(zero_copy_only=False)
+    out_lv, out_k, out_c = [], [], []
+    for level in np.unique(lv):
+        sub = batch.filter(pa.array(lv == level))
+        merged = _merge_partials(sub)
+        out_lv.append(int(level))
+        out_k.append(merged["keys"][0].as_py())
+        out_c.append(merged["counts"][0].as_py())
+    return pa.table({
+        "level": pa.array(out_lv, type=pa.int64()),
+        "keys": pa.array(out_k, type=pa.binary()),
+        "counts": pa.array(out_c, type=pa.binary()),
+    })
+
+
+def tile_pyramid(sf_dir: str, levels=(8, 6, 4, 2), repl: int = 1,
+                 **read_kwargs):
+    """Tile counts at every pyramid level in ONE page scan:
+    (level, cell_id, cell_token, n_pages).  The rollup l8->l6->l4->l2 is
+    pure cell-id bit algebra on the per-batch partials (kernel parent), so
+    the shuffle volume is the same compact blob rows as the flagship —
+    levels add bytes, not passes."""
+    import ray
+
+    fine = max(levels)
+    ds = pages_with_cells(sf_dir, repl=repl, token_level=fine, **read_kwargs)
+    ds = ds.map_batches(
+        _partial_pyramid_counts, fn_kwargs={"levels": tuple(levels)},
+        batch_format="pyarrow", batch_size=None,
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = ds.repartition(max(1, ncpu)).map_batches(
+        _merge_pyramid_partials, batch_format="pyarrow", batch_size=None)
+    ds = ds.repartition(1).map_batches(
+        _merge_pyramid_partials, batch_format="pyarrow", batch_size=None)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from ..kernel import cellid, keys
+
+        lv_col = batch["level"].to_numpy(zero_copy_only=False)
+        lvs, idss, tokss, cnts = [], [], [], []
+        for i, level in enumerate(lv_col):
+            k = np.frombuffer(batch["keys"][i].as_py(), dtype=np.int64)
+            n = np.frombuffer(batch["counts"][i].as_py(), dtype=np.int64)
+            ids = keys.from_key(k)
+            lvs.append(np.full(len(ids), level, dtype=np.int64))
+            idss.append(ids)
+            tokss.extend(cellid.to_token(ids))
+            cnts.append(n)
+        return pa.table({
+            "level": pa.array(np.concatenate(lvs) if lvs else [],
+                              type=pa.int64()),
+            "cell_id": pa.array(
+                np.concatenate(idss) if idss else [], type=pa.uint64()),
+            "cell_token": pa.array(tokss, type=pa.string()),
+            "n_pages": pa.array(np.concatenate(cnts) if cnts else [],
+                                type=pa.int64()),
+        })
+
+    return ds.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
 def _partial_tile_counts_parted(batch: pa.Table, level: int,
                                 partition_level: int) -> pa.Table:
     """Per-batch compact partials split by level-`partition_level` ancestor:

@@ -78,7 +78,8 @@ def _compare(name, entrymod, con):
                                    "text_stats", "rect_filter_wrap",
                                    "knn_pruned_moscow", "pages_per_month",
                                    "tile_counts_l8", "covering_member_join",
-                                   "assembled_pip_join",
+                                   "assembled_pip_join", "tile_pyramid",
+                                   "events_quantiles",
                                    "polyline_near", "boolean_pip_join",
                                    "quality_score",
                                    "lang_id", "fingerprint",
