@@ -240,6 +240,32 @@ def _q_events_quantiles(sf_dir: str):
     return group_quantiles(sf_dir, qs=EVENT_QS)
 
 
+# deterministic overlapping promo windows over the events month
+# (2024-01-01 epoch base), lengths 6..101 hours
+EVENT_WINDOWS = [
+    (f"w{k:02d}", 1704067200 + k * 67 * 3600,
+     1704067200 + k * 67 * 3600 + (6 + (17 * k) % 96) * 3600)
+    for k in range(10)
+]
+
+
+def _q_event_windows(sf_dir: str):
+    from s2ray.pipelines.analytics import interval_join
+
+    return interval_join(sf_dir, EVENT_WINDOWS)
+
+
+def _q_token_counts(sf_dir: str):
+    import ray
+
+    from s2ray.pipelines.text import token_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(token_counts, batch_format="pyarrow",
+                          batch_size=None)
+
+
 CORPUS_MIN_QUALITY = 0.5
 CORPUS_LANGS = ("en", "de", "fr", "es", "zh")
 
@@ -268,6 +294,14 @@ def _q_knn_embeddings(sf_dir: str):
     from s2ray.pipelines.ann import knn_embeddings
 
     return knn_embeddings(sf_dir, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_ivf_knn(sf_dir: str):
+    """IVF coarse-quantized ANN (rows-only: k-means training is not
+    SQL-expressible; recall vs knn_embeddings is pytest-asserted)."""
+    from s2ray.pipelines.ann import ivf_knn
+
+    return ivf_knn(sf_dir, ANN_QUERY_IDS, k=ANN_K)
 
 
 def _q_lsh_knn(sf_dir: str):
@@ -673,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
+        "event_windows": _q_event_windows,
         "user_sessions": _q_user_sessions,
         "emb_centroids": _q_emb_centroids,
         "top3_per_city": _q_top3_per_city,
@@ -688,12 +723,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_embeddings": _q_knn_embeddings,
         "lsh_knn": _q_lsh_knn,
+        "ivf_knn": _q_ivf_knn,
         # text analysis
         "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
     }
+
+
+def _token_counts_oracle() -> str:
+    from s2ray.pipelines.text import token_counts_sql
+
+    return f"SELECT doc_id, {token_counts_sql('text')} FROM documents"
 
 
 def _pages_cte() -> str:
@@ -1208,6 +1251,14 @@ FROM (
             + ", ".join(f"{q!r}" for q in EVENT_QS)
             + "])) AS value FROM events GROUP BY event_type"
         ),
+        "event_windows": (
+            "SELECT e.event_id AS event_id, w.window_id AS window_id "
+            "FROM events e JOIN (VALUES "
+            + ", ".join(f"('{w}', {s}, {t})" for w, s, t in EVENT_WINDOWS)
+            + ") w(window_id, ws, we) ON epoch(e.ts) >= w.ws "
+            "AND epoch(e.ts) < w.we"
+        ),
+        "token_counts": _token_counts_oracle(),
         "emb_near_dup": emb_near_dup_sql,
         "emb_near_dup_lsh": emb_lsh_sql,
         "knn_embeddings": knn_emb_sql,

@@ -516,3 +516,37 @@ def _cached_ginfo(ref):
         _GINFO_CACHE.clear()
         _GINFO_CACHE[key] = hit
     return hit
+
+
+def interval_join(sf_dir: str, windows):
+    """Events x interval-table join (broadcast small side): one output row
+    per (event, containing window), windows may overlap.
+    ``windows`` = [(window_id, start_epoch_s, end_epoch_s)), ...); membership
+    is start <= ts < end at microsecond precision.
+
+    The window table is a broadcast constant (dozens-to-thousands of rows);
+    each batch computes the full membership matrix in one vectorized
+    comparison.  For window tables too big to broadcast, decompose into a
+    sorted elementary-boundary index first — not needed at this scale.
+    """
+    import ray
+
+    wid = [w[0] for w in windows]
+    ws = np.array([int(w[1]) * 1_000_000 for w in windows], dtype=np.int64)
+    we = np.array([int(w[2]) * 1_000_000 for w in windows], dtype=np.int64)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        hit_e, hit_w = np.nonzero(
+            (ts[:, None] >= ws[None, :]) & (ts[:, None] < we[None, :]))
+        return pa.table({
+            "event_id": pa.array(eid[hit_e], type=pa.int64()),
+            "window_id": pa.array([wid[j] for j in hit_w], type=pa.string()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)

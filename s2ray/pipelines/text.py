@@ -292,3 +292,38 @@ def fingerprint_sql(text_expr: str = "text") -> str:
     fold2 = f"list_reduce({cps}, (a, b) -> (a * {FP_MUL2} + b) % {FP_MOD})"
     return (f"CASE WHEN length({norm}) = 0 THEN 0 "
             f"ELSE {fold1} * 2147483648 + {fold2} END")
+
+
+# BPE-style pre-tokenizer (GPT-2's split regex minus its \s+(?!\S) lookahead
+# branch, which RE2 cannot express; the trailing \s+ branch subsumes it for
+# counting purposes).  Both Arrow and DuckDB run RE2, so the engine count
+# and the SQL oracle count agree by construction.
+BPE_SPLIT_RE = (r"'(?:[sdmt]|ll|ve|re)"
+                r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def token_counts(batch: pa.Table, id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+    """(id, n_chars, n_ws_tokens, n_bpe_tokens): whitespace tokens and
+    BPE-pre-tokenizer segments, both via Arrow RE2 kernels (training-data
+    budgeting: token counts drive sampling weights and cost estimates)."""
+    texts = _string_array(batch[text_col])
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    ws = pc.count_substring_regex(texts, r"\S+") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    bpe = pc.count_substring_regex(texts, BPE_SPLIT_RE) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_chars": pa.array(n_chars),
+        "n_ws_tokens": pa.array(ws),
+        "n_bpe_tokens": pa.array(bpe),
+    })
+
+
+def token_counts_sql(text_expr: str = "text") -> str:
+    """DuckDB mirror of token_counts (same RE2 patterns)."""
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return (f"length({text_expr}) AS n_chars, "
+            f"len(regexp_extract_all({text_expr}, '\\S+')) AS n_ws_tokens, "
+            f"len(regexp_extract_all({text_expr}, '{pat}')) AS n_bpe_tokens")

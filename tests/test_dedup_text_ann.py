@@ -118,3 +118,23 @@ def test_emb_near_dup_lsh_recall(ray_session):
     if e_pairs:
         recall = len(e_pairs & l_pairs) / len(e_pairs)
         assert recall >= 0.25, (recall, len(e_pairs))
+
+
+def test_ivf_knn_recall(ray_session):
+    from s2ray.pipelines.ann import ivf_knn, knn_embeddings
+
+    exact = knn_embeddings(SF, [0, 1, 2], k=10).to_pandas()
+    approx = ivf_knn(SF, [0, 1, 2], k=10, n_centroids=32, n_probe=8).to_pandas()
+    recalls = []
+    for q in (0, 1, 2):
+        a = set(exact[exact.query_id == q].vec_id)
+        b = set(approx[approx.query_id == q].vec_id)
+        recalls.append(len(a & b) / len(a))
+    # probing 1/4 of the lists should recover well over half the true top-k
+    assert np.mean(recalls) >= 0.5, recalls
+    # full probe == exact: with n_probe == n_centroids every list is scanned
+    full = ivf_knn(SF, [0, 1, 2], k=10, n_centroids=16, n_probe=16).to_pandas()
+    for q in (0, 1, 2):
+        a = list(exact[exact.query_id == q].sort_values("rank").vec_id)
+        b = list(full[full.query_id == q].sort_values("rank").vec_id)
+        assert a == b
