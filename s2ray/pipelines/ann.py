@@ -6,6 +6,14 @@
 - lsh_knn: random-hyperplane LSH bucketing — the scale path: probes only
   buckets within a signature Hamming radius.  Recall < 1 by design;
   measured against brute force in tests.
+- ivf_knn: IVF coarse quantization — k-means on a bounded sample, probe
+  only the closest centroid lists.
+
+NB: Ray 2.49's groupby().map_groups() emits one benign
+"RefBundle with a different schema" WARNING per run even for a constant
+schema (its sort shuffle ends with an empty untyped block; reproduced with
+a 30-row trivial dataset).  The typed-empty guards below keep OUR blocks
+schema-stable; the residual warning is upstream.
 """
 
 from __future__ import annotations
@@ -67,6 +75,11 @@ def knn_embeddings(sf_dir: str, query_ids: list[int], k: int = 10):
     def global_topk(df):
         import pandas as pd
 
+        if len(df) == 0:
+            # typed empty frame: Ray probes map_groups with empty blocks and
+            # an untyped empty emits mixed-schema RefBundle warnings
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("query_id", "vec_id", "rank")})
         df = df.sort_values("sim", ascending=False).head(k).reset_index(drop=True)
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df[["query_id", "vec_id", "rank"]]
@@ -147,6 +160,15 @@ def lsh_knn(sf_dir: str, query_ids: list[int], k: int = 10,
     partials = ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
     def global_topk(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype=np.int64),
+                "vec_id": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int64),
+                "sim": pd.Series(dtype=np.float64),
+            })
         df = df.sort_values("sim", ascending=False).head(k).reset_index(drop=True)
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df[["query_id", "vec_id", "rank", "sim"]]
@@ -250,6 +272,9 @@ def ivf_knn(sf_dir: str, query_ids: list[int], k: int = 10,
     def global_topk(df):
         import pandas as pd
 
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("query_id", "vec_id", "rank")})
         df = df.sort_values(["sim", "vec_id"], ascending=[False, True]) \
             .head(k).reset_index(drop=True)
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
