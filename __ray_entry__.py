@@ -255,6 +255,19 @@ def _q_event_windows(sf_dir: str):
     return interval_join(sf_dir, EVENT_WINDOWS)
 
 
+# deterministic per-source sampling rates in basis points: src0..src19,
+# full rate for src0/src1, decaying tiers after
+SAMPLE_RATES_BP = {f"src{k}": r for k, r in enumerate(
+    [10000, 10000, 5000, 5000, 2500, 2500, 1000, 1000, 1000, 1000,
+     500, 500, 500, 250, 250, 100, 100, 50, 25, 0])}
+
+
+def _q_sample_corpus(sf_dir: str):
+    from s2ray.pipelines.sampling import sample_corpus
+
+    return sample_corpus(sf_dir, SAMPLE_RATES_BP)
+
+
 def _q_token_counts(sf_dir: str):
     import ray
 
@@ -713,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_per_city": _q_top3_per_city,
         # dedup family
         "exact_dedup": _q_exact_dedup,
+        "sample_corpus": _q_sample_corpus,
         "near_dup_pairs": _q_near_dup_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
         "corpus_keep": _q_corpus_keep,
@@ -731,6 +745,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
     }
+
+
+def _sample_corpus_oracle() -> str:
+    from s2ray.pipelines.sampling import sample_corpus_sql
+
+    return sample_corpus_sql(SAMPLE_RATES_BP)
 
 
 def _token_counts_oracle() -> str:
@@ -1259,6 +1279,7 @@ FROM (
             "AND epoch(e.ts) < w.we"
         ),
         "token_counts": _token_counts_oracle(),
+        "sample_corpus": _sample_corpus_oracle(),
         "emb_near_dup": emb_near_dup_sql,
         "emb_near_dup_lsh": emb_lsh_sql,
         "knn_embeddings": knn_emb_sql,

@@ -79,7 +79,7 @@ def _compare(name, entrymod, con):
                                    "knn_pruned_moscow", "pages_per_month",
                                    "tile_counts_l8", "covering_member_join",
                                    "assembled_pip_join", "tile_pyramid",
-                                   "events_quantiles", "event_windows", "token_counts",
+                                   "events_quantiles", "event_windows", "token_counts", "sample_corpus",
                                    "polyline_near", "boolean_pip_join",
                                    "quality_score",
                                    "lang_id", "fingerprint",
