@@ -1,0 +1,134 @@
+"""Round-2 operators: edge-soup assembly pipeline, exact group quantiles
+on adversarial distributions, stratified sampling, interval join edges."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+# -- assembly ----------------------------------------------------------------
+
+def test_assembly_recovers_union_exactly(ray_session):
+    from s2ray.kernel.pip import Loop
+    from s2ray.pipelines.assembly import (assemble_regions, edge_soup_table,
+                                          split_quad_pieces)
+
+    quad = [(10.0, 20.0), (10.0, 30.0), (20.0, 30.0), (20.0, 20.0)]
+    pieces, union_deg = split_quad_pieces(quad, frac=0.4)
+    tbl = edge_soup_table({"r": pieces})
+    polys = assemble_regions(tbl)
+    want = Loop.from_latlng_degrees(union_deg)
+    got = polys["r"].loops[0]
+    # assembled loop must contain exactly the union vertices (cyclic shift ok)
+    gv = got.vertices
+    wv = want.vertices
+    assert len(gv) == len(wv) == 6
+    shift = np.nonzero((wv == gv[0]).all(axis=1))[0]
+    assert len(shift) == 1
+    assert np.array_equal(np.roll(wv, -shift[0], axis=0), gv)
+
+
+def test_assembly_unused_edges_raise(ray_session):
+    from s2ray.kernel.pip import Loop
+    from s2ray.pipelines.assembly import assemble_regions
+
+    lp = Loop.from_latlng_degrees([(0, 0), (0, 5), (5, 5), (5, 0)])
+    v = lp.vertices
+    tbl = pa.table({
+        "region_id": pa.array(["r", "r"], type=pa.string()),
+        "x0": [v[0][0], v[1][0]], "y0": [v[0][1], v[1][1]],
+        "z0": [v[0][2], v[1][2]],
+        "x1": [v[1][0], v[2][0]], "y1": [v[1][1], v[2][1]],
+        "z1": [v[1][2], v[2][2]],
+    })
+    with pytest.raises(ValueError, match="could not be assembled"):
+        assemble_regions(tbl)
+
+
+# -- group quantiles ---------------------------------------------------------
+
+def _write_events(tmpdir, groups, values):
+    os.makedirs(tmpdir, exist_ok=True)
+    n = len(groups)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(np.full(n, np.datetime64("2024-01-01", "us"))),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "event_type": pa.array(groups, type=pa.string()),
+        "value": pa.array(values, type=pa.float64()),
+    }), f"{tmpdir}/events.parquet")
+
+
+@pytest.mark.parametrize("case", ["constant", "tiny", "skewed"])
+def test_group_quantiles_edge_cases(ray_session, tmp_path, case):
+    import duckdb
+
+    from s2ray.pipelines.analytics import group_quantiles
+
+    rng = np.random.RandomState(3)
+    if case == "constant":
+        groups = ["a"] * 100 + ["b"] * 7
+        values = [5.5] * 100 + list(rng.normal(size=7))
+    elif case == "tiny":
+        groups = ["a", "b", "b"]
+        values = [1.0, 2.0, -3.0]
+    else:
+        groups = (["a"] * 1000) + (["b"] * 3)
+        values = list(np.repeat(rng.pareto(0.5, 100) * 1e6, 10)) + [1, 2, 3]
+    d = str(tmp_path / case)
+    _write_events(d, groups, values)
+    qs = (0.25, 0.5, 0.9, 0.99, 1.0)
+    got = group_quantiles(d, qs=qs)
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT event_type, unnest({list(qs)}) AS q, "
+        f"unnest(quantile_disc(value, {list(qs)})) AS value "
+        f"FROM read_parquet('{d}/events.parquet') "
+        f"GROUP BY event_type ORDER BY event_type, q").df()
+    got = got.sort_values(["event_type", "q"]).reset_index(drop=True)
+    want = want.sort_values(["event_type", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -- sampling ----------------------------------------------------------------
+
+def test_sample_corpus_deterministic_and_rates(ray_session):
+    from s2ray.pipelines.sampling import sample_corpus
+
+    rates = {f"src{k}": 5000 for k in range(20)}
+    a = sample_corpus(SF, rates).to_pandas().sort_values("doc_id")
+    b = sample_corpus(SF, rates).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    frac = len(a) / 500
+    assert 0.35 < frac < 0.65  # 50% nominal on 500 docs
+    zero = sample_corpus(SF, {})
+    assert zero.count() == 0
+
+
+# -- interval join -----------------------------------------------------------
+
+def test_interval_join_boundaries(ray_session, tmp_path):
+    from s2ray.pipelines.analytics import interval_join
+
+    base = 1704067200
+    d = str(tmp_path / "iv")
+    os.makedirs(d, exist_ok=True)
+    ts = np.array([base - 1, base, base + 59, base + 60, base + 61],
+                  dtype="datetime64[s]").astype("datetime64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(5), type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(np.zeros(5, dtype=np.int64)),
+        "event_type": pa.array(["x"] * 5, type=pa.string()),
+        "value": pa.array(np.zeros(5)),
+    }), f"{d}/events.parquet")
+    out = interval_join(d, [("w", base, base + 60)]).to_pandas()
+    # half-open [start, end): base and base+59 in; base-1, base+60, +61 out
+    assert sorted(out["event_id"]) == [1, 2]
