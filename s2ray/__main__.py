@@ -12,6 +12,9 @@ Commands:
   sessions   events sessionization -> parquet
   corpus-keep  training-data cleaning capstone -> kept doc ids parquet
   asof       events as-of join (latest prior <right> per <left>) -> parquet
+  pyramid    multi-level tile rollup (one scan) -> parquet
+  quantiles  exact per-group quantiles of events.value -> json
+  sample     deterministic stratified corpus sample -> parquet
 """
 
 from __future__ import annotations
@@ -68,6 +71,18 @@ def main(argv=None):
     aj.add_argument("--left", default="purchase")
     aj.add_argument("--right", default="click")
 
+    py = sub.add_parser("pyramid")
+    py.add_argument("--out", required=True)
+    py.add_argument("--levels", default="8,6,4,2")
+
+    qn = sub.add_parser("quantiles")
+    qn.add_argument("--qs", default="0.5,0.9,0.99")
+
+    sm = sub.add_parser("sample")
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--rate-bp", type=int, default=5000,
+                    help="uniform basis-point rate applied to every source")
+
     args = p.parse_args(argv)
     ray = _ensure_ray(args.num_cpus)
     try:
@@ -122,6 +137,30 @@ def main(argv=None):
             events_asof(args.sf_dir, left_type=args.left,
                         right_type=args.right).write_parquet(args.out)
             print(json.dumps({"cmd": "asof", "out": args.out}))
+        elif args.cmd == "pyramid":
+            from .pipelines.tiles import tile_pyramid
+
+            levels = tuple(int(x) for x in args.levels.split(","))
+            tile_pyramid(args.sf_dir, levels=levels).write_parquet(args.out)
+            print(json.dumps({"cmd": "pyramid", "out": args.out,
+                              "levels": list(levels)}))
+        elif args.cmd == "quantiles":
+            from .pipelines.analytics import group_quantiles
+
+            qs = tuple(float(x) for x in args.qs.split(","))
+            df = group_quantiles(args.sf_dir, qs=qs)
+            print(df.to_json(orient="records"))
+        elif args.cmd == "sample":
+            import pyarrow.parquet as _pq
+
+            from .pipelines.sampling import sample_corpus
+
+            srcs = _pq.read_table(f"{args.sf_dir}/documents.parquet",
+                                  columns=["source"])
+            rates = {s_: args.rate_bp
+                     for s_ in set(srcs["source"].to_pylist())}
+            sample_corpus(args.sf_dir, rates).write_parquet(args.out)
+            print(json.dumps({"cmd": "sample", "out": args.out}))
     finally:
         ray.shutdown()
     return 0
