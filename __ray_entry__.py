@@ -268,6 +268,15 @@ def _q_sample_corpus(sf_dir: str):
     return sample_corpus(sf_dir, SAMPLE_RATES_BP)
 
 
+def _q_media_stats(sf_dir: str):
+    """Multimodal plumbing end-to-end (rows-only: synthetic binary payloads
+    with real PNG/RIFF-WAVE headers, actor-pool decode, per-type rollup;
+    deterministic)."""
+    from s2ray.stages.multimodal import media_stats
+
+    return media_stats(sf_dir)
+
+
 def _q_token_counts(sf_dir: str):
     import ray
 
@@ -734,6 +743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
+        # multimodal
+        "media_stats": _q_media_stats,
         # similarity search
         "knn_embeddings": _q_knn_embeddings,
         "lsh_knn": _q_lsh_knn,
