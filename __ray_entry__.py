@@ -255,6 +255,12 @@ def _q_event_windows(sf_dir: str):
     return interval_join(sf_dir, EVENT_WINDOWS)
 
 
+def _q_events_distinct(sf_dir: str):
+    from s2ray.pipelines.analytics import distinct_users
+
+    return distinct_users(sf_dir)
+
+
 # deterministic per-source sampling rates in basis points: src0..src19,
 # full rate for src0/src1, decaying tiers after
 SAMPLE_RATES_BP = {f"src{k}": r for k, r in enumerate(
@@ -730,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
         "event_windows": _q_event_windows,
+        "events_distinct_users": _q_events_distinct,
         "user_sessions": _q_user_sessions,
         "emb_centroids": _q_emb_centroids,
         "top3_per_city": _q_top3_per_city,
@@ -1281,6 +1288,10 @@ FROM (
             + "]) AS q, unnest(quantile_disc(value, ["
             + ", ".join(f"{q!r}" for q in EVENT_QS)
             + "])) AS value FROM events GROUP BY event_type"
+        ),
+        "events_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type"
         ),
         "event_windows": (
             "SELECT e.event_id AS event_id, w.window_id AS window_id "

@@ -550,3 +550,51 @@ def interval_join(sf_dir: str, windows):
         })
 
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
+def distinct_users(sf_dir: str, group_col: str = "event_type",
+                   id_col: str = "user_id"):
+    """EXACT distinct-count per group: (group, n_distinct).
+
+    The shuffle moves per-batch SORTED UNIQUE id blobs (one row per group
+    per batch), never raw rows — the same compact-partial pattern as the
+    flagship tile counts.  Merge is a sorted-array union inside map_groups.
+    At much higher cardinality swap the blob for a fixed-width bitmap or
+    sketch; at events-table cardinality the exact blob is smaller than the
+    rows by ~the duplication factor.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=[group_col, id_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col].to_pandas(), dtype=object)
+        v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        starts = (np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
+                  if len(g) else np.empty(0, dtype=np.int64))
+        ends = np.concatenate([starts[1:], [len(g)]]) if len(g) else starts
+        return pa.table({
+            group_col: pa.array([str(g[s]) for s in starts],
+                                type=pa.string()),
+            "ids": pa.array([np.unique(v[s:e]).tobytes()
+                             for s, e in zip(starts, ends)],
+                            type=pa.binary()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                group_col: pd.Series(dtype=object),
+                "n_distinct": pd.Series(dtype=np.int64),
+            })
+        ids = np.unique(np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in df["ids"]]))
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "n_distinct": [np.int64(len(ids))]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(group_col)
+            .map_groups(merge, batch_format="pandas"))
