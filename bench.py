@@ -212,6 +212,20 @@ def run_bench():
 
     timed("user_sessions", _sessions)
 
+    def _pyramid():
+        from s2ray.pipelines.tiles import tile_pyramid
+
+        return tile_pyramid(SF_DIR, repl=REPL).count()
+
+    timed("tile_pyramid", _pyramid)
+
+    def _quantiles():
+        from s2ray.pipelines.analytics import group_quantiles
+
+        return len(group_quantiles(SF_DIR))
+
+    timed("events_quantiles", _quantiles)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({
