@@ -132,3 +132,32 @@ def test_interval_join_boundaries(ray_session, tmp_path):
     out = interval_join(d, [("w", base, base + 60)]).to_pandas()
     # half-open [start, end): base and base+59 in; base-1, base+60, +61 out
     assert sorted(out["event_id"]) == [1, 2]
+
+
+def test_assembly_property_random_polygons(ray_session):
+    """Random convex-ish polygons split at a random fraction: DIRECTED_XOR
+    soup assembly must reproduce the union loop's PIP on random probes."""
+    from s2ray.kernel import sphere
+    from s2ray.kernel.pip import Loop
+    from s2ray.pipelines.assembly import (assemble_regions, edge_soup_table,
+                                          split_quad_pieces)
+
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        lat0 = rng.uniform(-60, 50)
+        lng0 = rng.uniform(-170, 150)
+        dlat = rng.uniform(2, 15)
+        dlng = rng.uniform(2, 15)
+        quad = [(lat0, lng0), (lat0, lng0 + dlng),
+                (lat0 + dlat, lng0 + dlng), (lat0 + dlat, lng0)]
+        frac = rng.uniform(0.15, 0.85)
+        pieces, union_deg = split_quad_pieces(quad, frac=frac)
+        polys = assemble_regions(edge_soup_table({"r": pieces}))
+        want = Loop.from_latlng_degrees(union_deg)
+        got = polys["r"]
+        lat = rng.uniform(lat0 - 2, lat0 + dlat + 2, 400)
+        lng = rng.uniform(lng0 - 2, lng0 + dlng + 2, 400)
+        x, y, z = sphere.latlng_to_xyz(np.radians(lat), np.radians(lng))
+        pts = np.stack([x, y, z], axis=1)
+        assert (got.contains_points_xyz(pts)
+                == want.contains_points_xyz(pts)).all(), (trial, quad, frac)
