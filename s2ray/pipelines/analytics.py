@@ -410,10 +410,15 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
                           type=pa.int64()),
         })
 
+    from ray.data.aggregate import Max, Min, Sum
+
+    # distributed pre-merge: the driver sees one row per GROUP, not one per
+    # (batch x group) — matters when the scan has millions of batches
     st = (read().map_batches(stats, batch_format="pyarrow", batch_size=None)
-          .to_pandas())
-    st = st.groupby("g").agg(mn=("mn", "min"), mx=("mx", "max"),
-                             n=("n", "sum"))
+          .groupby("g")
+          .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
+                     Sum("n", alias_name="n"))
+          .to_pandas().set_index("g"))
     groups = sorted(st.index)
     gidx = {g: i for i, g in enumerate(groups)}
     mn = st["mn"].reindex(groups).to_numpy()
