@@ -85,14 +85,14 @@ def assemble_regions(edges_ds, merge_radius: float = 0.0,
         tbl = pa.concat_tables(parts) if parts else None
     if tbl is None:
         tbl = edges_ds
-    rid = tbl["region_id"].to_pylist()
+    rid = np.asarray(tbl["region_id"].to_pylist(), dtype=object)
     a = np.stack([tbl[c].to_numpy(zero_copy_only=False)
                   for c in ("x0", "y0", "z0")], axis=1)
     b = np.stack([tbl[c].to_numpy(zero_copy_only=False)
                   for c in ("x1", "y1", "z1")], axis=1)
     out: dict[str, Polygon] = {}
-    for name in sorted(set(rid)):
-        rows = [i for i, r in enumerate(rid) if r == name]
+    for name in sorted(set(rid.tolist())):
+        rows = np.flatnonzero(rid == name)
         builder = (PolygonBuilder.undirected_xor(merge_radius=merge_radius)
                    if undirected else
                    PolygonBuilder.directed_xor(merge_radius=merge_radius))
