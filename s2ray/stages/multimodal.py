@@ -171,6 +171,50 @@ class MediaDecodeStage:
         return out
 
 
+class MediaResizeStage:
+    """Actor-pool stage: image rows -> fixed-max-dimension resize planning +
+    a deterministic thumbnail payload.
+
+    Real pixel decode is out of scope in this container (see
+    MediaDecodeStage); the RESIZE ARITHMETIC (aspect-preserving fit into
+    max_dim, even rounding) and the Ray plumbing (actor pool, small
+    batches, binary output column) are real — a pixel backend drops into
+    `_thumb` without touching the pipeline.
+    """
+
+    def __init__(self, max_dim: int = 256):
+        self.max_dim = int(max_dim)
+
+    def _fit(self, w: np.ndarray, h: np.ndarray):
+        scale = self.max_dim / np.maximum(w, h).astype(np.float64)
+        scale = np.minimum(scale, 1.0)    # never upscale
+        rw = np.maximum(1, np.round(w * scale)).astype(np.int32)
+        rh = np.maximum(1, np.round(h * scale)).astype(np.int32)
+        return rw, rh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(batch["media_type"], "image")
+        batch = batch.filter(mask)
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rw, rh = self._fit(w, h)
+        # deterministic thumbnail stand-in: 8-byte header + size-proportional
+        # body (a real backend would emit encoded pixels here)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        thumbs = [
+            b"THMB" + int(rw[k]).to_bytes(2, "big")
+            + int(rh[k]).to_bytes(2, "big")
+            + (int(ids[k]) & 0xFF).to_bytes(1, "big")
+            * max(1, int(rw[k]) * int(rh[k]) // 64)
+            for k in range(len(batch))
+        ]
+        out = batch.select(["media_id"])
+        out = out.append_column("out_width", pa.array(rw, type=pa.int32()))
+        out = out.append_column("out_height", pa.array(rh, type=pa.int32()))
+        return out.append_column("thumb",
+                                 pa.array(thumbs, type=pa.binary()))
+
+
 class FrameSampleStage:
     """Actor-pool stage: video rows -> one row per sampled frame
     (flat_map-shaped batch transform; frame payloads are deterministic

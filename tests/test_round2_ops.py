@@ -161,3 +161,31 @@ def test_assembly_property_random_polygons(ray_session):
         pts = np.stack([x, y, z], axis=1)
         assert (got.contains_points_xyz(pts)
                 == want.contains_points_xyz(pts)).all(), (trial, quad, frac)
+
+
+def test_media_resize_stage(ray_session):
+    from s2ray.stages.multimodal import MediaDecodeStage, MediaResizeStage, read_media
+
+    ds = read_media(SF)
+    decoded = ds.map_batches(MediaDecodeStage, concurrency=(1, 2),
+                             batch_size=128, batch_format="pyarrow")
+    thumbs = decoded.map_batches(MediaResizeStage, concurrency=(1, 2),
+                                 fn_constructor_kwargs={"max_dim": 128},
+                                 batch_size=128, batch_format="pyarrow")
+    df = thumbs.to_pandas()
+    assert len(df) > 0
+    assert (np.maximum(df["out_width"], df["out_height"]) <= 128).all()
+    assert (df["out_width"] >= 1).all() and (df["out_height"] >= 1).all()
+    # aspect preserved within rounding
+    dec = decoded.to_pandas()
+    src = dec[dec.media_type == "image"].set_index("media_id")
+    for _, row in df.head(50).iterrows():
+        w, h = src.loc[row["media_id"], ["width", "height"]]
+        if max(w, h) > 128:
+            ratio = w / h
+            assert abs(row["out_width"] / row["out_height"] - ratio) \
+                / ratio < 0.05
+    # thumbnails carry the THMB header with matching dims
+    b = df["thumb"].iloc[0]
+    assert b[:4] == b"THMB"
+    assert int.from_bytes(b[4:6], "big") == df["out_width"].iloc[0]
