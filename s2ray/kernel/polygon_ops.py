@@ -215,6 +215,12 @@ class PolygonBuilder:
         for k0, c in list(self._edges.items()):
             for k1, cnt in list(c.items()):
                 if k0 in merge_map or k1 in merge_map:
+                    # undirected edges are stored in both directions; move
+                    # only one copy of each (the reference's v0.lessThan(v1)
+                    # guard, S2PolygonBuilder.php:530-535) — erase/add
+                    # handle the sibling themselves
+                    if self.undirected_edges and k0 > k1:
+                        continue
                     moved.extend([(k0, k1)] * cnt)
         for k0, k1 in moved:
             self._erase_edge(k0, k1)
@@ -270,9 +276,13 @@ class PolygonBuilder:
         return len(self_intersections(pts, np.roll(pts, -1, axis=0))) == 0
 
     def _erase_loop(self, loop_keys: list[bytes]) -> None:
+        # tolerant of already-erased edges: the undirected CW-retry path can
+        # consume some of the cycle's edges as dead ends before giving up
         n = len(loop_keys)
         for i in range(n):
-            self._erase_edge(loop_keys[i], loop_keys[(i + 1) % n])
+            k0, k1 = loop_keys[i], loop_keys[(i + 1) % n]
+            if self._edges.get(k0, {}).get(k1, 0) > 0:
+                self._erase_edge(k0, k1)
 
     def assemble_loops(self) -> tuple[list[Loop], list]:
         """(loops, unused_edges) — S2PolygonBuilder.php:264-326.  With
@@ -294,6 +304,10 @@ class PolygonBuilder:
                     redo = self._assemble_loop(verts[1].tobytes(),
                                                verts[0].tobytes(), unused)
                     if redo is None:
+                        # bad input: the reverse retry dead-ended.  Keep the
+                        # normalized complement so the polygon's XOR parity
+                        # still describes the intended (small) region.
+                        verts = list(np.stack(verts)[::-1])
                         break
                     verts = redo
             keys = [v.tobytes() for v in verts]
@@ -310,7 +324,10 @@ class PolygonBuilder:
         loops, unused = self.assemble_loops()
         if not loops:
             return None, unused
-        poly = Polygon(loops, normalize=not self.undirected_edges)
+        # normalize unconditionally: undirected assembly yields CCW loops
+        # already (normalized() is then a no-op), and any loop that slipped
+        # through inverted must not flip the XOR parity to the complement
+        poly = Polygon(loops, normalize=True)
         if self.validate and not poly.is_valid():
             for lp in loops:
                 n = len(lp.vertices)

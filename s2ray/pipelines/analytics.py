@@ -367,6 +367,18 @@ def embedding_centroids(sf_dir: str, ndigits: int = 4):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def _group_runs(sorted_keys: np.ndarray):
+    """(starts, ends) of equal-key runs in an already-sorted object array."""
+    n = len(sorted_keys)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    starts = np.concatenate(
+        [[0], np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1])
+    ends = np.concatenate([starts[1:], [n]])
+    return starts, ends
+
+
 def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
                     group_col: str = "event_type", value_col: str = "value",
                     n_bins: int = 4096):
@@ -399,11 +411,9 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
         v = batch[value_col].to_numpy(zero_copy_only=False)
         order = np.argsort(g, kind="stable")
         g, v = g[order], v[order]
-        starts = (np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
-                  if len(g) else np.empty(0, dtype=np.int64))
-        ends = np.concatenate([starts[1:], [len(g)]]) if len(g) else starts
+        starts, ends = _group_runs(g)
         return pa.table({
-            "g": pa.array([str(g[s]) for s in starts], type=pa.string()),
+            "g": pa.array([g[s] for s in starts]),
             "mn": pa.array([float(np.min(v[s:e])) for s, e in zip(starts, ends)]),
             "mx": pa.array([float(np.max(v[s:e])) for s, e in zip(starts, ends)]),
             "n": pa.array([int(e - s) for s, e in zip(starts, ends)],
@@ -475,9 +485,7 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
     # -- pass C: candidate values only -------------------------------------
     def select(batch: pa.Table) -> pa.Table:
         gi, mn_, width_, nb = _cached_ginfo(ginfo_ref)
-        import ray as _ray
-
-        tg = _ray.get(targets_ref)
+        tg = _cached_ginfo(targets_ref)
         g = np.asarray(batch[group_col].to_pandas(), dtype=object)
         v = batch[value_col].to_numpy(zero_copy_only=False)
         codes = np.fromiter((gi[x] for x in g), count=len(g), dtype=np.int64)
@@ -514,7 +522,7 @@ def _cached_ginfo(ref):
     as the spatial-join index cache)."""
     import ray
 
-    key = ref.hex if hasattr(ref, "hex") else id(ref)
+    key = ref.hex() if callable(getattr(ref, "hex", None)) else id(ref)
     hit = _GINFO_CACHE.get(key)
     if hit is None:
         hit = ray.get(ref)
@@ -578,12 +586,9 @@ def distinct_users(sf_dir: str, group_col: str = "event_type",
         v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(g, kind="stable")
         g, v = g[order], v[order]
-        starts = (np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
-                  if len(g) else np.empty(0, dtype=np.int64))
-        ends = np.concatenate([starts[1:], [len(g)]]) if len(g) else starts
+        starts, ends = _group_runs(g)
         return pa.table({
-            group_col: pa.array([str(g[s]) for s in starts],
-                                type=pa.string()),
+            group_col: pa.array([g[s] for s in starts]),
             "ids": pa.array([np.unique(v[s:e]).tobytes()
                              for s, e in zip(starts, ends)],
                             type=pa.binary()),

@@ -53,6 +53,8 @@ def sample_corpus(sf_dir: str, rates_bp: dict[str, int],
 
 
 def sample_corpus_sql(rates_bp: dict[str, int]) -> str:
+    if not rates_bp:   # CASE with no WHEN arm is a parse error
+        return "SELECT doc_id, source FROM documents WHERE FALSE"
     cases = " ".join(f"WHEN source = '{s}' THEN {r}"
                      for s, r in sorted(rates_bp.items()))
     return (f"SELECT doc_id, source FROM documents "

@@ -186,7 +186,8 @@ class MediaResizeStage:
         self.max_dim = int(max_dim)
 
     def _fit(self, w: np.ndarray, h: np.ndarray):
-        scale = self.max_dim / np.maximum(w, h).astype(np.float64)
+        # zero-dimension rows (corrupt metadata) clamp to 1px, not inf/NaN
+        scale = self.max_dim / np.maximum(np.maximum(w, h), 1).astype(np.float64)
         scale = np.minimum(scale, 1.0)    # never upscale
         rw = np.maximum(1, np.round(w * scale)).astype(np.int32)
         rh = np.maximum(1, np.round(h * scale)).astype(np.int32)

@@ -223,3 +223,47 @@ def test_builder_large_vertex_merge_bucketed():
     loops, unused = b.assemble_loops()
     assert len(loops) == 1 and not unused
     assert len(loops[0].vertices) == n
+
+
+def test_builder_undirected_merge_with_jittered_shared_border():
+    """Regression: undirected + merge_radius used to double-process each
+    stored direction in moveVertices (KeyError or silent XOR-cancellation
+    of boundary edges).  Two 'sloppy' pieces whose shared border vertices
+    differ within the merge radius must still assemble to the union."""
+    left = Loop.from_latlng_degrees([(0, 0), (0, 5), (10, 5), (10, 0)])
+    right = Loop.from_latlng_degrees([(0, 5), (0, 10), (10, 10), (10, 5)])
+    jit = np.array([1e-13, -1e-13, 1e-13])
+    b = PolygonBuilder(merge_radius=1e-10, xor_edges=True,
+                       undirected_edges=True)
+    v = left.vertices
+    for i in range(4):
+        b.add_edge(v[i], v[(i + 1) % 4])
+    w = right.vertices.copy()
+    w[0] = w[0] + jit          # its copy of the shared-border vertex moved
+    w[3] = w[3] - jit
+    for i in range(4):
+        b.add_edge(w[i], w[(i + 1) % 4])
+    poly, unused = b.assemble_polygon()
+    assert poly is not None and not unused
+    assert len(poly.loops) == 1 and len(poly.loops[0].vertices) == 6
+    whole = Polygon.from_latlng_loops([
+        [(0, 0), (0, 5), (0, 10), (10, 10), (10, 5), (10, 0)]])
+    pts = _sample_pts(seed=23)
+    assert (poly.contains_points_xyz(pts)
+            == whole.contains_points_xyz(pts)).all()
+
+
+def test_builder_undirected_polygon_never_complement():
+    """Regression: a CW loop surviving undirected assembly must be
+    normalized by assemble_polygon, never interpreted as its complement."""
+    cw = Loop.from_latlng_degrees(sq(0, 0, 10)).invert()
+    b = PolygonBuilder.undirected_union()
+    v = cw.vertices
+    for i in range(len(v)):
+        b.add_edge(v[i], v[(i + 1) % len(v)])
+    poly, _ = b.assemble_polygon()
+    assert poly is not None
+    assert poly.area() < 2 * np.pi
+    inside = Loop.from_latlng_degrees(sq(0, 0, 10)).vertices.mean(axis=0)
+    inside /= np.linalg.norm(inside)
+    assert poly.contains_point(inside)

@@ -189,3 +189,33 @@ def test_media_resize_stage(ray_session):
     b = df["thumb"].iloc[0]
     assert b[:4] == b"THMB"
     assert int.from_bytes(b[4:6], "big") == df["out_width"].iloc[0]
+
+
+def test_group_quantiles_integer_group_col(ray_session, tmp_path):
+    """Regression: pass A used str(group) while passes B/C looked up the
+    raw value -> KeyError for any non-string group column."""
+    import duckdb
+
+    from s2ray.pipelines.analytics import group_quantiles
+
+    rng = np.random.RandomState(9)
+    n = 500
+    groups = rng.randint(0, 4, n)
+    values = rng.normal(size=n) * 100
+    d = str(tmp_path / "ig")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(np.full(n, np.datetime64("2024-01-01", "us"))),
+        "user_id": pa.array(groups.astype(np.int64)),
+        "event_type": pa.array(["x"] * n, type=pa.string()),
+        "value": pa.array(values, type=pa.float64()),
+    }), f"{d}/events.parquet")
+    got = group_quantiles(d, qs=(0.5, 0.9), group_col="user_id")
+    want = duckdb.connect().execute(
+        f"SELECT user_id, unnest([0.5, 0.9]) AS q, "
+        f"unnest(quantile_disc(value, [0.5, 0.9])) AS value "
+        f"FROM read_parquet('{d}/events.parquet') GROUP BY user_id "
+        f"ORDER BY user_id, q").df()
+    got = got.sort_values(["user_id", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
