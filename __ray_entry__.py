@@ -283,6 +283,12 @@ def _q_media_stats(sf_dir: str):
     return media_stats(sf_dir)
 
 
+def _q_vocab(sf_dir: str):
+    from s2ray.pipelines.text import vocab_top_k
+
+    return vocab_top_k(sf_dir, k=100)
+
+
 def _q_token_counts(sf_dir: str):
     import ray
 
@@ -759,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
+        "vocab_top100": _q_vocab,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1301,6 +1308,12 @@ FROM (
             "AND epoch(e.ts) < w.we"
         ),
         "token_counts": _token_counts_oracle(),
+        "vocab_top100": (
+            "SELECT token, count(*) AS n FROM ("
+            "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'\\s+'), x -> x <> '')) AS token FROM documents) "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
         "sample_corpus": _sample_corpus_oracle(),
         "emb_near_dup": emb_near_dup_sql,
         "emb_near_dup_lsh": emb_lsh_sql,

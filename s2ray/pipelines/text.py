@@ -327,3 +327,37 @@ def token_counts_sql(text_expr: str = "text") -> str:
     return (f"length({text_expr}) AS n_chars, "
             f"len(regexp_extract_all({text_expr}, '\\S+')) AS n_ws_tokens, "
             f"len(regexp_extract_all({text_expr}, '{pat}')) AS n_bpe_tokens")
+
+
+def vocab_top_k(sf_dir: str, k: int = 100, lower: bool = True,
+                text_col: str = "text"):
+    """Corpus vocabulary: top-k (token, n) by frequency, deterministic
+    tie-break (count DESC, token ASC) — the vocabulary-building step of a
+    tokenizer training pipeline.
+
+    Per-batch token counting is one dictionary-encode + bincount (no Python
+    loop); the shuffle moves (token, partial_count) rows — vocabulary-sized,
+    not corpus-sized; the global top-k is a sort+limit over the merged
+    counts.  At 100 TB add a pre-filter dropping per-batch hapax tokens
+    below a noise floor before the shuffle if the vocabulary itself becomes
+    large."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[text_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        _, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({
+            "token": pa.array(uniques.tolist(), type=pa.string()),
+            "partial_n": pa.array(cnt),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("token")
+           .aggregate(Sum("partial_n", alias_name="n")))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
