@@ -133,6 +133,19 @@ def _q_cap_join(sf_dir: str):
                                   keep_cols=("page_id",))
 
 
+def _q_cap_join_shuffle(sf_dir: str):
+    """Same join as cap_join but through the cell-keyed SHUFFLE plan
+    (co-partition + auto hot-key salting + semi-join pushdown) — puts the
+    skew-handling path itself under the driver's bit-exact oracle gate
+    (oracle SQL identical to cap_join)."""
+    from s2ray.pipelines.spatial_join import spatial_join_shuffle
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    ds = pages_with_cells(sf_dir, token_level=None)
+    return spatial_join_shuffle(ds, _city_caps(), auto_salt=True,
+                                keep_cols=("page_id",))
+
+
 def _q_pip_join(sf_dir: str):
     from s2ray.kernel.pip import Polygon
     from s2ray.pipelines.spatial_join import spatial_join_broadcast
@@ -722,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_identity": _q_text_identity,
         "pages_per_lang": _q_pages_per_lang,
         "cap_join": _q_cap_join,
+        "cap_join_shuffle": _q_cap_join_shuffle,
         "pip_join": _q_pip_join,
         "polygon_covering": _q_polygon_covering,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -1281,6 +1295,7 @@ FROM (
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,
+        "cap_join_shuffle": cap_join,
         "pip_join": pip_join,
         "assembled_pip_join": assembled_pip_sql,
         "exact_dedup": exact_dedup_sql,

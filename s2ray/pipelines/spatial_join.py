@@ -244,6 +244,9 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
     build = _build_side_rows(index, level, salt, hot_keys=hot_keys)
     index_ref = ray.put(index)
     cols = list(keep_cols)
+    # the exact refinement inside pair_group always needs lat/lng; carry
+    # them through the shuffle even when the caller doesn't keep them
+    shuffle_cols = cols + [c for c in ("lat", "lng") if c not in cols]
     hot_ref = ray.put(hot_keys)
 
     # semi-join pushdown: broadcast the (sorted) build key set; probe rows
@@ -268,7 +271,7 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
         if hk is not None:
             is_hot = np.isin(cell_key, hk)
             salt_id = np.where(is_hot, salt_id, 0).astype(np.int8)
-        out = batch.select(cols)
+        out = batch.select(shuffle_cols)
         out = out.append_column("cell_key", pa.array(cell_key, type=pa.int64()))
         out = out.append_column("salt_id", pa.array(salt_id, type=pa.int8()))
         out = out.append_column("side", pa.array(np.ones(len(out), dtype=np.int8),
