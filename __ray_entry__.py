@@ -302,6 +302,12 @@ def _q_vocab(sf_dir: str):
     return vocab_top_k(sf_dir, k=100)
 
 
+def _q_token_df(sf_dir: str):
+    from s2ray.pipelines.text import token_doc_freq
+
+    return token_doc_freq(sf_dir, k=100)
+
+
 def _q_token_counts(sf_dir: str):
     import ray
 
@@ -780,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "vocab_top100": _q_vocab,
+        "token_doc_freq": _q_token_df,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1323,6 +1330,12 @@ FROM (
             "AND epoch(e.ts) < w.we"
         ),
         "token_counts": _token_counts_oracle(),
+        "token_doc_freq": (
+            "SELECT token, count(DISTINCT doc_id) AS df FROM ("
+            "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+            "lower(text), '\\s+'), x -> x <> '')) AS token FROM documents) "
+            "GROUP BY token ORDER BY df DESC, token LIMIT 100"
+        ),
         "vocab_top100": (
             "SELECT token, count(*) AS n FROM ("
             "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "

@@ -361,3 +361,38 @@ def vocab_top_k(sf_dir: str, k: int = 100, lower: bool = True,
            .groupby("token")
            .aggregate(Sum("partial_n", alias_name="n")))
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def token_doc_freq(sf_dir: str, k: int = 100, lower: bool = True,
+                   text_col: str = "text"):
+    """Document frequency: top-k (token, df) where df = #documents
+    containing the token — the IDF denominator of TF-IDF weighting.
+
+    Exactness relies on each document living in exactly one batch (row =
+    document), so the per-batch distinct (token, doc) dedup composes into
+    the global distinct count with a plain Sum."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[text_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if len(codes):
+            pair = np.unique(row_idx * np.int64(len(uniques)) + codes)
+            df_cnt = np.bincount(pair % np.int64(len(uniques)),
+                                 minlength=len(uniques)).astype(np.int64)
+        else:
+            df_cnt = np.zeros(len(uniques), dtype=np.int64)
+        return pa.table({
+            "token": pa.array(uniques.tolist(), type=pa.string()),
+            "partial_df": pa.array(df_cnt),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("token")
+           .aggregate(Sum("partial_df", alias_name="df")))
+    return agg.sort(["df", "token"], descending=[True, False]).limit(k)
