@@ -287,6 +287,56 @@ def _q_sample_corpus(sf_dir: str):
     return sample_corpus(sf_dir, SAMPLE_RATES_BP)
 
 
+def _q_emb_norm_by_lang(sf_dir: str):
+    """Generic co-partition equi-join (documents JOIN embeddings on
+    doc_id = vec_id) + rollup: (lang, n, avg_norm)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from s2ray.pipelines.join import copartition_hash_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    joined = copartition_hash_join(docs, embs, on="doc_id",
+                                   right_on="vec_id")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        emb = np.stack(batch["embedding"].to_pandas().values).astype(np.float64)
+        norm = np.sqrt((emb * emb).sum(axis=1))
+        g = pd.DataFrame({"lang": lang, "norm": norm}).groupby(
+            "lang", sort=False).agg(n=("norm", "size"), s=("norm", "sum"))
+        return pa.table({
+            "lang": pa.array(g.index.tolist(), type=pa.string()),
+            "partial_n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            "partial_s": pa.array(g["s"].to_numpy()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+           .groupby("lang")
+           .aggregate(Sum("partial_n", alias_name="n"),
+                      Sum("partial_s", alias_name="s")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        sm = batch["s"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": batch["lang"],
+            "n": pa.array(n, type=pa.int64()),
+            "avg_norm": pa.array(np.round(sm / n, 6), type=pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_media_stats(sf_dir: str):
     """Multimodal plumbing end-to-end (rows-only: synthetic binary payloads
     with real PNG/RIFF-WAVE headers, actor-pool decode, per-type rollup;
@@ -776,6 +826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
+        # generic joins
+        "emb_norm_by_lang": _q_emb_norm_by_lang,
         # multimodal
         "media_stats": _q_media_stats,
         # similarity search
@@ -1330,6 +1382,13 @@ FROM (
             "AND epoch(e.ts) < w.we"
         ),
         "token_counts": _token_counts_oracle(),
+        "emb_norm_by_lang": (
+            "SELECT d.lang AS lang, count(*) AS n, "
+            "round(avg(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])))), 6) AS avg_norm "
+            "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id "
+            "GROUP BY d.lang"
+        ),
         "token_doc_freq": (
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("
             "SELECT doc_id, unnest(list_filter(regexp_split_to_array("

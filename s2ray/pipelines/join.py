@@ -1,0 +1,127 @@
+"""Generic equi-joins: broadcast hash join and co-partition shuffle join.
+
+The spatial, as-of and interval joins in this engine are specialized; this
+module provides the plain relational equi-join the same way a user of the
+reference would expect to combine tables (documents x embeddings,
+events x users, ...).
+
+Plan selection mirrors the spatial-join split:
+- broadcast_hash_join: small build side shipped once via ray.put, probe
+  side streams through map_batches (no shuffle at all).  The default for
+  dimension-table joins.
+- copartition_hash_join: both sides hashed on the key into n_parts
+  buckets, one groupby(part).map_groups does a pandas merge per bucket.
+  For two large tables; shuffle volume = both tables once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _part_of(key_arr: np.ndarray, n_parts: int) -> np.ndarray:
+    """Deterministic partition of an int64 key (splitmix-style mix so
+    sequential ids spread)."""
+    h = key_arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+
+
+def broadcast_hash_join(probe_ds, build_tbl: pa.Table, on: str,
+                        build_on: str | None = None, how: str = "inner"):
+    """probe_ds JOIN build_tbl, build side broadcast once per worker.
+
+    build_tbl: a (small) pyarrow Table.  Output columns = probe columns +
+    build columns (minus its key).  how: 'inner' or 'left'.
+    """
+    import ray
+
+    build_on = build_on or on
+    build_df = build_tbl.to_pandas().rename(columns={build_on: on})
+    build_ref = ray.put(build_df)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bd = _cached_build(build_ref)
+        df = batch.to_pandas()
+        out = df.merge(bd, on=on, how=how, sort=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return probe_ds.map_batches(probe, batch_format="pyarrow",
+                                batch_size=None)
+
+
+_BUILD_CACHE: dict = {}
+
+
+def _cached_build(ref):
+    import ray
+
+    key = ref.hex() if callable(getattr(ref, "hex", None)) else id(ref)
+    hit = _BUILD_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _BUILD_CACHE.clear()
+        _BUILD_CACHE[key] = hit
+    return hit
+
+
+def copartition_hash_join(left_ds, right_ds, on: str,
+                          right_on: str | None = None,
+                          n_parts: int = 64, how: str = "inner"):
+    """Both sides hash-partitioned on the (int64) key; one pandas merge per
+    bucket inside map_groups.  Column collisions get pandas' _x/_y
+    suffixes; the key column must be int64 on both sides."""
+    right_on = right_on or on
+
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    lcols = list(lschema.names)
+    rcols_renamed = [on if c == right_on else c for c in rschema.names]
+    clash = (set(lcols) - {on}) & (set(rcols_renamed) - {on})
+    if clash:
+        raise ValueError(f"column collision across join sides: {clash}")
+    # union() needs one schema: pad each side to the combined column set
+    # with typed nulls (the merge step splits the sides back apart)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = {(on if c == right_on else c): t
+              for c, t in zip(rschema.names, rschema.types)}
+    all_fields = [(c, ltypes[c]) for c in lcols]
+    all_fields += [(c, rtypes[c]) for c in rcols_renamed if c != on]
+    rcols_set = set(rcols_renamed)
+
+    def tag(side_val, key_col, rename_from=None):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.replace_schema_metadata(None)
+            if rename_from and rename_from != on:
+                names = [on if c == rename_from else c
+                         for c in batch.column_names]
+                batch = batch.rename_columns(names)
+            cols = {}
+            have = side_val == 0 and set(lcols) or rcols_set
+            for c, t in all_fields:
+                cols[c] = batch[c] if c in have else pa.nulls(len(batch),
+                                                             type=t)
+            out = pa.table(cols)
+            k = out[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = out.append_column("_part", pa.array(_part_of(k, n_parts)))
+            return out.append_column(
+                "_side", pa.array(np.full(len(out), side_val,
+                                          dtype=np.int8)))
+        return fn
+
+    left = left_ds.map_batches(tag(0, on), batch_format="pyarrow",
+                               batch_size=None)
+    right = right_ds.map_batches(tag(1, right_on, rename_from=right_on),
+                                 batch_format="pyarrow", batch_size=None)
+
+    out_rcols = [c for c in rcols_renamed if c != on]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][lcols]
+        r = df[df["_side"] == 1][[on] + out_rcols]
+        return l.merge(r, on=on, how=how, sort=False)
+
+    return (left.union(right)
+            .groupby("_part")
+            .map_groups(merge, batch_format="pandas"))

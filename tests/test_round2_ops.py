@@ -219,3 +219,33 @@ def test_group_quantiles_integer_group_col(ray_session, tmp_path):
         f"ORDER BY user_id, q").df()
     got = got.sort_values(["user_id", "q"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -- generic equi-joins -------------------------------------------------------
+
+def test_hash_joins_inner_left_and_collision(ray_session, tmp_path):
+    import ray
+
+    from s2ray.pipelines.join import broadcast_hash_join, copartition_hash_join
+
+    left = ray.data.from_items([{"k": i, "a": i * 10} for i in range(20)])
+    right_tbl = pa.table({"k": pa.array([3, 5, 5, 40], type=pa.int64()),
+                          "b": pa.array(["x", "y", "z", "w"])})
+    inner = broadcast_hash_join(left, right_tbl, on="k").to_pandas()
+    assert sorted(map(tuple, inner[["k", "a", "b"]].itertuples(index=False))) \
+        == [(3, 30, "x"), (5, 50, "y"), (5, 50, "z")]
+    lj = broadcast_hash_join(left, right_tbl, on="k", how="left").to_pandas()
+    assert len(lj) == 21  # 20 left rows + 1 extra for the duplicate k=5
+    assert lj["b"].notna().sum() == 3
+
+    right_ds = ray.data.from_items(
+        [{"j": i, "b": f"v{i}"} for i in range(0, 40, 2)])
+    co = copartition_hash_join(left, right_ds, on="k", right_on="j",
+                               n_parts=8).to_pandas()
+    assert sorted(co["k"]) == list(range(0, 20, 2))
+    assert (co.sort_values("k")["b"].to_numpy()
+            == [f"v{i}" for i in range(0, 20, 2)]).all()
+
+    clash = ray.data.from_items([{"j": 1, "a": 9}])
+    with pytest.raises(ValueError, match="collision"):
+        copartition_hash_join(left, clash, on="k", right_on="j")
