@@ -358,6 +358,12 @@ def _q_token_df(sf_dir: str):
     return token_doc_freq(sf_dir, k=100)
 
 
+def _q_quality_above_median(sf_dir: str):
+    from s2ray.pipelines.text import quality_median_filter
+
+    return quality_median_filter(sf_dir)
+
+
 def _q_token_counts(sf_dir: str):
     import ray
 
@@ -839,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "vocab_top100": _q_vocab,
         "token_doc_freq": _q_token_df,
+        "quality_above_median": _q_quality_above_median,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1408,6 +1415,14 @@ FROM (
         "lsh_knn": lsh_knn_sql,
         "text_stats": text_stats_sql,
         "quality_score": quality_sql,
+        "quality_above_median": f"""
+WITH qq AS (SELECT doc_id, quality FROM ({quality_sql}) tq),
+ql AS (SELECT qq.doc_id, d.lang, qq.quality
+       FROM qq JOIN documents d USING (doc_id)),
+m AS (SELECT lang, quantile_disc(quality, 0.5) AS med
+      FROM ql GROUP BY lang)
+SELECT ql.doc_id, ql.lang FROM ql JOIN m USING (lang)
+WHERE ql.quality >= m.med""",
         "lang_id": langid_sql,
         "fingerprint": fingerprint_oracle,
         "corpus_keep": corpus_keep_sql,

@@ -381,7 +381,7 @@ def _group_runs(sorted_keys: np.ndarray):
 
 def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
                     group_col: str = "event_type", value_col: str = "value",
-                    n_bins: int = 4096):
+                    n_bins: int = 4096, make_ds=None):
     """EXACT per-group quantiles of a float column with bounded memory:
     (group, q, value), quantile_disc semantics (the element at 0-based rank
     max(0, ceil(q*n) - 1) of the sorted group).
@@ -399,7 +399,12 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
     """
     import ray
 
+    # make_ds: optional factory recreating the (group, value) Dataset for
+    # each pass — lets any deterministic pipeline (not just the events
+    # table) feed the quantile machinery
     def read():
+        if make_ds is not None:
+            return make_ds()
         return ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                      columns=[group_col, value_col])
 

@@ -396,3 +396,44 @@ def token_doc_freq(sf_dir: str, k: int = 100, lower: bool = True,
            .groupby("token")
            .aggregate(Sum("partial_df", alias_name="df")))
     return agg.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+def quality_median_filter(sf_dir: str):
+    """Composition: keep documents whose quality is >= their language's
+    median quality — per-group exact median (analytics.group_quantiles,
+    the bounded-memory three-pass machinery) feeding a broadcast filter.
+    Output: (doc_id, lang)."""
+    import ray
+
+    from .analytics import group_quantiles
+
+    def make_ds():
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "lang", "text"])
+
+        def with_quality(batch: pa.Table) -> pa.Table:
+            q = quality_score(batch)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "quality": q["quality"],
+            })
+
+        return ds.map_batches(with_quality, batch_format="pyarrow",
+                              batch_size=None)
+
+    med = group_quantiles(sf_dir, qs=(0.5,), group_col="lang",
+                          value_col="quality", make_ds=make_ds)
+    med_by_lang = dict(zip(med["lang"], med["quality"]))
+    med_obj = ray.put(med_by_lang)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_obj)
+        lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        qv = batch["quality"].to_numpy(zero_copy_only=False)
+        thr = np.fromiter((m[x] for x in lang), count=len(lang),
+                          dtype=np.float64)
+        return batch.filter(pa.array(qv >= thr)).select(["doc_id", "lang"])
+
+    return make_ds().map_batches(keep, batch_format="pyarrow",
+                                 batch_size=None)
