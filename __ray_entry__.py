@@ -453,11 +453,11 @@ def _q_quality(sf_dir: str):
 def _q_lang_id(sf_dir: str):
     import ray.data
 
-    from s2ray.pipelines.text import LangId
+    from s2ray.pipelines.text import lang_id_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ds.map_batches(LangId, concurrency=(1, 4),
+    return ds.map_batches(lang_id_batch,
                           batch_format="pyarrow").select_columns(
         ["doc_id", "lang_pred", "lang_conf"])
 

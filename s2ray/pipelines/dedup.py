@@ -494,14 +494,14 @@ def corpus_dedup_keep(sf_dir: str, tau: float = 0.5, k: int = 3,
     import ray
     import ray.data
 
-    from .text import LangId, quality_score
+    from .text import lang_id_batch, quality_score
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def keep_mask(batch: pa.Table) -> pa.Table:
         q = quality_score(batch)
-        lang = LangId()(batch)
+        lang = lang_id_batch(batch)
         ok = pc.and_(
             pc.greater_equal(q["quality"], pa.scalar(float(min_quality))),
             pc.is_in(lang["lang_pred"],

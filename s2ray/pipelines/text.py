@@ -194,6 +194,21 @@ class LangId:
         return out.append_column("lang_conf", pa.array(conf, type=pa.float64()))
 
 
+_LANGID: LangId | None = None
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of LangId with a worker-process-level singleton:
+    fuses with upstream map operators (an actor pool pays ~2 s spin-up per
+    query and breaks operator fusion — same measurement as the broadcast
+    joins).  The LangId class stays for callers that want an explicit
+    actor pool."""
+    global _LANGID
+    if _LANGID is None:
+        _LANGID = LangId()
+    return _LANGID(batch)
+
+
 def _codepoint_matrix(arr: pa.StringArray) -> np.ndarray:
     """(rows, L) int64 codepoint matrix, rows right-aligned (left-padded
     with zeros).  ASCII fast path reads the UTF-8 buffer directly (fully
