@@ -287,6 +287,12 @@ def _q_sample_corpus(sf_dir: str):
     return sample_corpus(sf_dir, SAMPLE_RATES_BP)
 
 
+def _q_sample_per_lang(sf_dir: str):
+    from s2ray.pipelines.sampling import sample_n_per_group
+
+    return sample_n_per_group(sf_dir, n=10)
+
+
 def _q_emb_norm_by_lang(sf_dir: str):
     """Generic co-partition equi-join (documents JOIN embeddings on
     doc_id = vec_id) + rollup: (lang, n, avg_norm)."""
@@ -350,6 +356,12 @@ def _q_vocab(sf_dir: str):
     from s2ray.pipelines.text import vocab_top_k
 
     return vocab_top_k(sf_dir, k=100)
+
+
+def _q_heavy_hitters(sf_dir: str):
+    from s2ray.pipelines.text import heavy_hitters
+
+    return heavy_hitters(sf_dir, k=100)
 
 
 def _q_token_df(sf_dir: str):
@@ -825,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "sample_corpus": _q_sample_corpus,
+        "sample_per_lang": _q_sample_per_lang,
         "near_dup_pairs": _q_near_dup_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
         "corpus_keep": _q_corpus_keep,
@@ -844,12 +857,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "vocab_top100": _q_vocab,
+        "heavy_hitters_top100": _q_heavy_hitters,
         "token_doc_freq": _q_token_df,
         "quality_above_median": _q_quality_above_median,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
     }
+
+
+def _sample_per_lang_oracle() -> str:
+    from s2ray.pipelines.sampling import sample_n_per_group_sql
+
+    return sample_n_per_group_sql(10)
 
 
 def _sample_corpus_oracle() -> str:
@@ -1402,6 +1422,12 @@ FROM (
             "lower(text), '\\s+'), x -> x <> '')) AS token FROM documents) "
             "GROUP BY token ORDER BY df DESC, token LIMIT 100"
         ),
+        "heavy_hitters_top100": (
+            "SELECT token, count(*) AS n FROM ("
+            "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'\\s+'), x -> x <> '')) AS token FROM documents) "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
         "vocab_top100": (
             "SELECT token, count(*) AS n FROM ("
             "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
@@ -1409,6 +1435,7 @@ FROM (
             "GROUP BY token ORDER BY n DESC, token LIMIT 100"
         ),
         "sample_corpus": _sample_corpus_oracle(),
+        "sample_per_lang": _sample_per_lang_oracle(),
         "emb_near_dup": emb_near_dup_sql,
         "emb_near_dup_lsh": emb_lsh_sql,
         "knn_embeddings": knn_emb_sql,

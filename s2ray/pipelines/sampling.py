@@ -59,3 +59,57 @@ def sample_corpus_sql(rates_bp: dict[str, int]) -> str:
                      for s, r in sorted(rates_bp.items()))
     return (f"SELECT doc_id, source FROM documents "
             f"WHERE {hash_bp_sql('doc_id')} < (CASE {cases} ELSE 0 END)")
+
+
+def sample_n_per_group(sf_dir: str, n: int = 10, group_col: str = "lang",
+                       id_col: str = "doc_id"):
+    """Deterministic fixed-size per-group sample: the n rows with the
+    smallest hash_bp-style mixed hash of the id within each group (a
+    reproducible 'take N per language' for eval-set construction).
+
+    Per-batch local top-n per group, then a tiny global merge — the
+    shuffle moves at most n rows per (group, batch)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[id_col, group_col])
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        grp = np.asarray(batch[group_col].to_pandas(), dtype=object)
+        h = (ids.astype(np.uint64) * np.uint64(_MIX)).astype(np.uint64)
+        df = pd.DataFrame({id_col: ids, group_col: grp,
+                           "_h": h.astype(np.int64) ^ np.int64(-2**63)})
+        df = (df.sort_values("_h").groupby(group_col, sort=False)
+              .head(n))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                group_col: pd.Series(dtype=object),
+            })
+        df = df.sort_values("_h").head(n)
+        return df[[id_col, group_col]]
+
+    return (ds.map_batches(local_topn, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(group_col)
+            .map_groups(merge, batch_format="pandas"))
+
+
+def sample_n_per_group_sql(n: int = 10, group_col: str = "lang",
+                           id_col: str = "doc_id") -> str:
+    # order by the same mixed hash; the sign-flip XOR maps the uint64 mix
+    # onto ordered int64 exactly like the engine's `_h`
+    h = (f"CAST((CAST({id_col} AS HUGEINT) * {_MIX}) % {1 << 64} "
+         f"AS UBIGINT)")
+    return (f"SELECT {id_col}, {group_col} FROM ("
+            f"SELECT {id_col}, {group_col}, row_number() OVER ("
+            f"PARTITION BY {group_col} ORDER BY {h}) AS rn "
+            f"FROM documents) WHERE rn <= {n}")

@@ -452,3 +452,66 @@ def quality_median_filter(sf_dir: str):
 
     return make_ds().map_batches(keep, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def heavy_hitters(sf_dir: str, k: int = 100, width: int = 1024,
+                  lower: bool = True, text_col: str = "text"):
+    """Top-k tokens via the two-pass exact heavy-hitters pattern: a
+    Misra-Gries summary per batch (width counters) merged into a candidate
+    set, then ONE exact recount of candidates only.
+
+    This is vocab_top_k's scale path: the shuffle moves width-bounded
+    sketch rows + candidate counts instead of the full vocabulary.  The
+    result is EXACT whenever the true rank-k frequency exceeds n/width
+    (MG's undercount bound guarantees every such token survives into the
+    candidate set); the pytest suite asserts equality with vocab_top_k on
+    the test corpora."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[text_col])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        _, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        if len(cnt) > width:
+            # Misra-Gries decrement: keep the width largest, subtract the
+            # (width+1)-th count from the survivors (the classic summary,
+            # computed directly from the batch-local exact counts)
+            order = np.argsort(-cnt, kind="stable")
+            thresh = cnt[order[width]]
+            keep = order[:width]
+            uniques, cnt = uniques[keep], np.maximum(cnt[keep] - thresh, 1)
+        return pa.table({
+            "token": pa.array(uniques.tolist(), type=pa.string()),
+            "partial_n": pa.array(cnt),
+        })
+
+    cand = (ds.map_batches(mg_partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("token")
+            .aggregate(Sum("partial_n", alias_name="mg_n")))
+    cand_tokens = np.asarray(cand.select_columns(["token"]).to_pandas()
+                             ["token"], dtype=object)
+    cand_ref = ray.put(frozenset(cand_tokens.tolist()))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        _, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        cs = ray.get(cand_ref)
+        keep = np.fromiter((u in cs for u in uniques),
+                           count=len(uniques), dtype=bool)
+        return pa.table({
+            "token": pa.array(uniques[keep].tolist(), type=pa.string()),
+            "partial_n": pa.array(cnt[keep]),
+        })
+
+    agg = (ds.map_batches(exact_partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("token")
+           .aggregate(Sum("partial_n", alias_name="n")))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)

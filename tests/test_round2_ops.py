@@ -249,3 +249,15 @@ def test_hash_joins_inner_left_and_collision(ray_session, tmp_path):
     clash = ray.data.from_items([{"j": 1, "a": 9}])
     with pytest.raises(ValueError, match="collision"):
         copartition_hash_join(left, clash, on="k", right_on="j")
+
+
+def test_heavy_hitters_matches_exact_vocab(ray_session):
+    from s2ray.pipelines.text import heavy_hitters, vocab_top_k
+
+    exact = vocab_top_k(SF, k=50).to_pandas()
+    hh = heavy_hitters(SF, k=50, width=64).to_pandas()
+    pd.testing.assert_frame_equal(
+        hh.reset_index(drop=True), exact.reset_index(drop=True))
+    # MG superset property holds even at an adversarially small width
+    hh8 = heavy_hitters(SF, k=5, width=8).to_pandas()
+    assert set(hh8["token"][:5]) == set(exact["token"][:5])
