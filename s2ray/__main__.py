@@ -65,6 +65,9 @@ def main(argv=None):
     ck.add_argument("--out", required=True)
     ck.add_argument("--tau", type=float, default=0.5)
     ck.add_argument("--min-quality", type=float, default=0.5)
+    ck.add_argument("--partitioned", action="store_true",
+                    help="resumable doc-id-bucketed layout with manifests")
+    ck.add_argument("--buckets", type=int, default=16)
 
     aj = sub.add_parser("asof")
     aj.add_argument("--out", required=True)
@@ -129,8 +132,24 @@ def main(argv=None):
 
             out = corpus_dedup_keep(args.sf_dir, tau=args.tau,
                                     min_quality=args.min_quality)
-            out.write_parquet(args.out)
-            print(json.dumps({"cmd": "corpus-keep", "out": args.out}))
+            if args.partitioned:
+                import pyarrow as pa
+
+                from .state.sink import write_partitioned
+
+                def bucket(batch: pa.Table) -> pa.Table:
+                    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                    return batch.append_column(
+                        "bucket", pa.array(ids % args.buckets))
+
+                res = write_partitioned(
+                    out.map_batches(bucket, batch_format="pyarrow"),
+                    args.out, part_col="bucket")
+                print(json.dumps({"cmd": "corpus-keep",
+                                  "partitioned": True, **res}))
+            else:
+                out.write_parquet(args.out)
+                print(json.dumps({"cmd": "corpus-keep", "out": args.out}))
         elif args.cmd == "asof":
             from .pipelines.analytics import events_asof
 

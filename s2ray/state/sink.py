@@ -1,0 +1,73 @@
+"""Generic resumable key-partitioned parquet sink.
+
+Complements state/manifest.py (which checkpoints on INPUT-fragment
+identity): here the checkpoint unit is an OUTPUT partition key, for
+pipelines whose natural resume granularity is a key range or hash bucket
+(tile ancestors, doc-id buckets, languages, ...).
+
+Every partition is written INSIDE its map_groups task (no driver collect)
+to ``out_dir/<part_col>=<value>/data.parquet`` with an atomically renamed
+manifest under ``out_dir/_manifest/``; a rerun recomputes the upstream
+pipeline but skips writing partitions whose manifest already exists —
+writes are the non-idempotent part on shared storage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _safe(value) -> str:
+    s = str(value)
+    return "".join(c if (c.isalnum() or c in "-_.") else "_" for c in s)[:64]
+
+
+def write_partitioned(ds, out_dir: str, part_col: str):
+    """Write ``ds`` (a Ray Dataset) partitioned by ``part_col``.  Returns
+    {"partitions_written": int, "partitions_total": int, "rows": int}."""
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    t0 = time.time()
+
+    def write_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"partition": pd.Series(dtype=object),
+                                 "written": pd.Series(dtype=bool),
+                                 "rows": pd.Series(dtype=np.int64)})
+        part = _safe(df[part_col].iloc[0])
+        mp = os.path.join(out_dir, "_manifest", f"{part}.json")
+        if os.path.exists(mp):
+            return pd.DataFrame({"partition": [part], "written": [False],
+                                 "rows": [np.int64(0)]})
+        pdir = os.path.join(out_dir, f"{part_col}={part}")
+        os.makedirs(pdir, exist_ok=True)
+        out_file = os.path.join(pdir, "data.parquet")
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        pq.write_table(tbl, out_file + ".tmp")
+        os.replace(out_file + ".tmp", out_file)
+        manifest = {
+            "partition": part,
+            "rows": int(len(df)),
+            "output": out_file,
+            "wall_s": time.time() - t0,
+        }
+        with open(mp + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mp + ".tmp", mp)
+        return pd.DataFrame({"partition": [part], "written": [True],
+                             "rows": [np.int64(len(df))]})
+
+    summary = (ds.groupby(part_col)
+               .map_groups(write_part, batch_format="pandas")
+               .to_pandas())
+    return {
+        "partitions_written": int(summary["written"].sum()),
+        "partitions_total": int(len(summary)),
+        "rows": int(summary["rows"].sum()),
+    }

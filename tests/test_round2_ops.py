@@ -261,3 +261,30 @@ def test_heavy_hitters_matches_exact_vocab(ray_session):
     # MG superset property holds even at an adversarially small width
     hh8 = heavy_hitters(SF, k=5, width=8).to_pandas()
     assert set(hh8["token"][:5]) == set(exact["token"][:5])
+
+
+def test_write_partitioned_generic_resume(ray_session, tmp_path):
+    import glob
+
+    import ray
+
+    from s2ray.state.sink import write_partitioned
+
+    ds = ray.data.from_items(
+        [{"k": i % 4, "v": i} for i in range(100)])
+    out = str(tmp_path / "parts")
+    r1 = write_partitioned(ds, out, part_col="k")
+    assert r1 == {"partitions_written": 4, "partitions_total": 4,
+                  "rows": 100}
+    files = sorted(glob.glob(f"{out}/k=*/data.parquet"))
+    assert len(files) == 4
+    # resume: all partitions skip
+    r2 = write_partitioned(ds, out, part_col="k")
+    assert r2["partitions_written"] == 0 and r2["partitions_total"] == 4
+    # damage one manifest -> only that partition rewrites
+    os.remove(f"{out}/_manifest/2.json")
+    r3 = write_partitioned(ds, out, part_col="k")
+    assert r3["partitions_written"] == 1
+    # content round-trip
+    back = pd.concat([pd.read_parquet(f) for f in files])
+    assert sorted(back["v"]) == list(range(100))
