@@ -68,11 +68,19 @@ def _cached_build(ref):
 
 def copartition_hash_join(left_ds, right_ds, on: str,
                           right_on: str | None = None,
-                          n_parts: int = 64, how: str = "inner"):
+                          n_parts: int = 64, how: str = "inner",
+                          hot_keys=None, salt: int = 8):
     """Both sides hash-partitioned on the (int64) key; one pandas merge per
-    bucket inside map_groups.  Column collisions get pandas' _x/_y
-    suffixes; the key column must be int64 on both sides."""
+    bucket inside map_groups.  The key column must be int64 on both sides;
+    non-key column names must not collide.
+
+    Skew: pass ``hot_keys`` (an int64 array of keys too frequent for one
+    bucket) and hot LEFT rows spread over ``salt`` sub-buckets while hot
+    RIGHT rows are replicated into each — the same salting contract as the
+    spatial shuffle join (cold keys pay nothing)."""
     right_on = right_on or on
+    hot = (np.asarray(sorted(hot_keys), dtype=np.int64)
+           if hot_keys is not None and len(hot_keys) else None)
 
     lschema = left_ds.schema()
     rschema = right_ds.schema()
@@ -104,7 +112,25 @@ def copartition_hash_join(left_ds, right_ds, on: str,
                                                              type=t)
             out = pa.table(cols)
             k = out[on].to_numpy(zero_copy_only=False).astype(np.int64)
-            out = out.append_column("_part", pa.array(_part_of(k, n_parts)))
+            salt_id = np.zeros(len(out), dtype=np.int64)
+            if hot is not None:
+                pos = np.searchsorted(hot, k)
+                is_hot = (pos < len(hot)) & (hot[np.minimum(pos, len(hot) - 1)] == k)
+                if side_val == 0:
+                    # spread hot probe rows deterministically
+                    salt_id = np.where(
+                        is_hot, np.arange(len(out), dtype=np.int64) % salt, 0)
+                elif is_hot.any():
+                    # replicate hot build rows into every sub-bucket
+                    rep_idx = np.nonzero(is_hot)[0]
+                    extra = out.take(pa.array(np.repeat(rep_idx, salt - 1)))
+                    extra_salt = np.tile(np.arange(1, salt, dtype=np.int64),
+                                         len(rep_idx))
+                    out = pa.concat_tables([out, extra])
+                    salt_id = np.concatenate([salt_id, extra_salt])
+                    k = out[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            part = _part_of(k, n_parts).astype(np.int64) * np.int64(salt) + salt_id
+            out = out.append_column("_part", pa.array(part.astype(np.int32)))
             return out.append_column(
                 "_side", pa.array(np.full(len(out), side_val,
                                           dtype=np.int8)))

@@ -288,3 +288,22 @@ def test_write_partitioned_generic_resume(ray_session, tmp_path):
     # content round-trip
     back = pd.concat([pd.read_parquet(f) for f in files])
     assert sorted(back["v"]) == list(range(100))
+
+
+def test_copartition_join_salted_hot_key(ray_session):
+    import ray
+
+    from s2ray.pipelines.join import copartition_hash_join
+
+    # key 7 is hot on the left; results must equal the unsalted join
+    left = ray.data.from_items(
+        [{"k": 7 if i % 2 else i, "a": i} for i in range(200)])
+    right = ray.data.from_items(
+        [{"k": i, "b": i * 100} for i in range(0, 20)])
+    plain = copartition_hash_join(left, right, on="k").to_pandas()
+    salted = copartition_hash_join(left, right, on="k",
+                                   hot_keys=[7], salt=4).to_pandas()
+    key = ["k", "a", "b"]
+    pd.testing.assert_frame_equal(
+        plain[key].sort_values(key).reset_index(drop=True),
+        salted[key].sort_values(key).reset_index(drop=True))
