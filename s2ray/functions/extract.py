@@ -138,21 +138,40 @@ def _parse_int_fields(data, starts, stop_bytes=(ord(";"), ord('"')),
     v1 = np.zeros(n, dtype=np.int64)
     neg0 = np.zeros(n, dtype=bool)
     neg1 = np.zeros(n, dtype=bool)
-    in1 = np.zeros(n, dtype=bool)   # past the ';'
+    seen0 = np.zeros(n, dtype=bool)  # >=1 digit parsed in the field
+    seen1 = np.zeros(n, dtype=bool)
+    in1 = np.zeros(n, dtype=bool)    # past the ';'
     done = np.zeros(n, dtype=bool)
+    invalid = np.zeros(n, dtype=bool)
     for c in range(max_len):
         b = m[:, c]
-        digit = (b >= 48) & (b <= 57) & ~done
+        act = ~done & ~invalid
+        digit = (b >= 48) & (b <= 57)
+        minus = b == 45
+        semi = b == stop_bytes[0]
+        quote = b == stop_bytes[1]
+        in0 = ~in1
         d = b - 48
-        in0 = ~in1 & ~done
-        v0 = np.where(digit & in0, v0 * 10 + d, v0)
-        v1 = np.where(digit & in1, v1 * 10 + d, v1)
-        minus = (b == 45) & ~done
-        neg0 |= minus & in0
-        neg1 |= minus & in1
-        done |= (b == stop_bytes[1]) & in1
-        in1 |= (b == stop_bytes[0]) & ~done
-    return (np.where(neg0, -v0, v0), np.where(neg1, -v1, v1), done)
+        v0 = np.where(act & digit & in0, v0 * 10 + d, v0)
+        v1 = np.where(act & digit & in1, v1 * 10 + d, v1)
+        # Strict ``-?[0-9]+;-?[0-9]+"`` parity with the regex fallback:
+        # '-' only as a field's first character, ';' exactly once after
+        # >=1 digit, '"' terminates field 2, and ANY other byte (e.g. the
+        # '.' of decimal-degree content) voids the row instead of being
+        # silently skipped.
+        bad = act & minus & ((in0 & (seen0 | neg0)) | (in1 & (seen1 | neg1)))
+        bad |= act & semi & (in1 | ~seen0)
+        bad |= act & quote & (in0 | ~seen1)
+        bad |= act & ~(digit | minus | semi | quote)
+        neg0 |= act & minus & in0
+        neg1 |= act & minus & in1
+        seen0 |= act & digit & in0
+        seen1 |= act & digit & in1
+        done |= act & quote & in1 & seen1
+        in1 |= act & semi & in0 & seen0
+        invalid |= bad
+    return (np.where(neg0, -v0, v0), np.where(neg1, -v1, v1),
+            done & ~invalid)
 
 
 def extract_text_geo(batch: pa.Table) -> pa.Table:
@@ -174,8 +193,17 @@ def extract_text_geo(batch: pa.Table) -> pa.Table:
     n = len(batch)
     if n == 0 or html.null_count:
         return drop_html(extract_geotag(extract_text(batch)))
+    # offset width depends on the (large_)string/binary flavor; anything
+    # else goes down the regex path
+    if pa.types.is_string(html.type) or pa.types.is_binary(html.type):
+        off_width = np.int32
+    elif (pa.types.is_large_string(html.type)
+          or pa.types.is_large_binary(html.type)):
+        off_width = np.int64
+    else:
+        return drop_html(extract_geotag(extract_text(batch)))
     off0 = html.offset
-    offs = np.frombuffer(html.buffers()[1], dtype=np.int32)[
+    offs = np.frombuffer(html.buffers()[1], dtype=off_width)[
         off0:off0 + n + 1].astype(np.int64)
     data = np.frombuffer(html.buffers()[2], dtype=np.uint8)[
         offs[0]:offs[-1]]

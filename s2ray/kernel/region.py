@@ -543,8 +543,12 @@ class LatLngRect:
             np.array([0.0, 0.0, pole_z]), pole_angle)
         # The vertex-based mid cap is only valid when the lng span is <= pi
         # (reference: IEEEremainder(lngSpan, 2*pi) >= 0 guard); for wider
-        # spans the 4 vertices do not bound the rect's lng extremes.
-        if math.remainder(self.lng.get_length(), 2 * M_PI) >= 0:
+        # spans the 4 vertices do not bound the rect's lng extremes.  A
+        # full-longitude rect (span == 2*pi) also passes the remainder test
+        # (remainder(2*pi, 2*pi) == 0) yet its vertices collapse to one
+        # meridian, so it must be excluded explicitly.
+        if (not self.lng.is_full()
+                and math.remainder(self.lng.get_length(), 2 * M_PI) >= 0):
             mid_x, mid_y, mid_z = sphere.latlng_to_xyz(
                 self.lat.get_center(), self.lng.get_center())
             mid_cap = Cap(np.array([float(mid_x), float(mid_y), float(mid_z)]), 0.0)

@@ -524,14 +524,18 @@ _GINFO_CACHE: dict = {}
 
 def _cached_ginfo(ref):
     """Worker-process-level cache of the broadcast group info (same pattern
-    as the spatial-join index cache)."""
+    as the spatial-join index cache).  Bounded to a few entries rather than
+    cleared on miss: the select pass looks up TWO refs per batch (group
+    info + targets), so a one-entry cache would evict the other ref on
+    every call and re-deserialize both per batch."""
     import ray
 
     key = ref.hex() if callable(getattr(ref, "hex", None)) else id(ref)
     hit = _GINFO_CACHE.get(key)
     if hit is None:
         hit = ray.get(ref)
-        _GINFO_CACHE.clear()
+        if len(_GINFO_CACHE) >= 4:
+            _GINFO_CACHE.clear()
         _GINFO_CACHE[key] = hit
     return hit
 

@@ -56,7 +56,9 @@ def knn_embeddings(sf_dir: str, query_ids: list[int], k: int = 10):
             mask = ids != q_ids[qi]
             idx = np.nonzero(mask)[0]
             if len(idx) > k:
-                top = idx[np.argpartition(-s[idx], k)[:k]]
+                # deterministic (sim DESC, vec_id ASC): bit-identical
+                # cosines exist by construction in this corpus
+                top = idx[np.lexsort((ids[idx], -s[idx]))[:k]]
             else:
                 top = idx
             out_q.extend([q_ids[qi]] * len(top))
@@ -80,7 +82,8 @@ def knn_embeddings(sf_dir: str, query_ids: list[int], k: int = 10):
             # an untyped empty emits mixed-schema RefBundle warnings
             return pd.DataFrame({c: pd.Series(dtype=np.int64)
                                  for c in ("query_id", "vec_id", "rank")})
-        df = df.sort_values("sim", ascending=False).head(k).reset_index(drop=True)
+        df = (df.sort_values(["sim", "vec_id"], ascending=[False, True])
+              .head(k).reset_index(drop=True))
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df[["query_id", "vec_id", "rank"]]
 
@@ -144,7 +147,9 @@ def lsh_knn(sf_dir: str, query_ids: list[int], k: int = 10,
                 continue
             s = emb[cand] @ q_mat[qi]
             if len(cand) > k:
-                top = np.argpartition(-s, k)[:k]
+                # deterministic (sim DESC, vec_id ASC) local prune — ties
+                # at the k boundary must keep the same rows the oracle does
+                top = np.lexsort((ids[cand], -s))[:k]
                 cand, s = cand[top], s[top]
             out_q.extend([q_ids[qi]] * len(cand))
             out_v.extend(ids[cand].tolist())
@@ -169,7 +174,8 @@ def lsh_knn(sf_dir: str, query_ids: list[int], k: int = 10,
                 "rank": pd.Series(dtype=np.int64),
                 "sim": pd.Series(dtype=np.float64),
             })
-        df = df.sort_values("sim", ascending=False).head(k).reset_index(drop=True)
+        df = (df.sort_values(["sim", "vec_id"], ascending=[False, True])
+              .head(k).reset_index(drop=True))
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df[["query_id", "vec_id", "rank", "sim"]]
 
@@ -256,7 +262,8 @@ def ivf_knn(sf_dir: str, query_ids: list[int], k: int = 10,
                 continue
             s = emb[cand] @ q_mat[qi]
             if len(cand) > k:
-                top = np.argpartition(-s, k)[:k]
+                # deterministic (sim DESC, vec_id ASC) local prune
+                top = np.lexsort((ids[cand], -s))[:k]
                 cand, s = cand[top], s[top]
             out_q.extend([q_ids[qi]] * len(cand))
             out_v.extend(ids[cand].tolist())

@@ -101,19 +101,15 @@ def _hash_tokens_batch(texts) -> tuple[np.ndarray, np.ndarray, int]:
     values to per-doc ``hash_tokens(t.split())``.
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    arr = pa.array(list(texts), type=pa.string())
-    split = pc.utf8_split_whitespace(arr)
-    flat = split.flatten()
-    offs = np.asarray(split.offsets, dtype=np.int64)
-    row_idx = np.repeat(np.arange(len(arr), dtype=np.int64), np.diff(offs))
-    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    row_idx = row_idx[mask]
-    flat = flat.filter(pa.array(mask))
-    d = flat.dictionary_encode()
-    codes = np.asarray(d.indices, dtype=np.int64)
-    uh = _poly_token_hash_array(d.dictionary)
+    from .text import _token_codes
+
+    arr = texts if isinstance(texts, pa.Array) \
+        else pa.array(list(texts), type=pa.string())
+    # single tokenizer source of truth: identical split/filter/encode
+    # semantics to every text.* operator (the shared SQL oracles rely on it)
+    row_idx, codes, uniques, _n_tokens, _flat = _token_codes(arr)
+    uh = _poly_token_hash_array(pa.array(uniques, type=pa.string()))
     return row_idx, uh[codes], len(arr)
 
 

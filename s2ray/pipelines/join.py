@@ -38,14 +38,19 @@ def broadcast_hash_join(probe_ds, build_tbl: pa.Table, on: str,
     import ray
 
     build_on = build_on or on
-    build_df = build_tbl.to_pandas().rename(columns={build_on: on})
+    # ArrowDtype frames merge without the classic pandas null→float64
+    # upcast, so int64 payloads (ids, hashes ≥ 2^53) survive a left join
+    # bit-exactly and output dtypes match the inputs.
+    build_df = (build_tbl.to_pandas(types_mapper=pd.ArrowDtype)
+                .rename(columns={build_on: on}))
     build_ref = ray.put(build_df)
 
     def probe(batch: pa.Table) -> pa.Table:
         bd = _cached_build(build_ref)
-        df = batch.to_pandas()
+        df = batch.to_pandas(types_mapper=pd.ArrowDtype)
         out = df.merge(bd, on=on, how=how, sort=False)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     return probe_ds.map_batches(probe, batch_format="pyarrow",
                                 batch_size=None)
@@ -61,7 +66,8 @@ def _cached_build(ref):
     hit = _BUILD_CACHE.get(key)
     if hit is None:
         hit = ray.get(ref)
-        _BUILD_CACHE.clear()
+        if len(_BUILD_CACHE) >= 4:
+            _BUILD_CACHE.clear()
         _BUILD_CACHE[key] = hit
     return hit
 
@@ -143,11 +149,20 @@ def copartition_hash_join(left_ds, right_ds, on: str,
 
     out_rcols = [c for c in rcols_renamed if c != on]
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["_side"] == 0][lcols]
-        r = df[df["_side"] == 1][[on] + out_rcols]
-        return l.merge(r, on=on, how=how, sort=False)
+    def merge(group: pa.Table) -> pa.Table:
+        # Split sides in Arrow (each side's own columns are null-free after
+        # the select), then merge as ArrowDtype frames: no null→float64
+        # upcast, so int64 payloads stay bit-exact and output dtypes match
+        # the input schemas even for left-join null fills.
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        l = (group.filter(pa.array(side == 0)).select(lcols)
+             .to_pandas(types_mapper=pd.ArrowDtype))
+        r = (group.filter(pa.array(side == 1)).select([on] + out_rcols)
+             .to_pandas(types_mapper=pd.ArrowDtype))
+        out = l.merge(r, on=on, how=how, sort=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     return (left.union(right)
             .groupby("_part")
-            .map_groups(merge, batch_format="pandas"))
+            .map_groups(merge, batch_format="pyarrow"))

@@ -217,7 +217,11 @@ def _codepoint_matrix(arr: pa.StringArray) -> np.ndarray:
     if len(arr) == 0:
         return np.zeros((0, 0), dtype=np.int64)
     off0 = arr.offset
-    offs = np.asarray(arr.buffers()[1], dtype=np.uint8).view(np.int32)
+    # large_string carries int64 offsets; reading them as int32 would
+    # silently produce an empty matrix (all hashes collide to 0)
+    off_width = (np.int64 if pa.types.is_large_string(arr.type)
+                 else np.int32)
+    offs = np.asarray(arr.buffers()[1], dtype=np.uint8).view(off_width)
     offs = offs[off0:off0 + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     flat = data[offs[0]:offs[-1]]
