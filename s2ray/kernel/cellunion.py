@@ -184,9 +184,7 @@ def expand_level(ids, level: int) -> np.ndarray:
 def expand_angle(ids, min_radius_rad: float, max_level_diff: int = 30) -> np.ndarray:
     """Buffer the union by a distance (S2CellUnion.php:389-416)."""
     ids = np.asarray(ids, dtype=np.uint64)
-    min_level = ci.MAX_LEVEL
-    for cid in ids:
-        min_level = min(min_level, int(ci.level(np.array([cid]))[0]))
+    min_level = int(ci.level(ids).min()) if len(ids) else ci.MAX_LEVEL
     radius_level = sphere.MIN_WIDTH.get_max_level(min_radius_rad)
     if radius_level == 0 and min_radius_rad > sphere.MIN_WIDTH.get_value(0):
         ids = expand_level(ids, 0)
@@ -196,11 +194,11 @@ def expand_angle(ids, min_radius_rad: float, max_level_diff: int = 30) -> np.nda
 def leaf_cells_covered(ids) -> int:
     """Number of leaf cells covered (S2CellUnion.php:493-507)."""
     ids = np.asarray(ids, dtype=np.uint64)
-    total = 0
-    for cid in ids:
-        inv = 2 * (ci.MAX_LEVEL - int(ci.level(np.array([cid]))[0]))
-        total += 1 << inv
-    return total
+    if len(ids) == 0:
+        return 0
+    inv = 2 * (ci.MAX_LEVEL - ci.level(ids).astype(np.int64))
+    # python-int accumulation: 6 face cells overflow int64 (6 * 2^60)
+    return sum(1 << int(v) for v in inv)
 
 
 def average_based_area(ids) -> float:
@@ -279,8 +277,9 @@ class CellUnion:
         if len(self.ids) == 0:
             return Cap.empty()
         centroid = np.zeros(3)
-        for cid in self.ids:
-            area = sphere.AVG_AREA.get_value(int(ci.level(np.array([cid]))[0]))
+        levels = ci.level(self.ids).astype(np.int64)
+        for cid, lvl in zip(self.ids, levels):
+            area = sphere.AVG_AREA.get_value(int(lvl))
             centroid += area * Cell(int(cid)).get_center()
         n = np.linalg.norm(centroid)
         if n == 0:

@@ -86,10 +86,15 @@ class EdgeIndex:
         if ideal_level == 0:
             # huge edge: whole-sphere fallback (6 face cells)
             return [np.uint64((f << 61) | (1 << 60)) for f in range(6)]
-        # 4 vertex neighbors of the midpoint at the ideal level
+        # 4 vertex neighbors of the midpoint at the ideal level, clamped
+        # to MAX_LEVEL-1 (reference actualLevel): get_vertex_neighbors
+        # requires a level strictly coarser than the leaf level, and an
+        # unclamped 30 would shift by -1 (numpy yields 0) and collapse the
+        # covering to a single midpoint leaf missing the endpoints
+        actual_level = min(ideal_level, ci.MAX_LEVEL - 1)
         mid = sphere.normalize(a + b)
         leaf_mid = ci.from_xyz(*[np.array([v]) for v in mid])
-        ids, _counts = ci.get_vertex_neighbors(leaf_mid, ideal_level)
+        ids, _counts = ci.get_vertex_neighbors(leaf_mid, actual_level)
         return list(ids)
 
     def candidate_edges(self, qa: np.ndarray, qb: np.ndarray) -> np.ndarray:

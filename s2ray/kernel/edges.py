@@ -61,8 +61,7 @@ def robust_crossing_one_to_many(c: np.ndarray, d: np.ndarray,
         dac = sphere.robust_ccw(np.broadcast_to(o, (len(idx), 3)), p[idx],
                                 np.broadcast_to(c, (len(idx), 3)),
                                 a_cross_b=o_cross_p)
-        acb_i = acb if np.isscalar(acb) or np.ndim(acb) == 0 else acb
-        good = (cbd == acb_i) & (dac == acb_i)
+        good = (cbd == acb) & (dac == acb)
         out[idx[good]] = 1
     out[degenerate] = 0
     return out

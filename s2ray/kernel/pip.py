@@ -305,20 +305,28 @@ class Loop:
         """(area, area-weighted true centroid vector) — spec
         S2Loop::getAreaCentroid (S2Loop.php:258-319): signed triangle fan
         around vertex(0) with true-centroid accumulation."""
-        origin_v = self.vertices[0]
+        # Origin slightly displaced from vertex(0) so fan triangles stay
+        # numerically stable when the loop holds antipodal vertex pairs
+        # (reference lines 281-287).
+        origin_v = np.array(self.vertices[0], dtype=np.float64)
+        axis = (int(np.argmax(np.abs(origin_v))) + 1) % 3
+        origin_v[axis] += math.e * 1e-10
+        origin_v = origin_v / np.linalg.norm(origin_v)
+        n = len(self.vertices)
         total = 0.0
         centroid = np.zeros(3)
-        for k in range(1, len(self.vertices) - 1):
-            a = float(sphere.signed_area(
-                origin_v, self.vertices[k], self.vertices[k + 1]))
-            total += a
-            c = sphere.true_centroid(origin_v, self.vertices[k],
-                                     self.vertices[k + 1])
-            sign = 1.0 if a >= 0 else -1.0
-            centroid += sign * np.asarray(c, dtype=np.float64)
+        for i in range(1, n + 1):
+            va = self.vertices[i - 1]
+            vb = self.vertices[i % n]
+            total += float(sphere.signed_area(origin_v, va, vb))
+            # true_centroid is already area-premultiplied AND
+            # orientation-signed; accumulate it unmodified — the negative-
+            # area case needs no centroid negation either (the integral of
+            # position over the whole sphere is zero, reference 304-312)
+            centroid += np.asarray(sphere.true_centroid(origin_v, va, vb),
+                                   dtype=np.float64)
         if total < 0:
             total += 4 * math.pi
-            centroid = -centroid
         return total, centroid
 
 

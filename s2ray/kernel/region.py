@@ -187,7 +187,8 @@ class Cell:
         flat_area = 0.5 * float(np.linalg.norm(np.cross(
             self.get_vertex(2) - self.get_vertex(0),
             self.get_vertex(3) - self.get_vertex(1))))
-        return flat_area * 2 / (1 + math.sqrt(1 - min(1.0 / M_PI, flat_area / M_PI)))
+        # reference: min(1.0, flatArea * M_1_PI) — the cap is 1, not 1/pi
+        return flat_area * 2 / (1 + math.sqrt(1 - min(1.0, flat_area / M_PI)))
 
     def exact_area(self) -> float:
         v0, v1, v2, v3 = (self.get_vertex(k) for k in range(4))

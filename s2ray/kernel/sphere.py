@@ -133,9 +133,13 @@ def ortho(a):
     a = np.atleast_2d(np.asarray(a, dtype=np.float64))
     k = np.argmax(np.abs(a), axis=-1)
     k = (k + 1) % 3
-    temp = np.zeros_like(a)
-    temp[np.arange(len(a)), k] = 0.012
-    temp[:, :] += 0.0
+    # reference perturbation vector (0.012, 0.0053, 0.00457) with the
+    # chosen component forced to 1 — guarantees a non-degenerate cross
+    # product even for inputs lying exactly on a coordinate plane
+    temp = np.empty_like(a)
+    temp[:, 0] = 0.012
+    temp[:, 1] = 0.0053
+    temp[:, 2] = 0.00457
     temp[np.arange(len(a)), k] = 1.0
     out = normalize(np.cross(a, temp))
     return out if out.shape[0] > 1 else out[0]
@@ -420,11 +424,15 @@ def triangle_area(a, b, c):
             np.tan(s2) * np.tan(s2 - 0.5 * sa) * np.tan(s2 - 0.5 * sb) * np.tan(s2 - 0.5 * sc),
         )))
     out = np.asarray(lh, dtype=np.float64)
-    if np.any(big):
-        # Girard for spherically-large, non-degenerate triangles
-        area_g = girard_area(a, b, c)
-        cond = np.broadcast_to(big & (dmin >= 1e-2 * s * s * s * s * s), out.shape)
-        out = np.where(cond, area_g, out)
+    # Girard for spherically-large SKINNY triangles (dmin < 1e-2*s^5),
+    # where l'Huilier's tan(s-s_i) term suffers total cancellation; keep
+    # Girard only if it agrees the triangle is skinny (dmin < 0.1*s*area).
+    consider = big & (dmin < 1e-2 * s * s * s * s * s)
+    if np.any(consider):
+        area_g = np.asarray(girard_area(a, b, c), dtype=np.float64)
+        cond = np.broadcast_to(consider & (dmin < s * (0.1 * area_g)),
+                               out.shape)
+        out = np.where(cond, np.broadcast_to(area_g, out.shape), out)
     return out
 
 
@@ -458,7 +466,6 @@ def true_centroid(a, b, c):
     ra = np.where(sina == 0, 1.0, angle_between(b, c) / np.where(sina == 0, 1.0, sina))
     rb = np.where(sinb == 0, 1.0, angle_between(c, a) / np.where(sinb == 0, 1.0, sinb))
     rc = np.where(sinc == 0, 1.0, angle_between(a, b) / np.where(sinc == 0, 1.0, sinc))
-    x = np.cross(np.asarray(b), np.asarray(c))  # placeholder for axis decomposition
     # Follow the reference formula componentwise:
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)

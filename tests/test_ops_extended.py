@@ -142,3 +142,69 @@ def test_polyline_covering(ray_session):
         leaf = cellid.from_xyz(np.array([p[0]]), np.array([p[1]]),
                                np.array([p[2]]))
         assert cellunion.contains_leaf_ids(cov, leaf)[0], t
+
+
+# -- kernel regression cases (review findings) --------------------------------
+
+def _nz(v):
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+def test_triangle_area_skinny_uses_girard():
+    # Large skinny triangle: l'Huilier cancels to 0; the reference selects
+    # Girard (dmin < 1e-2*s^5 and dmin < 0.1*s*area).
+    a = np.array([1.0, 0.0, 0.0])
+    c = _nz([-1.0, 1e-7, 0.0])
+    b = _nz([0.0, 1.0, 1e-7])
+    area = float(sphere.triangle_area(a, b, c))
+    girard = float(sphere.girard_area(a, b, c))
+    assert area > 0
+    assert abs(area - girard) <= 1e-6 * girard
+    # fat triangles still take l'Huilier (octant = pi/2 exactly)
+    oct_area = float(sphere.triangle_area(
+        np.array([1.0, 0, 0]), np.array([0, 1.0, 0]), np.array([0, 0, 1.0])))
+    assert abs(oct_area - math.pi / 2) < 1e-12
+
+
+def test_concave_loop_centroid_unbiased():
+    # Concave-from-vertex-0 loop: centroid must match the planar shoelace
+    # limit (small loop), which requires SIGNED fan accumulation.
+    from s2ray.kernel.pip import Loop
+
+    def ll(lng, lat):
+        return np.array(sphere.latlng_to_xyz(
+            math.radians(lat * 0.01), math.radians(lng * 0.01)))
+
+    loop = Loop(np.array([ll(0, 0), ll(4, 0), ll(1, 1), ll(4, 2), ll(0, 2)]))
+    area, cent = loop.get_area_centroid()
+    lat, lng = sphere.xyz_to_latlng(*(cent / np.linalg.norm(cent)))
+    assert abs(math.degrees(float(lng)) - 0.014000) < 2e-5
+    assert abs(math.degrees(float(lat)) - 0.010000) < 2e-5
+
+
+def test_edge_covering_tiny_edge_contains_endpoints():
+    # Sub-centimeter edge straddling the face-0 u-axis: the covering level
+    # must clamp to MAX_LEVEL-1 so the 4 vertex neighbors still bracket
+    # both endpoint leaves.
+    from s2ray.kernel.edgeindex import EdgeIndex
+
+    a = _nz([1.0, 1e-10, 0.0])
+    b = _nz([1.0, -1e-10, 0.0])
+    cov = np.array(EdgeIndex.edge_covering(a, b), dtype=np.uint64)
+    assert (cellid.level(cov) <= cellid.MAX_LEVEL - 1).all()
+    rmin, rmax = cellid.range_min(cov), cellid.range_max(cov)
+    for p in (a, b):
+        leaf = np.uint64(cellid.from_xyz(*[np.array([v]) for v in p])[0])
+        assert np.any((rmin <= leaf) & (leaf <= rmax))
+
+
+def test_full_lng_rect_cap_bound_contains_rect():
+    from s2ray.kernel.region import LatLngRect
+
+    r = LatLngRect.from_degrees(-80, -180, 85, 180)
+    cap = r.get_cap_bound()
+    for lat_d, lng_d in ((-2.5, 180.0), (85.0, 0.0), (-79.9, -90.0)):
+        p = np.array(sphere.latlng_to_xyz(
+            math.radians(lat_d), math.radians(lng_d)))
+        assert cap.contains_point(p), (lat_d, lng_d)
