@@ -312,6 +312,14 @@ def _q_emb_norm_by_lang(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        if len(batch) == 0:
+            # one-sided copartition buckets emit empty merge output;
+            # np.stack needs at least one row
+            return pa.table({
+                "lang": pa.array([], type=pa.string()),
+                "partial_n": pa.array([], type=pa.int64()),
+                "partial_s": pa.array([], type=pa.float64()),
+            })
         lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
         emb = np.stack(batch["embedding"].to_pandas().values).astype(np.float64)
         norm = np.sqrt((emb * emb).sum(axis=1))
@@ -989,7 +997,7 @@ def oracle_sql() -> dict[str, str]:
     )
     knn = (
         f"{cte} SELECT page_id, url, round({dist}, 3) AS dist_m "
-        f"FROM pages_geo ORDER BY {dist} LIMIT {KNN_Q['k']}"
+        f"FROM pages_geo ORDER BY {dist}, page_id LIMIT {KNN_Q['k']}"
     )
     text_id = f"{cte} SELECT page_id, text FROM pages_geo"
     per_lang = (
@@ -1042,7 +1050,9 @@ def oracle_sql() -> dict[str, str]:
     )
     near_dup_ctes = f"""
 words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM words),
+sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3 THEN
+  list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  ELSE [array_to_string(ws, ' ')] END)) AS s FROM words),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
 dup AS (SELECT i, j, inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard

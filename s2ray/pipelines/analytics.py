@@ -44,6 +44,9 @@ def url_domain_counts(pages_ds):
     def partial(batch: pa.Table) -> pa.Table:
         dom = pc.struct_field(
             pc.extract_regex(batch["url"], r"https://(?P<d>[^/]+)/"), "d")
+        # non-matching urls bucket as '' (DuckDB regexp_extract parity)
+        # instead of crashing np.unique on None; null urls land there too
+        dom = pc.fill_null(dom, "")
         arr = np.asarray(dom.to_pandas(), dtype=object)
         u, c = np.unique(arr, return_counts=True)
         return pa.table({"domain": pa.array(u.tolist(), type=pa.string()),
@@ -519,25 +522,7 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
     return pd.DataFrame(rows, columns=[group_col, "q", value_col])
 
 
-_GINFO_CACHE: dict = {}
-
-
-def _cached_ginfo(ref):
-    """Worker-process-level cache of the broadcast group info (same pattern
-    as the spatial-join index cache).  Bounded to a few entries rather than
-    cleared on miss: the select pass looks up TWO refs per batch (group
-    info + targets), so a one-entry cache would evict the other ref on
-    every call and re-deserialize both per batch."""
-    import ray
-
-    key = ref.hex() if callable(getattr(ref, "hex", None)) else id(ref)
-    hit = _GINFO_CACHE.get(key)
-    if hit is None:
-        hit = ray.get(ref)
-        if len(_GINFO_CACHE) >= 4:
-            _GINFO_CACHE.clear()
-        _GINFO_CACHE[key] = hit
-    return hit
+from ..state.bcast import cached_get as _cached_ginfo  # shared worker cache
 
 
 def interval_join(sf_dir: str, windows):

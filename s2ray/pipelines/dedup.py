@@ -204,8 +204,16 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "page_id"):
             "t": batch[text_col].to_pandas(),
             "i": batch[id_col].to_numpy(zero_copy_only=False),
         })
-        g = df.groupby("t", sort=False)["i"].agg(["min", "count"]).reset_index()
-        digests = [hashlib.blake2b(t.encode(), digest_size=16).digest()
+        # dropna=False: NULL text is a legal group (the SQL oracle's
+        # GROUP BY keeps it); dropping it silently loses those doc ids.
+        # Digests are length-prefixed-style domain-separated so the null
+        # group can never collide with any real text.
+        g = df.groupby("t", sort=False, dropna=False)["i"] \
+            .agg(["min", "count"]).reset_index()
+        digests = [hashlib.blake2b(b"\x00", digest_size=16).digest()
+                   if t is None or (isinstance(t, float) and np.isnan(t))
+                   else hashlib.blake2b(b"\x01" + t.encode(),
+                                        digest_size=16).digest()
                    for t in g["t"]]
         return pa.table({
             "digest": pa.array(digests, type=pa.binary()),
@@ -302,11 +310,12 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
         ~P rows per batch instead of one row per posting (Ray's sort
         shuffle costs ~80us/row; postings are numerous)."""
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= 1 << 32):
-            # pair keys are packed as i << 32 | j downstream; ids outside
-            # uint32 would silently merge distinct pairs
+        if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= 1 << 31):
+            # pair keys are packed as i << 32 | j in SIGNED int64 downstream,
+            # so i must fit in 31 bits (and j rides in the low 32); anything
+            # larger would wrap negative and merge/corrupt distinct pairs
             raise ValueError(
-                "near_dup_pairs_exact requires doc ids in [0, 2^32); "
+                "near_dup_pairs_exact requires doc ids in [0, 2^31); "
                 f"got range [{ids.min()}, {ids.max()}]")
         texts = batch[text_col].to_pandas()
         srow, sh_flat = _shingle_hashes_batch(texts, k)

@@ -56,20 +56,7 @@ def broadcast_hash_join(probe_ds, build_tbl: pa.Table, on: str,
                                 batch_size=None)
 
 
-_BUILD_CACHE: dict = {}
-
-
-def _cached_build(ref):
-    import ray
-
-    key = ref.hex() if callable(getattr(ref, "hex", None)) else id(ref)
-    hit = _BUILD_CACHE.get(key)
-    if hit is None:
-        hit = ray.get(ref)
-        if len(_BUILD_CACHE) >= 4:
-            _BUILD_CACHE.clear()
-        _BUILD_CACHE[key] = hit
-    return hit
+from ..state.bcast import cached_get as _cached_build  # shared worker cache
 
 
 def copartition_hash_join(left_ds, right_ds, on: str,

@@ -14,11 +14,18 @@ import pyarrow as pa
 from .filters import haversine_batch
 
 
-def _local_topk(batch: pa.Table, k: int, dist_col: str = "dist_m") -> pa.Table:
+def _local_topk(batch: pa.Table, k: int, dist_col: str = "dist_m",
+                id_col: str | None = "page_id") -> pa.Table:
     d = batch[dist_col].to_numpy(zero_copy_only=False)
     if len(d) <= k:
         return batch
-    idx = np.argpartition(d, k)[:k]
+    if id_col and id_col in batch.column_names:
+        # deterministic (dist ASC, id ASC): ties at the k boundary must
+        # keep the same rows the global sort (and the SQL oracle) keeps
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((ids, d))[:k]
+    else:
+        idx = np.argpartition(d, k)[:k]
     return batch.take(pa.array(np.sort(idx)))
 
 
@@ -33,7 +40,8 @@ def knn_pages(pages_ds, qlat: float, qlng: float, k: int = 10,
         return _local_topk(batch, k)
 
     ds = pages_ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
-    return ds.sort("dist_m").limit(k)
+    tie = "page_id" if "page_id" in cols else None
+    return ds.sort(["dist_m", tie] if tie else "dist_m").limit(k)
 
 
 def knn_pages_pruned(pages_ds, qlat: float, qlng: float, k: int = 10,
@@ -105,4 +113,5 @@ def knn_pages_pruned(pages_ds, qlat: float, qlng: float, k: int = 10,
 
     ds = pages_ds.map_batches(filter_stage, batch_format="pyarrow",
                               batch_size=None)
-    return ds.sort("dist_m").limit(k)
+    tie = "page_id" if "page_id" in cols else None
+    return ds.sort(["dist_m", tie] if tie else "dist_m").limit(k)

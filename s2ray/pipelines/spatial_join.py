@@ -137,22 +137,9 @@ def spatial_join_broadcast(pages_ds, regions: dict[str, object],
                                 batch_size=None)
 
 
-_INDEX_CACHE: dict = {}
-
-
-def _cached_index(ref):
-    """Worker-process-level cache: ray.get + unpickle the broadcast index
-    once per worker, not once per task (bounded to a few entries)."""
-    import ray
-
-    key = ref.hex()
-    idx = _INDEX_CACHE.get(key)
-    if idx is None:
-        idx = ray.get(ref)
-        if len(_INDEX_CACHE) >= 4:
-            _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
-        _INDEX_CACHE[key] = idx
-    return idx
+# worker-process-level cache: ray.get + unpickle the broadcast index once
+# per worker, not once per task or per map_groups group
+from ..state.bcast import cached_get as _cached_index
 
 
 # ---------------------------------------------------------------------------
@@ -286,9 +273,11 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
 
     def pair_group(df, index_ref=index_ref):
         import pandas as pd
-        import ray as _ray
 
-        idx = _ray.get(index_ref)
+        # worker-process cache: map_groups calls this once per
+        # (cell_key, salt) group — thousands per covering — and the index
+        # (incl. IndexedPolygon edge indexes) must not re-unpickle each time
+        idx = _cached_index(index_ref)
         builds = df[df["side"] == 0]
         probes = df[df["side"] == 1]
         if len(builds) == 0 or len(probes) == 0:

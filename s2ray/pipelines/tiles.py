@@ -277,12 +277,10 @@ def write_tiles_partitioned(sf_dir: str, out_dir: str, level: int = 8,
     are the expensive, non-idempotent part at scale; out_dir must be shared
     storage on a multi-node cluster).
     """
-    import json
     import os
     import time as _time
 
     import pandas as pd
-    import pyarrow.parquet as pq
 
     t0 = _time.time()
     os.makedirs(out_dir, exist_ok=True)
@@ -297,12 +295,13 @@ def write_tiles_partitioned(sf_dir: str, out_dir: str, level: int = 8,
 
     def write_partition(df: pd.DataFrame) -> pd.DataFrame:
         from ..kernel import cellid, keys
+        from ..state.sink import checkpointed_write
 
         part_key = np.int64(df["part"].iloc[0])
         pid = keys.from_key(np.array([part_key], dtype=np.int64))
         tok = str(cellid.to_token(pid)[0])
-        mp = os.path.join(out_dir, "_manifest", f"{tok}.json")
-        if os.path.exists(mp):
+        # resume fast path: skip the blob merge entirely, not just the write
+        if os.path.exists(os.path.join(out_dir, "_manifest", f"{tok}.json")):
             return pd.DataFrame({"partition": [tok], "written": [False],
                                  "rows": [0]})
         k = np.concatenate([np.frombuffer(x, dtype=np.int64)
@@ -317,29 +316,20 @@ def write_tiles_partitioned(sf_dir: str, out_dir: str, level: int = 8,
         sums = np.add.reduceat(c, starts) if len(k) else c
         ids = keys.from_key(u)
         toks = cellid.to_token(ids)
-        pdir = os.path.join(out_dir, f"cell={tok}")
-        os.makedirs(pdir, exist_ok=True)
-        out_file = os.path.join(pdir, "tiles.parquet")
         tbl = pa.table({
             "cell_id": pa.array(ids, type=pa.uint64()),
             "cell_token": pa.array(toks, type=pa.string()),
             "n_pages": pa.array(sums, type=pa.int64()),
         })
-        pq.write_table(tbl, out_file + ".tmp")
-        os.replace(out_file + ".tmp", out_file)
-        manifest = {
-            "partition": tok,
-            "rows": int(len(u)),
-            "n_pages": int(sums.sum()) if len(sums) else 0,
-            "cell_min": str(toks[0]) if len(toks) else None,
-            "cell_max": str(toks[-1]) if len(toks) else None,
-            "wall_s": _time.time() - t0,
-        }
-        with open(mp + ".tmp", "w") as f:
-            json.dump(manifest, f)
-        os.replace(mp + ".tmp", mp)
-        return pd.DataFrame({"partition": [tok], "written": [True],
-                             "rows": [len(u)]})
+        written, rows = checkpointed_write(
+            out_dir, tok, f"cell={tok}", tbl, t0, filename="tiles.parquet",
+            extra={
+                "n_pages": int(sums.sum()) if len(sums) else 0,
+                "cell_min": str(toks[0]) if len(toks) else None,
+                "cell_max": str(toks[-1]) if len(toks) else None,
+            })
+        return pd.DataFrame({"partition": [tok], "written": [written],
+                             "rows": [rows]})
 
     summary = (ds.groupby("part")
                .map_groups(write_partition, batch_format="pandas")

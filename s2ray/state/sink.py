@@ -25,8 +25,47 @@ import pyarrow.parquet as pq
 
 
 def _safe(value) -> str:
+    """Filesystem-safe, COLLISION-FREE name for a partition key: sanitized
+    (and truncated) keys get an 8-hex blake2b suffix of the raw key, so two
+    distinct keys ('a/b' vs 'a_b', or keys differing past the truncation
+    point) can never map to the same directory/manifest and silently lose
+    a partition."""
+    import hashlib
+
     s = str(value)
-    return "".join(c if (c.isalnum() or c in "-_.") else "_" for c in s)[:64]
+    clean = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in s)
+    if clean == s and len(s) <= 64:
+        return clean
+    tag = hashlib.blake2b(s.encode(), digest_size=4).hexdigest()
+    return f"{clean[:55]}-{tag}"
+
+
+def checkpointed_write(out_dir: str, part: str, subdir: str, tbl: pa.Table,
+                       t0: float, filename: str = "data.parquet",
+                       extra: dict | None = None):
+    """The checkpoint protocol shared by every partitioned sink: skip if
+    the partition's manifest exists, else write the parquet then the
+    manifest, each via .tmp + atomic rename.  Returns (written, rows)."""
+    mp = os.path.join(out_dir, "_manifest", f"{part}.json")
+    if os.path.exists(mp):
+        return False, 0
+    pdir = os.path.join(out_dir, subdir)
+    os.makedirs(pdir, exist_ok=True)
+    out_file = os.path.join(pdir, filename)
+    pq.write_table(tbl, out_file + ".tmp")
+    os.replace(out_file + ".tmp", out_file)
+    manifest = {
+        "partition": part,
+        "rows": int(tbl.num_rows),
+        "output": out_file,
+        "wall_s": time.time() - t0,
+    }
+    if extra:
+        manifest.update(extra)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mp + ".tmp", mp)
+    return True, int(tbl.num_rows)
 
 
 def write_partitioned(ds, out_dir: str, part_col: str):
@@ -41,27 +80,11 @@ def write_partitioned(ds, out_dir: str, part_col: str):
                                  "written": pd.Series(dtype=bool),
                                  "rows": pd.Series(dtype=np.int64)})
         part = _safe(df[part_col].iloc[0])
-        mp = os.path.join(out_dir, "_manifest", f"{part}.json")
-        if os.path.exists(mp):
-            return pd.DataFrame({"partition": [part], "written": [False],
-                                 "rows": [np.int64(0)]})
-        pdir = os.path.join(out_dir, f"{part_col}={part}")
-        os.makedirs(pdir, exist_ok=True)
-        out_file = os.path.join(pdir, "data.parquet")
         tbl = pa.Table.from_pandas(df, preserve_index=False)
-        pq.write_table(tbl, out_file + ".tmp")
-        os.replace(out_file + ".tmp", out_file)
-        manifest = {
-            "partition": part,
-            "rows": int(len(df)),
-            "output": out_file,
-            "wall_s": time.time() - t0,
-        }
-        with open(mp + ".tmp", "w") as f:
-            json.dump(manifest, f)
-        os.replace(mp + ".tmp", mp)
-        return pd.DataFrame({"partition": [part], "written": [True],
-                             "rows": [np.int64(len(df))]})
+        written, rows = checkpointed_write(
+            out_dir, part, f"{part_col}={part}", tbl, t0)
+        return pd.DataFrame({"partition": [part], "written": [written],
+                             "rows": [np.int64(rows)]})
 
     summary = (ds.groupby(part_col)
                .map_groups(write_part, batch_format="pandas")

@@ -138,3 +138,72 @@ def test_ivf_knn_recall(ray_session):
         a = list(exact[exact.query_id == q].sort_values("rank").vec_id)
         b = list(full[full.query_id == q].sort_values("rank").vec_id)
         assert a == b
+
+
+def test_exact_dedup_keeps_null_text_group(ray_session):
+    import ray.data
+
+    from s2ray.pipelines.dedup import exact_dedup
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "a"},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "a"},
+    ])
+    out = exact_dedup(ds, id_col="doc_id").to_pandas()
+    # NULL text is one group (SQL GROUP BY semantics), not silently dropped
+    got = sorted(map(tuple, out[["doc_id", "n_copies"]]
+                     .itertuples(index=False)))
+    assert got == [(1, 2), (2, 2)]
+
+
+def test_near_dup_short_doc_fallback_pairs(ray_session):
+    import duckdb
+    import ray.data
+
+    from s2ray.pipelines.dedup import near_dup_pairs_exact
+
+    rows = [
+        {"doc_id": 0, "text": "tiny doc"},
+        {"doc_id": 1, "text": "tiny doc"},        # identical 2-token dup
+        {"doc_id": 2, "text": "one two three four"},
+        {"doc_id": 3, "text": "completely different"},
+    ]
+    ds = ray.data.from_items(rows)
+    got = near_dup_pairs_exact(ds, tau=0.5, id_col="doc_id").to_pandas()
+    got = sorted(map(tuple, got[["i", "j"]].itertuples(index=False)))
+    assert got == [(0, 1)]
+    # the SQL oracle CTE mirrors the short-doc fallback shingle
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()["near_dup_pairs"]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows))
+    oracle = sorted(map(tuple, con.execute(sql).df()[["i", "j"]]
+                        .itertuples(index=False)))
+    assert oracle == [(0, 1)]
+
+
+def test_pair_packing_rejects_ids_over_2_31(ray_session):
+    import ray.data
+
+    from s2ray.pipelines.dedup import near_dup_pairs_exact
+
+    ds = ray.data.from_items([
+        {"doc_id": (1 << 31) + 5, "text": "a b c d"},
+        {"doc_id": 7, "text": "a b c d"},
+    ])
+    with pytest.raises(Exception, match="2\\^31"):
+        near_dup_pairs_exact(ds, tau=0.5, id_col="doc_id").to_pandas()
+
+
+def test_sink_safe_names_collision_free(tmp_path):
+    from s2ray.state.sink import _safe
+
+    assert _safe("plain-key.v1") == "plain-key.v1"
+    assert _safe("a/b") != _safe("a_b")
+    long_a = "x" * 70 + "a"
+    long_b = "x" * 70 + "b"
+    assert _safe(long_a) != _safe(long_b)
+    assert len(_safe(long_a)) <= 64
