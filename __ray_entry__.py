@@ -378,6 +378,13 @@ def _q_token_df(sf_dir: str):
     return token_doc_freq(sf_dir, k=100)
 
 
+def _q_tfidf(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (DF broadcast + streaming score)."""
+    from s2ray.pipelines.text import tfidf_top_terms
+
+    return tfidf_top_terms(sf_dir, top_n=3)
+
+
 def _q_quality_above_median(sf_dir: str):
     from s2ray.pipelines.text import quality_median_filter
 
@@ -867,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab,
         "heavy_hitters_top100": _q_heavy_hitters,
         "token_doc_freq": _q_token_df,
+        "tfidf_top3": _q_tfidf,
         "quality_above_median": _q_quality_above_median,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1431,6 +1439,24 @@ FROM (
             "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
             "lower(text), '\\s+'), x -> x <> '')) AS token FROM documents) "
             "GROUP BY token ORDER BY df DESC, token LIMIT 100"
+        ),
+        "tfidf_top3": (
+            "WITH words AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) "
+            "AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM words "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM words "
+            "GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.token, "
+            "tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS x "
+            "FROM tf JOIN df USING (token) CROSS JOIN n), "
+            "ranked AS (SELECT doc_id, token, x, CAST(row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY x DESC, token) AS BIGINT) AS rank "
+            "FROM scored) "
+            "SELECT doc_id, token, round(x, 6) AS tfidf, rank FROM ranked "
+            "WHERE rank <= 3"
         ),
         "heavy_hitters_top100": (
             "SELECT token, count(*) AS n FROM ("

@@ -417,6 +417,97 @@ def token_doc_freq(sf_dir: str, k: int = 100, lower: bool = True,
     return agg.sort(["df", "token"], descending=[True, False]).limit(k)
 
 
+def tfidf_top_terms(sf_dir: str, top_n: int = 3, lower: bool = True,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document top-N terms by TF-IDF: (doc_id, token, tfidf, rank),
+    tfidf = tf * ln(N / df), rank by (tfidf DESC, token ASC).
+
+    Two passes: (1) distributed document-frequency aggregation (the same
+    partial as :func:`token_doc_freq`, un-limited), collected into a
+    vocabulary-sized idf Series and broadcast once via ``ray.put`` +
+    worker cache; (2) one streaming pass scoring every document's term
+    vector and keeping its top N, fully vectorized.  The DF table is
+    sublinear in corpus size, so the broadcast holds to very large
+    corpora; for a vocabulary too big for one heap, swap the broadcast
+    for a token-keyed co-partition join (``join.copartition_hash_join``
+    contract) — same output.  idf values are computed ONCE driver-side
+    with ``math.log`` so every batch applies identical constants.
+    """
+    import math
+
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[id_col, text_col])
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if len(codes):
+            pair = np.unique(row_idx * np.int64(len(uniques)) + codes)
+            dfc = np.bincount(pair % np.int64(len(uniques)),
+                              minlength=len(uniques)).astype(np.int64)
+        else:
+            dfc = np.zeros(len(uniques), dtype=np.int64)
+        return pa.table({
+            "token": pa.array(uniques.tolist(), type=pa.string()),
+            "partial_df": pa.array(dfc),
+        })
+
+    df_pd = (ds.map_batches(partial_df, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("token")
+             .aggregate(Sum("partial_df", alias_name="df"))).to_pandas()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    idf_ser = pd.Series(
+        [math.log(n_docs / int(d)) for d in df_pd["df"]],
+        index=df_pd["token"].to_numpy(), dtype=np.float64)
+    idf_ref = ray.put(idf_ser)
+
+    def score(batch: pa.Table, idf_ref=idf_ref) -> pa.Table:
+        idf = cached_get(idf_ref)
+        texts = _string_array(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if len(codes) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "token": pa.array([], type=pa.string()),
+                "tfidf": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            })
+        nu = np.int64(len(uniques))
+        pk, tf = np.unique(row_idx * nu + codes, return_counts=True)
+        r = (pk // nu).astype(np.int64)
+        c = (pk % nu).astype(np.int64)
+        idf_u = idf.reindex(uniques).fillna(0.0).to_numpy()
+        s = tf.astype(np.float64) * idf_u[c]
+        toks = uniques[c]
+        order = np.lexsort((toks, -s, r))
+        r, s, toks = r[order], s[order], toks[order]
+        starts = np.concatenate([[0], np.flatnonzero(r[1:] != r[:-1]) + 1])
+        counts = np.diff(np.concatenate([starts, [len(r)]]))
+        rank = (np.arange(len(r), dtype=np.int64)
+                - np.repeat(starts, counts) + 1)
+        keep = rank <= top_n
+        return pa.table({
+            id_col: pa.array(ids[r[keep]], type=pa.int64()),
+            "token": pa.array(toks[keep].tolist(), type=pa.string()),
+            "tfidf": pc.round(pa.array(s[keep], type=pa.float64()),
+                              ndigits=6),
+            "rank": pa.array(rank[keep], type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 def quality_median_filter(sf_dir: str):
     """Composition: keep documents whose quality is >= their language's
     median quality — per-group exact median (analytics.group_quantiles,
