@@ -385,6 +385,15 @@ def _q_tfidf(sf_dir: str):
     return tfidf_top_terms(sf_dir, top_n=3)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Eval-set decontamination: training docs sharing shingles with the
+    deterministic eval subset (doc_id % 97 == 0); zero-shuffle broadcast
+    probe."""
+    from s2ray.pipelines.dedup import decontaminate
+
+    return decontaminate(sf_dir, eval_mod=97)
+
+
 def _q_quality_above_median(sf_dir: str):
     from s2ray.pipelines.text import quality_median_filter
 
@@ -875,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_top100": _q_heavy_hitters,
         "token_doc_freq": _q_token_df,
         "tfidf_top3": _q_tfidf,
+        "decontaminate": _q_decontaminate,
         "quality_above_median": _q_quality_above_median,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1439,6 +1449,24 @@ FROM (
             "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
             "lower(text), '\\s+'), x -> x <> '')) AS token FROM documents) "
             "GROUP BY token ORDER BY df DESC, token LIMIT 100"
+        ),
+        "decontaminate": (
+            "WITH words AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct("
+            "CASE WHEN len(ws) >= 3 THEN list_transform("
+            "generate_series(1, len(ws)-2), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
+            "ELSE [array_to_string(ws, ' ')] END)) AS s FROM words), "
+            "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), "
+            "sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh "
+            "GROUP BY 1), "
+            "ov AS (SELECT sh.doc_id, count(*) AS n_overlap FROM sh "
+            "JOIN ev USING (s) WHERE sh.doc_id % 97 <> 0 GROUP BY 1) "
+            "SELECT ov.doc_id, sz.n_shingles, ov.n_overlap, "
+            "round(ov.n_overlap * 1.0 / sz.n_shingles, 6) AS ratio "
+            "FROM ov JOIN sz USING (doc_id)"
         ),
         "tfidf_top3": (
             "WITH words AS (SELECT doc_id, unnest(list_filter("

@@ -542,6 +542,87 @@ _N_PERM = 64
 _BAND_ROWS = 4  # 16 bands of 4 rows
 
 
+def decontaminate(sf_dir: str, eval_mod: int = 97, k: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Eval-set decontamination: flag training documents that share word-
+    k-gram shingles with a benchmark ("eval") set — the standard
+    pre-training hygiene step before a corpus ships.  The eval set here is
+    deterministic (doc_id % eval_mod == 0; no external data), the overlap
+    unit is the same distinct-shingle machinery as near_dup_pairs_exact
+    (incl. the short-document whole-sequence fallback).
+
+    Output: (doc_id, n_shingles, n_overlap, ratio) for every NON-eval
+    document with >= 1 overlapping shingle; ratio = n_overlap/n_shingles.
+
+    Scale design: pass 1 reduces the eval set to its DISTINCT shingle
+    hashes — eval sets are tiny relative to the corpus, so this is a
+    sorted int64 array broadcast once via ray.put + worker cache; pass 2
+    streams the whole corpus with a vectorized searchsorted probe per
+    batch.  NO shuffle at all: contamination checking of 100 TB costs one
+    read pass.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from ..state.bcast import cached_get
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[id_col, text_col])
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = (ids % eval_mod) == 0
+        if not m.any():
+            return pa.table({"sh": pa.array([], type=pa.int64())})
+        texts = batch[text_col].combine_chunks() if isinstance(
+            batch[text_col], pa.ChunkedArray) else batch[text_col]
+        texts = texts.filter(pa.array(m))
+        _row, sh = _shingle_hashes_batch(texts, k)
+        return pa.table({"sh": pa.array(np.unique(sh.astype(np.int64)))})
+
+    ev_pd = (ds.map_batches(eval_shingles, batch_format="pyarrow",
+                            batch_size=None).to_pandas())
+    ev = np.unique(ev_pd["sh"].to_numpy())
+    ev_ref = ray.put(ev)
+
+    def probe(batch: pa.Table, ev_ref=ev_ref) -> pa.Table:
+        ev = cached_get(ev_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = (ids % eval_mod) != 0
+        keep_ids = ids[m]
+        if len(keep_ids) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "n_shingles": pa.array([], type=pa.int64()),
+                "n_overlap": pa.array([], type=pa.int64()),
+                "ratio": pa.array([], type=pa.float64()),
+            })
+        texts = batch[text_col].combine_chunks() if isinstance(
+            batch[text_col], pa.ChunkedArray) else batch[text_col]
+        texts = texts.filter(pa.array(m))
+        row_idx, sh = _shingle_hashes_batch(texts, k)
+        sh = sh.astype(np.int64)
+        n_sh = np.bincount(row_idx, minlength=len(keep_ids)).astype(np.int64)
+        if len(ev):
+            pos = np.searchsorted(ev, sh)
+            hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == sh)
+        else:
+            hit = np.zeros(len(sh), dtype=bool)
+        n_ov = np.bincount(row_idx[hit],
+                           minlength=len(keep_ids)).astype(np.int64)
+        sel = n_ov > 0
+        ratio = n_ov[sel].astype(np.float64) / n_sh[sel].astype(np.float64)
+        return pa.table({
+            id_col: pa.array(keep_ids[sel], type=pa.int64()),
+            "n_shingles": pa.array(n_sh[sel]),
+            "n_overlap": pa.array(n_ov[sel]),
+            "ratio": pc.round(pa.array(ratio, type=pa.float64()), ndigits=6),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
 def _perm_params(n_perm: int = _N_PERM) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(1234567)
     # small multipliers (< 2^20) keep a*x inside HUGEINT in the SQL mirror
