@@ -385,6 +385,13 @@ def _q_tfidf(sf_dir: str):
     return tfidf_top_terms(sf_dir, top_n=3)
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition signal: top-bigram fraction per document."""
+    from s2ray.pipelines.text import repetition_stats
+
+    return repetition_stats(sf_dir)
+
+
 def _q_decontaminate(sf_dir: str):
     """Eval-set decontamination: training docs sharing shingles with the
     deterministic eval subset (doc_id % 97 == 0); zero-shuffle broadcast
@@ -885,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": _q_token_df,
         "tfidf_top3": _q_tfidf,
         "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition,
         "quality_above_median": _q_quality_above_median,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1449,6 +1457,23 @@ FROM (
             "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
             "lower(text), '\\s+'), x -> x <> '')) AS token FROM documents) "
             "GROUP BY token ORDER BY df DESC, token LIMIT 100"
+        ),
+        "repetition_stats": (
+            "WITH words AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "bg AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) "
+            "AS b FROM words WHERE len(ws) >= 2), "
+            "cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+            "CAST(max(c) AS BIGINT) AS top_bigram_n FROM cnt GROUP BY 1) "
+            "SELECT w.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, "
+            "coalesce(a.top_bigram_n, 0) AS top_bigram_n, "
+            "round(CASE WHEN coalesce(a.n_bigrams, 0) = 0 THEN 0.0 "
+            "ELSE a.top_bigram_n * 1.0 / a.n_bigrams END, 6) "
+            "AS top_bigram_ratio "
+            "FROM words w LEFT JOIN agg a USING (doc_id)"
         ),
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("

@@ -508,6 +508,62 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, lower: bool = True,
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def repetition_stats(sf_dir: str, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Gopher-style repetition signal per document: the fraction of all
+    word-bigrams taken by the single most frequent bigram —
+    (doc_id, n_bigrams, top_bigram_n, rep_ratio).  High rep_ratio marks
+    boilerplate/spam for corpus filtering.
+
+    One streaming pass, no shuffle: bigram hashes via the same mod-(2^61-1)
+    Horner fold as the shingle machinery (SQL-mirrorable), per-(doc,bigram)
+    counts from one lexsort + run-length pass.
+    """
+    import ray
+    import ray.data
+
+    from .dedup import (_hash_tokens_batch, _mod61, _mulmod61_small,
+                        _SHINGLE_Q)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[id_col, text_col])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = _string_array(batch[text_col])
+        row_idx, th, n = _hash_tokens_batch(texts)
+        n_tok = np.bincount(row_idx, minlength=n)
+        n_bg = np.maximum(n_tok - 1, 0).astype(np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if len(th) >= 2:
+            bh = _mod61(_mulmod61_small(_SHINGLE_Q, th[:-1]) + th[1:])
+            valid = row_idx[:-1] == row_idx[1:]
+            r = row_idx[:-1][valid]
+            bh = bh[valid]
+            if len(bh):
+                order = np.lexsort((bh, r))
+                r, bh = r[order], bh[order]
+                new = np.concatenate([[True], (r[1:] != r[:-1])
+                                      | (bh[1:] != bh[:-1])])
+                starts = np.flatnonzero(new)
+                c = np.diff(np.concatenate([starts, [len(r)]]))
+                rr = r[starts]
+                gstart = np.concatenate([[0], np.flatnonzero(
+                    rr[1:] != rr[:-1]) + 1])
+                tops = np.maximum.reduceat(c, gstart)
+                top[rr[gstart]] = tops
+        ratio = np.where(n_bg > 0, top / np.maximum(n_bg, 1), 0.0)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "n_bigrams": pa.array(n_bg),
+            "top_bigram_n": pa.array(top),
+            "top_bigram_ratio": pc.round(pa.array(ratio, type=pa.float64()),
+                                         ndigits=6),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
+
+
 def quality_median_filter(sf_dir: str):
     """Composition: keep documents whose quality is >= their language's
     median quality — per-group exact median (analytics.group_quantiles,
