@@ -385,6 +385,13 @@ def _q_tfidf(sf_dir: str):
     return tfidf_top_terms(sf_dir, top_n=3)
 
 
+def _q_chunks(sf_dir: str):
+    """Context-window packing: fixed-100-token chunks per document."""
+    from s2ray.pipelines.text import chunk_documents
+
+    return chunk_documents(sf_dir, chunk_tokens=100)
+
+
 def _q_repetition(sf_dir: str):
     """Gopher-style repetition signal: top-bigram fraction per document."""
     from s2ray.pipelines.text import repetition_stats
@@ -893,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top3": _q_tfidf,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition,
+        "chunk_docs": _q_chunks,
         "quality_above_median": _q_quality_above_median,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1457,6 +1465,20 @@ FROM (
             "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
             "lower(text), '\\s+'), x -> x <> '')) AS token FROM documents) "
             "GROUP BY token ORDER BY df DESC, token LIMIT 100"
+        ),
+        "chunk_docs": (
+            "WITH words AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "ch AS (SELECT doc_id, unnest(generate_series(0, "
+            "CAST(ceil(len(ws) / 100.0) AS BIGINT) - 1)) AS chunk_id, ws "
+            "FROM words WHERE len(ws) > 0) "
+            "SELECT doc_id, chunk_id, "
+            "CAST(least(100, len(ws) - chunk_id * 100) AS BIGINT) "
+            "AS n_tokens, "
+            "array_to_string(ws[(chunk_id * 100 + 1):"
+            "least((chunk_id + 1) * 100, len(ws))], ' ') AS chunk_text "
+            "FROM ch"
         ),
         "repetition_stats": (
             "WITH words AS (SELECT doc_id, list_filter("

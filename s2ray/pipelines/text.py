@@ -564,6 +564,62 @@ def repetition_stats(sf_dir: str, text_col: str = "text",
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
 
 
+def chunk_documents(sf_dir: str, chunk_tokens: int = 100,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Context-window packing: split every document into fixed-size token
+    chunks — (doc_id, chunk_id, n_tokens, chunk_text), chunk_text = the
+    chunk's tokens joined by single spaces (whitespace-normalized, same
+    tokenizer as every other text operator).
+
+    One streaming pass, no shuffle.  Chunk texts are rebuilt with ONE
+    Arrow kernel: the chunk boundaries tile the flat token array exactly,
+    so a ListArray view over it + ``pc.binary_join`` emits all chunk
+    strings without any per-chunk Python work.
+    """
+    import ray
+    import ray.data
+
+    C = int(chunk_tokens)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[id_col, text_col])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = _string_array(batch[text_col])
+        n = len(texts)
+        _row, _codes, _uniq, n_tokens, flat = _token_codes(texts)
+        n_chunks = (n_tokens + C - 1) // C
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+            })
+        crow = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        gstart = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        cid = np.arange(total, dtype=np.int64) - np.repeat(gstart, n_chunks)
+        row_start = np.concatenate([[0], np.cumsum(n_tokens)]).astype(np.int64)
+        starts = row_start[crow] + cid * C
+        ends = np.minimum(starts + C, row_start[crow] + n_tokens[crow])
+        # chunks tile the flat token array exactly (empty docs emit no
+        # chunks and zero tokens), so starts + final end form valid
+        # monotone ListArray offsets over `flat` — zero copies
+        offsets = np.concatenate([starts, [row_start[-1]]]).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                      flat)
+        txt = pc.binary_join(la, " ")
+        return pa.table({
+            id_col: pa.array(ids[crow], type=pa.int64()),
+            "chunk_id": pa.array(cid),
+            "n_tokens": pa.array(ends - starts),
+            "chunk_text": txt,
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=None)
+
+
 def quality_median_filter(sf_dir: str):
     """Composition: keep documents whose quality is >= their language's
     median quality — per-group exact median (analytics.group_quantiles,

@@ -207,3 +207,29 @@ def test_sink_safe_names_collision_free(tmp_path):
     long_b = "x" * 70 + "b"
     assert _safe(long_a) != _safe(long_b)
     assert len(_safe(long_a)) <= 64
+
+
+def test_chunk_documents_multi_chunk_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.text import chunk_documents
+
+    toks = [f"w{i}" for i in range(257)]
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([" ".join(toks), "one  two", ""]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = chunk_documents(str(tmp_path), chunk_tokens=100).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    # doc 1: 257 tokens -> chunks of 100/100/57; doc 2: one chunk,
+    # whitespace-normalized; doc 3 (empty): no chunks
+    assert out["doc_id"].tolist() == [1, 1, 1, 2]
+    assert out["n_tokens"].tolist() == [100, 100, 57, 2]
+    assert out.loc[0, "chunk_text"] == " ".join(toks[:100])
+    assert out.loc[2, "chunk_text"] == " ".join(toks[200:])
+    assert out.loc[3, "chunk_text"] == "one two"
+    # lossless token roundtrip per doc
+    rejoined = " ".join(out[out.doc_id == 1]["chunk_text"])
+    assert rejoined == " ".join(toks)
