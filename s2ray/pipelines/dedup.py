@@ -113,14 +113,19 @@ def _hash_tokens_batch(texts) -> tuple[np.ndarray, np.ndarray, int]:
     return row_idx, uh[codes], len(arr)
 
 
-def _shingle_hashes_batch(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes_batch(texts, k: int = 3,
+                          drop_empty: bool = False
+                          ) -> tuple[np.ndarray, np.ndarray]:
     """Distinct word-k-gram shingle hashes for a whole batch at once.
 
     Returns (row_idx, sh) sorted by (row, hash) with per-row duplicates
     removed — value-identical to calling :func:`shingle_hashes` per doc.
     The k-gram mix runs on the flat token-hash array with windows that span
     document boundaries masked out; docs with < k tokens get the short-doc
-    fallback hash.
+    fallback hash.  With ``drop_empty``, zero-token documents emit NO
+    shingle at all (instead of the empty-fold hash 0) — the semantics of
+    SQL mirrors where the empty-doc fallback string aggregates to NULL and
+    never joins (decontaminate relies on this).
     """
     row_idx, th, n = _hash_tokens_batch(texts)
     n_tok = np.bincount(row_idx, minlength=n)
@@ -136,7 +141,8 @@ def _shingle_hashes_batch(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
         srow = np.empty(0, dtype=np.int64)
         sh = np.empty(0, dtype=np.uint64)
     # short docs (< k tokens, incl. empty): fold over their whole sequence
-    short = np.flatnonzero(n_tok < k)
+    short = np.flatnonzero((n_tok < k) & (n_tok > 0)) if drop_empty \
+        else np.flatnonzero(n_tok < k)
     if len(short):
         starts = np.concatenate([[0], np.cumsum(n_tok)]).astype(np.int64)
         extra_h = np.empty(len(short), dtype=np.uint64)
@@ -558,14 +564,19 @@ def decontaminate(sf_dir: str, eval_mod: int = 97, k: int = 3,
     hashes — eval sets are tiny relative to the corpus, so this is a
     sorted int64 array broadcast once via ray.put + worker cache; pass 2
     streams the whole corpus with a vectorized searchsorted probe per
-    batch.  NO shuffle at all: contamination checking of 100 TB costs one
-    read pass.
+    batch.  NO shuffle at all: two read passes total (eval-shingle scan +
+    probe scan), and in production the first pass reads only the eval
+    split, so the full-corpus cost is one streaming pass.
+
+    Zero-token documents emit no shingles on either side (SQL's empty-doc
+    fallback aggregates to NULL and never joins), so empty training docs
+    are never flagged even when the eval set contains empty docs.
     """
-    import pyarrow.compute as pc
     import ray
     import ray.data
 
     from ..state.bcast import cached_get
+    from .text import round_half_away
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=[id_col, text_col])
@@ -578,8 +589,9 @@ def decontaminate(sf_dir: str, eval_mod: int = 97, k: int = 3,
         texts = batch[text_col].combine_chunks() if isinstance(
             batch[text_col], pa.ChunkedArray) else batch[text_col]
         texts = texts.filter(pa.array(m))
-        _row, sh = _shingle_hashes_batch(texts, k)
-        return pa.table({"sh": pa.array(np.unique(sh.astype(np.int64)))})
+        _row, sh = _shingle_hashes_batch(texts, k, drop_empty=True)
+        return pa.table({"sh": pa.array(np.unique(sh.astype(np.int64)),
+                                        type=pa.int64())})
 
     ev_pd = (ds.map_batches(eval_shingles, batch_format="pyarrow",
                             batch_size=None).to_pandas())
@@ -601,7 +613,7 @@ def decontaminate(sf_dir: str, eval_mod: int = 97, k: int = 3,
         texts = batch[text_col].combine_chunks() if isinstance(
             batch[text_col], pa.ChunkedArray) else batch[text_col]
         texts = texts.filter(pa.array(m))
-        row_idx, sh = _shingle_hashes_batch(texts, k)
+        row_idx, sh = _shingle_hashes_batch(texts, k, drop_empty=True)
         sh = sh.astype(np.int64)
         n_sh = np.bincount(row_idx, minlength=len(keep_ids)).astype(np.int64)
         if len(ev):
@@ -617,7 +629,7 @@ def decontaminate(sf_dir: str, eval_mod: int = 97, k: int = 3,
             id_col: pa.array(keep_ids[sel], type=pa.int64()),
             "n_shingles": pa.array(n_sh[sel]),
             "n_overlap": pa.array(n_ov[sel]),
-            "ratio": pc.round(pa.array(ratio, type=pa.float64()), ndigits=6),
+            "ratio": pa.array(round_half_away(ratio), type=pa.float64()),
         })
 
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)

@@ -58,6 +58,23 @@ def _token_codes(texts: pa.StringArray, lower: bool = False):
     return row_idx, codes, uniques, n_tokens, flat
 
 
+def round_half_away(x: np.ndarray, ndigits: int = 6) -> np.ndarray:
+    """Decimal rounding with ties away from zero — DuckDB's ``round(x, n)``
+    for DOUBLE (C ``std::round`` on the scaled value).  numpy's ``np.round``
+    and Arrow's ``pc.round`` default to half-to-even, which diverges from
+    the SQL oracles on exact dyadic ties (e.g. 10/256 = 0.0390625 rounds
+    to 0.039062 half-even but 0.039063 in DuckDB).  Ratios of small integer
+    counts hit such ties routinely, so every oracled ratio column must use
+    this helper."""
+    x = np.asarray(x, dtype=np.float64)
+    s = 10.0 ** ndigits
+    scaled = np.abs(x) * s
+    r = np.floor(scaled + 0.5)
+    # undo the float-addition carry when scaled+0.5 rounded up past the tie
+    r = np.where(r - scaled > 0.5, r - 1.0, r)
+    return np.copysign(r, x) / s
+
+
 def _distinct_per_row(row_idx, codes, n_uniq, n_rows):
     """Distinct-code count per row via one np.unique over packed keys."""
     if len(row_idx) == 0:
@@ -382,6 +399,28 @@ def vocab_top_k(sf_dir: str, k: int = 100, lower: bool = True,
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def _df_partial(batch: pa.Table, text_col: str = "text",
+                lower: bool = True) -> pa.Table:
+    """Per-batch document-frequency partial: distinct (doc, token) pairs
+    via one packed np.unique, then a bincount per unique token.  Exact
+    under the row-=-document invariant (each document lives in exactly
+    one batch), so the partials compose into global df with a plain Sum.
+    Shared by token_doc_freq and tfidf_top_terms — one source of truth
+    for the distinct-pair trick and the tokenizer semantics."""
+    texts = _string_array(batch[text_col])
+    row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+    if len(codes):
+        pair = np.unique(row_idx * np.int64(len(uniques)) + codes)
+        dfc = np.bincount(pair % np.int64(len(uniques)),
+                          minlength=len(uniques)).astype(np.int64)
+    else:
+        dfc = np.zeros(len(uniques), dtype=np.int64)
+    return pa.table({
+        "token": pa.array(uniques.tolist(), type=pa.string()),
+        "partial_df": pa.array(dfc),
+    })
+
+
 def token_doc_freq(sf_dir: str, k: int = 100, lower: bool = True,
                    text_col: str = "text"):
     """Document frequency: top-k (token, df) where df = #documents
@@ -394,23 +433,12 @@ def token_doc_freq(sf_dir: str, k: int = 100, lower: bool = True,
     import ray.data
     from ray.data.aggregate import Sum
 
+    import functools
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=[text_col])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        texts = _string_array(batch[text_col])
-        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
-        if len(codes):
-            pair = np.unique(row_idx * np.int64(len(uniques)) + codes)
-            df_cnt = np.bincount(pair % np.int64(len(uniques)),
-                                 minlength=len(uniques)).astype(np.int64)
-        else:
-            df_cnt = np.zeros(len(uniques), dtype=np.int64)
-        return pa.table({
-            "token": pa.array(uniques.tolist(), type=pa.string()),
-            "partial_df": pa.array(df_cnt),
-        })
-
+    partial = functools.partial(_df_partial, text_col=text_col, lower=lower)
     agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
            .groupby("token")
            .aggregate(Sum("partial_df", alias_name="df")))
@@ -442,25 +470,19 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, lower: bool = True,
 
     from ..state.bcast import cached_get
 
+    import functools
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=[id_col, text_col])
+    # pass 1 only needs the text column — read a separate projection so
+    # the full-corpus DF scan never decodes/ships doc ids
+    ds_text = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=[text_col])
 
-    def partial_df(batch: pa.Table) -> pa.Table:
-        texts = _string_array(batch[text_col])
-        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
-        if len(codes):
-            pair = np.unique(row_idx * np.int64(len(uniques)) + codes)
-            dfc = np.bincount(pair % np.int64(len(uniques)),
-                              minlength=len(uniques)).astype(np.int64)
-        else:
-            dfc = np.zeros(len(uniques), dtype=np.int64)
-        return pa.table({
-            "token": pa.array(uniques.tolist(), type=pa.string()),
-            "partial_df": pa.array(dfc),
-        })
-
-    df_pd = (ds.map_batches(partial_df, batch_format="pyarrow",
-                            batch_size=None)
+    partial_df = functools.partial(_df_partial, text_col=text_col,
+                                   lower=lower)
+    df_pd = (ds_text.map_batches(partial_df, batch_format="pyarrow",
+                                 batch_size=None)
              .groupby("token")
              .aggregate(Sum("partial_df", alias_name="df"))).to_pandas()
     import pyarrow.parquet as pq
@@ -500,8 +522,7 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, lower: bool = True,
         return pa.table({
             id_col: pa.array(ids[r[keep]], type=pa.int64()),
             "token": pa.array(toks[keep].tolist(), type=pa.string()),
-            "tfidf": pc.round(pa.array(s[keep], type=pa.float64()),
-                              ndigits=6),
+            "tfidf": pa.array(round_half_away(s[keep]), type=pa.float64()),
             "rank": pa.array(rank[keep], type=pa.int64()),
         })
 
@@ -557,8 +578,8 @@ def repetition_stats(sf_dir: str, text_col: str = "text",
             id_col: pa.array(ids, type=pa.int64()),
             "n_bigrams": pa.array(n_bg),
             "top_bigram_n": pa.array(top),
-            "top_bigram_ratio": pc.round(pa.array(ratio, type=pa.float64()),
-                                         ndigits=6),
+            "top_bigram_ratio": pa.array(round_half_away(ratio),
+                                         type=pa.float64()),
         })
 
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
