@@ -408,6 +408,15 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir, eval_mod=97)
 
 
+def _q_chunk_dedup(sf_dir: str):
+    """C4-style duplicated-chunk removal: 50-token chunks occurring in
+    >= 2 distinct docs are deleted everywhere, docs rebuilt from the
+    survivors; digest-only counting shuffle + broadcast probe."""
+    from s2ray.pipelines.dedup import chunk_dedup
+
+    return chunk_dedup(sf_dir, chunk_tokens=50, min_docs=2)
+
+
 def _q_quality_above_median(sf_dir: str):
     from s2ray.pipelines.text import quality_median_filter
 
@@ -899,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": _q_token_df,
         "tfidf_top3": _q_tfidf,
         "decontaminate": _q_decontaminate,
+        "chunk_dedup": _q_chunk_dedup,
         "repetition_stats": _q_repetition,
         "chunk_docs": _q_chunks,
         "quality_above_median": _q_quality_above_median,
@@ -1514,6 +1524,32 @@ FROM (
             "SELECT ov.doc_id, sz.n_shingles, ov.n_overlap, "
             "round(ov.n_overlap * 1.0 / sz.n_shingles, 6) AS ratio "
             "FROM ov JOIN sz USING (doc_id)"
+        ),
+        "chunk_dedup": (
+            "WITH words AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "ch AS (SELECT doc_id, unnest(generate_series(0, "
+            "CAST(ceil(len(ws) / 50.0) AS BIGINT) - 1)) AS chunk_id, ws "
+            "FROM words WHERE len(ws) > 0), "
+            "chunks AS (SELECT doc_id, chunk_id, "
+            "array_to_string(ws[(chunk_id * 50 + 1):"
+            "least((chunk_id + 1) * 50, len(ws))], ' ') AS ct FROM ch), "
+            "dup AS (SELECT ct FROM chunks GROUP BY ct "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "keep AS (SELECT * FROM chunks WHERE ct NOT IN "
+            "(SELECT ct FROM dup)), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks "
+            "FROM chunks GROUP BY 1), "
+            "kp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+            "string_agg(ct, ' ' ORDER BY chunk_id) AS clean_text "
+            "FROM keep GROUP BY 1) "
+            "SELECT w.doc_id AS doc_id, "
+            "coalesce(kp.clean_text, '') AS clean_text, "
+            "coalesce(tot.n_chunks, 0) AS n_chunks, "
+            "coalesce(kp.n_kept, 0) AS n_kept "
+            "FROM words w LEFT JOIN tot USING (doc_id) "
+            "LEFT JOIN kp USING (doc_id)"
         ),
         "tfidf_top3": (
             "WITH words AS (SELECT doc_id, unnest(list_filter("

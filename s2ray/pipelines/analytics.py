@@ -11,6 +11,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .text import round_half_away
+
 
 def pages_per_month(pages_ds):
     """(month:timestamp, n_pages) from warc_ts."""
@@ -94,7 +96,7 @@ def events_hourly(sf_dir: str):
     def finalize(batch: pa.Table) -> pa.Table:
         h = batch["h"].to_numpy(zero_copy_only=False)
         hour = h.astype("datetime64[h]").astype("datetime64[us]")
-        sv = np.round(batch["sum_value"].to_numpy(zero_copy_only=False), 6)
+        sv = round_half_away(batch["sum_value"].to_numpy(zero_copy_only=False), 6)
         return pa.table({
             "hour": pa.array(hour),
             "event_type": batch["event_type"],
@@ -188,7 +190,7 @@ def top_k_per_region(pages_ds, regions: dict, k: int = 3):
         # ranking matches the SQL oracle's ORDER BY exactly; round after
         df = df.sort_values(["dist_m", "page_id"]).head(k).reset_index(drop=True)
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        df["dist_m"] = np.round(df["dist_m"].to_numpy(), 3)
+        df["dist_m"] = round_half_away(df["dist_m"].to_numpy(), 3)
         return df[["region_id", "page_id", "rank", "dist_m"]]
 
     return (
@@ -359,7 +361,7 @@ def embedding_centroids(sf_dir: str, ndigits: int = 4):
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        c = np.round(batch["s"].to_numpy(zero_copy_only=False)
+        c = round_half_away(batch["s"].to_numpy(zero_copy_only=False)
                      / batch["n"].to_numpy(zero_copy_only=False), ndigits)
         return pa.table({
             "label": batch["label"],

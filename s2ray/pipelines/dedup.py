@@ -635,6 +635,112 @@ def decontaminate(sf_dir: str, eval_mod: int = 97, k: int = 3,
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
 
 
+def chunk_dedup(sf_dir: str, chunk_tokens: int = 50, min_docs: int = 2,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """C4/CCNet-style duplicated-span removal: delete every fixed-token
+    chunk that occurs (verbatim) in >= min_docs distinct documents —
+    boilerplate paragraphs, navigation text, legal footers — and rebuild
+    each document from its surviving chunks.
+
+    Output: (doc_id, clean_text, n_chunks, n_kept) for EVERY document;
+    clean_text = kept chunks joined by ' ' in chunk order ('' if all
+    chunks were boilerplate or the document was empty).
+
+    Scale design: the counting shuffle moves only (16-byte content digest,
+    partial distinct-doc count) rows — per-batch pre-aggregated, never the
+    chunk text (same blake2b-digest trick as exact_dedup, collision
+    ~2^-64).  The duplicated-digest set is collected AFTER the >=min_docs
+    filter, so only true boilerplate digests reach the driver — bounded
+    by the corpus's boilerplate vocabulary, small in practice — and are
+    broadcast once via ray.put + worker cache.  The cleaning pass is one
+    stream with doc-local reassembly (documents are whole within a row),
+    so the full corpus text is never shuffled.  For a pathological corpus
+    whose duplicated-chunk set outgrows one heap, swap the broadcast for
+    a digest-keyed co-partition join (join.copartition_hash_join
+    contract) — same output.
+    """
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+    from .text import _chunk_arrays, _string_array
+
+    C = int(chunk_tokens)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[id_col, text_col])
+
+    def _digests(txt: pa.Array) -> list[bytes]:
+        # domain-separated like exact_dedup; chunk texts are never null
+        return [hashlib.blake2b(b"\x01" + t.encode(),
+                                digest_size=16).digest()
+                for t in txt.to_pylist()]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        crow, _cid, _ctok, txt = _chunk_arrays(texts, C)
+        if len(crow) == 0:
+            return pa.table({"digest": pa.array([], type=pa.binary()),
+                             "partial_docs": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({"d": _digests(txt), "doc": crow})
+        g = (df.drop_duplicates().groupby("d", sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "digest": pa.array(g["d"], type=pa.binary()),
+            "partial_docs": pa.array(g["n"].to_numpy().astype(np.int64)),
+        })
+
+    def only_dup(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["n_docs"], min_docs)
+        return batch.filter(m).select(["digest"])
+
+    dup_pd = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("digest")
+              .aggregate(Sum("partial_docs", alias_name="n_docs"))
+              .map_batches(only_dup, batch_format="pyarrow")
+              .to_pandas())
+    dup_set = frozenset(dup_pd["digest"])
+    dup_ref = ray.put(dup_set)
+
+    def clean(batch: pa.Table, dup_ref=dup_ref) -> pa.Table:
+        dup = cached_get(dup_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = _string_array(batch[text_col])
+        n = len(texts)
+        crow, _cid, _ctok, txt = _chunk_arrays(texts, C)
+        if len(crow):
+            # hashtable membership probe, one C-speed isin call
+            hit = pd.Series(_digests(txt), dtype=object).isin(dup) \
+                .to_numpy()
+        else:
+            hit = np.empty(0, dtype=bool)
+        keep = ~hit
+        n_chunks_row = np.bincount(crow, minlength=n).astype(np.int64)
+        n_kept_row = np.bincount(crow[keep], minlength=n).astype(np.int64)
+        kept_txt = txt.filter(pa.array(keep))
+        # chunk rows are doc-major + chunk_id ascending, so per-row counts
+        # are valid ListArray offsets and binary_join rebuilds each doc in
+        # order; rows with zero kept chunks join to ''
+        offsets = np.concatenate([[0], np.cumsum(n_kept_row)]) \
+            .astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                      kept_txt)
+        clean_text = pc.binary_join(la, " ")
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "clean_text": clean_text,
+            "n_chunks": pa.array(n_chunks_row),
+            "n_kept": pa.array(n_kept_row),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow", batch_size=None)
+
+
 def _perm_params(n_perm: int = _N_PERM) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(1234567)
     # small multipliers (< 2^20) keep a*x inside HUGEINT in the SQL mirror

@@ -607,38 +607,44 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 100,
     def chunks(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = _string_array(batch[text_col])
-        n = len(texts)
-        _row, _codes, _uniq, n_tokens, flat = _token_codes(texts)
-        n_chunks = (n_tokens + C - 1) // C
-        total = int(n_chunks.sum())
-        if total == 0:
-            return pa.table({
-                id_col: pa.array([], type=pa.int64()),
-                "chunk_id": pa.array([], type=pa.int64()),
-                "n_tokens": pa.array([], type=pa.int64()),
-                "chunk_text": pa.array([], type=pa.string()),
-            })
-        crow = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
-        gstart = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
-        cid = np.arange(total, dtype=np.int64) - np.repeat(gstart, n_chunks)
-        row_start = np.concatenate([[0], np.cumsum(n_tokens)]).astype(np.int64)
-        starts = row_start[crow] + cid * C
-        ends = np.minimum(starts + C, row_start[crow] + n_tokens[crow])
-        # chunks tile the flat token array exactly (empty docs emit no
-        # chunks and zero tokens), so starts + final end form valid
-        # monotone ListArray offsets over `flat` — zero copies
-        offsets = np.concatenate([starts, [row_start[-1]]]).astype(np.int32)
-        la = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
-                                      flat)
-        txt = pc.binary_join(la, " ")
+        crow, cid, ctok, txt = _chunk_arrays(texts, C)
         return pa.table({
             id_col: pa.array(ids[crow], type=pa.int64()),
             "chunk_id": pa.array(cid),
-            "n_tokens": pa.array(ends - starts),
+            "n_tokens": pa.array(ctok),
             "chunk_text": txt,
         })
 
     return ds.map_batches(chunks, batch_format="pyarrow", batch_size=None)
+
+
+def _chunk_arrays(texts: pa.StringArray, C: int):
+    """Per-batch fixed-token chunking, fully vectorized.
+
+    Returns (crow, chunk_id, chunk_n_tokens, chunk_text): the row index of
+    each chunk's document (doc-major, chunk_id ascending within a row),
+    its ordinal, its token count and its rebuilt text (tokens joined by
+    single spaces).  Shared by chunk_documents and chunk_dedup."""
+    n = len(texts)
+    _row, _codes, _uniq, n_tokens, flat = _token_codes(texts)
+    n_chunks = (n_tokens + C - 1) // C
+    total = int(n_chunks.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), pa.array([], type=pa.string()))
+    crow = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    gstart = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    cid = np.arange(total, dtype=np.int64) - np.repeat(gstart, n_chunks)
+    row_start = np.concatenate([[0], np.cumsum(n_tokens)]).astype(np.int64)
+    starts = row_start[crow] + cid * C
+    ends = np.minimum(starts + C, row_start[crow] + n_tokens[crow])
+    # chunks tile the flat token array exactly (empty docs emit no
+    # chunks and zero tokens), so starts + final end form valid
+    # monotone ListArray offsets over `flat` — zero copies
+    offsets = np.concatenate([starts, [row_start[-1]]]).astype(np.int32)
+    la = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+    txt = pc.binary_join(la, " ")
+    return crow, cid, ends - starts, txt
 
 
 def quality_median_filter(sf_dir: str):

@@ -233,3 +233,30 @@ def test_chunk_documents_multi_chunk_roundtrip(ray_session, tmp_path):
     # lossless token roundtrip per doc
     rejoined = " ".join(out[out.doc_id == 1]["chunk_text"])
     assert rejoined == " ".join(toks)
+
+
+def test_chunk_dedup_removes_cross_doc_boilerplate(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.dedup import chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(50))       # one exact chunk
+    uniq = [" ".join(f"u{d}x{i}" for i in range(50)) for d in range(3)]
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        # docs 0/1 start with the same 50-token boilerplate chunk
+        "text": pa.array([boiler + " " + uniq[0], boiler + " " + uniq[1],
+                          uniq[2], ""]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = chunk_dedup(str(tmp_path), chunk_tokens=50, min_docs=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    # the shared chunk is dropped from BOTH docs, unique chunks survive
+    assert out["n_chunks"].tolist() == [2, 2, 1, 0]
+    assert out["n_kept"].tolist() == [1, 1, 1, 0]
+    assert out.loc[0, "clean_text"] == uniq[0]
+    assert out.loc[1, "clean_text"] == uniq[1]
+    assert out.loc[2, "clean_text"] == uniq[2]          # untouched
+    assert out.loc[3, "clean_text"] == ""               # empty doc
