@@ -408,6 +408,28 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir, eval_mod=97)
 
 
+def _q_new_docs(sf_dir: str):
+    """Incremental-crawl dedup: documents whose 62-bit content fingerprint
+    is absent from the existing pages store — co-partition ANTI join on
+    the fingerprint (scale path: only int64 keys shuffle, no broadcast of
+    the seen-set)."""
+    import ray
+
+    from s2ray.pipelines.join import copartition_hash_join
+    from s2ray.pipelines.text import fingerprint
+    from s2ray.sources.pages import read_pages
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    dfp = docs.map_batches(fingerprint, batch_format="pyarrow",
+                           batch_size=None)
+    pfp = (read_pages(sf_dir)
+           .map_batches(fingerprint, fn_kwargs={"id_col": "page_id"},
+                        batch_format="pyarrow", batch_size=None)
+           .select_columns(["fingerprint"]))
+    return copartition_hash_join(dfp, pfp, on="fingerprint", how="anti")
+
+
 def _q_chunk_dedup(sf_dir: str):
     """C4-style duplicated-chunk removal: 50-token chunks occurring in
     >= 2 distinct docs are deleted everywhere, docs rebuilt from the
@@ -909,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top3": _q_tfidf,
         "decontaminate": _q_decontaminate,
         "chunk_dedup": _q_chunk_dedup,
+        "new_docs": _q_new_docs,
         "repetition_stats": _q_repetition,
         "chunk_docs": _q_chunks,
         "quality_above_median": _q_quality_above_median,
@@ -1318,6 +1341,15 @@ SELECT doc_id,
 FROM f"""
     fingerprint_oracle = (f"SELECT doc_id, {fingerprint_sql('text')} "
                           f"AS fingerprint FROM documents")
+    # incremental-crawl anti-join: docs whose content fingerprint no page
+    # in the existing store carries (pages CTE = the store)
+    new_docs_oracle = (
+        f"{cte}, dfp AS (SELECT doc_id, {fingerprint_sql('text')} "
+        f"AS fingerprint FROM documents), "
+        f"pfp AS (SELECT DISTINCT {fingerprint_sql('text')} "
+        f"AS fingerprint FROM pages) "
+        f"SELECT dfp.doc_id, dfp.fingerprint FROM dfp "
+        f"WHERE dfp.fingerprint NOT IN (SELECT fingerprint FROM pfp)")
     # capstone: the composed training-data cleaning pipeline, end-to-end —
     # language allow-list + quality threshold + exact dedup + near-dup
     # cluster dedup, each mirroring its already-oracled stage
@@ -1599,6 +1631,7 @@ SELECT ql.doc_id, ql.lang FROM ql JOIN m USING (lang)
 WHERE ql.quality >= m.med""",
         "lang_id": langid_sql,
         "fingerprint": fingerprint_oracle,
+        "new_docs": new_docs_oracle,
         "corpus_keep": corpus_keep_sql,
         # rows-only (not SQL-expressible): polygon_covering /
         # polyline_covering / covering_setops / boolean_covering /

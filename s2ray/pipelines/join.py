@@ -59,6 +59,40 @@ def broadcast_hash_join(probe_ds, build_tbl: pa.Table, on: str,
 from ..state.bcast import cached_get as _cached_build  # shared worker cache
 
 
+def _sorted_membership(keys_sorted: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Vectorized `v in keys_sorted` for int64 arrays (one searchsorted)."""
+    if len(keys_sorted) == 0:
+        return np.zeros(len(v), dtype=bool)
+    pos = np.searchsorted(keys_sorted, v)
+    return (pos < len(keys_sorted)) \
+        & (keys_sorted[np.minimum(pos, len(keys_sorted) - 1)] == v)
+
+
+def broadcast_semi_anti_join(probe_ds, keys, on: str, anti: bool = False):
+    """SEMI (anti=False) / ANTI (anti=True) join against a broadcast key
+    set: keep probe rows whose int64 key is / is not in ``keys``.
+
+    Zero shuffle — the sorted distinct key array ships once per worker
+    (ray.put + cache) and each batch filters with one searchsorted.  The
+    membership-filter analog of broadcast_hash_join: right for seen-sets,
+    allow/deny lists and eval-id sets that fit one heap.  For larger
+    right sides use ``copartition_hash_join(how='semi'/'anti')``.
+    """
+    import ray
+
+    ks = np.unique(np.asarray(keys, dtype=np.int64))
+    keys_ref = ray.put(ks)
+
+    def probe(batch: pa.Table, keys_ref=keys_ref) -> pa.Table:
+        kk = _cached_build(keys_ref)
+        v = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = _sorted_membership(kk, v)
+        return batch.filter(pa.array(~hit if anti else hit))
+
+    return probe_ds.map_batches(probe, batch_format="pyarrow",
+                                batch_size=None)
+
+
 def copartition_hash_join(left_ds, right_ds, on: str,
                           right_on: str | None = None,
                           n_parts: int = 64, how: str = "inner",
@@ -67,11 +101,20 @@ def copartition_hash_join(left_ds, right_ds, on: str,
     bucket inside map_groups.  The key column must be int64 on both sides;
     non-key column names must not collide.
 
+    how: 'inner' / 'left' (pandas merge per bucket), or 'semi' / 'anti'
+    (membership filter of left rows per bucket — the right side is reduced
+    to its key column before the shuffle, so only keys move; output = left
+    columns only).  Semi/anti is the scale path when the right key set is
+    too large to broadcast (cf. broadcast_semi_anti_join).
+
     Skew: pass ``hot_keys`` (an int64 array of keys too frequent for one
     bucket) and hot LEFT rows spread over ``salt`` sub-buckets while hot
     RIGHT rows are replicated into each — the same salting contract as the
     spatial shuffle join (cold keys pay nothing)."""
     right_on = right_on or on
+    if how in ("semi", "anti"):
+        # only the right KEYS matter; drop payload columns pre-shuffle
+        right_ds = right_ds.select_columns([right_on])
     hot = (np.asarray(sorted(hot_keys), dtype=np.int64)
            if hot_keys is not None and len(hot_keys) else None)
 
@@ -137,13 +180,20 @@ def copartition_hash_join(left_ds, right_ds, on: str,
     out_rcols = [c for c in rcols_renamed if c != on]
 
     def merge(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        ltab = group.filter(pa.array(side == 0)).select(lcols)
+        if how in ("semi", "anti"):
+            # pure-Arrow membership filter: no pandas, no payload motion
+            rk = np.unique(group.filter(pa.array(side == 1))[on]
+                           .to_numpy(zero_copy_only=False).astype(np.int64))
+            v = ltab[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = _sorted_membership(rk, v)
+            return ltab.filter(pa.array(~hit if how == "anti" else hit))
         # Split sides in Arrow (each side's own columns are null-free after
         # the select), then merge as ArrowDtype frames: no null→float64
         # upcast, so int64 payloads stay bit-exact and output dtypes match
         # the input schemas even for left-join null fills.
-        side = group["_side"].to_numpy(zero_copy_only=False)
-        l = (group.filter(pa.array(side == 0)).select(lcols)
-             .to_pandas(types_mapper=pd.ArrowDtype))
+        l = ltab.to_pandas(types_mapper=pd.ArrowDtype)
         r = (group.filter(pa.array(side == 1)).select([on] + out_rcols)
              .to_pandas(types_mapper=pd.ArrowDtype))
         out = l.merge(r, on=on, how=how, sort=False)

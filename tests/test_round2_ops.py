@@ -307,3 +307,52 @@ def test_copartition_join_salted_hot_key(ray_session):
     pd.testing.assert_frame_equal(
         plain[key].sort_values(key).reset_index(drop=True),
         salted[key].sort_values(key).reset_index(drop=True))
+
+
+def test_semi_anti_joins_both_plans_agree(ray_session):
+    import ray
+
+    from s2ray.pipelines.join import (broadcast_semi_anti_join,
+                                      copartition_hash_join)
+
+    left = ray.data.from_items([{"k": i, "a": i * 10} for i in range(30)])
+    keys = [3, 5, 5, 7, 41]            # dup + out-of-range keys are fine
+    sem_b = broadcast_semi_anti_join(left, keys, on="k").to_pandas()
+    ant_b = broadcast_semi_anti_join(left, keys, on="k", anti=True) \
+        .to_pandas()
+    assert sorted(sem_b["k"]) == [3, 5, 7]
+    assert sorted(ant_b["k"]) == [i for i in range(30) if i not in (3, 5, 7)]
+    assert list(sem_b.columns) == ["k", "a"]       # left columns only
+
+    right = ray.data.from_items([{"j": k, "payload": "zzz"} for k in keys])
+    sem_c = copartition_hash_join(left, right, on="k", right_on="j",
+                                  n_parts=4, how="semi").to_pandas()
+    ant_c = copartition_hash_join(left, right, on="k", right_on="j",
+                                  n_parts=4, how="anti").to_pandas()
+    # both plans produce identical row sets (payload never collides: the
+    # right side is reduced to its key column before the shuffle)
+    assert sorted(map(tuple, sem_c[["k", "a"]].itertuples(index=False))) \
+        == sorted(map(tuple, sem_b[["k", "a"]].itertuples(index=False)))
+    assert sorted(map(tuple, ant_c[["k", "a"]].itertuples(index=False))) \
+        == sorted(map(tuple, ant_b[["k", "a"]].itertuples(index=False)))
+
+
+def test_semi_anti_join_salted_hot_keys(ray_session):
+    import numpy as np
+    import ray
+
+    from s2ray.pipelines.join import copartition_hash_join
+
+    # hot key 1 appears 200x on the left; salting must not change results
+    left = ray.data.from_items(
+        [{"k": 1, "a": i} for i in range(200)]
+        + [{"k": i, "a": -i} for i in range(2, 20)])
+    right = ray.data.from_items([{"k": 1}, {"k": 4}, {"k": 99}])
+    plain = copartition_hash_join(left, right, on="k", how="semi",
+                                  n_parts=4).to_pandas()
+    salted = copartition_hash_join(left, right, on="k", how="semi",
+                                   n_parts=4, hot_keys=np.array([1]),
+                                   salt=4).to_pandas()
+    assert sorted(map(tuple, plain[["k", "a"]].itertuples(index=False))) \
+        == sorted(map(tuple, salted[["k", "a"]].itertuples(index=False)))
+    assert (plain["k"] == 1).sum() == 200 and (plain["k"] == 4).sum() == 1
