@@ -408,6 +408,15 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir, eval_mod=97)
 
 
+def _q_events_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct-count per event_type (rows-only: approximate,
+    no SQL mirror; <=5 % error vs the exact operator is pytest-asserted).
+    Scale path: one 4 KiB register blob per (group, batch) shuffles."""
+    from s2ray.pipelines.analytics import distinct_users_hll
+
+    return distinct_users_hll(sf_dir)
+
+
 def _q_new_docs(sf_dir: str):
     """Incremental-crawl dedup: documents whose 62-bit content fingerprint
     is absent from the existing pages store — co-partition ANTI join on
@@ -932,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "chunk_dedup": _q_chunk_dedup,
         "new_docs": _q_new_docs,
+        "events_distinct_users_hll": _q_events_distinct_users_hll,
         "repetition_stats": _q_repetition,
         "chunk_docs": _q_chunks,
         "quality_above_median": _q_quality_above_median,

@@ -604,3 +604,101 @@ def distinct_users(sf_dir: str, group_col: str = "event_type",
     return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby(group_col)
             .map_groups(merge, batch_format="pandas"))
+
+
+_HLL_P = 12                    # 4096 registers -> ~1.6 % standard error
+_HLL_M = 1 << _HLL_P
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Full splitmix64 finalizer — every output bit depends on every input
+    bit (the multiplicative mix alone leaves low-bit structure, which HLL
+    rank counting would see)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for nonzero uint64 (6 shift passes —
+    float log2 is off-by-one near powers of two above 2^53)."""
+    lz = np.zeros(len(x), dtype=np.int64)
+    y = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = y < (np.uint64(1) << np.uint64(64 - s))
+        lz[m] += s
+        y[m] <<= np.uint64(s)
+    return lz
+
+
+def _hll_registers(v: np.ndarray) -> np.ndarray:
+    """(m,) uint8 HLL register maxima of an int64 id array."""
+    h = _splitmix64(v)
+    reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    # rank over the remaining 64-P bits; sentinel low bits bound it
+    rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+    rank = (_clz64(rest) + 1).astype(np.uint8)
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, reg, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with the linear-counting small-range
+    correction (64-bit hash: no large-range correction needed)."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.ldexp(1.0, -regs.astype(np.int64)))
+    if e <= 2.5 * m:
+        v = int(np.count_nonzero(regs == 0))
+        if v:
+            e = m * np.log(m / v)
+    return int(round(e))
+
+
+def distinct_users_hll(sf_dir: str, group_col: str = "event_type",
+                       id_col: str = "user_id"):
+    """APPROXIMATE distinct-count per group via HyperLogLog (p=12,
+    ~1.6 % SE) — the 100-TB scale path next to :func:`distinct_users`:
+    the shuffle moves ONE fixed 4 KiB register blob per (group, batch)
+    regardless of cardinality, and the merge is an elementwise max, so
+    memory is O(groups x 4 KiB) where the exact blob union is O(distinct
+    ids).  Deterministic (splitmix64, no seeds): the same input always
+    yields the same estimate.  Output: (group, n_distinct) — estimates,
+    verified against the exact operator in pytest (rows-only for the
+    driver: approximation has no SQL mirror).
+    """
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=[group_col, id_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col].to_pandas(), dtype=object)
+        v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        starts, ends = _group_runs(g)
+        return pa.table({
+            group_col: pa.array([g[s] for s in starts]),
+            "regs": pa.array([_hll_registers(v[s:e]).tobytes()
+                              for s, e in zip(starts, ends)],
+                             type=pa.binary()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                group_col: pd.Series(dtype=object),
+                "n_distinct": pd.Series(dtype=np.int64),
+            })
+        regs = np.zeros(_HLL_M, dtype=np.uint8)
+        for b in df["regs"]:
+            np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "n_distinct": [np.int64(_hll_estimate(regs))]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(group_col)
+            .map_groups(merge, batch_format="pandas"))

@@ -101,7 +101,10 @@ def copartition_hash_join(left_ds, right_ds, on: str,
     bucket inside map_groups.  The key column must be int64 on both sides;
     non-key column names must not collide.
 
-    how: 'inner' / 'left' (pandas merge per bucket), or 'semi' / 'anti'
+    how: 'inner' / 'left' / 'outer' (pandas merge per bucket — 'outer' is
+    exact under co-partitioning: a key's rows from BOTH sides land in the
+    same bucket, so unmatched right rows null-fill left columns locally),
+    or 'semi' / 'anti'
     (membership filter of left rows per bucket — the right side is reduced
     to its key column before the shuffle, so only keys move; output = left
     columns only).  Semi/anti is the scale path when the right key set is

@@ -356,3 +356,60 @@ def test_semi_anti_join_salted_hot_keys(ray_session):
     assert sorted(map(tuple, plain[["k", "a"]].itertuples(index=False))) \
         == sorted(map(tuple, salted[["k", "a"]].itertuples(index=False)))
     assert (plain["k"] == 1).sum() == 200 and (plain["k"] == 4).sum() == 1
+
+
+def test_copartition_outer_join_matches_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from s2ray.pipelines.join import copartition_hash_join
+
+    left = ray.data.from_items([{"k": i, "a": i * 10} for i in range(10)])
+    right = ray.data.from_items(
+        [{"j": k, "b": f"v{k}"} for k in [2, 2, 5, 30, 31]])
+    got = copartition_hash_join(left, right, on="k", right_on="j",
+                                n_parts=4, how="outer").to_pandas()
+    want = duckdb.connect().execute(
+        "SELECT coalesce(l.k, r.j) AS k, l.a AS a, r.b AS b "
+        "FROM (SELECT unnest(range(10)) AS k, unnest(range(10)) * 10 AS a) l "
+        "FULL OUTER JOIN (SELECT unnest([2, 2, 5, 30, 31]) AS j, "
+        "'v' || CAST(unnest([2, 2, 5, 30, 31]) AS VARCHAR) AS b) r "
+        "ON l.k = r.j").df()
+    key = ["k", "a", "b"]
+    gs = sorted(map(tuple, got[key].astype(object).where(got[key].notna(), None)
+                    .itertuples(index=False)))
+    ws = sorted(map(tuple, want[key].astype(object).where(want[key].notna(), None)
+                    .itertuples(index=False)))
+    # 10 left rows + 1 extra (k=2 matches twice) + 2 right-only = 13
+    assert gs == ws and len(got) == 13
+
+
+def test_hll_distinct_within_error_and_deterministic(ray_session):
+    from s2ray.pipelines.analytics import distinct_users, distinct_users_hll
+
+    exact = distinct_users(SF).to_pandas().set_index("event_type")
+    est1 = distinct_users_hll(SF).to_pandas().set_index("event_type")
+    est2 = distinct_users_hll(SF).to_pandas().set_index("event_type")
+    assert sorted(est1.index) == sorted(exact.index)
+    for g in exact.index:
+        n, e = int(exact.loc[g, "n_distinct"]), int(est1.loc[g, "n_distinct"])
+        assert abs(e - n) <= max(2, 0.05 * n), (g, n, e)
+    # deterministic: same input -> identical estimates across runs
+    assert est1.sort_index().equals(est2.sort_index())
+
+
+def test_hll_registers_merge_equals_single_pass():
+    import numpy as np
+
+    from s2ray.pipelines.analytics import (_hll_estimate, _hll_registers)
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, 10**12, size=40000).astype(np.int64)
+    whole = _hll_registers(ids)
+    parts = np.maximum.reduce([_hll_registers(c)
+                               for c in np.array_split(ids, 7)])
+    # register maxima merge exactly, regardless of how the data was split
+    assert (whole == parts).all()
+    n = len(np.unique(ids))
+    e = _hll_estimate(whole)
+    assert abs(e - n) <= 0.05 * n
