@@ -384,6 +384,28 @@ def _group_runs(sorted_keys: np.ndarray):
     return starts, ends
 
 
+def _grouped_blob_partial(batch: pa.Table, group_col: str, id_col: str,
+                          reducer, blob_col: str) -> pa.Table:
+    """Per-batch (group, blob) partial: sort the batch by group, then emit
+    ``reducer(ids_of_group)`` bytes per group run — the compact-partial
+    scaffolding shared by the exact and HLL distinct-count operators.
+    Typed output even for empty batches (mixed-schema RefBundles trip
+    Ray's schema unification)."""
+    g = np.asarray(batch[group_col].to_pandas(), dtype=object)
+    v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(g) == 0:
+        return pa.table({group_col: pa.array([], type=pa.string()),
+                         blob_col: pa.array([], type=pa.binary())})
+    order = np.argsort(g, kind="stable")
+    g, v = g[order], v[order]
+    starts, ends = _group_runs(g)
+    return pa.table({
+        group_col: pa.array([g[s] for s in starts]),
+        blob_col: pa.array([reducer(v[s:e]) for s, e in zip(starts, ends)],
+                           type=pa.binary()),
+    })
+
+
 def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
                     group_col: str = "event_type", value_col: str = "value",
                     n_bins: int = 4096, make_ds=None):
@@ -578,17 +600,9 @@ def distinct_users(sf_dir: str, group_col: str = "event_type",
                                columns=[group_col, id_col])
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = np.asarray(batch[group_col].to_pandas(), dtype=object)
-        v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(g, kind="stable")
-        g, v = g[order], v[order]
-        starts, ends = _group_runs(g)
-        return pa.table({
-            group_col: pa.array([g[s] for s in starts]),
-            "ids": pa.array([np.unique(v[s:e]).tobytes()
-                             for s, e in zip(starts, ends)],
-                            type=pa.binary()),
-        })
+        return _grouped_blob_partial(batch, group_col, id_col,
+                                     lambda ids: np.unique(ids).tobytes(),
+                                     "ids")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -675,17 +689,9 @@ def distinct_users_hll(sf_dir: str, group_col: str = "event_type",
                                columns=[group_col, id_col])
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = np.asarray(batch[group_col].to_pandas(), dtype=object)
-        v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(g, kind="stable")
-        g, v = g[order], v[order]
-        starts, ends = _group_runs(g)
-        return pa.table({
-            group_col: pa.array([g[s] for s in starts]),
-            "regs": pa.array([_hll_registers(v[s:e]).tobytes()
-                              for s, e in zip(starts, ends)],
-                             type=pa.binary()),
-        })
+        return _grouped_blob_partial(batch, group_col, id_col,
+                                     lambda ids: _hll_registers(ids)
+                                     .tobytes(), "regs")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

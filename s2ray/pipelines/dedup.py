@@ -59,6 +59,17 @@ def _mulmod61_small(a, x):
     return _mod61(_mod61(part) + _mod61(lo))
 
 
+def content_digest(text) -> bytes:
+    """128-bit blake2b digest of a document/chunk text — THE shuffle key
+    for exact content equality (exact_dedup, chunk_dedup).  Domain-
+    separated so null text can never collide with any real text."""
+    import hashlib
+
+    if text is None or (isinstance(text, float) and np.isnan(text)):
+        return hashlib.blake2b(b"\x00", digest_size=16).digest()
+    return hashlib.blake2b(b"\x01" + text.encode(), digest_size=16).digest()
+
+
 def fnv1a_bytes(data: bytes, seed: int = 0) -> int:
     """Deterministic 64-bit hash of bytes (C-speed blake2b core)."""
     import hashlib
@@ -197,8 +208,6 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "page_id"):
     docs).  The per-batch partial pass also shrinks each batch to its
     distinct texts first.
     """
-    import hashlib
-
     from ray.data.aggregate import Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -212,15 +221,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "page_id"):
         })
         # dropna=False: NULL text is a legal group (the SQL oracle's
         # GROUP BY keeps it); dropping it silently loses those doc ids.
-        # Digests are length-prefixed-style domain-separated so the null
-        # group can never collide with any real text.
         g = df.groupby("t", sort=False, dropna=False)["i"] \
             .agg(["min", "count"]).reset_index()
-        digests = [hashlib.blake2b(b"\x00", digest_size=16).digest()
-                   if t is None or (isinstance(t, float) and np.isnan(t))
-                   else hashlib.blake2b(b"\x01" + t.encode(),
-                                        digest_size=16).digest()
-                   for t in g["t"]]
+        digests = [content_digest(t) for t in g["t"]]
         return pa.table({
             "digest": pa.array(digests, type=pa.binary()),
             "min_id": pa.array(g["min"].to_numpy()),
@@ -659,8 +662,6 @@ def chunk_dedup(sf_dir: str, chunk_tokens: int = 50, min_docs: int = 2,
     a digest-keyed co-partition join (join.copartition_hash_join
     contract) — same output.
     """
-    import hashlib
-
     import pandas as pd
     import pyarrow.compute as pc
     import ray
@@ -675,10 +676,8 @@ def chunk_dedup(sf_dir: str, chunk_tokens: int = 50, min_docs: int = 2,
                                columns=[id_col, text_col])
 
     def _digests(txt: pa.Array) -> list[bytes]:
-        # domain-separated like exact_dedup; chunk texts are never null
-        return [hashlib.blake2b(b"\x01" + t.encode(),
-                                digest_size=16).digest()
-                for t in txt.to_pylist()]
+        # the exact_dedup content-digest contract; chunk texts never null
+        return [content_digest(t) for t in txt.to_pylist()]
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = _string_array(batch[text_col])

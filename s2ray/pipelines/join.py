@@ -103,8 +103,9 @@ def copartition_hash_join(left_ds, right_ds, on: str,
 
     how: 'inner' / 'left' / 'outer' (pandas merge per bucket — 'outer' is
     exact under co-partitioning: a key's rows from BOTH sides land in the
-    same bucket, so unmatched right rows null-fill left columns locally),
-    or 'semi' / 'anti'
+    same bucket, so unmatched right rows null-fill left columns locally;
+    incompatible with ``hot_keys``, whose right-row replication would
+    duplicate unmatched right rows), or 'semi' / 'anti'
     (membership filter of left rows per bucket — the right side is reduced
     to its key column before the shuffle, so only keys move; output = left
     columns only).  Semi/anti is the scale path when the right key set is
@@ -115,6 +116,12 @@ def copartition_hash_join(left_ds, right_ds, on: str,
     RIGHT rows are replicated into each — the same salting contract as the
     spatial shuffle join (cold keys pay nothing)."""
     right_on = right_on or on
+    if how == "outer" and hot_keys is not None and len(hot_keys):
+        # salting replicates hot RIGHT rows into every sub-bucket; an outer
+        # merge would then emit one right-only copy per replica (wrong).
+        raise ValueError("hot_keys salting is not supported with "
+                         "how='outer' (right-row replication would "
+                         "duplicate unmatched right rows)")
     if how in ("semi", "anti"):
         # only the right KEYS matter; drop payload columns pre-shuffle
         right_ds = right_ds.select_columns([right_on])

@@ -413,3 +413,16 @@ def test_hll_registers_merge_equals_single_pass():
     n = len(np.unique(ids))
     e = _hll_estimate(whole)
     assert abs(e - n) <= 0.05 * n
+
+
+def test_outer_join_rejects_hot_key_salting(ray_session):
+    import numpy as np
+    import ray
+
+    from s2ray.pipelines.join import copartition_hash_join
+
+    left = ray.data.from_items([{"k": 1, "a": 0}])
+    right = ray.data.from_items([{"k": 1}])
+    with pytest.raises(ValueError, match="outer"):
+        copartition_hash_join(left, right, on="k", how="outer",
+                              hot_keys=np.array([1]))
