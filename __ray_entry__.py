@@ -408,6 +408,15 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir, eval_mod=97)
 
 
+def _q_pack_examples(sf_dir: str):
+    """Distributed window scan: exact running token totals in doc-id order
+    + fixed-budget cross-document example packing (SUM OVER (ORDER BY)
+    built as a range-bucketed two-level scan)."""
+    from s2ray.pipelines.analytics import running_token_totals
+
+    return running_token_totals(sf_dir, budget=2000)
+
+
 def _q_events_distinct_users_hll(sf_dir: str):
     """HyperLogLog distinct-count per event_type (rows-only: approximate,
     no SQL mirror; <=5 % error vs the exact operator is pytest-asserted).
@@ -942,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "new_docs": _q_new_docs,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
+        "pack_examples": _q_pack_examples,
         "repetition_stats": _q_repetition,
         "chunk_docs": _q_chunks,
         "quality_above_median": _q_quality_above_median,
@@ -1566,6 +1576,16 @@ FROM (
             "SELECT ov.doc_id, sz.n_shingles, ov.n_overlap, "
             "round(ov.n_overlap * 1.0 / sz.n_shingles, 6) AS ratio "
             "FROM ov JOIN sz USING (doc_id)"
+        ),
+        "pack_examples": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'\\S+')) AS BIGINT) AS n_tokens FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS cum_tokens FROM t) "
+            "SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) "
+            "AS cum_tokens, CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) "
+            "AS example_id FROM s"
         ),
         "chunk_dedup": (
             "WITH words AS (SELECT doc_id, list_filter("

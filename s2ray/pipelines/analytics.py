@@ -372,6 +372,93 @@ def embedding_centroids(sf_dir: str, ndigits: int = 4):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def running_token_totals(sf_dir: str, budget: int = 2000,
+                         range_size: int = 64,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Distributed window scan: the exact running token total over the
+    corpus in doc-id order, and the cross-document context-window packing
+    it enables — (doc_id, n_tokens, cum_tokens, example_id) with
+    cum_tokens = inclusive prefix sum of whitespace-token counts ordered
+    by doc_id and example_id = (cum_tokens - n_tokens) // budget (the
+    fixed-token-budget training example each document STARTS in).  The
+    SUM() OVER (ORDER BY ...) analytic, built shuffle-native.
+
+    Scale design — a two-level scan with NO ordering assumption on block
+    boundaries: pass 1 pre-aggregates token counts per fixed doc-id range
+    (range_id = doc_id // range_size) inside map_batches, so the driver
+    sees one row per range (set range_size so N/range_size stays driver-
+    small; the exclusive scan over range sums is O(ranges)).  The range
+    offsets broadcast once; pass 2 co-locates each range with ONE
+    groupby(range_id).map_groups — the shuffle moves only (doc_id,
+    n_tokens, range_id) int rows, never text — and finishes with a local
+    sort + cumsum + offset.  Exact for any batch layout.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    from ..state.bcast import cached_get
+
+    G = int(range_size)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[id_col, text_col])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pc.count_substring_regex(batch[text_col], r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(n),
+            "range_id": pa.array(ids // G),
+        })
+
+    compact = ds.map_batches(counts, batch_format="pyarrow",
+                             batch_size=None)
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        r = batch["range_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(r, return_inverse=True)
+        s = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        return pa.table({"range_id": pa.array(u), "partial_s": pa.array(s)})
+
+    rng_pd = (compact.map_batches(range_partial, batch_format="pyarrow",
+                                  batch_size=None)
+              .groupby("range_id")
+              .aggregate(Sum("partial_s", alias_name="s"))).to_pandas()
+    rng_pd = rng_pd.sort_values("range_id").reset_index(drop=True)
+    starts = rng_pd["range_id"].to_numpy().astype(np.int64)
+    sums = rng_pd["s"].to_numpy().astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])  # exclusive
+    off_ref = ray.put((starts, offsets))
+
+    def scan_range(df: pd.DataFrame, off_ref=off_ref) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                "n_tokens": pd.Series(dtype=np.int64),
+                "cum_tokens": pd.Series(dtype=np.int64),
+                "example_id": pd.Series(dtype=np.int64),
+            })
+        st, off = cached_get(off_ref)
+        df = df.sort_values(id_col)
+        n = df["n_tokens"].to_numpy().astype(np.int64)
+        base = off[np.searchsorted(st, int(df["range_id"].iloc[0]))]
+        cum = base + np.cumsum(n)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": n,
+            "cum_tokens": cum,
+            "example_id": (cum - n) // np.int64(budget),
+        })
+
+    return (compact.groupby("range_id")
+            .map_groups(scan_range, batch_format="pandas"))
+
+
 def _group_runs(sorted_keys: np.ndarray):
     """(starts, ends) of equal-key runs in an already-sorted object array."""
     n = len(sorted_keys)

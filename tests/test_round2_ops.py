@@ -426,3 +426,31 @@ def test_outer_join_rejects_hot_key_salting(ray_session):
     with pytest.raises(ValueError, match="outer"):
         copartition_hash_join(left, right, on="k", how="outer",
                               hot_keys=np.array([1]))
+
+
+def test_running_totals_exact_for_any_range_size(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.analytics import running_token_totals
+
+    rng = np.random.RandomState(5)
+    n = 200
+    # non-contiguous, shuffled doc ids: the scan must order by doc_id,
+    # not by file/row order
+    ids = rng.permutation(np.arange(0, 4 * n, 4))[:n].astype(np.int64)
+    texts = [" ".join("w" for _ in range(rng.randint(0, 30))) for _ in ids]
+    pq.write_table(pa.table({"doc_id": pa.array(ids),
+                             "text": pa.array(texts)}),
+                   str(tmp_path / "documents.parquet"))
+    order = np.argsort(ids)
+    want_n = np.array([len(t.split()) for t in texts], dtype=np.int64)[order]
+    want_cum = np.cumsum(want_n)
+    for G in (3, 64, 10_000):
+        out = running_token_totals(str(tmp_path), budget=50, range_size=G) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert np.array_equal(out["doc_id"].to_numpy(), ids[order])
+        assert np.array_equal(out["n_tokens"].to_numpy(), want_n)
+        assert np.array_equal(out["cum_tokens"].to_numpy(), want_cum)
+        assert np.array_equal(out["example_id"].to_numpy(),
+                              (want_cum - want_n) // 50)
