@@ -408,6 +408,14 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir, eval_mod=97)
 
 
+def _q_split_corpus(sf_dir: str):
+    """Deterministic train/val/test split (5%/5%/90% by id hash) —
+    coordination-free, pure per-row."""
+    from s2ray.pipelines.sampling import split_corpus
+
+    return split_corpus(sf_dir)
+
+
 def _q_pack_examples(sf_dir: str):
     """Distributed window scan: exact running token totals in doc-id order
     + fixed-budget cross-document example packing (SUM OVER (ORDER BY)
@@ -952,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_docs": _q_new_docs,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "pack_examples": _q_pack_examples,
+        "split_corpus": _q_split_corpus,
         "repetition_stats": _q_repetition,
         "chunk_docs": _q_chunks,
         "quality_above_median": _q_quality_above_median,
@@ -965,6 +974,12 @@ def _sample_per_lang_oracle() -> str:
     from s2ray.pipelines.sampling import sample_n_per_group_sql
 
     return sample_n_per_group_sql(10)
+
+
+def _split_corpus_oracle() -> str:
+    from s2ray.pipelines.sampling import split_corpus_sql
+
+    return split_corpus_sql()
 
 
 def _sample_corpus_oracle() -> str:
@@ -1644,6 +1659,7 @@ FROM (
             "GROUP BY token ORDER BY n DESC, token LIMIT 100"
         ),
         "sample_corpus": _sample_corpus_oracle(),
+        "split_corpus": _split_corpus_oracle(),
         "sample_per_lang": _sample_per_lang_oracle(),
         "emb_near_dup": emb_near_dup_sql,
         "emb_near_dup_lsh": emb_lsh_sql,

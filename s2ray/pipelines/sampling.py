@@ -113,3 +113,37 @@ def sample_n_per_group_sql(n: int = 10, group_col: str = "lang",
             f"SELECT {id_col}, {group_col}, row_number() OVER ("
             f"PARTITION BY {group_col} ORDER BY {h}) AS rn "
             f"FROM documents) WHERE rn <= {n}")
+
+
+def split_corpus(sf_dir: str, val_bp: int = 500, test_bp: int = 500,
+                 id_col: str = "doc_id"):
+    """Deterministic train/val/test assignment: (doc_id, split) with
+    split = 'test' for hash_bp < test_bp, 'val' for the next val_bp basis
+    points, 'train' otherwise.  A pure per-row function of the id — every
+    worker, re-run and downstream consumer agrees on the split without
+    coordination or a membership table; no shuffle, no state.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[id_col])
+    labels = np.array(["test", "val", "train"], dtype=object)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bp = _hash_bp(ids)
+        sel = np.where(bp < test_bp, 0,
+                       np.where(bp < test_bp + val_bp, 1, 2))
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "split": pa.array(labels[sel].tolist(), type=pa.string()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+
+
+def split_corpus_sql(val_bp: int = 500, test_bp: int = 500) -> str:
+    h = hash_bp_sql("doc_id")
+    return (f"SELECT doc_id, CASE WHEN {h} < {test_bp} THEN 'test' "
+            f"WHEN {h} < {test_bp + val_bp} THEN 'val' "
+            f"ELSE 'train' END AS split FROM documents")
