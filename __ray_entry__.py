@@ -408,6 +408,14 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir, eval_mod=97)
 
 
+def _q_normalize_text(sf_dir: str):
+    """Canonical normalization before dedup (lowercase, strip punct,
+    collapse whitespace) — streaming Arrow RE2, no shuffle."""
+    from s2ray.pipelines.text import normalize_text
+
+    return normalize_text(sf_dir)
+
+
 def _q_split_corpus(sf_dir: str):
     """Deterministic train/val/test split (5%/5%/90% by id hash) —
     coordination-free, pure per-row."""
@@ -961,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "pack_examples": _q_pack_examples,
         "split_corpus": _q_split_corpus,
+        "normalize_text": _q_normalize_text,
         "repetition_stats": _q_repetition,
         "chunk_docs": _q_chunks,
         "quality_above_median": _q_quality_above_median,
@@ -974,6 +983,15 @@ def _sample_per_lang_oracle() -> str:
     from s2ray.pipelines.sampling import sample_n_per_group_sql
 
     return sample_n_per_group_sql(10)
+
+
+def _normalize_text_oracle() -> str:
+    from s2ray.pipelines.text import normalize_text_sql
+
+    return ("SELECT doc_id, " + normalize_text_sql("text")
+            + " AS norm_text, CAST(length(text) AS BIGINT) AS n_chars, "
+            + "CAST(length(" + normalize_text_sql("text")
+            + ") AS BIGINT) AS n_norm_chars FROM documents")
 
 
 def _split_corpus_oracle() -> str:
@@ -1660,6 +1678,7 @@ FROM (
         ),
         "sample_corpus": _sample_corpus_oracle(),
         "split_corpus": _split_corpus_oracle(),
+        "normalize_text": _normalize_text_oracle(),
         "sample_per_lang": _sample_per_lang_oracle(),
         "emb_near_dup": emb_near_dup_sql,
         "emb_near_dup_lsh": emb_lsh_sql,

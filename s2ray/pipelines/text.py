@@ -647,6 +647,43 @@ def _chunk_arrays(texts: pa.StringArray, C: int):
     return crow, cid, ends - starts, txt
 
 
+def normalize_text(sf_dir: str, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Canonical text normalization before exact/near dedup: lowercase,
+    strip every char outside [a-z0-9\\s], collapse whitespace runs to one
+    space, trim — (doc_id, norm_text, n_chars, n_norm_chars).  Pure
+    streaming Arrow RE2 kernels, no shuffle; the same RE2 regexes run in
+    the DuckDB oracle, so parity is by construction.
+    """
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[id_col, text_col])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        t = _string_array(batch[text_col])
+        n_chars = pc.utf8_length(t)
+        low = pc.utf8_lower(t)
+        stripped = pc.replace_substring_regex(low, r"[^a-z0-9\s]", "")
+        collapsed = pc.replace_substring_regex(stripped, r"\s+", " ")
+        norm = pc.utf8_trim_whitespace(collapsed)
+        return pa.table({
+            id_col: batch[id_col],
+            "norm_text": norm,
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_norm_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+
+
+def normalize_text_sql(text_expr: str = "text") -> str:
+    """DuckDB mirror of normalize_text's expression chain."""
+    return (f"trim(regexp_replace(regexp_replace(lower({text_expr}), "
+            f"'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))")
+
+
 def quality_median_filter(sf_dir: str):
     """Composition: keep documents whose quality is >= their language's
     median quality — per-group exact median (analytics.group_quantiles,

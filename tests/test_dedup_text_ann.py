@@ -260,3 +260,29 @@ def test_chunk_dedup_removes_cross_doc_boilerplate(ray_session, tmp_path):
     assert out.loc[1, "clean_text"] == uniq[1]
     assert out.loc[2, "clean_text"] == uniq[2]          # untouched
     assert out.loc[3, "clean_text"] == ""               # empty doc
+
+
+def test_normalize_text_adversarial_vs_duckdb(ray_session, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.text import normalize_text, normalize_text_sql
+
+    texts = ["  Hello, WORLD!!  ", "a\tb\n\nc", "...", "", "Ünïcodé mix 42",
+             "tab\there & <b>html</b>", "already clean text"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)}), str(tmp_path / "documents.parquet"))
+    got = normalize_text(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT doc_id, " + normalize_text_sql("text") + " AS norm_text "
+        f"FROM read_parquet('{tmp_path}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert got["norm_text"].tolist() == want["norm_text"].tolist()
+    assert got.loc[0, "norm_text"] == "hello world"
+    assert got.loc[1, "norm_text"] == "a b c"
+    assert got.loc[2, "norm_text"] == ""        # punctuation-only
+    assert got.loc[3, "norm_text"] == ""        # empty
