@@ -408,6 +408,15 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir, eval_mod=97)
 
 
+def _q_rare_tokens(sf_dir: str):
+    """Corpus-frequency lexicon filter: per-doc count/fraction of token
+    occurrences whose corpus frequency is <= the 0.2-quantile of token
+    frequencies (rare-vocab broadcast probe)."""
+    from s2ray.pipelines.text import rare_token_stats
+
+    return rare_token_stats(sf_dir, q=0.2)
+
+
 def _q_normalize_text(sf_dir: str):
     """Canonical normalization before dedup (lowercase, strip punct,
     collapse whitespace) — streaming Arrow RE2, no shuffle."""
@@ -970,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_examples": _q_pack_examples,
         "split_corpus": _q_split_corpus,
         "normalize_text": _q_normalize_text,
+        "rare_tokens": _q_rare_tokens,
         "repetition_stats": _q_repetition,
         "chunk_docs": _q_chunks,
         "quality_above_median": _q_quality_above_median,
@@ -1609,6 +1619,23 @@ FROM (
             "SELECT ov.doc_id, sz.n_shingles, ov.n_overlap, "
             "round(ov.n_overlap * 1.0 / sz.n_shingles, 6) AS ratio "
             "FROM ov JOIN sz USING (doc_id)"
+        ),
+        "rare_tokens": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) "
+            "AS token FROM documents), "
+            "cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY 1), "
+            "thr AS (SELECT quantile_disc(n, 0.2) AS t FROM cnt), "
+            "rare AS (SELECT token FROM cnt, thr WHERE cnt.n <= thr.t), "
+            "per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) "
+            "AS n_tokens, CAST(sum(CASE WHEN r.token IS NOT NULL THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_rare FROM toks t "
+            "LEFT JOIN rare r USING (token) GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens, "
+            "coalesce(per.n_rare, 0) AS n_rare, "
+            "round(CASE WHEN coalesce(per.n_tokens, 0) = 0 THEN 0.0 "
+            "ELSE per.n_rare * 1.0 / per.n_tokens END, 6) AS rare_ratio "
+            "FROM documents d LEFT JOIN per USING (doc_id)"
         ),
         "pack_examples": (
             "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "

@@ -647,6 +647,90 @@ def _chunk_arrays(texts: pa.StringArray, C: int):
     return crow, cid, ends - starts, txt
 
 
+def rare_token_stats(sf_dir: str, q: float = 0.2, lower: bool = True,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-frequency quality signal (CCNet-style lexicon filtering):
+    per document, the count and fraction of token OCCURRENCES whose
+    corpus-wide frequency is <= the q-quantile of all token frequencies
+    (quantile_disc rule: rank max(0, ceil(q*n)-1) of the sorted counts) —
+    gibberish/OCR noise scores high in rare tokens.  A relative threshold
+    adapts to any corpus; output: (doc_id, n_tokens, n_rare, rare_ratio),
+    zero-token documents report ratio 0.
+
+    Two passes, same shape as tfidf: (1) global token counts (vocabulary-
+    sized shuffle of pre-aggregated partials), the RARE subset collected
+    and broadcast as a sorted hash array (rare vocabulary is the long
+    tail by type count but bounded; swap for a token-keyed co-partition
+    join if a corpus's tail outgrows one heap); (2) one streaming pass
+    scoring each document with a searchsorted membership probe.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+    from .dedup import _poly_token_hash_array
+
+    ds_text = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=[text_col])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        _row, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        c = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({
+            "token": pa.array(uniques.tolist(), type=pa.string()),
+            "partial_n": pa.array(c),
+        })
+
+    cnt_pd = (ds_text.map_batches(partial_counts, batch_format="pyarrow",
+                                  batch_size=None)
+              .groupby("token")
+              .aggregate(Sum("partial_n", alias_name="n"))).to_pandas()
+    # vocabulary-sized table on the driver (same budget as tfidf's DF);
+    # threshold = quantile_disc(counts, q)
+    counts = np.sort(cnt_pd["n"].to_numpy().astype(np.int64))
+    if len(counts):
+        thr = int(counts[max(0, int(np.ceil(q * len(counts))) - 1)])
+        rare_tok = cnt_pd["token"][cnt_pd["n"].to_numpy() <= thr]
+        rare = np.unique(_poly_token_hash_array(
+            pa.array(rare_tok.tolist(), type=pa.string())).astype(np.int64))
+    else:
+        rare = np.empty(0, dtype=np.int64)
+    rare_ref = ray.put(rare)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[id_col, text_col])
+
+    def score(batch: pa.Table, rare_ref=rare_ref) -> pa.Table:
+        rr = cached_get(rare_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = _string_array(batch[text_col])
+        row_idx, codes, uniques, n_tok, _ = _token_codes(texts, lower=lower)
+        n = len(ids)
+        if len(codes):
+            uh = _poly_token_hash_array(
+                pa.array(uniques.tolist(), type=pa.string())) \
+                .astype(np.int64)
+            pos = np.searchsorted(rr, uh)
+            is_rare = (pos < len(rr)) & (rr[np.minimum(pos, len(rr) - 1)]
+                                         == uh)
+            n_rare = np.bincount(row_idx[is_rare[codes]],
+                                 minlength=n).astype(np.int64)
+        else:
+            n_rare = np.zeros(n, dtype=np.int64)
+        ratio = np.where(n_tok > 0, n_rare / np.maximum(n_tok, 1), 0.0)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "n_rare": pa.array(n_rare),
+            "rare_ratio": pa.array(round_half_away(ratio),
+                                   type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 def normalize_text(sf_dir: str, id_col: str = "doc_id",
                    text_col: str = "text"):
     """Canonical text normalization before exact/near dedup: lowercase,
