@@ -408,6 +408,15 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir, eval_mod=97)
 
 
+def _q_funnel(sf_dir: str):
+    """Funnel analytics: per user, view events followed by a purchase
+    within 1h (co-partitioned, one searchsorted per partition)."""
+    from s2ray.pipelines.analytics import funnel_conversions
+
+    return funnel_conversions(sf_dir, a="view", b="purchase",
+                              within_s=3600)
+
+
 def _q_rare_tokens(sf_dir: str):
     """Corpus-frequency lexicon filter: per-doc count/fraction of token
     occurrences whose corpus frequency is <= the 0.2-quantile of token
@@ -980,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_corpus": _q_split_corpus,
         "normalize_text": _q_normalize_text,
         "rare_tokens": _q_rare_tokens,
+        "funnel_views": _q_funnel,
         "repetition_stats": _q_repetition,
         "chunk_docs": _q_chunks,
         "quality_above_median": _q_quality_above_median,
@@ -1619,6 +1629,15 @@ FROM (
             "SELECT ov.doc_id, sz.n_shingles, ov.n_overlap, "
             "round(ov.n_overlap * 1.0 / sz.n_shingles, 6) AS ratio "
             "FROM ov JOIN sz USING (doc_id)"
+        ),
+        "funnel_views": (
+            "SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_a, "
+            "CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM events b "
+            "WHERE b.user_id = e.user_id AND b.event_type = 'purchase' "
+            "AND epoch_us(b.ts) > epoch_us(e.ts) "
+            "AND epoch_us(b.ts) <= epoch_us(e.ts) + 3600000000) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_converted "
+            "FROM events e WHERE e.event_type = 'view' GROUP BY e.user_id"
         ),
         "rare_tokens": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("

@@ -372,6 +372,77 @@ def embedding_centroids(sf_dir: str, ndigits: int = 4):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def funnel_conversions(sf_dir: str, a: str = "view", b: str = "purchase",
+                       within_s: int = 3600, n_parts: int = 64):
+    """Sequence/funnel analytics (CEP-lite): per user, how many ``a``
+    events are followed by at least one ``b`` event STRICTLY after them
+    and within ``within_s`` seconds — (user_id, n_a, n_converted) for
+    every user with >= 1 ``a`` event.
+
+    Same co-partition shape as sessionization: users hash-bucketed so one
+    map_groups call handles many users, then ONE vectorized searchsorted
+    over a (dense-user-code, time-offset) composite key answers the
+    "exists b in (t_a, t_a + T]" probe for every a-event in the partition
+    at once — no per-user Python loop.  Shuffle moves only (user_id, ts,
+    is_a/is_b) int rows.
+    """
+    import ray.data
+
+    T = int(within_s) * 1_000_000          # event ts is timestamp[us]
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)
+        et = np.asarray(batch["event_type"].to_pandas(), dtype=object)
+        keep = (et == a) | (et == b)
+        batch = batch.filter(pa.array(keep))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pa.array(batch["ts"].to_numpy(zero_copy_only=False)
+                              .astype("datetime64[us]").astype(np.int64)),
+            "is_a": pa.array((np.asarray(batch["event_type"].to_pandas(),
+                                         dtype=object) == a)),
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+        })
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "n_a": pd.Series(dtype=np.int64),
+                "n_converted": pd.Series(dtype=np.int64),
+            })
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts_us"].to_numpy().astype(np.int64)
+        is_a = df["is_a"].to_numpy().astype(bool)
+        codes, inv = np.unique(uid, return_inverse=True)
+        t0 = ts.min()
+        off = ts - t0
+        span = int(off.max()) + T + 2      # no cross-user key bleed
+        bkey = np.sort(inv[~is_a] * span + off[~is_a])
+        ua, ta = inv[is_a], off[is_a]
+        lo = np.searchsorted(bkey, ua * span + ta + 1)
+        hi = np.searchsorted(bkey, ua * span
+                             + np.minimum(ta + T, span - 2), side="right")
+        conv = hi > lo
+        n_a = np.bincount(ua, minlength=len(codes)).astype(np.int64)
+        n_c = np.bincount(ua[conv], minlength=len(codes)).astype(np.int64)
+        sel = n_a > 0
+        return pd.DataFrame({
+            "user_id": codes[sel],
+            "n_a": n_a[sel],
+            "n_converted": n_c[sel],
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("part")
+            .map_groups(funnel, batch_format="pandas")
+            .select_columns(["user_id", "n_a", "n_converted"]))
+
+
 def running_token_totals(sf_dir: str, budget: int = 2000,
                          range_size: int = 64,
                          id_col: str = "doc_id", text_col: str = "text"):

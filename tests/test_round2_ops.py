@@ -454,3 +454,39 @@ def test_running_totals_exact_for_any_range_size(ray_session, tmp_path):
         assert np.array_equal(out["cum_tokens"].to_numpy(), want_cum)
         assert np.array_equal(out["example_id"].to_numpy(),
                               (want_cum - want_n) // 50)
+
+
+def test_funnel_boundaries_strict_after_and_inclusive_end(ray_session,
+                                                          tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.analytics import funnel_conversions
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [
+        # u1: b exactly at t_a -> NOT converted (strictly after)
+        (1, base, "view"), (1, base, "purchase"),
+        # u2: b exactly at t_a + T -> converted (inclusive end)
+        (2, base, "view"), (2, base + 3600 * s, "purchase"),
+        # u3: b one second past the window -> not converted
+        (3, base, "view"), (3, base + 3601 * s, "purchase"),
+        # u4: b before a -> not converted
+        (4, base + 10 * s, "view"), (4, base, "purchase"),
+        # u5: two a's, one b converts only the first
+        (5, base, "view"), (5, base + 2 * 3600 * s, "view"),
+        (5, base + 60 * s, "purchase"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+        "value": pa.array(np.zeros(len(rows))),
+    }), str(tmp_path / "events.parquet"))
+    out = funnel_conversions(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 2, 3, 4, 5]
+    assert out["n_a"].tolist() == [1, 1, 1, 1, 2]
+    assert out["n_converted"].tolist() == [0, 1, 0, 0, 1]
