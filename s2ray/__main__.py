@@ -15,6 +15,8 @@ Commands:
   pyramid    multi-level tile rollup (one scan) -> parquet
   quantiles  exact per-group quantiles of events.value -> json
   sample     deterministic stratified corpus sample -> parquet
+  chunk-dedup  cross-document duplicated-chunk removal -> cleaned parquet
+  split      deterministic train/val/test assignment -> parquet
 """
 
 from __future__ import annotations
@@ -86,6 +88,16 @@ def main(argv=None):
     sm.add_argument("--rate-bp", type=int, default=5000,
                     help="uniform basis-point rate applied to every source")
 
+    cd = sub.add_parser("chunk-dedup")
+    cd.add_argument("--out", required=True)
+    cd.add_argument("--chunk-tokens", type=int, default=50)
+    cd.add_argument("--min-docs", type=int, default=2)
+
+    sp = sub.add_parser("split")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--val-bp", type=int, default=500)
+    sp.add_argument("--test-bp", type=int, default=500)
+
     args = p.parse_args(argv)
     ray = _ensure_ray(args.num_cpus)
     try:
@@ -117,6 +129,18 @@ def main(argv=None):
             out = spatial_join_broadcast(ds, regions)
             out.write_parquet(args.out)
             print(json.dumps({"cmd": "cap-join", "out": args.out}))
+        elif args.cmd == "chunk-dedup":
+            from .pipelines.dedup import chunk_dedup
+
+            chunk_dedup(args.sf_dir, chunk_tokens=args.chunk_tokens,
+                        min_docs=args.min_docs).write_parquet(args.out)
+            print(json.dumps({"cmd": "chunk-dedup", "out": args.out}))
+        elif args.cmd == "split":
+            from .pipelines.sampling import split_corpus
+
+            split_corpus(args.sf_dir, val_bp=args.val_bp,
+                         test_bp=args.test_bp).write_parquet(args.out)
+            print(json.dumps({"cmd": "split", "out": args.out}))
         elif args.cmd == "media":
             from .stages.multimodal import media_stats
 
