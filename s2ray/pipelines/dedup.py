@@ -829,26 +829,34 @@ def minhash_lsh_pairs(ds, tau: float = 0.5, k: int = 3,
         })
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # one call per coarse partition; per-bucket pair emission inside
+        # one call per coarse partition; pair emission vectorized ACROSS
+        # buckets — one pass per distinct bucket SIZE (a handful), never
+        # one Python iteration per bucket
         empty = pd.DataFrame({"i": pd.Series(dtype=np.int64),
                               "j": pd.Series(dtype=np.int64),
                               "est_jaccard": pd.Series(dtype=np.float64)})
-        vc = df["band_key"].value_counts()
-        multi = vc[vc > 1].index
-        if len(multi) == 0:
+        if len(df) == 0:
             return empty
+        sub = df.drop_duplicates(["band_key", "doc"]) \
+            .sort_values(["band_key", "doc"])
+        bk = sub["band_key"].to_numpy()
+        docs = sub["doc"].to_numpy().astype(np.int64)
+        # one frombuffer over the concatenated blob, not one per row
+        sig_mat = np.frombuffer(b"".join(sub["sig"]), dtype=np.uint64) \
+            .reshape(len(sub), _N_PERM)
+        starts = np.concatenate([[0],
+                                 np.flatnonzero(bk[1:] != bk[:-1]) + 1])
+        counts = np.diff(np.concatenate([starts, [len(bk)]]))
         out = [empty]
-        sub = df[df["band_key"].isin(multi)]
-        for _key, grp in sub.groupby("band_key", sort=False):
-            d = grp.drop_duplicates("doc").sort_values("doc")
-            if len(d) < 2:
-                continue
-            docs = d["doc"].to_numpy()
-            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in d["sig"]])
-            ii, jj = np.triu_indices(len(docs), 1)
-            est = (sigs[ii] == sigs[jj]).mean(axis=1)
+        for c in np.unique(counts[counts >= 2]):
+            runs = starts[counts == c]
+            idx = runs[:, None] + np.arange(c)[None, :]      # (R, c)
+            ii, jj = np.triu_indices(int(c), 1)
+            I, J = idx[:, ii].ravel(), idx[:, jj].ravel()
+            est = (sig_mat[I] == sig_mat[J]).mean(axis=1)
             keep = est >= tau
-            out.append(pd.DataFrame({"i": docs[ii][keep], "j": docs[jj][keep],
+            out.append(pd.DataFrame({"i": docs[I][keep],
+                                     "j": docs[J][keep],
                                      "est_jaccard": est[keep]}))
         return pd.concat(out, ignore_index=True)
 
