@@ -930,32 +930,39 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
         })
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized ACROSS buckets: one pass per distinct bucket size,
+        # never one Python iteration per bucket (same shape as the
+        # minhash emitter)
         empty = pd.DataFrame({"i": pd.Series(dtype=np.int64),
                               "j": pd.Series(dtype=np.int64),
                               "hamming": pd.Series(dtype=np.int64)})
-        vc = df["bucket"].value_counts()
-        multi = vc[vc > 1].index
-        if len(multi) == 0:
+        if len(df) == 0:
             return empty
+        sub = df.drop_duplicates(["bucket", "doc"]) \
+            .sort_values(["bucket", "doc"])
+        bkt = sub["bucket"].to_numpy()
+        docs = sub["doc"].to_numpy().astype(np.int64)
+        # bias-decode via view+xor: int64 + 2**63 would silently
+        # promote to float64 and corrupt the low bits (bug caught by
+        # the simhash SQL oracle)
+        sims = (sub["sim"].to_numpy().astype(np.int64).view(np.uint64)
+                ^ np.uint64(1 << 63))
+        starts = np.concatenate([[0],
+                                 np.flatnonzero(bkt[1:] != bkt[:-1]) + 1])
+        counts = np.diff(np.concatenate([starts, [len(bkt)]]))
         out = [empty]
-        for _key, grp in df[df["bucket"].isin(multi)].groupby("bucket", sort=False):
-            d = grp.drop_duplicates("doc").sort_values("doc")
-            if len(d) < 2:
-                continue
-            docs = d["doc"].to_numpy()
-            # bias-decode via view+xor: int64 + 2**63 would silently
-            # promote to float64 and corrupt the low bits (bug caught by
-            # the simhash SQL oracle)
-            sims = (d["sim"].to_numpy().astype(np.int64).view(np.uint64)
-                    ^ np.uint64(1 << 63))
-            ii, jj = np.triu_indices(len(docs), 1)
-            x = sims[ii] ^ sims[jj]
+        for c in np.unique(counts[counts >= 2]):
+            runs = starts[counts == c]
+            idx = runs[:, None] + np.arange(c)[None, :]
+            ii, jj = np.triu_indices(int(c), 1)
+            I, J = idx[:, ii].ravel(), idx[:, jj].ravel()
+            x = sims[I] ^ sims[J]
             ham = np.zeros(len(x), dtype=np.int64)
             for _ in range(64):
                 ham += (x & np.uint64(1)).astype(np.int64)
                 x = x >> np.uint64(1)
             keep = ham <= max_hamming
-            out.append(pd.DataFrame({"i": docs[ii][keep], "j": docs[jj][keep],
+            out.append(pd.DataFrame({"i": docs[I][keep], "j": docs[J][keep],
                                      "hamming": ham[keep]}))
         return pd.concat(out, ignore_index=True)
 
