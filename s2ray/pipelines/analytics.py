@@ -180,8 +180,10 @@ def top_k_per_region(pages_ds, regions: dict, k: int = 3):
         lat = sphere.degrees_to_radians(batch["lat"].to_numpy(zero_copy_only=False))
         lng = sphere.degrees_to_radians(batch["lng"].to_numpy(zero_copy_only=False))
         rids = batch["region_id"].to_pandas()
-        qlat = np.array([math.radians(cs[r][0]) for r in rids])
-        qlng = np.array([math.radians(cs[r][1]) for r in rids])
+        qlat = rids.map({r: math.radians(v[0])
+                         for r, v in cs.items()}).to_numpy(dtype=np.float64)
+        qlng = rids.map({r: math.radians(v[1])
+                         for r, v in cs.items()}).to_numpy(dtype=np.float64)
         d = sphere.haversine_distance_m(lat, lng, qlat, qlng)
         return batch.append_column("dist_m", pa.array(d, type=pa.float64()))
 
