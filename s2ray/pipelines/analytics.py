@@ -165,12 +165,14 @@ def top_k_per_region(pages_ds, regions: dict, k: int = 3):
     from ..kernel import sphere
     from .spatial_join import spatial_join_broadcast
 
-    centers = {}
+    # radian center dicts built ONCE and shipped via ray.put (not rebuilt
+    # per batch)
+    centers_rad = {}
     for rid, region in regions.items():
         axis = region.get_cap_bound().axis
         lat, lng = sphere.xyz_to_latlng(*axis)
-        centers[rid] = (math.degrees(float(lat)), math.degrees(float(lng)))
-    centers_ref = ray.put(centers)
+        centers_rad[rid] = (float(lat), float(lng))
+    centers_ref = ray.put(centers_rad)
 
     joined = spatial_join_broadcast(pages_ds, regions,
                                     keep_cols=("page_id", "lat", "lng"))
@@ -180,10 +182,15 @@ def top_k_per_region(pages_ds, regions: dict, k: int = 3):
         lat = sphere.degrees_to_radians(batch["lat"].to_numpy(zero_copy_only=False))
         lng = sphere.degrees_to_radians(batch["lng"].to_numpy(zero_copy_only=False))
         rids = batch["region_id"].to_pandas()
-        qlat = rids.map({r: math.radians(v[0])
-                         for r, v in cs.items()}).to_numpy(dtype=np.float64)
-        qlng = rids.map({r: math.radians(v[1])
-                         for r, v in cs.items()}).to_numpy(dtype=np.float64)
+        qlat = rids.map({r: v[0] for r, v in cs.items()}) \
+            .to_numpy(dtype=np.float64)
+        qlng = rids.map({r: v[1] for r, v in cs.items()}) \
+            .to_numpy(dtype=np.float64)
+        if np.isnan(qlat).any():
+            # .map yields NaN for unknown keys; fail loudly like the old
+            # per-row dict access did instead of silently dropping rows
+            bad = rids[np.isnan(qlat)].iloc[0]
+            raise KeyError(f"region_id {bad!r} has no center")
         d = sphere.haversine_distance_m(lat, lng, qlat, qlng)
         return batch.append_column("dist_m", pa.array(d, type=pa.float64()))
 
@@ -404,8 +411,7 @@ def funnel_conversions(sf_dir: str, a: str = "view", b: str = "purchase",
             "user_id": batch["user_id"],
             "ts_us": pa.array(batch["ts"].to_numpy(zero_copy_only=False)
                               .astype("datetime64[us]").astype(np.int64)),
-            "is_a": pa.array((np.asarray(batch["event_type"].to_pandas(),
-                                         dtype=object) == a)),
+            "is_a": pa.array(et[keep] == a),
             "part": pa.array((uid % n_parts).astype(np.int32)),
         })
 
@@ -422,13 +428,28 @@ def funnel_conversions(sf_dir: str, a: str = "view", b: str = "purchase",
         codes, inv = np.unique(uid, return_inverse=True)
         t0 = ts.min()
         off = ts - t0
-        span = int(off.max()) + T + 2      # no cross-user key bleed
-        bkey = np.sort(inv[~is_a] * span + off[~is_a])
-        ua, ta = inv[is_a], off[is_a]
-        lo = np.searchsorted(bkey, ua * span + ta + 1)
-        hi = np.searchsorted(bkey, ua * span
-                             + np.minimum(ta + T, span - 2), side="right")
-        conv = hi > lo
+        # span = off.max() + T + 2 guarantees ta + T <= span - 2, so keys
+        # of different users never interleave
+        span = int(off.max()) + T + 2
+        # user-code * span must stay inside int64; process users in code
+        # chunks when a partition's (users x time-span) product would
+        # overflow (each chunk re-bases codes at 0)
+        users_per_chunk = max(1, ((1 << 62) - 1) // span)
+        conv = np.zeros(int(is_a.sum()), dtype=bool)
+        ua_all, ta_all = inv[is_a], off[is_a]
+        ub_all, tb_all = inv[~is_a], off[~is_a]
+        for c0 in range(0, len(codes), users_per_chunk):
+            c1 = c0 + users_per_chunk
+            am = (ua_all >= c0) & (ua_all < c1)
+            bm = (ub_all >= c0) & (ub_all < c1)
+            if not am.any() or not bm.any():
+                continue
+            bkey = np.sort((ub_all[bm] - c0) * span + tb_all[bm])
+            base = (ua_all[am] - c0) * span + ta_all[am]
+            lo = np.searchsorted(bkey, base + 1)
+            hi = np.searchsorted(bkey, base + T, side="right")
+            conv[am] = hi > lo
+        ua = ua_all
         n_a = np.bincount(ua, minlength=len(codes)).astype(np.int64)
         n_c = np.bincount(ua[conv], minlength=len(codes)).astype(np.int64)
         sel = n_a > 0
@@ -488,8 +509,11 @@ def running_token_totals(sf_dir: str, budget: int = 2000,
             "range_id": pa.array(ids // G),
         })
 
+    # materialize the COMPACT rows (24 B/doc — not the text) so the
+    # expensive full-text token-count scan runs exactly once; both the
+    # range-partial pass and the final co-partition read this
     compact = ds.map_batches(counts, batch_format="pyarrow",
-                             batch_size=None)
+                             batch_size=None).materialize()
 
     def range_partial(batch: pa.Table) -> pa.Table:
         r = batch["range_id"].to_numpy(zero_copy_only=False)

@@ -490,3 +490,46 @@ def test_funnel_boundaries_strict_after_and_inclusive_end(ray_session,
     assert out["user_id"].tolist() == [1, 2, 3, 4, 5]
     assert out["n_a"].tolist() == [1, 1, 1, 1, 2]
     assert out["n_converted"].tolist() == [0, 1, 0, 0, 1]
+
+
+def test_funnel_chunked_key_path_matches_duckdb(ray_session, tmp_path):
+    """Force the users-per-chunk overflow guard: one hash partition with
+    enough distinct users x a year-wide time span that user*span keys
+    would not fit int64 in a single pass."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.analytics import funnel_conversions
+
+    rng = np.random.RandomState(9)
+    n_users = 200_000
+    uid = (np.arange(n_users, dtype=np.int64) * 64)      # all in part 0
+    year_us = 365 * 24 * 3600 * 1_000_000
+    ta = rng.randint(0, year_us, size=n_users)
+    # half the users get a purchase at a random lag around the 1h window
+    has_b = rng.rand(n_users) < 0.5
+    lag = rng.randint(1, 2 * 3600 * 1_000_000, size=n_users)
+    rows_uid = np.concatenate([uid, uid[has_b]])
+    rows_ts = np.concatenate([ta, (ta + lag)[has_b]])
+    rows_et = np.array(["view"] * n_users + ["purchase"] * int(has_b.sum()),
+                       dtype=object)
+    base = np.int64(1704067200) * 1_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(rows_uid)), type=pa.int64()),
+        "ts": pa.array((base + rows_ts).astype("datetime64[us]")),
+        "user_id": pa.array(rows_uid, type=pa.int64()),
+        "event_type": pa.array(rows_et, type=pa.string()),
+        "value": pa.array(np.zeros(len(rows_uid))),
+    }), str(tmp_path / "events.parquet"))
+    out = funnel_conversions(str(tmp_path)).to_pandas()
+    got = int(out["n_converted"].sum())
+    want = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet(?) e WHERE e.event_type='view' "
+        "AND EXISTS (SELECT 1 FROM read_parquet(?) b WHERE "
+        "b.user_id = e.user_id AND b.event_type = 'purchase' AND "
+        "epoch_us(b.ts) > epoch_us(e.ts) AND "
+        "epoch_us(b.ts) <= epoch_us(e.ts) + 3600000000)",
+        [str(tmp_path / "events.parquet")] * 2).fetchone()[0]
+    assert len(out) == n_users
+    assert got == int(want) > 0
