@@ -271,6 +271,16 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
     build_ds = ray.data.from_arrow(build_tbl)
     both = probe.union(build_ds)
 
+    # arrow output schema (types taken from the probe input's own schema):
+    # Arrow blocks carry exact sizes, so Ray's pandas block-size estimator
+    # (which np.vectorize-s over empty object columns and logs one error
+    # per empty group) never runs, and every block — including empties —
+    # has one stable schema
+    in_schema = pages_ds.schema()
+    in_types = dict(zip(in_schema.names, in_schema.types))
+    out_schema = pa.schema([(c, in_types.get(c, pa.string()))
+                            for c in cols] + [("region_id", pa.string())])
+
     def pair_group(df, index_ref=index_ref):
         import pandas as pd
 
@@ -281,8 +291,7 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
         builds = df[df["side"] == 0]
         probes = df[df["side"] == 1]
         if len(builds) == 0 or len(probes) == 0:
-            return pd.DataFrame({c: pd.Series(dtype=df[c].dtype if c in df else object)
-                                 for c in cols} | {"region_id": pd.Series(dtype=object)})
+            return out_schema.empty_table()
         outs = []
         lat = probes["lat"].to_numpy()
         lng = probes["lng"].to_numpy()
@@ -293,12 +302,10 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
                 hit["region_id"] = rid
                 outs.append(hit)
         if not outs:
-            # typed empty frame: mixed-schema RefBundles trip Ray's schema
-            # dedup and can mis-type downstream blocks
-            return pd.DataFrame(
-                {c: pd.Series(dtype=df[c].dtype if c in df else object)
-                 for c in cols} | {"region_id": pd.Series(dtype=object)})
-        return pd.concat(outs, ignore_index=True)
+            return out_schema.empty_table()
+        out = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .cast(out_schema)
 
     return (
         both.groupby(["cell_key", "salt_id"])
