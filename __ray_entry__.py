@@ -14,6 +14,8 @@ the s2ray library) calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+from s2ray.sources.readers import read_table
+
 from collections.abc import Callable
 from typing import Any
 
@@ -203,8 +205,7 @@ def _q_near_dup_pairs(sf_dir: str):
 
     from s2ray.pipelines.dedup import near_dup_pairs_exact
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return near_dup_pairs_exact(ds, tau=NEAR_DUP_TAU)
 
 
@@ -213,8 +214,7 @@ def _q_minhash_pairs(sf_dir: str):
 
     from s2ray.pipelines.dedup import minhash_lsh_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, tau=NEAR_DUP_TAU)
 
 
@@ -223,8 +223,7 @@ def _q_simhash_pairs(sf_dir: str):
 
     from s2ray.pipelines.dedup import simhash_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
 
 
@@ -233,8 +232,7 @@ def _q_near_dup_clusters(sf_dir: str):
 
     from s2ray.pipelines.dedup import near_dup_clusters
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return near_dup_clusters(ds, tau=NEAR_DUP_TAU)
 
 
@@ -302,10 +300,8 @@ def _q_emb_norm_by_lang(sf_dir: str):
 
     from s2ray.pipelines.join import copartition_hash_join
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "lang"])
-    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                 columns=["vec_id", "embedding"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    embs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     joined = copartition_hash_join(docs, embs, on="doc_id",
                                    right_on="vec_id")
 
@@ -471,8 +467,7 @@ def _q_new_docs(sf_dir: str):
     from s2ray.pipelines.text import fingerprint
     from s2ray.sources.pages import read_pages
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     dfp = docs.map_batches(fingerprint, batch_format="pyarrow",
                            batch_size=None)
     pfp = (read_pages(sf_dir)
@@ -502,8 +497,7 @@ def _q_token_counts(sf_dir: str):
 
     from s2ray.pipelines.text import token_counts
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(token_counts, batch_format="pyarrow",
                           batch_size=None)
 
@@ -568,8 +562,7 @@ def _q_text_stats(sf_dir: str):
 
     from s2ray.pipelines.text import text_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text_stats, batch_format="pyarrow")
 
 
@@ -578,8 +571,7 @@ def _q_quality(sf_dir: str):
 
     from s2ray.pipelines.text import quality_score
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(quality_score, batch_format="pyarrow")
 
 
@@ -588,8 +580,7 @@ def _q_lang_id(sf_dir: str):
 
     from s2ray.pipelines.text import lang_id_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(lang_id_batch,
                           batch_format="pyarrow").select_columns(
         ["doc_id", "lang_pred", "lang_conf"])
@@ -600,8 +591,7 @@ def _q_fingerprint(sf_dir: str):
 
     from s2ray.pipelines.text import fingerprint
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(fingerprint, batch_format="pyarrow")
 
 

@@ -26,6 +26,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Pages replication: sf0.1 documents (5k rows) x 100 -> 500k synthetic pages.
 REPL = int(os.environ.get("GRAFT_PAGES_REPL", "100"))
 
+from s2ray.sources.readers import read_table  # noqa: E402  (schema-clean reads)
+
 
 def _init_ray():
     import ray
@@ -169,7 +171,7 @@ def run_bench():
         import ray.data
         from s2ray.pipelines.dedup import minhash_lsh_pairs
 
-        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+        ds = read_table(SF_DIR, "documents",
                                    columns=["doc_id", "text"])
         return minhash_lsh_pairs(ds, tau=0.5).count()
 
@@ -186,7 +188,7 @@ def run_bench():
         import ray.data
         from s2ray.pipelines.dedup import near_dup_pairs_exact
 
-        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+        ds = read_table(SF_DIR, "documents",
                                    columns=["doc_id", "text"])
         return near_dup_pairs_exact(ds, tau=0.5).count()
 

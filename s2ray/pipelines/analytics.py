@@ -8,6 +8,8 @@ first, so the shuffle moves only (key, partial) rows.
 from __future__ import annotations
 
 import numpy as np
+
+from ..sources.readers import read_table
 import pandas as pd
 import pyarrow as pa
 
@@ -67,8 +69,7 @@ def events_hourly(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type", "value"])
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -115,8 +116,7 @@ def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 1800):
     from ray.data.aggregate import Sum
 
     n_windows = window_s // slide_s
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type"])
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ts_s = batch["ts"].to_numpy(zero_copy_only=False).astype(
@@ -219,8 +219,7 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, n_parts: int = 64):
     """
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts"])
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
     def add_part(batch: pa.Table) -> pa.Table:
         # drop the parquet 'pandas' schema metadata: Ray's shuffle schema
@@ -338,8 +337,7 @@ def embedding_centroids(sf_dir: str, ndigits: int = 4):
     import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["label", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
         labels = batch["label"].to_numpy(zero_copy_only=False)
@@ -398,8 +396,7 @@ def funnel_conversions(sf_dir: str, a: str = "view", b: str = "purchase",
     import ray.data
 
     T = int(within_s) * 1_000_000          # event ts is timestamp[us]
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts", "event_type"])
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
     def add_part(batch: pa.Table) -> pa.Table:
         batch = batch.replace_schema_metadata(None)
@@ -496,8 +493,7 @@ def running_token_totals(sf_dir: str, budget: int = 2000,
     from ..state.bcast import cached_get
 
     G = int(range_size)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[id_col, text_col])
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
 
     def counts(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -616,8 +612,7 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
     def read():
         if make_ds is not None:
             return make_ds()
-        return ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                                     columns=[group_col, value_col])
+        return read_table(sf_dir, "events", columns=[group_col, value_col])
 
     qs = list(qs)
 
@@ -750,8 +745,7 @@ def interval_join(sf_dir: str, windows):
     ws = np.array([int(w[1]) * 1_000_000 for w in windows], dtype=np.int64)
     we = np.array([int(w[2]) * 1_000_000 for w in windows], dtype=np.int64)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "ts"])
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
 
     def probe(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False) \
@@ -780,8 +774,7 @@ def distinct_users(sf_dir: str, group_col: str = "event_type",
     """
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=[group_col, id_col])
+    ds = read_table(sf_dir, "events", columns=[group_col, id_col])
 
     def partial(batch: pa.Table) -> pa.Table:
         return _grouped_blob_partial(batch, group_col, id_col,
@@ -869,8 +862,7 @@ def distinct_users_hll(sf_dir: str, group_col: str = "event_type",
     """
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=[group_col, id_col])
+    ds = read_table(sf_dir, "events", columns=[group_col, id_col])
 
     def partial(batch: pa.Table) -> pa.Table:
         return _grouped_blob_partial(batch, group_col, id_col,

@@ -19,6 +19,8 @@ schema-stable; the residual warning is upstream.
 from __future__ import annotations
 
 import numpy as np
+
+from ..sources.readers import read_table
 import pyarrow as pa
 
 
@@ -70,8 +72,7 @@ def knn_embeddings(sf_dir: str, query_ids: list[int], k: int = 10):
             "sim": pa.array(out_s, type=pa.float64()),
         })
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
     def global_topk(df):
@@ -160,8 +161,7 @@ def lsh_knn(sf_dir: str, query_ids: list[int], k: int = 10,
             "sim": pa.array(out_s, type=pa.float64()),
         })
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
     def global_topk(df):
@@ -245,8 +245,7 @@ def ivf_knn(sf_dir: str, query_ids: list[int], k: int = 10,
     q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
     state_ref = ray.put((q_ids, q_mat, cent, q_probe))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def stage(batch: pa.Table, state_ref=state_ref) -> pa.Table:
         q_ids, q_mat, cent, q_probe = ray.get(state_ref)

@@ -23,6 +23,8 @@ Python hash()), so signatures are identical across workers and runs.
 from __future__ import annotations
 
 import numpy as np
+
+from ..sources.readers import read_table
 import pyarrow as pa
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
@@ -510,8 +512,7 @@ def corpus_dedup_keep(sf_dir: str, tau: float = 0.5, k: int = 3,
 
     from .text import lang_id_batch, quality_score
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def keep_mask(batch: pa.Table) -> pa.Table:
         q = quality_score(batch)
@@ -581,8 +582,7 @@ def decontaminate(sf_dir: str, eval_mod: int = 97, k: int = 3,
     from ..state.bcast import cached_get
     from .text import round_half_away
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[id_col, text_col])
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
 
     def eval_shingles(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -672,8 +672,7 @@ def chunk_dedup(sf_dir: str, chunk_tokens: int = 50, min_docs: int = 2,
     from .text import _chunk_arrays, _string_array
 
     C = int(chunk_tokens)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[id_col, text_col])
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
 
     def _digests(txt: pa.Array) -> list[bytes]:
         # the exact_dedup content-digest contract; chunk texts never null
@@ -1006,8 +1005,7 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.45):
             "j": pa.array(vec_ids[cc[keep]], type=pa.int64()),
         })
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
 
@@ -1070,8 +1068,7 @@ def embedding_near_dup_lsh(sf_dir: str, tau: float = 0.45,
         keep = sims[ii, jj] >= tau
         return pd.DataFrame({"i": ids[ii][keep], "j": ids[jj][keep]})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return (
         ds.map_batches(to_buckets, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")

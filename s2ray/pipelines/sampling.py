@@ -11,6 +11,8 @@ arithmetic, so the operator is SQL-oracle-checkable end to end.
 from __future__ import annotations
 
 import numpy as np
+
+from ..sources.readers import read_table
 import pyarrow as pa
 
 _MIX = 0x9E3779B97F4A7C15   # 2^64 / phi (splitmix64 / Fibonacci hashing)
@@ -38,7 +40,7 @@ def sample_corpus(sf_dir: str, rates_bp: dict[str, int],
     import ray
 
     cols = sorted(set(keep_cols) | {"doc_id", "source"})
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    ds = read_table(sf_dir, "documents", columns=cols)
     keep_list = list(keep_cols)
 
     def stage(batch: pa.Table) -> pa.Table:
@@ -71,8 +73,7 @@ def sample_n_per_group(sf_dir: str, n: int = 10, group_col: str = "lang",
     shuffle moves at most n rows per (group, batch)."""
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[id_col, group_col])
+    ds = read_table(sf_dir, "documents", columns=[id_col, group_col])
 
     def local_topn(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -125,8 +126,7 @@ def split_corpus(sf_dir: str, val_bp: int = 500, test_bp: int = 500,
     """
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[id_col])
+    ds = read_table(sf_dir, "documents", columns=[id_col])
     labels = np.array(["test", "val", "train"], dtype=object)
 
     def stage(batch: pa.Table) -> pa.Table:

@@ -16,6 +16,8 @@ oracle (see __ray_entry__.oracle_sql and s2ray/functions/sqlgen.py):
 from __future__ import annotations
 
 import numpy as np
+
+from ..sources.readers import read_table
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -381,8 +383,7 @@ def vocab_top_k(sf_dir: str, k: int = 100, lower: bool = True,
     import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[text_col])
+    ds = read_table(sf_dir, "documents", columns=[text_col])
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = _string_array(batch[text_col])
@@ -435,8 +436,7 @@ def token_doc_freq(sf_dir: str, k: int = 100, lower: bool = True,
 
     import functools
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[text_col])
+    ds = read_table(sf_dir, "documents", columns=[text_col])
 
     partial = functools.partial(_df_partial, text_col=text_col, lower=lower)
     agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -472,12 +472,10 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, lower: bool = True,
 
     import functools
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[id_col, text_col])
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
     # pass 1 only needs the text column — read a separate projection so
     # the full-corpus DF scan never decodes/ships doc ids
-    ds_text = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                    columns=[text_col])
+    ds_text = read_table(sf_dir, "documents", columns=[text_col])
 
     partial_df = functools.partial(_df_partial, text_col=text_col,
                                    lower=lower)
@@ -546,8 +544,7 @@ def repetition_stats(sf_dir: str, text_col: str = "text",
     from .dedup import (_hash_tokens_batch, _mod61, _mulmod61_small,
                         _SHINGLE_Q)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[id_col, text_col])
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
 
     def stats(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -601,8 +598,7 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 100,
     import ray.data
 
     C = int(chunk_tokens)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[id_col, text_col])
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
 
     def chunks(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -671,8 +667,7 @@ def rare_token_stats(sf_dir: str, q: float = 0.2, lower: bool = True,
     from ..state.bcast import cached_get
     from .dedup import _poly_token_hash_array
 
-    ds_text = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                    columns=[text_col])
+    ds_text = read_table(sf_dir, "documents", columns=[text_col])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         texts = _string_array(batch[text_col])
@@ -699,8 +694,7 @@ def rare_token_stats(sf_dir: str, q: float = 0.2, lower: bool = True,
         rare = np.empty(0, dtype=np.int64)
     rare_ref = ray.put(rare)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[id_col, text_col])
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
 
     def score(batch: pa.Table, rare_ref=rare_ref) -> pa.Table:
         rr = cached_get(rare_ref)
@@ -742,8 +736,7 @@ def normalize_text(sf_dir: str, id_col: str = "doc_id",
     import ray
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[id_col, text_col])
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
 
     def stage(batch: pa.Table) -> pa.Table:
         t = _string_array(batch[text_col])
@@ -778,8 +771,7 @@ def quality_median_filter(sf_dir: str):
     from .analytics import group_quantiles
 
     def make_ds():
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                   columns=["doc_id", "lang", "text"])
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
         def with_quality(batch: pa.Table) -> pa.Table:
             q = quality_score(batch)
@@ -825,8 +817,7 @@ def heavy_hitters(sf_dir: str, k: int = 100, width: int = 1024,
     import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=[text_col])
+    ds = read_table(sf_dir, "documents", columns=[text_col])
 
     def mg_partial(batch: pa.Table) -> pa.Table:
         texts = _string_array(batch[text_col])

@@ -172,6 +172,10 @@ def read_pages(sf_dir: str, repl: int = 1, num_blocks: int | None = None,
         ds = ray.data.from_arrow(slices)
     else:
         ds = ray.data.read_parquet(path, columns=cols,
+                                   schema=pa.schema(
+                                       [pq.read_schema(path)
+                                        .remove_metadata().field(c)
+                                        for c in cols]),
                                    override_num_blocks=num_blocks,
                                    **read_kwargs)
     return ds.map_batches(

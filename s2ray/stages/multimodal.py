@@ -21,6 +21,8 @@ codec state loads once per actor.
 from __future__ import annotations
 
 import numpy as np
+
+from ..sources.readers import read_table
 import pyarrow as pa
 
 from ..pipelines.dedup import fnv1a_bytes
@@ -64,7 +66,7 @@ def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
 def read_media(sf_dir: str, payload_bytes: int = 4096):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
     return ds.map_batches(synth_media_batch,
                           fn_kwargs={"payload_bytes": payload_bytes},
                           batch_format="pyarrow")
