@@ -533,3 +533,50 @@ def test_funnel_chunked_key_path_matches_duckdb(ray_session, tmp_path):
         [str(tmp_path / "events.parquet")] * 2).fetchone()[0]
     assert len(out) == n_users
     assert got == int(want) > 0
+
+
+def test_round_half_away_matches_duckdb_on_fuzz_and_ties():
+    import duckdb
+
+    from s2ray.pipelines.text import round_half_away
+
+    rng = np.random.RandomState(17)
+    vals = np.concatenate([
+        rng.uniform(-1, 1, 2000),
+        rng.uniform(-1e6, 1e6, 2000),
+        # exact dyadic ties at the 6th decimal: k / 2^a scaled
+        np.array([10 / 256, 1 / 128, 3 / 8192, -10 / 256, 5 / 64]),
+        np.array([0.0, -0.0, 1.0000005, -1.0000005]),
+    ])
+    got = round_half_away(vals, 6)
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT round(v, 6) FROM (SELECT unnest(?) AS v)",
+        [vals.tolist()]).df().iloc[:, 0].to_numpy()
+    assert np.array_equal(got, want), \
+        np.argwhere(got != want)[:5]
+
+
+def test_clz64_matches_bit_length():
+    from s2ray.pipelines.analytics import _clz64
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([
+        np.array([1, 2, 3, (1 << 63), (1 << 64) - 1, 5], dtype=np.uint64),
+        rng.randint(1, 1 << 62, 5000).astype(np.uint64),
+    ])
+    got = _clz64(vals)
+    want = np.array([64 - int(v).bit_length() for v in vals])
+    assert np.array_equal(got, want)
+
+
+def test_sorted_membership_matches_isin():
+    from s2ray.pipelines.join import _sorted_membership
+
+    rng = np.random.RandomState(4)
+    keys = np.unique(rng.randint(-10**12, 10**12, 3000).astype(np.int64))
+    probe = rng.randint(-10**12, 10**12, 5000).astype(np.int64)
+    probe[:500] = keys[rng.randint(0, len(keys), 500)]    # guaranteed hits
+    assert np.array_equal(_sorted_membership(keys, probe),
+                          np.isin(probe, keys))
+    assert not _sorted_membership(np.empty(0, np.int64), probe).any()
