@@ -83,3 +83,163 @@ def parse_wav(data: bytes) -> dict | None:
             "n_samples": n_samples,
             "duration_ms": int(n_samples * 1000 // rate),
             "format": "audio/wav"}
+
+
+# ---------------------------------------------------------------------------
+# Full pixel codec (pure python + numpy + stdlib zlib) — REAL image bytes,
+# no PIL needed.  Supports 8-bit greyscale (color_type 0), RGB (2) and
+# RGBA (6), no interlace; all five PNG row filters are decoded (None/Sub/
+# Up vectorized; Average/Paeth scalar per byte — fixture-sized images).
+
+import numpy as np
+
+_BPP = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(pixels, row_filters=None) -> bytes:
+    """Encode an (h, w) or (h, w, c) uint8 array as a real PNG byte string.
+
+    row_filters: optional per-row PNG filter ids (0..4) — used by tests to
+    exercise every decoder path; default all 0 (None filter).
+    """
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        row = px[y].reshape(-1)
+        f = 0 if row_filters is None else int(row_filters[y])
+        raw.append(f)
+        if f == 0:
+            out = row
+        elif f == 1:      # Sub
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            out = row - left
+        elif f == 2:      # Up
+            out = row - prev
+        elif f == 3:      # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            out = row - ((left.astype(np.uint16)
+                          + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        elif f == 4:      # Paeth
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            out = row - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw.extend(out.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (a=left, b=up, c=upper-left)."""
+    ai, bi, ci = (x.astype(np.int16) for x in (a, b, c))
+    p = ai + bi - ci
+    pa_, pb, pc_ = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+    out = np.where((pa_ <= pb) & (pa_ <= pc_), a,
+                   np.where(pb <= pc_, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes):
+    """Full pixel decode of an 8-bit non-interlaced PNG.
+
+    Returns (meta dict, (h, w, c) uint8 array) or None if the bytes are
+    not a decodable PNG (bad magic/CRC, truncated IDAT, exotic format).
+    """
+    meta = parse_png(data)
+    if meta is None or meta["bit_depth"] != 8 \
+            or meta["color_type"] not in _BPP:
+        return None
+    w, h = meta["width"], meta["height"]
+    c = _BPP[meta["color_type"]]
+    # walk chunks, concatenating IDAT payloads
+    pos = 8
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        sz = struct.unpack(">I", data[pos:pos + 4])[0]
+        ctype = data[pos + 4:pos + 8]
+        if ctype == b"IDAT":
+            idat.extend(data[pos + 8:pos + 8 + sz])
+        if ctype == b"IEND":
+            break
+        pos += 12 + sz
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:]
+    px = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        r = rows[y]
+        if f == 0:
+            row = r.copy()
+        elif f == 1:      # Sub: per-lane prefix sum mod 256
+            row = r.reshape(-1, c).astype(np.uint64).cumsum(axis=0) \
+                .astype(np.uint8).reshape(-1)
+        elif f == 2:      # Up
+            row = r + prev
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            row = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = row[x - c] if x >= c else np.uint8(0)
+                up = prev[x]
+                if f == 3:
+                    pred = (int(left) + int(up)) // 2
+                else:
+                    ul = prev[x - c] if x >= c else np.uint8(0)
+                    pred = int(_paeth(np.array([left]), np.array([up]),
+                                      np.array([ul]))[0])
+                row[x] = np.uint8((int(r[x]) + pred) % 256)
+        else:
+            return None
+        px[y] = row
+        prev = row
+    return meta, px.reshape(h, w, c)
+
+
+def decode_wav(data: bytes):
+    """Returns (meta, int16 sample array (n, channels)) or None."""
+    meta = parse_wav(data)
+    if meta is None or meta["bits"] != 16:
+        return None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        sz = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if cid == b"data":
+            body = data[pos + 8:pos + 8 + sz]
+            n = len(body) // 2 // meta["channels"] * meta["channels"]
+            samples = np.frombuffer(body[:n * 2], dtype="<i2") \
+                .reshape(-1, meta["channels"])
+            return meta, samples
+        pos += 8 + sz + (sz & 1)
+    return None
+
+
+def resize_nearest(pixels: np.ndarray, max_dim: int) -> np.ndarray:
+    """Aspect-preserving nearest-neighbor downscale to fit max_dim
+    (no-op when already within bounds)."""
+    h, w = pixels.shape[:2]
+    if max(h, w) <= max_dim:
+        return pixels
+    scale = max_dim / max(h, w)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    yi = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
+    return pixels[yi][:, xi]

@@ -1,17 +1,18 @@
 """Multimodal (image/audio/video) actor-pool stages.
 
-Media travels as opaque ``binary`` columns with typed metadata — the Ray-side
-plumbing (schema, batch sizing, actor signature, output layout) is real and
-tested; the actual codec work is stubbed because no image/audio libraries
-exist in this container:
+Media travels as opaque ``binary`` columns with typed metadata.  The
+image/audio path is REAL end-to-end with a pure-python + numpy + stdlib
+zlib codec (stages/codecs.py) — no PIL/soundfile needed:
 
-- with ``use_real_codec=True`` the stage uses PIL when the import-try gate
-  succeeds, else the pure-python HEADER codec (stages/codecs.py): synthetic
-  image/audio payloads carry real PNG / RIFF-WAVE container headers that
-  are parsed byte-exactly (pixel/PCM/mp4 decode stays out of scope);
-- the default deterministic fake derives metadata (dimensions, sample rate,
-  duration) from a stable hash of the payload bytes, so pipelines are fully
-  exercisable and reproducible.
+- synthetic payloads are complete decodable media: gradient PNGs (full
+  IDAT, CRC-correct chunks) and 16-bit PCM WAVs, padded to a fixed size;
+- with ``use_real_codec=True`` MediaDecodeStage uses PIL when the
+  import-try gate succeeds, else parses the real container headers;
+- MediaThumbnailStage decodes PIXELS (inflate + all five PNG filter
+  reconstructions), nearest-neighbor resizes, and re-encodes real PNG
+  thumbnails — tested bit-exact against a reference resize;
+- only video decode remains a deterministic fake (no mp4 codec in pure
+  python); its metadata derives from a stable hash of the payload.
 
 At 100 TB: payloads are large, so these stages want SMALL batch_size (payload
 bytes x batch_size x concurrency must fit worker heaps) and actor pools so
@@ -33,7 +34,7 @@ def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
 
     Deterministic payload derived from doc_id (repeatable across runs).
     """
-    from .codecs import build_png, build_wav
+    from .codecs import build_wav, encode_png
 
     doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
     types = ["image", "audio", "video"]
@@ -44,15 +45,28 @@ def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
         rng = np.random.RandomState(seed)
         body = rng.bytes(payload_bytes)
         t = types[int(i) % 3]
-        # image/audio payloads start with a REAL container header (pure-
-        # python builders) so the use_real_codec path has bytes to parse;
+        # image/audio payloads are REAL decodable media (pure-python
+        # codec): a complete gradient PNG / 16-bit PCM WAV followed by
+        # deterministic padding (parsers stop at IEND / the data chunk);
         # total size stays exactly payload_bytes
         if t == "image":
-            head = build_png(64 + seed % 1920, 64 + (seed >> 16) % 1080)
+            h = 12 + seed % 36
+            w = 16 + (seed >> 8) % 48
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([(yy * 5 + seed) % 256, (xx * 7 + (seed >> 8)) % 256,
+                           (yy + xx + (seed >> 16)) % 256],
+                          axis=2).astype(np.uint8)
+            head = encode_png(px)
+            if len(head) > payload_bytes:   # incompressible corner: shrink
+                head = encode_png(px[:8, :8])
             body = head + body[len(head):]
         elif t == "audio":
             rate = (8000, 16000, 44100)[seed % 3]
-            head = build_wav(rate, rate * (1 + seed % 30))
+            n = 64 + seed % 192
+            samples = ((np.arange(n) * (3 + seed % 17)) % 4096 - 2048) \
+                .astype("<i2").reshape(-1, 1)
+            head = build_wav(rate, n, include_data=True)
+            head = head[:len(head) - 2 * n] + samples.tobytes()
             body = head + body[len(head):]
         payloads.append(body[:payload_bytes])
         mtypes.append(t)
@@ -216,6 +230,47 @@ class MediaResizeStage:
         out = out.append_column("out_height", pa.array(rh, type=pa.int32()))
         return out.append_column("thumb",
                                  pa.array(thumbs, type=pa.binary()))
+
+
+class MediaThumbnailStage:
+    """Actor-pool stage: REAL image thumbnails with the pure-python codec.
+
+    Decodes each PNG payload's pixels (stages/codecs.decode_png — full
+    IDAT inflate + per-filter reconstruction), nearest-neighbor downscales
+    into max_dim, and re-encodes a real PNG.  Output: (media_id,
+    out_width, out_height, thumb_png); non-image and undecodable rows are
+    dropped.  Actor pool so nothing re-imports per batch; small
+    batch_size keeps payload x batch x concurrency inside worker heaps.
+    """
+
+    def __init__(self, max_dim: int = 64):
+        from .codecs import decode_png, encode_png, resize_nearest
+
+        self.max_dim = int(max_dim)
+        self._decode, self._encode = decode_png, encode_png
+        self._resize = resize_nearest
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(batch["media_type"], "image")
+        batch = batch.filter(mask)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_ids, ws, hs, thumbs = [], [], [], []
+        for k, p in enumerate(batch["payload"].to_pandas()):
+            dec = self._decode(p)
+            if dec is None:
+                continue
+            _meta, px = dec
+            small = self._resize(px, self.max_dim)
+            out_ids.append(int(ids[k]))
+            hs.append(small.shape[0])
+            ws.append(small.shape[1])
+            thumbs.append(self._encode(small))
+        return pa.table({
+            "media_id": pa.array(out_ids, type=pa.int64()),
+            "out_width": pa.array(np.asarray(ws, dtype=np.int32)),
+            "out_height": pa.array(np.asarray(hs, dtype=np.int32)),
+            "thumb_png": pa.array(thumbs, type=pa.binary()),
+        })
 
 
 class FrameSampleStage:

@@ -580,3 +580,39 @@ def test_sorted_membership_matches_isin():
     assert np.array_equal(_sorted_membership(keys, probe),
                           np.isin(probe, keys))
     assert not _sorted_membership(np.empty(0, np.int64), probe).any()
+
+
+def test_png_codec_roundtrip_all_filters():
+    from s2ray.stages.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(1)
+    for c in (1, 3, 4):
+        px = rng.randint(0, 256, (13, 17, c)).astype(np.uint8)
+        arr = px[:, :, 0] if c == 1 else px
+        for filters in (None, [k % 5 for k in range(13)]):
+            meta, out = decode_png(encode_png(arr, row_filters=filters))
+            want = arr[:, :, None] if arr.ndim == 2 else arr
+            assert out.shape == want.shape and (out == want).all()
+            assert meta["width"] == 17 and meta["height"] == 13
+
+
+def test_media_thumbnails_are_real_decodable_pngs(ray_session):
+    from s2ray.stages.codecs import decode_png, resize_nearest
+    from s2ray.stages.multimodal import MediaThumbnailStage, read_media
+
+    ds = read_media(SF)
+    thumbs = ds.map_batches(MediaThumbnailStage, concurrency=(1, 2),
+                            fn_constructor_kwargs={"max_dim": 24},
+                            batch_size=128, batch_format="pyarrow")
+    df = thumbs.to_pandas()
+    src = {int(r["media_id"]): r["payload"]
+           for _, r in ds.to_pandas().iterrows()
+           if r["media_type"] == "image"}
+    assert len(df) == len(src) > 0       # every image decoded, none lost
+    for _, row in df.head(40).iterrows():
+        meta, px = decode_png(row["thumb_png"])   # thumbs are REAL PNGs
+        assert max(px.shape[:2]) <= 24
+        assert (px.shape[1], px.shape[0]) == (row["out_width"],
+                                              row["out_height"])
+        _, full = decode_png(src[int(row["media_id"])])
+        assert (px == resize_nearest(full, 24)).all()   # exact NN resize
