@@ -16,6 +16,7 @@ Commands:
   quantiles  exact per-group quantiles of events.value -> json
   sample     deterministic stratified corpus sample -> parquet
   chunk-dedup  cross-document duplicated-chunk removal -> cleaned parquet
+  thumbs     real PNG thumbnails (pure-python pixel codec) -> parquet
   split      deterministic train/val/test assignment -> parquet
 """
 
@@ -93,6 +94,10 @@ def main(argv=None):
     cd.add_argument("--chunk-tokens", type=int, default=50)
     cd.add_argument("--min-docs", type=int, default=2)
 
+    th = sub.add_parser("thumbs")
+    th.add_argument("--out", required=True)
+    th.add_argument("--max-dim", type=int, default=64)
+
     sp = sub.add_parser("split")
     sp.add_argument("--out", required=True)
     sp.add_argument("--val-bp", type=int, default=500)
@@ -135,6 +140,15 @@ def main(argv=None):
             chunk_dedup(args.sf_dir, chunk_tokens=args.chunk_tokens,
                         min_docs=args.min_docs).write_parquet(args.out)
             print(json.dumps({"cmd": "chunk-dedup", "out": args.out}))
+        elif args.cmd == "thumbs":
+            from .stages.multimodal import MediaThumbnailStage, read_media
+
+            (read_media(args.sf_dir)
+             .map_batches(MediaThumbnailStage, concurrency=(1, 4),
+                          fn_constructor_kwargs={"max_dim": args.max_dim},
+                          batch_size=128, batch_format="pyarrow")
+             .write_parquet(args.out))
+            print(json.dumps({"cmd": "thumbs", "out": args.out}))
         elif args.cmd == "split":
             from .pipelines.sampling import split_corpus
 
