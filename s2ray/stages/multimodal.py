@@ -309,7 +309,9 @@ def media_stats(sf_dir: str):
     from ray.data.aggregate import Count, Mean, Sum
 
     ds = read_media(sf_dir)
+    # real codec: payloads are complete decodable PNG/WAV media now
     decoded = ds.map_batches(MediaDecodeStage, concurrency=(1, 4),
+                             fn_constructor_kwargs={"use_real_codec": True},
                              batch_size=256, batch_format="pyarrow")
     return (
         decoded.groupby("media_type")
