@@ -344,6 +344,33 @@ def run_stage_stats():
     ray.shutdown()
 
 
+def run_suite_all():
+    """Time EVERY __ray_entry__.queries() entry on $GRAFT_SF_DIR (one
+    consume per query).  Diagnostic mode — not the headline bench; the
+    default 12-query set stays the BASELINE comparison surface."""
+    _init_ray()
+    import importlib
+    import ray
+
+    e = importlib.import_module("__ray_entry__")
+    qtimes = {}
+    total0 = time.time()
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        out = fn(SF_DIR)
+        _ = out.count() if hasattr(out, "count") else len(out)
+        qtimes[name] = round(time.time() - t0, 3)
+    print(json.dumps({
+        "metric": "suite_all_wall",
+        "value": round(time.time() - total0, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
@@ -351,5 +378,7 @@ if __name__ == "__main__":
         run_flagship_only()
     elif "--stage-stats" in sys.argv:
         run_stage_stats()
+    elif "--suite-all" in sys.argv:
+        run_suite_all()
     else:
         run_bench()
