@@ -271,14 +271,17 @@ def spatial_join_shuffle(pages_ds, regions: dict[str, object],
     build_ds = ray.data.from_arrow(build_tbl)
     both = probe.union(build_ds)
 
-    # arrow output schema (types taken from the probe input's own schema):
-    # Arrow blocks carry exact sizes, so Ray's pandas block-size estimator
-    # (which np.vectorize-s over empty object columns and logs one error
-    # per empty group) never runs, and every block — including empties —
-    # has one stable schema
-    in_schema = pages_ds.schema()
-    in_types = dict(zip(in_schema.names, in_schema.types))
-    out_schema = pa.schema([(c, in_types.get(c, pa.string()))
+    # arrow output schema: Arrow blocks carry exact sizes, so Ray's
+    # pandas block-size estimator (which np.vectorize-s over empty object
+    # columns and logs one error per empty group) never runs, and every
+    # block — including empties — has one stable schema.  Types come from
+    # the pages contract (input_hint), NOT pages_ds.schema() — calling
+    # .schema() on a lazy dataset eagerly executes upstream tasks at
+    # plan-construction time.
+    _contract = {"page_id": pa.int64(), "doc_id": pa.int64(),
+                 "lat": pa.float64(), "lng": pa.float64(),
+                 "cell_id": pa.uint64(), "warc_ts": pa.timestamp("us")}
+    out_schema = pa.schema([(c, _contract.get(c, pa.string()))
                             for c in cols] + [("region_id", pa.string())])
 
     def pair_group(df, index_ref=index_ref):

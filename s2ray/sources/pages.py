@@ -171,13 +171,10 @@ def read_pages(sf_dir: str, repl: int = 1, num_blocks: int | None = None,
         slices = [table.slice(i, step) for i in range(0, n, step)]
         ds = ray.data.from_arrow(slices)
     else:
-        ds = ray.data.read_parquet(path, columns=cols,
-                                   schema=pa.schema(
-                                       [pq.read_schema(path)
-                                        .remove_metadata().field(c)
-                                        for c in cols]),
-                                   override_num_blocks=num_blocks,
-                                   **read_kwargs)
+        from .readers import read_table
+
+        ds = read_table(sf_dir, "documents", columns=cols,
+                        override_num_blocks=num_blocks, **read_kwargs)
     return ds.map_batches(
         synth_pages_batch, fn_kwargs={"repl": repl}, batch_format="pyarrow",
         batch_size=None,

@@ -6,8 +6,9 @@ zlib codec (stages/codecs.py) — no PIL/soundfile needed:
 
 - synthetic payloads are complete decodable media: gradient PNGs (full
   IDAT, CRC-correct chunks) and 16-bit PCM WAVs, padded to a fixed size;
-- with ``use_real_codec=True`` MediaDecodeStage uses PIL when the
-  import-try gate succeeds, else parses the real container headers;
+- with ``use_real_codec=True`` MediaDecodeStage parses the real
+  container headers with the in-repo codec (no library gate: identical
+  results on every machine);
 - MediaThumbnailStage decodes PIXELS (inflate + all five PNG filter
   reconstructions), nearest-neighbor resizes, and re-encodes real PNG
   thumbnails — tested bit-exact against a reference resize;
@@ -25,6 +26,7 @@ import numpy as np
 
 from ..sources.readers import read_table
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..pipelines.dedup import fnv1a_bytes
 
@@ -93,17 +95,13 @@ class MediaDecodeStage:
     """
 
     def __init__(self, use_real_codec: bool = False):
-        self.codec = None
-        if use_real_codec:
-            try:
-                import PIL.Image  # noqa: F401
-
-                self.codec = "pil"
-            except ImportError:
-                # pure-python header codec: parses REAL PNG/WAV container
-                # headers byte-exactly (stages/codecs.py); pixel/PCM/mp4
-                # decode stays out of scope in this container
-                self.codec = "headers"
+        # the in-repo pure-python codec (stages/codecs.py) IS the real
+        # path: container parse + full pixel/PCM decode, identical on
+        # every machine.  Deliberately NOT gated on PIL — a library-
+        # dependent branch would make driver queries environment-dependent
+        # (and an unimplemented 'pil' marker used to silently fall through
+        # to the fake path).
+        self.codec = "headers" if use_real_codec else None
 
     def _decode_headers(self, batch: pa.Table) -> pa.Table:
         from .codecs import parse_png, parse_wav
@@ -210,7 +208,7 @@ class MediaResizeStage:
         return rw, rh
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pa.compute.equal(batch["media_type"], "image")
+        mask = pc.equal(batch["media_type"], "image")
         batch = batch.filter(mask)
         w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -251,7 +249,7 @@ class MediaThumbnailStage:
         self._resize = resize_nearest
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pa.compute.equal(batch["media_type"], "image")
+        mask = pc.equal(batch["media_type"], "image")
         batch = batch.filter(mask)
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
         out_ids, ws, hs, thumbs = [], [], [], []
@@ -270,6 +268,48 @@ class MediaThumbnailStage:
             "out_width": pa.array(np.asarray(ws, dtype=np.int32)),
             "out_height": pa.array(np.asarray(hs, dtype=np.int32)),
             "thumb_png": pa.array(thumbs, type=pa.binary()),
+        })
+
+
+class AudioStatsStage:
+    """Actor-pool stage: REAL PCM statistics from WAV payloads.
+
+    Decodes each audio payload's 16-bit samples (codecs.decode_wav) and
+    emits (media_id, sample_rate, n_samples, peak, rms) — deterministic
+    integer/float stats over the true PCM stream; non-audio and
+    undecodable rows are dropped.
+    """
+
+    def __init__(self):
+        from .codecs import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["media_type"], "audio")
+        batch = batch.filter(mask)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out = {"media_id": [], "sample_rate": [], "n_samples": [],
+               "peak": [], "rms": []}
+        for k, p in enumerate(batch["payload"].to_pandas()):
+            dec = self._decode(p)
+            if dec is None:
+                continue
+            meta, samples = dec
+            s = samples.astype(np.float64)
+            out["media_id"].append(int(ids[k]))
+            out["sample_rate"].append(meta["sample_rate"])
+            out["n_samples"].append(samples.shape[0])
+            out["peak"].append(int(np.abs(samples).max()) if samples.size
+                               else 0)
+            out["rms"].append(float(np.sqrt(np.mean(s * s)))
+                              if samples.size else 0.0)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], type=pa.int64()),
+            "sample_rate": pa.array(out["sample_rate"], type=pa.int32()),
+            "n_samples": pa.array(out["n_samples"], type=pa.int64()),
+            "peak": pa.array(out["peak"], type=pa.int32()),
+            "rms": pa.array(out["rms"], type=pa.float64()),
         })
 
 

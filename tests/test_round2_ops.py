@@ -616,3 +616,24 @@ def test_media_thumbnails_are_real_decodable_pngs(ray_session):
                                               row["out_height"])
         _, full = decode_png(src[int(row["media_id"])])
         assert (px == resize_nearest(full, 24)).all()   # exact NN resize
+
+
+def test_audio_stats_real_pcm(ray_session):
+    from s2ray.stages.codecs import decode_wav
+    from s2ray.stages.multimodal import AudioStatsStage, read_media
+
+    ds = read_media(SF)
+    stats = ds.map_batches(AudioStatsStage, concurrency=(1, 2),
+                           batch_size=128, batch_format="pyarrow") \
+        .to_pandas()
+    src = ds.to_pandas()
+    n_audio = int((src["media_type"] == "audio").sum())
+    assert len(stats) == n_audio > 0         # every audio row decoded
+    assert (stats["n_samples"] >= 64).all()
+    assert (stats["peak"] <= 2048).all() and (stats["rms"] > 0).all()
+    # cross-check one row against a direct decode
+    row = stats.iloc[0]
+    payload = src[src.media_id == row["media_id"]].iloc[0]["payload"]
+    meta, samples = decode_wav(payload)
+    assert meta["sample_rate"] == row["sample_rate"]
+    assert samples.shape[0] == row["n_samples"]
