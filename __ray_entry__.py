@@ -347,6 +347,18 @@ def _q_emb_norm_by_lang(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def _q_audio_stats(sf_dir: str):
+    """Real PCM statistics per audio payload (rows-only: binary media has
+    no SQL mirror; decode correctness is pytest-verified)."""
+    import ray.data
+
+    from s2ray.stages.multimodal import AudioStatsStage, read_media
+
+    return read_media(sf_dir).map_batches(
+        AudioStatsStage, concurrency=(1, 4), batch_size=256,
+        batch_format="pyarrow")
+
+
 def _q_media_stats(sf_dir: str):
     """Multimodal plumbing end-to-end (rows-only: synthetic binary payloads
     with real PNG/RIFF-WAVE headers, actor-pool decode, per-type rollup;
@@ -960,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         # multimodal
         "media_stats": _q_media_stats,
+        "audio_stats": _q_audio_stats,
         # similarity search
         "knn_embeddings": _q_knn_embeddings,
         "lsh_knn": _q_lsh_knn,
@@ -1734,7 +1747,8 @@ WHERE ql.quality >= m.med""",
         "fingerprint": fingerprint_oracle,
         "new_docs": new_docs_oracle,
         "corpus_keep": corpus_keep_sql,
-        # rows-only (not SQL-expressible): polygon_covering /
+        # rows-only (not SQL-expressible): audio_stats / media_stats (binary
+        # media payloads) / polygon_covering /
         # polyline_covering / covering_setops / boolean_covering /
         # region_relations (RegionCoverer + polygon algebra — verified by
         # pytest postcondition/containment suites), minhash_pairs /
