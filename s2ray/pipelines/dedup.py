@@ -712,9 +712,14 @@ def chunk_dedup(sf_dir: str, chunk_tokens: int = 50, min_docs: int = 2,
         n = len(texts)
         crow, _cid, _ctok, txt = _chunk_arrays(texts, C)
         if len(crow):
-            # hashtable membership probe, one C-speed isin call
-            hit = pd.Series(_digests(txt), dtype=object).isin(dup) \
-                .to_numpy()
+            # NEVER pd.Series.isin for bytes membership: pandas coerces
+            # the probe values through numpy 'S16', which SILENTLY STRIPS
+            # trailing null bytes — any digest ending in b'\x00' (~1 in
+            # 256) then fails the lookup (caught by the heavy-duplication
+            # stress oracle).  Plain set lookups hash raw bytes exactly.
+            digs = _digests(txt)
+            hit = np.fromiter((d in dup for d in digs), dtype=bool,
+                              count=len(digs))
         else:
             hit = np.empty(0, dtype=bool)
         keep = ~hit

@@ -286,3 +286,27 @@ def test_normalize_text_adversarial_vs_duckdb(ray_session, tmp_path):
     assert got.loc[1, "norm_text"] == "a b c"
     assert got.loc[2, "norm_text"] == ""        # punctuation-only
     assert got.loc[3, "norm_text"] == ""        # empty
+
+
+def test_chunk_dedup_digest_with_trailing_null_byte(ray_session, tmp_path):
+    """Regression: pd.Series.isin coerced bytes probes through numpy 'S16',
+    silently stripping trailing nulls — duplicated chunks whose digest ends
+    in b'\\x00' (~1/256) survived dedup.  i=127 is a precomputed seed whose
+    50-token chunk digest ends with a null byte."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.dedup import chunk_dedup, content_digest
+
+    boiler = " ".join(f"z127w{k}" for k in range(50))
+    assert content_digest(boiler)[-1:] == b"\x00"     # the adversarial case
+    uniq = [" ".join(f"u{d}x{k}" for k in range(50)) for d in range(2)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array([boiler + " " + uniq[0], boiler + " " + uniq[1]]),
+    }), str(tmp_path / "documents.parquet"))
+    out = chunk_dedup(str(tmp_path), chunk_tokens=50, min_docs=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_kept"].tolist() == [1, 1]           # boiler dropped twice
+    assert out.loc[0, "clean_text"] == uniq[0]
+    assert out.loc[1, "clean_text"] == uniq[1]
