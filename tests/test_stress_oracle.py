@@ -1,0 +1,84 @@
+"""Adversarial replication stress vs the DuckDB oracles.
+
+Replicating the sf tables K-fold (fresh ids, identical content /
+timestamps) perturbs everything the plain gate can't: pathological
+duplication for the dedup family, tied timestamps across users for the
+event family, rare byte patterns at higher row counts (this sweep's
+full-scale 8x variant caught a pd.Series.isin bytes-coercion bug that
+silently kept ~1/256 duplicated chunks).  The in-suite version runs a
+3x corpus over representative queries from each family.
+"""
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.01"
+K = 3
+
+DOC_QUERIES = ["chunk_dedup", "decontaminate", "exact_dedup",
+               "tile_counts_l8", "cap_join", "tfidf_top3"]
+EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
+                 "events_distinct_users"]
+
+
+@pytest.fixture(scope="module")
+def stress_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stress"))
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    pq.write_table(pa.concat_tables([
+        docs.set_column(docs.schema.get_field_index("doc_id"), "doc_id",
+                        pa.array(docs["doc_id"].to_numpy() + k * 100000,
+                                 type=pa.int64()))
+        for k in range(K)]), f"{d}/documents.parquet")
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    parts = []
+    for k in range(K):
+        t = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
+                          pa.array(ev["event_id"].to_numpy() + k * 10**7,
+                                   type=pa.int64()))
+        t = t.set_column(t.schema.get_field_index("user_id"), "user_id",
+                         pa.array(ev["user_id"].to_numpy() + k * 10**6,
+                                  type=pa.int64()))
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{d}/events.parquet")
+    emb = pq.read_table(f"{SRC}/embeddings.parquet")
+    pq.write_table(pa.concat_tables([
+        emb.set_column(emb.schema.get_field_index("vec_id"), "vec_id",
+                       pa.array(emb["vec_id"].to_numpy() + k * 100000,
+                                type=pa.int64()))
+        for k in range(K)]), f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def stress_con(stress_dir):
+    con = duckdb.connect()
+    for p in glob.glob(f"{stress_dir}/*.parquet"):
+        t = os.path.basename(p)[:-8]
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("qname", DOC_QUERIES + EVENT_QUERIES)
+def test_stress_query_matches_oracle(qname, stress_dir, stress_con,
+                                     ray_session):
+    import __ray_entry__ as e
+
+    res = e.queries()[qname](stress_dir)
+    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    odf = stress_con.execute(e.oracle_sql()[qname]).df()
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
+    for c in cols:
+        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
+            (qname, c)
