@@ -1011,9 +1011,10 @@ def _sample_per_lang_oracle() -> str:
 def _normalize_text_oracle() -> str:
     from s2ray.pipelines.text import normalize_text_sql
 
-    return ("SELECT doc_id, " + normalize_text_sql("text")
-            + " AS norm_text, CAST(length(text) AS BIGINT) AS n_chars, "
-            + "CAST(length(" + normalize_text_sql("text")
+    expr = normalize_text_sql("coalesce(text, '')")
+    return ("SELECT doc_id, " + expr
+            + " AS norm_text, CAST(length(coalesce(text, '')) AS BIGINT) "
+            + "AS n_chars, CAST(length(" + expr
             + ") AS BIGINT) AS n_norm_chars FROM documents")
 
 
@@ -1032,7 +1033,8 @@ def _sample_corpus_oracle() -> str:
 def _token_counts_oracle() -> str:
     from s2ray.pipelines.text import token_counts_sql
 
-    return f"SELECT doc_id, {token_counts_sql('text')} FROM documents"
+    ce = "coalesce(text, '')"
+    return f"SELECT doc_id, {token_counts_sql(ce)} FROM documents"
 
 
 def _pages_cte() -> str:
@@ -1233,13 +1235,15 @@ SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"""
                f"{th_expr}) AS hs, len(ws) AS n FROM tk)")
     shingle_cte = f"""
 shs AS (
-  SELECT doc_id, unnest(list_distinct(CASE WHEN n >= 3 THEN
+  SELECT doc_id, unnest(list_distinct(CASE WHEN coalesce(n, 0) >= 3 THEN
     list_transform(generate_series(1, n - 2), i ->
       CAST((((CAST(hs[i] AS HUGEINT) * {Q} + hs[i+1]) % {M61}) * {Q}
             + hs[i+2]) % {M61} AS BIGINT))
-  ELSE [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+  WHEN coalesce(n, 0) >= 1 THEN
+    [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
           list_transform(hs, x -> CAST(x AS HUGEINT))),
-          (a, b) -> (a * {Q} + b) % {M61}) AS BIGINT)] END)) AS s
+          (a, b) -> (a * {Q} + b) % {M61}) AS BIGINT)]
+  ELSE CAST([] AS BIGINT[]) END)) AS s
   FROM th)"""
     minhash_sql = f"""
 WITH {tok_cte}, {shingle_cte},
@@ -1347,7 +1351,7 @@ SELECT doc_id,
                 0) * 1.0 / greatest(1, len(toks)) AS avg_token_len
 FROM (SELECT doc_id, text,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-      FROM documents)"""
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))"""
     # text-analysis oracles (semantics defined SQL-mirrorable; see text.py)
     from s2ray.pipelines.text import LangId, fingerprint_sql
 
@@ -1365,7 +1369,7 @@ WITH q AS (
   FROM (SELECT doc_id, text,
                list_filter(regexp_split_to_array(text, '\\s+'),
                            x -> x <> '') AS toks
-        FROM documents)
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))
 ), r AS (
   SELECT doc_id,
          CASE WHEN ntok = 0 THEN 0.0 ELSE stop_n / ntok END AS stop_ratio,
@@ -1395,7 +1399,7 @@ WITH s AS (
   FROM (SELECT doc_id, text,
                list_filter(regexp_split_to_array(lower(text), '\\s+'),
                            x -> x <> '') AS toks
-        FROM documents)
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))
 ), r AS (
   SELECT doc_id, ntok, hlen, cjk_n,
          CASE WHEN ntok = 0 THEN 0.0 ELSE c_de / ntok END AS s_de,
@@ -1660,7 +1664,7 @@ FROM (
             "FROM documents d LEFT JOIN per USING (doc_id)"
         ),
         "pack_examples": (
-            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text, ''), "
             "'\\S+')) AS BIGINT) AS n_tokens FROM documents), "
             "s AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER ("
             "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "

@@ -497,7 +497,8 @@ def running_token_totals(sf_dir: str, budget: int = 2000,
 
     def counts(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = pc.count_substring_regex(batch[text_col], r"\S+") \
+        n = pc.count_substring_regex(pc.fill_null(batch[text_col], ""),
+                                     r"\S+") \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             id_col: pa.array(ids),

@@ -329,7 +329,10 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
                 "near_dup_pairs_exact requires doc ids in [0, 2^31); "
                 f"got range [{ids.min()}, {ids.max()}]")
         texts = batch[text_col].to_pandas()
-        srow, sh_flat = _shingle_hashes_batch(texts, k)
+        # drop_empty: null/whitespace-only docs emit NO shingles — the SQL
+        # mirror's empty-doc fallback aggregates to NULL and never joins,
+        # so such docs can never pair (null-injection sweep parity)
+        srow, sh_flat = _shingle_hashes_batch(texts, k, drop_empty=True)
         sizes = np.bincount(srow, minlength=len(ids)).astype(np.int64)
         sh = _keys.to_key(sh_flat)
         doc = ids[srow].astype(np.int64)
@@ -821,7 +824,13 @@ def minhash_lsh_pairs(ds, tau: float = 0.5, k: int = 3,
 
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pandas()
-        srow, sh_flat = _shingle_hashes_batch(texts, k)
+        # empty docs emit no shingles (SQL-mirror parity, cf.
+        # near_dup_pairs_exact) and therefore no signature/bands
+        srow, sh_flat = _shingle_hashes_batch(texts, k, drop_empty=True)
+        has = np.bincount(srow, minlength=len(ids)) > 0
+        if not has.all():
+            ids = ids[has]
+            srow = (np.cumsum(has) - 1)[srow]
         sigs = _minhash_signatures_flat(srow, sh_flat, len(ids))
         bk = _keys.to_key(_band_keys(sigs).reshape(-1))   # doc-major
         sig_bytes = np.array([s.tobytes() for s in sigs], dtype=object)

@@ -30,8 +30,17 @@ FP_MUL2 = 8191
 
 
 def _string_array(col) -> pa.StringArray:
+    """Text-operator ingestion contract: one contiguous StringArray with
+    NULL text normalized to '' — every text operator treats a missing
+    document body as an empty one (mirrored by coalesce(text, '') in the
+    SQL oracles).  Without this, Arrow kernels propagate nulls into
+    numpy NaN->int casts and produce garbage stats (caught by the
+    null-injection stress sweep).  exact_dedup deliberately does NOT use
+    this helper: its oracle's GROUP BY keeps null as a distinct group."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
     return col
 
 
@@ -41,6 +50,8 @@ def _token_codes(texts: pa.StringArray, lower: bool = False):
     Returns (row_idx, codes, uniques, n_tokens): per-token row index and
     dictionary code, the unique-token strings, and per-row token counts.
     """
+    if getattr(texts, "null_count", 0):
+        texts = pc.fill_null(texts, "")   # null text == empty (see _string_array)
     if lower:
         texts = pc.utf8_lower(texts)
     split = pc.utf8_split_whitespace(texts)

@@ -82,3 +82,43 @@ def test_stress_query_matches_oracle(qname, stress_dir, stress_con,
     for c in cols:
         assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
             (qname, c)
+
+
+NULL_QUERIES = ["text_stats", "normalize_text", "near_dup_pairs",
+                "pack_examples", "exact_dedup", "minhash_pairs"]
+
+
+@pytest.fixture(scope="module")
+def null_dir(tmp_path_factory):
+    """sf0.01 documents with ~5% null text — the engine's null-text
+    contract (null == empty body, except exact_dedup's distinct null
+    group) must match the coalesce-mirroring oracles."""
+    d = str(tmp_path_factory.mktemp("nulls"))
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    texts = docs["text"].to_pylist()
+    for i in range(0, len(texts), 19):
+        texts[i] = None
+    pq.write_table(docs.set_column(docs.schema.get_field_index("text"),
+                                   "text",
+                                   pa.array(texts, type=pa.string())),
+                   f"{d}/documents.parquet")
+    return d
+
+
+@pytest.mark.parametrize("qname", NULL_QUERIES)
+def test_null_text_matches_oracle(qname, null_dir, ray_session):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{null_dir}/documents.parquet')")
+    res = e.queries()[qname](null_dir)
+    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    odf = con.execute(e.oracle_sql()[qname]).df()
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
+    for c in cols:
+        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
+            (qname, c)
