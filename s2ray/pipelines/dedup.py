@@ -705,7 +705,11 @@ def chunk_dedup(sf_dir: str, chunk_tokens: int = 50, min_docs: int = 2,
               .aggregate(Sum("partial_docs", alias_name="n_docs"))
               .map_batches(only_dup, batch_format="pyarrow")
               .to_pandas())
-    dup_set = frozenset(dup_pd["digest"])
+    # an all-empty result loses its column names through to_pandas: a
+    # corpus with NO duplicated chunks must yield an empty set, not a
+    # KeyError (caught by the unicode stress corpus, all-unique chunks)
+    dup_set = frozenset(dup_pd["digest"]) if "digest" in dup_pd.columns \
+        else frozenset()
     dup_ref = ray.put(dup_set)
 
     def clean(batch: pa.Table, dup_ref=dup_ref) -> pa.Table:

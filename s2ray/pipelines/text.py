@@ -54,7 +54,12 @@ def _token_codes(texts: pa.StringArray, lower: bool = False):
         texts = pc.fill_null(texts, "")   # null text == empty (see _string_array)
     if lower:
         texts = pc.utf8_lower(texts)
-    split = pc.utf8_split_whitespace(texts)
+    # RE2 \s+ (ASCII whitespace), NOT utf8_split_whitespace: the Arrow
+    # kernel splits on UNICODE whitespace (NBSP, U+2028, thin space...)
+    # while every SQL oracle tokenizes with regexp_split_to_array '\s+'
+    # — RE2 ASCII \s — so the kernels must match it by construction
+    # (caught by the unicode-whitespace stress sweep)
+    split = pc.split_pattern_regex(texts, r"\s+")
     flat = split.flatten()
     n = len(texts)
     offs = np.asarray(split.offsets, dtype=np.int64)
@@ -303,7 +308,12 @@ def fingerprint(batch: pa.Table, id_col: str = "doc_id",
     texts = _string_array(batch[text_col])
     # whitespace-normalize: split, drop empties, re-join with single spaces
     # (all Arrow kernels)
-    split = pc.utf8_split_whitespace(texts)
+    # RE2 \s+ (ASCII whitespace), NOT utf8_split_whitespace: the Arrow
+    # kernel splits on UNICODE whitespace (NBSP, U+2028, thin space...)
+    # while every SQL oracle tokenizes with regexp_split_to_array '\s+'
+    # — RE2 ASCII \s — so the kernels must match it by construction
+    # (caught by the unicode-whitespace stress sweep)
+    split = pc.split_pattern_regex(texts, r"\s+")
     flat = split.flatten()
     mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     offs = np.asarray(split.offsets, dtype=np.int64)

@@ -122,3 +122,53 @@ def test_null_text_matches_oracle(qname, null_dir, ray_session):
     for c in cols:
         assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
             (qname, c)
+
+
+UNICODE_QUERIES = ["text_stats", "fingerprint", "vocab_top100",
+                   "chunk_docs", "near_dup_pairs", "chunk_dedup"]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    """Docs with non-ASCII whitespace (NBSP, U+2028, thin space), astral
+    codepoints, CJK and combining marks — the tokenizer must match the
+    oracles' RE2 ASCII \\s+ split, not Unicode whitespace (a real
+    divergence this sweep caught)."""
+    d = str(tmp_path_factory.mktemp("unicode"))
+    texts = [
+        "plain ascii words here",
+        "nbsp separated words",
+        "line sep and para",
+        "emoji \U0001F600 and astral \U0001D11E",
+        "cjk 中文 字符 mixed with latin",
+        "combining á é marks",
+        "tabs\tand\nnewlines\rand\x0bvt\x0cff",
+        "zero​width and thin space",
+    ]
+    n = 160
+    rows = [texts[i % len(texts)] + f" tail{i}" for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["web"] * n),
+        "text": pa.array(rows)}), f"{d}/documents.parquet")
+    return d
+
+
+@pytest.mark.parametrize("qname", UNICODE_QUERIES)
+def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{unicode_dir}/documents.parquet')")
+    res = e.queries()[qname](unicode_dir)
+    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    odf = con.execute(e.oracle_sql()[qname]).df()
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
+    for c in cols:
+        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
+            (qname, c)
