@@ -1498,7 +1498,7 @@ FROM (
              CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
                     OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
                   THEN 1 ELSE 0 END AS is_new
-      FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+      FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events WHERE user_id IS NOT NULL)
     )
   ) GROUP BY user_id, sess
 )"""
@@ -1644,7 +1644,7 @@ FROM (
             "AND epoch_us(b.ts) > epoch_us(e.ts) "
             "AND epoch_us(b.ts) <= epoch_us(e.ts) + 3600000000) "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_converted "
-            "FROM events e WHERE e.event_type = 'view' GROUP BY e.user_id"
+            "FROM events e WHERE e.event_type = 'view' AND e.user_id IS NOT NULL GROUP BY e.user_id"
         ),
         "rare_tokens": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("

@@ -16,6 +16,18 @@ import pyarrow as pa
 from .text import round_half_away
 
 
+def _drop_null_users(batch: pa.Table, col: str = "user_id") -> pa.Table:
+    """User-keyed operator contract: events with a NULL user id are
+    unattributable and ignored (sessions/funnel oracles mirror it with
+    WHERE user_id IS NOT NULL; SQL count(DISTINCT)/equi-joins already
+    skip NULL keys).  No-op when the column has no nulls."""
+    import pyarrow.compute as pc
+
+    if batch[col].null_count:
+        batch = batch.filter(pc.is_valid(batch[col]))
+    return batch
+
+
 def pages_per_month(pages_ds):
     """(month:timestamp, n_pages) from warc_ts."""
     from ray.data.aggregate import Sum
@@ -224,7 +236,7 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, n_parts: int = 64):
     def add_part(batch: pa.Table) -> pa.Table:
         # drop the parquet 'pandas' schema metadata: Ray's shuffle schema
         # dedup can't hash dict-valued metadata (log spam per reduce task)
-        batch = batch.replace_schema_metadata(None)
+        batch = _drop_null_users(batch.replace_schema_metadata(None))
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         return batch.append_column(
             "part", pa.array((uid % n_parts).astype(np.int32)))
@@ -286,7 +298,7 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
     def prep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        batch = batch.replace_schema_metadata(None)  # see add_part note
+        batch = _drop_null_users(batch.replace_schema_metadata(None))
         keep = pc.is_in(batch["event_type"],
                         value_set=pa.array([left_type, right_type]))
         batch = batch.filter(keep)
@@ -399,7 +411,7 @@ def funnel_conversions(sf_dir: str, a: str = "view", b: str = "purchase",
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
     def add_part(batch: pa.Table) -> pa.Table:
-        batch = batch.replace_schema_metadata(None)
+        batch = _drop_null_users(batch.replace_schema_metadata(None))
         et = np.asarray(batch["event_type"].to_pandas(), dtype=object)
         keep = (et == a) | (et == b)
         batch = batch.filter(pa.array(keep))
@@ -572,6 +584,7 @@ def _grouped_blob_partial(batch: pa.Table, group_col: str, id_col: str,
     scaffolding shared by the exact and HLL distinct-count operators.
     Typed output even for empty batches (mixed-schema RefBundles trip
     Ray's schema unification)."""
+    batch = _drop_null_users(batch, id_col)
     g = np.asarray(batch[group_col].to_pandas(), dtype=object)
     v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(g) == 0:

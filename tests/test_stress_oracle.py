@@ -172,3 +172,43 @@ def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
     for c in cols:
         assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
             (qname, c)
+
+
+NULL_USER_QUERIES = ["user_sessions", "funnel_views",
+                     "events_distinct_users", "events_asof"]
+
+
+@pytest.fixture(scope="module")
+def null_user_dir(tmp_path_factory):
+    """Events with ~3% null user ids — user-keyed operators ignore
+    unattributable events (oracles mirror with WHERE user_id IS NOT NULL
+    where SQL would otherwise form a NULL group)."""
+    d = str(tmp_path_factory.mktemp("nulluser"))
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    uid = ev["user_id"].to_pylist()
+    for i in range(0, len(uid), 37):
+        uid[i] = None
+    pq.write_table(ev.set_column(ev.schema.get_field_index("user_id"),
+                                 "user_id",
+                                 pa.array(uid, type=pa.int64())),
+                   f"{d}/events.parquet")
+    return d
+
+
+@pytest.mark.parametrize("qname", NULL_USER_QUERIES)
+def test_null_user_matches_oracle(qname, null_user_dir, ray_session):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{null_user_dir}/events.parquet')")
+    res = e.queries()[qname](null_user_dir)
+    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    odf = con.execute(e.oracle_sql()[qname]).df()
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
+    for c in cols:
+        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
+            (qname, c)
