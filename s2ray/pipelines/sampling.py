@@ -26,10 +26,23 @@ def _hash_bp(ids: np.ndarray) -> np.ndarray:
     return ((h >> np.uint64(_SHIFT)) % np.uint64(_BP)).astype(np.int64)
 
 
+def _mulmix_sql(id_expr: str) -> str:
+    """``uint64(id) * MIX mod 2^64`` in DuckDB HUGEINT — including the
+    uint64 WRAP of negative ids and a split 32-bit modular multiply so the
+    product never exceeds INT128 (a naive ``id * MIX % 2^64`` overflows
+    for u >= 2^63 and takes the sign of a negative dividend, diverging
+    from numpy's uint64 arithmetic — caught by the negative-id stress
+    sweep)."""
+    m = 1 << 64
+    mh, ml = _MIX >> 32, _MIX & 0xFFFFFFFF
+    u = f"(((CAST({id_expr} AS HUGEINT) % {m}) + {m}) % {m})"
+    return f"(((({u} * {mh}) % {1 << 32}) * {1 << 32} + {u} * {ml}) % {m})"
+
+
 def hash_bp_sql(id_expr: str = "doc_id") -> str:
-    """The same value in DuckDB HUGEINT arithmetic."""
-    return (f"CAST((((CAST({id_expr} AS HUGEINT) * {_MIX}) % "
-            f"{1 << 64}) // {1 << _SHIFT}) % {_BP} AS BIGINT)")
+    """The same value in DuckDB HUGEINT arithmetic (see _mulmix_sql)."""
+    return (f"CAST(({_mulmix_sql(id_expr)} // {1 << _SHIFT}) % {_BP} "
+            f"AS BIGINT)")
 
 
 def sample_corpus(sf_dir: str, rates_bp: dict[str, int],
@@ -108,8 +121,7 @@ def sample_n_per_group_sql(n: int = 10, group_col: str = "lang",
                            id_col: str = "doc_id") -> str:
     # order by the same mixed hash; the sign-flip XOR maps the uint64 mix
     # onto ordered int64 exactly like the engine's `_h`
-    h = (f"CAST((CAST({id_col} AS HUGEINT) * {_MIX}) % {1 << 64} "
-         f"AS UBIGINT)")
+    h = f"CAST({_mulmix_sql(id_col)} AS UBIGINT)"
     return (f"SELECT {id_col}, {group_col} FROM ("
             f"SELECT {id_col}, {group_col}, row_number() OVER ("
             f"PARTITION BY {group_col} ORDER BY {h}) AS rn "

@@ -212,3 +212,41 @@ def test_null_user_matches_oracle(qname, null_user_dir, ray_session):
     for c in cols:
         assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
             (qname, c)
+
+
+NEG_ID_QUERIES = ["split_corpus", "sample_corpus", "sample_per_lang"]
+
+
+@pytest.fixture(scope="module")
+def neg_id_dir(tmp_path_factory):
+    """Documents with ~14% negative doc ids — the splitmix SQL mirrors
+    must reproduce numpy's uint64 wrap (a naive HUGEINT id*MIX % 2^64
+    takes the dividend's sign and overflows INT128 for u >= 2^63)."""
+    d = str(tmp_path_factory.mktemp("negids"))
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    ids = docs["doc_id"].to_numpy().copy()
+    ids[::7] = -ids[::7] - 1
+    pq.write_table(docs.set_column(docs.schema.get_field_index("doc_id"),
+                                   "doc_id",
+                                   pa.array(ids, type=pa.int64())),
+                   f"{d}/documents.parquet")
+    return d
+
+
+@pytest.mark.parametrize("qname", NEG_ID_QUERIES)
+def test_negative_ids_match_oracle(qname, neg_id_dir, ray_session):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{neg_id_dir}/documents.parquet')")
+    res = e.queries()[qname](neg_id_dir)
+    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    odf = con.execute(e.oracle_sql()[qname]).df()
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
+    for c in cols:
+        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
+            (qname, c)
