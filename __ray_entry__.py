@@ -1292,8 +1292,9 @@ FROM cand WHERE bit_count(xor(si, sj)) <= 3"""
     events_asof_sql = """
 WITH l AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),
-     r AS (SELECT event_id AS match_event_id, user_id, ts AS match_ts
-           FROM events WHERE event_type = 'click')
+     r AS (SELECT max(event_id) AS match_event_id, user_id,
+                  ts AS match_ts
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
 SELECT l.event_id, l.user_id, l.ts, r.match_event_id, r.match_ts,
        date_diff('microsecond', r.match_ts, l.ts) AS gap_us
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.match_ts"""

@@ -318,6 +318,14 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
             return pd.DataFrame({c: pd.Series(dtype=t)
                                  for c, t in out_cols.items()})
         right = right.rename(columns={"event_id": "match_event_id"})
+        # deterministic tie-break: right rows sharing (user, ts) are
+        # equivalent "most recent prior" matches — keep max event_id
+        # (mirrored by GROUP BY user_id, ts + max(event_id) in the SQL
+        # oracle; bare ASOF JOIN picks an arbitrary tied row)
+        right = (right.sort_values(["user_id", "ts", "match_event_id"])
+                 .groupby(["user_id", "ts"], sort=False, as_index=False)
+                 .tail(1)
+                 .sort_values("ts", kind="stable"))   # merge_asof contract
         right["match_ts"] = right["ts"]
         m = pd.merge_asof(
             left[["event_id", "user_id", "ts"]],

@@ -250,3 +250,25 @@ def test_negative_ids_match_oracle(qname, neg_id_dir, ray_session):
     for c in cols:
         assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
             (qname, c)
+
+
+def test_asof_tied_right_timestamps_deterministic(stress_dir, ray_session):
+    """Exact-duplicate (user, ts) click rows: the as-of match is pinned to
+    max(event_id) among ties on BOTH sides (bare ASOF JOIN / merge_asof
+    pick an arbitrary tied row)."""
+    import __ray_entry__ as e
+
+    d = stress_dir  # replicated events already contain cross-copy ties
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    a = e.queries()["events_asof"](d).to_pandas()
+    b = e.queries()["events_asof"](d).to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)                       # run-to-run deterministic
+    odf = con.execute(e.oracle_sql()["events_asof"]).df()
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert np.array_equal(np.asarray(a[c]), np.asarray(odf[c])), c
