@@ -592,18 +592,27 @@ def _grouped_blob_partial(batch: pa.Table, group_col: str, id_col: str,
     scaffolding shared by the exact and HLL distinct-count operators.
     Typed output even for empty batches (mixed-schema RefBundles trip
     Ray's schema unification)."""
-    batch = _drop_null_users(batch, id_col)
+    import pyarrow.compute as pc
     g = np.asarray(batch[group_col].to_pandas(), dtype=object)
-    v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # null ids are excluded from the VALUE set (SQL count(DISTINCT) skips
+    # NULLs) but their GROUP still emits a partial — a group whose ids are
+    # all null must count 0, not vanish from the output
+    valid = pc.is_valid(batch[id_col]).to_numpy(zero_copy_only=False) \
+        .astype(bool)
+    # fill in Arrow BEFORE to_numpy: a null int64 column converts via
+    # float64 and would corrupt ids above 2^53
+    v = pc.fill_null(batch[id_col], 0).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
     if len(g) == 0:
         return pa.table({group_col: pa.array([], type=pa.string()),
                          blob_col: pa.array([], type=pa.binary())})
     order = np.argsort(g, kind="stable")
-    g, v = g[order], v[order]
+    g, v, valid = g[order], v[order], valid[order]
     starts, ends = _group_runs(g)
     return pa.table({
         group_col: pa.array([g[s] for s in starts]),
-        blob_col: pa.array([reducer(v[s:e]) for s, e in zip(starts, ends)],
+        blob_col: pa.array([reducer(v[s:e][valid[s:e]])
+                            for s, e in zip(starts, ends)],
                            type=pa.binary()),
     })
 

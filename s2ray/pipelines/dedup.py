@@ -111,7 +111,8 @@ def _hash_tokens_batch(texts) -> tuple[np.ndarray, np.ndarray, int]:
     Vectorized: Arrow split + dictionary-encode, so the polynomial hash
     runs once per UNIQUE token, then fans out through the code array.
     Returns (row_idx, token_hashes, n_rows), doc-major order — identical
-    values to per-doc ``hash_tokens(t.split())``.
+    values to per-doc ``hash_tokens`` over the RE2-ASCII ``\s+`` token
+    split (see shingle_hashes).
     """
     import pyarrow as pa
 
@@ -183,8 +184,12 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     small prime multiplier — SQL-equivalent:
     ``((th1*Q + th2) % M * Q + th3) % M`` in HUGEINT.  Documents shorter
     than k tokens hash their whole token sequence with the same fold.
+    Tokenization is RE2-ASCII ``\s+`` like the batch path and the SQL
+    oracles (python str.split would split on UNICODE whitespace).
     """
-    words = text.split()
+    import re
+
+    words = [w for w in re.split(r"\s+", text, flags=re.ASCII) if w]
     th = hash_tokens(words)
     if len(words) < k:
         h = np.zeros(1, dtype=np.uint64)
@@ -337,6 +342,14 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
         sh = _keys.to_key(sh_flat)
         doc = ids[srow].astype(np.int64)
         sz = sizes[srow]
+        if len(sh) == 0:
+            # a batch of only empty/null docs emits no postings at all
+            return pa.table({
+                "part": pa.array([], type=pa.int32()),
+                "sh_b": pa.array([], type=pa.binary()),
+                "doc_b": pa.array([], type=pa.binary()),
+                "sz_b": pa.array([], type=pa.binary()),
+            })
         part = (sh % _N_PAIR_PARTITIONS).astype(np.int32)
         order = np.argsort(part, kind="stable")
         sh, doc, sz, part = sh[order], doc[order], sz[order], part[order]
@@ -835,6 +848,13 @@ def minhash_lsh_pairs(ds, tau: float = 0.5, k: int = 3,
         if not has.all():
             ids = ids[has]
             srow = (np.cumsum(has) - 1)[srow]
+        if len(ids) == 0:
+            # a batch of only empty/null docs emits no band rows
+            return pa.table({
+                "band_key": pa.array([], type=pa.int64()),
+                "doc": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.binary()),
+            })
         sigs = _minhash_signatures_flat(srow, sh_flat, len(ids))
         bk = _keys.to_key(_band_keys(sigs).reshape(-1))   # doc-major
         sig_bytes = np.array([s.tobytes() for s in sigs], dtype=object)

@@ -28,6 +28,21 @@ EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "events_distinct_users"]
 
 
+def _assert_matches_oracle(qname, res, con):
+    """Column-sorted bit-exact comparison of an engine result vs its
+    DuckDB oracle (the one place comparison semantics live)."""
+    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    odf = con.execute(__import__("__ray_entry__").oracle_sql()[qname]).df()
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
+    for c in cols:
+        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
+            (qname, c)
+    return pdf
+
+
 @pytest.fixture(scope="module")
 def stress_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("stress"))
@@ -72,16 +87,7 @@ def test_stress_query_matches_oracle(qname, stress_dir, stress_con,
                                      ray_session):
     import __ray_entry__ as e
 
-    res = e.queries()[qname](stress_dir)
-    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
-    odf = stress_con.execute(e.oracle_sql()[qname]).df()
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
-    for c in cols:
-        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
-            (qname, c)
+    _assert_matches_oracle(qname, e.queries()[qname](stress_dir), stress_con)
 
 
 NULL_QUERIES = ["text_stats", "normalize_text", "near_dup_pairs",
@@ -112,16 +118,7 @@ def test_null_text_matches_oracle(qname, null_dir, ray_session):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{null_dir}/documents.parquet')")
-    res = e.queries()[qname](null_dir)
-    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
-    odf = con.execute(e.oracle_sql()[qname]).df()
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
-    for c in cols:
-        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
-            (qname, c)
+    _assert_matches_oracle(qname, e.queries()[qname](null_dir), con)
 
 
 UNICODE_QUERIES = ["text_stats", "fingerprint", "vocab_top100",
@@ -162,16 +159,7 @@ def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{unicode_dir}/documents.parquet')")
-    res = e.queries()[qname](unicode_dir)
-    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
-    odf = con.execute(e.oracle_sql()[qname]).df()
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
-    for c in cols:
-        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
-            (qname, c)
+    _assert_matches_oracle(qname, e.queries()[qname](unicode_dir), con)
 
 
 NULL_USER_QUERIES = ["user_sessions", "funnel_views",
@@ -202,16 +190,7 @@ def test_null_user_matches_oracle(qname, null_user_dir, ray_session):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"read_parquet('{null_user_dir}/events.parquet')")
-    res = e.queries()[qname](null_user_dir)
-    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
-    odf = con.execute(e.oracle_sql()[qname]).df()
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
-    for c in cols:
-        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
-            (qname, c)
+    _assert_matches_oracle(qname, e.queries()[qname](null_user_dir), con)
 
 
 NEG_ID_QUERIES = ["split_corpus", "sample_corpus", "sample_per_lang"]
@@ -240,35 +219,56 @@ def test_negative_ids_match_oracle(qname, neg_id_dir, ray_session):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{neg_id_dir}/documents.parquet')")
-    res = e.queries()[qname](neg_id_dir)
-    pdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
-    odf = con.execute(e.oracle_sql()[qname]).df()
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
-    for c in cols:
-        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
-            (qname, c)
+    _assert_matches_oracle(qname, e.queries()[qname](neg_id_dir), con)
 
 
-def test_asof_tied_right_timestamps_deterministic(stress_dir, ray_session):
+def test_asof_tied_right_timestamps_deterministic(tmp_path, ray_session):
     """Exact-duplicate (user, ts) click rows: the as-of match is pinned to
     max(event_id) among ties on BOTH sides (bare ASOF JOIN / merge_asof
     pick an arbitrary tied row)."""
     import __ray_entry__ as e
 
-    d = stress_dir  # replicated events already contain cross-copy ties
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [
+        (1, base, "click", 10), (1, base, "click", 11),       # tied pair
+        (1, base + 60 * s, "purchase", 12),
+        (2, base, "click", 20), (2, base, "click", 21),
+        (2, base, "click", 22),                               # triple tie
+        (2, base + 5 * s, "purchase", 23),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[3] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+        "value": pa.array(np.zeros(len(rows))),
+    }), str(tmp_path / "events.parquet"))
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
-                f"read_parquet('{d}/events.parquet')")
-    a = e.queries()["events_asof"](d).to_pandas()
-    b = e.queries()["events_asof"](d).to_pandas()
-    cols = sorted(a.columns)
-    a = a[cols].sort_values(cols).reset_index(drop=True)
-    b = b[cols].sort_values(cols).reset_index(drop=True)
-    assert a.equals(b)                       # run-to-run deterministic
-    odf = con.execute(e.oracle_sql()["events_asof"]).df()
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    for c in cols:
-        assert np.array_equal(np.asarray(a[c]), np.asarray(odf[c])), c
+                f"read_parquet('{tmp_path}/events.parquet')")
+    pdf = _assert_matches_oracle(
+        "events_asof", e.queries()["events_asof"](str(tmp_path)), con)
+    got = dict(zip(pdf["event_id"], pdf["match_event_id"]))
+    assert got == {12: 11, 23: 22}            # max event_id among ties
+
+
+def test_all_empty_batch_sketches_no_crash(tmp_path, ray_session):
+    """A block whose docs are ALL null/empty/whitespace-only must flow
+    through the shingle/minhash paths (regression: drop_empty made the
+    zero-posting batch reachable and reduceat crashed on it)."""
+    import __ray_entry__ as e
+
+    texts = [None, "", "   \t  ", None] * 50
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["web"] * len(texts)),
+        "text": pa.array(texts, type=pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    for q in ["near_dup_pairs", "minhash_pairs"]:
+        _assert_matches_oracle(q, __import__("__ray_entry__")
+                               .queries()[q](str(tmp_path)), con)
