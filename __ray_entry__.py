@@ -1562,7 +1562,8 @@ FROM (
             + ", ".join(f"{q!r}" for q in EVENT_QS)
             + "]) AS q, unnest(quantile_disc(value, ["
             + ", ".join(f"{q!r}" for q in EVENT_QS)
-            + "])) AS value FROM events GROUP BY event_type"
+            + "])) AS value FROM events WHERE value IS NOT NULL "
+            "GROUP BY event_type"
         ),
         "events_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "

@@ -91,30 +91,36 @@ def events_hourly(sf_dir: str):
             "value": batch["value"].to_numpy(zero_copy_only=False),
         })
         g = df.groupby(["h", "event_type"], sort=False).agg(
-            n=("value", "size"), s=("value", "sum")).reset_index()
+            n=("value", "size"), s=("value", "sum"),
+            nv=("value", "count")).reset_index()   # count skips NaN/null
         return pa.table({
             "h": pa.array(g["h"].to_numpy()),
             "event_type": pa.array(g["event_type"], type=pa.string()),
             "partial_n": pa.array(g["n"].to_numpy().astype(np.int64)),
             "partial_s": pa.array(g["s"].to_numpy()),
+            "partial_nv": pa.array(g["nv"].to_numpy().astype(np.int64)),
         })
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["h", "event_type"])
         .aggregate(Sum("partial_n", alias_name="n_events"),
-                   Sum("partial_s", alias_name="sum_value"))
+                   Sum("partial_s", alias_name="sum_value"),
+                   Sum("partial_nv", alias_name="n_valid"))
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
         h = batch["h"].to_numpy(zero_copy_only=False)
         hour = h.astype("datetime64[h]").astype("datetime64[us]")
         sv = round_half_away(batch["sum_value"].to_numpy(zero_copy_only=False), 6)
+        # SQL sum() over only-NULL values is NULL, not 0 (pandas sum
+        # skips NaN and yields 0.0) — null out groups with no valid value
+        nv = batch["n_valid"].to_numpy(zero_copy_only=False)
         return pa.table({
             "hour": pa.array(hour),
             "event_type": batch["event_type"],
             "n_events": batch["n_events"],
-            "sum_value": pa.array(sv, type=pa.float64()),
+            "sum_value": pa.array(sv, type=pa.float64(), mask=(nv == 0)),
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
@@ -641,9 +647,21 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
     # each pass — lets any deterministic pipeline (not just the events
     # table) feed the quantile machinery
     def read():
-        if make_ds is not None:
-            return make_ds()
-        return read_table(sf_dir, "events", columns=[group_col, value_col])
+        base = make_ds() if make_ds is not None \
+            else read_table(sf_dir, "events",
+                            columns=[group_col, value_col])
+
+        def drop_null_values(batch: pa.Table) -> pa.Table:
+            # quantile_disc ignores NULLs; groups with ONLY null values
+            # are omitted (the oracle filters value IS NOT NULL to match)
+            if batch[value_col].null_count:
+                import pyarrow.compute as pc
+
+                batch = batch.filter(pc.is_valid(batch[value_col]))
+            return batch
+
+        return base.map_batches(drop_null_values, batch_format="pyarrow",
+                                batch_size=None)
 
     qs = list(qs)
 
@@ -651,6 +669,13 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
     def stats(batch: pa.Table) -> pa.Table:
         g = np.asarray(batch[group_col].to_pandas(), dtype=object)
         v = batch[value_col].to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            return pa.table({
+                "g": pa.array([], type=pa.string()),
+                "mn": pa.array([], type=pa.float64()),
+                "mx": pa.array([], type=pa.float64()),
+                "n": pa.array([], type=pa.int64()),
+            })
         order = np.argsort(g, kind="stable")
         g, v = g[order], v[order]
         starts, ends = _group_runs(g)

@@ -38,8 +38,12 @@ def _assert_matches_oracle(qname, res, con):
     odf = odf[cols].sort_values(cols).reset_index(drop=True)
     assert len(pdf) == len(odf), (qname, len(pdf), len(odf))
     for c in cols:
-        assert np.array_equal(np.asarray(pdf[c]), np.asarray(odf[c])), \
-            (qname, c)
+        a, b = np.asarray(pdf[c]), np.asarray(odf[c])
+        if a.dtype.kind == "f" and b.dtype.kind == "f":
+            # SQL NULL round-trips as NaN in both frames; NaN == NaN here
+            assert np.array_equal(a, b, equal_nan=True), (qname, c)
+        else:
+            assert np.array_equal(a, b), (qname, c)
     return pdf
 
 
@@ -272,3 +276,32 @@ def test_all_empty_batch_sketches_no_crash(tmp_path, ray_session):
     for q in ["near_dup_pairs", "minhash_pairs"]:
         _assert_matches_oracle(q, __import__("__ray_entry__")
                                .queries()[q](str(tmp_path)), con)
+
+
+NULL_VALUE_QUERIES = ["events_hourly", "events_quantiles"]
+
+
+@pytest.fixture(scope="module")
+def null_value_dir(tmp_path_factory):
+    """Events with ~4% null values — sums of only-NULL groups are NULL
+    (not pandas' 0.0) and quantiles ignore NULLs like quantile_disc."""
+    d = str(tmp_path_factory.mktemp("nullval"))
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    val = ev["value"].to_pylist()
+    for i in range(0, len(val), 23):
+        val[i] = None
+    pq.write_table(ev.set_column(ev.schema.get_field_index("value"),
+                                 "value",
+                                 pa.array(val, type=pa.float64())),
+                   f"{d}/events.parquet")
+    return d
+
+
+@pytest.mark.parametrize("qname", NULL_VALUE_QUERIES)
+def test_null_values_match_oracle(qname, null_value_dir, ray_session):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{null_value_dir}/events.parquet')")
+    _assert_matches_oracle(qname, e.queries()[qname](null_value_dir), con)
