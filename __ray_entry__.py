@@ -316,8 +316,10 @@ def _q_emb_norm_by_lang(sf_dir: str):
                 "partial_n": pa.array([], type=pa.int64()),
                 "partial_s": pa.array([], type=pa.float64()),
             })
+        from s2ray.functions.vecs import embedding_matrix
+
         lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
-        emb = np.stack(batch["embedding"].to_pandas().values).astype(np.float64)
+        emb = embedding_matrix(batch["embedding"])
         norm = np.sqrt((emb * emb).sum(axis=1))
         g = pd.DataFrame({"lang": lang, "norm": norm}).groupby(
             "lang", sort=False).agg(n=("norm", "size"), s=("norm", "sum"))
@@ -1325,13 +1327,26 @@ FROM s e CROSS JOIN q
 WHERE e.vec_id <> q.vec_id AND bit_count(xor(e.sig, q.sig)) <= 3
 QUALIFY rank <= {ANN_K}"""
     sig8 = lsh_signature_expr(_lsh_planes(64, 8))
+    # explicit bucket materialization (sig xor each 1-bit probe on both
+    # sides == hamming<=2) so the engine's max_bucket drop (dedup.py
+    # embedding_near_dup_lsh) is mirrored bucket-for-bucket
+    from s2ray.pipelines.dedup import EMB_LSH_MAX_BUCKET
+
+    probe_vals = ", ".join(f"({p})" for p in [0] + [1 << b for b in range(8)])
     emb_lsh_sql = f"""
-WITH s AS (SELECT vec_id, embedding, {sig8} AS sig FROM embeddings)
-SELECT a.vec_id AS i, b.vec_id AS j
-FROM s a JOIN s b ON a.vec_id < b.vec_id
-WHERE bit_count(xor(a.sig, b.sig)) <= 2
-  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        CAST(b.embedding AS DOUBLE[])) >= {EMB_TAU!r}"""
+WITH s AS (SELECT vec_id, embedding, {sig8} AS sig FROM embeddings),
+probes(p) AS (VALUES {probe_vals}),
+m AS (SELECT vec_id, xor(sig, CAST(p AS BIGINT)) AS bucket
+      FROM s CROSS JOIN probes),
+ok AS (SELECT bucket FROM m GROUP BY bucket
+       HAVING count(*) <= {EMB_LSH_MAX_BUCKET}),
+cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         FROM m a JOIN m b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         JOIN ok ON ok.bucket = a.bucket)
+SELECT c.i, c.j
+FROM cand c JOIN s sa ON sa.vec_id = c.i JOIN s sb ON sb.vec_id = c.j
+WHERE list_cosine_similarity(CAST(sa.embedding AS DOUBLE[]),
+        CAST(sb.embedding AS DOUBLE[])) >= {EMB_TAU!r}"""
     knn_emb_sql = f"""
 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
        CAST(row_number() OVER (

@@ -366,8 +366,10 @@ def embedding_centroids(sf_dir: str, ndigits: int = 4):
     ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        from ..functions.vecs import embedding_matrix
+
         labels = batch["label"].to_numpy(zero_copy_only=False)
-        mat = np.stack(batch["embedding"].to_pandas().values).astype(np.float64)
+        mat = embedding_matrix(batch["embedding"])
         u = np.unique(labels)
         rows_l, rows_d, rows_s, rows_n = [], [], [], []
         for lab in u:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..functions.vecs import normalized_matrix, read_query_vectors
 from ..sources.readers import read_table
 import pyarrow as pa
 
@@ -35,22 +36,16 @@ def knn_embeddings(sf_dir: str, query_ids: list[int], k: int = 10):
     """
     import ray
     import ray.data
-    import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"])
-    all_ids = qt["vec_id"].to_numpy()
-    sel = np.isin(all_ids, query_ids)
-    q_ids = all_ids[sel]
-    q_mat = _normalize(np.stack(qt["embedding"].to_pandas()[sel].values
-                                ).astype(np.float64))
+    # query vectors via a row-group-pruning filter read — never the table
+    q_ids, q_mat = read_query_vectors(f"{sf_dir}/embeddings.parquet",
+                                      query_ids)
     q_ref = ray.put((q_ids, q_mat))
 
     def stage(batch: pa.Table, q_ref=q_ref) -> pa.Table:
         q_ids, q_mat = ray.get(q_ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = _normalize(np.stack(batch["embedding"].to_pandas().values
-                                  ).astype(np.float64))
+        emb = normalized_matrix(batch["embedding"])
         sims = q_mat @ emb.T  # (Q, B)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(q_ids)):
@@ -114,17 +109,10 @@ def lsh_knn(sf_dir: str, query_ids: list[int], k: int = 10,
     query signatures."""
     import ray
     import ray.data
-    import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"])
-    all_ids = qt["vec_id"].to_numpy()
-    dim = len(qt["embedding"][0])
-    planes = _lsh_planes(dim)
-    sel = np.isin(all_ids, query_ids)
-    q_ids = all_ids[sel]
-    q_mat = _normalize(np.stack(qt["embedding"].to_pandas()[sel].values
-                                ).astype(np.float64))
+    q_ids, q_mat = read_query_vectors(f"{sf_dir}/embeddings.parquet",
+                                      query_ids)
+    planes = _lsh_planes(q_mat.shape[1])
     q_sig = lsh_signature(q_mat, planes)
     q_ref = ray.put((q_ids, q_mat, q_sig, planes))
     radius = hamming_radius
@@ -132,8 +120,7 @@ def lsh_knn(sf_dir: str, query_ids: list[int], k: int = 10,
     def stage(batch: pa.Table, q_ref=q_ref) -> pa.Table:
         q_ids, q_mat, q_sig, planes = ray.get(q_ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = _normalize(np.stack(batch["embedding"].to_pandas().values
-                                  ).astype(np.float64))
+        emb = normalized_matrix(batch["embedding"])
         sig = lsh_signature(emb, planes)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(q_ids)):
@@ -229,18 +216,12 @@ def ivf_knn(sf_dir: str, query_ids: list[int], k: int = 10,
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     first = next(pf.iter_batches(batch_size=train_rows,
                                  columns=["vec_id", "embedding"]))
-    sample = _normalize(np.stack(
-        pa.Table.from_batches([first])["embedding"].to_pandas().values
-    ).astype(np.float64))
+    sample = normalized_matrix(
+        pa.Table.from_batches([first])["embedding"])
     cent = _kmeans_centroids(sample, n_centroids)
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"])
-    all_ids = qt["vec_id"].to_numpy()
-    sel = np.isin(all_ids, query_ids)
-    q_ids = all_ids[sel]
-    q_mat = _normalize(np.stack(qt["embedding"].to_pandas()[sel].values
-                                ).astype(np.float64))
+    q_ids, q_mat = read_query_vectors(f"{sf_dir}/embeddings.parquet",
+                                      query_ids)
     # per-query probed centroid lists
     q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
     state_ref = ray.put((q_ids, q_mat, cent, q_probe))
@@ -250,8 +231,7 @@ def ivf_knn(sf_dir: str, query_ids: list[int], k: int = 10,
     def stage(batch: pa.Table, state_ref=state_ref) -> pa.Table:
         q_ids, q_mat, cent, q_probe = ray.get(state_ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = _normalize(np.stack(batch["embedding"].to_pandas().values
-                                  ).astype(np.float64))
+        emb = normalized_matrix(batch["embedding"])
         assign = np.argmax(emb @ cent.T, axis=1)   # coarse quantization
         out_q, out_v, out_s = [], [], []
         for qi in range(len(q_ids)):

@@ -1031,10 +1031,11 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.45):
     mat_ref = ray.put(tbl)
 
     def stage(batch: pa.Table, mat_ref=mat_ref) -> pa.Table:
+        from ..functions.vecs import normalized_matrix
+
         vec_ids, mat = ray.get(mat_ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = np.stack(batch["embedding"].to_pandas().values).astype(np.float64)
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = normalized_matrix(batch["embedding"])
         sims = emb @ mat.T
         rr, cc = np.nonzero(sims >= tau)          # one 2-D pass, no row loop
         keep = vec_ids[cc] > ids[rr]
@@ -1047,8 +1048,12 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.45):
     return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
 
+EMB_LSH_MAX_BUCKET = 4096
+
+
 def embedding_near_dup_lsh(sf_dir: str, tau: float = 0.45,
-                           multi_probe_hamming: int = 1, n_planes: int = 8):
+                           multi_probe_hamming: int = 1, n_planes: int = 8,
+                           max_bucket: int = EMB_LSH_MAX_BUCKET):
     """Scale path for cosine near-dup: random-hyperplane LSH bucketing.
 
     Each vector is emitted into its own bucket plus all buckets within
@@ -1056,16 +1061,23 @@ def embedding_near_dup_lsh(sf_dir: str, tau: float = 0.45,
     buckets only, verified with the exact cosine.  No broadcast matrix, no
     O(N^2): the shuffle key is the bucket id.  Recall < 1 by design —
     measured against the exact operator in tests.
+
+    ``max_bucket`` guards the one quadratic hazard: a degenerate corpus
+    (many identical / near-zero vectors collapsing onto one signature)
+    would make a single reducer O(B^2).  Buckets with more than
+    ``max_bucket`` distinct vectors are dropped — the same documented
+    deviation as ``near_dup_pairs_exact``'s ``max_posting``; the SQL
+    oracle mirrors the cap bucket-for-bucket, so the operator stays
+    hash-exact even when the cap fires.
     """
     import ray.data
-    from ray.data.aggregate import Max
 
+    from ..functions.vecs import embedding_dim, normalized_matrix
     from .ann import _lsh_planes, lsh_signature
 
-    import pyarrow.parquet as pq
-
-    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
-                            columns=["embedding"])["embedding"][0])
+    # dim from a 1-row probe of the first row group — never a driver
+    # whole-column read
+    dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
     # fewer planes than the search index: near-dup recall needs coarser
     # buckets (true near-dups at cos >= 0.9 land within hamming<=2 of 8
     # bits with ~90% probability)
@@ -1075,8 +1087,7 @@ def embedding_near_dup_lsh(sf_dir: str, tau: float = 0.45,
         import pandas as pd
 
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = np.stack(batch["embedding"].to_pandas().values).astype(np.float64)
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = normalized_matrix(batch["embedding"])
         sig = lsh_signature(emb, planes).astype(np.int64)
         probes = np.array([0] + ([1 << b for b in range(n_planes)]
                                  if multi_probe_hamming >= 1 else []),
@@ -1095,34 +1106,81 @@ def embedding_near_dup_lsh(sf_dir: str, tau: float = 0.45,
     def emit_pairs(df):
         import pandas as pd
 
+        empty = pd.DataFrame({"i": pd.Series(dtype=np.int64),
+                              "j": pd.Series(dtype=np.int64)})
         d = df.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(d) < 2:
+        if len(d) < 2 or len(d) > max_bucket:
+            # oversized bucket: documented drop (mirrored by the oracle)
+            return empty
+        ids = d["vec_id"].to_numpy()
+        mat = np.frombuffer(b"".join(d["vec"]), dtype=np.float64) \
+            .reshape(len(ids), -1)
+        # row-chunked matmul keeps the sims allocation bounded even at the
+        # max_bucket ceiling (4096 rows -> <=16 MB per chunk, not 128 MB)
+        out_i, out_j = [], []
+        for s in range(0, len(ids), 512):
+            e = min(s + 512, len(ids))
+            sims = mat[s:e] @ mat.T               # (chunk, B)
+            rr, cc = np.nonzero(sims >= tau)
+            keep = cc > (rr + s)                  # global i < j only
+            out_i.append(ids[rr[keep] + s])
+            out_j.append(ids[cc[keep]])
+        if not out_i:
+            return empty
+        return pd.DataFrame({"i": np.concatenate(out_i),
+                             "j": np.concatenate(out_j)})
+
+    def pack_pairs(batch: pa.Table) -> pa.Table:
+        # compact pair-dedup partials: one blob row per coarse partition
+        # instead of one Ray group per pair (a pair found in all 9 shared
+        # buckets would otherwise cost ~1 ms of sort-groupby each)
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = batch["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(i) == 0:
+            return pa.table({"part": pa.array([], type=pa.int32()),
+                             "pk_b": pa.array([], type=pa.binary())})
+        if int(i.min()) < 0 or int(j.max()) >= 1 << 31:
+            raise ValueError(
+                "embedding_near_dup_lsh requires vec ids in [0, 2^31)")
+        pk = np.unique((i << 32) | j)
+        part = (pk % _N_PAIR_PARTITIONS).astype(np.int32)
+        order = np.argsort(part, kind="stable")
+        pk, part = pk[order], part[order]
+        starts = np.concatenate([[0], np.flatnonzero(
+            part[1:] != part[:-1]) + 1, [len(part)]])
+        return pa.table({
+            "part": pa.array([int(part[s]) for s in starts[:-1]],
+                             type=pa.int32()),
+            "pk_b": pa.array([pk[s:e].tobytes() for s, e in
+                              zip(starts[:-1], starts[1:])],
+                             type=pa.binary()),
+        })
+
+    def dedup_part(df):
+        import pandas as pd
+
+        if len(df) == 0:
             return pd.DataFrame({"i": pd.Series(dtype=np.int64),
                                  "j": pd.Series(dtype=np.int64)})
-        ids = d["vec_id"].to_numpy()
-        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in d["vec"]])
-        sims = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), 1)
-        keep = sims[ii, jj] >= tau
-        return pd.DataFrame({"i": ids[ii][keep], "j": ids[jj][keep]})
+        pk = np.unique(np.concatenate(
+            [np.frombuffer(x, dtype=np.int64) for x in df["pk_b"]]))
+        return pd.DataFrame({"i": pk >> np.int64(32),
+                             "j": pk & np.int64(0xFFFFFFFF)})
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return (
         ds.map_batches(to_buckets, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["i", "j"])
-        .aggregate(Max("i", alias_name="_i"))
-        .select_columns(["i", "j"])
+        .map_batches(pack_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
     )
 
 
 def _load_embedding_matrix(sf_dir: str):
-    import pyarrow.parquet as pq
+    # declared broadcast baseline: embedding_near_dup ships the WHOLE
+    # normalized matrix once by design (the LSH variant is the scale path)
+    from ..sources.readers import load_embedding_matrix
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    mat = np.stack(t["embedding"].to_pandas().values).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    return ids, mat
+    return load_embedding_matrix(sf_dir)

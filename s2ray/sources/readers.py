@@ -28,3 +28,17 @@ def read_table(sf_dir: str, table: str, columns: list[str] | None = None,
         schema = full
     return ray.data.read_parquet(path, columns=columns, schema=schema,
                                  **kwargs)
+
+
+def load_embedding_matrix(sf_dir: str):
+    """(vec_ids, L2-normalized matrix) of the FULL embeddings table — the
+    one sanctioned whole-table driver read, used only by operators whose
+    semantics ARE a broadcast of the full matrix (embedding_near_dup's
+    checkable baseline).  Scale paths (LSH/IVF) never call this."""
+    import pyarrow.parquet as pq
+
+    from ..functions.vecs import normalized_matrix
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    return t["vec_id"].to_numpy(), normalized_matrix(t["embedding"])

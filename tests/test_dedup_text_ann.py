@@ -120,6 +120,41 @@ def test_emb_near_dup_lsh_recall(ray_session):
         assert recall >= 0.25, (recall, len(e_pairs))
 
 
+def test_emb_lsh_hot_bucket_cap(ray_session, tmp_path):
+    """10k identical vectors collapse onto one LSH signature: without the
+    max_bucket guard one reducer would matmul a 10k x 10k matrix and emit
+    ~50M pairs.  With the cap the oversized bucket is dropped (documented
+    deviation, mirrored in the SQL oracle) and the job completes fast."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.dedup import embedding_near_dup_lsh
+
+    n, dim = 10_000, 8
+    vec = (np.arange(dim, dtype=np.float32) + 1.0).tolist()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([vec] * n, type=pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    t0 = time.perf_counter()
+    out = embedding_near_dup_lsh(str(tmp_path), tau=0.9,
+                                 n_planes=8).to_pandas()
+    wall = time.perf_counter() - t0
+    assert len(out) == 0          # every bucket is the one hot bucket
+    assert wall < 60, wall        # no quadratic reducer
+    # and with the cap lifted above n the exact quadratic answer comes back
+    sub = 200
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(sub, dtype=np.int64)),
+        "embedding": pa.array([vec] * sub, type=pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    full = embedding_near_dup_lsh(str(tmp_path), tau=0.9, n_planes=8,
+                                  max_bucket=sub).to_pandas()
+    assert len(full) == sub * (sub - 1) // 2
+
+
 def test_ivf_knn_recall(ray_session):
     from s2ray.pipelines.ann import ivf_knn, knn_embeddings
 
