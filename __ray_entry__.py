@@ -25,6 +25,11 @@ SF_SMOKE = "/root/testdata/sf0.001"
 RECT = dict(lat_lo=30.0, lat_hi=60.0, lng_lo=-10.0, lng_hi=45.0)
 KNN_Q = dict(qlat=55.7558, qlng=37.6173, k=20)  # Moscow center
 CAP_RADIUS_M = 150000.0
+# rect-distance query rect: western Europe box — city clusters sit on every
+# side so both kernel branches (latitude clamp / longitudinal-edge distance)
+# are exercised
+RECT_DIST = dict(lat_lo=40.0, lat_hi=50.0, lng_lo=0.0, lng_hi=20.0)
+RECT_DIST_K = 100
 
 # PIP query polygons: squares over two of the hot city clusters (CCW in
 # (lat, lng) degrees) — exercised as geodesic-edge loops in the engine and
@@ -93,6 +98,40 @@ def _q_knn(sf_dir: str):
         return batch.drop_columns(["dist_m"]).append_column("dist_m", d)
 
     return out.map_batches(round_dist, batch_format="pyarrow")
+
+
+def _q_rect_distance_rank(sf_dir: str):
+    """Top-K pages nearest to (but outside) a fixed LatLngRect, ranked by
+    the reference point->rect getDistance kernel (S2LatLngRect.php:222-243);
+    the SQL oracle mirrors the kernel branch-for-branch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from s2ray.pipelines.filters import rect_distance_batch
+    from s2ray.pipelines.knn import _local_topk
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    k = RECT_DIST_K
+
+    def stage(batch: pa.Table) -> pa.Table:
+        batch = rect_distance_batch(batch, **RECT_DIST)
+        batch = batch.filter(pc.greater(batch["dist_m"], 0.0))
+        return _local_topk(batch.select(["page_id", "dist_m"]), k)
+
+    ds = pages_with_cells(sf_dir, token_level=None)
+    out = (ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+           .sort(["dist_m", "page_id"]).limit(k).repartition(1))
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "page_id": batch["page_id"],
+            "rank": pa.array(np.arange(1, len(batch) + 1, dtype=np.int64)),
+            "dist_m": pc.round(batch["dist_m"], ndigits=3),
+        })
+
+    return out.map_batches(add_rank, batch_format="pyarrow",
+                           batch_size=None)
 
 
 def _q_text_identity(sf_dir: str):
@@ -931,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": _q_tile_pyramid,
         "rect_filter": _q_rect_filter,
         "knn_moscow": _q_knn,
+        "rect_distance_rank": _q_rect_distance_rank,
         "text_identity": _q_text_identity,
         "pages_per_lang": _q_pages_per_lang,
         "cap_join": _q_cap_join,
@@ -1145,6 +1185,21 @@ def oracle_sql() -> dict[str, str]:
     knn = (
         f"{cte} SELECT page_id, url, round({dist}, 3) AS dist_m "
         f"FROM pages_geo ORDER BY {dist}, page_id LIMIT {KNN_Q['k']}"
+    )
+    # rect-distance rank: branch-for-branch kernel mirror (sqlgen)
+    from s2ray.functions.sqlgen import rect_distance_select
+    from s2ray.kernel.region import LatLngRect
+
+    rd_rect = LatLngRect.from_degrees(RECT_DIST["lat_lo"], RECT_DIST["lng_lo"],
+                                      RECT_DIST["lat_hi"], RECT_DIST["lng_hi"])
+    rect_dist_rank = (
+        f"{cte} SELECT page_id, CAST(row_number() OVER "
+        f"(ORDER BY dist_m, page_id) AS BIGINT) AS rank, "
+        f"round(dist_m, 3) AS dist_m FROM ("
+        + rect_distance_select("SELECT page_id, lat, lng FROM pages_geo",
+                               rd_rect)
+        + f") WHERE dist_m > 0 ORDER BY dist_m, page_id "
+        f"LIMIT {RECT_DIST_K}"
     )
     text_id = f"{cte} SELECT page_id, text FROM pages_geo"
     per_lang = (
@@ -1552,6 +1607,7 @@ FROM (
         "rect_filter": rect,
         "rect_filter_wrap": rect_wrap,
         "knn_moscow": knn,
+        "rect_distance_rank": rect_dist_rank,
         "knn_pruned_moscow": knn,
         "pages_per_month": per_month,
         "url_domain_counts": domains,

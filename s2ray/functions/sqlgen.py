@@ -302,29 +302,90 @@ def polyline_distance_select(inner_sql: str, polyline, lat: str = "lat",
     v = polyline.vertices
     dist_cols = []
     for k in range(len(v) - 1):
-        a, b = v[k], v[k + 1]
         cp = np.asarray(polyline._seg_cross[k], dtype=np.float64)
-        ncp = float(np.linalg.norm(cp))
-        ax, ay, az = (repr(float(t)) for t in a)
-        bx, by, bz = (repr(float(t)) for t in b)
-        cx, cy, cz = (repr(float(t)) for t in cp)
-        # det(cp, a, x) = dot(cross(x, cp), a) > 0  AND
-        # det(x, b, cp) = dot(cross(cp, x), b) > 0
-        w1 = (f"((_py * {cz} - _pz * {cy}) * {ax} + "
-              f"(_pz * {cx} - _px * {cz}) * {ay} + "
-              f"(_px * {cy} - _py * {cx}) * {az})")
-        w2 = (f"(({cy} * _pz - {cz} * _py) * {bx} + "
-              f"({cz} * _px - {cx} * _pz) * {by} + "
-              f"({cx} * _py - {cy} * _px) * {bz})")
-        sin_dist = (f"abs(_px * {cx} + _py * {cy} + _pz * {cz}) / {ncp!r}")
-        d_gc = f"asin(least(1.0, {sin_dist}))"
-        da2 = (f"((_px - {ax}) * (_px - {ax}) + (_py - {ay}) * (_py - {ay})"
-               f" + (_pz - {az}) * (_pz - {az}))")
-        db2 = (f"((_px - {bx}) * (_px - {bx}) + (_py - {by}) * (_py - {by})"
-               f" + (_pz - {bz}) * (_pz - {bz}))")
-        d_end = f"2.0 * asin(least(1.0, 0.5 * sqrt(least({da2}, {db2}))))"
-        q = (f"SELECT *, CASE WHEN {w1} > 0 AND {w2} > 0 THEN {d_gc} "
-             f"ELSE {d_end} END AS _seg{k} FROM ({q})")
+        expr = edge_distance_expr(v[k], v[k + 1], cp)
+        q = f"SELECT *, {expr} AS _seg{k} FROM ({q})"
         dist_cols.append(f"_seg{k}")
     return (f"SELECT *, least({', '.join(dist_cols)}) * {radius_m!r} "
             f"AS {dist_col} FROM ({q})")
+
+
+def edge_distance_expr(a, b, cp) -> str:
+    """SQL CASE expression for the angle (radians) from the point columns
+    (_px, _py, _pz) to the geodesic segment AB with precomputed cross CP —
+    the bit-exact mirror of edges.distance_point_to_edge (reference
+    S2EdgeUtil::getDistance, S2EdgeUtil.php:281-309) used by both the
+    polyline- and rect-distance oracles."""
+    import numpy as np
+
+    ncp = float(np.linalg.norm(np.asarray(cp, dtype=np.float64)))
+    ax, ay, az = (repr(float(t)) for t in a)
+    bx, by, bz = (repr(float(t)) for t in b)
+    cx, cy, cz = (repr(float(t)) for t in cp)
+    # det(cp, a, x) = dot(cross(x, cp), a) > 0  AND
+    # det(x, b, cp) = dot(cross(cp, x), b) > 0
+    w1 = (f"((_py * {cz} - _pz * {cy}) * {ax} + "
+          f"(_pz * {cx} - _px * {cz}) * {ay} + "
+          f"(_px * {cy} - _py * {cx}) * {az})")
+    w2 = (f"(({cy} * _pz - {cz} * _py) * {bx} + "
+          f"({cz} * _px - {cx} * _pz) * {by} + "
+          f"({cx} * _py - {cy} * _px) * {bz})")
+    sin_dist = (f"abs(_px * {cx} + _py * {cy} + _pz * {cz}) / {ncp!r}")
+    d_gc = f"asin(least(1.0, {sin_dist}))"
+    da2 = (f"((_px - {ax}) * (_px - {ax}) + (_py - {ay}) * (_py - {ay})"
+           f" + (_pz - {az}) * (_pz - {az}))")
+    db2 = (f"((_px - {bx}) * (_px - {bx}) + (_py - {by}) * (_py - {by})"
+           f" + (_pz - {bz}) * (_pz - {bz}))")
+    d_end = f"2.0 * asin(least(1.0, 0.5 * sqrt(least({da2}, {db2}))))"
+    return (f"CASE WHEN {w1} > 0 AND {w2} > 0 THEN {d_gc} "
+            f"ELSE {d_end} END")
+
+
+def rect_distance_select(inner_sql: str, rect, lat: str = "lat",
+                         lng: str = "lng", radius_m: float = 6371000.0,
+                         dist_col: str = "dist_m") -> str:
+    """Wrap ``inner_sql`` in SELECTs appending the min spherical distance
+    (meters) from each (lat, lng) row to the LatLngRect ``rect`` —
+    branch-for-branch mirror of ``LatLngRect.get_distance_latlng``
+    (region.py; reference S2LatLngRect::getDistance, S2LatLngRect.php:
+    222-243): latitude clamp when the longitude falls inside the rect's
+    lng interval, else point-to-edge distance to the nearer longitudinal
+    boundary edge (selected by the hi-edge S1 interval)."""
+    import math
+
+    import numpy as np
+
+    from ..kernel import sphere
+    from ..kernel.interval import S1Interval
+
+    m_pi_2 = math.pi / 2
+    q = (f"SELECT *, radians({lat}) AS _plat, radians({lng}) AS _plng, "
+         f"cos(radians({lat})) * cos(radians({lng})) AS _px, "
+         f"cos(radians({lat})) * sin(radians({lng})) AS _py, "
+         f"sin(radians({lat})) AS _pz FROM ({inner_sql})")
+    lnglo, lnghi = float(rect.lng.lo), float(rect.lng.hi)
+    latlo, lathi = float(rect.lat.lo), float(rect.lat.hi)
+    if rect.lng.is_full():
+        in_lng = "TRUE"
+    elif rect.lng.is_inverted():
+        in_lng = f"(_plng >= {lnglo!r} OR _plng <= {lnghi!r})"
+    else:
+        in_lng = f"(_plng >= {lnglo!r} AND _plng <= {lnghi!r})"
+    clamp = f"greatest(0.0, greatest(_plat - {lathi!r}, {latlo!r} - _plat))"
+    comp_center = (0.0 if lnglo == lnghi
+                   else S1Interval(lnghi, lnglo).get_center())
+    iv = S1Interval(lnghi, comp_center)
+    if iv.is_inverted():
+        use_hi = f"(_plng >= {iv.lo!r} OR _plng <= {iv.hi!r})"
+    else:
+        use_hi = f"(_plng >= {iv.lo!r} AND _plng <= {iv.hi!r})"
+    edge = {}
+    for name, a_lng in (("lo", lnglo), ("hi", lnghi)):
+        lo_pt = np.array(sphere.latlng_to_xyz(latlo, a_lng), dtype=np.float64)
+        hi_pt = np.array(sphere.latlng_to_xyz(lathi, a_lng), dtype=np.float64)
+        cross = np.array(sphere.latlng_to_xyz(0.0, a_lng - m_pi_2),
+                         dtype=np.float64)
+        edge[name] = edge_distance_expr(lo_pt, hi_pt, cross)
+    case = (f"CASE WHEN {in_lng} THEN {clamp} "
+            f"WHEN {use_hi} THEN {edge['hi']} ELSE {edge['lo']} END")
+    return f"SELECT *, ({case}) * {radius_m!r} AS {dist_col} FROM ({q})"

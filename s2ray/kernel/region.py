@@ -531,6 +531,107 @@ class LatLngRect:
         x, y, z = sphere.latlng_to_xyz(lat, lng)
         return np.array([x, y, z], dtype=np.float64)
 
+    def get_distance_latlng(self, lat_rad, lng_rad) -> np.ndarray:
+        """Min great-circle distance (radians) from points to this
+        non-empty rect, vectorized over (lat_rad, lng_rad) arrays.
+
+        Reference semantics: S2LatLngRect::getDistance(S2LatLng)
+        (S2LatLngRect.php:222-243): when the point's longitude lies inside
+        the rect's lng interval the shortest path runs along a meridian
+        (pure latitude clamp); otherwise it is the point-to-edge distance
+        to the nearer of the two longitudinal boundary edges, selected by
+        membership in the S1 interval from lng.hi to the complement
+        center.
+        """
+        from . import edges
+
+        if self.is_empty():
+            raise ValueError("getDistance on an empty rect")
+        lat = np.atleast_1d(np.asarray(lat_rad, dtype=np.float64))
+        lng = np.atleast_1d(np.asarray(lng_rad, dtype=np.float64))
+        out = np.empty(len(lat), dtype=np.float64)
+        if self.lng.is_full():
+            in_lng = np.ones(len(lng), dtype=bool)
+        elif self.lng.is_inverted():
+            in_lng = (lng >= self.lng.lo) | (lng <= self.lng.hi)
+        else:
+            in_lng = (lng >= self.lng.lo) & (lng <= self.lng.hi)
+        out[in_lng] = np.maximum(
+            0.0, np.maximum(lat[in_lng] - self.lat.hi,
+                            self.lat.lo - lat[in_lng]))
+        rest = ~in_lng
+        if rest.any():
+            # which boundary edge is nearer in longitude-space: the S1
+            # interval from lng.hi to the complement center holds exactly
+            # the longitudes closer to the hi edge
+            # PHP S1Interval::complement returns FULL for a point interval
+            # (center 0), else the swapped interval
+            comp_center = (0.0 if self.lng.lo == self.lng.hi
+                           else S1Interval(self.lng.hi, self.lng.lo)
+                           .get_center())
+            iv = S1Interval(self.lng.hi, comp_center)
+            lr = lng[rest]
+            if iv.is_inverted():
+                use_hi = (lr >= iv.lo) | (lr <= iv.hi)
+            else:
+                use_hi = (lr >= iv.lo) & (lr <= iv.hi)
+            px, py, pz = sphere.latlng_to_xyz(lat[rest], lng[rest])
+            pts = np.stack([px, py, pz], axis=1)
+            d = np.empty(len(lr), dtype=np.float64)
+            for sel, a_lng in ((~use_hi, self.lng.lo), (use_hi, self.lng.hi)):
+                if not sel.any():
+                    continue
+                lo_pt = np.array(sphere.latlng_to_xyz(self.lat.lo, a_lng),
+                                 dtype=np.float64)
+                hi_pt = np.array(sphere.latlng_to_xyz(self.lat.hi, a_lng),
+                                 dtype=np.float64)
+                cross = np.array(sphere.latlng_to_xyz(0.0, a_lng - M_PI_2),
+                                 dtype=np.float64)
+                d[sel] = edges.distance_point_to_edge(
+                    pts[sel], lo_pt, hi_pt, a_cross_b=cross)
+            out[rest] = d
+        return out
+
+    def get_distance_rect(self, other: "LatLngRect") -> float:
+        """Min great-circle distance (radians) between two non-empty rects
+        (S2LatLngRect::getDistance(S2LatLngRect), S2LatLngRect.php:250-305):
+        0 on intersection; a pure latitude gap when the lng intervals
+        overlap; otherwise the min of the four point-to-edge distances
+        between the nearest pair of longitudinal boundary edges."""
+        from . import edges
+
+        a, b = self, other
+        if a.is_empty() or b.is_empty():
+            raise ValueError("getDistance on an empty rect")
+        if a.lng.intersects(b.lng):
+            if a.lat.intersects(b.lat):
+                return 0.0
+            if a.lat.lo > b.lat.hi:
+                lo, hi = b.lat.hi, a.lat.lo
+            else:
+                lo, hi = a.lat.hi, b.lat.lo
+            return float(hi - lo)
+        lo_hi = S1Interval.from_point_pair(a.lng.lo, b.lng.hi)
+        hi_lo = S1Interval.from_point_pair(a.lng.hi, b.lng.lo)
+        if lo_hi.get_length() < hi_lo.get_length():
+            a_lng, b_lng = a.lng.lo, b.lng.hi
+        else:
+            a_lng, b_lng = a.lng.hi, b.lng.lo
+        a_lo = np.array(sphere.latlng_to_xyz(a.lat.lo, a_lng), dtype=np.float64)
+        a_hi = np.array(sphere.latlng_to_xyz(a.lat.hi, a_lng), dtype=np.float64)
+        a_cross = np.array(sphere.latlng_to_xyz(0.0, a_lng - M_PI_2),
+                           dtype=np.float64)
+        b_lo = np.array(sphere.latlng_to_xyz(b.lat.lo, b_lng), dtype=np.float64)
+        b_hi = np.array(sphere.latlng_to_xyz(b.lat.hi, b_lng), dtype=np.float64)
+        b_cross = np.array(sphere.latlng_to_xyz(0.0, b_lng - M_PI_2),
+                           dtype=np.float64)
+        return float(min(
+            edges.distance_point_to_edge(a_lo, b_lo, b_hi, a_cross_b=b_cross)[0],
+            edges.distance_point_to_edge(a_hi, b_lo, b_hi, a_cross_b=b_cross)[0],
+            edges.distance_point_to_edge(b_lo, a_lo, a_hi, a_cross_b=a_cross)[0],
+            edges.distance_point_to_edge(b_hi, a_lo, a_hi, a_cross_b=a_cross)[0],
+        ))
+
     # region protocol (Java spec)
     def get_cap_bound(self) -> Cap:
         if self.is_empty():

@@ -478,24 +478,123 @@ def _union_find_labels(pairs_i: np.ndarray, pairs_j: np.ndarray):
     return nodes, nodes[roots]
 
 
+def _cc_label_propagation(pairs, n_parts: int = 64, max_rounds: int = 64):
+    """Distributed connected components over a pair Dataset via hash-min
+    label propagation: every node starts labeled with itself; each round,
+    every node takes the min of its own label and its neighbors' labels
+    (co-partitioned by ``node % n_parts`` so one round = two bounded
+    shuffles of E+N rows); rounds stop when no label changed.  Converges
+    in O(graph diameter) rounds — near-dup clusters are dense and shallow,
+    so a handful in practice.  Per-round state is the (node, label) table
+    only, never the corpus and never a driver-side edge list.
+
+    Returns a Dataset with columns (node, label), label = component min.
+    """
+    import pandas as pd
+    import ray.data
+
+    P = np.int64(n_parts)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = batch["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([i, j])
+        dst = np.concatenate([j, i])
+        return pa.table({
+            "part": pa.array((src % P).astype(np.int32)),
+            "node": pa.array(src),
+            "other": pa.array(dst),
+            "label": pa.array(np.full(len(src), -1, dtype=np.int64)),
+        })
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    def init_labels(df):
+        # returns an Arrow table: union() requires label blocks to be the
+        # same block type as the Arrow edge blocks
+        u = np.unique(df["node"].to_numpy())
+        return pa.table({
+            "part": pa.array((u % n_parts).astype(np.int32)),
+            "node": pa.array(u),
+            "other": pa.array(np.full(len(u), -1, dtype=np.int64)),
+            "label": pa.array(u),
+        })
+
+    labels = edges.groupby("part").map_groups(
+        init_labels, batch_format="pandas").materialize()
+
+    def propagate(df):
+        lab = df[df["other"] < 0]
+        edg = df[df["other"] >= 0]
+        m = edg.merge(lab[["node", "label"]].rename(columns={"label": "lab"}),
+                      on="node", how="left")
+        cand_n = m["other"].to_numpy().astype(np.int64)
+        cand_l = m["lab"].to_numpy().astype(np.int64)
+        out_n = np.concatenate([cand_n, lab["node"].to_numpy()])
+        out_l = np.concatenate([cand_l, lab["label"].to_numpy()])
+        out_o = np.concatenate([np.zeros(len(cand_n), dtype=np.int64),
+                                np.ones(len(lab), dtype=np.int64)])
+        return pd.DataFrame({"part": (out_n % n_parts).astype(np.int32),
+                             "node": out_n, "is_old": out_o,
+                             "label": out_l})
+
+    def reduce_min(df):
+        new = df.groupby("node")["label"].min()
+        old = df.loc[df["is_old"] == 1].set_index("node")["label"]
+        nodes = new.index.to_numpy().astype(np.int64)
+        chg = (new.to_numpy() < old.reindex(new.index).to_numpy()) \
+            .astype(np.int64)
+        return pa.table({
+            "part": pa.array((nodes % n_parts).astype(np.int32)),
+            "node": pa.array(nodes),
+            "other": pa.array(np.full(len(nodes), -1, dtype=np.int64)),
+            "label": pa.array(new.to_numpy().astype(np.int64)),
+            "chg": pa.array(chg),
+        })
+
+    for _ in range(max_rounds):
+        step = edges.union(labels).groupby("part").map_groups(
+            propagate, batch_format="pandas")
+        new_labels = step.groupby("part").map_groups(
+            reduce_min, batch_format="pandas").materialize()
+        changed = new_labels.sum("chg")
+        labels = new_labels.drop_columns(["chg"]).materialize()
+        if not changed:
+            break
+    return labels.select_columns(["node", "label"])
+
+
 def near_dup_clusters(ds, tau: float = 0.5, k: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text"):
+                      id_col: str = "doc_id", text_col: str = "text",
+                      method: str = "driver"):
     """Connected components of the exact near-dup pair graph:
     (doc_id, cluster_id) for every document in some duplicate cluster,
     cluster_id = min doc id in its component.
 
     Scale design: the distributed inverted-index join produces the pair
     list (compact: only duplicate documents appear — orders of magnitude
-    smaller than the corpus); components are resolved with union-find over
-    that SMALL derived set on the driver and the result returned as a
-    Dataset.  For corpora where even the pair list is huge, pre-shard with
-    the banded LSH operator and cluster within bands.
+    smaller than the corpus).  ``method="driver"`` (default) resolves
+    components with union-find over that SMALL derived set on the driver —
+    the fast path while pairs fit in memory.  ``method="distributed"``
+    runs hash-min label propagation over the pair Dataset instead
+    (:func:`_cc_label_propagation`) — nothing touches the driver, for
+    corpora whose pair list is itself huge; equivalence vs union-find is
+    pytest-asserted on the stress corpus.
     """
     import pandas as pd
     import ray.data
 
     pairs = near_dup_pairs_exact(ds, tau=tau, k=k, id_col=id_col,
                                  text_col=text_col)
+    if method == "distributed":
+        out = _cc_label_propagation(pairs.select_columns(["i", "j"]))
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({id_col: batch["node"],
+                             "cluster_id": batch["label"]})
+
+        return out.map_batches(rename, batch_format="pyarrow")
     pdf = pairs.select_columns(["i", "j"]).to_pandas()
     if len(pdf) == 0:
         return ray.data.from_pandas(pd.DataFrame({

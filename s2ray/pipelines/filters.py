@@ -32,6 +32,23 @@ def rect_filter_batch(batch: pa.Table, lat_lo, lat_hi, lng_lo, lng_hi) -> pa.Tab
     return batch.filter(pa.array(mask))
 
 
+def rect_distance_batch(batch: pa.Table, lat_lo, lat_hi, lng_lo, lng_hi,
+                        out_col: str = "dist_m",
+                        radius_m: float = 6371000.0) -> pa.Table:
+    """Append the min great-circle distance (meters) from each page to the
+    rect (degrees, lng may wrap) — LatLngRect.get_distance_latlng applied
+    vectorized; 0.0 inside the rect."""
+    from ..kernel.region import LatLngRect
+
+    rect = LatLngRect.from_degrees(lat_lo, lng_lo, lat_hi, lng_hi)
+    lat = sphere.degrees_to_radians(batch["lat"].to_numpy(zero_copy_only=False))
+    lng = sphere.degrees_to_radians(batch["lng"].to_numpy(zero_copy_only=False))
+    d = rect.get_distance_latlng(lat, lng) * radius_m
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, pa.array(d, type=pa.float64()))
+
+
 def haversine_batch(batch: pa.Table, qlat_deg: float, qlng_deg: float,
                     out_col: str = "dist_m") -> pa.Table:
     """Append haversine distance (meters) to a fixed query point."""

@@ -319,3 +319,80 @@ def test_boolean_covering_guarantees():
             leaf = cellid.from_xyz(np.array([p[0]]), np.array([p[1]]),
                                    np.array([p[2]]))
             assert not cellunion.contains_leaf_ids(diff_cov, leaf)[0]
+
+
+# ---------------------------------------------------------------------------
+# rect distance kernels (S2LatLngRect::getDistance, S2LatLngRect.php:222-305)
+
+def _rect_boundary_samples(rect, n=600):
+    """Dense (lat, lng) samples of a rect's boundary, radians."""
+    lats = np.linspace(rect.lat.lo, rect.lat.hi, n)
+    if rect.lng.is_inverted():
+        span = (rect.lng.hi + 2 * np.pi) - rect.lng.lo
+        lngs = rect.lng.lo + np.linspace(0.0, span, n)
+        lngs = np.arctan2(np.sin(lngs), np.cos(lngs))
+    else:
+        lngs = np.linspace(rect.lng.lo, rect.lng.hi, n)
+    blat = np.concatenate([lats, lats,
+                           np.full(n, lats[0]), np.full(n, lats[-1])])
+    blng = np.concatenate([np.full(n, lngs[0]), np.full(n, lngs[-1]),
+                           lngs, lngs])
+    return blat, blng
+
+
+def test_rect_point_distance_vs_brute_force():
+    from s2ray.kernel import sphere
+    from s2ray.kernel.region import LatLngRect
+
+    rng = np.random.RandomState(20260817)
+    rects = [
+        LatLngRect.from_degrees(40, 0, 50, 20),
+        LatLngRect.from_degrees(-30, 100, -10, 140),
+        LatLngRect.from_degrees(-10, 170, 10, -170),   # lng wrap
+        LatLngRect.from_degrees(60, -120, 80, -60),    # near-polar
+    ]
+    for rect in rects:
+        blat, blng = _rect_boundary_samples(rect)
+        plat = np.radians(rng.uniform(-85, 85, 60))
+        plng = np.radians(rng.uniform(-179.9, 179.9, 60))
+        d = rect.get_distance_latlng(plat, plng)
+        inside = rect.contains_points(plat, plng)
+        for i in range(len(plat)):
+            if inside[i]:
+                assert d[i] == 0.0
+                continue
+            bf = sphere.haversine_distance_m(plat[i], plng[i], blat, blng,
+                                             radius_m=1.0).min()
+            assert abs(d[i] - bf) < 5e-5, (rect.lat.lo, i, d[i], bf)
+
+
+def test_rect_rect_distance_properties():
+    from s2ray.kernel import sphere
+    from s2ray.kernel.region import LatLngRect
+
+    a = LatLngRect.from_degrees(40, 0, 50, 20)
+    # intersecting rects -> 0
+    assert a.get_distance_rect(LatLngRect.from_degrees(45, 10, 55, 30)) == 0.0
+    # pure latitude gap when lng intervals overlap
+    b = LatLngRect.from_degrees(55, 10, 60, 30)
+    assert abs(a.get_distance_rect(b) - np.radians(5.0)) < 1e-12
+    # symmetric
+    c = LatLngRect.from_degrees(42, 40, 48, 60)
+    assert a.get_distance_rect(c) == c.get_distance_rect(a)
+    # matches brute-force min over boundary samples
+    blat_a, blng_a = _rect_boundary_samples(a, n=400)
+    for other in (b, c, LatLngRect.from_degrees(-20, -60, -10, -30),
+                  LatLngRect.from_degrees(35, 160, 45, -160)):
+        blat_o, blng_o = _rect_boundary_samples(other, n=400)
+        best = np.inf
+        for la, ln in zip(blat_o[::7], blng_o[::7]):
+            best = min(best, sphere.haversine_distance_m(
+                la, ln, blat_a, blng_a, radius_m=1.0).min())
+        d = a.get_distance_rect(other)
+        assert d <= best + 1e-12
+        assert abs(d - best) < 2e-3, (other.lat.lo, d, best)
+        # and consistency with the point kernel from the other rect's corners
+        for k in range(4):
+            vlat, vlng = sphere.xyz_to_latlng(*other.get_vertex(k))
+            assert d <= a.get_distance_latlng(
+                np.array([float(vlat)]), np.array([float(vlng)]))[0] + 1e-12

@@ -94,6 +94,23 @@ def test_stress_query_matches_oracle(qname, stress_dir, stress_con,
     _assert_matches_oracle(qname, e.queries()[qname](stress_dir), stress_con)
 
 
+def test_distributed_cc_matches_union_find(stress_dir, ray_session):
+    """Hash-min label propagation (the 100-TB path, no driver edge list)
+    must produce the identical (doc_id, cluster_id) table as the driver
+    union-find fast path on the duplication-heavy stress corpus."""
+    from s2ray.pipelines.dedup import near_dup_clusters
+    from s2ray.sources.readers import read_table
+
+    ds = read_table(stress_dir, "documents", columns=["doc_id", "text"])
+    a = near_dup_clusters(ds, method="driver").to_pandas()
+    b = near_dup_clusters(ds, method="distributed").to_pandas()
+    cols = ["doc_id", "cluster_id"]
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) > 0            # the 3x corpus must actually cluster
+    pd.testing.assert_frame_equal(a, b)
+
+
 NULL_QUERIES = ["text_stats", "normalize_text", "near_dup_pairs",
                 "pack_examples", "exact_dedup", "minhash_pairs"]
 
