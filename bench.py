@@ -92,6 +92,48 @@ def run_flagship_only():
     ray.shutdown()
 
 
+def _pip_poly():
+    """1024-vertex wiggly band polygon spanning all longitudes: candidate
+    pruning passes ~half the globe, so the join stage is dominated by the
+    exact vectorized PIP kernel (trig per point-edge) — a compute-bound
+    counterpart to the bandwidth-bound flagship for the scaling protocol."""
+    import numpy as np
+
+    from s2ray.kernel.pip import Polygon
+
+    t = np.linspace(0, 2 * np.pi, 1024, endpoint=False)
+    loop = list(zip((10.0 * np.sin(7 * t)).tolist(),
+                    (np.degrees(t) - 180.0).tolist()))
+    return Polygon.from_latlng_loops([loop])
+
+
+def run_pip_only():
+    """CPU-bound scaling leg: pip_join of every page against a large
+    assembled polygon.  Index build (~20 s driver-side covering of the
+    1024-edge polygon) is untimed — a deployment builds the region index
+    once and then streams the corpus through it; the timed section is the
+    streaming join itself."""
+    ray = _init_ray()
+    from s2ray.pipelines.spatial_join import spatial_join_broadcast
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    repl = int(os.environ.get("GRAFT_PIP_REPL", "200"))
+    ds = spatial_join_broadcast(
+        pages_with_cells(SF_DIR, repl=repl, token_level=None),
+        {"band": _pip_poly()}, keep_cols=("page_id",))
+    ds.count()   # warmup: worker pool spin-up + per-worker index cache
+    n_pages = repl * _n_docs(SF_DIR)
+    wall = float("inf")
+    rows = 0
+    for _ in range(int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))):
+        t0 = time.time()
+        rows = ds.count()
+        wall = min(wall, time.time() - t0)
+    print(json.dumps({"pip_sec": wall, "pages": n_pages, "rows": rows,
+                      "pages_per_sec": n_pages / wall, "num_cpus": NUM_CPUS}))
+    ray.shutdown()
+
+
 def _host_fill_mbps() -> float:
     """First-touch write bandwidth probe (MB/s): this sandbox's page-fault
     cost varies ~100x between runs/tenants — recording it per bench run
@@ -283,22 +325,30 @@ def run_scaling():
     N-vs-4N rule — run both and record both.
     """
     repl = os.environ.get("GRAFT_SCALING_REPL", "6400")
+    pip_repl = os.environ.get("GRAFT_SCALING_REPL_PIP", "1000")
     pair = os.environ.get("GRAFT_SCALING_CPUS", "8,32")
     n_lo, n_hi = (int(x) for x in pair.split(","))
-    results = {}
-    for cpus in (n_lo, n_hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_PAGES_REPL=repl)
+
+    def leg(flag, cpus, env_extra):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), **env_extra)
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+            [sys.executable, os.path.abspath(__file__), flag],
             env=env, capture_output=True, text=True, timeout=1800,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        line = [l for l in proc.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        return json.loads(line)
+
+    results = {c: leg("--flagship-only", c, {"GRAFT_PAGES_REPL": repl})
+               for c in (n_lo, n_hi)}
+    pip = {c: leg("--pip-only", c, {"GRAFT_PIP_REPL": pip_repl})
+           for c in (n_lo, n_hi)}
     t_lo = results[n_lo]["flagship_sec"]
     t_hi = results[n_hi]["flagship_sec"]
     speedup = t_lo / t_hi
     ideal = n_hi / n_lo
     efficiency = speedup / ideal
+    pip_speedup = pip[n_lo]["pip_sec"] / pip[n_hi]["pip_sec"]
     hw_speedup = _hardware_speedup(n_lo, n_hi)
     print(json.dumps({
         "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}_cpus",
@@ -313,8 +363,18 @@ def run_scaling():
         f"wall_{n_lo}cpu_sec": round(t_lo, 3),
         f"wall_{n_hi}cpu_sec": round(t_hi, 3),
         "speedup": round(speedup, 3),
+        # compute-bound pair: pip_join of every page vs a 1024-edge polygon
+        # (exact-PIP kernel dominates; not memory-bandwidth-bound)
+        "pip_pages": pip[n_hi]["pages"],
+        f"pip_throughput_{n_lo}cpu_pages_per_sec":
+            round(pip[n_lo]["pages_per_sec"], 1),
+        f"pip_throughput_{n_hi}cpu_pages_per_sec":
+            round(pip[n_hi]["pages_per_sec"], 1),
+        "pip_speedup": round(pip_speedup, 3),
+        "pip_efficiency": round(pip_speedup / ideal, 3),
         f"host_process_speedup_{n_lo}_to_{n_hi}": round(hw_speedup, 3),
         "host_normalized_efficiency": round(speedup / hw_speedup, 3),
+        "pip_host_normalized_efficiency": round(pip_speedup / hw_speedup, 3),
     }))
 
 
@@ -374,6 +434,8 @@ def run_suite_all():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--pip-only" in sys.argv:
+        run_pip_only()
     elif "--flagship-only" in sys.argv:
         run_flagship_only()
     elif "--stage-stats" in sys.argv:

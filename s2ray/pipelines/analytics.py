@@ -63,10 +63,10 @@ def url_domain_counts(pages_ds):
         # non-matching urls bucket as '' (DuckDB regexp_extract parity)
         # instead of crashing np.unique on None; null urls land there too
         dom = pc.fill_null(dom, "")
-        arr = np.asarray(dom.to_pandas(), dtype=object)
-        u, c = np.unique(arr, return_counts=True)
-        return pa.table({"domain": pa.array(u.tolist(), type=pa.string()),
-                         "partial_n": pa.array(c.astype(np.int64))})
+        codes, uniq = _dict_codes(dom)
+        c = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"domain": pa.array(uniq, type=pa.string()),
+                         "partial_n": pa.array(c)})
 
     return (
         pages_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -84,21 +84,23 @@ def events_hourly(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "h": batch["ts"].to_numpy(zero_copy_only=False)
-                  .astype("datetime64[h]").astype(np.int64),
-            "event_type": batch["event_type"].to_pandas(),
-            "value": batch["value"].to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby(["h", "event_type"], sort=False).agg(
-            n=("value", "size"), s=("value", "sum"),
-            nv=("value", "count")).reset_index()   # count skips NaN/null
+        h = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype(np.int64)
+        codes, uniq = _dict_codes(batch["event_type"])
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        nu = max(1, len(uniq))
+        ukey, inv = np.unique(h * nu + codes, return_inverse=True)
+        ok = ~np.isnan(v)                  # SQL count/sum skip NULLs
         return pa.table({
-            "h": pa.array(g["h"].to_numpy()),
-            "event_type": pa.array(g["event_type"], type=pa.string()),
-            "partial_n": pa.array(g["n"].to_numpy().astype(np.int64)),
-            "partial_s": pa.array(g["s"].to_numpy()),
-            "partial_nv": pa.array(g["nv"].to_numpy().astype(np.int64)),
+            "h": pa.array(ukey // nu),
+            "event_type": pa.array([uniq[c] for c in ukey % nu],
+                                   type=pa.string()),
+            "partial_n": pa.array(np.bincount(inv, minlength=len(ukey))
+                                  .astype(np.int64)),
+            "partial_s": pa.array(np.bincount(
+                inv, weights=np.where(ok, v, 0.0), minlength=len(ukey))),
+            "partial_nv": pa.array(np.bincount(
+                inv, weights=ok, minlength=len(ukey)).astype(np.int64)),
         })
 
     agg = (
@@ -139,20 +141,22 @@ def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 1800):
     def partial(batch: pa.Table) -> pa.Table:
         ts_s = batch["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[s]").astype(np.int64)
-        et = np.asarray(batch["event_type"].to_pandas(), dtype=object)
+        codes, uniq = _dict_codes(batch["event_type"])
         # window starts containing t: floor(t/slide)*slide - k*slide,
         # k = 0..n_windows-1, keeping only starts with t < start + window
         base = (ts_s // slide_s) * slide_s
         starts = base[:, None] - slide_s * np.arange(n_windows)[None, :]
         valid = ts_s[:, None] < starts + window_s
         w = starts[valid]
-        e_rep = np.repeat(et, n_windows).reshape(-1, n_windows)[valid]
-        df = pd.DataFrame({"w": w, "event_type": e_rep})
-        g = df.groupby(["w", "event_type"], sort=False).size().reset_index(name="n")
+        c_rep = np.repeat(codes, n_windows).reshape(-1, n_windows)[valid]
+        nu = max(1, len(uniq))
+        ukey, inv = np.unique(w * nu + c_rep, return_inverse=True)
         return pa.table({
-            "w": pa.array(g["w"].to_numpy()),
-            "event_type": pa.array(g["event_type"], type=pa.string()),
-            "partial_n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            "w": pa.array(ukey // nu),
+            "event_type": pa.array([uniq[c] for c in ukey % nu],
+                                   type=pa.string()),
+            "partial_n": pa.array(np.bincount(inv, minlength=len(ukey))
+                                  .astype(np.int64)),
         })
 
     agg = (
@@ -199,16 +203,15 @@ def top_k_per_region(pages_ds, regions: dict, k: int = 3):
         cs = ray.get(centers_ref)
         lat = sphere.degrees_to_radians(batch["lat"].to_numpy(zero_copy_only=False))
         lng = sphere.degrees_to_radians(batch["lng"].to_numpy(zero_copy_only=False))
-        rids = batch["region_id"].to_pandas()
-        qlat = rids.map({r: v[0] for r, v in cs.items()}) \
-            .to_numpy(dtype=np.float64)
-        qlng = rids.map({r: v[1] for r, v in cs.items()}) \
-            .to_numpy(dtype=np.float64)
-        if np.isnan(qlat).any():
-            # .map yields NaN for unknown keys; fail loudly like the old
-            # per-row dict access did instead of silently dropping rows
-            bad = rids[np.isnan(qlat)].iloc[0]
-            raise KeyError(f"region_id {bad!r} has no center")
+        codes, uniq = _dict_codes(batch["region_id"])
+        # one dict probe per DISTINCT region in the batch (KeyError loudly
+        # on an unknown region_id, like per-row dict access would)
+        qlat = np.array([cs[r][0] for r in uniq],
+                        dtype=np.float64)[codes] if len(uniq) \
+            else np.empty(0, dtype=np.float64)
+        qlng = np.array([cs[r][1] for r in uniq],
+                        dtype=np.float64)[codes] if len(uniq) \
+            else np.empty(0, dtype=np.float64)
         d = sphere.haversine_distance_m(lat, lng, qlat, qlng)
         return batch.append_column("dist_m", pa.array(d, type=pa.float64()))
 
@@ -427,16 +430,18 @@ def funnel_conversions(sf_dir: str, a: str = "view", b: str = "purchase",
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
     def add_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         batch = _drop_null_users(batch.replace_schema_metadata(None))
-        et = np.asarray(batch["event_type"].to_pandas(), dtype=object)
-        keep = (et == a) | (et == b)
-        batch = batch.filter(pa.array(keep))
+        keep = pc.fill_null(
+            pc.is_in(batch["event_type"], value_set=pa.array([a, b])), False)
+        batch = batch.filter(keep)
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        is_a = pc.equal(batch["event_type"], a)
         return pa.table({
             "user_id": batch["user_id"],
             "ts_us": pa.array(batch["ts"].to_numpy(zero_copy_only=False)
                               .astype("datetime64[us]").astype(np.int64)),
-            "is_a": pa.array(et[keep] == a),
+            "is_a": is_a,
             "part": pa.array((uid % n_parts).astype(np.int32)),
         })
 
@@ -581,8 +586,33 @@ def running_token_totals(sf_dir: str, budget: int = 2000,
             .map_groups(scan_range, batch_format="pandas"))
 
 
+def _dict_codes(col, gidx=None):
+    """Dictionary-encode a (chunked) string column into int64 codes plus
+    the per-batch dictionary — replaces per-row Python object conversion
+    (``to_pandas`` object arrays) in the hottest group-by partials with an
+    Arrow kernel.  Null keys get their own trailing code (SQL GROUP BY
+    keeps a NULL group).  With ``gidx`` (global name->int map) the local
+    codes are remapped into the global space with ONE dict lookup per
+    DISTINCT key in the batch instead of one per row."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    idx = d.indices
+    uniq = d.dictionary.to_pylist()
+    if idx.null_count:
+        idx = pc.fill_null(idx, len(uniq))
+        uniq = uniq + [None]
+    codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    if gidx is not None:
+        lut = np.fromiter((gidx[u] for u in uniq), count=len(uniq),
+                          dtype=np.int64)
+        return lut[codes], uniq
+    return codes, uniq
+
+
 def _group_runs(sorted_keys: np.ndarray):
-    """(starts, ends) of equal-key runs in an already-sorted object array."""
+    """(starts, ends) of equal-key runs in an already-sorted array."""
     n = len(sorted_keys)
     if n == 0:
         z = np.empty(0, dtype=np.int64)
@@ -601,7 +631,8 @@ def _grouped_blob_partial(batch: pa.Table, group_col: str, id_col: str,
     Typed output even for empty batches (mixed-schema RefBundles trip
     Ray's schema unification)."""
     import pyarrow.compute as pc
-    g = np.asarray(batch[group_col].to_pandas(), dtype=object)
+    gtype = batch[group_col].type
+    g, uniq = _dict_codes(batch[group_col])
     # null ids are excluded from the VALUE set (SQL count(DISTINCT) skips
     # NULLs) but their GROUP still emits a partial — a group whose ids are
     # all null must count 0, not vanish from the output
@@ -612,13 +643,13 @@ def _grouped_blob_partial(batch: pa.Table, group_col: str, id_col: str,
     v = pc.fill_null(batch[id_col], 0).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     if len(g) == 0:
-        return pa.table({group_col: pa.array([], type=pa.string()),
+        return pa.table({group_col: pa.array([], type=gtype),
                          blob_col: pa.array([], type=pa.binary())})
     order = np.argsort(g, kind="stable")
     g, v, valid = g[order], v[order], valid[order]
     starts, ends = _group_runs(g)
     return pa.table({
-        group_col: pa.array([g[s] for s in starts]),
+        group_col: pa.array([uniq[c] for c in g[starts]], type=gtype),
         blob_col: pa.array([reducer(v[s:e][valid[s:e]])
                             for s, e in zip(starts, ends)],
                            type=pa.binary()),
@@ -669,11 +700,12 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
 
     # -- pass A: per-group stats -------------------------------------------
     def stats(batch: pa.Table) -> pa.Table:
-        g = np.asarray(batch[group_col].to_pandas(), dtype=object)
+        gtype = batch[group_col].type
+        g, uniq = _dict_codes(batch[group_col])
         v = batch[value_col].to_numpy(zero_copy_only=False)
         if len(g) == 0:
             return pa.table({
-                "g": pa.array([], type=pa.string()),
+                "g": pa.array([], type=gtype),
                 "mn": pa.array([], type=pa.float64()),
                 "mx": pa.array([], type=pa.float64()),
                 "n": pa.array([], type=pa.int64()),
@@ -682,7 +714,7 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
         g, v = g[order], v[order]
         starts, ends = _group_runs(g)
         return pa.table({
-            "g": pa.array([g[s] for s in starts]),
+            "g": pa.array([uniq[c] for c in g[starts]], type=gtype),
             "mn": pa.array([float(np.min(v[s:e])) for s, e in zip(starts, ends)]),
             "mx": pa.array([float(np.max(v[s:e])) for s, e in zip(starts, ends)]),
             "n": pa.array([int(e - s) for s, e in zip(starts, ends)],
@@ -714,9 +746,8 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
     # -- pass B: per-group histograms --------------------------------------
     def hist(batch: pa.Table) -> pa.Table:
         gi, mn_, width_, nb = _cached_ginfo(ginfo_ref)
-        g = np.asarray(batch[group_col].to_pandas(), dtype=object)
         v = batch[value_col].to_numpy(zero_copy_only=False)
-        codes = np.fromiter((gi[x] for x in g), count=len(g), dtype=np.int64)
+        codes, _ = _dict_codes(batch[group_col], gidx=gi)
         lo = mn_[codes]
         w = width_[codes]
         b = np.clip(((v - lo) * (nb / w)).astype(np.int64), 0, nb - 1)
@@ -755,9 +786,8 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
     def select(batch: pa.Table) -> pa.Table:
         gi, mn_, width_, nb = _cached_ginfo(ginfo_ref)
         tg = _cached_ginfo(targets_ref)
-        g = np.asarray(batch[group_col].to_pandas(), dtype=object)
         v = batch[value_col].to_numpy(zero_copy_only=False)
-        codes = np.fromiter((gi[x] for x in g), count=len(g), dtype=np.int64)
+        codes, _ = _dict_codes(batch[group_col], gidx=gi)
         lo = mn_[codes]
         w = width_[codes]
         b = np.clip(((v - lo) * (nb / w)).astype(np.int64), 0, nb - 1)

@@ -104,27 +104,27 @@ def test_polygon_is_valid():
     assert not bow.is_valid()
 
 
-def test_covering_setops_invariants(ray_session):
-    import __ray_entry__ as e
+def test_covering_setops_invariants():
+    # Same constants as __ray_entry__._setop_intervals; the membership-join
+    # query is SQL-oracled, this checks the cell algebra itself.
     from s2ray.kernel import cellunion
+    from s2ray.kernel.coverer import covering_of
+    from s2ray.kernel.region import Cap
 
-    df = e.queries()["covering_setops"](SF)
-    a = cellunion.normalize(cellid.from_token(
-        df[df.op == "a"].cell_token.tolist()))
-    b = cellunion.normalize(cellid.from_token(
-        df[df.op == "b"].cell_token.tolist()))
-    u = cellunion.normalize(cellid.from_token(
-        df[df.op == "union"].cell_token.tolist()))
-    i = cellunion.normalize(cellid.from_token(
-        df[df.op == "intersection"].cell_token.tolist()))
-    ex = cellunion.normalize(cellid.from_token(
-        df[df.op == "a_expanded"].cell_token.tolist()))
+    a = cellunion.normalize(covering_of(
+        Cap.from_latlng_radius(55.7558, 37.6173, 8000.0), max_cells=16))
+    b = cellunion.normalize(covering_of(
+        Cap.from_latlng_radius(55.80, 37.66, 8000.0), max_cells=16))
+    u = cellunion.get_union(a, b)
+    i = cellunion.get_intersection(a, b)
+    ex = cellunion.expand_angle(a, 50000.0 / 6371000.0)
     for cid in a:
         assert cellunion.contains_ids(u, np.array([cid]))[0]
         assert cellunion.contains_ids(ex, np.array([cid]))[0]
     for cid in i:
         assert cellunion.intersects_ids(a, np.array([cid]))[0]
         assert cellunion.intersects_ids(b, np.array([cid]))[0]
+    assert len(i) > 0  # the two 8 km caps overlap
 
 
 def test_polyline_covering(ray_session):

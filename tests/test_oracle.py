@@ -69,6 +69,7 @@ def _compare(name, entrymod, con):
 
 @pytest.mark.parametrize("qname", ["rect_filter", "knn_moscow", "text_identity",
                                    "rect_distance_rank",
+                                   "covering_setops", "boolean_covering",
                                    "pages_per_lang", "cap_join", "pip_join",
                                    "cap_join_shuffle",
                                    "exact_dedup", "near_dup_pairs",
