@@ -221,6 +221,7 @@ def _q_polygon_covering(sf_dir: str):
 NEAR_DUP_TAU = 0.5
 EMB_TAU = 0.45
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_BULK_QUERY_IDS = list(range(40))   # bulk path: many queries per scan
 ANN_K = 10
 
 
@@ -583,6 +584,14 @@ def _q_knn_embeddings(sf_dir: str):
     from s2ray.pipelines.ann import knn_embeddings
 
     return knn_embeddings(sf_dir, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_knn_bulk(sf_dir: str):
+    """Bulk-query brute-force ANN (vectorized multi-query partial top-k,
+    ann.py knn_embeddings_bulk) — same contract as knn_embeddings."""
+    from s2ray.pipelines.ann import knn_embeddings_bulk
+
+    return knn_embeddings_bulk(sf_dir, ANN_BULK_QUERY_IDS, k=ANN_K)
 
 
 def _q_ivf_knn(sf_dir: str):
@@ -1078,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins / similarity search
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "knn_embeddings": _q_knn_embeddings,
+        "knn_bulk": _q_knn_bulk,
         "lsh_knn": _q_lsh_knn,
         # text analysis
         "text_stats": _q_text_stats,
@@ -1541,6 +1551,8 @@ FROM embeddings e
 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN ({ann_ids})) q
 WHERE e.vec_id <> q.vec_id
 QUALIFY rank <= {ANN_K}"""
+    bulk_ids = ", ".join(str(q) for q in ANN_BULK_QUERY_IDS)
+    knn_bulk_sql = knn_emb_sql.replace(f"IN ({ann_ids})", f"IN ({bulk_ids})")
     text_stats_sql = """
 SELECT doc_id,
        length(text) AS n_chars,
@@ -1937,6 +1949,7 @@ FROM (
         "emb_near_dup": emb_near_dup_sql,
         "emb_near_dup_lsh": emb_lsh_sql,
         "knn_embeddings": knn_emb_sql,
+        "knn_bulk": knn_bulk_sql,
         "lsh_knn": lsh_knn_sql,
         "text_stats": text_stats_sql,
         "quality_score": quality_sql,

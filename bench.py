@@ -92,35 +92,77 @@ def run_flagship_only():
     ray.shutdown()
 
 
-def _pip_poly():
-    """1024-vertex wiggly band polygon spanning all longitudes: candidate
-    pruning passes ~half the globe, so the join stage is dominated by the
-    exact vectorized PIP kernel (trig per point-edge) — a compute-bound
-    counterpart to the bandwidth-bound flagship for the scaling protocol."""
+PIP_NV, PIP_FREQ = 2048, 29
+
+
+def _pip_region_index():
+    """RegionIndex over two complementary hemispheres bounded by a
+    2048-vertex wiggly band (freq 29): every page is inside exactly one
+    region, so the join runs the exact indexed-PIP kernel (~4 us of trig
+    per point) on EVERY row — a compute-bound counterpart to the
+    bandwidth-bound flagship for the scaling protocol.  Built once and
+    pickle-cached under /tmp (a deployment builds the region index once
+    and reuses it across join runs)."""
+    import pickle
+
     import numpy as np
 
+    cache = f"/tmp/pip_bench_index_{PIP_NV}_{PIP_FREQ}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return pickle.load(f)
     from s2ray.kernel.pip import Polygon
+    from s2ray.pipelines.spatial_join import RegionIndex
 
-    t = np.linspace(0, 2 * np.pi, 1024, endpoint=False)
-    loop = list(zip((10.0 * np.sin(7 * t)).tolist(),
+    t = np.linspace(0, 2 * np.pi, PIP_NV, endpoint=False)
+    loop = list(zip((10.0 * np.sin(PIP_FREQ * t)).tolist(),
                     (np.degrees(t) - 180.0).tolist()))
-    return Polygon.from_latlng_loops([loop])
+    idx = RegionIndex({"hemi_a": Polygon.from_latlng_loops([loop]),
+                       "hemi_b": Polygon.from_latlng_loops([loop[::-1]])})
+    tmp = cache + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(idx, f)
+    os.replace(tmp, cache)
+    return idx
+
+
+def _pip_input_dir(repl: int) -> str:
+    """Materialize (page_id, lat, lng, cell_id) once to /tmp parquet —
+    deployments assign cells once and store them; repeated joins stream the
+    compact columns, so the timed section is PIP compute, not html re-parse."""
+    sf = os.path.basename(os.path.normpath(SF_DIR))
+    out = f"/tmp/pip_bench_cells_{sf}_{repl}"
+    if os.path.exists(f"{out}.done"):
+        return out
+    import shutil
+
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    shutil.rmtree(out, ignore_errors=True)
+    (pages_with_cells(SF_DIR, repl=repl, token_level=None)
+     .select_columns(["page_id", "lat", "lng", "cell_id"])
+     .write_parquet(out))
+    open(f"{out}.done", "w").close()
+    return out
 
 
 def run_pip_only():
-    """CPU-bound scaling leg: pip_join of every page against a large
-    assembled polygon.  Index build (~20 s driver-side covering of the
-    1024-edge polygon) is untimed — a deployment builds the region index
-    once and then streams the corpus through it; the timed section is the
-    streaming join itself."""
+    """CPU-bound scaling leg: pip_join of every page against two large
+    assembled polygons (complementary wiggly hemispheres).  Region-index
+    build and cell assignment are untimed cached prep (both are one-time
+    artifacts in a deployment); the timed section is the streaming join."""
     ray = _init_ray()
-    from s2ray.pipelines.spatial_join import spatial_join_broadcast
-    from s2ray.pipelines.tiles import pages_with_cells
+    import ray.data
 
-    repl = int(os.environ.get("GRAFT_PIP_REPL", "200"))
+    from s2ray.pipelines.spatial_join import spatial_join_broadcast
+
+    repl = int(os.environ.get("GRAFT_PIP_REPL", "400"))
+    idx = _pip_region_index()
+    in_dir = _pip_input_dir(repl)
     ds = spatial_join_broadcast(
-        pages_with_cells(SF_DIR, repl=repl, token_level=None),
-        {"band": _pip_poly()}, keep_cols=("page_id",))
+        ray.data.read_parquet(in_dir,
+                              columns=["page_id", "lat", "lng", "cell_id"]),
+        {}, keep_cols=("page_id",), prebuilt_index=idx)
     ds.count()   # warmup: worker pool spin-up + per-worker index cache
     n_pages = repl * _n_docs(SF_DIR)
     wall = float("inf")
@@ -131,6 +173,62 @@ def run_pip_only():
         wall = min(wall, time.time() - t0)
     print(json.dumps({"pip_sec": wall, "pages": n_pages, "rows": rows,
                       "pages_per_sec": n_pages / wall, "num_cpus": NUM_CPUS}))
+    ray.shutdown()
+
+
+def run_ann_only():
+    """FLOP-dense scaling leg: bulk brute-force cosine top-k over a
+    deterministic synthetic embedding corpus (vectors generated in-stage
+    from row ids — zero I/O), 512 queries x dim 256.  Per-batch cost is
+    one (Q, B) float32 matmul + a vectorized k-th-value cut — the
+    arithmetic-intensity end of the engine's stage spectrum,
+    complementing the bandwidth-bound flagship pair."""
+    ray = _init_ray()
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from s2ray.functions.vecs import synthetic_vectors
+    from s2ray.pipelines.ann import topk_merge, topk_partial_core
+
+    n_rows = int(os.environ.get("GRAFT_ANN_ROWS", "4000000"))
+    n_q = int(os.environ.get("GRAFT_ANN_QUERIES", "512"))
+    dim, k = 256, 10
+    q_ids = np.arange(n_rows + 1, n_rows + 1 + n_q, dtype=np.int64)
+    q_mat = synthetic_vectors(q_ids, dim)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def gen_topk(batch: pa.Table, q_ref=q_ref) -> pa.Table:
+        from s2ray.state.bcast import cached_get
+
+        qi, qm = cached_get(q_ref)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        emb = synthetic_vectors(ids, dim)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        return topk_partial_core(qi, qm, ids, emb, k)
+
+    nblocks = max(NUM_CPUS * 4, n_rows // 16384)
+    # small batches keep (Q, B) sims + generation temporaries L2/L3-resident
+    # (16k-row batches stream ~180 MB of temporaries each — measured 2x
+    # per-row slowdown at 32-way concurrency on the shared memory bus)
+    bs = int(os.environ.get("GRAFT_ANN_BATCH", "4096"))
+
+    def make():
+        ds = ray.data.range(n_rows, override_num_blocks=nblocks)
+        return topk_merge(
+            ds.map_batches(gen_topk, batch_format="pyarrow",
+                           batch_size=bs), k)
+
+    make().count()   # warmup
+    wall = float("inf")
+    out_rows = 0
+    for _ in range(int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))):
+        t0 = time.time()
+        out_rows = make().count()
+        wall = min(wall, time.time() - t0)
+    print(json.dumps({"ann_sec": wall, "rows": n_rows, "out_rows": out_rows,
+                      "vecs_per_sec": n_rows / wall, "num_cpus": NUM_CPUS}))
     ray.shutdown()
 
 
@@ -325,7 +423,7 @@ def run_scaling():
     N-vs-4N rule — run both and record both.
     """
     repl = os.environ.get("GRAFT_SCALING_REPL", "6400")
-    pip_repl = os.environ.get("GRAFT_SCALING_REPL_PIP", "1000")
+    pip_repl = os.environ.get("GRAFT_SCALING_REPL_PIP", "12800")
     pair = os.environ.get("GRAFT_SCALING_CPUS", "8,32")
     n_lo, n_hi = (int(x) for x in pair.split(","))
 
@@ -339,9 +437,12 @@ def run_scaling():
                 if l.startswith("{")][-1]
         return json.loads(line)
 
+    ann_rows = os.environ.get("GRAFT_SCALING_ANN_ROWS", "8000000")
     results = {c: leg("--flagship-only", c, {"GRAFT_PAGES_REPL": repl})
                for c in (n_lo, n_hi)}
     pip = {c: leg("--pip-only", c, {"GRAFT_PIP_REPL": pip_repl})
+           for c in (n_lo, n_hi)}
+    ann = {c: leg("--ann-only", c, {"GRAFT_ANN_ROWS": ann_rows})
            for c in (n_lo, n_hi)}
     t_lo = results[n_lo]["flagship_sec"]
     t_hi = results[n_hi]["flagship_sec"]
@@ -349,6 +450,7 @@ def run_scaling():
     ideal = n_hi / n_lo
     efficiency = speedup / ideal
     pip_speedup = pip[n_lo]["pip_sec"] / pip[n_hi]["pip_sec"]
+    ann_speedup = ann[n_lo]["ann_sec"] / ann[n_hi]["ann_sec"]
     hw_speedup = _hardware_speedup(n_lo, n_hi)
     print(json.dumps({
         "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}_cpus",
@@ -372,9 +474,18 @@ def run_scaling():
             round(pip[n_hi]["pages_per_sec"], 1),
         "pip_speedup": round(pip_speedup, 3),
         "pip_efficiency": round(pip_speedup / ideal, 3),
+        # FLOP-dense pair: bulk ANN matmul top-k over a synthetic corpus
+        "ann_rows": ann[n_hi]["rows"],
+        f"ann_throughput_{n_lo}cpu_vecs_per_sec":
+            round(ann[n_lo]["vecs_per_sec"], 1),
+        f"ann_throughput_{n_hi}cpu_vecs_per_sec":
+            round(ann[n_hi]["vecs_per_sec"], 1),
+        "ann_speedup": round(ann_speedup, 3),
+        "ann_efficiency": round(ann_speedup / ideal, 3),
         f"host_process_speedup_{n_lo}_to_{n_hi}": round(hw_speedup, 3),
         "host_normalized_efficiency": round(speedup / hw_speedup, 3),
         "pip_host_normalized_efficiency": round(pip_speedup / hw_speedup, 3),
+        "ann_host_normalized_efficiency": round(ann_speedup / hw_speedup, 3),
     }))
 
 
@@ -436,6 +547,8 @@ if __name__ == "__main__":
         run_scaling()
     elif "--pip-only" in sys.argv:
         run_pip_only()
+    elif "--ann-only" in sys.argv:
+        run_ann_only()
     elif "--flagship-only" in sys.argv:
         run_flagship_only()
     elif "--stage-stats" in sys.argv:

@@ -66,3 +66,27 @@ def read_query_vectors(parquet_path: str, query_ids,
     t = t.sort_by(id_col)
     q_ids = t[id_col].to_numpy()
     return q_ids, normalized_matrix(t[column])
+
+
+def synthetic_vectors(ids, dim: int, dtype=np.float32) -> np.ndarray:
+    """Deterministic (id, component) -> uniform[-1, 1) matrix via the
+    splitmix64 finalizer — a reproducible synthetic embedding corpus for
+    benchmarks and tests.  Stateless: any worker can generate any shard
+    from ids alone (no RNG object, no seed coordination)."""
+    ids = np.asarray(ids).astype(np.uint64)
+    # in-place mixing: the naive chained form allocates ~5 (N, dim)
+    # temporaries and turns generation memory-bound at high concurrency
+    z = ids[:, None] * np.uint64(dim)
+    z = z + np.arange(dim, dtype=np.uint64)[None, :]
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    z >>= np.uint64(11)
+    out = z.astype(np.float64)
+    out *= 2.0 ** -52
+    out -= 1.0
+    return out.astype(dtype, copy=False) if dtype == np.float64 \
+        else out.astype(dtype)

@@ -67,6 +67,34 @@ def robust_crossing_one_to_many(c: np.ndarray, d: np.ndarray,
     return out
 
 
+def robust_crossing_pairwise(c: np.ndarray, d: np.ndarray,
+                             o: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """robustCrossing(edge C_i D_i, edge O_i P_i) row-wise over (N,3) inputs.
+
+    Same arithmetic as robust_crossing_one_to_many with per-row C/D/O —
+    the fully-batched form the cell-indexed PIP uses to test every
+    (point, local-edge) pair in one vectorized pass."""
+    c = np.asarray(c, dtype=np.float64)
+    d = np.asarray(d, dtype=np.float64)
+    o = np.asarray(o, dtype=np.float64)
+    p = np.asarray(p, dtype=np.float64)
+    c_cross_d = np.cross(c, d)
+    acb = -sphere.robust_ccw(c, d, o, a_cross_b=c_cross_d)
+    bda = sphere.robust_ccw(c, d, p, a_cross_b=c_cross_d)
+    out = np.full(len(p), -1, dtype=np.int64)
+    degenerate = (bda == 0) | (acb == 0)
+    maybe = (bda == acb) & ~degenerate
+    if np.any(maybe):
+        idx = np.nonzero(maybe)[0]
+        o_cross_p = np.cross(o[idx], p[idx])
+        cbd = -sphere.robust_ccw(o[idx], p[idx], d[idx], a_cross_b=o_cross_p)
+        dac = sphere.robust_ccw(o[idx], p[idx], c[idx], a_cross_b=o_cross_p)
+        good = (cbd == acb[idx]) & (dac == acb[idx])
+        out[idx[good]] = 1
+    out[degenerate] = 0
+    return out
+
+
 def robust_crossing(a, b, c, d) -> int:
     """Scalar robustCrossing (S2EdgeUtil.php:75-110)."""
     a = np.asarray(a, dtype=np.float64)

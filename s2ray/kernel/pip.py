@@ -374,6 +374,29 @@ class IndexedLoop:
     Points outside the covering are outside the loop (covering superset).
     """
 
+    # refinement: split covering cells holding more edges than this (the
+    # probe pays O(local edges) per point, so this bounds per-point cost —
+    # the same adaptive-subdivision idea as S2ShapeIndex's edge budget)
+    MAX_EDGES_PER_CELL = 16
+    # absolute refinement depth cap (termination on degenerate bunching)
+    MAX_REFINE_LEVEL = 18
+
+    def _cell_edges(self, cid: int, cand: np.ndarray) -> np.ndarray:
+        """Subset of candidate edge ids that may intersect cell `cid`:
+        endpoint inside, or crossing a cell boundary edge (cells are
+        convex, so any other intersection implies a boundary crossing).
+        `cand` restricts the test to a parent cell's edge set — an edge
+        meeting a child must meet the parent."""
+        cell = Cell(cid)
+        a = self.loop._edges_a[cand]
+        b = self.loop._edges_b[cand]
+        hit = cell.contains_points_vec(a)
+        verts = [cell.get_vertex(k) for k in range(4)]
+        for k in range(4):
+            cr = _crossings_edge_vs_edges(verts[k], verts[(k + 1) & 3], a, b)
+            hit |= cr >= 0  # include shared-vertex/degenerate cases
+        return cand[hit]
+
     def __init__(self, loop: Loop, max_cells: int = 256):
         from . import cellid as ci
         from . import cellunion
@@ -381,53 +404,86 @@ class IndexedLoop:
 
         self.loop = loop
         cov = cellunion.normalize(covering_of(loop, max_cells=max_cells))
+        all_ids = np.arange(len(loop._edges_a), dtype=np.int64)
+        stack = [(int(cid), None) for cid in cov]
+        out_cells = []
+        out_edges = []
+        while stack:
+            cid, cand = stack.pop()
+            eids = self._cell_edges(cid, all_ids if cand is None else cand)
+            lv = int(ci.level(np.array([cid], dtype=np.uint64))[0])
+            if (len(eids) > self.MAX_EDGES_PER_CELL
+                    and lv < self.MAX_REFINE_LEVEL):
+                for ch in ci.children(np.array([cid], dtype=np.uint64))[0]:
+                    stack.append((int(ch), eids))
+            else:
+                out_cells.append(cid)
+                out_edges.append(eids)
+        order = np.argsort(np.array(
+            [ci.range_min(np.array([c], dtype=np.uint64))[0]
+             for c in out_cells]).astype(np.uint64))
+        cov = np.array(out_cells, dtype=np.uint64)[order]
         self.cells = cov
         self.starts = ci.range_min(cov)
         self.ends = ci.range_max(cov)
-        centers = []
-        self.local_edges = []
-        for cid in cov:
-            cell = Cell(int(cid))
-            centers.append(cell.get_center())
-            # superset of edges intersecting the cell: endpoint inside, or
-            # edge crosses any cell boundary edge (vectorized per cell)
-            hit = cell.contains_points_vec(loop._edges_a)
-            verts = [cell.get_vertex(k) for k in range(4)]
-            for k in range(4):
-                cr = _crossings_edge_vs_edges(
-                    verts[k], verts[(k + 1) & 3], loop._edges_a, loop._edges_b)
-                hit |= cr >= 0  # include shared-vertex/degenerate cases
-            self.local_edges.append(np.nonzero(hit)[0])
-        self.centers = np.array(centers)
+        self.local_edges = [out_edges[i] for i in order]
+        self.centers = np.array([Cell(int(c)).get_center() for c in cov])
         # one vectorized O(E) parity pass over all cell centers at once
         self.center_parity = loop.contains_points_xyz(self.centers)
+        # CSR layout of local_edges so the query expands (point, edge)
+        # pairs without any per-cell python work
+        self.edge_counts = np.array([len(e) for e in self.local_edges],
+                                    dtype=np.int64)
+        self.edge_offsets = np.concatenate(
+            [[0], np.cumsum(self.edge_counts[:-1])]).astype(np.int64)
+        self.edge_flat = (np.concatenate(self.local_edges)
+                          if len(cov) else np.empty(0, dtype=np.int64)) \
+            .astype(np.int64)
 
     def contains_points_xyz(self, pts: np.ndarray) -> np.ndarray:
+        """One vectorized pass: covering lookup (searchsorted), then EVERY
+        (covered point, local edge of its cell) pair goes through a single
+        robust_crossing_pairwise call — no per-cell or per-edge python
+        loops (the old form cost O(points x distinct-cells) in mask scans
+        and dominated dense spatial joins)."""
         from . import cellid as ci
 
         pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        n = len(pts)
         leaf = ci.from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
         pos = np.searchsorted(self.starts, leaf, side="right")
         inside_cov = pos > 0
         cell_idx = np.maximum(pos, 1) - 1
         inside_cov &= leaf <= self.ends[cell_idx]
-        out = np.zeros(len(pts), dtype=bool)
-        for idx in np.unique(cell_idx[inside_cov]):
-            sel = np.nonzero(inside_cov & (cell_idx == idx))[0]
-            sub = pts[sel]
-            center = self.centers[idx]
-            parity = np.full(len(sub), self.center_parity[idx], dtype=bool)
-            for e in self.local_edges[idx]:
-                cr = edges.robust_crossing_one_to_many(
-                    self.loop._edges_a[e], self.loop._edges_b[e], center, sub)
-                parity ^= cr > 0
-                shared = cr == 0
-                if shared.any():
-                    for t in np.nonzero(shared)[0]:
-                        parity[t] ^= edges.vertex_crossing(
-                            center, sub[t], self.loop._edges_a[e],
-                            self.loop._edges_b[e])
-            out[sel] = parity
+        out = np.zeros(n, dtype=bool)
+        rows = np.nonzero(inside_cov)[0]
+        if not len(rows):
+            return out
+        cidx = cell_idx[rows]
+        counts = self.edge_counts[cidx]
+        total = int(counts.sum())
+        flips = np.zeros(n, dtype=np.int64)
+        if total:
+            pair_rows = np.repeat(rows, counts)
+            # ragged arange: position of each pair within its point's group
+            cum = np.concatenate([[0], np.cumsum(counts[:-1])]) \
+                .astype(np.int64)
+            within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+            eids = self.edge_flat[np.repeat(self.edge_offsets[cidx], counts)
+                                  + within]
+            o = np.repeat(self.centers[cidx], counts, axis=0)
+            cr = edges.robust_crossing_pairwise(
+                self.loop._edges_a[eids], self.loop._edges_b[eids],
+                o, pts[pair_rows])
+            flips += np.bincount(pair_rows[cr > 0], minlength=n)
+            for s in np.nonzero(cr == 0)[0]:   # shared-vertex pairs: rare
+                r = pair_rows[s]
+                if edges.vertex_crossing(
+                        self.centers[cell_idx[r]], pts[r],
+                        self.loop._edges_a[eids[s]],
+                        self.loop._edges_b[eids[s]]):
+                    flips[r] += 1
+        out[rows] = self.center_parity[cidx] ^ (flips[rows] % 2 == 1)
         return out
 
     def contains_latlng_degrees(self, lat_deg, lng_deg) -> np.ndarray:

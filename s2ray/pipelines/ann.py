@@ -87,6 +87,83 @@ def knn_embeddings(sf_dir: str, query_ids: list[int], k: int = 10):
         global_topk, batch_format="pandas")
 
 
+def topk_partial_core(q_ids: np.ndarray, q_mat: np.ndarray,
+                      ids: np.ndarray, emb: np.ndarray,
+                      k: int) -> pa.Table:
+    """Vectorized partial top-k for MANY queries at once: one (Q, B)
+    matmul, then a k-th-value cut (np.partition) that keeps every element
+    at least as similar as the k-th — boundary ties are kept, so the
+    global merge (sim DESC, vec_id ASC) returns bit-identical results to
+    the per-query path.  knn_embeddings' python-per-query lexsort is fine
+    for a handful of queries; bulk retrieval (hundreds of queries per
+    scan) needs the whole batch to stay in C.  `emb` rows must be
+    L2-normalized."""
+    sims = q_mat @ emb.T                      # (Q, B)
+    self_mask = ids[None, :] == np.asarray(q_ids)[:, None]
+    if self_mask.any():
+        # dtype-preserving -inf: a python float would promote f32 sims
+        sims = np.where(self_mask, sims.dtype.type(-np.inf), sims)
+    B = sims.shape[1]
+    kk = min(k, B)
+    kth = np.partition(sims, B - kk, axis=1)[:, B - kk]      # k-th best
+    qi, bi = np.nonzero(sims >= kth[:, None])
+    s = sims[qi, bi]
+    ok = np.isfinite(s)                       # drop masked self rows
+    qi, bi, s = qi[ok], bi[ok], s[ok]
+    return pa.table({
+        "query_id": pa.array(np.asarray(q_ids)[qi], type=pa.int64()),
+        "vec_id": pa.array(ids[bi], type=pa.int64()),
+        "sim": pa.array(s, type=pa.float64()),
+    })
+
+
+def topk_partial_stage(batch: pa.Table, q_ref, k: int) -> pa.Table:
+    """Parquet-input wrapper of topk_partial_core (broadcast queries)."""
+    from ..state.bcast import cached_get
+
+    q_ids, q_mat = cached_get(q_ref)
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    emb = normalized_matrix(batch["embedding"])
+    return topk_partial_core(q_ids, q_mat, ids, emb, k)
+
+
+def topk_merge(partials, k: int):
+    """Global per-query merge of partial top-k rows — deterministic
+    (sim DESC, vec_id ASC), same contract as knn_embeddings."""
+
+    def global_topk(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("query_id", "vec_id", "rank")})
+        df = (df.sort_values(["sim", "vec_id"], ascending=[False, True])
+              .head(k).reset_index(drop=True))
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "vec_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas")
+
+
+def knn_embeddings_bulk(sf_dir: str, query_ids: list[int], k: int = 10):
+    """Bulk-query brute-force cosine top-k: same output as knn_embeddings
+    (tested equal), one vectorized partial-top-k pass per batch instead of
+    a python loop per query — the shape batch retrieval takes when an LLM
+    pipeline looks up hundreds of queries per scan."""
+    import ray
+    import ray.data
+
+    q_ids, q_mat = read_query_vectors(f"{sf_dir}/embeddings.parquet",
+                                      query_ids)
+    q_ref = ray.put((np.asarray(q_ids, dtype=np.int64), q_mat))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(topk_partial_stage,
+                              fn_kwargs={"q_ref": q_ref, "k": k},
+                              batch_format="pyarrow", batch_size=None)
+    return topk_merge(partials, k)
+
+
 _N_PLANES = 12
 
 

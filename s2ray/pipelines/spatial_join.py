@@ -109,15 +109,20 @@ def exact_contains(region, lat_deg, lng_deg) -> np.ndarray:
 
 def spatial_join_broadcast(pages_ds, regions: dict[str, object],
                            max_cells: int = 16,
-                           keep_cols=("page_id", "url", "lat", "lng")):
+                           keep_cols=("page_id", "url", "lat", "lng"),
+                           prebuilt_index: "RegionIndex | None" = None):
     """pages x regions -> (keep_cols..., region_id) via broadcast index.
 
     The index is shipped once per worker through Ray's object store
     (fn_constructor closure over the ray.put handle), not per batch.
+    ``prebuilt_index`` skips the driver-side covering build — a deployment
+    that runs many joins against the same regions builds (or loads) the
+    RegionIndex once and reuses it.
     """
     import ray
 
-    index_ref = ray.put(RegionIndex(regions, max_cells=max_cells))
+    index_ref = ray.put(prebuilt_index if prebuilt_index is not None
+                        else RegionIndex(regions, max_cells=max_cells))
     cols = list(keep_cols)
 
     def probe_batch(batch: pa.Table, index_ref=index_ref) -> pa.Table:

@@ -345,3 +345,26 @@ def test_chunk_dedup_digest_with_trailing_null_byte(ray_session, tmp_path):
     assert out["n_kept"].tolist() == [1, 1]           # boiler dropped twice
     assert out.loc[0, "clean_text"] == uniq[0]
     assert out.loc[1, "clean_text"] == uniq[1]
+
+
+def test_knn_embeddings_bulk_equals_per_query(ray_session):
+    from s2ray.pipelines.ann import knn_embeddings, knn_embeddings_bulk
+
+    qids = [0, 1, 2, 5, 9]
+    a = (knn_embeddings(SF, qids, k=10).to_pandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (knn_embeddings_bulk(SF, qids, k=10).to_pandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_synthetic_vectors_deterministic_and_shardable():
+    import numpy as np
+
+    from s2ray.functions.vecs import synthetic_vectors
+
+    full = synthetic_vectors(np.arange(100), 32)
+    shard = synthetic_vectors(np.arange(40, 60), 32)
+    assert np.array_equal(full[40:60], shard)  # coordination-free shards
+    assert full.min() >= -1.0 and full.max() < 1.0
+    assert abs(float(full.mean())) < 0.05      # roughly centered

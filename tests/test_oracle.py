@@ -78,6 +78,7 @@ def _compare(name, entrymod, con):
                                    "emb_near_dup_lsh", "minhash_pairs",
                                    "simhash_pairs", "corpus_keep",
                                    "emb_near_dup", "knn_embeddings",
+                                   "knn_bulk",
                                    "text_stats", "rect_filter_wrap",
                                    "knn_pruned_moscow", "pages_per_month",
                                    "tile_counts_l8", "covering_member_join",
