@@ -458,6 +458,20 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir, eval_mod=97)
 
 
+BLOOM_M_BITS = 1 << 20
+BLOOM_N_HASHES = 6
+
+
+def _q_decontaminate_bloom(sf_dir: str):
+    """Bloom-filter decontamination scale path: same contract as
+    decontaminate, eval shingles compressed to an OR-merged Bloom filter
+    (no false negatives; deterministic SQL-mirrored false positives)."""
+    from s2ray.pipelines.dedup import decontaminate_bloom
+
+    return decontaminate_bloom(sf_dir, eval_mod=97, m_bits=BLOOM_M_BITS,
+                               n_hashes=BLOOM_N_HASHES)
+
+
 def _q_funnel(sf_dir: str):
     """Funnel analytics: per user, view events followed by a purchase
     within 1h (co-partitioned, one searchsorted per partition)."""
@@ -508,6 +522,15 @@ def _q_events_distinct_users_hll(sf_dir: str):
     from s2ray.pipelines.analytics import distinct_users_hll
 
     return distinct_users_hll(sf_dir)
+
+
+def _q_events_quantiles_sketch(sf_dir: str):
+    """One-pass approximate per-group quantiles (rows-only: summary
+    selection depends on batch layout; the <= 1/summary_size relative
+    rank-error guarantee is pytest-asserted vs the exact operator)."""
+    from s2ray.pipelines.analytics import group_quantiles_sketch
+
+    return group_quantiles_sketch(sf_dir)
 
 
 def _q_new_docs(sf_dir: str):
@@ -1126,9 +1149,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": _q_sample_per_lang,
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         # ---- approximate / non-SQL-expressible (rows-only; pytest-gated
         # against their exact oracle-checked counterparts) ----
         "events_distinct_users_hll": _q_events_distinct_users_hll,
+        "events_quantiles_sketch": _q_events_quantiles_sketch,
         # ---- inherently non-SQL-expressible (rows-only; pytest-gated) ----
         "polygon_covering": _q_polygon_covering,
         "polyline_covering": _q_polyline_covering,
@@ -1483,6 +1508,28 @@ cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
                                      AND a.doc_id < b.doc_id)
 SELECT i, j, CAST(bit_count(xor(si, sj)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(si, sj)) <= 3"""
+    # Bloom decontamination: the filter's double-hash positions mirrored
+    # in HUGEINT (functions/bloom.py); a probe shingle "hits" iff ALL
+    # n_hashes of its positions appear among the eval set's positions —
+    # bit-for-bit the engine's filter, false positives included
+    from s2ray.functions.bloom import bloom_position_sql
+    bloom_pos = bloom_position_sql("s", "i", BLOOM_M_BITS)
+    bloom_sql = f"""
+WITH {tok_cte}, {shingle_cte},
+pos AS (SELECT doc_id, s, i, {bloom_pos} AS p
+        FROM shs CROSS JOIN
+          (SELECT unnest(generate_series(0, {BLOOM_N_HASHES - 1})) AS i) ii),
+evp AS (SELECT DISTINCT p FROM pos WHERE doc_id % 97 = 0),
+hits AS (SELECT pos.doc_id, pos.s, count(evp.p) AS nhit
+         FROM pos LEFT JOIN evp ON pos.p = evp.p
+         WHERE pos.doc_id % 97 <> 0 GROUP BY pos.doc_id, pos.s),
+ov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap FROM hits
+       WHERE nhit = {BLOOM_N_HASHES} GROUP BY doc_id),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM shs
+       WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+SELECT ov.doc_id, sz.n_shingles, ov.n_overlap,
+       round(ov.n_overlap * 1.0 / sz.n_shingles, 6) AS ratio
+FROM ov JOIN sz USING (doc_id)"""
     # as-of join: most recent prior click per purchase, same user (inner)
     events_asof_sql = """
 WITH l AS (SELECT event_id, user_id, ts FROM events
@@ -1832,6 +1879,7 @@ FROM (
             "AS top_bigram_ratio "
             "FROM words w LEFT JOIN agg a USING (doc_id)"
         ),
+        "decontaminate_bloom": bloom_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "

@@ -813,6 +813,104 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
     return pd.DataFrame(rows, columns=[group_col, "q", value_col])
 
 
+def group_quantiles_sketch(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                           group_col: str = "event_type",
+                           value_col: str = "value",
+                           summary_size: int = 1024, make_ds=None):
+    """APPROXIMATE per-group quantiles in ONE streaming pass — the scale
+    path next to the exact 3-pass :func:`group_quantiles` when a bounded
+    rank error is acceptable (monitoring, sizing, skew detection).
+
+    Per (batch, group) the values are reduced to an equi-depth summary:
+    all values if the run has <= summary_size rows, else the
+    ``summary_size`` mid-rank order statistics each carrying weight
+    n_run/summary_size.  Summaries are weight-concatenated per group and
+    the final answer is the weighted quantile_disc pick.  Rank error:
+    each summarized run contributes at most n_run/S misplaced ranks, so
+    the total is <= n_group/S — a guaranteed <= 1/S RELATIVE rank error
+    (0.1 % at the default S=1024), independent of distribution or skew.
+
+    Shuffle volume: one (group, <=8 KiB blob) row per group per batch —
+    like the exact path's histogram pass but with no stats pre-pass and
+    no candidate re-read: exactly one scan of the input at 100 TB.
+    """
+    import pandas as pd
+
+    S = int(summary_size)
+    qs = list(qs)
+
+    def read():
+        base = make_ds() if make_ds is not None \
+            else read_table(sf_dir, "events",
+                            columns=[group_col, value_col])
+
+        def drop_null_values(batch: pa.Table) -> pa.Table:
+            if batch[value_col].null_count:
+                import pyarrow.compute as pc
+
+                batch = batch.filter(pc.is_valid(batch[value_col]))
+            return batch
+
+        return base.map_batches(drop_null_values, batch_format="pyarrow",
+                                batch_size=None)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        gtype = batch[group_col].type
+        if len(batch) == 0:
+            return pa.table({"g": pa.array([], type=gtype),
+                             "vals": pa.array([], type=pa.binary()),
+                             "wts": pa.array([], type=pa.binary()),
+                             "n": pa.array([], type=pa.int64())})
+        g, uniq = _dict_codes(batch[group_col])
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        starts, ends = _group_runs(g)
+        vals, wts, ns = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n <= S:
+                vals.append(v[s:e].tobytes())
+                wts.append(np.ones(n).tobytes())
+            else:
+                ranks = ((np.arange(S) + 0.5) * n / S).astype(np.int64)
+                vals.append(v[s + ranks].tobytes())
+                wts.append(np.full(S, n / S).tobytes())
+            ns.append(int(n))
+        return pa.table({
+            "g": pa.array([uniq[c] for c in g[starts]], type=gtype),
+            "vals": pa.array(vals, type=pa.binary()),
+            "wts": pa.array(wts, type=pa.binary()),
+            "n": pa.array(ns, type=pa.int64()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({group_col: pd.Series(dtype=object),
+                              "q": pd.Series(dtype=np.float64),
+                              value_col: pd.Series(dtype=np.float64)})
+        if len(df) == 0:
+            return empty
+        v = np.concatenate([np.frombuffer(b) for b in df["vals"]])
+        w = np.concatenate([np.frombuffer(b) for b in df["wts"]])
+        n = int(df["n"].sum())
+        order = np.argsort(v, kind="stable")
+        v, cum = v[order], np.cumsum(w[order])
+        rows = []
+        for q in qs:
+            # quantile_disc 1-based target rank, float-weight tolerant
+            r = max(1, int(np.ceil(q * n)))
+            i = int(np.searchsorted(cum, r - 1e-6, side="left"))
+            rows.append((df["g"].iloc[0], float(q),
+                         float(v[min(i, len(v) - 1)])))
+        return pd.DataFrame(rows, columns=[group_col, "q", value_col])
+
+    return (read()
+            .map_batches(summarize, batch_format="pyarrow", batch_size=None)
+            .groupby("g")
+            .map_groups(merge, batch_format="pandas"))
+
+
 from ..state.bcast import cached_get as _cached_ginfo  # shared worker cache
 
 

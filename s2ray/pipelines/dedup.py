@@ -753,6 +753,90 @@ def decontaminate(sf_dir: str, eval_mod: int = 97, k: int = 3,
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
 
 
+def decontaminate_bloom(sf_dir: str, eval_mod: int = 97, k: int = 3,
+                        m_bits: int = 1 << 20, n_hashes: int = 6,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """:func:`decontaminate` with the eval shingle set compressed into a
+    Bloom filter — the broadcast scale path when the eval/blocklist side
+    is too large to ship as a sorted int64 array (at 10 bits/key the
+    filter is ~6x smaller; a 1B-shingle blocklist is ~1.2 GB of filter
+    vs 8 GB of array).
+
+    Guarantees: NO false negatives — every document the exact operator
+    flags is flagged here with n_overlap_bloom >= n_overlap_exact (a
+    contaminated document can never slip through).  False positives
+    (rate ~ (1 - e^(-h*n/m))^h) only inflate n_overlap.  The filter's
+    hashing is splitmix double hashing mirrored exactly in HUGEINT SQL
+    (functions/bloom.py), so even the false positives are deterministic
+    and the operator sits under the bit-exact DuckDB oracle gate.
+
+    Scale design: pass 1 builds ONE partial filter per batch (an
+    m_bits/8-byte blob, independent of batch size) and OR-merges the
+    blobs — the driver never sees a shingle, only #batches fixed-size
+    blobs (tree-mergeable); pass 2 is the same zero-shuffle streaming
+    probe as the exact path.
+    """
+    import ray
+    import ray.data
+
+    from ..functions.bloom import bloom_build, bloom_contains, bloom_merge
+    from ..state.bcast import cached_get
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
+
+    def eval_partial_filter(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = (ids % eval_mod) == 0
+        if not m.any():
+            return pa.table({"bloom": pa.array([], type=pa.binary())})
+        texts = batch[text_col].combine_chunks() if isinstance(
+            batch[text_col], pa.ChunkedArray) else batch[text_col]
+        texts = texts.filter(pa.array(m))
+        _row, sh = _shingle_hashes_batch(texts, k, drop_empty=True)
+        words = bloom_build(sh, m_bits, n_hashes)
+        return pa.table({"bloom": pa.array([words.tobytes()],
+                                           type=pa.binary())})
+
+    blobs = (ds.map_batches(eval_partial_filter, batch_format="pyarrow",
+                            batch_size=None).to_pandas())
+    parts = [np.frombuffer(b, dtype=np.uint64) for b in blobs["bloom"]]
+    words = bloom_merge(parts) if parts \
+        else np.zeros(m_bits >> 6, dtype=np.uint64)
+    w_ref = ray.put(words)
+
+    def probe(batch: pa.Table, w_ref=w_ref) -> pa.Table:
+        w = cached_get(w_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = (ids % eval_mod) != 0
+        keep_ids = ids[m]
+        if len(keep_ids) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "n_shingles": pa.array([], type=pa.int64()),
+                "n_overlap": pa.array([], type=pa.int64()),
+                "ratio": pa.array([], type=pa.float64()),
+            })
+        texts = batch[text_col].combine_chunks() if isinstance(
+            batch[text_col], pa.ChunkedArray) else batch[text_col]
+        texts = texts.filter(pa.array(m))
+        row_idx, sh = _shingle_hashes_batch(texts, k, drop_empty=True)
+        n_sh = np.bincount(row_idx, minlength=len(keep_ids)).astype(np.int64)
+        hit = bloom_contains(w, sh, n_hashes, m_bits)
+        n_ov = np.bincount(row_idx[hit],
+                           minlength=len(keep_ids)).astype(np.int64)
+        sel = n_ov > 0
+        ratio = n_ov[sel].astype(np.float64) / n_sh[sel].astype(np.float64)
+        return pa.table({
+            id_col: pa.array(keep_ids[sel], type=pa.int64()),
+            "n_shingles": pa.array(n_sh[sel]),
+            "n_overlap": pa.array(n_ov[sel]),
+            "ratio": pa.array(round_half_away(ratio), type=pa.float64()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
 def chunk_dedup(sf_dir: str, chunk_tokens: int = 50, min_docs: int = 2,
                 id_col: str = "doc_id", text_col: str = "text"):
     """C4/CCNet-style duplicated-span removal: delete every fixed-token

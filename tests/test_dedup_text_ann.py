@@ -368,3 +368,36 @@ def test_synthetic_vectors_deterministic_and_shardable():
     assert np.array_equal(full[40:60], shard)  # coordination-free shards
     assert full.min() >= -1.0 and full.max() < 1.0
     assert abs(float(full.mean())) < 0.05      # roughly centered
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    from s2ray.functions.bloom import (bloom_build, bloom_contains,
+                                       bloom_merge)
+
+    rng = np.random.RandomState(7)
+    members = rng.randint(0, (1 << 61) - 1, size=10_000).astype(np.uint64)
+    m_bits, h = 1 << 17, 6
+    words = bloom_build(members, m_bits, h)
+    assert bloom_contains(words, members, h, m_bits).all()  # no false negs
+    others = rng.randint(0, (1 << 61) - 1, size=100_000).astype(np.uint64)
+    others = np.setdiff1d(others, members)
+    fp = bloom_contains(words, others, h, m_bits).mean()
+    theo = (1.0 - np.exp(-h * len(members) / m_bits)) ** h
+    assert fp <= 3 * theo + 1e-4, (fp, theo)
+    # OR-merge of split partials == one-shot build
+    half = bloom_merge([bloom_build(members[:5000], m_bits, h),
+                        bloom_build(members[5000:], m_bits, h)])
+    assert np.array_equal(half, words)
+
+
+def test_decontaminate_bloom_superset_of_exact(ray_session):
+    from s2ray.pipelines.dedup import decontaminate, decontaminate_bloom
+
+    exact = decontaminate(SF, eval_mod=97).to_pandas().set_index("doc_id")
+    bloom = decontaminate_bloom(SF, eval_mod=97).to_pandas() \
+        .set_index("doc_id")
+    # every exactly-contaminated doc is flagged, with >= overlap
+    assert set(exact.index) <= set(bloom.index)
+    j = exact.join(bloom, rsuffix="_b")
+    assert (j["n_overlap_b"] >= j["n_overlap"]).all()
+    assert (j["n_shingles_b"] == j["n_shingles"]).all()

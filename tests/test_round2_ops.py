@@ -637,3 +637,57 @@ def test_audio_stats_real_pcm(ray_session):
     meta, samples = decode_wav(payload)
     assert meta["sample_rate"] == row["sample_rate"]
     assert samples.shape[0] == row["n_samples"]
+
+
+def test_quantile_sketch_rank_error_bound(ray_session):
+    """One-pass sketch quantiles land within the guaranteed <= 1/S
+    relative rank error of the true per-group rank, on the real events
+    table (skewed groups, duplicate values)."""
+    import duckdb
+
+    from s2ray.pipelines.analytics import group_quantiles_sketch
+
+    S = 256  # small summary so the bound is actually exercised
+    got = group_quantiles_sketch(SF, qs=(0.5, 0.9, 0.99),
+                                 summary_size=S).to_pandas()
+    con = duckdb.connect()
+    vals = con.execute(
+        f"SELECT event_type, value FROM read_parquet('{SF}/events.parquet')"
+        " WHERE value IS NOT NULL").df()
+    assert len(got) > 0
+    for _, row in got.iterrows():
+        grp = vals.loc[vals["event_type"] == row["event_type"],
+                       "value"].to_numpy()
+        grp.sort()
+        n = len(grp)
+        target = max(0, int(np.ceil(row["q"] * n)) - 1)
+        # rank window of the returned value within the true sorted group
+        lo = np.searchsorted(grp, row["value"], side="left")
+        hi = np.searchsorted(grp, row["value"], side="right") - 1
+        err = 0 if lo <= target <= hi else min(abs(lo - target),
+                                               abs(hi - target))
+        assert err <= n / S + 2, (row["event_type"], row["q"], err, n)
+
+
+def test_quantile_sketch_exact_when_groups_fit(ray_session, tmp_path):
+    """Groups smaller than summary_size are kept verbatim -> the sketch
+    IS quantile_disc-exact there (matches the exact operator)."""
+    from s2ray.pipelines.analytics import group_quantiles, \
+        group_quantiles_sketch
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"event_type": np.repeat(["a", "b", "c"], 200),
+                       "value": rng.normal(size=600)})
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(df), p)
+    import ray.data
+
+    def make_ds():
+        return ray.data.read_parquet(p)
+
+    a = group_quantiles(None, qs=(0.5, 0.9), make_ds=make_ds) \
+        .sort_values(["event_type", "q"]).reset_index(drop=True)
+    b = group_quantiles_sketch(None, qs=(0.5, 0.9), summary_size=1024,
+                               make_ds=make_ds).to_pandas() \
+        .sort_values(["event_type", "q"]).reset_index(drop=True)
+    assert a.equals(b)
