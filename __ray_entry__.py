@@ -617,6 +617,15 @@ def _q_knn_bulk(sf_dir: str):
     return knn_embeddings_bulk(sf_dir, ANN_BULK_QUERY_IDS, k=ANN_K)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (rows-only: k-means clustering is not
+    SQL-expressible; precision==1 and recall vs the exact global operator
+    are pytest-asserted)."""
+    from s2ray.pipelines.dedup import semantic_dedup
+
+    return semantic_dedup(sf_dir, tau=EMB_TAU, n_clusters=4)
+
+
 def _q_ivf_knn(sf_dir: str):
     """IVF coarse-quantized ANN (rows-only: k-means training is not
     SQL-expressible; recall vs knn_embeddings is pytest-asserted)."""
@@ -1160,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_stats": _q_media_stats,
         "audio_stats": _q_audio_stats,
         "ivf_knn": _q_ivf_knn,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 

@@ -1367,3 +1367,105 @@ def _load_embedding_matrix(sf_dir: str):
     from ..sources.readers import load_embedding_matrix
 
     return load_embedding_matrix(sf_dir)
+
+
+def semantic_dedup(sf_dir: str, tau: float = 0.45, n_clusters: int = 8,
+                   train_rows: int = 4096, max_cluster: int = 100_000):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with deterministic spherical k-means, then dedup
+    EXACTLY (pairwise cosine >= tau, connected components, keep the min
+    vec_id per component) WITHIN each cluster only.
+
+    Output: one row per DROPPED vector — (vec_id, rep_id, sim) where
+    rep_id is the kept representative (component min) and sim the exact
+    cosine to it.  Precision is 1 by construction (every drop is backed
+    by an exact >= tau within-cluster pair); recall vs the global exact
+    operator depends on how often near-dup pairs straddle a centroid
+    boundary — pytest-measured on the test corpus.
+
+    Scale shape: centroids train on a bounded sample and broadcast; the
+    ONE all-to-all moves (cluster, vec_id, float32 embedding blob) rows —
+    each vector shuffles exactly once to its cluster's reducer, which is
+    the minimum co-location any within-cluster pairwise method needs.
+    Clusters larger than ``max_cluster`` are split into deterministic
+    vec_id-hash sub-buckets (bounded O(max_cluster^2) per reducer;
+    boundary pairs across sub-buckets are forgone, same contract as the
+    LSH hot-bucket cap).
+    """
+    import pandas as pd
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..functions.vecs import normalized_matrix
+    from ..state.bcast import cached_get
+    from .ann import _kmeans_centroids
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=train_rows,
+                                 columns=["vec_id", "embedding"]))
+    sample = normalized_matrix(pa.Table.from_batches([first])["embedding"])
+    cent = _kmeans_centroids(sample, n_clusters)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table, cent_ref=cent_ref) -> pa.Table:
+        cent = cached_get(cent_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        emb = normalized_matrix(batch["embedding"]).astype(np.float32)
+        cl = np.argmax(emb @ cent.T.astype(np.float32), axis=1) \
+            .astype(np.int64)
+        # deterministic sub-bucket for oversized clusters (splitmix-mixed
+        # id so the split is stable across runs and block layouts)
+        sub = ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               >> np.uint64(33)).astype(np.int64)
+        # zero-copy fixed-width blob column (no per-row python tobytes)
+        d4 = emb.shape[1] * 4
+        blob = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(d4), len(ids),
+            [None, pa.py_buffer(np.ascontiguousarray(emb).tobytes())])
+        return pa.table({
+            "cluster": pa.array(cl),
+            "sub": pa.array(sub),
+            "vec_id": pa.array(ids),
+            "emb": blob,
+        })
+
+    def dedup_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                              "rep_id": pd.Series(dtype=np.int64),
+                              "sim": pd.Series(dtype=np.float64)})
+        if len(df) < 2:
+            return empty
+        out = [empty]
+        n_sub = max(1, int(np.ceil(len(df) / max_cluster)))
+        sub = (df["sub"].to_numpy() % n_sub) if n_sub > 1 \
+            else np.zeros(len(df), dtype=np.int64)
+        for b in range(n_sub):
+            part = df.iloc[np.nonzero(sub == b)[0]]
+            if len(part) < 2:
+                continue
+            ids = part["vec_id"].to_numpy().astype(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            E = np.frombuffer(b"".join(part["emb"].iloc[order]),
+                              dtype=np.float32).reshape(len(ids), -1)
+            sims = (E @ E.T).astype(np.float64)
+            iu, ju = np.triu_indices(len(ids), 1)
+            hit = sims[iu, ju] >= tau
+            if not hit.any():
+                continue
+            nodes, labels = _union_find_labels(ids[iu[hit]], ids[ju[hit]])
+            drop = nodes != labels
+            didx = np.searchsorted(ids, nodes[drop])
+            ridx = np.searchsorted(ids, labels[drop])
+            out.append(pd.DataFrame({
+                "vec_id": nodes[drop],
+                "rep_id": labels[drop],
+                "sim": sims[didx, ridx],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return (ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pandas"))

@@ -401,3 +401,59 @@ def test_decontaminate_bloom_superset_of_exact(ray_session):
     j = exact.join(bloom, rsuffix="_b")
     assert (j["n_overlap_b"] >= j["n_overlap"]).all()
     assert (j["n_shingles_b"] == j["n_shingles"]).all()
+
+
+def test_semantic_dedup_precision_recall_and_determinism(ray_session):
+    """Every drop is backed by an exact >= tau cosine pair (precision 1);
+    recall vs the GLOBAL exact near-dup components is measured; repeated
+    runs are identical (deterministic k-means + hash sub-buckets)."""
+    from s2ray.functions.vecs import normalized_matrix
+    from s2ray.pipelines.dedup import (_union_find_labels, semantic_dedup,
+                                       embedding_near_dup)
+    import pyarrow.parquet as pq
+
+    tau = 0.45
+    got = semantic_dedup(SF, tau=tau, n_clusters=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = tbl["vec_id"].to_numpy()
+    E = normalized_matrix(tbl["embedding"])
+    # precision: the reported (vec_id, rep_id, sim) pairs are exact
+    for _, r in got.iterrows():
+        a = int(np.searchsorted(ids, int(r["vec_id"])))
+        b = int(np.searchsorted(ids, int(r["rep_id"])))
+        s = float(E[a] @ E[b])
+        assert s >= tau - 1e-9
+        assert abs(s - r["sim"]) < 1e-6
+        assert r["rep_id"] < r["vec_id"]   # keep the min member
+    # recall vs global exact components (drops = non-min members)
+    pairs = embedding_near_dup(SF, tau=tau).to_pandas()
+    if len(pairs):
+        nodes, labels = _union_find_labels(
+            pairs["i"].to_numpy().astype(np.int64),
+            pairs["j"].to_numpy().astype(np.int64))
+        exact_drops = set(nodes[nodes != labels].tolist())
+        assert set(got["vec_id"]) <= exact_drops  # never drops a non-dup
+        if exact_drops:
+            recall = len(set(got["vec_id"])) / len(exact_drops)
+            assert recall >= 0.5, recall
+    again = semantic_dedup(SF, tau=tau, n_clusters=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert got.equals(again)
+
+
+def test_semantic_dedup_oversized_cluster_is_capped(ray_session):
+    """max_cluster smaller than a cluster forces hash sub-buckets: still
+    deterministic, never drops a non-dup, bounded reducer work."""
+    from s2ray.pipelines.dedup import semantic_dedup
+
+    small = semantic_dedup(SF, tau=0.45, n_clusters=1,
+                           max_cluster=8).to_pandas()
+    full = semantic_dedup(SF, tau=0.45, n_clusters=1,
+                          max_cluster=10**9).to_pandas()
+    # a capped drop may pick a different (higher) rep within its
+    # sub-bucket, so only require: every capped drop IS an uncapped drop
+    small_ids = set(small["vec_id"]) if len(small) else set()
+    assert small_ids <= set(full["vec_id"])
+    assert len(full) > 0      # the uncapped single cluster does find dups
