@@ -472,6 +472,15 @@ def _q_decontaminate_bloom(sf_dir: str):
                                n_hashes=BLOOM_N_HASHES)
 
 
+def _q_doc_perplexity(sf_dir: str):
+    """Bigram LM perplexity per document (corpus-trained, add-alpha
+    smoothing) — CCNet-style quality signal; hashing and smoothing
+    mirrored exactly in HUGEINT SQL."""
+    from s2ray.pipelines.text import doc_perplexity
+
+    return doc_perplexity(sf_dir, alpha=0.5)
+
+
 def _q_funnel(sf_dir: str):
     """Funnel analytics: per user, view events followed by a purchase
     within 1h (co-partitioned, one searchsorted per partition)."""
@@ -1159,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
         "decontaminate_bloom": _q_decontaminate_bloom,
+        "doc_perplexity": _q_doc_perplexity,
         # ---- approximate / non-SQL-expressible (rows-only; pytest-gated
         # against their exact oracle-checked counterparts) ----
         "events_distinct_users_hll": _q_events_distinct_users_hll,
@@ -1540,6 +1550,25 @@ sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM shs
 SELECT ov.doc_id, sz.n_shingles, ov.n_overlap,
        round(ov.n_overlap * 1.0 / sz.n_shingles, 6) AS ratio
 FROM ov JOIN sz USING (doc_id)"""
+    # bigram LM perplexity: token-hash polynomial + Horner bigram fold +
+    # add-alpha smoothing mirrored exactly; round(..., 6) on both sides
+    ppl_sql = f"""
+WITH {tok_cte},
+bg AS (SELECT doc_id, unnest(generate_series(1, n - 1)) AS i, hs
+       FROM th WHERE coalesce(n, 0) >= 2),
+bge AS (SELECT doc_id,
+               CAST((CAST(hs[i] AS HUGEINT) * {Q} + hs[i+1]) % {M61}
+                    AS BIGINT) AS bh,
+               hs[i] AS ah
+        FROM bg),
+ucn AS (SELECT h, count(*) AS c
+        FROM (SELECT unnest(hs) AS h FROM th) GROUP BY h),
+vv AS (SELECT count(*) AS v FROM ucn),
+bcn AS (SELECT bh, count(*) AS c FROM bge GROUP BY bh)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-avg(ln((bcn.c + 0.5) / (ucn.c + 0.5 * vv.v)))), 6) AS ppl
+FROM bge g JOIN bcn USING (bh) JOIN ucn ON ucn.h = g.ah CROSS JOIN vv
+GROUP BY g.doc_id"""
     # as-of join: most recent prior click per purchase, same user (inner)
     events_asof_sql = """
 WITH l AS (SELECT event_id, user_id, ts FROM events
@@ -1890,6 +1919,7 @@ FROM (
             "FROM words w LEFT JOIN agg a USING (doc_id)"
         ),
         "decontaminate_bloom": bloom_sql,
+        "doc_perplexity": ppl_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "

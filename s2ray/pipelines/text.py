@@ -882,3 +882,99 @@ def heavy_hitters(sf_dir: str, k: int = 100, width: int = 1024,
            .groupby("token")
            .aggregate(Sum("partial_n", alias_name="n")))
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def doc_perplexity(sf_dir: str, alpha: float = 0.5,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document bigram language-model perplexity — the CCNet-style
+    corpus-level quality signal (documents that "look like" the corpus
+    score low, boilerplate/garbage scores high).
+
+    Train: corpus unigram and bigram counts over the mod-(2^61-1) token
+    hashes (the dedup family's machinery, so the SQL oracle mirrors the
+    hashing exactly).  Smoothing is add-alpha over the unigram context:
+    P(b|a) = (c(ab) + alpha) / (c(a) + alpha*V), V = distinct unigrams.
+    Score: ppl = round(exp(-mean ln P), 6) per document with >= 2 tokens.
+
+    Scale shape: the training shuffle moves (order, hash, partial_count)
+    rows — VOCABULARY-sized, not corpus-sized (same contract as
+    vocab_top_k / token_doc_freq); the merged count table broadcasts once
+    (same bounded-vocabulary assumption as tfidf's DF broadcast) and
+    scoring is one zero-shuffle streaming pass with two searchsorted
+    lookups per bigram.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .dedup import (_SHINGLE_Q, _hash_tokens_batch, _mod61,
+                        _mulmod61_small)
+    from ..state.bcast import cached_get
+
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
+
+    def _grams(texts):
+        """(row_idx, unigram hashes, bigram rows, bigram hashes, a-hashes)."""
+        row_idx, th, n = _hash_tokens_batch(texts)
+        if len(th) >= 2:
+            b = _mod61(_mulmod61_small(_SHINGLE_Q, th[:-1]) + th[1:])
+            valid = row_idx[:-1] == row_idx[1:]
+            return (row_idx, th, row_idx[:-1][valid], b[valid],
+                    th[:-1][valid], n)
+        z = np.empty(0, dtype=np.int64)
+        return (row_idx, th, z, z.astype(np.uint64), z.astype(np.uint64), n)
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        _row, th, _brow, bh, _ah, _n = _grams(texts)
+        uh, uc = np.unique(th, return_counts=True)
+        bh2, bc = np.unique(bh, return_counts=True)
+        return pa.table({
+            "o": pa.array(np.concatenate([np.ones(len(uh), dtype=np.int8),
+                                          np.full(len(bh2), 2,
+                                                  dtype=np.int8)])),
+            "h": pa.array(np.concatenate([uh, bh2]).astype(np.int64)),
+            "partial_n": pa.array(np.concatenate([uc, bc])
+                                  .astype(np.int64)),
+        })
+
+    counts = (ds.map_batches(gram_partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby(["o", "h"])
+              .aggregate(Sum("partial_n", alias_name="n"))
+              .to_pandas())   # vocabulary-sized, never corpus-sized
+    uni = counts[counts["o"] == 1].sort_values("h")
+    big = counts[counts["o"] == 2].sort_values("h")
+    model = (uni["h"].to_numpy().astype(np.uint64),
+             uni["n"].to_numpy().astype(np.float64),
+             big["h"].to_numpy().astype(np.uint64),
+             big["n"].to_numpy().astype(np.float64),
+             float(len(uni)))
+    m_ref = ray.put(model)
+
+    def score(batch: pa.Table, m_ref=m_ref) -> pa.Table:
+        uh, uc, bh, bc, V = cached_get(m_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = _string_array(batch[text_col])
+        _row, _th, brow, b, ah, n_rows = _grams(texts)
+        if len(b) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "n_bigrams": pa.array([], type=pa.int64()),
+                "ppl": pa.array([], type=pa.float64()),
+            })
+        # self-inclusive training guarantees every scored gram is present
+        cb = bc[np.searchsorted(bh, b)]
+        ca = uc[np.searchsorted(uh, ah)]
+        logp = np.log((cb + alpha) / (ca + alpha * V))
+        sums = np.bincount(brow, weights=logp, minlength=n_rows)
+        cnts = np.bincount(brow, minlength=n_rows)
+        sel = cnts > 0
+        return pa.table({
+            id_col: pa.array(ids[sel]),
+            "n_bigrams": pa.array(cnts[sel].astype(np.int64)),
+            "ppl": pa.array(round_half_away(
+                np.exp(-sums[sel] / cnts[sel])), type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -457,3 +457,30 @@ def test_semantic_dedup_oversized_cluster_is_capped(ray_session):
     small_ids = set(small["vec_id"]) if len(small) else set()
     assert small_ids <= set(full["vec_id"])
     assert len(full) > 0      # the uncapped single cluster does find dups
+
+
+def test_doc_perplexity_hand_case(ray_session, tmp_path):
+    """3-doc corpus with a hand-computable bigram model: repeated text
+    scores lower perplexity than a one-off, and the smoothing formula is
+    exactly P(b|a) = (c(ab)+0.5) / (c(a)+0.5*V)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.text import doc_perplexity
+
+    docs = ["a b", "a b", "a c"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(docs),
+    }), str(tmp_path / "documents.parquet"))
+    out = doc_perplexity(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # corpus: c(a)=3, c(b)=2, c(c)=1, V=3; c(ab)=2, c(ac)=1
+    p_ab = (2 + 0.5) / (3 + 0.5 * 3)
+    p_ac = (1 + 0.5) / (3 + 0.5 * 3)
+    assert out["n_bigrams"].tolist() == [1, 1, 1]
+    assert abs(out.loc[0, "ppl"] - round(1 / p_ab, 6)) < 1e-6
+    assert abs(out.loc[2, "ppl"] - round(1 / p_ac, 6)) < 1e-6
+    assert out.loc[0, "ppl"] < out.loc[2, "ppl"]   # repeated text is "cleaner"
