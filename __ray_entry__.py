@@ -472,6 +472,19 @@ def _q_decontaminate_bloom(sf_dir: str):
                                n_hashes=BLOOM_N_HASHES)
 
 
+DIST_JOIN_M = 25_000.0
+
+
+def _q_distance_join(sf_dir: str):
+    """Spatial distance self-join: all page pairs within 25 km great-
+    circle distance (cell+neighbor bucketing, exactly-once pair rule)."""
+    from s2ray.pipelines.spatial_join import distance_join_pairs
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return distance_join_pairs(pages_with_cells(sf_dir, token_level=None),
+                               DIST_JOIN_M)
+
+
 def _q_doc_perplexity(sf_dir: str):
     """Bigram LM perplexity per document (corpus-trained, add-alpha
     smoothing) — CCNet-style quality signal; hashing and smoothing
@@ -1169,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _q_emb_near_dup,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "doc_perplexity": _q_doc_perplexity,
+        "distance_join": _q_distance_join,
         # ---- approximate / non-SQL-expressible (rows-only; pytest-gated
         # against their exact oracle-checked counterparts) ----
         "events_distinct_users_hll": _q_events_distinct_users_hll,
@@ -1550,6 +1564,19 @@ sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM shs
 SELECT ov.doc_id, sz.n_shingles, ov.n_overlap,
        round(ov.n_overlap * 1.0 / sz.n_shingles, 6) AS ratio
 FROM ov JOIN sz USING (doc_id)"""
+    # distance self-join: reference haversine mirrored pairwise
+    dist_pair = (
+        "2 * 6371000 * asin(sqrt("
+        "(1 - cos(radians(a.lat) - radians(b.lat))) / 2 "
+        "+ cos(radians(a.lat)) * cos(radians(b.lat)) "
+        "* (1 - cos(radians(a.lng) - radians(b.lng))) / 2))"
+    )
+    distance_join_sql = (
+        f"{cte} SELECT a.page_id AS i, b.page_id AS j, "
+        f"round({dist_pair}, 3) AS dist_m "
+        f"FROM pages_geo a JOIN pages_geo b ON a.page_id < b.page_id "
+        f"WHERE {dist_pair} <= {DIST_JOIN_M!r}"
+    )
     # bigram LM perplexity: token-hash polynomial + Horner bigram fold +
     # add-alpha smoothing mirrored exactly; round(..., 6) on both sides
     ppl_sql = f"""
@@ -1920,6 +1947,7 @@ FROM (
         ),
         "decontaminate_bloom": bloom_sql,
         "doc_perplexity": ppl_sql,
+        "distance_join": distance_join_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "

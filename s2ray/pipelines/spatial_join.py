@@ -367,3 +367,96 @@ def loop_pip_sql(loop, lat_expr: str = "radians(lat)",
     crossings = " + ".join(terms) if terms else "0"
     base = "TRUE" if loop.origin_inside else "FALSE"
     return f"({base} <> ((({crossings}) % 2) = 1))"
+
+
+def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
+    """Spatial distance self-join: every pair of pages within ``d_m``
+    meters great-circle distance — (i, j, dist_m) with i < j, dist
+    rounded to mm like the kNN contract.
+
+    Bucketing: each point goes to its own cell plus all 8 neighbors at
+    the FINEST level whose minimum cell width is >= d (MIN_WIDTH metric,
+    S2.php:868-886 via kernel.sphere.Metric) — two points within d are
+    then guaranteed to share at least the bucket of the smaller id's home
+    cell, and each qualifying pair is emitted EXACTLY once (counted only
+    in that bucket, no global dedup shuffle).  The exact predicate is the
+    reference haversine (SmokeTest.php:12-21), mirrored in the SQL oracle.
+
+    Scale shape: the one shuffle moves 9 compact (bucket, id, lat, lng,
+    home) rows per point — constant per-row volume; per-bucket work is a
+    vectorized pairwise haversine bounded by ``max_bucket`` (oversized
+    buckets raise rather than silently going quadratic: pick a smaller
+    d or pre-shard hot cells).
+    """
+    import pandas as pd
+
+    from ..kernel import cellid as ci
+    from ..kernel import keys as _keys
+    from ..kernel import sphere as _sphere
+
+    angle = d_m / 6371000.0
+    lvl = _sphere.MIN_WIDTH.get_max_level(angle)
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch["page_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        leaf = ci.from_latlng_degrees(lat, lng)
+        cell = ci.parent(leaf, lvl)
+        uniq, inv = np.unique(cell, return_inverse=True)
+        nb = np.array([ci.get_all_neighbors(c, lvl) for c in uniq],
+                      dtype=np.uint64)            # (U, 8): per DISTINCT cell
+        own = _keys.to_key(cell)
+        ghost = _keys.to_key(nb[inv].reshape(-1))
+        n = len(ids)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([own, ghost])),
+            "pid": pa.array(np.concatenate([ids, np.repeat(ids, 8)])),
+            "lat": pa.array(np.concatenate([lat, np.repeat(lat, 8)])),
+            "lng": pa.array(np.concatenate([lng, np.repeat(lng, 8)])),
+            "home": pa.array(np.concatenate(
+                [np.ones(n, dtype=bool), np.zeros(8 * n, dtype=bool)])),
+        })
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"i": pd.Series(dtype=np.int64),
+                              "j": pd.Series(dtype=np.int64),
+                              "dist_m": pd.Series(dtype=np.float64)})
+        # a point can reach the same bucket as both home and ghost when a
+        # neighbor ring wraps (poles): home wins so the pair rule stays
+        # exactly-once
+        df = df.sort_values(["pid", "home"], ascending=[True, False]) \
+            .drop_duplicates("pid")
+        if len(df) < 2:
+            return empty
+        if len(df) > max_bucket:
+            raise ValueError(
+                f"distance_join bucket of {len(df)} rows exceeds "
+                f"max_bucket={max_bucket}; reduce d_m or pre-shard")
+        ids = df["pid"].to_numpy().astype(np.int64)
+        lat = np.radians(df["lat"].to_numpy())
+        lng = np.radians(df["lng"].to_numpy())
+        home = df["home"].to_numpy().astype(bool)
+        a, b = np.triu_indices(len(ids), 1)
+        # orient each candidate pair as (smaller id, larger id)
+        swap = ids[a] > ids[b]
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        # exactly-once rule: count the pair only in the home bucket of the
+        # SMALLER id (the neighbor emission guarantees co-residence there)
+        keep = home[lo] & (ids[lo] != ids[hi])
+        lo, hi = lo[keep], hi[keep]
+        dist = _sphere.haversine_distance_m(lat[lo], lng[lo],
+                                            lat[hi], lng[hi])
+        ok = dist <= d_m
+        return pd.DataFrame({
+            "i": ids[lo[ok]],
+            "j": ids[hi[ok]],
+            "dist_m": np.round(dist[ok], 3),
+        })
+
+    return (pages_ds.map_batches(to_buckets, batch_format="pyarrow",
+                                 batch_size=None)
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pandas"))
