@@ -374,8 +374,10 @@ def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
     meters great-circle distance — (i, j, dist_m) with i < j, dist
     rounded to mm like the kNN contract.
 
-    Bucketing: each point goes to its own cell plus all 8 neighbors at
-    the FINEST level whose minimum cell width is >= d (MIN_WIDTH metric,
+    Bucketing: each point goes to its own cell plus all edge/vertex
+    neighbors (8, or 7 at cube-face corners — the ragged case is real and
+    stress-tested) at the FINEST level whose minimum cell width is >= d
+    (MIN_WIDTH metric,
     S2.php:868-886 via kernel.sphere.Metric) — two points within d are
     then guaranteed to share at least the bucket of the smaller id's home
     cell, and each qualifying pair is emitted EXACTLY once (counted only
@@ -405,18 +407,30 @@ def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
         leaf = ci.from_latlng_degrees(lat, lng)
         cell = ci.parent(leaf, lvl)
         uniq, inv = np.unique(cell, return_inverse=True)
-        nb = np.array([ci.get_all_neighbors(c, lvl) for c in uniq],
-                      dtype=np.uint64)            # (U, 8): per DISTINCT cell
+        # neighbor lists are RAGGED (7 at cube-face corners, 8 elsewhere):
+        # flat gather per DISTINCT cell, then per-point ragged expansion
+        nb_lists = [np.asarray(ci.get_all_neighbors(c, lvl),
+                               dtype=np.uint64) for c in uniq]
+        nb_counts = np.array([len(x) for x in nb_lists], dtype=np.int64)
+        nb_flat = (np.concatenate(nb_lists) if len(nb_lists)
+                   else np.empty(0, dtype=np.uint64))
+        offs = np.concatenate([[0], np.cumsum(nb_counts[:-1])]) \
+            .astype(np.int64)
+        cnt = nb_counts[inv]
+        total = int(cnt.sum())
+        cum = np.concatenate([[0], np.cumsum(cnt[:-1])]).astype(np.int64)
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, cnt)
+        ghost_cells = nb_flat[np.repeat(offs[inv], cnt) + within]
         own = _keys.to_key(cell)
-        ghost = _keys.to_key(nb[inv].reshape(-1))
+        ghost = _keys.to_key(ghost_cells)
         n = len(ids)
         return pa.table({
             "bucket": pa.array(np.concatenate([own, ghost])),
-            "pid": pa.array(np.concatenate([ids, np.repeat(ids, 8)])),
-            "lat": pa.array(np.concatenate([lat, np.repeat(lat, 8)])),
-            "lng": pa.array(np.concatenate([lng, np.repeat(lng, 8)])),
+            "pid": pa.array(np.concatenate([ids, np.repeat(ids, cnt)])),
+            "lat": pa.array(np.concatenate([lat, np.repeat(lat, cnt)])),
+            "lng": pa.array(np.concatenate([lng, np.repeat(lng, cnt)])),
             "home": pa.array(np.concatenate(
-                [np.ones(n, dtype=bool), np.zeros(8 * n, dtype=bool)])),
+                [np.ones(n, dtype=bool), np.zeros(total, dtype=bool)])),
         })
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:

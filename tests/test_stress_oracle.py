@@ -23,6 +23,7 @@ SRC = "/root/testdata/sf0.01"
 K = 3
 
 DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
+               "doc_perplexity", "distance_join",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "events_distinct_users"]
