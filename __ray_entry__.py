@@ -639,6 +639,15 @@ def _q_knn_bulk(sf_dir: str):
     return knn_embeddings_bulk(sf_dir, ANN_BULK_QUERY_IDS, k=ANN_K)
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """Byte-level BPE subword counts per document (rows-only: the greedy
+    merge training loop is not SQL-expressible; roundtrip/monotonicity/
+    split-parity vs the oracled token_counts are pytest-asserted)."""
+    from s2ray.pipelines.bpe import bpe_token_counts
+
+    return bpe_token_counts(sf_dir, n_merges=200)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (rows-only: k-means clustering is not
     SQL-expressible; precision==1 and recall vs the exact global operator
@@ -1194,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_stats": _q_audio_stats,
         "ivf_knn": _q_ivf_knn,
         "semantic_dedup": _q_semantic_dedup,
+        "bpe_token_counts": _q_bpe_token_counts,
     }
 
 

@@ -484,3 +484,47 @@ def test_doc_perplexity_hand_case(ray_session, tmp_path):
     assert abs(out.loc[0, "ppl"] - round(1 / p_ab, 6)) < 1e-6
     assert abs(out.loc[2, "ppl"] - round(1 / p_ac, 6)) < 1e-6
     assert out.loc[0, "ppl"] < out.loc[2, "ppl"]   # repeated text is "cleaner"
+
+
+def test_bpe_train_hand_case():
+    """'abab'-heavy corpus: first merge must be the most frequent pair,
+    and encode_word applies merges by RANK (canonical BPE), giving the
+    expected segmentations."""
+    from s2ray.pipelines.bpe import encode_word
+
+    # build rank table by hand: merges [(a,b) -> 'ab', ('ab','ab') -> 'abab']
+    rank = {(b"a", b"b"): 0, (b"ab", b"ab"): 1}
+    assert encode_word(b"abab", rank) == [b"abab"]
+    assert encode_word(b"aba", rank) == [b"ab", b"a"]
+    assert encode_word(b"ba", rank) == [b"b", b"a"]
+    assert encode_word(b"ababab", rank) == [b"abab", b"ab"]
+
+
+def test_bpe_roundtrip_compression_and_determinism(ray_session):
+    """Concatenating a word's subwords reproduces the word byte-exactly,
+    more merges never increase token counts, and the whole pipeline is
+    deterministic."""
+    from s2ray.pipelines.bpe import bpe_token_counts, encode_word, train_bpe
+
+    merges = train_bpe(SF, n_merges=100)
+    assert len(merges) > 10
+    rank = {p: i for i, p in enumerate(merges)}
+    for w in (b"customer", b"window", b"the", b"spark", b"zzzz-unseen"):
+        subs = encode_word(w, rank)
+        assert b"".join(subs) == w          # lossless
+    a = bpe_token_counts(SF, n_merges=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = bpe_token_counts(SF, n_merges=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # subwords are at least one per word, at most the byte count
+    assert (a["n_subwords"] >= a["n_words"]).all()
+    few = bpe_token_counts(SF, n_merges=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (few["n_subwords"] >= a["n_subwords"]).all()  # merges monotone
+    # and the word count matches the oracled token_counts op's ws count
+    import __ray_entry__ as e
+    tc = e.queries()["token_counts"](SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    m = a.merge(tc, on="doc_id")
+    assert (m["n_words"] == m["n_ws_tokens"]).all()
