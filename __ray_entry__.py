@@ -1111,21 +1111,26 @@ def _q_region_relations(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering contract: the driver's CORRECTNESS window checks the FIRST
-    50 entries, so positions 1-50 are exactly the SQL-oracled queries
-    (every one has an oracle_sql() entry and a green in-suite DuckDB gate);
-    the remaining oracled queries (all driver-verified green in round 2,
-    still gated by tests/test_oracle.py) follow, and the 5 inherently
-    non-SQL-expressible queries close the dict."""
+    50 entries, so positions 1-50 are exactly SQL-oracled queries (every
+    one has an oracle_sql() entry and a green in-suite DuckDB gate),
+    prioritizing queries with no prior driver verification — entries
+    already driver-green in CORRECTNESS_r02 yield their slot to newer
+    oracled queries (maximizing cumulative driver-verified coverage: with
+    this window every oracled query except rect_filter/pages_per_lang/
+    events_hourly/emb_norm_by_lang — all four r02-driver-green and still
+    suite-gated — has a driver row by end of round 3).  The remaining
+    oracled queries follow, and the inherently non-SQL queries close the
+    dict."""
     return {
         # ---- driver window (50): every entry SQL-oracled ----
         # S2 / spatial
         "tile_counts_l8": _q_tile_counts,
         "tile_pyramid": _q_tile_pyramid,
-        "rect_filter": _q_rect_filter,
+        "distance_join": _q_distance_join,
         "knn_moscow": _q_knn,
         "rect_distance_rank": _q_rect_distance_rank,
         "text_identity": _q_text_identity,
-        "pages_per_lang": _q_pages_per_lang,
+        "fingerprint": _q_fingerprint,
         "cap_join": _q_cap_join,
         "pip_join": _q_pip_join,
         "covering_member_join": _q_covering_member_join,
@@ -1135,7 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_covering": _q_boolean_covering,
         "region_relations": _q_region_relations,
         # event analytics
-        "events_hourly": _q_events_hourly,
+        "doc_perplexity": _q_doc_perplexity,
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
         "events_distinct_users": _q_events_distinct,
@@ -1148,7 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         # joins / similarity search
-        "emb_norm_by_lang": _q_emb_norm_by_lang,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "knn_embeddings": _q_knn_embeddings,
         "knn_bulk": _q_knn_bulk,
         "lsh_knn": _q_lsh_knn,
@@ -1173,9 +1178,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_above_median": _q_quality_above_median,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
         # ---- oracled, outside the driver window (driver-green in r02;
         # still hash-gated in-suite by tests/test_oracle.py) ----
+        "rect_filter": _q_rect_filter,
+        "pages_per_lang": _q_pages_per_lang,
+        "events_hourly": _q_events_hourly,
+        "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
         "cap_join_shuffle": _q_cap_join_shuffle,
         "knn_pruned_moscow": _q_knn_pruned,
@@ -1189,9 +1197,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": _q_sample_per_lang,
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
-        "decontaminate_bloom": _q_decontaminate_bloom,
-        "doc_perplexity": _q_doc_perplexity,
-        "distance_join": _q_distance_join,
         # ---- approximate / non-SQL-expressible (rows-only; pytest-gated
         # against their exact oracle-checked counterparts) ----
         "events_distinct_users_hll": _q_events_distinct_users_hll,
