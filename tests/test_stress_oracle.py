@@ -323,3 +323,28 @@ def test_null_values_match_oracle(qname, null_value_dir, ray_session):
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"read_parquet('{null_value_dir}/events.parquet')")
     _assert_matches_oracle(qname, e.queries()[qname](null_value_dir), con)
+
+
+@pytest.mark.parametrize("qname", ["doc_perplexity", "distance_join",
+                                   "decontaminate_bloom", "knn_bulk"])
+def test_tiny_blocks_match_oracle(qname, ray_session):
+    """64 KB target blocks reshuffle every per-batch partial boundary —
+    the round-3 operators' compact-partial tricks (gram counts, bucket
+    emission, OR-merged bloom blobs, partial top-k) must be exact under
+    ANY block layout, verified against the plain-gate DuckDB oracle."""
+    import ray.data
+
+    import __ray_entry__ as e
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024
+    try:
+        res = e.queries()[qname](SRC)
+    finally:
+        ctx.target_max_block_size = old
+    con = duckdb.connect()
+    for p in glob.glob(f"{SRC}/*.parquet"):
+        con.execute(f"CREATE VIEW {os.path.basename(p)[:-8]} AS "
+                    f"SELECT * FROM read_parquet('{p}')")
+    _assert_matches_oracle(qname, res, con)
