@@ -528,3 +528,35 @@ def test_bpe_roundtrip_compression_and_determinism(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     m = a.merge(tc, on="doc_id")
     assert (m["n_words"] == m["n_ws_tokens"]).all()
+
+
+def test_distance_join_antimeridian_and_poles(ray_session):
+    """Pairs straddling the +-180 meridian and near the poles — the
+    classic failure modes of lat/lng-grid distance joins — must be found
+    (S2 cells have no seam) and verified by brute-force haversine."""
+    import ray.data
+
+    from s2ray.kernel.sphere import haversine_distance_m
+    from s2ray.pipelines.spatial_join import distance_join_pairs
+
+    pts = [
+        (0, 0.0, 179.95),  (1, 0.0, -179.95),    # ~11 km across the seam
+        (2, 89.9, 0.0),    (3, 89.9, 180.0),     # ~22 km across the pole
+        (4, -89.95, 90.0), (5, -89.95, -90.0),   # ~11 km, south pole
+        (6, 45.0, 10.0),   (7, 45.0, 11.0),      # ~79 km apart: excluded
+        (8, 0.0, 0.0),                            # isolated
+    ]
+    ds = ray.data.from_items([
+        {"page_id": i, "lat": la, "lng": lo} for i, la, lo in pts])
+    out = distance_join_pairs(ds, 25_000.0).to_pandas()
+    got = set(zip(out["i"], out["j"]))
+    assert got == {(0, 1), (2, 3), (4, 5)}, got
+    # distances are the exact reference haversine
+    for _, r in out.iterrows():
+        a = next(p for p in pts if p[0] == r["i"])
+        b = next(p for p in pts if p[0] == r["j"])
+        d = float(haversine_distance_m(
+            np.radians(a[1]), np.radians(a[2]),
+            np.radians(b[1]), np.radians(b[2])))
+        assert abs(d - r["dist_m"]) < 1e-3
+        assert d <= 25_000.0
