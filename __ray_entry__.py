@@ -1115,12 +1115,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     one has an oracle_sql() entry and a green in-suite DuckDB gate),
     prioritizing queries with no prior driver verification — entries
     already driver-green in CORRECTNESS_r02 yield their slot to newer
-    oracled queries (maximizing cumulative driver-verified coverage: with
-    this window every oracled query except rect_filter/pages_per_lang/
-    events_hourly/emb_norm_by_lang — all four r02-driver-green and still
-    suite-gated — has a driver row by end of round 3).  The remaining
-    oracled queries follow, and the inherently non-SQL queries close the
-    dict."""
+    oracled queries, maximizing cumulative driver-verified coverage:
+    every query in this window gets a round-3 driver row, and every
+    oracled query OUTSIDE it (rect_filter, pages_per_lang, events_hourly,
+    emb_norm_by_lang, and the r02 tail) already has a round-2 driver row
+    — so by end of round 3 all 67 oracled queries carry driver evidence.
+    The remaining oracled queries follow, and the inherently non-SQL
+    queries close the dict."""
     return {
         # ---- driver window (50): every entry SQL-oracled ----
         # S2 / spatial
