@@ -964,7 +964,7 @@ def _q_boolean_covering(sf_dir: str):
     import pyarrow as pa
     import ray
 
-    from s2ray.kernel import cellid, cellunion
+    from s2ray.kernel import cellunion
     from s2ray.kernel.pip import Polygon
     from s2ray.kernel.region import Cap
     from s2ray.pipelines.spatial_join import exact_contains
@@ -972,25 +972,21 @@ def _q_boolean_covering(sf_dir: str):
 
     a = Polygon.from_latlng_loops([PIP_POLYS["moscow_sq"]])
     b = Cap.from_latlng_radius(*BOOL_COV_CAP)
-    ivs = {}
-    for op, covop in (("union", "union"), ("inter", "intersection")):
-        cov = cellunion.normalize(
+    covs = {
+        op: cellunion.normalize(
             cellunion.boolean_covering(a, b, covop, max_cells=64))
-        ivs[op] = (cellid.range_min(cov), cellid.range_max(cov))
-    st_ref = ray.put((ivs, a, b))
+        for op, covop in (("union", "union"), ("inter", "intersection"))}
+    st_ref = ray.put((covs, a, b))
 
     def stage(batch: pa.Table, st_ref=st_ref) -> pa.Table:
-        ivs, a, b = ray.get(st_ref)
+        covs, a, b = ray.get(st_ref)
         leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         lng = batch["lng"].to_numpy(zero_copy_only=False)
         pids = batch["page_id"].to_numpy(zero_copy_only=False)
         out_pid, out_op = [], []
-        for op in sorted(ivs):
-            lo, hi = ivs[op]
-            pos = np.searchsorted(lo, leaf, side="right") - 1
-            cand = (pos >= 0) & (leaf <= hi[np.clip(pos, 0, len(hi) - 1)])
-            idx = np.nonzero(cand)[0]
+        for op in sorted(covs):
+            idx = np.nonzero(cellunion.contains_leaf_ids(covs[op], leaf))[0]
             if not len(idx):
                 continue
             in_a = exact_contains(a, lat[idx], lng[idx])
@@ -1008,13 +1004,13 @@ def _q_boolean_covering(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
 
 
-def _setop_intervals():
-    """Leaf intervals for the covering set-algebra membership query: two
-    cap coverings (pytest-verified constants, same status as
-    _cover_intervals) and their get_union/get_intersection results —
-    membership in the derived unions is SQL-expressible as OR/AND of the
-    INPUT interval predicates, which verifies the set algebra end-to-end."""
-    from s2ray.kernel import cellid, cellunion
+def _setop_unions():
+    """Cell unions for the covering set-algebra membership query: two cap
+    coverings (pytest-verified constants, same status as _cover_intervals)
+    and their get_union/get_intersection results — membership in the
+    derived unions is SQL-expressible as OR/AND of the INPUT interval
+    predicates, which verifies the set algebra end-to-end."""
+    from s2ray.kernel import cellunion
     from s2ray.kernel.coverer import covering_of
     from s2ray.kernel.region import Cap
 
@@ -1022,14 +1018,20 @@ def _setop_intervals():
         Cap.from_latlng_radius(55.7558, 37.6173, 8000.0), max_cells=16))
     b = cellunion.normalize(covering_of(
         Cap.from_latlng_radius(55.80, 37.66, 8000.0), max_cells=16))
-    unions = {
+    return {
         "a": a,
         "b": b,
         "union": cellunion.get_union(a, b),
         "intersection": cellunion.get_intersection(a, b),
     }
+
+
+def _setop_intervals():
+    """Leaf intervals of :func:`_setop_unions` (the oracle-SQL form)."""
+    from s2ray.kernel import cellid
+
     return {k: (cellid.range_min(v), cellid.range_max(v))
-            for k, v in unions.items()}
+            for k, v in _setop_unions().items()}
 
 
 def _q_covering_setops(sf_dir: str):
@@ -1041,21 +1043,18 @@ def _q_covering_setops(sf_dir: str):
     import pyarrow as pa
     import ray
 
+    from s2ray.kernel.cellunion import contains_leaf_ids
     from s2ray.pipelines.tiles import pages_with_cells
 
-    iv_ref = ray.put(_setop_intervals())
+    cov_ref = ray.put(_setop_unions())
 
-    def stage(batch: pa.Table, iv_ref=iv_ref) -> pa.Table:
-        ivs = ray.get(iv_ref)
+    def stage(batch: pa.Table, cov_ref=cov_ref) -> pa.Table:
+        covs = ray.get(cov_ref)
         leaf = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         pids = batch["page_id"].to_numpy(zero_copy_only=False)
         out_pid, out_op = [], []
-        for op in sorted(ivs):
-            lo, hi = ivs[op]
-            if len(lo) == 0:
-                continue
-            pos = np.searchsorted(lo, leaf, side="right") - 1
-            ok = (pos >= 0) & (leaf <= hi[np.clip(pos, 0, len(hi) - 1)])
+        for op in sorted(covs):
+            ok = contains_leaf_ids(covs[op], leaf)
             out_pid.append(pids[ok])
             out_op.extend([op] * int(ok.sum()))
         return pa.table({
@@ -1405,14 +1404,18 @@ def oracle_sql() -> dict[str, str]:
 
     rd_rect = LatLngRect.from_degrees(RECT_DIST["lat_lo"], RECT_DIST["lng_lo"],
                                       RECT_DIST["lat_hi"], RECT_DIST["lng_hi"])
+    # round only in the outermost projection: an ORDER BY dist_m next to
+    # a `round(...) AS dist_m` alias binds to the ROUNDED alias in DuckDB,
+    # so mm-level ties at the LIMIT boundary could pick different rows
+    # than the engine's unrounded sort
     rect_dist_rank = (
-        f"{cte} SELECT page_id, CAST(row_number() OVER "
-        f"(ORDER BY dist_m, page_id) AS BIGINT) AS rank, "
-        f"round(dist_m, 3) AS dist_m FROM ("
+        f"{cte} SELECT page_id, rank, round(dm, 3) AS dist_m FROM ("
+        f"SELECT page_id, CAST(row_number() OVER "
+        f"(ORDER BY dist_m, page_id) AS BIGINT) AS rank, dist_m AS dm FROM ("
         + rect_distance_select("SELECT page_id, lat, lng FROM pages_geo",
                                rd_rect)
         + f") WHERE dist_m > 0 ORDER BY dist_m, page_id "
-        f"LIMIT {RECT_DIST_K}"
+        f"LIMIT {RECT_DIST_K}) ORDER BY rank"
     )
     text_id = f"{cte} SELECT page_id, text FROM pages_geo"
     per_lang = (
@@ -1615,10 +1618,12 @@ GROUP BY g.doc_id"""
     # as-of join: most recent prior click per purchase, same user (inner)
     events_asof_sql = """
 WITH l AS (SELECT event_id, user_id, ts FROM events
-           WHERE event_type = 'purchase'),
+           WHERE event_type = 'purchase' AND ts IS NOT NULL),
      r AS (SELECT max(event_id) AS match_event_id, user_id,
                   ts AS match_ts
-           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+           FROM events
+           WHERE event_type = 'click' AND ts IS NOT NULL
+           GROUP BY user_id, ts)
 SELECT l.event_id, l.user_id, l.ts, r.match_event_id, r.match_ts,
        date_diff('microsecond', r.match_ts, l.ts) AS gap_us
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.match_ts"""
@@ -1808,10 +1813,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)"""
         f"{cte} SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain, "
         f"count(*) AS n_pages FROM pages_geo GROUP BY 1"
     )
+    # time-keyed operator contract: NULL-ts events are unattributable to
+    # any bucket/window/session and ignored on both engines
     hourly = (
         "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS n_events, round(sum(value), 6) AS sum_value "
-        "FROM events GROUP BY 1, 2"
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
     )
     # sliding windows: 1h window / 30min slide; mirror the engine's
     # floor-to-second timestamps exactly
@@ -1838,7 +1845,7 @@ FROM (
              CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
                     OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
                   THEN 1 ELSE 0 END AS is_new
-      FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events WHERE user_id IS NOT NULL)
+      FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
     )
   ) GROUP BY user_id, sess
 )"""
@@ -1989,7 +1996,8 @@ FROM (
             "AND epoch_us(b.ts) > epoch_us(e.ts) "
             "AND epoch_us(b.ts) <= epoch_us(e.ts) + 3600000000) "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_converted "
-            "FROM events e WHERE e.event_type = 'view' AND e.user_id IS NOT NULL GROUP BY e.user_id"
+            "FROM events e WHERE e.event_type = 'view' AND e.user_id IS NOT NULL "
+            "AND e.ts IS NOT NULL GROUP BY e.user_id"
         ),
         "rare_tokens": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("

@@ -419,12 +419,12 @@ class IndexedLoop:
             else:
                 out_cells.append(cid)
                 out_edges.append(eids)
-        order = np.argsort(np.array(
-            [ci.range_min(np.array([c], dtype=np.uint64))[0]
-             for c in out_cells]).astype(np.uint64))
-        cov = np.array(out_cells, dtype=np.uint64)[order]
+        cells_arr = np.array(out_cells, dtype=np.uint64)
+        starts_all = ci.range_min(cells_arr)
+        order = np.argsort(starts_all)
+        cov = cells_arr[order]
         self.cells = cov
-        self.starts = ci.range_min(cov)
+        self.starts = starts_all[order]
         self.ends = ci.range_max(cov)
         self.local_edges = [out_edges[i] for i in order]
         self.centers = np.array([Cell(int(c)).get_center() for c in cov])

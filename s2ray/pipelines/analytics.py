@@ -28,6 +28,20 @@ def _drop_null_users(batch: pa.Table, col: str = "user_id") -> pa.Table:
     return batch
 
 
+def _drop_null_ts(batch: pa.Table, col: str = "ts") -> pa.Table:
+    """Time-keyed operator contract: events with a NULL timestamp are
+    unattributable to any bucket/window/session and ignored (oracles
+    mirror it with WHERE ts IS NOT NULL; comparisons against NULL ts drop
+    the row in SQL anyway).  Crucial for the packed int64 group keys:
+    NaT -> INT64_MIN would overflow `hour * n_uniques + code` and land
+    the row in an arbitrary real group.  No-op when ts has no nulls."""
+    import pyarrow.compute as pc
+
+    if batch[col].null_count:
+        batch = batch.filter(pc.is_valid(batch[col]))
+    return batch
+
+
 def pages_per_month(pages_ds):
     """(month:timestamp, n_pages) from warc_ts."""
     from ray.data.aggregate import Sum
@@ -84,6 +98,7 @@ def events_hourly(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch)
         h = batch["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[h]").astype(np.int64)
         codes, uniq = _dict_codes(batch["event_type"])
@@ -139,6 +154,7 @@ def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 1800):
     ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch)
         ts_s = batch["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[s]").astype(np.int64)
         codes, uniq = _dict_codes(batch["event_type"])
@@ -245,7 +261,8 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, n_parts: int = 64):
     def add_part(batch: pa.Table) -> pa.Table:
         # drop the parquet 'pandas' schema metadata: Ray's shuffle schema
         # dedup can't hash dict-valued metadata (log spam per reduce task)
-        batch = _drop_null_users(batch.replace_schema_metadata(None))
+        batch = _drop_null_ts(_drop_null_users(
+            batch.replace_schema_metadata(None)))
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         return batch.append_column(
             "part", pa.array((uid % n_parts).astype(np.int32)))
@@ -307,7 +324,8 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
     def prep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        batch = _drop_null_users(batch.replace_schema_metadata(None))
+        batch = _drop_null_ts(_drop_null_users(
+            batch.replace_schema_metadata(None)))
         keep = pc.is_in(batch["event_type"],
                         value_set=pa.array([left_type, right_type]))
         batch = batch.filter(keep)
@@ -431,7 +449,8 @@ def funnel_conversions(sf_dir: str, a: str = "view", b: str = "purchase",
 
     def add_part(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        batch = _drop_null_users(batch.replace_schema_metadata(None))
+        batch = _drop_null_ts(_drop_null_users(
+            batch.replace_schema_metadata(None)))
         keep = pc.fill_null(
             pc.is_in(batch["event_type"], value_set=pa.array([a, b])), False)
         batch = batch.filter(keep)

@@ -553,6 +553,7 @@ def _cc_label_propagation(pairs, n_parts: int = 64, max_rounds: int = 64):
             "chg": pa.array(chg),
         })
 
+    changed = 0
     for _ in range(max_rounds):
         step = edges.union(labels).groupby("part").map_groups(
             propagate, batch_format="pandas")
@@ -562,6 +563,15 @@ def _cc_label_propagation(pairs, n_parts: int = 64, max_rounds: int = 64):
         labels = new_labels.drop_columns(["chg"]).materialize()
         if not changed:
             break
+    if changed:
+        # labels are still mid-propagation: returning them would silently
+        # mis-cluster (component min not yet reached everywhere).  Plain
+        # hash-min needs O(component diameter) rounds; a corpus with a
+        # longer duplicate chain must raise, not corrupt.
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds — the "
+            f"pair graph has a component with diameter > {max_rounds}")
     return labels.select_columns(["node", "label"])
 
 

@@ -112,6 +112,24 @@ def test_distributed_cc_matches_union_find(stress_dir, ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_label_propagation_raises_instead_of_wrong_labels(ray_session):
+    """A component whose diameter exceeds max_rounds must raise — NOT
+    return mid-propagation labels that silently mis-cluster (the 100-TB
+    path has no driver cross-check to catch it)."""
+    import ray.data
+
+    from s2ray.pipelines.dedup import _cc_label_propagation
+
+    n = 12
+    chain = pd.DataFrame({"i": np.arange(n, dtype=np.int64),
+                          "j": np.arange(1, n + 1, dtype=np.int64)})
+    pairs = ray.data.from_pandas(chain)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc_label_propagation(pairs, max_rounds=3).to_pandas()
+    ok = _cc_label_propagation(pairs, max_rounds=n + 2).to_pandas()
+    assert (ok["label"] == 0).all() and len(ok) == n + 1
+
+
 NULL_QUERIES = ["text_stats", "normalize_text", "near_dup_pairs",
                 "pack_examples", "exact_dedup", "minhash_pairs"]
 
@@ -323,6 +341,37 @@ def test_null_values_match_oracle(qname, null_value_dir, ray_session):
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"read_parquet('{null_value_dir}/events.parquet')")
     _assert_matches_oracle(qname, e.queries()[qname](null_value_dir), con)
+
+
+NULL_TS_QUERIES = ["events_hourly", "events_sliding", "user_sessions",
+                   "events_asof", "funnel_views", "event_windows"]
+
+
+@pytest.fixture(scope="module")
+def null_ts_dir(tmp_path_factory):
+    """Events with ~4% null timestamps — the time-keyed operator
+    contract: NULL-ts events are unattributable to any bucket / window /
+    session and ignored (oracles mirror with WHERE ts IS NOT NULL; the
+    packed int64 group keys would otherwise overflow on NaT)."""
+    d = str(tmp_path_factory.mktemp("nullts"))
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    ts = ev["ts"].to_pylist()
+    for i in range(0, len(ts), 27):
+        ts[i] = None
+    pq.write_table(ev.set_column(ev.schema.get_field_index("ts"), "ts",
+                                 pa.array(ts, type=ev.schema.field("ts").type)),
+                   f"{d}/events.parquet")
+    return d
+
+
+@pytest.mark.parametrize("qname", NULL_TS_QUERIES)
+def test_null_ts_matches_oracle(qname, null_ts_dir, ray_session):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{null_ts_dir}/events.parquet')")
+    _assert_matches_oracle(qname, e.queries()[qname](null_ts_dir), con)
 
 
 @pytest.mark.parametrize("qname", ["doc_perplexity", "distance_join",
