@@ -48,7 +48,12 @@ def embedding_dim(parquet_path: str, column: str = "embedding") -> int:
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(parquet_path)
-    first = next(pf.iter_batches(batch_size=1, columns=[column]))
+    typ = pf.schema_arrow.field(column).type
+    if hasattr(typ, "list_size"):          # fixed_size_list carries it
+        return int(typ.list_size)
+    first = next(pf.iter_batches(batch_size=1, columns=[column]), None)
+    if first is None or len(first) == 0:   # empty table: no rows to probe
+        return 0
     return len(first[column][0])
 
 

@@ -48,8 +48,8 @@ def train_bpe(sf_dir: str, n_merges: int = 200, sample_rows: int = 4096,
 
     pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
     first = next(pf.iter_batches(batch_size=sample_rows,
-                                 columns=[text_col]))
-    texts = first.column(0).to_pylist()
+                                 columns=[text_col]), None)
+    texts = first.column(0).to_pylist() if first is not None else []
     vocab = _word_counts(texts)
     # word -> list of byte symbols
     words = [( [bytes([c]) for c in w], n ) for w, n in vocab.items()]
