@@ -72,6 +72,65 @@ def _q_tile_pyramid(sf_dir: str):
     return tile_pyramid(sf_dir, levels=PYRAMID_LEVELS)
 
 
+ADAPTIVE_LEVELS = (4, 6, 8, 10)
+ADAPTIVE_MAX_PAGES = 8
+
+
+def _q_adaptive_tiles(sf_dir: str):
+    """Adaptive quadtree tiling: split cells over 8 pages down the
+    (4,6,8,10) level chain — one page scan, compact blob partials."""
+    from s2ray.pipelines.tiles import adaptive_tiles
+
+    return adaptive_tiles(sf_dir, levels=ADAPTIVE_LEVELS,
+                          max_pages=ADAPTIVE_MAX_PAGES)
+
+
+def _adaptive_tiles_oracle(cte: str) -> str:
+    """Per-page mirror of adaptive_tiles: a page's adaptive cell is its
+    ancestor at the smallest level whose count <= max_pages, else its
+    finest-level cell.  Ancestors by pure cell-id bit algebra on the
+    independent SQL encoder's finest-level ids (the tile_pyramid trick);
+    tokens by fixed-width printf (levels are even, so the trailing-zero
+    strip is a whole nibble count)."""
+    from s2ray.functions.sqlgen import s2_cell_select
+
+    fine = max(ADAPTIVE_LEVELS)
+    t = ADAPTIVE_MAX_PAGES
+    branches = []
+    for lv in ADAPTIVE_LEVELS:
+        shift = 2 * (30 - lv)
+        assert shift % 4 == 0, "token shortcut needs even level"
+        nd = (64 - shift) // 4
+        if lv == fine:
+            pid = "cell_id"
+        else:
+            lsb = 1 << shift
+            pid = (f"(cell_id - (cell_id % CAST('{2 * lsb}' AS UBIGINT)) "
+                   f"+ CAST('{lsb}' AS UBIGINT))")
+        branches.append(
+            f"SELECT page_id, CAST({lv} AS BIGINT) AS level, "
+            f"{pid} AS cell_id, "
+            f"printf('%0{nd}x', CAST({pid} >> {shift} AS BIGINT)) "
+            f"AS cell_token FROM _encf"
+        )
+    lv_union = " UNION ALL ".join(branches)
+    return (
+        f"{cte}, _encf AS MATERIALIZED (SELECT page_id, cell_id FROM ("
+        + s2_cell_select("SELECT page_id, lat, lng FROM pages_geo",
+                         level=fine)
+        + f")), _lv AS MATERIALIZED ({lv_union}), "
+        "_cnt AS (SELECT level, cell_id, count(*) AS cnt FROM _lv "
+        "GROUP BY 1, 2), "
+        "_pick AS (SELECT l.page_id, min(l.level) AS clevel FROM _lv l "
+        "JOIN _cnt c ON l.level = c.level AND l.cell_id = c.cell_id "
+        f"WHERE c.cnt <= {t} GROUP BY 1) "
+        "SELECT l.level, l.cell_id, l.cell_token, count(*) AS n_pages "
+        "FROM _lv l LEFT JOIN _pick p ON l.page_id = p.page_id "
+        f"WHERE l.level = coalesce(p.clevel, {fine}) "
+        "GROUP BY 1, 2, 3"
+    )
+
+
 def _q_rect_filter(sf_dir: str):
     from s2ray.pipelines.filters import rect_filter_batch
     from s2ray.pipelines.tiles import pages_with_cells
@@ -1126,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S2 / spatial
         "tile_counts_l8": _q_tile_counts,
         "tile_pyramid": _q_tile_pyramid,
+        "adaptive_tiles": _q_adaptive_tiles,
         "distance_join": _q_distance_join,
         "knn_moscow": _q_knn,
         "rect_distance_rank": _q_rect_distance_rank,
@@ -1144,7 +1204,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
         "events_distinct_users": _q_events_distinct,
-        "user_sessions": _q_user_sessions,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "near_dup_pairs": _q_near_dup_pairs,
@@ -1181,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- oracled, outside the driver window (driver-green in r02;
         # still hash-gated in-suite by tests/test_oracle.py) ----
         "rect_filter": _q_rect_filter,
+        "user_sessions": _q_user_sessions,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -1876,6 +1936,7 @@ FROM (
     return {
         "tile_counts_l8": tile_counts_sql,
         "tile_pyramid": tile_pyramid_sql,
+        "adaptive_tiles": _adaptive_tiles_oracle(cte),
         "covering_member_join": covering_member_sql,
         "boolean_pip_join": boolean_pip_sql,
         "region_relations": polygon_relations_select(_relation_regions()),

@@ -228,6 +228,93 @@ def tile_pyramid(sf_dir: str, levels=(8, 6, 4, 2), repl: int = 1,
     return ds.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
+def adaptive_tiles(sf_dir: str, levels=(4, 6, 8, 10), max_pages: int = 8,
+                   repl: int = 1, **read_kwargs):
+    """Adaptive (quadtree-style) tiling: starting at ``min(levels)``, a cell
+    splits into its ``levels``-chain descendants while it holds more than
+    ``max_pages`` pages; cells at ``max(levels)`` never split.  Output:
+    (level, cell_id, cell_token, n_pages) — a DISJOINT set of cells whose
+    counts sum to the page total (every page belongs to exactly one output
+    cell).
+
+    Equivalent per-page rule (this is what the SQL oracle mirrors): a page's
+    adaptive cell is its ancestor at the SMALLEST level whose page count is
+    <= max_pages, else its ``max(levels)`` cell.  Well-defined because counts
+    are monotone non-increasing down a page's ancestor chain.
+
+    Engine shape: ONE page scan producing the same compact per-level blob
+    partials as tile_pyramid (coarser levels are parent bit algebra on the
+    finest histogram, not extra scans), the same log-depth tree merge, and
+    the adaptive selection runs on the merged histogram in the final task —
+    bounded by the number of DISTINCT ``max(levels)`` cells (<= 6*4^L, ~6.3M
+    at level 10; compact int64 arrays), never by corpus size.
+    """
+    import ray
+
+    levels = tuple(sorted(levels))
+    fine = max(levels)
+    ds = pages_with_cells(sf_dir, repl=repl, token_level=fine, **read_kwargs)
+    ds = ds.map_batches(
+        _partial_pyramid_counts, fn_kwargs={"levels": levels},
+        batch_format="pyarrow", batch_size=None,
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = ds.repartition(max(1, ncpu)).map_batches(
+        _merge_pyramid_partials, batch_format="pyarrow", batch_size=None)
+    ds = ds.repartition(1).map_batches(
+        _merge_pyramid_partials, batch_format="pyarrow", batch_size=None)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from ..kernel import cellid, keys
+
+        lv_col = batch["level"].to_numpy(zero_copy_only=False)
+        hist = {}
+        for i, level in enumerate(lv_col):
+            k = keys.from_key(
+                np.frombuffer(batch["keys"][i].as_py(), dtype=np.int64))
+            n = np.frombuffer(batch["counts"][i].as_py(), dtype=np.int64)
+            hist[int(level)] = (k, n)
+        u_f, c_f = hist.get(fine, (np.empty(0, np.uint64),
+                                   np.empty(0, np.int64)))
+        chosen = np.full(len(u_f), fine, dtype=np.int64)
+        unset = np.ones(len(u_f), dtype=bool)
+        for lv in levels[:-1]:
+            anc = cellid.parent(u_f, lv)
+            ids_l, cnt_l = hist[lv]
+            cnt = cnt_l[np.searchsorted(ids_l, anc)]
+            ok = unset & (cnt <= max_pages)
+            chosen[ok] = lv
+            unset &= ~ok
+        out_id = u_f.copy()
+        for lv in levels[:-1]:
+            m = chosen == lv
+            if m.any():
+                out_id[m] = cellid.parent(u_f[m], lv)
+        # ids at different levels never collide (lsb marker), and all fine
+        # cells under one chosen ancestor agree on it (shared chain), so a
+        # plain group-by-out_id sum reproduces each output cell's count
+        order = np.argsort(out_id, kind="stable")
+        key, cc, lvv = out_id[order], c_f[order], chosen[order]
+        if len(key):
+            starts = np.concatenate(
+                [[0], np.flatnonzero(key[1:] != key[:-1]) + 1])
+            ids = key[starts]
+            sums = np.add.reduceat(cc, starts)
+            out_lv = lvv[starts]
+        else:
+            ids = key
+            sums = cc
+            out_lv = lvv
+        return pa.table({
+            "level": pa.array(out_lv, type=pa.int64()),
+            "cell_id": pa.array(ids, type=pa.uint64()),
+            "cell_token": pa.array(cellid.to_token(ids), type=pa.string()),
+            "n_pages": pa.array(sums, type=pa.int64()),
+        })
+
+    return ds.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
 def _partial_tile_counts_parted(batch: pa.Table, level: int,
                                 partition_level: int) -> pa.Table:
     """Per-batch compact partials split by level-`partition_level` ancestor:

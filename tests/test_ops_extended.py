@@ -208,3 +208,47 @@ def test_full_lng_rect_cap_bound_contains_rect():
         p = np.array(sphere.latlng_to_xyz(
             math.radians(lat_d), math.radians(lng_d)))
         assert cap.contains_point(p), (lat_d, lng_d)
+
+
+def test_adaptive_tiles_invariants(ray_session):
+    """Quadtree contract: output cells are DISJOINT (no output cell is an
+    ancestor of another), counts sum to the page total, every non-finest
+    cell respects the capacity, and every split was necessary (each
+    non-min-level cell's ancestors at coarser chain levels exceed it)."""
+    from s2ray.pipelines.tiles import adaptive_tiles, tile_counts
+
+    levels, cap = (4, 6, 8, 10), 8
+    df = adaptive_tiles(SF, levels=levels, max_pages=cap).to_pandas()
+    total = tile_counts(SF, level=8).to_pandas().n_pages.sum()
+    assert df.n_pages.sum() == total
+    assert set(df.level.unique()) <= set(levels)
+    # capacity respected everywhere except the finest catch-all level
+    assert (df.loc[df.level < max(levels), "n_pages"] <= cap).all()
+    ids = df.cell_id.to_numpy().astype(np.uint64)
+    lvs = df.level.to_numpy()
+    id_set = set(ids.tolist())
+    for lv in levels[:-1]:
+        deeper = ids[lvs > lv]
+        if len(deeper):
+            anc = cellid.parent(deeper, lv)
+            assert not (set(anc.tolist()) & id_set), "overlapping output"
+    # minimality: a cell at level L>min exists only because its ancestors
+    # at every coarser chain level hold more than cap pages
+    counts = dict(zip(ids.tolist(), df.n_pages.tolist()))
+    by_level = {lv: {} for lv in levels}
+    for i, lv in zip(ids.tolist(), lvs.tolist()):
+        by_level[lv][i] = counts[i]
+    # rebuild full ancestor counts by summing descendants
+    full = {}
+    for lv in levels:
+        for i, c in by_level[lv].items():
+            full[i] = full.get(i, 0) + c
+            for up in levels:
+                if up < lv:
+                    a = int(cellid.parent(np.array([i], np.uint64), up)[0])
+                    full[a] = full.get(a, 0) + c
+    for i, lv in zip(ids.tolist(), lvs.tolist()):
+        for up in levels:
+            if up < lv:
+                a = int(cellid.parent(np.array([i], np.uint64), up)[0])
+                assert full[a] > cap, (i, lv, up)
