@@ -131,6 +131,28 @@ def _adaptive_tiles_oracle(cte: str) -> str:
     )
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII / boilerplate scrubbing over page html (emails, URLs, IPv4s,
+    long digit runs -> typed placeholders) — streaming Arrow RE2, zero
+    shuffle; the oracle rebuilds the html and mirrors the chain."""
+    from s2ray.pipelines.text import redact_pii
+
+    return redact_pii(sf_dir)
+
+
+def _redact_pii_oracle(cte: str) -> str:
+    from s2ray.pipelines.text import redact_pii_sql
+
+    html = (
+        "SELECT page_id, '<html><head><title>' || url || "
+        "'</title><meta name=\"geo.position\" content=\"' || "
+        "CAST(lat_e4 AS VARCHAR) || ';' || CAST(lng_e4 AS VARCHAR) || "
+        "'\"/></head><body><article>' || text || "
+        "'</article></body></html>' AS h FROM pages"
+    )
+    return f"{cte} {redact_pii_sql(html)}"
+
+
 def _q_rect_filter(sf_dir: str):
     from s2ray.pipelines.filters import rect_filter_batch
     from s2ray.pipelines.tiles import pages_with_cells
@@ -1203,7 +1225,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": _q_doc_perplexity,
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
-        "events_distinct_users": _q_events_distinct,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "near_dup_pairs": _q_near_dup_pairs,
@@ -1218,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn": _q_lsh_knn,
         # text analysis
         "text_stats": _q_text_stats,
+        "redact_pii": _q_redact_pii,
         "token_counts": _q_token_counts,
         "vocab_top100": _q_vocab,
         "heavy_hitters_top100": _q_heavy_hitters,
@@ -1241,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # still hash-gated in-suite by tests/test_oracle.py) ----
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
+        "events_distinct_users": _q_events_distinct,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -1937,6 +1960,7 @@ FROM (
         "tile_counts_l8": tile_counts_sql,
         "tile_pyramid": tile_pyramid_sql,
         "adaptive_tiles": _adaptive_tiles_oracle(cte),
+        "redact_pii": _redact_pii_oracle(cte),
         "covering_member_join": covering_member_sql,
         "boolean_pip_join": boolean_pip_sql,
         "region_relations": polygon_relations_select(_relation_regions()),

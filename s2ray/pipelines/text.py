@@ -978,3 +978,64 @@ def doc_perplexity(sf_dir: str, alpha: float = 0.5,
         })
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# Pattern redaction (PII / boilerplate scrubbing). RE2 on both engines:
+# Arrow's replace_substring_regex/count_substring_regex and DuckDB's
+# regexp_replace/regexp_extract_all are all RE2, so parity is by
+# construction.  Applied IN ORDER — each pattern sees the previous
+# pattern's output, and its count is taken on that same intermediate
+# state (the oracle mirrors the chain stage by stage).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s\"<]+", "<URL>"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("num", r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def redact_pii(sf_dir: str, patterns=PII_PATTERNS):
+    """Scrub PII-ish / boilerplate patterns from page html: emails, URLs,
+    IPv4s, long digit runs -> typed placeholder tokens, with a per-page
+    match count for each pattern.  Output: (page_id, n_<name>s per
+    pattern, redacted, n_chars).
+
+    Pure streaming map_batches — zero shuffle, zero state; the hot path is
+    Arrow RE2 kernels over the html column (never a Python loop).  At
+    100 TB this is the canonical cheap stage: it pipelines behind the read
+    and ahead of dedup/tokenization with no materialization.
+    """
+    from ..sources.pages import read_pages
+
+    ds = read_pages(sf_dir)
+    return ds.map_batches(redact_batch, fn_kwargs={"patterns": patterns},
+                          batch_format="pyarrow", batch_size=None)
+
+
+def redact_batch(batch: pa.Table, patterns=PII_PATTERNS) -> pa.Table:
+    """The redact_pii per-batch transform (module-level for direct tests)."""
+    h = batch["html"].cast(pa.string())
+    cols = {"page_id": batch["page_id"]}
+    for name, pat, repl in patterns:
+        cols[f"n_{name}s"] = pc.cast(
+            pc.count_substring_regex(h, pat), pa.int64())
+        h = pc.replace_substring_regex(h, pat, repl)
+    cols["redacted"] = h
+    cols["n_chars"] = pc.cast(pc.utf8_length(h), pa.int64())
+    return pa.table(cols)
+
+
+def redact_pii_sql(html_expr: str, patterns=PII_PATTERNS) -> str:
+    """DuckDB mirror of redact_pii's staged chain over ``html_expr`` (a
+    relation exposing page_id and an ``h`` html column)."""
+    q = html_expr
+    names = []
+    for name, pat, repl in patterns:
+        assert "'" not in pat and "'" not in repl
+        names.append(f"n_{name}s")
+        q = (f"SELECT * EXCLUDE (h), "
+             f"len(regexp_extract_all(h, '{pat}')) AS n_{name}s, "
+             f"regexp_replace(h, '{pat}', '{repl}', 'g') AS h FROM ({q})")
+    cols = ", ".join(names)
+    return (f"SELECT page_id, {cols}, h AS redacted, "
+            f"length(h) AS n_chars FROM ({q})")

@@ -565,3 +565,42 @@ def test_distance_join_antimeridian_and_poles(ray_session):
             np.radians(b[1]), np.radians(b[2])))
         assert abs(d - r["dist_m"]) < 1e-3
         assert d <= 25_000.0
+
+
+def test_redact_batch_adversarial_vs_duckdb():
+    """Email/IP/URL/digit-run redaction on crafted content, engine batch
+    transform vs the SQL mirror chain — covers the pattern classes the
+    synthetic corpus never triggers (emails, IPv4s, overlap ordering)."""
+    import duckdb
+    import pyarrow as pa
+
+    from s2ray.pipelines.text import redact_batch, redact_pii_sql
+
+    htmls = [
+        "contact bob.smith+spam@mail.example.co.uk or visit "
+        "https://a.example.com/x?id=1234567 from 192.168.0.1 now",
+        "no pii here at all",
+        "ip 10.0.0.255 twice 10.0.0.255, mail a@b.io, digits 123456789",
+        "url inside <a href=\"http://t.co/abc\">link</a> and bare 999999",
+        "email@edge.ca.",  # trailing dot stays outside the match
+        "1.2.3.4.5 overlapping-ish dotted run",
+    ]
+    batch = pa.table({
+        "page_id": pa.array(range(len(htmls)), type=pa.int64()),
+        "html": pa.array([h.encode() for h in htmls], type=pa.binary()),
+    })
+    got = redact_batch(batch).to_pandas().sort_values(
+        "page_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("t", batch.select(["page_id"]).append_column(
+        "h", pa.array(htmls, type=pa.string())))
+    want = con.execute(
+        redact_pii_sql("SELECT page_id, h FROM t")
+    ).df().sort_values("page_id", ignore_index=True)
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert got[c].astype(str).equals(want[c].astype(str)), c
+    # the crafted rows actually exercised every pattern class
+    assert got.n_emails.sum() >= 3 and got.n_ips.sum() >= 3
+    assert got.n_urls.sum() >= 2 and got.n_nums.sum() >= 2
+    assert "<EMAIL>" in got.redacted[0] and "<IP>" in got.redacted[0]
