@@ -153,6 +153,31 @@ def _redact_pii_oracle(cte: str) -> str:
     return f"{cte} {redact_pii_sql(html)}"
 
 
+INDEX_SHARD_DOCS = 100
+
+
+def _q_inverted_index(sf_dir: str):
+    """Sharded inverted-index build: (token, shard, df, postings) with
+    ascending comma-joined doc ids — compact blob partials shuffled by
+    (token, shard), never corpus rows; shard size caps every posting."""
+    from s2ray.pipelines.text import inverted_index
+
+    return inverted_index(sf_dir, shard_docs=INDEX_SHARD_DOCS)
+
+
+def _inverted_index_oracle() -> str:
+    s = INDEX_SHARD_DOCS
+    return (
+        "SELECT token, shard, count(*) AS df, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+        "AS postings FROM ("
+        "SELECT DISTINCT doc_id, doc_id // {s} AS shard, token FROM ("
+        "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+        "lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS token "
+        "FROM documents)) GROUP BY 1, 2"
+    ).format(s=s)
+
+
 def _q_rect_filter(sf_dir: str):
     from s2ray.pipelines.filters import rect_filter_batch
     from s2ray.pipelines.tiles import pages_with_cells
@@ -1241,7 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "redact_pii": _q_redact_pii,
         "token_counts": _q_token_counts,
-        "vocab_top100": _q_vocab,
+        "inverted_index": _q_inverted_index,
         "heavy_hitters_top100": _q_heavy_hitters,
         "token_doc_freq": _q_token_df,
         "tfidf_top3": _q_tfidf,
@@ -1264,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
+        "vocab_top100": _q_vocab,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -1961,6 +1987,7 @@ FROM (
         "tile_pyramid": tile_pyramid_sql,
         "adaptive_tiles": _adaptive_tiles_oracle(cte),
         "redact_pii": _redact_pii_oracle(cte),
+        "inverted_index": _inverted_index_oracle(),
         "covering_member_join": covering_member_sql,
         "boolean_pip_join": boolean_pip_sql,
         "region_relations": polygon_relations_select(_relation_regions()),

@@ -1039,3 +1039,74 @@ def redact_pii_sql(html_expr: str, patterns=PII_PATTERNS) -> str:
     cols = ", ".join(names)
     return (f"SELECT page_id, {cols}, h AS redacted, "
             f"length(h) AS n_chars FROM ({q})")
+
+
+def inverted_index(sf_dir: str, shard_docs: int = 100, lower: bool = True,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Sharded inverted-index build (search-index sink): one row per
+    (token, shard) with df = #distinct documents in the shard containing
+    the token and postings = the comma-joined ASCENDING doc-id list.
+
+    shard = doc_id // shard_docs.  Sharding is what makes the index
+    scale-safe: a stop-token's global posting list is unbounded, but each
+    (token, shard) list is capped at shard_docs ids, so no reducer and no
+    output cell ever exceeds a fixed size — pick shard_docs so one shard's
+    postings fit a task (the classic segmented-index layout).
+
+    Per-batch partial: distinct (token, doc) pairs via one packed
+    np.unique (row = document invariant makes the dedup exact), emitted as
+    ONE compact row per (token, shard) per batch carrying the sorted id
+    blob; the shuffle moves those blobs — vocabulary x shards rows, never
+    corpus rows.  map_groups concatenates blobs (ids are globally distinct
+    across batches) and sorts once.
+    """
+    import ray
+    import ray.data
+
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
+    s = np.int64(shard_docs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if not len(codes):
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "shard": pa.array([], type=pa.int64()),
+                             "ids_b": pa.array([], type=pa.binary())})
+        nv = np.int64(len(uniques))
+        pair = np.unique(row_idx * nv + codes)
+        prow, pcode = pair // nv, pair % nv
+        doc = ids[prow]
+        shard = np.floor_divide(doc, s)
+        # group rows by (code, shard): sort by packed key, runs = groups;
+        # doc ascending within a run because doc//s is monotone in doc
+        order = np.lexsort((doc, shard, pcode))
+        pcode, shard, doc = pcode[order], shard[order], doc[order]
+        key_change = np.flatnonzero(
+            (pcode[1:] != pcode[:-1]) | (shard[1:] != shard[:-1])) + 1
+        starts = np.concatenate([[0], key_change, [len(pcode)]])
+        toks, shards, blobs = [], [], []
+        for a, b in zip(starts[:-1], starts[1:]):
+            toks.append(uniques[pcode[a]])
+            shards.append(int(shard[a]))
+            blobs.append(doc[a:b].tobytes())
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "shard": pa.array(shards, type=pa.int64()),
+                         "ids_b": pa.array(blobs, type=pa.binary())})
+
+    def merge(df):
+        import pandas as pd
+
+        ids = np.sort(np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in df["ids_b"]]))
+        return pd.DataFrame({
+            "token": [df["token"].iloc[0]],
+            "shard": [np.int64(df["shard"].iloc[0])],
+            "df": [np.int64(len(ids))],
+            "postings": [",".join(map(str, ids.tolist()))],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["token", "shard"])
+            .map_groups(merge, batch_format="pandas"))
