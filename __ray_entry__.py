@@ -293,6 +293,16 @@ def _q_cap_join_shuffle(sf_dir: str):
                                 keep_cols=("page_id",))
 
 
+def _q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-cap-region point aggregates (count, exact
+    integer-e4 centroid, min/max distance to the cap axis)."""
+    from s2ray.pipelines.analytics import zonal_stats
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    ds = pages_with_cells(sf_dir, token_level=None)
+    return zonal_stats(ds, _city_caps())
+
+
 def _q_pip_join(sf_dir: str):
     from s2ray.kernel.pip import Polygon
     from s2ray.pipelines.spatial_join import spatial_join_broadcast
@@ -1239,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_identity": _q_text_identity,
         "fingerprint": _q_fingerprint,
         "cap_join": _q_cap_join,
+        "zonal_stats": _q_zonal_stats,
         "pip_join": _q_pip_join,
         "covering_member_join": _q_covering_member_join,
         "boolean_pip_join": _q_boolean_pip_join,
@@ -1265,7 +1276,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "text_stats": _q_text_stats,
         "redact_pii": _q_redact_pii,
-        "token_counts": _q_token_counts,
         "inverted_index": _q_inverted_index,
         "heavy_hitters_top100": _q_heavy_hitters,
         "token_doc_freq": _q_token_df,
@@ -1290,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
         "vocab_top100": _q_vocab,
+        "token_counts": _q_token_counts,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -1975,6 +1986,23 @@ FROM (
   WHERE {city_dist} <= {CAP_RADIUS_M!r}
 ) WHERE rank <= 3"""
     top3 = top3.replace("{city_values}", city_values)
+    # zonal stats: same join + distance; centroid from exact int e4 sums,
+    # float reductions are min/max only (order-free -> hash-stable)
+    zonal = f"""{cte} SELECT region_id, count(*) AS n_pages,
+       round(sum(CAST(round(lat * 10000, 0) AS BIGINT))
+             / (count(*) * 10000.0), 6) AS avg_lat,
+       round(sum(CAST(round(lng * 10000, 0) AS BIGINT))
+             / (count(*) * 10000.0), 6) AS avg_lng,
+       round(min(d), 3) AS min_dist_m, round(max(d), 3) AS max_dist_m
+FROM (
+  SELECT c.region_id AS region_id, p.lat AS lat, p.lng AS lng,
+         {{city_dist}} AS d
+  FROM pages_geo p
+  CROSS JOIN (VALUES {{city_values}}) AS c(region_id, clat, clng)
+  WHERE {{city_dist}} <= {CAP_RADIUS_M!r}
+) GROUP BY region_id"""
+    zonal = zonal.replace("{city_values}", city_values) \
+                 .replace("{city_dist}", city_dist)
     centroids = (
         "SELECT label, CAST(dim AS BIGINT) AS dim, "
         "round(avg(CAST(v AS DOUBLE)), 4) AS centroid FROM ("
@@ -2004,6 +2032,7 @@ FROM (
         "user_sessions": sessions,
         "emb_centroids": centroids,
         "top3_per_city": top3,
+        "zonal_stats": zonal,
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

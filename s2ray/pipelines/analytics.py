@@ -246,6 +246,113 @@ def top_k_per_region(pages_ds, regions: dict, k: int = 3):
     )
 
 
+def zonal_stats(pages_ds, regions: dict):
+    """Zonal statistics: per-region aggregates over the spatially joined
+    points — (region_id, n_pages, avg_lat, avg_lng, min_dist_m,
+    max_dist_m), distances to the region's cap axis.
+
+    Exactness plan (so the whole thing is SQL-hash-exact despite floats):
+    centroids come from INTEGER e4 sums (rint(lat*1e4) is the original
+    fixed-point value, summed exactly in int64 — float summation order
+    never enters), and the float reductions are min/max (order-free; the
+    per-row haversine is bit-identical on both engines).  A float MEAN of
+    distances would NOT be oracle-stable and is deliberately absent.
+
+    Shape: broadcast join -> per-batch partial (one row per region per
+    batch) -> Ray groupby Sum/Min/Max over #regions rows -> tiny finalize.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..kernel import sphere
+    from .spatial_join import spatial_join_broadcast
+
+    centers_rad = {}
+    for rid, region in regions.items():
+        axis = region.get_cap_bound().axis
+        lat, lng = sphere.xyz_to_latlng(*axis)
+        centers_rad[rid] = (float(lat), float(lng))
+    centers_ref = ray.put(centers_rad)
+
+    joined = spatial_join_broadcast(pages_ds, regions,
+                                    keep_cols=("page_id", "lat", "lng"))
+
+    def partial(batch: pa.Table, centers_ref=centers_ref) -> pa.Table:
+        cs = ray.get(centers_ref)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        codes, uniq = _dict_codes(batch["region_id"])
+        if not len(uniq):
+            return pa.table({
+                "region_id": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_lat_e4": pa.array([], type=pa.int64()),
+                "sum_lng_e4": pa.array([], type=pa.int64()),
+                "min_d": pa.array([], type=pa.float64()),
+                "max_d": pa.array([], type=pa.float64()),
+            })
+        qlat = np.array([cs[r][0] for r in uniq], dtype=np.float64)[codes]
+        qlng = np.array([cs[r][1] for r in uniq], dtype=np.float64)[codes]
+        d = sphere.haversine_distance_m(
+            sphere.degrees_to_radians(lat), sphere.degrees_to_radians(lng),
+            qlat, qlng)
+        lat_e4 = np.rint(lat * 1e4).astype(np.int64)
+        lng_e4 = np.rint(lng * 1e4).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c, dd = codes[order], d[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(c[1:] != c[:-1]) + 1])
+        nuq = len(uniq)
+        return pa.table({
+            "region_id": pa.array(list(uniq), type=pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=nuq)
+                          .astype(np.int64)),
+            "sum_lat_e4": pa.array(np.bincount(
+                codes, weights=lat_e4, minlength=nuq).astype(np.int64)),
+            "sum_lng_e4": pa.array(np.bincount(
+                codes, weights=lng_e4, minlength=nuq).astype(np.int64)),
+            # c[starts] == arange(nuq): every dictionary code appears in
+            # the batch, and the sort is ascending — reduceat output is
+            # already in code order
+            "min_d": pa.array(np.minimum.reduceat(dd, starts),
+                              type=pa.float64()),
+            "max_d": pa.array(np.maximum.reduceat(dd, starts),
+                              type=pa.float64()),
+        })
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+           .groupby("region_id")
+           .aggregate(Sum("n", alias_name="n_pages"),
+                      Sum("sum_lat_e4", alias_name="slat"),
+                      Sum("sum_lng_e4", alias_name="slng"),
+                      Min("min_d", alias_name="mind"),
+                      Max("max_d", alias_name="maxd")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n_pages"].to_numpy(zero_copy_only=False).astype(np.float64)
+        slat = batch["slat"].to_numpy(zero_copy_only=False).astype(np.float64)
+        slng = batch["slng"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "region_id": batch["region_id"],
+            "n_pages": batch["n_pages"],
+            "avg_lat": pa.array(round_half_away(
+                slat / (n * 1e4), 6), type=pa.float64()),
+            "avg_lng": pa.array(round_half_away(
+                slng / (n * 1e4), 6), type=pa.float64()),
+            "min_dist_m": pa.array(round_half_away(
+                batch["mind"].to_numpy(zero_copy_only=False), 3),
+                type=pa.float64()),
+            "max_dist_m": pa.array(round_half_away(
+                batch["maxd"].to_numpy(zero_copy_only=False), 3),
+                type=pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def user_sessions(sf_dir: str, gap_s: int = 1800, n_parts: int = 64):
     """Sessionization: split each user's event stream at gaps > gap_s.
 
