@@ -303,6 +303,54 @@ def _q_zonal_stats(sf_dir: str):
     return zonal_stats(ds, _city_caps())
 
 
+GRID_MIN_PAGES = 1
+
+
+def _q_grid_clusters(sf_dir: str):
+    """Grid-based spatial clustering: occupied 1-degree cells -> 8-neighbor
+    connected components (antimeridian-aware), per-cluster cell/page
+    counts.  Corpus reduces to grid-sized partial counts; adjacency + CC
+    run over the compact occupied-cell table."""
+    from s2ray.pipelines.cluster import grid_clusters
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    ds = pages_with_cells(sf_dir, token_level=None)
+    return grid_clusters(ds, cell_deg=1.0, min_pages=GRID_MIN_PAGES)
+
+
+def _grid_clusters_oracle(cte: str) -> str:
+    """Recursive-CTE mirror: occupied cells -> adjacency self-join (incl.
+    the gx wrap at the antimeridian) -> transitive closure -> min label."""
+    rec_cte = cte.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{rec_cte},
+occ AS (SELECT CAST(floor(lat) AS BIGINT) AS gy,
+               CAST(floor(lng) AS BIGINT) AS gx, count(*) AS n
+        FROM pages_geo GROUP BY 1, 2 HAVING count(*) >= {GRID_MIN_PAGES}),
+nodes AS (SELECT (gy + 90) * 360 + (gx + 180) AS p, n FROM occ),
+edges AS (
+  SELECT (a.gy + 90) * 360 + (a.gx + 180) AS u,
+         (b.gy + 90) * 360 + (b.gx + 180) AS v
+  FROM occ a JOIN occ b
+  ON abs(a.gy - b.gy) <= 1
+     AND (abs(a.gx - b.gx) <= 1 OR abs(a.gx - b.gx) = 359)
+     AND NOT (a.gy = b.gy AND a.gx = b.gx)
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lbl AS (
+  SELECT nd.p AS p, nd.n AS n,
+         least(nd.p, coalesce(min(r.v), nd.p)) AS cluster_id
+  FROM nodes nd LEFT JOIN reach r ON r.u = nd.p
+  GROUP BY nd.p, nd.n
+)
+SELECT cluster_id, count(*) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS n_pages
+FROM lbl GROUP BY 1"""
+
+
 def _q_pip_join(sf_dir: str):
     from s2ray.kernel.pip import Polygon
     from s2ray.pipelines.spatial_join import spatial_join_broadcast
@@ -1250,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "cap_join": _q_cap_join,
         "zonal_stats": _q_zonal_stats,
+        "grid_clusters": _q_grid_clusters,
         "pip_join": _q_pip_join,
         "covering_member_join": _q_covering_member_join,
         "boolean_pip_join": _q_boolean_pip_join,
@@ -1283,7 +1332,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "chunk_dedup": _q_chunk_dedup,
         "new_docs": _q_new_docs,
-        "polyline_near": _q_polyline_near,
         "pack_examples": _q_pack_examples,
         "split_corpus": _q_split_corpus,
         "normalize_text": _q_normalize_text,
@@ -1301,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct,
         "vocab_top100": _q_vocab,
         "token_counts": _q_token_counts,
+        "polyline_near": _q_polyline_near,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -2033,6 +2082,7 @@ FROM (
         "emb_centroids": centroids,
         "top3_per_city": top3,
         "zonal_stats": zonal,
+        "grid_clusters": _grid_clusters_oracle(cte),
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

@@ -368,6 +368,22 @@ def run_bench():
 
     timed("events_quantiles", _quantiles)
 
+    def _adaptive():
+        from s2ray.pipelines.tiles import adaptive_tiles
+
+        return adaptive_tiles(SF_DIR, repl=REPL).count()
+
+    timed("adaptive_tiles", _adaptive)
+
+    def _redact():
+        # streaming RE2 chain over bench-scale html — the canonical
+        # bandwidth-bound cleaning stage (consumed with count, no collect)
+        from s2ray.pipelines.text import redact_pii
+
+        return redact_pii(SF_DIR, repl=REPL).count()
+
+    timed("redact_pii", _redact)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({

@@ -1,0 +1,109 @@
+"""Grid-based spatial clustering: occupied lat/lng grid cells joined into
+8-neighbor connected components (DBSCAN at a fixed grid resolution, the
+classic "snap to grid, cluster occupied cells" formulation).
+
+Scale shape: the corpus is reduced to per-grid-cell counts by a plain
+pre-aggregated groupby (the shuffle moves (cell, partial_count) rows —
+grid-sized, never corpus-sized), and the adjacency + connected components
+run in ONE final task over the occupied-cell table, which is bounded by
+the grid resolution (64,800 cells at 1 degree; ~6.5M at 0.1 degree —
+compact int64 arrays), never by corpus size.  The antimeridian is a real
+adjacency (gx = -180/cd touches gx = 180/cd - 1), mirrored in the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def grid_clusters(pages_ds, cell_deg: float = 1.0, min_pages: int = 1):
+    """(cluster_id, n_cells, n_pages) per connected component of occupied
+    grid cells.  cluster_id is the minimum packed key
+    ``(gy + offy) * W + (gx + offx)`` over the component's cells, where
+    gy = floor(lat / cell_deg), gx = floor(lng / cell_deg).
+
+    Cells with fewer than ``min_pages`` pages are dropped BEFORE adjacency
+    (DBSCAN's core-cell rule at grid granularity).
+    """
+    from ray.data.aggregate import Sum
+
+    w = 360.0 / cell_deg
+    assert abs(w - round(w)) < 1e-9, "cell_deg must divide 360"
+    W = int(round(w))
+    offx, offy = W // 2, W // 4
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        gy = np.floor(lat / cell_deg).astype(np.int64)
+        gx = np.floor(lng / cell_deg).astype(np.int64)
+        p = (gy + offy) * W + (gx + offx)
+        u, c = np.unique(p, return_counts=True)
+        return pa.table({"p": pa.array(u, type=pa.int64()),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    occ = (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby("p").aggregate(Sum("pn", alias_name="n")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from .dedup import _union_find_labels
+
+        p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= min_pages
+        p, n = p[keep], n[keep]
+        order = np.argsort(p)
+        p, n = p[order], n[order]
+        gy = p // W - offy
+        gx = p % W - offx
+        pi, pj = [], []
+        if not len(p):
+            return pa.table({
+                "cluster_id": pa.array([], type=pa.int64()),
+                "n_cells": pa.array([], type=pa.int64()),
+                "n_pages": pa.array([], type=pa.int64()),
+            })
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                ngx = (gx + dx + offx) % W - offx      # antimeridian wrap
+                q = (gy + dy + offy) * W + (ngx + offx)
+                pos = np.searchsorted(p, q)
+                pos_ok = pos < len(p)
+                hit = pos_ok & (p[np.minimum(pos, len(p) - 1)] == q)
+                # de-duplicate the symmetric pair: emit only p < q
+                hit &= p < q
+                pi.append(p[hit])
+                pj.append(q[hit])
+        pi = np.concatenate(pi) if pi else np.empty(0, np.int64)
+        pj = np.concatenate(pj) if pj else np.empty(0, np.int64)
+        if len(pi):
+            lbl_nodes, lbl = _union_find_labels(pi, pj)
+            lab_map = dict(zip(lbl_nodes.tolist(), lbl.tolist()))
+        else:
+            lab_map = {}
+        labels = np.array([lab_map.get(int(x), int(x)) for x in p],
+                          dtype=np.int64)
+        order = np.argsort(labels, kind="stable")
+        lab, nn = labels[order], n[order]
+        if len(lab):
+            starts = np.concatenate(
+                [[0], np.flatnonzero(lab[1:] != lab[:-1]) + 1])
+            cid = lab[starts]
+            n_cells = np.diff(np.concatenate([starts, [len(lab)]]))
+            n_pages = np.add.reduceat(nn, starts)
+        else:
+            cid = lab
+            n_cells = np.empty(0, np.int64)
+            n_pages = nn
+        return pa.table({
+            "cluster_id": pa.array(cid, type=pa.int64()),
+            "n_cells": pa.array(n_cells.astype(np.int64)),
+            "n_pages": pa.array(n_pages.astype(np.int64)),
+        })
+
+    return occ.repartition(1).map_batches(finalize, batch_format="pyarrow",
+                                          batch_size=None)

@@ -994,7 +994,7 @@ PII_PATTERNS = (
 )
 
 
-def redact_pii(sf_dir: str, patterns=PII_PATTERNS):
+def redact_pii(sf_dir: str, patterns=PII_PATTERNS, repl: int = 1):
     """Scrub PII-ish / boilerplate patterns from page html: emails, URLs,
     IPv4s, long digit runs -> typed placeholder tokens, with a per-page
     match count for each pattern.  Output: (page_id, n_<name>s per
@@ -1007,7 +1007,7 @@ def redact_pii(sf_dir: str, patterns=PII_PATTERNS):
     """
     from ..sources.pages import read_pages
 
-    ds = read_pages(sf_dir)
+    ds = read_pages(sf_dir, repl=repl)
     return ds.map_batches(redact_batch, fn_kwargs={"patterns": patterns},
                           batch_format="pyarrow", batch_size=None)
 

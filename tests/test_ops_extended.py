@@ -252,3 +252,35 @@ def test_adaptive_tiles_invariants(ray_session):
             if up < lv:
                 a = int(cellid.parent(np.array([i], np.uint64), up)[0])
                 assert full[a] > cap, (i, lv, up)
+
+
+def test_grid_clusters_antimeridian_chain(ray_session):
+    """A chain of occupied 1-degree cells crossing the antimeridian must
+    collapse into ONE cluster (gx wrap), and a far-away point must not."""
+    import ray.data
+
+    from s2ray.pipelines.cluster import grid_clusters
+
+    pts = [
+        # chain: (10, 178), (10, 179), (10, -180), (11, -179) — all
+        # 8-adjacent in grid space once gx wraps at the antimeridian
+        (10.5, 178.5), (10.2, 179.4), (10.9, -179.6), (11.1, -178.3),
+        # isolated singleton
+        (-45.0, 30.0),
+        # two pages in one cell (counts aggregate)
+        (10.6, 178.2),
+    ]
+    ds = ray.data.from_items(
+        [{"lat": la, "lng": ln} for la, ln in pts])
+    out = grid_clusters(ds, cell_deg=1.0).to_pandas() \
+        .sort_values("cluster_id", ignore_index=True)
+    assert len(out) == 2
+    chain = out[out.n_cells > 1].iloc[0]
+    assert chain.n_cells == 4 and chain.n_pages == 5
+    single = out[out.n_cells == 1].iloc[0]
+    assert single.n_pages == 1
+    # cluster id is the min packed key over the component
+    W, offx, offy = 360, 180, 90
+    keys = [(int(np.floor(la)) + offy) * W + (int(np.floor(ln)) + offx)
+            for la, ln in pts[:4]]
+    assert chain.cluster_id == min(keys)
