@@ -306,6 +306,38 @@ def _q_zonal_stats(sf_dir: str):
 GRID_MIN_PAGES = 1
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """SQ8 scalar quantization of the embedding column: per-dim global
+    min/max (two-pass, dim-sized broadcast state) -> integer codes;
+    hash-exact int reductions per vector."""
+    from s2ray.pipelines.ann import quantize_embeddings
+
+    return quantize_embeddings(sf_dir)
+
+
+def _quantize_embeddings_oracle() -> str:
+    n = 256
+    return f"""WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+),
+st AS (
+  SELECT dim, min(v) AS dmin, max(v) AS dmax FROM ex GROUP BY dim
+),
+codes AS (
+  SELECT e.vec_id,
+         CASE WHEN s.dmax = s.dmin THEN 0
+              ELSE least(greatest(CAST(floor(
+                (e.v - s.dmin) / (s.dmax - s.dmin) * {n}) AS BIGINT),
+                0), {n - 1}) END AS code
+  FROM ex e JOIN st s ON e.dim = s.dim
+)
+SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_codes,
+       min(code) AS min_code, max(code) AS max_code
+FROM codes GROUP BY vec_id"""
+
+
 def _q_grid_clusters(sf_dir: str):
     """Grid-based spatial clustering: occupied 1-degree cells -> 8-neighbor
     connected components (antimeridian-aware), per-cluster cell/page
@@ -1316,10 +1348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "corpus_keep": _q_corpus_keep,
         "minhash_pairs": _q_minhash_pairs,
-        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         # joins / similarity search
         "decontaminate_bloom": _q_decontaminate_bloom,
         "knn_embeddings": _q_knn_embeddings,
+        "quantize_embeddings": _q_quantize_embeddings,
         "knn_bulk": _q_knn_bulk,
         "lsh_knn": _q_lsh_knn,
         # text analysis
@@ -1350,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab,
         "token_counts": _q_token_counts,
         "polyline_near": _q_polyline_near,
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -2083,6 +2116,7 @@ FROM (
         "top3_per_city": top3,
         "zonal_stats": zonal,
         "grid_clusters": _grid_clusters_oracle(cte),
+        "quantize_embeddings": _quantize_embeddings_oracle(),
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

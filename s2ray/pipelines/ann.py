@@ -345,3 +345,60 @@ def ivf_knn(sf_dir: str, query_ids: list[int], k: int = 10,
 
     return partials.groupby("query_id").map_groups(
         global_topk, batch_format="pandas")
+
+
+def quantize_embeddings(sf_dir: str, n_levels: int = 256):
+    """Scalar quantization (SQ8-style ANN compression): per-dimension
+    global [min, max] -> uniform integer codes
+    ``clip(floor((v - dmin) / (dmax - dmin) * n_levels), 0, n_levels-1)``
+    (zero-span dimensions code to 0).  Output per vector: (vec_id,
+    sum_codes, min_code, max_code) — integer reductions over the code
+    row, so the result is hash-exact despite the float scaling (the
+    per-element scale is bit-identical on both engines; only order-free
+    int reductions follow it).
+
+    Two passes, as SQ must be: (1) per-batch per-dim min/max partials
+    (one dim-sized blob row per batch) merged on the driver — bounded by
+    #batches x dim, never rows; (2) broadcast (dmin, dmax) + streaming
+    encode.  At 100 TB pass 1's partials would tree-merge like the tile
+    pipeline; the dim-sized final stats are broadcast state either way.
+    """
+    import ray
+
+    from ..functions.vecs import embedding_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        m = embedding_matrix(batch["embedding"])
+        if not len(m):
+            return pa.table({"dmin": pa.array([], type=pa.binary()),
+                             "dmax": pa.array([], type=pa.binary())})
+        return pa.table({
+            "dmin": pa.array([m.min(axis=0).tobytes()], type=pa.binary()),
+            "dmax": pa.array([m.max(axis=0).tobytes()], type=pa.binary()),
+        })
+
+    parts = ds.map_batches(stats, batch_format="pyarrow",
+                           batch_size=None).take_all()
+    mins = [np.frombuffer(r["dmin"], dtype=np.float64) for r in parts]
+    maxs = [np.frombuffer(r["dmax"], dtype=np.float64) for r in parts]
+    dmin = np.minimum.reduce(mins)
+    dmax = np.maximum.reduce(maxs)
+    span = dmax - dmin
+    state = ray.put((dmin, np.where(span > 0, span, 1.0), span > 0))
+
+    def encode(batch: pa.Table, state=state) -> pa.Table:
+        lo, sp, has = ray.get(state)
+        m = embedding_matrix(batch["embedding"])
+        scaled = (m - lo) / sp * float(n_levels)
+        codes = np.clip(np.floor(scaled), 0, n_levels - 1).astype(np.int64)
+        codes[:, ~has] = 0
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "sum_codes": pa.array(codes.sum(axis=1)),
+            "min_code": pa.array(codes.min(axis=1)),
+            "max_code": pa.array(codes.max(axis=1)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)

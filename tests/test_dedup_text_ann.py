@@ -604,3 +604,41 @@ def test_redact_batch_adversarial_vs_duckdb():
     assert got.n_emails.sum() >= 3 and got.n_ips.sum() >= 3
     assert got.n_urls.sum() >= 2 and got.n_nums.sum() >= 2
     assert "<EMAIL>" in got.redacted[0] and "<IP>" in got.redacted[0]
+
+
+def test_quantize_embeddings_degenerate(ray_session, tmp_path):
+    """SQ8 on adversarial vectors: a zero-span dimension codes to 0, the
+    max value codes to n_levels-1, the min to 0; verified against the
+    DuckDB mirror on the same crafted table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.ann import quantize_embeddings
+
+    vecs = [
+        [0.0, -1.0, 5.0],
+        [0.0, 1.0, -3.0],
+        [0.0, 0.25, 1.0],
+    ]
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], type=pa.int32()),
+    })
+    pq.write_table(t, f"{tmp_path}/embeddings.parquet")
+    got = quantize_embeddings(str(tmp_path)).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    want = con.execute(e.oracle_sql()["quantize_embeddings"]).df() \
+        .sort_values("vec_id", ignore_index=True)
+    for c in got.columns:
+        assert got[c].astype(str).equals(want[c].astype(str)), c
+    # dim 0 has zero span -> code 0 everywhere -> min_code == 0 for all
+    assert (got.min_code == 0).all()
+    # row 1 holds the global max of dim 2 -> top code present
+    assert got.max_code.max() == 255
