@@ -801,6 +801,15 @@ CORPUS_MIN_QUALITY = 0.5
 CORPUS_LANGS = ("en", "de", "fr", "es", "zh")
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """Span-level duplication signal: per doc, the fraction of its
+    distinct k-gram shingles that occur in >= 1 other document —
+    compact-blob inverted shuffle + document-keyed partial sums."""
+    from s2ray.pipelines.dedup import dup_span_stats
+
+    return dup_span_stats(sf_dir)
+
+
 def _q_corpus_keep(sf_dir: str):
     from s2ray.pipelines.dedup import corpus_dedup_keep
 
@@ -1346,8 +1355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "near_dup_pairs": _q_near_dup_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
+        "dup_span_stats": _q_dup_span_stats,
         "corpus_keep": _q_corpus_keep,
-        "minhash_pairs": _q_minhash_pairs,
         # joins / similarity search
         "decontaminate_bloom": _q_decontaminate_bloom,
         "knn_embeddings": _q_knn_embeddings,
@@ -1383,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "polyline_near": _q_polyline_near,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
+        "minhash_pairs": _q_minhash_pairs,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -1743,6 +1753,15 @@ est AS (SELECT c.i, c.j,
                     JOIN sig sb ON sb.doc_id = c.j AND sb.idx = sa.idx
         GROUP BY c.i, c.j)
 SELECT i, j, est_jaccard FROM est WHERE est_jaccard >= {NEAR_DUP_TAU!r}"""
+    dup_span_sql = f"""
+WITH {tok_cte}, {shingle_cte},
+dfc AS (SELECT s, count(*) AS nd FROM shs GROUP BY s),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN dfc.nd >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup
+        FROM shs JOIN dfc USING (s) GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_dup,
+       round(n_dup * 1.0 / n_shingles, 6) AS dup_frac FROM per"""
     simhash_sql = f"""
 WITH {tok_cte},
 tokh AS (SELECT doc_id, unnest(hs) AS h FROM th),
@@ -2117,6 +2136,7 @@ FROM (
         "zonal_stats": zonal,
         "grid_clusters": _grid_clusters_oracle(cte),
         "quantize_embeddings": _quantize_embeddings_oracle(),
+        "dup_span_stats": dup_span_sql,
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

@@ -1479,3 +1479,100 @@ def semantic_dedup(sf_dir: str, tau: float = 0.45, n_clusters: int = 8,
     return (ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
             .groupby("cluster")
             .map_groups(dedup_cluster, batch_format="pandas"))
+
+
+def dup_span_stats(sf_dir: str, k: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Fine-grained duplication signal (the span-level view behind C4 /
+    "Deduplicating Training Data Makes LMs Better"-style cleaning): for
+    every document, how many of its DISTINCT word-k-gram shingles also
+    occur in at least one OTHER document.  Output: (doc_id, n_shingles,
+    n_dup, dup_frac) for documents with >= 1 shingle (zero-token docs emit
+    none, mirroring the SQL empty-doc fallback).
+
+    Scale shape: the same compact-blob inverted shuffle as
+    near_dup_pairs_exact — per batch, ONE row per coarse shingle partition
+    carrying (sh, doc) int64 blobs; each partition reducer computes per-
+    shingle document counts locally (per-doc shingles are already
+    distinct, so run length == distinct docs) and emits per-document
+    PARTIAL (n, n_dup) rows; a document-keyed Sum groupby folds partials.
+    Both shuffles move aggregates/blobs, never text.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..kernel import keys as _keys
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
+
+    def to_postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pandas()
+        srow, sh_flat = _shingle_hashes_batch(texts, k, drop_empty=True)
+        if len(sh_flat) == 0:
+            return pa.table({
+                "part": pa.array([], type=pa.int32()),
+                "sh_b": pa.array([], type=pa.binary()),
+                "doc_b": pa.array([], type=pa.binary()),
+            })
+        sh = _keys.to_key(sh_flat)
+        doc = ids[srow]
+        part = (sh % _N_PAIR_PARTITIONS).astype(np.int32)
+        order = np.argsort(part, kind="stable")
+        sh, doc, part = sh[order], doc[order], part[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1, [len(part)]])
+        rows_p, rows_sh, rows_doc = [], [], []
+        for s, e_ in zip(starts[:-1], starts[1:]):
+            rows_p.append(int(part[s]))
+            rows_sh.append(sh[s:e_].tobytes())
+            rows_doc.append(doc[s:e_].tobytes())
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "sh_b": pa.array(rows_sh, type=pa.binary()),
+            "doc_b": pa.array(rows_doc, type=pa.binary()),
+        })
+
+    def bucket_partials(df: pd.DataFrame) -> pd.DataFrame:
+        sh = np.concatenate([np.frombuffer(b, dtype=np.int64)
+                             for b in df["sh_b"]])
+        doc = np.concatenate([np.frombuffer(b, dtype=np.int64)
+                              for b in df["doc_b"]])
+        order = np.lexsort((doc, sh))
+        sh, doc = sh[order], doc[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1, [len(sh)]])
+        runlen = np.diff(starts)
+        # per-doc shingles are distinct, so a run's length IS the number
+        # of distinct documents holding that shingle
+        dup = np.repeat(runlen >= 2, runlen)
+        u_doc, inv = np.unique(doc, return_inverse=True)
+        return pd.DataFrame({
+            id_col: u_doc,
+            "pn": np.bincount(inv, minlength=len(u_doc)).astype(np.int64),
+            "pdup": np.bincount(inv, weights=dup,
+                                minlength=len(u_doc)).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(to_postings, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("part")
+           .map_groups(bucket_partials, batch_format="pandas")
+           .groupby(id_col)
+           .aggregate(Sum("pn", alias_name="n_shingles"),
+                      Sum("pdup", alias_name="n_dup")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n_shingles"].to_numpy(zero_copy_only=False)
+        d = batch["n_dup"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_shingles": pa.array(n.astype(np.int64)),
+            "n_dup": pa.array(d.astype(np.int64)),
+            "dup_frac": pa.array(
+                round_half_away(d / np.maximum(1, n)), type=pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)

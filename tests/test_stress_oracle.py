@@ -376,7 +376,8 @@ def test_null_ts_matches_oracle(qname, null_ts_dir, ray_session):
 
 @pytest.mark.parametrize("qname", ["doc_perplexity", "distance_join",
                                    "decontaminate_bloom", "knn_bulk",
-                                   "adaptive_tiles", "inverted_index"])
+                                   "adaptive_tiles", "inverted_index",
+                                   "dup_span_stats"])
 def test_tiny_blocks_match_oracle(qname, ray_session):
     """64 KB target blocks reshuffle every per-batch partial boundary —
     the round-3 operators' compact-partial tricks (gram counts, bucket
