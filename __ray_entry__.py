@@ -801,6 +801,29 @@ CORPUS_MIN_QUALITY = 0.5
 CORPUS_LANGS = ("en", "de", "fr", "es", "zh")
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shape relational pipeline: lineitem pre-aggregated per
+    order -> two co-partition hash joins -> broadcast nation dim ->
+    nation-sized groupby; revenue in the exact integer domain."""
+    from s2ray.pipelines.join import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
+def _revenue_by_nation_oracle() -> str:
+    return (
+        "SELECT n.n_name AS n_name, "
+        "CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) "
+        "* CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS revenue_microcents, count(*) AS n_items "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY 1"
+    )
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Span-level duplication signal: per doc, the fraction of its
     distinct k-gram shingles that occur in >= 1 other document —
@@ -1349,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_relations": _q_region_relations,
         # event analytics
         "doc_perplexity": _q_doc_perplexity,
+        "revenue_by_nation": _q_revenue_by_nation,
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
         # dedup family
@@ -1362,7 +1386,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": _q_knn_embeddings,
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_bulk": _q_knn_bulk,
-        "lsh_knn": _q_lsh_knn,
         # text analysis
         "text_stats": _q_text_stats,
         "redact_pii": _q_redact_pii,
@@ -1393,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polyline_near": _q_polyline_near,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "minhash_pairs": _q_minhash_pairs,
+        "lsh_knn": _q_lsh_knn,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -2137,6 +2161,7 @@ FROM (
         "grid_clusters": _grid_clusters_oracle(cte),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "dup_span_stats": dup_span_sql,
+        "revenue_by_nation": _revenue_by_nation_oracle(),
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

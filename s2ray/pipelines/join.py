@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _part_of(key_arr: np.ndarray, n_parts: int) -> np.ndarray:
@@ -213,3 +214,98 @@ def copartition_hash_join(left_ds, right_ds, on: str,
     return (left.union(right)
             .groupby("_part")
             .map_groups(merge, batch_format="pyarrow"))
+
+
+def revenue_by_nation(sf_dir: str, n_parts: int = 64):
+    """TPC-H-flavored relational pipeline (Q5 shape) over the lineitem /
+    orders / customer / nation tables: revenue attributed to the ordering
+    customer's nation.  Output: (n_name, revenue_microcents, n_items).
+
+    Revenue is computed in the INTEGER domain —
+    ``round(l_extendedprice*100) * round((1-l_discount)*100)`` — so every
+    distributed partial sum is exact (float summation order never enters
+    the result; the per-row rounding is bit-identical on both engines).
+
+    Plan, sized for the TPC-H ratios (lineitem >> orders >> customer >>
+    nation): lineitem is PRE-AGGREGATED per l_orderkey inside each batch
+    before anything moves; orders x customer and the (orderkey-keyed)
+    lineitem partials x oc both go through the generic co-partition hash
+    join (neither side is broadcastable at scale); the 25-row nation dim
+    is broadcast; the final groupby is nation-sized.
+    """
+    import ray
+
+    from ..sources.readers import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+
+    def cust_cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+        })
+
+    cust = cust.map_batches(cust_cast, batch_format="pyarrow",
+                            batch_size=None)
+    oc = copartition_hash_join(orders, cust, on="o_custkey",
+                               right_on="c_custkey", n_parts=n_parts)
+    oc = oc.select_columns(["o_orderkey", "c_nationkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        u, inv = np.unique(ok, return_inverse=True)
+        # float64 bincount accumulation is exact here: per-batch per-order
+        # sums stay far below 2^53; the int64 cast locks it in
+        return pa.table({
+            "o_orderkey": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u)).astype(np.int64)),
+            "items": pa.array(np.bincount(inv, minlength=len(u))
+                              .astype(np.int64)),
+        })
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=None)
+    j = copartition_hash_join(li_agg, oc, on="o_orderkey", n_parts=n_parts)
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    names = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+    names_ref = ray.put(names)
+
+    def nation_partial(batch: pa.Table, names_ref=names_ref) -> pa.Table:
+        nm = ray.get(names_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        items = batch["items"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "n_name": pa.array([nm[int(x)] for x in u], type=pa.string()),
+            "prev": pa.array(np.bincount(inv, weights=rev,
+                                         minlength=len(u)).astype(np.int64)),
+            "pitems": pa.array(np.bincount(inv, weights=items,
+                                           minlength=len(u))
+                               .astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (j.map_batches(nation_partial, batch_format="pyarrow",
+                          batch_size=None)
+            .groupby("n_name")
+            .aggregate(Sum("prev", alias_name="revenue_microcents"),
+                       Sum("pitems", alias_name="n_items")))
