@@ -824,6 +824,31 @@ def _revenue_by_nation_oracle() -> str:
     )
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shape multi-aggregate groupby over lineitem; every sum in
+    the exact integer domain (rint-lifted quantities/cents)."""
+    from s2ray.pipelines.join import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _pricing_summary_oracle() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) "
+        "AS sum_qty, "
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) "
+        "AS BIGINT) AS sum_price_cents, "
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) "
+        "* CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS sum_disc_microcents, "
+        "count(*) AS n_items, "
+        "round(sum(CAST(round(l_quantity, 0) AS BIGINT)) * 1.0 "
+        "/ count(*), 6) AS avg_qty "
+        "FROM lineitem GROUP BY 1, 2"
+    )
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Span-level duplication signal: per doc, the fraction of its
     distinct k-gram shingles that occur in >= 1 other document —
@@ -1373,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event analytics
         "doc_perplexity": _q_doc_perplexity,
         "revenue_by_nation": _q_revenue_by_nation,
+        "pricing_summary": _q_pricing_summary,
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
         # dedup family
@@ -1383,7 +1409,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_keep": _q_corpus_keep,
         # joins / similarity search
         "decontaminate_bloom": _q_decontaminate_bloom,
-        "knn_embeddings": _q_knn_embeddings,
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_bulk": _q_knn_bulk,
         # text analysis
@@ -1417,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "minhash_pairs": _q_minhash_pairs,
         "lsh_knn": _q_lsh_knn,
+        "knn_embeddings": _q_knn_embeddings,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -2162,6 +2188,7 @@ FROM (
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "dup_span_stats": dup_span_sql,
         "revenue_by_nation": _revenue_by_nation_oracle(),
+        "pricing_summary": _pricing_summary_oracle(),
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

@@ -309,3 +309,76 @@ def revenue_by_nation(sf_dir: str, n_parts: int = 64):
             .groupby("n_name")
             .aggregate(Sum("prev", alias_name="revenue_microcents"),
                        Sum("pitems", alias_name="n_items")))
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shape pricing summary over lineitem: per (l_returnflag,
+    l_linestatus) — item count, exact integer sums of quantity / base
+    price cents / discounted price micro-cents, and the derived average
+    quantity.  One streaming pass of per-batch partials (a handful of
+    (flag, status) groups exist), then a group-count-sized Sum groupby.
+
+    Quantities are integral doubles and prices are dollars.cents, so
+    ``rint`` lifts every measure into int64 exactly; the only float op
+    after that is the final avg division of two identical int64s on both
+    engines.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .analytics import _dict_codes
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fcodes, fuq = _dict_codes(batch["l_returnflag"])
+        scodes, suq = _dict_codes(batch["l_linestatus"])
+        key = fcodes * np.int64(max(1, len(suq))) + scodes
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        price_c = np.rint(batch["l_extendedprice"]
+                          .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        disc_c = np.rint((1.0 - batch["l_discount"]
+                          .to_numpy(zero_copy_only=False)) * 100.0) \
+            .astype(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        n = len(u)
+        return pa.table({
+            "l_returnflag": pa.array(
+                [fuq[int(k) // max(1, len(suq))] for k in u],
+                type=pa.string()),
+            "l_linestatus": pa.array(
+                [suq[int(k) % max(1, len(suq))] for k in u],
+                type=pa.string()),
+            "pq": pa.array(np.bincount(inv, weights=qty, minlength=n)
+                           .astype(np.int64)),
+            "pp": pa.array(np.bincount(inv, weights=price_c, minlength=n)
+                           .astype(np.int64)),
+            "pd": pa.array(np.bincount(
+                inv, weights=price_c * disc_c, minlength=n)
+                .astype(np.int64)),
+            "pn": pa.array(np.bincount(inv, minlength=n).astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("pq", alias_name="sum_qty"),
+                      Sum("pp", alias_name="sum_price_cents"),
+                      Sum("pd", alias_name="sum_disc_microcents"),
+                      Sum("pn", alias_name="n_items")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        q = batch["sum_qty"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = batch["n_items"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return batch.append_column(
+            "avg_qty", pa.array(round_half_away(q / np.maximum(1.0, n)),
+                                type=pa.float64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)
