@@ -534,7 +534,7 @@ def run_stage_stats():
 def run_suite_all():
     """Time EVERY __ray_entry__.queries() entry on $GRAFT_SF_DIR (one
     consume per query).  Diagnostic mode — not the headline bench; the
-    default 12-query set stays the BASELINE comparison surface."""
+    default 14-query set stays the BASELINE comparison surface."""
     _init_ray()
     import importlib
     import ray
