@@ -1494,15 +1494,20 @@ def dup_span_stats(sf_dir: str, k: int = 3, id_col: str = "doc_id",
     near_dup_pairs_exact — per batch, ONE row per coarse shingle partition
     carrying (sh, doc) int64 blobs; each partition reducer computes per-
     shingle document counts locally (per-doc shingles are already
-    distinct, so run length == distinct docs) and emits per-document
-    PARTIAL (n, n_dup) rows; a document-keyed Sum groupby folds partials.
-    Both shuffles move aggregates/blobs, never text.
+    distinct, so run length == distinct docs) and emits its per-document
+    PARTIAL (n, n_dup) sums as ONE blob row per doc-hash bucket; a second
+    bucket-keyed merge folds the <= n_partitions x n_doc_buckets blob
+    rows into per-doc totals.  Both shuffles move compact blobs, never
+    text and never one row per (doc, partition) — a doc-keyed row-wise
+    groupby here measured 80us/row through Ray's sort shuffle and
+    dominated the whole query 10x.
     """
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     from ..kernel import keys as _keys
     from .text import round_half_away
+
+    n_doc_buckets = 64
 
     ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
 
@@ -1548,31 +1553,48 @@ def dup_span_stats(sf_dir: str, k: int = 3, id_col: str = "doc_id",
         # of distinct documents holding that shingle
         dup = np.repeat(runlen >= 2, runlen)
         u_doc, inv = np.unique(doc, return_inverse=True)
+        pn = np.bincount(inv, minlength=len(u_doc)).astype(np.int64)
+        pdup = np.bincount(inv, weights=dup,
+                           minlength=len(u_doc)).astype(np.int64)
+        # one compact blob row per doc-hash bucket (u_doc is sorted, so
+        # each bucket's slice stays doc-sorted after the stable argsort)
+        db = (u_doc % n_doc_buckets).astype(np.int64)
+        o2 = np.argsort(db, kind="stable")
+        db, u_doc, pn, pdup = db[o2], u_doc[o2], pn[o2], pdup[o2]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(db[1:] != db[:-1]) + 1, [len(db)]])
+        rows = {"db": [], "doc_b": [], "n_b": [], "d_b": []}
+        for s, e_ in zip(bstarts[:-1], bstarts[1:]):
+            rows["db"].append(int(db[s]))
+            rows["doc_b"].append(u_doc[s:e_].tobytes())
+            rows["n_b"].append(pn[s:e_].tobytes())
+            rows["d_b"].append(pdup[s:e_].tobytes())
+        return pd.DataFrame(rows)
+
+    def merge_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        doc = np.concatenate([np.frombuffer(b, dtype=np.int64)
+                              for b in df["doc_b"]])
+        n = np.concatenate([np.frombuffer(b, dtype=np.int64)
+                            for b in df["n_b"]])
+        d = np.concatenate([np.frombuffer(b, dtype=np.int64)
+                            for b in df["d_b"]])
+        order = np.argsort(doc, kind="stable")
+        doc, n, d = doc[order], n[order], d[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(doc[1:] != doc[:-1]) + 1])
+        u = doc[starts]
+        ns = np.add.reduceat(n, starts)
+        dsum = np.add.reduceat(d, starts)
         return pd.DataFrame({
-            id_col: u_doc,
-            "pn": np.bincount(inv, minlength=len(u_doc)).astype(np.int64),
-            "pdup": np.bincount(inv, weights=dup,
-                                minlength=len(u_doc)).astype(np.int64),
+            id_col: u,
+            "n_shingles": ns,
+            "n_dup": dsum,
+            "dup_frac": round_half_away(dsum / np.maximum(1, ns)),
         })
 
-    agg = (ds.map_batches(to_postings, batch_format="pyarrow",
-                          batch_size=None)
-           .groupby("part")
-           .map_groups(bucket_partials, batch_format="pandas")
-           .groupby(id_col)
-           .aggregate(Sum("pn", alias_name="n_shingles"),
-                      Sum("pdup", alias_name="n_dup")))
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        n = batch["n_shingles"].to_numpy(zero_copy_only=False)
-        d = batch["n_dup"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            id_col: batch[id_col],
-            "n_shingles": pa.array(n.astype(np.int64)),
-            "n_dup": pa.array(d.astype(np.int64)),
-            "dup_frac": pa.array(
-                round_half_away(d / np.maximum(1, n)), type=pa.float64()),
-        })
-
-    return agg.map_batches(finalize, batch_format="pyarrow",
+    return (ds.map_batches(to_postings, batch_format="pyarrow",
                            batch_size=None)
+            .groupby("part")
+            .map_groups(bucket_partials, batch_format="pandas")
+            .groupby("db")
+            .map_groups(merge_doc_bucket, batch_format="pandas"))
