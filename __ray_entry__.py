@@ -849,6 +849,25 @@ def _pricing_summary_oracle() -> str:
     )
 
 
+def _q_props_field_stats(sf_dir: str):
+    """Semi-structured field extraction over the events props JSON-string
+    column: one vectorized RE2 pull of integer 'k' + per-type rollup."""
+    from s2ray.pipelines.analytics import props_field_stats
+
+    return props_field_stats(sf_dir)
+
+
+def _props_field_stats_oracle() -> str:
+    return """SELECT event_type, count(*) AS n_events,
+       count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type,
+             CAST(nullif(regexp_extract(coalesce(props, ''),
+                  '"k": ([0-9]+)', 1), '') AS BIGINT) AS k
+      FROM events)
+GROUP BY 1"""
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Span-level duplication signal: per doc, the fraction of its
     distinct k-gram shingles that occur in >= 1 other document —
@@ -1383,7 +1402,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_join": _q_distance_join,
         "knn_moscow": _q_knn,
         "rect_distance_rank": _q_rect_distance_rank,
-        "text_identity": _q_text_identity,
         "fingerprint": _q_fingerprint,
         "cap_join": _q_cap_join,
         "zonal_stats": _q_zonal_stats,
@@ -1399,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": _q_doc_perplexity,
         "revenue_by_nation": _q_revenue_by_nation,
         "pricing_summary": _q_pricing_summary,
+        "props_field_stats": _q_props_field_stats,
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
         # dedup family
@@ -1443,6 +1462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "lsh_knn": _q_lsh_knn,
         "knn_embeddings": _q_knn_embeddings,
+        "text_identity": _q_text_identity,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -2189,6 +2209,7 @@ FROM (
         "dup_span_stats": dup_span_sql,
         "revenue_by_nation": _revenue_by_nation_oracle(),
         "pricing_summary": _pricing_summary_oracle(),
+        "props_field_stats": _props_field_stats_oracle(),
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

@@ -1196,3 +1196,94 @@ def distinct_users_hll(sf_dir: str, group_col: str = "event_type",
     return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby(group_col)
             .map_groups(merge, batch_format="pandas"))
+
+
+def props_field_stats(sf_dir: str, field: str = "k"):
+    """Semi-structured (JSON-string) field extraction + rollup over the
+    events ``props`` column: pull integer ``field`` with one vectorized
+    RE2 ``extract_regex`` pass (no per-row json.loads) and aggregate per
+    event_type — (event_type, n_events, n_with_k, sum_k, min_k, max_k).
+    Rows whose props lack the field (or are NULL) count in n_events but
+    not in the k aggregates; a group with no valid k yields NULL
+    sum/min/max (SQL aggregate semantics, mirrored via valid-count
+    partials).
+
+    One streaming partial pass (dict-coded group keys, bincount sums,
+    int64 sentinels for empty min/max) + a group-count-sized groupby.
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+    pattern = '"%s": (?P<v>[0-9]+)' % field
+    LO, HI = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        codes, uniq = _dict_codes(batch["event_type"])
+        props = batch["props"]
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        ext = pc.extract_regex(pc.fill_null(props, ""), pattern)
+        if len(ext):
+            # no-match slots surface as "" in the child array; the match
+            # group is [0-9]+ so a real match is never "" — one vectorized
+            # cast, no per-row int()
+            vstr = pc.fill_null(ext.field("v"), "")
+            valid = pc.not_equal(vstr, "").to_numpy(zero_copy_only=False) \
+                .astype(bool)
+            k = pc.cast(pc.if_else(pc.equal(vstr, ""), "0", vstr),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            valid = np.zeros(0, dtype=bool)
+            k = np.zeros(0, dtype=np.int64)
+        n = len(uniq)
+        kmin = np.full(n, HI, dtype=np.int64)
+        kmax = np.full(n, LO, dtype=np.int64)
+        if valid.any():
+            np.minimum.at(kmin, codes[valid], k[valid])
+            np.maximum.at(kmax, codes[valid], k[valid])
+        return pa.table({
+            "event_type": pa.array(list(uniq), type=pa.string()),
+            "pn": pa.array(np.bincount(codes, minlength=n)
+                           .astype(np.int64)),
+            "pnk": pa.array(np.bincount(codes[valid], minlength=n)
+                            .astype(np.int64)),
+            "psum": pa.array(np.bincount(codes[valid], weights=k[valid],
+                                         minlength=n).astype(np.int64)),
+            "pmin": pa.array(kmin),
+            "pmax": pa.array(kmax),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("event_type")
+           .aggregate(Sum("pn", alias_name="n_events"),
+                      Sum("pnk", alias_name="n_with_k"),
+                      Sum("psum", alias_name="s"),
+                      Min("pmin", alias_name="mn"),
+                      Max("pmax", alias_name="mx")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nk = batch["n_with_k"].to_numpy(zero_copy_only=False)
+        has = nk > 0
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        mn = batch["mn"].to_numpy(zero_copy_only=False)
+        mx = batch["mx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_events": batch["n_events"],
+            "n_with_k": batch["n_with_k"],
+            "sum_k": pa.array(
+                [int(v) if h else None for v, h in zip(s, has)],
+                type=pa.int64()),
+            "min_k": pa.array(
+                [int(v) if h else None for v, h in zip(mn, has)],
+                type=pa.int64()),
+            "max_k": pa.array(
+                [int(v) if h else None for v, h in zip(mx, has)],
+                type=pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)

@@ -691,3 +691,46 @@ def test_quantile_sketch_exact_when_groups_fit(ray_session, tmp_path):
                                make_ds=make_ds).to_pandas() \
         .sort_values(["event_type", "q"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_props_field_stats_nulls_and_garbage(ray_session, tmp_path):
+    """Field extraction over adversarial props: NULL props, garbage JSON,
+    missing field, and a type with NO valid k (sum/min/max must be NULL,
+    not 0) — engine vs the SQL mirror on the same crafted table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from s2ray.pipelines.analytics import props_field_stats
+
+    rows = [
+        (0, "click", '{"k": 7}'),
+        (1, "click", None),
+        (2, "click", "not-json"),
+        (3, "view", '{"k": 123}'),
+        (4, "view", '{"k": 0}'),
+        (5, "error", '{"other": 9}'),   # field missing for every 'error'
+        (6, "error", None),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([0] * len(rows), type=pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], type=pa.string()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    got = props_field_stats(str(tmp_path)).to_pandas() \
+        .sort_values("event_type", ignore_index=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(e.oracle_sql()["props_field_stats"]).df() \
+        .sort_values("event_type", ignore_index=True)
+    for c in got.columns:
+        assert got[c].astype(str).equals(want[c].astype(str)), c
+    err = got[got.event_type == "error"].iloc[0]
+    assert err.n_events == 2 and err.n_with_k == 0
+    assert pd.isna(err.sum_k) and pd.isna(err.min_k) and pd.isna(err.max_k)
