@@ -22,6 +22,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _ipc_bytes(tbl: pa.Table) -> bytes:
+    """One Arrow table -> one IPC-stream blob (the co-partition shuffle's
+    unit of exchange)."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_table(b: bytes) -> pa.Table:
+    return pa.ipc.open_stream(b).read_all()
+
+
 def _part_of(key_arr: np.ndarray, n_parts: int) -> np.ndarray:
     """Deterministic partition of an int64 key (splitmix-style mix so
     sequential ids spread)."""
@@ -136,77 +149,98 @@ def copartition_hash_join(left_ds, right_ds, on: str,
     clash = (set(lcols) - {on}) & (set(rcols_renamed) - {on})
     if clash:
         raise ValueError(f"column collision across join sides: {clash}")
-    # union() needs one schema: pad each side to the combined column set
-    # with typed nulls (the merge step splits the sides back apart)
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = {(on if c == right_on else c): t
-              for c, t in zip(rschema.names, rschema.types)}
-    all_fields = [(c, ltypes[c]) for c in lcols]
-    all_fields += [(c, rtypes[c]) for c in rcols_renamed if c != on]
-    rcols_set = set(rcols_renamed)
+    lschema_clean = pa.schema(list(zip(lschema.names, lschema.types)))
+    rschema_clean = pa.schema(list(zip(rcols_renamed, rschema.types)))
 
-    def tag(side_val, key_col, rename_from=None):
+    # The shuffle moves ONE Arrow-IPC blob row per (batch, partition), not
+    # one row per input row: Ray's sort shuffle costs ~80us/ROW, which
+    # made raw-row co-partition joins the slowest stage of every pipeline
+    # using them (measured 10x on dup_span_stats' analogous shuffle).
+    def tag(side_val, rename_from=None):
         def fn(batch: pa.Table) -> pa.Table:
             batch = batch.replace_schema_metadata(None)
             if rename_from and rename_from != on:
                 names = [on if c == rename_from else c
                          for c in batch.column_names]
                 batch = batch.rename_columns(names)
-            cols = {}
-            have = side_val == 0 and set(lcols) or rcols_set
-            for c, t in all_fields:
-                cols[c] = batch[c] if c in have else pa.nulls(len(batch),
-                                                             type=t)
-            out = pa.table(cols)
+            out = batch
             k = out[on].to_numpy(zero_copy_only=False).astype(np.int64)
             salt_id = np.zeros(len(out), dtype=np.int64)
             if hot is not None:
                 pos = np.searchsorted(hot, k)
-                is_hot = (pos < len(hot)) & (hot[np.minimum(pos, len(hot) - 1)] == k)
+                is_hot = (pos < len(hot)) & \
+                    (hot[np.minimum(pos, len(hot) - 1)] == k)
                 if side_val == 0:
                     # spread hot probe rows deterministically
                     salt_id = np.where(
-                        is_hot, np.arange(len(out), dtype=np.int64) % salt, 0)
+                        is_hot, np.arange(len(out), dtype=np.int64) % salt,
+                        0)
                 elif is_hot.any():
                     # replicate hot build rows into every sub-bucket
                     rep_idx = np.nonzero(is_hot)[0]
                     extra = out.take(pa.array(np.repeat(rep_idx, salt - 1)))
-                    extra_salt = np.tile(np.arange(1, salt, dtype=np.int64),
-                                         len(rep_idx))
+                    extra_salt = np.tile(
+                        np.arange(1, salt, dtype=np.int64), len(rep_idx))
                     out = pa.concat_tables([out, extra])
                     salt_id = np.concatenate([salt_id, extra_salt])
-                    k = out[on].to_numpy(zero_copy_only=False).astype(np.int64)
-            part = _part_of(k, n_parts).astype(np.int64) * np.int64(salt) + salt_id
-            out = out.append_column("_part", pa.array(part.astype(np.int32)))
-            return out.append_column(
-                "_side", pa.array(np.full(len(out), side_val,
-                                          dtype=np.int8)))
+                    k = out[on].to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+            part = (_part_of(k, n_parts).astype(np.int64) * np.int64(salt)
+                    + salt_id).astype(np.int32)
+            order = np.argsort(part, kind="stable")
+            out = out.take(pa.array(order))
+            part = part[order]
+            if len(part):
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+                     [len(part)]])
+            else:
+                starts = np.array([0, 0])
+            rows_p, rows_b = [], []
+            for s, e_ in zip(starts[:-1], starts[1:]):
+                if e_ <= s:
+                    continue
+                rows_p.append(int(part[s]))
+                rows_b.append(_ipc_bytes(out.slice(s, e_ - s)))
+            return pa.table({
+                "_part": pa.array(rows_p, type=pa.int32()),
+                "_side": pa.array(np.full(len(rows_p), side_val,
+                                          dtype=np.int8)),
+                "_blob": pa.array(rows_b, type=pa.large_binary()),
+            })
         return fn
 
-    left = left_ds.map_batches(tag(0, on), batch_format="pyarrow",
+    left = left_ds.map_batches(tag(0), batch_format="pyarrow",
                                batch_size=None)
-    right = right_ds.map_batches(tag(1, right_on, rename_from=right_on),
+    right = right_ds.map_batches(tag(1, rename_from=right_on),
                                  batch_format="pyarrow", batch_size=None)
 
     out_rcols = [c for c in rcols_renamed if c != on]
 
+    def _concat_side(group: pa.Table, side_mask, schema) -> pa.Table:
+        blobs = group.filter(side_mask)["_blob"]
+        tabs = [_ipc_table(b.as_py()) for b in blobs]
+        return pa.concat_tables(tabs) if tabs \
+            else schema.empty_table()
+
     def merge(group: pa.Table) -> pa.Table:
         side = group["_side"].to_numpy(zero_copy_only=False)
-        ltab = group.filter(pa.array(side == 0)).select(lcols)
+        ltab = _concat_side(group, pa.array(side == 0), lschema_clean)
         if how in ("semi", "anti"):
             # pure-Arrow membership filter: no pandas, no payload motion
-            rk = np.unique(group.filter(pa.array(side == 1))[on]
-                           .to_numpy(zero_copy_only=False).astype(np.int64))
+            rtab = _concat_side(group, pa.array(side == 1), rschema_clean)
+            rk = np.unique(rtab[on].to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
             v = ltab[on].to_numpy(zero_copy_only=False).astype(np.int64)
             hit = _sorted_membership(rk, v)
             return ltab.filter(pa.array(~hit if how == "anti" else hit))
-        # Split sides in Arrow (each side's own columns are null-free after
-        # the select), then merge as ArrowDtype frames: no null→float64
-        # upcast, so int64 payloads stay bit-exact and output dtypes match
-        # the input schemas even for left-join null fills.
+        # Merge as ArrowDtype frames: no null→float64 upcast, so int64
+        # payloads stay bit-exact and output dtypes match the input
+        # schemas even for left-join null fills.
+        rtab = _concat_side(group, pa.array(side == 1),
+                            rschema_clean).select([on] + out_rcols)
         l = ltab.to_pandas(types_mapper=pd.ArrowDtype)
-        r = (group.filter(pa.array(side == 1)).select([on] + out_rcols)
-             .to_pandas(types_mapper=pd.ArrowDtype))
+        r = rtab.to_pandas(types_mapper=pd.ArrowDtype)
         out = l.merge(r, on=on, how=how, sort=False)
         return pa.Table.from_pandas(
             out, preserve_index=False).replace_schema_metadata(None)
