@@ -868,6 +868,24 @@ FROM (SELECT event_type,
 GROUP BY 1"""
 
 
+def _q_doc_token_rank(sf_dir: str):
+    """Distributed global window RANK + ROW_NUMBER over the corpus by
+    token count — value-range two-level scan, exact for any layout."""
+    from s2ray.pipelines.analytics import doc_token_rank
+
+    return doc_token_rank(sf_dir)
+
+
+def _doc_token_rank_oracle() -> str:
+    return """WITH t AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text, ''),
+       '\\S+')) AS BIGINT) AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       row_number() OVER (ORDER BY n_tokens, doc_id) AS row_num,
+       rank() OVER (ORDER BY n_tokens) AS rank
+FROM t"""
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Span-level duplication signal: per doc, the fraction of its
     distinct k-gram shingles that occur in >= 1 other document —
@@ -1400,7 +1418,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": _q_tile_pyramid,
         "adaptive_tiles": _q_adaptive_tiles,
         "distance_join": _q_distance_join,
-        "knn_moscow": _q_knn,
         "rect_distance_rank": _q_rect_distance_rank,
         "fingerprint": _q_fingerprint,
         "cap_join": _q_cap_join,
@@ -1441,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "new_docs": _q_new_docs,
         "pack_examples": _q_pack_examples,
+        "doc_token_rank": _q_doc_token_rank,
         "split_corpus": _q_split_corpus,
         "normalize_text": _q_normalize_text,
         "rare_tokens": _q_rare_tokens,
@@ -1463,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn": _q_lsh_knn,
         "knn_embeddings": _q_knn_embeddings,
         "text_identity": _q_text_identity,
+        "knn_moscow": _q_knn,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -2210,6 +2229,7 @@ FROM (
         "revenue_by_nation": _revenue_by_nation_oracle(),
         "pricing_summary": _pricing_summary_oracle(),
         "props_field_stats": _props_field_stats_oracle(),
+        "doc_token_rank": _doc_token_rank_oracle(),
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

@@ -1287,3 +1287,88 @@ def props_field_stats(sf_dir: str, field: str = "k"):
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            batch_size=None)
+
+
+def doc_token_rank(sf_dir: str, value_bucket: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Distributed global window RANK over the corpus: (doc_id, n_tokens,
+    row_num, rank) with row_num = row_number() OVER (ORDER BY n_tokens,
+    doc_id) and rank = rank() OVER (ORDER BY n_tokens) (ties share the
+    smallest position).  Complements running_token_totals' SUM scan — the
+    other analytic window family, built shuffle-native.
+
+    Two-level scan keyed by VALUE ranges (vrange = n_tokens //
+    value_bucket): pass 1 counts documents per value range, so the driver
+    sees one row per range (bounded by max token count / value_bucket,
+    never by corpus size); the exclusive doc-count offsets broadcast
+    once; pass 2 co-locates each range with one groupby.map_groups —
+    moving only (doc_id, n_tokens) int rows — and ranks locally.  Equal
+    values live entirely inside one value range, so tie ranks are locally
+    computable.  Exact for any block layout.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    from ..state.bcast import cached_get
+
+    VB = int(value_bucket)
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pc.count_substring_regex(pc.fill_null(batch[text_col], ""),
+                                     r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(n),
+            "vrange": pa.array(n // VB),
+        })
+
+    compact = ds.map_batches(counts, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        r = batch["vrange"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(r, return_counts=True)
+        return pa.table({"vrange": pa.array(u),
+                         "partial_n": pa.array(c.astype(np.int64))})
+
+    rng_pd = (compact.map_batches(range_partial, batch_format="pyarrow",
+                                  batch_size=None)
+              .groupby("vrange")
+              .aggregate(Sum("partial_n", alias_name="n"))).to_pandas()
+    rng_pd = rng_pd.sort_values("vrange").reset_index(drop=True)
+    starts = rng_pd["vrange"].to_numpy().astype(np.int64)
+    cnts = rng_pd["n"].to_numpy().astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(cnts)[:-1]])  # exclusive
+    off_ref = ray.put((starts, offsets))
+
+    def rank_range(df: pd.DataFrame, off_ref=off_ref) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                "n_tokens": pd.Series(dtype=np.int64),
+                "row_num": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int64),
+            })
+        st, off = cached_get(off_ref)
+        base = off[np.searchsorted(st, np.int64(df["vrange"].iloc[0]))]
+        df = df.sort_values([ "n_tokens", id_col]).reset_index(drop=True)
+        n = df["n_tokens"].to_numpy()
+        row_num = base + np.arange(1, len(df) + 1, dtype=np.int64)
+        # rank of a row = global position of the FIRST row sharing its
+        # value; equal values never cross a vrange boundary
+        first = np.searchsorted(n, n, side="left")
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": n,
+            "row_num": row_num,
+            "rank": base + first + 1,
+        })
+
+    return (compact.groupby("vrange")
+            .map_groups(rank_range, batch_format="pandas"))

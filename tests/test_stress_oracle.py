@@ -26,7 +26,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "doc_perplexity", "distance_join",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
                "dup_span_stats", "inverted_index",
-               "adaptive_tiles", "grid_clusters"]
+               "adaptive_tiles", "grid_clusters", "doc_token_rank"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "events_distinct_users", "props_field_stats"]
 
@@ -379,7 +379,7 @@ def test_null_ts_matches_oracle(qname, null_ts_dir, ray_session):
 @pytest.mark.parametrize("qname", ["doc_perplexity", "distance_join",
                                    "decontaminate_bloom", "knn_bulk",
                                    "adaptive_tiles", "inverted_index",
-                                   "dup_span_stats"])
+                                   "dup_span_stats", "doc_token_rank"])
 def test_tiny_blocks_match_oracle(qname, ray_session):
     """64 KB target blocks reshuffle every per-batch partial boundary —
     the round-3 operators' compact-partial tricks (gram counts, bucket
