@@ -250,7 +250,8 @@ def copartition_hash_join(left_ds, right_ds, on: str,
             .map_groups(merge, batch_format="pyarrow"))
 
 
-def revenue_by_nation(sf_dir: str, n_parts: int = 64):
+def revenue_by_nation(sf_dir: str, n_parts: int = 64,
+                      broadcast_threshold_bytes: int = 64 * 1024 * 1024):
     """TPC-H-flavored relational pipeline (Q5 shape) over the lineitem /
     orders / customer / nation tables: revenue attributed to the ordering
     customer's nation.  Output: (n_name, revenue_microcents, n_items).
@@ -262,18 +263,25 @@ def revenue_by_nation(sf_dir: str, n_parts: int = 64):
 
     Plan, sized for the TPC-H ratios (lineitem >> orders >> customer >>
     nation): lineitem is PRE-AGGREGATED per l_orderkey inside each batch
-    before anything moves; orders x customer and the (orderkey-keyed)
-    lineitem partials x oc both go through the generic co-partition hash
-    join (neither side is broadcastable at scale); the 25-row nation dim
-    is broadcast; the final groupby is nation-sized.
+    before anything moves; the (orderkey-keyed) lineitem partials join
+    orders x customer through the generic co-partition hash join; the
+    25-row nation dim is broadcast; the final groupby is nation-sized.
+
+    orders x customer picks its plan by the customer table's on-disk
+    size (the optimizer rule every engine applies to dimension joins):
+    below ``broadcast_threshold_bytes`` the (custkey -> nationkey) map
+    broadcasts once per worker and the join is shuffle-free; above it,
+    the co-partition exchange runs — the honest path at full TPC-H
+    scale, where customer is ~1/10 of orders and never fits one heap.
     """
+    import os as _os
+
     import ray
 
     from ..sources.readers import read_table
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    cust = read_table(sf_dir, "customer",
-                      columns=["c_custkey", "c_nationkey"])
+    cust_bytes = _os.path.getsize(f"{sf_dir}/customer.parquet")
 
     def cust_cast(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -281,10 +289,21 @@ def revenue_by_nation(sf_dir: str, n_parts: int = 64):
             "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
         })
 
-    cust = cust.map_batches(cust_cast, batch_format="pyarrow",
-                            batch_size=None)
-    oc = copartition_hash_join(orders, cust, on="o_custkey",
-                               right_on="c_custkey", n_parts=n_parts)
+    if cust_bytes <= broadcast_threshold_bytes:
+        import pyarrow.parquet as pq
+
+        ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+        ct = cust_cast(ct)
+        oc = broadcast_hash_join(orders, ct, on="o_custkey",
+                                 build_on="c_custkey", how="inner")
+    else:
+        cust = read_table(sf_dir, "customer",
+                          columns=["c_custkey", "c_nationkey"])
+        cust = cust.map_batches(cust_cast, batch_format="pyarrow",
+                                batch_size=None)
+        oc = copartition_hash_join(orders, cust, on="o_custkey",
+                                   right_on="c_custkey", n_parts=n_parts)
     oc = oc.select_columns(["o_orderkey", "c_nationkey"])
 
     li = read_table(sf_dir, "lineitem",

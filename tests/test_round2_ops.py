@@ -734,3 +734,17 @@ def test_props_field_stats_nulls_and_garbage(ray_session, tmp_path):
     err = got[got.event_type == "error"].iloc[0]
     assert err.n_events == 2 and err.n_with_k == 0
     assert pd.isna(err.sum_k) and pd.isna(err.min_k) and pd.isna(err.max_k)
+
+
+def test_revenue_by_nation_plans_agree(ray_session):
+    """The size-picked broadcast plan and the forced co-partition plan
+    must produce the identical nation revenue table."""
+    from s2ray.pipelines.join import revenue_by_nation
+
+    SF = "/root/testdata/sf0.001"
+    a = revenue_by_nation(SF).to_pandas() \
+        .sort_values("n_name", ignore_index=True)
+    b = revenue_by_nation(SF, broadcast_threshold_bytes=0).to_pandas() \
+        .sort_values("n_name", ignore_index=True)
+    for c in a.columns:
+        assert a[c].astype(str).equals(b[c].astype(str)), c
