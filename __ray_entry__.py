@@ -886,6 +886,23 @@ SELECT doc_id, n_tokens,
 FROM t"""
 
 
+def _q_docs_rollup(sf_dir: str):
+    """GROUPING SETS aggregate in one corpus pass: (lang, source) /
+    (lang) / (source) / () doc counts + exact token sums."""
+    from s2ray.pipelines.analytics import docs_rollup
+
+    return docs_rollup(sf_dir)
+
+
+def _docs_rollup_oracle() -> str:
+    return """WITH t AS (
+  SELECT lang, source, CAST(len(regexp_extract_all(coalesce(text, ''),
+       '\\S+')) AS BIGINT) AS n FROM documents)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens
+FROM t GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())"""
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Span-level duplication signal: per doc, the fraction of its
     distinct k-gram shingles that occur in >= 1 other document —
@@ -1424,7 +1441,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "grid_clusters": _q_grid_clusters,
         "pip_join": _q_pip_join,
-        "covering_member_join": _q_covering_member_join,
         "boolean_pip_join": _q_boolean_pip_join,
         "assembled_pip_join": _q_assembled_pip_join,
         "covering_setops": _q_covering_setops,
@@ -1459,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_docs": _q_new_docs,
         "pack_examples": _q_pack_examples,
         "doc_token_rank": _q_doc_token_rank,
+        "docs_rollup": _q_docs_rollup,
         "split_corpus": _q_split_corpus,
         "normalize_text": _q_normalize_text,
         "rare_tokens": _q_rare_tokens,
@@ -1482,6 +1499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": _q_knn_embeddings,
         "text_identity": _q_text_identity,
         "knn_moscow": _q_knn,
+        "covering_member_join": _q_covering_member_join,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -2230,6 +2248,7 @@ FROM (
         "pricing_summary": _pricing_summary_oracle(),
         "props_field_stats": _props_field_stats_oracle(),
         "doc_token_rank": _doc_token_rank_oracle(),
+        "docs_rollup": _docs_rollup_oracle(),
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

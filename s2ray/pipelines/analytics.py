@@ -1372,3 +1372,79 @@ def doc_token_rank(sf_dir: str, value_bucket: int = 16,
 
     return (compact.groupby("vrange")
             .map_groups(rank_range, batch_format="pandas"))
+
+
+_ROLLUP_ALL = "\x00ALL"     # shuffle-safe sentinel for a rolled-up dim
+
+
+def docs_rollup(sf_dir: str):
+    """Multi-grouping-set aggregate in ONE corpus pass (SQL GROUPING SETS
+    ((lang, source), (lang), (source), ()) shape): document count and
+    exact token sum at every grouping level — (lang, source, n_docs,
+    sum_tokens), with NULL marking a rolled-up dimension exactly as SQL
+    does.
+
+    Each batch emits partials for all four grouping sets at once (the
+    rolled dims carried as a shuffle-safe sentinel, since a shuffle key
+    cannot be NULL), so the corpus is still read once and the shuffle
+    moves ~4x the distinct-group rows — grouping-set cardinality, never
+    corpus rows.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["lang", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(batch["text"], ""), r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lcodes, luq = _dict_codes(batch["lang"])
+        scodes, suq = _dict_codes(batch["source"])
+        luq = list(luq) + [_ROLLUP_ALL]
+        suq = list(suq) + [_ROLLUP_ALL]
+        la, sa = np.int64(len(luq) - 1), np.int64(len(suq) - 1)
+        outs = {"lang": [], "source": [], "pn": [], "pt": []}
+        for lsel, ssel in ((lcodes, scodes), (lcodes, None),
+                           (None, scodes), (None, None)):
+            lk = lsel if lsel is not None else np.full(len(batch), la)
+            sk = ssel if ssel is not None else np.full(len(batch), sa)
+            key = lk * np.int64(len(suq)) + sk
+            u, inv = np.unique(key, return_inverse=True)
+            outs["lang"].extend(luq[int(k) // len(suq)] for k in u)
+            outs["source"].extend(suq[int(k) % len(suq)] for k in u)
+            outs["pn"].extend(np.bincount(inv, minlength=len(u))
+                              .astype(np.int64).tolist())
+            outs["pt"].extend(np.bincount(inv, weights=n_tok,
+                                          minlength=len(u))
+                              .astype(np.int64).tolist())
+        return pa.table({
+            "lang": pa.array(outs["lang"], type=pa.string()),
+            "source": pa.array(outs["source"], type=pa.string()),
+            "pn": pa.array(outs["pn"], type=pa.int64()),
+            "pt": pa.array(outs["pt"], type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby(["lang", "source"])
+           .aggregate(Sum("pn", alias_name="n_docs"),
+                      Sum("pt", alias_name="sum_tokens")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lang = pc.if_else(pc.equal(batch["lang"], _ROLLUP_ALL),
+                          pa.scalar(None, type=pa.string()), batch["lang"])
+        src = pc.if_else(pc.equal(batch["source"], _ROLLUP_ALL),
+                         pa.scalar(None, type=pa.string()),
+                         batch["source"])
+        return pa.table({
+            "lang": lang,
+            "source": src,
+            "n_docs": batch["n_docs"],
+            "sum_tokens": batch["sum_tokens"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)
