@@ -903,6 +903,14 @@ SELECT lang, source, count(*) AS n_docs,
 FROM t GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())"""
 
 
+def _q_dup_degree_hist(sf_dir: str):
+    """Degree distribution of the near-dup graph — pair-scale endpoint
+    partials, doc-keyed degree sum, degree histogram."""
+    from s2ray.pipelines.dedup import dup_degree_hist
+
+    return dup_degree_hist(sf_dir, tau=NEAR_DUP_TAU)
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Span-level duplication signal: per doc, the fraction of its
     distinct k-gram shingles that occur in >= 1 other document —
@@ -1455,8 +1463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         # dedup family
         "exact_dedup": _q_exact_dedup,
-        "near_dup_pairs": _q_near_dup_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
+        "dup_degree_hist": _q_dup_degree_hist,
         "dup_span_stats": _q_dup_span_stats,
         "corpus_keep": _q_corpus_keep,
         # joins / similarity search
@@ -1500,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_identity": _q_text_identity,
         "knn_moscow": _q_knn,
         "covering_member_join": _q_covering_member_join,
+        "near_dup_pairs": _q_near_dup_pairs,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -1797,6 +1806,12 @@ dup AS (SELECT i, j, inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
                    JOIN sizes sb ON sb.doc_id = pairs.j
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {NEAR_DUP_TAU!r})"""
     near_dup = f"WITH {near_dup_ctes} SELECT i, j, jaccard FROM dup"
+    dup_degree_sql = f"""
+WITH {near_dup_ctes},
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT i AS u FROM dup UNION ALL SELECT j FROM dup)
+        GROUP BY u)
+SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1"""
     # connected components of the pair graph: transitive closure by
     # recursive CTE, label = min reachable node
     near_dup_clusters_sql = f"""
@@ -2249,6 +2264,7 @@ FROM (
         "props_field_stats": _props_field_stats_oracle(),
         "doc_token_rank": _doc_token_rank_oracle(),
         "docs_rollup": _docs_rollup_oracle(),
+        "dup_degree_hist": dup_degree_sql,
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

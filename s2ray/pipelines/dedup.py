@@ -1598,3 +1598,43 @@ def dup_span_stats(sf_dir: str, k: int = 3, id_col: str = "doc_id",
             .map_groups(bucket_partials, batch_format="pandas")
             .groupby("db")
             .map_groups(merge_doc_bucket, batch_format="pandas"))
+
+
+def dup_degree_hist(sf_dir: str, tau: float = 0.5,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Degree distribution of the near-duplicate graph: (degree, n_docs)
+    where degree = number of Jaccard >= tau neighbors a document has.
+    The graph-shape diagnostic behind dedup policy choices (a heavy tail
+    means clusters, not pairs — cluster-level dedup pays off).
+
+    Pair volume is already compact (near_dup_pairs_exact's contract), so
+    both follow-up aggregations move pair-scale rows: endpoint partials
+    -> doc-keyed degree Sum -> degree histogram.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
+    pairs = near_dup_pairs_exact(ds, tau=tau, id_col=id_col,
+                                 text_col=text_col)
+
+    def endpoint_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            batch["i"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["j"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"doc": pa.array(u),
+                         "pdeg": pa.array(c.astype(np.int64))})
+
+    deg = (pairs.map_batches(endpoint_partial, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby("doc").aggregate(Sum("pdeg", alias_name="degree")))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        d = batch["degree"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(u.astype(np.int64)),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    return (deg.map_batches(hist_partial, batch_format="pyarrow",
+                            batch_size=None)
+            .groupby("degree").aggregate(Sum("pn", alias_name="n_docs")))
