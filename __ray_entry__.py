@@ -178,6 +178,32 @@ def _inverted_index_oracle() -> str:
     ).format(s=s)
 
 
+TOP_LANG_LEVEL = 6
+
+
+def _q_tile_top_lang(sf_dir: str):
+    """Dominant page language per level-6 tile (deterministic argmax:
+    max count, then smallest language)."""
+    from s2ray.pipelines.tiles import tile_top_lang
+
+    return tile_top_lang(sf_dir, level=TOP_LANG_LEVEL)
+
+
+def _tile_top_lang_oracle(cte: str) -> str:
+    from s2ray.functions.sqlgen import s2_cell_select
+
+    return (
+        f"{cte} SELECT cell_id, cell_token, lang AS top_lang, "
+        "n AS n_pages FROM ("
+        "SELECT cell_id, cell_token, lang, n, row_number() OVER ("
+        "PARTITION BY cell_id ORDER BY n DESC, lang) AS rn FROM ("
+        "SELECT cell_id, cell_token, lang, count(*) AS n FROM ("
+        + s2_cell_select("SELECT lang, lat, lng FROM pages_geo",
+                         level=TOP_LANG_LEVEL)
+        + ") GROUP BY 1, 2, 3)) WHERE rn = 1"
+    )
+
+
 def _q_rect_filter(sf_dir: str):
     from s2ray.pipelines.filters import rect_filter_batch
     from s2ray.pipelines.tiles import pages_with_cells
@@ -1509,6 +1535,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_moscow": _q_knn,
         "covering_member_join": _q_covering_member_join,
         "near_dup_pairs": _q_near_dup_pairs,
+        # oracled but added after the r03 window filled — in-suite hash
+        # gate this round, window-rotation candidates for round 4
+        "tile_top_lang": _q_tile_top_lang,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -2265,6 +2294,7 @@ FROM (
         "doc_token_rank": _doc_token_rank_oracle(),
         "docs_rollup": _docs_rollup_oracle(),
         "dup_degree_hist": dup_degree_sql,
+        "tile_top_lang": _tile_top_lang_oracle(cte),
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

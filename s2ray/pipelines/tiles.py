@@ -423,3 +423,73 @@ def write_tiles_partitioned(sf_dir: str, out_dir: str, level: int = 8,
                .to_pandas())
     return {"partitions_written": int(summary["written"].sum()),
             "partitions_total": int(len(summary))}
+
+
+def tile_top_lang(sf_dir: str, level: int = 6, repl: int = 1,
+                  **read_kwargs):
+    """Dominant category per tile: the most frequent page language in
+    every level-``level`` cell — (cell_id, cell_token, top_lang,
+    n_pages), ties broken by lexicographically smallest language (the
+    deterministic argmax every dominant-category map layer needs).
+
+    Shape: per-batch (cell, lang) partial counts (compact — bounded by
+    tiles x languages, never pages), a Sum groupby at that same
+    cardinality, then a per-cell argmax in map_groups.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = pages_with_cells(sf_dir, repl=repl, token_level=level,
+                          **read_kwargs)
+    col = f"cell_l{level}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..kernel import keys
+
+        ids = keys.to_key(batch[col].to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        d = lang.dictionary_encode()
+        codes = np.asarray(d.indices, dtype=np.int64)
+        uniq = np.asarray(d.dictionary, dtype=object)
+        # lexsort pair grouping, NOT `ids * n + code` packing: biased
+        # cell keys span the whole int64 range, so any multiply overflows
+        order = np.lexsort((codes, ids))
+        si, sc = ids[order], codes[order]
+        if len(si):
+            starts = np.concatenate(
+                [[0], np.flatnonzero((si[1:] != si[:-1])
+                                     | (sc[1:] != sc[:-1])) + 1,
+                 [len(si)]])
+        else:
+            starts = np.array([0, 0])
+        return pa.table({
+            "ckey": pa.array(si[starts[:-1]] if len(si)
+                             else np.empty(0, np.int64)),
+            "lang": pa.array([uniq[int(c)] for c in
+                              (sc[starts[:-1]] if len(si) else [])],
+                             type=pa.string()),
+            "pn": pa.array(np.diff(starts).astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby(["ckey", "lang"])
+           .aggregate(Sum("pn", alias_name="n")))
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel import cellid, keys
+
+        df = df.sort_values(["n", "lang"],
+                            ascending=[False, True]).head(1)
+        cid = keys.from_key(df["ckey"].to_numpy().astype(np.int64))
+        return pd.DataFrame({
+            "cell_id": cid.astype(np.uint64),
+            "cell_token": cellid.to_token(cid),
+            "top_lang": df["lang"].to_numpy(),
+            "n_pages": df["n"].to_numpy().astype(np.int64),
+        })
+
+    return agg.groupby("ckey").map_groups(argmax, batch_format="pandas")

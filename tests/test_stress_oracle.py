@@ -27,7 +27,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
                "dup_span_stats", "inverted_index",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
-               "docs_rollup", "dup_degree_hist"]
+               "docs_rollup", "dup_degree_hist", "tile_top_lang"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "events_distinct_users", "props_field_stats"]
 
