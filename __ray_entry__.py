@@ -204,6 +204,33 @@ def _tile_top_lang_oracle(cte: str) -> str:
     )
 
 
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def _q_events_winsorized(sf_dir: str):
+    """Outlier-robust per-type rollup: values clamped to exact [p05, p95]
+    (quantile_disc), aggregated in the exact integer-cent domain."""
+    from s2ray.pipelines.analytics import events_winsorized
+
+    return events_winsorized(sf_dir, lo=WINSOR_LO, hi=WINSOR_HI)
+
+
+def _events_winsorized_oracle() -> str:
+    return f"""WITH q AS (
+  SELECT event_type, quantile_disc(value, {WINSOR_LO!r}) AS lo,
+         quantile_disc(value, {WINSOR_HI!r}) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT e.event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lo,
+       CAST(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hi,
+       CAST(sum(CAST(round(least(greatest(e.value, q.lo), q.hi) * 100, 0)
+         AS BIGINT)) AS BIGINT) AS sum_clamped_cents
+FROM events e JOIN q USING (event_type)
+WHERE e.value IS NOT NULL GROUP BY 1"""
+
+
 def _q_rect_filter(sf_dir: str):
     from s2ray.pipelines.filters import rect_filter_batch
     from s2ray.pipelines.tiles import pages_with_cells
@@ -1538,6 +1565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled but added after the r03 window filled — in-suite hash
         # gate this round, window-rotation candidates for round 4
         "tile_top_lang": _q_tile_top_lang,
+        "events_winsorized": _q_events_winsorized,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
@@ -2295,6 +2323,7 @@ FROM (
         "docs_rollup": _docs_rollup_oracle(),
         "dup_degree_hist": dup_degree_sql,
         "tile_top_lang": _tile_top_lang_oracle(cte),
+        "events_winsorized": _events_winsorized_oracle(),
         "text_identity": text_id,
         "pages_per_lang": per_lang,
         "cap_join": cap_join,

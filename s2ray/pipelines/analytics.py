@@ -1448,3 +1448,76 @@ def docs_rollup(sf_dir: str):
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            batch_size=None)
+
+
+def events_winsorized(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
+    """Winsorized per-type value aggregates: clamp each event value to its
+    type's exact [p_lo, p_hi] quantiles (quantile_disc semantics — real
+    data values, computed by the bounded-memory group_quantiles
+    machinery), then aggregate — (event_type, n_events, n_lo, n_hi,
+    sum_clamped_cents).  The standard outlier-robust rollup, composed
+    from the oracled quantile operator + a broadcast clamp pass.
+
+    Hash-exactness: clamp bounds are actual data values (2-decimal by
+    construction), so rint(clamped * 100) lifts every summand into int64
+    and the distributed sums are exact.  NULL values are excluded
+    everywhere (SQL aggregate semantics); a type with no valid value has
+    no quantiles and is absent, mirroring the oracle's inner join.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+
+    qdf = group_quantiles(sf_dir, qs=(lo, hi))
+    if not isinstance(qdf, pd.DataFrame):
+        qdf = qdf.to_pandas()
+    bounds = {}
+    for et, grp in qdf.groupby("event_type"):
+        g = grp.sort_values("q")
+        bounds[et] = (float(g["value"].iloc[0]), float(g["value"].iloc[-1]))
+    b_ref = ray.put(bounds)
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table, b_ref=b_ref) -> pa.Table:
+        bs = cached_get(b_ref)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        codes, uniq = _dict_codes(batch["event_type"])
+        keep = ok & np.isin(np.asarray(uniq, dtype=object)[codes],
+                            list(bs.keys()))
+        codes, v = codes[keep], v[keep]
+        los = np.array([bs.get(u, (np.nan, np.nan))[0] for u in uniq])
+        his = np.array([bs.get(u, (np.nan, np.nan))[1] for u in uniq])
+        lo_v, hi_v = los[codes], his[codes]
+        clamped = np.minimum(np.maximum(v, lo_v), hi_v)
+        n = len(uniq)
+        return pa.table({
+            "event_type": pa.array(list(uniq), type=pa.string()),
+            "pn": pa.array(np.bincount(codes, minlength=n)
+                           .astype(np.int64)),
+            "plo": pa.array(np.bincount(codes, weights=(v < lo_v),
+                                        minlength=n).astype(np.int64)),
+            "phi": pa.array(np.bincount(codes, weights=(v > hi_v),
+                                        minlength=n).astype(np.int64)),
+            "ps": pa.array(np.bincount(
+                codes, weights=np.rint(clamped * 100.0),
+                minlength=n).astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("event_type")
+           .aggregate(Sum("pn", alias_name="n_events"),
+                      Sum("plo", alias_name="n_lo"),
+                      Sum("phi", alias_name="n_hi"),
+                      Sum("ps", alias_name="sum_clamped_cents")))
+
+    def drop_empty(batch: pa.Table) -> pa.Table:
+        # types whose every row was filtered (no bounds / all NULL) emit a
+        # zero partial row; the oracle's join drops them — mirror that
+        n = batch["n_events"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(n > 0))
+
+    return agg.map_batches(drop_empty, batch_format="pyarrow",
+                           batch_size=None)

@@ -29,7 +29,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
                "docs_rollup", "dup_degree_hist", "tile_top_lang"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
-                 "events_distinct_users", "props_field_stats"]
+                 "events_distinct_users", "props_field_stats",
+                 "events_winsorized"]
 
 
 def _assert_matches_oracle(qname, res, con):
