@@ -231,6 +231,15 @@ FROM events e JOIN q USING (event_type)
 WHERE e.value IS NOT NULL GROUP BY 1"""
 
 
+def _q_media_pixel_dedup(sf_dir: str):
+    """Pixel-level image dedup: byte-distinct re-encoded PNG copies
+    collapse by decoded-pixel hash (rows-only: the codec has no SQL
+    mirror; the group structure + byte-hash contrast are pytest-pinned)."""
+    from s2ray.stages.multimodal import media_pixel_dedup
+
+    return media_pixel_dedup(sf_dir)
+
+
 def _q_rect_filter(sf_dir: str):
     from s2ray.pipelines.filters import rect_filter_batch
     from s2ray.pipelines.tiles import pages_with_cells
@@ -1590,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_covering": _q_polygon_covering,
         "polyline_covering": _q_polyline_covering,
         "media_stats": _q_media_stats,
+        "media_pixel_dedup": _q_media_pixel_dedup,
         "audio_stats": _q_audio_stats,
         "ivf_knn": _q_ivf_knn,
         "semantic_dedup": _q_semantic_dedup,

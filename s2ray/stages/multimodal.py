@@ -359,3 +359,102 @@ def media_stats(sf_dir: str):
                    Sum("payload_bytes", alias_name="total_bytes"),
                    Mean("duration_ms", alias_name="avg_duration_ms"))
     )
+
+
+def synth_image_variants(batch: pa.Table, group_span: int = 9) -> pa.Table:
+    """documents rows -> re-encoded image copies: every image doc inside a
+    ``group_span`` id window shares the SAME pixels, but each copy is
+    encoded with a different PNG row-filter strategy — byte-distinct,
+    pixel-identical (the re-upload/re-encode situation pixel-level dedup
+    exists for; a byte hash provably cannot group these)."""
+    from .codecs import encode_png
+
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    img_ids = doc_id[doc_id % 3 == 0]          # the corpus's image docs
+    media_ids, payloads = [], []
+    for i in img_ids.tolist():
+        gid = i // group_span
+        seed = (gid * 2654435761) % (1 << 32)
+        h = 12 + seed % 36
+        w = 16 + (seed >> 8) % 48
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack([(yy * 5 + seed) % 256,
+                       (xx * 7 + (seed >> 8)) % 256,
+                       (yy + xx + (seed >> 16)) % 256],
+                      axis=2).astype(np.uint8)
+        variant = (i // 3) % 3                 # copy index inside the group
+        filt = np.full(h, (0, 1, 2)[variant], dtype=np.int64)
+        media_ids.append(i)
+        payloads.append(encode_png(px, row_filters=filt))
+    return pa.table({
+        "media_id": pa.array(media_ids, type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+
+
+class PixelHashStage:
+    """Actor-pool stage: PNG payload -> content hash of the DECODED pixel
+    buffer (dims + raw pixels through splitmix64 chaining) plus a plain
+    byte hash of the encoded payload for contrast.  Codec state lives in
+    __init__ (once per actor); __call__ is per batch."""
+
+    def __init__(self):
+        from .codecs import decode_png
+
+        self._decode = decode_png
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        phash, bhash = [], []
+        for p in batch["payload"]:
+            raw = p.as_py()
+            bhash.append(hashlib.sha256(raw).hexdigest()[:16])
+            dec = self._decode(raw)
+            if dec is None:
+                phash.append(None)
+                continue
+            meta, px = dec
+            hsh = hashlib.sha256()
+            hsh.update(np.int64(px.shape[0]).tobytes())
+            hsh.update(np.int64(px.shape[1]).tobytes())
+            hsh.update(np.int64(px.shape[2]).tobytes())
+            hsh.update(np.ascontiguousarray(px).tobytes())
+            phash.append(hsh.hexdigest()[:16])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "pixel_hash": pa.array(phash, type=pa.string()),
+            "byte_hash": pa.array(bhash, type=pa.string()),
+        })
+
+
+def media_pixel_dedup(sf_dir: str, group_span: int = 9):
+    """Pixel-level image dedup: re-encoded copies (different PNG filters,
+    different bytes, same pixels) collapse into one group — (pixel_hash,
+    n_copies, min_media_id) for groups with >= 2 copies.  A byte-hash
+    grouping finds NONE of these (pytest-asserted), which is the whole
+    point of decoding before hashing.
+
+    Shape: streaming synth -> actor-pool decode+hash (codec per actor,
+    small batches: pixel buffers are the memory hog) -> digest-keyed
+    groupby of (hash, id) rows — digests only, never pixels, move.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(synth_image_variants,
+                        fn_kwargs={"group_span": group_span},
+                        batch_format="pyarrow")
+    hashed = ds.map_batches(PixelHashStage, concurrency=(1, 4),
+                            batch_size=256, batch_format="pyarrow")
+    agg = (hashed.groupby("pixel_hash")
+           .aggregate(Count(alias_name="n_copies"),
+                      Min("media_id", alias_name="min_media_id")))
+
+    def dups_only(batch: pa.Table) -> pa.Table:
+        n = batch["n_copies"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(n >= 2))
+
+    return agg.map_batches(dups_only, batch_format="pyarrow",
+                           batch_size=None)

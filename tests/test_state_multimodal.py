@@ -159,3 +159,36 @@ def test_write_tiles_partitioned_resume(ray_session, tmp_path):
     os.remove(mp)
     r3 = write_tiles_partitioned(SF, out, level=8, partition_level=2)
     assert r3["partitions_written"] == 1
+
+
+def test_media_pixel_dedup_groups_reencodes(ray_session):
+    """Byte-distinct PNG re-encodes (different row filters, same pixels)
+    must group by decoded-pixel hash exactly along the construction
+    (doc_id // 9 among image docs), and a byte hash must find NONE."""
+    from s2ray.sources.readers import read_table
+    from s2ray.stages.multimodal import (PixelHashStage, media_pixel_dedup,
+                                         synth_image_variants)
+
+    SF = "/root/testdata/sf0.001"
+    out = media_pixel_dedup(SF).to_pandas()
+    # expected groups from the construction: image docs (id % 3 == 0)
+    # bucketed by id // 9, keeping buckets with >= 2 members
+    import collections
+
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    img = [int(i) for i in ids if i % 3 == 0]
+    buckets = collections.Counter(i // 9 for i in img)
+    want = {g: n for g, n in buckets.items() if n >= 2}
+    assert len(out) == len(want)
+    got = dict(zip((out.min_media_id // 9), out.n_copies))
+    assert got == want
+    # contrast: byte hashing groups nothing
+    ds = read_table(SF, "documents", columns=["doc_id"]) \
+        .map_batches(synth_image_variants, batch_format="pyarrow")
+    h = ds.map_batches(PixelHashStage, concurrency=(1, 2), batch_size=256,
+                       batch_format="pyarrow").to_pandas()
+    assert (h.groupby("byte_hash").size() >= 2).sum() == 0
+    assert h.pixel_hash.notna().all()
