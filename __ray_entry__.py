@@ -166,12 +166,17 @@ def _q_inverted_index(sf_dir: str):
 
 
 def _inverted_index_oracle() -> str:
+    # shard must be FLOOR division to mirror np.floor_divide on negative
+    # ids (DuckDB's // truncates toward zero): subtract the floor-mod
+    # first, then the exact truncating divide equals the floor divide
     s = INDEX_SHARD_DOCS
     return (
         "SELECT token, shard, count(*) AS df, "
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
         "AS postings FROM ("
-        "SELECT DISTINCT doc_id, doc_id // {s} AS shard, token FROM ("
+        "SELECT DISTINCT doc_id, "
+        "(doc_id - ((doc_id % {s}) + {s}) % {s}) // {s} AS shard, "
+        "token FROM ("
         "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
         "lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS token "
         "FROM documents)) GROUP BY 1, 2"

@@ -279,7 +279,9 @@ def zonal_stats(pages_ds, regions: dict):
                                     keep_cols=("page_id", "lat", "lng"))
 
     def partial(batch: pa.Table, centers_ref=centers_ref) -> pa.Table:
-        cs = ray.get(centers_ref)
+        from ..state.bcast import cached_get
+
+        cs = cached_get(centers_ref)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         lng = batch["lng"].to_numpy(zero_copy_only=False)
         codes, uniq = _dict_codes(batch["region_id"])
@@ -1198,6 +1200,16 @@ def distinct_users_hll(sf_dir: str, group_col: str = "event_type",
             .map_groups(merge, batch_format="pandas"))
 
 
+def _int_group_sum(codes: np.ndarray, vals: np.ndarray,
+                   n: int) -> np.ndarray:
+    """Exact int64 per-group sum (np.add.at) — bincount's float64 weights
+    round above 2^53."""
+    out = np.zeros(n, dtype=np.int64)
+    if len(codes):
+        np.add.at(out, codes, vals.astype(np.int64))
+    return out
+
+
 def props_field_stats(sf_dir: str, field: str = "k"):
     """Semi-structured (JSON-string) field extraction + rollup over the
     events ``props`` column: pull integer ``field`` with one vectorized
@@ -1250,8 +1262,10 @@ def props_field_stats(sf_dir: str, field: str = "k"):
                            .astype(np.int64)),
             "pnk": pa.array(np.bincount(codes[valid], minlength=n)
                             .astype(np.int64)),
-            "psum": pa.array(np.bincount(codes[valid], weights=k[valid],
-                                         minlength=n).astype(np.int64)),
+            # int64 accumulation via add.at, NOT float bincount weights:
+            # the regex admits values >= 2^53, where float64 sums round
+            # while the oracle's BIGINT sum stays exact
+            "psum": pa.array(_int_group_sum(codes[valid], k[valid], n)),
             "pmin": pa.array(kmin),
             "pmax": pa.array(kmax),
         })
@@ -1485,8 +1499,11 @@ def events_winsorized(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
         v = batch["value"].to_numpy(zero_copy_only=False)
         ok = ~np.isnan(v)
         codes, uniq = _dict_codes(batch["event_type"])
-        keep = ok & np.isin(np.asarray(uniq, dtype=object)[codes],
-                            list(bs.keys()))
+        # per-DISTINCT-type membership indexed by code — no per-row
+        # Python object array, no per-batch key-list rebuild
+        has = np.fromiter((u in bs for u in uniq), dtype=bool,
+                          count=len(uniq))
+        keep = ok & has[codes]
         codes, v = codes[keep], v[keep]
         los = np.array([bs.get(u, (np.nan, np.nan))[0] for u in uniq])
         his = np.array([bs.get(u, (np.nan, np.nan))[1] for u in uniq])

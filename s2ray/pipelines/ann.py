@@ -383,6 +383,16 @@ def quantize_embeddings(sf_dir: str, n_levels: int = 256):
                            batch_size=None).take_all()
     mins = [np.frombuffer(r["dmin"], dtype=np.float64) for r in parts]
     maxs = [np.frombuffer(r["dmax"], dtype=np.float64) for r in parts]
+    if not mins:
+        # empty embeddings table: typed empty result (a pa.Table, not a
+        # Dataset — Ray 2.49's to_pandas drops the schema of an all-empty
+        # dataset, which would break the driver's schema compare)
+        return pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "sum_codes": pa.array([], type=pa.int64()),
+            "min_code": pa.array([], type=pa.int64()),
+            "max_code": pa.array([], type=pa.int64()),
+        })
     dmin = np.minimum.reduce(mins)
     dmax = np.maximum.reduce(maxs)
     span = dmax - dmin

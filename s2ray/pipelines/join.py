@@ -340,7 +340,9 @@ def revenue_by_nation(sf_dir: str, n_parts: int = 64,
     names_ref = ray.put(names)
 
     def nation_partial(batch: pa.Table, names_ref=names_ref) -> pa.Table:
-        nm = ray.get(names_ref)
+        from ..state.bcast import cached_get
+
+        nm = cached_get(names_ref)
         nk = batch["c_nationkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         rev = batch["rev"].to_numpy(zero_copy_only=False)

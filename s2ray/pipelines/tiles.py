@@ -278,7 +278,7 @@ def adaptive_tiles(sf_dir: str, levels=(4, 6, 8, 10), max_pages: int = 8,
                                    np.empty(0, np.int64)))
         chosen = np.full(len(u_f), fine, dtype=np.int64)
         unset = np.ones(len(u_f), dtype=bool)
-        for lv in levels[:-1]:
+        for lv in levels[:-1] if len(u_f) else ():  # empty corpus: no hist
             anc = cellid.parent(u_f, lv)
             ids_l, cnt_l = hist[lv]
             cnt = cnt_l[np.searchsorted(ids_l, anc)]
@@ -456,20 +456,21 @@ def tile_top_lang(sf_dir: str, level: int = 6, repl: int = 1,
         uniq = np.asarray(d.dictionary, dtype=object)
         # lexsort pair grouping, NOT `ids * n + code` packing: biased
         # cell keys span the whole int64 range, so any multiply overflows
+        if not len(ids):
+            return pa.table({
+                "ckey": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "pn": pa.array([], type=pa.int64()),
+            })
         order = np.lexsort((codes, ids))
         si, sc = ids[order], codes[order]
-        if len(si):
-            starts = np.concatenate(
-                [[0], np.flatnonzero((si[1:] != si[:-1])
-                                     | (sc[1:] != sc[:-1])) + 1,
-                 [len(si)]])
-        else:
-            starts = np.array([0, 0])
+        starts = np.concatenate(
+            [[0], np.flatnonzero((si[1:] != si[:-1])
+                                 | (sc[1:] != sc[:-1])) + 1,
+             [len(si)]])
         return pa.table({
-            "ckey": pa.array(si[starts[:-1]] if len(si)
-                             else np.empty(0, np.int64)),
-            "lang": pa.array([uniq[int(c)] for c in
-                              (sc[starts[:-1]] if len(si) else [])],
+            "ckey": pa.array(si[starts[:-1]]),
+            "lang": pa.array([uniq[int(c)] for c in sc[starts[:-1]]],
                              type=pa.string()),
             "pn": pa.array(np.diff(starts).astype(np.int64)),
         })

@@ -642,3 +642,85 @@ def test_quantize_embeddings_degenerate(ray_session, tmp_path):
     assert (got.min_code == 0).all()
     # row 1 holds the global max of dim 2 -> top code present
     assert got.max_code.max() == 255
+
+
+def test_inverted_index_negative_ids_vs_oracle(ray_session, tmp_path):
+    """Negative doc ids: the engine's floor-division shard must match the
+    oracle's floor-div SQL (DuckDB's bare // truncates toward zero and
+    would split shards differently)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from s2ray.pipelines.text import inverted_index
+
+    t = pa.table({
+        "doc_id": pa.array([-207, -104, -7, -1, 0, 5, 99, 100],
+                           type=pa.int64()),
+        "text": pa.array(["alpha beta", "alpha", "beta gamma", "alpha",
+                          "beta", "alpha beta", "gamma", "alpha"],
+                         type=pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    got = inverted_index(str(tmp_path), shard_docs=100).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["inverted_index"]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols, ignore_index=True)
+    b = want[cols].sort_values(cols, ignore_index=True)
+    assert len(a) == len(b)
+    for c in cols:
+        assert a[c].astype(str).equals(b[c].astype(str)), c
+    # floor semantics: -7 // 100 must land in shard -1, not 0
+    assert -1 in set(a["shard"]) and \
+        "-7" in ",".join(a[a.shard == -1].postings)
+
+
+def test_quantize_embeddings_empty_table(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.ann import quantize_embeddings
+
+    t = pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+        "label": pa.array([], type=pa.int32()),
+    })
+    pq.write_table(t, f"{tmp_path}/embeddings.parquet")
+    out = quantize_embeddings(str(tmp_path)).to_pandas()
+    assert len(out) == 0
+    assert set(out.columns) == {"vec_id", "sum_codes", "min_code",
+                                "max_code"}
+
+
+def test_props_field_stats_exact_above_2_53(ray_session, tmp_path):
+    """Huge extracted ints (>= 2^53) must sum exactly — int64 add.at, not
+    float64 bincount weights — matching the oracle's BIGINT sum."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from s2ray.pipelines.analytics import props_field_stats
+
+    big = 9007199254740993          # 2^53 + 1: float64 rounds it
+    t = pa.table({
+        "event_id": pa.array([0, 1], type=pa.int64()),
+        "ts": pa.array([0, 0], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "event_type": pa.array(["click", "click"], type=pa.string()),
+        "value": pa.array([1.0, 1.0], type=pa.float64()),
+        "props": pa.array([f'{{"k": {big}}}', '{"k": 1}'],
+                          type=pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    got = props_field_stats(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(e.oracle_sql()["props_field_stats"]).df()
+    assert int(got.sum_k.iloc[0]) == int(want.sum_k.iloc[0]) == big + 1
