@@ -1498,9 +1498,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     already driver-green in CORRECTNESS_r02 yield their slot to newer
     oracled queries, maximizing cumulative driver-verified coverage:
     every query in this window gets a round-3 driver row, and every
-    oracled query OUTSIDE it (rect_filter, pages_per_lang, events_hourly,
-    emb_norm_by_lang, and the r02 tail) already has a round-2 driver row
-    — so by end of round 3 all 67 oracled queries carry driver evidence.
+    oracled query OUTSIDE it (boolean_pip_join, assembled_pip_join,
+    rect_filter, pages_per_lang, events_hourly, emb_norm_by_lang, and
+    the r02 tail) already has a round-2 driver row — so by end of
+    round 3 every oracled query carries driver evidence.
     The remaining oracled queries follow, and the inherently non-SQL
     queries close the dict."""
     return {
@@ -1516,8 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "grid_clusters": _q_grid_clusters,
         "pip_join": _q_pip_join,
-        "boolean_pip_join": _q_boolean_pip_join,
-        "assembled_pip_join": _q_assembled_pip_join,
+        "tile_top_lang": _q_tile_top_lang,
         "covering_setops": _q_covering_setops,
         "boolean_covering": _q_boolean_covering,
         "region_relations": _q_region_relations,
@@ -1528,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_field_stats": _q_props_field_stats,
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
+        "events_winsorized": _q_events_winsorized,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1562,6 +1563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         # ---- oracled, outside the driver window (driver-green in r02;
         # still hash-gated in-suite by tests/test_oracle.py) ----
+        "boolean_pip_join": _q_boolean_pip_join,
+        "assembled_pip_join": _q_assembled_pip_join,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -1576,10 +1579,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_moscow": _q_knn,
         "covering_member_join": _q_covering_member_join,
         "near_dup_pairs": _q_near_dup_pairs,
-        # oracled but added after the r03 window filled — in-suite hash
-        # gate this round, window-rotation candidates for round 4
-        "tile_top_lang": _q_tile_top_lang,
-        "events_winsorized": _q_events_winsorized,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
