@@ -482,6 +482,7 @@ def _q_polygon_covering(sf_dir: str):
 
 
 NEAR_DUP_TAU = 0.5
+COSINE_TAU = (3, 5)   # rational threshold: cosine >= 3/5, evaluated exactly
 EMB_TAU = 0.45
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_BULK_QUERY_IDS = list(range(40))   # bulk path: many queries per scan
@@ -510,6 +511,13 @@ def _q_near_dup_pairs(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return near_dup_pairs_exact(ds, tau=NEAR_DUP_TAU)
+
+
+def _q_cosine_sim(sf_dir: str):
+    from s2ray.pipelines.dedup import cosine_sim_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return cosine_sim_pairs(ds, tau_num=COSINE_TAU[0], tau_den=COSINE_TAU[1])
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -1534,13 +1542,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "dup_degree_hist": _q_dup_degree_hist,
         "dup_span_stats": _q_dup_span_stats,
+        "cosine_sim_pairs": _q_cosine_sim,
         "corpus_keep": _q_corpus_keep,
         # joins / similarity search
         "decontaminate_bloom": _q_decontaminate_bloom,
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_bulk": _q_knn_bulk,
         # text analysis
-        "text_stats": _q_text_stats,
         "redact_pii": _q_redact_pii,
         "inverted_index": _q_inverted_index,
         "heavy_hitters_top100": _q_heavy_hitters,
@@ -1565,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # still hash-gated in-suite by tests/test_oracle.py) ----
         "boolean_pip_join": _q_boolean_pip_join,
         "assembled_pip_join": _q_assembled_pip_join,
+        "text_stats": _q_text_stats,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -1946,6 +1955,35 @@ est AS (SELECT c.i, c.j,
                     JOIN sig sb ON sb.doc_id = c.j AND sb.idx = sa.idx
         GROUP BY c.i, c.j)
 SELECT i, j, est_jaccard FROM est WHERE est_jaccard >= {NEAR_DUP_TAU!r}"""
+    # sparse TF cosine join: the NON-distinct shingle stream with counts;
+    # the threshold is the same exact integer comparison the engine uses
+    # (den^2 dot^2 >= num^2 ni nj), so even boundary pairs agree bit-exactly
+    _cn, _cd = COSINE_TAU
+    cosine_sim_sql = f"""
+WITH {tok_cte},
+shall AS (
+  SELECT doc_id, unnest(CASE WHEN coalesce(n, 0) >= 3 THEN
+    list_transform(generate_series(1, n - 2), i ->
+      CAST((((CAST(hs[i] AS HUGEINT) * {Q} + hs[i+1]) % {M61}) * {Q}
+            + hs[i+2]) % {M61} AS BIGINT))
+  WHEN coalesce(n, 0) >= 1 THEN
+    [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          list_transform(hs, x -> CAST(x AS HUGEINT))),
+          (a, b) -> (a * {Q} + b) % {M61}) AS BIGINT)]
+  ELSE CAST([] AS BIGINT[]) END) AS s
+  FROM th),
+tf AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS tf
+       FROM shall GROUP BY doc_id, s),
+nrm AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2 FROM tf
+        GROUP BY doc_id),
+dt AS (SELECT a.doc_id AS i, b.doc_id AS j,
+              CAST(sum(a.tf*b.tf) AS BIGINT) AS dot
+       FROM tf a JOIN tf b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT d.i AS i, d.j AS j, d.dot AS dot, na.n2 AS norm_i, nb.n2 AS norm_j,
+       round(d.dot / sqrt(na.n2 * nb.n2), 6) AS cosine
+FROM dt d JOIN nrm na ON na.doc_id = d.i JOIN nrm nb ON nb.doc_id = d.j
+WHERE {_cd * _cd} * d.dot * d.dot >= {_cn * _cn} * na.n2 * nb.n2"""
     dup_span_sql = f"""
 WITH {tok_cte}, {shingle_cte},
 dfc AS (SELECT s, count(*) AS nd FROM shs GROUP BY s),
@@ -2346,6 +2384,7 @@ FROM (
         "assembled_pip_join": assembled_pip_sql,
         "exact_dedup": exact_dedup_sql,
         "near_dup_pairs": near_dup,
+        "cosine_sim_pairs": cosine_sim_sql,
         "near_dup_clusters": near_dup_clusters_sql,
         "minhash_pairs": minhash_sql,
         "simhash_pairs": simhash_sql,

@@ -128,8 +128,8 @@ def _hash_tokens_batch(texts) -> tuple[np.ndarray, np.ndarray, int]:
 
 
 def _shingle_hashes_batch(texts, k: int = 3,
-                          drop_empty: bool = False
-                          ) -> tuple[np.ndarray, np.ndarray]:
+                          drop_empty: bool = False,
+                          counts: bool = False):
     """Distinct word-k-gram shingle hashes for a whole batch at once.
 
     Returns (row_idx, sh) sorted by (row, hash) with per-row duplicates
@@ -139,7 +139,9 @@ def _shingle_hashes_batch(texts, k: int = 3,
     fallback hash.  With ``drop_empty``, zero-token documents emit NO
     shingle at all (instead of the empty-fold hash 0) — the semantics of
     SQL mirrors where the empty-doc fallback string aggregates to NULL and
-    never joins (decontaminate relies on this).
+    never joins (decontaminate relies on this).  With ``counts``, returns
+    (row_idx, sh, tf) where tf is each distinct shingle's multiplicity in
+    its document — the term-frequency view cosine_sim_pairs builds on.
     """
     row_idx, th, n = _hash_tokens_batch(texts)
     n_tok = np.bincount(row_idx, minlength=n)
@@ -173,7 +175,13 @@ def _shingle_hashes_batch(texts, k: int = 3,
     if len(sh):
         keep = np.concatenate([[True],
                                (srow[1:] != srow[:-1]) | (sh[1:] != sh[:-1])])
+        if counts:
+            starts = np.flatnonzero(keep)
+            tf = np.diff(np.concatenate([starts, [len(sh)]])).astype(np.int64)
+            return srow[keep], sh[keep], tf
         srow, sh = srow[keep], sh[keep]
+    elif counts:
+        return srow, sh, np.empty(0, dtype=np.int64)
     return srow, sh
 
 
@@ -440,6 +448,206 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
             "i": (u[keep] >> 32).astype(np.int64),
             "j": (u[keep] & 0xFFFFFFFF).astype(np.int64),
             "jaccard": jac[keep],
+        })
+
+    return (
+        ds.map_batches(to_postings, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby("pkpart")
+        .map_groups(merge_pairs, batch_format="pandas")
+    )
+
+
+def _weighted_pairs_from_buckets(df, key_col: str, max_bucket: int):
+    """All intra-bucket pairs (i<j) with dot-product partials, vectorized.
+
+    Like :func:`_pairs_from_buckets` but each posting carries a term
+    frequency ``w`` and a per-doc norm ``nrm``; a pair contributes
+    ``w_i * w_j`` to its dot product and carries both norms.
+    """
+    import pandas as pd
+
+    vc = df[key_col].value_counts()
+    multi = vc[(vc > 1) & (vc <= max_bucket)].index
+    if len(multi) == 0:
+        return pd.DataFrame({
+            "i": pd.Series(dtype=np.int64), "j": pd.Series(dtype=np.int64),
+            "wprod": pd.Series(dtype=np.int64),
+            "ni": pd.Series(dtype=np.int64), "nj": pd.Series(dtype=np.int64),
+        })
+    sub = df[df[key_col].isin(multi)].sort_values([key_col, "doc"])
+    out_i, out_j, out_w, out_ni, out_nj = [], [], [], [], []
+    for _key, grp in sub.groupby(key_col, sort=False):
+        docs = grp["doc"].to_numpy()
+        ws = grp["w"].to_numpy()
+        nrms = grp["nrm"].to_numpy()
+        ii, jj = np.triu_indices(len(docs), 1)
+        out_i.append(docs[ii])
+        out_j.append(docs[jj])
+        out_w.append(ws[ii] * ws[jj])
+        out_ni.append(nrms[ii])
+        out_nj.append(nrms[jj])
+    return pd.DataFrame({
+        "i": np.concatenate(out_i), "j": np.concatenate(out_j),
+        "wprod": np.concatenate(out_w),
+        "ni": np.concatenate(out_ni), "nj": np.concatenate(out_nj),
+    })
+
+
+# norms are bounded so den^2*dot^2 (dot <= sqrt(ni*nj) < 2^28) stays well
+# inside int64 for any threshold denominator <= 32
+_COSINE_MAX_NORM = 1 << 28
+
+
+def cosine_sim_pairs(ds, tau_num: int = 3, tau_den: int = 5, k: int = 3,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     max_posting: int = 10000):
+    """Exact sparse TF cosine similarity join: all document pairs whose
+    k-gram term-frequency vectors have cosine >= tau_num/tau_den.
+
+    The vector space is the mod-(2^61-1) shingle-hash domain of
+    :func:`shingle_hashes` WITH multiplicity (tf), so this generalizes
+    the Jaccard join to a weighted similarity: dot = sum tf_i*tf_j over
+    shared shingles, norm = sum tf^2 per doc.  Same distributed shape as
+    :func:`near_dup_pairs_exact` — an inverted-index join where both
+    all-to-alls move compact blob rows, never per-posting or per-pair
+    rows; ``max_posting`` caps pathological stop-shingles (documented
+    deviation, never triggers at the default on sane corpora).
+
+    The threshold is evaluated EXACTLY in integers (no float order
+    dependence): cos >= num/den  <=>  den^2*dot^2 >= num^2*ni*nj, valid
+    because dot >= 0.  Doc ids must fit 31 bits (pair keys pack as
+    i<<32|j) and per-doc norms must stay below 2^28 (raise otherwise) so
+    every product stays inside int64.  The reported ``cosine`` column is
+    round(dot/sqrt(ni*nj), 6), bit-identical to the SQL mirror.
+    """
+    import pandas as pd
+
+    from ..kernel import keys as _keys
+    from .text import round_half_away
+
+    def to_postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= 1 << 31):
+            raise ValueError(
+                "cosine_sim_pairs requires doc ids in [0, 2^31); "
+                f"got range [{ids.min()}, {ids.max()}]")
+        texts = batch[text_col].to_pandas()
+        srow, sh_flat, tf = _shingle_hashes_batch(texts, k, drop_empty=True,
+                                                  counts=True)
+        nrm_row = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(nrm_row, srow, tf * tf)
+        if len(nrm_row) and int(nrm_row.max()) >= _COSINE_MAX_NORM:
+            raise ValueError(
+                "cosine_sim_pairs: document tf-norm exceeds 2^28; the "
+                "integer threshold algebra would overflow int64")
+        sh = _keys.to_key(sh_flat)
+        doc = ids[srow].astype(np.int64)
+        nrm = nrm_row[srow]
+        if len(sh) == 0:
+            return pa.table({
+                "part": pa.array([], type=pa.int32()),
+                "sh_b": pa.array([], type=pa.binary()),
+                "doc_b": pa.array([], type=pa.binary()),
+                "tf_b": pa.array([], type=pa.binary()),
+                "nrm_b": pa.array([], type=pa.binary()),
+            })
+        part = (sh % _N_PAIR_PARTITIONS).astype(np.int32)
+        order = np.argsort(part, kind="stable")
+        sh, doc, tf, nrm, part = (sh[order], doc[order], tf[order],
+                                  nrm[order], part[order])
+        starts = np.concatenate([[0], np.flatnonzero(part[1:] != part[:-1])
+                                 + 1, [len(part)]])
+        rows = {"part": [], "sh_b": [], "doc_b": [], "tf_b": [], "nrm_b": []}
+        for s, e_ in zip(starts[:-1], starts[1:]):
+            rows["part"].append(int(part[s]))
+            rows["sh_b"].append(sh[s:e_].tobytes())
+            rows["doc_b"].append(doc[s:e_].tobytes())
+            rows["tf_b"].append(tf[s:e_].tobytes())
+            rows["nrm_b"].append(nrm[s:e_].tobytes())
+        return pa.table({
+            "part": pa.array(rows["part"], type=pa.int32()),
+            "sh_b": pa.array(rows["sh_b"], type=pa.binary()),
+            "doc_b": pa.array(rows["doc_b"], type=pa.binary()),
+            "tf_b": pa.array(rows["tf_b"], type=pa.binary()),
+            "nrm_b": pa.array(rows["nrm_b"], type=pa.binary()),
+        })
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sub = pd.DataFrame({
+            "sh": np.concatenate([np.frombuffer(x, dtype=np.int64)
+                                  for x in df["sh_b"]]),
+            "doc": np.concatenate([np.frombuffer(x, dtype=np.int64)
+                                   for x in df["doc_b"]]),
+            "w": np.concatenate([np.frombuffer(x, dtype=np.int64)
+                                 for x in df["tf_b"]]),
+            "nrm": np.concatenate([np.frombuffer(x, dtype=np.int64)
+                                   for x in df["nrm_b"]]),
+        })
+        out = _weighted_pairs_from_buckets(sub, "sh", max_posting)
+        pk = np.left_shift(out["i"].to_numpy().astype(np.int64), 32) \
+            | out["j"].to_numpy().astype(np.int64)
+        w = out["wprod"].to_numpy().astype(np.int64)
+        ni = out["ni"].to_numpy().astype(np.int64)
+        nj = out["nj"].to_numpy().astype(np.int64)
+        # pre-aggregate duplicate pairs within this partition
+        order = np.argsort(pk, kind="stable")
+        pk, w, ni, nj = pk[order], w[order], ni[order], nj[order]
+        starts = (np.concatenate([[0], np.flatnonzero(pk[1:] != pk[:-1]) + 1])
+                  if len(pk) else np.empty(0, dtype=np.int64))
+        u = pk[starts] if len(pk) else pk
+        dot = (np.add.reduceat(w, starts) if len(pk) else w)
+        ni_u = ni[starts] if len(pk) else ni
+        nj_u = nj[starts] if len(pk) else nj
+        pkpart = (u % _N_PAIR_PARTITIONS).astype(np.int32)
+        porder = np.argsort(pkpart, kind="stable")
+        u, dot, ni_u, nj_u, pkpart = (u[porder], dot[porder], ni_u[porder],
+                                      nj_u[porder], pkpart[porder])
+        bounds = np.concatenate([[0], np.flatnonzero(
+            pkpart[1:] != pkpart[:-1]) + 1, [len(pkpart)]]) if len(pkpart) \
+            else np.array([0, 0])
+        rows = {"pkpart": [], "pk_b": [], "dot_b": [], "ni_b": [], "nj_b": []}
+        for s, e_ in zip(bounds[:-1], bounds[1:]):
+            if e_ <= s:
+                continue
+            rows["pkpart"].append(int(pkpart[s]))
+            rows["pk_b"].append(u[s:e_].tobytes())
+            rows["dot_b"].append(dot[s:e_].tobytes())
+            rows["ni_b"].append(ni_u[s:e_].tobytes())
+            rows["nj_b"].append(nj_u[s:e_].tobytes())
+        return pd.DataFrame(rows)
+
+    def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        pk = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                             for x in df["pk_b"]])
+        dot = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                              for x in df["dot_b"]])
+        ni = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                             for x in df["ni_b"]])
+        nj = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                             for x in df["nj_b"]])
+        order = np.argsort(pk, kind="stable")
+        pk, dot, ni, nj = pk[order], dot[order], ni[order], nj[order]
+        starts = (np.concatenate([[0], np.flatnonzero(pk[1:] != pk[:-1]) + 1])
+                  if len(pk) else np.empty(0, dtype=np.int64))
+        u = pk[starts] if len(pk) else pk
+        dot_s = np.add.reduceat(dot, starts) if len(pk) else dot
+        ni_u = ni[starts] if len(pk) else ni
+        nj_u = nj[starts] if len(pk) else nj
+        # exact rational threshold: cos >= num/den <=> den^2 dot^2 >= num^2 ni nj
+        keep = (tau_den * tau_den * dot_s * dot_s
+                >= tau_num * tau_num * ni_u * nj_u)
+        u, dot_s, ni_u, nj_u = u[keep], dot_s[keep], ni_u[keep], nj_u[keep]
+        cos = (dot_s / np.sqrt((ni_u * nj_u).astype(np.float64))
+               if len(u) else np.empty(0, dtype=np.float64))
+        return pd.DataFrame({
+            "i": (u >> 32).astype(np.int64),
+            "j": (u & 0xFFFFFFFF).astype(np.int64),
+            "dot": dot_s,
+            "norm_i": ni_u,
+            "norm_j": nj_u,
+            "cosine": round_half_away(cos),
         })
 
     return (

@@ -724,3 +724,95 @@ def test_props_field_stats_exact_above_2_53(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/events.parquet')")
     want = con.execute(e.oracle_sql()["props_field_stats"]).df()
     assert int(got.sum_k.iloc[0]) == int(want.sum_k.iloc[0]) == big + 1
+
+
+def _brute_cosine_pairs(texts_by_id, tau_num, tau_den, k=3):
+    """Independent reference: word-k-gram TF vectors in STRING space
+    (the engine works in the mod-2^61-1 hash domain; collisions are
+    impossible at test scale) with the same exact integer threshold."""
+    import re
+    from collections import Counter
+
+    vecs = {}
+    for did, t in texts_by_id.items():
+        if t is None:
+            continue
+        ws = [w for w in re.split(r"\s+", t, flags=re.ASCII) if w]
+        if not ws:
+            continue
+        if len(ws) >= k:
+            grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+        else:
+            grams = ["<short>" + " ".join(ws)]
+        vecs[did] = Counter(grams)
+    out = set()
+    ids = sorted(vecs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            va, vb = vecs[ids[x]], vecs[ids[y]]
+            dot = sum(va[g] * vb[g] for g in va.keys() & vb.keys())
+            na = sum(v * v for v in va.values())
+            nb = sum(v * v for v in vb.values())
+            if tau_den ** 2 * dot * dot >= tau_num ** 2 * na * nb:
+                out.add((ids[x], ids[y], dot, na, nb))
+    return out
+
+
+def test_cosine_sim_pairs_vs_brute_force(ray_session):
+    """Crafted corpus where term-frequency weighting MATTERS (repeated
+    shingles), plus null/empty/short docs; engine must equal the exact
+    string-space reference pair-for-pair including dot and norms."""
+    import pyarrow as pa
+    import ray.data
+
+    from s2ray.pipelines.dedup import cosine_sim_pairs
+
+    texts = {
+        0: "x y z " * 8,                        # repetitive: tf > 1
+        1: "x y z " * 8 + "extra",              # near-identical to 0
+        2: "x y z a b c d e f g h i j k l m",   # shares shingles, low cos
+        3: "p q r s t u v w",
+        4: "p q r s t u v w",                   # exact dup of 3
+        5: None,
+        6: "",
+        7: "one two",                            # short-doc fallback
+        8: "one two",                            # short dup pair with 7
+        9: "totally different words here now",
+    }
+    t = pa.table({
+        "doc_id": pa.array(list(texts.keys()), type=pa.int64()),
+        "text": pa.array(list(texts.values()), type=pa.string()),
+    })
+    out = cosine_sim_pairs(ray.data.from_arrow(t), tau_num=3,
+                           tau_den=5).to_pandas()
+    got = set(zip(out.i.astype(int), out.j.astype(int),
+                  out["dot"].astype(int), out.norm_i.astype(int),
+                  out.norm_j.astype(int)))
+    want = _brute_cosine_pairs(texts, 3, 5)
+    assert got == want, (sorted(got), sorted(want))
+    # the repetitive pair (0, 1) must be kept BECAUSE of tf weighting,
+    # with dot exceeding the count of distinct shared shingles
+    d01 = {(i, j): d for (i, j, d, _, _) in got}
+    assert (0, 1) in d01 and d01[(0, 1)] > 3
+    # dup pairs at exactly cos = 1
+    assert (3, 4) in d01 and (7, 8) in d01
+    # null/empty docs never pair
+    assert not any(5 in (i, j) or 6 in (i, j) for (i, j) in d01)
+
+
+def test_cosine_sim_pairs_norm_guard(ray_session):
+    """A pathological document whose tf-norm would overflow the int64
+    threshold algebra must raise, not silently corrupt."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from s2ray.pipelines.dedup import cosine_sim_pairs
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["z " * 16401, "normal text here"],
+                         type=pa.string()),
+    })
+    with _pytest.raises(Exception, match="tf-norm exceeds"):
+        cosine_sim_pairs(ray.data.from_arrow(t)).to_pandas()

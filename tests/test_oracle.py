@@ -73,6 +73,7 @@ def _compare(name, entrymod, con):
                                    "pages_per_lang", "cap_join", "pip_join",
                                    "cap_join_shuffle",
                                    "exact_dedup", "near_dup_pairs",
+                                   "cosine_sim_pairs",
                                    "near_dup_clusters", "events_asof",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",

@@ -25,7 +25,7 @@ K = 3
 DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "doc_perplexity", "distance_join",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
-               "dup_span_stats", "inverted_index",
+               "dup_span_stats", "inverted_index", "cosine_sim_pairs",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
                "docs_rollup", "dup_degree_hist", "tile_top_lang"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
@@ -135,6 +135,7 @@ def test_label_propagation_raises_instead_of_wrong_labels(ray_session):
 
 
 NULL_QUERIES = ["text_stats", "normalize_text", "near_dup_pairs",
+                "cosine_sim_pairs",
                 "pack_examples", "exact_dedup", "minhash_pairs"]
 
 
