@@ -553,6 +553,12 @@ def _q_events_asof(sf_dir: str):
     return events_asof(sf_dir)
 
 
+def _q_event_gaps(sf_dir: str):
+    from s2ray.pipelines.analytics import event_gaps
+
+    return event_gaps(sf_dir)
+
+
 EVENT_QS = (0.5, 0.9, 0.99)
 
 
@@ -1534,7 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "pricing_summary": _q_pricing_summary,
         "props_field_stats": _q_props_field_stats,
-        "events_asof": _q_events_asof,
+        "event_gaps": _q_event_gaps,
         "events_quantiles": _q_events_quantiles,
         "events_winsorized": _q_events_winsorized,
         # dedup family
@@ -1574,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_pip_join": _q_boolean_pip_join,
         "assembled_pip_join": _q_assembled_pip_join,
         "text_stats": _q_text_stats,
+        "events_asof": _q_events_asof,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -2079,6 +2086,21 @@ WITH l AS (SELECT event_id, user_id, ts FROM events
 SELECT l.event_id, l.user_id, l.ts, r.match_event_id, r.match_ts,
        date_diff('microsecond', r.match_ts, l.ts) AS gap_us
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.match_ts"""
+    # inter-event gaps (LAG window): per-user consecutive deltas; NULL-ts /
+    # NULL-user events are unattributable (house contract); single-event
+    # users keep SQL's aggregate-over-empty NULLs
+    event_gaps_sql = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+g AS (SELECT user_id,
+             t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+      FROM e)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id"""
     emb_near_dup_sql = (
         "SELECT a.vec_id AS i, b.vec_id AS j FROM embeddings a "
         "JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -2389,6 +2411,7 @@ FROM (
         "minhash_pairs": minhash_sql,
         "simhash_pairs": simhash_sql,
         "events_asof": events_asof_sql,
+        "event_gaps": event_gaps_sql,
         "events_quantiles": (
             "SELECT event_type, unnest(["
             + ", ".join(f"{q!r}" for q in EVENT_QS)

@@ -412,6 +412,86 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, n_parts: int = 64):
     )
 
 
+def event_gaps(sf_dir: str, n_parts: int = 64):
+    """Inter-event gap analytics (the distributed LAG window): per user,
+    the deltas between consecutive events in timestamp order.
+
+    Output: (user_id, n_events, n_gaps, sum_gap_us, min_gap_us,
+    max_gap_us); single-event users report 0 gaps with NULL gap
+    aggregates (SQL aggregate-over-empty semantics, like
+    props_field_stats).  NULL-ts / NULL-user events are unattributable
+    and ignored (the house time-keyed contract).  The gap multiset of a
+    sorted timestamp list is invariant to tie order, so no secondary
+    sort key is needed for these aggregates — the oracle's
+    ``lag() OVER (ORDER BY t)`` agrees for any tie resolution.
+
+    Same custom-operator shape as user_sessions: ONE hash co-partition
+    by user_id, then a single vectorized pandas pass per partition —
+    gaps never cross partitions because users don't.
+    """
+    import ray.data
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(_drop_null_users(
+            batch.replace_schema_metadata(None)))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "n_events": pd.Series(dtype=np.int64),
+                "n_gaps": pd.Series(dtype=np.int64),
+                "sum_gap_us": pd.Series(dtype="Int64"),
+                "min_gap_us": pd.Series(dtype="Int64"),
+                "max_gap_us": pd.Series(dtype="Int64"),
+            })
+        df = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        users, counts = np.unique(uid, return_counts=True)
+        same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        d = np.concatenate([[0], t[1:] - t[:-1]])
+        gu, gd = uid[same], d[same]
+        gsum = np.zeros(len(users), dtype=np.int64)
+        gmin = np.zeros(len(users), dtype=np.int64)
+        gmax = np.zeros(len(users), dtype=np.int64)
+        if len(gu):
+            starts = np.concatenate(
+                [[0], np.flatnonzero(gu[1:] != gu[:-1]) + 1])
+            pos = np.searchsorted(users, gu[starts])
+            gsum[pos] = np.add.reduceat(gd, starts)
+            gmin[pos] = np.minimum.reduceat(gd, starts)
+            gmax[pos] = np.maximum.reduceat(gd, starts)
+        has = counts > 1
+        return pd.DataFrame({
+            "user_id": users.astype(np.int64),
+            "n_events": counts.astype(np.int64),
+            "n_gaps": (counts - 1).astype(np.int64),
+            "sum_gap_us": pd.arrays.IntegerArray(gsum, mask=~has),
+            "min_gap_us": pd.arrays.IntegerArray(gmin, mask=~has),
+            "max_gap_us": pd.arrays.IntegerArray(gmax, mask=~has),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # route the nullable Int64 columns through arrow int64-with-nulls
+        # so NULL gap aggregates surface exactly like the SQL oracle's
+        # (props_field_stats precedent)
+        return batch.select(["user_id", "n_events", "n_gaps",
+                             "sum_gap_us", "min_gap_us", "max_gap_us"])
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(gaps, batch_format="pandas")
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def events_asof(sf_dir: str, left_type: str = "purchase",
                 right_type: str = "click", n_parts: int = 64):
     """As-of join: each ``left_type`` event matched to the most recent

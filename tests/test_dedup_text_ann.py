@@ -816,3 +816,54 @@ def test_cosine_sim_pairs_norm_guard(ray_session):
     })
     with _pytest.raises(Exception, match="tf-norm exceeds"):
         cosine_sim_pairs(ray.data.from_arrow(t)).to_pandas()
+
+
+def test_event_gaps_single_event_users_and_ties(ray_session, tmp_path):
+    """Crafted events: a single-event user (NULL gap aggregates), tied
+    timestamps (gap 0), null ts and null user rows (ignored) — engine
+    must match the LAG oracle bit-for-bit including the NULLs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from s2ray.pipelines.analytics import event_gaps
+
+    TS = lambda s: s * 10**6  # seconds -> us epoch
+    rows = [
+        # user 1: gaps 5s, 0s (tie), 10s
+        (0, TS(100), 1), (1, TS(105), 1), (2, TS(105), 1), (3, TS(115), 1),
+        # user 2: single event -> n_gaps 0, NULL aggregates
+        (4, TS(50), 2),
+        # user 3: two events with null-ts noise in between
+        (5, TS(10), 3), (6, None, 3), (7, TS(70), 3),
+        # unattributable rows
+        (8, TS(33), None), (9, None, None),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), type=pa.string()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    got = event_gaps(str(tmp_path)).to_pandas().sort_values(
+        "user_id", ignore_index=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(e.oracle_sql()["event_gaps"]).df().sort_values(
+        "user_id", ignore_index=True)
+    assert list(got.user_id) == list(want.user_id) == [1, 2, 3]
+    assert list(got.n_gaps) == [3, 0, 1]
+    for c in ("n_events", "n_gaps", "sum_gap_us", "min_gap_us",
+              "max_gap_us"):
+        assert got[c].astype("Float64").equals(
+            want[c].astype("Float64")), (c, got[c], want[c])
+    # spot values: user 1 gaps {5s, 0, 10s}; user 3 gap 60s
+    assert int(got.min_gap_us[0]) == 0
+    assert int(got.max_gap_us[0]) == TS(10)
+    assert int(got.sum_gap_us[2]) == TS(60)
+    assert got.sum_gap_us.isna().tolist() == [False, True, False]

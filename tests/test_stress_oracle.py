@@ -29,6 +29,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
                "docs_rollup", "dup_degree_hist", "tile_top_lang"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
+                 "event_gaps",
                  "events_distinct_users", "props_field_stats",
                  "events_winsorized"]
 
@@ -207,7 +208,7 @@ def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
     _assert_matches_oracle(qname, e.queries()[qname](unicode_dir), con)
 
 
-NULL_USER_QUERIES = ["user_sessions", "funnel_views",
+NULL_USER_QUERIES = ["user_sessions", "funnel_views", "event_gaps",
                      "events_distinct_users", "events_asof"]
 
 
@@ -349,6 +350,7 @@ def test_null_values_match_oracle(qname, null_value_dir, ray_session):
 
 
 NULL_TS_QUERIES = ["events_hourly", "events_sliding", "user_sessions",
+                   "event_gaps",
                    "events_asof", "funnel_views", "event_windows"]
 
 
