@@ -762,6 +762,16 @@ def _q_distance_join(sf_dir: str):
                                DIST_JOIN_M)
 
 
+def _q_nearest_neighbor(sf_dir: str):
+    """Nearest-neighbor graph within 25 km: per-page argmin over the
+    exactly-once distance self-join, two-stage distributed argmin."""
+    from s2ray.pipelines.spatial_join import nearest_neighbor_map
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return nearest_neighbor_map(pages_with_cells(sf_dir, token_level=None),
+                                DIST_JOIN_M)
+
+
 def _q_doc_perplexity(sf_dir: str):
     """Bigram LM perplexity per document (corpus-trained, add-alpha
     smoothing) — CCNet-style quality signal; hashing and smoothing
@@ -1525,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": _q_tile_pyramid,
         "adaptive_tiles": _q_adaptive_tiles,
         "distance_join": _q_distance_join,
+        "nearest_neighbor": _q_nearest_neighbor,
         "rect_distance_rank": _q_rect_distance_rank,
         "fingerprint": _q_fingerprint,
         "cap_join": _q_cap_join,
@@ -1545,7 +1556,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": _q_events_winsorized,
         # dedup family
         "exact_dedup": _q_exact_dedup,
-        "near_dup_clusters": _q_near_dup_clusters,
         "dup_degree_hist": _q_dup_degree_hist,
         "dup_span_stats": _q_dup_span_stats,
         "cosine_sim_pairs": _q_cosine_sim,
@@ -1581,6 +1591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assembled_pip_join": _q_assembled_pip_join,
         "text_stats": _q_text_stats,
         "events_asof": _q_events_asof,
+        "near_dup_clusters": _q_near_dup_clusters,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -2055,6 +2066,20 @@ FROM ov JOIN sz USING (doc_id)"""
         f"FROM pages_geo a JOIN pages_geo b ON a.page_id < b.page_id "
         f"WHERE {dist_pair} <= {DIST_JOIN_M!r}"
     )
+    # nearest-neighbor graph: per-page argmin over the same pair set;
+    # ranking on the mm-ROUNDED distance + nn_id tie-break matches the
+    # engine's lexsort exactly (identical doubles on both sides)
+    nearest_neighbor_sql = f"""
+{cte},
+pr AS (SELECT a.page_id AS i, b.page_id AS j, round({dist_pair}, 3) AS dm
+       FROM pages_geo a JOIN pages_geo b ON a.page_id < b.page_id
+       WHERE {dist_pair} <= {DIST_JOIN_M!r}),
+sym AS (SELECT i AS page_id, j AS nn_id, dm FROM pr
+        UNION ALL SELECT j, i, dm FROM pr),
+rk AS (SELECT page_id, nn_id, dm,
+              row_number() OVER (PARTITION BY page_id
+                                 ORDER BY dm, nn_id) AS rn FROM sym)
+SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1"""
     # bigram LM perplexity: token-hash polynomial + Horner bigram fold +
     # add-alpha smoothing mirrored exactly; round(..., 6) on both sides
     ppl_sql = f"""
@@ -2479,6 +2504,7 @@ FROM (
         "decontaminate_bloom": bloom_sql,
         "doc_perplexity": ppl_sql,
         "distance_join": distance_join_sql,
+        "nearest_neighbor": nearest_neighbor_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "

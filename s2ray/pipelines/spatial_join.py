@@ -474,3 +474,75 @@ def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
                                  batch_size=None)
             .groupby("bucket")
             .map_groups(pairs, batch_format="pandas"))
+
+
+_NN_PARTS = 64
+
+
+def nearest_neighbor_map(pages_ds, d_m: float, max_bucket: int = 200_000):
+    """Nearest-neighbor graph: each page's closest OTHER page within
+    ``d_m`` meters — (page_id, nn_id, dist_m); isolated pages (no
+    neighbor within d) are absent (inner semantics, mirrored in SQL).
+
+    Composes the exactly-once :func:`distance_join_pairs` (cell +
+    neighbor bucketing, pairwise reference haversine): pairs are
+    symmetrized, then the per-point argmin runs in two stages — a
+    per-batch local argmin (shrinks to <= one row per point per batch)
+    and one point-hash co-partition for the global argmin, so the
+    all-to-all moves at most #points rows, never the pair list.  Ranking
+    uses the mm-ROUNDED distance with nn_id as the tie-break, the same
+    total order as the oracle's row_number() — both engines rank
+    identical doubles, so ties cannot diverge.
+    """
+    import pandas as pd
+
+    pairs = distance_join_pairs(pages_ds, d_m, max_bucket=max_bucket)
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy(zero_copy_only=False)
+        j = batch["j"].to_numpy(zero_copy_only=False)
+        dm = batch["dist_m"].to_numpy(zero_copy_only=False)
+        pid = np.concatenate([i, j])
+        nn = np.concatenate([j, i])
+        d = np.concatenate([dm, dm])
+        if len(pid) == 0:
+            return pa.table({
+                "part": pa.array([], type=pa.int32()),
+                "page_id": pa.array([], type=pa.int64()),
+                "nn_id": pa.array([], type=pa.int64()),
+                "dist_m": pa.array([], type=pa.float64()),
+            })
+        order = np.lexsort((nn, d, pid))
+        pid, nn, d = pid[order], nn[order], d[order]
+        first = np.concatenate([[True], pid[1:] != pid[:-1]])
+        pid, nn, d = pid[first], nn[first], d[first]
+        return pa.table({
+            "part": pa.array((pid % _NN_PARTS).astype(np.int32)),
+            "page_id": pa.array(pid.astype(np.int64)),
+            "nn_id": pa.array(nn.astype(np.int64)),
+            "dist_m": pa.array(d),
+        })
+
+    def merge_best(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "page_id": pd.Series(dtype=np.int64),
+                "nn_id": pd.Series(dtype=np.int64),
+                "dist_m": pd.Series(dtype=np.float64),
+            })
+        pid = df["page_id"].to_numpy()
+        nn = df["nn_id"].to_numpy()
+        d = df["dist_m"].to_numpy()
+        order = np.lexsort((nn, d, pid))
+        pid, nn, d = pid[order], nn[order], d[order]
+        first = np.concatenate([[True], pid[1:] != pid[:-1]])
+        return pd.DataFrame({
+            "page_id": pid[first].astype(np.int64),
+            "nn_id": nn[first].astype(np.int64),
+            "dist_m": d[first],
+        })
+
+    return (pairs.map_batches(local_best, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("part")
+            .map_groups(merge_best, batch_format="pandas"))

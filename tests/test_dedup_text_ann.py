@@ -867,3 +867,45 @@ def test_event_gaps_single_event_users_and_ties(ray_session, tmp_path):
     assert int(got.max_gap_us[0]) == TS(10)
     assert int(got.sum_gap_us[2]) == TS(60)
     assert got.sum_gap_us.isna().tolist() == [False, True, False]
+
+
+def test_nearest_neighbor_map_vs_brute_force(ray_session):
+    """Crafted points: chains (nearest is not symmetric), an exact tie
+    broken by nn_id, and isolated points absent — verified against a
+    brute-force argmin with the same rounded-distance ranking."""
+    import ray.data
+
+    from s2ray.kernel.sphere import haversine_distance_m
+    from s2ray.pipelines.spatial_join import nearest_neighbor_map
+
+    pts = [
+        (0, 45.0, 10.00), (1, 45.0, 10.05), (2, 45.0, 10.17),  # chain
+        (3, 0.0, 0.0),                                          # isolated
+        (4, 10.0, 20.0), (5, 10.1, 20.0), (6, 9.9, 20.0),       # tie at 4
+    ]
+    D = 25_000.0
+    ds = ray.data.from_items([
+        {"page_id": i, "lat": la, "lng": lo} for i, la, lo in pts])
+    out = nearest_neighbor_map(ds, D).to_pandas()
+    got = {int(r.page_id): (int(r.nn_id), float(r.dist_m))
+           for r in out.itertuples()}
+    # brute force with the identical ranking rule
+    want = {}
+    for i, la1, lo1 in pts:
+        best = None
+        for j, la2, lo2 in pts:
+            if i == j:
+                continue
+            d = float(haversine_distance_m(
+                np.radians(la1), np.radians(lo1),
+                np.radians(la2), np.radians(lo2)))
+            if d <= D:
+                key = (round(d, 3), j)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            want[i] = (best[1], best[0])
+    assert got == want, (got, want)
+    assert 3 not in got                      # isolated point absent
+    assert got[4][0] == 5                    # tie 5 vs 6 -> smaller nn_id
+    assert got[1][0] == 0 and got[2][0] == 1  # chain: asymmetric nearest

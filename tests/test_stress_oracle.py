@@ -23,7 +23,7 @@ SRC = "/root/testdata/sf0.01"
 K = 3
 
 DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
-               "doc_perplexity", "distance_join",
+               "doc_perplexity", "distance_join", "nearest_neighbor",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
                "dup_span_stats", "inverted_index", "cosine_sim_pairs",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
@@ -381,7 +381,7 @@ def test_null_ts_matches_oracle(qname, null_ts_dir, ray_session):
     _assert_matches_oracle(qname, e.queries()[qname](null_ts_dir), con)
 
 
-@pytest.mark.parametrize("qname", ["doc_perplexity", "distance_join",
+@pytest.mark.parametrize("qname", ["doc_perplexity", "distance_join", "nearest_neighbor",
                                    "decontaminate_bloom", "knn_bulk",
                                    "adaptive_tiles", "inverted_index",
                                    "dup_span_stats", "doc_token_rank"])
