@@ -762,6 +762,19 @@ def _q_distance_join(sf_dir: str):
                                DIST_JOIN_M)
 
 
+def _q_nearest_city(sf_dir: str):
+    """Voronoi classification rollup: every page assigned to its nearest
+    city (argmin haversine over the broadcast city list), per-city
+    count + min/max distance."""
+    from s2ray.pipelines.spatial_join import nearest_facility_stats
+    from s2ray.pipelines.tiles import pages_with_cells
+    from s2ray.sources.pages import CITIES_E4
+
+    return nearest_facility_stats(
+        pages_with_cells(sf_dir, token_level=None),
+        [(la / 1e4, ln / 1e4) for la, ln in CITIES_E4])
+
+
 def _q_nearest_neighbor(sf_dir: str):
     """Nearest-neighbor graph within 25 km: per-page argmin over the
     exactly-once distance self-join, two-stage distributed argmin."""
@@ -1536,6 +1549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_tiles": _q_adaptive_tiles,
         "distance_join": _q_distance_join,
         "nearest_neighbor": _q_nearest_neighbor,
+        "nearest_city_stats": _q_nearest_city,
         "rect_distance_rank": _q_rect_distance_rank,
         "fingerprint": _q_fingerprint,
         "cap_join": _q_cap_join,
@@ -1552,7 +1566,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "props_field_stats": _q_props_field_stats,
         "event_gaps": _q_event_gaps,
-        "events_quantiles": _q_events_quantiles,
         "events_winsorized": _q_events_winsorized,
         # dedup family
         "exact_dedup": _q_exact_dedup,
@@ -1592,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "events_asof": _q_events_asof,
         "near_dup_clusters": _q_near_dup_clusters,
+        "events_quantiles": _q_events_quantiles,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -2080,6 +2094,29 @@ rk AS (SELECT page_id, nn_id, dm,
               row_number() OVER (PARTITION BY page_id
                                  ORDER BY dm, nn_id) AS rn FROM sym)
 SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1"""
+    # Voronoi classification rollup: argmin over the city list; only
+    # order-free reductions (count / min / max of rounded dist) follow the
+    # float math, so distributed partial order can never touch the hash
+    from s2ray.sources.pages import CITIES_E4 as _CE4
+    city_rows = ", ".join(
+        f"({k}, {la / 1e4!r}, {ln / 1e4!r})"
+        for k, (la, ln) in enumerate(_CE4))
+    facility_dist = (
+        "2 * 6371000 * asin(sqrt("
+        "(1 - cos(radians(p.lat) - radians(c.clat))) / 2 "
+        "+ cos(radians(p.lat)) * cos(radians(c.clat)) "
+        "* (1 - cos(radians(p.lng) - radians(c.clng))) / 2))")
+    nearest_city_sql = f"""
+{cte},
+cities(city_id, clat, clng) AS (VALUES {city_rows}),
+d AS (SELECT p.page_id, c.city_id, {facility_dist} AS dm
+      FROM pages_geo p CROSS JOIN cities c),
+rk AS (SELECT page_id, city_id, dm,
+              row_number() OVER (PARTITION BY page_id ORDER BY dm, city_id)
+                AS rn FROM d)
+SELECT city_id, CAST(count(*) AS BIGINT) AS n_pages,
+       min(round(dm, 3)) AS min_dist_m, max(round(dm, 3)) AS max_dist_m
+FROM rk WHERE rn = 1 GROUP BY city_id"""
     # bigram LM perplexity: token-hash polynomial + Horner bigram fold +
     # add-alpha smoothing mirrored exactly; round(..., 6) on both sides
     ppl_sql = f"""
@@ -2505,6 +2542,7 @@ FROM (
         "doc_perplexity": ppl_sql,
         "distance_join": distance_join_sql,
         "nearest_neighbor": nearest_neighbor_sql,
+        "nearest_city_stats": nearest_city_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "

@@ -476,6 +476,65 @@ def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
             .map_groups(pairs, batch_format="pandas"))
 
 
+def nearest_facility_stats(pages_ds, facilities):
+    """Voronoi classification rollup: assign every page to its nearest
+    facility (argmin reference haversine over a broadcast list) and
+    aggregate per facility — (city_id, n_pages, min_dist_m, max_dist_m).
+
+    ``facilities`` is [(lat_deg, lng_deg), ...]; city_id is the list
+    index.  One streaming map_batches computes the (batch x K) distance
+    matrix vectorized and emits ONE partial row per facility per batch;
+    the only shuffle is the K-sized groupby.  Ranking ties break on the
+    smaller city_id (same total order as the oracle's row_number); the
+    rollup keeps only order-free reductions (count / min / max of the
+    mm-rounded distance) so the hash can never see float summation order
+    — the zonal_stats contract (a float mean is deliberately absent).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..kernel import sphere as _sphere
+
+    flat = np.asarray(facilities, dtype=np.float64)
+    clat = np.radians(flat[:, 0])
+    clng = np.radians(flat[:, 1])
+    K = len(flat)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = np.radians(batch["lat"].to_numpy(zero_copy_only=False))
+        lng = np.radians(batch["lng"].to_numpy(zero_copy_only=False))
+        if len(lat) == 0:
+            return pa.table({
+                "city_id": pa.array([], type=pa.int64()),
+                "pn": pa.array([], type=pa.int64()),
+                "pmin": pa.array([], type=pa.float64()),
+                "pmax": pa.array([], type=pa.float64()),
+            })
+        d = _sphere.haversine_distance_m(lat[:, None], lng[:, None],
+                                         clat[None, :], clng[None, :])
+        best = np.argmin(d, axis=1)  # first minimum = smallest city_id
+        bd = np.round(d[np.arange(len(lat)), best], 3)
+        n = np.bincount(best, minlength=K).astype(np.int64)
+        dmin = np.full(K, np.inf)
+        dmax = np.full(K, -np.inf)
+        np.minimum.at(dmin, best, bd)
+        np.maximum.at(dmax, best, bd)
+        has = n > 0
+        ids = np.flatnonzero(has).astype(np.int64)
+        return pa.table({
+            "city_id": pa.array(ids),
+            "pn": pa.array(n[has]),
+            "pmin": pa.array(dmin[has]),
+            "pmax": pa.array(dmax[has]),
+        })
+
+    return (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+            .groupby("city_id")
+            .aggregate(Sum("pn", alias_name="n_pages"),
+                       Min("pmin", alias_name="min_dist_m"),
+                       Max("pmax", alias_name="max_dist_m")))
+
+
 _NN_PARTS = 64
 
 

@@ -909,3 +909,24 @@ def test_nearest_neighbor_map_vs_brute_force(ray_session):
     assert 3 not in got                      # isolated point absent
     assert got[4][0] == 5                    # tie 5 vs 6 -> smaller nn_id
     assert got[1][0] == 0 and got[2][0] == 1  # chain: asymmetric nearest
+
+
+def test_nearest_facility_stats_ties_and_exact(ray_session):
+    """Point ON a facility (dist 0), a point exactly equidistant between
+    two facilities (argmin first-minimum -> smaller city_id), empty
+    facilities never appear."""
+    import ray.data
+
+    from s2ray.pipelines.spatial_join import nearest_facility_stats
+
+    facs = [(10.0, 20.0), (10.0, 22.0), (80.0, 0.0)]
+    pts = [
+        {"page_id": 0, "lat": 10.0, "lng": 20.0},   # on city 0
+        {"page_id": 1, "lat": 10.0, "lng": 21.0},   # tie city 0 vs 1
+        {"page_id": 2, "lat": 10.0, "lng": 21.9},   # city 1
+    ]
+    out = nearest_facility_stats(ray.data.from_items(pts), facs) \
+        .to_pandas().sort_values("city_id", ignore_index=True)
+    assert list(out.city_id) == [0, 1]               # city 2 empty, absent
+    assert list(out.n_pages) == [2, 1]
+    assert out.min_dist_m[0] == 0.0
