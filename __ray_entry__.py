@@ -1130,6 +1130,17 @@ def _q_lang_id(sf_dir: str):
         ["doc_id", "lang_pred", "lang_conf"])
 
 
+PMI_MIN_COUNT = 5
+
+
+def _q_pmi_collocations(sf_dir: str):
+    """Bigram collocation mining by PMI over positional marginals —
+    exact int count products, ln of identical doubles on both engines."""
+    from s2ray.pipelines.text import pmi_collocations
+
+    return pmi_collocations(sf_dir, min_count=PMI_MIN_COUNT)
+
+
 def _q_fingerprint(sf_dir: str):
     import ray.data
 
@@ -1545,7 +1556,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window (50): every entry SQL-oracled ----
         # S2 / spatial
         "tile_counts_l8": _q_tile_counts,
-        "tile_pyramid": _q_tile_pyramid,
         "adaptive_tiles": _q_adaptive_tiles,
         "distance_join": _q_distance_join,
         "nearest_neighbor": _q_nearest_neighbor,
@@ -1592,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_corpus": _q_split_corpus,
         "normalize_text": _q_normalize_text,
         "rare_tokens": _q_rare_tokens,
+        "pmi_collocations": _q_pmi_collocations,
         "funnel_views": _q_funnel,
         "repetition_stats": _q_repetition,
         "chunk_docs": _q_chunks,
@@ -1606,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "near_dup_clusters": _q_near_dup_clusters,
         "events_quantiles": _q_events_quantiles,
+        "tile_pyramid": _q_tile_pyramid,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -1987,6 +1999,24 @@ est AS (SELECT c.i, c.j,
                     JOIN sig sb ON sb.doc_id = c.j AND sb.idx = sa.idx
         GROUP BY c.i, c.j)
 SELECT i, j, est_jaccard FROM est WHERE est_jaccard >= {NEAR_DUP_TAU!r}"""
+    # PMI collocations: packed-bigram counts + positional marginals; the
+    # ln argument is a ratio of exact BIGINT products on both engines
+    pmi_sql = f"""
+WITH words AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '') AS ws FROM documents),
+bgr AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+               i -> ws[i] || chr(31) || ws[i+1])) AS b
+        FROM words WHERE coalesce(len(ws), 0) >= 2),
+cb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_ab FROM bgr GROUP BY b),
+sp AS (SELECT string_split(b, chr(31))[1] AS w1,
+              string_split(b, chr(31))[2] AS w2, n_ab FROM cb),
+lm AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_left FROM sp GROUP BY w1),
+rm AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_right FROM sp GROUP BY w2),
+nn AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cb)
+SELECT sp.w1, sp.w2, sp.n_ab, lm.n_left, rm.n_right,
+       round(ln((sp.n_ab * nn.n) / (lm.n_left * rm.n_right)), 6) AS pmi
+FROM sp JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN nn
+WHERE sp.n_ab >= {PMI_MIN_COUNT}"""
     # sparse TF cosine join: the NON-distinct shingle stream with counts;
     # the threshold is the same exact integer comparison the engine uses
     # (den^2 dot^2 >= num^2 ni nj), so even boundary pairs agree bit-exactly
@@ -2469,6 +2499,7 @@ FROM (
         "exact_dedup": exact_dedup_sql,
         "near_dup_pairs": near_dup,
         "cosine_sim_pairs": cosine_sim_sql,
+        "pmi_collocations": pmi_sql,
         "near_dup_clusters": near_dup_clusters_sql,
         "minhash_pairs": minhash_sql,
         "simhash_pairs": simhash_sql,

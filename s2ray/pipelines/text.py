@@ -421,6 +421,114 @@ def vocab_top_k(sf_dir: str, k: int = 100, lower: bool = True,
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+_BG_SEP = "\x1f"  # bigram pack separator: a control char, NOT RE2 \s, so
+# both engines pack identically even if a token contained it
+
+
+def pmi_collocations(sf_dir: str, min_count: int = 5, lower: bool = False,
+                     text_col: str = "text"):
+    """Bigram collocation mining by pointwise mutual information:
+    (w1, w2, n_ab, n_left, n_right, pmi) for every within-document
+    bigram with n_ab >= min_count, where
+    pmi = ln((n_ab * N) / (n_left * n_right)) over positional marginals
+    (n_left = occurrences of w1 as a bigram's left token, N = total
+    bigram occurrences).  The ratio's numerator and denominator are
+    EXACT int64 products (guarded < 2^63), so both engines take ln of
+    the identical double — the doc_perplexity ln-mirror precedent.
+
+    Shape: per-batch packed-bigram counting (one np.unique over
+    code pairs, no Python loop over tokens) -> a bigram-vocabulary-sized
+    count shuffle -> two vocabulary-sized marginal aggregations whose
+    results broadcast (rare_tokens' driver budget) -> one streaming
+    score pass over the bigram table.  No stage ever moves corpus rows.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+
+    ds = read_table(sf_dir, "documents", columns=[text_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if len(codes) < 2:
+            return pa.table({"bg": pa.array([], type=pa.string()),
+                             "pn": pa.array([], type=pa.int64())})
+        same = row_idx[1:] == row_idx[:-1]
+        left, right = codes[:-1][same], codes[1:][same]
+        if len(left) == 0:
+            return pa.table({"bg": pa.array([], type=pa.string()),
+                             "pn": pa.array([], type=pa.int64())})
+        packed = left * np.int64(len(uniques)) + right
+        u, cnt = np.unique(packed, return_counts=True)
+        ul = u // np.int64(len(uniques))
+        ur = u % np.int64(len(uniques))
+        bgs = [uniques[a] + _BG_SEP + uniques[b] for a, b in zip(ul, ur)]
+        return pa.table({"bg": pa.array(bgs, type=pa.string()),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    bg_ds = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("bg")
+             .aggregate(Sum("pn", alias_name="n_ab"))).materialize()
+
+    def side_partial(col_idx: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            w = pc.list_element(pc.split_pattern(batch["bg"], _BG_SEP),
+                                col_idx)
+            return pa.table({"token": w, "pm": batch["n_ab"]})
+        return fn
+
+    marg = []
+    for ci in (0, 1):
+        m = (bg_ds.map_batches(side_partial(ci), batch_format="pyarrow",
+                               batch_size=None)
+             .groupby("token")
+             .aggregate(Sum("pm", alias_name="n"))).to_pandas()
+        marg.append(dict(zip(m["token"], m["n"].astype(np.int64))))
+    n_total = int(sum(marg[0].values()))
+    lm_ref = ray.put(marg[0])
+    rm_ref = ray.put(marg[1])
+
+    def score(batch: pa.Table, lm_ref=lm_ref, rm_ref=rm_ref) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lm, rm = cached_get(lm_ref), cached_get(rm_ref)
+        keep = pc.greater_equal(batch["n_ab"], min_count)
+        batch = batch.filter(keep)
+        parts = pc.split_pattern(batch["bg"], _BG_SEP)
+        w1 = pc.list_element(parts, 0).to_pylist() if len(batch) else []
+        w2 = pc.list_element(parts, 1).to_pylist() if len(batch) else []
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nl = np.array([lm[w] for w in w1], dtype=np.int64)
+        nr = np.array([rm[w] for w in w2], dtype=np.int64)
+        if len(n_ab):
+            if (int(n_ab.max()) * n_total >= 1 << 63
+                    or int(nl.max()) * int(nr.max()) >= 1 << 63):
+                raise ValueError("pmi_collocations: count products "
+                                 "overflow int64")
+            pmi = round_half_away(np.log((n_ab * np.int64(n_total))
+                                         / (nl * nr)))
+        else:
+            pmi = np.empty(0, dtype=np.float64)
+        return pa.table({
+            "w1": pa.array(w1, type=pa.string()),
+            "w2": pa.array(w2, type=pa.string()),
+            "n_ab": pa.array(n_ab),
+            "n_left": pa.array(nl),
+            "n_right": pa.array(nr),
+            "pmi": pa.array(pmi, type=pa.float64()),
+        })
+
+    return bg_ds.map_batches(score, batch_format="pyarrow",
+                             batch_size=None)
+
+
 def _df_partial(batch: pa.Table, text_col: str = "text",
                 lower: bool = True) -> pa.Table:
     """Per-batch document-frequency partial: distinct (doc, token) pairs

@@ -930,3 +930,32 @@ def test_nearest_facility_stats_ties_and_exact(ray_session):
     assert list(out.city_id) == [0, 1]               # city 2 empty, absent
     assert list(out.n_pages) == [2, 1]
     assert out.min_dist_m[0] == 0.0
+
+
+def test_pmi_collocations_hand_case(ray_session, tmp_path):
+    """Hand-computable PMI: docs 'a b', 'a b', 'a c', 'b a' ->
+    N=4, left(a)=3, left(b)=1, right(b)=2, right(a)=1, right(c)=1."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.text import pmi_collocations
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b", "a b", "a c", "b a"], type=pa.string()),
+        "lang": pa.array(["en"] * 4, type=pa.string()),
+        "source": pa.array(["s"] * 4, type=pa.string()),
+        "n_chars": pa.array([3] * 4, type=pa.int64()),
+    })
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    out = pmi_collocations(str(tmp_path), min_count=1).to_pandas()
+    got = {(r.w1, r.w2): (int(r.n_ab), int(r.n_left), int(r.n_right),
+                          float(r.pmi)) for r in out.itertuples()}
+    r6 = lambda x: float(f"{x:.6f}")
+    assert got == {
+        ("a", "b"): (2, 3, 2, r6(math.log(2 * 4 / (3 * 2)))),
+        ("a", "c"): (1, 3, 1, r6(math.log(1 * 4 / (3 * 1)))),
+        ("b", "a"): (1, 1, 1, r6(math.log(1 * 4 / (1 * 1)))),
+    }, got

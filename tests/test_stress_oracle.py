@@ -27,6 +27,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "nearest_city_stats",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
                "dup_span_stats", "inverted_index", "cosine_sim_pairs",
+               "pmi_collocations",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
                "docs_rollup", "dup_degree_hist", "tile_top_lang"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
@@ -169,6 +170,7 @@ def test_null_text_matches_oracle(qname, null_dir, ray_session):
 
 
 UNICODE_QUERIES = ["text_stats", "fingerprint", "vocab_top100",
+                   "pmi_collocations",
                    "chunk_docs", "near_dup_pairs", "chunk_dedup"]
 
 
