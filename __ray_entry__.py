@@ -568,6 +568,50 @@ def _q_events_quantiles(sf_dir: str):
     return group_quantiles(sf_dir, qs=EVENT_QS)
 
 
+TILE_Q_LEVEL = 6
+TILE_QS = (0.5, 0.9)
+
+
+def _q_tile_quantiles(sf_dir: str):
+    """Per-tile text-length quantiles: the exact bounded-memory grouped
+    quantile machinery keyed by the level-6 S2 cell — a spatial
+    statistics map layer (median page size per tile)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from s2ray.kernel import cellid, keys
+    from s2ray.pipelines.analytics import group_quantiles
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    col = f"cell_l{TILE_Q_LEVEL}"
+
+    def make_ds():
+        import pyarrow as pa
+
+        ds = pages_with_cells(sf_dir, token_level=TILE_Q_LEVEL)
+
+        def proj(batch):
+            # biased int64 shuffle keys: raw uint64 cell ids on faces 4-5
+            # exceed int64 and would objectify the shuffle blocks
+            ck = keys.to_key(
+                batch[col].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "cell": pa.array(ck, type=pa.int64()),
+                "value": pc.cast(pc.utf8_length(batch["text"]),
+                                 pa.float64()),
+            })
+
+        return ds.map_batches(proj, batch_format="pyarrow",
+                              batch_size=None)
+
+    out = group_quantiles(sf_dir, qs=TILE_QS, group_col="cell",
+                          value_col="value", n_bins=128, make_ds=make_ds)
+    ids = keys.from_key(out["cell"].to_numpy().astype(np.int64))
+    out = out.drop(columns=["cell"])
+    out.insert(0, "cell_token", cellid.to_token(ids))
+    return out.sort_values(["cell_token", "q"], ignore_index=True)
+
+
 # deterministic overlapping promo windows over the events month
 # (2024-01-01 epoch base), lengths 6..101 hours
 EVENT_WINDOWS = [
@@ -1557,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S2 / spatial
         "tile_counts_l8": _q_tile_counts,
         "adaptive_tiles": _q_adaptive_tiles,
+        "tile_quantiles": _q_tile_quantiles,
         "distance_join": _q_distance_join,
         "nearest_neighbor": _q_nearest_neighbor,
         "nearest_city_stats": _q_nearest_city,
@@ -1569,7 +1614,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_top_lang": _q_tile_top_lang,
         "covering_setops": _q_covering_setops,
         "boolean_covering": _q_boolean_covering,
-        "region_relations": _q_region_relations,
         # event analytics
         "doc_perplexity": _q_doc_perplexity,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1618,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "events_quantiles": _q_events_quantiles,
         "tile_pyramid": _q_tile_pyramid,
+        "region_relations": _q_region_relations,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -1719,6 +1764,19 @@ def oracle_sql() -> dict[str, str]:
         f"{cte} SELECT cell_id, cell_token, count(*) AS n_pages FROM ("
         + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
         + ") GROUP BY cell_id, cell_token"
+    )
+    # per-tile text-length quantiles: the independent SQL S2 encoder at
+    # level 6 + quantile_disc, mirroring the engine's exact 3-pass pick
+    tile_quantiles_sql = (
+        f"{cte}, enc AS (SELECT cell_token, "
+        "CAST(length(text) AS DOUBLE) AS v FROM ("
+        + s2_cell_select("SELECT text, lat, lng FROM pages_geo",
+                         level=TILE_Q_LEVEL)
+        + ")) SELECT cell_token, unnest(["
+        + ", ".join(f"{q!r}" for q in TILE_QS)
+        + "]) AS q, unnest(quantile_disc(v, ["
+        + ", ".join(f"{q!r}" for q in TILE_QS)
+        + "])) AS value FROM enc GROUP BY cell_token"
     )
     # pyramid rollup: the l8 SQL encoder output materialized once, coarser
     # levels derived by pure cell-id bit algebra (parent = clear low bits,
@@ -2458,6 +2516,7 @@ FROM (
     )
     return {
         "tile_counts_l8": tile_counts_sql,
+        "tile_quantiles": tile_quantiles_sql,
         "tile_pyramid": tile_pyramid_sql,
         "adaptive_tiles": _adaptive_tiles_oracle(cte),
         "redact_pii": _redact_pii_oracle(cte),
