@@ -806,6 +806,20 @@ def _q_distance_join(sf_dir: str):
                                DIST_JOIN_M)
 
 
+BEARING_SECTORS = 16
+
+
+def _q_bearing_sectors(sf_dir: str):
+    """Compass-sector rollup of the initial great-circle bearing from
+    the Moscow query point (reference SmokeTest bearing formula)."""
+    from s2ray.pipelines.spatial_join import bearing_sectors
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return bearing_sectors(pages_with_cells(sf_dir, token_level=None),
+                           KNN_Q["qlat"], KNN_Q["qlng"],
+                           n_sectors=BEARING_SECTORS)
+
+
 def _q_nearest_city(sf_dir: str):
     """Voronoi classification rollup: every page assigned to its nearest
     city (argmin haversine over the broadcast city list), per-city
@@ -1605,9 +1619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_join": _q_distance_join,
         "nearest_neighbor": _q_nearest_neighbor,
         "nearest_city_stats": _q_nearest_city,
+        "bearing_sectors": _q_bearing_sectors,
         "rect_distance_rank": _q_rect_distance_rank,
         "fingerprint": _q_fingerprint,
-        "cap_join": _q_cap_join,
         "zonal_stats": _q_zonal_stats,
         "grid_clusters": _q_grid_clusters,
         "pip_join": _q_pip_join,
@@ -1663,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         "tile_pyramid": _q_tile_pyramid,
         "region_relations": _q_region_relations,
+        "cap_join": _q_cap_join,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -1908,6 +1923,24 @@ def oracle_sql() -> dict[str, str]:
         f"{cte} SELECT page_id, url, round({dist}, 3) AS dist_m "
         f"FROM pages_geo ORDER BY {dist}, page_id LIMIT {KNN_Q['k']}"
     )
+    # compass-sector rollup: the reference SmokeTest bearing formula
+    # (sphere.great_circle_bearing) mirrored term by term; identical
+    # doubles -> identical floor sectors on both engines
+    _bw = 360.0 / BEARING_SECTORS
+    bearing_sql = f"""
+{cte},
+brg AS (SELECT degrees(atan2(
+          sin(radians(lng) - radians({KNN_Q['qlng']}))
+            * cos(radians(lat)),
+          cos(radians({KNN_Q['qlat']})) * sin(radians(lat))
+          - sin(radians({KNN_Q['qlat']})) * cos(radians(lat))
+            * cos(radians(lng) - radians({KNN_Q['qlng']})))) AS deg,
+        {dist} AS dm FROM pages_geo),
+sec AS (SELECT CAST(floor(((deg + 360) % 360) / {_bw!r}) AS BIGINT)
+          AS sector, dm FROM brg)
+SELECT sector, CAST(count(*) AS BIGINT) AS n_pages,
+       min(round(dm, 3)) AS min_dist_m, max(round(dm, 3)) AS max_dist_m
+FROM sec GROUP BY sector"""
     # rect-distance rank: branch-for-branch kernel mirror (sqlgen)
     from s2ray.functions.sqlgen import rect_distance_select
     from s2ray.kernel.region import LatLngRect
@@ -2633,6 +2666,7 @@ FROM (
         "distance_join": distance_join_sql,
         "nearest_neighbor": nearest_neighbor_sql,
         "nearest_city_stats": nearest_city_sql,
+        "bearing_sectors": bearing_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "

@@ -476,6 +476,62 @@ def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
             .map_groups(pairs, batch_format="pandas"))
 
 
+def bearing_sectors(pages_ds, qlat_deg: float, qlng_deg: float,
+                    n_sectors: int = 16):
+    """Compass-sector rollup: the initial great-circle bearing from a
+    query point to every page (reference SmokeTest.php:23-30 formula,
+    kernel.sphere.great_circle_bearing), bucketed into ``n_sectors``
+    equal sectors — (sector, n_pages, min_dist_m, max_dist_m).
+
+    sector = floor(((degrees(bearing) + 360) % 360) / (360/n)); both
+    engines compute the identical doubles, so boundary pages cannot
+    flip sectors.  One streaming partial pass (sector bincount + min/max
+    of the mm-rounded haversine — order-free reductions only) and an
+    n_sectors-sized groupby.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..kernel import sphere as _sphere
+
+    qlat = np.radians(np.float64(qlat_deg))
+    qlng = np.radians(np.float64(qlng_deg))
+    width = 360.0 / n_sectors
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = np.radians(batch["lat"].to_numpy(zero_copy_only=False))
+        lng = np.radians(batch["lng"].to_numpy(zero_copy_only=False))
+        if len(lat) == 0:
+            return pa.table({
+                "sector": pa.array([], type=pa.int64()),
+                "pn": pa.array([], type=pa.int64()),
+                "pmin": pa.array([], type=pa.float64()),
+                "pmax": pa.array([], type=pa.float64()),
+            })
+        deg = np.degrees(_sphere.great_circle_bearing(qlat, qlng, lat, lng))
+        sector = np.floor(np.mod(deg + 360.0, 360.0) / width) \
+            .astype(np.int64)
+        dm = np.round(_sphere.haversine_distance_m(qlat, qlng, lat, lng), 3)
+        n = np.bincount(sector, minlength=n_sectors).astype(np.int64)
+        dmin = np.full(n_sectors, np.inf)
+        dmax = np.full(n_sectors, -np.inf)
+        np.minimum.at(dmin, sector, dm)
+        np.maximum.at(dmax, sector, dm)
+        has = n > 0
+        return pa.table({
+            "sector": pa.array(np.flatnonzero(has).astype(np.int64)),
+            "pn": pa.array(n[has]),
+            "pmin": pa.array(dmin[has]),
+            "pmax": pa.array(dmax[has]),
+        })
+
+    return (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+            .groupby("sector")
+            .aggregate(Sum("pn", alias_name="n_pages"),
+                       Min("pmin", alias_name="min_dist_m"),
+                       Max("pmax", alias_name="max_dist_m")))
+
+
 def nearest_facility_stats(pages_ds, facilities):
     """Voronoi classification rollup: assign every page to its nearest
     facility (argmin reference haversine over a broadcast list) and

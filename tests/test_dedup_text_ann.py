@@ -959,3 +959,27 @@ def test_pmi_collocations_hand_case(ray_session, tmp_path):
         ("a", "c"): (1, 3, 1, r6(math.log(1 * 4 / (3 * 1)))),
         ("b", "a"): (1, 1, 1, r6(math.log(1 * 4 / (1 * 1)))),
     }, got
+
+
+def test_bearing_sectors_cardinal_points(ray_session):
+    """Pages due N/E/S/W of the query point land in the expected compass
+    sectors; counts and distances are exact."""
+    import ray.data
+
+    from s2ray.pipelines.spatial_join import bearing_sectors
+
+    # from (0, 0): due north=0deg (sector 0), east=90 (4), south=180 (8),
+    # west=270 (12) with 16 sectors of 22.5deg
+    pts = [
+        {"page_id": 0, "lat": 1.0, "lng": 0.0},
+        {"page_id": 1, "lat": 0.0, "lng": 1.0},
+        {"page_id": 2, "lat": -1.0, "lng": 0.0},
+        {"page_id": 3, "lat": 0.0, "lng": -1.0},
+        {"page_id": 4, "lat": 1.0, "lng": 1.0},   # NE: initial great-
+        # circle bearing is ~44.99deg (just under 45) -> sector 1
+    ]
+    out = bearing_sectors(ray.data.from_items(pts), 0.0, 0.0, 16) \
+        .to_pandas().set_index("sector")
+    assert dict(out["n_pages"]) == {0: 1, 4: 1, 8: 1, 12: 1, 1: 1}
+    # due north at 1 degree is ~111.2 km
+    assert 110_000 < out.loc[0, "min_dist_m"] < 112_000

@@ -95,7 +95,7 @@ def _compare(name, entrymod, con):
                                    "events_winsorized",
                                    "events_quantiles", "event_windows", "token_counts", "sample_corpus",
                                    "events_distinct_users", "vocab_top100", "sample_per_lang", "heavy_hitters_top100", "token_doc_freq", "tfidf_top3", "decontaminate", "decontaminate_bloom", "doc_perplexity", "distance_join", "nearest_neighbor",
-                                   "nearest_city_stats", "repetition_stats", "chunk_docs", "chunk_dedup", "new_docs", "pack_examples", "split_corpus", "normalize_text", "rare_tokens", "pmi_collocations", "funnel_views", "emb_norm_by_lang", "quality_above_median",
+                                   "nearest_city_stats", "bearing_sectors", "repetition_stats", "chunk_docs", "chunk_dedup", "new_docs", "pack_examples", "split_corpus", "normalize_text", "rare_tokens", "pmi_collocations", "funnel_views", "emb_norm_by_lang", "quality_above_median",
                                    "polyline_near", "boolean_pip_join",
                                    "quality_score",
                                    "lang_id", "fingerprint",

@@ -24,7 +24,7 @@ K = 3
 
 DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "doc_perplexity", "distance_join", "nearest_neighbor",
-               "nearest_city_stats",
+               "nearest_city_stats", "bearing_sectors",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
                "dup_span_stats", "inverted_index", "cosine_sim_pairs",
                "pmi_collocations",
@@ -386,7 +386,7 @@ def test_null_ts_matches_oracle(qname, null_ts_dir, ray_session):
 
 
 @pytest.mark.parametrize("qname", ["doc_perplexity", "distance_join", "nearest_neighbor",
-               "nearest_city_stats",
+               "nearest_city_stats", "bearing_sectors",
                                    "decontaminate_bloom", "knn_bulk",
                                    "adaptive_tiles", "inverted_index",
                                    "dup_span_stats", "doc_token_rank"])
