@@ -559,6 +559,14 @@ def _q_event_gaps(sf_dir: str):
     return event_gaps(sf_dir)
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Retention triangle: cohort = week of first purchase, distinct
+    active purchasers per (cohort_week, week)."""
+    from s2ray.pipelines.analytics import cohort_retention
+
+    return cohort_retention(sf_dir, event_type="purchase")
+
+
 EVENT_QS = (0.5, 0.9, 0.99)
 
 
@@ -1634,9 +1642,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "props_field_stats": _q_props_field_stats,
         "event_gaps": _q_event_gaps,
+        "cohort_retention": _q_cohort_retention,
         "events_winsorized": _q_events_winsorized,
         # dedup family
-        "exact_dedup": _q_exact_dedup,
         "dup_degree_hist": _q_dup_degree_hist,
         "dup_span_stats": _q_dup_span_stats,
         "cosine_sim_pairs": _q_cosine_sim,
@@ -1678,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": _q_tile_pyramid,
         "region_relations": _q_region_relations,
         "cap_join": _q_cap_join,
+        "exact_dedup": _q_exact_dedup,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -2284,6 +2293,18 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(min(gap) AS BIGINT) AS min_gap_us,
        CAST(max(gap) AS BIGINT) AS max_gap_us
 FROM g GROUP BY user_id"""
+    # cohort retention: first-purchase week cohorts, Monday-aligned epoch
+    # week index (epoch day 0 = Thursday -> +3); // floors for the
+    # non-negative domain the engine guards
+    cohort_sql = """
+WITH p AS (SELECT user_id, ((epoch_us(ts) // 86400000000) + 3) // 7 AS w
+           FROM events WHERE event_type = 'purchase'
+             AND ts IS NOT NULL AND user_id IS NOT NULL),
+d AS (SELECT DISTINCT user_id, w FROM p),
+c AS (SELECT user_id, min(w) AS cw FROM d GROUP BY user_id)
+SELECT c.cw AS cohort_week, d.w AS week,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id) GROUP BY 1, 2"""
     emb_near_dup_sql = (
         "SELECT a.vec_id AS i, b.vec_id AS j FROM embeddings a "
         "JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -2597,6 +2618,7 @@ FROM (
         "simhash_pairs": simhash_sql,
         "events_asof": events_asof_sql,
         "event_gaps": event_gaps_sql,
+        "cohort_retention": cohort_sql,
         "events_quantiles": (
             "SELECT event_type, unnest(["
             + ", ".join(f"{q!r}" for q in EVENT_QS)

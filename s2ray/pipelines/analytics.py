@@ -492,6 +492,90 @@ def event_gaps(sf_dir: str, n_parts: int = 64):
     )
 
 
+_WEEK_US = 7 * 86400 * 10**6
+
+
+def cohort_retention(sf_dir: str, event_type: str = "purchase",
+                     n_parts: int = 64):
+    """Cohort retention matrix: users grouped by the ISO week of their
+    FIRST ``event_type`` event, activity counted as distinct active
+    users per (cohort_week, week) — the standard product-analytics
+    retention triangle.  Weeks are Monday-aligned epoch-week indexes
+    ((epoch_days + 3) // 7, day 0 = Thursday); NULL-ts / NULL-user rows
+    are unattributable and ignored (house contract).
+
+    Shape: one user-hash co-partition (a user's full history decides
+    its cohort, so it must be seen whole), per-partition distinct
+    (user, week) + min-week cohort computed vectorized, then a
+    matrix-cell-sized Sum groupby over packed (cohort, week) keys —
+    the second shuffle moves at most #cohorts x #weeks rows per
+    partition, never user rows.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.replace_schema_metadata(None)
+        batch = batch.filter(pc.equal(pc.fill_null(
+            batch["event_type"], ""), event_type))
+        batch = _drop_null_ts(_drop_null_users(batch))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        w = (t // 86400000000 + 3) // 7
+        if len(w) and (int(w.min()) < 0 or int(w.max()) >= 1 << 20):
+            # packed (cohort << 20 | week) keys require week in [0, 2^20)
+            raise ValueError("cohort_retention: event week index out of "
+                             "packable range (pre-1970 or >= year ~21970)")
+        return pa.table({
+            "user_id": pa.array(uid.astype(np.int64)),
+            "w": pa.array(w.astype(np.int64)),
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+        })
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"ck": pd.Series(dtype=np.int64),
+                                 "pn": pd.Series(dtype=np.int64)})
+        uid = df["user_id"].to_numpy()
+        w = df["w"].to_numpy()
+        # distinct (user, week) then per-user min week, all via one lexsort
+        order = np.lexsort((w, uid))
+        uid, w = uid[order], w[order]
+        keep = np.concatenate([[True], (uid[1:] != uid[:-1])
+                               | (w[1:] != w[:-1])])
+        uid, w = uid[keep], w[keep]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        # sorted by (uid, w): the first row of each user is its min week
+        cohort = np.repeat(w[first], np.diff(np.concatenate(
+            [np.flatnonzero(first), [len(uid)]])))
+        ck = cohort * np.int64(1 << 20) + w
+        u, cnt = np.unique(ck, return_counts=True)
+        return pd.DataFrame({"ck": u, "pn": cnt.astype(np.int64)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+           .groupby("part")
+           .map_groups(cells, batch_format="pandas")
+           .groupby("ck")
+           .aggregate(Sum("pn", alias_name="n_users")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cohort_week": pa.array(ck >> 20),
+            "week": pa.array(ck & ((1 << 20) - 1)),
+            "n_users": batch["n_users"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def events_asof(sf_dir: str, left_type: str = "purchase",
                 right_type: str = "click", n_parts: int = 64):
     """As-of join: each ``left_type`` event matched to the most recent

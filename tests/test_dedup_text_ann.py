@@ -983,3 +983,50 @@ def test_bearing_sectors_cardinal_points(ray_session):
     assert dict(out["n_pages"]) == {0: 1, 4: 1, 8: 1, 12: 1, 1: 1}
     # due north at 1 degree is ~111.2 km
     assert 110_000 < out.loc[0, "min_dist_m"] < 112_000
+
+
+def test_cohort_retention_crafted(ray_session, tmp_path):
+    """Hand-checkable retention triangle incl. null rows, non-purchase
+    noise, and a user whose first purchase is in a later week."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from s2ray.pipelines.analytics import cohort_retention
+
+    W0 = 1704067200  # 2024-01-01 (Monday) epoch seconds
+    TS = lambda wk, s: (W0 + wk * 7 * 86400 + s) * 10**6
+    rows = [
+        # u1: purchases in weeks 0 and 2 -> cohort w0
+        (0, TS(0, 10), 1, "purchase"), (1, TS(2, 10), 1, "purchase"),
+        # u2: first purchase week 1 (click in week 0 must NOT matter)
+        (2, TS(0, 20), 2, "click"), (3, TS(1, 20), 2, "purchase"),
+        # u3: two purchases same week -> counted once
+        (4, TS(0, 30), 3, "purchase"), (5, TS(0, 40), 3, "purchase"),
+        # noise: null user / null ts purchases
+        (6, TS(0, 50), None, "purchase"), (7, None, 1, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    got = cohort_retention(str(tmp_path)).to_pandas().sort_values(
+        ["cohort_week", "week"], ignore_index=True)
+    wk0 = (W0 // 86400 + 3) // 7
+    want = {(wk0, wk0): 2,        # u1 + u3 in cohort w0, active w0
+            (wk0, wk0 + 2): 1,    # u1 active again in w2
+            (wk0 + 1, wk0 + 1): 1}  # u2 cohort w1
+    assert {(r.cohort_week, r.week): int(r.n_users)
+            for r in got.itertuples()} == want
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    ora = con.execute(e.oracle_sql()["cohort_retention"]).df().sort_values(
+        ["cohort_week", "week"], ignore_index=True)
+    assert got.astype(str).equals(ora.astype(str))

@@ -32,7 +32,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "tile_quantiles",
                "docs_rollup", "dup_degree_hist", "tile_top_lang"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
-                 "event_gaps",
+                 "event_gaps", "cohort_retention",
                  "events_distinct_users", "props_field_stats",
                  "events_winsorized"]
 
@@ -213,6 +213,7 @@ def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
 
 
 NULL_USER_QUERIES = ["user_sessions", "funnel_views", "event_gaps",
+                     "cohort_retention",
                      "events_distinct_users", "events_asof"]
 
 
@@ -354,7 +355,7 @@ def test_null_values_match_oracle(qname, null_value_dir, ray_session):
 
 
 NULL_TS_QUERIES = ["events_hourly", "events_sliding", "user_sessions",
-                   "event_gaps",
+                   "event_gaps", "cohort_retention",
                    "events_asof", "funnel_views", "event_windows"]
 
 
