@@ -576,6 +576,90 @@ def _q_events_quantiles(sf_dir: str):
     return group_quantiles(sf_dir, qs=EVENT_QS)
 
 
+SESSION_QS = (0.5, 0.9, 0.99)
+
+
+def _q_session_quantiles(sf_dir: str):
+    """Pipeline composition: the oracled sessionization feeds the exact
+    bounded-memory quantile machinery — global session-duration
+    quantiles (the 'how long do sessions last' product question)."""
+    import pyarrow as pa
+
+    from s2ray.pipelines.analytics import group_quantiles, user_sessions
+
+    def make_ds():
+        ds = user_sessions(sf_dir)
+
+        def proj(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "grp": pa.array(["all"] * len(batch), type=pa.string()),
+                "value": pc.cast(batch["duration_s"], pa.float64()),
+            })
+
+        return ds.map_batches(proj, batch_format="pyarrow",
+                              batch_size=None)
+
+    return group_quantiles(sf_dir, qs=SESSION_QS, group_col="grp",
+                           value_col="value", make_ds=make_ds)
+
+
+def _q_tile_diversity(sf_dir: str):
+    """Per-tile content diversity: page count + exact distinct-language
+    count per level-6 S2 cell."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from s2ray.kernel import cellid, keys
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    col = f"cell_l{TILE_Q_LEVEL}"
+    ds = pages_with_cells(sf_dir, token_level=TILE_Q_LEVEL)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # pre-aggregate to (cell, lang) within the batch: the shuffle
+        # moves at most cells x languages rows per batch, never pages
+        ck = keys.to_key(batch[col].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "ck": ck,
+            "lang": batch["lang"].to_pandas(),
+        })
+        g = df.groupby(["ck", "lang"], sort=False, dropna=False) \
+            .size().reset_index(name="pn")
+        ckv = g["ck"].to_numpy()
+        return pa.table({
+            "part": pa.array((ckv % 256).astype(np.int32)),
+            "ck": pa.array(ckv, type=pa.int64()),
+            "lang": pa.array(
+                g["lang"].where(g["lang"].notna(), None).tolist(),
+                type=pa.string()),
+            "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "cell_token": pd.Series(dtype=object),
+                "n_pages": pd.Series(dtype=np.int64),
+                "n_langs": pd.Series(dtype=np.int64),
+            })
+        g = df.groupby("ck", sort=True).agg(
+            n_pages=("pn", "sum"), n_langs=("lang", "nunique"))
+        ids = keys.from_key(g.index.to_numpy().astype(np.int64))
+        return pd.DataFrame({
+            "cell_token": cellid.to_token(ids),
+            "n_pages": g["n_pages"].to_numpy().astype(np.int64),
+            "n_langs": g["n_langs"].to_numpy().astype(np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("part")
+            .map_groups(merge, batch_format="pandas"))
+
+
 TILE_Q_LEVEL = 6
 TILE_QS = (0.5, 0.9)
 
@@ -1624,6 +1708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts_l8": _q_tile_counts,
         "adaptive_tiles": _q_adaptive_tiles,
         "tile_quantiles": _q_tile_quantiles,
+        "tile_diversity": _q_tile_diversity,
         "distance_join": _q_distance_join,
         "nearest_neighbor": _q_nearest_neighbor,
         "nearest_city_stats": _q_nearest_city,
@@ -1632,7 +1717,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "zonal_stats": _q_zonal_stats,
         "grid_clusters": _q_grid_clusters,
-        "pip_join": _q_pip_join,
         "tile_top_lang": _q_tile_top_lang,
         "covering_setops": _q_covering_setops,
         "boolean_covering": _q_boolean_covering,
@@ -1648,7 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_degree_hist": _q_dup_degree_hist,
         "dup_span_stats": _q_dup_span_stats,
         "cosine_sim_pairs": _q_cosine_sim,
-        "corpus_keep": _q_corpus_keep,
+        "session_quantiles": _q_session_quantiles,
         # joins / similarity search
         "decontaminate_bloom": _q_decontaminate_bloom,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -1687,6 +1771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_relations": _q_region_relations,
         "cap_join": _q_cap_join,
         "exact_dedup": _q_exact_dedup,
+        "pip_join": _q_pip_join,
+        "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -1788,6 +1874,14 @@ def oracle_sql() -> dict[str, str]:
         f"{cte} SELECT cell_id, cell_token, count(*) AS n_pages FROM ("
         + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
         + ") GROUP BY cell_id, cell_token"
+    )
+    # per-tile diversity: page count + exact distinct languages per cell
+    tile_diversity_sql = (
+        f"{cte} SELECT cell_token, CAST(count(*) AS BIGINT) AS n_pages, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM ("
+        + s2_cell_select("SELECT lang, lat, lng FROM pages_geo",
+                         level=TILE_Q_LEVEL)
+        + ") GROUP BY cell_token"
     )
     # per-tile text-length quantiles: the independent SQL S2 encoder at
     # level 6 + quantile_disc, mirroring the engine's exact 3-pass pick
@@ -2527,6 +2621,15 @@ FROM (
     )
   ) GROUP BY user_id, sess
 )"""
+    # session-duration quantiles: the sessionization CTE feeding
+    # quantile_disc — the engine composes the same two oracled stages
+    session_q_sql = (
+        "WITH s AS (" + sessions + ") SELECT 'all' AS grp, unnest(["
+        + ", ".join(f"{q!r}" for q in SESSION_QS)
+        + "]) AS q, unnest(quantile_disc(CAST(duration_s AS DOUBLE), ["
+        + ", ".join(f"{q!r}" for q in SESSION_QS)
+        + "])) AS value FROM s"
+    )
     city_dist = (
         "2 * 6371000 * asin(sqrt("
         "(1 - cos(radians(p.lat) - radians(c.clat))) / 2 "
@@ -2571,6 +2674,8 @@ FROM (
     return {
         "tile_counts_l8": tile_counts_sql,
         "tile_quantiles": tile_quantiles_sql,
+        "tile_diversity": tile_diversity_sql,
+        "session_quantiles": session_q_sql,
         "tile_pyramid": tile_pyramid_sql,
         "adaptive_tiles": _adaptive_tiles_oracle(cte),
         "redact_pii": _redact_pii_oracle(cte),

@@ -83,7 +83,7 @@ def _compare(name, entrymod, con):
                                    "knn_bulk",
                                    "text_stats", "rect_filter_wrap",
                                    "knn_pruned_moscow", "pages_per_month",
-                                   "tile_counts_l8", "covering_member_join", "tile_quantiles",
+                                   "tile_counts_l8", "covering_member_join", "tile_quantiles", "tile_diversity", "session_quantiles",
                                    "assembled_pip_join", "tile_pyramid",
                                    "adaptive_tiles", "redact_pii",
                                    "inverted_index", "zonal_stats",

@@ -29,10 +29,10 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "dup_span_stats", "inverted_index", "cosine_sim_pairs",
                "pmi_collocations",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
-               "tile_quantiles",
+               "tile_quantiles", "tile_diversity",
                "docs_rollup", "dup_degree_hist", "tile_top_lang"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
-                 "event_gaps", "cohort_retention",
+                 "event_gaps", "cohort_retention", "session_quantiles",
                  "events_distinct_users", "props_field_stats",
                  "events_winsorized"]
 
