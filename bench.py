@@ -384,6 +384,31 @@ def run_bench():
 
     timed("redact_pii", _redact)
 
+    def _nn():
+        # distance self-join + two-stage distributed argmin (round 3).
+        # repl=1: page replication stamps IDENTICAL coordinates, which
+        # would quadratically inflate the self-join's co-located pairs —
+        # a synthetic artifact, not an engine property
+        import __ray_entry__ as e
+        from s2ray.pipelines.spatial_join import nearest_neighbor_map
+
+        return nearest_neighbor_map(
+            pages_with_cells(SF_DIR, repl=1, token_level=None),
+            e.DIST_JOIN_M).count()
+
+    timed("nearest_neighbor", _nn)
+
+    def _cosine():
+        # weighted inverted-index similarity join, exact integer
+        # threshold algebra (round 3)
+        from s2ray.pipelines.dedup import cosine_sim_pairs
+        from s2ray.sources.readers import read_table
+
+        ds = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+        return cosine_sim_pairs(ds).count()
+
+    timed("cosine_sim_pairs", _cosine)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({
