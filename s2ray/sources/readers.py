@@ -42,3 +42,94 @@ def load_embedding_matrix(sf_dir: str):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
     return t["vec_id"].to_numpy(), normalized_matrix(t["embedding"])
+
+
+def _coerce_to_schema(schema: pa.Schema):
+    """map_batches fn casting parsed text-format batches to an arrow
+    schema, so JSONL/CSV reads feed operators the SAME types the parquet
+    path does (JSON loses timestamp/width information; CSV loses all)."""
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {}
+        for f in schema:
+            if f.name in batch.column_names:
+                col = batch[f.name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if col.type == f.type:
+                    cols[f.name] = col
+                elif pa.types.is_timestamp(f.type) and (
+                        pa.types.is_floating(col.type)
+                        or pa.types.is_integer(col.type)):
+                    # a numeric timestamp column is epoch SECONDS (how
+                    # ray's JSON sink serializes timestamps); NB float
+                    # seconds carry ~0.24us quantization — write_jsonl
+                    # stringifies timestamps so its round trip is exact
+                    us = pc.round(pc.multiply(col.cast(pa.float64()),
+                                              1_000_000.0))
+                    cols[f.name] = us.cast(pa.int64()).cast(f.type)
+                else:
+                    cols[f.name] = col.cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(len(batch), f.type)
+        return pa.table(cols)
+
+    return coerce
+
+
+def read_jsonl(path: str, columns: list[str] | None = None,
+               schema: pa.Schema | None = None, **kwargs):
+    """ray.data.read_json (newline-delimited) with optional schema
+    coercion + column pruning — the JSONL twin of :func:`read_table`."""
+    import ray.data
+
+    ds = ray.data.read_json(path, **kwargs)
+    if schema is not None:
+        ds = ds.map_batches(_coerce_to_schema(schema),
+                            batch_format="pyarrow", batch_size=None)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def read_csv(path: str, columns: list[str] | None = None,
+             schema: pa.Schema | None = None, **kwargs):
+    """ray.data.read_csv with optional schema coercion + pruning."""
+    import ray.data
+
+    ds = ray.data.read_csv(path, **kwargs)
+    if schema is not None:
+        ds = ds.map_batches(_coerce_to_schema(schema),
+                            batch_format="pyarrow", batch_size=None)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_jsonl(ds, path: str, **kwargs):
+    """Distributed newline-delimited JSON sink (one file per block).
+
+    Timestamp columns are stringified first (ISO, microsecond-exact):
+    ray's JSON sink would otherwise emit float epoch seconds, which
+    cannot represent microseconds exactly (double ulp ~0.24us there).
+    Pass the original parquet schema to :func:`read_jsonl` to get the
+    arrow types back losslessly."""
+
+    def stringify_ts(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch[name]
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.string())
+            cols[name] = col
+        return pa.table(cols)
+
+    ds.map_batches(stringify_ts, batch_format="pyarrow",
+                   batch_size=None).write_json(path, **kwargs)
+
+
+def write_csv(ds, path: str, **kwargs):
+    """Distributed CSV sink (one file per block)."""
+    ds.write_csv(path, **kwargs)
