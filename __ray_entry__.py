@@ -559,6 +559,21 @@ def _q_event_gaps(sf_dir: str):
     return event_gaps(sf_dir)
 
 
+def _q_events_weekday_hour(sf_dir: str):
+    """Weekday x hour traffic heatmap with purchase overlay."""
+    from s2ray.pipelines.analytics import events_weekday_hour
+
+    return events_weekday_hour(sf_dir)
+
+
+def _q_group_sizes_hist(sf_dir: str):
+    """k-anonymity / skew audit: histogram of (lang, source) group
+    sizes over the documents table."""
+    from s2ray.pipelines.analytics import group_sizes_hist
+
+    return group_sizes_hist(sf_dir)
+
+
 def _q_cohort_retention(sf_dir: str):
     """Retention triangle: cohort = week of first purchase, distinct
     active purchasers per (cohort_week, week)."""
@@ -1788,6 +1803,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covering_member_join": _q_covering_member_join,
         "near_dup_pairs": _q_near_dup_pairs,
         "pages_per_lang": _q_pages_per_lang,
+        # oracled, added after the r03 window filled — in-suite hash gate
+        # this round, round-4 window-rotation candidates
+        "events_weekday_hour": _q_events_weekday_hour,
+        "group_sizes_hist": _q_group_sizes_hist,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -2724,6 +2743,21 @@ FROM (
         "events_asof": events_asof_sql,
         "event_gaps": event_gaps_sql,
         "cohort_retention": cohort_sql,
+        "events_weekday_hour": """
+WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events
+           WHERE ts IS NOT NULL),
+c AS (SELECT ((t // 86400000000) + 4) % 7 AS dow,
+             (t // 3600000000) % 24 AS hour,
+             CASE WHEN coalesce(event_type, '') = 'purchase'
+                  THEN 1 ELSE 0 END AS isp FROM e)
+SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(isp) AS BIGINT) AS n_purchases
+FROM c GROUP BY dow, hour""",
+        "group_sizes_hist": """
+WITH g AS (SELECT count(*) AS group_size FROM documents
+           GROUP BY lang, source)
+SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+FROM g GROUP BY group_size""",
         "events_quantiles": (
             "SELECT event_type, unnest(["
             + ", ".join(f"{q!r}" for q in EVENT_QS)

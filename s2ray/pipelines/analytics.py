@@ -492,6 +492,105 @@ def event_gaps(sf_dir: str, n_parts: int = 64):
     )
 
 
+def events_weekday_hour(sf_dir: str):
+    """Weekday x hour activity matrix: (dow, hour, n_events,
+    n_purchases) — the standard traffic-shape heatmap.  dow/hour come
+    from pure integer epoch math ((days + 4) % 7, Sunday = 0; epoch day
+    0 is a Thursday), mirrored verbatim in the oracle so both engines
+    share bucket semantics exactly; NULL-ts rows are unattributable and
+    ignored.  One streaming bincount partial over packed dow*24+hour
+    (168 cells) and a 168-row groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch.replace_schema_metadata(None))
+        t = batch["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        et = pc.fill_null(batch["event_type"], "")
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        days = t // 86400000000
+        dow = (days + 4) % 7
+        hour = (t // 3600000000) % 24
+        cell = (dow * 24 + hour).astype(np.int64)
+        n = np.bincount(cell, minlength=168).astype(np.int64)
+        npur = np.bincount(cell[is_p], minlength=168).astype(np.int64)
+        has = n > 0
+        ids = np.flatnonzero(has).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(ids),
+            "pn": pa.array(n[has]),
+            "pp": pa.array(npur[has]),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("cell")
+           .aggregate(Sum("pn", alias_name="n_events"),
+                      Sum("pp", alias_name="n_purchases")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dow": pa.array(cell // 24),
+            "hour": pa.array(cell % 24),
+            "n_events": batch["n_events"],
+            "n_purchases": batch["n_purchases"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def group_sizes_hist(sf_dir: str, table: str = "documents",
+                     dims=("lang", "source")):
+    """Group-size histogram (the k-anonymity / skew audit): sizes of the
+    (lang, source) groups, then how many groups have each size —
+    (group_size, n_groups).  NULL dimension values form their own
+    groups, like SQL GROUP BY.  Two aggregations, both bounded by group
+    cardinality: per-batch pandas partials -> dims-sized Sum groupby ->
+    per-batch size-count partials -> size-cardinality groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, table, columns=list(dims))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(list(dims), sort=False, dropna=False) \
+            .size().reset_index(name="pn")
+        # sentinel-pack the group key: a shuffle key cannot be NULL
+        key = None
+        for d in dims:
+            part = g[d].where(g[d].notna(), "\x00").astype(str)
+            key = part if key is None else key + "\x1f" + part
+        return pa.table({
+            "gk": pa.array(key.tolist(), type=pa.string()),
+            "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+        })
+
+    sizes = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("gk")
+             .aggregate(Sum("pn", alias_name="sz")))
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        sz = batch["sz"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(sz, return_counts=True)
+        return pa.table({
+            "group_size": pa.array(u.astype(np.int64)),
+            "pg": pa.array(c.astype(np.int64)),
+        })
+
+    return (sizes.map_batches(size_partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("group_size")
+            .aggregate(Sum("pg", alias_name="n_groups")))
+
+
 _WEEK_US = 7 * 86400 * 10**6
 
 

@@ -75,7 +75,8 @@ def _compare(name, entrymod, con):
                                    "exact_dedup", "near_dup_pairs",
                                    "cosine_sim_pairs",
                                    "near_dup_clusters", "events_asof",
-                                   "event_gaps", "cohort_retention",
+                                   "event_gaps", "cohort_retention", "events_weekday_hour",
+                                   "group_sizes_hist",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",
                                    "simhash_pairs", "corpus_keep",

@@ -27,12 +27,14 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "nearest_city_stats", "bearing_sectors",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
                "dup_span_stats", "inverted_index", "cosine_sim_pairs",
+               "group_sizes_hist",
                "pmi_collocations",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
                "tile_quantiles", "tile_diversity",
                "docs_rollup", "dup_degree_hist", "tile_top_lang"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
+                 "events_weekday_hour",
                  "events_distinct_users", "props_field_stats",
                  "events_winsorized"]
 
@@ -355,7 +357,7 @@ def test_null_values_match_oracle(qname, null_value_dir, ray_session):
 
 
 NULL_TS_QUERIES = ["events_hourly", "events_sliding", "user_sessions",
-                   "event_gaps", "cohort_retention",
+                   "event_gaps", "cohort_retention", "events_weekday_hour",
                    "events_asof", "funnel_views", "event_windows"]
 
 
