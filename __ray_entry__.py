@@ -559,6 +559,14 @@ def _q_event_gaps(sf_dir: str):
     return event_gaps(sf_dir)
 
 
+def _q_standardize_docs(sf_dir: str):
+    """Per-lang z-score standardization of n_chars — exact int64
+    moments, identical float expression on both engines."""
+    from s2ray.pipelines.text import standardize_by_group
+
+    return standardize_by_group(sf_dir)
+
+
 def _q_events_weekday_hour(sf_dir: str):
     """Weekday x hour traffic heatmap with purchase overlay."""
     from s2ray.pipelines.analytics import events_weekday_hour
@@ -1807,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this round, round-4 window-rotation candidates
         "events_weekday_hour": _q_events_weekday_hour,
         "group_sizes_hist": _q_group_sizes_hist,
+        "standardize_docs": _q_standardize_docs,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -2758,6 +2767,21 @@ WITH g AS (SELECT count(*) AS group_size FROM documents
            GROUP BY lang, source)
 SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
 FROM g GROUP BY group_size""",
+        # z-score: exact BIGINT moments; the float expression is written
+        # identically to the engine's ((x - s/n) / sqrt(q/n - (s/n)^2));
+        # zero-variance groups pinned to 0, NULL values stay NULL
+        "standardize_docs": """
+WITH m AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS s,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS q,
+                  CAST(count(n_chars) AS BIGINT) AS n
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CASE WHEN d.n_chars IS NULL THEN NULL
+            WHEN m.n * m.q = m.s * m.s THEN 0.0
+            ELSE round((d.n_chars - m.s / m.n)
+                       / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 6)
+       END AS z
+FROM documents d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang""",
         "events_quantiles": (
             "SELECT event_type, unnest(["
             + ", ".join(f"{q!r}" for q in EVENT_QS)

@@ -529,6 +529,94 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, lower: bool = False,
                              batch_size=None)
 
 
+def standardize_by_group(sf_dir: str, group_col: str = "lang",
+                         value_col: str = "n_chars",
+                         id_col: str = "doc_id"):
+    """Per-group z-score standardization (feature normalization for ML
+    prep): z = (x - mean) / population-std per group, over an INTEGER
+    value column so the moments are exact int64 sums — the float math
+    that follows is the identical expression on both engines, making
+    even z's last bit deterministic.  Zero-variance groups emit z = 0;
+    NULL values pass through as NULL (SQL semantics); NULL group values
+    form their own group.
+
+    Two passes: per-batch (sum, sumsq, count) partials -> group-
+    cardinality groupby -> broadcast moment dict -> one streaming score
+    pass.  Guarded: n * sumsq and sum^2 must stay inside int64.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+
+    ds = read_table(sf_dir, "documents",
+                    columns=[id_col, group_col, value_col])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "g": batch[group_col].to_pandas(),
+            "v": batch[value_col].to_pandas(),
+        })
+        df = df[df["v"].notna()]
+        v = df["v"].to_numpy().astype(np.int64)
+        agg = df.assign(v=v, v2=v * v).groupby("g", sort=False,
+                                               dropna=False) \
+            .agg(ps=("v", "sum"), pq=("v2", "sum"), pn=("v", "size")) \
+            .reset_index()
+        key = agg["g"].where(agg["g"].notna(), "\x00").astype(str)
+        return pa.table({
+            "gk": pa.array(key.tolist(), type=pa.string()),
+            "ps": pa.array(agg["ps"].to_numpy().astype(np.int64)),
+            "pq": pa.array(agg["pq"].to_numpy().astype(np.int64)),
+            "pn": pa.array(agg["pn"].to_numpy().astype(np.int64)),
+        })
+
+    m = (ds.map_batches(moments, batch_format="pyarrow", batch_size=None)
+         .groupby("gk")
+         .aggregate(Sum("ps", alias_name="s"),
+                    Sum("pq", alias_name="q"),
+                    Sum("pn", alias_name="n"))).to_pandas()
+    table = {}
+    for r in m.itertuples():
+        s, qq, n = int(r.s), int(r.q), int(r.n)
+        if abs(n) and (abs(n * qq) >= 1 << 62 or abs(s) >= 1 << 31):
+            raise ValueError("standardize_by_group: moment products "
+                             "would overflow int64")
+        table[r.gk] = (s, qq, n)
+    m_ref = ray.put(table)
+
+    def score(batch: pa.Table, m_ref=m_ref) -> pa.Table:
+        mm = cached_get(m_ref)
+        g = batch[group_col].to_pandas()
+        keys = g.where(g.notna(), "\x00").astype(str)
+        # nulls surface as NaN through pandas (value_col is integral, so
+        # NaN can only mean NULL)
+        v = np.asarray(batch[value_col].to_pandas(), dtype=np.float64)
+        valid = ~np.isnan(v)
+        v = np.where(valid, v, 0.0)
+        s = np.array([mm[k][0] for k in keys], dtype=np.int64)
+        qq = np.array([mm[k][1] for k in keys], dtype=np.int64)
+        n = np.array([mm[k][2] for k in keys], dtype=np.int64)
+        mean = s / n
+        var = qq / n - mean * mean
+        zero = (n * qq) == (s * s)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(zero, 0.0, (v - mean) / np.sqrt(var))
+        z = round_half_away(z)
+        return pa.table({
+            id_col: batch[id_col],
+            group_col: batch[group_col],
+            value_col: batch[value_col],
+            "z": pa.array([float(x) if ok else None
+                           for x, ok in zip(z, valid)],
+                          type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 def _df_partial(batch: pa.Table, text_col: str = "text",
                 lower: bool = True) -> pa.Table:
     """Per-batch document-frequency partial: distinct (doc, token) pairs
