@@ -567,6 +567,14 @@ def _q_standardize_docs(sf_dir: str):
     return standardize_by_group(sf_dir)
 
 
+def _q_events_mad(sf_dir: str):
+    """Median + MAD robust stats per event type — two exact-quantile
+    passes composed through group_quantiles' make_ds hook."""
+    from s2ray.pipelines.analytics import robust_mad_stats
+
+    return robust_mad_stats(sf_dir)
+
+
 def _q_events_weekday_hour(sf_dir: str):
     """Weekday x hour traffic heatmap with purchase overlay."""
     from s2ray.pipelines.analytics import events_weekday_hour
@@ -1816,6 +1824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekday_hour": _q_events_weekday_hour,
         "group_sizes_hist": _q_group_sizes_hist,
         "standardize_docs": _q_standardize_docs,
+        "events_mad": _q_events_mad,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -2782,6 +2791,20 @@ SELECT d.doc_id, d.lang, d.n_chars,
                        / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 6)
        END AS z
 FROM documents d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang""",
+        # median + MAD: both are quantile_disc picks of actual data
+        # values; |v - median| is the identical float64 expression on
+        # both engines, so the second median is bit-exact too
+        "events_mad": """
+WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS median
+             FROM events WHERE value IS NOT NULL GROUP BY event_type),
+dev AS (SELECT e.event_type AS event_type, abs(e.value - m.median) AS d
+        FROM events e
+        JOIN med m ON m.event_type IS NOT DISTINCT FROM e.event_type
+        WHERE e.value IS NOT NULL)
+SELECT m.event_type AS event_type, m.median AS median,
+       quantile_disc(d.d, 0.5) AS mad
+FROM dev d JOIN med m ON m.event_type IS NOT DISTINCT FROM d.event_type
+GROUP BY m.event_type, m.median""",
         "events_quantiles": (
             "SELECT event_type, unnest(["
             + ", ".join(f"{q!r}" for q in EVENT_QS)

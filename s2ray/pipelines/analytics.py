@@ -1801,3 +1801,63 @@ def events_winsorized(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
 
     return agg.map_batches(drop_empty, batch_format="pyarrow",
                            batch_size=None)
+
+
+def robust_mad_stats(sf_dir: str, group_col: str = "event_type",
+                     value_col: str = "value", n_bins: int = 4096):
+    """Median + MAD (median absolute deviation) per group — the standard
+    robust location/scale pair for outlier detection in telemetry and
+    data-quality gates.  Output: (group, median, mad), one row per group
+    with at least one non-NULL value.
+
+    Composition of the bounded-memory exact-quantile machinery, twice:
+      1. median per group (group_quantiles at q=0.5);
+      2. broadcast the median dict, stream |v - median| through the SAME
+         machinery via its make_ds hook — the deviation column is never
+         materialized, just recomputed per pass (3 streaming scans).
+    Hash-exactness: |v - m| is one float64 expression written identically
+    in the SQL mirror, and quantile_disc selects an ACTUAL deviation
+    value, so both medians are bit-exact.  NULL values are dropped
+    everywhere (SQL aggregate semantics); NULL group keys form their own
+    group (IS NOT DISTINCT FROM join in the mirror).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..state.bcast import cached_get
+
+    med_df = group_quantiles(sf_dir, qs=(0.5,), group_col=group_col,
+                             value_col=value_col, n_bins=n_bins)
+    if not isinstance(med_df, pd.DataFrame):
+        med_df = med_df.to_pandas()
+    med = dict(zip(med_df[group_col], med_df[value_col]))
+    med_ref = ray.put(med)
+
+    def make_ds():
+        ds = read_table(sf_dir, "events", columns=[group_col, value_col])
+
+        def dev(batch: pa.Table, med_ref=med_ref) -> pa.Table:
+            mm = cached_get(med_ref)
+            if batch[value_col].null_count:
+                batch = batch.filter(pc.is_valid(batch[value_col]))
+            codes, uniq = _dict_codes(batch[group_col])
+            # a group absent from the median dict had ONLY null values
+            # upstream, so no row of it survives the filter above
+            m = np.fromiter((mm[u] for u in uniq), dtype=np.float64,
+                            count=len(uniq))
+            v = batch[value_col].to_numpy(zero_copy_only=False)
+            d = np.abs(v - m[codes])
+            return pa.table({group_col: batch[group_col],
+                             value_col: pa.array(d, type=pa.float64())})
+
+        return ds.map_batches(dev, batch_format="pyarrow", batch_size=None)
+
+    mad_df = group_quantiles(sf_dir, qs=(0.5,), group_col=group_col,
+                             value_col=value_col, n_bins=n_bins,
+                             make_ds=make_ds)
+    if not isinstance(mad_df, pd.DataFrame):
+        mad_df = mad_df.to_pandas()
+    out = med_df.rename(columns={value_col: "median"})[[group_col, "median"]] \
+        .merge(mad_df.rename(columns={value_col: "mad"})[[group_col, "mad"]],
+               on=group_col, how="left")
+    return out.sort_values(group_col, ignore_index=True)

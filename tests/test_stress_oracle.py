@@ -31,12 +31,13 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "pmi_collocations",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
                "tile_quantiles", "tile_diversity",
-               "docs_rollup", "dup_degree_hist", "tile_top_lang"]
+               "docs_rollup", "dup_degree_hist", "tile_top_lang",
+               "standardize_docs"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
                  "events_distinct_users", "props_field_stats",
-                 "events_winsorized"]
+                 "events_winsorized", "events_mad"]
 
 
 def _assert_matches_oracle(qname, res, con):
