@@ -575,6 +575,13 @@ def _q_events_mad(sf_dir: str):
     return robust_mad_stats(sf_dir)
 
 
+def _q_doc_deciles(sf_dir: str):
+    """Distributed NTILE(10) per lang over (n_chars, doc_id) order."""
+    from s2ray.pipelines.analytics import doc_deciles
+
+    return doc_deciles(sf_dir)
+
+
 def _q_events_weekday_hour(sf_dir: str):
     """Weekday x hour traffic heatmap with purchase overlay."""
     from s2ray.pipelines.analytics import events_weekday_hour
@@ -1825,6 +1832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sizes_hist": _q_group_sizes_hist,
         "standardize_docs": _q_standardize_docs,
         "events_mad": _q_events_mad,
+        "doc_deciles": _q_doc_deciles,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -2791,6 +2799,13 @@ SELECT d.doc_id, d.lang, d.n_chars,
                        / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 6)
        END AS z
 FROM documents d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang""",
+        # exact NTILE split: first n%k buckets take one extra row; the
+        # (n_chars, doc_id) order is total so the tile is deterministic
+        "doc_deciles": """
+SELECT doc_id, lang, n_chars,
+       CAST(ntile(10) OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+FROM documents""",
         # median + MAD: both are quantile_disc picks of actual data
         # values; |v - median| is the identical float64 expression on
         # both engines, so the second median is bit-exact too

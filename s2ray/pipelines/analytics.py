@@ -1861,3 +1861,113 @@ def robust_mad_stats(sf_dir: str, group_col: str = "event_type",
         .merge(mad_df.rename(columns={value_col: "mad"})[[group_col, "mad"]],
                on=group_col, how="left")
     return out.sort_values(group_col, ignore_index=True)
+
+
+def doc_deciles(sf_dir: str, k: int = 10, value_bucket: int = 64,
+                group_col: str = "lang", value_col: str = "n_chars",
+                id_col: str = "doc_id"):
+    """Distributed NTILE(k) per group: (doc_id, lang, n_chars, decile)
+    with decile = ntile(k) OVER (PARTITION BY lang ORDER BY n_chars,
+    doc_id) — length-stratified bucketing for curriculum sampling or
+    per-stratum quota selection.
+
+    Same value-range two-level scan as doc_token_rank: pass 1 counts rows
+    per (group, value_bucket) — the driver holds one row per occupied
+    range, bounded by value spread not corpus size — then broadcasts
+    exclusive offsets + per-group totals; pass 2 co-locates each (group,
+    range) with one groupby, sorts locally by (value, id) (a total order,
+    so the global position is offset + local index) and applies the exact
+    NTILE split (first n%k buckets get one extra row).  NULL values sort
+    last (SQL NULLS LAST) via an int64 sentinel; NULL groups form their
+    own partition via a sentinel shuffle key (a shuffle key cannot be
+    NULL).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+
+    VB = np.int64(value_bucket)
+    SENT = np.int64(1) << 62          # NULL value -> sorts after any real
+    K = int(k)
+    ds = read_table(sf_dir, "documents",
+                    columns=[id_col, group_col, value_col])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_pandas()
+        gk = g.where(g.notna(), "\x00").astype(str)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        v = np.where(np.isnan(v.astype(np.float64)), SENT,
+                     v).astype(np.int64) if v.dtype.kind == "f" \
+            else v.astype(np.int64)
+        key = gk + "\x1f" + pd.Series(v // VB).astype(str).to_numpy()
+        return pa.table({
+            id_col: batch[id_col],
+            group_col: batch[group_col],
+            value_col: batch[value_col],
+            "v": pa.array(v),
+            "gr": pa.array(key, type=pa.string()),
+            "gk": pa.array(gk, type=pa.string()),
+        })
+
+    compact = ds.map_batches(tag, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"gr": batch["gr"].to_pandas(),
+                           "gk": batch["gk"].to_pandas(),
+                           "vr": batch["v"].to_numpy() // VB})
+        g = df.groupby(["gr", "gk", "vr"], sort=False).size() \
+            .reset_index(name="pn")
+        return pa.table({
+            "gr": pa.array(g["gr"], type=pa.string()),
+            "gk": pa.array(g["gk"], type=pa.string()),
+            "vr": pa.array(g["vr"].to_numpy().astype(np.int64)),
+            "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+        })
+
+    rng = (compact.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+           .groupby("gr")
+           .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    # gr carries (gk, vr) — recover them for offset math
+    parts = rng["gr"].str.rsplit("\x1f", n=1, expand=True)
+    rng["gk"], rng["vr"] = parts[0], parts[1].astype(np.int64)
+    rng = rng.sort_values(["gk", "vr"]).reset_index(drop=True)
+    offsets, totals = {}, {}
+    for gk_, grp in rng.groupby("gk", sort=False):
+        c = grp["n"].to_numpy().astype(np.int64)
+        off = np.concatenate([[0], np.cumsum(c)[:-1]])
+        totals[gk_] = int(c.sum())
+        for vr_, o in zip(grp["vr"], off):
+            offsets[(gk_, int(vr_))] = int(o)
+    bc_ref = ray.put((offsets, totals))
+
+    def ntile_range(df: pd.DataFrame, bc_ref=bc_ref) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                group_col: pd.Series(dtype=object),
+                value_col: pd.Series(dtype=np.int64),
+                "decile": pd.Series(dtype=np.int64),
+            })
+        offs, tots = cached_get(bc_ref)
+        gk_ = df["gk"].iloc[0]
+        vr_ = int(df["v"].iloc[0] // VB)
+        base_off = offs[(gk_, vr_)]
+        n = tots[gk_]
+        df = df.sort_values(["v", id_col]).reset_index(drop=True)
+        r = base_off + np.arange(len(df), dtype=np.int64)   # 0-based
+        big, rem = n // K, n % K
+        cut = rem * (big + 1)
+        tile = np.where(r < cut, r // (big + 1),
+                        rem + (r - cut) // max(big, 1)) + 1
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            group_col: df[group_col].to_numpy(),
+            value_col: df[value_col].to_numpy(),
+            "decile": tile.astype(np.int64),
+        })
+
+    return (compact.groupby("gr")
+            .map_groups(ntile_range, batch_format="pandas"))

@@ -77,7 +77,7 @@ def _compare(name, entrymod, con):
                                    "near_dup_clusters", "events_asof",
                                    "event_gaps", "cohort_retention", "events_weekday_hour",
                                    "group_sizes_hist", "standardize_docs",
-                                   "events_mad",
+                                   "events_mad", "doc_deciles",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",
                                    "simhash_pairs", "corpus_keep",
