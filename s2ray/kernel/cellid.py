@@ -565,6 +565,45 @@ def get_all_neighbors(cell_id, lvl=None):
     return np.unique(ids)
 
 
+def all_neighbors_same_level(cell_ids, lvl):
+    """Vectorized AppendAllNeighbors for the SAME-level case (nbr level ==
+    cell level), the hot path of the distance-join bucketing: each cell's
+    8 surrounding candidates (edge + vertex rings collapse to the 3x3
+    stencil when sizes are equal) built with the identical
+    from_face_ij_same masks as the scalar loop above
+    (S2CellId.php:876-917), then per-row sorted dedupe — cube-face
+    corners yield 7.  Returns (flat_ids, counts): counts[r] neighbors of
+    cell r, concatenated in sorted order, matching
+    ``np.unique(get_all_neighbors(c, lvl))`` row by row.
+    """
+    cid = np.asarray(cell_ids, dtype=np.uint64)
+    n = len(cid)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    f, i, j = to_face_ij_orientation(cid)
+    f = f.astype(np.int64)
+    size = np.int64(1 << (MAX_LEVEL - lvl))
+    i0 = i.astype(np.int64) & -size
+    j0 = j.astype(np.int64) & -size
+    mx = np.int64(MAX_SIZE)
+    cand = np.empty((n, 8), dtype=np.uint64)
+    for k, (di, dj) in enumerate(((-1, -1), (1, -1), (0, -1), (0, 1),
+                                  (-1, 0), (1, 0), (-1, 1), (1, 1))):
+        ii = i0 + di * size
+        jj = j0 + dj * size
+        same = np.ones(n, dtype=bool)
+        if dj:
+            same &= (jj >= 0) & (jj < mx)
+        if di:
+            same &= (ii >= 0) & (ii < mx)
+        cand[:, k] = from_face_ij_same(f, ii, jj, same)
+    cand = parent(cand.reshape(-1), lvl).reshape(n, 8)
+    cand.sort(axis=1)
+    keep = np.concatenate([np.ones((n, 1), dtype=bool),
+                           cand[:, 1:] != cand[:, :-1]], axis=1)
+    return cand[keep], keep.sum(axis=1).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # token codec (S2CellId.php:462-512)
 

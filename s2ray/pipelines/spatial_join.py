@@ -369,7 +369,8 @@ def loop_pip_sql(loop, lat_expr: str = "radians(lat)",
     return f"({base} <> ((({crossings}) % 2) = 1))"
 
 
-def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
+def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000,
+                        n_parts: int = 64):
     """Spatial distance self-join: every pair of pages within ``d_m``
     meters great-circle distance — (i, j, dist_m) with i < j, dist
     rounded to mm like the kNN contract.
@@ -385,10 +386,13 @@ def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
     reference haversine (SmokeTest.php:12-21), mirrored in the SQL oracle.
 
     Scale shape: the one shuffle moves 9 compact (bucket, id, lat, lng,
-    home) rows per point — constant per-row volume; per-bucket work is a
-    vectorized pairwise haversine bounded by ``max_bucket`` (oversized
-    buckets raise rather than silently going quadratic: pick a smaller
-    d or pre-shard hot cells).
+    home) rows per point — constant per-row volume — co-partitioned by
+    bucket HASH into ``n_parts`` reducer groups (one vectorized callable
+    per part, never one Python call per micro-bucket: the per-group
+    pandas path cost 43 CPU-seconds on 45 k rows before this); per-bucket
+    work is a vectorized pairwise haversine bounded by ``max_bucket``
+    (oversized buckets raise rather than silently going quadratic: pick
+    a smaller d or pre-shard hot cells).
     """
     import pandas as pd
 
@@ -408,12 +412,9 @@ def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
         cell = ci.parent(leaf, lvl)
         uniq, inv = np.unique(cell, return_inverse=True)
         # neighbor lists are RAGGED (7 at cube-face corners, 8 elsewhere):
-        # flat gather per DISTINCT cell, then per-point ragged expansion
-        nb_lists = [np.asarray(ci.get_all_neighbors(c, lvl),
-                               dtype=np.uint64) for c in uniq]
-        nb_counts = np.array([len(x) for x in nb_lists], dtype=np.int64)
-        nb_flat = (np.concatenate(nb_lists) if len(nb_lists)
-                   else np.empty(0, dtype=np.uint64))
+        # one vectorized 3x3-stencil pass per DISTINCT cell (bit-identical
+        # to the scalar AppendAllNeighbors), then per-point expansion
+        nb_flat, nb_counts = ci.all_neighbors_same_level(uniq, lvl)
         offs = np.concatenate([[0], np.cumsum(nb_counts[:-1])]) \
             .astype(np.int64)
         cnt = nb_counts[inv]
@@ -424,8 +425,13 @@ def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
         own = _keys.to_key(cell)
         ghost = _keys.to_key(ghost_cells)
         n = len(ids)
+        bucket = np.concatenate([own, ghost])
+        part = ((bucket.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)).astype(np.int64) % n_parts
         return pa.table({
-            "bucket": pa.array(np.concatenate([own, ghost])),
+            "part": pa.array(part.astype(np.int32)),
+            "bucket": pa.array(bucket),
             "pid": pa.array(np.concatenate([ids, np.repeat(ids, cnt)])),
             "lat": pa.array(np.concatenate([lat, np.repeat(lat, cnt)])),
             "lng": pa.array(np.concatenate([lng, np.repeat(lng, cnt)])),
@@ -433,26 +439,50 @@ def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
                 [np.ones(n, dtype=bool), np.zeros(total, dtype=bool)])),
         })
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs_part(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"i": pd.Series(dtype=np.int64),
                               "j": pd.Series(dtype=np.int64),
                               "dist_m": pd.Series(dtype=np.float64)})
-        # a point can reach the same bucket as both home and ghost when a
-        # neighbor ring wraps (poles): home wins so the pair rule stays
-        # exactly-once
-        df = df.sort_values(["pid", "home"], ascending=[True, False]) \
-            .drop_duplicates("pid")
         if len(df) < 2:
             return empty
-        if len(df) > max_bucket:
-            raise ValueError(
-                f"distance_join bucket of {len(df)} rows exceeds "
-                f"max_bucket={max_bucket}; reduce d_m or pre-shard")
+        bkt = df["bucket"].to_numpy().astype(np.int64)
         ids = df["pid"].to_numpy().astype(np.int64)
         lat = np.radians(df["lat"].to_numpy())
         lng = np.radians(df["lng"].to_numpy())
         home = df["home"].to_numpy().astype(bool)
-        a, b = np.triu_indices(len(ids), 1)
+        # one lexsort for the whole part: bucket-major, pid, home FIRST —
+        # a point can reach the same bucket as both home and ghost when a
+        # neighbor ring wraps (poles): home wins so the pair rule stays
+        # exactly-once
+        order = np.lexsort((~home, ids, bkt))
+        bkt, ids, lat, lng, home = (x[order] for x in
+                                    (bkt, ids, lat, lng, home))
+        keep1 = np.concatenate([[True], (bkt[1:] != bkt[:-1])
+                                | (ids[1:] != ids[:-1])])
+        bkt, ids, lat, lng, home = (x[keep1] for x in
+                                    (bkt, ids, lat, lng, home))
+        n = len(ids)
+        if n < 2:
+            return empty
+        # bucket segments -> per-element pair fan-out (i pairs with every
+        # LATER element of its segment), all flat numpy
+        newseg = np.concatenate([[True], bkt[1:] != bkt[:-1]])
+        seg_id = np.cumsum(newseg) - 1
+        seg_start = np.flatnonzero(newseg)
+        seg_len = np.diff(np.append(seg_start, n))
+        if int(seg_len.max()) > max_bucket:
+            raise ValueError(
+                f"distance_join bucket of {int(seg_len.max())} rows "
+                f"exceeds max_bucket={max_bucket}; reduce d_m or "
+                f"pre-shard")
+        seg_end = (seg_start + seg_len)[seg_id]
+        c = seg_end - np.arange(n, dtype=np.int64) - 1   # pairs per elem
+        total = int(c.sum())
+        if total == 0:
+            return empty
+        a = np.repeat(np.arange(n, dtype=np.int64), c)
+        cume = np.concatenate([[0], np.cumsum(c)[:-1]]).astype(np.int64)
+        b = a + 1 + (np.arange(total, dtype=np.int64) - np.repeat(cume, c))
         # orient each candidate pair as (smaller id, larger id)
         swap = ids[a] > ids[b]
         lo = np.where(swap, b, a)
@@ -472,8 +502,8 @@ def distance_join_pairs(pages_ds, d_m: float, max_bucket: int = 200_000):
 
     return (pages_ds.map_batches(to_buckets, batch_format="pyarrow",
                                  batch_size=None)
-            .groupby("bucket")
-            .map_groups(pairs, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(pairs_part, batch_format="pandas"))
 
 
 def bearing_sectors(pages_ds, qlat_deg: float, qlng_deg: float,

@@ -259,3 +259,23 @@ def test_metric_level_selection():
         assert m.get_max_level(v) == lvl
     assert m.get_max_level(10.0) == 0
     assert m.get_max_level(1e-18) == 30
+
+
+def test_all_neighbors_same_level_matches_scalar():
+    """Vectorized 3x3-stencil neighbors == scalar AppendAllNeighbors
+    (sorted), including cube-face corners (7 neighbors) and poles."""
+    import numpy as np
+
+    from s2ray.kernel import cellid as ci
+
+    rng = np.random.default_rng(7)
+    lat = np.concatenate([rng.uniform(-90, 90, 500), [89.999, -89.999]])
+    lng = np.concatenate([rng.uniform(-180, 180, 500), [0.0, 179.999]])
+    for lvl in (1, 4, 9, 14):
+        cells = np.unique(ci.parent(ci.from_latlng_degrees(lat, lng), lvl))
+        flat, counts = ci.all_neighbors_same_level(cells, lvl)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        assert counts.min() >= 7 and counts.max() <= 8
+        for r, c in enumerate(cells):
+            ref = np.sort(ci.get_all_neighbors(c, lvl))
+            assert np.array_equal(ref, flat[off[r]:off[r + 1]]), (lvl, c)
