@@ -575,6 +575,13 @@ def _q_events_mad(sf_dir: str):
     return robust_mad_stats(sf_dir)
 
 
+def _q_cross_lang_nn(sf_dir: str):
+    """Bitext-mining top-1: nearest different-language embedding."""
+    from s2ray.pipelines.ann import cross_lang_nn
+
+    return cross_lang_nn(sf_dir)
+
+
 def _q_doc_deciles(sf_dir: str):
     """Distributed NTILE(10) per lang over (n_chars, doc_id) order."""
     from s2ray.pipelines.analytics import doc_deciles
@@ -1833,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standardize_docs": _q_standardize_docs,
         "events_mad": _q_events_mad,
         "doc_deciles": _q_doc_deciles,
+        "cross_lang_nn": _q_cross_lang_nn,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -2799,6 +2807,20 @@ SELECT d.doc_id, d.lang, d.n_chars,
                        / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 6)
        END AS z
 FROM documents d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang""",
+        # top-1 by cosine with a different-language constraint; ranks only
+        # (no float column), ties broken by nn_id like the kNN contract
+        "cross_lang_nn": """
+WITH ed AS (SELECT e.vec_id AS vec_id, d.lang AS lang,
+                   CAST(e.embedding AS DOUBLE[]) AS emb
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            WHERE d.lang IS NOT NULL)
+SELECT vec_id, lang, nn_id, nn_lang FROM (
+  SELECT a.vec_id AS vec_id, a.lang AS lang,
+         b.vec_id AS nn_id, b.lang AS nn_lang,
+         row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(b.emb, a.emb) DESC,
+                      b.vec_id) AS rn
+  FROM ed a JOIN ed b ON b.lang <> a.lang) WHERE rn = 1""",
         # exact NTILE split: first n%k buckets take one extra row; the
         # (n_chars, doc_id) order is total so the tile is deterministic
         "doc_deciles": """

@@ -412,3 +412,79 @@ def quantize_embeddings(sf_dir: str, n_levels: int = 256):
         })
 
     return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)
+
+
+def cross_lang_nn(sf_dir: str):
+    """Bitext-mining-shape constrained nearest neighbor: for EVERY vector,
+    the most cosine-similar vector whose document language DIFFERS —
+    (vec_id, lang, nn_id, nn_lang), ties on similarity broken by smaller
+    nn_id.  The candidate-alignment primitive of parallel-corpus mining
+    (cf. LASER/CCMatrix margin mining) restricted to its exact top-1 core
+    so the result is SQL-oracle-checkable.
+
+    Declared broadcast baseline like embedding_near_dup: the L2-normalized
+    corpus matrix + its language codes ship once via ray.put and every
+    batch does ONE (B, N) matmul with a same-language/self mask — the
+    right call while the matrix fits one object (the LSH/IVF bucketing in
+    this module is the >1-object scale path; the same mask composes with
+    either).  Vectors with no document row or a NULL language are
+    excluded on both sides (SQL inner-join + lang <> lang semantics).
+    """
+    import ray
+
+    from ..sources.readers import load_doc_langs, load_embedding_matrix
+
+    vec_ids, mat = load_embedding_matrix(sf_dir)
+    order = np.argsort(vec_ids)      # argmax picks the FIRST max -> the
+    vec_ids, mat = vec_ids[order], mat[order]   # smallest nn_id on ties
+    doc_ids, langs = load_doc_langs(sf_dir)
+    pos = np.searchsorted(doc_ids, vec_ids)
+    posc = np.clip(pos, 0, max(0, len(doc_ids) - 1))
+    has = (pos < len(doc_ids)) & (doc_ids[posc] == vec_ids) \
+        if len(doc_ids) else np.zeros(len(vec_ids), dtype=bool)
+    lang_of = np.full(len(vec_ids), None, dtype=object)
+    lang_of[has] = langs[posc[has]]
+    valid = np.array([x is not None and x == x for x in lang_of],
+                     dtype=bool)
+    c_ids = vec_ids[valid].astype(np.int64)
+    c_mat = mat[valid]
+    c_langs = lang_of[valid].astype(str)
+    uq, c_codes = np.unique(c_langs, return_inverse=True)
+    bc = ray.put((c_ids, c_mat, c_codes.astype(np.int32), c_langs))
+
+    def stage(batch: pa.Table, bc=bc) -> pa.Table:
+        from ..state.bcast import cached_get
+
+        c_ids, c_mat, c_codes, c_langs = cached_get(bc)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        emb = normalized_matrix(batch["embedding"])
+        # this batch's language codes come from the broadcast corpus side
+        p = np.searchsorted(c_ids, ids)
+        pc_ = np.clip(p, 0, max(0, len(c_ids) - 1))
+        inc = (p < len(c_ids)) & (c_ids[pc_] == ids) if len(c_ids) \
+            else np.zeros(len(ids), dtype=bool)
+        ids, emb, pc_ = ids[inc], emb[inc], pc_[inc]
+        if len(ids) == 0 or len(c_ids) == 0:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "nn_id": pa.array([], type=pa.int64()),
+                "nn_lang": pa.array([], type=pa.string()),
+            })
+        my_codes = c_codes[pc_]
+        sims = emb @ c_mat.T                       # (B, N)
+        bad = my_codes[:, None] == c_codes[None, :]
+        sims = np.where(bad, sims.dtype.type(-np.inf), sims)
+        ok = ~np.all(np.isneginf(sims), axis=1)    # single-lang corpus
+        ids, sims, pc_ = ids[ok], sims[ok], pc_[ok]
+        nn = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "lang": pa.array(c_langs[pc_], type=pa.string()),
+            "nn_id": pa.array(c_ids[nn], type=pa.int64()),
+            "nn_lang": pa.array(c_langs[nn], type=pa.string()),
+        })
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)

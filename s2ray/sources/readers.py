@@ -44,6 +44,20 @@ def load_embedding_matrix(sf_dir: str):
     return t["vec_id"].to_numpy(), normalized_matrix(t["embedding"])
 
 
+def load_doc_langs(sf_dir: str):
+    """(doc_ids SORTED ascending, aligned lang object array) — a 2-column
+    driver projection used only by broadcast-baseline operators that ship
+    the full corpus matrix anyway (cross_lang_nn); the sort makes the
+    ids searchsorted-probeable on workers."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang"]).sort_by("doc_id")
+    return (t["doc_id"].to_numpy(),
+            np.asarray(t["lang"].to_pandas(), dtype=object))
+
+
 def _coerce_to_schema(schema: pa.Schema):
     """map_batches fn casting parsed text-format batches to an arrow
     schema, so JSONL/CSV reads feed operators the SAME types the parquet
