@@ -575,6 +575,13 @@ def _q_events_mad(sf_dir: str):
     return robust_mad_stats(sf_dir)
 
 
+def _q_user_streaks(sf_dir: str):
+    """Gaps-and-islands: longest consecutive-active-day streak/user."""
+    from s2ray.pipelines.analytics import user_streaks
+
+    return user_streaks(sf_dir)
+
+
 def _q_cross_lang_nn(sf_dir: str):
     """Bitext-mining top-1: nearest different-language embedding."""
     from s2ray.pipelines.ann import cross_lang_nn
@@ -1841,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad": _q_events_mad,
         "doc_deciles": _q_doc_deciles,
         "cross_lang_nn": _q_cross_lang_nn,
+        "user_streaks": _q_user_streaks,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -2807,6 +2815,22 @@ SELECT d.doc_id, d.lang, d.n_chars,
                        / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 6)
        END AS z
 FROM documents d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang""",
+        # gaps-and-islands: day - row_number is constant within a run of
+        # consecutive days; positive epochs make // == floor division
+        "user_streaks": """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+r AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS island
+      FROM d),
+s AS (SELECT user_id, island, count(*) AS streak
+      FROM r GROUP BY user_id, island)
+SELECT user_id,
+       CAST(sum(streak) AS BIGINT) AS n_active_days,
+       CAST(max(streak) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id""",
         # top-1 by cosine with a different-language constraint; ranks only
         # (no float column), ties broken by nn_id like the kNN contract
         "cross_lang_nn": """

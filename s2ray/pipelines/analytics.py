@@ -1971,3 +1971,69 @@ def doc_deciles(sf_dir: str, k: int = 10, value_bucket: int = 64,
 
     return (compact.groupby("gr")
             .map_groups(ntile_range, batch_format="pandas"))
+
+
+def user_streaks(sf_dir: str, n_parts: int = 64):
+    """Longest consecutive-active-day streak per user (the SQL
+    gaps-and-islands window pattern, distributed): output (user_id,
+    n_active_days, max_streak) over distinct UTC activity days.
+
+    Same one-co-partition shape as event_gaps: hash by user, then a
+    single vectorized pass per partition — distinct (user, day), the
+    island key day - within-user-index, run lengths via reduceat.  Day =
+    epoch_us // 86400e6 (integer floor; event timestamps are positive
+    epochs, where truncation and floor agree with the oracle's `//`).
+    NULL-ts / NULL-user events are unattributable and ignored.
+    """
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(_drop_null_users(
+            batch.replace_schema_metadata(None)))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = np.floor_divide(t, 86_400_000_000)
+        # per-batch distinct (user, day) — the shuffle moves at most one
+        # row per user-day per batch, not one per event
+        key = np.stack([uid.astype(np.int64), day])
+        _, idx = np.unique(key, axis=1, return_index=True)
+        uid, day = uid[idx].astype(np.int64), day[idx]
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid),
+            "day": pa.array(day),
+        })
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "n_active_days": pd.Series(dtype=np.int64),
+                "max_streak": pd.Series(dtype=np.int64),
+            })
+        df = df.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"])
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        day = df["day"].to_numpy().astype(np.int64)
+        newu = np.concatenate([[True], uid[1:] != uid[:-1]])
+        brk = newu | np.concatenate([[True], (day[1:] - day[:-1]) != 1])
+        isl_start = np.flatnonzero(brk)
+        isl_len = np.diff(np.append(isl_start, len(day)))
+        isl_uid = uid[isl_start]
+        # islands are user-ordered: per-user max via reduceat segments
+        ustart = np.flatnonzero(np.concatenate(
+            [[True], isl_uid[1:] != isl_uid[:-1]]))
+        users = isl_uid[ustart]
+        max_streak = np.maximum.reduceat(isl_len, ustart)
+        n_days = np.add.reduceat(isl_len, ustart)
+        return pd.DataFrame({
+            "user_id": users,
+            "n_active_days": n_days.astype(np.int64),
+            "max_streak": max_streak.astype(np.int64),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("part")
+            .map_groups(streaks, batch_format="pandas"))

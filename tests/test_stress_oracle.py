@@ -37,7 +37,7 @@ EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
                  "events_distinct_users", "props_field_stats",
-                 "events_winsorized", "events_mad"]
+                 "events_winsorized", "events_mad", "user_streaks"]
 
 
 def _assert_matches_oracle(qname, res, con):
@@ -216,7 +216,7 @@ def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
 
 
 NULL_USER_QUERIES = ["user_sessions", "funnel_views", "event_gaps",
-                     "cohort_retention",
+                     "cohort_retention", "user_streaks",
                      "events_distinct_users", "events_asof"]
 
 
@@ -359,7 +359,8 @@ def test_null_values_match_oracle(qname, null_value_dir, ray_session):
 
 NULL_TS_QUERIES = ["events_hourly", "events_sliding", "user_sessions",
                    "event_gaps", "cohort_retention", "events_weekday_hour",
-                   "events_asof", "funnel_views", "event_windows"]
+                   "events_asof", "funnel_views", "event_windows",
+                   "user_streaks"]
 
 
 @pytest.fixture(scope="module")
