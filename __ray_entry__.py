@@ -575,6 +575,13 @@ def _q_events_mad(sf_dir: str):
     return robust_mad_stats(sf_dir)
 
 
+def _q_source_mix(sf_dir: str):
+    """Temperature-smoothed (alpha=0.5) mixing-rate audit per source."""
+    from s2ray.pipelines.sampling import source_mix
+
+    return source_mix(sf_dir)
+
+
 def _q_user_streaks(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak/user."""
     from s2ray.pipelines.analytics import user_streaks
@@ -1849,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_deciles": _q_doc_deciles,
         "cross_lang_nn": _q_cross_lang_nn,
         "user_streaks": _q_user_streaks,
+        "source_mix": _q_source_mix,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -1878,6 +1886,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "bpe_token_counts": _q_bpe_token_counts,
     }
+
+
+def _source_mix_oracle() -> str:
+    # n / total is ONE float64 division and IEEE sqrt is correctly
+    # rounded, so both engines floor the identical double; the keep rule
+    # is the shared splitmix hash_bp mirror
+    from s2ray.pipelines.sampling import hash_bp_sql
+
+    return f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+r AS (SELECT source, n,
+             CAST(floor(sqrt(n / (SELECT total FROM t)) * 10000)
+                  AS BIGINT) AS rate_bp
+      FROM c),
+k AS (SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN r ON r.source IS NOT DISTINCT FROM d.source
+      WHERE {hash_bp_sql('d.doc_id')} < r.rate_bp
+      GROUP BY d.source)
+SELECT r.source AS source, r.n AS n_docs, r.rate_bp AS rate_bp,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM r LEFT JOIN k ON k.source IS NOT DISTINCT FROM r.source"""
 
 
 def _sample_per_lang_oracle() -> str:
@@ -2815,6 +2846,7 @@ SELECT d.doc_id, d.lang, d.n_chars,
                        / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 6)
        END AS z
 FROM documents d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang""",
+        "source_mix": _source_mix_oracle(),
         # gaps-and-islands: day - row_number is constant within a run of
         # consecutive days; positive epochs make // == floor division
         "user_streaks": """

@@ -159,3 +159,80 @@ def split_corpus_sql(val_bp: int = 500, test_bp: int = 500) -> str:
     return (f"SELECT doc_id, CASE WHEN {h} < {test_bp} THEN 'test' "
             f"WHEN {h} < {test_bp + val_bp} THEN 'val' "
             f"ELSE 'train' END AS split FROM documents")
+
+
+def source_mix(sf_dir: str, target_bp_scale: int = _BP):
+    """Temperature-smoothed dataset mixing (alpha = 0.5): per-source keep
+    rates proportional to sqrt(source share) — the standard flattening of
+    source skew in LLM pre-training mixes — applied with the same
+    deterministic hash_bp rule as sample_corpus, reported as a per-source
+    audit table (source, n_docs, rate_bp, n_kept).
+
+    Rates are DERIVED FROM THE DATA (unlike sample_corpus's user-given
+    rates): pass 1 is a source-cardinality count groupby; the driver
+    computes rate_bp = floor(sqrt(n_s / N) * 10000) — n_s / N is one
+    float64 division and IEEE-754 sqrt is correctly rounded, so both
+    engines floor the identical double — and broadcasts the tiny dict;
+    pass 2 is one streaming bincount of kept docs per source.  NULL
+    sources form their own group (sentinel shuffle key).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = batch["source"].to_pandas()
+        key = src.where(src.notna(), "\x00").astype(str)
+        g = key.groupby(key, sort=False).size()
+        return pa.table({
+            "gk": pa.array(g.index.to_numpy(), type=pa.string()),
+            "pn": pa.array(g.to_numpy().astype(np.int64)),
+        })
+
+    cnt = (ds.map_batches(count_partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("gk")
+           .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    total = int(cnt["n"].sum())
+    rates = {}
+    for r in cnt.itertuples():
+        share = int(r.n) / total          # one float64 division
+        rates[r.gk] = int(np.floor(np.sqrt(share) * target_bp_scale))
+    r_ref = ray.put(rates)
+
+    def kept_partial(batch: pa.Table, r_ref=r_ref) -> pa.Table:
+        import pandas as pd
+
+        from ..state.bcast import cached_get
+
+        rt = cached_get(r_ref)
+        src = batch["source"].to_pandas()
+        key = src.where(src.notna(), "\x00").astype(str)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bp = _hash_bp(ids)
+        thr = key.map(rt).to_numpy().astype(np.int64)
+        kept = (bp < thr).astype(np.int64)
+        df = pd.DataFrame({"gk": key, "pk": kept})
+        g = df.groupby("gk", sort=False)["pk"].sum()
+        return pa.table({
+            "gk": pa.array(g.index.to_numpy(), type=pa.string()),
+            "pk": pa.array(g.to_numpy().astype(np.int64)),
+        })
+
+    kept = (ds.map_batches(kept_partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("gk")
+            .aggregate(Sum("pk", alias_name="n_kept"))).to_pandas()
+    out = cnt.merge(kept, on="gk", how="left")
+    out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
+    import pandas as pd
+
+    return pd.DataFrame({
+        "source": out["gk"].where(out["gk"] != "\x00", None),
+        "n_docs": out["n"].astype(np.int64),
+        "rate_bp": out["gk"].map(rates).astype(np.int64),
+        "n_kept": out["n_kept"],
+    }).sort_values("source", ignore_index=True)

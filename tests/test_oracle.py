@@ -78,7 +78,7 @@ def _compare(name, entrymod, con):
                                    "event_gaps", "cohort_retention", "events_weekday_hour",
                                    "group_sizes_hist", "standardize_docs",
                                    "events_mad", "doc_deciles",
-                                   "cross_lang_nn", "user_streaks",
+                                   "cross_lang_nn", "user_streaks", "source_mix",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",
                                    "simhash_pairs", "corpus_keep",

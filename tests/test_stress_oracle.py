@@ -32,7 +32,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
                "tile_quantiles", "tile_diversity",
                "docs_rollup", "dup_degree_hist", "tile_top_lang",
-               "standardize_docs", "doc_deciles", "cross_lang_nn"]
+               "standardize_docs", "doc_deciles", "cross_lang_nn",
+               "source_mix"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
