@@ -575,6 +575,20 @@ def _q_events_mad(sf_dir: str):
     return robust_mad_stats(sf_dir)
 
 
+def _q_emb_integrity(sf_dir: str):
+    """Referential-integrity audit docs <-> embeddings (id co-partition)."""
+    from s2ray.pipelines.join import emb_integrity
+
+    return emb_integrity(sf_dir)
+
+
+def _q_langid_confusion(sf_dir: str):
+    """Labeled-lang vs LangId-prediction confusion matrix."""
+    from s2ray.pipelines.text import langid_confusion
+
+    return langid_confusion(sf_dir)
+
+
 def _q_source_mix(sf_dir: str):
     """Temperature-smoothed (alpha=0.5) mixing-rate audit per source."""
     from s2ray.pipelines.sampling import source_mix
@@ -1857,6 +1871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_lang_nn": _q_cross_lang_nn,
         "user_streaks": _q_user_streaks,
         "source_mix": _q_source_mix,
+        "langid_confusion": _q_langid_confusion,
+        "emb_integrity": _q_emb_integrity,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -2847,6 +2863,16 @@ SELECT d.doc_id, d.lang, d.n_chars,
        END AS z
 FROM documents d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang""",
         "source_mix": _source_mix_oracle(),
+        "emb_integrity": """
+SELECT 'documents' AS side, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(e.vec_id) AS BIGINT) AS n_matched,
+       CAST(count(*) - count(e.vec_id) AS BIGINT) AS n_missing
+FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+UNION ALL
+SELECT 'embeddings' AS side, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(d.doc_id) AS BIGINT) AS n_matched,
+       CAST(count(*) - count(d.doc_id) AS BIGINT) AS n_missing
+FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id""",
         # gaps-and-islands: day - row_number is constant within a run of
         # consecutive days; positive epochs make // == floor division
         "user_streaks": """
@@ -3099,6 +3125,11 @@ m AS (SELECT lang, quantile_disc(quality, 0.5) AS med
 SELECT ql.doc_id, ql.lang FROM ql JOIN m USING (lang)
 WHERE ql.quality >= m.med""",
         "lang_id": langid_sql,
+        "langid_confusion": f"""
+SELECT d.lang AS lang, p.lang_pred AS lang_pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN ({langid_sql}) p USING (doc_id)
+GROUP BY d.lang, p.lang_pred""",
         "fingerprint": fingerprint_oracle,
         "new_docs": new_docs_oracle,
         "corpus_keep": corpus_keep_sql,

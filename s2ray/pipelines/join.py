@@ -437,3 +437,63 @@ def pricing_summary(sf_dir: str):
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            batch_size=None)
+
+
+def emb_integrity(sf_dir: str, n_parts: int = 64):
+    """Referential-integrity audit between documents and embeddings —
+    per side: (side, n_total, n_matched, n_missing), where matched means
+    the id exists in the other table (doc_id == vec_id contract).  The
+    standard pre-training sanity gate before any doc<->vector join.
+
+    ONE id-hash co-partition of both id columns (ids only — never text or
+    vectors), per-part vectorized set intersection, then a 2-row partial
+    sum; both tables stream, nothing corpus-sized sits anywhere.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    embs = read_table(sf_dir, "embeddings", columns=["vec_id"])
+
+    def tag(col, side):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch[col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "part": pa.array((ids % n_parts).astype(np.int32)),
+                "id": pa.array(ids),
+                "side": pa.array(np.full(len(ids), side, dtype=np.int8)),
+            })
+        return fn
+
+    both = docs.map_batches(tag("doc_id", 0), batch_format="pyarrow",
+                            batch_size=None) \
+        .union(embs.map_batches(tag("vec_id", 1), batch_format="pyarrow",
+                                batch_size=None))
+
+    def audit(df) -> pa.Table:
+        import pandas as pd
+
+        d = df.loc[df["side"] == 0, "id"].to_numpy()
+        v = df.loc[df["side"] == 1, "id"].to_numpy()
+        m = np.int64(len(np.intersect1d(d, v)))
+        return pa.table({
+            "side": pa.array(["documents", "embeddings"]),
+            "pn": pa.array(np.array([len(d), len(v)], dtype=np.int64)),
+            "pm": pa.array(np.array([m, m], dtype=np.int64)),
+        })
+
+    agg = (both.groupby("part").map_groups(audit, batch_format="pandas")
+           .groupby("side")
+           .aggregate(Sum("pn", alias_name="n_total"),
+                      Sum("pm", alias_name="n_matched")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nt = batch["n_total"].to_numpy(zero_copy_only=False)
+        nm = batch["n_matched"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "n_missing", pa.array((nt - nm).astype(np.int64)))
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)

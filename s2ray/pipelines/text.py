@@ -1306,3 +1306,53 @@ def inverted_index(sf_dir: str, shard_docs: int = 100, lower: bool = True,
     return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby(["token", "shard"])
             .map_groups(merge, batch_format="pandas"))
+
+
+def langid_confusion(sf_dir: str):
+    """Label-quality audit: confusion matrix of the corpus's labeled
+    ``lang`` column vs the marker-word LangId prediction — (lang,
+    lang_pred, n), one row per observed pair.  The standard first look at
+    whether a crawl's self-declared languages can be trusted.
+
+    One streaming pass (the LangId singleton fuses with the scan), then a
+    (labels x predictions)-bounded count groupby over sentinel-packed
+    keys (a shuffle key cannot be NULL; NULL labels are restored in the
+    finalize).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        batch = lang_id_batch(batch)
+        lab = batch["lang"].to_pandas()
+        key = lab.where(lab.notna(), "\x00").astype(str) + "\x1f" + \
+            batch["lang_pred"].to_pandas().astype(str)
+        g = key.groupby(key, sort=False).size()
+        return pa.table({
+            "gk": pa.array(g.index.to_numpy(), type=pa.string()),
+            "pn": pa.array(g.to_numpy().astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("gk")
+           .aggregate(Sum("pn", alias_name="n")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        gk = batch["gk"].to_pandas()
+        parts = gk.str.split("\x1f", n=1, expand=True)
+        lab = parts[0].where(parts[0] != "\x00", None)
+        return pa.table({
+            "lang": pa.array(lab, type=pa.string()),
+            "lang_pred": pa.array(parts[1], type=pa.string()),
+            "n": batch["n"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)

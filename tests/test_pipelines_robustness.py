@@ -36,3 +36,43 @@ def test_malformed_pages_flow_through():
     ids = out["cell_id"].to_numpy(zero_copy_only=False)
     assert ids[0] != 0          # valid geo -> real cell
     assert all(i == 0 for i in ids[1:])  # no geo -> sentinel 0, no crash
+
+
+def test_emb_integrity_counts_actual_mismatches(tmp_path, ray_session):
+    """The audit must count real orphans on both sides (the sf tables are
+    fully matched, so the oracle gate alone never exercises n_missing>0)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array(["a"] * 5), "lang": pa.array(["en"] * 5),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array([1] * 5, type=pa.int64()),
+    }), f"{d}/documents.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([3, 4, 5, 6, 7, 8], type=pa.int64()),
+        "embedding": pa.array([[0.0, 1.0]] * 6,
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 6, type=pa.int32()),
+    }), f"{d}/embeddings.parquet")
+    out = e.queries()["emb_integrity"](d).to_pandas() \
+        .sort_values("side").reset_index(drop=True)
+    assert out.loc[0, "side"] == "documents"
+    assert (out.loc[0, ["n_total", "n_matched", "n_missing"]]
+            .tolist() == [5, 3, 2])
+    assert (out.loc[1, ["n_total", "n_matched", "n_missing"]]
+            .tolist() == [6, 3, 3])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
+    ora = con.execute(e.oracle_sql()["emb_integrity"]).df() \
+        .sort_values("side").reset_index(drop=True)
+    assert ora.equals(out.astype(ora.dtypes.to_dict()))
