@@ -575,6 +575,13 @@ def _q_events_mad(sf_dir: str):
     return robust_mad_stats(sf_dir)
 
 
+def _q_tile_growth(sf_dir: str):
+    """Month-over-month page-count delta per level-6 tile (spatial LAG)."""
+    from s2ray.pipelines.tiles import tile_growth
+
+    return tile_growth(sf_dir, level=TILE_Q_LEVEL)
+
+
 def _q_emb_integrity(sf_dir: str):
     """Referential-integrity audit docs <-> embeddings (id co-partition)."""
     from s2ray.pipelines.join import emb_integrity
@@ -1873,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": _q_source_mix,
         "langid_confusion": _q_langid_confusion,
         "emb_integrity": _q_emb_integrity,
+        "tile_growth": _q_tile_growth,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -2783,6 +2791,24 @@ FROM (
         "tile_counts_l8": tile_counts_sql,
         "tile_quantiles": tile_quantiles_sql,
         "tile_diversity": tile_diversity_sql,
+        # spatio-temporal LAG: a tile's first observed month takes prev=0
+        # (all-int64 contract — nullable numerics hash differently across
+        # pandas Int64 / float64-NaN canonicalizations, so the operator
+        # avoids them by definition); month from page_id like pages_per_month
+        "tile_growth": (
+            f"{cte}, tm AS (SELECT cell_token, date_trunc('month', "
+            "make_timestamp((1704067200 + (page_id * 40499) % 31536000) "
+            "* 1000000)) AS month, CAST(count(*) AS BIGINT) AS n_pages "
+            "FROM ("
+            + s2_cell_select(
+                "SELECT page_id, lat, lng FROM pages_geo",
+                level=TILE_Q_LEVEL)
+            + ") GROUP BY cell_token, month) "
+            "SELECT cell_token, month, n_pages, "
+            "coalesce(lag(n_pages) OVER w, 0) AS prev_n_pages, "
+            "n_pages - coalesce(lag(n_pages) OVER w, 0) AS delta FROM tm "
+            "WINDOW w AS (PARTITION BY cell_token ORDER BY month)"
+        ),
         "session_quantiles": session_q_sql,
         "tile_pyramid": tile_pyramid_sql,
         "adaptive_tiles": _adaptive_tiles_oracle(cte),

@@ -494,3 +494,65 @@ def tile_top_lang(sf_dir: str, level: int = 6, repl: int = 1,
         })
 
     return agg.groupby("ckey").map_groups(argmax, batch_format="pandas")
+
+
+def tile_growth(sf_dir: str, level: int = 6, n_parts: int = 256):
+    """Month-over-month page-count growth per S2 tile — (cell_token,
+    month, n_pages, prev_n_pages, delta), the spatio-temporal LAG window
+    behind change-detection map layers; a tile's first observed month
+    takes prev = 0 (coalesce(lag(), 0) in the mirror — an all-int64
+    contract, so neither engine ever surfaces a nullable numeric).
+
+    Per-batch (cell, month) pre-aggregation bounds the shuffle at tiles x
+    months rows per batch, then ONE cell-hash co-partition computes the
+    lag locally (a tile's whole history lives in one group; months never
+    cross cells).
+    """
+    import pandas as pd
+    from ..kernel import cellid, keys
+
+    col = f"cell_l{level}"
+    ds = pages_with_cells(sf_dir, token_level=level)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = keys.to_key(batch[col].to_numpy(zero_copy_only=False))
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False)
+        m = ts.astype("datetime64[M]").astype(np.int64)
+        df = pd.DataFrame({"ck": ck, "m": m})
+        g = df.groupby(["ck", "m"], sort=False).size().reset_index(name="pn")
+        ckv = g["ck"].to_numpy()
+        return pa.table({
+            "part": pa.array((ckv % n_parts).astype(np.int32)),
+            "ck": pa.array(ckv, type=pa.int64()),
+            "m": pa.array(g["m"].to_numpy().astype(np.int64)),
+            "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+        })
+
+    def lag_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "cell_token": pd.Series(dtype=object),
+                "month": pd.Series(dtype="datetime64[us]"),
+                "n_pages": pd.Series(dtype=np.int64),
+                "prev_n_pages": pd.Series(dtype="Int64"),
+                "delta": pd.Series(dtype="Int64"),
+            })
+        g = df.groupby(["ck", "m"], sort=True)["pn"].sum().reset_index()
+        ck = g["ck"].to_numpy().astype(np.int64)
+        n = g["pn"].to_numpy().astype(np.int64)
+        first = np.concatenate([[True], ck[1:] != ck[:-1]])
+        prev = np.where(first, 0, np.concatenate([[0], n[:-1]]))
+        ids = keys.from_key(ck)
+        return pd.DataFrame({
+            "cell_token": cellid.to_token(ids),
+            "month": g["m"].to_numpy().astype("datetime64[M]")
+                .astype("datetime64[us]"),
+            "n_pages": n,
+            "prev_n_pages": prev.astype(np.int64),
+            "delta": (n - prev).astype(np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("part")
+            .map_groups(lag_part, batch_format="pandas"))
