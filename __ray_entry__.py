@@ -575,6 +575,16 @@ def _q_events_mad(sf_dir: str):
     return robust_mad_stats(sf_dir)
 
 
+def _q_grid_smooth(sf_dir: str):
+    """Moore-neighborhood raster convolution over the occupied 1-degree
+    grid (antimeridian-aware), on the aggregated cell table."""
+    from s2ray.pipelines.cluster import grid_smooth
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return grid_smooth(pages_with_cells(sf_dir, token_level=None),
+                       cell_deg=1.0)
+
+
 def _q_tile_growth(sf_dir: str):
     """Month-over-month page-count delta per level-6 tile (spatial LAG)."""
     from s2ray.pipelines.tiles import tile_growth
@@ -1881,6 +1891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": _q_langid_confusion,
         "emb_integrity": _q_emb_integrity,
         "tile_growth": _q_tile_growth,
+        "grid_smooth": _q_grid_smooth,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -2832,6 +2843,23 @@ FROM (
         "top3_per_city": top3,
         "zonal_stats": zonal,
         "grid_clusters": _grid_clusters_oracle(cte),
+        # Moore stencil as 8-way LEFT self-join on the aggregated grid;
+        # the double-mod keeps DuckDB's sign-of-dividend % equal to
+        # numpy's floor-mod for the antimeridian wrap
+        "grid_smooth": (
+            f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
+            "CAST(floor(lng / 1.0) AS BIGINT) AS gx, count(*) AS n "
+            "FROM pages_geo GROUP BY 1, 2), "
+            "d AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+            "(0,1),(1,-1),(1,0),(1,1)) AS t(dy, dx)) "
+            "SELECT a.gx AS gx, a.gy AS gy, CAST(a.n AS BIGINT) AS n_pages, "
+            "CAST(coalesce(sum(b.n), 0) AS BIGINT) AS nb_pages, "
+            "CAST(count(b.n) AS BIGINT) AS nb_cells "
+            "FROM g a CROSS JOIN d LEFT JOIN g b "
+            "ON b.gy = a.gy + d.dy "
+            "AND b.gx = ((a.gx + d.dx + 180) % 360 + 360) % 360 - 180 "
+            "GROUP BY a.gx, a.gy, a.n"
+        ),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "dup_span_stats": dup_span_sql,
         "revenue_by_nation": _revenue_by_nation_oracle(),

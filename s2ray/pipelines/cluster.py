@@ -107,3 +107,76 @@ def grid_clusters(pages_ds, cell_deg: float = 1.0, min_pages: int = 1):
 
     return occ.repartition(1).map_batches(finalize, batch_format="pyarrow",
                                           batch_size=None)
+
+
+def grid_smooth(pages_ds, cell_deg: float = 1.0):
+    """Raster stencil over the occupied lat/lng grid: for every occupied
+    cell, the 8-neighbor (Moore) convolution of page counts — (gx, gy,
+    n_pages, nb_pages, nb_cells) with antimeridian wrap on gx, no wrap on
+    gy.  The neighborhood-smoothing / hot-spot primitive of raster map
+    layers, run on the AGGREGATED grid: the corpus streams once into a
+    grid-bounded count groupby, and the stencil itself touches only the
+    occupied-cell table (<= W*W/2 rows — 64800 at 1 degree — never pages;
+    same bounded-final-task argument as grid_clusters; a finer-than-0.01
+    degree grid would stripe by gx with one-column halo exchange).
+    """
+    from ray.data.aggregate import Sum
+
+    w = 360.0 / cell_deg
+    assert abs(w - round(w)) < 1e-9, "cell_deg must divide 360"
+    W = int(round(w))
+    offx, offy = W // 2, W // 4
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        gy = np.floor(lat / cell_deg).astype(np.int64)
+        gx = np.floor(lng / cell_deg).astype(np.int64)
+        p = (gy + offy) * W + (gx + offx)
+        u, c = np.unique(p, return_counts=True)
+        return pa.table({"p": pa.array(u, type=pa.int64()),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    occ = (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby("p").aggregate(Sum("pn", alias_name="n"))
+           .repartition(1))
+
+    def stencil(batch: pa.Table) -> pa.Table:
+        p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(p):
+            return pa.table({
+                "gx": pa.array([], type=pa.int64()),
+                "gy": pa.array([], type=pa.int64()),
+                "n_pages": pa.array([], type=pa.int64()),
+                "nb_pages": pa.array([], type=pa.int64()),
+                "nb_cells": pa.array([], type=pa.int64()),
+            })
+        order = np.argsort(p)
+        p, n = p[order], n[order]
+        gy = p // W - offy
+        gx = p % W - offx
+        nb_pages = np.zeros(len(p), dtype=np.int64)
+        nb_cells = np.zeros(len(p), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                ngx = (gx + dx + offx) % W - offx      # antimeridian wrap
+                q = (gy + dy + offy) * W + (ngx + offx)
+                pos = np.searchsorted(p, q)
+                ok = pos < len(p)
+                hit = ok & (p[np.minimum(pos, len(p) - 1)] == q)
+                nb_pages[hit] += n[np.minimum(pos, len(p) - 1)][hit]
+                nb_cells[hit] += 1
+        return pa.table({
+            "gx": pa.array(gx),
+            "gy": pa.array(gy),
+            "n_pages": pa.array(n),
+            "nb_pages": pa.array(nb_pages),
+            "nb_cells": pa.array(nb_cells),
+        })
+
+    return occ.map_batches(stencil, batch_format="pyarrow",
+                           batch_size=None)
