@@ -575,6 +575,18 @@ def _q_events_mad(sf_dir: str):
     return robust_mad_stats(sf_dir)
 
 
+KNN_GRAPH_K = 3
+
+
+def _q_knn_graph(sf_dir: str):
+    """k-NN graph within 25 km: per-page top-3 by (mm distance, nn_id)."""
+    from s2ray.pipelines.spatial_join import knn_graph
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return knn_graph(pages_with_cells(sf_dir, token_level=None),
+                     DIST_JOIN_M, k=KNN_GRAPH_K)
+
+
 def _q_grid_smooth(sf_dir: str):
     """Moore-neighborhood raster convolution over the occupied 1-degree
     grid (antimeridian-aware), on the aggregated cell table."""
@@ -1892,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_integrity": _q_emb_integrity,
         "tile_growth": _q_tile_growth,
         "grid_smooth": _q_grid_smooth,
+        "knn_graph": _q_knn_graph,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -2445,6 +2458,10 @@ rk AS (SELECT page_id, nn_id, dm,
               row_number() OVER (PARTITION BY page_id
                                  ORDER BY dm, nn_id) AS rn FROM sym)
 SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1"""
+    knn_graph_sql = nearest_neighbor_sql.replace(
+        "SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1",
+        "SELECT page_id, nn_id, CAST(rn AS BIGINT) AS rank, "
+        f"dm AS dist_m FROM rk WHERE rn <= {KNN_GRAPH_K}")
     # Voronoi classification rollup: argmin over the city list; only
     # order-free reductions (count / min / max of rounded dist) follow the
     # float math, so distributed partial order can never touch the hash
@@ -3046,6 +3063,7 @@ GROUP BY m.event_type, m.median""",
         "doc_perplexity": ppl_sql,
         "distance_join": distance_join_sql,
         "nearest_neighbor": nearest_neighbor_sql,
+        "knn_graph": knn_graph_sql,
         "nearest_city_stats": nearest_city_sql,
         "bearing_sectors": bearing_sql,
         "decontaminate": (

@@ -691,3 +691,81 @@ def nearest_neighbor_map(pages_ds, d_m: float, max_bucket: int = 200_000):
                               batch_size=None)
             .groupby("part")
             .map_groups(merge_best, batch_format="pandas"))
+
+
+def knn_graph(pages_ds, d_m: float, k: int = 3, max_bucket: int = 200_000):
+    """k-nearest-neighbor graph within ``d_m`` meters: for each page, its
+    up-to-k closest OTHER pages — (page_id, nn_id, rank, dist_m), rank
+    1..k by (mm-rounded distance, nn_id) exactly like the kNN contract;
+    pages with no neighbor in range are absent.  Generalizes
+    nearest_neighbor_map (k = 1) to the graph used by spatial smoothing
+    and label propagation.
+
+    Same two-stage distributed selection: symmetrized pairs -> per-batch
+    LOCAL top-k per point (the shuffle moves at most k rows per point per
+    batch) -> one point-hash co-partition picks the global top-k and
+    assigns ranks.
+    """
+    import pandas as pd
+
+    pairs = distance_join_pairs(pages_ds, d_m, max_bucket=max_bucket)
+    K = int(k)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy(zero_copy_only=False)
+        j = batch["j"].to_numpy(zero_copy_only=False)
+        dm = batch["dist_m"].to_numpy(zero_copy_only=False)
+        pid = np.concatenate([i, j]).astype(np.int64)
+        nn = np.concatenate([j, i]).astype(np.int64)
+        d = np.concatenate([dm, dm])
+        if len(pid) == 0:
+            return pa.table({
+                "part": pa.array([], type=pa.int32()),
+                "page_id": pa.array([], type=pa.int64()),
+                "nn_id": pa.array([], type=pa.int64()),
+                "dist_m": pa.array([], type=pa.float64()),
+            })
+        order = np.lexsort((nn, d, pid))
+        pid, nn, d = pid[order], nn[order], d[order]
+        starts = np.concatenate([[0], np.flatnonzero(pid[1:] != pid[:-1])
+                                 + 1])
+        within = np.arange(len(pid)) - np.repeat(
+            starts, np.diff(np.append(starts, len(pid))))
+        keep = within < K
+        pid, nn, d = pid[keep], nn[keep], d[keep]
+        return pa.table({
+            "part": pa.array((pid % _NN_PARTS).astype(np.int32)),
+            "page_id": pa.array(pid),
+            "nn_id": pa.array(nn),
+            "dist_m": pa.array(d),
+        })
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "page_id": pd.Series(dtype=np.int64),
+                "nn_id": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int64),
+                "dist_m": pd.Series(dtype=np.float64),
+            })
+        pid = df["page_id"].to_numpy().astype(np.int64)
+        nn = df["nn_id"].to_numpy().astype(np.int64)
+        d = df["dist_m"].to_numpy()
+        order = np.lexsort((nn, d, pid))
+        pid, nn, d = pid[order], nn[order], d[order]
+        starts = np.concatenate([[0], np.flatnonzero(pid[1:] != pid[:-1])
+                                 + 1])
+        within = np.arange(len(pid)) - np.repeat(
+            starts, np.diff(np.append(starts, len(pid))))
+        keep = within < K
+        return pd.DataFrame({
+            "page_id": pid[keep],
+            "nn_id": nn[keep],
+            "rank": (within[keep] + 1).astype(np.int64),
+            "dist_m": d[keep],
+        })
+
+    return (pairs.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("part")
+            .map_groups(merge_topk, batch_format="pandas"))
