@@ -409,6 +409,26 @@ def run_bench():
 
     timed("cosine_sim_pairs", _cosine)
 
+    def _tile_growth():
+        # spatio-temporal LAG window per tile (round 3, session 2)
+        import __ray_entry__ as e
+        from s2ray.pipelines.tiles import tile_growth
+
+        return tile_growth(SF_DIR, level=e.TILE_Q_LEVEL).count()
+
+    timed("tile_growth", _tile_growth)
+
+    def _knn_graph():
+        # spatial top-k join over the exactly-once distance self-join
+        # (repl=1 for the same identical-coordinate reason as _nn)
+        import __ray_entry__ as e
+        from s2ray.pipelines.spatial_join import knn_graph
+
+        return knn_graph(pages_with_cells(SF_DIR, repl=1, token_level=None),
+                         e.DIST_JOIN_M, k=e.KNN_GRAPH_K).count()
+
+    timed("knn_graph", _knn_graph)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({
