@@ -575,6 +575,16 @@ def _q_events_mad(sf_dir: str):
     return robust_mad_stats(sf_dir)
 
 
+VOCAB_P = (1, 2)          # nucleus cut p = 1/2 as an exact rational
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Top-p (nucleus) vocabulary cut via a descending two-level cumsum."""
+    from s2ray.pipelines.text import vocab_coverage
+
+    return vocab_coverage(sf_dir, p_num=VOCAB_P[0], p_den=VOCAB_P[1])
+
+
 KNN_GRAPH_K = 3
 
 
@@ -1905,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_growth": _q_tile_growth,
         "grid_smooth": _q_grid_smooth,
         "knn_graph": _q_knn_graph,
+        "vocab_coverage": _q_vocab_coverage,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
@@ -3177,6 +3188,18 @@ GROUP BY m.event_type, m.median""",
             "'\\s+'), x -> x <> '')) AS token FROM documents) "
             "GROUP BY token ORDER BY n DESC, token LIMIT 100"
         ),
+        # nucleus cut: keep while the PRECEDING cumulative count is under
+        # p = num/den of all occurrences — pure-int64 boundary rule
+        "vocab_coverage": f"""
+WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+             '\\s+'), x -> x <> '')) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+r AS (SELECT token, n, CAST(coalesce(sum(n) OVER (ORDER BY n DESC, token
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cum_before FROM c)
+SELECT token, n, cum_before FROM r, t
+WHERE {VOCAB_P[1]} * cum_before < {VOCAB_P[0]} * total""",
         "sample_corpus": _sample_corpus_oracle(),
         "split_corpus": _split_corpus_oracle(),
         "normalize_text": _normalize_text_oracle(),

@@ -551,19 +551,60 @@ def run_scaling():
 
 
 def run_stage_stats():
-    """Per-stage wall/rows/throughput of the flagship (north_rule:
-    'reporting per-stage throughput'); one JSON line."""
+    """Per-stage wall/cpu/rows/throughput of the flagship PLUS
+    partition-level sink metrics (north_rule: 'reporting per-stage
+    throughput and partition-level metrics'); one JSON line."""
+    import glob
     import re
+    import shutil
 
     ray = _init_ray()
     from s2ray.pipelines.tiles import tile_counts
+    from s2ray.state.sink import write_partitioned
 
+    t0 = time.time()
     ds = tile_counts(SF_DIR, level=8, repl=REPL).materialize()
     stats = ds.stats()
     stages = []
-    for m in re.finditer(
-            r"^Operator (\d+) (\S+).*?in ([0-9.]+)s$", stats, re.M):
-        stages.append({"op": m.group(2)[:80], "wall_s": float(m.group(3))})
+    blocks = re.split(r"^Operator ", stats, flags=re.M)[1:]
+    for blk in blocks:
+        head = blk.splitlines()[0]
+        m = re.match(r"\d+ (\S+).*?in ([0-9.]+)s", head)
+        wall = float(m.group(2)) if m else None
+        cpu = rows = None
+        mc = re.search(r"Remote cpu time:.*?, ([0-9.]+)(m?s) total", blk)
+        if mc:
+            cpu = float(mc.group(1)) / (1000.0 if mc.group(2) == "ms"
+                                        else 1.0)
+        mr = re.search(r"Output num rows per block:.*?, (\d+) total", blk)
+        if mr:
+            rows = int(mr.group(1))
+        st = {"op": (m.group(1)[:80] if m else head[:80]), "wall_s": wall}
+        if cpu is not None:
+            st["cpu_s"] = round(cpu, 3)
+        if rows is not None:
+            st["rows_out"] = rows
+            if wall:
+                st["rows_per_sec"] = round(rows / wall, 1)
+        stages.append(st)
+    # partition-level metrics: Hilbert-partitioned checkpointed sink —
+    # one manifest per partition with rows + lineage (state/sink.py)
+    out_dir = f"/tmp/bench_stage_sink_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def add_part(batch):
+        import pyarrow as pa
+
+        tok = batch["cell_token"]
+        part = [t[:2] for t in tok.to_pylist()]
+        return batch.append_column("part", pa.array(part))
+
+    write_partitioned(ds.map_batches(add_part, batch_format="pyarrow"),
+                      out_dir, part_col="part")
+    parts = []
+    for mp in sorted(glob.glob(f"{out_dir}/_manifest/*.json")):
+        with open(mp) as f:
+            parts.append(json.load(f))
     print(json.dumps({
         "metric": "flagship_stage_stats",
         "value": len(stages),
@@ -571,7 +612,11 @@ def run_stage_stats():
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "num_cpus": NUM_CPUS,
         "pages": REPL * _n_docs(SF_DIR),
+        "wall_total_s": round(time.time() - t0, 3),
         "stages": stages,
+        "n_partitions": len(parts),
+        "partition_rows": {p.get("part", p.get("partition", str(i))):
+                           p.get("rows") for i, p in enumerate(parts)},
     }))
     ray.shutdown()
 

@@ -1356,3 +1356,98 @@ def langid_confusion(sf_dir: str):
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            batch_size=None)
+
+
+def vocab_coverage(sf_dir: str, p_num: int = 1, p_den: int = 2,
+                   lower: bool = True, count_bucket: int = 16,
+                   text_col: str = "text"):
+    """Nucleus (top-p) vocabulary cut: the tokens of the frequency-sorted
+    vocabulary (n DESC, token ASC) whose PRECEDING cumulative occurrence
+    count stays under p = p_num/p_den of all occurrences — (token, n,
+    cum_before).  The coverage analysis behind vocabulary truncation and
+    stop-list construction; the keep rule ``p_den * cum_before <
+    p_num * total`` is pure int64, so the boundary token can never
+    float-diverge.
+
+    Distributed DESCENDING cumulative sum, the doc_token_rank two-level
+    scan flipped: vocabulary counts (a vocabulary-sized aggregate) ->
+    per-count-range occurrence totals -> driver exclusive offsets over
+    ranges in DESCENDING count order (bounded by count spread, never
+    vocabulary size) -> per-range local (n DESC, token) sort + cumsum +
+    offset; equal counts live in one range, so the tie order is local.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+    from ..sources.readers import read_table
+
+    CB = np.int64(count_bucket)
+    ds = read_table(sf_dir, "documents", columns=[text_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        _, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({
+            "token": pa.array(uniques.tolist(), type=pa.string()),
+            "partial_n": pa.array(cnt),
+        })
+
+    vocab = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("token")
+             .aggregate(Sum("partial_n", alias_name="n"))).materialize()
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        r = n // CB
+        u, inv = np.unique(r, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pa.table({"vr": pa.array(u),
+                         "ps": pa.array(s)})
+
+    rng = (vocab.map_batches(range_partial, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby("vr")
+           .aggregate(Sum("ps", alias_name="s"))).to_pandas()
+    rng = rng.sort_values("vr", ascending=False).reset_index(drop=True)
+    starts = rng["vr"].to_numpy().astype(np.int64)       # DESC order
+    sums = rng["s"].to_numpy().astype(np.int64)
+    total = int(sums.sum())
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])  # exclusive
+    bc = ray.put((starts, offsets, total))
+
+    def cut_range(df, bc=bc):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame({
+                "token": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+                "cum_before": pd.Series(dtype=np.int64),
+            })
+        st, off, tot = cached_get(bc)
+        vr = int(df["n"].iloc[0] // CB)
+        # st is descending: find vr's slot
+        base = off[len(st) - 1 - np.searchsorted(st[::-1], vr)]
+        df = df.sort_values(["n", "token"],
+                            ascending=[False, True]).reset_index(drop=True)
+        n = df["n"].to_numpy().astype(np.int64)
+        cb_ = base + np.concatenate([[0], np.cumsum(n)[:-1]])
+        keep = p_den * cb_ < p_num * tot
+        return pd.DataFrame({
+            "token": df["token"].to_numpy()[keep],
+            "n": n[keep],
+            "cum_before": cb_[keep].astype(np.int64),
+        })
+
+    def add_vr(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return batch.append_column("vr", pa.array(n // CB))
+
+    return (vocab.map_batches(add_vr, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("vr")
+            .map_groups(cut_range, batch_format="pandas"))

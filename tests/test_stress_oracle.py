@@ -34,7 +34,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "docs_rollup", "dup_degree_hist", "tile_top_lang",
                "standardize_docs", "doc_deciles", "cross_lang_nn",
                "source_mix", "langid_confusion", "emb_integrity",
-               "tile_growth", "grid_smooth", "knn_graph"]
+               "tile_growth", "grid_smooth", "knn_graph",
+               "vocab_coverage"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
