@@ -856,6 +856,20 @@ def _q_sample_per_lang(sf_dir: str):
     return sample_n_per_group(sf_dir, n=10)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Length-weighted PPS Bernoulli sample (integer splitmix threshold)."""
+    from s2ray.pipelines.sampling import weighted_sample
+
+    return weighted_sample(sf_dir)
+
+
+def _q_lang_corr(sf_dir: str):
+    """Per-lang Pearson corr(n_chars, token count) via exact int moments."""
+    from s2ray.pipelines.analytics import corr_by_group
+
+    return corr_by_group(sf_dir)
+
+
 def _q_emb_norm_by_lang(sf_dir: str):
     """Generic co-partition equi-join (documents JOIN embeddings on
     doc_id = vec_id) + rollup: (lang, n, avg_norm)."""
@@ -1871,6 +1885,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_above_median": _q_quality_above_median,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        # ---- oracled, outside the 50-slot driver window but first in
+        # line if it grows (never driver-verified yet) ----
+        "weighted_sample": _q_weighted_sample,
+        "lang_corr": _q_lang_corr,
         # ---- oracled, outside the driver window (driver-green in r02;
         # still hash-gated in-suite by tests/test_oracle.py) ----
         "boolean_pip_join": _q_boolean_pip_join,
@@ -1996,6 +2014,18 @@ def _sample_corpus_oracle() -> str:
     from s2ray.pipelines.sampling import sample_corpus_sql
 
     return sample_corpus_sql(SAMPLE_RATES_BP)
+
+
+def _weighted_sample_oracle() -> str:
+    from s2ray.pipelines.sampling import weighted_sample_sql
+
+    return weighted_sample_sql()
+
+
+def _lang_corr_oracle() -> str:
+    from s2ray.pipelines.analytics import corr_by_group_sql
+
+    return corr_by_group_sql()
 
 
 def _token_counts_oracle() -> str:
@@ -3202,6 +3232,8 @@ SELECT token, n, cum_before FROM r, t
 WHERE {VOCAB_P[1]} * cum_before < {VOCAB_P[0]} * total""",
         "sample_corpus": _sample_corpus_oracle(),
         "split_corpus": _split_corpus_oracle(),
+        "weighted_sample": _weighted_sample_oracle(),
+        "lang_corr": _lang_corr_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "sample_per_lang": _sample_per_lang_oracle(),
         "emb_near_dup": emb_near_dup_sql,

@@ -2037,3 +2037,96 @@ def user_streaks(sf_dir: str, n_parts: int = 64):
                            batch_size=None)
             .groupby("part")
             .map_groups(streaks, batch_format="pandas"))
+
+
+def corr_by_group(sf_dir: str, group_col: str = "lang",
+                  x_col: str = "n_chars"):
+    """Per-group Pearson correlation between two integer features —
+    (group, n_docs, corr) with x = n_chars and y = whitespace-token count
+    of text — the feature-diagnostics aggregate (CORR(x, y) GROUP BY g)
+    behind data-quality dashboards.
+
+    Exactness contract: both features are integers, so the five moment
+    sums (Sx, Sy, Sxx, Syy, Sxy) accumulate exactly in int64 partials and
+    exactly in Python ints on the driver; the final float expression
+    float(n*Sxy - Sx*Sy) / sqrt(float(n*Sxx - Sx^2) * float(n*Syy - Sy^2))
+    is the identical correctly-rounded IEEE sequence DuckDB evaluates on
+    its HUGEINT sums, so even the correlation's last bit matches the SQL
+    oracle.  Degenerate variance emits NULL in both engines.  Rows with a
+    NULL x or NULL text drop (SQL WHERE parity); NULL groups form their
+    own group.
+
+    One streaming pass of per-batch moment partials, one tiny groupby of
+    group-cardinality rows, driver math on the handful of groups — no
+    whole-table shuffle, scale-safe at any corpus size."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents",
+                    columns=[group_col, x_col, "text"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_pandas()
+        x = np.asarray(batch[x_col].to_pandas(), dtype=np.float64)
+        txt = batch["text"]
+        y = pc.fill_null(pc.add(pc.count_substring(txt, " "), 1), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        tnull = np.asarray(pc.is_null(txt).to_numpy(zero_copy_only=False))
+        ok = ~np.isnan(x) & ~tnull
+        df = pd.DataFrame({"g": g[ok]})
+        xi = x[ok].astype(np.int64)
+        yi = y[ok].astype(np.int64)
+        agg = df.assign(x=xi, y=yi, xx=xi * xi, yy=yi * yi, xy=xi * yi) \
+            .groupby("g", sort=False, dropna=False) \
+            .agg(sx=("x", "sum"), sy=("y", "sum"), sxx=("xx", "sum"),
+                 syy=("yy", "sum"), sxy=("xy", "sum"), pn=("x", "size")) \
+            .reset_index()
+        key = agg["g"].where(agg["g"].notna(), "\x00").astype(str)
+        cols = {"gk": pa.array(key.tolist(), type=pa.string())}
+        for c in ("sx", "sy", "sxx", "syy", "sxy", "pn"):
+            cols[c] = pa.array(agg[c].to_numpy().astype(np.int64))
+        return pa.table(cols)
+
+    m = (ds.map_batches(moments, batch_format="pyarrow", batch_size=None)
+         .groupby("gk")
+         .aggregate(Sum("sx", alias_name="x"), Sum("sy", alias_name="y"),
+                    Sum("sxx", alias_name="xx"), Sum("syy", alias_name="yy"),
+                    Sum("sxy", alias_name="xy"),
+                    Sum("pn", alias_name="n"))).to_pandas()
+    out_g, out_n, out_c = [], [], []
+    for r in m.itertuples():
+        n, sx, sy = int(r.n), int(r.x), int(r.y)
+        sxx, syy, sxy = int(r.xx), int(r.yy), int(r.xy)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = (float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+                if vx > 0 and vy > 0 else None)
+        out_g.append(None if r.gk == "\x00" else r.gk)
+        out_n.append(n)
+        out_c.append(corr)
+    return pd.DataFrame({
+        group_col: pd.Series(out_g, dtype=object),
+        "n_docs": pd.Series(out_n, dtype=np.int64),
+        "corr_chars_tokens": pd.Series(out_c, dtype=np.float64),
+    }).sort_values(group_col, ignore_index=True)
+
+
+def corr_by_group_sql(group_col: str = "lang",
+                      x_col: str = "n_chars") -> str:
+    toks = "length(text) - length(replace(text, ' ', '')) + 1"
+    return (
+        f"WITH t AS (SELECT {group_col}, CAST({x_col} AS HUGEINT) AS x, "
+        f"CAST({toks} AS HUGEINT) AS y FROM documents "
+        f"WHERE {x_col} IS NOT NULL AND text IS NOT NULL), "
+        f"m AS (SELECT {group_col}, CAST(count(*) AS HUGEINT) AS n, "
+        "sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, "
+        f"sum(x*y) AS sxy FROM t GROUP BY {group_col}) "
+        f"SELECT {group_col}, CAST(n AS BIGINT) AS n_docs, "
+        "CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 "
+        "THEN CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * "
+        "CAST(n*syy - sy*sy AS DOUBLE)) ELSE NULL END "
+        f"AS corr_chars_tokens FROM m"
+    )

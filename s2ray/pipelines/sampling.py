@@ -76,6 +76,45 @@ def sample_corpus_sql(rates_bp: dict[str, int]) -> str:
             f"WHERE {hash_bp_sql('doc_id')} < (CASE {cases} ELSE 0 END)")
 
 
+def weighted_sample(sf_dir: str, weight_col: str = "n_chars",
+                    bp_per_unit: int = 2, id_col: str = "doc_id"):
+    """Probability-proportional-to-size (PPS) Bernoulli sampling: keep a
+    doc with probability min(1, weight * bp_per_unit / 10000) — the
+    quality/length-weighted subsampling step of a training-data mix
+    (longer or higher-scoring docs kept at higher rate), done entirely in
+    integer arithmetic so the decision is a pure function of (doc_id,
+    weight) that every worker, resume and replica agrees on, and that a
+    DuckDB HUGEINT mirror reproduces bit-exactly.
+
+    Unlike ``sample_corpus`` (per-stratum uniform rates keyed on a
+    categorical column), the threshold here varies continuously per row
+    with a numeric weight.  Pure per-batch filter — no shuffle, no state,
+    no driver materialization; NULL weights drop the row (SQL NULL
+    comparison parity)."""
+    cols = sorted({id_col, weight_col, "source"})
+    ds = read_table(sf_dir, "documents", columns=cols)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        wv = np.nan_to_num(w.astype(np.float64), nan=-1.0)
+        thr = np.minimum(np.int64(_BP),
+                         (wv * bp_per_unit).astype(np.int64))
+        keep = _hash_bp(ids) < thr
+        return batch.filter(pa.array(keep)).select(
+            [id_col, "source", weight_col])
+
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_sample_sql(weight_col: str = "n_chars",
+                        bp_per_unit: int = 2,
+                        id_col: str = "doc_id") -> str:
+    return (f"SELECT {id_col}, source, {weight_col} FROM documents "
+            f"WHERE {hash_bp_sql(id_col)} < "
+            f"LEAST({_BP}, CAST({weight_col} AS BIGINT) * {bp_per_unit})")
+
+
 def sample_n_per_group(sf_dir: str, n: int = 10, group_col: str = "lang",
                        id_col: str = "doc_id"):
     """Deterministic fixed-size per-group sample: the n rows with the

@@ -104,6 +104,7 @@ def _compare(name, entrymod, con):
                                    "polyline_near", "boolean_pip_join",
                                    "quality_score",
                                    "lang_id", "fingerprint",
+                                   "weighted_sample", "lang_corr",
                                    "url_domain_counts", "events_hourly",
                                    "emb_centroids", "events_sliding",
                                    "top3_per_city", "user_sessions"])
