@@ -870,6 +870,13 @@ def _q_lang_corr(sf_dir: str):
     return corr_by_group(sf_dir)
 
 
+def _q_events_sliding_distinct(sf_dir: str):
+    """Sliding-window exact distinct users (non-summable window agg)."""
+    from s2ray.pipelines.analytics import events_sliding_distinct
+
+    return events_sliding_distinct(sf_dir)
+
+
 def _q_emb_norm_by_lang(sf_dir: str):
     """Generic co-partition equi-join (documents JOIN embeddings on
     doc_id = vec_id) + rollup: (lang, n, avg_norm)."""
@@ -1889,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # line if it grows (never driver-verified yet) ----
         "weighted_sample": _q_weighted_sample,
         "lang_corr": _q_lang_corr,
+        "events_sliding_distinct": _q_events_sliding_distinct,
         # ---- oracled, outside the driver window (driver-green in r02;
         # still hash-gated in-suite by tests/test_oracle.py) ----
         "boolean_pip_join": _q_boolean_pip_join,
@@ -2026,6 +2034,12 @@ def _lang_corr_oracle() -> str:
     from s2ray.pipelines.analytics import corr_by_group_sql
 
     return corr_by_group_sql()
+
+
+def _sliding_distinct_oracle() -> str:
+    from s2ray.pipelines.analytics import events_sliding_distinct_sql
+
+    return events_sliding_distinct_sql()
 
 
 def _token_counts_oracle() -> str:
@@ -3234,6 +3248,7 @@ WHERE {VOCAB_P[1]} * cum_before < {VOCAB_P[0]} * total""",
         "split_corpus": _split_corpus_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "lang_corr": _lang_corr_oracle(),
+        "events_sliding_distinct": _sliding_distinct_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "sample_per_lang": _sample_per_lang_oracle(),
         "emb_near_dup": emb_near_dup_sql,

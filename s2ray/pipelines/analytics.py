@@ -2130,3 +2130,73 @@ def corr_by_group_sql(group_col: str = "lang",
         "CAST(n*syy - sy*sy AS DOUBLE)) ELSE NULL END "
         f"AS corr_chars_tokens FROM m"
     )
+
+
+def events_sliding_distinct(sf_dir: str, window_s: int = 3600,
+                            slide_s: int = 1800, n_parts: int = 256):
+    """Sliding-window EXACT distinct users — (window_start, n_users) for
+    hop-slide_s windows of length window_s: the audience-reach window
+    where, unlike events_sliding's counts, the aggregate is not
+    partially summable (a user seen twice in one window counts once),
+    so the plan ships per-batch-distinct (window, user) PAIRS — never
+    raw events — into ONE window-hash co-partition that finishes the
+    distinct locally.  NULL users and NULL timestamps drop (COUNT
+    (DISTINCT) / NULL-comparison SQL parity).  Shuffle volume is
+    bounded by windows x active-users-per-batch, not event count."""
+    n_windows = window_s // slide_s
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch)
+        ts_s = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[s]").astype(np.int64)
+        uid = np.asarray(batch["user_id"].to_pandas(), dtype=np.float64)
+        ok = ~np.isnan(uid)
+        ts_s, uid = ts_s[ok], uid[ok].astype(np.int64)
+        base = (ts_s // slide_s) * slide_s
+        starts = base[:, None] - slide_s * np.arange(n_windows)[None, :]
+        valid = ts_s[:, None] < starts + window_s
+        w = starts[valid]
+        u = np.repeat(uid, n_windows).reshape(-1, n_windows)[valid]
+        pairs = pd.DataFrame({"w": w, "u": u}).drop_duplicates()
+        wv = pairs["w"].to_numpy()
+        return pa.table({
+            "part": pa.array((wv % n_parts).astype(np.int32)),
+            "w": pa.array(wv, type=pa.int64()),
+            "u": pa.array(pairs["u"].to_numpy(), type=pa.int64()),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "window_start": pd.Series(dtype="datetime64[us]"),
+                "n_users": pd.Series(dtype=np.int64),
+            })
+        g = df.drop_duplicates(["w", "u"]).groupby("w", sort=True)["u"] \
+            .size().reset_index(name="n")
+        return pd.DataFrame({
+            "window_start": g["w"].to_numpy().astype("datetime64[s]")
+                .astype("datetime64[us]"),
+            "n_users": g["n"].to_numpy().astype(np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("part")
+            .map_groups(finish, batch_format="pandas"))
+
+
+def events_sliding_distinct_sql(window_s: int = 3600,
+                                slide_s: int = 1800) -> str:
+    ks = ", ".join(f"({k})" for k in range(window_s // slide_s))
+    return f"""
+SELECT make_timestamp(w * 1000000) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {slide_s}) * {slide_s}
+           - {slide_s} * k.k AS w,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es, user_id
+  FROM events CROSS JOIN (VALUES {ks}) AS k(k)
+  WHERE user_id IS NOT NULL
+) WHERE es < w + {window_s}
+GROUP BY 1"""

@@ -105,6 +105,7 @@ def _compare(name, entrymod, con):
                                    "quality_score",
                                    "lang_id", "fingerprint",
                                    "weighted_sample", "lang_corr",
+                                   "events_sliding_distinct",
                                    "url_domain_counts", "events_hourly",
                                    "emb_centroids", "events_sliding",
                                    "top3_per_city", "user_sessions"])

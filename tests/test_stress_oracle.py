@@ -35,12 +35,13 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "standardize_docs", "doc_deciles", "cross_lang_nn",
                "source_mix", "langid_confusion", "emb_integrity",
                "tile_growth", "grid_smooth", "knn_graph",
-               "vocab_coverage"]
+               "vocab_coverage", "weighted_sample", "lang_corr"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
                  "events_distinct_users", "props_field_stats",
-                 "events_winsorized", "events_mad", "user_streaks"]
+                 "events_winsorized", "events_mad", "user_streaks",
+                 "events_sliding_distinct"]
 
 
 def _assert_matches_oracle(qname, res, con):
@@ -146,7 +147,7 @@ def test_label_propagation_raises_instead_of_wrong_labels(ray_session):
 
 NULL_QUERIES = ["text_stats", "normalize_text", "near_dup_pairs",
                 "cosine_sim_pairs",
-                "pack_examples", "exact_dedup", "minhash_pairs"]
+                "pack_examples", "exact_dedup", "minhash_pairs", "lang_corr"]
 
 
 @pytest.fixture(scope="module")
@@ -220,7 +221,8 @@ def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
 
 NULL_USER_QUERIES = ["user_sessions", "funnel_views", "event_gaps",
                      "cohort_retention", "user_streaks",
-                     "events_distinct_users", "events_asof"]
+                     "events_distinct_users", "events_asof",
+                     "events_sliding_distinct"]
 
 
 @pytest.fixture(scope="module")
@@ -250,7 +252,8 @@ def test_null_user_matches_oracle(qname, null_user_dir, ray_session):
     _assert_matches_oracle(qname, e.queries()[qname](null_user_dir), con)
 
 
-NEG_ID_QUERIES = ["split_corpus", "sample_corpus", "sample_per_lang"]
+NEG_ID_QUERIES = ["split_corpus", "sample_corpus", "sample_per_lang",
+                  "weighted_sample"]
 
 
 @pytest.fixture(scope="module")
@@ -397,7 +400,8 @@ def test_null_ts_matches_oracle(qname, null_ts_dir, ray_session):
                "nearest_city_stats", "bearing_sectors",
                                    "decontaminate_bloom", "knn_bulk",
                                    "adaptive_tiles", "inverted_index",
-                                   "dup_span_stats", "doc_token_rank"])
+                                   "dup_span_stats", "doc_token_rank",
+                                   "lang_corr", "events_sliding_distinct"])
 def test_tiny_blocks_match_oracle(qname, ray_session):
     """64 KB target blocks reshuffle every per-batch partial boundary —
     the round-3 operators' compact-partial tricks (gram counts, bucket
