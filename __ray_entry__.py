@@ -1832,7 +1832,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     oracled query OUTSIDE it (boolean_pip_join, assembled_pip_join,
     rect_filter, pages_per_lang, events_hourly, emb_norm_by_lang, and
     the r02 tail) already has a round-2 driver row — so by end of
-    round 3 every oracled query carries driver evidence.
+    round 3 every oracled query carries driver evidence, except the
+    operators added after the window filled (weighted_sample, lang_corr,
+    events_sliding_distinct and the thirteen before them), which sit
+    first in line after slot 50 and are in-suite hash-gated this round.
     The remaining oracled queries follow, and the inherently non-SQL
     queries close the dict."""
     return {

@@ -429,6 +429,15 @@ def run_bench():
 
     timed("knn_graph", _knn_graph)
 
+    def _sliding_distinct():
+        # non-summable window aggregate: per-batch-distinct (window, user)
+        # pair shuffle + window-hash co-partition (round 3, session 3)
+        from s2ray.pipelines.analytics import events_sliding_distinct
+
+        return events_sliding_distinct(SF_DIR).count()
+
+    timed("events_sliding_distinct", _sliding_distinct)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({
