@@ -2047,14 +2047,21 @@ def corr_by_group(sf_dir: str, group_col: str = "lang",
     behind data-quality dashboards.
 
     Exactness contract: both features are integers, so the five moment
-    sums (Sx, Sy, Sxx, Syy, Sxy) accumulate exactly in int64 partials and
-    exactly in Python ints on the driver; the final float expression
+    sums (Sx, Sy, Sxx, Syy, Sxy) accumulate exactly: WITHIN a batch in
+    int64 (bound: max(x,y)^2 x rows_per_batch < 2^63 — e.g. 10^6-char
+    docs at 10^5 rows/batch use 10^17 of the 9.2x10^18 headroom; assert-
+    checked below), and ACROSS batches each per-batch partial is split
+    into (hi = p // 2^31, lo = p % 2^31) int64 columns that Ray sums
+    separately and the driver recombines as Python ints — wrap-free up to
+    2^31 batches (~2^94 total moment mass), so the cross-batch sum never
+    wraps at any corpus size.  The final float expression
     float(n*Sxy - Sx*Sy) / sqrt(float(n*Sxx - Sx^2) * float(n*Syy - Sy^2))
     is the identical correctly-rounded IEEE sequence DuckDB evaluates on
     its HUGEINT sums, so even the correlation's last bit matches the SQL
     oracle.  Degenerate variance emits NULL in both engines.  Rows with a
     NULL x or NULL text drop (SQL WHERE parity); NULL groups form their
-    own group.
+    own group, carried as an explicit is-null flag key (not a sentinel
+    value, so no real group value can collide with it).
 
     One streaming pass of per-batch moment partials, one tiny groupby of
     group-cardinality rows, driver math on the handful of groups — no
@@ -2078,32 +2085,44 @@ def corr_by_group(sf_dir: str, group_col: str = "lang",
         df = pd.DataFrame({"g": g[ok]})
         xi = x[ok].astype(np.int64)
         yi = y[ok].astype(np.int64)
+        if len(xi):
+            mx = max(int(np.abs(xi).max()), int(np.abs(yi).max()))
+            assert mx * mx * len(xi) < 2**63, (
+                "corr_by_group per-batch moment partial would exceed "
+                "int64; lower batch_size")
         agg = df.assign(x=xi, y=yi, xx=xi * xi, yy=yi * yi, xy=xi * yi) \
             .groupby("g", sort=False, dropna=False) \
             .agg(sx=("x", "sum"), sy=("y", "sum"), sxx=("xx", "sum"),
                  syy=("yy", "sum"), sxy=("xy", "sum"), pn=("x", "size")) \
             .reset_index()
-        key = agg["g"].where(agg["g"].notna(), "\x00").astype(str)
-        cols = {"gk": pa.array(key.tolist(), type=pa.string())}
+        gnull = agg["g"].isna().to_numpy()
+        key = agg["g"].where(~gnull, "").astype(str)
+        cols = {"gk": pa.array(key.tolist(), type=pa.string()),
+                "gnull": pa.array(gnull.astype(np.int8))}
         for c in ("sx", "sy", "sxx", "syy", "sxy", "pn"):
-            cols[c] = pa.array(agg[c].to_numpy().astype(np.int64))
+            p = agg[c].to_numpy().astype(np.int64)
+            cols[c + "_hi"] = pa.array(p // np.int64(2**31))
+            cols[c + "_lo"] = pa.array(p % np.int64(2**31))
         return pa.table(cols)
 
+    parts = [f"{c}_{h}" for c in ("sx", "sy", "sxx", "syy", "sxy", "pn")
+             for h in ("hi", "lo")]
     m = (ds.map_batches(moments, batch_format="pyarrow", batch_size=None)
-         .groupby("gk")
-         .aggregate(Sum("sx", alias_name="x"), Sum("sy", alias_name="y"),
-                    Sum("sxx", alias_name="xx"), Sum("syy", alias_name="yy"),
-                    Sum("sxy", alias_name="xy"),
-                    Sum("pn", alias_name="n"))).to_pandas()
+         .groupby(["gk", "gnull"])
+         .aggregate(*[Sum(p, alias_name=p) for p in parts])).to_pandas()
+
+    def _rec(r, c):
+        return int(getattr(r, c + "_hi")) * 2**31 + int(getattr(r, c + "_lo"))
+
     out_g, out_n, out_c = [], [], []
     for r in m.itertuples():
-        n, sx, sy = int(r.n), int(r.x), int(r.y)
-        sxx, syy, sxy = int(r.xx), int(r.yy), int(r.xy)
+        n, sx, sy = _rec(r, "pn"), _rec(r, "sx"), _rec(r, "sy")
+        sxx, syy, sxy = _rec(r, "sxx"), _rec(r, "syy"), _rec(r, "sxy")
         vx = n * sxx - sx * sx
         vy = n * syy - sy * sy
         corr = (float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
                 if vx > 0 and vy > 0 else None)
-        out_g.append(None if r.gk == "\x00" else r.gk)
+        out_g.append(None if r.gnull else r.gk)
         out_n.append(n)
         out_c.append(corr)
     return pd.DataFrame({
@@ -2147,12 +2166,14 @@ def events_sliding_distinct(sf_dir: str, window_s: int = 3600,
     ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        batch = _drop_null_ts(batch)
+        # NULL users/ts drop via the shared int-exact helpers: user_id
+        # stays int64 end-to-end (a float64 roundtrip would collapse ids
+        # above 2^53 and silently diverge from COUNT(DISTINCT)).
+        batch = _drop_null_users(_drop_null_ts(batch))
         ts_s = batch["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[s]").astype(np.int64)
-        uid = np.asarray(batch["user_id"].to_pandas(), dtype=np.float64)
-        ok = ~np.isnan(uid)
-        ts_s, uid = ts_s[ok], uid[ok].astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         base = (ts_s // slide_s) * slide_s
         starts = base[:, None] - slide_s * np.arange(n_windows)[None, :]
         valid = ts_s[:, None] < starts + window_s
@@ -2160,8 +2181,12 @@ def events_sliding_distinct(sf_dir: str, window_s: int = 3600,
         u = np.repeat(uid, n_windows).reshape(-1, n_windows)[valid]
         pairs = pd.DataFrame({"w": w, "u": u}).drop_duplicates()
         wv = pairs["w"].to_numpy()
+        # window starts are all multiples of slide_s: divide before the
+        # modulo so consecutive windows hit consecutive partitions
+        # (raw wv % n_parts would only reach n_parts/gcd(slide_s,n_parts)
+        # of them — an 8x co-partition skew at the defaults).
         return pa.table({
-            "part": pa.array((wv % n_parts).astype(np.int32)),
+            "part": pa.array(((wv // slide_s) % n_parts).astype(np.int32)),
             "w": pa.array(wv, type=pa.int64()),
             "u": pa.array(pairs["u"].to_numpy(), type=pa.int64()),
         })
@@ -2188,15 +2213,21 @@ def events_sliding_distinct(sf_dir: str, window_s: int = 3600,
 
 def events_sliding_distinct_sql(window_s: int = 3600,
                                 slide_s: int = 1800) -> str:
+    # Window base via the double-mod trick (es - ((es % s) + s) % s):
+    # pure-integer FLOOR to a multiple of slide_s, matching numpy's
+    # floor-dividing `//` for pre-1970 (negative-epoch) timestamps —
+    # DuckDB's integer `//` truncates toward zero (-7//2 = -3), which
+    # would shift negative-epoch events one window late.
     ks = ", ".join(f"({k})" for k in range(window_s // slide_s))
     return f"""
 SELECT make_timestamp(w * 1000000) AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM (
-  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {slide_s}) * {slide_s}
+  SELECT es - ((es % {slide_s}) + {slide_s}) % {slide_s}
            - {slide_s} * k.k AS w,
-         CAST(floor(epoch(ts)) AS BIGINT) AS es, user_id
-  FROM events CROSS JOIN (VALUES {ks}) AS k(k)
-  WHERE user_id IS NOT NULL
+         es, user_id
+  FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, user_id
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+  CROSS JOIN (VALUES {ks}) AS k(k)
 ) WHERE es < w + {window_s}
 GROUP BY 1"""

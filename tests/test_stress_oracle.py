@@ -423,3 +423,43 @@ def test_tiny_blocks_match_oracle(qname, ray_session):
         con.execute(f"CREATE VIEW {os.path.basename(p)[:-8]} AS "
                     f"SELECT * FROM read_parquet('{p}')")
     _assert_matches_oracle(qname, res, con)
+
+
+@pytest.fixture(scope="module")
+def extreme_event_dir(tmp_path_factory):
+    """Events with user ids above 2^53 and pre-1970 timestamps — the two
+    silent-divergence classes the round-3 advice flagged: a float64
+    user-id roundtrip collapses distinct ids above 2^53, and a
+    truncating (not flooring) SQL window base shifts negative-epoch
+    events one window late."""
+    d = str(tmp_path_factory.mktemp("extremeev"))
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    uid = ev["user_id"].to_numpy().astype(np.int64).copy()
+    # adjacent huge ids that collide after a float64 roundtrip
+    big = np.int64(2**61)
+    uid[::5] = big + uid[::5] * 2
+    uid[1::5] = big + uid[1::5] * 2 + 1
+    ts = ev["ts"].to_numpy(zero_copy_only=False).copy()
+    # push ~1/3 of events before 1970 (epoch seconds < 0), not aligned
+    # to the 1800 s slide so floor-vs-truncate actually differs
+    ts[::3] = ts[::3] - np.timedelta64(60 * 365 * 86400 + 1234, "s")
+    t = ev.set_column(ev.schema.get_field_index("user_id"), "user_id",
+                      pa.array(uid, type=pa.int64()))
+    t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                     pa.array(ts, type=ev.schema.field("ts").type))
+    pq.write_table(t, f"{d}/events.parquet")
+    return d
+
+
+@pytest.mark.parametrize("qname", ["events_sliding_distinct",
+                                   "events_distinct_users",
+                                   "user_streaks"])
+def test_extreme_user_ids_and_negative_epoch(qname, extreme_event_dir,
+                                             ray_session):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{extreme_event_dir}/events.parquet')")
+    _assert_matches_oracle(qname, e.queries()[qname](extreme_event_dir),
+                           con)
