@@ -1825,83 +1825,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering contract: the driver's CORRECTNESS window checks the FIRST
     50 entries, so positions 1-50 are exactly SQL-oracled queries (every
     one has an oracle_sql() entry and a green in-suite DuckDB gate),
-    prioritizing queries with no prior driver verification — entries
-    already driver-green in CORRECTNESS_r02 yield their slot to newer
-    oracled queries, maximizing cumulative driver-verified coverage:
-    every query in this window gets a round-3 driver row, and every
-    oracled query OUTSIDE it (boolean_pip_join, assembled_pip_join,
-    rect_filter, pages_per_lang, events_hourly, emb_norm_by_lang, and
-    the r02 tail) already has a round-2 driver row — so by end of
-    round 3 every oracled query carries driver evidence, except the
-    operators added after the window filled (weighted_sample, lang_corr,
-    events_sliding_distinct and the thirteen before them), which sit
-    first in line after slot 50 and are in-suite hash-gated this round.
-    The remaining oracled queries follow, and the inherently non-SQL
-    queries close the dict."""
+    prioritizing queries with no prior driver verification.  Round-4
+    rotation: the 17 operators that were added after the round-3 window
+    filled (weighted_sample ... vocab_coverage — in-suite hash-green but
+    never driver-verified) now lead the window, so cumulative driver
+    evidence reaches every oracled query; the remaining 33 slots re-seat
+    queries whose latest driver row is from round 2, keeping their
+    evidence fresh.  Everything r03-driver-green yields its slot and
+    stays hash-gated in-suite (tests/test_oracle.py).  The remaining
+    oracled queries follow, and the inherently non-SQL queries close the
+    dict."""
     return {
         # ---- driver window (50): every entry SQL-oracled ----
-        # S2 / spatial
-        "tile_counts_l8": _q_tile_counts,
-        "adaptive_tiles": _q_adaptive_tiles,
-        "tile_quantiles": _q_tile_quantiles,
-        "tile_diversity": _q_tile_diversity,
-        "distance_join": _q_distance_join,
-        "nearest_neighbor": _q_nearest_neighbor,
-        "nearest_city_stats": _q_nearest_city,
-        "bearing_sectors": _q_bearing_sectors,
-        "rect_distance_rank": _q_rect_distance_rank,
-        "fingerprint": _q_fingerprint,
-        "zonal_stats": _q_zonal_stats,
-        "grid_clusters": _q_grid_clusters,
-        "tile_top_lang": _q_tile_top_lang,
-        "covering_setops": _q_covering_setops,
-        "boolean_covering": _q_boolean_covering,
-        # event analytics
-        "doc_perplexity": _q_doc_perplexity,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "pricing_summary": _q_pricing_summary,
-        "props_field_stats": _q_props_field_stats,
-        "event_gaps": _q_event_gaps,
-        "cohort_retention": _q_cohort_retention,
-        "events_winsorized": _q_events_winsorized,
-        # dedup family
-        "dup_degree_hist": _q_dup_degree_hist,
-        "dup_span_stats": _q_dup_span_stats,
-        "cosine_sim_pairs": _q_cosine_sim,
-        "session_quantiles": _q_session_quantiles,
-        # joins / similarity search
-        "decontaminate_bloom": _q_decontaminate_bloom,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "knn_bulk": _q_knn_bulk,
-        # text analysis
-        "redact_pii": _q_redact_pii,
-        "inverted_index": _q_inverted_index,
-        "heavy_hitters_top100": _q_heavy_hitters,
-        "token_doc_freq": _q_token_df,
-        "tfidf_top3": _q_tfidf,
-        "decontaminate": _q_decontaminate,
-        "chunk_dedup": _q_chunk_dedup,
-        "new_docs": _q_new_docs,
-        "pack_examples": _q_pack_examples,
-        "doc_token_rank": _q_doc_token_rank,
-        "docs_rollup": _q_docs_rollup,
-        "split_corpus": _q_split_corpus,
-        "normalize_text": _q_normalize_text,
-        "rare_tokens": _q_rare_tokens,
-        "pmi_collocations": _q_pmi_collocations,
-        "funnel_views": _q_funnel,
-        "repetition_stats": _q_repetition,
-        "chunk_docs": _q_chunks,
-        "quality_above_median": _q_quality_above_median,
-        "quality_score": _q_quality,
-        "lang_id": _q_lang_id,
-        # ---- oracled, outside the 50-slot driver window but first in
-        # line if it grows (never driver-verified yet) ----
+        # never driver-verified (added after the r03 window filled)
         "weighted_sample": _q_weighted_sample,
         "lang_corr": _q_lang_corr,
         "events_sliding_distinct": _q_events_sliding_distinct,
-        # ---- oracled, outside the driver window (driver-green in r02;
-        # still hash-gated in-suite by tests/test_oracle.py) ----
+        "events_weekday_hour": _q_events_weekday_hour,
+        "group_sizes_hist": _q_group_sizes_hist,
+        "standardize_docs": _q_standardize_docs,
+        "events_mad": _q_events_mad,
+        "doc_deciles": _q_doc_deciles,
+        "cross_lang_nn": _q_cross_lang_nn,
+        "user_streaks": _q_user_streaks,
+        "source_mix": _q_source_mix,
+        "langid_confusion": _q_langid_confusion,
+        "emb_integrity": _q_emb_integrity,
+        "tile_growth": _q_tile_growth,
+        "grid_smooth": _q_grid_smooth,
+        "knn_graph": _q_knn_graph,
+        "vocab_coverage": _q_vocab_coverage,
+        # latest driver row is from round 2 — re-seat for fresh evidence
         "boolean_pip_join": _q_boolean_pip_join,
         "assembled_pip_join": _q_assembled_pip_join,
         "text_stats": _q_text_stats,
@@ -1929,28 +1883,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covering_member_join": _q_covering_member_join,
         "near_dup_pairs": _q_near_dup_pairs,
         "pages_per_lang": _q_pages_per_lang,
-        # oracled, added after the r03 window filled — in-suite hash gate
-        # this round, round-4 window-rotation candidates
-        "events_weekday_hour": _q_events_weekday_hour,
-        "group_sizes_hist": _q_group_sizes_hist,
-        "standardize_docs": _q_standardize_docs,
-        "events_mad": _q_events_mad,
-        "doc_deciles": _q_doc_deciles,
-        "cross_lang_nn": _q_cross_lang_nn,
-        "user_streaks": _q_user_streaks,
-        "source_mix": _q_source_mix,
-        "langid_confusion": _q_langid_confusion,
-        "emb_integrity": _q_emb_integrity,
-        "tile_growth": _q_tile_growth,
-        "grid_smooth": _q_grid_smooth,
-        "knn_graph": _q_knn_graph,
-        "vocab_coverage": _q_vocab_coverage,
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
         "cap_join_shuffle": _q_cap_join_shuffle,
         "knn_pruned_moscow": _q_knn_pruned,
         "pages_per_month": _q_pages_per_month,
+        # ---- oracled, outside the 50-slot driver window (driver-green
+        # in r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "tile_counts_l8": _q_tile_counts,
+        "adaptive_tiles": _q_adaptive_tiles,
+        "tile_quantiles": _q_tile_quantiles,
+        "tile_diversity": _q_tile_diversity,
+        "distance_join": _q_distance_join,
+        "nearest_neighbor": _q_nearest_neighbor,
+        "nearest_city_stats": _q_nearest_city,
+        "bearing_sectors": _q_bearing_sectors,
+        "rect_distance_rank": _q_rect_distance_rank,
+        "fingerprint": _q_fingerprint,
+        "zonal_stats": _q_zonal_stats,
+        "grid_clusters": _q_grid_clusters,
+        "tile_top_lang": _q_tile_top_lang,
+        "covering_setops": _q_covering_setops,
+        "boolean_covering": _q_boolean_covering,
+        "doc_perplexity": _q_doc_perplexity,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "pricing_summary": _q_pricing_summary,
+        "props_field_stats": _q_props_field_stats,
+        "event_gaps": _q_event_gaps,
+        "cohort_retention": _q_cohort_retention,
+        "events_winsorized": _q_events_winsorized,
+        "dup_degree_hist": _q_dup_degree_hist,
+        "dup_span_stats": _q_dup_span_stats,
+        "cosine_sim_pairs": _q_cosine_sim,
+        "session_quantiles": _q_session_quantiles,
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "knn_bulk": _q_knn_bulk,
+        "redact_pii": _q_redact_pii,
+        "inverted_index": _q_inverted_index,
+        "heavy_hitters_top100": _q_heavy_hitters,
+        "token_doc_freq": _q_token_df,
+        "tfidf_top3": _q_tfidf,
+        "decontaminate": _q_decontaminate,
+        "chunk_dedup": _q_chunk_dedup,
+        "new_docs": _q_new_docs,
+        "pack_examples": _q_pack_examples,
+        "doc_token_rank": _q_doc_token_rank,
+        "docs_rollup": _q_docs_rollup,
+        "split_corpus": _q_split_corpus,
+        "normalize_text": _q_normalize_text,
+        "rare_tokens": _q_rare_tokens,
+        "pmi_collocations": _q_pmi_collocations,
+        "funnel_views": _q_funnel,
+        "repetition_stats": _q_repetition,
+        "chunk_docs": _q_chunks,
+        "quality_above_median": _q_quality_above_median,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
         "url_domain_counts": _q_url_domains,
         "events_sliding": _q_events_sliding,
         "event_windows": _q_event_windows,
