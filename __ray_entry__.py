@@ -649,6 +649,14 @@ def _q_cross_lang_nn(sf_dir: str):
     return cross_lang_nn(sf_dir)
 
 
+def _q_cross_lang_nn_bucketed(sf_dir: str):
+    """Banded-LSH scale path of cross_lang_nn (approximate; recall
+    pytest-bounded vs the exact broadcast baseline)."""
+    from s2ray.pipelines.ann import cross_lang_nn_bucketed
+
+    return cross_lang_nn_bucketed(sf_dir)
+
+
 def _q_doc_deciles(sf_dir: str):
     """Distributed NTILE(10) per lang over (n_chars, doc_id) order."""
     from s2ray.pipelines.analytics import doc_deciles
@@ -1961,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pixel_dedup": _q_media_pixel_dedup,
         "audio_stats": _q_audio_stats,
         "ivf_knn": _q_ivf_knn,
+        "cross_lang_nn_bucketed": _q_cross_lang_nn_bucketed,
         "semantic_dedup": _q_semantic_dedup,
         "bpe_token_counts": _q_bpe_token_counts,
     }

@@ -425,10 +425,12 @@ def cross_lang_nn(sf_dir: str):
     Declared broadcast baseline like embedding_near_dup: the L2-normalized
     corpus matrix + its language codes ship once via ray.put and every
     batch does ONE (B, N) matmul with a same-language/self mask — the
-    right call while the matrix fits one object (the LSH/IVF bucketing in
-    this module is the >1-object scale path; the same mask composes with
-    either).  Vectors with no document row or a NULL language are
-    excluded on both sides (SQL inner-join + lang <> lang semantics).
+    right call while the matrix fits one object, and the bit-exact
+    formulation the SQL oracle gates.  The >1-object scale path is
+    :func:`cross_lang_nn_bucketed` (banded LSH, no corpus-sized object
+    anywhere, recall pytest-bounded against this baseline).  Vectors with
+    no document row or a NULL language are excluded on both sides (SQL
+    inner-join + lang <> lang semantics).
     """
     import ray
 
@@ -488,3 +490,171 @@ def cross_lang_nn(sf_dir: str):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+
+
+def _blob_matrix(col, dim: int) -> np.ndarray:
+    """(N, dim) float32 matrix from a binary column of packed f32 rows —
+    buffer-level decode (no per-row Python) for both fixed-size-binary
+    (pre-shuffle) and variable binary (what a pandas round-trip re-infers)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, dim), dtype=np.float32)
+    if pa.types.is_fixed_size_binary(col.type):
+        a = np.frombuffer(col.buffers()[1], dtype=np.float32)
+        off = col.offset * dim
+        return a[off:off + n * dim].reshape(n, dim)
+    off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset:col.offset + n + 1]
+    assert np.all(np.diff(offs) == dim * 4), "ragged embedding blobs"
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = data[int(offs[0]):int(offs[0]) + n * dim * 4]
+    return np.frombuffer(flat.tobytes(), dtype=np.float32).reshape(n, dim)
+
+
+def cross_lang_nn_bucketed(sf_dir: str, n_bands: int = 10,
+                           band_bits: int = 4, max_bucket: int = 4096,
+                           n_parts: int = 64):
+    """Banded-LSH cross-language nearest neighbor — the SCALE PATH for
+    cross_lang_nn: same (vec_id, lang, nn_id, nn_lang) contract, recall
+    < 1 by design (pytest-bounded against the exact broadcast baseline),
+    and — unlike the baseline — NO driver read of the corpus and NO
+    corpus-sized broadcast object anywhere:
+
+    1. lang attach: embeddings (as packed-f32 blob rows) co-partition
+       hash-joined to documents(doc_id, lang) — both sides shuffle by
+       id hash; NULL-lang docs drop on the build side (inner-join + lang
+       <> lang parity with the baseline).
+    2. band emission: each vector computes ``n_bands`` signatures of
+       ``band_bits`` random-hyperplane bits (deterministic planes,
+       recomputed per task from the dim — nothing broadcast) and emits
+       one row per band keyed ``band * 2^band_bits + sig``; a
+       similar pair collides in a band with prob ``q^band_bits``
+       (q = 1 - theta/pi), so top-1 recall ~= 1 - (1 - q^bits)^bands.
+    3. per-bucket exact top-1: groupby(bkey).map_groups masks same-lang
+       + self, one (M, Mc) f32 matmul per bucket.  Buckets beyond
+       ``max_bucket`` members deterministically stride-subsample the
+       CORPUS side to Mc = max_bucket (documented recall cost; every
+       query row is still served), bounding any bucket at M x max_bucket
+       work — the same hot-bucket cap contract as EMB_LSH_MAX_BUCKET.
+    4. per-vector merge: partials hash-co-partitioned on vec_id; best =
+       (sim DESC, nn_id ASC), matching the baseline's tie rule.
+
+    Scale knobs: ``band_bits`` sets bucket count per band (2^bits); at
+    10^12 vectors raise it (~log2(N / target_bucket)) so expected bucket
+    size stays ~target; shuffle volume = n_bands x (4*dim+16)-byte rows,
+    constant per vector.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.vecs import embedding_dim
+    from .join import copartition_hash_join
+
+    dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def to_blob(batch: pa.Table) -> pa.Table:
+        m = normalized_matrix(batch["embedding"]).astype(np.float32)
+        blob = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(4 * dim), len(m),
+            [None, pa.py_buffer(np.ascontiguousarray(m).tobytes())])
+        return pa.table({"vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                         "emb": blob})
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"]) \
+        .map_batches(lambda b: b.filter(pc.is_valid(b["lang"])),
+                     batch_format="pyarrow", batch_size=None)
+    joined = copartition_hash_join(
+        emb.map_batches(to_blob, batch_format="pyarrow", batch_size=None),
+        docs, on="vec_id", right_on="doc_id", n_parts=n_parts)
+
+    planes = None  # deterministic; built lazily per worker from dim
+
+    def emit(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"bkey": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "lang": pa.array([], type=pa.string()),
+                             "emb": pa.array([], type=pa.binary())})
+        m = _blob_matrix(batch["emb"], dim)
+        if planes is None:
+            planes = _lsh_planes(dim, n_bands * band_bits)
+        bits = (m @ planes.T.astype(np.float32)) > 0   # (B, bands*bits)
+        w = (1 << np.arange(band_bits, dtype=np.int64))
+        sig = bits.reshape(len(ids), n_bands, band_bits) @ w  # (B, bands)
+        bkey = (np.arange(n_bands, dtype=np.int64) << band_bits)[None, :] \
+            + sig
+        rep = np.repeat(np.arange(len(ids)), n_bands)
+        return pa.table({
+            "bkey": pa.array(bkey.reshape(-1)),
+            "vec_id": pa.array(ids[rep]),
+            "lang": batch["lang"].take(pa.array(rep)),
+            "emb": batch["emb"].take(pa.array(rep)),
+        })
+
+    def bucket_nn(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "part": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "lang": pa.array([], type=pa.string()),
+            "nn_id": pa.array([], type=pa.int64()),
+            "nn_lang": pa.array([], type=pa.string()),
+            "sim": pa.array([], type=pa.float64()),
+        })
+        n = t.num_rows
+        if n < 2:
+            return empty
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)      # argmax's first-max -> smallest nn_id
+        ids = ids[order]
+        langs = np.asarray(t["lang"].to_pandas(), dtype=object)[order]
+        m = _blob_matrix(t["emb"], dim)[order]
+        _, codes = np.unique(langs.astype(str), return_inverse=True)
+        cidx = np.arange(n)
+        if n > max_bucket:           # hot-bucket cap: corpus-side stride
+            cidx = np.unique(np.linspace(0, n - 1, max_bucket)
+                             .astype(np.int64))
+        sims = m @ m[cidx].T                               # (M, Mc) f32
+        bad = codes[:, None] == codes[cidx][None, :]
+        sims = np.where(bad, np.float32(-np.inf), sims)
+        nn_local = np.argmax(sims, axis=1)
+        best = sims[np.arange(n), nn_local]
+        ok = np.isfinite(best)
+        if not ok.any():
+            return empty
+        nn = cidx[nn_local[ok]]
+        return pa.table({
+            "part": pa.array(ids[ok] % n_parts),
+            "vec_id": pa.array(ids[ok]),
+            "lang": pa.array(langs[ok].astype(str), type=pa.string()),
+            "nn_id": pa.array(ids[nn]),
+            "nn_lang": pa.array(langs[nn].astype(str), type=pa.string()),
+            "sim": pa.array(best[ok].astype(np.float64)),
+        })
+
+    partials = (joined.map_batches(emit, batch_format="pyarrow",
+                                   batch_size=None)
+                .groupby("bkey").map_groups(bucket_nn,
+                                            batch_format="pyarrow"))
+
+    def best_per_vec(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype=np.int64),
+                "lang": pd.Series(dtype=object),
+                "nn_id": pd.Series(dtype=np.int64),
+                "nn_lang": pd.Series(dtype=object),
+            })
+        df = df.sort_values(["vec_id", "sim", "nn_id"],
+                            ascending=[True, False, True]) \
+            .drop_duplicates("vec_id")
+        return df[["vec_id", "lang", "nn_id", "nn_lang"]]
+
+    return partials.groupby("part").map_groups(best_per_vec,
+                                               batch_format="pandas")

@@ -1030,3 +1030,25 @@ def test_cohort_retention_crafted(ray_session, tmp_path):
     ora = con.execute(e.oracle_sql()["cohort_retention"]).df().sort_values(
         ["cohort_week", "week"], ignore_index=True)
     assert got.astype(str).equals(ora.astype(str))
+
+
+def test_cross_lang_nn_bucketed_recall(ray_session):
+    """The banded-LSH scale path of cross_lang_nn (no corpus-sized
+    broadcast, no driver corpus read) must recover most exact top-1
+    matches at sf0.1 — where the synthetic corpus's true cross-lang NN
+    sims sit at only ~0.35-0.47 (q ~= 0.63), the hardest regime for
+    hyperplane LSH; the default 10 bands x 4 bits predicts
+    1-(1-q^4)^10 ~= 0.8 and measured 0.82 at authoring time."""
+    from s2ray.pipelines.ann import cross_lang_nn, cross_lang_nn_bucketed
+
+    sf = "/root/testdata/sf0.1"
+    base = cross_lang_nn(sf).to_pandas().set_index("vec_id")
+    got = cross_lang_nn_bucketed(sf).to_pandas()
+    # hard contract: never a same-language or self match, never a
+    # vector the exact operator excluded
+    assert (got["lang"] != got["nn_lang"]).all()
+    assert (got["vec_id"] != got["nn_id"]).all()
+    assert set(got["vec_id"]) <= set(base.index)
+    j = base.join(got.set_index("vec_id"), rsuffix="_b", how="left")
+    recall = float((j["nn_id"] == j["nn_id_b"]).mean())
+    assert recall >= 0.6, recall
