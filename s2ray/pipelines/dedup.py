@@ -785,26 +785,37 @@ def _cc_label_propagation(pairs, n_parts: int = 64, max_rounds: int = 64):
 
 def near_dup_clusters(ds, tau: float = 0.5, k: int = 3,
                       id_col: str = "doc_id", text_col: str = "text",
-                      method: str = "driver"):
+                      method: str = "auto",
+                      driver_pairs_max: int = 5_000_000):
     """Connected components of the exact near-dup pair graph:
     (doc_id, cluster_id) for every document in some duplicate cluster,
     cluster_id = min doc id in its component.
 
     Scale design: the distributed inverted-index join produces the pair
     list (compact: only duplicate documents appear — orders of magnitude
-    smaller than the corpus).  ``method="driver"`` (default) resolves
-    components with union-find over that SMALL derived set on the driver —
-    the fast path while pairs fit in memory.  ``method="distributed"``
-    runs hash-min label propagation over the pair Dataset instead
+    smaller than the corpus).  ``method="driver"`` resolves components
+    with union-find over that SMALL derived set on the driver — the fast
+    path while pairs fit in memory.  ``method="distributed"`` runs
+    hash-min label propagation over the pair Dataset instead
     (:func:`_cc_label_propagation`) — nothing touches the driver, for
     corpora whose pair list is itself huge; equivalence vs union-find is
-    pytest-asserted on the stress corpus.
+    pytest-asserted on the stress corpus.  ``method="auto"`` (default)
+    materializes the pair list once and picks by its count: driver
+    union-find up to ``driver_pairs_max`` pairs (~80 MB of int64 edges),
+    label propagation beyond — so a duplicate-heavy corpus can never
+    pull an unbounded edge list onto the driver.
     """
     import pandas as pd
     import ray.data
 
     pairs = near_dup_pairs_exact(ds, tau=tau, k=k, id_col=id_col,
                                  text_col=text_col)
+    if method == "auto":
+        # count() on the materialized pair list is metadata-cheap, and
+        # both downstream paths consume the same materialized blocks
+        pairs = pairs.materialize()
+        method = ("distributed" if pairs.count() > driver_pairs_max
+                  else "driver")
     if method == "distributed":
         out = _cc_label_propagation(pairs.select_columns(["i", "j"]))
 
@@ -826,7 +837,8 @@ def near_dup_clusters(ds, tau: float = 0.5, k: int = 3,
 
 def corpus_dedup_keep(sf_dir: str, tau: float = 0.5, k: int = 3,
                       min_quality: float = 0.5, langs=("en", "de", "fr",
-                                                       "es", "zh")):
+                                                       "es", "zh"),
+                      broadcast_drop_max: int = 2_000_000):
     """The canonical training-data cleaning pipeline, composed end-to-end:
 
     documents -> language allow-list -> quality threshold -> exact dedup
@@ -834,10 +846,16 @@ def corpus_dedup_keep(sf_dir: str, tau: float = 0.5, k: int = 3,
     (keep min doc_id per Jaccard>=tau cluster) -> kept doc ids.
 
     Every stage is an already-oracle-checked operator; the composition has
-    its own end-to-end SQL oracle.  Scale notes: the near-dup removal set
-    is the SMALL derived cluster table broadcast into a filter; exact
-    dedup keys are content digests; quality/langid are vectorized map
-    stages — nothing materializes the corpus.
+    its own end-to-end SQL oracle.  Scale notes: exact dedup keys are
+    content digests; quality/langid are vectorized map stages — nothing
+    materializes the corpus.  The near-dup drop set (non-minimal cluster
+    members) is broadcast into an np.isin filter only while it holds
+    <= ``broadcast_drop_max`` ids (~16 MB of int64); a duplicate-heavier
+    corpus — at 100 TB the drop set can be ~10 % of all ids — routes
+    through :func:`..join.copartition_hash_join`'s anti-join instead
+    (only keys shuffle), so no corpus-proportional object ever reaches
+    the driver or the object store in one piece.  Both plans are
+    pytest-equivalence-checked on a majority-duplicate corpus.
     """
     import pyarrow.compute as pc
     import ray
@@ -863,10 +881,24 @@ def corpus_dedup_keep(sf_dir: str, tau: float = 0.5, k: int = 3,
         .select_columns(["doc_id"])
     # near-dup clusters over the FILTERED corpus; drop non-minimal members
     clusters = near_dup_clusters(filtered, tau=tau, k=k)
-    drop = clusters.to_pandas()
-    drop_ids = drop.loc[drop["doc_id"] != drop["cluster_id"],
-                        "doc_id"].to_numpy()
-    drop_ref = ray.put(np.sort(drop_ids))
+
+    def nonmin(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["doc_id"], batch["cluster_id"])
+        return batch.filter(keep).select(["doc_id"])
+
+    drop_ds = clusters.map_batches(nonmin, batch_format="pyarrow",
+                                   batch_size=None).materialize()
+    n_drop = drop_ds.count()
+    if n_drop > broadcast_drop_max:
+        # scale path: co-partition anti-join — only the drop KEYS move,
+        # never onto the driver
+        from .join import copartition_hash_join
+
+        return copartition_hash_join(keepers, drop_ds, on="doc_id",
+                                     how="anti")
+    drop_ids = np.sort(drop_ds.to_pandas()["doc_id"].to_numpy()
+                       .astype(np.int64))
+    drop_ref = ray.put(drop_ids)
 
     def not_near_dup(batch: pa.Table, drop_ref=drop_ref) -> pa.Table:
         dd = ray.get(drop_ref)

@@ -463,3 +463,45 @@ def test_extreme_user_ids_and_negative_epoch(qname, extreme_event_dir,
                 f"read_parquet('{extreme_event_dir}/events.parquet')")
     _assert_matches_oracle(qname, e.queries()[qname](extreme_event_dir),
                            con)
+
+
+def test_majority_duplicate_corpus_anti_join_plan(tmp_path, ray_session):
+    """A corpus where ~90% of documents are near-duplicates makes the
+    near-dup drop set corpus-proportional — the regime where the
+    broadcast np.isin filter in corpus_dedup_keep is unbounded.  Forcing
+    broadcast_drop_max=0 routes the drop set through the co-partition
+    anti-join (and driver_pairs_max=0 forces distributed label
+    propagation); both scale plans must keep exactly the ids the default
+    broadcast/union-find plans keep."""
+    from s2ray.pipelines.dedup import corpus_dedup_keep, near_dup_clusters
+    from s2ray.sources.readers import read_table
+
+    rng = np.random.RandomState(7)
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+             "dog", "and", "runs", "through", "green", "fields", "while",
+             "birds", "sing", "in", "morning", "light", "today"]
+    templates = [" ".join(rng.choice(words, 30)) for _ in range(10)]
+    texts, n = [], 400
+    for i in range(n):
+        if i % 10 == 0:   # 10% unique documents
+            texts.append(" ".join(rng.choice(words, 30)) + f" unique{i}")
+        else:             # 90% near-dups of a template
+            texts.append(templates[i % 10] + f" tail{i % 3}")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["web"] * n),
+        "text": pa.array(texts)}), str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    base = sorted(corpus_dedup_keep(sf).to_pandas()["doc_id"])
+    anti = sorted(corpus_dedup_keep(sf, broadcast_drop_max=0)
+                  .to_pandas()["doc_id"])
+    assert anti == base and len(base) < n // 2   # plan-equal, mostly dropped
+
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    auto_dist = near_dup_clusters(ds, driver_pairs_max=0).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    drv = near_dup_clusters(ds, method="driver").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert auto_dist.equals(drv)
