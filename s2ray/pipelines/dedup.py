@@ -376,19 +376,23 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
             "sz_b": pa.array(rows_sz, type=pa.binary()),
         })
 
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def _cat(col) -> np.ndarray:
+        blobs = col.to_pylist()
+        if not blobs:
+            return np.empty(0, dtype=np.int64)
+        return np.frombuffer(b"".join(blobs), dtype=np.int64)
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
         # one call per coarse shingle-partition: decode blobs, bucket scan,
         # pre-sum duplicate pairs, then re-emit COMPACT rows partitioned by
         # pair key (pk = i << 32 | j) for the second-level merge.  Both
         # shuffles move blob rows, never per-pair rows (Ray's sort-based
-        # groupby/aggregate costs ~0.3-1 ms per group in Python).
+        # groupby/aggregate costs ~0.3-1 ms per group in Python).  Arrow
+        # in/out: the blob rows never round-trip through pandas blocks.
         sub = pd.DataFrame({
-            "sh": np.concatenate([np.frombuffer(x, dtype=np.int64)
-                                  for x in df["sh_b"]]),
-            "doc": np.concatenate([np.frombuffer(x, dtype=np.int64)
-                                   for x in df["doc_b"]]),
-            "sz": np.concatenate([np.frombuffer(x, dtype=np.int64)
-                                  for x in df["sz_b"]]),
+            "sh": _cat(t["sh_b"]),
+            "doc": _cat(t["doc_b"]),
+            "sz": _cat(t["sz_b"]),
         })
         out = _pairs_from_buckets(sub, "sh", ("doc", "sz"), max_posting)
         pk = np.left_shift(out["i"].to_numpy().astype(np.int64), 32) \
@@ -422,17 +426,19 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
             rows["inter_b"].append(inter_s[s:e_].tobytes())
             rows["si_b"].append(si_u[s:e_].tobytes())
             rows["sj_b"].append(sj_u[s:e_].tobytes())
-        return pd.DataFrame(rows)
+        return pa.table({
+            "pkpart": pa.array(rows["pkpart"], type=pa.int64()),
+            "pk_b": pa.array(rows["pk_b"], type=pa.binary()),
+            "inter_b": pa.array(rows["inter_b"], type=pa.binary()),
+            "si_b": pa.array(rows["si_b"], type=pa.binary()),
+            "sj_b": pa.array(rows["sj_b"], type=pa.binary()),
+        })
 
-    def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        pk = np.concatenate([np.frombuffer(x, dtype=np.int64)
-                             for x in df["pk_b"]])
-        inter = np.concatenate([np.frombuffer(x, dtype=np.int64)
-                                for x in df["inter_b"]])
-        si = np.concatenate([np.frombuffer(x, dtype=np.int64)
-                             for x in df["si_b"]])
-        sj = np.concatenate([np.frombuffer(x, dtype=np.int64)
-                             for x in df["sj_b"]])
+    def merge_pairs(t: pa.Table) -> pa.Table:
+        pk = _cat(t["pk_b"])
+        inter = _cat(t["inter_b"])
+        si = _cat(t["si_b"])
+        sj = _cat(t["sj_b"])
         order = np.argsort(pk, kind="stable")
         pk, inter, si, sj = pk[order], inter[order], si[order], sj[order]
         starts = (np.concatenate([[0], np.flatnonzero(pk[1:] != pk[:-1]) + 1])
@@ -444,18 +450,18 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
         sj_u = sj[starts].astype(np.float64) if len(pk) else sj
         jac = inter_s / (si_u + sj_u - inter_s) if len(u) else inter_s
         keep = jac >= tau
-        return pd.DataFrame({
-            "i": (u[keep] >> 32).astype(np.int64),
-            "j": (u[keep] & 0xFFFFFFFF).astype(np.int64),
-            "jaccard": jac[keep],
+        return pa.table({
+            "i": pa.array((u[keep] >> 32).astype(np.int64)),
+            "j": pa.array((u[keep] & 0xFFFFFFFF).astype(np.int64)),
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
         })
 
     return (
         ds.map_batches(to_postings, batch_format="pyarrow", batch_size=None)
         .groupby("part")
-        .map_groups(emit_pairs, batch_format="pandas")
+        .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby("pkpart")
-        .map_groups(merge_pairs, batch_format="pandas")
+        .map_groups(merge_pairs, batch_format="pyarrow")
     )
 
 
@@ -574,16 +580,20 @@ def cosine_sim_pairs(ds, tau_num: int = 3, tau_den: int = 5, k: int = 3,
             "nrm_b": pa.array(rows["nrm_b"], type=pa.binary()),
         })
 
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def _cat(col) -> np.ndarray:
+        blobs = col.to_pylist()
+        if not blobs:
+            return np.empty(0, dtype=np.int64)
+        return np.frombuffer(b"".join(blobs), dtype=np.int64)
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        # Arrow in/out (cf. near_dup_pairs_exact): blob rows never
+        # round-trip through pandas blocks
         sub = pd.DataFrame({
-            "sh": np.concatenate([np.frombuffer(x, dtype=np.int64)
-                                  for x in df["sh_b"]]),
-            "doc": np.concatenate([np.frombuffer(x, dtype=np.int64)
-                                   for x in df["doc_b"]]),
-            "w": np.concatenate([np.frombuffer(x, dtype=np.int64)
-                                 for x in df["tf_b"]]),
-            "nrm": np.concatenate([np.frombuffer(x, dtype=np.int64)
-                                   for x in df["nrm_b"]]),
+            "sh": _cat(t["sh_b"]),
+            "doc": _cat(t["doc_b"]),
+            "w": _cat(t["tf_b"]),
+            "nrm": _cat(t["nrm_b"]),
         })
         out = _weighted_pairs_from_buckets(sub, "sh", max_posting)
         pk = np.left_shift(out["i"].to_numpy().astype(np.int64), 32) \
@@ -616,17 +626,19 @@ def cosine_sim_pairs(ds, tau_num: int = 3, tau_den: int = 5, k: int = 3,
             rows["dot_b"].append(dot[s:e_].tobytes())
             rows["ni_b"].append(ni_u[s:e_].tobytes())
             rows["nj_b"].append(nj_u[s:e_].tobytes())
-        return pd.DataFrame(rows)
+        return pa.table({
+            "pkpart": pa.array(rows["pkpart"], type=pa.int64()),
+            "pk_b": pa.array(rows["pk_b"], type=pa.binary()),
+            "dot_b": pa.array(rows["dot_b"], type=pa.binary()),
+            "ni_b": pa.array(rows["ni_b"], type=pa.binary()),
+            "nj_b": pa.array(rows["nj_b"], type=pa.binary()),
+        })
 
-    def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        pk = np.concatenate([np.frombuffer(x, dtype=np.int64)
-                             for x in df["pk_b"]])
-        dot = np.concatenate([np.frombuffer(x, dtype=np.int64)
-                              for x in df["dot_b"]])
-        ni = np.concatenate([np.frombuffer(x, dtype=np.int64)
-                             for x in df["ni_b"]])
-        nj = np.concatenate([np.frombuffer(x, dtype=np.int64)
-                             for x in df["nj_b"]])
+    def merge_pairs(t: pa.Table) -> pa.Table:
+        pk = _cat(t["pk_b"])
+        dot = _cat(t["dot_b"])
+        ni = _cat(t["ni_b"])
+        nj = _cat(t["nj_b"])
         order = np.argsort(pk, kind="stable")
         pk, dot, ni, nj = pk[order], dot[order], ni[order], nj[order]
         starts = (np.concatenate([[0], np.flatnonzero(pk[1:] != pk[:-1]) + 1])
@@ -641,21 +653,21 @@ def cosine_sim_pairs(ds, tau_num: int = 3, tau_den: int = 5, k: int = 3,
         u, dot_s, ni_u, nj_u = u[keep], dot_s[keep], ni_u[keep], nj_u[keep]
         cos = (dot_s / np.sqrt((ni_u * nj_u).astype(np.float64))
                if len(u) else np.empty(0, dtype=np.float64))
-        return pd.DataFrame({
-            "i": (u >> 32).astype(np.int64),
-            "j": (u & 0xFFFFFFFF).astype(np.int64),
-            "dot": dot_s,
-            "norm_i": ni_u,
-            "norm_j": nj_u,
-            "cosine": round_half_away(cos),
+        return pa.table({
+            "i": pa.array((u >> 32).astype(np.int64)),
+            "j": pa.array((u & 0xFFFFFFFF).astype(np.int64)),
+            "dot": pa.array(dot_s.astype(np.int64)),
+            "norm_i": pa.array(ni_u.astype(np.int64)),
+            "norm_j": pa.array(nj_u.astype(np.int64)),
+            "cosine": pa.array(round_half_away(cos), type=pa.float64()),
         })
 
     return (
         ds.map_batches(to_postings, batch_format="pyarrow", batch_size=None)
         .groupby("part")
-        .map_groups(emit_pairs, batch_format="pandas")
+        .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby("pkpart")
-        .map_groups(merge_pairs, batch_format="pandas")
+        .map_groups(merge_pairs, batch_format="pyarrow")
     )
 
 
@@ -1298,26 +1310,32 @@ def minhash_lsh_pairs(ds, tau: float = 0.5, k: int = 3,
                             type=pa.binary()),
         })
 
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def emit_pairs(t: pa.Table) -> pa.Table:
         # one call per coarse partition; pair emission vectorized ACROSS
         # buckets — one pass per distinct bucket SIZE (a handful), never
-        # one Python iteration per bucket
-        empty = pd.DataFrame({"i": pd.Series(dtype=np.int64),
-                              "j": pd.Series(dtype=np.int64),
-                              "est_jaccard": pd.Series(dtype=np.float64)})
-        if len(df) == 0:
-            return empty
-        sub = df.drop_duplicates(["band_key", "doc"]) \
-            .sort_values(["band_key", "doc"])
-        bk = sub["band_key"].to_numpy()
-        docs = sub["doc"].to_numpy().astype(np.int64)
+        # one Python iteration per bucket.  Arrow in/out: the signature
+        # blobs never round-trip through pandas blocks.
+        if t.num_rows == 0:
+            return pa.table({"i": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "est_jaccard": pa.array([], type=pa.float64())})
+        bk0 = t["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        docs0 = t["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((docs0, bk0))
+        bk, docs = bk0[order], docs0[order]
+        dup = np.concatenate([[False], (bk[1:] == bk[:-1])
+                              & (docs[1:] == docs[:-1])])
+        bk, docs = bk[~dup], docs[~dup]
+        sig_col = t["sig"].take(pa.array(order[~dup]))
         # one frombuffer over the concatenated blob, not one per row
-        sig_mat = np.frombuffer(b"".join(sub["sig"]), dtype=np.uint64) \
-            .reshape(len(sub), _N_PERM)
+        sig_mat = np.frombuffer(b"".join(sig_col.to_pylist()),
+                                dtype=np.uint64).reshape(len(bk), _N_PERM)
         starts = np.concatenate([[0],
                                  np.flatnonzero(bk[1:] != bk[:-1]) + 1])
         counts = np.diff(np.concatenate([starts, [len(bk)]]))
-        out = [empty]
+        out_i = [np.empty(0, dtype=np.int64)]
+        out_j = [np.empty(0, dtype=np.int64)]
+        out_e = [np.empty(0, dtype=np.float64)]
         for c in np.unique(counts[counts >= 2]):
             runs = starts[counts == c]
             idx = runs[:, None] + np.arange(c)[None, :]      # (R, c)
@@ -1325,16 +1343,20 @@ def minhash_lsh_pairs(ds, tau: float = 0.5, k: int = 3,
             I, J = idx[:, ii].ravel(), idx[:, jj].ravel()
             est = (sig_mat[I] == sig_mat[J]).mean(axis=1)
             keep = est >= tau
-            out.append(pd.DataFrame({"i": docs[I][keep],
-                                     "j": docs[J][keep],
-                                     "est_jaccard": est[keep]}))
-        return pd.concat(out, ignore_index=True)
+            out_i.append(docs[I][keep])
+            out_j.append(docs[J][keep])
+            out_e.append(est[keep])
+        return pa.table({
+            "i": pa.array(np.concatenate(out_i)),
+            "j": pa.array(np.concatenate(out_j)),
+            "est_jaccard": pa.array(np.concatenate(out_e)),
+        })
 
     return (
         ds.map_batches(to_bands, batch_format="pyarrow", batch_size=None)
         .map_batches(_add_partition("band_key"), batch_format="pyarrow")
         .groupby("part")
-        .map_groups(emit_pairs, batch_format="pandas")
+        .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby(["i", "j"])
         .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
     )
@@ -1399,28 +1421,32 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
             "sim": pa.array(np.repeat(sim_signed, 4), type=pa.int64()),
         })
 
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def emit_pairs(t: pa.Table) -> pa.Table:
         # vectorized ACROSS buckets: one pass per distinct bucket size,
         # never one Python iteration per bucket (same shape as the
-        # minhash emitter)
-        empty = pd.DataFrame({"i": pd.Series(dtype=np.int64),
-                              "j": pd.Series(dtype=np.int64),
-                              "hamming": pd.Series(dtype=np.int64)})
-        if len(df) == 0:
-            return empty
-        sub = df.drop_duplicates(["bucket", "doc"]) \
-            .sort_values(["bucket", "doc"])
-        bkt = sub["bucket"].to_numpy()
-        docs = sub["doc"].to_numpy().astype(np.int64)
+        # minhash emitter); Arrow in/out — no pandas block round-trip
+        if t.num_rows == 0:
+            return pa.table({"i": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        bkt0 = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        docs0 = t["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims0 = t["sim"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((docs0, bkt0))
+        bkt, docs, simsv = bkt0[order], docs0[order], sims0[order]
+        dup = np.concatenate([[False], (bkt[1:] == bkt[:-1])
+                              & (docs[1:] == docs[:-1])])
+        bkt, docs, simsv = bkt[~dup], docs[~dup], simsv[~dup]
         # bias-decode via view+xor: int64 + 2**63 would silently
         # promote to float64 and corrupt the low bits (bug caught by
         # the simhash SQL oracle)
-        sims = (sub["sim"].to_numpy().astype(np.int64).view(np.uint64)
-                ^ np.uint64(1 << 63))
+        sims = simsv.view(np.uint64) ^ np.uint64(1 << 63)
         starts = np.concatenate([[0],
                                  np.flatnonzero(bkt[1:] != bkt[:-1]) + 1])
         counts = np.diff(np.concatenate([starts, [len(bkt)]]))
-        out = [empty]
+        out_i = [np.empty(0, dtype=np.int64)]
+        out_j = [np.empty(0, dtype=np.int64)]
+        out_h = [np.empty(0, dtype=np.int64)]
         for c in np.unique(counts[counts >= 2]):
             runs = starts[counts == c]
             idx = runs[:, None] + np.arange(c)[None, :]
@@ -1432,15 +1458,20 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
                 ham += (x & np.uint64(1)).astype(np.int64)
                 x = x >> np.uint64(1)
             keep = ham <= max_hamming
-            out.append(pd.DataFrame({"i": docs[I][keep], "j": docs[J][keep],
-                                     "hamming": ham[keep]}))
-        return pd.concat(out, ignore_index=True)
+            out_i.append(docs[I][keep])
+            out_j.append(docs[J][keep])
+            out_h.append(ham[keep])
+        return pa.table({
+            "i": pa.array(np.concatenate(out_i)),
+            "j": pa.array(np.concatenate(out_j)),
+            "hamming": pa.array(np.concatenate(out_h)),
+        })
 
     return (
         ds.map_batches(to_chunks, batch_format="pyarrow", batch_size=None)
         .map_batches(_add_partition("bucket"), batch_format="pyarrow")
         .groupby("part")
-        .map_groups(emit_pairs, batch_format="pandas")
+        .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby(["i", "j"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
