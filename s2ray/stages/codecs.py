@@ -107,34 +107,8 @@ def encode_png(pixels, row_filters=None) -> bytes:
         px = px[:, :, None]
     h, w, c = px.shape
     color_type = {1: 0, 3: 2, 4: 6}[c]
-    bpp = c
-    raw = bytearray()
-    prev = np.zeros(w * c, dtype=np.uint8)
-    for y in range(h):
-        row = px[y].reshape(-1)
-        f = 0 if row_filters is None else int(row_filters[y])
-        raw.append(f)
-        if f == 0:
-            out = row
-        elif f == 1:      # Sub
-            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
-            out = row - left
-        elif f == 2:      # Up
-            out = row - prev
-        elif f == 3:      # Average
-            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
-            out = row - ((left.astype(np.uint16)
-                          + prev.astype(np.uint16)) // 2).astype(np.uint8)
-        elif f == 4:      # Paeth
-            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
-            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
-            out = row - _paeth(left, prev, ul)
-        else:
-            raise ValueError(f"bad filter {f}")
-        raw.extend(out.tobytes())
-        prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    idat = zlib.compress(bytes(raw), 6)
+    idat = zlib.compress(_filter_rows(px, row_filters), 6)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
             + _png_chunk(b"IEND", b""))
 
@@ -176,41 +150,10 @@ def decode_png(data: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * c
-    if len(raw) != h * (stride + 1):
+    px = _defilter(raw, h, w, c)
+    if px is None:
         return None
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters = raw[:, 0]
-    rows = raw[:, 1:]
-    px = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = int(filters[y])
-        r = rows[y]
-        if f == 0:
-            row = r.copy()
-        elif f == 1:      # Sub: per-lane prefix sum mod 256
-            row = r.reshape(-1, c).astype(np.uint64).cumsum(axis=0) \
-                .astype(np.uint8).reshape(-1)
-        elif f == 2:      # Up
-            row = r + prev
-        elif f in (3, 4):  # Average / Paeth: sequential in x
-            row = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = row[x - c] if x >= c else np.uint8(0)
-                up = prev[x]
-                if f == 3:
-                    pred = (int(left) + int(up)) // 2
-                else:
-                    ul = prev[x - c] if x >= c else np.uint8(0)
-                    pred = int(_paeth(np.array([left]), np.array([up]),
-                                      np.array([ul]))[0])
-                row[x] = np.uint8((int(r[x]) + pred) % 256)
-        else:
-            return None
-        px[y] = row
-        prev = row
-    return meta, px.reshape(h, w, c)
+    return meta, px
 
 
 def decode_wav(data: bytes):
@@ -243,3 +186,198 @@ def resize_nearest(pixels: np.ndarray, max_dim: int) -> np.ndarray:
     yi = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
     xi = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
     return pixels[yi][:, xi]
+
+
+# ---------------------------------------------------------------------------
+# APNG (Animated PNG) — a REAL public video container (PNG spec 3rd ed. /
+# the original Mozilla APNG extension): acTL declares the frame count,
+# each frame is an fcTL control chunk plus IDAT (frame 0) or fdAT
+# (sequence-numbered IDAT-equivalent) holding zlib-compressed PNG-filtered
+# scanlines.  This encoder writes the simple profile every APNG reader
+# accepts — full-size frames, zero offsets, dispose_op NONE, blend_op
+# SOURCE — which also makes every frame independently decodable, i.e.
+# honest frame SAMPLING (no inter-frame state).  The decoder rejects
+# payloads outside that profile rather than guessing.
+
+def _filter_rows(px: np.ndarray, row_filters=None) -> bytes:
+    """Filter-prefixed PNG scanline serialization of an (h, w, c) uint8
+    array (the shared encode core of PNG IDAT and APNG fdAT)."""
+    h, w, c = px.shape
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        row = px[y].reshape(-1)
+        f = 0 if row_filters is None else int(row_filters[y])
+        raw.append(f)
+        if f == 0:
+            out = row
+        elif f == 1:      # Sub
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            out = row - left
+        elif f == 2:      # Up
+            out = row - prev
+        elif f == 3:      # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            out = row - ((left.astype(np.uint16)
+                          + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        elif f == 4:      # Paeth
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            out = row - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw.extend(out.tobytes())
+        prev = row
+    return bytes(raw)
+
+
+def _defilter(raw: bytes, h: int, w: int, c: int):
+    """Reconstruct (h, w, c) uint8 pixels from filter-prefixed scanlines
+    (the shared decode core of PNG IDAT and APNG fdAT); None on length or
+    filter-id corruption."""
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    rows = arr[:, 1:]
+    px = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        r = rows[y]
+        if f == 0:
+            row = r.copy()
+        elif f == 1:      # Sub: per-lane prefix sum mod 256
+            row = r.reshape(-1, c).astype(np.uint64).cumsum(axis=0) \
+                .astype(np.uint8).reshape(-1)
+        elif f == 2:      # Up
+            row = r + prev
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            row = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = row[x - c] if x >= c else np.uint8(0)
+                up = prev[x]
+                if f == 3:
+                    pred = (int(left) + int(up)) // 2
+                else:
+                    ul = prev[x - c] if x >= c else np.uint8(0)
+                    pred = int(_paeth(np.array([left]), np.array([up]),
+                                      np.array([ul]))[0])
+                row[x] = np.uint8((int(r[x]) + pred) % 256)
+        else:
+            return None
+        px[y] = row
+        prev = row
+    return px.reshape(h, w, c)
+
+
+def build_apng(frames, delay_ms: int = 40, num_plays: int = 0) -> bytes:
+    """Encode a list of same-shape (h, w[, c]) uint8 arrays as a real
+    APNG byte string (acTL + per-frame fcTL + IDAT/fdAT, CRC-correct)."""
+    if not frames:
+        raise ValueError("APNG needs >= 1 frame")
+    fr = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    fr = [f[:, :, None] if f.ndim == 2 else f for f in fr]
+    h, w, c = fr[0].shape
+    if any(f.shape != (h, w, c) for f in fr):
+        raise ValueError("APNG frames must share one shape")
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    actl = struct.pack(">II", len(fr), num_plays)
+    out = bytearray(_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"acTL", actl))
+    seq = 0
+    for k, f in enumerate(fr):
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0,
+                           int(delay_ms), 1000, 0, 0)   # dispose=0, blend=0
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        comp = zlib.compress(_filter_rows(f), 6)
+        if k == 0:
+            out += _png_chunk(b"IDAT", comp)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + comp)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _apng_chunks(data: bytes):
+    """(ctype, payload_start, payload_len) walk, stopping at IEND; CRC is
+    verified for control chunks by the callers that need it."""
+    pos = 8
+    while pos + 8 <= len(data):
+        sz = struct.unpack(">I", data[pos:pos + 4])[0]
+        ctype = data[pos + 4:pos + 8]
+        yield ctype, pos + 8, sz
+        if ctype == b"IEND":
+            return
+        pos += 12 + sz
+
+
+def parse_apng(data: bytes) -> dict | None:
+    """Metadata of an APNG byte string ({width, height, n_frames,
+    duration_ms, format}), or None when the bytes are not an APNG (plain
+    PNGs have no acTL)."""
+    meta = parse_png(data)
+    if meta is None:
+        return None
+    n_frames = duration_ms = None
+    total_delay = 0
+    seen_frames = 0
+    for ctype, off, sz in _apng_chunks(data):
+        if ctype == b"acTL" and sz >= 8:
+            n_frames = struct.unpack(">I", data[off:off + 4])[0]
+        elif ctype == b"fcTL" and sz >= 26:
+            num, den = struct.unpack(">HH", data[off + 20:off + 24])
+            total_delay += int(num * 1000 / (den or 100))
+            seen_frames += 1
+    if n_frames is None or seen_frames != n_frames:
+        return None
+    duration_ms = total_delay
+    return {"width": meta["width"], "height": meta["height"],
+            "bit_depth": meta["bit_depth"], "color_type": meta["color_type"],
+            "n_frames": n_frames, "duration_ms": duration_ms,
+            "format": "video/apng"}
+
+
+def decode_apng_frame(data: bytes, frame_idx: int):
+    """Decode ONE frame of an APNG to its (h, w, c) uint8 pixels — frames
+    are independently decodable in the encoder's simple profile (full
+    size, blend SOURCE), so sampling frame k never touches the others.
+    Returns None for out-of-range indices, non-APNG bytes, or frames
+    outside the simple profile (offsets / blend OVER)."""
+    meta = parse_apng(data)
+    if meta is None or meta["bit_depth"] != 8 \
+            or meta["color_type"] not in _BPP:
+        return None
+    if not (0 <= frame_idx < meta["n_frames"]):
+        return None
+    w, h, c = meta["width"], meta["height"], _BPP[meta["color_type"]]
+    k = -1
+    want = None        # fcTL-validated: collect this frame's data chunks
+    body = bytearray()
+    for ctype, off, sz in _apng_chunks(data):
+        if ctype == b"fcTL":
+            if want is not None:
+                break                     # finished collecting our frame
+            k += 1
+            if k == frame_idx:
+                fw, fh, xo, yo = struct.unpack(">IIII", data[off + 4:off + 20])
+                blend = data[off + 25]
+                if (fw, fh, xo, yo) != (w, h, 0, 0) or blend != 0:
+                    return None           # outside the simple profile
+                want = k
+        elif want is not None and ctype == b"IDAT":
+            body += data[off:off + sz]
+        elif want is not None and ctype == b"fdAT":
+            body += data[off + 4:off + sz]   # strip the sequence number
+    if want is None or not body:
+        return None
+    try:
+        raw = zlib.decompress(bytes(body))
+    except zlib.error:
+        return None
+    return _defilter(raw, h, w, c)

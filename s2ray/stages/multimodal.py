@@ -12,8 +12,11 @@ zlib codec (stages/codecs.py) — no PIL/soundfile needed:
 - MediaThumbnailStage decodes PIXELS (inflate + all five PNG filter
   reconstructions), nearest-neighbor resizes, and re-encodes real PNG
   thumbnails — tested bit-exact against a reference resize;
-- only video decode remains a deterministic fake (no mp4 codec in pure
-  python); its metadata derives from a stable hash of the payload.
+- video is REAL too: payloads are APNG (animated PNG — acTL/fcTL/fdAT
+  per the public APNG spec), built and decoded by the same in-repo
+  codec; FrameSampleStage decodes sampled frames to true pixels and
+  re-encodes them as stills (bit-exact pytest).  A hash-derived fake
+  fallback remains only for payloads that do not parse.
 
 At 100 TB: payloads are large, so these stages want SMALL batch_size (payload
 bytes x batch_size x concurrency must fit worker heaps) and actor pools so
@@ -31,12 +34,26 @@ import pyarrow.compute as pc
 from ..pipelines.dedup import fnv1a_bytes
 
 
+def synth_video_frames(seed: int, max_frames: int | None = None):
+    """Deterministic frame stack for a synthetic APNG: a small moving
+    gradient, one frame per timestep (shared by the generator and the
+    frame-sampling tests, which recompute expected pixels from it)."""
+    n_frames = 4 + seed % 9 if max_frames is None else max_frames
+    h = 10 + (seed >> 4) % 8
+    w = 12 + (seed >> 8) % 12
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [np.stack([(yy * 3 + f * 11 + seed) % 256,
+                      (xx * 5 + f * 7 + (seed >> 8)) % 256,
+                      (yy + xx + f + (seed >> 16)) % 256],
+                     axis=2).astype(np.uint8) for f in range(n_frames)]
+
+
 def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
     """documents rows -> fake media rows (media_id, media_type, payload).
 
     Deterministic payload derived from doc_id (repeatable across runs).
     """
-    from .codecs import build_wav, encode_png
+    from .codecs import build_apng, build_wav, encode_png
 
     doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
     types = ["image", "audio", "video"]
@@ -47,10 +64,11 @@ def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
         rng = np.random.RandomState(seed)
         body = rng.bytes(payload_bytes)
         t = types[int(i) % 3]
-        # image/audio payloads are REAL decodable media (pure-python
-        # codec): a complete gradient PNG / 16-bit PCM WAV followed by
-        # deterministic padding (parsers stop at IEND / the data chunk);
-        # total size stays exactly payload_bytes
+        # image/audio/video payloads are REAL decodable media (pure-
+        # python codec): a complete gradient PNG / 16-bit PCM WAV /
+        # multi-frame APNG followed by deterministic padding (parsers
+        # stop at IEND / the data chunk); total size stays exactly
+        # payload_bytes
         if t == "image":
             h = 12 + seed % 36
             w = 16 + (seed >> 8) % 48
@@ -69,6 +87,12 @@ def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
                 .astype("<i2").reshape(-1, 1)
             head = build_wav(rate, n, include_data=True)
             head = head[:len(head) - 2 * n] + samples.tobytes()
+            body = head + body[len(head):]
+        elif t == "video":
+            head = build_apng(synth_video_frames(seed), delay_ms=40)
+            if len(head) > payload_bytes:   # incompressible corner: 2 frames
+                head = build_apng(synth_video_frames(seed, max_frames=2),
+                                  delay_ms=40)
             body = head + body[len(head):]
         payloads.append(body[:payload_bytes])
         mtypes.append(t)
@@ -104,7 +128,7 @@ class MediaDecodeStage:
         self.codec = "headers" if use_real_codec else None
 
     def _decode_headers(self, batch: pa.Table) -> pa.Table:
-        from .codecs import parse_png, parse_wav
+        from .codecs import parse_apng, parse_png, parse_wav
 
         payloads = batch["payload"].to_pandas()
         mtypes = batch["media_type"].to_pandas()
@@ -117,8 +141,10 @@ class MediaDecodeStage:
         fmt = []
         for k, (p, t) in enumerate(zip(payloads, mtypes)):
             meta = parse_png(p) if t == "image" else (
-                parse_wav(p) if t == "audio" else None)
+                parse_wav(p) if t == "audio" else parse_apng(p))
             if meta is None:
+                # hash-derived fallback only for payloads that do not
+                # parse as their declared container
                 fmt.append("unknown" if t != "video" else "fake/mp4")
                 if t == "video":
                     h = fnv1a_bytes(p[:64])
@@ -132,6 +158,11 @@ class MediaDecodeStage:
                 width[k] = meta["width"]
                 height[k] = meta["height"]
                 n_frames[k] = 1
+            elif t == "video":
+                width[k] = meta["width"]
+                height[k] = meta["height"]
+                n_frames[k] = meta["n_frames"]
+                duration_ms[k] = meta["duration_ms"]
             else:
                 sample_rate[k] = meta["sample_rate"]
                 duration_ms[k] = meta["duration_ms"]
@@ -314,12 +345,22 @@ class AudioStatsStage:
 
 
 class FrameSampleStage:
-    """Actor-pool stage: video rows -> one row per sampled frame
-    (flat_map-shaped batch transform; frame payloads are deterministic
-    slices of the source payload in the fake path)."""
+    """Actor-pool stage: video rows -> one row per sampled frame.
+
+    REAL decode: APNG payloads yield true frame pixels
+    (codecs.decode_apng_frame — every frame independently decodable in
+    the encoder's profile) re-encoded as single-frame PNG stills, so a
+    downstream image stage (thumbnail, pixel hash) consumes sampled
+    frames unchanged.  Payloads that do not parse as APNG fall back to
+    the legacy hash-derived slices (declared fake).  Codec binds once
+    per actor in __init__; flat_map-shaped batch transform."""
 
     def __init__(self, every_n: int = 10):
+        from .codecs import decode_apng_frame, encode_png, parse_apng
+
         self.every_n = every_n
+        self._parse, self._decode = parse_apng, decode_apng_frame
+        self._encode = encode_png
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
@@ -328,6 +369,16 @@ class FrameSampleStage:
         out_id, out_frame, out_bytes = [], [], []
         for i, t, p in zip(ids, types, payloads):
             if t != "video":
+                continue
+            meta = self._parse(p)
+            if meta is not None:
+                for f in range(0, meta["n_frames"], self.every_n):
+                    px = self._decode(p, f)
+                    if px is None:
+                        continue
+                    out_id.append(i)
+                    out_frame.append(f)
+                    out_bytes.append(self._encode(px))
                 continue
             h = fnv1a_bytes(p[:64])
             n_frames = 8 + h % 240

@@ -67,15 +67,50 @@ def test_media_decode_deterministic(ray_session):
 
 
 def test_frame_sampling(ray_session):
-    from s2ray.stages.multimodal import FrameSampleStage, read_media
+    """Frame sampling is REAL: each emitted payload is a single-frame PNG
+    whose decoded pixels are bit-exact to the synthetic APNG's frame at
+    that index (recomputed from the shared frame-stack generator)."""
+    from s2ray.stages.codecs import build_apng, decode_png
+    from s2ray.stages.multimodal import (FrameSampleStage, read_media,
+                                         synth_video_frames)
 
     ds = read_media(SF)
-    frames = ds.map_batches(FrameSampleStage, fn_constructor_kwargs={"every_n": 20},
+    frames = ds.map_batches(FrameSampleStage, fn_constructor_kwargs={"every_n": 4},
                             concurrency=2, batch_size=128,
                             batch_format="pyarrow").to_pandas()
     assert len(frames) > 0
-    assert (frames.frame_idx % 20 == 0).all()
-    assert frames.frame_payload.map(len).max() <= 16
+    assert (frames.frame_idx % 4 == 0).all()
+    checked = 0
+    for mid, fidx, payload in frames.head(30)[
+            ["media_id", "frame_idx", "frame_payload"]].itertuples(index=False):
+        seed = int(mid) * 2654435761 % (1 << 32)
+        stack = synth_video_frames(seed)
+        if len(build_apng(stack, delay_ms=40)) > 4096:
+            stack = synth_video_frames(seed, max_frames=2)
+        meta, px = decode_png(payload)
+        assert np.array_equal(px, stack[int(fidx)]), (mid, fidx)
+        checked += 1
+    assert checked > 0
+
+
+def test_apng_codec_roundtrip():
+    """APNG build -> parse -> per-frame decode is bit-exact, plain PNGs
+    are rejected, out-of-range frames return None."""
+    from s2ray.stages.codecs import (build_apng, decode_apng_frame,
+                                     encode_png, parse_apng)
+
+    rng = np.random.RandomState(3)
+    stack = [rng.randint(0, 256, (9, 14, 3), dtype=np.uint8)
+             for _ in range(6)]
+    data = build_apng(stack, delay_ms=40)
+    meta = parse_apng(data)
+    assert meta["n_frames"] == 6 and meta["format"] == "video/apng"
+    assert (meta["width"], meta["height"]) == (14, 9)
+    assert meta["duration_ms"] == 6 * 40
+    for k, f in enumerate(stack):
+        assert np.array_equal(decode_apng_frame(data, k), f), k
+    assert decode_apng_frame(data, 6) is None
+    assert parse_apng(encode_png(stack[0])) is None
 
 
 def test_real_codec_header_path():
