@@ -38,10 +38,20 @@ class RegionIndex:
     and the region object for exact refinement.
     """
 
-    # polygons with at least this many edges get a cell-indexed PIP
+    # Polygons with at least this many edges get a cell-indexed PIP
     # (IndexedPolygon) built into the broadcast object — probe cost becomes
-    # O(edges near the point's cell) instead of O(all edges)
-    INDEX_POLYGON_MIN_EDGES = 64
+    # O(edges near the point's cell) instead of O(all edges).  Crossover
+    # measured round 4 (star polygons, 200k local points, bit-parity
+    # asserted): the indexed PROBE wins from ~16 edges, but the index
+    # BUILD is the coverer's O(candidates x edges) refinement — ~1 s at
+    # max_cells=32 vs 7-14 s at 256 — so the policy is graduated: mid-size
+    # polygons (>= 24 edges) index with a cheap 32-cell covering (probe
+    # ~2x flat at 32 edges), and only large ones (>= 64 edges, the heavy-
+    # join regime where probes dwarf any build) pay the full 256-cell
+    # build (probe ~4-12x flat).  Below 24 edges flat scanning wins on
+    # build+probe economics.
+    INDEX_POLYGON_MIN_EDGES = 24
+    INDEX_POLYGON_FULL_EDGES = 64
 
     def __init__(self, regions: dict[str, object], max_cells: int = 16):
         from ..kernel.pip import IndexedPolygon, Polygon
@@ -54,10 +64,12 @@ class RegionIndex:
             cov = cellunion.normalize(covering_of(region, max_cells=max_cells))
             self.coverings[rid] = cov
             self.intervals[rid] = (cellid.range_min(cov), cellid.range_max(cov))
-            if (isinstance(region, Polygon)
-                    and sum(len(lp.vertices) for lp in region.loops)
-                    >= self.INDEX_POLYGON_MIN_EDGES):
-                region = IndexedPolygon(region)
+            if isinstance(region, Polygon):
+                n_edges = sum(len(lp.vertices) for lp in region.loops)
+                if n_edges >= self.INDEX_POLYGON_FULL_EDGES:
+                    region = IndexedPolygon(region)
+                elif n_edges >= self.INDEX_POLYGON_MIN_EDGES:
+                    region = IndexedPolygon(region, max_cells=32)
             self.regions[rid] = region
 
     def join_level(self) -> int:

@@ -155,3 +155,37 @@ def test_indexed_loop_matches_flat():
     b = idx.contains_latlng_degrees(qlat, qlng)
     assert np.array_equal(a, b)
     assert 0.1 < a.mean() < 0.9
+
+
+def test_region_index_graduated_index_policy():
+    """RegionIndex's auto-index crossover (round-4 measured): flat below
+    24 edges, 32-cell index for mid-size, full 256-cell index from 64 —
+    and every tier stays bit-exact with the flat polygon over a dense
+    local point cloud."""
+    import numpy as np
+
+    from s2ray.kernel.pip import IndexedPolygon, Polygon
+    from s2ray.pipelines.spatial_join import RegionIndex
+
+    def star(nv, cx=50.0, cy=10.0, r0=3.0, r1=5.0):
+        t = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+        r = np.where(np.arange(nv) % 2 == 0, r1, r0)
+        return list(zip((cx + r * np.sin(t)).tolist(),
+                        (cy + r * np.cos(t)).tolist()))
+
+    polys = {f"p{nv}": Polygon.from_latlng_loops([star(nv)])
+             for nv in (8, 24, 64)}
+    idx = RegionIndex(dict(polys))
+    assert isinstance(idx.regions["p8"], Polygon)          # flat tier
+    assert isinstance(idx.regions["p24"], IndexedPolygon)  # 32-cell tier
+    assert isinstance(idx.regions["p64"], IndexedPolygon)  # full tier
+    assert len(idx.regions["p24"].indexed[0].cells) <= 32
+    assert len(idx.regions["p64"].indexed[0].cells) <= 256
+
+    rng = np.random.RandomState(5)
+    lat = rng.uniform(44, 56, 20000)
+    lng = rng.uniform(2, 18, 20000)
+    for name, poly in polys.items():
+        a = poly.contains_latlng_degrees(lat, lng)
+        b = idx.regions[name].contains_latlng_degrees(lat, lng)
+        assert np.array_equal(a, b), name
