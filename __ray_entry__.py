@@ -1829,6 +1829,29 @@ def _q_region_relations(sf_dir: str):
     return pd.DataFrame(rows, columns=["a", "b", "relation"])
 
 
+def _q_user_rolling(sf_dir: str):
+    """Per-event trailing ROWS-window sum/count (SUM ... OVER ... ROWS
+    BETWEEN 3 PRECEDING AND CURRENT ROW), int64-cents exact."""
+    from s2ray.pipelines.analytics import user_rolling
+
+    return user_rolling(sf_dir)
+
+
+def _q_event_transitions(sf_dir: str):
+    """Event-type Markov transition counts (distributed LAG + rollup)."""
+    from s2ray.pipelines.analytics import event_transitions
+
+    return event_transitions(sf_dir)
+
+
+def _q_token_edit_pairs(sf_dir: str):
+    """FastSS deletion-neighborhood join: all distinct-token pairs at
+    byte-Levenshtein distance 1 or 2, with the exact distance."""
+    from s2ray.pipelines.text import token_edit_pairs
+
+    return token_edit_pairs(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering contract: the driver's CORRECTNESS window checks the FIRST
     50 entries, so positions 1-50 are exactly SQL-oracled queries (every
@@ -1836,13 +1859,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     prioritizing queries with no prior driver verification.  Round-4
     rotation: the 17 operators that were added after the round-3 window
     filled (weighted_sample ... vocab_coverage — in-suite hash-green but
-    never driver-verified) now lead the window, so cumulative driver
-    evidence reaches every oracled query; the remaining 33 slots re-seat
-    queries whose latest driver row is from round 2, keeping their
-    evidence fresh.  Everything r03-driver-green yields its slot and
-    stays hash-gated in-suite (tests/test_oracle.py).  The remaining
-    oracled queries follow, and the inherently non-SQL queries close the
-    dict."""
+    never driver-verified) lead the window, followed by the 3 operators
+    new in round 4 (user_rolling, event_transitions, token_edit_pairs),
+    so cumulative driver evidence reaches every oracled query; the
+    remaining 30 slots re-seat queries whose latest driver row is from
+    round 2, keeping their evidence fresh (cap_join_shuffle,
+    knn_pruned_moscow and pages_per_month yield their re-seat slots to
+    the new ops — they keep r02 driver rows + the in-suite gate).
+    Everything r03-driver-green yields its slot and stays hash-gated
+    in-suite (tests/test_oracle.py).  The remaining oracled queries
+    follow, and the inherently non-SQL queries close the dict."""
     return {
         # ---- driver window (50): every entry SQL-oracled ----
         # never driver-verified (added after the r03 window filled)
@@ -1863,6 +1889,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_smooth": _q_grid_smooth,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
+        # new in round 4 — never driver-verified
+        "user_rolling": _q_user_rolling,
+        "event_transitions": _q_event_transitions,
+        "token_edit_pairs": _q_token_edit_pairs,
         # latest driver row is from round 2 — re-seat for fresh evidence
         "boolean_pip_join": _q_boolean_pip_join,
         "assembled_pip_join": _q_assembled_pip_join,
@@ -1894,11 +1924,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
+        # ---- oracled, outside the 50-slot driver window (driver-green
+        # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
         "cap_join_shuffle": _q_cap_join_shuffle,
         "knn_pruned_moscow": _q_knn_pruned,
         "pages_per_month": _q_pages_per_month,
-        # ---- oracled, outside the 50-slot driver window (driver-green
-        # in r03; still hash-gated in-suite by tests/test_oracle.py) ----
         "tile_counts_l8": _q_tile_counts,
         "adaptive_tiles": _q_adaptive_tiles,
         "tile_quantiles": _q_tile_quantiles,
@@ -2061,7 +2091,10 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.functions.sqlgen import (polygon_relations_select,
                                         polyline_distance_select,
                                         s2_cell_select)
+    from s2ray.pipelines.analytics import (EVENT_TRANSITIONS_SQL,
+                                           user_rolling_sql)
     from s2ray.pipelines.polyline import Polyline
+    from s2ray.pipelines.text import TOKEN_EDIT_PAIRS_SQL
 
     cte = _pages_cte()
     # flagship: level-8 tile counts, cell id/token from the independent SQL
@@ -2959,6 +2992,9 @@ FROM (
         "simhash_pairs": simhash_sql,
         "events_asof": events_asof_sql,
         "event_gaps": event_gaps_sql,
+        "user_rolling": user_rolling_sql(),
+        "event_transitions": EVENT_TRANSITIONS_SQL,
+        "token_edit_pairs": TOKEN_EDIT_PAIRS_SQL,
         "cohort_retention": cohort_sql,
         "events_weekday_hour": """
 WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events

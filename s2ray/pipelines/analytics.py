@@ -2231,3 +2231,160 @@ FROM (
   CROSS JOIN (VALUES {ks}) AS k(k)
 ) WHERE es < w + {window_s}
 GROUP BY 1"""
+
+
+def user_rolling(sf_dir: str, preceding: int = 3, n_parts: int = 64):
+    """Per-event ROWS-window aggregate — the distributed
+    ``SUM ... OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    BETWEEN k PRECEDING AND CURRENT ROW)``: for every event, the sum
+    and row count of the user's trailing (k+1)-event window.
+
+    Money values go through cents (``round_half_away(value*100)`` ==
+    DuckDB's ``round``) so the rolling sums are int64-exact — no float
+    accumulation order can diverge from the oracle.  (ts, event_id) is
+    a total order (event ids are unique), so ties are deterministic.
+    NULL user/ts/value rows are unattributable and drop on both engines.
+
+    Shape: ONE user-hash co-partition, then a single vectorized pass
+    per partition (cumsum minus a lagged cumsum clamped at each user's
+    first row) — windows never cross partitions because users don't.
+    Shuffle volume is the event count once; no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_users(_drop_null_ts(
+            batch.replace_schema_metadata(None)))
+        if batch["value"].null_count:
+            batch = batch.filter(pc.is_valid(batch["value"]))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    k = int(preceding)
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "roll_cents": pd.Series(dtype=np.int64),
+                "roll_n": pd.Series(dtype=np.int64),
+            })
+        df = df.sort_values(["user_id", "ts", "event_id"]) \
+            .reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        cents = round_half_away(
+            df["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        # first row index of each user's run, broadcast to every row
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        run_start = idx[new_user]
+        start_of = np.repeat(run_start, np.diff(
+            np.concatenate([run_start, [n]])))
+        lo = np.maximum(idx - k, start_of)
+        c = np.concatenate([[0], np.cumsum(cents)])  # c[i+1]=sum(<=i)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy().astype(np.int64),
+            "user_id": uid.astype(np.int64),
+            "roll_cents": c[idx + 1] - c[lo],
+            "roll_n": idx - lo + 1,
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("part")
+            .map_groups(roll, batch_format="pandas"))
+
+
+def user_rolling_sql(preceding: int = 3) -> str:
+    return f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS roll_cents,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {int(preceding)} PRECEDING AND CURRENT ROW)"""
+
+
+def event_transitions(sf_dir: str, n_parts: int = 64):
+    """Event-type transition (Markov) counts — the distributed
+    ``LAG(event_type) OVER (PARTITION BY user ORDER BY ts, event_id)``
+    rolled up corpus-wide: (from_type, to_type, n) for every observed
+    consecutive pair within a user's timeline.
+
+    NULL user/ts/type rows drop on both engines (an untyped event is
+    not a state; a NULL prev — each user's first event — is not a
+    transition).  Same co-partition shape as event_gaps: users never
+    cross partitions, so LAG is local; the shuffle after the partial
+    count moves at most |types|^2 rows per partition.
+    """
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_users(_drop_null_ts(
+            batch.replace_schema_metadata(None)))
+        if batch["event_type"].null_count:
+            batch = batch.filter(pc.is_valid(batch["event_type"]))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def count_local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"bt": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["user_id", "ts", "event_id"]) \
+            .reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        frm, to = et[np.flatnonzero(same) - 1], et[same]
+        if len(frm) == 0:
+            return pd.DataFrame({"bt": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = pd.DataFrame({"bt": np.char.add(np.char.add(
+            frm.astype(str), "\x1f"), to.astype(str))}) \
+            .groupby("bt", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "from_type": pd.Series(dtype=object),
+                "to_type": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64)})
+        g = df.groupby("bt", sort=False)["n"].sum().reset_index()
+        parts = g["bt"].str.split("\x1f", n=1, expand=True)
+        return pd.DataFrame({"from_type": parts[0], "to_type": parts[1],
+                             "n": g["n"].astype(np.int64)})
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("part")
+            .map_groups(count_local, batch_format="pandas")
+            .groupby("bt")
+            .map_groups(finish, batch_format="pandas"))
+
+
+EVENT_TRANSITIONS_SQL = """
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL)
+WHERE prev IS NOT NULL
+GROUP BY 1, 2"""

@@ -1451,3 +1451,203 @@ def vocab_coverage(sf_dir: str, p_num: int = 1, p_den: int = 2,
                               batch_size=None)
             .groupby("vr")
             .map_groups(cut_range, batch_format="pandas"))
+
+
+def _lev_bounded(a: bytes, b: bytes, k: int) -> int:
+    """Byte-level Levenshtein distance, exact up to ``k`` (returns k+1 as
+    soon as the true distance exceeds k).  Byte-level because DuckDB's
+    ``levenshtein`` counts UTF-8 bytes, not codepoints (verified:
+    levenshtein('é','e') = 2).  Banded DP: only the 2k+1 diagonal band
+    can hold values <= k, so each row aborts early when its band
+    minimum exceeds k — O(len * k) per pair, called on vocabulary-sized
+    candidate lists only, never per corpus row.
+    """
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if a == b:
+        return 0
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1        # outside the band: poison
+        row_min = cur[lo - 1] if lo > 1 else i
+        for j in range(lo, hi + 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != b[j - 1]))
+            cur[j] = c
+            if c < row_min:
+                row_min = c
+        if hi < lb:
+            cur[hi + 1:] = [k + 1] * (lb - hi)
+        if row_min > k:
+            return k + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= k else k + 1
+
+
+def token_edit_pairs(sf_dir: str, max_dist: int = 2, n_parts: int = 64,
+                     max_bucket: int = 65536, max_token_bytes: int = 64):
+    """Edit-distance similarity self-join over the corpus vocabulary —
+    the FastSS / SymSpell deletion-neighborhood join: all unordered
+    pairs of DISTINCT corpus tokens with byte-level Levenshtein
+    distance in [1, max_dist], plus the exact distance.  Byte-level
+    because the oracle's ``levenshtein`` counts UTF-8 bytes, so the
+    whole plan runs on encoded bytes for bit parity.
+
+    FastSS invariant (Bocek et al. 2007): lev(a, b) <= k iff
+    D_k(a) ∩ D_k(b) != Ø, where D_k(x) = every string obtainable from
+    x by deleting up to k bytes.  Sharing a deletion variant is
+    necessary but NOT sufficient ("ab"/"ba" share "a" yet lev = 2 ...
+    which max_dist=2 accepts; "abc"/"ca" share "c" at k=2 yet lev = 3),
+    so every candidate pair is verified with the exact banded DP above.
+
+    Tokens longer than ``max_token_bytes`` are excluded on BOTH engines
+    (the SQL mirrors with ``octet_length(tok) <= N``): the deletion
+    neighborhood is O(len^k) variants per token, so an unbounded token
+    length would let one adversarial megabyte token explode the variant
+    table — the cap keeps the neighborhood <= 1 + L + L(L-1)/2 ≈ 2k
+    rows per token and is a no-op on natural-language vocabularies.
+
+    Scale shape: three vocabulary-sized shuffles, never corpus-sized —
+    (1) per-batch-distinct tokens hash-partitioned to a global distinct,
+    (2) (variant, token) rows partitioned by variant hash; within a
+    variant bucket all O(bucket²) candidate pairs verify locally
+    (buckets = tokens sharing a k-deletion variant; a bucket over
+    ``max_bucket`` raises rather than going quadratic — same contract
+    as knn_graph), (3) verified pairs partitioned by pair hash for the
+    final distinct (a pair can meet in many buckets; the min dist is
+    identical in every copy because the verifier is exact).  The
+    per-token Python loops run over the VOCABULARY (post-distinct),
+    not the corpus — the corpus-sized work (tokenize + per-batch
+    distinct) is all Arrow.
+    """
+    import zlib
+
+    import pandas as pd
+
+    k = int(max_dist)
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def _np_crc(strs) -> np.ndarray:
+        # vocabulary-sized loop by construction (inputs are distinct)
+        return np.fromiter(
+            (zlib.crc32(s.encode("utf-8") if isinstance(s, str) else s)
+             for s in strs), dtype=np.int64, count=len(strs))
+
+    def batch_vocab(batch: pa.Table) -> pa.Table:
+        _row, _codes, uniques, _n, _flat = _token_codes(
+            _string_array(batch["text"]))
+        toks = pa.array(uniques, type=pa.string())
+        blen = pc.binary_length(pc.cast(toks, pa.binary()))
+        keep = pc.less_equal(blen, max_token_bytes)
+        toks = pc.filter(toks, keep)
+        h = _np_crc(toks.to_pylist())
+        return pa.table({"tok": toks,
+                         "part": pa.array((h % n_parts).astype(np.int32))})
+
+    def _deletions(b: bytes, kk: int) -> set:
+        out = {b}
+        frontier = {b}
+        for _ in range(kk):
+            nxt = set()
+            for v in frontier:
+                for i in range(len(v)):
+                    nxt.add(v[:i] + v[i + 1:])
+            nxt -= out
+            out |= nxt
+            frontier = nxt
+        return out
+
+    def expand_variants(df: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.unique(df["tok"])
+        vs, ts = [], []
+        for t in toks:
+            b = t.encode("utf-8")
+            for v in _deletions(b, k):
+                vs.append(v)
+                ts.append(t)
+        if not vs:
+            return pd.DataFrame({"vpart": pd.Series(dtype=np.int32),
+                                 "variant": pd.Series(dtype=object),
+                                 "tok": pd.Series(dtype=object)})
+        vh = np.fromiter((zlib.crc32(v) for v in vs), dtype=np.int64,
+                         count=len(vs))
+        return pd.DataFrame({
+            "vpart": (vh % n_parts).astype(np.int32),
+            "variant": vs, "tok": ts})
+
+    def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        seen = set()                   # pairs verified in THIS partition
+        for _v, g in df.groupby("variant", sort=False):
+            toks = sorted(pd.unique(g["tok"]))
+            m = len(toks)
+            if m < 2:
+                continue
+            if m > max_bucket:
+                raise ValueError(
+                    f"token_edit_pairs variant bucket {m} > max_bucket="
+                    f"{max_bucket}: raise the cap explicitly rather than "
+                    "letting a degenerate vocabulary go quadratic")
+            enc = [t.encode("utf-8") for t in toks]
+            for i in range(m):
+                for j in range(i + 1, m):
+                    key = (toks[i], toks[j])
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    d = _lev_bounded(enc[i], enc[j], k)
+                    if 1 <= d <= k:
+                        out_a.append(toks[i])
+                        out_b.append(toks[j])
+                        out_d.append(d)
+        if not out_a:
+            return pd.DataFrame({"ppart": pd.Series(dtype=np.int32),
+                                 "tok_a": pd.Series(dtype=object),
+                                 "tok_b": pd.Series(dtype=object),
+                                 "dist": pd.Series(dtype=np.int64)})
+        ph = np.fromiter(
+            (zlib.crc32(a.encode() + b"\x00" + b.encode())
+             for a, b in zip(out_a, out_b)),
+            dtype=np.int64, count=len(out_a))
+        return pd.DataFrame({"ppart": (ph % n_parts).astype(np.int32),
+                             "tok_a": out_a, "tok_b": out_b,
+                             "dist": np.asarray(out_d, dtype=np.int64)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"tok_a": pd.Series(dtype=object),
+                                 "tok_b": pd.Series(dtype=object),
+                                 "dist": pd.Series(dtype=np.int64)})
+        g = df.drop_duplicates(["tok_a", "tok_b"])
+        return pd.DataFrame({"tok_a": g["tok_a"].to_numpy(),
+                             "tok_b": g["tok_b"].to_numpy(),
+                             "dist": g["dist"].to_numpy().astype(np.int64)})
+
+    return (ds.map_batches(batch_vocab, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("part")
+            .map_groups(expand_variants, batch_format="pandas")
+            .groupby("vpart")
+            .map_groups(candidate_pairs, batch_format="pandas")
+            .groupby("ppart")
+            .map_groups(finish, batch_format="pandas"))
+
+
+TOKEN_EDIT_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT unnest(list_filter(
+           regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL)
+SELECT a.tok AS tok_a, b.tok AS tok_b,
+       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+FROM toks a JOIN toks b
+  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) BETWEEN 1 AND 2
+WHERE octet_length(CAST(a.tok AS BLOB)) <= 64
+  AND octet_length(CAST(b.tok AS BLOB)) <= 64"""

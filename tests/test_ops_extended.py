@@ -284,3 +284,124 @@ def test_grid_clusters_antimeridian_chain(ray_session):
     keys = [(int(np.floor(la)) + offy) * W + (int(np.floor(ln)) + offx)
             for la, ln in pts[:4]]
     assert chain.cluster_id == min(keys)
+
+
+def test_user_rolling_matches_pandas_reference(ray_session):
+    """user_rolling vs an independent pandas groupby-rolling reference
+    (different window mechanics: pandas .rolling vs the pipeline's
+    clamped dual-cumsum)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.analytics import user_rolling
+    from s2ray.pipelines.text import round_half_away
+
+    sf = "/root/testdata/sf0.01"
+    got = user_rolling(sf).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "ts", "user_id", "value"]) \
+        .to_pandas().dropna(subset=["ts", "user_id", "value"])
+    ev["cents"] = round_half_away(
+        ev["value"].to_numpy() * 100.0, 0).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    g = ev.groupby("user_id", sort=False)["cents"]
+    ref = pd.DataFrame({
+        "event_id": ev["event_id"].to_numpy(),
+        "roll_cents": g.rolling(4, min_periods=1).sum()
+            .reset_index(level=0, drop=True).astype(np.int64).to_numpy(),
+        "roll_n": g.rolling(4, min_periods=1).count()
+            .reset_index(level=0, drop=True).astype(np.int64).to_numpy(),
+    }).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert np.array_equal(got["event_id"].to_numpy(),
+                          ref["event_id"].to_numpy())
+    assert np.array_equal(got["roll_cents"].to_numpy(),
+                          ref["roll_cents"].to_numpy())
+    assert np.array_equal(got["roll_n"].to_numpy(), ref["roll_n"].to_numpy())
+
+
+def test_event_transitions_matches_pandas_reference(ray_session):
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.analytics import event_transitions
+
+    sf = "/root/testdata/sf0.01"
+    got = event_transitions(sf).to_pandas() \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "ts", "user_id", "event_type"]) \
+        .to_pandas().dropna(subset=["ts", "user_id", "event_type"]) \
+        .sort_values(["user_id", "ts", "event_id"])
+    prev = ev.groupby("user_id", sort=False)["event_type"].shift(1)
+    ref = ev.assign(from_type=prev).dropna(subset=["from_type"]) \
+        .groupby(["from_type", "event_type"]).size() \
+        .reset_index(name="n").rename(columns={"event_type": "to_type"}) \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    assert got["from_type"].tolist() == ref["from_type"].tolist()
+    assert got["to_type"].tolist() == ref["to_type"].tolist()
+    assert got["n"].tolist() == ref["n"].tolist()
+    # every observed transition count is positive and types are real
+    assert (got["n"] > 0).all()
+
+
+def _lev_full(a: bytes, b: bytes) -> int:
+    """Textbook O(len*len) byte-level Levenshtein (independent of the
+    pipeline's two-pointer <=1 test)."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def test_token_edit_pairs_matches_bruteforce(ray_session):
+    """FastSS join vs brute-force all-pairs full-DP Levenshtein over the
+    sf0.01 vocabulary — pairs AND exact distances must agree."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.text import token_edit_pairs
+
+    sf = "/root/testdata/sf0.01"
+    got = token_edit_pairs(sf).to_pandas()
+    got_pairs = {(a, b): d for a, b, d in
+                 zip(got["tok_a"], got["tok_b"], got["dist"])}
+
+    toks = sorted({t for txt in pq.read_table(
+        f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()
+        if txt for t in txt.split() if t})
+    want = {}
+    for a, b in itertools.combinations(toks, 2):
+        d = _lev_full(a.encode(), b.encode())
+        if 1 <= d <= 2:
+            want[(a, b)] = d
+    assert len(want) > 0          # the vocab really exercises the join
+    assert got_pairs == want
+    assert all(a < b for a, b in got_pairs)
+    assert len(got) == len(got_pairs)  # no duplicate pair rows survive
+
+
+def test_lev_bounded_kernel_vs_full_dp():
+    """The pipeline's banded lev<=k verifier agrees with full DP on
+    random byte strings including multi-byte UTF-8 fragments, for both
+    k=1 and k=2 (returns k+1 beyond the bound)."""
+    import random
+
+    from s2ray.pipelines.text import _lev_bounded
+
+    rng = random.Random(7)
+    alphabet = b"ab\xc3\xa9"  # includes UTF-8 continuation bytes
+    for _ in range(3000):
+        a = bytes(rng.choice(alphabet) for _ in range(rng.randint(0, 7)))
+        b = bytes(rng.choice(alphabet) for _ in range(rng.randint(0, 7)))
+        full = _lev_full(a, b)
+        for k in (1, 2):
+            assert _lev_bounded(a, b, k) == min(full, k + 1), (a, b, k)

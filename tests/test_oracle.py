@@ -106,6 +106,8 @@ def _compare(name, entrymod, con):
                                    "lang_id", "fingerprint",
                                    "weighted_sample", "lang_corr",
                                    "events_sliding_distinct",
+                                   "user_rolling", "event_transitions",
+                                   "token_edit_pairs",
                                    "url_domain_counts", "events_hourly",
                                    "emb_centroids", "events_sliding",
                                    "top3_per_city", "user_sessions"])

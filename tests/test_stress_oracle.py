@@ -35,13 +35,15 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "standardize_docs", "doc_deciles", "cross_lang_nn",
                "source_mix", "langid_confusion", "emb_integrity",
                "tile_growth", "grid_smooth", "knn_graph",
-               "vocab_coverage", "weighted_sample", "lang_corr"]
+               "vocab_coverage", "weighted_sample", "lang_corr",
+               "token_edit_pairs"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
                  "events_distinct_users", "props_field_stats",
                  "events_winsorized", "events_mad", "user_streaks",
-                 "events_sliding_distinct"]
+                 "events_sliding_distinct", "user_rolling",
+                 "event_transitions"]
 
 
 def _assert_matches_oracle(qname, res, con):
