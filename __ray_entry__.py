@@ -1852,6 +1852,22 @@ def _q_token_edit_pairs(sf_dir: str):
     return token_edit_pairs(sf_dir)
 
 
+def _q_cheapest_supplier(sf_dir: str):
+    """Group-argmin retrieval join (TPC-H Q2 shape): per part, the
+    supplier row(s) at the minimum lineitem price, ties kept."""
+    from s2ray.pipelines.join import cheapest_supplier
+
+    return cheapest_supplier(sf_dir)
+
+
+def _q_event_followups(sf_dir: str):
+    """Temporal range-count join: purchases within 7 days after each
+    view, per user (0 kept — LEFT-join semantics)."""
+    from s2ray.pipelines.analytics import event_followups
+
+    return event_followups(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering contract: the driver's CORRECTNESS window checks the FIRST
     50 entries, so positions 1-50 are exactly SQL-oracled queries (every
@@ -1859,12 +1875,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     prioritizing queries with no prior driver verification.  Round-4
     rotation: the 17 operators that were added after the round-3 window
     filled (weighted_sample ... vocab_coverage — in-suite hash-green but
-    never driver-verified) lead the window, followed by the 3 operators
-    new in round 4 (user_rolling, event_transitions, token_edit_pairs),
-    so cumulative driver evidence reaches every oracled query; the
-    remaining 30 slots re-seat queries whose latest driver row is from
-    round 2, keeping their evidence fresh (cap_join_shuffle,
-    knn_pruned_moscow and pages_per_month yield their re-seat slots to
+    never driver-verified) lead the window, followed by the 5 operators
+    new in round 4 (user_rolling, event_transitions, token_edit_pairs,
+    cheapest_supplier, event_followups), so cumulative driver evidence
+    reaches every oracled query; the remaining 28 slots re-seat queries
+    whose latest driver row is from round 2, keeping their evidence
+    fresh (cap_join_shuffle, knn_pruned_moscow, pages_per_month,
+    emb_norm_by_lang and rect_filter_wrap yield their re-seat slots to
     the new ops — they keep r02 driver rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
@@ -1893,6 +1910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling": _q_user_rolling,
         "event_transitions": _q_event_transitions,
         "token_edit_pairs": _q_token_edit_pairs,
+        "cheapest_supplier": _q_cheapest_supplier,
+        "event_followups": _q_event_followups,
         # latest driver row is from round 2 — re-seat for fresh evidence
         "boolean_pip_join": _q_boolean_pip_join,
         "assembled_pip_join": _q_assembled_pip_join,
@@ -1922,10 +1941,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs": _q_near_dup_pairs,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
-        "emb_norm_by_lang": _q_emb_norm_by_lang,
-        "rect_filter_wrap": _q_rect_filter_wrap,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "emb_norm_by_lang": _q_emb_norm_by_lang,
+        "rect_filter_wrap": _q_rect_filter_wrap,
         "cap_join_shuffle": _q_cap_join_shuffle,
         "knn_pruned_moscow": _q_knn_pruned,
         "pages_per_month": _q_pages_per_month,
@@ -2092,7 +2111,9 @@ def oracle_sql() -> dict[str, str]:
                                         polyline_distance_select,
                                         s2_cell_select)
     from s2ray.pipelines.analytics import (EVENT_TRANSITIONS_SQL,
+                                           event_followups_sql,
                                            user_rolling_sql)
+    from s2ray.pipelines.join import CHEAPEST_SUPPLIER_SQL
     from s2ray.pipelines.polyline import Polyline
     from s2ray.pipelines.text import TOKEN_EDIT_PAIRS_SQL
 
@@ -2995,6 +3016,8 @@ FROM (
         "user_rolling": user_rolling_sql(),
         "event_transitions": EVENT_TRANSITIONS_SQL,
         "token_edit_pairs": TOKEN_EDIT_PAIRS_SQL,
+        "cheapest_supplier": CHEAPEST_SUPPLIER_SQL,
+        "event_followups": event_followups_sql(),
         "cohort_retention": cohort_sql,
         "events_weekday_hour": """
 WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events

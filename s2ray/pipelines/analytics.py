@@ -2388,3 +2388,114 @@ FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
         AND event_type IS NOT NULL)
 WHERE prev IS NOT NULL
 GROUP BY 1, 2"""
+
+
+def event_followups(sf_dir: str, probe_type: str = "view",
+                    follow_type: str = "purchase",
+                    window_s: int = 7 * 86400, n_parts: int = 64):
+    """Temporal range-COUNT join — for every ``probe_type`` event, how
+    many same-user ``follow_type`` events land in the FOLLOWING window
+    ``(ts, ts + window_s]``.  Output: (event_id, user_id, n_follow),
+    n_follow = 0 kept (LEFT-join semantics).  The bounded-window sibling
+    of events_asof: as-of retrieves the nearest predecessor; this counts
+    successors inside a range — the attribution/conversion-window shape
+    (views -> purchases within 7 days).
+
+    Exactness: both bounds are pure int64-microsecond comparisons (no
+    arithmetic beyond ts + window, exact in int64), so ties behave
+    bit-identically to the SQL ``b.ts > a.ts AND b.ts <= a.ts +
+    INTERVAL``.  NULL user/ts rows are unattributable and drop on both
+    engines (probe side via WHERE; follow side via the join predicate).
+
+    Scale shape: ONE user-hash co-partition of only the two event types
+    involved (the filter runs before the shuffle), then a single merged
+    scan per partition: probes contribute two boundary records (t and
+    t + window), one lexsort over (user, ts, kind) with follows ordered
+    before boundaries at equal ts, and a user-segment-clamped cumulative
+    count gives #follows <= X for every boundary — n_follow =
+    F(t + window) - F(t).  Fully vectorized; windows never cross
+    partitions because users don't.
+    """
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_users(_drop_null_ts(
+            batch.replace_schema_metadata(None)))
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([probe_type, follow_type]))
+        batch = batch.filter(pc.fill_null(keep, False))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def count_follow(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype=np.int64),
+            "user_id": pd.Series(dtype=np.int64),
+            "n_follow": pd.Series(dtype=np.int64),
+        })
+        if len(df) == 0:
+            return empty
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_probe = et == probe_type
+        is_follow = et == follow_type
+        pu, pt = uid[is_probe], ts[is_probe]
+        pid = df["event_id"].to_numpy().astype(np.int64)[is_probe]
+        if len(pu) == 0:
+            return empty
+        fu, ft = uid[is_follow], ts[is_follow]
+        # merged scan: follows (kind 0) + two boundary records per probe
+        # (kind 1); at equal (user, ts) follows sort FIRST, so the
+        # cumulative count at a boundary is F(X) = #follows with ts <= X.
+        # n = F(t+w) - F(t) then includes ties at t+w (SQL's <=) and
+        # excludes ties at t (SQL's b.ts > a.ts).
+        n_p = len(pu)
+        u = np.concatenate([fu, pu, pu])
+        x = np.concatenate([ft, pt, pt + win_us])
+        kind = np.concatenate([np.zeros(len(fu), dtype=np.int8),
+                               np.ones(2 * n_p, dtype=np.int8)])
+        # boundary i < n_p is the probe's lower bound (sign -1),
+        # i >= n_p its upper bound (sign +1)
+        order = np.lexsort((kind, x, u))
+        u_s, kind_s = u[order], kind[order]
+        cum = np.cumsum(kind_s == 0)                 # follows so far
+        new_u = np.concatenate([[True], u_s[1:] != u_s[:-1]])
+        seg_start = np.flatnonzero(new_u)
+        base_at_start = np.where(seg_start > 0, cum[seg_start - 1], 0)
+        base = np.repeat(base_at_start, np.diff(
+            np.concatenate([seg_start, [len(u_s)]])))
+        count_le = cum - base                        # per-user F(X)
+        # scatter boundary counts back to their probe
+        bnd_pos = np.flatnonzero(kind_s == 1)
+        bnd_idx = order[bnd_pos] - len(fu)           # 0..2*n_p-1
+        f_at = np.zeros(2 * n_p, dtype=np.int64)
+        f_at[bnd_idx] = count_le[bnd_pos]
+        n_follow = f_at[n_p:] - f_at[:n_p]
+        return pd.DataFrame({"event_id": pid, "user_id": pu,
+                             "n_follow": n_follow})
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("part")
+            .map_groups(count_follow, batch_format="pandas"))
+
+
+def event_followups_sql(probe_type: str = "view",
+                        follow_type: str = "purchase",
+                        window_s: int = 7 * 86400) -> str:
+    return f"""
+SELECT a.event_id, a.user_id, CAST(count(b.event_id) AS BIGINT) AS n_follow
+FROM events a
+LEFT JOIN events b
+  ON b.user_id = a.user_id AND b.event_type = '{follow_type}'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {int(window_s)} SECOND
+WHERE a.event_type = '{probe_type}'
+  AND a.user_id IS NOT NULL AND a.ts IS NOT NULL
+GROUP BY 1, 2"""

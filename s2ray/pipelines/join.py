@@ -497,3 +497,119 @@ def emb_integrity(sf_dir: str, n_parts: int = 64):
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            batch_size=None)
+
+
+def cheapest_supplier(sf_dir: str, n_parts: int = 64):
+    """Group-argmin retrieval join (the TPC-H Q2 shape): for every part,
+    the supplier row(s) achieving the MINIMUM lineitem extended price —
+    all ties kept, supplier name attributed.  Output: DISTINCT
+    (partkey, suppkey, min_price, s_name).
+
+    The shape SQL writes as ``JOIN (GROUP BY key, min(v))`` back onto the
+    fact table: the aggregate alone loses WHICH row won; the retrieval
+    join recovers the winning rows' other columns.
+
+    min() is comparison-only, so float64 prices compare bit-identically
+    on both engines (no arithmetic enters the result).
+
+    Scale shape: ZERO fact-table shuffles.
+    - Pass 1 streams lineitem once: per-batch partial min per partkey
+      (batch-distinct keys out, never raw rows), then a partkey-sized
+      groupby-min.  The min table is PART-dimension-sized (TPC-H
+      part : lineitem ≈ 1 : 30), the same class this module already
+      broadcasts for dimension joins — it ships once per worker via
+      ray.put; a deployment whose group-key cardinality rivals the fact
+      table should route through copartition_hash_join instead.
+    - Pass 2 streams lineitem again: one searchsorted probe keeps rows
+      equal to their key's min; a per-batch DISTINCT (partkey, suppkey,
+      price) shrinks the emit to winners only, then one winner-sized
+      hash co-partition finishes the global distinct.
+    - supplier is a dimension: broadcast_hash_join attaches s_name.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.readers import read_table
+
+    cols = ["l_partkey", "l_suppkey", "l_extendedprice"]
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch[c].null_count:
+                batch = batch.filter(pc.is_valid(batch[c]))
+        return batch
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        batch = _clean(batch)
+        df = pd.DataFrame({
+            "k": batch["l_partkey"].to_numpy(zero_copy_only=False),
+            "v": batch["l_extendedprice"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("k", sort=False)["v"].min().reset_index()
+        return pa.table({"l_partkey": pa.array(g["k"].to_numpy()),
+                         "mn": pa.array(g["v"].to_numpy())})
+
+    mins = (read_table(sf_dir, "lineitem", columns=cols)
+            .map_batches(partial_min, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("l_partkey").min("mn"))
+    mt = pa.concat_tables([ray.get(r) for r in mins.to_arrow_refs()])
+    vcol = [c for c in mt.column_names if c != "l_partkey"][0]
+    mk = mt["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mv = mt[vcol].to_numpy(zero_copy_only=False)
+    order = np.argsort(mk, kind="stable")
+    min_ref = ray.put((mk[order], mv[order]))
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        kk, vv = _cached_build(min_ref)
+        batch = _clean(batch)
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        if len(kk) == 0:
+            win = np.zeros(len(k), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(kk, k), len(kk) - 1)
+            # every pass-2 key exists in the pass-1 min table (same
+            # _clean); the key check is correctness belt-and-braces
+            win = (kk[pos] == k) & (v == vv[pos])
+        df = pd.DataFrame({
+            "partkey": k[win],
+            "suppkey": batch["l_suppkey"].to_numpy(
+                zero_copy_only=False)[win].astype(np.int64),
+            "min_price": v[win]}).drop_duplicates()
+        h = (df["partkey"].to_numpy() * np.int64(2654435761)
+             + df["suppkey"].to_numpy()) % n_parts
+        # strip the pandas schema metadata: Ray's shuffle schema dedup
+        # can't hash dict-valued metadata (log spam per reduce task)
+        return pa.Table.from_pandas(
+            df.assign(part=h.astype(np.int32)),
+            preserve_index=False).replace_schema_metadata(None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["partkey", "suppkey"]) \
+            .drop(columns=["part"]).reset_index(drop=True)
+
+    winners = (read_table(sf_dir, "lineitem", columns=cols)
+               .map_batches(keep_winners, batch_format="pyarrow",
+                            batch_size=None)
+               .groupby("part")
+               .map_groups(finish, batch_format="pandas"))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    return broadcast_hash_join(winners, sup, on="suppkey",
+                               build_on="s_suppkey", how="inner")
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH m AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+           FROM lineitem
+           WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+             AND l_extendedprice IS NOT NULL
+           GROUP BY 1)
+SELECT DISTINCT m.l_partkey AS partkey, l.l_suppkey AS suppkey,
+       m.min_price, s.s_name
+FROM m
+JOIN lineitem l ON l.l_partkey = m.l_partkey
+               AND l.l_extendedprice = m.min_price
+JOIN supplier s ON s.s_suppkey = l.l_suppkey"""

@@ -405,3 +405,76 @@ def test_lev_bounded_kernel_vs_full_dp():
         full = _lev_full(a, b)
         for k in (1, 2):
             assert _lev_bounded(a, b, k) == min(full, k + 1), (a, b, k)
+
+
+def test_cheapest_supplier_matches_pandas_reference(ray_session):
+    """Argmin retrieval join vs an independent pandas transform-min
+    reference (different mechanics: broadcast min-probe vs groupby
+    transform)."""
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.join import cheapest_supplier
+
+    sf = "/root/testdata/sf0.01"
+    got = cheapest_supplier(sf).to_pandas()
+    got = got.astype({"partkey": np.int64, "suppkey": np.int64}) \
+        .sort_values(["partkey", "suppkey"]).reset_index(drop=True)
+
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey",
+                                "l_extendedprice"]).to_pandas()
+    mn = li.groupby("l_partkey")["l_extendedprice"].transform("min")
+    ref = li[li["l_extendedprice"] == mn] \
+        .drop_duplicates(["l_partkey", "l_suppkey"]) \
+        .rename(columns={"l_partkey": "partkey", "l_suppkey": "suppkey",
+                         "l_extendedprice": "min_price"})
+    sup = pq.read_table(f"{sf}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    ref = ref.merge(sup, left_on="suppkey", right_on="s_suppkey") \
+        .drop(columns="s_suppkey") \
+        .sort_values(["partkey", "suppkey"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    for c in ("partkey", "suppkey"):
+        assert np.array_equal(got[c].to_numpy(), ref[c].to_numpy()), c
+    assert np.array_equal(got["min_price"].to_numpy(),
+                          ref["min_price"].to_numpy())  # bit-exact floats
+    assert got["s_name"].tolist() == ref["s_name"].tolist()
+    # every part with >= 1 lineitem appears at least once
+    assert set(got["partkey"]) == set(li["l_partkey"])
+
+
+def test_event_followups_matches_bruteforce(ray_session):
+    """Range-count join vs a brute-force per-probe O(n_user) count,
+    including boundary semantics (> t, <= t + w)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.analytics import event_followups
+
+    sf = "/root/testdata/sf0.01"
+    w_s = 7 * 86400
+    got = event_followups(sf, window_s=w_s).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas() \
+        .dropna(subset=["ts", "user_id"])
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.assign(t=ts)
+    probes = ev[ev["event_type"] == "view"]
+    rows = []
+    fol = ev[ev["event_type"] == "purchase"]
+    fol_by_user = {u: g["t"].to_numpy() for u, g in fol.groupby("user_id")}
+    w_us = w_s * 1_000_000
+    for _, r in probes.iterrows():
+        ft = fol_by_user.get(r["user_id"], np.array([], dtype=np.int64))
+        n = int(((ft > r["t"]) & (ft <= r["t"] + w_us)).sum())
+        rows.append((int(r["event_id"]), int(r["user_id"]), n))
+    ref = pd.DataFrame(rows, columns=["event_id", "user_id", "n_follow"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(ref)
+    for c in ("event_id", "user_id", "n_follow"):
+        assert np.array_equal(got[c].to_numpy().astype(np.int64),
+                              ref[c].to_numpy()), c
+    assert (got["n_follow"] >= 0).all() and got["n_follow"].max() > 0

@@ -107,7 +107,8 @@ def _compare(name, entrymod, con):
                                    "weighted_sample", "lang_corr",
                                    "events_sliding_distinct",
                                    "user_rolling", "event_transitions",
-                                   "token_edit_pairs",
+                                   "token_edit_pairs", "cheapest_supplier",
+                                   "event_followups",
                                    "url_domain_counts", "events_hourly",
                                    "emb_centroids", "events_sliding",
                                    "top3_per_city", "user_sessions"])
