@@ -1315,6 +1315,16 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(sf_dir)
 
 
+def _q_ngram_novelty(sf_dir: str):
+    """Order-aware novelty: per doc, the fraction of its distinct k-gram
+    shingles whose corpus-wide first occurrence (min doc_id) is this doc
+    — the same compact-blob inverted shuffle as dup_span_stats plus one
+    run-minimum fact per shingle."""
+    from s2ray.pipelines.dedup import ngram_novelty
+
+    return ngram_novelty(sf_dir)
+
+
 def _q_corpus_keep(sf_dir: str):
     from s2ray.pipelines.dedup import corpus_dedup_keep
 
@@ -1972,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": _q_events_winsorized,
         "dup_degree_hist": _q_dup_degree_hist,
         "dup_span_stats": _q_dup_span_stats,
+        "ngram_novelty": _q_ngram_novelty,
         "cosine_sim_pairs": _q_cosine_sim,
         "session_quantiles": _q_session_quantiles,
         "decontaminate_bloom": _q_decontaminate_bloom,
@@ -2500,6 +2511,17 @@ per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
         FROM shs JOIN dfc USING (s) GROUP BY doc_id)
 SELECT doc_id, n_shingles, n_dup,
        round(n_dup * 1.0 / n_shingles, 6) AS dup_frac FROM per"""
+    # n-gram novelty: first-occurrence (min doc_id) rule over the same
+    # distinct-shingle stream; mirrors dedup.ngram_novelty's run minima
+    ngram_novelty_sql = f"""
+WITH {tok_cte}, {shingle_cte},
+fo AS (SELECT s, min(doc_id) AS first_doc FROM shs GROUP BY s),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN fo.first_doc = shs.doc_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM shs JOIN fo USING (s) GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_novel,
+       round(n_novel * 1.0 / n_shingles, 6) AS novelty_frac FROM per"""
     simhash_sql = f"""
 WITH {tok_cte},
 tokh AS (SELECT doc_id, unnest(hs) AS h FROM th),
@@ -2990,6 +3012,7 @@ FROM (
         ),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "dup_span_stats": dup_span_sql,
+        "ngram_novelty": ngram_novelty_sql,
         "revenue_by_nation": _revenue_by_nation_oracle(),
         "pricing_summary": _pricing_summary_oracle(),
         "props_field_stats": _props_field_stats_oracle(),

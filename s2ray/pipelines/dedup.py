@@ -1752,26 +1752,27 @@ def semantic_dedup(sf_dir: str, tau: float = 0.45, n_clusters: int = 8,
             .map_groups(dedup_cluster, batch_format="pandas"))
 
 
-def dup_span_stats(sf_dir: str, k: int = 3, id_col: str = "doc_id",
-                   text_col: str = "text"):
-    """Fine-grained duplication signal (the span-level view behind C4 /
-    "Deduplicating Training Data Makes LMs Better"-style cleaning): for
-    every document, how many of its DISTINCT word-k-gram shingles also
-    occur in at least one OTHER document.  Output: (doc_id, n_shingles,
-    n_dup, dup_frac) for documents with >= 1 shingle (zero-token docs emit
-    none, mirroring the SQL empty-doc fallback).
+def _doc_shingle_stats(sf_dir: str, k: int, id_col: str, text_col: str,
+                       flag_fn, count_col: str, frac_col: str):
+    """Shared engine for per-document distinct-shingle statistics computed
+    against the global shingle->documents inverted index (dup_span_stats,
+    ngram_novelty).  ``flag_fn(doc_sorted, starts, runlen)`` receives the
+    partition's postings sorted by (shingle, doc) — ``starts`` delimits
+    each shingle's run (len = n_runs + 1) — and returns one 0/1 flag per
+    posting; the output is per-doc (n_shingles, sum(flag), flag_frac).
 
     Scale shape: the same compact-blob inverted shuffle as
     near_dup_pairs_exact — per batch, ONE row per coarse shingle partition
     carrying (sh, doc) int64 blobs; each partition reducer computes per-
-    shingle document counts locally (per-doc shingles are already
-    distinct, so run length == distinct docs) and emits its per-document
-    PARTIAL (n, n_dup) sums as ONE blob row per doc-hash bucket; a second
-    bucket-keyed merge folds the <= n_partitions x n_doc_buckets blob
-    rows into per-doc totals.  Both shuffles move compact blobs, never
-    text and never one row per (doc, partition) — a doc-keyed row-wise
-    groupby here measured 80us/row through Ray's sort shuffle and
-    dominated the whole query 10x.
+    shingle document runs locally (per-doc shingles are already distinct,
+    so run length == distinct docs; every posting of a shingle lands in
+    its one hash partition, so run-level facts are globally exact) and
+    emits its per-document PARTIAL (n, n_flag) sums as ONE blob row per
+    doc-hash bucket; a second bucket-keyed merge folds the <=
+    n_partitions x n_doc_buckets blob rows into per-doc totals.  Both
+    shuffles move compact blobs, never text and never one row per
+    (doc, partition) — a doc-keyed row-wise groupby here measured
+    80us/row through Ray's sort shuffle and dominated the whole query 10x.
     """
     import pandas as pd
 
@@ -1820,12 +1821,10 @@ def dup_span_stats(sf_dir: str, k: int = 3, id_col: str = "doc_id",
         starts = np.concatenate(
             [[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1, [len(sh)]])
         runlen = np.diff(starts)
-        # per-doc shingles are distinct, so a run's length IS the number
-        # of distinct documents holding that shingle
-        dup = np.repeat(runlen >= 2, runlen)
+        flag = flag_fn(doc, starts, runlen)
         u_doc, inv = np.unique(doc, return_inverse=True)
         pn = np.bincount(inv, minlength=len(u_doc)).astype(np.int64)
-        pdup = np.bincount(inv, weights=dup,
+        pdup = np.bincount(inv, weights=flag,
                            minlength=len(u_doc)).astype(np.int64)
         # one compact blob row per doc-hash bucket (u_doc is sorted, so
         # each bucket's slice stays doc-sorted after the stable argsort)
@@ -1859,8 +1858,8 @@ def dup_span_stats(sf_dir: str, k: int = 3, id_col: str = "doc_id",
         return pd.DataFrame({
             id_col: u,
             "n_shingles": ns,
-            "n_dup": dsum,
-            "dup_frac": round_half_away(dsum / np.maximum(1, ns)),
+            count_col: dsum,
+            frac_col: round_half_away(dsum / np.maximum(1, ns)),
         })
 
     return (ds.map_batches(to_postings, batch_format="pyarrow",
@@ -1869,6 +1868,51 @@ def dup_span_stats(sf_dir: str, k: int = 3, id_col: str = "doc_id",
             .map_groups(bucket_partials, batch_format="pandas")
             .groupby("db")
             .map_groups(merge_doc_bucket, batch_format="pandas"))
+
+
+def dup_span_stats(sf_dir: str, k: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Fine-grained duplication signal (the span-level view behind C4 /
+    "Deduplicating Training Data Makes LMs Better"-style cleaning): for
+    every document, how many of its DISTINCT word-k-gram shingles also
+    occur in at least one OTHER document.  Output: (doc_id, n_shingles,
+    n_dup, dup_frac) for documents with >= 1 shingle (zero-token docs emit
+    none, mirroring the SQL empty-doc fallback).  Execution shape:
+    :func:`_doc_shingle_stats`.
+    """
+
+    def dup_flags(doc, starts, runlen):
+        # a run's length IS the number of distinct documents holding the
+        # shingle (per-doc shingles are distinct)
+        return np.repeat(runlen >= 2, runlen)
+
+    return _doc_shingle_stats(sf_dir, k, id_col, text_col, dup_flags,
+                              "n_dup", "dup_frac")
+
+
+def ngram_novelty(sf_dir: str, k: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Order-aware novelty diagnostic (the signal behind "how much new
+    text does each crawl snapshot add"): for every document, how many of
+    its DISTINCT word-k-gram shingles have their corpus-wide FIRST
+    occurrence in this document, taking doc_id order as corpus order
+    (min-doc_id rule, the same convention as corpus_dedup_keep).  Output:
+    (doc_id, n_shingles, n_novel, novelty_frac); zero-shingle docs emit
+    no row.  A boilerplate page re-crawled late scores ~0; the origin of
+    a duplicated span scores it as novel.
+
+    Execution shape: :func:`_doc_shingle_stats` — one extra fact per
+    shingle run (its min doc id, exact because a shingle's postings all
+    land in one hash partition and arrive doc-sorted).
+    """
+
+    def novel_flags(doc, starts, runlen):
+        # postings are (shingle, doc)-lexsorted, so each run's first doc
+        # is the shingle's global min doc id
+        return doc == np.repeat(doc[starts[:-1]], runlen)
+
+    return _doc_shingle_stats(sf_dir, k, id_col, text_col, novel_flags,
+                              "n_novel", "novelty_frac")
 
 
 def dup_degree_hist(sf_dir: str, tau: float = 0.5,

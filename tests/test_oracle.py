@@ -93,7 +93,8 @@ def _compare(name, entrymod, con):
                                    "adaptive_tiles", "redact_pii",
                                    "inverted_index", "zonal_stats",
                                    "grid_clusters", "quantize_embeddings",
-                                   "dup_span_stats", "revenue_by_nation",
+                                   "dup_span_stats", "ngram_novelty",
+                                   "revenue_by_nation",
                                    "pricing_summary", "props_field_stats",
                                    "doc_token_rank", "docs_rollup",
                                    "dup_degree_hist", "tile_top_lang",

@@ -26,7 +26,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "doc_perplexity", "distance_join", "nearest_neighbor",
                "nearest_city_stats", "bearing_sectors",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
-               "dup_span_stats", "inverted_index", "cosine_sim_pairs",
+               "dup_span_stats", "ngram_novelty",
+               "inverted_index", "cosine_sim_pairs",
                "group_sizes_hist",
                "pmi_collocations",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
