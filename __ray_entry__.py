@@ -607,6 +607,17 @@ def _q_grid_smooth(sf_dir: str):
                        cell_deg=1.0)
 
 
+def _q_morans_i(sf_dir: str):
+    """Global Moran's I of page counts over the occupied 1-degree grid
+    with Moore (queen) weights — exact integer moments from the
+    grid_smooth stencil, big-int combine in one grid-bounded task."""
+    from s2ray.pipelines.cluster import morans_i
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return morans_i(pages_with_cells(sf_dir, token_level=None),
+                    cell_deg=1.0)
+
+
 def _q_tile_growth(sf_dir: str):
     """Month-over-month page-count delta per level-6 tile (spatial LAG)."""
     from s2ray.pipelines.tiles import tile_growth
@@ -1914,6 +1925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_integrity": _q_emb_integrity,
         "tile_growth": _q_tile_growth,
         "grid_smooth": _q_grid_smooth,
+        "morans_i": _q_morans_i,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -3009,6 +3021,38 @@ FROM (
             "ON b.gy = a.gy + d.dy "
             "AND b.gx = ((a.gx + d.dx + 180) % 360 + 360) % 360 - 180 "
             "GROUP BY a.gx, a.gy, a.n"
+        ),
+        # Moran's I: same Moore-stencil self-join; HUGEINT moments keep
+        # the scaled-through-by-N^2 numerator exact, and the final
+        # CAST-to-DOUBLE-then-divide matches the engine's float(num) /
+        # float(den) bit-for-bit
+        "morans_i": (
+            f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
+            "CAST(floor(lng / 1.0) AS BIGINT) AS gx, count(*) AS n "
+            "FROM pages_geo GROUP BY 1, 2), "
+            "d AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+            "(0,1),(1,-1),(1,0),(1,1)) AS t(dy, dx)), "
+            "nb AS (SELECT a.gx, a.gy, a.n, "
+            "CAST(coalesce(sum(b.n), 0) AS HUGEINT) AS nbp, "
+            "CAST(count(b.n) AS HUGEINT) AS deg "
+            "FROM g a CROSS JOIN d LEFT JOIN g b "
+            "ON b.gy = a.gy + d.dy "
+            "AND b.gx = ((a.gx + d.dx + 180) % 360 + 360) % 360 - 180 "
+            "GROUP BY a.gx, a.gy, a.n), "
+            "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(n) AS HUGEINT) AS t, "
+            "CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sxx, "
+            "CAST(coalesce(sum(deg), 0) AS HUGEINT) AS s0, "
+            "CAST(coalesce(sum(CAST(n AS HUGEINT) * nbp), 0) AS HUGEINT) "
+            "AS wxx, "
+            "CAST(coalesce(sum(deg * CAST(n AS HUGEINT) + nbp), 0) "
+            "AS HUGEINT) AS wsum FROM nb) "
+            "SELECT CAST(n AS BIGINT) AS n_cells, "
+            "CAST(s0 AS BIGINT) AS n_links, "
+            "CASE WHEN s0 * (n * sxx - t * t) = 0 THEN NULL ELSE "
+            "round(CAST(n * n * wxx - n * t * wsum + t * t * s0 AS DOUBLE) "
+            "/ CAST(s0 * (n * sxx - t * t) AS DOUBLE), 6) END AS moran_i "
+            "FROM m"
         ),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "dup_span_stats": dup_span_sql,

@@ -180,3 +180,65 @@ def grid_smooth(pages_ds, cell_deg: float = 1.0):
 
     return occ.map_batches(stencil, batch_format="pyarrow",
                            batch_size=None)
+
+
+def morans_i(pages_ds, cell_deg: float = 1.0):
+    """Global Moran's I spatial autocorrelation of page counts over the
+    occupied lat/lng grid with binary Moore (queen) weights — THE summary
+    statistic of hot-spot analysis ("are dense cells next to dense
+    cells?").  Output: ONE row (n_cells, n_links, moran_i) where n_links
+    is S0 = total directed neighbor links and
+
+        I = N/S0 * sum_ij w_ij (x_i - mean)(x_j - mean)
+                 / sum_i (x_i - mean)^2 .
+
+    Exactness: with mean = T/N rational, multiplying through by N^2 makes
+    both sides integers —
+
+        I = (N^2*WXX - N*T*WSUM + T^2*S0) / (S0 * (N*SXX - T^2))
+
+    with WXX = sum_i x_i*nb_i, WSUM = sum_i (deg_i*x_i + nb_i).  The
+    per-cell facts (x, nb, deg) come straight from :func:`grid_smooth`
+    (same stencil, same antimeridian wrap); the moment combine runs in
+    arbitrary-precision Python ints over the grid-bounded occupied-cell
+    table (<= 64800 rows at 1 degree — NEVER corpus-sized, so the
+    per-row Python loop is bounded by geometry, and N^2*WXX ~ 1e24 at
+    web scale cannot silently wrap the way an int64 sum would).  The
+    final division converts each exact integer to float64 FIRST
+    (mirroring SQL's CAST(... AS DOUBLE) / CAST(... AS DOUBLE)), then
+    rounds half-away like every oracled ratio.  Degenerate inputs
+    (no links, or constant counts) yield NULL like the SQL CASE.
+    """
+    from .text import round_half_away
+
+    sm = grid_smooth(pages_ds, cell_deg=cell_deg)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        x_np = batch["n_pages"].to_numpy(zero_copy_only=False)
+        nb_np = batch["nb_pages"].to_numpy(zero_copy_only=False)
+        dg_np = batch["nb_cells"].to_numpy(zero_copy_only=False)
+        n = len(x_np)
+        t = sxx = s0 = wxx = wsum = 0
+        for x, nb, dg in zip(x_np.tolist(), nb_np.tolist(), dg_np.tolist()):
+            t += x
+            sxx += x * x
+            s0 += dg
+            wxx += x * nb
+            wsum += dg * x + nb
+        den = s0 * (n * sxx - t * t)
+        if den == 0:
+            mi = None
+        else:
+            num = n * n * wxx - n * t * wsum + t * t * s0
+            mi = float(round_half_away(
+                np.float64(float(num)) / np.float64(float(den))))
+        return pa.table({
+            "n_cells": pa.array([n], type=pa.int64()),
+            "n_links": pa.array([s0], type=pa.int64()),
+            "moran_i": pa.array([mi], type=pa.float64()),
+        })
+
+    # grid_smooth's output is one grid-bounded block; repartition(1)
+    # guards the single-combine contract if that ever changes
+    return sm.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                         batch_size=None)

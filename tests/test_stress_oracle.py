@@ -35,7 +35,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "docs_rollup", "dup_degree_hist", "tile_top_lang",
                "standardize_docs", "doc_deciles", "cross_lang_nn",
                "source_mix", "langid_confusion", "emb_integrity",
-               "tile_growth", "grid_smooth", "knn_graph",
+               "tile_growth", "grid_smooth", "morans_i", "knn_graph",
                "vocab_coverage", "weighted_sample", "lang_corr",
                "token_edit_pairs"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
