@@ -1508,6 +1508,16 @@ def _q_url_domains(sf_dir: str):
     return url_domain_counts(read_pages(sf_dir))
 
 
+def _q_domain_lang_entropy(sf_dir: str):
+    """Per-domain Shannon entropy of the page-language distribution —
+    exact integer counts, order-pinned float fold (asc lang) on both
+    engines."""
+    from s2ray.pipelines.analytics import domain_lang_entropy
+    from s2ray.sources.pages import read_pages
+
+    return domain_lang_entropy(read_pages(sf_dir))
+
+
 def _q_events_hourly(sf_dir: str):
     from s2ray.pipelines.analytics import events_hourly
 
@@ -2022,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "url_domain_counts": _q_url_domains,
+        "domain_lang_entropy": _q_domain_lang_entropy,
         "events_sliding": _q_events_sliding,
         "event_windows": _q_event_windows,
         "top3_per_city": _q_top3_per_city,
@@ -2874,6 +2885,22 @@ WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)"""
         f"{cte} SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain, "
         f"count(*) AS n_pages FROM pages_geo GROUP BY 1"
     )
+    # per-domain language entropy: the c*ln(c) fold is ORDER-PINNED to
+    # ascending lang (list ORDER BY + sequential list_reduce) so the IEEE
+    # addition sequence matches the engine's left fold bit-for-bit
+    lang_entropy = (
+        f"{cte}, cl AS (SELECT "
+        "regexp_extract(url, 'https://([^/]+)/', 1) AS domain, lang, "
+        "CAST(count(*) AS BIGINT) AS c FROM pages_geo GROUP BY 1, 2), "
+        "agg AS (SELECT domain, CAST(sum(c) AS BIGINT) AS n_pages, "
+        "CAST(count(*) AS BIGINT) AS n_langs, "
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY lang)), "
+        "(a, b) -> a + b) AS s FROM cl GROUP BY domain) "
+        "SELECT domain, n_pages, n_langs, "
+        "round(ln(CAST(n_pages AS DOUBLE)) - s / n_pages, 6) "
+        "AS lang_entropy FROM agg"
+    )
     # time-keyed operator contract: NULL-ts events are unattributable to
     # any bucket/window/session and ignored on both engines
     hourly = (
@@ -2998,6 +3025,7 @@ FROM (
         "knn_pruned_moscow": knn,
         "pages_per_month": per_month,
         "url_domain_counts": domains,
+        "domain_lang_entropy": lang_entropy,
         "events_hourly": hourly,
         "events_sliding": sliding,
         "user_sessions": sessions,

@@ -89,6 +89,69 @@ def url_domain_counts(pages_ds):
     )
 
 
+def domain_lang_entropy(pages_ds):
+    """Language-diversity score per site: (domain, n_pages, n_langs,
+    lang_entropy) where lang_entropy is the Shannon entropy (nats) of the
+    domain's page-language distribution — the standard "is this site
+    monolingual or a translation farm?" crawl-curation signal.
+
+    Exactness: H = ln(T) - (sum_l c_l ln c_l) / T over EXACT integer
+    counts; the float fold sum_l c_l ln(c_l) is ORDER-PINNED to ascending
+    lang on both engines (a sequential left fold here, list_reduce over
+    list(... ORDER BY lang) in the SQL mirror), so the IEEE additions are
+    performed in the identical sequence and the rounded result is
+    bit-equal — a plain SUM() would leave the oracle's addition order
+    unspecified.  Scale shape: per-batch (domain, lang) partial counts
+    (bounded by domains x languages per batch), ONE Sum groupby at that
+    cardinality, and a per-domain fold over <= n_languages rows.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dom = pc.struct_field(
+            pc.extract_regex(batch["url"], r"https://(?P<d>[^/]+)/"), "d")
+        dom = pc.fill_null(dom, "")
+        cd, ud = _dict_codes(dom)
+        cl, ul = _dict_codes(batch["lang"])
+        packed = cd * len(ul) + cl
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table({
+            "domain": pa.array([ud[int(p) // len(ul)] for p in u],
+                               type=pa.string()),
+            "lang": pa.array([ul[int(p) % len(ul)] for p in u],
+                             type=pa.string()),
+            "pn": pa.array(c.astype(np.int64)),
+        })
+
+    agg = (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby(["domain", "lang"])
+           .aggregate(Sum("pn", alias_name="c")))
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        df = df.sort_values("lang", kind="stable")
+        cs = df["c"].to_numpy().astype(np.int64)
+        t = int(cs.sum())
+        s = 0.0
+        for c in cs.tolist():            # <= n_languages iterations
+            s += float(c) * math.log(float(c))
+        h = round_half_away(np.float64(math.log(float(t)) - s / float(t)))
+        return pd.DataFrame({
+            "domain": [df["domain"].iloc[0]],
+            "n_pages": np.array([t], dtype=np.int64),
+            "n_langs": np.array([len(cs)], dtype=np.int64),
+            "lang_entropy": np.array([h], dtype=np.float64),
+        })
+
+    return agg.groupby("domain").map_groups(entropy, batch_format="pandas")
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window per event_type over the events stream table:
     (hour, event_type, n_events, sum_value)."""

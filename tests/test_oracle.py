@@ -107,6 +107,7 @@ def _compare(name, entrymod, con):
                                    "quality_score",
                                    "lang_id", "fingerprint",
                                    "weighted_sample", "lang_corr",
+                                   "domain_lang_entropy",
                                    "events_sliding_distinct",
                                    "user_rolling", "event_transitions",
                                    "token_edit_pairs", "cheapest_supplier",

@@ -37,6 +37,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "source_mix", "langid_confusion", "emb_integrity",
                "tile_growth", "grid_smooth", "morans_i", "knn_graph",
                "vocab_coverage", "weighted_sample", "lang_corr",
+               "domain_lang_entropy",
                "token_edit_pairs"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
