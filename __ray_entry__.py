@@ -209,6 +209,45 @@ def _tile_top_lang_oracle(cte: str) -> str:
     )
 
 
+CENTROID_LEVEL = 6
+
+
+def _q_tile_centroids(sf_dir: str):
+    """Discrete spherical centroid per level-6 tile (trueCentroid
+    analogue): order-free 1e-9 fixed-point vector sums, antimeridian- and
+    pole-safe unlike a lat/lng mean."""
+    from s2ray.pipelines.tiles import tile_centroids
+
+    return tile_centroids(sf_dir, level=CENTROID_LEVEL)
+
+
+def _tile_centroids_oracle(cte: str) -> str:
+    from s2ray.functions.sqlgen import s2_cell_select
+
+    inner = s2_cell_select("SELECT lat, lng FROM pages_geo",
+                           level=CENTROID_LEVEL, id_col=None)
+    # the engine quantizes each unit vector to 1e-9 fixed point with
+    # half-away rounding (= SQL round()), making the per-tile sums exact
+    # order-free integers; s2_cell_select already exposes the _x/_y/_z
+    # unit-vector working columns computed by the identical formula
+    return (
+        f"{cte}, q AS (SELECT cell_token, "
+        "CAST(round(_x * 1000000000.0) AS BIGINT) AS qx, "
+        "CAST(round(_y * 1000000000.0) AS BIGINT) AS qy, "
+        "CAST(round(_z * 1000000000.0) AS BIGINT) AS qz "
+        f"FROM ({inner})), "
+        "agg AS (SELECT cell_token, CAST(sum(qx) AS BIGINT) AS sx, "
+        "CAST(sum(qy) AS BIGINT) AS sy, CAST(sum(qz) AS BIGINT) AS sz, "
+        "CAST(count(*) AS BIGINT) AS n_pages FROM q GROUP BY 1) "
+        "SELECT cell_token, n_pages, "
+        "round(degrees(atan2(CAST(sz AS DOUBLE), "
+        "sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
+        "+ CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))), 6) AS c_lat, "
+        "round(degrees(atan2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE))), 6) "
+        "AS c_lng FROM agg"
+    )
+
+
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
@@ -1993,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "grid_clusters": _q_grid_clusters,
         "tile_top_lang": _q_tile_top_lang,
+        "tile_centroids": _q_tile_centroids,
         "covering_setops": _q_covering_setops,
         "boolean_covering": _q_boolean_covering,
         "doc_perplexity": _q_doc_perplexity,
@@ -3092,6 +3132,7 @@ FROM (
         "docs_rollup": _docs_rollup_oracle(),
         "dup_degree_hist": dup_degree_sql,
         "tile_top_lang": _tile_top_lang_oracle(cte),
+        "tile_centroids": _tile_centroids_oracle(cte),
         "events_winsorized": _events_winsorized_oracle(),
         "text_identity": text_id,
         "pages_per_lang": per_lang,

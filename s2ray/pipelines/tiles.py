@@ -496,6 +496,90 @@ def tile_top_lang(sf_dir: str, level: int = 6, repl: int = 1,
     return agg.groupby("ckey").map_groups(argmax, batch_format="pandas")
 
 
+def tile_centroids(sf_dir: str, level: int = 6, **read_kwargs):
+    """Discrete spherical centroid per level-``level`` tile — the
+    aggregation analogue of the reference's S2::trueCentroid
+    (S2.php:~560: sum of unit vectors, normalized): (cell_token,
+    n_pages, c_lat, c_lng) where (c_lat, c_lng) is the direction of the
+    vector sum of the tile's page points.  Unlike a naive lat/lng mean,
+    this is correct across the antimeridian and near the poles.
+
+    Exactness: each unit vector is quantized to 1e-9 fixed point with
+    half-away rounding (matching SQL round()), so the per-tile vector
+    sums are ORDER-FREE int64 aggregations — no float summation order to
+    disagree on; the final atan2/degrees conversion runs on identical
+    doubles on both engines.  int64 headroom: |q| <= 1e9, so sums stay
+    exact to ~9e9 pages per tile.  Scale shape: per-batch per-cell
+    partial sums (bounded by tiles-per-batch), one Sum groupby at tile
+    cardinality, then a tile-sized finishing map.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..kernel import cellid, keys
+    from .text import round_half_away
+
+    ds = pages_with_cells(sf_dir, token_level=level, **read_kwargs)
+    col = f"cell_l{level}"
+    _S = 1_000_000_000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = keys.to_key(batch[col].to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+        if not len(ids):
+            return pa.table({
+                "ckey": pa.array([], type=pa.int64()),
+                "qx": pa.array([], type=pa.int64()),
+                "qy": pa.array([], type=pa.int64()),
+                "qz": pa.array([], type=pa.int64()),
+                "pn": pa.array([], type=pa.int64()),
+            })
+        phi = np.radians(batch["lat"].to_numpy(zero_copy_only=False))
+        theta = np.radians(batch["lng"].to_numpy(zero_copy_only=False))
+        cp = np.cos(phi)
+        qx = round_half_away(cp * np.cos(theta) * _S, 0).astype(np.int64)
+        qy = round_half_away(cp * np.sin(theta) * _S, 0).astype(np.int64)
+        qz = round_half_away(np.sin(phi) * _S, 0).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        si = ids[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(si[1:] != si[:-1]) + 1])
+        return pa.table({
+            "ckey": pa.array(si[starts]),
+            "qx": pa.array(np.add.reduceat(qx[order], starts)),
+            "qy": pa.array(np.add.reduceat(qy[order], starts)),
+            "qz": pa.array(np.add.reduceat(qz[order], starts)),
+            "pn": pa.array(np.add.reduceat(
+                np.ones(len(si), dtype=np.int64), starts)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("ckey")
+           .aggregate(Sum("qx", alias_name="sx"),
+                      Sum("qy", alias_name="sy"),
+                      Sum("qz", alias_name="sz"),
+                      Sum("pn", alias_name="n_pages")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cid = keys.from_key(batch["ckey"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64))
+        sx = batch["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = batch["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sz = batch["sz"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hyp = np.sqrt(sx * sx + sy * sy)
+        return pa.table({
+            "cell_token": pa.array(cellid.to_token(cid), type=pa.string()),
+            "n_pages": batch["n_pages"],
+            "c_lat": pa.array(round_half_away(
+                np.degrees(np.arctan2(sz, hyp)))),
+            "c_lng": pa.array(round_half_away(
+                np.degrees(np.arctan2(sy, sx)))),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def tile_growth(sf_dir: str, level: int = 6, n_parts: int = 256):
     """Month-over-month page-count growth per S2 tile — (cell_token,
     month, n_pages, prev_n_pages, delta), the spatio-temporal LAG window

@@ -99,6 +99,7 @@ def _compare(name, entrymod, con):
                                    "pricing_summary", "props_field_stats",
                                    "doc_token_rank", "docs_rollup",
                                    "dup_degree_hist", "tile_top_lang",
+                                   "tile_centroids",
                                    "events_winsorized",
                                    "events_quantiles", "event_windows", "token_counts", "sample_corpus",
                                    "events_distinct_users", "vocab_top100", "sample_per_lang", "heavy_hitters_top100", "token_doc_freq", "tfidf_top3", "decontaminate", "decontaminate_bloom", "doc_perplexity", "distance_join", "nearest_neighbor",
