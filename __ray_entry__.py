@@ -646,6 +646,17 @@ def _q_grid_smooth(sf_dir: str):
                        cell_deg=1.0)
 
 
+def _q_grid_kde(sf_dir: str):
+    """Truncated-Gaussian heatmap splatting at 1-degree cell centers:
+    order-free 1e-9 fixed-point contribution sums, haversine/exp op
+    order mirrored exactly in the SQL CTE chain."""
+    from s2ray.pipelines.cluster import grid_kde
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return grid_kde(pages_with_cells(sf_dir, token_level=None),
+                    cell_deg=1.0, bandwidth_m=100_000.0)
+
+
 def _q_morans_i(sf_dir: str):
     """Global Moran's I of page counts over the occupied 1-degree grid
     with Moore (queen) weights — exact integer moments from the
@@ -1975,6 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_growth": _q_tile_growth,
         "grid_smooth": _q_grid_smooth,
         "morans_i": _q_morans_i,
+        "grid_kde": _q_grid_kde,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -3089,6 +3101,34 @@ FROM (
             "ON b.gy = a.gy + d.dy "
             "AND b.gx = ((a.gx + d.dx + 180) % 360 + 360) % 360 - 180 "
             "GROUP BY a.gx, a.gy, a.n"
+        ),
+        # grid KDE: truncated Gaussian splat; every float intermediate is
+        # bound in a CTE with the engine's exact associativity (haversine
+        # per SmokeTest.php:12-21, then exp), and each contribution is
+        # quantized to 1e-9 fixed point so the per-cell sum is order-free
+        "grid_kde": (
+            f"{cte}, pg AS (SELECT radians(lat) AS lat_r, "
+            "radians(lng) AS lng_r, "
+            "CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
+            "CAST(floor(lng / 1.0) AS BIGINT) AS gx FROM pages_geo), "
+            "d9 AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+            "(0,0),(0,1),(1,-1),(1,0),(1,1)) AS t(dy, dx)), "
+            "tg AS (SELECT pg.gy + d9.dy AS ty, "
+            "((pg.gx + d9.dx + 180) % 360 + 360) % 360 - 180 AS tx, "
+            "lat_r, lng_r FROM pg CROSS JOIN d9), "
+            "hv AS (SELECT ty, tx, lat_r, lng_r, "
+            "radians((CAST(ty AS DOUBLE) + 0.5) * 1.0) AS c_lat, "
+            "radians((CAST(tx AS DOUBLE) + 0.5) * 1.0) AS c_lng FROM tg), "
+            "dd AS (SELECT ty, tx, 2 * 6371000 * asin(sqrt("
+            "(1 - cos(lat_r - c_lat)) / 2 "
+            "+ cos(lat_r) * cos(c_lat) * ((1 - cos(lng_r - c_lng)) / 2)"
+            ")) AS d FROM hv), "
+            "qq AS (SELECT ty, tx, CAST(round("
+            "exp(-(d * d) / 20000000000.0) * 1000000000.0) AS BIGINT) "
+            "AS q FROM dd) "
+            "SELECT tx AS gx, ty AS gy, "
+            "round(CAST(sum(q) AS DOUBLE) / 1000000000.0, 6) AS kde "
+            "FROM qq GROUP BY 1, 2"
         ),
         # Moran's I: same Moore-stencil self-join; HUGEINT moments keep
         # the scaled-through-by-N^2 numerator exact, and the final

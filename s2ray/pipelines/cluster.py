@@ -242,3 +242,86 @@ def morans_i(pages_ds, cell_deg: float = 1.0):
     # guards the single-combine contract if that ever changes
     return sm.repartition(1).map_batches(combine, batch_format="pyarrow",
                                          batch_size=None)
+
+
+def grid_kde(pages_ds, cell_deg: float = 1.0, bandwidth_m: float = 100_000.0):
+    """Truncated-support Gaussian kernel density ("heatmap splatting", the
+    raster rendering primitive) at 1-degree grid-cell centers: every page
+    contributes w = exp(-d^2 / (2 h^2)) to its own cell and its 8 Moore
+    neighbors (antimeridian-wrapped), where d is the reference haversine
+    (SmokeTest.php:12-21) from the page to the TARGET cell's center.
+    Output: (gx, gy, kde) over every cell receiving >= 1 contribution.
+
+    Exactness: each contribution is quantized to 1e-9 fixed point with
+    half-away rounding (SQL round()), so per-cell sums are ORDER-FREE
+    int64 aggregations; the haversine/exp intermediates are evaluated in
+    the engine's exact float op order, which the SQL mirror reproduces by
+    binding each intermediate in a CTE with matching associativity (a
+    1-ulp association difference inside exp() WOULD flip ~1 quantization
+    boundary per ~5M contributions, so this is load-bearing).  Scale
+    shape: 9 vectorized passes per batch -> per-batch per-cell partial
+    sums -> ONE Sum groupby at occupied-grid cardinality (never pages).
+    Cells beyond the pole rows (|gy| = 91) are splat-grid artifacts of
+    the truncated window, identical on both engines.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..kernel.sphere import haversine_distance_m
+    from .text import round_half_away
+
+    w = 360.0 / cell_deg
+    assert abs(w - round(w)) < 1e-9, "cell_deg must divide 360"
+    W = int(round(w))
+    offx, offy = W // 2, W // 4
+    den = 2.0 * bandwidth_m * bandwidth_m
+    _S = 1_000_000_000.0
+
+    def splat(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        if not len(lat):
+            return pa.table({"p": pa.array([], type=pa.int64()),
+                             "q": pa.array([], type=pa.int64())})
+        gy = np.floor(lat / cell_deg).astype(np.int64)
+        gx = np.floor(lng / cell_deg).astype(np.int64)
+        lat_r = np.radians(lat)
+        lng_r = np.radians(lng)
+        ps, qs = [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ty = gy + dy
+                tx = (gx + dx + offx) % W - offx   # antimeridian wrap
+                c_lat = np.radians((ty.astype(np.float64) + 0.5) * cell_deg)
+                c_lng = np.radians((tx.astype(np.float64) + 0.5) * cell_deg)
+                d = haversine_distance_m(lat_r, lng_r, c_lat, c_lng)
+                q = round_half_away(
+                    np.exp(-(d * d) / den) * _S, 0).astype(np.int64)
+                ps.append((ty + offy) * W + (tx + offx))
+                qs.append(q)
+        p = np.concatenate(ps)
+        q = np.concatenate(qs)
+        # argsort + reduceat, NOT bincount(weights=): bincount sums in
+        # float64 and would lose int exactness past 2^53 on huge blocks
+        order = np.argsort(p, kind="stable")
+        p, q = p[order], q[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(p[1:] != p[:-1]) + 1])
+        return pa.table({"p": pa.array(p[starts]),
+                         "q": pa.array(np.add.reduceat(q, starts))})
+
+    agg = (pages_ds.map_batches(splat, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby("p").aggregate(Sum("q", alias_name="sq")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = batch["sq"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "gx": pa.array(p % W - offx),
+            "gy": pa.array(p // W - offy),
+            "kde": pa.array(round_half_away(
+                sq.astype(np.float64) / _S)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -80,7 +80,7 @@ def _compare(name, entrymod, con):
                                    "events_mad", "doc_deciles",
                                    "cross_lang_nn", "user_streaks", "source_mix",
                                    "langid_confusion", "emb_integrity", "tile_growth",
-                                   "grid_smooth", "morans_i",
+                                   "grid_smooth", "morans_i", "grid_kde",
                                    "knn_graph", "vocab_coverage",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",

@@ -36,7 +36,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "tile_centroids",
                "standardize_docs", "doc_deciles", "cross_lang_nn",
                "source_mix", "langid_confusion", "emb_integrity",
-               "tile_growth", "grid_smooth", "morans_i", "knn_graph",
+               "tile_growth", "grid_smooth", "morans_i", "grid_kde",
+               "knn_graph",
                "vocab_coverage", "weighted_sample", "lang_corr",
                "domain_lang_entropy",
                "token_edit_pairs"]
