@@ -1956,14 +1956,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     prioritizing queries with no prior driver verification.  Round-4
     rotation: the 17 operators that were added after the round-3 window
     filled (weighted_sample ... vocab_coverage — in-suite hash-green but
-    never driver-verified) lead the window, followed by the 5 operators
+    never driver-verified) lead the window, followed by the 10 operators
     new in round 4 (user_rolling, event_transitions, token_edit_pairs,
-    cheapest_supplier, event_followups), so cumulative driver evidence
-    reaches every oracled query; the remaining 28 slots re-seat queries
-    whose latest driver row is from round 2, keeping their evidence
-    fresh (cap_join_shuffle, knn_pruned_moscow, pages_per_month,
-    emb_norm_by_lang and rect_filter_wrap yield their re-seat slots to
-    the new ops — they keep r02 driver rows + the in-suite gate).
+    cheapest_supplier, event_followups, morans_i*, grid_kde*,
+    ngram_novelty, domain_lang_entropy, tile_centroids; *seated inline
+    with the 17), so cumulative driver evidence reaches every oracled
+    query; the remaining slots re-seat queries whose latest driver row
+    is from round 2, keeping their evidence fresh (cap_join_shuffle,
+    knn_pruned_moscow, pages_per_month, emb_norm_by_lang,
+    rect_filter_wrap, knn_moscow, covering_member_join, near_dup_pairs,
+    pages_per_lang and events_hourly yield their re-seat slots to the
+    new ops — they keep r02 driver rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
     follow, and the inherently non-SQL queries close the dict."""
@@ -1995,6 +1998,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_edit_pairs": _q_token_edit_pairs,
         "cheapest_supplier": _q_cheapest_supplier,
         "event_followups": _q_event_followups,
+        "ngram_novelty": _q_ngram_novelty,
+        "domain_lang_entropy": _q_domain_lang_entropy,
+        "tile_centroids": _q_tile_centroids,
         # latest driver row is from round 2 — re-seat for fresh evidence
         "boolean_pip_join": _q_boolean_pip_join,
         "assembled_pip_join": _q_assembled_pip_join,
@@ -2019,13 +2025,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn": _q_lsh_knn,
         "knn_embeddings": _q_knn_embeddings,
         "text_identity": _q_text_identity,
+        # ---- oracled, outside the 50-slot driver window (driver-green
+        # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
         "knn_moscow": _q_knn,
         "covering_member_join": _q_covering_member_join,
         "near_dup_pairs": _q_near_dup_pairs,
         "pages_per_lang": _q_pages_per_lang,
         "events_hourly": _q_events_hourly,
-        # ---- oracled, outside the 50-slot driver window (driver-green
-        # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
         "emb_norm_by_lang": _q_emb_norm_by_lang,
         "rect_filter_wrap": _q_rect_filter_wrap,
         "cap_join_shuffle": _q_cap_join_shuffle,
@@ -2044,7 +2050,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "grid_clusters": _q_grid_clusters,
         "tile_top_lang": _q_tile_top_lang,
-        "tile_centroids": _q_tile_centroids,
         "covering_setops": _q_covering_setops,
         "boolean_covering": _q_boolean_covering,
         "doc_perplexity": _q_doc_perplexity,
@@ -2056,7 +2061,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": _q_events_winsorized,
         "dup_degree_hist": _q_dup_degree_hist,
         "dup_span_stats": _q_dup_span_stats,
-        "ngram_novelty": _q_ngram_novelty,
         "cosine_sim_pairs": _q_cosine_sim,
         "session_quantiles": _q_session_quantiles,
         "decontaminate_bloom": _q_decontaminate_bloom,
@@ -2084,7 +2088,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "url_domain_counts": _q_url_domains,
-        "domain_lang_entropy": _q_domain_lang_entropy,
         "events_sliding": _q_events_sliding,
         "event_windows": _q_event_windows,
         "top3_per_city": _q_top3_per_city,
