@@ -668,6 +668,16 @@ def _q_morans_i(sf_dir: str):
                     cell_deg=1.0)
 
 
+def _q_getis_ord(sf_dir: str):
+    """Getis-Ord Gi* hotspot z-score per occupied 1-degree cell (Moore
+    weights incl. self) — exact big-int moments, one grid-bounded task."""
+    from s2ray.pipelines.cluster import getis_ord
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return getis_ord(pages_with_cells(sf_dir, token_level=None),
+                     cell_deg=1.0)
+
+
 def _q_tile_growth(sf_dir: str):
     """Month-over-month page-count delta per level-6 tile (spatial LAG)."""
     from s2ray.pipelines.tiles import tile_growth
@@ -1956,17 +1966,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     prioritizing queries with no prior driver verification.  Round-4
     rotation: the 17 operators that were added after the round-3 window
     filled (weighted_sample ... vocab_coverage — in-suite hash-green but
-    never driver-verified) lead the window, followed by the 10 operators
+    never driver-verified) lead the window, followed by the 11 operators
     new in round 4 (user_rolling, event_transitions, token_edit_pairs,
     cheapest_supplier, event_followups, morans_i*, grid_kde*,
-    ngram_novelty, domain_lang_entropy, tile_centroids; *seated inline
-    with the 17), so cumulative driver evidence reaches every oracled
-    query; the remaining slots re-seat queries whose latest driver row
-    is from round 2, keeping their evidence fresh (cap_join_shuffle,
-    knn_pruned_moscow, pages_per_month, emb_norm_by_lang,
-    rect_filter_wrap, knn_moscow, covering_member_join, near_dup_pairs,
-    pages_per_lang and events_hourly yield their re-seat slots to the
-    new ops — they keep r02 driver rows + the in-suite gate).
+    getis_ord*, ngram_novelty, domain_lang_entropy, tile_centroids;
+    *seated inline with the 17), so cumulative driver evidence reaches
+    every oracled query; the remaining slots re-seat queries whose
+    latest driver row is from round 2, keeping their evidence fresh
+    (cap_join_shuffle, knn_pruned_moscow, pages_per_month,
+    emb_norm_by_lang, rect_filter_wrap, knn_moscow,
+    covering_member_join, near_dup_pairs, pages_per_lang, events_hourly
+    and text_identity yield their re-seat slots to the new ops — they
+    keep r02 driver rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
     follow, and the inherently non-SQL queries close the dict."""
@@ -1990,6 +2001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_smooth": _q_grid_smooth,
         "morans_i": _q_morans_i,
         "grid_kde": _q_grid_kde,
+        "getis_ord": _q_getis_ord,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -2024,9 +2036,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "lsh_knn": _q_lsh_knn,
         "knn_embeddings": _q_knn_embeddings,
-        "text_identity": _q_text_identity,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "text_identity": _q_text_identity,
         "knn_moscow": _q_knn,
         "covering_member_join": _q_covering_member_join,
         "near_dup_pairs": _q_near_dup_pairs,
@@ -3164,6 +3176,36 @@ FROM (
             "round(CAST(n * n * wxx - n * t * wsum + t * t * s0 AS DOUBLE) "
             "/ CAST(s0 * (n * sxx - t * t) AS DOUBLE), 6) END AS moran_i "
             "FROM m"
+        ),
+        # Getis-Ord Gi*: same Moore stencil with self added back (W = deg+1,
+        # L = nbp + n); HUGEINT A/B/C moments stay exact at web scale, and
+        # the CAST-to-DOUBLE-then-divide/sqrt chain matches the engine's
+        # float(a) / (sqrt(float(b)) * sqrt(float(c)/float(d))) bit-for-bit
+        "getis_ord": (
+            f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
+            "CAST(floor(lng / 1.0) AS BIGINT) AS gx, count(*) AS n "
+            "FROM pages_geo GROUP BY 1, 2), "
+            "d AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+            "(0,1),(1,-1),(1,0),(1,1)) AS t(dy, dx)), "
+            "nb AS (SELECT a.gx, a.gy, a.n, "
+            "CAST(coalesce(sum(b.n), 0) AS HUGEINT) + a.n AS li, "
+            "CAST(count(b.n) AS HUGEINT) + 1 AS wi "
+            "FROM g a CROSS JOIN d LEFT JOIN g b "
+            "ON b.gy = a.gy + d.dy "
+            "AND b.gx = ((a.gx + d.dx + 180) % 360 + 360) % 360 - 180 "
+            "GROUP BY a.gx, a.gy, a.n), "
+            "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(n) AS HUGEINT) AS t, "
+            "CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sxx FROM nb) "
+            "SELECT nb.gx AS gx, nb.gy AS gy, "
+            "CAST(nb.n AS BIGINT) AS n_pages, "
+            "CASE WHEN m.n * m.sxx - m.t * m.t <= 0 OR m.n <= 1 "
+            "OR m.n * wi - wi * wi <= 0 THEN NULL ELSE "
+            "round(CAST(m.n * li - m.t * wi AS DOUBLE) "
+            "/ (sqrt(CAST(m.n * m.sxx - m.t * m.t AS DOUBLE)) "
+            "* sqrt(CAST(m.n * wi - wi * wi AS DOUBLE) "
+            "/ CAST(m.n - 1 AS DOUBLE))), 6) END AS gi_z "
+            "FROM nb CROSS JOIN m"
         ),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "dup_span_stats": dup_span_sql,

@@ -244,6 +244,79 @@ def morans_i(pages_ds, cell_deg: float = 1.0):
                                          batch_size=None)
 
 
+def getis_ord(pages_ds, cell_deg: float = 1.0):
+    """Getis-Ord Gi* hotspot z-score per occupied grid cell — the LOCAL
+    companion of :func:`morans_i` ("which cells are hot?"), with binary
+    Moore (queen) weights INCLUDING self (the * in Gi*).  For cell i over
+    the n occupied cells with counts x:
+
+        Gi* z_i = (L_i - mean * W_i)
+                  / (S * sqrt((n*W_i - W_i^2) / (n-1)))
+
+    where W_i = deg_i + 1 (neighbor count + self), L_i = nb_i + x_i
+    (neighborhood sum incl. self), mean = T/n, S^2 = SXX/n - mean^2.
+    Output: (gx, gy, n_pages, gi_z) — z > ~2 marks page-count hot spots.
+
+    Exactness: multiplying numerator and denominator by n gives
+
+        z_i = (n*L_i - T*W_i)
+              / (sqrt(n*SXX - T^2) * sqrt((n*W_i - W_i^2) / (n-1)))
+
+    whose inputs A = n*L_i - T*W_i, B = n*SXX - T^2, C = n*W_i - W_i^2,
+    D = n-1 are EXACT integers, computed in arbitrary-precision Python
+    ints over the grid-bounded occupied-cell table (same argument as
+    morans_i: <= 64800 rows at 1 degree, never corpus-sized; B ~ 1e24 at
+    web scale would wrap int64).  Each is cast to float64 exactly as
+    SQL's CAST(... AS DOUBLE) (both round-to-nearest), then one
+    float division / two IEEE sqrts / one multiply in the identical op
+    order — bit-for-bit against the oracle.  Degenerate cases (n = 1,
+    constant counts, or a neighborhood spanning all n cells) yield NULL
+    like the SQL CASE.
+    """
+    import math
+
+    from .text import round_half_away
+
+    sm = grid_smooth(pages_ds, cell_deg=cell_deg)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        gx = batch["gx"].to_numpy(zero_copy_only=False)
+        gy = batch["gy"].to_numpy(zero_copy_only=False)
+        x_np = batch["n_pages"].to_numpy(zero_copy_only=False)
+        nb_np = batch["nb_pages"].to_numpy(zero_copy_only=False)
+        dg_np = batch["nb_cells"].to_numpy(zero_copy_only=False)
+        n = len(x_np)
+        t = sxx = 0
+        xs = x_np.tolist()
+        for x in xs:
+            t += x
+            sxx += x * x
+        b = n * sxx - t * t
+        d = n - 1
+        sqrt_b = math.sqrt(float(b)) if b > 0 else 0.0
+        z = []
+        for x, nb, dg in zip(xs, nb_np.tolist(), dg_np.tolist()):
+            wi = dg + 1
+            c = n * wi - wi * wi
+            if b <= 0 or d <= 0 or c <= 0:
+                z.append(None)
+                continue
+            a = n * (nb + x) - t * wi
+            z.append(float(round_half_away(np.float64(
+                float(a) / (sqrt_b * math.sqrt(float(c) / float(d)))))))
+        return pa.table({
+            "gx": pa.array(gx, type=pa.int64()),
+            "gy": pa.array(gy, type=pa.int64()),
+            "n_pages": pa.array(x_np, type=pa.int64()),
+            "gi_z": pa.array(z, type=pa.float64()),
+        })
+
+    # grid_smooth's output is one grid-bounded block; repartition(1)
+    # guards the single-combine contract if that ever changes
+    return sm.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                         batch_size=None)
+
+
 def grid_kde(pages_ds, cell_deg: float = 1.0, bandwidth_m: float = 100_000.0):
     """Truncated-support Gaussian kernel density ("heatmap splatting", the
     raster rendering primitive) at 1-degree grid-cell centers: every page

@@ -81,6 +81,7 @@ def _compare(name, entrymod, con):
                                    "cross_lang_nn", "user_streaks", "source_mix",
                                    "langid_confusion", "emb_integrity", "tile_growth",
                                    "grid_smooth", "morans_i", "grid_kde",
+                                   "getis_ord",
                                    "knn_graph", "vocab_coverage",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",

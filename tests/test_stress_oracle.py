@@ -37,6 +37,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "standardize_docs", "doc_deciles", "cross_lang_nn",
                "source_mix", "langid_confusion", "emb_integrity",
                "tile_growth", "grid_smooth", "morans_i", "grid_kde",
+               "getis_ord",
                "knn_graph",
                "vocab_coverage", "weighted_sample", "lang_corr",
                "domain_lang_entropy",
