@@ -456,6 +456,45 @@ def _q_grid_clusters(sf_dir: str):
     return grid_clusters(ds, cell_deg=1.0, min_pages=GRID_MIN_PAGES)
 
 
+def _domain_pagerank_oracle(cte: str) -> str:
+    """PageRank as a recursive CTE over the domain link graph.  Zero-weight
+    self-edges keep every node alive through each iteration's join (+0.0
+    in a nonnegative IEEE sum is an exact identity, so the engine omits
+    them); the per-target contribution fold is ORDER-PINNED to ascending
+    src via list_reduce over list(... ORDER BY s), and the iteration
+    r' = (1.0 - 0.85)/nf + 0.85 * fold uses the engine's exact op order."""
+    rec_cte = cte.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{rec_cte},
+e AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS s,
+             'src' || CAST(((page_id * 2654435761 + j.j * 97) % 4294967296)
+                           % 20 AS VARCHAR) || '.example.com' AS d
+      FROM pages_geo CROSS JOIN (VALUES (0),(1),(2)) AS j(j)
+      WHERE j.j < 1 + page_id % 3),
+w AS (SELECT s, d, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT s FROM w),
+ow AS (SELECT s, sum(n) AS ow FROM w GROUP BY s),
+p AS (SELECT w.s, w.d, CAST(w.n AS DOUBLE) / CAST(ow.ow AS DOUBLE) AS t
+      FROM w JOIN ow ON w.s = ow.s
+      WHERE w.d IN (SELECT s FROM nodes)
+      UNION ALL
+      SELECT s, s, 0.0 FROM nodes),
+nf AS (SELECT CAST(count(*) AS DOUBLE) AS nf FROM nodes),
+pr(d, r, k) AS (
+  SELECT s, 1.0 / (SELECT nf FROM nf), 0 FROM nodes
+  UNION ALL
+  SELECT p.d,
+         (1.0 - 0.85) / (SELECT nf FROM nf)
+         + 0.85 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(p.t * pr.r ORDER BY p.s)), (a, b) -> a + b),
+         pr.k + 1
+  FROM pr JOIN p ON p.s = pr.d
+  WHERE pr.k < 20
+  GROUP BY p.d, pr.k)
+SELECT pr.d AS domain, CAST(ow.ow AS BIGINT) AS out_links,
+       round(pr.r, 9) AS pagerank
+FROM pr JOIN ow ON ow.s = pr.d WHERE pr.k = 20"""
+
+
 def _grid_clusters_oracle(cte: str) -> str:
     """Recursive-CTE mirror: occupied cells -> adjacency self-join (incl.
     the gx wrap at the antimeridian) -> transitive closure -> min label."""
@@ -676,6 +715,22 @@ def _q_getis_ord(sf_dir: str):
 
     return getis_ord(pages_with_cells(sf_dir, token_level=None),
                      cell_deg=1.0)
+
+
+def _q_domain_link_graph(sf_dir: str):
+    """Domain-level link-graph construction: deterministic outlinks
+    (SQL-mirrored like the pages synth), per-batch 400-cell partials."""
+    from s2ray.pipelines.webgraph import domain_link_graph
+
+    return domain_link_graph(sf_dir)
+
+
+def _q_domain_pagerank(sf_dir: str):
+    """PageRank power iteration over the domain graph under the SQL gate
+    (recursive-CTE oracle, order-pinned contribution folds)."""
+    from s2ray.pipelines.webgraph import domain_pagerank
+
+    return domain_pagerank(sf_dir)
 
 
 def _q_tile_growth(sf_dir: str):
@@ -1966,18 +2021,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     prioritizing queries with no prior driver verification.  Round-4
     rotation: the 17 operators that were added after the round-3 window
     filled (weighted_sample ... vocab_coverage — in-suite hash-green but
-    never driver-verified) lead the window, followed by the 11 operators
+    never driver-verified) lead the window, followed by the 13 operators
     new in round 4 (user_rolling, event_transitions, token_edit_pairs,
     cheapest_supplier, event_followups, morans_i*, grid_kde*,
-    getis_ord*, ngram_novelty, domain_lang_entropy, tile_centroids;
-    *seated inline with the 17), so cumulative driver evidence reaches
-    every oracled query; the remaining slots re-seat queries whose
-    latest driver row is from round 2, keeping their evidence fresh
-    (cap_join_shuffle, knn_pruned_moscow, pages_per_month,
-    emb_norm_by_lang, rect_filter_wrap, knn_moscow,
-    covering_member_join, near_dup_pairs, pages_per_lang, events_hourly
-    and text_identity yield their re-seat slots to the new ops — they
-    keep r02 driver rows + the in-suite gate).
+    getis_ord*, domain_link_graph*, domain_pagerank*, ngram_novelty,
+    domain_lang_entropy, tile_centroids; *seated inline with the 17),
+    so cumulative driver evidence reaches every oracled query; the
+    remaining slots re-seat queries whose latest driver row is from
+    round 2, keeping their evidence fresh (cap_join_shuffle,
+    knn_pruned_moscow, pages_per_month, emb_norm_by_lang,
+    rect_filter_wrap, knn_moscow, covering_member_join, near_dup_pairs,
+    pages_per_lang, events_hourly, text_identity, lsh_knn and
+    knn_embeddings yield their re-seat slots to the new ops — they keep
+    r02 driver rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
     follow, and the inherently non-SQL queries close the dict."""
@@ -2002,6 +2058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morans_i": _q_morans_i,
         "grid_kde": _q_grid_kde,
         "getis_ord": _q_getis_ord,
+        "domain_link_graph": _q_domain_link_graph,
+        "domain_pagerank": _q_domain_pagerank,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -2034,10 +2092,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polyline_near": _q_polyline_near,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "minhash_pairs": _q_minhash_pairs,
-        "lsh_knn": _q_lsh_knn,
-        "knn_embeddings": _q_knn_embeddings,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "lsh_knn": _q_lsh_knn,
+        "knn_embeddings": _q_knn_embeddings,
         "text_identity": _q_text_identity,
         "knn_moscow": _q_knn,
         "covering_member_join": _q_covering_member_join,
@@ -3207,6 +3265,22 @@ FROM (
             "/ CAST(m.n - 1 AS DOUBLE))), 6) END AS gi_z "
             "FROM nb CROSS JOIN m"
         ),
+        # domain link graph: outlink slots j < 1 + page_id % 3, target
+        # domain ((page_id * MUL + j * 97) % 2^32) % 20 — the derivation
+        # is SQL-mirrored exactly like the pages synth's geo; src domain
+        # extracted from the url with the same regex as url_domain_counts
+        "domain_link_graph": (
+            f"{cte}, e AS (SELECT "
+            "regexp_extract(url, 'https://([^/]+)/', 1) AS src_domain, "
+            "'src' || CAST(((page_id * 2654435761 + j.j * 97) "
+            "% 4294967296) % 20 AS VARCHAR) || '.example.com' "
+            "AS dst_domain "
+            "FROM pages_geo CROSS JOIN (VALUES (0),(1),(2)) AS j(j) "
+            "WHERE j.j < 1 + page_id % 3) "
+            "SELECT src_domain, dst_domain, "
+            "CAST(count(*) AS BIGINT) AS n_links FROM e GROUP BY 1, 2"
+        ),
+        "domain_pagerank": _domain_pagerank_oracle(cte),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "dup_span_stats": dup_span_sql,
         "ngram_novelty": ngram_novelty_sql,

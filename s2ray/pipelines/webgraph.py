@@ -1,0 +1,177 @@
+"""Web-graph operators over the synthetic crawl: deterministic outlink
+derivation (SQL-mirrored exactly like the pages synth itself,
+``sources/pages.py:84``), vectorized domain extraction from URLs, and
+domain-level graph analytics — weighted edge counts and PageRank.
+
+Scale shape: edges are NEVER materialized corpus-sized.  Each batch
+pre-aggregates its (src_domain, dst_domain) pairs down to the domain
+adjacency matrix (20 x 20 = 400 cells for this corpus's fixed source
+vocabulary), so the shuffle moves O(batches x 400) rows regardless of
+corpus size, and the domain-level graph then fits in one bounded final
+task — the same vocabulary-bounded argument as
+``analytics.domain_lang_entropy`` and the grid-bounded argument of
+``cluster.grid_smooth``.  At a web-scale domain vocabulary (~100M
+domains) the partial stays per-batch-bounded and the PageRank step
+switches to the standard bucketed power iteration (contribution shuffle
+keyed by dst); the 20-domain final task here is the exact-oracle path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Knuth multiplicative constant — the same public-domain mixer the pages
+# synth uses for geo (sources/pages.py:41); 97 de-correlates the fanout.
+_LINK_MUL = 2654435761
+_LINK_C = 97
+_MOD32 = 4294967296
+_N_SRC = 20
+
+
+def _outlink_dst_idx(uid: np.ndarray, j: int) -> np.ndarray:
+    """Deterministic link-target domain index for outlink slot j.
+
+    Pure int64 arithmetic (uid < 2^31.7 keeps uid * MUL inside int64 —
+    the same bound the geo synth already imposes), mirrored 1:1 in the
+    oracle SQL.
+    """
+    return ((uid * _LINK_MUL + j * _LINK_C) % _MOD32) % _N_SRC
+
+
+def _edge_partials(batch: pa.Table) -> pa.Table:
+    """documents rows -> per-batch (src_domain, dst_domain, n) partials.
+
+    Each page carries 1 + page_id % 3 outlinks (slots j with
+    j < 1 + page_id % 3).  The src domain is EXTRACTED from the page url
+    with the same regex kernel the crawl analytics use
+    (analytics.url_domain_counts), not read from the source column — the
+    url is the only field a real crawl record would carry.
+    """
+    uid = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    url = pc.binary_join_element_wise(
+        pa.scalar("https://"), batch["source"],
+        pa.scalar(".example.com/doc/"),
+        pc.cast(pa.array(uid), pa.string()), pa.scalar(""))
+    dom = pc.struct_field(
+        pc.extract_regex(url, r"https://(?P<d>[^/]+)/"), "d")
+    dom_codes = pc.cast(dom, pa.string()).dictionary_encode()
+    src_code = dom_codes.combine_chunks().indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    src_vocab = dom_codes.combine_chunks().dictionary.to_pylist()
+
+    fan = 1 + uid % 3
+    packs = []
+    for j in range(3):
+        keep = j < fan
+        dst = _outlink_dst_idx(uid[keep], j)
+        packs.append(src_code[keep] * _N_SRC + dst)
+    packed = np.concatenate(packs)
+    u, c = np.unique(packed, return_counts=True)
+    return pa.table({
+        "src_domain": pa.array([src_vocab[int(p) // _N_SRC] for p in u],
+                               type=pa.string()),
+        "dst_domain": pa.array([f"src{int(p) % _N_SRC}.example.com"
+                                for p in u], type=pa.string()),
+        "n": pa.array(c.astype(np.int64)),
+    })
+
+
+def _read_link_source(sf_dir: str):
+    """Pruned read: the link graph needs ONLY doc_id + source (the url is
+    derived, the html/text columns never leave storage)."""
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return ds.repartition(max(8, 2 * ncpu))
+
+
+def domain_link_graph(sf_dir: str):
+    """Domain-level link graph of the crawl: (src_domain, dst_domain,
+    n_links) — the classic web-graph construction (extract outlinks,
+    aggregate to the domain adjacency).  Outlinks are derived
+    deterministically from page_id (slot rule j < 1 + page_id % 3,
+    target ((page_id * 2654435761 + j * 97) % 2^32) % 20), mirrored in
+    the oracle CTE exactly like the pages synth derives geo.
+
+    Exact integer counts only — hash-stable under any partial order.
+    """
+    from ray.data.aggregate import Sum
+
+    return (_read_link_source(sf_dir)
+            .map_batches(_edge_partials, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby(["src_domain", "dst_domain"])
+            .aggregate(Sum("n", alias_name="n_links")))
+
+
+def domain_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 20):
+    """PageRank over the domain link graph — an ITERATIVE graph algorithm
+    under the exact SQL gate (the oracle unrolls the power iteration as a
+    recursive CTE).  Output: (domain, out_links, pagerank) per domain.
+
+    Exactness: the transition weights t = float(n)/float(out) and the
+    iteration r' = (1.0 - damping)/n_f + damping * fold are evaluated in
+    the identical IEEE op order on both engines; the per-target fold over
+    incoming contributions t * r is ORDER-PINNED to ascending src domain
+    (sequential left fold from 0.0 here, list_reduce over
+    list(... ORDER BY s) in SQL).  The SQL recursion carries zero-weight
+    self-edges so every node survives the join each iteration; the engine
+    omits them because adding +0.0 anywhere in a nonnegative IEEE sum is
+    an exact identity.  Edges whose target domain has no pages (hence no
+    out-links) are dropped on both sides (standard dangling-node
+    simplification).  The final task is bounded by the domain vocabulary
+    (20 nodes / <=400 edges), never the corpus; at web-scale vocabularies
+    the same iteration runs as a bucketed contribution shuffle instead.
+    """
+    from .text import round_half_away
+
+    edges = domain_link_graph(sf_dir)
+
+    def power_iter(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src_domain"].to_pylist(), dtype=object)
+        d = np.asarray(batch["dst_domain"].to_pylist(), dtype=object)
+        n = batch["n_links"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes = sorted(set(s.tolist()))
+        idx = {dom: i for i, dom in enumerate(nodes)}
+        nn = len(nodes)
+        out = np.zeros(nn, dtype=np.int64)
+        for si, ni in zip(s.tolist(), n.tolist()):
+            out[idx[si]] += ni
+        keep = np.array([dd in idx for dd in d.tolist()])
+        es = np.array([idx[x] for x in s[keep].tolist()], dtype=np.int64)
+        ed = np.array([idx[x] for x in d[keep].tolist()], dtype=np.int64)
+        en = n[keep]
+        t = en.astype(np.float64) / out[es].astype(np.float64)
+        # pin the fold order: contributions grouped by dst, ascending src
+        order = np.lexsort((es, ed))
+        es, ed, t = es[order], ed[order], t[order]
+        nf = float(nn)
+        base = (1.0 - damping) / nf
+        r = np.full(nn, 1.0 / nf)
+        for _ in range(iters):
+            acc = np.zeros(nn)
+            pos = 0
+            while pos < len(ed):
+                end = pos
+                dd = ed[pos]
+                sacc = 0.0
+                while end < len(ed) and ed[end] == dd:
+                    sacc += t[end] * r[es[end]]
+                    end += 1
+                acc[dd] = sacc
+                pos = end
+            r = base + damping * acc
+        return pa.table({
+            "domain": pa.array(nodes, type=pa.string()),
+            "out_links": pa.array(out),
+            "pagerank": pa.array(round_half_away(r, 9)),
+        })
+
+    return edges.repartition(1).map_batches(power_iter,
+                                            batch_format="pyarrow",
+                                            batch_size=None)

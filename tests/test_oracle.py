@@ -82,6 +82,7 @@ def _compare(name, entrymod, con):
                                    "langid_confusion", "emb_integrity", "tile_growth",
                                    "grid_smooth", "morans_i", "grid_kde",
                                    "getis_ord",
+                                   "domain_link_graph", "domain_pagerank",
                                    "knn_graph", "vocab_coverage",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",
