@@ -717,6 +717,15 @@ def _q_getis_ord(sf_dir: str):
                      cell_deg=1.0)
 
 
+def _q_event_cooccurrence(sf_dir: str):
+    """Market-basket lift over distinct-user event-type pairs: broadcast
+    type vocabulary, bit-mask OR via post-distinct Sum, 2^K-bounded
+    histogram combine with big-int lift numerators."""
+    from s2ray.pipelines.analytics import event_cooccurrence
+
+    return event_cooccurrence(sf_dir)
+
+
 def _q_domain_link_graph(sf_dir: str):
     """Domain-level link-graph construction: deterministic outlinks
     (SQL-mirrored like the pages synth), per-batch 400-cell partials."""
@@ -2021,19 +2030,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     prioritizing queries with no prior driver verification.  Round-4
     rotation: the 17 operators that were added after the round-3 window
     filled (weighted_sample ... vocab_coverage — in-suite hash-green but
-    never driver-verified) lead the window, followed by the 13 operators
+    never driver-verified) lead the window, followed by the 14 operators
     new in round 4 (user_rolling, event_transitions, token_edit_pairs,
     cheapest_supplier, event_followups, morans_i*, grid_kde*,
-    getis_ord*, domain_link_graph*, domain_pagerank*, ngram_novelty,
-    domain_lang_entropy, tile_centroids; *seated inline with the 17),
-    so cumulative driver evidence reaches every oracled query; the
-    remaining slots re-seat queries whose latest driver row is from
-    round 2, keeping their evidence fresh (cap_join_shuffle,
-    knn_pruned_moscow, pages_per_month, emb_norm_by_lang,
-    rect_filter_wrap, knn_moscow, covering_member_join, near_dup_pairs,
-    pages_per_lang, events_hourly, text_identity, lsh_knn and
-    knn_embeddings yield their re-seat slots to the new ops — they keep
-    r02 driver rows + the in-suite gate).
+    getis_ord*, domain_link_graph*, domain_pagerank*,
+    event_cooccurrence*, ngram_novelty, domain_lang_entropy,
+    tile_centroids; *seated inline with the 17), so cumulative driver
+    evidence reaches every oracled query; the remaining slots re-seat
+    queries whose latest driver row is from round 2, keeping their
+    evidence fresh (cap_join_shuffle, knn_pruned_moscow,
+    pages_per_month, emb_norm_by_lang, rect_filter_wrap, knn_moscow,
+    covering_member_join, near_dup_pairs, pages_per_lang,
+    events_hourly, text_identity, lsh_knn, knn_embeddings and
+    emb_near_dup_lsh yield their re-seat slots to the new ops — they
+    keep r02 driver rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
     follow, and the inherently non-SQL queries close the dict."""
@@ -2060,6 +2070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_ord": _q_getis_ord,
         "domain_link_graph": _q_domain_link_graph,
         "domain_pagerank": _q_domain_pagerank,
+        "event_cooccurrence": _q_event_cooccurrence,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -2090,10 +2101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab,
         "token_counts": _q_token_counts,
         "polyline_near": _q_polyline_near,
-        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "minhash_pairs": _q_minhash_pairs,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "lsh_knn": _q_lsh_knn,
         "knn_embeddings": _q_knn_embeddings,
         "text_identity": _q_text_identity,
@@ -3281,6 +3292,28 @@ FROM (
             "CAST(count(*) AS BIGINT) AS n_links FROM e GROUP BY 1, 2"
         ),
         "domain_pagerank": _domain_pagerank_oracle(cte),
+        # market-basket lift over exact distinct-user type sets; HUGEINT
+        # products keep n_both * n_users / n_a * n_b exact before the one
+        # CAST-to-DOUBLE division the engine mirrors
+        "event_cooccurrence": (
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events "
+            "WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
+            "tc AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n "
+            "FROM ut GROUP BY 1), "
+            "nu AS (SELECT CAST(count(DISTINCT user_id) AS HUGEINT) AS n "
+            "FROM ut), "
+            "pairs AS (SELECT a.event_type AS type_a, "
+            "b.event_type AS type_b, CAST(count(*) AS HUGEINT) AS n_both "
+            "FROM ut a JOIN ut b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2) "
+            "SELECT type_a, type_b, CAST(ta.n AS BIGINT) AS n_a, "
+            "CAST(tb.n AS BIGINT) AS n_b, "
+            "CAST(n_both AS BIGINT) AS n_both, "
+            "round(CAST(n_both * nu.n AS DOUBLE) "
+            "/ CAST(ta.n * tb.n AS DOUBLE), 6) AS lift "
+            "FROM pairs JOIN tc ta ON ta.event_type = type_a "
+            "JOIN tc tb ON tb.event_type = type_b CROSS JOIN nu"
+        ),
         "quantize_embeddings": _quantize_embeddings_oracle(),
         "dup_span_stats": dup_span_sql,
         "ngram_novelty": ngram_novelty_sql,

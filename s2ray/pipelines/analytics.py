@@ -2562,3 +2562,117 @@ LEFT JOIN events b
 WHERE a.event_type = '{probe_type}'
   AND a.user_id IS NOT NULL AND a.ts IS NOT NULL
 GROUP BY 1, 2"""
+
+
+def event_cooccurrence(sf_dir: str):
+    """Market-basket association mining over users: for every unordered
+    pair of event types with at least one common user, the exact
+    co-occurrence lift
+
+        lift(a, b) = P(a & b) / (P(a) * P(b))
+                   = (n_both * n_users) / (n_a * n_b)
+
+    over the DISTINCT-user sets.  Output: (type_a, type_b, n_a, n_b,
+    n_both, lift) with type_a < type_b; NULL user_id / event_type rows
+    are unattributable and ignored on both engines.
+
+    Scale shape: the event-type vocabulary (K types) is computed by one
+    column-pruned streaming aggregate and broadcast; the corpus then
+    reduces through (1) a distinct-(user, type) shuffle (two-column key —
+    packing user*K+code would wrap int64 for ids near 2^63/K — with
+    per-batch pre-distinct), (2) a user-keyed Sum of type BITS — exact
+    OR, because after the distinct each (user, type) contributes its bit
+    exactly once — and (3) a mask-histogram Sum groupby bounded by 2^K
+    rows.  The lift combine
+    runs over that <= 2^K-row table in one task with arbitrary-precision
+    ints (n_both * n_users ~ 1e20 at web scale would wrap int64), then
+    ONE float division in the oracle's op order per pair.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .text import round_half_away
+
+    # vocabulary pass: column-pruned, aggregates to K rows
+    vocab_ds = (read_table(sf_dir, "events", columns=["event_type"])
+                .map_batches(lambda b: _drop_null_users(b, "event_type"),
+                             batch_format="pyarrow", batch_size=None)
+                .groupby("event_type").aggregate(Count()))
+    vocab = sorted(r["event_type"] for r in vocab_ds.take_all())
+    k = len(vocab)
+    varr = np.array(vocab, dtype=object)
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_users(_drop_null_users(batch), "event_type")
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64())})
+        if not len(batch):
+            return empty
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        c = np.searchsorted(varr, t).astype(np.int64)
+        # in-batch distinct without packing: lexsort + boundary scan
+        order = np.lexsort((c, uid))
+        uid, c = uid[order], c[order]
+        first = np.concatenate(
+            [[True], (uid[1:] != uid[:-1]) | (c[1:] != c[:-1])])
+        return pa.table({"user_id": pa.array(uid[first]),
+                         "c": pa.array(c[first])})
+
+    distinct = (ds.map_batches(pair_partial, batch_format="pyarrow",
+                               batch_size=None)
+                .groupby(["user_id", "c"]).aggregate(Count()))
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "bit": pa.array((np.int64(1) << c).astype(np.int64)),
+        })
+
+    masks = (distinct.map_batches(to_bits, batch_format="pyarrow",
+                                  batch_size=None)
+             .groupby("user_id").aggregate(Sum("bit", alias_name="mask")))
+
+    def mask_hist(batch: pa.Table) -> pa.Table:
+        m = batch["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(m, return_counts=True)
+        return pa.table({"mask": pa.array(u),
+                         "mn": pa.array(c.astype(np.int64))})
+
+    hist = (masks.map_batches(mask_hist, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("mask").aggregate(Sum("mn", alias_name="n")))
+
+    def lift(batch: pa.Table) -> pa.Table:
+        m = batch["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_users = int(n.sum())
+        has = [((m >> a) & 1).astype(bool) for a in range(k)]
+        per_type = [int(n[has[a]].sum()) for a in range(k)]
+        ta, tb, na, nb, nboth, lf = [], [], [], [], [], []
+        for a in range(k):
+            for b in range(a + 1, k):
+                both = int(n[has[a] & has[b]].sum())
+                if both == 0:
+                    continue
+                ta.append(vocab[a])
+                tb.append(vocab[b])
+                na.append(per_type[a])
+                nb.append(per_type[b])
+                nboth.append(both)
+                lf.append(float(round_half_away(np.float64(
+                    float(both * n_users)
+                    / float(per_type[a] * per_type[b])))))
+        return pa.table({
+            "type_a": pa.array(ta, type=pa.string()),
+            "type_b": pa.array(tb, type=pa.string()),
+            "n_a": pa.array(na, type=pa.int64()),
+            "n_b": pa.array(nb, type=pa.int64()),
+            "n_both": pa.array(nboth, type=pa.int64()),
+            "lift": pa.array(lf, type=pa.float64()),
+        })
+
+    return hist.repartition(1).map_batches(lift, batch_format="pyarrow",
+                                           batch_size=None)

@@ -49,7 +49,8 @@ EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "events_distinct_users", "props_field_stats",
                  "events_winsorized", "events_mad", "user_streaks",
                  "events_sliding_distinct", "user_rolling",
-                 "event_transitions", "event_followups"]
+                 "event_transitions", "event_followups",
+                 "event_cooccurrence"]
 
 
 def _assert_matches_oracle(qname, res, con):
