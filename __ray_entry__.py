@@ -717,6 +717,14 @@ def _q_getis_ord(sf_dir: str):
                      cell_deg=1.0)
 
 
+def _q_domain_triangles(sf_dir: str):
+    """Triangle census + global clustering coefficient of the undirected
+    domain graph (trace(A^3)/6 over the exact adjacency)."""
+    from s2ray.pipelines.webgraph import domain_triangles
+
+    return domain_triangles(sf_dir)
+
+
 def _q_event_cooccurrence(sf_dir: str):
     """Market-basket lift over distinct-user event-type pairs: broadcast
     type vocabulary, bit-mask OR via post-distinct Sum, 2^K-bounded
@@ -2030,20 +2038,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     prioritizing queries with no prior driver verification.  Round-4
     rotation: the 17 operators that were added after the round-3 window
     filled (weighted_sample ... vocab_coverage — in-suite hash-green but
-    never driver-verified) lead the window, followed by the 14 operators
+    never driver-verified) lead the window, followed by the 15 operators
     new in round 4 (user_rolling, event_transitions, token_edit_pairs,
     cheapest_supplier, event_followups, morans_i*, grid_kde*,
     getis_ord*, domain_link_graph*, domain_pagerank*,
-    event_cooccurrence*, ngram_novelty, domain_lang_entropy,
-    tile_centroids; *seated inline with the 17), so cumulative driver
-    evidence reaches every oracled query; the remaining slots re-seat
-    queries whose latest driver row is from round 2, keeping their
-    evidence fresh (cap_join_shuffle, knn_pruned_moscow,
-    pages_per_month, emb_norm_by_lang, rect_filter_wrap, knn_moscow,
-    covering_member_join, near_dup_pairs, pages_per_lang,
-    events_hourly, text_identity, lsh_knn, knn_embeddings and
-    emb_near_dup_lsh yield their re-seat slots to the new ops — they
-    keep r02 driver rows + the in-suite gate).
+    event_cooccurrence*, domain_triangles*, ngram_novelty,
+    domain_lang_entropy, tile_centroids; *seated inline with the 17),
+    so cumulative driver evidence reaches every oracled query; the
+    remaining slots re-seat queries whose latest driver row is from
+    round 2, keeping their evidence fresh (cap_join_shuffle,
+    knn_pruned_moscow, pages_per_month, emb_norm_by_lang,
+    rect_filter_wrap, knn_moscow, covering_member_join, near_dup_pairs,
+    pages_per_lang, events_hourly, text_identity, lsh_knn,
+    knn_embeddings, emb_near_dup_lsh and minhash_pairs yield their
+    re-seat slots to the new ops — they keep r02 driver rows + the
+    in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
     follow, and the inherently non-SQL queries close the dict."""
@@ -2071,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_link_graph": _q_domain_link_graph,
         "domain_pagerank": _q_domain_pagerank,
         "event_cooccurrence": _q_event_cooccurrence,
+        "domain_triangles": _q_domain_triangles,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -2101,9 +2111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab,
         "token_counts": _q_token_counts,
         "polyline_near": _q_polyline_near,
-        "minhash_pairs": _q_minhash_pairs,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "minhash_pairs": _q_minhash_pairs,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "lsh_knn": _q_lsh_knn,
         "knn_embeddings": _q_knn_embeddings,
@@ -3292,6 +3302,36 @@ FROM (
             "CAST(count(*) AS BIGINT) AS n_links FROM e GROUP BY 1, 2"
         ),
         "domain_pagerank": _domain_pagerank_oracle(cte),
+        # triangle census of the undirected simple domain graph: ordered
+        # 3-way self-join (x<y<z); wedges = sum(deg*(deg-1)) // 2 exact;
+        # clustering = CAST(3T AS DOUBLE)/CAST(W AS DOUBLE) like the engine
+        "domain_triangles": (
+            f"{cte}, e AS (SELECT "
+            "regexp_extract(url, 'https://([^/]+)/', 1) AS s, "
+            "'src' || CAST(((page_id * 2654435761 + j.j * 97) "
+            "% 4294967296) % 20 AS VARCHAR) || '.example.com' AS d "
+            "FROM pages_geo CROSS JOIN (VALUES (0),(1),(2)) AS j(j) "
+            "WHERE j.j < 1 + page_id % 3), "
+            "und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v "
+            "FROM e WHERE s <> d), "
+            "deg AS (SELECT x, CAST(count(*) AS HUGEINT) AS dg FROM "
+            "(SELECT u AS x FROM und UNION ALL SELECT v FROM und) "
+            "GROUP BY 1), "
+            "tri AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM und a "
+            "JOIN und b ON b.u = a.u AND b.v > a.v "
+            "JOIN und c ON c.u = a.v AND c.v = b.v), "
+            "m AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, "
+            "CAST(sum(dg * (dg - 1)) // 2 AS BIGINT) AS n_wedges "
+            "FROM deg) "
+            "SELECT m.n_nodes, "
+            "CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges, "
+            "coalesce(m.n_wedges, 0) AS n_wedges, "
+            "CAST(tri.t AS BIGINT) AS n_triangles, "
+            "CASE WHEN coalesce(m.n_wedges, 0) = 0 THEN NULL ELSE "
+            "round(CAST(3 * tri.t AS DOUBLE) "
+            "/ CAST(m.n_wedges AS DOUBLE), 6) END AS clustering "
+            "FROM m CROSS JOIN tri"
+        ),
         # market-basket lift over exact distinct-user type sets; HUGEINT
         # products keep n_both * n_users / n_a * n_b exact before the one
         # CAST-to-DOUBLE division the engine mirrors

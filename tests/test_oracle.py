@@ -83,7 +83,7 @@ def _compare(name, entrymod, con):
                                    "grid_smooth", "morans_i", "grid_kde",
                                    "getis_ord",
                                    "domain_link_graph", "domain_pagerank",
-                                   "event_cooccurrence",
+                                   "event_cooccurrence", "domain_triangles",
                                    "knn_graph", "vocab_coverage",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",
