@@ -1651,3 +1651,72 @@ FROM toks a JOIN toks b
   ON a.tok < b.tok AND levenshtein(a.tok, b.tok) BETWEEN 1 AND 2
 WHERE octet_length(CAST(a.tok AS BLOB)) <= 64
   AND octet_length(CAST(b.tok AS BLOB)) <= 64"""
+
+
+def phrase_search(sf_dir: str, t1: str = "data", t2: str = "line",
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Positional phrase query — the IR primitive the flat inverted index
+    cannot answer: (doc_id, n_occ) for every document where token i is
+    ``t1`` and token i+1 is ``t2`` (token-exact adjacency, NOT substring
+    match — 'database lineage' does not match 'data line').  Overlapping
+    occurrences count individually, mirroring the positional-join
+    semantics ('x x x' has two occurrences of phrase 'x x').
+
+    Fully vectorized and embarrassingly parallel: Arrow split_pattern
+    gives the flat token array + offsets zero-copy; the adjacency test is
+    two shifted equality masks with cross-document pairs masked out via
+    the offset boundaries; per-doc occurrence counts come from one
+    searchsorted + unique.  No shuffle at all — the output is per-doc and
+    each batch is independent (the 100-TB shape: a pure streaming scan).
+    Tokenization is split-on-single-space to match the oracle's
+    string_split(text, ' ') exactly (empty segments preserved).
+    """
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=[id_col, text_col])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[text_col]))
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "n_occ": pa.array([], type=pa.int64())})
+        if not len(batch):
+            return empty
+        toks = pc.split_pattern(_string_array(batch[text_col]), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]   # rebase in case of a sliced array
+        if len(flat) < 2:
+            return empty
+        m1 = pc.equal(flat, t1).to_numpy(zero_copy_only=False)
+        m2 = pc.equal(flat, t2).to_numpy(zero_copy_only=False)
+        hit = m1[:-1] & m2[1:]
+        # a pair (i, i+1) is valid only inside one document: kill pairs
+        # whose successor index is a document start
+        starts = offsets[1:-1]
+        doc_starts = starts[(starts > 0) & (starts < len(flat))]
+        hit[doc_starts - 1] = False
+        pos = np.flatnonzero(hit)
+        if not len(pos):
+            return empty
+        doc_idx = np.searchsorted(offsets[1:], pos, side="right")
+        u, c = np.unique(doc_idx, return_counts=True)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[u]
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "n_occ": pa.array(c.astype(np.int64))})
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+def phrase_search_sql(t1: str = "data", t2: str = "line") -> str:
+    """Oracle: 1-based list positional scan via list_filter over
+    range(1, len) — token-exact adjacency identical to the engine."""
+    return (
+        "SELECT doc_id, n_occ FROM ("
+        "SELECT doc_id, CAST(len(list_filter(range(1, len(l)), "
+        f"i -> l[i] = '{t1}' AND l[i+1] = '{t2}')) AS BIGINT) AS n_occ "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents WHERE text IS NOT NULL)"
+        ") WHERE n_occ >= 1"
+    )
