@@ -717,6 +717,14 @@ def _q_getis_ord(sf_dir: str):
                      cell_deg=1.0)
 
 
+def _q_session_entry_exit(sf_dir: str):
+    """Entry/exit-type session matrix with bounce rates — sessionize on
+    co-partitioned users, vocabulary-bounded partial counts."""
+    from s2ray.pipelines.analytics import session_entry_exit
+
+    return session_entry_exit(sf_dir)
+
+
 def _q_phrase_search(sf_dir: str):
     """Positional phrase query 'data line': token-exact adjacency over
     the flat token arrays, shuffle-free streaming scan."""
@@ -2046,19 +2054,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     prioritizing queries with no prior driver verification.  Round-4
     rotation: the 17 operators that were added after the round-3 window
     filled (weighted_sample ... vocab_coverage — in-suite hash-green but
-    never driver-verified) lead the window, followed by the 16 operators
+    never driver-verified) lead the window, followed by the 17 operators
     new in round 4 (user_rolling, event_transitions, token_edit_pairs,
     cheapest_supplier, event_followups, morans_i*, grid_kde*,
     getis_ord*, domain_link_graph*, domain_pagerank*,
     event_cooccurrence*, domain_triangles*, phrase_search*,
-    ngram_novelty, domain_lang_entropy, tile_centroids; *seated inline
-    with the 17), so cumulative driver evidence reaches every oracled
-    query; the remaining slots re-seat queries whose latest driver row
-    is from round 2, keeping their evidence fresh (cap_join_shuffle,
-    knn_pruned_moscow, pages_per_month, emb_norm_by_lang,
-    rect_filter_wrap, knn_moscow, covering_member_join, near_dup_pairs,
-    pages_per_lang, events_hourly, text_identity, lsh_knn,
-    knn_embeddings, emb_near_dup_lsh, minhash_pairs and polyline_near
+    session_entry_exit*, ngram_novelty, domain_lang_entropy,
+    tile_centroids; *seated inline with the 17), so cumulative
+    driver evidence reaches every oracled query; the remaining slots
+    re-seat queries whose latest driver row is from round 2, keeping
+    their evidence fresh (cap_join_shuffle, knn_pruned_moscow,
+    pages_per_month, emb_norm_by_lang, rect_filter_wrap, knn_moscow,
+    covering_member_join, near_dup_pairs, pages_per_lang,
+    events_hourly, text_identity, lsh_knn, knn_embeddings,
+    emb_near_dup_lsh, minhash_pairs, polyline_near and token_counts
     yield their re-seat slots to the new ops — they keep r02 driver
     rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
@@ -2090,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cooccurrence": _q_event_cooccurrence,
         "domain_triangles": _q_domain_triangles,
         "phrase_search": _q_phrase_search,
+        "session_entry_exit": _q_session_entry_exit,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -2118,9 +2128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
         "vocab_top100": _q_vocab,
-        "token_counts": _q_token_counts,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "token_counts": _q_token_counts,
         "polyline_near": _q_polyline_near,
         "minhash_pairs": _q_minhash_pairs,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
@@ -2300,6 +2310,7 @@ def oracle_sql() -> dict[str, str]:
                                         polyline_distance_select,
                                         s2_cell_select)
     from s2ray.pipelines.analytics import (EVENT_TRANSITIONS_SQL,
+                                           SESSION_ENTRY_EXIT_SQL,
                                            event_followups_sql,
                                            user_rolling_sql)
     from s2ray.pipelines.join import CHEAPEST_SUPPLIER_SQL
@@ -3313,6 +3324,9 @@ FROM (
         "domain_pagerank": _domain_pagerank_oracle(cte),
         # positional phrase query: 1-based list scan, token-exact
         "phrase_search": phrase_search_sql("data", "line"),
+        # entry/exit matrix: ordered first()/last() aggregates over the
+        # same (es, event_id)-ordered sessionization windows
+        "session_entry_exit": SESSION_ENTRY_EXIT_SQL,
         # triangle census of the undirected simple domain graph: ordered
         # 3-way self-join (x<y<z); wedges = sum(deg*(deg-1)) // 2 exact;
         # clustering = CAST(3T AS DOUBLE)/CAST(W AS DOUBLE) like the engine

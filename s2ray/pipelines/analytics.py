@@ -2676,3 +2676,114 @@ def event_cooccurrence(sf_dir: str):
 
     return hist.repartition(1).map_batches(lift, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def session_entry_exit(sf_dir: str, gap_s: int = 1800, n_parts: int = 64):
+    """Entry/exit-page analysis — the bounce-rate primitive of web
+    analytics: sessionize each user's stream (same gap rule as
+    :func:`user_sessions`), label every session with its FIRST and LAST
+    event type (total order (ts_seconds, event_id), so second-level ties
+    are deterministic), and aggregate to the K x K entry/exit matrix with
+    bounce counts (single-event sessions).  Output: (entry_type,
+    exit_type, n_sessions, n_bounce, bounce_rate).
+
+    NULL user/ts/event_type rows are unattributable and ignored (house
+    contract).  Scale shape: users hash-co-partition (user % n_parts);
+    each partition sessionizes vectorized and emits only its
+    <= K*K*2-row partial counts, so the second shuffle is
+    vocabulary-bounded; bounce_rate is ONE float division per pair in
+    the oracle's CAST-then-divide op order.
+    """
+    import ray.data
+
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(_drop_null_users(
+            batch.replace_schema_metadata(None)))
+        batch = _drop_null_users(batch, "event_type")
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "entry_type": pd.Series(dtype=object),
+            "exit_type": pd.Series(dtype=object),
+            "ns": pd.Series(dtype=np.int64),
+            "nb": pd.Series(dtype=np.int64),
+        })
+        if len(df) == 0:
+            return empty
+        # order by SECOND-truncated ts (+ event_id tiebreak) — the oracle
+        # windows order by (es, event_id), so sorting on microsecond ts
+        # would diverge for same-second events
+        df = df.assign(_es=df["ts"].to_numpy().astype("datetime64[s]")
+                       .astype(np.int64))
+        df = df.sort_values(["user_id", "_es", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        ts_s = df["_es"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[0], ts_s[1:] - ts_s[:-1]])
+        is_new = new_user | (gap > gap_s)
+        starts = np.flatnonzero(is_new)
+        ends = np.concatenate([starts[1:] - 1, [len(df) - 1]])
+        et = df["event_type"].to_numpy()
+        entry, exit_ = et[starts], et[ends]
+        bounce = (ends == starts)
+        g = pd.DataFrame({"entry_type": entry, "exit_type": exit_,
+                          "b": bounce.astype(np.int64)})
+        out = (g.groupby(["entry_type", "exit_type"], sort=False)
+               .agg(ns=("b", "size"), nb=("b", "sum")).reset_index())
+        out["ns"] = out["ns"].astype(np.int64)
+        out["nb"] = out["nb"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+           .groupby("part").map_groups(partial, batch_format="pandas")
+           .groupby(["entry_type", "exit_type"])
+           .aggregate(Sum("ns", alias_name="n_sessions"),
+                      Sum("nb", alias_name="n_bounce")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch["n_sessions"].to_numpy(zero_copy_only=False)
+        nb = batch["n_bounce"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "entry_type": batch["entry_type"],
+            "exit_type": batch["exit_type"],
+            "n_sessions": pa.array(ns.astype(np.int64)),
+            "n_bounce": pa.array(nb.astype(np.int64)),
+            "bounce_rate": pa.array(round_half_away(
+                nb.astype(np.float64) / ns.astype(np.float64))),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SESSION_ENTRY_EXIT_SQL = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                  event_id, event_type
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+x AS (SELECT user_id, es, event_id, event_type,
+      CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+           THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+s AS (SELECT user_id, event_type, es, event_id,
+      sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess FROM x),
+g AS (SELECT user_id, sess,
+      first(event_type ORDER BY es, event_id) AS entry_type,
+      last(event_type ORDER BY es, event_id) AS exit_type,
+      count(*) AS n FROM s GROUP BY 1, 2)
+SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_bounce,
+       round(CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+FROM g GROUP BY 1, 2"""

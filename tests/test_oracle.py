@@ -84,7 +84,7 @@ def _compare(name, entrymod, con):
                                    "getis_ord",
                                    "domain_link_graph", "domain_pagerank",
                                    "event_cooccurrence", "domain_triangles",
-                                   "phrase_search",
+                                   "phrase_search", "session_entry_exit",
                                    "knn_graph", "vocab_coverage",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",

@@ -51,7 +51,7 @@ EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "events_winsorized", "events_mad", "user_streaks",
                  "events_sliding_distinct", "user_rolling",
                  "event_transitions", "event_followups",
-                 "event_cooccurrence"]
+                 "event_cooccurrence", "session_entry_exit"]
 
 
 def _assert_matches_oracle(qname, res, con):
