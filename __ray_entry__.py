@@ -717,6 +717,14 @@ def _q_getis_ord(sf_dir: str):
                      cell_deg=1.0)
 
 
+def _q_profile_table(sf_dir: str):
+    """ANALYZE-style per-column profile of documents: exact distinct /
+    min / max over VARCHAR images, streaming null partials."""
+    from s2ray.pipelines.analytics import profile_table
+
+    return profile_table(sf_dir, "documents")
+
+
 def _q_session_entry_exit(sf_dir: str):
     """Entry/exit-type session matrix with bounce rates — sessionize on
     co-partitioned users, vocabulary-bounded partial counts."""
@@ -2059,17 +2067,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     cheapest_supplier, event_followups, morans_i*, grid_kde*,
     getis_ord*, domain_link_graph*, domain_pagerank*,
     event_cooccurrence*, domain_triangles*, phrase_search*,
-    session_entry_exit*, ngram_novelty, domain_lang_entropy,
-    tile_centroids; *seated inline with the 17), so cumulative
+    session_entry_exit*, profile_table*, ngram_novelty,
+    domain_lang_entropy, tile_centroids; *seated inline with the 17,
+    count tracked by the dict itself), so cumulative
     driver evidence reaches every oracled query; the remaining slots
     re-seat queries whose latest driver row is from round 2, keeping
     their evidence fresh (cap_join_shuffle, knn_pruned_moscow,
     pages_per_month, emb_norm_by_lang, rect_filter_wrap, knn_moscow,
     covering_member_join, near_dup_pairs, pages_per_lang,
     events_hourly, text_identity, lsh_knn, knn_embeddings,
-    emb_near_dup_lsh, minhash_pairs, polyline_near and token_counts
-    yield their re-seat slots to the new ops — they keep r02 driver
-    rows + the in-suite gate).
+    emb_near_dup_lsh, minhash_pairs, polyline_near, token_counts and
+    vocab_top100 yield their re-seat slots to the new ops — they keep
+    r02 driver rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
     follow, and the inherently non-SQL queries close the dict."""
@@ -2100,6 +2109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_triangles": _q_domain_triangles,
         "phrase_search": _q_phrase_search,
         "session_entry_exit": _q_session_entry_exit,
+        "profile_table": _q_profile_table,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -2127,9 +2137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
-        "vocab_top100": _q_vocab,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "vocab_top100": _q_vocab,
         "token_counts": _q_token_counts,
         "polyline_near": _q_polyline_near,
         "minhash_pairs": _q_minhash_pairs,
@@ -2312,6 +2322,7 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.analytics import (EVENT_TRANSITIONS_SQL,
                                            SESSION_ENTRY_EXIT_SQL,
                                            event_followups_sql,
+                                           profile_table_sql,
                                            user_rolling_sql)
     from s2ray.pipelines.join import CHEAPEST_SUPPLIER_SQL
     from s2ray.pipelines.polyline import Polyline
@@ -3327,6 +3338,9 @@ FROM (
         # entry/exit matrix: ordered first()/last() aggregates over the
         # same (es, event_id)-ordered sessionization windows
         "session_entry_exit": SESSION_ENTRY_EXIT_SQL,
+        # per-column profile: UNION ALL legs over VARCHAR images (UTF-8
+        # byte order == codepoint order, so min/max agree with python)
+        "profile_table": profile_table_sql("documents"),
         # triangle census of the undirected simple domain graph: ordered
         # 3-way self-join (x<y<z); wedges = sum(deg*(deg-1)) // 2 exact;
         # clustering = CAST(3T AS DOUBLE)/CAST(W AS DOUBLE) like the engine

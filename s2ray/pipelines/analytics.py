@@ -2787,3 +2787,124 @@ SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions,
        round(CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
 FROM g GROUP BY 1, 2"""
+
+
+def profile_table(sf_dir: str, table: str = "documents"):
+    """ANALYZE-style per-column data profile — the data-quality audit
+    primitive: one row per column with (column, n_rows, n_nulls,
+    n_distinct, min_v, max_v), every value profiled through its VARCHAR
+    image.  Arrow's int64->string cast renders exactly like SQL's
+    CAST(col AS VARCHAR), and python/Arrow codepoint-lexicographic string
+    order equals DuckDB's UTF-8 byte order because UTF-8 preserves
+    codepoint order — so min/max agree byte-for-byte.
+
+    Scale shape: n_rows/n_nulls are streaming per-batch partials; exact
+    n_distinct/min/max flow through ONE (column, value) distinct shuffle
+    (per-batch pre-distinct), then per-block partials collapse to a
+    column-bounded (Sum, Min, Max) groupby — post-aggregate keys are
+    globally unique, so summing per-block distinct counts is exact.
+    Profiling a long-text column exactly shuffles its distinct values
+    (the same cost the SQL count(DISTINCT text) pays); at 100 TB swap
+    that column's path to the fingerprint poly-hash or the in-repo HLL.
+    Returns a small pandas DataFrame (n_columns rows).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = read_table(sf_dir, table)
+    schema = ds.schema()
+    cols = list(schema.names)
+
+    def as_str(arr: pa.ChunkedArray) -> pa.Array:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+            return a
+        return pc.cast(a, pa.string())
+
+    def val_partial(batch: pa.Table) -> pa.Table:
+        outs_c, outs_v = [], []
+        for c in cols:
+            v = as_str(batch[c])
+            v = v.filter(pc.is_valid(v))
+            u = pc.unique(v)
+            outs_c.append(pa.array([c] * len(u), type=pa.string()))
+            outs_v.append(u)
+        return pa.table({
+            "col": pa.concat_arrays(outs_c),
+            "val": pa.concat_arrays([x.cast(pa.string()) for x in outs_v]),
+        })
+
+    def null_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": pa.array(cols, type=pa.string()),
+            "nr": pa.array([len(batch)] * len(cols), type=pa.int64()),
+            "nn": pa.array([batch[c].null_count for c in cols],
+                           type=pa.int64()),
+        })
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        # post-aggregate (col, val) keys are globally unique -> per-block
+        # distinct counts sum exactly
+        c = np.asarray(batch["col"].to_pylist(), dtype=object)
+        v = np.asarray(batch["val"].to_pylist(), dtype=object)
+        order = np.argsort(c, kind="stable")
+        c, v = c[order], v[order]
+        if not len(c):
+            return pa.table({
+                "col": pa.array([], type=pa.string()),
+                "nd": pa.array([], type=pa.int64()),
+                "mn": pa.array([], type=pa.string()),
+                "mx": pa.array([], type=pa.string()),
+            })
+        starts = np.concatenate([[0], np.flatnonzero(c[1:] != c[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(c)]])
+        return pa.table({
+            "col": pa.array(c[starts], type=pa.string()),
+            "nd": pa.array((ends - starts).astype(np.int64)),
+            "mn": pa.array([min(v[s:e].tolist()) for s, e in
+                            zip(starts, ends)], type=pa.string()),
+            "mx": pa.array([max(v[s:e].tolist()) for s, e in
+                            zip(starts, ends)], type=pa.string()),
+        })
+
+    dist = (ds.map_batches(val_partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(["col", "val"]).aggregate(Count())
+            .map_batches(block_stats, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("col")
+            .aggregate(Sum("nd", alias_name="n_distinct"),
+                       Min("mn", alias_name="min_v"),
+                       Max("mx", alias_name="max_v")))
+
+    nulls = (ds.map_batches(null_partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("col").aggregate(Sum("nr", alias_name="n_rows"),
+                                       Sum("nn", alias_name="n_nulls")))
+
+    a = dist.to_pandas().set_index("col")
+    b = nulls.to_pandas().set_index("col")
+    out = b.join(a, how="left").reset_index().rename(
+        columns={"col": "column"})
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_nulls"] = out["n_nulls"].astype(np.int64)
+    return out[["column", "n_rows", "n_nulls", "n_distinct",
+                "min_v", "max_v"]]
+
+
+def profile_table_sql(table: str = "documents",
+                      cols: tuple = ("doc_id", "text", "lang", "source",
+                                     "n_chars")) -> str:
+    """Oracle: one UNION ALL leg per column over the VARCHAR image."""
+    legs = []
+    for c in cols:
+        legs.append(
+            f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) "
+            f"AS n_distinct, "
+            f"min(CAST({c} AS VARCHAR)) AS min_v, "
+            f"max(CAST({c} AS VARCHAR)) AS max_v FROM {table}")
+    return " UNION ALL ".join(legs)
