@@ -717,6 +717,14 @@ def _q_getis_ord(sf_dir: str):
                      cell_deg=1.0)
 
 
+def _q_domain_hits(sf_dir: str):
+    """HITS hubs/authorities: unnormalized Jacobi iterations with one
+    final L1 normalization, all folds order-pinned."""
+    from s2ray.pipelines.webgraph import domain_hits
+
+    return domain_hits(sf_dir)
+
+
 def _q_profile_table(sf_dir: str):
     """ANALYZE-style per-column profile of documents: exact distinct /
     min / max over VARCHAR images, streaming null partials."""
@@ -2067,7 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     cheapest_supplier, event_followups, morans_i*, grid_kde*,
     getis_ord*, domain_link_graph*, domain_pagerank*,
     event_cooccurrence*, domain_triangles*, phrase_search*,
-    session_entry_exit*, profile_table*, ngram_novelty,
+    session_entry_exit*, profile_table*, domain_hits*, ngram_novelty,
     domain_lang_entropy, tile_centroids; *seated inline with the 17,
     count tracked by the dict itself), so cumulative
     driver evidence reaches every oracled query; the remaining slots
@@ -2076,9 +2084,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     pages_per_month, emb_norm_by_lang, rect_filter_wrap, knn_moscow,
     covering_member_join, near_dup_pairs, pages_per_lang,
     events_hourly, text_identity, lsh_knn, knn_embeddings,
-    emb_near_dup_lsh, minhash_pairs, polyline_near, token_counts and
-    vocab_top100 yield their re-seat slots to the new ops — they keep
-    r02 driver rows + the in-suite gate).
+    emb_near_dup_lsh, minhash_pairs, polyline_near, token_counts,
+    vocab_top100 and events_distinct_users yield their re-seat slots to
+    the new ops — they keep r02 driver rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
     follow, and the inherently non-SQL queries close the dict."""
@@ -2110,6 +2118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "session_entry_exit": _q_session_entry_exit,
         "profile_table": _q_profile_table,
+        "domain_hits": _q_domain_hits,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -2136,9 +2145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
-        "events_distinct_users": _q_events_distinct,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "events_distinct_users": _q_events_distinct,
         "vocab_top100": _q_vocab,
         "token_counts": _q_token_counts,
         "polyline_near": _q_polyline_near,
@@ -2327,6 +2336,7 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.join import CHEAPEST_SUPPLIER_SQL
     from s2ray.pipelines.polyline import Polyline
     from s2ray.pipelines.text import TOKEN_EDIT_PAIRS_SQL, phrase_search_sql
+    from s2ray.pipelines.webgraph import domain_hits_sql
 
     cte = _pages_cte()
     # flagship: level-8 tile counts, cell id/token from the independent SQL
@@ -3333,6 +3343,7 @@ FROM (
             "CAST(count(*) AS BIGINT) AS n_links FROM e GROUP BY 1, 2"
         ),
         "domain_pagerank": _domain_pagerank_oracle(cte),
+        "domain_hits": domain_hits_sql(cte),
         # positional phrase query: 1-based list scan, token-exact
         "phrase_search": phrase_search_sql("data", "line"),
         # entry/exit matrix: ordered first()/last() aggregates over the

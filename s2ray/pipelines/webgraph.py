@@ -224,3 +224,111 @@ def domain_triangles(sf_dir: str):
 
     return edges.repartition(1).map_batches(census, batch_format="pyarrow",
                                             batch_size=None)
+
+
+def domain_hits(sf_dir: str, iters: int = 10):
+    """HITS hubs & authorities over the UNWEIGHTED domain digraph —
+    Kleinberg's other eigenvector, next to :func:`domain_pagerank`:
+    Jacobi iterations a' = A^T h, h' = A a (simultaneous update from the
+    previous vector pair), run UNNORMALIZED for ``iters`` rounds (the
+    0/1 adjacency bounds growth by lambda^k <= n_nodes^k — float-safe
+    for any domain vocabulary at 10 rounds) and L1-normalized ONCE at
+    the end.  Output: (domain, authority, hub).
+
+    Exactness: every per-node fold (incoming h ascending src, outgoing a
+    ascending dst, and the two final normalization sums ascending
+    domain) is ORDER-PINNED as a sequential left fold from 0.0; the
+    recursive-CTE oracle reproduces the same sequences via list_reduce
+    over list(... ORDER BY dir, s), with zero-weight filler elements
+    that are exact identities (x * 0.0 = +0.0 and x + 0.0 = x for the
+    nonnegative values here).  Same vocabulary-bounded final task as the
+    other domain-graph ops.
+    """
+    from .text import round_half_away
+
+    edges = domain_link_graph(sf_dir)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        s = batch["src_domain"].to_pylist()
+        d = batch["dst_domain"].to_pylist()
+        nodes = sorted(set(s))
+        idx = {x: i for i, x in enumerate(nodes)}
+        nn = len(nodes)
+        fwd = sorted({(idx[a], idx[b]) for a, b in zip(s, d) if b in idx})
+        es = np.array([e[0] for e in fwd], dtype=np.int64)
+        ed = np.array([e[1] for e in fwd], dtype=np.int64)
+        a = np.full(nn, 1.0)
+        h = np.full(nn, 1.0)
+        # fwd sorted by (src, dst): ascending src per dst needs re-sort
+        in_order = np.lexsort((es, ed))    # incoming lists ascending src
+        out_order = np.lexsort((ed, es))   # outgoing lists ascending dst
+        for _ in range(iters):
+            na = np.zeros(nn)
+            for i in in_order.tolist():    # sequential fold, pinned order
+                na[ed[i]] += h[es[i]]
+            nh = np.zeros(nn)
+            for i in out_order.tolist():
+                nh[es[i]] += a[ed[i]]
+            a, h = na, nh
+        sa = 0.0
+        sh = 0.0
+        for i in range(nn):                # ascending domain
+            sa += a[i]
+            sh += h[i]
+        auth = [None if sa == 0.0 else
+                float(round_half_away(np.float64(a[i] / sa), 9))
+                for i in range(nn)]
+        hub = [None if sh == 0.0 else
+               float(round_half_away(np.float64(h[i] / sh), 9))
+               for i in range(nn)]
+        return pa.table({
+            "domain": pa.array(nodes, type=pa.string()),
+            "authority": pa.array(auth, type=pa.float64()),
+            "hub": pa.array(hub, type=pa.float64()),
+        })
+
+    return edges.repartition(1).map_batches(hits, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def domain_hits_sql(cte: str, iters: int = 10) -> str:
+    """Recursive-CTE mirror of :func:`domain_hits` (see its docstring for
+    the order-pinning and zero-filler identities)."""
+    rec_cte = cte.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{rec_cte},
+e0 AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS s,
+              'src' || CAST(((page_id * 2654435761 + j.j * 97) % 4294967296)
+                            % 20 AS VARCHAR) || '.example.com' AS d
+       FROM pages_geo CROSS JOIN (VALUES (0),(1),(2)) AS j(j)
+       WHERE j.j < 1 + page_id % 3),
+nodes AS (SELECT DISTINCT s FROM e0),
+fw AS (SELECT DISTINCT s, d FROM e0 WHERE d IN (SELECT s FROM nodes)),
+ed AS (SELECT s, d, 0 AS dir, 1.0 AS w FROM fw
+       UNION ALL SELECT d, s, 1, 1.0 FROM fw
+       UNION ALL SELECT s, s, 0, 0.0 FROM nodes
+       UNION ALL SELECT s, s, 1, 0.0 FROM nodes),
+pr(d, a, h, k) AS (
+  SELECT s, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), 0 FROM nodes
+  UNION ALL
+  SELECT ed.d,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CASE WHEN ed.dir = 0 THEN pr.h * ed.w ELSE 0.0 END
+                ORDER BY ed.dir, ed.s)), (x, y) -> x + y),
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CASE WHEN ed.dir = 1 THEN pr.a * ed.w ELSE 0.0 END
+                ORDER BY ed.dir, ed.s)), (x, y) -> x + y),
+         pr.k + 1
+  FROM pr JOIN ed ON ed.s = pr.d
+  WHERE pr.k < {iters}
+  GROUP BY ed.d, pr.k),
+fin AS (SELECT d, a, h FROM pr WHERE k = {iters}),
+nm AS (SELECT
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(a ORDER BY d)),
+              (x, y) -> x + y) AS sa,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(h ORDER BY d)),
+              (x, y) -> x + y) AS sh FROM fin)
+SELECT d AS domain,
+       CASE WHEN nm.sa = 0.0 THEN NULL ELSE round(a / nm.sa, 9) END
+         AS authority,
+       CASE WHEN nm.sh = 0.0 THEN NULL ELSE round(h / nm.sh, 9) END AS hub
+FROM fin CROSS JOIN nm"""

@@ -85,7 +85,7 @@ def _compare(name, entrymod, con):
                                    "domain_link_graph", "domain_pagerank",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
-                                   "profile_table",
+                                   "profile_table", "domain_hits",
                                    "knn_graph", "vocab_coverage",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",

@@ -39,6 +39,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "tile_growth", "grid_smooth", "morans_i", "grid_kde",
                "getis_ord",
                "domain_link_graph", "domain_pagerank", "domain_triangles",
+               "domain_hits",
                "phrase_search", "profile_table",
                "knn_graph",
                "vocab_coverage", "weighted_sample", "lang_corr",
