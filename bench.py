@@ -462,6 +462,24 @@ def run_bench():
 
     timed("events_sliding_distinct", _sliding_distinct)
 
+    def _domain_pagerank():
+        # graph analytics: pruned doc_id+source read -> 400-cell edge
+        # partials -> vocabulary-bounded power iteration (round 4)
+        from s2ray.pipelines.webgraph import domain_pagerank
+
+        return domain_pagerank(SF_DIR).count()
+
+    timed("domain_pagerank", _domain_pagerank)
+
+    def _phrase_search():
+        # shuffle-free positional scan: flat Arrow tokens + shifted
+        # equality masks (round 4)
+        from s2ray.pipelines.text import phrase_search
+
+        return phrase_search(SF_DIR).count()
+
+    timed("phrase_search", _phrase_search)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({
