@@ -717,6 +717,22 @@ def _q_getis_ord(sf_dir: str):
                      cell_deg=1.0)
 
 
+def _q_source_drift_psi(sf_dir: str):
+    """PSI drift monitor between src0 and src1 n_chars distributions:
+    exact bucket counts, order-pinned (p-q)ln(p/q) fold."""
+    from s2ray.pipelines.analytics import source_drift_psi
+
+    return source_drift_psi(sf_dir)
+
+
+def _q_domain_gini(sf_dir: str):
+    """Gini coefficient of pages per source domain — big-int rank
+    moments over the vocabulary-bounded count table."""
+    from s2ray.pipelines.analytics import domain_gini
+
+    return domain_gini(sf_dir)
+
+
 def _q_domain_hits(sf_dir: str):
     """HITS hubs/authorities: unnormalized Jacobi iterations with one
     final L1 normalization, all folds order-pinned."""
@@ -2075,7 +2091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     cheapest_supplier, event_followups, morans_i*, grid_kde*,
     getis_ord*, domain_link_graph*, domain_pagerank*,
     event_cooccurrence*, domain_triangles*, phrase_search*,
-    session_entry_exit*, profile_table*, domain_hits*, ngram_novelty,
+    session_entry_exit*, profile_table*, domain_hits*,
+    source_drift_psi*, domain_gini*, ngram_novelty,
     domain_lang_entropy, tile_centroids; *seated inline with the 17,
     count tracked by the dict itself), so cumulative
     driver evidence reaches every oracled query; the remaining slots
@@ -2085,8 +2102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     covering_member_join, near_dup_pairs, pages_per_lang,
     events_hourly, text_identity, lsh_knn, knn_embeddings,
     emb_near_dup_lsh, minhash_pairs, polyline_near, token_counts,
-    vocab_top100 and events_distinct_users yield their re-seat slots to
-    the new ops — they keep r02 driver rows + the in-suite gate).
+    vocab_top100, events_distinct_users, rect_filter and user_sessions
+    yield their re-seat slots to the new ops — they keep r02 driver
+    rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
     follow, and the inherently non-SQL queries close the dict."""
@@ -2119,6 +2137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_entry_exit": _q_session_entry_exit,
         "profile_table": _q_profile_table,
         "domain_hits": _q_domain_hits,
+        "source_drift_psi": _q_source_drift_psi,
+        "domain_gini": _q_domain_gini,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -2143,10 +2163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
-        "rect_filter": _q_rect_filter,
-        "user_sessions": _q_user_sessions,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "rect_filter": _q_rect_filter,
+        "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
         "vocab_top100": _q_vocab,
         "token_counts": _q_token_counts,
@@ -2328,10 +2348,12 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.functions.sqlgen import (polygon_relations_select,
                                         polyline_distance_select,
                                         s2_cell_select)
-    from s2ray.pipelines.analytics import (EVENT_TRANSITIONS_SQL,
+    from s2ray.pipelines.analytics import (DOMAIN_GINI_SQL,
+                                           EVENT_TRANSITIONS_SQL,
                                            SESSION_ENTRY_EXIT_SQL,
                                            event_followups_sql,
                                            profile_table_sql,
+                                           source_drift_psi_sql,
                                            user_rolling_sql)
     from s2ray.pipelines.join import CHEAPEST_SUPPLIER_SQL
     from s2ray.pipelines.polyline import Polyline
@@ -3344,6 +3366,8 @@ FROM (
         ),
         "domain_pagerank": _domain_pagerank_oracle(cte),
         "domain_hits": domain_hits_sql(cte),
+        "source_drift_psi": source_drift_psi_sql(),
+        "domain_gini": DOMAIN_GINI_SQL,
         # positional phrase query: 1-based list scan, token-exact
         "phrase_search": phrase_search_sql("data", "line"),
         # entry/exit matrix: ordered first()/last() aggregates over the

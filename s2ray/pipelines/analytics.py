@@ -2908,3 +2908,185 @@ def profile_table_sql(table: str = "documents",
             f"min(CAST({c} AS VARCHAR)) AS min_v, "
             f"max(CAST({c} AS VARCHAR)) AS max_v FROM {table}")
     return " UNION ALL ".join(legs)
+
+
+def source_drift_psi(sf_dir: str, src_a: str = "src0", src_b: str = "src1",
+                     width: int = 50, max_bucket: int = 19):
+    """Population Stability Index between two sources' n_chars
+    distributions — the standard data-drift monitor for ingest pipelines:
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b) over fixed-width buckets
+    b = min(n_chars // width, max_bucket).  Output: ONE row
+    (n_common, n_only_a, n_only_b, psi) where psi folds over buckets
+    present in BOTH sources (the standard zero-bucket exclusion, with the
+    excluded bucket counts reported alongside); proportions use each
+    source's full total.  PSI > 0.25 conventionally flags drift.
+
+    Exactness: bucket counts are exact integers (vocabulary-bounded
+    shuffle: buckets x 2 per batch); the float fold is ORDER-PINNED to
+    ascending bucket with each element evaluated in the oracle's exact
+    op order (p and q as CAST/CAST divisions, (p - q) * ln(p / q)).
+    NULL n_chars rows are ignored on both engines.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "documents", columns=["n_chars", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(batch["n_chars"]),
+                        pc.is_valid(batch["source"]))
+        batch = batch.filter(pc.and_(valid, pc.fill_null(pc.is_in(
+            batch["source"], value_set=pa.array([src_a, src_b])), False)))
+        if not len(batch):
+            return pa.table({"b": pa.array([], type=pa.int64()),
+                             "ca": pa.array([], type=pa.int64()),
+                             "cb": pa.array([], type=pa.int64())})
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(nc // width, max_bucket)
+        is_a = pc.equal(batch["source"], src_a).to_numpy(
+            zero_copy_only=False)
+        u = np.unique(b)
+        ca = np.array([int(((b == x) & is_a).sum()) for x in u],
+                      dtype=np.int64)
+        cb = np.array([int(((b == x) & ~is_a).sum()) for x in u],
+                      dtype=np.int64)
+        return pa.table({"b": pa.array(u), "ca": pa.array(ca),
+                         "cb": pa.array(cb)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("b").aggregate(Sum("ca", alias_name="ca"),
+                                   Sum("cb", alias_name="cb")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import math
+
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = batch["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = batch["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(b)
+        ca, cb = ca[order], cb[order]
+        ta, tb = int(ca.sum()), int(cb.sum())
+        common = (ca > 0) & (cb > 0)
+        psi = None
+        if ta > 0 and tb > 0 and common.any():
+            s = 0.0
+            for x, y in zip(ca[common].tolist(), cb[common].tolist()):
+                p = float(x) / float(ta)
+                q = float(y) / float(tb)
+                s += (p - q) * math.log(p / q)
+            psi = float(round_half_away(np.float64(s)))
+        return pa.table({
+            "n_common": pa.array([int(common.sum())], type=pa.int64()),
+            "n_only_a": pa.array([int(((ca > 0) & (cb == 0)).sum())],
+                                 type=pa.int64()),
+            "n_only_b": pa.array([int(((ca == 0) & (cb > 0)).sum())],
+                                 type=pa.int64()),
+            "psi": pa.array([psi], type=pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def source_drift_psi_sql(src_a: str = "src0", src_b: str = "src1",
+                         width: int = 50, max_bucket: int = 19) -> str:
+    """Oracle: order-pinned list_reduce fold over common buckets."""
+    pa_ = "CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)"
+    pb_ = "CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)"
+    return f"""
+WITH d AS (SELECT least(n_chars // {width}, {max_bucket}) AS b, source
+           FROM documents WHERE n_chars IS NOT NULL
+             AND source IN ('{src_a}', '{src_b}')),
+c AS (SELECT b,
+      CAST(count(*) FILTER (WHERE source = '{src_a}') AS BIGINT) AS ca,
+      CAST(count(*) FILTER (WHERE source = '{src_b}') AS BIGINT) AS cb
+      FROM d GROUP BY b),
+t AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS ta,
+             CAST(coalesce(sum(cb), 0) AS BIGINT) AS tb FROM c),
+e AS (SELECT b, ca, cb,
+      CASE WHEN ca > 0 AND cb > 0
+           THEN ({pa_} - {pb_}) * ln(({pa_}) / ({pb_}))
+           ELSE NULL END AS el
+      FROM c CROSS JOIN t)
+SELECT CAST(count(*) FILTER (WHERE ca > 0 AND cb > 0) AS BIGINT)
+         AS n_common,
+       CAST(count(*) FILTER (WHERE ca > 0 AND cb = 0) AS BIGINT)
+         AS n_only_a,
+       CAST(count(*) FILTER (WHERE ca = 0 AND cb > 0) AS BIGINT)
+         AS n_only_b,
+       CASE WHEN count(*) FILTER (WHERE ca > 0 AND cb > 0) = 0 THEN NULL
+            ELSE round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(el ORDER BY b) FILTER (WHERE ca > 0 AND cb > 0)),
+                 (x, y) -> x + y), 6) END AS psi
+FROM e"""
+
+
+def domain_gini(sf_dir: str):
+    """Gini coefficient of page counts across source domains — the
+    inequality summary of the crawl ("is the corpus dominated by a few
+    sites?").  ONE row (n_groups, total, gini) with the sorted-values
+    formula G = (2 * sum_i i*x_(i) - (n+1) * sum_i x_i) / (n * sum_i x_i)
+    over ascending counts (1-based ranks; equal values make rank
+    assignment irrelevant to the sum, so ties need no tiebreak).
+
+    Exactness: the rank-weighted moments are exact Python big ints over
+    the vocabulary-bounded count table (i*x ~ n*corpus would overflow
+    int64 at scale), then ONE CAST-to-DOUBLE division like the oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "documents", columns=["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = batch["source"]
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        s = s.filter(pc.is_valid(s))   # NULL source rows excluded (oracle
+        vc = s.value_counts()          # mirrors with IS NOT NULL)
+        return pa.table({
+            "source": vc.field("values").cast(pa.string()),
+            "x": vc.field("counts").cast(pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("source").aggregate(Sum("x", alias_name="x")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        x = np.sort(batch["x"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        n = len(x)
+        s1 = s2 = 0
+        for i, v in enumerate(x.tolist(), start=1):
+            s1 += v
+            s2 += i * v
+        den = n * s1
+        gini = (None if den == 0 else float(round_half_away(np.float64(
+            float(2 * s2 - (n + 1) * s1) / float(den)))))
+        return pa.table({
+            "n_groups": pa.array([n], type=pa.int64()),
+            "total": pa.array([s1], type=pa.int64()),
+            "gini": pa.array([gini], type=pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+DOMAIN_GINI_SQL = """
+WITH c AS (SELECT source, count(*) AS x FROM documents
+           WHERE source IS NOT NULL GROUP BY 1),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM c),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(coalesce(sum(x), 0) AS HUGEINT) AS s1,
+             CAST(coalesce(sum(CAST(i AS HUGEINT) * x), 0) AS HUGEINT)
+               AS s2 FROM r)
+SELECT CAST(n AS BIGINT) AS n_groups, CAST(s1 AS BIGINT) AS total,
+       CASE WHEN n * s1 = 0 THEN NULL ELSE
+         round(CAST(2 * s2 - (n + 1) * s1 AS DOUBLE)
+               / CAST(n * s1 AS DOUBLE), 6) END AS gini
+FROM m"""

@@ -86,6 +86,7 @@ def _compare(name, entrymod, con):
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",
+                                   "source_drift_psi", "domain_gini",
                                    "knn_graph", "vocab_coverage",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",

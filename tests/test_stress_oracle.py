@@ -41,6 +41,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_link_graph", "domain_pagerank", "domain_triangles",
                "domain_hits",
                "phrase_search", "profile_table",
+               "source_drift_psi", "domain_gini",
                "knn_graph",
                "vocab_coverage", "weighted_sample", "lang_corr",
                "domain_lang_entropy",
