@@ -717,6 +717,22 @@ def _q_getis_ord(sf_dir: str):
                      cell_deg=1.0)
 
 
+def _q_chi2_lang_source(sf_dir: str):
+    """Chi-square independence of lang x source: big-int cell moments,
+    order-pinned term fold over the full cross product."""
+    from s2ray.pipelines.analytics import chi2_lang_source
+
+    return chi2_lang_source(sf_dir)
+
+
+def _q_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency regression over the corpus vocabulary:
+    order-pinned moment folds ascending rank."""
+    from s2ray.pipelines.analytics import zipf_slope
+
+    return zipf_slope(sf_dir)
+
+
 def _q_source_drift_psi(sf_dir: str):
     """PSI drift monitor between src0 and src1 n_chars distributions:
     exact bucket counts, order-pinned (p-q)ln(p/q) fold."""
@@ -2092,9 +2108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     getis_ord*, domain_link_graph*, domain_pagerank*,
     event_cooccurrence*, domain_triangles*, phrase_search*,
     session_entry_exit*, profile_table*, domain_hits*,
-    source_drift_psi*, domain_gini*, ngram_novelty,
-    domain_lang_entropy, tile_centroids; *seated inline with the 17,
-    count tracked by the dict itself), so cumulative
+    source_drift_psi*, domain_gini*, chi2_lang_source*, zipf_slope*,
+    ngram_novelty, domain_lang_entropy, tile_centroids; *seated inline
+    with the 17, count tracked by the dict itself), so cumulative
     driver evidence reaches every oracled query; the remaining slots
     re-seat queries whose latest driver row is from round 2, keeping
     their evidence fresh (cap_join_shuffle, knn_pruned_moscow,
@@ -2102,9 +2118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     covering_member_join, near_dup_pairs, pages_per_lang,
     events_hourly, text_identity, lsh_knn, knn_embeddings,
     emb_near_dup_lsh, minhash_pairs, polyline_near, token_counts,
-    vocab_top100, events_distinct_users, rect_filter and user_sessions
-    yield their re-seat slots to the new ops — they keep r02 driver
-    rows + the in-suite gate).
+    vocab_top100, events_distinct_users, rect_filter, user_sessions,
+    pip_join and corpus_keep yield their re-seat slots to the new ops —
+    they keep r02 driver rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
     follow, and the inherently non-SQL queries close the dict."""
@@ -2139,6 +2155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_hits": _q_domain_hits,
         "source_drift_psi": _q_source_drift_psi,
         "domain_gini": _q_domain_gini,
+        "chi2_lang_source": _q_chi2_lang_source,
+        "zipf_slope": _q_zipf_slope,
         "knn_graph": _q_knn_graph,
         "vocab_coverage": _q_vocab_coverage,
         # new in round 4 — never driver-verified
@@ -2161,10 +2179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_relations": _q_region_relations,
         "cap_join": _q_cap_join,
         "exact_dedup": _q_exact_dedup,
-        "pip_join": _q_pip_join,
-        "corpus_keep": _q_corpus_keep,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        "pip_join": _q_pip_join,
+        "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
         "user_sessions": _q_user_sessions,
         "events_distinct_users": _q_events_distinct,
@@ -2348,9 +2366,11 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.functions.sqlgen import (polygon_relations_select,
                                         polyline_distance_select,
                                         s2_cell_select)
-    from s2ray.pipelines.analytics import (DOMAIN_GINI_SQL,
+    from s2ray.pipelines.analytics import (CHI2_LANG_SOURCE_SQL,
+                                           DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
                                            SESSION_ENTRY_EXIT_SQL,
+                                           ZIPF_SLOPE_SQL,
                                            event_followups_sql,
                                            profile_table_sql,
                                            source_drift_psi_sql,
@@ -3368,6 +3388,8 @@ FROM (
         "domain_hits": domain_hits_sql(cte),
         "source_drift_psi": source_drift_psi_sql(),
         "domain_gini": DOMAIN_GINI_SQL,
+        "chi2_lang_source": CHI2_LANG_SOURCE_SQL,
+        "zipf_slope": ZIPF_SLOPE_SQL,
         # positional phrase query: 1-based list scan, token-exact
         "phrase_search": phrase_search_sql("data", "line"),
         # entry/exit matrix: ordered first()/last() aggregates over the

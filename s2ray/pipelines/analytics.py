@@ -3090,3 +3090,204 @@ SELECT CAST(n AS BIGINT) AS n_groups, CAST(s1 AS BIGINT) AS total,
          round(CAST(2 * s2 - (n + 1) * s1 AS DOUBLE)
                / CAST(n * s1 AS DOUBLE), 6) END AS gini
 FROM m"""
+
+
+def chi2_lang_source(sf_dir: str):
+    """Pearson chi-square test of independence between the lang and
+    source columns — "is language mix independent of which site we
+    crawled?", the categorical-association audit.  ONE row (n_rows,
+    n_cells, dof, chi2) over the FULL lang x source cross product
+    (zero-count cells included, per the classic statistic).
+
+    Exactness: each cell's term (O - E)^2 / E is rewritten over exact
+    integers as (O*T - R*C)^2 / (T*R*C), computed in Python big ints
+    (the numerator ~ T^4 wraps int64 beyond ~55k rows; the HUGEINT
+    oracle holds to T < 3.6e9 rows — far above any oracle scale), then
+    ONE float division per cell and an ORDER-PINNED fold ascending
+    (lang, source).  NULL lang/source rows are excluded on both engines.
+    """
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["lang"]),
+                                     pc.is_valid(batch["source"])))
+        if not len(batch):
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "source": pa.array([], type=pa.string()),
+                             "o": pa.array([], type=pa.int64())})
+        cl, ul = _dict_codes(batch["lang"])
+        cs, us = _dict_codes(batch["source"])
+        packed = cl * len(us) + cs
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table({
+            "lang": pa.array([ul[int(p) // len(us)] for p in u],
+                             type=pa.string()),
+            "source": pa.array([us[int(p) % len(us)] for p in u],
+                               type=pa.string()),
+            "o": pa.array(c.astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby(["lang", "source"]).aggregate(Sum("o", alias_name="o")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pylist()
+        src = batch["source"].to_pylist()
+        o = batch["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+        obs = {(a, b): int(x) for a, b, x in zip(lang, src, o.tolist())}
+        langs = sorted(set(lang))
+        srcs = sorted(set(src))
+        rr = {a: sum(v for (x, _), v in obs.items() if x == a)
+              for a in langs}
+        cc = {b: sum(v for (_, y), v in obs.items() if y == b)
+              for b in srcs}
+        t = sum(obs.values())
+        chi2 = None
+        if t > 0:
+            s = 0.0
+            for a in langs:                      # ascending (lang, source)
+                for b in srcs:
+                    oo = obs.get((a, b), 0)
+                    num = (oo * t - rr[a] * cc[b]) ** 2
+                    den = t * rr[a] * cc[b]
+                    s += float(num) / float(den)
+            chi2 = float(round_half_away(np.float64(s)))
+        return pa.table({
+            "n_rows": pa.array([t], type=pa.int64()),
+            "n_cells": pa.array([len(langs) * len(srcs)], type=pa.int64()),
+            "dof": pa.array([(len(langs) - 1) * (len(srcs) - 1)],
+                            type=pa.int64()),
+            "chi2": pa.array([chi2], type=pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+CHI2_LANG_SOURCE_SQL = """
+WITH d AS (SELECT lang, source FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL),
+o AS (SELECT lang, source, CAST(count(*) AS HUGEINT) AS o
+      FROM d GROUP BY 1, 2),
+r AS (SELECT lang, CAST(count(*) AS HUGEINT) AS rr FROM d GROUP BY 1),
+c AS (SELECT source, CAST(count(*) AS HUGEINT) AS cc FROM d GROUP BY 1),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS tt FROM d),
+cells AS (SELECT r.lang, c.source,
+                 coalesce(o.o, CAST(0 AS HUGEINT)) AS o, r.rr, c.cc, t.tt
+          FROM r CROSS JOIN c CROSS JOIN t
+          LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+e AS (SELECT lang, source,
+      CAST((o * tt - rr * cc) * (o * tt - rr * cc) AS DOUBLE)
+      / CAST(tt * rr * cc AS DOUBLE) AS term FROM cells)
+SELECT coalesce((SELECT CAST(tt AS BIGINT) FROM t), 0) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(((SELECT count(*) FROM r) - 1)
+            * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
+       CASE WHEN count(*) = 0 THEN NULL ELSE
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(term ORDER BY lang, source)), (x, y) -> x + y), 6)
+       END AS chi2
+FROM e"""
+
+
+def zipf_slope(sf_dir: str, lower: bool = True):
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope (and
+    intercept) of ln(frequency) against ln(rank) over the full
+    rank-frequency curve — the classic "is this corpus natural text?"
+    statistic (natural language slopes sit near -1).  ONE row (n_tokens,
+    total_occurrences, slope, intercept).
+
+    Exactness: token counts are exact integers from the vocabulary-sized
+    shuffle (same partial as vocab_top_k); ranks are frequency-descending
+    (equal-frequency rank assignment provably cancels out of every
+    moment); the four regression moments are ORDER-PINNED sequential
+    folds ascending rank, and the closed-form slope/intercept mirror the
+    oracle's float expression exactly.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .text import _string_array, _token_codes, round_half_away
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch["text"])
+        _, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({
+            "token": pa.array(uniques.tolist(), type=pa.string()),
+            "partial_n": pa.array(cnt),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("token").aggregate(Sum("partial_n", alias_name="n")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = np.sort(batch["n"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))[::-1]           # frequency desc
+        v = len(n)
+        total = int(n.sum()) if v else 0
+        slope = intercept = None
+        if v:
+            sx = sy = sxx = sxy = 0.0
+            for i, f in enumerate(n.tolist(), start=1):  # ascending rank
+                x = math.log(float(i))
+                y = math.log(float(f))
+                sx += x
+                sy += y
+                sxx += x * x
+                sxy += x * y
+            nf = float(v)
+            den = nf * sxx - sx * sx
+            if den != 0.0:
+                sl = (nf * sxy - sx * sy) / den
+                slope = float(round_half_away(np.float64(sl)))
+                intercept = float(round_half_away(np.float64(
+                    (sy - sl * sx) / nf)))
+        return pa.table({
+            "n_tokens": pa.array([v], type=pa.int64()),
+            "total_occurrences": pa.array([total], type=pa.int64()),
+            "slope": pa.array([slope], type=pa.float64()),
+            "intercept": pa.array([intercept], type=pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+ZIPF_SLOPE_SQL = r"""
+WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+             '\s+'), x -> x <> '')) AS token FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS i FROM cnt),
+m AS (SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS total,
+             CAST(count(*) AS DOUBLE) AS nf,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(ln(CAST(i AS DOUBLE)) ORDER BY i)), (x, y) -> x + y) AS sx,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(ln(CAST(n AS DOUBLE)) ORDER BY i)), (x, y) -> x + y) AS sy,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)) ORDER BY i)),
+    (x, y) -> x + y) AS sxx,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(ln(CAST(i AS DOUBLE)) * ln(CAST(n AS DOUBLE)) ORDER BY i)),
+    (x, y) -> x + y) AS sxy
+  FROM r)
+SELECT v AS n_tokens, total AS total_occurrences,
+       CASE WHEN v = 0 OR nf * sxx - sx * sx = 0.0 THEN NULL ELSE
+         round((nf * sxy - sx * sy) / (nf * sxx - sx * sx), 6) END
+         AS slope,
+       CASE WHEN v = 0 OR nf * sxx - sx * sx = 0.0 THEN NULL ELSE
+         round((sy - ((nf * sxy - sx * sy) / (nf * sxx - sx * sx)) * sx)
+               / nf, 6) END AS intercept
+FROM m"""

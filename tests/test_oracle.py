@@ -87,6 +87,7 @@ def _compare(name, entrymod, con):
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",
                                    "source_drift_psi", "domain_gini",
+                                   "chi2_lang_source", "zipf_slope",
                                    "knn_graph", "vocab_coverage",
                                    "region_relations", "lsh_knn",
                                    "emb_near_dup_lsh", "minhash_pairs",

@@ -42,6 +42,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_hits",
                "phrase_search", "profile_table",
                "source_drift_psi", "domain_gini",
+               "chi2_lang_source", "zipf_slope",
                "knn_graph",
                "vocab_coverage", "weighted_sample", "lang_corr",
                "domain_lang_entropy",
