@@ -2370,7 +2370,7 @@ def oracle_sql() -> dict[str, str]:
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
                                            SESSION_ENTRY_EXIT_SQL,
-                                           ZIPF_SLOPE_SQL,
+                                           zipf_slope_sql,
                                            event_followups_sql,
                                            profile_table_sql,
                                            source_drift_psi_sql,
@@ -3389,7 +3389,7 @@ FROM (
         "source_drift_psi": source_drift_psi_sql(),
         "domain_gini": DOMAIN_GINI_SQL,
         "chi2_lang_source": CHI2_LANG_SOURCE_SQL,
-        "zipf_slope": ZIPF_SLOPE_SQL,
+        "zipf_slope": zipf_slope_sql(),
         # positional phrase query: 1-based list scan, token-exact
         "phrase_search": phrase_search_sql("data", "line"),
         # entry/exit matrix: ordered first()/last() aggregates over the

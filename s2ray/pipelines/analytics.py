@@ -2587,6 +2587,13 @@ def event_cooccurrence(sf_dir: str):
     runs over that <= 2^K-row table in one task with arbitrary-precision
     ints (n_both * n_users ~ 1e20 at web scale would wrap int64), then
     ONE float division in the oracle's op order per pair.
+
+    The bitmask stage needs every type code to fit an int64 mask, so the
+    vocabulary is capped at 62 types (bit 63 would wrap the signed Sum;
+    62 leaves headroom for the sign bit and keeps the mask histogram at
+    most 2^62 keys in principle, in practice #distinct user baskets).
+    Beyond that the distinct-(user, type) table should feed the generic
+    pair self-join instead — raising beats silently corrupting masks.
     """
     from ray.data.aggregate import Count, Sum
 
@@ -2599,6 +2606,13 @@ def event_cooccurrence(sf_dir: str):
                 .groupby("event_type").aggregate(Count()))
     vocab = sorted(r["event_type"] for r in vocab_ds.take_all())
     k = len(vocab)
+    if k > 62:
+        raise ValueError(
+            f"event_cooccurrence: {k} distinct event types exceed the "
+            "62-bit int64 mask budget (bit 63 would wrap the signed Sum "
+            "and silently corrupt per-user masks); route the distinct "
+            "(user, type) table through the generic pair self-join "
+            "instead")
     varr = np.array(vocab, dtype=object)
 
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
@@ -2798,19 +2812,22 @@ def profile_table(sf_dir: str, table: str = "documents"):
     order equals DuckDB's UTF-8 byte order because UTF-8 preserves
     codepoint order — so min/max agree byte-for-byte.
 
-    Scale shape: n_rows/n_nulls are streaming per-batch partials; exact
-    n_distinct/min/max flow through ONE (column, value) distinct shuffle
-    (per-batch pre-distinct), then per-block partials collapse to a
-    column-bounded (Sum, Min, Max) groupby — post-aggregate keys are
-    globally unique, so summing per-block distinct counts is exact.
-    Profiling a long-text column exactly shuffles its distinct values
-    (the same cost the SQL count(DISTINCT text) pays); at 100 TB swap
-    that column's path to the fingerprint poly-hash or the in-repo HLL.
+    Scale shape: ONE corpus scan.  Each batch emits its distinct
+    (column, value) rows (kind=0) AND one per-column row/null-count row
+    (kind=1, val='') into the SAME (kind, column, value) shuffle —
+    Sum over the zero-weights dedupes the value rows while the count
+    rows sum to the exact totals, so n_rows/n_nulls ride the distinct
+    shuffle for free instead of re-reading the table.  Per-block
+    partials then collapse to a column-bounded (Sum, Min, Max) groupby
+    — post-aggregate keys are globally unique, so summing per-block
+    distinct counts is exact.  Profiling a long-text column exactly
+    shuffles its distinct values (the same cost the SQL
+    count(DISTINCT text) pays); at 100 TB swap that column's path to
+    the fingerprint poly-hash or the in-repo HLL.
     Returns a small pandas DataFrame (n_columns rows).
     """
-    import pandas as pd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     ds = read_table(sf_dir, table)
     schema = ds.schema()
@@ -2822,7 +2839,7 @@ def profile_table(sf_dir: str, table: str = "documents"):
             return a
         return pc.cast(a, pa.string())
 
-    def val_partial(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         outs_c, outs_v = [], []
         for c in cols:
             v = as_str(batch[c])
@@ -2830,66 +2847,90 @@ def profile_table(sf_dir: str, table: str = "documents"):
             u = pc.unique(v)
             outs_c.append(pa.array([c] * len(u), type=pa.string()))
             outs_v.append(u)
+        nvals = sum(len(x) for x in outs_v)
+        # kind=1 count rows: one per column per batch (val='' cannot
+        # collide with a real empty-string value row because kind differs)
+        outs_c.append(pa.array(cols, type=pa.string()))
+        outs_v.append(pa.array([""] * len(cols), type=pa.string()))
         return pa.table({
+            "kind": pa.array([0] * nvals + [1] * len(cols),
+                             type=pa.int64()),
             "col": pa.concat_arrays(outs_c),
             "val": pa.concat_arrays([x.cast(pa.string()) for x in outs_v]),
-        })
-
-    def null_partial(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "col": pa.array(cols, type=pa.string()),
-            "nr": pa.array([len(batch)] * len(cols), type=pa.int64()),
-            "nn": pa.array([batch[c].null_count for c in cols],
+            "nr": pa.array([0] * nvals + [len(batch)] * len(cols),
                            type=pa.int64()),
+            "nn": pa.array([0] * nvals + [batch[c].null_count
+                                          for c in cols], type=pa.int64()),
         })
 
     def block_stats(batch: pa.Table) -> pa.Table:
-        # post-aggregate (col, val) keys are globally unique -> per-block
-        # distinct counts sum exactly
-        c = np.asarray(batch["col"].to_pylist(), dtype=object)
-        v = np.asarray(batch["val"].to_pylist(), dtype=object)
-        order = np.argsort(c, kind="stable")
-        c, v = c[order], v[order]
-        if not len(c):
-            return pa.table({
-                "col": pa.array([], type=pa.string()),
-                "nd": pa.array([], type=pa.int64()),
-                "mn": pa.array([], type=pa.string()),
-                "mx": pa.array([], type=pa.string()),
-            })
-        starts = np.concatenate([[0], np.flatnonzero(c[1:] != c[:-1]) + 1])
-        ends = np.concatenate([starts[1:], [len(c)]])
-        return pa.table({
-            "col": pa.array(c[starts], type=pa.string()),
-            "nd": pa.array((ends - starts).astype(np.int64)),
-            "mn": pa.array([min(v[s:e].tolist()) for s, e in
-                            zip(starts, ends)], type=pa.string()),
-            "mx": pa.array([max(v[s:e].tolist()) for s, e in
-                            zip(starts, ends)], type=pa.string()),
+        # post-aggregate (kind, col, val) keys are globally unique ->
+        # per-block distinct counts sum exactly; kind=1 rows pass their
+        # exact row/null totals through with null min/max (ignored by
+        # the final Min/Max aggregates)
+        empty = pa.table({
+            "col": pa.array([], type=pa.string()),
+            "nd": pa.array([], type=pa.int64()),
+            "mn": pa.array([], type=pa.string()),
+            "mx": pa.array([], type=pa.string()),
+            "nr": pa.array([], type=pa.int64()),
+            "nn": pa.array([], type=pa.int64()),
         })
+        if not len(batch):
+            return empty
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        vals = batch.filter(pa.array(kind == 0))
+        cnts = batch.filter(pa.array(kind == 1))
+        parts = []
+        if len(vals):
+            c = np.asarray(vals["col"].to_pylist(), dtype=object)
+            v = np.asarray(vals["val"].to_pylist(), dtype=object)
+            order = np.argsort(c, kind="stable")
+            c, v = c[order], v[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(c[1:] != c[:-1]) + 1])
+            ends = np.concatenate([starts[1:], [len(c)]])
+            parts.append(pa.table({
+                "col": pa.array(c[starts], type=pa.string()),
+                "nd": pa.array((ends - starts).astype(np.int64)),
+                "mn": pa.array([min(v[s:e].tolist()) for s, e in
+                                zip(starts, ends)], type=pa.string()),
+                "mx": pa.array([max(v[s:e].tolist()) for s, e in
+                                zip(starts, ends)], type=pa.string()),
+                "nr": pa.array(np.zeros(len(starts), dtype=np.int64)),
+                "nn": pa.array(np.zeros(len(starts), dtype=np.int64)),
+            }))
+        if len(cnts):
+            nonefield = pa.array([None] * len(cnts), type=pa.string())
+            parts.append(pa.table({
+                "col": cnts["col"],
+                "nd": pa.array(np.zeros(len(cnts), dtype=np.int64)),
+                "mn": nonefield,
+                "mx": nonefield,
+                "nr": cnts["nr"],
+                "nn": cnts["nn"],
+            }))
+        return pa.concat_tables(parts) if parts else empty
 
-    dist = (ds.map_batches(val_partial, batch_format="pyarrow",
+    prof = (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None)
-            .groupby(["col", "val"]).aggregate(Count())
+            .groupby(["kind", "col", "val"])
+            .aggregate(Sum("nr", alias_name="nr"),
+                       Sum("nn", alias_name="nn"))
             .map_batches(block_stats, batch_format="pyarrow",
                          batch_size=None)
             .groupby("col")
-            .aggregate(Sum("nd", alias_name="n_distinct"),
+            .aggregate(Sum("nr", alias_name="n_rows"),
+                       Sum("nn", alias_name="n_nulls"),
+                       Sum("nd", alias_name="n_distinct"),
                        Min("mn", alias_name="min_v"),
                        Max("mx", alias_name="max_v")))
 
-    nulls = (ds.map_batches(null_partial, batch_format="pyarrow",
-                            batch_size=None)
-             .groupby("col").aggregate(Sum("nr", alias_name="n_rows"),
-                                       Sum("nn", alias_name="n_nulls")))
-
-    a = dist.to_pandas().set_index("col")
-    b = nulls.to_pandas().set_index("col")
-    out = b.join(a, how="left").reset_index().rename(
-        columns={"col": "column"})
+    out = prof.to_pandas().rename(columns={"col": "column"})
     out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
     out["n_rows"] = out["n_rows"].astype(np.int64)
     out["n_nulls"] = out["n_nulls"].astype(np.int64)
+    out = out.sort_values("column", kind="stable").reset_index(drop=True)
     return out[["column", "n_rows", "n_nulls", "n_distinct",
                 "min_v", "max_v"]]
 
@@ -3262,6 +3303,14 @@ def zipf_slope(sf_dir: str, lower: bool = True):
 
     return agg.repartition(1).map_batches(fold, batch_format="pyarrow",
                                           batch_size=None)
+
+
+def zipf_slope_sql(lower: bool = True) -> str:
+    """Oracle paired with :func:`zipf_slope` — parameterized on the same
+    ``lower`` flag so gating ``zipf_slope(sf, lower=False)`` against it
+    cannot silently diverge on a mixed-case corpus."""
+    expr = "lower(text)" if lower else "text"
+    return ZIPF_SLOPE_SQL.replace("lower(text)", expr)
 
 
 ZIPF_SLOPE_SQL = r"""

@@ -81,6 +81,15 @@ def fnv1a_bytes(data: bytes, seed: int = 0) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
+def _cat_i64_blobs(col) -> np.ndarray:
+    """Decode a binary column of concatenated int64 little-endian blobs
+    into one flat int64 array (the compact-blob shuffle's row format)."""
+    blobs = col.to_pylist()
+    if not blobs:
+        return np.empty(0, dtype=np.int64)
+    return np.frombuffer(b"".join(blobs), dtype=np.int64)
+
+
 def _poly_token_hash_array(tokens) -> np.ndarray:
     """Tokens -> uint64 hashes < 2^61-1: the dual 31-bit polynomial rolling
     hash (same fold as text.fingerprint) packed and reduced mod 2^61-1.
@@ -376,12 +385,6 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
             "sz_b": pa.array(rows_sz, type=pa.binary()),
         })
 
-    def _cat(col) -> np.ndarray:
-        blobs = col.to_pylist()
-        if not blobs:
-            return np.empty(0, dtype=np.int64)
-        return np.frombuffer(b"".join(blobs), dtype=np.int64)
-
     def emit_pairs(t: pa.Table) -> pa.Table:
         # one call per coarse shingle-partition: decode blobs, bucket scan,
         # pre-sum duplicate pairs, then re-emit COMPACT rows partitioned by
@@ -390,9 +393,9 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
         # groupby/aggregate costs ~0.3-1 ms per group in Python).  Arrow
         # in/out: the blob rows never round-trip through pandas blocks.
         sub = pd.DataFrame({
-            "sh": _cat(t["sh_b"]),
-            "doc": _cat(t["doc_b"]),
-            "sz": _cat(t["sz_b"]),
+            "sh": _cat_i64_blobs(t["sh_b"]),
+            "doc": _cat_i64_blobs(t["doc_b"]),
+            "sz": _cat_i64_blobs(t["sz_b"]),
         })
         out = _pairs_from_buckets(sub, "sh", ("doc", "sz"), max_posting)
         pk = np.left_shift(out["i"].to_numpy().astype(np.int64), 32) \
@@ -435,10 +438,10 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
         })
 
     def merge_pairs(t: pa.Table) -> pa.Table:
-        pk = _cat(t["pk_b"])
-        inter = _cat(t["inter_b"])
-        si = _cat(t["si_b"])
-        sj = _cat(t["sj_b"])
+        pk = _cat_i64_blobs(t["pk_b"])
+        inter = _cat_i64_blobs(t["inter_b"])
+        si = _cat_i64_blobs(t["si_b"])
+        sj = _cat_i64_blobs(t["sj_b"])
         order = np.argsort(pk, kind="stable")
         pk, inter, si, sj = pk[order], inter[order], si[order], sj[order]
         starts = (np.concatenate([[0], np.flatnonzero(pk[1:] != pk[:-1]) + 1])
@@ -580,20 +583,14 @@ def cosine_sim_pairs(ds, tau_num: int = 3, tau_den: int = 5, k: int = 3,
             "nrm_b": pa.array(rows["nrm_b"], type=pa.binary()),
         })
 
-    def _cat(col) -> np.ndarray:
-        blobs = col.to_pylist()
-        if not blobs:
-            return np.empty(0, dtype=np.int64)
-        return np.frombuffer(b"".join(blobs), dtype=np.int64)
-
     def emit_pairs(t: pa.Table) -> pa.Table:
         # Arrow in/out (cf. near_dup_pairs_exact): blob rows never
         # round-trip through pandas blocks
         sub = pd.DataFrame({
-            "sh": _cat(t["sh_b"]),
-            "doc": _cat(t["doc_b"]),
-            "w": _cat(t["tf_b"]),
-            "nrm": _cat(t["nrm_b"]),
+            "sh": _cat_i64_blobs(t["sh_b"]),
+            "doc": _cat_i64_blobs(t["doc_b"]),
+            "w": _cat_i64_blobs(t["tf_b"]),
+            "nrm": _cat_i64_blobs(t["nrm_b"]),
         })
         out = _weighted_pairs_from_buckets(sub, "sh", max_posting)
         pk = np.left_shift(out["i"].to_numpy().astype(np.int64), 32) \
@@ -635,10 +632,10 @@ def cosine_sim_pairs(ds, tau_num: int = 3, tau_den: int = 5, k: int = 3,
         })
 
     def merge_pairs(t: pa.Table) -> pa.Table:
-        pk = _cat(t["pk_b"])
-        dot = _cat(t["dot_b"])
-        ni = _cat(t["ni_b"])
-        nj = _cat(t["nj_b"])
+        pk = _cat_i64_blobs(t["pk_b"])
+        dot = _cat_i64_blobs(t["dot_b"])
+        ni = _cat_i64_blobs(t["ni_b"])
+        nj = _cat_i64_blobs(t["nj_b"])
         order = np.argsort(pk, kind="stable")
         pk, dot, ni, nj = pk[order], dot[order], ni[order], nj[order]
         starts = (np.concatenate([[0], np.flatnonzero(pk[1:] != pk[:-1]) + 1])

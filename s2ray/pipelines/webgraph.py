@@ -133,6 +133,14 @@ def domain_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 20):
     edges = domain_link_graph(sf_dir)
 
     def power_iter(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            # empty edge table (zero-row / all-null-source corpus):
+            # np.array([]) masks are float64 and would raise as indices
+            return pa.table({
+                "domain": pa.array([], type=pa.string()),
+                "out_links": pa.array([], type=pa.int64()),
+                "pagerank": pa.array([], type=pa.float64()),
+            })
         s = np.asarray(batch["src_domain"].to_pylist(), dtype=object)
         d = np.asarray(batch["dst_domain"].to_pylist(), dtype=object)
         n = batch["n_links"].to_numpy(zero_copy_only=False).astype(np.int64)

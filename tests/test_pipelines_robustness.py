@@ -76,3 +76,50 @@ def test_emb_integrity_counts_actual_mismatches(tmp_path, ray_session):
     ora = con.execute(e.oracle_sql()["emb_integrity"]).df() \
         .sort_values("side").reset_index(drop=True)
     assert ora.equals(out.astype(ora.dtypes.to_dict()))
+
+
+def test_domain_pagerank_empty_corpus(tmp_path, ray_session):
+    """A zero-row documents table must yield an empty 3-column result,
+    not an IndexError from a float64 empty mask used as indices."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.webgraph import domain_pagerank
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string()),
+        "source": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+    }), f"{d}/documents.parquet")
+    out = domain_pagerank(d).to_pandas()
+    assert len(out) == 0
+    # an entirely-empty upstream may collapse to a zero-column dataset;
+    # if any schema survives it must be the documented one
+    assert list(out.columns) in ([], ["domain", "out_links", "pagerank"])
+
+
+def test_event_cooccurrence_raises_past_mask_budget(tmp_path, ray_session):
+    """63+ distinct event types must raise (bit 63 would wrap the signed
+    int64 mask Sum) rather than silently corrupt per-user masks."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from s2ray.pipelines.analytics import event_cooccurrence
+
+    d = str(tmp_path)
+    n = 63
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array([0] * n, type=pa.timestamp("us")),
+        "user_id": pa.array([1] * n, type=pa.int64()),
+        "event_type": pa.array([f"t{i:03d}" for i in range(n)]),
+        "value": pa.array([0.0] * n, type=pa.float64()),
+        "props": pa.array(["{}"] * n, type=pa.string()),
+    }), f"{d}/events.parquet")
+    with _pytest.raises(ValueError, match="62-bit"):
+        event_cooccurrence(d)
