@@ -725,6 +725,31 @@ def _q_chi2_lang_source(sf_dir: str):
     return chi2_lang_source(sf_dir)
 
 
+
+def _q_domain_reciprocity(sf_dir: str):
+    """Edge reciprocity of the domain digraph: exact mutual-edge count
+    over the vocabulary-bounded distinct edge set."""
+    from s2ray.pipelines.webgraph import domain_reciprocity
+
+    return domain_reciprocity(sf_dir)
+
+
+def _q_domain_assortativity(sf_dir: str):
+    """Newman degree assortativity of the undirected simple domain graph:
+    exact big-int moments, one CAST-then-divide float."""
+    from s2ray.pipelines.webgraph import domain_assortativity
+
+    return domain_assortativity(sf_dir)
+
+
+def _q_domain_bfs_depth(sf_dir: str):
+    """Directed BFS hop distance from src0.example.com over the domain
+    digraph (recursive-CTE oracle)."""
+    from s2ray.pipelines.webgraph import domain_bfs_depth
+
+    return domain_bfs_depth(sf_dir)
+
+
 def _q_zipf_slope(sf_dir: str):
     """Zipf rank-frequency regression over the corpus vocabulary:
     order-pinned moment folds ascending rank."""
@@ -2181,6 +2206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
+        # new this session — oracled, queued for the r5 rotation
+        "domain_reciprocity": _q_domain_reciprocity,
+        "domain_assortativity": _q_domain_assortativity,
+        "domain_bfs_depth": _q_domain_bfs_depth,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2378,7 +2407,10 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.join import CHEAPEST_SUPPLIER_SQL
     from s2ray.pipelines.polyline import Polyline
     from s2ray.pipelines.text import TOKEN_EDIT_PAIRS_SQL, phrase_search_sql
-    from s2ray.pipelines.webgraph import domain_hits_sql
+    from s2ray.pipelines.webgraph import (domain_assortativity_sql,
+                                          domain_bfs_depth_sql,
+                                          domain_hits_sql,
+                                          domain_reciprocity_sql)
 
     cte = _pages_cte()
     # flagship: level-8 tile counts, cell id/token from the independent SQL
@@ -3386,6 +3418,9 @@ FROM (
         ),
         "domain_pagerank": _domain_pagerank_oracle(cte),
         "domain_hits": domain_hits_sql(cte),
+        "domain_reciprocity": domain_reciprocity_sql(cte),
+        "domain_assortativity": domain_assortativity_sql(cte),
+        "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "source_drift_psi": source_drift_psi_sql(),
         "domain_gini": DOMAIN_GINI_SQL,
         "chi2_lang_source": CHI2_LANG_SOURCE_SQL,

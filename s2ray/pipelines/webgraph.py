@@ -340,3 +340,203 @@ SELECT d AS domain,
          AS authority,
        CASE WHEN nm.sh = 0.0 THEN NULL ELSE round(h / nm.sh, 9) END AS hub
 FROM fin CROSS JOIN nm"""
+
+
+def domain_reciprocity(sf_dir: str):
+    """Edge reciprocity of the domain digraph — the classic directed-graph
+    statistic (what fraction of links are mutual): ONE row (n_edges,
+    n_reciprocal, reciprocity) over the distinct directed edge set with
+    self-loops dropped.  reciprocity = n_reciprocal / n_edges (NULL on an
+    empty graph).
+
+    Exactness: both counts are exact integers over the vocabulary-bounded
+    edge set (the membership test is a set lookup, mirrored as a SQL
+    self-join); the single float division is evaluated in the oracle's
+    CAST-then-divide op order.  Same vocabulary-bounded final task as the
+    other domain-graph ops — at web-scale vocabularies this becomes one
+    hash self-join on the (min, max) endpoint key.
+    """
+    from .text import round_half_away
+
+    edges = domain_link_graph(sf_dir)
+
+    def recip(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            ed = set()
+        else:
+            s = batch["src_domain"].to_pylist()
+            d = batch["dst_domain"].to_pylist()
+            ed = {(a, b) for a, b in zip(s, d) if a != b}
+        n_edges = len(ed)
+        n_rec = sum(1 for a, b in ed if (b, a) in ed)
+        r = None if n_edges == 0 else float(round_half_away(
+            np.float64(float(n_rec) / float(n_edges)), 6))
+        return pa.table({
+            "n_edges": pa.array([n_edges], type=pa.int64()),
+            "n_reciprocal": pa.array([n_rec], type=pa.int64()),
+            "reciprocity": pa.array([r], type=pa.float64()),
+        })
+
+    return edges.repartition(1).map_batches(recip, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def domain_assortativity(sf_dir: str):
+    """Degree assortativity of the UNDIRECTED simple domain graph —
+    Newman's r: the Pearson correlation of endpoint degrees over the
+    symmetrized edge list (each undirected edge contributes both
+    orderings, the standard formulation).  ONE row (n_nodes, n_edges,
+    assortativity); NULL when the degree variance is zero (e.g. a
+    regular graph).  Negative r = hubs link to leaves (typical web
+    graphs), positive = hubs link to hubs.
+
+    Exactness: degrees and all four moments (m2, Sx, Sxx, Sxy) are exact
+    Python big ints (HUGEINT in the oracle); by symmetry Sy = Sx and
+    Syy = Sxx, so r = (m2*Sxy - Sx^2) / (m2*Sxx - Sx^2) — numerator and
+    denominator are computed exactly, then ONE float division in the
+    oracle's CAST-then-divide order.  Vocabulary-bounded final task;
+    the web-scale path is a degree-table co-partition join keyed by
+    either endpoint.
+    """
+    from .text import round_half_away
+
+    edges = domain_link_graph(sf_dir)
+
+    def assort(batch: pa.Table) -> pa.Table:
+        und = set()
+        if len(batch):
+            s = batch["src_domain"].to_pylist()
+            d = batch["dst_domain"].to_pylist()
+            und = {(min(a, b), max(a, b)) for a, b in zip(s, d) if a != b}
+        deg: dict = {}
+        for u, v in und:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        m2 = 2 * len(und)
+        sx = sum(deg[u] + deg[v] for u, v in und)
+        sxx = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in und)
+        sxy = sum(2 * deg[u] * deg[v] for u, v in und)
+        num = m2 * sxy - sx * sx
+        den = m2 * sxx - sx * sx
+        r = None if den == 0 else float(round_half_away(
+            np.float64(float(num) / float(den)), 6))
+        return pa.table({
+            "n_nodes": pa.array([len(deg)], type=pa.int64()),
+            "n_edges": pa.array([len(und)], type=pa.int64()),
+            "assortativity": pa.array([r], type=pa.float64()),
+        })
+
+    return edges.repartition(1).map_batches(assort,
+                                            batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def domain_bfs_depth(sf_dir: str, seed: str = "src0.example.com",
+                     max_depth: int = 20):
+    """Directed BFS hop distance from a seed domain over the domain
+    digraph — the shortest-path primitive of web-graph analysis
+    (crawl-frontier depth): (domain, depth) for every domain reachable
+    from ``seed`` within ``max_depth`` hops, seed itself at depth 0.
+    Self-loops are dropped (they never shorten a path).
+
+    Exactness: pure integer BFS over the vocabulary-bounded edge set; the
+    oracle's recursive CTE enumerates (node, k) states with UNION
+    dedup and takes min(k) per node — identical to BFS depth because any
+    node reachable at depth j is enumerated at j before the k-cap.  At
+    web-scale vocabularies this is the standard iterative frontier
+    expansion (one co-partition join per level).
+    """
+    edges = domain_link_graph(sf_dir)
+
+    def bfs(batch: pa.Table) -> pa.Table:
+        adj: dict = {}
+        if len(batch):
+            s = batch["src_domain"].to_pylist()
+            d = batch["dst_domain"].to_pylist()
+            for a, b in zip(s, d):
+                if a != b:
+                    adj.setdefault(a, []).append(b)
+        depth = {seed: 0}
+        frontier = [seed]
+        k = 0
+        while frontier and k < max_depth:
+            k += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in depth:
+                        depth[v] = k
+                        nxt.append(v)
+            frontier = nxt
+        doms = sorted(depth)
+        return pa.table({
+            "domain": pa.array(doms, type=pa.string()),
+            "depth": pa.array([depth[x] for x in doms], type=pa.int64()),
+        })
+
+    return edges.repartition(1).map_batches(bfs, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+_EDGE_SQL = (
+    "e AS (SELECT "
+    "regexp_extract(url, 'https://([^/]+)/', 1) AS s, "
+    "'src' || CAST(((page_id * 2654435761 + j.j * 97) "
+    "% 4294967296) % 20 AS VARCHAR) || '.example.com' AS d "
+    "FROM pages_geo CROSS JOIN (VALUES (0),(1),(2)) AS j(j) "
+    "WHERE j.j < 1 + page_id % 3)")
+
+
+def domain_reciprocity_sql(cte: str) -> str:
+    """Oracle: distinct-edge self-join; CAST-then-divide like the engine."""
+    return f"""{cte}, {_EDGE_SQL},
+ed AS (SELECT DISTINCT s, d FROM e WHERE s <> d),
+mk AS (SELECT ed.s, ed.d,
+       CASE WHEN r.s IS NULL THEN 0 ELSE 1 END AS rec
+       FROM ed LEFT JOIN ed r ON r.s = ed.d AND r.d = ed.s)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(coalesce(sum(rec), 0) AS BIGINT) AS n_reciprocal,
+       CASE WHEN count(*) = 0 THEN NULL ELSE
+         round(CAST(coalesce(sum(rec), 0) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) END AS reciprocity
+FROM mk"""
+
+
+def domain_assortativity_sql(cte: str) -> str:
+    """Oracle: HUGEINT moments over the symmetrized undirected edge list
+    (Sy = Sx and Syy = Sxx by symmetry, exactly like the engine)."""
+    return f"""{cte}, {_EDGE_SQL},
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM e WHERE s <> d),
+deg AS (SELECT x, CAST(count(*) AS HUGEINT) AS dg FROM
+        (SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+j AS (SELECT du.dg AS a, dv.dg AS b
+      FROM und JOIN deg du ON du.x = und.u JOIN deg dv ON dv.x = und.v),
+m AS (SELECT CAST(2 * count(*) AS HUGEINT) AS m2,
+             CAST(coalesce(sum(a + b), 0) AS HUGEINT) AS sx,
+             CAST(coalesce(sum(a * a + b * b), 0) AS HUGEINT) AS sxx,
+             CAST(coalesce(sum(2 * a * b), 0) AS HUGEINT) AS sxy
+      FROM j)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CASE WHEN m.m2 * m.sxx - m.sx * m.sx = 0 THEN NULL ELSE
+         round(CAST(m.m2 * m.sxy - m.sx * m.sx AS DOUBLE)
+               / CAST(m.m2 * m.sxx - m.sx * m.sx AS DOUBLE), 6) END
+         AS assortativity
+FROM m"""
+
+
+def domain_bfs_depth_sql(cte: str, seed: str = "src0.example.com",
+                         max_depth: int = 20) -> str:
+    """Oracle: recursive (node, k) state enumeration with UNION dedup;
+    min(k) per node == BFS depth within the hop cap."""
+    rec_cte = cte.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{rec_cte}, {_EDGE_SQL},
+ed AS (SELECT DISTINCT s, d FROM e WHERE s <> d),
+r(d, k) AS (
+  SELECT '{seed}', 0
+  UNION
+  SELECT ed.d, r.k + 1 FROM r JOIN ed ON ed.s = r.d
+  WHERE r.k < {max_depth}
+)
+SELECT d AS domain, CAST(min(k) AS BIGINT) AS depth FROM r GROUP BY 1"""

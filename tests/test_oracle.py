@@ -61,7 +61,8 @@ def _compare(name, entrymod, con):
     assert list(a.columns) == list(b.columns), f"{name}: cols {a.columns} vs {b.columns}"
     for c in a.columns:
         if a[c].dtype.kind == "f":
-            assert np.allclose(a[c].to_numpy(), b[c].to_numpy(), rtol=0, atol=0), \
+            assert np.allclose(a[c].to_numpy(), b[c].to_numpy(), rtol=0, atol=0,
+                               equal_nan=True), \
                 f"{name}: float col {c} differs"
         else:
             assert a[c].astype(str).equals(b[c].astype(str)), f"{name}: col {c} differs"
@@ -83,6 +84,8 @@ def _compare(name, entrymod, con):
                                    "grid_smooth", "morans_i", "grid_kde",
                                    "getis_ord",
                                    "domain_link_graph", "domain_pagerank",
+                                   "domain_reciprocity", "domain_assortativity",
+                                   "domain_bfs_depth",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",

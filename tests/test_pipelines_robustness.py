@@ -123,3 +123,45 @@ def test_event_cooccurrence_raises_past_mask_budget(tmp_path, ray_session):
     }), f"{d}/events.parquet")
     with _pytest.raises(ValueError, match="62-bit"):
         event_cooccurrence(d)
+
+
+def test_graph_stats_on_sparse_graph(tmp_path, ray_session):
+    """The sf corpora produce the complete K20 domain graph (assortativity
+    NULL, every BFS depth 1); a small doc_id slice makes the graph sparse
+    and irregular so reciprocity < 1, assortativity is non-NULL, and BFS
+    reaches depth >= 2 — all still gated bit-exact against the oracles."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    n = 40
+    ids = np.arange(n, dtype=np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array(["w"] * n),
+        "lang": pa.array(["en"] * n),
+        # only 4 source domains -> sparse, irregular degrees
+        "source": pa.array([f"src{i % 4}" for i in range(n)]),
+        "n_chars": pa.array([1] * n, type=pa.int64()),
+    }), f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    qs, os_ = e.queries(), e.oracle_sql()
+    for name in ("domain_reciprocity", "domain_assortativity",
+                 "domain_bfs_depth"):
+        out = qs[name](d).to_pandas()
+        ora = con.execute(os_[name]).df()
+        a = out[sorted(out.columns)].sort_values(
+            list(sorted(out.columns))).reset_index(drop=True)
+        b = ora[sorted(ora.columns)].sort_values(
+            list(sorted(ora.columns))).reset_index(drop=True)
+        assert a.astype(str).equals(b.astype(str)), name
+    rec = qs["domain_reciprocity"](d).to_pandas()
+    assert 0 < rec.loc[0, "n_reciprocal"] <= rec.loc[0, "n_edges"]
+    asr = qs["domain_assortativity"](d).to_pandas()
+    assert not np.isnan(asr.loc[0, "assortativity"])

@@ -40,6 +40,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "getis_ord",
                "domain_link_graph", "domain_pagerank", "domain_triangles",
                "domain_hits",
+               "domain_reciprocity", "domain_assortativity",
+               "domain_bfs_depth",
                "phrase_search", "profile_table",
                "source_drift_psi", "domain_gini",
                "chi2_lang_source", "zipf_slope",
