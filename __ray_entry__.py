@@ -726,6 +726,33 @@ def _q_chi2_lang_source(sf_dir: str):
 
 
 
+
+
+
+def _q_user_burstiness(sf_dir: str):
+    """Goh-Barabasi burstiness of per-user inter-event gaps: exact big-int
+    moments in one user-hash co-partition."""
+    from s2ray.pipelines.analytics import user_burstiness
+
+    return user_burstiness(sf_dir)
+
+
+def _q_source_js(sf_dir: str):
+    """Jensen-Shannon divergence between src0/src1 token distributions:
+    vocab-bounded count shuffle + order-pinned float fold."""
+    from s2ray.pipelines.text import source_js_divergence
+
+    return source_js_divergence(sf_dir)
+
+
+def _q_quadrat_dispersion(sf_dir: str):
+    """Quadrat-count variance-to-mean ratio over occupied level-8 tiles:
+    exact big-int moments in the grid-bounded final task."""
+    from s2ray.pipelines.tiles import quadrat_dispersion
+
+    return quadrat_dispersion(sf_dir, level=8)
+
+
 def _q_domain_reciprocity(sf_dir: str):
     """Edge reciprocity of the domain digraph: exact mutual-edge count
     over the vocabulary-bounded distinct edge set."""
@@ -2210,6 +2237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
+        "quadrat_dispersion": _q_quadrat_dispersion,
+        "source_js": _q_source_js,
+        "user_burstiness": _q_user_burstiness,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2403,10 +2433,12 @@ def oracle_sql() -> dict[str, str]:
                                            event_followups_sql,
                                            profile_table_sql,
                                            source_drift_psi_sql,
+                                           USER_BURSTINESS_SQL,
                                            user_rolling_sql)
     from s2ray.pipelines.join import CHEAPEST_SUPPLIER_SQL
     from s2ray.pipelines.polyline import Polyline
-    from s2ray.pipelines.text import TOKEN_EDIT_PAIRS_SQL, phrase_search_sql
+    from s2ray.pipelines.text import (TOKEN_EDIT_PAIRS_SQL, phrase_search_sql,
+                                      source_js_divergence_sql)
     from s2ray.pipelines.webgraph import (domain_assortativity_sql,
                                           domain_bfs_depth_sql,
                                           domain_hits_sql,
@@ -2420,6 +2452,20 @@ def oracle_sql() -> dict[str, str]:
         f"{cte} SELECT cell_id, cell_token, count(*) AS n_pages FROM ("
         + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
         + ") GROUP BY cell_id, cell_token"
+    )
+    # quadrat dispersion: HUGEINT moments over the same l8 encoder counts;
+    # vmr = (T*S2 - S^2)/(T*S) exact-int num/den, one CAST-then-divide
+    quadrat_dispersion_sql = (
+        f"{cte}, tc AS (SELECT CAST(count(*) AS HUGEINT) AS c FROM ("
+        + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
+        + ") GROUP BY cell_id), m AS (SELECT "
+        "CAST(count(*) AS HUGEINT) AS t, "
+        "CAST(coalesce(sum(c), 0) AS HUGEINT) AS s, "
+        "CAST(coalesce(sum(c * c), 0) AS HUGEINT) AS s2 FROM tc) "
+        "SELECT CAST(t AS BIGINT) AS n_tiles, CAST(s AS BIGINT) AS n_pages, "
+        "CASE WHEN t * s = 0 THEN NULL ELSE "
+        "round(CAST(t * s2 - s * s AS DOUBLE) / CAST(t * s AS DOUBLE), 6) "
+        "END AS vmr FROM m"
     )
     # per-tile diversity: page count + exact distinct languages per cell
     tile_diversity_sql = (
@@ -3421,6 +3467,9 @@ FROM (
         "domain_reciprocity": domain_reciprocity_sql(cte),
         "domain_assortativity": domain_assortativity_sql(cte),
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
+        "quadrat_dispersion": quadrat_dispersion_sql,
+        "source_js": source_js_divergence_sql(),
+        "user_burstiness": USER_BURSTINESS_SQL,
         "source_drift_psi": source_drift_psi_sql(),
         "domain_gini": DOMAIN_GINI_SQL,
         "chi2_lang_source": CHI2_LANG_SOURCE_SQL,

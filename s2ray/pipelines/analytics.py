@@ -3340,3 +3340,113 @@ SELECT v AS n_tokens, total AS total_occurrences,
          round((sy - ((nf * sxy - sx * sy) / (nf * sxx - sx * sx)) * sx)
                / nf, 6) END AS intercept
 FROM m"""
+
+
+def user_burstiness(sf_dir: str, n_parts: int = 64):
+    """Per-user burstiness coefficient of inter-event times — the
+    Goh-Barabasi statistic B = (sigma - mu) / (sigma + mu) over a user's
+    consecutive event gaps (B -> -1 regular/periodic, ~0 Poisson, -> +1
+    bursty), the behavioral-temporal profile next to
+    :func:`event_gaps`'s sum/min/max.  Output: (user_id, n_gaps,
+    mean_gap_us, burstiness) for users with >= 1 gap; burstiness is NULL
+    when sigma + mu == 0 (all gaps zero).
+
+    Exactness: gap moments (n, Sx, Sxx) are exact integers — Sxx runs in
+    Python big ints (object-dtype reduceat; gap_us^2 overflows int64 past
+    ~3.5 days) mirroring the oracle's HUGEINT — then the float chain is
+    evaluated in the oracle's exact op order: mu = CAST(Sx)/CAST(n),
+    var = CAST(n*Sxx - Sx^2)/CAST(n^2), sigma = sqrt(var) (IEEE
+    correctly-rounded on both engines), B = (sigma - mu)/(sigma + mu).
+    The gap multiset of a sorted timestamp list is tie-order invariant
+    (event_gaps precedent).  Same ONE-co-partition shape as event_gaps.
+    """
+    import ray.data
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(_drop_null_users(batch))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def bursts(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["user_id", "n_gaps", "mean_gap_us", "burstiness"]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "n_gaps": pd.Series(dtype=np.int64),
+                "mean_gap_us": pd.Series(dtype=np.float64),
+                "burstiness": pd.Series(dtype=np.float64),
+            })[out_cols]
+        df = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        d = np.concatenate([[0], t[1:] - t[:-1]])
+        gu, gd = uid[same], d[same]
+        if not len(gu):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "n_gaps": pd.Series(dtype=np.int64),
+                "mean_gap_us": pd.Series(dtype=np.float64),
+                "burstiness": pd.Series(dtype=np.float64),
+            })[out_cols]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(gu[1:] != gu[:-1]) + 1])
+        users = gu[starts]
+        n = np.diff(np.concatenate([starts, [len(gu)]])).astype(np.int64)
+        sx = np.add.reduceat(gd, starts).astype(np.int64)
+        # Sxx in Python big ints: gap_us^2 wraps int64 past ~3.5-day gaps
+        gd_obj = gd.astype(object)
+        sxx = np.add.reduceat(gd_obj * gd_obj, starts)
+        mean = np.empty(len(users), dtype=np.float64)
+        burst = np.empty(len(users), dtype=np.float64)
+        for i in range(len(users)):
+            ni = int(n[i])
+            sxi = int(sx[i])
+            sxxi = int(sxx[i])
+            mu = float(sxi) / float(ni)
+            var = float(ni * sxxi - sxi * sxi) / float(ni * ni)
+            sd = np.sqrt(var)
+            den = sd + mu
+            mean[i] = round_half_away(np.float64(mu), 6)
+            burst[i] = np.nan if den == 0.0 else \
+                round_half_away(np.float64((sd - mu) / den), 6)
+        return pd.DataFrame({
+            "user_id": users.astype(np.int64),
+            "n_gaps": n,
+            "mean_gap_us": mean,
+            "burstiness": burst,
+        })[out_cols]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(bursts, batch_format="pandas")
+        .map_batches(lambda b: b.select(["user_id", "n_gaps",
+                                         "mean_gap_us", "burstiness"]),
+                     batch_format="pyarrow", batch_size=None)
+    )
+
+
+USER_BURSTINESS_SQL = """
+WITH g AS (SELECT user_id,
+  CAST(epoch_us(ts) - lag(epoch_us(ts))
+       OVER (PARTITION BY user_id ORDER BY ts) AS HUGEINT) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+m AS (SELECT user_id,
+  CAST(count(d) AS HUGEINT) AS n,
+  CAST(sum(d) AS HUGEINT) AS sx,
+  CAST(sum(d * d) AS HUGEINT) AS sxx
+  FROM g WHERE d IS NOT NULL GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_us,
+  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE))
+            + CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) = 0.0 THEN NULL
+  ELSE round(
+    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE))
+     - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE))
+       + CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS burstiness
+FROM m"""

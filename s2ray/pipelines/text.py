@@ -1720,3 +1720,133 @@ def phrase_search_sql(t1: str = "data", t2: str = "line") -> str:
         "FROM documents WHERE text IS NOT NULL)"
         ") WHERE n_occ >= 1"
     )
+
+
+def source_js_divergence(sf_dir: str, src_a: str = "src0",
+                         src_b: str = "src1"):
+    """Jensen-Shannon divergence between two sources' token unigram
+    distributions — the symmetric, always-finite corpus-similarity
+    statistic (0 = identical distributions, ln 2 = disjoint support),
+    complementing the bucket-level PSI drift monitor
+    (:func:`analytics.source_drift_psi`) with a full-vocabulary
+    comparison.  ONE row (n_tokens_a, n_tokens_b, n_shared, js) where
+    n_tokens_* are distinct-token counts per source and js is NULL when
+    either source has no tokens.
+
+    Exactness: token counts flow through the vocabulary-bounded (token,
+    na, nb) shuffle (per-batch pre-aggregation); the JS fold is
+    ORDER-PINNED to ascending token with every element evaluated in the
+    oracle's exact op order — p = CAST/CAST division, m = 0.5*(p + q),
+    term = 0.5*(p*ln(p/m)) with zero-count terms exactly 0.0 — using
+    math.log (C libm, same as DuckDB ln).  At web scale the final fold
+    is vocabulary-sized, the same bound every vocab op here carries.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"]
+        sel = pc.or_(pc.equal(src, src_a), pc.equal(src, src_b))
+        sel = pc.fill_null(sel, False)
+        batch = batch.filter(sel)
+        empty = pa.table({
+            "token": pa.array([], type=pa.string()),
+            "na": pa.array([], type=pa.int64()),
+            "nb": pa.array([], type=pa.int64()),
+        })
+        if not len(batch):
+            return empty
+        texts = _string_array(batch["text"])
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=True)
+        if not len(codes):
+            return empty
+        is_a = np.asarray(pc.equal(batch["source"], src_a)
+                          .to_numpy(zero_copy_only=False))[row_idx]
+        k = len(uniques)
+        na = np.bincount(codes[is_a], minlength=k).astype(np.int64)
+        nb = np.bincount(codes[~is_a], minlength=k).astype(np.int64)
+        return pa.table({
+            "token": pa.array(uniques.tolist(), type=pa.string()),
+            "na": pa.array(na),
+            "nb": pa.array(nb),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("token").aggregate(Sum("na", alias_name="na"),
+                                       Sum("nb", alias_name="nb")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        tok = np.asarray(batch["token"].to_pylist(), dtype=object)
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(tok, kind="stable")     # ascending token
+        na, nb = na[order], nb[order]
+        ta = int(na.sum())
+        tb = int(nb.sum())
+        ka = int((na > 0).sum())
+        kb = int((nb > 0).sum())
+        ks = int(((na > 0) & (nb > 0)).sum())
+        js = None
+        if ta > 0 and tb > 0:
+            acc = 0.0
+            fta, ftb = float(ta), float(tb)
+            for a, b in zip(na.tolist(), nb.tolist()):
+                p = float(a) / fta
+                q = float(b) / ftb
+                m = 0.5 * (p + q)
+                el = 0.0
+                if a > 0:
+                    el = 0.5 * (p * math.log(p / m))
+                if b > 0:
+                    el = el + 0.5 * (q * math.log(q / m))
+                acc += el
+            js = float(round_half_away(np.float64(acc), 6))
+        return pa.table({
+            "n_tokens_a": pa.array([ka], type=pa.int64()),
+            "n_tokens_b": pa.array([kb], type=pa.int64()),
+            "n_shared": pa.array([ks], type=pa.int64()),
+            "js": pa.array([js], type=pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def source_js_divergence_sql(src_a: str = "src0",
+                             src_b: str = "src1") -> str:
+    """Oracle for :func:`source_js_divergence`: order-pinned list_reduce
+    fold ascending token, zero-count terms exactly 0.0."""
+    pa_ = "(CAST(na AS DOUBLE) / CAST(t.ta AS DOUBLE))"
+    qb_ = "(CAST(nb AS DOUBLE) / CAST(t.tb AS DOUBLE))"
+    mm_ = f"(0.5 * ({pa_} + {qb_}))"
+    el = (f"(CASE WHEN na > 0 THEN 0.5 * ({pa_} * ln({pa_} / {mm_})) "
+          f"ELSE 0.0 END + "
+          f"CASE WHEN nb > 0 THEN 0.5 * ({qb_} * ln({qb_} / {mm_})) "
+          f"ELSE 0.0 END)")
+    return rf"""
+WITH tok AS (SELECT source,
+  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '')) AS token
+  FROM documents WHERE source IN ('{src_a}', '{src_b}')),
+cnt AS (SELECT token,
+  CAST(count(*) FILTER (WHERE source = '{src_a}') AS BIGINT) AS na,
+  CAST(count(*) FILTER (WHERE source = '{src_b}') AS BIGINT) AS nb
+  FROM tok GROUP BY 1),
+tot AS (SELECT CAST(coalesce(sum(na), 0) AS BIGINT) AS ta,
+               CAST(coalesce(sum(nb), 0) AS BIGINT) AS tb,
+               CAST(count(*) FILTER (WHERE na > 0) AS BIGINT) AS ka,
+               CAST(count(*) FILTER (WHERE nb > 0) AS BIGINT) AS kb,
+               CAST(count(*) FILTER (WHERE na > 0 AND nb > 0) AS BIGINT)
+                 AS ks
+        FROM cnt),
+f AS (SELECT t.ka, t.kb, t.ks, t.ta, t.tb,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list({el} ORDER BY token)), (x, y) -> x + y) AS js
+  FROM cnt CROSS JOIN tot t GROUP BY t.ka, t.kb, t.ks, t.ta, t.tb)
+SELECT ka AS n_tokens_a, kb AS n_tokens_b, ks AS n_shared,
+       CASE WHEN ta = 0 OR tb = 0 THEN NULL ELSE round(js, 6) END AS js
+FROM f"""

@@ -640,3 +640,40 @@ def tile_growth(sf_dir: str, level: int = 6, n_parts: int = 256):
                            batch_size=None)
             .groupby("part")
             .map_groups(lag_part, batch_format="pandas"))
+
+
+def quadrat_dispersion(sf_dir: str, level: int = 8):
+    """Quadrat-count index of dispersion over the occupied level-K S2
+    tiles — the classic point-pattern statistic (variance-to-mean ratio
+    of quadrat counts: ~1 = Poisson/random, >1 = clustered, <1 =
+    regular): ONE row (n_tiles, n_pages, vmr) with population variance
+    over the OCCUPIED tiles (the standard empty-quadrat exclusion for
+    unbounded study areas; documented, mirrored in the oracle).
+
+    Exactness: vmr = var/mean = (T*S2 - S^2) / (T*S) with T = tile
+    count, S = sum of counts, S2 = sum of squared counts, all exact
+    Python big ints (HUGEINT in SQL), then ONE CAST-then-divide float
+    rounded to 6.  The fold runs in the grid-bounded final merge task
+    that tile_counts already produces (<= 6*4^K cells at level K, never
+    corpus-sized).
+    """
+    from .text import round_half_away
+
+    tc = tile_counts(sf_dir, level=level)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        c = [int(x) for x in
+             batch["n_pages"].to_numpy(zero_copy_only=False)]
+        t = len(c)
+        s = sum(c)
+        s2 = sum(x * x for x in c)
+        vmr = None if t * s == 0 else float(round_half_away(
+            np.float64(float(t * s2 - s * s) / float(t * s)), 6))
+        return pa.table({
+            "n_tiles": pa.array([t], type=pa.int64()),
+            "n_pages": pa.array([s], type=pa.int64()),
+            "vmr": pa.array([vmr], type=pa.float64()),
+        })
+
+    return tc.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                         batch_size=None)

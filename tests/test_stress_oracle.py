@@ -41,7 +41,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_link_graph", "domain_pagerank", "domain_triangles",
                "domain_hits",
                "domain_reciprocity", "domain_assortativity",
-               "domain_bfs_depth",
+               "domain_bfs_depth", "quadrat_dispersion", "source_js",
                "phrase_search", "profile_table",
                "source_drift_psi", "domain_gini",
                "chi2_lang_source", "zipf_slope",
@@ -56,7 +56,8 @@ EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "events_winsorized", "events_mad", "user_streaks",
                  "events_sliding_distinct", "user_rolling",
                  "event_transitions", "event_followups",
-                 "event_cooccurrence", "session_entry_exit"]
+                 "event_cooccurrence", "session_entry_exit",
+                 "user_burstiness"]
 
 
 def _assert_matches_oracle(qname, res, con):
