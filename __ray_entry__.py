@@ -729,6 +729,20 @@ def _q_chi2_lang_source(sf_dir: str):
 
 
 
+
+RIPLEY_RADII = (5_000.0, 10_000.0, 25_000.0)
+
+
+def _q_ripley_k(sf_dir: str):
+    """Ripley's K point-pattern statistic: one distance self-join at the
+    max radius, per-radius exact pair counts, spherical K estimator."""
+    from s2ray.pipelines.spatial_join import ripley_k
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return ripley_k(pages_with_cells(sf_dir, token_level=None),
+                    radii=RIPLEY_RADII)
+
+
 def _q_user_burstiness(sf_dir: str):
     """Goh-Barabasi burstiness of per-user inter-event gaps: exact big-int
     moments in one user-hash co-partition."""
@@ -2240,6 +2254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadrat_dispersion": _q_quadrat_dispersion,
         "source_js": _q_source_js,
         "user_burstiness": _q_user_burstiness,
+        "ripley_k": _q_ripley_k,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2907,6 +2922,23 @@ FROM ov JOIN sz USING (doc_id)"""
         f"FROM pages_geo a JOIN pages_geo b ON a.page_id < b.page_id "
         f"WHERE {dist_pair} <= {DIST_JOIN_M!r}"
     )
+    # Ripley K: per-radius counts over the SAME mm-rounded pair
+    # distances; K = 4*pi*R_km^2 * 2*np/(n*(n-1)) CAST-then-divide
+    ripley_sql = (
+        f"{cte}, pr AS (SELECT round({dist_pair}, 3) AS dm "
+        f"FROM pages_geo a JOIN pages_geo b ON a.page_id < b.page_id "
+        f"WHERE {dist_pair} <= {max(RIPLEY_RADII)!r}), "
+        f"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pages_geo), "
+        "legs AS (" + " UNION ALL ".join(
+            [f"SELECT CAST({r!r} AS DOUBLE) AS r_m, "
+             f"(SELECT CAST(count(*) AS BIGINT) FROM pr WHERE dm <= {r!r}) "
+             "AS n_pairs" for r in RIPLEY_RADII]) + ") "
+        "SELECT r_m, n_pairs, CASE WHEN nn.n * (nn.n - 1) = 0 THEN NULL "
+        "ELSE round(4.0 * pi() * 6371.0 * 6371.0 "
+        "* CAST(2 * n_pairs AS DOUBLE) "
+        "/ CAST(nn.n * (nn.n - 1) AS DOUBLE), 6) END AS k_km2 "
+        "FROM legs CROSS JOIN nn"
+    )
     # nearest-neighbor graph: per-page argmin over the same pair set;
     # ranking on the mm-ROUNDED distance + nn_id tie-break matches the
     # engine's lexsort exactly (identical doubles on both sides)
@@ -3470,6 +3502,7 @@ FROM (
         "quadrat_dispersion": quadrat_dispersion_sql,
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
+        "ripley_k": ripley_sql,
         "source_drift_psi": source_drift_psi_sql(),
         "domain_gini": DOMAIN_GINI_SQL,
         "chi2_lang_source": CHI2_LANG_SOURCE_SQL,

@@ -781,3 +781,61 @@ def knn_graph(pages_ds, d_m: float, k: int = 3, max_bucket: int = 200_000):
                               batch_size=None)
             .groupby("part")
             .map_groups(merge_topk, batch_format="pandas"))
+
+
+def ripley_k(pages_ds, radii=(5_000.0, 10_000.0, 25_000.0),
+             max_bucket: int = 200_000, n_parts: int = 64):
+    """Ripley's K function of the page point pattern — the classic
+    multi-scale spatial clustering statistic: for each radius r, the
+    pair count within r and K(r) = 4*pi*R_km^2 * 2*n_pairs / (n*(n-1))
+    (the global spherical estimator, area in km^2; K(r) >> pi*r_km^2
+    means clustering at scale r).  Output: one row per radius
+    (r_m, n_pairs, k_km2); k_km2 is NULL when n < 2.
+
+    Exactness: pair counts come from ONE distance self-join at
+    max(radii) (cell+neighbor buckets, exactly-once pair rule —
+    :func:`distance_join_pairs`), thresholded per radius on the SAME
+    mm-ROUNDED distance the join emits, so every count is an exact
+    integer; n is an exact count; the K expression is ONE
+    CAST-then-divide float chain in the oracle's op order.  Scale
+    shape: the join's shuffle is the whole cost (constant 9 rows per
+    point); the per-radius fold is a 3-int reduction.
+    """
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    rs = sorted(float(r) for r in radii)
+    n_pts = int(pages_ds.count())
+    pairs = distance_join_pairs(pages_ds, rs[-1], max_bucket=max_bucket,
+                                n_parts=n_parts)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        dm = batch["dist_m"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_m": pa.array(rs, type=pa.float64()),
+            "np_": pa.array([int((dm <= r).sum()) for r in rs],
+                            type=pa.int64()),
+        })
+
+    agg = (pairs.map_batches(counts, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby("r_m").aggregate(Sum("np_", alias_name="n_pairs")))
+
+    area_km2 = 4.0 * np.pi * 6371.0 * 6371.0
+
+    def finish(batch: pa.Table) -> pa.Table:
+        npair = batch["n_pairs"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        den = n_pts * (n_pts - 1)
+        k = [None if den == 0 else float(round_half_away(np.float64(
+                 area_km2 * float(2 * int(x)) / float(den)), 6))
+             for x in npair]
+        return pa.table({
+            "r_m": batch["r_m"],
+            "n_pairs": batch["n_pairs"],
+            "k_km2": pa.array(k, type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -41,7 +41,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_link_graph", "domain_pagerank", "domain_triangles",
                "domain_hits",
                "domain_reciprocity", "domain_assortativity",
-               "domain_bfs_depth", "quadrat_dispersion", "source_js",
+               "domain_bfs_depth", "quadrat_dispersion", "source_js", "ripley_k",
                "phrase_search", "profile_table",
                "source_drift_psi", "domain_gini",
                "chi2_lang_source", "zipf_slope",
