@@ -730,6 +730,21 @@ def _q_chi2_lang_source(sf_dir: str):
 
 
 
+
+def _q_domain_cocitation(sf_dir: str):
+    """Co-citation pair counts on the domain digraph (shared in-linkers)."""
+    from s2ray.pipelines.webgraph import domain_cocitation
+
+    return domain_cocitation(sf_dir)
+
+
+def _q_domain_coupling(sf_dir: str):
+    """Bibliographic-coupling pair counts (shared out-link targets)."""
+    from s2ray.pipelines.webgraph import domain_coupling
+
+    return domain_coupling(sf_dir)
+
+
 RIPLEY_RADII = (5_000.0, 10_000.0, 25_000.0)
 
 
@@ -2255,6 +2270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_js": _q_source_js,
         "user_burstiness": _q_user_burstiness,
         "ripley_k": _q_ripley_k,
+        "domain_cocitation": _q_domain_cocitation,
+        "domain_coupling": _q_domain_coupling,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2456,6 +2473,8 @@ def oracle_sql() -> dict[str, str]:
                                       source_js_divergence_sql)
     from s2ray.pipelines.webgraph import (domain_assortativity_sql,
                                           domain_bfs_depth_sql,
+                                          domain_cocitation_sql,
+                                          domain_coupling_sql,
                                           domain_hits_sql,
                                           domain_reciprocity_sql)
 
@@ -3500,6 +3519,8 @@ FROM (
         "domain_assortativity": domain_assortativity_sql(cte),
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,
+        "domain_cocitation": domain_cocitation_sql(cte),
+        "domain_coupling": domain_coupling_sql(cte),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

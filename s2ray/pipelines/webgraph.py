@@ -540,3 +540,73 @@ r(d, k) AS (
   WHERE r.k < {max_depth}
 )
 SELECT d AS domain, CAST(min(k) AS BIGINT) AS depth FROM r GROUP BY 1"""
+
+
+def _common_neighbor_pairs(batch: pa.Table, group_col: str,
+                           item_col: str) -> pa.Table:
+    """Shared helper for co-citation / bibliographic coupling: given the
+    distinct edge table, count for every item pair (i1 < i2) the number
+    of distinct group values that link to both.  Runs in the
+    vocabulary-bounded final task (<= vocab^2 pairs); at web scale this
+    is the standard (group -> item-pair) fan-out shuffle with hot-group
+    caps, same shape as the near-dup inverted index."""
+    from collections import defaultdict
+
+    pairs: dict = defaultdict(int)
+    if len(batch):
+        g = batch[group_col].to_pylist()
+        it = batch[item_col].to_pylist()
+        by_g: dict = defaultdict(set)
+        for a, b in zip(g, it):
+            by_g[a].add(b)
+        for items in by_g.values():
+            s = sorted(items)
+            for x in range(len(s)):
+                for y in range(x + 1, len(s)):
+                    pairs[(s[x], s[y])] += 1
+    ks = sorted(pairs)
+    return pa.table({
+        "d1": pa.array([k[0] for k in ks], type=pa.string()),
+        "d2": pa.array([k[1] for k in ks], type=pa.string()),
+        "n_common": pa.array([pairs[k] for k in ks], type=pa.int64()),
+    })
+
+
+def domain_cocitation(sf_dir: str):
+    """Co-citation counts on the domain digraph — for every target pair
+    (d1 < d2), how many distinct domains link to BOTH (Small's classic
+    similarity signal: strongly co-cited pages are topically related).
+    Output: (d1, d2, n_common), pairs with n_common >= 1 only.
+    Exact integers end-to-end; self-loops participate like any edge
+    (mirrored in the oracle's unfiltered distinct edge set)."""
+    edges = domain_link_graph(sf_dir)
+    return edges.repartition(1).map_batches(
+        lambda b: _common_neighbor_pairs(b, "src_domain", "dst_domain"),
+        batch_format="pyarrow", batch_size=None)
+
+
+def domain_coupling(sf_dir: str):
+    """Bibliographic coupling on the domain digraph — for every source
+    pair (d1 < d2), how many distinct domains BOTH link to (Kessler's
+    dual of co-citation).  Output: (d1, d2, n_common), pairs with
+    n_common >= 1 only.  Exact integers end-to-end."""
+    edges = domain_link_graph(sf_dir)
+    return edges.repartition(1).map_batches(
+        lambda b: _common_neighbor_pairs(b, "dst_domain", "src_domain"),
+        batch_format="pyarrow", batch_size=None)
+
+
+def domain_cocitation_sql(cte: str) -> str:
+    """Oracle: distinct-edge self-join on shared source, ordered pair."""
+    return f"""{cte}, {_EDGE_SQL},
+ed AS (SELECT DISTINCT s, d FROM e)
+SELECT a.d AS d1, b.d AS d2, CAST(count(*) AS BIGINT) AS n_common
+FROM ed a JOIN ed b ON a.s = b.s AND a.d < b.d GROUP BY 1, 2"""
+
+
+def domain_coupling_sql(cte: str) -> str:
+    """Oracle: distinct-edge self-join on shared target, ordered pair."""
+    return f"""{cte}, {_EDGE_SQL},
+ed AS (SELECT DISTINCT s, d FROM e)
+SELECT a.s AS d1, b.s AS d2, CAST(count(*) AS BIGINT) AS n_common
+FROM ed a JOIN ed b ON a.d = b.d AND a.s < b.s GROUP BY 1, 2"""
