@@ -731,6 +731,17 @@ def _q_chi2_lang_source(sf_dir: str):
 
 
 
+
+def _q_clark_evans(sf_dir: str):
+    """Clark-Evans CSR index: order-pinned fold over the per-page NN
+    distances from the exactly-once distance join."""
+    from s2ray.pipelines.spatial_join import clark_evans
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return clark_evans(pages_with_cells(sf_dir, token_level=None),
+                       DIST_JOIN_M)
+
+
 def _q_domain_cocitation(sf_dir: str):
     """Co-citation pair counts on the domain digraph (shared in-linkers)."""
     from s2ray.pipelines.webgraph import domain_cocitation
@@ -2272,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ripley_k": _q_ripley_k,
         "domain_cocitation": _q_domain_cocitation,
         "domain_coupling": _q_domain_coupling,
+        "clark_evans": _q_clark_evans,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2972,6 +2984,31 @@ rk AS (SELECT page_id, nn_id, dm,
               row_number() OVER (PARTITION BY page_id
                                  ORDER BY dm, nn_id) AS rn FROM sym)
 SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1"""
+    # Clark-Evans: order-pinned list_reduce over the same per-page argmin
+    # dm values; mean/expected/ce chain in the engine's exact op order
+    clark_evans_sql = f"""
+{cte},
+pr AS (SELECT a.page_id AS i, b.page_id AS j, round({dist_pair}, 3) AS dm
+       FROM pages_geo a JOIN pages_geo b ON a.page_id < b.page_id
+       WHERE {dist_pair} <= {DIST_JOIN_M!r}),
+sym AS (SELECT i AS page_id, j AS nn_id, dm FROM pr
+        UNION ALL SELECT j, i, dm FROM pr),
+rk AS (SELECT page_id, dm,
+              row_number() OVER (PARTITION BY page_id
+                                 ORDER BY dm, nn_id) AS rn FROM sym),
+nn1 AS (SELECT page_id, dm FROM rk WHERE rn = 1),
+np_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pages_geo),
+f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(dm ORDER BY page_id)), (x, y) -> x + y) AS s FROM nn1)
+SELECT np_.n AS n_points, f.k AS n_with_nn,
+  CASE WHEN f.k = 0 OR np_.n = 0 THEN NULL ELSE
+    round(f.s / CAST(f.k AS DOUBLE), 6) END AS mean_nn_m,
+  CASE WHEN f.k = 0 OR np_.n = 0 THEN NULL ELSE
+    round((f.s / CAST(f.k AS DOUBLE))
+          / (1.0 / (2.0 * sqrt(CAST(np_.n AS DOUBLE)
+             / (4.0 * pi() * 6371000.0 * 6371000.0)))), 6) END AS ce
+FROM f CROSS JOIN np_"""
     knn_graph_sql = nearest_neighbor_sql.replace(
         "SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1",
         "SELECT page_id, nn_id, CAST(rn AS BIGINT) AS rank, "
@@ -3521,6 +3558,7 @@ FROM (
         "quadrat_dispersion": quadrat_dispersion_sql,
         "domain_cocitation": domain_cocitation_sql(cte),
         "domain_coupling": domain_coupling_sql(cte),
+        "clark_evans": clark_evans_sql,
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

@@ -839,3 +839,55 @@ def ripley_k(pages_ds, radii=(5_000.0, 10_000.0, 25_000.0),
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def clark_evans(pages_ds, d_m: float, n_parts: int = 64):
+    """Clark-Evans aggregation index of the page point pattern — the
+    classic nearest-neighbor CSR test: CE = observed mean NN distance /
+    expected mean under complete spatial randomness (1 / (2*sqrt(n/A)),
+    A = the full sphere 4*pi*R^2).  CE < 1 = clustered, ~1 = random,
+    > 1 = overdispersed.  ONE row (n_points, n_with_nn, mean_nn_m, ce);
+    the observed mean runs over pages whose NN lies within ``d_m``
+    (the same bounded-search contract as :func:`nearest_neighbor_map`,
+    mirrored in the oracle); ce is NULL when no page has a neighbor.
+
+    Exactness: NN distances are the mm-rounded doubles the argmin
+    emits (hash-exact vs SQL); their sum is ORDER-PINNED to ascending
+    page_id (sequential left fold here, list_reduce over
+    list(... ORDER BY page_id) in SQL); n_points is an exact count and
+    the mean/expected/ce chain is evaluated in the oracle's exact op
+    order (incl. IEEE sqrt).
+    """
+    from .text import round_half_away
+
+    n_pts = int(pages_ds.count())
+    nn = nearest_neighbor_map(pages_ds, d_m)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        pid = batch["page_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dm = batch["dist_m"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pid, kind="stable")
+        dm = dm[order]
+        k = len(dm)
+        acc = 0.0
+        for v in dm.tolist():          # sequential fold, pinned order
+            acc += v
+        mean = None
+        ce = None
+        if k > 0 and n_pts > 0:
+            mean_v = acc / float(k)
+            area = 4.0 * np.pi * 6371000.0 * 6371000.0
+            expected = 1.0 / (2.0 * np.sqrt(float(n_pts) / area))
+            ce_v = mean_v / expected
+            mean = float(round_half_away(np.float64(mean_v), 6))
+            ce = float(round_half_away(np.float64(ce_v), 6))
+        return pa.table({
+            "n_points": pa.array([n_pts], type=pa.int64()),
+            "n_with_nn": pa.array([k], type=pa.int64()),
+            "mean_nn_m": pa.array([mean], type=pa.float64()),
+            "ce": pa.array([ce], type=pa.float64()),
+        })
+
+    return nn.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                         batch_size=None)
