@@ -732,6 +732,15 @@ def _q_chi2_lang_source(sf_dir: str):
 
 
 
+
+def _q_heaps_law(sf_dir: str):
+    """Heaps-law vocabulary growth fit at int-math doc_id checkpoints:
+    one token-first-occurrence shuffle + 10-row regression fold."""
+    from s2ray.pipelines.text import heaps_law
+
+    return heaps_law(sf_dir)
+
+
 def _q_clark_evans(sf_dir: str):
     """Clark-Evans CSR index: order-pinned fold over the per-page NN
     distances from the exactly-once distance join."""
@@ -2284,6 +2293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cocitation": _q_domain_cocitation,
         "domain_coupling": _q_domain_coupling,
         "clark_evans": _q_clark_evans,
+        "heaps_law": _q_heaps_law,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2481,7 +2491,8 @@ def oracle_sql() -> dict[str, str]:
                                            user_rolling_sql)
     from s2ray.pipelines.join import CHEAPEST_SUPPLIER_SQL
     from s2ray.pipelines.polyline import Polyline
-    from s2ray.pipelines.text import (TOKEN_EDIT_PAIRS_SQL, phrase_search_sql,
+    from s2ray.pipelines.text import (TOKEN_EDIT_PAIRS_SQL, heaps_law_sql,
+                                      phrase_search_sql,
                                       source_js_divergence_sql)
     from s2ray.pipelines.webgraph import (domain_assortativity_sql,
                                           domain_bfs_depth_sql,
@@ -3559,6 +3570,7 @@ FROM (
         "domain_cocitation": domain_cocitation_sql(cte),
         "domain_coupling": domain_coupling_sql(cte),
         "clark_evans": clark_evans_sql,
+        "heaps_law": heaps_law_sql(),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

@@ -1850,3 +1850,177 @@ f AS (SELECT t.ka, t.kb, t.ks, t.ta, t.tb,
 SELECT ka AS n_tokens_a, kb AS n_tokens_b, ks AS n_shared,
        CASE WHEN ta = 0 OR tb = 0 THEN NULL ELSE round(js, 6) END AS js
 FROM f"""
+
+
+def heaps_law(sf_dir: str, n_checkpoints: int = 10):
+    """Heaps'-law fit of vocabulary growth — V(N) ~ K * N^beta over the
+    corpus processed in ascending doc_id order: the companion statistic
+    to :func:`analytics.zipf_slope` (natural text sits near beta ~ 0.5).
+    ONE row (total_tokens, vocab_size, beta, k_coef) from a least-squares
+    fit of ln(V_k) on ln(N_k) at ``n_checkpoints`` doc_id-range
+    checkpoints t_k = dmin + ((dmax - dmin) * k) // n (pure int math,
+    deterministic and rank-free — no quantile pass needed); checkpoints
+    with N_k = 0 or V_k = 0 are excluded from the fit on both engines.
+    beta/k_coef are NULL when fewer than 2 usable checkpoints or zero
+    variance in ln(N).
+
+    Scale shape: cumulative totals come from TWO vocabulary/checkpoint-
+    bounded reductions — per-token first-occurrence doc (Min groupby on
+    the token shuffle, the ngram_novelty core) bucketed by checkpoint,
+    and per-batch token counts bucketed by doc checkpoint — then a
+    10-row final fold.  Exactness: bucket assignment is the identical
+    integer comparison sum on both engines; the regression moments are
+    ORDER-PINNED sequential folds ascending checkpoint with math.log /
+    libm parity (zipf_slope precedent).
+    """
+    import math
+
+    from ray.data.aggregate import Min, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # checkpoint thresholds from exact int min/max of doc_id (one cheap
+    # column-pruned aggregate pass; the corpus pass below is separate
+    # because the thresholds parameterize its batch function)
+    from ray.data.aggregate import Max as _Max, Min as _Min
+    stats = ds.map_batches(
+        lambda b: pa.table({"d": b["doc_id"]}),
+        batch_format="pyarrow", batch_size=None) \
+        .aggregate(_Min("d"), _Max("d"))
+    dmin = int(stats["min(d)"]) if stats["min(d)"] is not None else 0
+    dmax = int(stats["max(d)"]) if stats["max(d)"] is not None else 0
+    nck = n_checkpoints
+    thr = [dmin + ((dmax - dmin) * k) // nck for k in range(1, nck + 1)]
+    thr_arr = np.array(thr, dtype=np.int64)
+
+    def bucket_of(doc: np.ndarray) -> np.ndarray:
+        # smallest k with doc <= t_k, as the SQL-mirrorable comparison sum
+        b = np.zeros(len(doc), dtype=np.int64)
+        for t in thr[:-1]:
+            b += (doc > t)
+        return b
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch["text"])
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        row_idx, codes, uniques, n_tok, _ = _token_codes(texts, lower=True)
+        # per-token min doc in this batch
+        first = np.full(len(uniques), np.iinfo(np.int64).max,
+                        dtype=np.int64)
+        np.minimum.at(first, codes, doc[row_idx])
+        # per-checkpoint token counts in this batch
+        bk = bucket_of(doc)
+        cnt = np.zeros(nck, dtype=np.int64)
+        np.add.at(cnt, bk, n_tok)
+        t1 = pa.table({
+            "token": pa.array(uniques.tolist(), type=pa.string()),
+            "fdoc": pa.array(first),
+            "b": pa.array(np.full(len(uniques), -1, dtype=np.int64)),
+            "nt": pa.array(np.zeros(len(uniques), dtype=np.int64)),
+        })
+        t2 = pa.table({
+            "token": pa.array([f"\x00ck{k}" for k in range(nck)],
+                              type=pa.string()),
+            "fdoc": pa.array(np.zeros(nck, dtype=np.int64)),
+            "b": pa.array(np.arange(nck, dtype=np.int64)),
+            "nt": pa.array(cnt),
+        })
+        return pa.concat_tables([t1, t2])
+
+    # one shuffle: token rows (b = -1) reduce by Min(fdoc); checkpoint
+    # rows (reserved \x00-prefixed keys, disjoint from real tokens which
+    # never contain NUL) reduce by Sum(nt)
+    agg = (ds.map_batches(tok_partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby(["b", "token"])
+           .aggregate(Min("fdoc", alias_name="fdoc"),
+                      Sum("nt", alias_name="nt")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fdoc = batch["fdoc"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nt = batch["nt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_rows = b < 0
+        vb = np.zeros(nck, dtype=np.int64)
+        if tok_rows.any():
+            np.add.at(vb, bucket_of(fdoc[tok_rows]), 1)
+        nb = np.zeros(nck, dtype=np.int64)
+        ck = ~tok_rows
+        np.add.at(nb, b[ck], nt[ck])
+        v_cum = np.cumsum(vb)
+        n_cum = np.cumsum(nb)
+        total = int(n_cum[-1]) if nck else 0
+        vocab = int(v_cum[-1]) if nck else 0
+        use = [(int(n_cum[k]), int(v_cum[k])) for k in range(nck)
+               if n_cum[k] > 0 and v_cum[k] > 0]
+        beta = kc = None
+        if len(use) >= 2:
+            sx = sy = sxx = sxy = 0.0
+            for nk, vk in use:                 # ascending checkpoint
+                x = math.log(float(nk))
+                y = math.log(float(vk))
+                sx += x
+                sy += y
+                sxx += x * x
+                sxy += x * y
+            m = float(len(use))
+            den = m * sxx - sx * sx
+            if den != 0.0:
+                sl = (m * sxy - sx * sy) / den
+                beta = float(round_half_away(np.float64(sl), 6))
+                kc = float(round_half_away(np.float64(
+                    math.exp((sy - sl * sx) / m)), 6))
+        return pa.table({
+            "total_tokens": pa.array([total], type=pa.int64()),
+            "vocab_size": pa.array([vocab], type=pa.int64()),
+            "beta": pa.array([beta], type=pa.float64()),
+            "k_coef": pa.array([kc], type=pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def heaps_law_sql(n_checkpoints: int = 10) -> str:
+    """Oracle for :func:`heaps_law`: cumulative token/vocab counts at the
+    same int-math checkpoints, order-pinned regression fold ascending k;
+    the slope expression is inlined twice (beta and k_coef) exactly as
+    the engine evaluates it."""
+    n = n_checkpoints
+    sl = "((mf * sxy - sx * sy) / (mf * sxx - sx * sx))"
+    return rf"""
+WITH mm AS (SELECT CAST(min(doc_id) AS BIGINT) AS dmin,
+                   CAST(max(doc_id) AS BIGINT) AS dmax FROM documents),
+thr AS (SELECT CAST(r.k AS BIGINT) AS k,
+               dmin + ((dmax - dmin) * r.k) // {n} AS t
+        FROM mm CROSS JOIN range(1, {n + 1}) r(k)),
+tok AS (SELECT doc_id,
+  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '')) AS token FROM documents),
+fo AS (SELECT token, min(doc_id) AS fdoc FROM tok GROUP BY 1),
+ck AS (SELECT k, t,
+  (SELECT CAST(count(*) AS BIGINT) FROM tok WHERE doc_id <= t) AS nk,
+  (SELECT CAST(count(*) AS BIGINT) FROM fo WHERE fdoc <= t) AS vk
+  FROM thr),
+u AS (SELECT k, ln(CAST(nk AS DOUBLE)) AS x, ln(CAST(vk AS DOUBLE)) AS y
+      FROM ck WHERE nk > 0 AND vk > 0),
+m AS (SELECT CAST(count(*) AS BIGINT) AS mu,
+             CAST(count(*) AS DOUBLE) AS mf,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY k)),
+              (a, b) -> a + b) AS sx,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(y ORDER BY k)),
+              (a, b) -> a + b) AS sy,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x * x ORDER BY k)),
+              (a, b) -> a + b) AS sxx,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x * y ORDER BY k)),
+              (a, b) -> a + b) AS sxy
+  FROM u)
+SELECT (SELECT nk FROM ck WHERE k = {n}) AS total_tokens,
+       (SELECT vk FROM ck WHERE k = {n}) AS vocab_size,
+       CASE WHEN mu < 2 OR mf * sxx - sx * sx = 0.0 THEN NULL ELSE
+         round({sl}, 6) END AS beta,
+       CASE WHEN mu < 2 OR mf * sxx - sx * sx = 0.0 THEN NULL ELSE
+         round(exp((sy - {sl} * sx) / mf), 6) END AS k_coef
+FROM m"""

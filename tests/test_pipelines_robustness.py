@@ -165,3 +165,42 @@ def test_graph_stats_on_sparse_graph(tmp_path, ray_session):
     assert 0 < rec.loc[0, "n_reciprocal"] <= rec.loc[0, "n_edges"]
     asr = qs["domain_assortativity"](d).to_pandas()
     assert not np.isnan(asr.loc[0, "assortativity"])
+
+
+def test_heaps_law_on_growing_vocabulary(tmp_path, ray_session):
+    """The sf corpora saturate their 31-token vocabulary in the first
+    checkpoint (beta == 0); a corpus whose docs introduce fresh tokens
+    over doc_id order exercises a non-degenerate sublinear fit, still
+    bit-exact against the oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    n = 200
+    rng = []
+    for i in range(n):
+        # doc i speaks tokens from a prefix alphabet that grows ~sqrt(i)
+        kmax = max(1, int((i + 1) ** 0.5) * 3)
+        words = [f"w{(i * 7 + j * 13) % kmax}" for j in range(20)]
+        rng.append(" ".join(words))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array(rng),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array([len(t) for t in rng], type=pa.int64()),
+    }), f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    out = e.queries()["heaps_law"](d).to_pandas()
+    ora = con.execute(e.oracle_sql()["heaps_law"]).df()
+    cols = sorted(out.columns)
+    for c in cols:
+        a, b = np.asarray(out[c]), np.asarray(ora[c])
+        assert np.array_equal(a, b, equal_nan=(a.dtype.kind == "f")), c
+    assert 0.1 < out.loc[0, "beta"] < 1.0
