@@ -733,6 +733,15 @@ def _q_chi2_lang_source(sf_dir: str):
 
 
 
+
+def _q_event_type_trend(sf_dir: str):
+    """Per-type daily OLS trend slope with closed-form x-moments: one
+    vocabulary-bounded moment shuffle."""
+    from s2ray.pipelines.analytics import event_type_trend
+
+    return event_type_trend(sf_dir)
+
+
 def _q_heaps_law(sf_dir: str):
     """Heaps-law vocabulary growth fit at int-math doc_id checkpoints:
     one token-first-occurrence shuffle + 10-row regression fold."""
@@ -2294,6 +2303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_coupling": _q_domain_coupling,
         "clark_evans": _q_clark_evans,
         "heaps_law": _q_heaps_law,
+        "event_type_trend": _q_event_type_trend,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2482,6 +2492,7 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.analytics import (CHI2_LANG_SOURCE_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
+                                           EVENT_TYPE_TREND_SQL,
                                            SESSION_ENTRY_EXIT_SQL,
                                            zipf_slope_sql,
                                            event_followups_sql,
@@ -3571,6 +3582,7 @@ FROM (
         "domain_coupling": domain_coupling_sql(cte),
         "clark_evans": clark_evans_sql,
         "heaps_law": heaps_law_sql(),
+        "event_type_trend": EVENT_TYPE_TREND_SQL,
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

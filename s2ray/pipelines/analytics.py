@@ -3450,3 +3450,126 @@ SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE))
        + CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS burstiness
 FROM m"""
+
+
+def event_type_trend(sf_dir: str):
+    """Per-event-type daily trend — the OLS slope of daily event counts
+    over the corpus's full day range (zero days included), the standard
+    'which activity is growing/shrinking' monitor.  Output: one row per
+    type (event_type, n_days, n_events, slope) with slope in
+    events/day; NULL slope when the range is a single day.
+
+    Exactness: with x = day index over the FULL range [dmin, dmax], the
+    x-moments are closed forms (Sx = m(m-1)/2, Sxx = (m-1)m(2m-1)/6) and
+    zero-count days contribute nothing to Sy = n or
+    Sxy = sum(day*cnt) - dmin*n — so ONE vocabulary-bounded shuffle
+    (per-type Sum n / Sum day-weighted n / Min / Max day) yields every
+    moment exactly in Python big ints (HUGEINT in SQL), then one
+    CAST-then-divide float per type.  Day = epoch_us // 86400000000
+    (the events_weekday_hour convention; assumes ts >= 1970 — numpy
+    floor-div vs SQL truncation diverge on negative epochs).  NULL
+    ts / NULL type rows drop on both engines.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(_drop_null_users(batch, "event_type"))
+        empty = pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "sd": pa.array([], type=pa.int64()),
+            "dn": pa.array([], type=pa.int64()),
+            "dx": pa.array([], type=pa.int64()),
+        })
+        if not len(batch):
+            return empty
+        t = batch["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        day = t // 86400000000
+        et = batch["event_type"].dictionary_encode().combine_chunks()
+        codes = np.asarray(et.indices, dtype=np.int64)
+        vocab = et.dictionary.to_pylist()
+        k = len(vocab)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        sd = np.zeros(k, dtype=np.int64)
+        np.add.at(sd, codes, day)
+        dmin = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        dmax = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(dmin, codes, day)
+        np.maximum.at(dmax, codes, day)
+        return pa.table({
+            "event_type": pa.array(vocab, type=pa.string()),
+            "n": pa.array(n),
+            "sd": pa.array(sd),
+            "dn": pa.array(dmin),
+            "dx": pa.array(dmax),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sd", alias_name="sd"),
+                      Min("dn", alias_name="dn"),
+                      Max("dx", alias_name="dx")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "n_days": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "slope": pa.array([], type=pa.float64()),
+        })
+        if not len(batch):
+            return empty
+        et = batch["event_type"].to_pylist()
+        n = [int(x) for x in
+             batch["n"].to_numpy(zero_copy_only=False)]
+        sd = [int(x) for x in
+              batch["sd"].to_numpy(zero_copy_only=False)]
+        dmin = min(int(x) for x in
+                   batch["dn"].to_numpy(zero_copy_only=False))
+        dmax = max(int(x) for x in
+                   batch["dx"].to_numpy(zero_copy_only=False))
+        m = dmax - dmin + 1
+        sx = m * (m - 1) // 2
+        sxx = (m - 1) * m * (2 * m - 1) // 6
+        den = m * sxx - sx * sx
+        slopes = []
+        for ni, sdi in zip(n, sd):
+            sxy = sdi - dmin * ni
+            slopes.append(None if den == 0 else float(round_half_away(
+                np.float64(float(m * sxy - sx * ni) / float(den)), 9)))
+        return pa.table({
+            "event_type": pa.array(et, type=pa.string()),
+            "n_days": pa.array([m] * len(et), type=pa.int64()),
+            "n_events": pa.array(n, type=pa.int64()),
+            "slope": pa.array(slopes, type=pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+EVENT_TYPE_TREND_SQL = """
+WITH ev AS (SELECT event_type,
+  CAST(epoch_us(ts) // 86400000000 AS HUGEINT) AS d
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(d) AS HUGEINT) AS sd FROM ev GROUP BY 1),
+mm AS (SELECT CAST(min(d) AS HUGEINT) AS dmin,
+              CAST(max(d) AS HUGEINT) AS dmax,
+              CAST(max(d) - min(d) + 1 AS HUGEINT) AS m FROM ev),
+c AS (SELECT m, dmin, m * (m - 1) // 2 AS sx,
+             (m - 1) * m * (2 * m - 1) // 6 AS sxx FROM mm)
+SELECT g.event_type, CAST(c.m AS BIGINT) AS n_days,
+       CAST(g.n AS BIGINT) AS n_events,
+       CASE WHEN c.m * c.sxx - c.sx * c.sx = 0 THEN NULL ELSE
+         round(CAST(c.m * (g.sd - c.dmin * g.n) - c.sx * g.n AS DOUBLE)
+               / CAST(c.m * c.sxx - c.sx * c.sx AS DOUBLE), 9) END
+         AS slope
+FROM g CROSS JOIN c"""

@@ -59,7 +59,7 @@ EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "events_sliding_distinct", "user_rolling",
                  "event_transitions", "event_followups",
                  "event_cooccurrence", "session_entry_exit",
-                 "user_burstiness"]
+                 "user_burstiness", "event_type_trend"]
 
 
 def _assert_matches_oracle(qname, res, con):
