@@ -734,6 +734,14 @@ def _q_chi2_lang_source(sf_dir: str):
 
 
 
+
+def _q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise source vocabulary Jaccard via per-token source bitmasks."""
+    from s2ray.pipelines.text import source_vocab_jaccard
+
+    return source_vocab_jaccard(sf_dir)
+
+
 def _q_event_type_trend(sf_dir: str):
     """Per-type daily OLS trend slope with closed-form x-moments: one
     vocabulary-bounded moment shuffle."""
@@ -2233,7 +2241,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     they keep r02 driver rows + the in-suite gate).
     Everything r03-driver-green yields its slot and stays hash-gated
     in-suite (tests/test_oracle.py).  The remaining oracled queries
-    follow, and the inherently non-SQL queries close the dict."""
+    follow, and the inherently non-SQL queries close the dict.
+
+    Round-5 rotation candidates (oracled late in round 4, after this
+    window was seated; in-suite hash-green, never driver-verified):
+    domain_reciprocity, domain_assortativity, domain_bfs_depth,
+    quadrat_dispersion, source_js, user_burstiness, ripley_k,
+    domain_cocitation, domain_coupling, clark_evans, heaps_law,
+    event_type_trend — these should lead the r5 window under the same
+    never-verified-first rule."""
     return {
         # ---- driver window (50): every entry SQL-oracled ----
         # never driver-verified (added after the r03 window filled)
@@ -2304,6 +2320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clark_evans": _q_clark_evans,
         "heaps_law": _q_heaps_law,
         "event_type_trend": _q_event_type_trend,
+        "source_vocab_jaccard": _q_source_vocab_jaccard,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2502,7 +2519,8 @@ def oracle_sql() -> dict[str, str]:
                                            user_rolling_sql)
     from s2ray.pipelines.join import CHEAPEST_SUPPLIER_SQL
     from s2ray.pipelines.polyline import Polyline
-    from s2ray.pipelines.text import (TOKEN_EDIT_PAIRS_SQL, heaps_law_sql,
+    from s2ray.pipelines.text import (SOURCE_VOCAB_JACCARD_SQL,
+                                      TOKEN_EDIT_PAIRS_SQL, heaps_law_sql,
                                       phrase_search_sql,
                                       source_js_divergence_sql)
     from s2ray.pipelines.webgraph import (domain_assortativity_sql,
@@ -3583,6 +3601,7 @@ FROM (
         "clark_evans": clark_evans_sql,
         "heaps_law": heaps_law_sql(),
         "event_type_trend": EVENT_TYPE_TREND_SQL,
+        "source_vocab_jaccard": SOURCE_VOCAB_JACCARD_SQL,
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

@@ -2024,3 +2024,119 @@ SELECT (SELECT nk FROM ck WHERE k = {n}) AS total_tokens,
        CASE WHEN mu < 2 OR mf * sxx - sx * sx = 0.0 THEN NULL ELSE
          round(exp((sy - {sl} * sx) / mf), 6) END AS k_coef
 FROM m"""
+
+
+def source_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary overlap between sources — the corpus-similarity
+    matrix: for every source pair (a < b), the exact Jaccard of their
+    distinct-token sets (n_shared / (|A| + |B| - n_shared)).  Output:
+    (src_a, src_b, n_shared, jaccard), pairs with n_shared >= 1 only.
+
+    Scale shape: the event_cooccurrence bitmask pattern on the token
+    axis — ONE distinct (token, source) shuffle collapses to per-token
+    source bitmasks (source vocabulary capped at 62, the int64 mask
+    budget; raising beats corrupting), whose histogram is at most
+    min(#distinct masks, vocab) rows; per-source set sizes and all
+    pairwise intersections then come from the mask histogram in one
+    bounded final task with exact integers.  The single float division
+    per pair runs in the oracle's CAST-then-divide order.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    src_ds = (ds.select_columns(["source"])
+              .map_batches(lambda b: b.filter(
+                  pc.is_valid(b["source"])),
+                  batch_format="pyarrow", batch_size=None)
+              .groupby("source").aggregate(Count()))
+    sources = sorted(r["source"] for r in src_ds.take_all())
+    k = len(sources)
+    if k > 62:
+        raise ValueError(
+            f"source_vocab_jaccard: {k} sources exceed the 62-bit int64 "
+            "mask budget; route the distinct (token, source) table "
+            "through the generic pair self-join instead")
+    sarr = np.array(sources, dtype=object)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "token": pa.array([], type=pa.string()),
+            "bit": pa.array([], type=pa.int64()),
+        })
+        batch = batch.filter(pc.is_valid(batch["source"]))
+        if not len(batch):
+            return empty
+        texts = _string_array(batch["text"])
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=True)
+        if not len(codes):
+            return empty
+        sidx = np.searchsorted(sarr, np.asarray(
+            batch["source"].to_pylist(), dtype=object))[row_idx]
+        packed = codes * k + sidx
+        u = np.unique(packed)
+        return pa.table({
+            "token": pa.array(uniques[(u // k)].tolist(),
+                              type=pa.string()),
+            "bit": pa.array((np.int64(1) << (u % k)).astype(np.int64)),
+        })
+
+    masks = (ds.map_batches(pair_partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby(["token", "bit"]).aggregate(Count())
+             .groupby("token").aggregate(Sum("bit", alias_name="mask")))
+
+    def mask_hist(batch: pa.Table) -> pa.Table:
+        m = batch["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(m, return_counts=True)
+        return pa.table({"mask": pa.array(u),
+                         "mn": pa.array(c.astype(np.int64))})
+
+    hist = (masks.map_batches(mask_hist, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("mask").aggregate(Sum("mn", alias_name="n")))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        m = batch["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        has = [((m >> a) & 1).astype(bool) for a in range(k)]
+        size = [int(n[has[a]].sum()) for a in range(k)]
+        rows_a, rows_b, rows_i, rows_j = [], [], [], []
+        for a in range(k):
+            for b in range(a + 1, k):
+                inter = int(n[has[a] & has[b]].sum())
+                if inter == 0:
+                    continue
+                union = size[a] + size[b] - inter
+                rows_a.append(sources[a])
+                rows_b.append(sources[b])
+                rows_i.append(inter)
+                rows_j.append(float(round_half_away(np.float64(
+                    float(inter) / float(union)), 6)))
+        return pa.table({
+            "src_a": pa.array(rows_a, type=pa.string()),
+            "src_b": pa.array(rows_b, type=pa.string()),
+            "n_shared": pa.array(rows_i, type=pa.int64()),
+            "jaccard": pa.array(rows_j, type=pa.float64()),
+        })
+
+    return hist.repartition(1).map_batches(pairs, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+SOURCE_VOCAB_JACCARD_SQL = r"""
+WITH tok AS (SELECT source,
+  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '')) AS token
+  FROM documents WHERE source IS NOT NULL),
+ts AS (SELECT DISTINCT token, source FROM tok),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM ts GROUP BY 1),
+inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM ts a JOIN ts b ON a.token = b.token AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, i.n_shared,
+       round(CAST(i.n_shared AS DOUBLE)
+             / CAST(pa.sz + pb.sz - i.n_shared AS DOUBLE), 6) AS jaccard
+FROM inter i JOIN per pa ON pa.source = i.src_a
+JOIN per pb ON pb.source = i.src_b"""

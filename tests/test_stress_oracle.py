@@ -43,7 +43,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_reciprocity", "domain_assortativity",
                "domain_bfs_depth", "quadrat_dispersion", "source_js", "ripley_k",
                "domain_cocitation", "domain_coupling", "clark_evans",
-               "heaps_law",
+               "heaps_law", "source_vocab_jaccard",
                "phrase_search", "profile_table",
                "source_drift_psi", "domain_gini",
                "chi2_lang_source", "zipf_slope",
