@@ -735,6 +735,15 @@ def _q_chi2_lang_source(sf_dir: str):
 
 
 
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 unshipped BUILDING orders by integer-exact
+    revenue; broadcast or double co-partition dimension plan."""
+    from s2ray.pipelines.join import shipping_priority
+
+    return shipping_priority(sf_dir)
+
+
 def _q_source_vocab_jaccard(sf_dir: str):
     """Pairwise source vocabulary Jaccard via per-token source bitmasks."""
     from s2ray.pipelines.text import source_vocab_jaccard
@@ -2248,7 +2257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     domain_reciprocity, domain_assortativity, domain_bfs_depth,
     quadrat_dispersion, source_js, user_burstiness, ripley_k,
     domain_cocitation, domain_coupling, clark_evans, heaps_law,
-    event_type_trend — these should lead the r5 window under the same
+    event_type_trend, source_vocab_jaccard, shipping_priority — these should lead the r5 window under the same
     never-verified-first rule."""
     return {
         # ---- driver window (50): every entry SQL-oracled ----
@@ -2321,6 +2330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law": _q_heaps_law,
         "event_type_trend": _q_event_type_trend,
         "source_vocab_jaccard": _q_source_vocab_jaccard,
+        "shipping_priority": _q_shipping_priority,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2517,7 +2527,8 @@ def oracle_sql() -> dict[str, str]:
                                            source_drift_psi_sql,
                                            USER_BURSTINESS_SQL,
                                            user_rolling_sql)
-    from s2ray.pipelines.join import CHEAPEST_SUPPLIER_SQL
+    from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
+                                       shipping_priority_sql)
     from s2ray.pipelines.polyline import Polyline
     from s2ray.pipelines.text import (SOURCE_VOCAB_JACCARD_SQL,
                                       TOKEN_EDIT_PAIRS_SQL, heaps_law_sql,
@@ -3602,6 +3613,7 @@ FROM (
         "heaps_law": heaps_law_sql(),
         "event_type_trend": EVENT_TYPE_TREND_SQL,
         "source_vocab_jaccard": SOURCE_VOCAB_JACCARD_SQL,
+        "shipping_priority": shipping_priority_sql(),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

@@ -613,3 +613,165 @@ FROM m
 JOIN lineitem l ON l.l_partkey = m.l_partkey
                AND l.l_extendedprice = m.min_price
 JOIN supplier s ON s.s_suppkey = l.l_suppkey"""
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", k: int = 10,
+                      n_parts: int = 64,
+                      broadcast_threshold_bytes: int = 64 * 1024 * 1024):
+    """TPC-H Q3 shape (shipping priority): top-``k`` unshipped orders of a
+    market segment by integer-exact revenue — (l_orderkey,
+    revenue_microcents, o_orderdate, o_orderpriority), ranked
+    (revenue DESC, l_orderkey ASC) so the cut is deterministic under
+    ties.  (o_orderpriority stands in for the reference schema's
+    o_shippriority, which the synth does not carry.)
+
+    Revenue uses the Q5 integer-domain rule — round(p*100) *
+    round((1-d)*100) summed in int64 — so distributed partial order
+    never touches the result.  Plan, sized for the TPC-H ratios:
+    lineitem (the fact) is date-filtered and PRE-AGGREGATED per
+    l_orderkey inside each batch before anything moves; the dimension
+    side (segment customers -> date-filtered orders) either broadcasts
+    (both dims below ``broadcast_threshold_bytes``) or runs as two
+    co-partition joins (semi on custkey, inner on orderkey) — the
+    honest path at full scale.  Top-k = per-block local top-k, then one
+    k-row final merge (never a global sort).
+    """
+    import os as _os
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    cut = np.datetime64(cutoff)
+    cut_us = cut.astype("datetime64[us]").astype(np.int64)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = sd > cut_us
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        ext = batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "o_orderkey": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=None)
+
+    dim_bytes = (_os.path.getsize(f"{sf_dir}/customer.parquet")
+                 + _os.path.getsize(f"{sf_dir}/orders.parquet"))
+
+    def orders_cast(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = od < cut_us
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64())
+                .filter(pa.array(keep)),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64())
+                .filter(pa.array(keep)),
+            "odate_us": pa.array(od[keep], type=pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"]
+                .filter(pa.array(keep)),
+        })
+
+    if dim_bytes <= broadcast_threshold_bytes:
+        import pyarrow.parquet as pq
+
+        ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+        keys = np.sort(pc.cast(
+            ct.filter(pc.equal(ct["c_mktsegment"], segment))["c_custkey"],
+            pa.int64()).to_numpy(zero_copy_only=False))
+        ot = orders_cast(pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"]))
+        ck = ot["o_custkey"].to_numpy(zero_copy_only=False)
+        ot = ot.filter(pa.array(_sorted_membership(keys, ck))) \
+            .drop_columns(["o_custkey"])
+        j = broadcast_hash_join(li_agg, ot, on="o_orderkey", how="inner")
+    else:
+        cust = (read_table(sf_dir, "customer",
+                           columns=["c_custkey", "c_mktsegment"])
+                .map_batches(lambda b: pa.table({
+                    "c_custkey": pc.cast(b.filter(pc.equal(
+                        b["c_mktsegment"], segment))["c_custkey"],
+                        pa.int64())}),
+                    batch_format="pyarrow", batch_size=None))
+        orders = (read_table(sf_dir, "orders",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+                  .map_batches(orders_cast, batch_format="pyarrow",
+                               batch_size=None))
+        orders_f = copartition_hash_join(
+            orders, cust, on="o_custkey", right_on="c_custkey",
+            n_parts=n_parts, how="semi").drop_columns(["o_custkey"])
+        j = copartition_hash_join(li_agg, orders_f, on="o_orderkey",
+                                  n_parts=n_parts, how="inner")
+
+    agg = (j.groupby(["o_orderkey", "odate_us", "o_orderpriority"])
+           .aggregate(Sum("rev", alias_name="revenue_microcents")))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        rev = batch["revenue_microcents"] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((okey, -rev))[:k]
+        return batch.take(pa.array(order))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["o_orderkey"],
+            "revenue_microcents": batch["revenue_microcents"],
+            "o_orderdate": pa.array(
+                batch["odate_us"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    return (agg.map_batches(topk, batch_format="pyarrow",
+                            batch_size=None)
+            .repartition(1)
+            .map_batches(topk, batch_format="pyarrow", batch_size=None)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def shipping_priority_sql(segment: str = "BUILDING",
+                          cutoff: str = "1998-06-01",
+                          k: int = 10) -> str:
+    """Oracle for :func:`shipping_priority` — the Q3 join with the Q5
+    integer revenue rule and the deterministic (rev DESC, key) cut."""
+    return f"""
+SELECT l.l_orderkey AS l_orderkey,
+  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT))
+       AS BIGINT) AS revenue_microcents,
+  o.o_orderdate, o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{segment}'
+  AND o.o_orderdate < TIMESTAMP '{cutoff}'
+  AND l.l_shipdate > TIMESTAMP '{cutoff}'
+GROUP BY 1, 3, 4
+ORDER BY revenue_microcents DESC, l_orderkey
+LIMIT {k}"""

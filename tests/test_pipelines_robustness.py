@@ -204,3 +204,18 @@ def test_heaps_law_on_growing_vocabulary(tmp_path, ray_session):
         a, b = np.asarray(out[c]), np.asarray(ora[c])
         assert np.array_equal(a, b, equal_nan=(a.dtype.kind == "f")), c
     assert 0.1 < out.loc[0, "beta"] < 1.0
+
+
+def test_shipping_priority_plans_agree(ray_session):
+    """The Q3 broadcast plan and the double co-partition scale plan must
+    produce the identical top-10 (forced by broadcast_threshold_bytes=0)."""
+    from s2ray.pipelines.join import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    a = shipping_priority(sf).to_pandas()
+    b = shipping_priority(sf, broadcast_threshold_bytes=0).to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype(str).equals(b.astype(str))
+    assert len(a) == 10
