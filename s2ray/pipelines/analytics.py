@@ -3401,7 +3401,7 @@ def user_burstiness(sf_dir: str, n_parts: int = 64):
         gd_obj = gd.astype(object)
         sxx = np.add.reduceat(gd_obj * gd_obj, starts)
         mean = np.empty(len(users), dtype=np.float64)
-        burst = np.empty(len(users), dtype=np.float64)
+        burst = []
         for i in range(len(users)):
             ni = int(n[i])
             sxi = int(sx[i])
@@ -3411,13 +3411,14 @@ def user_burstiness(sf_dir: str, n_parts: int = 64):
             sd = np.sqrt(var)
             den = sd + mu
             mean[i] = round_half_away(np.float64(mu), 6)
-            burst[i] = np.nan if den == 0.0 else \
-                round_half_away(np.float64((sd - mu) / den), 6)
+            # a real Arrow NULL, not a non-null NaN (SQL NULL parity)
+            burst.append(None if den == 0.0 else float(
+                round_half_away(np.float64((sd - mu) / den), 6)))
         return pd.DataFrame({
             "user_id": users.astype(np.int64),
             "n_gaps": n,
             "mean_gap_us": mean,
-            "burstiness": burst,
+            "burstiness": pd.array(burst, dtype="Float64"),
         })[out_cols]
 
     return (
@@ -3463,7 +3464,8 @@ def event_type_trend(sf_dir: str):
     x-moments are closed forms (Sx = m(m-1)/2, Sxx = (m-1)m(2m-1)/6) and
     zero-count days contribute nothing to Sy = n or
     Sxy = sum(day*cnt) - dmin*n — so ONE vocabulary-bounded shuffle
-    (per-type Sum n / Sum day-weighted n / Min / Max day) yields every
+    (per-type Sum n / hi-lo-split Sum of the day-weighted moment — the
+    corr_by_group wrap-free convention — / Min / Max day) yields every
     moment exactly in Python big ints (HUGEINT in SQL), then one
     CAST-then-divide float per type.  Day = epoch_us // 86400000000
     (the events_weekday_hour convention; assumes ts >= 1970 — numpy
@@ -3501,10 +3503,14 @@ def event_type_trend(sf_dir: str):
         dmax = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
         np.minimum.at(dmin, codes, day)
         np.maximum.at(dmax, codes, day)
+        # cross-batch hi/lo split (corr_by_group convention): the Ray
+        # Sum of raw per-batch sd would wrap int64 near 4.6e14 events;
+        # split partials stay < 2^31 per batch per lane
         return pa.table({
             "event_type": pa.array(vocab, type=pa.string()),
             "n": pa.array(n),
-            "sd": pa.array(sd),
+            "sdh": pa.array(sd // (1 << 31)),
+            "sdl": pa.array(sd % (1 << 31)),
             "dn": pa.array(dmin),
             "dx": pa.array(dmax),
         })
@@ -3513,7 +3519,8 @@ def event_type_trend(sf_dir: str):
                           batch_size=None)
            .groupby("event_type")
            .aggregate(Sum("n", alias_name="n"),
-                      Sum("sd", alias_name="sd"),
+                      Sum("sdh", alias_name="sdh"),
+                      Sum("sdl", alias_name="sdl"),
                       Min("dn", alias_name="dn"),
                       Max("dx", alias_name="dx")))
 
@@ -3529,8 +3536,9 @@ def event_type_trend(sf_dir: str):
         et = batch["event_type"].to_pylist()
         n = [int(x) for x in
              batch["n"].to_numpy(zero_copy_only=False)]
-        sd = [int(x) for x in
-              batch["sd"].to_numpy(zero_copy_only=False)]
+        sd = [(int(h) << 31) + int(l) for h, l in
+              zip(batch["sdh"].to_numpy(zero_copy_only=False),
+                  batch["sdl"].to_numpy(zero_copy_only=False))]
         dmin = min(int(x) for x in
                    batch["dn"].to_numpy(zero_copy_only=False))
         dmax = max(int(x) for x in

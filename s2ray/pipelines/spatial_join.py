@@ -805,7 +805,13 @@ def ripley_k(pages_ds, radii=(5_000.0, 10_000.0, 25_000.0),
 
     from .text import round_half_away
 
+    import ray.data
+
     rs = sorted(float(r) for r in radii)
+    # one corpus scan: the extraction pipeline is the dominant cost, so
+    # materialize before the count + join double-consumption (the
+    # dedup.py pairs.materialize() convention)
+    pages_ds = pages_ds.materialize()
     n_pts = int(pages_ds.count())
     pairs = distance_join_pairs(pages_ds, rs[-1], max_bucket=max_bucket,
                                 n_parts=n_parts)
@@ -818,8 +824,16 @@ def ripley_k(pages_ds, radii=(5_000.0, 10_000.0, 25_000.0),
                             type=pa.int64()),
         })
 
+    # zero-count seed rows injected AFTER the per-batch counts: an
+    # empty/degenerate corpus (zero pair blocks) still yields one row
+    # per radius (NULL K), exactly like the oracle's legs
+    seed = ray.data.from_arrow(pa.table({
+        "r_m": pa.array(rs, type=pa.float64()),
+        "np_": pa.array([0] * len(rs), type=pa.int64()),
+    }))
     agg = (pairs.map_batches(counts, batch_format="pyarrow",
                              batch_size=None)
+           .union(seed)
            .groupby("r_m").aggregate(Sum("np_", alias_name="n_pairs")))
 
     area_km2 = 4.0 * np.pi * 6371.0 * 6371.0
@@ -841,7 +855,7 @@ def ripley_k(pages_ds, radii=(5_000.0, 10_000.0, 25_000.0),
                            batch_size=None)
 
 
-def clark_evans(pages_ds, d_m: float, n_parts: int = 64):
+def clark_evans(pages_ds, d_m: float):
     """Clark-Evans aggregation index of the page point pattern — the
     classic nearest-neighbor CSR test: CE = observed mean NN distance /
     expected mean under complete spatial randomness (1 / (2*sqrt(n/A)),
@@ -860,13 +874,32 @@ def clark_evans(pages_ds, d_m: float, n_parts: int = 64):
     """
     from .text import round_half_away
 
+    import ray.data
+
+    # one corpus scan (cf. ripley_k): materialize before count + join
+    pages_ds = pages_ds.materialize()
     n_pts = int(pages_ds.count())
     nn = nearest_neighbor_map(pages_ds, d_m)
+    # sentinel seed row (page_id = -1, dropped inside the fold): an
+    # empty/degenerate corpus must still reach the fold and emit ONE
+    # row with NULL stats, like the oracle, instead of collapsing to a
+    # zero-block dataset (cf. ripley_k's post-count seed)
+    import pandas as _pd
+
+    # pandas block to match nearest_neighbor_map's map_groups output
+    # (mixed Arrow/pandas blocks crash Ray's shuffle reduce)
+    nn = nn.union(ray.data.from_pandas(_pd.DataFrame({
+        "page_id": np.array([-1], dtype=np.int64),
+        "nn_id": np.array([-1], dtype=np.int64),
+        "dist_m": np.array([0.0], dtype=np.float64),
+    })))
 
     def fold(batch: pa.Table) -> pa.Table:
         pid = batch["page_id"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         dm = batch["dist_m"].to_numpy(zero_copy_only=False)
+        real = pid >= 0                     # drop the sentinel seed row
+        pid, dm = pid[real], dm[real]
         order = np.argsort(pid, kind="stable")
         dm = dm[order]
         k = len(dm)

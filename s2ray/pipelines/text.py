@@ -1875,23 +1875,21 @@ def heaps_law(sf_dir: str, n_checkpoints: int = 10):
     """
     import math
 
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     # checkpoint thresholds from exact int min/max of doc_id (one cheap
     # column-pruned aggregate pass; the corpus pass below is separate
     # because the thresholds parameterize its batch function)
-    from ray.data.aggregate import Max as _Max, Min as _Min
     stats = ds.map_batches(
         lambda b: pa.table({"d": b["doc_id"]}),
         batch_format="pyarrow", batch_size=None) \
-        .aggregate(_Min("d"), _Max("d"))
+        .aggregate(Min("d"), Max("d"))
     dmin = int(stats["min(d)"]) if stats["min(d)"] is not None else 0
     dmax = int(stats["max(d)"]) if stats["max(d)"] is not None else 0
     nck = n_checkpoints
     thr = [dmin + ((dmax - dmin) * k) // nck for k in range(1, nck + 1)]
-    thr_arr = np.array(thr, dtype=np.int64)
 
     def bucket_of(doc: np.ndarray) -> np.ndarray:
         # smallest k with doc <= t_k, as the SQL-mirrorable comparison sum

@@ -303,14 +303,9 @@ def domain_hits_sql(cte: str, iters: int = 10) -> str:
     """Recursive-CTE mirror of :func:`domain_hits` (see its docstring for
     the order-pinning and zero-filler identities)."""
     rec_cte = cte.replace("WITH ", "WITH RECURSIVE ", 1)
-    return f"""{rec_cte},
-e0 AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS s,
-              'src' || CAST(((page_id * 2654435761 + j.j * 97) % 4294967296)
-                            % 20 AS VARCHAR) || '.example.com' AS d
-       FROM pages_geo CROSS JOIN (VALUES (0),(1),(2)) AS j(j)
-       WHERE j.j < 1 + page_id % 3),
-nodes AS (SELECT DISTINCT s FROM e0),
-fw AS (SELECT DISTINCT s, d FROM e0 WHERE d IN (SELECT s FROM nodes)),
+    return f"""{rec_cte}, {_EDGE_SQL},
+nodes AS (SELECT DISTINCT s FROM e),
+fw AS (SELECT DISTINCT s, d FROM e WHERE d IN (SELECT s FROM nodes)),
 ed AS (SELECT s, d, 0 AS dir, 1.0 AS w FROM fw
        UNION ALL SELECT d, s, 1, 1.0 FROM fw
        UNION ALL SELECT s, s, 0, 0.0 FROM nodes

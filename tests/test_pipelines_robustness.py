@@ -219,3 +219,36 @@ def test_shipping_priority_plans_agree(ray_session):
     b = b[cols].sort_values(cols).reset_index(drop=True)
     assert a.astype(str).equals(b.astype(str))
     assert len(a) == 10
+
+
+def test_spatial_stats_empty_corpus(tmp_path, ray_session):
+    """ripley_k must yield one NULL-K row per radius and clark_evans one
+    NULL-stats row on an empty corpus — matching their oracles' shapes
+    instead of collapsing to zero rows (cf. domain_pagerank fix)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string()),
+        "source": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+    }), f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    rip = e.queries()["ripley_k"](d).to_pandas()
+    ora = con.execute(e.oracle_sql()["ripley_k"]).df()
+    assert len(rip) == len(ora) == 3
+    assert rip["n_pairs"].tolist() == [0, 0, 0]
+    assert rip["k_km2"].isna().all() and ora["k_km2"].isna().all()
+    ce = e.queries()["clark_evans"](d).to_pandas()
+    cora = con.execute(e.oracle_sql()["clark_evans"]).df()
+    assert len(ce) == len(cora) == 1
+    assert ce.loc[0, "n_points"] == 0 and ce.loc[0, "n_with_nn"] == 0
+    assert ce["ce"].isna().all() and cora["ce"].isna().all()
