@@ -725,17 +725,6 @@ def _q_chi2_lang_source(sf_dir: str):
     return chi2_lang_source(sf_dir)
 
 
-
-
-
-
-
-
-
-
-
-
-
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: top-10 unshipped BUILDING orders by integer-exact
     revenue; broadcast or double co-partition dimension plan."""
@@ -1385,6 +1374,24 @@ def _q_bearing_sectors(sf_dir: str):
     return bearing_sectors(pages_with_cells(sf_dir, token_level=None),
                            KNN_Q["qlat"], KNN_Q["qlng"],
                            n_sectors=BEARING_SECTORS)
+
+
+def _q_geo_destination(sf_dir: str):
+    """Great-circle destination projection (reference SmokeTest.php:32-47):
+    every page displaced along a page-keyed bearing/distance."""
+    from s2ray.pipelines.spatial_join import destination_points
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return destination_points(pages_with_cells(sf_dir, token_level=None))
+
+
+def _q_location_codec(sf_dir: str):
+    """E6 hex location codec round-trip (reference SmokeTest.php:49-60):
+    '%08x,%08x' of truncated microdegrees, decoded back engine-side."""
+    from s2ray.pipelines.spatial_join import location_codec
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return location_codec(pages_with_cells(sf_dir, token_level=None))
 
 
 def _q_nearest_city(sf_dir: str):
@@ -2331,6 +2338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_trend": _q_event_type_trend,
         "source_vocab_jaccard": _q_source_vocab_jaccard,
         "shipping_priority": _q_shipping_priority,
+        "geo_destination": _q_geo_destination,
+        "location_codec": _q_location_codec,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2529,6 +2538,8 @@ def oracle_sql() -> dict[str, str]:
                                            user_rolling_sql)
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
                                        shipping_priority_sql)
+    from s2ray.pipelines.spatial_join import (destination_points_sql,
+                                              location_codec_sql)
     from s2ray.pipelines.polyline import Polyline
     from s2ray.pipelines.text import (SOURCE_VOCAB_JACCARD_SQL,
                                       TOKEN_EDIT_PAIRS_SQL, heaps_law_sql,
@@ -3614,6 +3625,8 @@ FROM (
         "event_type_trend": EVENT_TYPE_TREND_SQL,
         "source_vocab_jaccard": SOURCE_VOCAB_JACCARD_SQL,
         "shipping_priority": shipping_priority_sql(),
+        "geo_destination": destination_points_sql(cte),
+        "location_codec": location_codec_sql(cte),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

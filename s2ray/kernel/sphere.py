@@ -543,3 +543,80 @@ AVG_DIAG = Metric(1, 1.03021136949923584)           # 1.030
 
 def approx_equals(a, b, max_error=1e-15):
     return np.abs(np.asarray(a) - np.asarray(b)) <= max_error
+
+
+# ---------------------------------------------------------------------------
+# E6 hex location codec (reference: tests/SmokeTest.php:49-60
+# encodeLocation / decodeLocation — sprintf("%08x,%08x") of the truncated
+# microdegree ints; PHP's 64-bit sprintf renders a negative int as its
+# 16-char two's complement, which DuckDB's printf('%08x', BIGINT) mirrors
+# exactly, so the codec is SQL-oracle-able end to end).
+
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+_HEX_LUT = np.zeros(256, dtype=np.uint8)
+for _i, _c in enumerate(b"0123456789abcdef"):
+    _HEX_LUT[_c] = _i
+for _i, _c in enumerate(b"ABCDEF"):
+    _HEX_LUT[_c] = 10 + _i
+
+
+def hex08(v: np.ndarray) -> np.ndarray:
+    """Vectorized PHP ``sprintf('%08x', int64)``: 8 zero-padded hex chars
+    for values in [0, 2^32), the full 16-char two's complement otherwise
+    (negatives).  Returns an object array of str."""
+    u = np.asarray(v, dtype=np.int64).astype(np.uint64)
+    n = len(u)
+    nib = np.empty((n, 16), dtype=np.uint8)
+    for k in range(16):
+        nib[:, k] = (u >> np.uint64(60 - 4 * k)).astype(np.uint8) & np.uint8(0xF)
+    chars = _HEX_DIGITS[nib]
+    wide = chars.view("S16").ravel().astype("U16").astype(object)
+    narrow = np.ascontiguousarray(chars[:, 8:]).view("S8").ravel() \
+        .astype("U8").astype(object)
+    return np.where(u < np.uint64(1 << 32), narrow, wide)
+
+
+def unhex64(strs) -> np.ndarray:
+    """Vectorized PHP ``hexdec`` for 1..16-char hex strings, reinterpreted
+    as int64 (two's complement — the lossless 64-bit inverse of
+    :func:`hex08`; PHP's own hexdec would overflow to float there)."""
+    a = np.asarray(strs, dtype="U16")
+    # left-pad to 16 with '0' without per-row python: route through S16
+    # (right-NUL-padded), then roll each row right by its pad width via a
+    # gather on precomputed roll indices
+    b = a.astype("S16").view(np.uint8).reshape(-1, 16)
+    width = np.count_nonzero(b, axis=1)
+    col = np.arange(16, dtype=np.int64)
+    src = col[None, :] - (16 - width)[:, None]          # source col, <0 = pad
+    gathered = np.where(src >= 0,
+                        np.take_along_axis(b, np.maximum(src, 0), axis=1),
+                        np.uint8(ord("0")))
+    vals = _HEX_LUT[gathered].astype(np.uint64)
+    out = np.zeros(len(a), dtype=np.uint64)
+    for k in range(16):
+        out = (out << np.uint64(4)) | vals[:, k]
+    return out.astype(np.int64)
+
+
+def encode_location_e6(lat_deg: np.ndarray, lng_deg: np.ndarray) -> np.ndarray:
+    """Reference encodeLocation (SmokeTest.php:49-54): ``'%08x,%08x'`` of
+    the toward-zero-truncated microdegrees."""
+    lat_e6 = np.trunc(np.asarray(lat_deg, dtype=np.float64) * 1e6) \
+        .astype(np.int64)
+    lng_e6 = np.trunc(np.asarray(lng_deg, dtype=np.float64) * 1e6) \
+        .astype(np.int64)
+    la, lo = hex08(lat_e6), hex08(lng_e6)
+    return np.array([f"{a},{b}" for a, b in zip(la, lo)], dtype=object)
+
+
+def decode_location_e6(locs) -> tuple[np.ndarray, np.ndarray]:
+    """Reference decodeLocation (SmokeTest.php:56-60): split at ',' and
+    hexdec both halves; returns (lat_e6, lng_e6) int64 microdegrees (the
+    reference divides by 1e6 into degrees; we keep the exact ints)."""
+    locs = np.asarray(locs, dtype=object)
+    la = np.empty(len(locs), dtype=object)
+    lo = np.empty(len(locs), dtype=object)
+    for i, s in enumerate(locs):
+        a, _, b = s.partition(",")
+        la[i], lo[i] = a, b
+    return unhex64(la), unhex64(lo)

@@ -924,3 +924,112 @@ def clark_evans(pages_ds, d_m: float):
 
     return nn.repartition(1).map_batches(fold, batch_format="pyarrow",
                                          batch_size=None)
+
+
+def destination_points(pages_ds, bearing_mod: int = 360,
+                       dist_step_m: float = 1000.0, dist_mod: int = 100):
+    """Great-circle destination projection (reference SmokeTest.php:32-47
+    greatCircleDestination, kernel sphere.great_circle_destination): every
+    page is displaced along a page-keyed deterministic bearing
+    (``page_id % bearing_mod`` degrees) and distance
+    (``dist_step_m * (1 + page_id % dist_mod)``), returning
+    (page_id, dest_lat, dest_lng) in 1e-6-rounded degrees.
+
+    Purely per-row trig -> ONE stateless zero-copy map_batches, no shuffle;
+    at 100 TB this is embarrassingly parallel.  The SQL oracle mirrors the
+    kernel's op order term by term (asin/atan2 composition), so both
+    engines compute identical doubles before the shared round.
+    """
+    from .text import round_half_away
+
+    def proj(batch: pa.Table) -> pa.Table:
+        pid = batch["page_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lat = np.radians(batch["lat"].to_numpy(zero_copy_only=False))
+        lng = np.radians(batch["lng"].to_numpy(zero_copy_only=False))
+        brg = np.radians((pid % bearing_mod).astype(np.float64))
+        dist = dist_step_m * (1.0 + (pid % dist_mod).astype(np.float64))
+        dlat, dlng = sphere.great_circle_destination(lat, lng, brg, dist)
+        return pa.table({
+            "page_id": pa.array(pid),
+            "dest_lat": pa.array(round_half_away(np.degrees(dlat), 6)),
+            "dest_lng": pa.array(round_half_away(np.degrees(dlng), 6)),
+        })
+
+    return pages_ds.map_batches(proj, batch_format="pyarrow",
+                                batch_size=None)
+
+
+def destination_points_sql(cte: str, bearing_mod: int = 360,
+                           dist_step_m: float = 1000.0,
+                           dist_mod: int = 100) -> str:
+    """DuckDB mirror of :func:`destination_points` — the exact kernel op
+    order of great_circle_destination (SmokeTest.php:32-47)."""
+    return f"""{cte},
+d0 AS (SELECT page_id, radians(lat) AS la, radians(lng) AS lo,
+              radians(CAST(page_id % {bearing_mod} AS DOUBLE)) AS br,
+              ({dist_step_m!r} * (1 + page_id % {dist_mod})) / 6371000.0
+                AS dr
+       FROM pages_geo),
+d1 AS (SELECT page_id, lo, br, cos(dr) AS cd, sin(dr) AS sd,
+              sin(la) AS sl, cos(la) AS cl FROM d0),
+d2 AS (SELECT page_id, lo, br, cd, sd, sl, cl,
+              asin(sl * cd + cl * sd * cos(br)) AS dlat FROM d1)
+SELECT page_id, round(degrees(dlat), 6) AS dest_lat,
+       round(degrees(lo + atan2(sin(br) * sd * cl,
+                                cd - sl * sin(dlat))), 6) AS dest_lng
+FROM d2"""
+
+
+def location_codec(pages_ds):
+    """E6 hex location codec round-trip (reference SmokeTest.php:49-60
+    encodeLocation/decodeLocation): per page, the ``'%08x,%08x'`` string of
+    the truncated microdegrees plus the DECODED microdegree ints (the
+    engine really parses its own hex back — kernel sphere.unhex64 — so a
+    codec bug cannot cancel out; the oracle computes the ints directly).
+
+    One stateless map_batches, no shuffle; the hex render and parse are
+    both fully vectorized nibble gathers (no per-row python).
+    """
+    import pyarrow.compute as pc
+
+    def codec(batch: pa.Table) -> pa.Table:
+        pid = batch["page_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        la_hex = sphere.hex08(np.trunc(lat * 1e6).astype(np.int64))
+        lo_hex = sphere.hex08(np.trunc(lng * 1e6).astype(np.int64))
+        loc = pc.binary_join_element_wise(
+            pa.array(la_hex, type=pa.string()),
+            pa.array(lo_hex, type=pa.string()), ",")
+        # decode path: split the joined string again (PHP decodeLocation
+        # semantics) and hex-parse both halves
+        parts = pc.split_pattern(loc, ",")
+        flat = parts.flatten().to_numpy(zero_copy_only=False)
+        lat_e6 = sphere.unhex64(flat[0::2])
+        lng_e6 = sphere.unhex64(flat[1::2])
+        return pa.table({
+            "page_id": pa.array(pid),
+            "loc_hex": loc,
+            "lat_e6": pa.array(lat_e6),
+            "lng_e6": pa.array(lng_e6),
+        })
+
+    return pages_ds.map_batches(codec, batch_format="pyarrow",
+                                batch_size=None)
+
+
+def location_codec_sql(cte: str) -> str:
+    """DuckDB mirror of :func:`location_codec` — printf('%08x', BIGINT)
+    reproduces PHP's 64-bit sprintf (16-char two's complement for
+    negatives) bit for bit."""
+    return f"""{cte},
+e6 AS (SELECT page_id,
+              CAST(TRUNC(lat * 1e6) AS BIGINT) AS lat_e6,
+              CAST(TRUNC(lng * 1e6) AS BIGINT) AS lng_e6
+       FROM pages_geo)
+SELECT page_id,
+       printf('%08x', lat_e6) || ',' || printf('%08x', lng_e6) AS loc_hex,
+       lat_e6, lng_e6
+FROM e6"""

@@ -279,3 +279,27 @@ def test_all_neighbors_same_level_matches_scalar():
         for r, c in enumerate(cells):
             ref = np.sort(ci.get_all_neighbors(c, lvl))
             assert np.array_equal(ref, flat[off[r]:off[r + 1]]), (lvl, c)
+
+
+def test_location_hex_codec_goldens():
+    """SmokeTest.php:49-60,103-104: encode(decode(hex)) round-trips, and
+    hex08 matches PHP's 64-bit sprintf('%08x') including the 16-char
+    two's complement for negative microdegrees."""
+    import numpy as np
+
+    lat_e6, lng_e6 = sphere.decode_location_e6(
+        np.array(["0351272d,0242b406"], dtype=object))
+    assert lat_e6[0] == 55650093 and lng_e6[0] == 37925894
+    enc = sphere.encode_location_e6(lat_e6 / 1e6, lng_e6 / 1e6)
+    assert enc[0] == "0351272d,0242b406"
+
+    # PHP (int) truncation + 64-bit sprintf two's complement for negatives
+    assert sphere.hex08(np.array([-37912176]))[0] == "fffffffffdbd8190"
+    assert sphere.hex08(np.array([0]))[0] == "00000000"
+    assert sphere.hex08(np.array([2**32 - 1]))[0] == "ffffffff"
+    vals = np.array([-90_000_000, -1, 0, 1, 90_000_000, 180_000_000])
+    assert np.array_equal(sphere.unhex64(sphere.hex08(vals)), vals)
+    # truncation toward zero, not floor
+    enc2 = sphere.encode_location_e6(np.array([-0.0000001]),
+                                     np.array([0.0000009]))
+    assert enc2[0] == "00000000,00000000"

@@ -44,6 +44,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_bfs_depth", "quadrat_dispersion", "source_js", "ripley_k",
                "domain_cocitation", "domain_coupling", "clark_evans",
                "heaps_law", "source_vocab_jaccard",
+               "geo_destination", "location_codec",
                "phrase_search", "profile_table",
                "source_drift_psi", "domain_gini",
                "chi2_lang_source", "zipf_slope",
