@@ -725,6 +725,15 @@ def _q_chi2_lang_source(sf_dir: str):
     return chi2_lang_source(sf_dir)
 
 
+def _q_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by integer-exact revenue from
+    returned lineitems of Q1-1996 orders; customer/nation attributes
+    attached to exactly k rows via a key-filtered read."""
+    from s2ray.pipelines.join import returned_items
+
+    return returned_items(sf_dir)
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: top-10 unshipped BUILDING orders by integer-exact
     revenue; broadcast or double co-partition dimension plan."""
@@ -2340,6 +2349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "geo_destination": _q_geo_destination,
         "location_codec": _q_location_codec,
+        "returned_items": _q_returned_items,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2537,6 +2547,7 @@ def oracle_sql() -> dict[str, str]:
                                            USER_BURSTINESS_SQL,
                                            user_rolling_sql)
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
+                                       returned_items_sql,
                                        shipping_priority_sql)
     from s2ray.pipelines.spatial_join import (destination_points_sql,
                                               location_codec_sql)
@@ -3627,6 +3638,7 @@ FROM (
         "shipping_priority": shipping_priority_sql(),
         "geo_destination": destination_points_sql(cte),
         "location_codec": location_codec_sql(cte),
+        "returned_items": returned_items_sql(),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

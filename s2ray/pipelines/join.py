@@ -775,3 +775,151 @@ WHERE c.c_mktsegment = '{segment}'
 GROUP BY 1, 3, 4
 ORDER BY revenue_microcents DESC, l_orderkey
 LIMIT {k}"""
+
+
+def returned_items(sf_dir: str, start: str = "1996-01-01",
+                   end: str = "1996-04-01", k: int = 20,
+                   n_parts: int = 64,
+                   broadcast_threshold_bytes: int = 64 * 1024 * 1024):
+    """TPC-H Q10 shape (returned-item reporting): top-``k`` customers by
+    integer-exact revenue from RETURNED lineitems of orders placed in
+    [start, end) — (c_custkey, c_name, revenue_microcents, c_acctbal,
+    n_name), ranked (revenue DESC, c_custkey ASC).
+
+    Scale plan: lineitem is returnflag-filtered and pre-aggregated per
+    l_orderkey inside each batch before anything moves; the date-filtered
+    orders side broadcasts under the threshold or co-partitions above it;
+    revenue is then re-keyed per customer in ONE custkey-sized groupby and
+    cut to k with the Q3 two-level local-top-k merge.  Customer and nation
+    attributes are attached LAST, to exactly k rows, via a key-filtered
+    parquet read — the customer table (the largest dimension at 100 TB)
+    never ships.  Revenue uses the Q5 integer-domain rule (round(p*100) *
+    round((1-d)*100) summed in int64) so partial order never matters.
+    """
+    import os as _os
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    s_us = np.datetime64(start).astype("datetime64[us]").astype(np.int64)
+    e_us = np.datetime64(end).astype("datetime64[us]").astype(np.int64)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_returnflag"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["l_returnflag"], "R")
+        b = batch.filter(keep)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ext = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "o_orderkey": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=None)
+
+    def orders_cast(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = (od >= s_us) & (od < e_us)
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64())
+                .filter(pa.array(keep)),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64())
+                .filter(pa.array(keep)),
+        })
+
+    if (_os.path.getsize(f"{sf_dir}/orders.parquet")
+            <= broadcast_threshold_bytes):
+        ot = orders_cast(pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"]))
+        j = broadcast_hash_join(li_agg, ot, on="o_orderkey", how="inner")
+    else:
+        orders = (read_table(sf_dir, "orders",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+                  .map_batches(orders_cast, batch_format="pyarrow",
+                               batch_size=None))
+        j = copartition_hash_join(li_agg, orders, on="o_orderkey",
+                                  n_parts=n_parts, how="inner")
+
+    agg = (j.groupby("o_custkey")
+           .aggregate(Sum("rev", alias_name="revenue_microcents")))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        rev = batch["revenue_microcents"] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((ck, -rev))[:k]
+        return batch.take(pa.array(order))
+
+    top = (agg.map_batches(topk, batch_format="pyarrow", batch_size=None)
+           .repartition(1)
+           .map_batches(topk, batch_format="pyarrow", batch_size=None)
+           .take_all())          # <= k rows by construction
+
+    ck = np.array([r["o_custkey"] for r in top], dtype=np.int64)
+    rev = np.array([r["revenue_microcents"] for r in top], dtype=np.int64)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", ck.tolist())])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    ckeys = pc.cast(cust["c_custkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    pos = {int(c): i for i, c in enumerate(ckeys)}
+    idx = np.array([pos[int(c)] for c in ck], dtype=np.int64)
+    nkeys = pc.cast(nat["n_nationkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    npos = {int(n): i for i, n in enumerate(nkeys)}
+    cnat = pc.cast(cust["c_nationkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    nidx = np.array([npos[int(cnat[i])] for i in idx], dtype=np.int64)
+    out = pa.table({
+        "c_custkey": pa.array(ck),
+        "c_name": cust["c_name"].take(pa.array(idx)),
+        "revenue_microcents": pa.array(rev),
+        "c_acctbal": cust["c_acctbal"].take(pa.array(idx)),
+        "n_name": nat["n_name"].take(pa.array(nidx)),
+    })
+    return ray.data.from_arrow(out)
+
+
+def returned_items_sql(start: str = "1996-01-01", end: str = "1996-04-01",
+                       k: int = 20) -> str:
+    """Oracle for :func:`returned_items` — the Q10 join with the Q5
+    integer revenue rule and the deterministic (rev DESC, custkey) cut."""
+    return f"""
+SELECT c.c_custkey, c.c_name,
+  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT))
+       AS BIGINT) AS revenue_microcents,
+  c.c_acctbal, n.n_name
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{start}'
+  AND o.o_orderdate < TIMESTAMP '{end}'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue_microcents DESC, c_custkey
+LIMIT {k}"""

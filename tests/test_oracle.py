@@ -85,7 +85,7 @@ def _compare(name, entrymod, con):
                                    "getis_ord",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",
-                                   "domain_bfs_depth", "quadrat_dispersion", "source_js", "user_burstiness", "ripley_k", "domain_cocitation", "domain_coupling", "clark_evans", "heaps_law", "event_type_trend", "source_vocab_jaccard", "shipping_priority", "geo_destination", "location_codec",
+                                   "domain_bfs_depth", "quadrat_dispersion", "source_js", "user_burstiness", "ripley_k", "domain_cocitation", "domain_coupling", "clark_evans", "heaps_law", "event_type_trend", "source_vocab_jaccard", "shipping_priority", "geo_destination", "location_codec", "returned_items",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",

@@ -252,3 +252,18 @@ def test_spatial_stats_empty_corpus(tmp_path, ray_session):
     assert len(ce) == len(cora) == 1
     assert ce.loc[0, "n_points"] == 0 and ce.loc[0, "n_with_nn"] == 0
     assert ce["ce"].isna().all() and cora["ce"].isna().all()
+
+
+def test_returned_items_plans_agree(ray_session):
+    """Q10 broadcast and co-partition dimension plans must return
+    identical rows (cf. shipping_priority)."""
+    from s2ray.pipelines.join import returned_items
+
+    sf = "/root/testdata/sf0.01"
+    a = returned_items(sf).to_pandas()
+    b = returned_items(sf, broadcast_threshold_bytes=0).to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype(str).equals(b.astype(str))
+    assert len(a) == 20
