@@ -734,6 +734,30 @@ def _q_returned_items(sf_dir: str):
     return returned_items(sf_dir)
 
 
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: one-month PROMO-part revenue share with
+    hi/lo-split wrap-safe global sums."""
+    from s2ray.pipelines.join import promo_revenue
+
+    return promo_revenue(sf_dir)
+
+
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: max-revenue supplier(s) over a quarter, ties
+    kept, supplier attributes via key-filtered read."""
+    from s2ray.pipelines.join import top_supplier
+
+    return top_supplier(sf_dir)
+
+
+def _q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: top-100 large-quantity orders with customer
+    names attached to exactly k rows."""
+    from s2ray.pipelines.join import large_orders
+
+    return large_orders(sf_dir)
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: top-10 unshipped BUILDING orders by integer-exact
     revenue; broadcast or double co-partition dimension plan."""
@@ -2350,6 +2374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_destination": _q_geo_destination,
         "location_codec": _q_location_codec,
         "returned_items": _q_returned_items,
+        "promo_revenue": _q_promo_revenue,
+        "top_supplier": _q_top_supplier,
+        "large_orders": _q_large_orders,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2547,8 +2574,11 @@ def oracle_sql() -> dict[str, str]:
                                            USER_BURSTINESS_SQL,
                                            user_rolling_sql)
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
+                                       large_orders_sql,
+                                       promo_revenue_sql,
                                        returned_items_sql,
-                                       shipping_priority_sql)
+                                       shipping_priority_sql,
+                                       top_supplier_sql)
     from s2ray.pipelines.spatial_join import (destination_points_sql,
                                               location_codec_sql)
     from s2ray.pipelines.polyline import Polyline
@@ -3639,6 +3669,9 @@ FROM (
         "geo_destination": destination_points_sql(cte),
         "location_codec": location_codec_sql(cte),
         "returned_items": returned_items_sql(),
+        "promo_revenue": promo_revenue_sql(),
+        "top_supplier": top_supplier_sql(),
+        "large_orders": large_orders_sql(),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

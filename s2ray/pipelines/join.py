@@ -923,3 +923,361 @@ WHERE l.l_returnflag = 'R'
 GROUP BY 1, 2, 4, 5
 ORDER BY revenue_microcents DESC, c_custkey
 LIMIT {k}"""
+
+
+def promo_revenue(sf_dir: str, start: str = "1996-03-01",
+                  end: str = "1996-04-01",
+                  broadcast_threshold_bytes: int = 64 * 1024 * 1024):
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    integer-exact revenue that came from PROMO-type parts — ONE row
+    (promo_revenue_microcents, total_revenue_microcents, promo_pct).
+
+    Scale plan: lineitem is window-filtered and pre-aggregated per
+    l_partkey inside each batch; the part side ships ONCE as a sorted
+    promo-partkey array (searchsorted membership) under the threshold or
+    co-partitions above it.  The two global revenue sums ride the
+    hi/lo-split int64 lanes (the event_type_trend convention) so the Ray
+    Sum cannot wrap even at 100 TB; the exact big-int recombine and the
+    single CAST-then-divide happen in a one-row fold.
+    """
+    import os as _os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .text import round_half_away
+
+    s_us = np.datetime64(start).astype("datetime64[us]").astype(np.int64)
+    e_us = np.datetime64(end).astype("datetime64[us]").astype(np.int64)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = (sd >= s_us) & (sd < e_us)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        u, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "p_partkey": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=None)
+
+    def split_partial(promo_rev: int, tot_rev: int) -> pa.Table:
+        return pa.table({
+            "ph": pa.array([promo_rev // (1 << 31)], type=pa.int64()),
+            "pl": pa.array([promo_rev % (1 << 31)], type=pa.int64()),
+            "th": pa.array([tot_rev // (1 << 31)], type=pa.int64()),
+            "tl": pa.array([tot_rev % (1 << 31)], type=pa.int64()),
+        })
+
+    if (_os.path.getsize(f"{sf_dir}/part.parquet")
+            <= broadcast_threshold_bytes):
+        pt = pq.read_table(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+        promo = np.sort(pc.cast(
+            pt.filter(pc.starts_with(pt["p_type"], "PROMO"))["p_partkey"],
+            pa.int64()).to_numpy(zero_copy_only=False))
+        promo_ref = ray.put(promo)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            keys = ray.get(promo_ref)
+            pk = batch["p_partkey"].to_numpy(zero_copy_only=False)
+            rev = batch["rev"].to_numpy(zero_copy_only=False)
+            isp = _sorted_membership(keys, pk)
+            return split_partial(int(rev[isp].sum()), int(rev.sum()))
+
+        partials = li_agg.map_batches(mark, batch_format="pyarrow",
+                                      batch_size=None)
+    else:
+        part = (read_table(sf_dir, "part",
+                           columns=["p_partkey", "p_type"])
+                .map_batches(lambda b: pa.table({
+                    "p_partkey": pc.cast(b["p_partkey"], pa.int64()),
+                    "isp": pc.starts_with(b["p_type"], "PROMO"),
+                }), batch_format="pyarrow", batch_size=None))
+        j = copartition_hash_join(li_agg, part, on="p_partkey",
+                                  how="inner")
+
+        def mark(batch: pa.Table) -> pa.Table:
+            rev = batch["rev"].to_numpy(zero_copy_only=False)
+            isp = batch["isp"].to_numpy(zero_copy_only=False) \
+                .astype(bool)
+            return split_partial(int(rev[isp].sum()), int(rev.sum()))
+
+        partials = j.map_batches(mark, batch_format="pyarrow",
+                                 batch_size=None)
+
+    agg = partials.aggregate(Sum("ph"), Sum("pl"), Sum("th"), Sum("tl"))
+    p = ((int(agg["sum(ph)"] or 0) << 31) + int(agg["sum(pl)"] or 0))
+    t = ((int(agg["sum(th)"] or 0) << 31) + int(agg["sum(tl)"] or 0))
+    pct = (None if t == 0 else float(round_half_away(
+        np.float64(100.0 * (np.float64(p) / np.float64(t))), 6)))
+    return ray.data.from_arrow(pa.table({
+        "promo_revenue_microcents": pa.array([p], type=pa.int64()),
+        "total_revenue_microcents": pa.array([t], type=pa.int64()),
+        "promo_pct": pa.array([pct], type=pa.float64()),
+    }))
+
+
+def promo_revenue_sql(start: str = "1996-03-01",
+                      end: str = "1996-04-01") -> str:
+    """Oracle for :func:`promo_revenue` — HUGEINT sums, one
+    CAST-then-divide in the engine's op order."""
+    return f"""
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+         * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT) AS rev,
+         p.p_type LIKE 'PROMO%' AS isp
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{start}'
+    AND l.l_shipdate < TIMESTAMP '{end}')
+SELECT CAST(coalesce(sum(CASE WHEN isp THEN rev END), 0) AS BIGINT)
+         AS promo_revenue_microcents,
+       CAST(coalesce(sum(rev), 0) AS BIGINT)
+         AS total_revenue_microcents,
+       CASE WHEN coalesce(sum(rev), 0) = 0 THEN NULL ELSE
+         round(100.0 * (CAST(coalesce(sum(CASE WHEN isp THEN rev END), 0)
+                             AS DOUBLE)
+                        / CAST(sum(rev) AS DOUBLE)), 6) END AS promo_pct
+FROM j"""
+
+
+def top_supplier(sf_dir: str, start: str = "1996-01-01",
+                 end: str = "1996-04-01", n_parts: int = 64):
+    """TPC-H Q15 shape (top supplier): the supplier(s) with the maximum
+    integer-exact revenue over one quarter of shipped lineitems —
+    (s_suppkey, s_name, total_revenue_microcents), ALL ties kept (the
+    reference query's = max semantics), sorted by s_suppkey.
+
+    Scale plan: per-suppkey batch pre-aggregation, ONE supplier-
+    cardinality groupby, a scalar max action, an equality filter, and a
+    key-filtered supplier read for the handful of winners — the supplier
+    table never ships, and nothing larger than the supplier-key space
+    ever shuffles.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    s_us = np.datetime64(start).astype("datetime64[us]").astype(np.int64)
+    e_us = np.datetime64(end).astype("datetime64[us]").astype(np.int64)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = (sd >= s_us) & (sd < e_us)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        u, inv = np.unique(sk, return_inverse=True)
+        return pa.table({
+            "s_suppkey": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    agg = (li.map_batches(li_partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("s_suppkey")
+           .aggregate(Sum("rev", alias_name="total_revenue_microcents"))
+           .materialize())
+    mx = agg.max("total_revenue_microcents")
+    if mx is None:
+        return ray.data.from_arrow(pa.table({
+            "s_suppkey": pa.array([], type=pa.int64()),
+            "s_name": pa.array([], type=pa.string()),
+            "total_revenue_microcents": pa.array([], type=pa.int64()),
+        }))
+    winners = (agg.filter(expr=f"total_revenue_microcents == {int(mx)}")
+               .take_all())
+    sk = np.sort(np.array([r["s_suppkey"] for r in winners],
+                          dtype=np.int64))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"],
+                        filters=[("s_suppkey", "in", sk.tolist())])
+    skeys = pc.cast(sup["s_suppkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    pos = {int(s): i for i, s in enumerate(skeys)}
+    idx = pa.array(np.array([pos[int(s)] for s in sk], dtype=np.int64))
+    return ray.data.from_arrow(pa.table({
+        "s_suppkey": pa.array(sk),
+        "s_name": sup["s_name"].take(idx),
+        "total_revenue_microcents": pa.array(
+            np.full(len(sk), int(mx), dtype=np.int64)),
+    }))
+
+
+def top_supplier_sql(start: str = "1996-01-01",
+                     end: str = "1996-04-01") -> str:
+    """Oracle for :func:`top_supplier` — the Q15 view-max formulation."""
+    return f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+         AS BIGINT) AS total_revenue_microcents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{start}'
+    AND l_shipdate < TIMESTAMP '{end}'
+  GROUP BY 1)
+SELECT r.s_suppkey, s.s_name, r.total_revenue_microcents
+FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE r.total_revenue_microcents =
+      (SELECT max(total_revenue_microcents) FROM r)
+ORDER BY r.s_suppkey"""
+
+
+def large_orders(sf_dir: str, min_qty: int = 250, k: int = 100,
+                 n_parts: int = 64,
+                 broadcast_threshold_bytes: int = 64 * 1024 * 1024):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds ``min_qty``, ranked (o_totalprice DESC,
+    o_orderdate ASC, o_orderkey ASC) and cut to ``k`` — (c_custkey,
+    c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty).
+
+    Scale plan: quantities (integral doubles) pre-sum per l_orderkey as
+    int64 inside each batch, ONE orderkey groupby, the HAVING filter
+    applied before anything joins, then the surviving sliver (p99+ of
+    orders) joins orders broadcast-or-co-partition, cuts to k with the
+    two-level local-top-k merge, and attaches c_name to exactly k rows
+    via a key-filtered customer read.
+    """
+    import os as _os
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        qty = np.rint(batch["l_quantity"]
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "o_orderkey": pa.array(u),
+            "sum_qty": pa.array(np.bincount(inv, weights=qty,
+                                            minlength=len(u))
+                                .astype(np.int64)),
+        })
+
+    agg = (li.map_batches(li_partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("o_orderkey")
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+           .filter(expr=f"sum_qty > {int(min_qty)}"))
+
+    def orders_cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "odate_us": pa.array(
+                batch["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)),
+            "o_totalprice": batch["o_totalprice"],
+        })
+
+    if (_os.path.getsize(f"{sf_dir}/orders.parquet")
+            <= broadcast_threshold_bytes):
+        ot = orders_cast(pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"]))
+        j = broadcast_hash_join(agg, ot, on="o_orderkey", how="inner")
+    else:
+        orders = (read_table(sf_dir, "orders",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+                  .map_batches(orders_cast, batch_format="pyarrow",
+                               batch_size=None))
+        j = copartition_hash_join(agg, orders, on="o_orderkey",
+                                  n_parts=n_parts, how="inner")
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        od = batch["odate_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((ok, od, -tp))[:k]
+        return batch.take(pa.array(order))
+
+    top = (j.map_batches(topk, batch_format="pyarrow", batch_size=None)
+           .repartition(1)
+           .map_batches(topk, batch_format="pyarrow", batch_size=None)
+           .take_all())          # <= k rows by construction
+
+    ck = np.array([r["o_custkey"] for r in top], dtype=np.int64)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"],
+                         filters=[("c_custkey", "in",
+                                   sorted(set(ck.tolist())))])
+    ckeys = pc.cast(cust["c_custkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    pos = {int(c): i for i, c in enumerate(ckeys)}
+    idx = pa.array(np.array([pos[int(c)] for c in ck], dtype=np.int64))
+    return ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array(ck),
+        "c_name": cust["c_name"].take(idx),
+        "o_orderkey": pa.array(np.array([r["o_orderkey"] for r in top],
+                                        dtype=np.int64)),
+        "o_orderdate": pa.array(
+            np.array([r["odate_us"] for r in top], dtype=np.int64)
+            .astype("datetime64[us]")),
+        "o_totalprice": pa.array(
+            np.array([r["o_totalprice"] for r in top],
+                     dtype=np.float64)),
+        "sum_qty": pa.array(np.array([r["sum_qty"] for r in top],
+                                     dtype=np.int64)),
+    }))
+
+
+def large_orders_sql(min_qty: int = 250, k: int = 100) -> str:
+    """Oracle for :func:`large_orders` — the Q18 HAVING join with the
+    deterministic (price DESC, date, key) cut."""
+    return f"""
+WITH q AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum_qty > {int(min_qty)})
+SELECT c.c_custkey, c.c_name, q.o_orderkey, o.o_orderdate,
+       o.o_totalprice, q.sum_qty
+FROM q
+JOIN orders o ON q.o_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, q.o_orderkey
+LIMIT {k}"""
