@@ -758,6 +758,30 @@ def _q_large_orders(sf_dir: str):
     return large_orders(sf_dir)
 
 
+def _q_order_priority_count(sf_dir: str):
+    """TPC-H Q4 shape: quarter's order count per priority where a
+    returned lineitem EXISTS; keys-only semi co-partition join."""
+    from s2ray.pipelines.join import order_priority_count
+
+    return order_priority_count(sf_dir)
+
+
+def _q_cust_order_dist(sf_dir: str):
+    """TPC-H Q13 shape: customer histogram by non-urgent order count
+    including zero-order customers via keys-only LEFT co-partition."""
+    from s2ray.pipelines.join import cust_order_dist
+
+    return cust_order_dist(sf_dir)
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: one brand's below-avg-quantity lineitem revenue;
+    two-pass stream with broadcast per-part thresholds."""
+    from s2ray.pipelines.join import small_qty_revenue
+
+    return small_qty_revenue(sf_dir)
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: top-10 unshipped BUILDING orders by integer-exact
     revenue; broadcast or double co-partition dimension plan."""
@@ -2377,6 +2401,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "top_supplier": _q_top_supplier,
         "large_orders": _q_large_orders,
+        "order_priority_count": _q_order_priority_count,
+        "cust_order_dist": _q_cust_order_dist,
+        "small_qty_revenue": _q_small_qty_revenue,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2574,10 +2601,13 @@ def oracle_sql() -> dict[str, str]:
                                            USER_BURSTINESS_SQL,
                                            user_rolling_sql)
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
+                                       cust_order_dist_sql,
                                        large_orders_sql,
+                                       order_priority_count_sql,
                                        promo_revenue_sql,
                                        returned_items_sql,
                                        shipping_priority_sql,
+                                       small_qty_revenue_sql,
                                        top_supplier_sql)
     from s2ray.pipelines.spatial_join import (destination_points_sql,
                                               location_codec_sql)
@@ -3672,6 +3702,9 @@ FROM (
         "promo_revenue": promo_revenue_sql(),
         "top_supplier": top_supplier_sql(),
         "large_orders": large_orders_sql(),
+        "order_priority_count": order_priority_count_sql(),
+        "cust_order_dist": cust_order_dist_sql(),
+        "small_qty_revenue": small_qty_revenue_sql(),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

@@ -1281,3 +1281,293 @@ JOIN orders o ON q.o_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY o.o_totalprice DESC, o.o_orderdate, q.o_orderkey
 LIMIT {k}"""
+
+
+def order_priority_count(sf_dir: str, start: str = "1996-01-01",
+                         end: str = "1996-04-01", n_parts: int = 64):
+    """TPC-H Q4 shape (order-priority checking): per o_orderpriority, the
+    number of orders placed in one quarter for which at least one
+    lineitem came back returned (EXISTS semi-join; the reference Q4's
+    commit<receipt predicate has no column here, so returnflag='R' plays
+    the qualifying-lineitem role) — (o_orderpriority, order_count).
+
+    Scale plan: the probe side is the window-filtered orders slice
+    (orderkey + priority only); the EXISTS side never ships payload —
+    qualifying lineitems reduce to per-batch-distinct orderkeys and ride
+    the keys-only 'semi' lane of :func:`copartition_hash_join` (per-bucket
+    np.unique membership, no pandas).  The final groupby is
+    priority-cardinality (5 rows).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    s_us = np.datetime64(start).astype("datetime64[us]").astype(np.int64)
+    e_us = np.datetime64(end).astype("datetime64[us]").astype(np.int64)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = (od >= s_us) & (od < e_us)
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64())
+            .filter(pa.array(keep)),
+            "o_orderpriority": batch["o_orderpriority"]
+            .filter(pa.array(keep)),
+        })
+
+    owin = orders.map_batches(o_filter, batch_format="pyarrow",
+                              batch_size=None)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag"])
+
+    def li_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["l_returnflag"], "R")
+        ok = batch["l_orderkey"].filter(keep) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"o_orderkey": pa.array(np.unique(ok))})
+
+    exists_keys = li.map_batches(li_keys, batch_format="pyarrow",
+                                 batch_size=None)
+    hits = copartition_hash_join(owin, exists_keys, on="o_orderkey",
+                                 n_parts=n_parts, how="semi")
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"].to_pandas()
+        vc = pr.value_counts()
+        return pa.table({
+            "o_orderpriority": pa.array(vc.index.astype(str)),
+            "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    return (hits.map_batches(prio_partial, batch_format="pyarrow",
+                             batch_size=None)
+            .groupby("o_orderpriority")
+            .aggregate(Sum("cnt", alias_name="order_count"))
+            .sort("o_orderpriority"))
+
+
+def order_priority_count_sql(start: str = "1996-01-01",
+                             end: str = "1996-04-01") -> str:
+    """Oracle for :func:`order_priority_count` — the Q4 EXISTS mirror."""
+    return f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{start}'
+  AND o.o_orderdate < TIMESTAMP '{end}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1"""
+
+
+def cust_order_dist(sf_dir: str, excl_priority: str = "1-URGENT",
+                    n_parts: int = 64):
+    """TPC-H Q13 shape (customer distribution): histogram of customers by
+    their non-urgent order count, INCLUDING the zero-order customers the
+    left join keeps — (c_count, custdist), custdist DESC / c_count DESC.
+
+    Scale plan: orders pre-count per custkey inside each batch, ONE
+    custkey-cardinality groupby, then the customer key column (keys only,
+    no payload) LEFT-co-partition-joins the counts so zero-order
+    customers null-fill locally in their bucket — no customer-table
+    broadcast, nothing driver-side until the final count-cardinality
+    histogram (max orders per customer ~ tens of rows).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["o_orderpriority"], excl_priority)
+        ck = batch["o_custkey"].filter(keep) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table({
+            "c_custkey": pa.array(u),
+            "pc_": pa.array(np.bincount(inv, minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    counts = (orders.map_batches(o_partial, batch_format="pyarrow",
+                                 batch_size=None)
+              .groupby("c_custkey")
+              .aggregate(Sum("pc_", alias_name="n_orders")))
+
+    cust = (read_table(sf_dir, "customer", columns=["c_custkey"])
+            .map_batches(lambda b: pa.table({
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64())}),
+                batch_format="pyarrow", batch_size=None))
+    j = copartition_hash_join(cust, counts, on="c_custkey",
+                              n_parts=n_parts, how="left")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(batch["n_orders"], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(n, return_inverse=True)
+        return pa.table({
+            "c_count": pa.array(u),
+            "pd_": pa.array(np.bincount(inv, minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    hist = (j.map_batches(hist_partial, batch_format="pyarrow",
+                          batch_size=None)
+            .groupby("c_count")
+            .aggregate(Sum("pd_", alias_name="custdist")))
+    out = hist.take_all()  # count-cardinality rows (tens)
+    cc = np.array([r["c_count"] for r in out], dtype=np.int64)
+    cd = np.array([r["custdist"] for r in out], dtype=np.int64)
+    order = np.lexsort((-cc, -cd))
+    return ray.data.from_arrow(pa.table({
+        "c_count": pa.array(cc[order]),
+        "custdist": pa.array(cd[order]),
+    }))
+
+
+def cust_order_dist_sql(excl_priority: str = "1-URGENT") -> str:
+    """Oracle for :func:`cust_order_dist` — the Q13 left-join histogram."""
+    return f"""
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{excl_priority}'
+  GROUP BY 1)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY 1
+ORDER BY custdist DESC, c_count DESC"""
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#23",
+                      qty_frac: float = 0.2):
+    """TPC-H Q17 shape (small-quantity-order revenue): total extended
+    price (in cents) of lineitems for one brand's parts whose quantity is
+    below ``qty_frac`` x that part's average quantity — ONE row
+    (revenue_cents, n_rows).
+
+    Scale plan: the classic two-pass Q17.  Pass 1 streams lineitem once,
+    pre-summing (qty, count) per partkey in-batch behind a sorted
+    brand-partkey membership filter, into a partkey groupby whose result
+    is one row per brand part (1/25 of the part table — the broadcast is
+    bounded by brand selectivity; the co-partition join lane exists for
+    a hypothetical unselective brand).  Pass 2 streams lineitem again,
+    compares qty against the broadcast per-part threshold with ONE
+    searchsorted, and folds the surviving cents through the wrap-safe
+    hi/lo-split sum lanes.
+
+    Float parity: the threshold is ``qty_frac * (CAST(qsum AS DOUBLE) /
+    cnt)`` in both engines — identical IEEE op order, so the strict <
+    comparison is bit-exact.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"],
+                       filters=[("p_brand", "=", brand)])
+    bkeys = np.sort(pc.cast(pt["p_partkey"], pa.int64())
+                    .to_numpy(zero_copy_only=False))
+    bkeys_ref = ray.put(bkeys)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice"])
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        from ..state.bcast import cached_get
+
+        keys = cached_get(bkeys_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _sorted_membership(keys, pk)
+        pk = pk[m]
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                      [m]).astype(np.int64)
+        u, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "p_partkey": pa.array(u),
+            "qsum": pa.array(np.bincount(inv, weights=qty,
+                                         minlength=len(u))
+                             .astype(np.int64)),
+            "cnt": pa.array(np.bincount(inv, minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    agg = (li.map_batches(pass1, batch_format="pyarrow", batch_size=None)
+           .groupby("p_partkey")
+           .aggregate(Sum("qsum", alias_name="qsum"),
+                      Sum("cnt", alias_name="cnt"))
+           .take_all())  # one row per brand part (1/25 of part)
+    tk = np.array([r["p_partkey"] for r in agg], dtype=np.int64)
+    order = np.argsort(tk)
+    tk = tk[order]
+    thr = (np.float64(qty_frac)
+           * (np.array([r["qsum"] for r in agg], dtype=np.int64)
+              .astype(np.float64)
+              / np.array([r["cnt"] for r in agg], dtype=np.int64)
+              .astype(np.float64)))[order]
+    thr_ref = ray.put((tk, thr))
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        from ..state.bcast import cached_get
+
+        keys, th = cached_get(thr_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _sorted_membership(keys, pk)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, pk[m])
+        sel = qty[m] < th[pos]
+        cents = np.rint(batch["l_extendedprice"]
+                        .to_numpy(zero_copy_only=False)[m][sel] * 100.0) \
+            .astype(np.int64)
+        tot = int(cents.sum())
+        return pa.table({
+            "rh": pa.array([tot // (1 << 31)], type=pa.int64()),
+            "rl": pa.array([tot % (1 << 31)], type=pa.int64()),
+            "n": pa.array([int(sel.sum())], type=pa.int64()),
+        })
+
+    res = (li.map_batches(pass2, batch_format="pyarrow", batch_size=None)
+           .aggregate(Sum("rh"), Sum("rl"), Sum("n")))
+    rev = ((int(res["sum(rh)"] or 0) << 31) + int(res["sum(rl)"] or 0))
+    return ray.data.from_arrow(pa.table({
+        "revenue_cents": pa.array([rev], type=pa.int64()),
+        "n_rows": pa.array([int(res["sum(n)"] or 0)], type=pa.int64()),
+    }))
+
+
+def small_qty_revenue_sql(brand: str = "Brand#23",
+                          qty_frac: float = 0.2) -> str:
+    """Oracle for :func:`small_qty_revenue` — the Q17 avg-threshold
+    mirror in the engine's exact op order."""
+    return f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{brand}'),
+a AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS qsum,
+         count(*) AS cnt
+  FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+  GROUP BY 1)
+SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100, 0)
+                              AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < {qty_frac} * (CAST(a.qsum AS DOUBLE) / a.cnt)"""
