@@ -782,6 +782,30 @@ def _q_small_qty_revenue(sf_dir: str):
     return small_qty_revenue(sf_dir)
 
 
+def _q_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape: two-nation shipped revenue per (supp, cust, year)
+    with pre-filtered dimension sides and one orderkey co-partition."""
+    from s2ray.pipelines.join import nation_volume
+
+    return nation_volume(sf_dir)
+
+
+def _q_supplier_parts_cnt(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per part attr triple with a
+    broadcast blacklist and lexsort pair pre-dedup."""
+    from s2ray.pipelines.join import supplier_parts_cnt
+
+    return supplier_parts_cnt(sf_dir)
+
+
+def _q_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape: above-average-balance customers with no orders
+    via integer cross-multiplied mean and keys-only anti join."""
+    from s2ray.pipelines.join import idle_customers
+
+    return idle_customers(sf_dir)
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: top-10 unshipped BUILDING orders by integer-exact
     revenue; broadcast or double co-partition dimension plan."""
@@ -2404,6 +2428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_count": _q_order_priority_count,
         "cust_order_dist": _q_cust_order_dist,
         "small_qty_revenue": _q_small_qty_revenue,
+        "nation_volume": _q_nation_volume,
+        "supplier_parts_cnt": _q_supplier_parts_cnt,
+        "idle_customers": _q_idle_customers,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2602,12 +2629,15 @@ def oracle_sql() -> dict[str, str]:
                                            user_rolling_sql)
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
                                        cust_order_dist_sql,
+                                       idle_customers_sql,
                                        large_orders_sql,
+                                       nation_volume_sql,
                                        order_priority_count_sql,
                                        promo_revenue_sql,
                                        returned_items_sql,
                                        shipping_priority_sql,
                                        small_qty_revenue_sql,
+                                       supplier_parts_cnt_sql,
                                        top_supplier_sql)
     from s2ray.pipelines.spatial_join import (destination_points_sql,
                                               location_codec_sql)
@@ -3705,6 +3735,9 @@ FROM (
         "order_priority_count": order_priority_count_sql(),
         "cust_order_dist": cust_order_dist_sql(),
         "small_qty_revenue": small_qty_revenue_sql(),
+        "nation_volume": nation_volume_sql(),
+        "supplier_parts_cnt": supplier_parts_cnt_sql(),
+        "idle_customers": idle_customers_sql(),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

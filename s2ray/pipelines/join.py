@@ -1571,3 +1571,420 @@ SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100, 0)
 FROM lineitem l
 JOIN a ON l.l_partkey = a.l_partkey
 WHERE l.l_quantity < {qty_frac} * (CAST(a.qsum AS DOUBLE) / a.cnt)"""
+
+
+def nation_volume(sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2",
+                  start: str = "1995-01-01", end: str = "1997-01-01",
+                  n_parts: int = 64,
+                  broadcast_threshold_bytes: int = 64 * 1024 * 1024):
+    """TPC-H Q7 shape (volume shipping): integer-exact revenue shipped
+    between two nations per (supp_nation, cust_nation, year), both
+    directions — (supp_nation, cust_nation, l_year, revenue_microcents).
+
+    Scale plan: the supplier->nation map is the one genuinely tiny fact
+    dimension (SF x 10k rows at TPC-H ratios) and broadcasts pre-filtered
+    to the two nations; customer x orders follows the Q5 rule (broadcast
+    below the on-disk threshold, else co-partition), ALSO pre-filtered to
+    the two nations before anything moves.  lineitem pre-aggregates per
+    (orderkey, supp-nation-bit, year-index) composite inside each batch —
+    the only fact-table shuffle is those partials through ONE orderkey
+    co-partition join; the final groupby is (2 x 2 x years)-sized.
+    """
+    import os as _os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    s_us = np.datetime64(start).astype("datetime64[us]").astype(np.int64)
+    e_us = np.datetime64(end).astype("datetime64[us]").astype(np.int64)
+    y0 = int(str(np.datetime64(start, "Y")))
+    n_years = max(1, int(str(np.datetime64(end, "Y"))) - y0 + 1)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    key_of = {n: int(k) for k, n in zip(nat["n_nationkey"].to_pylist(),
+                                        nat["n_name"].to_pylist())}
+    k1, k2 = key_of[n1], key_of[n2]
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = pc.cast(sup["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    snat = pc.cast(sup["s_nationkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    keep = (snat == k1) | (snat == k2)
+    order = np.argsort(sk[keep])
+    sup_ref = ray.put((sk[keep][order],
+                       (snat[keep][order] == k2).astype(np.int64)))
+
+    # orderkey -> customer nation, two-nation slice only (Q5 plan rule)
+    def cust_cast(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch["c_custkey"], pa.int64())
+        cn = pc.cast(batch["c_nationkey"], pa.int64())
+        m = pc.or_(pc.equal(cn, k1), pc.equal(cn, k2))
+        return pa.table({"c_custkey": ck.filter(m),
+                         "c_nationkey": cn.filter(m)})
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    if (_os.path.getsize(f"{sf_dir}/customer.parquet")
+            <= broadcast_threshold_bytes):
+        ct = cust_cast(pq.read_table(f"{sf_dir}/customer.parquet",
+                                     columns=["c_custkey", "c_nationkey"]))
+        oc = broadcast_hash_join(orders, ct, on="o_custkey",
+                                 build_on="c_custkey", how="inner")
+    else:
+        cust = (read_table(sf_dir, "customer",
+                           columns=["c_custkey", "c_nationkey"])
+                .map_batches(cust_cast, batch_format="pyarrow",
+                             batch_size=None))
+        oc = copartition_hash_join(orders, cust, on="o_custkey",
+                                   right_on="c_custkey", n_parts=n_parts)
+    oc = oc.select_columns(["o_orderkey", "c_nationkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        from ..state.bcast import cached_get
+
+        skeys, sbit = cached_get(sup_ref)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        sd_us = sd.astype(np.int64)
+        keep = (sd_us >= s_us) & (sd_us < e_us)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        m = _sorted_membership(skeys, lsk)
+        idx = np.flatnonzero(keep)[m]
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[idx]
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[idx]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[idx]
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        sb = sbit[np.searchsorted(skeys, lsk[m])]
+        yr = (sd[idx].astype("datetime64[Y]").astype(np.int64)
+              + 1970 - y0)
+        comp = ok * (2 * n_years) + sb * n_years + yr
+        u, inv = np.unique(comp, return_inverse=True)
+        return pa.table({
+            "o_orderkey": pa.array(u // (2 * n_years)),
+            "sbit": pa.array((u // n_years) % 2),
+            "l_year": pa.array(u % n_years + y0),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=None)
+    j = copartition_hash_join(li_agg, oc, on="o_orderkey", n_parts=n_parts)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        sb = batch["sbit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        yr = batch["l_year"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        snk = np.where(sb == 1, k2, k1)
+        keep = snk != cn
+        comp = (snk[keep] == k2).astype(np.int64) * n_years \
+            + (yr[keep] - y0)
+        u, inv = np.unique(comp, return_inverse=True)
+        sn = np.where(u // n_years == 1, n2, n1)
+        cn_name = np.where(u // n_years == 1, n1, n2)
+        return pa.table({
+            "supp_nation": pa.array(sn.astype(str)),
+            "cust_nation": pa.array(cn_name.astype(str)),
+            "l_year": pa.array(u % n_years + y0),
+            "prev": pa.array(np.bincount(inv, weights=rev[keep],
+                                         minlength=len(u))
+                             .astype(np.int64)),
+        })
+
+    return (j.map_batches(pair_partial, batch_format="pyarrow",
+                          batch_size=None)
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("prev", alias_name="revenue_microcents"))
+            .sort(["supp_nation", "cust_nation", "l_year"]))
+
+
+def nation_volume_sql(n1: str = "NATION_1", n2: str = "NATION_2",
+                      start: str = "1995-01-01",
+                      end: str = "1997-01-01") -> str:
+    """Oracle for :func:`nation_volume` — the Q7 six-way join mirror."""
+    return f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_microcents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ((ns.n_name = '{n1}' AND nc.n_name = '{n2}')
+    OR (ns.n_name = '{n2}' AND nc.n_name = '{n1}'))
+  AND l.l_shipdate >= TIMESTAMP '{start}'
+  AND l.l_shipdate < TIMESTAMP '{end}'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+def supplier_parts_cnt(sf_dir: str, excl_brand: str = "Brand#1",
+                       max_size: int = 25, n_parts: int = 64,
+                       broadcast_threshold_bytes: int = 64 * 1024 * 1024):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (p_brand, p_type, p_size) over the lineitem part-supplier
+    pairs, excluding one brand, large sizes, and negative-balance
+    suppliers (the complaints analogue) — (p_brand, p_type, p_size,
+    supplier_cnt), supplier_cnt DESC then attrs ASC.
+
+    Scale plan: the negative-balance supplier blacklist broadcasts as a
+    sorted key array (complainers are a small fraction); lineitem reduces
+    to per-batch-DISTINCT (partkey, suppkey) pairs via one lexsort before
+    anything moves; part attrs attach broadcast-or-co-partition (Q5
+    rule, filtered before the join so excluded parts never ship).  The
+    Q16 DISTINCT itself is irreducibly one exchange — expressed as a
+    multi-key groupby over the already-deduped pair stream — followed by
+    an attr-cardinality count rollup.
+    """
+    import os as _os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.readers import read_table
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    bad = np.sort(pc.cast(
+        sup.filter(pc.less(sup["s_acctbal"], 0.0))["s_suppkey"],
+        pa.int64()).to_numpy(zero_copy_only=False))
+    bad_ref = ray.put(bad)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        from ..state.bcast import cached_get
+
+        bl = cached_get(bad_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk2 = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = ~_sorted_membership(bl, sk2)
+        pk, sk2 = pk[ok], sk2[ok]
+        # overflow-free pair dedupe (partkey can exceed 2^31 at scale,
+        # so no pk<<32|sk packing): lexsort + adjacent-diff mask
+        order = np.lexsort((sk2, pk))
+        pk, sk2 = pk[order], sk2[order]
+        if len(pk):
+            first = np.concatenate(
+                [[True], (pk[1:] != pk[:-1]) | (sk2[1:] != sk2[:-1])])
+        else:
+            first = np.zeros(0, dtype=bool)
+        return pa.table({"p_partkey": pa.array(pk[first]),
+                         "l_suppkey": pa.array(sk2[first])})
+
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def part_cast(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.not_equal(batch["p_brand"], excl_brand),
+                    pc.less_equal(pc.cast(batch["p_size"], pa.int64()),
+                                  max_size))
+        return pa.table({
+            "p_partkey": pc.cast(batch["p_partkey"], pa.int64()).filter(m),
+            "p_brand": batch["p_brand"].filter(m),
+            "p_type": batch["p_type"].filter(m),
+            "p_size": pc.cast(batch["p_size"], pa.int64()).filter(m),
+        })
+
+    if (_os.path.getsize(f"{sf_dir}/part.parquet")
+            <= broadcast_threshold_bytes):
+        ptab = part_cast(pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_type", "p_size"]))
+        j = broadcast_hash_join(pairs, ptab, on="p_partkey", how="inner")
+    else:
+        part = (read_table(sf_dir, "part",
+                           columns=["p_partkey", "p_brand", "p_type",
+                                    "p_size"])
+                .map_batches(part_cast, batch_format="pyarrow",
+                             batch_size=None))
+        j = copartition_hash_join(pairs, part, on="p_partkey",
+                                  n_parts=n_parts)
+
+    distinct = (j.groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+                .aggregate(Count()))
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = _pd.DataFrame({
+            "p_brand": batch["p_brand"].to_pandas(),
+            "p_type": batch["p_type"].to_pandas(),
+            "p_size": batch["p_size"].to_pandas(),
+        })
+        g = df.groupby(["p_brand", "p_type", "p_size"], sort=False) \
+            .size().reset_index(name="pcnt")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return (distinct.map_batches(cnt_partial, batch_format="pyarrow",
+                                 batch_size=None)
+            .groupby(["p_brand", "p_type", "p_size"])
+            .aggregate(Sum("pcnt", alias_name="supplier_cnt"))
+            .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                  descending=[True, False, False, False]))
+
+
+def supplier_parts_cnt_sql(excl_brand: str = "Brand#1",
+                           max_size: int = 25) -> str:
+    """Oracle for :func:`supplier_parts_cnt` — the Q16 DISTINCT mirror."""
+    return f"""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{excl_brand}'
+  AND p.p_size <= {max_size}
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
+def idle_customers(sf_dir: str, since: str = "2000-01-01",
+                   n_parts: int = 64):
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance and NO orders since ``since`` (the
+    synthetic corpus gives every customer SOME order, so the dormancy
+    cutoff keeps the anti-join non-vacuous), rolled up per market
+    segment — (c_mktsegment, numcust, totacctbal_cents).
+
+    Scale plan: pass 1 folds the positive-balance mean through the
+    wrap-safe hi/lo-split cents lanes (one scalar pair to the driver);
+    the above-average test is the integer cross-multiplication
+    ``cents x count > sum_cents`` — NO float division anywhere, so the
+    engine and the oracle agree bit-exactly with zero IEEE caveats.
+    Pass 2 streams customer again, anti-joins the order custkeys through
+    the keys-only 'anti' co-partition lane (orders reduce to per-batch-
+    distinct custkeys; nothing broadcasts), and the final groupby is
+    segment-cardinality.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = np.rint(bal * 100.0).astype(np.int64)[bal > 0.0]
+        tot = int(cents.sum())
+        return pa.table({
+            "bh": pa.array([tot // (1 << 31)], type=pa.int64()),
+            "bl": pa.array([tot % (1 << 31)], type=pa.int64()),
+            "n": pa.array([len(cents)], type=pa.int64()),
+        })
+
+    s = (cust.map_batches(bal_partial, batch_format="pyarrow",
+                          batch_size=None)
+         .aggregate(Sum("bh"), Sum("bl"), Sum("n")))
+    sum_cents = ((int(s["sum(bh)"] or 0) << 31) + int(s["sum(bl)"] or 0))
+    cnt = int(s["sum(n)"] or 0)
+
+    def rich_filter(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = np.rint(bal * 100.0).astype(np.int64)
+        keep = cents * cnt > sum_cents
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64())
+            .filter(pa.array(keep)),
+            "cents": pa.array(cents[keep]),
+            "c_mktsegment": batch["c_mktsegment"].filter(pa.array(keep)),
+        })
+
+    rich = cust.map_batches(rich_filter, batch_format="pyarrow",
+                            batch_size=None)
+
+    since_us = np.datetime64(since).astype("datetime64[us]") \
+        .astype(np.int64)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+
+    def ckeys(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[od >= since_us]
+        return pa.table({"c_custkey": pa.array(np.unique(ck))})
+
+    okeys = orders.map_batches(ckeys, batch_format="pyarrow",
+                               batch_size=None)
+    idle = copartition_hash_join(rich, okeys, on="c_custkey",
+                                 n_parts=n_parts, how="anti")
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = _pd.DataFrame({
+            "c_mktsegment": batch["c_mktsegment"].to_pandas(),
+            "cents": batch["cents"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("c_mktsegment", sort=False) \
+            .agg(pn=("cents", "size"), pt=("cents", "sum")).reset_index()
+        g["pn"] = g["pn"].astype(np.int64)
+        g["pt"] = g["pt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    out = (idle.map_batches(seg_partial, batch_format="pyarrow",
+                            batch_size=None)
+           .groupby("c_mktsegment")
+           .aggregate(Sum("pn", alias_name="numcust"),
+                      Sum("pt", alias_name="totacctbal_cents"))
+           .take_all())  # segment-cardinality rows
+    out.sort(key=lambda r: r["c_mktsegment"])
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "c_mktsegment": pa.array([r["c_mktsegment"] for r in out],
+                                 type=pa.string()),
+        "numcust": pa.array([int(r["numcust"]) for r in out],
+                            type=pa.int64()),
+        "totacctbal_cents": pa.array(
+            [int(r["totacctbal_cents"]) for r in out], type=pa.int64()),
+    }))
+
+
+def idle_customers_sql(since: str = "2000-01-01") -> str:
+    """Oracle for :func:`idle_customers` — the Q22 anti-join mirror in
+    the engine's integer cross-multiplication domain."""
+    return f"""
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         count(*) AS cnt
+  FROM customer WHERE c_acctbal > 0.00)
+SELECT c.c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer c, pos
+WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) * pos.cnt
+        > pos.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{since}')
+GROUP BY 1 ORDER BY 1"""

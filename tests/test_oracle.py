@@ -88,7 +88,8 @@ def _compare(name, entrymod, con):
                                    "domain_bfs_depth", "quadrat_dispersion", "source_js", "user_burstiness", "ripley_k", "domain_cocitation", "domain_coupling", "clark_evans", "heaps_law", "event_type_trend", "source_vocab_jaccard", "shipping_priority", "geo_destination", "location_codec", "returned_items",
                                    "promo_revenue", "top_supplier", "large_orders",
                                    "order_priority_count", "cust_order_dist",
-                                   "small_qty_revenue",
+                                   "small_qty_revenue", "nation_volume",
+                                   "supplier_parts_cnt", "idle_customers",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",
