@@ -806,6 +806,38 @@ def _q_idle_customers(sf_dir: str):
     return idle_customers(sf_dir)
 
 
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: discount-band pruned scan, zero joins, hi/lo
+    wrap-safe fold."""
+    from s2ray.pipelines.join import forecast_revenue
+
+    return forecast_revenue(sf_dir)
+
+
+def _q_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape: OR-of-conjunctions bracket revenue with a
+    partkey->bracket broadcast map."""
+    from s2ray.pipelines.join import bracket_revenue
+
+    return bracket_revenue(sf_dir)
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's yearly share of a region's revenue;
+    two semi-join-filtered passes, years x 2 groupby."""
+    from s2ray.pipelines.join import market_share
+
+    return market_share(sf_dir)
+
+
+def _q_sole_fault_supplier(sf_dir: str):
+    """TPC-H Q21 shape: multi-supplier orders where exactly one supplier
+    had a return; per-order bucket evaluation."""
+    from s2ray.pipelines.join import sole_fault_supplier
+
+    return sole_fault_supplier(sf_dir)
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: top-10 unshipped BUILDING orders by integer-exact
     revenue; broadcast or double co-partition dimension plan."""
@@ -2431,6 +2463,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_volume": _q_nation_volume,
         "supplier_parts_cnt": _q_supplier_parts_cnt,
         "idle_customers": _q_idle_customers,
+        "forecast_revenue": _q_forecast_revenue,
+        "bracket_revenue": _q_bracket_revenue,
+        "market_share": _q_market_share,
+        "sole_fault_supplier": _q_sole_fault_supplier,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2628,15 +2664,19 @@ def oracle_sql() -> dict[str, str]:
                                            USER_BURSTINESS_SQL,
                                            user_rolling_sql)
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
+                                       bracket_revenue_sql,
                                        cust_order_dist_sql,
+                                       forecast_revenue_sql,
                                        idle_customers_sql,
                                        large_orders_sql,
+                                       market_share_sql,
                                        nation_volume_sql,
                                        order_priority_count_sql,
                                        promo_revenue_sql,
                                        returned_items_sql,
                                        shipping_priority_sql,
                                        small_qty_revenue_sql,
+                                       sole_fault_supplier_sql,
                                        supplier_parts_cnt_sql,
                                        top_supplier_sql)
     from s2ray.pipelines.spatial_join import (destination_points_sql,
@@ -3738,6 +3778,10 @@ FROM (
         "nation_volume": nation_volume_sql(),
         "supplier_parts_cnt": supplier_parts_cnt_sql(),
         "idle_customers": idle_customers_sql(),
+        "forecast_revenue": forecast_revenue_sql(),
+        "bracket_revenue": bracket_revenue_sql(),
+        "market_share": market_share_sql(),
+        "sole_fault_supplier": sole_fault_supplier_sql(),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

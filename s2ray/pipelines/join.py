@@ -1988,3 +1988,597 @@ WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) * pos.cnt
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '{since}')
 GROUP BY 1 ORDER BY 1"""
+
+
+def forecast_revenue(sf_dir: str, start: str = "1996-01-01",
+                     end: str = "1997-01-01", disc_lo: float = 0.05,
+                     disc_hi: float = 0.07, max_qty: int = 24):
+    """TPC-H Q6 shape (forecasting revenue change): the revenue increase
+    from eliminating a discount band — sum(extendedprice x discount) over
+    one year's lineitems inside the band and below a quantity cap; ONE
+    row (revenue_microcents, n_rows).
+
+    The canonical pruned-scan query: three columns read, every predicate
+    applied vectorized in-batch, zero joins, zero shuffles — only two
+    hi/lo-split int64 lanes reach the driver.  Discount-band membership
+    is evaluated on round(l_discount x 100) integers so the engine and
+    the oracle share one exact comparison domain (0.07 has no binary
+    representation; cents do).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    s_us = np.datetime64(start).astype("datetime64[us]").astype(np.int64)
+    e_us = np.datetime64(end).astype("datetime64[us]").astype(np.int64)
+    lo_c = int(np.rint(disc_lo * 100.0))
+    hi_c = int(np.rint(disc_hi * 100.0))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_extendedprice", "l_discount",
+                             "l_quantity", "l_shipdate"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        disc_c = np.rint(batch["l_discount"]
+                         .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = ((sd >= s_us) & (sd < e_us)
+                & (disc_c >= lo_c) & (disc_c <= hi_c)
+                & (qty < max_qty))
+        ext_c = np.rint(batch["l_extendedprice"]
+                        .to_numpy(zero_copy_only=False)[keep] * 100.0) \
+            .astype(np.int64)
+        tot = int((ext_c * disc_c[keep]).sum())
+        return pa.table({
+            "rh": pa.array([tot // (1 << 31)], type=pa.int64()),
+            "rl": pa.array([tot % (1 << 31)], type=pa.int64()),
+            "n": pa.array([int(keep.sum())], type=pa.int64()),
+        })
+
+    res = (li.map_batches(fold, batch_format="pyarrow", batch_size=None)
+           .aggregate(Sum("rh"), Sum("rl"), Sum("n")))
+    rev = ((int(res["sum(rh)"] or 0) << 31) + int(res["sum(rl)"] or 0))
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "revenue_microcents": pa.array([rev], type=pa.int64()),
+        "n_rows": pa.array([int(res["sum(n)"] or 0)], type=pa.int64()),
+    }))
+
+
+def forecast_revenue_sql(start: str = "1996-01-01",
+                         end: str = "1997-01-01", disc_lo: float = 0.05,
+                         disc_hi: float = 0.07,
+                         max_qty: int = 24) -> str:
+    """Oracle for :func:`forecast_revenue` — the Q6 band scan in the
+    engine's integer cents domain."""
+    lo_c = int(round(disc_lo * 100))
+    hi_c = int(round(disc_hi * 100))
+    return f"""
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         * CAST(round(l_discount * 100, 0) AS BIGINT)),
+                     0) AS BIGINT) AS revenue_microcents,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{start}'
+  AND l_shipdate < TIMESTAMP '{end}'
+  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN {lo_c} AND {hi_c}
+  AND l_quantity < {max_qty}"""
+
+
+_Q19_BRACKETS = (
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 10, 25, 10, 20),
+    ("Brand#34", 20, 50, 20, 30),
+)
+
+
+def bracket_revenue(sf_dir: str, brackets=_Q19_BRACKETS,
+                    n_parts: int = 64,
+                    broadcast_threshold_bytes: int = 64 * 1024 * 1024):
+    """TPC-H Q19 shape (discounted revenue, OR-of-conjunctions): revenue
+    per disjoint (brand, size-range, quantity-range) bracket —
+    (bracket, revenue_microcents, n_rows), one row per bracket that
+    matched anything.
+
+    Scale plan: part reduces to (partkey -> bracket-candidate id) with
+    the size predicate already applied, shipping ONLY matching parts
+    (broadcast under the Q5 threshold, else co-partition); the quantity
+    leg of each conjunction evaluates vectorized in-batch after the
+    attach; per-bracket partial sums ride hi/lo-split lanes into a
+    bracket-cardinality groupby.  Brackets are brand-disjoint by
+    construction, which is what lets bracket id attach per PART —
+    mirroring Q19's one-bracket-per-row property.
+    """
+    import os as _os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    brands = [b[0] for b in brackets]
+    assert len(set(brands)) == len(brands), "brackets must be brand-disjoint"
+
+    def part_map(tbl: pa.Table):
+        pk = pc.cast(tbl["p_partkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        br = tbl["p_brand"].to_pandas().to_numpy(dtype=object)
+        sz = pc.cast(tbl["p_size"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bid = np.full(len(pk), -1, dtype=np.int64)
+        for i, (brand, slo, shi, _, _) in enumerate(brackets):
+            bid[(br == brand) & (sz >= slo) & (sz <= shi)] = i
+        m = bid >= 0
+        return pk[m], bid[m]
+
+    qlo = np.array([b[3] for b in brackets], dtype=np.float64)
+    qhi = np.array([b[4] for b in brackets], dtype=np.float64)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice",
+                             "l_discount"])
+
+    def fold(batch: pa.Table, keys, bids) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _sorted_membership(keys, pk)
+        bid = bids[np.searchsorted(keys, pk[m])]
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        sel = (qty >= qlo[bid]) & (qty <= qhi[bid])
+        bid = bid[sel]
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m][sel]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m][sel]
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        nb = len(brackets)
+        tot = np.bincount(bid, weights=rev, minlength=nb).astype(np.int64)
+        return pa.table({
+            "bracket": pa.array(np.arange(nb, dtype=np.int64)),
+            "rh": pa.array(tot // (1 << 31)),
+            "rl": pa.array(tot % (1 << 31)),
+            "pn": pa.array(np.bincount(bid, minlength=nb)
+                           .astype(np.int64)),
+        })
+
+    if (_os.path.getsize(f"{sf_dir}/part.parquet")
+            <= broadcast_threshold_bytes):
+        keys, bids = part_map(pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_size"]))
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], bids[order]))
+
+        def fold_b(batch: pa.Table) -> pa.Table:
+            from ..state.bcast import cached_get
+
+            keys, bids = cached_get(ref)
+            return fold(batch, keys, bids)
+
+        partials = li.map_batches(fold_b, batch_format="pyarrow",
+                                  batch_size=None)
+    else:
+        def part_batch(batch: pa.Table) -> pa.Table:
+            pk, bid = part_map(batch)
+            return pa.table({"l_partkey": pa.array(pk),
+                             "bid": pa.array(bid)})
+
+        part = (read_table(sf_dir, "part",
+                           columns=["p_partkey", "p_brand", "p_size"])
+                .map_batches(part_batch, batch_format="pyarrow",
+                             batch_size=None))
+        j = copartition_hash_join(li, part, on="l_partkey",
+                                  n_parts=n_parts)
+
+        def fold_j(batch: pa.Table) -> pa.Table:
+            bid = batch["bid"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+            sel = (qty >= qlo[bid]) & (qty <= qhi[bid])
+            bid = bid[sel]
+            ext = batch["l_extendedprice"] \
+                .to_numpy(zero_copy_only=False)[sel]
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)[sel]
+            rev = (np.rint(ext * 100.0).astype(np.int64)
+                   * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+            nb = len(brackets)
+            tot = np.bincount(bid, weights=rev, minlength=nb) \
+                .astype(np.int64)
+            return pa.table({
+                "bracket": pa.array(np.arange(nb, dtype=np.int64)),
+                "rh": pa.array(tot // (1 << 31)),
+                "rl": pa.array(tot % (1 << 31)),
+                "pn": pa.array(np.bincount(bid, minlength=nb)
+                               .astype(np.int64)),
+            })
+
+        partials = j.map_batches(fold_j, batch_format="pyarrow",
+                                 batch_size=None)
+
+    out = (partials.groupby("bracket")
+           .aggregate(Sum("rh"), Sum("rl"),
+                      Sum("pn", alias_name="n_rows"))
+           .take_all())  # bracket-cardinality rows
+    out.sort(key=lambda r: r["bracket"])
+    rows = [(int(r["bracket"]),
+             (int(r["sum(rh)"]) << 31) + int(r["sum(rl)"]),
+             int(r["n_rows"])) for r in out if int(r["n_rows"]) > 0]
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "bracket": pa.array([r[0] for r in rows], type=pa.int64()),
+        "revenue_microcents": pa.array([r[1] for r in rows],
+                                       type=pa.int64()),
+        "n_rows": pa.array([r[2] for r in rows], type=pa.int64()),
+    }))
+
+
+def bracket_revenue_sql(brackets=_Q19_BRACKETS) -> str:
+    """Oracle for :func:`bracket_revenue` — the Q19 OR-of-conjunctions
+    mirror with a CASE bracket id."""
+    cases = "\n    ".join(
+        f"WHEN p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND l.l_quantity BETWEEN {qlo} AND {qhi} THEN {i}"
+        for i, (b, slo, shi, qlo, qhi) in enumerate(brackets))
+    return f"""
+WITH j AS (
+  SELECT CASE
+    {cases}
+    END AS bracket,
+    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+SELECT bracket, CAST(sum(rev) AS BIGINT) AS revenue_microcents,
+       count(*) AS n_rows
+FROM j WHERE bracket IS NOT NULL
+GROUP BY 1 ORDER BY 1"""
+
+
+def market_share(sf_dir: str, supp_nation: str = "NATION_1",
+                 region: str = "EUROPE", start: str = "1995-01-01",
+                 end: str = "1997-01-01", n_parts: int = 64,
+                 broadcast_threshold_bytes: int = 64 * 1024 * 1024):
+    """TPC-H Q8 shape (national market share): per order year, the share
+    of revenue sold into one region's customer nations that was supplied
+    by one nation — (l_year, nation_microcents, total_microcents,
+    mkt_share).
+
+    Scale plan: the supplier->is-nation bit broadcasts (SF x 10k rows);
+    customers reduce to the region's custkeys pre-join (Q5 broadcast/
+    co-partition rule); lineitem pre-aggregates per (orderkey,
+    supplier-bit, year) composite in-batch, takes ONE orderkey
+    co-partition join against the region-filtered order keys, and folds
+    into a (years x 2)-cardinality groupby.  Both revenue lanes are
+    hi/lo-split wrap-safe int64; the single share division happens once
+    per year row, mirrored CAST-for-CAST in the oracle.
+    """
+    import os as _os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .text import round_half_away
+
+    s_us = np.datetime64(start).astype("datetime64[us]").astype(np.int64)
+    e_us = np.datetime64(end).astype("datetime64[us]").astype(np.int64)
+    y0 = int(str(np.datetime64(start, "Y")))
+    n_years = max(1, int(str(np.datetime64(end, "Y"))) - y0 + 1)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {n: int(k) for k, n in zip(reg["r_regionkey"].to_pylist(),
+                                      reg["r_name"].to_pylist())}[region]
+    nat_k = pc.cast(nat["n_nationkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    nat_r = pc.cast(nat["n_regionkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    region_nations = set(nat_k[nat_r == rkey].tolist())
+    supp_nk = {n: int(k) for k, n in zip(nat["n_nationkey"].to_pylist(),
+                                         nat["n_name"].to_pylist())}[
+        supp_nation]
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = pc.cast(sup["s_suppkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    sbit = (pc.cast(sup["s_nationkey"], pa.int64())
+            .to_numpy(zero_copy_only=False) == supp_nk).astype(np.int64)
+    order = np.argsort(sk)
+    sup_ref = ray.put((sk[order], sbit[order]))
+
+    def cust_cast(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch["c_custkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cn = pc.cast(batch["c_nationkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = np.isin(cn, np.array(sorted(region_nations), dtype=np.int64))
+        return pa.table({"c_custkey": pa.array(ck[m])})
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    if (_os.path.getsize(f"{sf_dir}/customer.parquet")
+            <= broadcast_threshold_bytes):
+        ct = cust_cast(pq.read_table(f"{sf_dir}/customer.parquet",
+                                     columns=["c_custkey", "c_nationkey"]))
+        oc = broadcast_hash_join(orders, ct, on="o_custkey",
+                                 build_on="c_custkey", how="inner")
+    else:
+        cust = (read_table(sf_dir, "customer",
+                           columns=["c_custkey", "c_nationkey"])
+                .map_batches(cust_cast, batch_format="pyarrow",
+                             batch_size=None))
+        oc = copartition_hash_join(orders, cust, on="o_custkey",
+                                   right_on="c_custkey", n_parts=n_parts,
+                                   how="semi")
+    oc = oc.select_columns(["o_orderkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        from ..state.bcast import cached_get
+
+        skeys, sb = cached_get(sup_ref)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        sd_us = sd.astype(np.int64)
+        keep = (sd_us >= s_us) & (sd_us < e_us)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        bit = sb[np.searchsorted(skeys, lsk)]
+        # suppliers are a closed key space (every l_suppkey exists)
+        yr = (sd[keep].astype("datetime64[Y]").astype(np.int64)
+              + 1970 - y0)
+        comp = ok * (2 * n_years) + bit * n_years + yr
+        u, inv = np.unique(comp, return_inverse=True)
+        return pa.table({
+            "o_orderkey": pa.array(u // (2 * n_years)),
+            "sbit": pa.array((u // n_years) % 2),
+            "l_year": pa.array(u % n_years + y0),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=None)
+    j = copartition_hash_join(li_agg, oc, on="o_orderkey",
+                              n_parts=n_parts, how="semi")
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        yr = batch["l_year"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) - y0
+        sb = batch["sbit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        nat_t = np.zeros(n_years, dtype=np.int64)
+        tot_t = np.zeros(n_years, dtype=np.int64)
+        np.add.at(tot_t, yr, rev)
+        np.add.at(nat_t, yr[sb == 1], rev[sb == 1])
+        return pa.table({
+            "l_year": pa.array(np.arange(n_years, dtype=np.int64) + y0),
+            "nh": pa.array(nat_t // (1 << 31)),
+            "nl": pa.array(nat_t % (1 << 31)),
+            "th": pa.array(tot_t // (1 << 31)),
+            "tl": pa.array(tot_t % (1 << 31)),
+        })
+
+    out = (j.map_batches(year_partial, batch_format="pyarrow",
+                         batch_size=None)
+           .groupby("l_year")
+           .aggregate(Sum("nh"), Sum("nl"), Sum("th"), Sum("tl"))
+           .take_all())  # one row per year
+    out.sort(key=lambda r: r["l_year"])
+    rows = []
+    for r in out:
+        n_rev = (int(r["sum(nh)"]) << 31) + int(r["sum(nl)"])
+        t_rev = (int(r["sum(th)"]) << 31) + int(r["sum(tl)"])
+        if t_rev == 0:
+            continue
+        share = float(round_half_away(
+            np.float64(n_rev) / np.float64(t_rev), 6))
+        rows.append((int(r["l_year"]), n_rev, t_rev, share))
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "l_year": pa.array([r[0] for r in rows], type=pa.int64()),
+        "nation_microcents": pa.array([r[1] for r in rows],
+                                      type=pa.int64()),
+        "total_microcents": pa.array([r[2] for r in rows],
+                                     type=pa.int64()),
+        "mkt_share": pa.array([r[3] for r in rows], type=pa.float64()),
+    }))
+
+
+def market_share_sql(supp_nation: str = "NATION_1",
+                     region: str = "EUROPE", start: str = "1995-01-01",
+                     end: str = "1997-01-01") -> str:
+    """Oracle for :func:`market_share` — the Q8 share mirror with the
+    engine's exact CAST/round order."""
+    return f"""
+WITH j AS (
+  SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT) AS rev,
+         (ns.n_name = '{supp_nation}') AS is_nat
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE r.r_name = '{region}'
+    AND l.l_shipdate >= TIMESTAMP '{start}'
+    AND l.l_shipdate < TIMESTAMP '{end}')
+SELECT l_year,
+       CAST(coalesce(sum(CASE WHEN is_nat THEN rev END), 0) AS BIGINT)
+         AS nation_microcents,
+       CAST(sum(rev) AS BIGINT) AS total_microcents,
+       round(CAST(coalesce(sum(CASE WHEN is_nat THEN rev END), 0)
+                  AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY 1 HAVING sum(rev) > 0 ORDER BY 1"""
+
+
+def sole_fault_supplier(sf_dir: str, k: int = 100, n_parts: int = 64):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per supplier,
+    the number of multi-supplier orders in which THIS supplier had a
+    returned lineitem and no other supplier did — top ``k``
+    (s_suppkey, s_name, numwait), numwait DESC then suppkey.
+
+    Scale plan: lineitem reduces in-batch to DISTINCT (orderkey, suppkey,
+    any-returned) triples (lexsort dedupe, no packing); ONE orderkey
+    co-partition groups each order's triples in one bucket where the
+    exists/not-exists pair evaluates vectorized (segment counts over the
+    sorted triple stream — n_suppliers >= 2, exactly one supplier with a
+    return, emit that supplier); per-batch suppkey count partials feed a
+    supplier-cardinality groupby, the top-k cut is the two-level local
+    merge, and s_name attaches to exactly k rows via a key-filtered read.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def triples(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rf = pc.equal(batch["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sk, ok))
+        ok, sk, rf = ok[order], sk[order], rf[order]
+        if len(ok):
+            new = np.concatenate(
+                [[True], (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])])
+        else:
+            new = np.zeros(0, dtype=bool)
+        seg = np.cumsum(new) - 1
+        any_r = np.zeros(int(seg[-1]) + 1 if len(seg) else 0,
+                         dtype=np.int64)
+        np.maximum.at(any_r, seg, rf)
+        return pa.table({
+            "o_orderkey": pa.array(ok[new]),
+            "l_suppkey": pa.array(sk[new]),
+            "anyr": pa.array(any_r),
+        })
+
+    tri = li.map_batches(triples, batch_format="pyarrow", batch_size=None)
+
+    def bucket_of(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "_b", pa.array(_part_of(ok, n_parts).astype(np.int64)))
+
+    def per_order(group: pa.Table) -> pa.Table:
+        ok = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        sk = group["l_suppkey"].to_numpy(zero_copy_only=False)
+        rf = group["anyr"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        ok, sk, rf = ok[order], sk[order], rf[order]
+        if not len(ok):
+            return pa.table({"l_suppkey": pa.array([], type=pa.int64()),
+                             "pc_": pa.array([], type=pa.int64())})
+        # merge cross-batch duplicates of the same (order, supplier)
+        new = np.concatenate(
+            [[True], (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])])
+        seg = np.cumsum(new) - 1
+        any_r = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+        np.maximum.at(any_r, seg, rf)
+        ok, sk = ok[new], sk[new]
+        # per-order segment stats
+        onew = np.concatenate([[True], ok[1:] != ok[:-1]])
+        oseg = np.cumsum(onew) - 1
+        n_ord = int(oseg[-1]) + 1
+        n_sup = np.bincount(oseg, minlength=n_ord)
+        n_ret = np.bincount(oseg, weights=any_r, minlength=n_ord) \
+            .astype(np.int64)
+        emit = (any_r == 1) & (n_sup[oseg] >= 2) & (n_ret[oseg] == 1)
+        winners = sk[emit]
+        u, inv = np.unique(winners, return_inverse=True)
+        return pa.table({
+            "l_suppkey": pa.array(u),
+            "pc_": pa.array(np.bincount(inv, minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    counts = (tri.map_batches(bucket_of, batch_format="pyarrow",
+                              batch_size=None)
+              .groupby("_b")
+              .map_groups(per_order, batch_format="pyarrow")
+              .groupby("l_suppkey")
+              .aggregate(Sum("pc_", alias_name="numwait")))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        nw = batch["numwait"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((sk, -nw))[:k]
+        return batch.take(pa.array(order))
+
+    top = (counts.map_batches(topk, batch_format="pyarrow",
+                              batch_size=None)
+           .repartition(1)
+           .map_batches(topk, batch_format="pyarrow", batch_size=None)
+           .take_all())
+    sk = np.array([r["l_suppkey"] for r in top], dtype=np.int64)
+    nw = np.array([r["numwait"] for r in top], dtype=np.int64)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"],
+                        filters=[("s_suppkey", "in",
+                                  sorted(set(sk.tolist())))])
+    skeys = pc.cast(sup["s_suppkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    pos = {int(s): i for i, s in enumerate(skeys)}
+    idx = pa.array(np.array([pos[int(s)] for s in sk], dtype=np.int64))
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(sk),
+        "s_name": sup["s_name"].take(idx),
+        "numwait": pa.array(nw),
+    }))
+
+
+def sole_fault_supplier_sql(k: int = 100) -> str:
+    """Oracle for :func:`sole_fault_supplier` — the Q21 exists/not-exists
+    mirror."""
+    return f"""
+WITH t AS (
+  SELECT DISTINCT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey, l_suppkey) AS anyr
+  FROM lineitem)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM t
+JOIN supplier s ON t.l_suppkey = s.s_suppkey
+WHERE t.anyr = 1
+  AND EXISTS (SELECT 1 FROM t t2
+              WHERE t2.l_orderkey = t.l_orderkey
+                AND t2.l_suppkey <> t.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM t t3
+                  WHERE t3.l_orderkey = t.l_orderkey
+                    AND t3.l_suppkey <> t.l_suppkey
+                    AND t3.anyr = 1)
+GROUP BY 1, 2
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT {k}"""

@@ -90,6 +90,8 @@ def _compare(name, entrymod, con):
                                    "order_priority_count", "cust_order_dist",
                                    "small_qty_revenue", "nation_volume",
                                    "supplier_parts_cnt", "idle_customers",
+                                   "forecast_revenue", "bracket_revenue",
+                                   "market_share", "sole_fault_supplier",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",
