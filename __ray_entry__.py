@@ -838,6 +838,28 @@ def _q_sole_fault_supplier(sf_dir: str):
     return sole_fault_supplier(sf_dir)
 
 
+def _q_source_overlap(sf_dir: str):
+    """Distinct-text INTERSECT/EXCEPT between two sources on the
+    exact_dedup digest shuffle."""
+    from s2ray.pipelines.relational import source_overlap
+
+    return source_overlap(sf_dir)
+
+
+def _q_pivot_lang_counts(sf_dir: str):
+    """Long->wide pivot: per-source doc counts per language column."""
+    from s2ray.pipelines.relational import pivot_lang_counts
+
+    return pivot_lang_counts(sf_dir)
+
+
+def _q_user_type_matrix(sf_dir: str):
+    """Per-user event-type count matrix (feature-engineering pivot)."""
+    from s2ray.pipelines.relational import user_type_matrix
+
+    return user_type_matrix(sf_dir)
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: top-10 unshipped BUILDING orders by integer-exact
     revenue; broadcast or double co-partition dimension plan."""
@@ -2467,6 +2489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bracket_revenue": _q_bracket_revenue,
         "market_share": _q_market_share,
         "sole_fault_supplier": _q_sole_fault_supplier,
+        "source_overlap": _q_source_overlap,
+        "pivot_lang_counts": _q_pivot_lang_counts,
+        "user_type_matrix": _q_user_type_matrix,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2679,6 +2704,9 @@ def oracle_sql() -> dict[str, str]:
                                        sole_fault_supplier_sql,
                                        supplier_parts_cnt_sql,
                                        top_supplier_sql)
+    from s2ray.pipelines.relational import (pivot_lang_counts_sql,
+                                            source_overlap_sql,
+                                            user_type_matrix_sql)
     from s2ray.pipelines.spatial_join import (destination_points_sql,
                                               location_codec_sql)
     from s2ray.pipelines.polyline import Polyline
@@ -3782,6 +3810,9 @@ FROM (
         "bracket_revenue": bracket_revenue_sql(),
         "market_share": market_share_sql(),
         "sole_fault_supplier": sole_fault_supplier_sql(),
+        "source_overlap": source_overlap_sql(),
+        "pivot_lang_counts": pivot_lang_counts_sql(),
+        "user_type_matrix": user_type_matrix_sql(),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

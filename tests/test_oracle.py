@@ -92,6 +92,8 @@ def _compare(name, entrymod, con):
                                    "supplier_parts_cnt", "idle_customers",
                                    "forecast_revenue", "bracket_revenue",
                                    "market_share", "sole_fault_supplier",
+                                   "source_overlap", "pivot_lang_counts",
+                                   "user_type_matrix",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",
