@@ -838,6 +838,22 @@ def _q_sole_fault_supplier(sf_dir: str):
     return sole_fault_supplier(sf_dir)
 
 
+def _q_value_histogram(sf_dir: str):
+    """Equal-width numeric binning: one floor-divide bin id, bincount
+    partials, (n_bins+1)-cardinality groupby."""
+    from s2ray.pipelines.analytics import value_histogram
+
+    return value_histogram(sf_dir)
+
+
+def _q_user_skyline(sf_dir: str):
+    """Skyline (Pareto frontier) operator: local-frontier-then-merge
+    over exact integer per-user aggregates."""
+    from s2ray.pipelines.analytics import user_skyline
+
+    return user_skyline(sf_dir)
+
+
 def _q_source_overlap(sf_dir: str):
     """Distinct-text INTERSECT/EXCEPT between two sources on the
     exact_dedup digest shuffle."""
@@ -2492,6 +2508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "pivot_lang_counts": _q_pivot_lang_counts,
         "user_type_matrix": _q_user_type_matrix,
+        "value_histogram": _q_value_histogram,
+        "user_skyline": _q_user_skyline,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2687,7 +2705,9 @@ def oracle_sql() -> dict[str, str]:
                                            profile_table_sql,
                                            source_drift_psi_sql,
                                            USER_BURSTINESS_SQL,
-                                           user_rolling_sql)
+                                           USER_SKYLINE_SQL,
+                                           user_rolling_sql,
+                                           value_histogram_sql)
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
                                        bracket_revenue_sql,
                                        cust_order_dist_sql,
@@ -3813,6 +3833,8 @@ FROM (
         "source_overlap": source_overlap_sql(),
         "pivot_lang_counts": pivot_lang_counts_sql(),
         "user_type_matrix": user_type_matrix_sql(),
+        "value_histogram": value_histogram_sql(),
+        "user_skyline": USER_SKYLINE_SQL,
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

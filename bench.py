@@ -480,6 +480,16 @@ def run_bench():
 
     timed("phrase_search", _phrase_search)
 
+    def _nation_volume():
+        # relational multi-join family (round 4): supplier-bit broadcast,
+        # Q5-rule customer attach, composite in-batch pre-agg, ONE
+        # orderkey co-partition
+        from s2ray.pipelines.join import nation_volume
+
+        return nation_volume(SF_DIR).count()
+
+    timed("nation_volume", _nation_volume)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({

@@ -3581,3 +3581,176 @@ SELECT g.event_type, CAST(c.m AS BIGINT) AS n_days,
                / CAST(c.m * c.sxx - c.sx * c.sx AS DOUBLE), 9) END
          AS slope
 FROM g CROSS JOIN c"""
+
+
+def value_histogram(sf_dir: str, width: float = 25.0, n_bins: int = 20):
+    """Equal-width histogram of the events value column — one row per
+    non-empty bin: (bin, n, value_cents).  ``bin`` = floor(value/width)
+    clamped to [0, n_bins] (the last id is the overflow bucket); NULL
+    values are dropped on both engines.
+
+    The fundamental numeric binning operator: per-batch the bin id is
+    ONE float division + floor (identical IEEE op on both engines —
+    the division result is floored, never re-rounded), counts and exact
+    cent sums come from two bincounts, and the only exchange is a
+    (n_bins+1)-cardinality groupby of partials.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        if v.null_count:
+            v = pc.drop_null(v)
+        v = v.to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor(v / np.float64(width)).astype(np.int64),
+                    0, n_bins)
+        cents = np.rint(v * 100.0).astype(np.int64)
+        return pa.table({
+            "bin": pa.array(np.arange(n_bins + 1, dtype=np.int64)),
+            "pn": pa.array(np.bincount(b, minlength=n_bins + 1)
+                           .astype(np.int64)),
+            "pc_": pa.array(np.bincount(b, weights=cents,
+                                        minlength=n_bins + 1)
+                            .astype(np.int64)),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("bin")
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("pc_", alias_name="value_cents"))
+           .take_all())  # (n_bins+1)-cardinality
+    out = [r for r in out if int(r["n"]) > 0]
+    out.sort(key=lambda r: r["bin"])
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "bin": pa.array([int(r["bin"]) for r in out], type=pa.int64()),
+        "n": pa.array([int(r["n"]) for r in out], type=pa.int64()),
+        "value_cents": pa.array([int(r["value_cents"]) for r in out],
+                                type=pa.int64()),
+    }))
+
+
+def value_histogram_sql(width: float = 25.0, n_bins: int = 20) -> str:
+    """Oracle for :func:`value_histogram` — the same floor-divide bin id
+    with LEAST/GREATEST clamping."""
+    return f"""
+SELECT LEAST(GREATEST(CAST(floor(value / {width}) AS BIGINT), 0),
+             {n_bins}) AS bin,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1 ORDER BY 1"""
+
+
+def _skyline_filter(n: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Boolean mask of the maximal (n, v) Pareto frontier (maximize
+    both; a point survives unless some other point is >= on both axes
+    and > on at least one).  Ties: identical points all survive.
+    Vectorized: sort by n DESC, take per-distinct-n max v, survive
+    strictly-increasing v going down the n order."""
+    if not len(n):
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-v, -n))
+    ns, vs = n[order], v[order]
+    new_n = np.concatenate([[True], ns[1:] != ns[:-1]])
+    # max v per distinct n = first v in each n segment (v sorted desc)
+    seg = np.cumsum(new_n) - 1
+    vmax = vs[new_n]
+    # frontier n-segments: vmax strictly above every vmax of larger n
+    best = np.maximum.accumulate(np.concatenate([[np.iinfo(np.int64).min],
+                                                 vmax[:-1]]))
+    seg_ok = vmax > best
+    keep_sorted = seg_ok[seg] & (vs == vmax[seg])
+    keep = np.zeros(len(n), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def user_skyline(sf_dir: str):
+    """Pareto frontier (skyline operator) over per-user activity: users
+    whose (n_events, value_micro) is not dominated by any other user —
+    (user_id, n_events, value_micro), sorted by user_id.
+
+    Scale plan: the per-user aggregate is ONE user-cardinality groupby
+    of in-batch partials; the skyline itself distributes as
+    local-frontier-then-merge — each aggregated batch keeps only its own
+    Pareto frontier (global frontier is a subset of the union of local
+    frontiers, by dominance transitivity), the survivors (typically
+    O(sqrt) of a random batch) repartition to one block, and the same
+    vectorized filter runs once more.  Value sums ride exact integer
+    microunits so dominance comparisons are never float.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_users(batch)
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        micro = np.where(np.isnan(v), 0,
+                         np.rint(np.nan_to_num(v) * 1e6)).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "pn": pa.array(np.bincount(inv, minlength=len(uu))
+                           .astype(np.int64)),
+            "pv": pa.array(np.bincount(inv, weights=micro,
+                                       minlength=len(uu))
+                           .astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("user_id")
+           .aggregate(Sum("pn", alias_name="n_events"),
+                      Sum("pv", alias_name="value_micro")))
+
+    def local_sky(batch: pa.Table) -> pa.Table:
+        keep = _skyline_filter(
+            batch["n_events"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            batch["value_micro"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        return batch.filter(pa.array(keep))
+
+    out = (agg.map_batches(local_sky, batch_format="pyarrow",
+                           batch_size=None)
+           .repartition(1)
+           .map_batches(local_sky, batch_format="pyarrow",
+                        batch_size=None)
+           .take_all())
+    out.sort(key=lambda r: r["user_id"])
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "user_id": pa.array([int(r["user_id"]) for r in out],
+                            type=pa.int64()),
+        "n_events": pa.array([int(r["n_events"]) for r in out],
+                             type=pa.int64()),
+        "value_micro": pa.array([int(r["value_micro"]) for r in out],
+                                type=pa.int64()),
+    }))
+
+
+USER_SKYLINE_SQL = """
+WITH u AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CASE WHEN value IS NULL THEN 0
+                  ELSE CAST(round(value * 1000000, 0) AS BIGINT) END)
+              AS BIGINT) AS value_micro
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+SELECT a.user_id, a.n_events, a.value_micro
+FROM u a
+WHERE NOT EXISTS (
+  SELECT 1 FROM u b
+  WHERE b.n_events >= a.n_events AND b.value_micro >= a.value_micro
+    AND (b.n_events > a.n_events OR b.value_micro > a.value_micro))
+ORDER BY a.user_id"""

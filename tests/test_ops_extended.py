@@ -478,3 +478,30 @@ def test_event_followups_matches_bruteforce(ray_session):
         assert np.array_equal(got[c].to_numpy().astype(np.int64),
                               ref[c].to_numpy()), c
     assert (got["n_follow"] >= 0).all() and got["n_follow"].max() > 0
+
+
+# ---------------------------------------------------------------------------
+# skyline kernel (round 4)
+
+def test_skyline_filter_matches_bruteforce():
+    """_skyline_filter == O(n^2) dominance check, incl. duplicate points
+    (neither dominates the other -> both survive) and max-v ties across
+    distinct n (the larger-n point dominates)."""
+    import numpy as np
+
+    from s2ray.pipelines.analytics import _skyline_filter
+
+    rng = np.random.RandomState(7)
+    for trial in range(25):
+        m = rng.randint(1, 60)
+        n = rng.randint(0, 8, size=m).astype(np.int64)
+        v = rng.randint(0, 8, size=m).astype(np.int64)
+        keep = _skyline_filter(n, v)
+        brute = np.ones(m, dtype=bool)
+        for i in range(m):
+            dom = ((n >= n[i]) & (v >= v[i])
+                   & ((n > n[i]) | (v > v[i])))
+            brute[i] = not dom.any()
+        assert np.array_equal(keep, brute), (trial, n.tolist(), v.tolist())
+    assert _skyline_filter(np.zeros(0, np.int64),
+                           np.zeros(0, np.int64)).shape == (0,)

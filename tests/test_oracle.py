@@ -93,7 +93,8 @@ def _compare(name, entrymod, con):
                                    "forecast_revenue", "bracket_revenue",
                                    "market_share", "sole_fault_supplier",
                                    "source_overlap", "pivot_lang_counts",
-                                   "user_type_matrix",
+                                   "user_type_matrix", "value_histogram",
+                                   "user_skyline",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",
