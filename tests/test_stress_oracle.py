@@ -51,7 +51,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "knn_graph",
                "vocab_coverage", "weighted_sample", "lang_corr",
                "domain_lang_entropy",
-               "token_edit_pairs"]
+               "token_edit_pairs", "source_overlap", "pivot_lang_counts"]
 EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
@@ -60,7 +60,8 @@ EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "events_sliding_distinct", "user_rolling",
                  "event_transitions", "event_followups",
                  "event_cooccurrence", "session_entry_exit",
-                 "user_burstiness", "event_type_trend"]
+                 "user_burstiness", "event_type_trend",
+                 "user_type_matrix", "value_histogram", "user_skyline"]
 
 
 def _assert_matches_oracle(qname, res, con):
