@@ -838,6 +838,22 @@ def _q_sole_fault_supplier(sf_dir: str):
     return sole_fault_supplier(sf_dir)
 
 
+def _q_latest_event_state(sf_dir: str):
+    """CDC keep-last compaction per (user, type): associative per-batch
+    winners, one user-hash co-partition."""
+    from s2ray.pipelines.analytics import latest_event_state
+
+    return latest_event_state(sf_dir)
+
+
+def _q_user_event_paths(sf_dir: str):
+    """Ordered collect (string_agg): per-user event-type sequence in
+    (ts, event_id) order."""
+    from s2ray.pipelines.analytics import user_event_paths
+
+    return user_event_paths(sf_dir)
+
+
 def _q_value_histogram(sf_dir: str):
     """Equal-width numeric binning: one floor-divide bin id, bincount
     partials, (n_bins+1)-cardinality groupby."""
@@ -2510,6 +2526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_matrix": _q_user_type_matrix,
         "value_histogram": _q_value_histogram,
         "user_skyline": _q_user_skyline,
+        "latest_event_state": _q_latest_event_state,
+        "user_event_paths": _q_user_event_paths,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2704,8 +2722,10 @@ def oracle_sql() -> dict[str, str]:
                                            event_followups_sql,
                                            profile_table_sql,
                                            source_drift_psi_sql,
+                                           LATEST_EVENT_STATE_SQL,
                                            USER_BURSTINESS_SQL,
                                            USER_SKYLINE_SQL,
+                                           user_event_paths_sql,
                                            user_rolling_sql,
                                            value_histogram_sql)
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
@@ -3835,6 +3855,8 @@ FROM (
         "user_type_matrix": user_type_matrix_sql(),
         "value_histogram": value_histogram_sql(),
         "user_skyline": USER_SKYLINE_SQL,
+        "latest_event_state": LATEST_EVENT_STATE_SQL,
+        "user_event_paths": user_event_paths_sql(),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

@@ -3754,3 +3754,135 @@ WHERE NOT EXISTS (
   WHERE b.n_events >= a.n_events AND b.value_micro >= a.value_micro
     AND (b.n_events > a.n_events OR b.value_micro > a.value_micro))
 ORDER BY a.user_id"""
+
+
+def latest_event_state(sf_dir: str, n_parts: int = 64):
+    """CDC compaction (keep-last / upsert semantics): one row per
+    (user_id, event_type) — the LATEST event by (ts, event_id) — with
+    its timestamp, id and value.  The standard changelog->state
+    compaction every ingestion pipeline runs.
+
+    Scale plan: keep-last is an associative reduction, so each batch
+    first compacts to its own per-key winner (one lexsort, keep the
+    segment tail) — the shuffle then moves at most one row per (key,
+    batch); a user-hash co-partition re-runs the identical vectorized
+    reducer per bucket.  Ties break on event_id (mirrored in the
+    oracle's ORDER BY ts DESC, event_id DESC), so the result is
+    deterministic under any batch arrival order.
+    """
+    import ray.data
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id",
+                             "value"])
+
+    def keep_last(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(_drop_null_users(batch))
+        if not len(batch):
+            return batch
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = batch["event_type"].to_pandas()
+        codes, _ = pd.factorize(et, use_na_sentinel=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, codes, u))
+        u_s, c_s = u[order], codes[order]
+        last = np.concatenate(
+            [(u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1]), [True]])
+        return batch.take(pa.array(order[last]))
+
+    compacted = ds.map_batches(keep_last, batch_format="pyarrow",
+                               batch_size=None)
+
+    def bucket_of(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = _splitmix64(u.view(np.uint64)) % np.uint64(n_parts)
+        return batch.append_column("_b", pa.array(h.astype(np.int64)))
+
+    merged = (compacted.map_batches(bucket_of, batch_format="pyarrow",
+                                    batch_size=None)
+              .groupby("_b")
+              .map_groups(lambda g: keep_last(g.drop_columns(["_b"])),
+                          batch_format="pyarrow"))
+    return merged.select_columns(["user_id", "event_type", "ts",
+                                  "event_id", "value"])
+
+
+LATEST_EVENT_STATE_SQL = """
+SELECT user_id, event_type, ts, event_id, value
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1"""
+
+
+def user_event_paths(sf_dir: str, sep: str = ",", n_parts: int = 64):
+    """Ordered collect (string_agg): per user, the comma-joined sequence
+    of event types in (ts, event_id) order plus the event count —
+    (user_id, n_events, path).
+
+    Ordered collection is irreducibly ONE exchange of the collected
+    column (there is no per-batch partial for a global order) — the
+    engine moves only (user_id, ts, event_id, event_type), buckets by
+    user hash so each user's rows land in one group, lexsorts once per
+    bucket, and joins per-user segments with a vectorized pandas groupby
+    apply over already-sorted codes.  Tie order (ts, then event_id) is
+    mirrored in the oracle's string_agg ORDER BY.
+    """
+    import ray.data
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+
+    def bucket_of(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(_drop_null_users(batch))
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = _splitmix64(u.view(np.uint64)) % np.uint64(n_parts)
+        return batch.append_column("_b", pa.array(h.astype(np.int64)))
+
+    def collect(group: pa.Table) -> pa.Table:
+        if not len(group):
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "path": pa.array([], type=pa.string())})
+        u = group["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = group["event_type"].to_pandas().to_numpy(dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u_s, et_s = u[order], et[order]
+        df = pd.DataFrame({"u": u_s, "t": et_s})
+        g = df.groupby("u", sort=True)["t"] \
+            .agg(lambda s: sep.join(x if x is not None else ""
+                                    for x in s))
+        n = df.groupby("u", sort=True)["t"].size()
+        return pa.table({
+            "user_id": pa.array(g.index.to_numpy().astype(np.int64)),
+            "n_events": pa.array(n.to_numpy().astype(np.int64)),
+            "path": pa.array(g.to_numpy(dtype=object), type=pa.string()),
+        })
+
+    return (ds.map_batches(bucket_of, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("_b")
+            .map_groups(collect, batch_format="pyarrow"))
+
+
+def user_event_paths_sql(sep: str = ",") -> str:
+    """Oracle for :func:`user_event_paths` — string_agg with the same
+    (ts, event_id) order."""
+    return f"""
+SELECT user_id, count(*) AS n_events,
+       string_agg(coalesce(event_type, ''), '{sep}'
+                  ORDER BY ts, event_id) AS path
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY user_id"""

@@ -94,7 +94,8 @@ def _compare(name, entrymod, con):
                                    "market_share", "sole_fault_supplier",
                                    "source_overlap", "pivot_lang_counts",
                                    "user_type_matrix", "value_histogram",
-                                   "user_skyline",
+                                   "user_skyline", "latest_event_state",
+                                   "user_event_paths",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",

@@ -61,7 +61,8 @@ EVENT_QUERIES = ["funnel_views", "user_sessions", "events_asof",
                  "event_transitions", "event_followups",
                  "event_cooccurrence", "session_entry_exit",
                  "user_burstiness", "event_type_trend",
-                 "user_type_matrix", "value_histogram", "user_skyline"]
+                 "user_type_matrix", "value_histogram", "user_skyline",
+                 "latest_event_state", "user_event_paths"]
 
 
 def _assert_matches_oracle(qname, res, con):
