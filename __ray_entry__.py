@@ -838,6 +838,14 @@ def _q_sole_fault_supplier(sf_dir: str):
     return sole_fault_supplier(sf_dir)
 
 
+def _q_emb_dim_stats(sf_dir: str):
+    """Per-dimension embedding moments in the exact 2^40-scaled integer
+    domain (feature-whitening stats)."""
+    from s2ray.pipelines.ann import emb_dim_stats
+
+    return emb_dim_stats(sf_dir)
+
+
 def _q_latest_event_state(sf_dir: str):
     """CDC keep-last compaction per (user, type): associative per-batch
     winners, one user-hash co-partition."""
@@ -2528,6 +2536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_skyline": _q_user_skyline,
         "latest_event_state": _q_latest_event_state,
         "user_event_paths": _q_user_event_paths,
+        "emb_dim_stats": _q_emb_dim_stats,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2744,6 +2753,7 @@ def oracle_sql() -> dict[str, str]:
                                        sole_fault_supplier_sql,
                                        supplier_parts_cnt_sql,
                                        top_supplier_sql)
+    from s2ray.pipelines.ann import EMB_DIM_STATS_SQL
     from s2ray.pipelines.relational import (pivot_lang_counts_sql,
                                             source_overlap_sql,
                                             user_type_matrix_sql)
@@ -3857,6 +3867,7 @@ FROM (
         "user_skyline": USER_SKYLINE_SQL,
         "latest_event_state": LATEST_EVENT_STATE_SQL,
         "user_event_paths": user_event_paths_sql(),
+        "emb_dim_stats": EMB_DIM_STATS_SQL,
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

@@ -658,3 +658,88 @@ def cross_lang_nn_bucketed(sf_dir: str, n_bands: int = 10,
 
     return partials.groupby("part").map_groups(best_per_vec,
                                                batch_format="pandas")
+
+
+_DIM_SCALE = float(1 << 40)  # 2^40: f32 mantissa x 2^40 stays exact in f64
+
+
+def emb_dim_stats(sf_dir: str):
+    """Per-dimension moments of the embedding matrix — one row per
+    vector dimension: (dim, n, sum_scaled, min_scaled, max_scaled,
+    mean).  The feature-whitening statistics pass every embedding
+    pipeline runs before normalization/PCA.
+
+    Exactness: each float32 component is m x 2^e with a 24-bit mantissa,
+    so CAST-to-f64 then x 2^40 is EXACT in f64; floor(x + 0.5) is the
+    same half-up rule on both engines, giving an integer domain where
+    the distributed sum is order-free.  Per-batch partials are one
+    zero-copy flatten + reshape and three axis-0 reductions; the only
+    exchange is a dim-cardinality groupby of hi/lo-split lanes (the sum
+    of 2^40-scaled components can pass 2^63 at corpus scale).
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.vecs import embedding_matrix
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = embedding_matrix(batch["embedding"], dtype=np.float64)
+        if not mat.size:
+            dim = mat.shape[1]
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({"dim": z, "sh": z, "sl": z, "pn": z,
+                             "mn": z, "mx": z})
+        s = np.floor(mat * _DIM_SCALE + 0.5).astype(np.int64)
+        tot = s.sum(axis=0, dtype=np.int64)
+        d = mat.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "sh": pa.array(tot // (1 << 31)),
+            "sl": pa.array(tot % (1 << 31)),
+            "pn": pa.array(np.full(d, mat.shape[0], dtype=np.int64)),
+            "mn": pa.array(s.min(axis=0)),
+            "mx": pa.array(s.max(axis=0)),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("dim")
+           .aggregate(Sum("sh"), Sum("sl"), Sum("pn", alias_name="n"),
+                      Min("mn", alias_name="min_scaled"),
+                      Max("mx", alias_name="max_scaled"))
+           .take_all())  # dim-cardinality rows
+    out.sort(key=lambda r: r["dim"])
+    dims = [int(r["dim"]) for r in out]
+    sums = [((int(r["sum(sh)"]) << 31) + int(r["sum(sl)"])) for r in out]
+    ns = [int(r["n"]) for r in out]
+    means = [float(round_half_away(
+        np.float64(s) / np.float64(n) / np.float64(_DIM_SCALE), 9))
+        for s, n in zip(sums, ns)]
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "dim": pa.array(dims, type=pa.int64()),
+        "n": pa.array(ns, type=pa.int64()),
+        "sum_scaled": pa.array(sums, type=pa.int64()),
+        "min_scaled": pa.array([int(r["min_scaled"]) for r in out],
+                               type=pa.int64()),
+        "max_scaled": pa.array([int(r["max_scaled"]) for r in out],
+                               type=pa.int64()),
+        "mean": pa.array(means, type=pa.float64()),
+    }))
+
+
+EMB_DIM_STATS_SQL = """
+WITH u AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                    * 1099511627776.0 + 0.5) AS BIGINT) AS s
+  FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       CAST(sum(s) AS BIGINT) AS sum_scaled,
+       min(s) AS min_scaled, max(s) AS max_scaled,
+       round(CAST(sum(s) AS DOUBLE) / count(*) / 1099511627776.0, 9)
+         AS mean
+FROM u GROUP BY 1 ORDER BY 1"""

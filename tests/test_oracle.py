@@ -95,7 +95,7 @@ def _compare(name, entrymod, con):
                                    "source_overlap", "pivot_lang_counts",
                                    "user_type_matrix", "value_histogram",
                                    "user_skyline", "latest_event_state",
-                                   "user_event_paths",
+                                   "user_event_paths", "emb_dim_stats",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",
