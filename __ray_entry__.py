@@ -838,6 +838,27 @@ def _q_sole_fault_supplier(sf_dir: str):
     return sole_fault_supplier(sf_dir)
 
 
+PAIR_DIST_BAND_M = 5000.0
+
+
+def _q_pair_dist_hist(sf_dir: str):
+    """Radial pair-distance histogram over the exactly-once bucketed
+    distance-join core."""
+    from s2ray.pipelines.spatial_join import pair_dist_hist
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return pair_dist_hist(pages_with_cells(sf_dir, token_level=None),
+                          DIST_JOIN_M, band_m=PAIR_DIST_BAND_M)
+
+
+def _q_dominant_dim_hist(sf_dir: str):
+    """Argmax-dimension histogram of the embedding space (collapse
+    diagnostic)."""
+    from s2ray.pipelines.ann import dominant_dim_hist
+
+    return dominant_dim_hist(sf_dir)
+
+
 def _q_emb_dim_stats(sf_dir: str):
     """Per-dimension embedding moments in the exact 2^40-scaled integer
     domain (feature-whitening stats)."""
@@ -2537,6 +2558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_state": _q_latest_event_state,
         "user_event_paths": _q_user_event_paths,
         "emb_dim_stats": _q_emb_dim_stats,
+        "pair_dist_hist": _q_pair_dist_hist,
+        "dominant_dim_hist": _q_dominant_dim_hist,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -2753,7 +2776,8 @@ def oracle_sql() -> dict[str, str]:
                                        sole_fault_supplier_sql,
                                        supplier_parts_cnt_sql,
                                        top_supplier_sql)
-    from s2ray.pipelines.ann import EMB_DIM_STATS_SQL
+    from s2ray.pipelines.ann import (DOMINANT_DIM_HIST_SQL,
+                                     EMB_DIM_STATS_SQL)
     from s2ray.pipelines.relational import (pivot_lang_counts_sql,
                                             source_overlap_sql,
                                             user_type_matrix_sql)
@@ -3233,6 +3257,16 @@ FROM ov JOIN sz USING (doc_id)"""
         f"round({dist_pair}, 3) AS dist_m "
         f"FROM pages_geo a JOIN pages_geo b ON a.page_id < b.page_id "
         f"WHERE {dist_pair} <= {DIST_JOIN_M!r}"
+    )
+    # radial pair-distance histogram: same pair set, one floor-divide
+    # band on the mm-rounded distance (engine op order mirrored)
+    pair_dist_hist_sql = (
+        f"{cte}, pr AS (SELECT round({dist_pair}, 3) AS dm "
+        f"FROM pages_geo a JOIN pages_geo b ON a.page_id < b.page_id "
+        f"WHERE {dist_pair} <= {DIST_JOIN_M!r}) "
+        f"SELECT CAST(floor(dm / {PAIR_DIST_BAND_M!r}) AS BIGINT) AS band, "
+        "count(*) AS n_pairs, min(dm) AS min_m, max(dm) AS max_m "
+        "FROM pr GROUP BY 1 ORDER BY 1"
     )
     # Ripley K: per-radius counts over the SAME mm-rounded pair
     # distances; K = 4*pi*R_km^2 * 2*np/(n*(n-1)) CAST-then-divide
@@ -3868,6 +3902,8 @@ FROM (
         "latest_event_state": LATEST_EVENT_STATE_SQL,
         "user_event_paths": user_event_paths_sql(),
         "emb_dim_stats": EMB_DIM_STATS_SQL,
+        "pair_dist_hist": pair_dist_hist_sql,
+        "dominant_dim_hist": DOMINANT_DIM_HIST_SQL,
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

@@ -743,3 +743,48 @@ SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
        round(CAST(sum(s) AS DOUBLE) / count(*) / 1099511627776.0, 9)
          AS mean
 FROM u GROUP BY 1 ORDER BY 1"""
+
+
+def dominant_dim_hist(sf_dir: str):
+    """Histogram of each vector's argmax dimension — (dim, n_vectors),
+    only non-empty dims.  A one-pass diagnostic for collapsed or
+    axis-aligned embedding spaces (a healthy space spreads its maxima).
+
+    Per-batch work is ONE argmax + ONE bincount over the zero-copy
+    matrix; ties take the first occurrence on both engines (numpy argmax
+    == DuckDB list_position's first match, comparing bit-identical f32
+    values).  The only exchange is a dim-cardinality groupby.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.vecs import embedding_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = embedding_matrix(batch["embedding"], dtype=np.float64)
+        if not mat.size:
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({"dim": z, "pn": z})
+        arg = mat.argmax(axis=1)
+        d = mat.shape[1]
+        cnt = np.bincount(arg, minlength=d).astype(np.int64)
+        nz = cnt > 0
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)[nz]),
+            "pn": pa.array(cnt[nz]),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("dim")
+            .aggregate(Sum("pn", alias_name="n_vectors"))
+            .sort("dim"))
+
+
+DOMINANT_DIM_HIST_SQL = """
+SELECT CAST(list_position(embedding, list_aggregate(embedding, 'max'))
+            - 1 AS BIGINT) AS dim,
+       count(*) AS n_vectors
+FROM embeddings GROUP BY 1 ORDER BY 1"""

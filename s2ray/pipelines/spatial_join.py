@@ -1033,3 +1033,46 @@ SELECT page_id,
        printf('%08x', lat_e6) || ',' || printf('%08x', lng_e6) AS loc_hex,
        lat_e6, lng_e6
 FROM e6"""
+
+
+def pair_dist_hist(pages_ds, d_m: float, band_m: float = 5000.0,
+                   max_bucket: int = 200_000, n_parts: int = 64):
+    """Radial pair-distance histogram: the :func:`distance_join_pairs`
+    pair set binned into ``band_m``-wide great-circle distance bands —
+    (band, n_pairs, min_m, max_m), only non-empty bands.
+
+    The point-pattern diagnostic between a raw pair dump and Ripley's K:
+    same exactly-once bucketed pair core (constant 9-rows-per-point
+    shuffle), then ONE floor-divide on the mm-rounded distance (identical
+    IEEE op both engines) and a band-cardinality groupby of count/min/max
+    partials — min/max are order-free, no float sums cross batches.
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    pairs = distance_join_pairs(pages_ds, d_m, max_bucket=max_bucket,
+                                n_parts=n_parts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dm = batch["dist_m"].to_numpy(zero_copy_only=False)
+        band = np.floor(dm / np.float64(band_m)).astype(np.int64)
+        u, inv = np.unique(band, return_inverse=True)
+        mn = np.full(len(u), np.inf)
+        mx = np.full(len(u), -np.inf)
+        np.minimum.at(mn, inv, dm)
+        np.maximum.at(mx, inv, dm)
+        return pa.table({
+            "band": pa.array(u),
+            "pn": pa.array(np.bincount(inv, minlength=len(u))
+                           .astype(np.int64)),
+            "pmn": pa.array(mn),
+            "pmx": pa.array(mx),
+        })
+
+    return (pairs.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("band")
+            .aggregate(Sum("pn", alias_name="n_pairs"),
+                       Min("pmn", alias_name="min_m"),
+                       Max("pmx", alias_name="max_m"))
+            .sort("band"))

@@ -96,6 +96,7 @@ def _compare(name, entrymod, con):
                                    "user_type_matrix", "value_histogram",
                                    "user_skyline", "latest_event_state",
                                    "user_event_paths", "emb_dim_stats",
+                                   "pair_dist_hist", "dominant_dim_hist",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",
