@@ -1707,11 +1707,23 @@ def nation_volume(sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2",
                              .astype(np.int64)),
         })
 
-    return (j.map_batches(pair_partial, batch_format="pyarrow",
-                          batch_size=None)
-            .groupby(["supp_nation", "cust_nation", "l_year"])
-            .aggregate(Sum("prev", alias_name="revenue_microcents"))
-            .sort(["supp_nation", "cust_nation", "l_year"]))
+    # (2 x 2 x years)-cardinality result: fold the per-batch partials on
+    # the driver instead of paying a second sort-shuffle for <=4N rows
+    parts = (j.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=None).take_all())
+    acc: dict = {}
+    for r in parts:
+        k = (r["supp_nation"], r["cust_nation"], int(r["l_year"]))
+        acc[k] = acc.get(k, 0) + int(r["prev"])
+    keys = sorted(acc)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "supp_nation": pa.array([k[0] for k in keys], type=pa.string()),
+        "cust_nation": pa.array([k[1] for k in keys], type=pa.string()),
+        "l_year": pa.array([k[2] for k in keys], type=pa.int64()),
+        "revenue_microcents": pa.array([acc[k] for k in keys],
+                                       type=pa.int64()),
+    }))
 
 
 def nation_volume_sql(n1: str = "NATION_1", n2: str = "NATION_2",
