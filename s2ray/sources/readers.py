@@ -147,3 +147,55 @@ def write_jsonl(ds, path: str, **kwargs):
 def write_csv(ds, path: str, **kwargs):
     """Distributed CSV sink (one file per block)."""
     ds.write_csv(path, **kwargs)
+
+
+def read_arrow_ipc(path: str, columns: list[str] | None = None,
+                   **kwargs):
+    """Arrow IPC (Feather v2 / .arrow stream-or-file) source: streams
+    one IPC file per read task via ``read_binary_files`` and decodes in
+    the task (zero driver materialization; each file becomes one or more
+    Arrow blocks).  The IPC twin of :func:`read_table` for hand-offs
+    from other Arrow-native tools.
+    """
+    import ray.data
+
+    raw = ray.data.read_binary_files(path, **kwargs)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for b in batch["bytes"]:
+            buf = pa.py_buffer(b.as_py())
+            try:
+                t = pa.ipc.open_file(buf).read_all()
+            except pa.lib.ArrowInvalid:
+                t = pa.ipc.open_stream(buf).read_all()
+            tabs.append(t.select(columns) if columns is not None else t)
+        return pa.concat_tables(tabs) if tabs else pa.table({})
+
+    return raw.map_batches(decode, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def write_arrow_ipc(ds, out_dir: str) -> int:
+    """Distributed Arrow IPC (Feather v2) sink: one ``.arrow`` file per
+    block, written inside the map task (the driver never sees a row).
+    Returns the number of files written."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64())})
+        p = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.arrow")
+        with pa.OSFile(p, "wb") as f, \
+                pa.ipc.new_file(f, batch.schema) as w:
+            w.write_table(batch)
+        return pa.table({"path": pa.array([p], type=pa.string()),
+                         "rows": pa.array([len(batch)], type=pa.int64())})
+
+    manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                              batch_size=None).take_all()
+    return len(manifest)

@@ -57,3 +57,33 @@ def test_jsonl_feeds_operators_identically(ray_session, tmp_path):
     a, b = _canon(a), _canon(b)
     for c in a.columns:
         assert a[c].astype(str).equals(b[c].astype(str)), c
+
+
+def test_arrow_ipc_roundtrip(tmp_path, ray_session):
+    """write_arrow_ipc -> read_arrow_ipc is a lossless roundtrip
+    (timestamps, floats, strings) with column pruning on read."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2ray.sources.readers import read_arrow_ipc, read_table, \
+        write_arrow_ipc
+
+    src = read_table("/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "ipc")
+    n_files = write_arrow_ipc(src, out)
+    assert n_files >= 1
+    back = read_arrow_ipc(out).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    ref = pq.read_table("/root/testdata/sf0.001/events.parquet") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    cols = sorted(ref.columns)
+    assert list(back.columns.sort_values()) == cols
+    for c in cols:
+        a, b = np.asarray(back[c]), np.asarray(ref[c])
+        if a.dtype.kind == "f":
+            assert np.array_equal(a, b, equal_nan=True), c
+        else:
+            assert np.array_equal(a, b), c
+    pruned = read_arrow_ipc(out, columns=["event_id", "value"]).schema()
+    assert pruned.names == ["event_id", "value"]

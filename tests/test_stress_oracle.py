@@ -243,7 +243,9 @@ def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
 NULL_USER_QUERIES = ["user_sessions", "funnel_views", "event_gaps",
                      "cohort_retention", "user_streaks",
                      "events_distinct_users", "events_asof",
-                     "events_sliding_distinct"]
+                     "events_sliding_distinct", "user_type_matrix",
+                     "user_skyline", "latest_event_state",
+                     "user_event_paths"]
 
 
 @pytest.fixture(scope="module")
