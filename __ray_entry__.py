@@ -859,6 +859,24 @@ def _q_dominant_dim_hist(sf_dir: str):
     return dominant_dim_hist(sf_dir)
 
 
+def _q_nn_g_function(sf_dir: str):
+    """Nearest-neighbor distance CDF (G-function) at the Ripley radii —
+    the companion point-pattern statistic to K."""
+    from s2ray.pipelines.spatial_join import nn_g_function
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return nn_g_function(pages_with_cells(sf_dir, token_level=None),
+                         radii=RIPLEY_RADII)
+
+
+def _q_lang_geo_bbox(sf_dir: str):
+    """Per-language bbox + spherical centroid profile (fixed-point
+    order-free vector sums)."""
+    from s2ray.pipelines.tiles import lang_geo_bbox
+
+    return lang_geo_bbox(sf_dir)
+
+
 def _q_emb_dim_stats(sf_dir: str):
     """Per-dimension embedding moments in the exact 2^40-scaled integer
     domain (feature-whitening stats)."""
@@ -2560,6 +2578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dim_stats": _q_emb_dim_stats,
         "pair_dist_hist": _q_pair_dist_hist,
         "dominant_dim_hist": _q_dominant_dim_hist,
+        "nn_g_function": _q_nn_g_function,
+        "lang_geo_bbox": _q_lang_geo_bbox,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -3285,6 +3305,48 @@ FROM ov JOIN sz USING (doc_id)"""
         "/ CAST(nn.n * (nn.n - 1) AS DOUBLE), 6) END AS k_km2 "
         "FROM legs CROSS JOIN nn"
     )
+    # G-function: per-page min pair distance (== the argmin row's dm),
+    # thresholded per radius; UNION-ALL legs emit zero rows for empty
+    # radii exactly like the engine's fill
+    nn_g_sql = (
+        f"{cte}, pr AS (SELECT a.page_id AS i, b.page_id AS j, "
+        f"round({dist_pair}, 3) AS dm "
+        f"FROM pages_geo a JOIN pages_geo b ON a.page_id < b.page_id "
+        f"WHERE {dist_pair} <= {max(RIPLEY_RADII)!r}), "
+        "sym AS (SELECT i AS page_id, dm FROM pr "
+        "UNION ALL SELECT j, dm FROM pr), "
+        "best AS (SELECT page_id, min(dm) AS nnd FROM sym GROUP BY 1), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pages_geo), "
+        "legs AS (" + " UNION ALL ".join(
+            [f"SELECT CAST({r!r} AS DOUBLE) AS r_m, "
+             f"(SELECT CAST(count(*) AS BIGINT) FROM best "
+             f"WHERE nnd <= {r!r}) AS n_le" for r in RIPLEY_RADII]) + ") "
+        "SELECT r_m, n_le, CASE WHEN nn.n = 0 THEN NULL ELSE "
+        "round(CAST(n_le AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) END AS g "
+        "FROM legs CROSS JOIN nn"
+    )
+    # per-lang bbox + spherical centroid: the tile_centroids fixed-point
+    # quantization grouped by lang, plus order-free extents
+    lang_bbox_sql = (
+        f"{cte}, q AS (SELECT lang, lat, lng, "
+        "CAST(round(cos(radians(lat)) * cos(radians(lng)) "
+        "* 1000000000.0) AS BIGINT) AS qx, "
+        "CAST(round(cos(radians(lat)) * sin(radians(lng)) "
+        "* 1000000000.0) AS BIGINT) AS qy, "
+        "CAST(round(sin(radians(lat)) * 1000000000.0) AS BIGINT) AS qz "
+        "FROM pages_geo) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_pages, "
+        "min(lat) AS min_lat, max(lat) AS max_lat, "
+        "min(lng) AS min_lng, max(lng) AS max_lng, "
+        "round(degrees(atan2(CAST(CAST(sum(qz) AS BIGINT) AS DOUBLE), "
+        "sqrt(CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE) "
+        "* CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE) "
+        "+ CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE) "
+        "* CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE)))), 6) AS c_lat, "
+        "round(degrees(atan2(CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE), "
+        "CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE))), 6) AS c_lng "
+        "FROM q GROUP BY 1 ORDER BY 1"
+    )
     # nearest-neighbor graph: per-page argmin over the same pair set;
     # ranking on the mm-ROUNDED distance + nn_id tie-break matches the
     # engine's lexsort exactly (identical doubles on both sides)
@@ -3904,6 +3966,8 @@ FROM (
         "emb_dim_stats": EMB_DIM_STATS_SQL,
         "pair_dist_hist": pair_dist_hist_sql,
         "dominant_dim_hist": DOMINANT_DIM_HIST_SQL,
+        "nn_g_function": nn_g_sql,
+        "lang_geo_bbox": lang_bbox_sql,
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

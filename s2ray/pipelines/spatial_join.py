@@ -1076,3 +1076,58 @@ def pair_dist_hist(pages_ds, d_m: float, band_m: float = 5000.0,
                        Min("pmn", alias_name="min_m"),
                        Max("pmx", alias_name="max_m"))
             .sort("band"))
+
+
+def nn_g_function(pages_ds, radii=(5_000.0, 10_000.0, 25_000.0),
+                  max_bucket: int = 200_000):
+    """The G-function (nearest-neighbor distance CDF) of the page point
+    pattern — per radius r: the count of pages whose nearest-neighbor
+    distance is <= r and G(r) = n_le / n — (r_m, n_le, g).  The
+    companion statistic to Ripley's K (K looks at ALL pairs per scale, G
+    at each point's closest one; together they separate clustering from
+    inhibition).
+
+    Exactness: nearest-neighbor distances come from
+    :func:`nearest_neighbor_map` at max(radii) (exactly-once bucketed
+    pairs, mm-rounded haversine, (dm, nn_id) total order), thresholded
+    per radius on the SAME rounded doubles; n is an exact count; the one
+    G division is CAST-then-divide in the oracle's op order.  Isolated
+    pages (no neighbor within max radius) count in n but in no n_le —
+    identical inner semantics on both engines.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    rs = sorted(float(r) for r in radii)
+    # one corpus scan (the ripley_k materialize-then-count convention)
+    pages_ds = pages_ds.materialize()
+    n_pts = int(pages_ds.count())
+    nn = nearest_neighbor_map(pages_ds, rs[-1], max_bucket=max_bucket)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        dm = batch["dist_m"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_m": pa.array(rs, type=pa.float64()),
+            "pn": pa.array([int((dm <= r).sum()) for r in rs],
+                           type=pa.int64()),
+        })
+
+    out = (nn.map_batches(counts, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("r_m")
+           .aggregate(Sum("pn", alias_name="n_le"))
+           .take_all())  # len(radii) rows
+    got = {float(r["r_m"]): int(r["n_le"]) for r in out}
+    # an all-isolated pattern yields no nn rows at all; the oracle's
+    # UNION-ALL legs still emit one zero row per radius — mirror that
+    n_le = [got.get(r, 0) for r in rs]
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "r_m": pa.array(rs, type=pa.float64()),
+        "n_le": pa.array(n_le, type=pa.int64()),
+        "g": pa.array([None if n_pts == 0 else float(round_half_away(
+            np.float64(c) / np.float64(n_pts), 6)) for c in n_le],
+            type=pa.float64()),
+    }))

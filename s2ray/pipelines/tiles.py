@@ -677,3 +677,91 @@ def quadrat_dispersion(sf_dir: str, level: int = 8):
 
     return tc.repartition(1).map_batches(fold, batch_format="pyarrow",
                                          batch_size=None)
+
+
+def lang_geo_bbox(sf_dir: str, **read_kwargs):
+    """Per-language geographic summary: one row per lang with page
+    count, lat/lng bounding box, and the discrete spherical centroid —
+    (lang, n_pages, min_lat, max_lat, min_lng, max_lng, c_lat, c_lng).
+    The dataset-profiling companion to :func:`tile_centroids`: same
+    1e-9 fixed-point order-free vector sums (antimeridian/pole-safe),
+    plus order-free min/max extents.
+
+    Scale shape: per-batch per-lang partials (lang cardinality x 7
+    numbers), ONE lang-cardinality groupby, tiny finishing map.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .text import round_half_away
+
+    ds = pages_with_cells(sf_dir, token_level=None, **read_kwargs)
+    _S = 1_000_000_000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = batch["lang"].to_pandas()
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(lang, use_na_sentinel=False)
+        phi = np.radians(lat)
+        theta = np.radians(lng)
+        cp = np.cos(phi)
+        qx = round_half_away(cp * np.cos(theta) * _S, 0).astype(np.int64)
+        qy = round_half_away(cp * np.sin(theta) * _S, 0).astype(np.int64)
+        qz = round_half_away(np.sin(phi) * _S, 0).astype(np.int64)
+        k = len(uniques)
+        mnla = np.full(k, np.inf)
+        mxla = np.full(k, -np.inf)
+        mnlo = np.full(k, np.inf)
+        mxlo = np.full(k, -np.inf)
+        np.minimum.at(mnla, codes, lat)
+        np.maximum.at(mxla, codes, lat)
+        np.minimum.at(mnlo, codes, lng)
+        np.maximum.at(mxlo, codes, lng)
+        return pa.table({
+            "lang": pa.array([str(u) for u in uniques],
+                             type=pa.string()),
+            "qx": pa.array(np.bincount(codes, weights=qx, minlength=k)
+                           .astype(np.int64)),
+            "qy": pa.array(np.bincount(codes, weights=qy, minlength=k)
+                           .astype(np.int64)),
+            "qz": pa.array(np.bincount(codes, weights=qz, minlength=k)
+                           .astype(np.int64)),
+            "pn": pa.array(np.bincount(codes, minlength=k)
+                           .astype(np.int64)),
+            "pmnla": pa.array(mnla), "pmxla": pa.array(mxla),
+            "pmnlo": pa.array(mnlo), "pmxlo": pa.array(mxlo),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("lang")
+           .aggregate(Sum("qx", alias_name="sx"),
+                      Sum("qy", alias_name="sy"),
+                      Sum("qz", alias_name="sz"),
+                      Sum("pn", alias_name="n_pages"),
+                      Min("pmnla", alias_name="min_lat"),
+                      Max("pmxla", alias_name="max_lat"),
+                      Min("pmnlo", alias_name="min_lng"),
+                      Max("pmxlo", alias_name="max_lng")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sx = batch["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = batch["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sz = batch["sz"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hyp = np.sqrt(sx * sx + sy * sy)
+        return pa.table({
+            "lang": batch["lang"],
+            "n_pages": batch["n_pages"],
+            "min_lat": batch["min_lat"], "max_lat": batch["max_lat"],
+            "min_lng": batch["min_lng"], "max_lng": batch["max_lng"],
+            "c_lat": pa.array(round_half_away(
+                np.degrees(np.arctan2(sz, hyp)), 6)),
+            "c_lng": pa.array(round_half_away(
+                np.degrees(np.arctan2(sy, sx)), 6)),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
+            .sort("lang"))

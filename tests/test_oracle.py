@@ -97,6 +97,7 @@ def _compare(name, entrymod, con):
                                    "user_skyline", "latest_event_state",
                                    "user_event_paths", "emb_dim_stats",
                                    "pair_dist_hist", "dominant_dim_hist",
+                                   "nn_g_function", "lang_geo_bbox",
                                    "event_cooccurrence", "domain_triangles",
                                    "phrase_search", "session_entry_exit",
                                    "profile_table", "domain_hits",
