@@ -717,6 +717,28 @@ def _q_getis_ord(sf_dir: str):
                      cell_deg=1.0)
 
 
+def _q_local_moran(sf_dir: str):
+    """Local Moran's I (LISA) per occupied 1-degree cell with the HH/LL/
+    HL/LH Moran-scatterplot quadrant — exact integer deviations and lag
+    from the grid_smooth stencil, one grid-bounded combine task."""
+    from s2ray.pipelines.cluster import local_moran
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return local_moran(pages_with_cells(sf_dir, token_level=None),
+                       cell_deg=1.0)
+
+
+def _q_join_counts(sf_dir: str):
+    """Binary join-count statistic over the occupied 1-degree grid:
+    hot = N*x > T integer cross-multiply, undirected Moore link tallies
+    (BB/WW/BW) from one grid-bounded 8-offset searchsorted scan."""
+    from s2ray.pipelines.cluster import join_counts
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return join_counts(pages_with_cells(sf_dir, token_level=None),
+                       cell_deg=1.0)
+
+
 def _q_chi2_lang_source(sf_dir: str):
     """Chi-square independence of lang x source: big-int cell moments,
     order-pinned term fold over the full cross product."""
@@ -2538,6 +2560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- oracled, outside the 50-slot driver window (driver-green
         # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
         # new this session — oracled, queued for the r5 rotation
+        "local_moran": _q_local_moran,
+        "join_counts": _q_join_counts,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3886,6 +3910,70 @@ FROM (
         # L = nbp + n); HUGEINT A/B/C moments stay exact at web scale, and
         # the CAST-to-DOUBLE-then-divide/sqrt chain matches the engine's
         # float(a) / (sqrt(float(b)) * sqrt(float(c)/float(d))) bit-for-bit
+        # Local Moran (LISA): same Moore-stencil self-join as morans_i;
+        # the per-cell deviation/lag scaled through by N stay exact
+        # HUGEINTs, and the quadrant label is pure integer signs
+        "local_moran": (
+            f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
+            "CAST(floor(lng / 1.0) AS BIGINT) AS gx, count(*) AS n "
+            "FROM pages_geo GROUP BY 1, 2), "
+            "d AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+            "(0,1),(1,-1),(1,0),(1,1)) AS t(dy, dx)), "
+            "nb AS (SELECT a.gx, a.gy, a.n, "
+            "CAST(coalesce(sum(b.n), 0) AS HUGEINT) AS nbp, "
+            "CAST(count(b.n) AS HUGEINT) AS deg "
+            "FROM g a CROSS JOIN d LEFT JOIN g b "
+            "ON b.gy = a.gy + d.dy "
+            "AND b.gx = ((a.gx + d.dx + 180) % 360 + 360) % 360 - 180 "
+            "GROUP BY a.gx, a.gy, a.n), "
+            "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(n) AS HUGEINT) AS t, "
+            "CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sxx FROM nb) "
+            "SELECT nb.gx AS gx, nb.gy AS gy, "
+            "CAST(nb.n AS BIGINT) AS n_pages, "
+            "CASE WHEN m.n * m.sxx - m.t * m.t = 0 THEN NULL ELSE "
+            "round(CAST((m.n * nb.n - m.t) * (m.n * nb.nbp - nb.deg * m.t) "
+            "AS DOUBLE) / CAST(m.n * m.sxx - m.t * m.t AS DOUBLE), 6) END "
+            "AS lisa, "
+            "CASE WHEN m.n * nb.n - m.t > 0 "
+            "AND m.n * nb.nbp - nb.deg * m.t > 0 THEN 'HH' "
+            "WHEN m.n * nb.n - m.t < 0 "
+            "AND m.n * nb.nbp - nb.deg * m.t < 0 THEN 'LL' "
+            "WHEN m.n * nb.n - m.t > 0 "
+            "AND m.n * nb.nbp - nb.deg * m.t < 0 THEN 'HL' "
+            "WHEN m.n * nb.n - m.t < 0 "
+            "AND m.n * nb.nbp - nb.deg * m.t > 0 THEN 'LH' "
+            "ELSE 'EQ' END AS quadrant "
+            "FROM nb CROSS JOIN m"
+        ),
+        # join counts: hot = N*x > T (HUGEINT cross-multiply); the Moore
+        # self-join counts every undirected link exactly twice, halved as
+        # exact even integers with // (Moore wrap adjacency is symmetric
+        # and irreflexive at W = 360)
+        "join_counts": (
+            f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
+            "CAST(floor(lng / 1.0) AS BIGINT) AS gx, count(*) AS n "
+            "FROM pages_geo GROUP BY 1, 2), "
+            "m AS (SELECT CAST(count(*) AS HUGEINT) AS nc, "
+            "CAST(coalesce(sum(n), 0) AS HUGEINT) AS t FROM g), "
+            "h AS (SELECT gx, gy, "
+            "(m.nc * n > m.t) AS hot FROM g CROSS JOIN m), "
+            "d AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+            "(0,1),(1,-1),(1,0),(1,1)) AS t(dy, dx)), "
+            "l AS (SELECT a.hot AS ah, b.hot AS bh "
+            "FROM h a CROSS JOIN d JOIN h b "
+            "ON b.gy = a.gy + d.dy "
+            "AND b.gx = ((a.gx + d.dx + 180) % 360 + 360) % 360 - 180) "
+            "SELECT (SELECT CAST(nc AS BIGINT) FROM m) AS n_cells, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM h WHERE hot) AS n_hot, "
+            "CAST(count(*) // 2 AS BIGINT) AS n_links, "
+            "CAST(coalesce(count(*) FILTER (ah AND bh), 0) // 2 AS BIGINT) "
+            "AS bb_links, "
+            "CAST(coalesce(count(*) FILTER ((NOT ah) AND (NOT bh)), 0) "
+            "// 2 AS BIGINT) AS ww_links, "
+            "CAST(coalesce(count(*) FILTER (ah <> bh), 0) // 2 AS BIGINT) "
+            "AS bw_links FROM l"
+        ),
         "getis_ord": (
             f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
             "CAST(floor(lng / 1.0) AS BIGINT) AS gx, count(*) AS n "

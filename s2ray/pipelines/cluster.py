@@ -398,3 +398,157 @@ def grid_kde(pages_ds, cell_deg: float = 1.0, bandwidth_m: float = 100_000.0):
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def local_moran(pages_ds, cell_deg: float = 1.0):
+    """Local Moran's I (LISA, Anselin 1995) per occupied grid cell — the
+    cell-level decomposition of :func:`morans_i` that answers "WHICH cells
+    sit in a high-high cluster / low-low cold spot / spatial outlier?".
+    Binary Moore (queen) weights with antimeridian wrap, same stencil as
+    grid_smooth.  Output per occupied cell: (gx, gy, n_pages, lisa,
+    quadrant) where quadrant is the Moran-scatterplot label
+    HH / LL / HL / LH ('EQ' when either deviation is exactly zero).
+
+    Exactness: with mean = T/N rational, multiplying the deviation and the
+    lag through by N gives
+
+        I_i = (N*x_i - T) * (N*nb_i - deg_i*T) / (N*SXX - T^2)
+
+    — an exact-integer numerator and denominator (the N^2-scaled central
+    moment), evaluated in arbitrary-precision Python ints over the
+    grid-bounded occupied-cell table (<= 64800 rows at 1 degree — the
+    same bounded-final-task argument as morans_i; at web scale
+    N*SXX ~ 1e24 would wrap an int64).  The quadrant label needs ONLY the
+    integer signs — no float enters the classification.  The single float
+    division casts each exact integer to float64 first (SQL's
+    CAST(... AS DOUBLE) / CAST(... AS DOUBLE)), then rounds half-away.
+    Degenerate input (constant counts) yields NULL lisa like the SQL CASE.
+    """
+    from .text import round_half_away
+
+    sm = grid_smooth(pages_ds, cell_deg=cell_deg)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        gx = batch["gx"].to_numpy(zero_copy_only=False)
+        gy = batch["gy"].to_numpy(zero_copy_only=False)
+        x_np = batch["n_pages"].to_numpy(zero_copy_only=False)
+        nb_np = batch["nb_pages"].to_numpy(zero_copy_only=False)
+        dg_np = batch["nb_cells"].to_numpy(zero_copy_only=False)
+        n = len(x_np)
+        t = sxx = 0
+        xs = x_np.tolist()
+        for x in xs:
+            t += x
+            sxx += x * x
+        den = n * sxx - t * t
+        lisa, quad = [], []
+        for x, nb, dg in zip(xs, nb_np.tolist(), dg_np.tolist()):
+            dev = n * x - t
+            lag = n * nb - dg * t
+            if den == 0:
+                lisa.append(None)
+            else:
+                lisa.append(float(round_half_away(np.float64(
+                    float(dev * lag) / float(den)))))
+            if dev > 0 and lag > 0:
+                quad.append("HH")
+            elif dev < 0 and lag < 0:
+                quad.append("LL")
+            elif dev > 0 and lag < 0:
+                quad.append("HL")
+            elif dev < 0 and lag > 0:
+                quad.append("LH")
+            else:
+                quad.append("EQ")
+        return pa.table({
+            "gx": pa.array(gx, type=pa.int64()),
+            "gy": pa.array(gy, type=pa.int64()),
+            "n_pages": pa.array(x_np, type=pa.int64()),
+            "lisa": pa.array(lisa, type=pa.float64()),
+            "quadrant": pa.array(quad, type=pa.string()),
+        })
+
+    # grid_smooth's output is one grid-bounded block; repartition(1)
+    # guards the single-combine contract if that ever changes
+    return sm.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def join_counts(pages_ds, cell_deg: float = 1.0):
+    """Binary join-count statistic (Cliff & Ord) over the occupied grid:
+    classify each occupied cell hot (count strictly above the occupied-cell
+    mean) or cold, then count undirected Moore-adjacent pairs by class —
+    ONE row (n_cells, n_hot, n_links, bb_links, ww_links, bw_links).
+    The categorical companion of :func:`morans_i`: BB >> expected means
+    hot cells clump (the "join counts" of classic spatial epidemiology).
+
+    Exactness: hot_i := N*x_i > T — an integer cross-multiply, no float
+    mean ever materializes.  Adjacency is enumerated over the occupied
+    table with the same 8-offset searchsorted scan as grid_clusters
+    (grid-bounded: <= 64800 rows at 1 degree, never corpus-sized); Moore
+    adjacency with antimeridian wrap is symmetric and irreflexive at
+    W >= 3, so every undirected link is seen exactly twice in the directed
+    scan and the directed tallies are halved as exact even integers.
+    """
+    from ray.data.aggregate import Sum
+
+    w = 360.0 / cell_deg
+    assert abs(w - round(w)) < 1e-9, "cell_deg must divide 360"
+    W = int(round(w))
+    assert W >= 3, "join_counts needs W >= 3 (wrap self-adjacency)"
+    offx, offy = W // 2, W // 4
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        gy = np.floor(lat / cell_deg).astype(np.int64)
+        gx = np.floor(lng / cell_deg).astype(np.int64)
+        p = (gy + offy) * W + (gx + offx)
+        u, c = np.unique(p, return_counts=True)
+        return pa.table({"p": pa.array(u, type=pa.int64()),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    occ = (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby("p").aggregate(Sum("pn", alias_name="n"))
+           .repartition(1))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(p)
+        p, n = p[order], n[order]
+        nc = len(p)
+        t = 0
+        for x in n.tolist():
+            t += x
+        # hot = N*x > T in exact big-int (int64 would wrap at web scale)
+        hot = np.array([nc * int(x) > t for x in n.tolist()], dtype=bool)
+        gy = p // W - offy
+        gx = p % W - offx
+        bb = ww = bw = links = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                ngx = (gx + dx + offx) % W - offx      # antimeridian wrap
+                q = (gy + dy + offy) * W + (ngx + offx)
+                pos = np.searchsorted(p, q)
+                ok = pos < len(p)
+                hit = ok & (p[np.minimum(pos, len(p) - 1)] == q)
+                bhot = hot[np.minimum(pos, len(p) - 1)]
+                links += int(hit.sum())
+                bb += int((hit & hot & bhot).sum())
+                ww += int((hit & ~hot & ~bhot).sum())
+                bw += int((hit & (hot != bhot)).sum())
+        return pa.table({
+            "n_cells": pa.array([nc], type=pa.int64()),
+            "n_hot": pa.array([int(hot.sum())], type=pa.int64()),
+            "n_links": pa.array([links // 2], type=pa.int64()),
+            "bb_links": pa.array([bb // 2], type=pa.int64()),
+            "ww_links": pa.array([ww // 2], type=pa.int64()),
+            "bw_links": pa.array([bw // 2], type=pa.int64()),
+        })
+
+    return occ.map_batches(combine, batch_format="pyarrow",
+                           batch_size=None)

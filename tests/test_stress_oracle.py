@@ -37,7 +37,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "standardize_docs", "doc_deciles", "cross_lang_nn",
                "source_mix", "langid_confusion", "emb_integrity",
                "tile_growth", "grid_smooth", "morans_i", "grid_kde",
-               "getis_ord",
+               "getis_ord", "local_moran", "join_counts",
                "domain_link_graph", "domain_pagerank", "domain_triangles",
                "domain_hits",
                "domain_reciprocity", "domain_assortativity",
