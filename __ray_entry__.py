@@ -739,6 +739,17 @@ def _q_join_counts(sf_dir: str):
                        cell_deg=1.0)
 
 
+def _q_tile_mann_kendall(sf_dir: str):
+    """Mann-Kendall monthly-trend S per occupied 1-degree cell (the
+    emerging-hot-spot statistic) — all-integer outputs, one packed
+    (cell, month) groupby, 66 vectorized sign comparisons per cell."""
+    from s2ray.pipelines.cluster import tile_mann_kendall
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return tile_mann_kendall(pages_with_cells(sf_dir, token_level=None),
+                             cell_deg=1.0)
+
+
 def _q_chi2_lang_source(sf_dir: str):
     """Chi-square independence of lang x source: big-int cell moments,
     order-pinned term fold over the full cross product."""
@@ -2562,6 +2573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session — oracled, queued for the r5 rotation
         "local_moran": _q_local_moran,
         "join_counts": _q_join_counts,
+        "tile_mann_kendall": _q_tile_mann_kendall,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3945,6 +3957,38 @@ FROM (
             "AND m.n * nb.nbp - nb.deg * m.t > 0 THEN 'LH' "
             "ELSE 'EQ' END AS quadrant "
             "FROM nb CROSS JOIN m"
+        ),
+        # Mann-Kendall per cell: zero-filled dense (cell x 12 months)
+        # counts via cells x months CROSS JOIN + LEFT JOIN, then the
+        # C(12,2) sign fold as a month-pair self-join — every output is
+        # an integer, no float parity surface
+        "tile_mann_kendall": (
+            f"{cte}, pg AS (SELECT "
+            "CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
+            "CAST(floor(lng / 1.0) AS BIGINT) AS gx, "
+            "CAST(date_diff('month', DATE '2024-01-01', "
+            "date_trunc('month', make_timestamp("
+            "(1704067200 + (page_id * 40499) % 31536000) * 1000000))) "
+            "AS BIGINT) AS m FROM pages_geo), "
+            "g AS (SELECT gx, gy, m, CAST(count(*) AS BIGINT) AS n "
+            "FROM pg GROUP BY 1, 2, 3), "
+            "cells AS (SELECT DISTINCT gx, gy FROM g), "
+            "mon AS (SELECT CAST(range AS BIGINT) AS m FROM range(12)), "
+            "dense AS (SELECT c.gx, c.gy, mon.m, "
+            "coalesce(g.n, 0) AS n FROM cells c CROSS JOIN mon "
+            "LEFT JOIN g ON g.gx = c.gx AND g.gy = c.gy AND g.m = mon.m), "
+            "pr AS (SELECT a.gx, a.gy, CASE WHEN b.n > a.n THEN 1 "
+            "WHEN b.n < a.n THEN -1 ELSE 0 END AS s "
+            "FROM dense a JOIN dense b "
+            "ON b.gx = a.gx AND b.gy = a.gy AND b.m > a.m), "
+            "agg AS (SELECT gx, gy, CAST(sum(s) AS BIGINT) AS mk_s "
+            "FROM pr GROUP BY 1, 2), "
+            "tot AS (SELECT gx, gy, CAST(sum(n) AS BIGINT) AS n_pages, "
+            "CAST(count(*) FILTER (n > 0) AS BIGINT) AS n_months_active "
+            "FROM dense GROUP BY 1, 2) "
+            "SELECT tot.gx AS gx, tot.gy AS gy, tot.n_pages AS n_pages, "
+            "agg.mk_s AS mk_s, tot.n_months_active AS n_months_active "
+            "FROM tot JOIN agg ON agg.gx = tot.gx AND agg.gy = tot.gy"
         ),
         # join counts: hot = N*x > T (HUGEINT cross-multiply); the Moore
         # self-join counts every undirected link exactly twice, halved as
