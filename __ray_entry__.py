@@ -739,6 +739,15 @@ def _q_join_counts(sf_dir: str):
                        cell_deg=1.0)
 
 
+def _q_lang_ellipse(sf_dir: str):
+    """Standard deviational ellipse per language: exact e4 fixed-point
+    integer moments on hi/lo lanes through one lang-cardinality groupby,
+    driver eigen/rotation chain mirrored op-for-op in the oracle."""
+    from s2ray.pipelines.tiles import lang_ellipse
+
+    return lang_ellipse(sf_dir)
+
+
 def _q_tile_mann_kendall(sf_dir: str):
     """Mann-Kendall monthly-trend S per occupied 1-degree cell (the
     emerging-hot-spot statistic) — all-integer outputs, one packed
@@ -2574,6 +2583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_moran": _q_local_moran,
         "join_counts": _q_join_counts,
         "tile_mann_kendall": _q_tile_mann_kendall,
+        "lang_ellipse": _q_lang_ellipse,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3957,6 +3967,35 @@ FROM (
             "AND m.n * nb.nbp - nb.deg * m.t > 0 THEN 'LH' "
             "ELSE 'EQ' END AS quadrant "
             "FROM nb CROSS JOIN m"
+        ),
+        # standard deviational ellipse: HUGEINT e4 fixed-point moments,
+        # then the engine's exact eigen/rotation float chain — each CAST,
+        # divide, sqrt and atan2 in the identical IEEE op order
+        "lang_ellipse": (
+            f"{cte}, m AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n, "
+            "sum(CAST(lng_e4 AS HUGEINT)) AS sx, "
+            "sum(CAST(lat_e4 AS HUGEINT)) AS sy, "
+            "sum(CAST(lng_e4 AS HUGEINT) * lng_e4) AS sxx, "
+            "sum(CAST(lat_e4 AS HUGEINT) * lat_e4) AS syy, "
+            "sum(CAST(lng_e4 AS HUGEINT) * lat_e4) AS sxy "
+            "FROM pages GROUP BY lang), "
+            "f AS (SELECT lang, n, CAST(n AS DOUBLE) AS dn, "
+            "CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy, "
+            "CAST(n * sxx - sx * sx AS DOUBLE) AS fa, "
+            "CAST(n * syy - sy * sy AS DOUBLE) AS fb, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) AS fc FROM m), "
+            "g AS (SELECT *, sqrt(((fa - fb) / 2.0) * ((fa - fb) / 2.0) "
+            "+ fc * fc) AS disc FROM f) "
+            "SELECT lang, CAST(n AS BIGINT) AS n_pages, "
+            "round(dsy / dn / 10000.0, 6) AS mean_lat, "
+            "round(dsx / dn / 10000.0, 6) AS mean_lng, "
+            "round(degrees(0.5 * atan2(2.0 * fc, fa - fb)), 6) "
+            "AS theta_deg, "
+            "round(sqrt((fa + fb) / 2.0 + disc) / dn / 10000.0, 6) "
+            "AS sigma_major_deg, "
+            "round(sqrt(GREATEST((fa + fb) / 2.0 - disc, 0.0)) "
+            "/ dn / 10000.0, 6) AS sigma_minor_deg "
+            "FROM g ORDER BY lang"
         ),
         # Mann-Kendall per cell: zero-filled dense (cell x 12 months)
         # counts via cells x months CROSS JOIN + LEFT JOIN, then the

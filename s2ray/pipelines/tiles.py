@@ -765,3 +765,121 @@ def lang_geo_bbox(sf_dir: str, **read_kwargs):
     return (agg.map_batches(finish, batch_format="pyarrow",
                             batch_size=None)
             .sort("lang"))
+
+
+def lang_ellipse(sf_dir: str, **read_kwargs):
+    """Standard deviational ellipse (Yuill 1971 — the ArcGIS
+    "Directional Distribution" tool) per language: mean center,
+    major-axis orientation, and the two axis standard deviations of each
+    language's page cloud in planar lat/lng degrees — (lang, n_pages,
+    mean_lat, mean_lng, theta_deg, sigma_major_deg, sigma_minor_deg).
+    theta is the major-axis rotation from the +x (east) axis,
+    0.5 * atan2(2*Cxy, Cxx - Cyy).
+
+    Exactness: all six moments (n, Sx, Sy, Sxx, Syy, Sxy) accumulate
+    over the pages synth's int64 1e-4-degree fixed-point coordinates —
+    per-batch int64 partials (asserted < 2^63, same guard as
+    corr_by_group) ride hi/lo-split lanes through ONE lang-cardinality
+    groupby so the global sums cannot wrap at 100 TB; the driver
+    reconstructs exact Python ints for the handful of languages.  The
+    N^2-scaled central moments a = N*Sxx - Sx^2, b = N*Syy - Sy^2,
+    c = N*Sxy - Sx*Sy are exact integers; each is cast to float64 once
+    (SQL CAST(HUGEINT AS DOUBLE), round-to-nearest in both runtimes) and
+    the eigen/rotation chain runs in the identical IEEE op order as the
+    oracle: half = (a-b)/2, disc = sqrt(half*half + c*c),
+    sigma = sqrt((a+b)/2 +- disc) / N / 1e4 (the +-disc eigenvalue is
+    clamped at 0 on BOTH engines against 1-ulp negative residue).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    ds = pages_with_cells(sf_dir, token_level=None, **read_kwargs)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = batch["lang"].to_pandas()
+        x = batch["lng_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["lat_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x):
+            mx = max(int(np.abs(x).max()), int(np.abs(y).max()))
+            assert mx * mx * len(x) < 2**63, (
+                "lang_ellipse per-batch moment partial would exceed int64; "
+                "lower batch_size")
+        codes, uniques = pd.factorize(lang, use_na_sentinel=False)
+        k = len(uniques)
+        cols = {"lang": pa.array([str(u) for u in uniques],
+                                 type=pa.string()),
+                "pn": pa.array(np.bincount(codes, minlength=k)
+                               .astype(np.int64))}
+        # argsort+reduceat keeps the sums in int64 (bincount weights are
+        # float64 and lose exactness past 2^53)
+        order = np.argsort(codes, kind="stable")
+        seg = codes[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(seg[1:] != seg[:-1]) + 1]) \
+            if len(seg) else np.empty(0, np.int64)
+        seg_ids = seg[starts.astype(np.int64)] if len(seg) else seg
+        for nm, v in (("sx", x), ("sy", y), ("sxx", x * x),
+                      ("syy", y * y), ("sxy", x * y)):
+            s = np.zeros(k, dtype=np.int64)
+            if len(seg):
+                s[seg_ids] = np.add.reduceat(v[order], starts)
+            cols[nm + "_hi"] = pa.array(s // np.int64(2**31))
+            cols[nm + "_lo"] = pa.array(s % np.int64(2**31))
+        return pa.table(cols)
+
+    parts = [f"{c}_{h}" for c in ("sx", "sy", "sxx", "syy", "sxy")
+             for h in ("hi", "lo")]
+    m = (ds.map_batches(moments, batch_format="pyarrow", batch_size=None)
+         .groupby("lang")
+         .aggregate(Sum("pn", alias_name="pn"),
+                    *[Sum(p, alias_name=p) for p in parts])).to_pandas()
+
+    def _rec(r, c):
+        return int(getattr(r, c + "_hi")) * 2**31 + int(getattr(r, c + "_lo"))
+
+    out = {"lang": [], "n_pages": [], "mean_lat": [], "mean_lng": [],
+           "theta_deg": [], "sigma_major_deg": [], "sigma_minor_deg": []}
+    for r in m.itertuples():
+        n = int(r.pn)
+        sx, sy = _rec(r, "sx"), _rec(r, "sy")
+        sxx, syy, sxy = _rec(r, "sxx"), _rec(r, "syy"), _rec(r, "sxy")
+        fa = float(n * sxx - sx * sx)
+        fb = float(n * syy - sy * sy)
+        fc = float(n * sxy - sx * sy)
+        dn = float(n)
+        half = (fa - fb) / 2.0
+        disc = math.sqrt(half * half + fc * fc)
+        out["lang"].append(r.lang)
+        out["n_pages"].append(n)
+        out["mean_lat"].append(float(round_half_away(
+            np.float64(float(sy) / dn / 10000.0))))
+        out["mean_lng"].append(float(round_half_away(
+            np.float64(float(sx) / dn / 10000.0))))
+        out["theta_deg"].append(float(round_half_away(np.float64(
+            math.degrees(0.5 * math.atan2(2.0 * fc, fa - fb))))))
+        out["sigma_major_deg"].append(float(round_half_away(np.float64(
+            math.sqrt((fa + fb) / 2.0 + disc) / dn / 10000.0))))
+        out["sigma_minor_deg"].append(float(round_half_away(np.float64(
+            math.sqrt(max((fa + fb) / 2.0 - disc, 0.0)) / dn / 10000.0))))
+    order = np.argsort(np.asarray(out["lang"], dtype=object))
+    return pa.table({
+        "lang": pa.array(np.asarray(out["lang"], dtype=object)[order]
+                         .tolist(), type=pa.string()),
+        "n_pages": pa.array(np.asarray(out["n_pages"], dtype=np.int64)
+                            [order]),
+        "mean_lat": pa.array(np.asarray(out["mean_lat"])[order],
+                             type=pa.float64()),
+        "mean_lng": pa.array(np.asarray(out["mean_lng"])[order],
+                             type=pa.float64()),
+        "theta_deg": pa.array(np.asarray(out["theta_deg"])[order],
+                              type=pa.float64()),
+        "sigma_major_deg": pa.array(
+            np.asarray(out["sigma_major_deg"])[order], type=pa.float64()),
+        "sigma_minor_deg": pa.array(
+            np.asarray(out["sigma_minor_deg"])[order], type=pa.float64()),
+    })

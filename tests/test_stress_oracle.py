@@ -38,7 +38,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "source_mix", "langid_confusion", "emb_integrity",
                "tile_growth", "grid_smooth", "morans_i", "grid_kde",
                "getis_ord", "local_moran", "join_counts",
-               "tile_mann_kendall",
+               "tile_mann_kendall", "lang_ellipse",
                "domain_link_graph", "domain_pagerank", "domain_triangles",
                "domain_hits",
                "domain_reciprocity", "domain_assortativity",
