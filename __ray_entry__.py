@@ -739,6 +739,30 @@ def _q_join_counts(sf_dir: str):
                        cell_deg=1.0)
 
 
+def _q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape: part-name-filtered revenue per (supplier nation,
+    ship year); two broadcast dimension sides, one packed-key groupby."""
+    from s2ray.pipelines.join import product_profit
+
+    return product_profit(sf_dir)
+
+
+def _q_part_concentration(sf_dir: str):
+    """TPC-H Q11 shape: parts holding > 1/10000 of total revenue —
+    global-scalar HAVING as an exact integer cross-multiply."""
+    from s2ray.pipelines.join import part_concentration
+
+    return part_concentration(sf_dir)
+
+
+def _q_late_shipments(sf_dir: str):
+    """TPC-H Q12 shape: shipping-delay buckets x high/low priority CASE
+    counts over one orderkey co-partition join."""
+    from s2ray.pipelines.join import late_shipments
+
+    return late_shipments(sf_dir)
+
+
 def _q_lang_ellipse(sf_dir: str):
     """Standard deviational ellipse per language: exact e4 fixed-point
     integer moments on hi/lo lanes through one lang-cardinality groupby,
@@ -2584,6 +2608,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_counts": _q_join_counts,
         "tile_mann_kendall": _q_tile_mann_kendall,
         "lang_ellipse": _q_lang_ellipse,
+        "product_profit": _q_product_profit,
+        "part_concentration": _q_part_concentration,
+        "late_shipments": _q_late_shipments,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -2832,9 +2859,12 @@ def oracle_sql() -> dict[str, str]:
                                        forecast_revenue_sql,
                                        idle_customers_sql,
                                        large_orders_sql,
+                                       late_shipments_sql,
                                        market_share_sql,
                                        nation_volume_sql,
                                        order_priority_count_sql,
+                                       part_concentration_sql,
+                                       product_profit_sql,
                                        promo_revenue_sql,
                                        returned_items_sql,
                                        shipping_priority_sql,
@@ -4127,6 +4157,9 @@ FROM (
         "bracket_revenue": bracket_revenue_sql(),
         "market_share": market_share_sql(),
         "sole_fault_supplier": sole_fault_supplier_sql(),
+        "product_profit": product_profit_sql(),
+        "part_concentration": part_concentration_sql(),
+        "late_shipments": late_shipments_sql(),
         "source_overlap": source_overlap_sql(),
         "pivot_lang_counts": pivot_lang_counts_sql(),
         "user_type_matrix": user_type_matrix_sql(),

@@ -2594,3 +2594,347 @@ WHERE t.anyr = 1
 GROUP BY 1, 2
 ORDER BY numwait DESC, s.s_suppkey
 LIMIT {k}"""
+
+
+def product_profit(sf_dir: str, name_like: str = "red"):
+    """TPC-H Q9 shape (product-type profit): integer-exact revenue
+    (extendedprice x (1 - discount), microcents — this corpus has no
+    partsupp/supplycost, so "profit" is gross revenue; the ship year
+    stands in for Q9's order year, saving the orders join Q9 only needs
+    for the date) from lineitems of parts whose name contains
+    ``name_like``, rolled up per (supplier nation, year) —
+    (nation, o_year, profit_microcents) sorted.
+
+    Scale plan: the part side reduces to a sorted matching-partkey array
+    and the supplier side to a suppkey -> nationkey map, both broadcast
+    ONCE via ray.put (dimension tables — the small_qty_revenue / Q5
+    convention); lineitem streams through one vectorized pass that
+    filters, maps and pre-aggregates per packed (nationkey, year) key
+    in-batch, so the only exchange is a (nations x years)-cardinality
+    groupby on hi/lo-split int64 lanes (wrap-safe at 100 TB).  Nation
+    names attach driver-side to the handful of final rows.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_name"])
+    match = np.sort(pc.cast(
+        pt.filter(pc.match_substring(pt["p_name"], name_like))
+        ["p_partkey"], pa.int64()).to_numpy(zero_copy_only=False))
+    match_ref = ray.put(match)
+
+    st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_nationkey"])
+    sk = pc.cast(st["s_suppkey"], pa.int64()).to_numpy(
+        zero_copy_only=False)
+    nk = pc.cast(st["s_nationkey"], pa.int64()).to_numpy(
+        zero_copy_only=False)
+    order = np.argsort(sk)
+    supp_ref = ray.put((sk[order], nk[order]))
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    nation_name = dict(zip(
+        pc.cast(nt["n_nationkey"], pa.int64()).to_pylist(),
+        nt["n_name"].to_pylist()))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(match_ref)
+        skeys, snat = ray.get(supp_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = _sorted_membership(keys, pk)
+        sup = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        pos = np.minimum(np.searchsorted(skeys, sup), len(skeys) - 1)
+        assert len(sup) == 0 or bool((skeys[pos] == sup).all()), \
+            "lineitem references a suppkey absent from supplier (FK)"
+        nat = snat[pos]
+        year = sd.astype("datetime64[Y]").astype(np.int64) + 1970
+        k = nat * np.int64(8192) + (year - np.int64(1970))
+        u, inv = np.unique(k, return_inverse=True)
+        # int64-exact per-key sums (bincount weights are float64)
+        s = np.zeros(len(u), dtype=np.int64)
+        ordr = np.argsort(inv, kind="stable")
+        seg = inv[ordr]
+        if len(seg):
+            starts = np.concatenate(
+                [[0], np.flatnonzero(seg[1:] != seg[:-1]) + 1])
+            s[seg[starts]] = np.add.reduceat(rev[ordr], starts)
+        return pa.table({
+            "k": pa.array(u),
+            "ph": pa.array(s // np.int64(2**31)),
+            "pl": pa.array(s % np.int64(2**31)),
+        })
+
+    m = (li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby("k")
+         .aggregate(Sum("ph", alias_name="ph"),
+                    Sum("pl", alias_name="pl"))).to_pandas()
+
+    ks = m["k"].to_numpy()
+    prof = [int(h) * 2**31 + int(lo)
+            for h, lo in zip(m["ph"].to_numpy(), m["pl"].to_numpy())]
+    rows = sorted(
+        (str(nation_name[int(k) // 8192]), int(k) % 8192 + 1970, p)
+        for k, p in zip(ks, prof))
+    return ray.data.from_arrow(pa.table({
+        "nation": pa.array([r[0] for r in rows], type=pa.string()),
+        "o_year": pa.array([r[1] for r in rows], type=pa.int64()),
+        "profit_microcents": pa.array([r[2] for r in rows],
+                                      type=pa.int64()),
+    }))
+
+
+def product_profit_sql(name_like: str = "red") -> str:
+    """Oracle for :func:`product_profit` — the Q9 join tree in the
+    engine's integer microcents domain, ship year standing in for the
+    order year (documented deviation: no partsupp table)."""
+    return f"""
+SELECT n.n_name AS nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT))
+            AS BIGINT) AS profit_microcents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%{name_like}%'
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
+def part_concentration(sf_dir: str, fraction_bp: int = 6):
+    """TPC-H Q11 shape (important stock identification): parts whose
+    share of total integer-exact revenue strictly exceeds
+    ``fraction_bp`` / 10000 (Q11's value > total * FRACTION with
+    FRACTION = 0.0001 at SF1) — (p_partkey, value_microcents) sorted by
+    value desc.  Output is pigeonhole-bounded: fewer than
+    10000 / fraction_bp parts can each hold more than fraction_bp/10000
+    of the total, so the result always folds driver-side.
+
+    Scale plan: zero joins — per-batch per-partkey revenue partials,
+    ONE part-cardinality groupby on hi/lo lanes, then a second tiny
+    lane aggregation over the GROUPED table for the global total; the
+    HAVING is the exact integer cross-multiply 10000 * value > total,
+    evaluated as value > total // fraction-scaled-floor (equivalent for
+    integers), so no float share ever materializes.  Per-part values are
+    reconstructed in int64 (exact while a single part stays under
+    2^63 microcents ~ $92 B — a physical bound, documented).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        u, inv = np.unique(pk, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        ordr = np.argsort(inv, kind="stable")
+        seg = inv[ordr]
+        if len(seg):
+            starts = np.concatenate(
+                [[0], np.flatnonzero(seg[1:] != seg[:-1]) + 1])
+            s[seg[starts]] = np.add.reduceat(rev[ordr], starts)
+        return pa.table({
+            "p_partkey": pa.array(u),
+            "vh": pa.array(s // np.int64(2**31)),
+            "vl": pa.array(s % np.int64(2**31)),
+        })
+
+    per_part = (li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+                .groupby("p_partkey")
+                .aggregate(Sum("vh", alias_name="vh"),
+                           Sum("vl", alias_name="vl"))
+                .materialize())
+
+    tot = per_part.aggregate(Sum("vh"), Sum("vl"))
+    total = ((int(tot["sum(vh)"] or 0) << 31) + int(tot["sum(vl)"] or 0))
+    # 10000 * v > total  <=>  v > total // 10000 for integer v (exact)
+    thr = min(total * fraction_bp // 10000, 2**63 - 1)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = (batch["vh"].to_numpy(zero_copy_only=False) * np.int64(2**31)
+             + batch["vl"].to_numpy(zero_copy_only=False))
+        m = v > np.int64(thr)
+        return pa.table({
+            "p_partkey": pa.array(
+                batch["p_partkey"].to_numpy(zero_copy_only=False)[m]),
+            "value_microcents": pa.array(v[m]),
+        })
+
+    rows = (per_part.map_batches(keep, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+            .sort_values(["value_microcents", "p_partkey"],
+                         ascending=[False, True], ignore_index=True))
+    return ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array(rows["p_partkey"].to_numpy()
+                              .astype(np.int64)),
+        "value_microcents": pa.array(rows["value_microcents"].to_numpy()
+                                     .astype(np.int64)),
+    }))
+
+
+def part_concentration_sql(fraction_bp: int = 6) -> str:
+    """Oracle for :func:`part_concentration` — Q11's global-scalar
+    HAVING as a HUGEINT cross-multiply."""
+    return f"""
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+              AS HUGEINT) AS value
+  FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(coalesce(sum(value), 0) AS HUGEINT) AS total FROM v)
+SELECT v.p_partkey AS p_partkey,
+       CAST(v.value AS BIGINT) AS value_microcents
+FROM v CROSS JOIN t
+WHERE 10000 * v.value > {fraction_bp} * t.total
+ORDER BY value_microcents DESC, p_partkey"""
+
+
+def late_shipments(sf_dir: str, start: str = "1996-01-01",
+                   end: str = "1997-01-01", bucket_days: int = 30,
+                   max_bucket: int = 5, n_parts: int = 64):
+    """TPC-H Q12 shape (shipping-mode / priority split): one year's
+    lineitems joined to their orders, bucketed by shipping delay
+    (floor((shipdate - orderdate) / 30 days), clamped to [0, 5]) with
+    Q12's CASE split of high (1-URGENT / 2-HIGH) vs low priority —
+    (delay_bucket, high_line_count, low_line_count) sorted.
+
+    Scale plan: the window filter prunes lineitem BEFORE anything moves;
+    each batch reduces to distinct (orderkey, shipdate, count) triples
+    (same-day lines of one order collapse), which ride ONE orderkey
+    co-partition join against the orders projection (orderkey,
+    orderdate, is_high); delay and bucket are computed vectorized
+    in-bucket and only (bucket, high, low) partials reach the final
+    6-row groupby.  Negative delays clamp at 0 on BOTH engines (guards
+    the floor-vs-truncate divide divergence on negatives the repo
+    documents elsewhere).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    s_us = np.datetime64(start).astype("datetime64[us]").astype(np.int64)
+    e_us = np.datetime64(end).astype("datetime64[us]").astype(np.int64)
+    bucket_us = np.int64(bucket_days) * 86_400_000_000
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = (sd >= s_us) & (sd < e_us)
+        ok, sd = ok[keep], sd[keep]
+        df = pd.DataFrame({"l_orderkey": ok, "sd_us": sd})
+        g = df.groupby(["l_orderkey", "sd_us"], sort=False) \
+            .size().reset_index(name="n_lines")
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy()
+                                   .astype(np.int64)),
+            "sd_us": pa.array(g["sd_us"].to_numpy().astype(np.int64)),
+            "n_lines": pa.array(g["n_lines"].to_numpy().astype(np.int64)),
+        })
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=None)
+
+    orders = (read_table(sf_dir, "orders",
+                         columns=["o_orderkey", "o_orderdate",
+                                  "o_orderpriority"])
+              .map_batches(lambda b: pa.table({
+                  "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                  "od_us": pa.array(
+                      b["o_orderdate"].to_numpy(zero_copy_only=False)
+                      .astype("datetime64[us]").astype(np.int64)),
+                  "is_high": pc.is_in(
+                      b["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"])),
+              }), batch_format="pyarrow", batch_size=None))
+
+    j = copartition_hash_join(li_agg, orders, on="l_orderkey",
+                              right_on="o_orderkey", n_parts=n_parts,
+                              how="inner")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        sd = batch["sd_us"].to_numpy(zero_copy_only=False)
+        od = batch["od_us"].to_numpy(zero_copy_only=False)
+        nl = batch["n_lines"].to_numpy(zero_copy_only=False)
+        hi = batch["is_high"].to_numpy(zero_copy_only=False).astype(bool)
+        delay = np.maximum(sd - od, 0)
+        b = np.minimum(delay // bucket_us, max_bucket)
+        u, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "delay_bucket": pa.array(u),
+            "h": pa.array(np.bincount(inv, weights=np.where(hi, nl, 0),
+                                      minlength=len(u)).astype(np.int64)),
+            "lo": pa.array(np.bincount(inv, weights=np.where(hi, 0, nl),
+                                       minlength=len(u)).astype(np.int64)),
+        })
+
+    m = (j.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+         .groupby("delay_bucket")
+         .aggregate(Sum("h", alias_name="high_line_count"),
+                    Sum("lo", alias_name="low_line_count"))).to_pandas() \
+        .sort_values("delay_bucket", ignore_index=True)
+    return ray.data.from_arrow(pa.table({
+        "delay_bucket": pa.array(m["delay_bucket"].to_numpy()
+                                 .astype(np.int64)),
+        "high_line_count": pa.array(m["high_line_count"].to_numpy()
+                                    .astype(np.int64)),
+        "low_line_count": pa.array(m["low_line_count"].to_numpy()
+                                   .astype(np.int64)),
+    }))
+
+
+def late_shipments_sql(start: str = "1996-01-01",
+                       end: str = "1997-01-01", bucket_days: int = 30,
+                       max_bucket: int = 5) -> str:
+    """Oracle for :func:`late_shipments` — Q12's CASE split over the
+    engine's clamped integer delay buckets."""
+    bucket_us = bucket_days * 86_400_000_000
+    return f"""
+WITH j AS (
+  SELECT GREATEST(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate),
+                  0) AS delay_us,
+         o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_high
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= TIMESTAMP '{start}'
+    AND l.l_shipdate < TIMESTAMP '{end}')
+SELECT CAST(LEAST(delay_us // {bucket_us}, {max_bucket}) AS BIGINT)
+         AS delay_bucket,
+       CAST(coalesce(count(*) FILTER (is_high), 0) AS BIGINT)
+         AS high_line_count,
+       CAST(coalesce(count(*) FILTER (NOT is_high), 0) AS BIGINT)
+         AS low_line_count
+FROM j GROUP BY 1 ORDER BY 1"""

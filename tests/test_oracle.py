@@ -84,6 +84,8 @@ def _compare(name, entrymod, con):
                                    "grid_smooth", "morans_i", "grid_kde",
                                    "getis_ord", "local_moran", "join_counts",
                                    "tile_mann_kendall", "lang_ellipse",
+                                   "product_profit", "part_concentration",
+                                   "late_shipments",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",
                                    "domain_bfs_depth", "quadrat_dispersion", "source_js", "user_burstiness", "ripley_k", "domain_cocitation", "domain_coupling", "clark_evans", "heaps_law", "event_type_trend", "source_vocab_jaccard", "shipping_priority", "geo_destination", "location_codec", "returned_items",
