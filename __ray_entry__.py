@@ -1121,6 +1121,15 @@ def _q_domain_bfs_depth(sf_dir: str):
     return domain_bfs_depth(sf_dir)
 
 
+def _q_domain_components(sf_dir: str):
+    """Connected components of the thresholded domain backbone via the
+    distributed hash-min label-propagation machinery (recursive
+    min-reachability CTE oracle); singleton domains preserved."""
+    from s2ray.pipelines.webgraph import domain_components
+
+    return domain_components(sf_dir)
+
+
 def _q_zipf_slope(sf_dir: str):
     """Zipf rank-frequency regression over the corpus vocabulary:
     order-pinned moment folds ascending rank."""
@@ -2611,6 +2620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "part_concentration": _q_part_concentration,
         "late_shipments": _q_late_shipments,
+        "domain_components": _q_domain_components,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -2886,6 +2896,7 @@ def oracle_sql() -> dict[str, str]:
                                       source_js_divergence_sql)
     from s2ray.pipelines.webgraph import (domain_assortativity_sql,
                                           domain_bfs_depth_sql,
+                                          domain_components_sql,
                                           domain_cocitation_sql,
                                           domain_coupling_sql,
                                           domain_hits_sql,
@@ -4133,6 +4144,7 @@ FROM (
         "domain_reciprocity": domain_reciprocity_sql(cte),
         "domain_assortativity": domain_assortativity_sql(cte),
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
+        "domain_components": domain_components_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,
         "domain_cocitation": domain_cocitation_sql(cte),
         "domain_coupling": domain_coupling_sql(cte),

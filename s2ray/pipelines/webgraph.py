@@ -605,3 +605,90 @@ def domain_coupling_sql(cte: str) -> str:
 ed AS (SELECT DISTINCT s, d FROM e)
 SELECT a.s AS d1, b.s AS d2, CAST(count(*) AS BIGINT) AS n_common
 FROM ed a JOIN ed b ON a.d = b.d AND a.s < b.s GROUP BY 1, 2"""
+
+
+def domain_components(sf_dir: str, min_links: int = 7):
+    """Connected components of the thresholded domain backbone graph —
+    the web-graph community primitive: keep undirected domain links with
+    at least ``min_links`` observed edges (backbone extraction), run
+    hash-min label propagation, and report every domain of the FULL
+    graph with its component — (domain, component_id, component_size),
+    singletons included.  component_id is the member domain with the
+    minimum numeric index (min-label convention, matching the oracle's
+    recursive min-reachability CTE).
+
+    Scale shape: the edge stream is the domain-adjacency aggregate
+    (vocabulary-bounded, never corpus-sized); components run on the
+    DISTRIBUTED label-propagation machinery (dedup._cc_label_propagation
+    — per-round state is the (node, label) table co-partitioned by node
+    hash, no driver edge list), which at a ~100M-domain web vocabulary
+    is the only path that works; the final attach of singleton domains
+    and component sizes touches vocabulary-bounded tables only.
+    """
+    import pandas as pd
+    import ray.data
+
+    from .dedup import _cc_label_propagation
+
+    edges = domain_link_graph(sf_dir).materialize()
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        n = batch["n_links"].to_numpy(zero_copy_only=False)
+        keep = batch.filter(pa.array(n >= min_links))
+        a = pc.cast(pc.struct_field(pc.extract_regex(
+            keep["src_domain"], r"src(?P<i>\d+)"), "i"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = pc.cast(pc.struct_field(pc.extract_regex(
+            keep["dst_domain"], r"src(?P<i>\d+)"), "i"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"i": pa.array(a), "j": pa.array(b)})
+
+    pairs = edges.map_batches(to_pairs, batch_format="pyarrow",
+                              batch_size=None)
+    lab = _cc_label_propagation(pairs).to_pandas()   # vocab-bounded
+
+    # full node universe (src OR dst of ANY edge, threshold ignored)
+    et = edges.to_pandas()                           # vocab-bounded
+    idx = np.union1d(
+        et["src_domain"].str.extract(r"src(\d+)")[0].astype(np.int64),
+        et["dst_domain"].str.extract(r"src(\d+)")[0].astype(np.int64))
+    comp = dict(zip(lab["node"].astype(np.int64),
+                    lab["label"].astype(np.int64)))
+    cid = np.array([comp.get(int(v), int(v)) for v in idx],
+                   dtype=np.int64)
+    sizes = pd.Series(cid).value_counts()
+    return ray.data.from_arrow(pa.table({
+        "domain": pa.array([f"src{int(v)}.example.com" for v in idx],
+                           type=pa.string()),
+        "component_id": pa.array(
+            [f"src{int(c)}.example.com" for c in cid], type=pa.string()),
+        "component_size": pa.array(
+            sizes[cid].to_numpy().astype(np.int64)),
+    }))
+
+
+def domain_components_sql(cte: str, min_links: int = 7) -> str:
+    """Oracle for :func:`domain_components` — recursive min-reachability
+    over the same thresholded undirected backbone, singleton-preserving."""
+    rec_cte = cte.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        f"{rec_cte}, {_EDGE_SQL}, "
+        "ew AS (SELECT s, d, count(*) AS n FROM e GROUP BY 1, 2), "
+        "nd AS (SELECT DISTINCT CAST(regexp_extract(x, 'src(\\d+)', 1) "
+        "AS BIGINT) AS v FROM "
+        "(SELECT s AS x FROM ew UNION SELECT d FROM ew)), "
+        f"ee AS (SELECT CAST(regexp_extract(s, 'src(\\d+)', 1) AS BIGINT) "
+        "AS a, CAST(regexp_extract(d, 'src(\\d+)', 1) AS BIGINT) AS b "
+        f"FROM ew WHERE n >= {min_links}), "
+        "und AS (SELECT a, b FROM ee UNION SELECT b AS a, a AS b FROM ee), "
+        "reach(v, r) AS (SELECT v, v FROM nd UNION "
+        "SELECT reach.v, und.b FROM reach JOIN und ON und.a = reach.r), "
+        "comp AS (SELECT v, min(r) AS c FROM reach GROUP BY v), "
+        "cs AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM comp "
+        "GROUP BY c) "
+        "SELECT 'src' || CAST(comp.v AS VARCHAR) || '.example.com' "
+        "AS domain, "
+        "'src' || CAST(comp.c AS VARCHAR) || '.example.com' "
+        "AS component_id, cs.n AS component_size "
+        "FROM comp JOIN cs ON cs.c = comp.c ORDER BY comp.v"
+    )

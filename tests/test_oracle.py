@@ -88,7 +88,7 @@ def _compare(name, entrymod, con):
                                    "late_shipments",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",
-                                   "domain_bfs_depth", "quadrat_dispersion", "source_js", "user_burstiness", "ripley_k", "domain_cocitation", "domain_coupling", "clark_evans", "heaps_law", "event_type_trend", "source_vocab_jaccard", "shipping_priority", "geo_destination", "location_codec", "returned_items",
+                                   "domain_bfs_depth", "domain_components", "quadrat_dispersion", "source_js", "user_burstiness", "ripley_k", "domain_cocitation", "domain_coupling", "clark_evans", "heaps_law", "event_type_trend", "source_vocab_jaccard", "shipping_priority", "geo_destination", "location_codec", "returned_items",
                                    "promo_revenue", "top_supplier", "large_orders",
                                    "order_priority_count", "cust_order_dist",
                                    "small_qty_revenue", "nation_volume",

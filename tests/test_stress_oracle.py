@@ -42,7 +42,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_link_graph", "domain_pagerank", "domain_triangles",
                "domain_hits",
                "domain_reciprocity", "domain_assortativity",
-               "domain_bfs_depth", "quadrat_dispersion", "source_js", "ripley_k",
+               "domain_bfs_depth", "domain_components", "quadrat_dispersion", "source_js", "ripley_k",
                "domain_cocitation", "domain_coupling", "clark_evans",
                "heaps_law", "source_vocab_jaccard",
                "geo_destination", "location_codec",
