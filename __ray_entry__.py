@@ -739,6 +739,15 @@ def _q_join_counts(sf_dir: str):
                        cell_deg=1.0)
 
 
+def _q_order_overlap(sf_dir: str):
+    """Per-customer interval-overlap pair count: orderkey co-partition
+    span build + custkey co-partition offset-encoded sort-sweep (no
+    quadratic pair join); quadratic self-join oracle."""
+    from s2ray.pipelines.join import order_overlap
+
+    return order_overlap(sf_dir)
+
+
 def _q_product_profit(sf_dir: str):
     """TPC-H Q9 shape: part-name-filtered revenue per (supplier nation,
     ship year); two broadcast dimension sides, one packed-key groupby."""
@@ -2621,6 +2630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_concentration": _q_part_concentration,
         "late_shipments": _q_late_shipments,
         "domain_components": _q_domain_components,
+        "order_overlap": _q_order_overlap,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -2872,6 +2882,7 @@ def oracle_sql() -> dict[str, str]:
                                        late_shipments_sql,
                                        market_share_sql,
                                        nation_volume_sql,
+                                       order_overlap_sql,
                                        order_priority_count_sql,
                                        part_concentration_sql,
                                        product_profit_sql,
@@ -4172,6 +4183,7 @@ FROM (
         "product_profit": product_profit_sql(),
         "part_concentration": part_concentration_sql(),
         "late_shipments": late_shipments_sql(),
+        "order_overlap": order_overlap_sql(),
         "source_overlap": source_overlap_sql(),
         "pivot_lang_counts": pivot_lang_counts_sql(),
         "user_type_matrix": user_type_matrix_sql(),

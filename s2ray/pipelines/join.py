@@ -2938,3 +2938,144 @@ SELECT CAST(LEAST(delay_us // {bucket_us}, {max_bucket}) AS BIGINT)
        CAST(coalesce(count(*) FILTER (NOT is_high), 0) AS BIGINT)
          AS low_line_count
 FROM j GROUP BY 1 ORDER BY 1"""
+
+
+def order_overlap(sf_dir: str, n_parts: int = 64):
+    """Interval-overlap self-join per customer: each order spans
+    [orderdate, last shipdate of its lineitems] (orders with no lineitem
+    drop — inner semantics); count, per customer, the unordered pairs of
+    their orders whose spans overlap — (c_custkey, n_orders,
+    n_overlap_pairs).  The temporal-join primitive (campaign/session
+    overlap analysis) that SQL writes as a quadratic self-join.
+
+    Scale plan: lineitem pre-aggregates per-batch per-orderkey max
+    shipdate partials into ONE orderkey-cardinality Max groupby; the
+    span table co-partition-joins orders on orderkey; a second custkey
+    co-partition then counts overlaps WITHOUT the quadratic pair join:
+    within each bucket, customers are factorized and every span is
+    encoded rank * 50000 + day (day < 50000 pins spans of different
+    customers to disjoint ranges), so ONE global sort + ONE searchsorted
+    per bucket yields, for every order j, the count of same-customer
+    spans ending strictly before s_j — and
+
+        overlap_pairs = C(k, 2) - #{ordered (i, j): e_i < s_j}
+
+    (disjoint unordered pairs contribute exactly one ordered term:
+    e_i < s_j <= e_j < s_i is a contradiction).  Days floor-divide from
+    epoch microseconds on BOTH engines (all source timestamps are
+    midnight-aligned dates; non-negative post-1970 epochs make SQL's
+    truncating // identical to floor).
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from ..sources.readers import read_table
+
+    day_us = np.int64(86_400_000_000)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        e = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(e, inv, sd)
+        return pa.table({"l_orderkey": pa.array(u),
+                         "pe": pa.array(e // day_us)})
+
+    spans = (li.map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("l_orderkey").aggregate(Max("pe", alias_name="e_day")))
+
+    orders = (read_table(sf_dir, "orders",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+              .map_batches(lambda b: pa.table({
+                  "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                  "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                  "s_day": pa.array(
+                      b["o_orderdate"].to_numpy(zero_copy_only=False)
+                      .astype("datetime64[us]").astype(np.int64) // day_us),
+              }), batch_format="pyarrow", batch_size=None))
+
+    j = copartition_hash_join(orders, spans, on="o_orderkey",
+                              right_on="l_orderkey", n_parts=n_parts,
+                              how="inner")
+
+    P = np.int64(n_parts)
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "part": pa.array((c % P).astype(np.int32)),
+            "c": pa.array(c),
+            "s": pa.array(batch["s_day"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64)),
+            "e": pa.array(batch["e_day"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64)),
+        })
+
+    def count_overlaps(df) -> pa.Table:
+        c = df["c"].to_numpy().astype(np.int64)
+        s0 = df["s"].to_numpy().astype(np.int64)
+        e0 = df["e"].to_numpy().astype(np.int64)
+        # normalize: the synthetic corpus ships some lines BEFORE the
+        # order date, so the span is [min, max] (LEAST/GREATEST in the
+        # oracle) — the disjoint-pair identity requires e >= s
+        s = np.minimum(s0, e0)
+        e = np.maximum(s0, e0)
+        assert len(s) == 0 or (s.min() >= 0 and e.max() < 50000), \
+            "order_overlap day encoding assumes days in [0, 50000)"
+        uniq, rank = np.unique(c, return_inverse=True)
+        base = rank.astype(np.int64) * np.int64(50000)
+        enc_e = np.sort(base + e)
+        k = np.bincount(rank, minlength=len(uniq)).astype(np.int64)
+        # ordered disjoint terms: same-customer spans ending before s_j.
+        # searchsorted also counts EVERY span of lower-ranked customers
+        # (their encodings all sort below this customer's block), so
+        # subtract the per-rank prefix count.
+        prefix = np.concatenate([[0], np.cumsum(k)[:-1]]).astype(np.int64)
+        before = (np.searchsorted(enc_e, base + s, side="left")
+                  - prefix[rank])
+        disj = np.bincount(rank, weights=before,
+                           minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "c_custkey": pa.array(uniq),
+            "n_orders": pa.array(k),
+            "n_overlap_pairs": pa.array(k * (k - 1) // 2 - disj),
+        })
+
+    return (j.map_batches(tag_cust, batch_format="pyarrow",
+                          batch_size=None)
+            .groupby("part")
+            .map_groups(count_overlaps, batch_format="pandas"))
+
+
+def order_overlap_sql() -> str:
+    """Oracle for :func:`order_overlap` — the quadratic per-customer
+    interval self-join the engine's sweep replaces."""
+    return """
+WITH oi AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         LEAST(epoch_us(o.o_orderdate) // 86400000000,
+               max(epoch_us(l.l_shipdate) // 86400000000)) AS s,
+         GREATEST(epoch_us(o.o_orderdate) // 86400000000,
+                  max(epoch_us(l.l_shipdate) // 86400000000)) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate),
+p AS (
+  SELECT a.o_custkey AS c, CAST(count(*) AS BIGINT) AS np
+  FROM oi a JOIN oi b
+    ON b.o_custkey = a.o_custkey AND b.o_orderkey > a.o_orderkey
+   AND a.s <= b.e AND b.s <= a.e
+  GROUP BY 1),
+k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM oi GROUP BY 1)
+SELECT k.o_custkey AS c_custkey, k.n_orders,
+       coalesce(p.np, 0) AS n_overlap_pairs
+FROM k LEFT JOIN p ON p.c = k.o_custkey"""
