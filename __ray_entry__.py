@@ -1715,6 +1715,17 @@ def _q_nearest_neighbor(sf_dir: str):
                                 DIST_JOIN_M)
 
 
+def _q_bipartite_nn(sf_dir: str):
+    """Bipartite cross-language nearest neighbor within 25 km (zh -> en):
+    lang bit encoded into the point id through the exactly-once bucketed
+    pair core, two-stage distributed argmin."""
+    from s2ray.pipelines.spatial_join import bipartite_nn
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return bipartite_nn(pages_with_cells(sf_dir, token_level=None),
+                        DIST_JOIN_M)
+
+
 def _q_doc_perplexity(sf_dir: str):
     """Bigram LM perplexity per document (corpus-trained, add-alpha
     smoothing) — CCNet-style quality signal; hashing and smoothing
@@ -2631,6 +2642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipments": _q_late_shipments,
         "domain_components": _q_domain_components,
         "order_overlap": _q_order_overlap,
+        "bipartite_nn": _q_bipartite_nn,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3458,6 +3470,18 @@ sym AS (SELECT i AS page_id, j AS nn_id, dm FROM pr
 rk AS (SELECT page_id, nn_id, dm,
               row_number() OVER (PARTITION BY page_id
                                  ORDER BY dm, nn_id) AS rn FROM sym)
+SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1"""
+    # bipartite cross-lang NN: directed a -> b pair set, same ranking
+    bipartite_nn_sql = f"""
+{cte},
+pr AS (SELECT a.page_id AS page_id, b.page_id AS nn_id,
+              round({dist_pair}, 3) AS dm
+       FROM pages_geo a JOIN pages_geo b ON b.page_id <> a.page_id
+       WHERE a.lang = 'zh' AND b.lang = 'en'
+         AND {dist_pair} <= {DIST_JOIN_M!r}),
+rk AS (SELECT page_id, nn_id, dm,
+              row_number() OVER (PARTITION BY page_id
+                                 ORDER BY dm, nn_id) AS rn FROM pr)
 SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1"""
     # Clark-Evans: order-pinned list_reduce over the same per-page argmin
     # dm values; mean/expected/ce chain in the engine's exact op order
@@ -4456,6 +4480,7 @@ GROUP BY m.event_type, m.median""",
         "doc_perplexity": ppl_sql,
         "distance_join": distance_join_sql,
         "nearest_neighbor": nearest_neighbor_sql,
+        "bipartite_nn": bipartite_nn_sql,
         "knn_graph": knn_graph_sql,
         "nearest_city_stats": nearest_city_sql,
         "bearing_sectors": bearing_sql,

@@ -1131,3 +1131,94 @@ def nn_g_function(pages_ds, radii=(5_000.0, 10_000.0, 25_000.0),
             np.float64(c) / np.float64(n_pts), 6)) for c in n_le],
             type=pa.float64()),
     }))
+
+
+def bipartite_nn(pages_ds, d_m: float, lang_a: str = "zh",
+                 lang_b: str = "en", max_bucket: int = 200_000):
+    """Bipartite (cross-type) nearest neighbor: for every page of
+    ``lang_a``, its closest ``lang_b`` page within ``d_m`` meters —
+    (page_id, nn_id, dist_m); lang_a pages with no lang_b neighbor in
+    range are absent (inner semantics).  The "nearest competitor of the
+    OTHER brand" join of retail/geo-marketing analytics, and the geo
+    twin of the embedding-space cross_lang_nn.
+
+    Plan: the corpus filters to the two languages and the lang bit is
+    ENCODED into the point id (id*2 + is_b) so the exactly-once
+    :func:`distance_join_pairs` core carries it through the bucket
+    shuffle for free; pairs are then oriented a -> b only and the same
+    two-stage distributed argmin as :func:`nearest_neighbor_map` picks
+    the per-source minimum.  The (dm, encoded nn) lexsort ranks
+    identically to the oracle's (dm, true nn) row_number because the
+    encoding is monotonic in the true id on the fixed is_b bit.
+    """
+    import pandas as pd
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        ids = batch["page_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        is_a = lang == lang_a
+        is_b = lang == lang_b
+        keep = is_a | is_b
+        return pa.table({
+            "page_id": pa.array(ids[keep] * 2
+                                + is_b[keep].astype(np.int64)),
+            "lat": batch["lat"].filter(pa.array(keep)),
+            "lng": batch["lng"].filter(pa.array(keep)),
+        })
+
+    pairs = distance_join_pairs(
+        pages_ds.map_batches(prep, batch_format="pyarrow",
+                             batch_size=None),
+        d_m, max_bucket=max_bucket)
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = batch["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dm = batch["dist_m"].to_numpy(zero_copy_only=False)
+        pid = np.concatenate([i, j])
+        nn = np.concatenate([j, i])
+        d = np.concatenate([dm, dm])
+        keep = (pid % 2 == 0) & (nn % 2 == 1)     # a -> b only
+        pid, nn, d = pid[keep], nn[keep], d[keep]
+        if len(pid) == 0:
+            return pa.table({
+                "part": pa.array([], type=pa.int32()),
+                "page_id": pa.array([], type=pa.int64()),
+                "nn_id": pa.array([], type=pa.int64()),
+                "dist_m": pa.array([], type=pa.float64()),
+            })
+        order = np.lexsort((nn, d, pid))
+        pid, nn, d = pid[order], nn[order], d[order]
+        first = np.concatenate([[True], pid[1:] != pid[:-1]])
+        pid, nn, d = pid[first], nn[first], d[first]
+        return pa.table({
+            "part": pa.array((pid % _NN_PARTS).astype(np.int32)),
+            "page_id": pa.array(pid),
+            "nn_id": pa.array(nn),
+            "dist_m": pa.array(d),
+        })
+
+    def merge_best(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "page_id": pd.Series(dtype=np.int64),
+                "nn_id": pd.Series(dtype=np.int64),
+                "dist_m": pd.Series(dtype=np.float64),
+            })
+        pid = df["page_id"].to_numpy()
+        nn = df["nn_id"].to_numpy()
+        d = df["dist_m"].to_numpy()
+        order = np.lexsort((nn, d, pid))
+        pid, nn, d = pid[order], nn[order], d[order]
+        first = np.concatenate([[True], pid[1:] != pid[:-1]])
+        return pd.DataFrame({
+            "page_id": (pid[first] // 2).astype(np.int64),
+            "nn_id": (nn[first] // 2).astype(np.int64),
+            "dist_m": d[first],
+        })
+
+    return (pairs.map_batches(local_best, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("part")
+            .map_groups(merge_best, batch_format="pandas"))

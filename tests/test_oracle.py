@@ -85,7 +85,7 @@ def _compare(name, entrymod, con):
                                    "getis_ord", "local_moran", "join_counts",
                                    "tile_mann_kendall", "lang_ellipse",
                                    "product_profit", "part_concentration",
-                                   "order_overlap",
+                                   "order_overlap", "bipartite_nn",
                                    "late_shipments",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",
