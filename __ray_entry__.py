@@ -1715,6 +1715,14 @@ def _q_nearest_neighbor(sf_dir: str):
                                 DIST_JOIN_M)
 
 
+def _q_monthly_centroid(sf_dir: str):
+    """Monthly spherical centroid track of the crawl (1e-9 fixed-point
+    order-free vector sums, one month-cardinality groupby)."""
+    from s2ray.pipelines.tiles import monthly_centroid
+
+    return monthly_centroid(sf_dir)
+
+
 def _q_bipartite_nn(sf_dir: str):
     """Bipartite cross-language nearest neighbor within 25 km (zh -> en):
     lang bit encoded into the point id through the exactly-once bucketed
@@ -2643,6 +2651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_components": _q_domain_components,
         "order_overlap": _q_order_overlap,
         "bipartite_nn": _q_bipartite_nn,
+        "monthly_centroid": _q_monthly_centroid,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -4220,6 +4229,27 @@ FROM (
         "dominant_dim_hist": DOMINANT_DIM_HIST_SQL,
         "nn_g_function": nn_g_sql,
         "lang_geo_bbox": lang_bbox_sql,
+        "monthly_centroid": (
+            f"{cte}, q AS (SELECT "
+            "date_trunc('month', make_timestamp("
+            "(1704067200 + (page_id * 40499) % 31536000) * 1000000)) "
+            "AS month, "
+            "CAST(round(cos(radians(lat)) * cos(radians(lng)) "
+            "* 1000000000.0) AS BIGINT) AS qx, "
+            "CAST(round(cos(radians(lat)) * sin(radians(lng)) "
+            "* 1000000000.0) AS BIGINT) AS qy, "
+            "CAST(round(sin(radians(lat)) * 1000000000.0) AS BIGINT) "
+            "AS qz FROM pages_geo) "
+            "SELECT month, CAST(count(*) AS BIGINT) AS n_pages, "
+            "round(degrees(atan2(CAST(CAST(sum(qz) AS BIGINT) AS DOUBLE), "
+            "sqrt(CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE) "
+            "* CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE) "
+            "+ CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE) "
+            "* CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE)))), 6) AS c_lat, "
+            "round(degrees(atan2(CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE), "
+            "CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE))), 6) AS c_lng "
+            "FROM q GROUP BY 1 ORDER BY 1"
+        ),
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,

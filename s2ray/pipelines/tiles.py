@@ -883,3 +883,78 @@ def lang_ellipse(sf_dir: str, **read_kwargs):
         "sigma_minor_deg": pa.array(
             np.asarray(out["sigma_minor_deg"])[order], type=pa.float64()),
     })
+
+
+def monthly_centroid(sf_dir: str, **read_kwargs):
+    """Space-time centroid track: the discrete spherical centroid of the
+    page cloud per crawl month — (month, n_pages, c_lat, c_lng) — the
+    "is the crawl's geographic focus drifting?" monitoring primitive
+    (the temporal companion of :func:`lang_geo_bbox`, same 1e-9
+    fixed-point order-free vector sums, antimeridian/pole-safe).
+
+    Scale shape: per-batch per-month partials (months x 4 numbers), ONE
+    month-cardinality groupby, tiny finishing map.
+    """
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    ds = pages_with_cells(sf_dir, token_level=None, **read_kwargs)
+    _S = 1_000_000_000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False)
+        mkey = ts.astype("datetime64[M]").astype(np.int64)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        phi = np.radians(lat)
+        theta = np.radians(lng)
+        cp = np.cos(phi)
+        qx = round_half_away(cp * np.cos(theta) * _S, 0).astype(np.int64)
+        qy = round_half_away(cp * np.sin(theta) * _S, 0).astype(np.int64)
+        qz = round_half_away(np.sin(phi) * _S, 0).astype(np.int64)
+        u, inv = np.unique(mkey, return_inverse=True)
+        k = len(u)
+        ordr = np.argsort(inv, kind="stable")
+        seg = inv[ordr]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(seg[1:] != seg[:-1]) + 1]) \
+            if len(seg) else np.empty(0, np.int64)
+        cols = {"mkey": pa.array(u),
+                "pn": pa.array(np.bincount(inv, minlength=k)
+                               .astype(np.int64))}
+        for nm, v in (("qx", qx), ("qy", qy), ("qz", qz)):
+            s = np.zeros(k, dtype=np.int64)
+            if len(seg):
+                s[seg[starts.astype(np.int64)]] = \
+                    np.add.reduceat(v[ordr], starts)
+            cols[nm] = pa.array(s)
+        return pa.table(cols)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("mkey")
+           .aggregate(Sum("qx", alias_name="sx"),
+                      Sum("qy", alias_name="sy"),
+                      Sum("qz", alias_name="sz"),
+                      Sum("pn", alias_name="n_pages")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = batch["mkey"].to_numpy(zero_copy_only=False)
+        sx = batch["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = batch["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sz = batch["sz"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hyp = np.sqrt(sx * sx + sy * sy)
+        return pa.table({
+            "month": pa.array(m.astype("datetime64[M]")
+                              .astype("datetime64[us]")),
+            "n_pages": batch["n_pages"],
+            "c_lat": pa.array(round_half_away(
+                np.degrees(np.arctan2(sz, hyp)), 6)),
+            "c_lng": pa.array(round_half_away(
+                np.degrees(np.arctan2(sy, sx)), 6)),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
+            .sort("month"))

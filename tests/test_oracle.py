@@ -86,6 +86,7 @@ def _compare(name, entrymod, con):
                                    "tile_mann_kendall", "lang_ellipse",
                                    "product_profit", "part_concentration",
                                    "order_overlap", "bipartite_nn",
+                                   "monthly_centroid",
                                    "late_shipments",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",

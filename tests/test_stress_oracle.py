@@ -33,7 +33,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
                "tile_quantiles", "tile_diversity",
                "docs_rollup", "dup_degree_hist", "tile_top_lang",
-               "tile_centroids",
+               "tile_centroids", "monthly_centroid",
                "standardize_docs", "doc_deciles", "cross_lang_nn",
                "source_mix", "langid_confusion", "emb_integrity",
                "tile_growth", "grid_smooth", "morans_i", "grid_kde",
