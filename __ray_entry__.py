@@ -1715,6 +1715,14 @@ def _q_nearest_neighbor(sf_dir: str):
                                 DIST_JOIN_M)
 
 
+def _q_lang_centroid_sim(sf_dir: str):
+    """Cross-language embedding-centroid cosine matrix in the exact
+    2^40-scaled integer domain with order-pinned float folds."""
+    from s2ray.pipelines.ann import lang_centroid_sim
+
+    return lang_centroid_sim(sf_dir)
+
+
 def _q_monthly_centroid(sf_dir: str):
     """Monthly spherical centroid track of the crawl (1e-9 fixed-point
     order-free vector sums, one month-cardinality groupby)."""
@@ -2652,6 +2660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_overlap": _q_order_overlap,
         "bipartite_nn": _q_bipartite_nn,
         "monthly_centroid": _q_monthly_centroid,
+        "lang_centroid_sim": _q_lang_centroid_sim,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -2915,7 +2924,8 @@ def oracle_sql() -> dict[str, str]:
                                        supplier_parts_cnt_sql,
                                        top_supplier_sql)
     from s2ray.pipelines.ann import (DOMINANT_DIM_HIST_SQL,
-                                     EMB_DIM_STATS_SQL)
+                                     EMB_DIM_STATS_SQL,
+                                     LANG_CENTROID_SIM_SQL)
     from s2ray.pipelines.relational import (pivot_lang_counts_sql,
                                             source_overlap_sql,
                                             user_type_matrix_sql)
@@ -4462,6 +4472,7 @@ GROUP BY m.event_type, m.median""",
             "AND epoch(e.ts) < w.we"
         ),
         "token_counts": _token_counts_oracle(),
+        "lang_centroid_sim": LANG_CENTROID_SIM_SQL,
         "emb_norm_by_lang": (
             "SELECT d.lang AS lang, count(*) AS n, "
             "round(avg(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "

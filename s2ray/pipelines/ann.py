@@ -788,3 +788,143 @@ SELECT CAST(list_position(embedding, list_aggregate(embedding, 'max'))
             - 1 AS BIGINT) AS dim,
        count(*) AS n_vectors
 FROM embeddings GROUP BY 1 ORDER BY 1"""
+
+
+def lang_centroid_sim(sf_dir: str, n_parts: int = 64):
+    """Cross-language embedding-centroid cosine matrix — one row per
+    unordered language pair: (lang_a, lang_b, n_a, n_b, cosine).  The
+    "are my language subspaces aligned?" diagnostic run before
+    cross-lingual retrieval; cosine of the MEAN vectors equals cosine of
+    the SUM vectors (the 1/n factors cancel), so no division ever
+    touches the aggregate.
+
+    Exactness: per-component sums ride the f32 x 2^40 exact integer
+    domain (the emb_dim_stats convention) on hi/lo-split lanes through
+    ONE (lang, dim)-cardinality groupby; lang attaches via the generic
+    doc_id = vec_id co-partition join.  The driver reconstructs exact
+    integer centroid sums for the handful of (lang, dim) cells, and the
+    dot/norm folds run as ORDER-PINNED float64 accumulations over
+    ascending dim — mirrored by the oracle's list_reduce over
+    list(... ORDER BY dim) — so the IEEE addition sequence is identical
+    and the rounded cosine is bit-equal.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.vecs import embedding_matrix
+    from .join import copartition_hash_join
+    from .text import round_half_away
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    embs = read_table(sf_dir, "embeddings",
+                      columns=["vec_id", "embedding"])
+    joined = copartition_hash_join(docs, embs, on="doc_id",
+                                   right_on="vec_id", n_parts=n_parts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if len(batch) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({
+                "lang": pa.array([], type=pa.string()),
+                "dim": z, "sh": z, "sl": z, "pn": z})
+        lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        mat = embedding_matrix(batch["embedding"], dtype=np.float64)
+        s = np.floor(mat * _DIM_SCALE + 0.5).astype(np.int64)
+        codes, uniques = pd.factorize(pd.Series(lang),
+                                      use_na_sentinel=False)
+        k = len(uniques)
+        d = mat.shape[1]
+        tot = np.zeros((k, d), dtype=np.int64)
+        np.add.at(tot, codes, s)          # k x d, exact int64
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        flat = tot.reshape(-1)
+        return pa.table({
+            "lang": pa.array(np.repeat([str(u) for u in uniques], d)
+                             .tolist(), type=pa.string()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "sh": pa.array(flat // np.int64(1 << 31)),
+            "sl": pa.array(flat % np.int64(1 << 31)),
+            "pn": pa.array(np.repeat(cnt, d)),
+        })
+
+    m = (joined.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+         .groupby(["lang", "dim"])
+         .aggregate(Sum("sh", alias_name="sh"),
+                    Sum("sl", alias_name="sl"),
+                    Sum("pn", alias_name="pn"))).to_pandas()
+
+    vecs, counts = {}, {}
+    for lang, grp in m.groupby("lang", sort=True):
+        grp = grp.sort_values("dim")
+        vecs[lang] = [int(h) * 2**31 + int(lo) for h, lo
+                      in zip(grp["sh"].to_numpy(), grp["sl"].to_numpy())]
+        counts[lang] = int(grp["pn"].iloc[0])
+
+    langs = sorted(vecs)
+    rows = {"lang_a": [], "lang_b": [], "n_a": [], "n_b": [],
+            "cosine": []}
+
+    def _fold_dot(a, b):
+        acc = np.float64(0.0)
+        for x, y in zip(a, b):           # ascending dim, order-pinned
+            acc = acc + np.float64(float(x)) * np.float64(float(y))
+        return acc
+
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1:]:
+            dot = _fold_dot(vecs[la], vecs[lb])
+            na2 = _fold_dot(vecs[la], vecs[la])
+            nb2 = _fold_dot(vecs[lb], vecs[lb])
+            cos = (None if na2 <= 0.0 or nb2 <= 0.0 else
+                   float(round_half_away(np.float64(
+                       dot / np.sqrt(na2) / np.sqrt(nb2)))))
+            rows["lang_a"].append(la)
+            rows["lang_b"].append(lb)
+            rows["n_a"].append(counts[la])
+            rows["n_b"].append(counts[lb])
+            rows["cosine"].append(cos)
+    return ray.data.from_arrow(pa.table({
+        "lang_a": pa.array(rows["lang_a"], type=pa.string()),
+        "lang_b": pa.array(rows["lang_b"], type=pa.string()),
+        "n_a": pa.array(rows["n_a"], type=pa.int64()),
+        "n_b": pa.array(rows["n_b"], type=pa.int64()),
+        "cosine": pa.array(rows["cosine"], type=pa.float64()),
+    }))
+
+
+LANG_CENTROID_SIM_SQL = """
+WITH u AS (
+  SELECT d.lang AS lang,
+         unnest(range(len(e.embedding))) AS dim,
+         CAST(floor(CAST(unnest(e.embedding) AS DOUBLE)
+                    * 1099511627776.0 + 0.5) AS BIGINT) AS s
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+c AS (SELECT lang, CAST(dim AS BIGINT) AS dim,
+             CAST(sum(s) AS BIGINT) AS cs FROM u GROUP BY 1, 2),
+nn AS (SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n
+       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+       GROUP BY 1),
+v AS (SELECT lang, list(CAST(cs AS DOUBLE) ORDER BY dim) AS vec
+      FROM c GROUP BY lang),
+p AS (SELECT a.lang AS lang_a, b.lang AS lang_b, a.vec AS va, b.vec AS vb
+      FROM v a JOIN v b ON a.lang < b.lang),
+f AS (SELECT lang_a, lang_b,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])),
+    (x, y) -> x + y) AS dot,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(range(1, len(va) + 1), i -> va[i] * va[i])),
+    (x, y) -> x + y) AS na2,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(range(1, len(vb) + 1), i -> vb[i] * vb[i])),
+    (x, y) -> x + y) AS nb2
+  FROM p)
+SELECT f.lang_a, f.lang_b, na.n AS n_a, nb.n AS n_b,
+       CASE WHEN f.na2 <= 0.0 OR f.nb2 <= 0.0 THEN NULL ELSE
+         round(f.dot / sqrt(f.na2) / sqrt(f.nb2), 6) END AS cosine
+FROM f JOIN nn na ON na.lang = f.lang_a
+JOIN nn nb ON nb.lang = f.lang_b
+ORDER BY 1, 2"""

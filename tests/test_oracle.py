@@ -86,7 +86,7 @@ def _compare(name, entrymod, con):
                                    "tile_mann_kendall", "lang_ellipse",
                                    "product_profit", "part_concentration",
                                    "order_overlap", "bipartite_nn",
-                                   "monthly_centroid",
+                                   "monthly_centroid", "lang_centroid_sim",
                                    "late_shipments",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",
