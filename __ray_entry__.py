@@ -1715,6 +1715,16 @@ def _q_nearest_neighbor(sf_dir: str):
                                 DIST_JOIN_M)
 
 
+def _q_cross_k(sf_dir: str):
+    """Bivariate Ripley's K between zh and en pages: exactly-once mixed
+    pair counts per radius over the lang-bit-encoded pair core."""
+    from s2ray.pipelines.spatial_join import cross_k
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return cross_k(pages_with_cells(sf_dir, token_level=None),
+                   radii=RIPLEY_RADII)
+
+
 def _q_lang_centroid_sim(sf_dir: str):
     """Cross-language embedding-centroid cosine matrix in the exact
     2^40-scaled integer domain with order-pinned float folds."""
@@ -2661,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_nn": _q_bipartite_nn,
         "monthly_centroid": _q_monthly_centroid,
         "lang_centroid_sim": _q_lang_centroid_sim,
+        "cross_k": _q_cross_k,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3433,6 +3444,25 @@ FROM ov JOIN sz USING (doc_id)"""
         "* CAST(2 * n_pairs AS DOUBLE) "
         "/ CAST(nn.n * (nn.n - 1) AS DOUBLE), 6) END AS k_km2 "
         "FROM legs CROSS JOIN nn"
+    )
+    cross_k_sql = (
+        f"{cte}, pr AS (SELECT round({dist_pair}, 3) AS dm "
+        f"FROM pages_geo a JOIN pages_geo b ON b.page_id <> a.page_id "
+        f"WHERE a.lang = 'zh' AND b.lang = 'en' "
+        f"AND {dist_pair} <= {max(RIPLEY_RADII)!r}), "
+        f"nn AS (SELECT "
+        "CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS na, "
+        "CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS nb "
+        "FROM pages_geo), "
+        "legs AS (" + " UNION ALL ".join(
+            [f"SELECT CAST({r!r} AS DOUBLE) AS r_m, "
+             f"(SELECT CAST(count(*) AS BIGINT) FROM pr WHERE dm <= {r!r}) "
+             "AS n_pairs" for r in RIPLEY_RADII]) + ") "
+        "SELECT r_m, n_pairs, CASE WHEN nn.na * nn.nb = 0 THEN NULL "
+        "ELSE round(4.0 * pi() * 6371.0 * 6371.0 "
+        "* CAST(n_pairs AS DOUBLE) "
+        "/ CAST(nn.na * nn.nb AS DOUBLE), 6) END AS k_km2 "
+        "FROM legs CROSS JOIN nn ORDER BY r_m"
     )
     # G-function: per-page min pair distance (== the argmin row's dm),
     # thresholded per radius; UNION-ALL legs emit zero rows for empty
@@ -4263,6 +4293,7 @@ FROM (
         "source_js": source_js_divergence_sql(),
         "user_burstiness": USER_BURSTINESS_SQL,
         "ripley_k": ripley_sql,
+        "cross_k": cross_k_sql,
         "source_drift_psi": source_drift_psi_sql(),
         "domain_gini": DOMAIN_GINI_SQL,
         "chi2_lang_source": CHI2_LANG_SOURCE_SQL,

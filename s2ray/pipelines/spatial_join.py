@@ -1222,3 +1222,101 @@ def bipartite_nn(pages_ds, d_m: float, lang_a: str = "zh",
                               batch_size=None)
             .groupby("part")
             .map_groups(merge_best, batch_format="pandas"))
+
+
+def cross_k(pages_ds, radii=(5_000.0, 10_000.0, 25_000.0),
+            lang_a: str = "zh", lang_b: str = "en",
+            max_bucket: int = 200_000, n_parts: int = 64):
+    """Bivariate (cross-type) Ripley's K between two languages — for
+    each radius r: the count of mixed (lang_a, lang_b) pairs within r
+    and K_ab(r) = A * n_pairs / (n_a * n_b) (global spherical estimator,
+    area in km^2; K_ab >> pi r_km^2 means the two types co-cluster,
+    << means segregation).  Output: (r_m, n_pairs, k_km2) per radius;
+    k_km2 is NULL when either type is absent.
+
+    Same machinery as :func:`ripley_k` with the :func:`bipartite_nn`
+    lang-bit id encoding: the two-language subset streams once through
+    the exactly-once pair core at max(radii), mixed pairs filter on the
+    parity bits, and every unordered mixed pair has exactly one a-end
+    and one b-end — so the undirected exactly-once count IS the
+    bivariate double-sum.  All counts exact integers; one
+    CAST-then-divide float chain per radius in the oracle's op order.
+    """
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    import ray.data
+
+    rs = sorted(float(r) for r in radii)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        ids = batch["page_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        is_a = lang == lang_a
+        is_b = lang == lang_b
+        keep = is_a | is_b
+        return pa.table({
+            "page_id": pa.array(ids[keep] * 2
+                                + is_b[keep].astype(np.int64)),
+            "lat": batch["lat"].filter(pa.array(keep)),
+            "lng": batch["lng"].filter(pa.array(keep)),
+        })
+
+    sub = pages_ds.map_batches(prep, batch_format="pyarrow",
+                               batch_size=None).materialize()
+
+    def count_ab(batch: pa.Table) -> pa.Table:
+        bit = batch["page_id"].to_numpy(zero_copy_only=False) % 2
+        return pa.table({
+            "na": pa.array([int((bit == 0).sum())], type=pa.int64()),
+            "nb": pa.array([int((bit == 1).sum())], type=pa.int64()),
+        })
+
+    cnt = (sub.map_batches(count_ab, batch_format="pyarrow",
+                           batch_size=None)
+           .aggregate(Sum("na"), Sum("nb")))
+    n_a = int(cnt["sum(na)"] or 0)
+    n_b = int(cnt["sum(nb)"] or 0)
+
+    pairs = distance_join_pairs(sub, rs[-1], max_bucket=max_bucket,
+                                n_parts=n_parts)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = batch["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dm = batch["dist_m"].to_numpy(zero_copy_only=False)
+        mixed = (i % 2) != (j % 2)
+        dm = dm[mixed]
+        return pa.table({
+            "r_m": pa.array(rs, type=pa.float64()),
+            "np_": pa.array([int((dm <= r).sum()) for r in rs],
+                            type=pa.int64()),
+        })
+
+    seed = ray.data.from_arrow(pa.table({
+        "r_m": pa.array(rs, type=pa.float64()),
+        "np_": pa.array([0] * len(rs), type=pa.int64()),
+    }))
+    agg = (pairs.map_batches(counts, batch_format="pyarrow",
+                             batch_size=None)
+           .union(seed)
+           .groupby("r_m").aggregate(Sum("np_", alias_name="n_pairs")))
+
+    area_km2 = 4.0 * np.pi * 6371.0 * 6371.0
+
+    def finish(batch: pa.Table) -> pa.Table:
+        np_ = batch["n_pairs"].to_numpy(zero_copy_only=False)
+        k = [None if n_a * n_b == 0 else float(round_half_away(
+            np.float64(area_km2 * np.float64(float(p))
+                       / np.float64(float(n_a * n_b)))))
+            for p in np_.tolist()]
+        return pa.table({
+            "r_m": batch["r_m"],
+            "n_pairs": pa.array(np_, type=pa.int64()),
+            "k_km2": pa.array(k, type=pa.float64()),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None).sort("r_m"))

@@ -87,6 +87,7 @@ def _compare(name, entrymod, con):
                                    "product_profit", "part_concentration",
                                    "order_overlap", "bipartite_nn",
                                    "monthly_centroid", "lang_centroid_sim",
+                                   "cross_k",
                                    "late_shipments",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",

@@ -43,7 +43,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_hits",
                "domain_reciprocity", "domain_assortativity",
                "domain_bfs_depth", "domain_components", "quadrat_dispersion", "source_js", "ripley_k",
-               "domain_cocitation", "domain_coupling", "clark_evans",
+               "domain_cocitation", "domain_coupling", "clark_evans", "cross_k",
                "heaps_law", "source_vocab_jaccard",
                "geo_destination", "location_codec",
                "phrase_search", "profile_table",
