@@ -2599,8 +2599,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     domain_reciprocity, domain_assortativity, domain_bfs_depth,
     quadrat_dispersion, source_js, user_burstiness, ripley_k,
     domain_cocitation, domain_coupling, clark_evans, heaps_law,
-    event_type_trend, source_vocab_jaccard, shipping_priority — these should lead the r5 window under the same
-    never-verified-first rule."""
+    event_type_trend, source_vocab_jaccard, shipping_priority, the
+    TPC-H shapes geo_destination..sole_fault_supplier, the relational
+    and stats ops source_overlap..lang_geo_bbox, and the 13 late-r4
+    additions local_moran, join_counts, tile_mann_kendall,
+    lang_ellipse, product_profit, part_concentration, late_shipments,
+    domain_components, order_overlap, bipartite_nn, monthly_centroid,
+    lang_centroid_sim, cross_k — these should lead the r5 window under
+    the same never-verified-first rule (full list: COVERAGE.md driver
+    contract summary)."""
     return {
         # ---- driver window (50): every entry SQL-oracled ----
         # never driver-verified (added after the r03 window filled)
