@@ -1715,6 +1715,14 @@ def _q_nearest_neighbor(sf_dir: str):
                                 DIST_JOIN_M)
 
 
+def _q_doc_percent_rank(sf_dir: str):
+    """Distributed PERCENT_RANK per lang: value-cardinality count
+    groupby -> broadcast rank table -> one vectorized attach pass."""
+    from s2ray.pipelines.analytics import doc_percent_rank
+
+    return doc_percent_rank(sf_dir)
+
+
 def _q_cross_k(sf_dir: str):
     """Bivariate Ripley's K between zh and en pages: exactly-once mixed
     pair counts per radius over the lang-bit-encoded pair core."""
@@ -2679,6 +2687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_centroid": _q_monthly_centroid,
         "lang_centroid_sim": _q_lang_centroid_sim,
         "cross_k": _q_cross_k,
+        "doc_percent_rank": _q_doc_percent_rank,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -4511,6 +4520,12 @@ GROUP BY m.event_type, m.median""",
         ),
         "token_counts": _token_counts_oracle(),
         "lang_centroid_sim": LANG_CENTROID_SIM_SQL,
+        "doc_percent_rank": (
+            "SELECT doc_id, lang, n_chars, "
+            "round(percent_rank() OVER (PARTITION BY lang "
+            "ORDER BY n_chars), 6) AS pct_rank "
+            "FROM documents WHERE n_chars IS NOT NULL"
+        ),
         "emb_norm_by_lang": (
             "SELECT d.lang AS lang, count(*) AS n, "
             "round(avg(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "

@@ -3886,3 +3886,82 @@ SELECT user_id, count(*) AS n_events,
 FROM events
 WHERE user_id IS NOT NULL AND ts IS NOT NULL
 GROUP BY user_id"""
+
+
+def doc_percent_rank(sf_dir: str, group_col: str = "lang",
+                     value_col: str = "n_chars", id_col: str = "doc_id"):
+    """Distributed PERCENT_RANK() OVER (PARTITION BY lang ORDER BY
+    n_chars) — (doc_id, lang, n_chars, pct_rank) with RANK tie
+    semantics: rows sharing a value share (rank-1)/(n-1).  Completes the
+    engine's window-function family (RANK/NTILE/LAG/ROWS-window/
+    row_number already exist) with the ties-share-rank percentile.
+
+    Unlike NTILE (which needs a per-ROW global position and the full
+    two-level scan of doc_deciles), RANK-with-ties depends only on the
+    VALUE: rank(g, v) = 1 + #{rows in g with value < v}.  So pass 1 is
+    ONE (group, value)-cardinality count groupby — bounded by the value
+    spread, not the corpus (a wide-spread value column would first
+    bucket ranges exactly like doc_token_rank) — whose cumsum the
+    driver broadcasts as a (group, value) -> rank map; pass 2 streams
+    the corpus once, attaching pct_rank by lookup.  The one float
+    division mirrors DuckDB's (rank-1)/(n-1) bit-for-bit (n = 1 gives
+    0.0 exactly like the SQL window).  NULL values are excluded on both
+    engines (the oracle filters; this corpus has none).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "documents",
+                    columns=[id_col, group_col, value_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_pandas().astype(str)
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = pd.DataFrame({"g": g, "v": v}).groupby(
+            ["g", "v"], sort=False).size().reset_index(name="pn")
+        return pa.table({
+            "g": pa.array(d["g"], type=pa.string()),
+            "v": pa.array(d["v"].to_numpy().astype(np.int64)),
+            "pn": pa.array(d["pn"].to_numpy().astype(np.int64)),
+        })
+
+    rng = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby(["g", "v"])
+           .aggregate(Sum("pn", alias_name="n"))).to_pandas() \
+        .sort_values(["g", "v"], ignore_index=True)
+
+    # per-group sorted (values, rank) arrays — vectorized searchsorted
+    # lookup per batch, one Python iteration per GROUP not per row
+    tables = {}
+    for gk, grp in rng.groupby("g", sort=False):
+        c = grp["n"].to_numpy().astype(np.int64)
+        rk = np.concatenate([[0], np.cumsum(c)[:-1]]) + 1
+        tables[gk] = (grp["v"].to_numpy().astype(np.int64),
+                      rk.astype(np.int64), int(c.sum()))
+    bc_ref = ray.put(tables)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        tbl = ray.get(bc_ref)
+        g = np.asarray(batch[group_col].to_pandas().astype(str))
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pr = np.zeros(len(v), dtype=np.float64)
+        for gk in np.unique(g) if len(g) else []:
+            vs, rk, n = tbl[gk]
+            m = g == gk
+            if n > 1:
+                pr[m] = (rk[np.searchsorted(vs, v[m])] - 1) \
+                    / np.float64(n - 1)
+        return pa.table({
+            id_col: batch[id_col],
+            group_col: batch[group_col],
+            value_col: batch[value_col],
+            "pct_rank": pa.array(round_half_away(pr)),
+        })
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          batch_size=None)

@@ -87,7 +87,7 @@ def _compare(name, entrymod, con):
                                    "product_profit", "part_concentration",
                                    "order_overlap", "bipartite_nn",
                                    "monthly_centroid", "lang_centroid_sim",
-                                   "cross_k",
+                                   "cross_k", "doc_percent_rank",
                                    "late_shipments",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",

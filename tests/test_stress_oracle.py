@@ -34,7 +34,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "tile_quantiles", "tile_diversity",
                "docs_rollup", "dup_degree_hist", "tile_top_lang",
                "tile_centroids", "monthly_centroid",
-               "standardize_docs", "doc_deciles", "cross_lang_nn",
+               "standardize_docs", "doc_deciles", "doc_percent_rank", "cross_lang_nn",
                "source_mix", "langid_confusion", "emb_integrity", "lang_centroid_sim",
                "tile_growth", "grid_smooth", "morans_i", "grid_kde",
                "getis_ord", "local_moran", "join_counts",
