@@ -1715,6 +1715,18 @@ def _q_nearest_neighbor(sf_dir: str):
                                 DIST_JOIN_M)
 
 
+def _q_city_visits_monthly(sf_dir: str):
+    """Geofence x month rollup: per (city, month) page count inside the
+    100 km fence; one vectorized distance-matrix pass, all-integer."""
+    from s2ray.pipelines.spatial_join import city_visits_monthly
+    from s2ray.pipelines.tiles import pages_with_cells
+    from s2ray.sources.pages import CITIES_E4
+
+    return city_visits_monthly(
+        pages_with_cells(sf_dir, token_level=None),
+        [(la / 1e4, ln / 1e4) for la, ln in CITIES_E4])
+
+
 def _q_doc_percent_rank(sf_dir: str):
     """Distributed PERCENT_RANK per lang: value-cardinality count
     groupby -> broadcast rank table -> one vectorized attach pass."""
@@ -2688,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_centroid_sim": _q_lang_centroid_sim,
         "cross_k": _q_cross_k,
         "doc_percent_rank": _q_doc_percent_rank,
+        "city_visits_monthly": _q_city_visits_monthly,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3589,6 +3602,18 @@ FROM f CROSS JOIN np_"""
         "(1 - cos(radians(p.lat) - radians(c.clat))) / 2 "
         "+ cos(radians(p.lat)) * cos(radians(c.clat)) "
         "* (1 - cos(radians(p.lng) - radians(c.clng))) / 2))")
+    city_visits_sql = f"""
+{cte},
+cities(city_id, clat, clng) AS (VALUES {city_rows}),
+d AS (SELECT c.city_id,
+             date_trunc('month', make_timestamp(
+               (1704067200 + (p.page_id * 40499) % 31536000) * 1000000))
+               AS month,
+             {facility_dist} AS dm
+      FROM pages_geo p CROSS JOIN cities c)
+SELECT CAST(city_id AS BIGINT) AS city_id, month,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM d WHERE dm <= 100000.0 GROUP BY 1, 2 ORDER BY 1, 2"""
     nearest_city_sql = f"""
 {cte},
 cities(city_id, clat, clng) AS (VALUES {city_rows}),
@@ -4577,6 +4602,7 @@ GROUP BY m.event_type, m.median""",
         "bipartite_nn": bipartite_nn_sql,
         "knn_graph": knn_graph_sql,
         "nearest_city_stats": nearest_city_sql,
+        "city_visits_monthly": city_visits_sql,
         "bearing_sectors": bearing_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("

@@ -1320,3 +1320,62 @@ def cross_k(pages_ds, radii=(5_000.0, 10_000.0, 25_000.0),
 
     return (agg.map_batches(finish, batch_format="pyarrow",
                             batch_size=None).sort("r_m"))
+
+
+def city_visits_monthly(pages_ds, facilities, radius_m: float = 100_000.0):
+    """Geofence x month rollup: for each (facility, month), the count of
+    pages inside the facility's ``radius_m`` great-circle fence —
+    (city_id, month, n_pages), occupied cells only.  A page inside two
+    overlapping fences counts in BOTH (geofence semantics, not Voronoi —
+    the space-time companion of :func:`nearest_facility_stats`).
+
+    One streaming pass computes the (batch x K) reference-haversine
+    matrix vectorized, thresholds on the raw doubles (identical
+    expression both engines — no rounding enters the predicate), and
+    emits per-(facility, month) count partials; the only shuffle is the
+    (K x months)-cardinality groupby.  All outputs are exact integers.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..kernel import sphere as _sphere
+
+    flat = np.asarray(facilities, dtype=np.float64)
+    clat = np.radians(flat[:, 0])
+    clng = np.radians(flat[:, 1])
+    K = len(flat)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = np.radians(batch["lat"].to_numpy(zero_copy_only=False))
+        lng = np.radians(batch["lng"].to_numpy(zero_copy_only=False))
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False)
+        if len(lat) == 0:
+            return pa.table({
+                "k": pa.array([], type=pa.int64()),
+                "pn": pa.array([], type=pa.int64()),
+            })
+        m = ts.astype("datetime64[M]").astype(np.int64)
+        d = _sphere.haversine_distance_m(lat[:, None], lng[:, None],
+                                         clat[None, :], clng[None, :])
+        rows, cols = np.nonzero(d <= radius_m)
+        key = cols.astype(np.int64) * np.int64(1 << 32) + m[rows]
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    agg = (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby("k").aggregate(Sum("pn", alias_name="n_pages")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "city_id": pa.array(k // np.int64(1 << 32)),
+            "month": pa.array((k % np.int64(1 << 32))
+                              .astype("datetime64[M]")
+                              .astype("datetime64[us]")),
+            "n_pages": batch["n_pages"],
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
+            .sort(["city_id", "month"]))
