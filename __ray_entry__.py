@@ -1715,6 +1715,14 @@ def _q_nearest_neighbor(sf_dir: str):
                                 DIST_JOIN_M)
 
 
+def _q_idw_interpolate(sf_dir: str):
+    """IDW kNN regression of n_chars over the 25 km top-3 neighbor
+    graph; order-pinned rank fold mirrors list_reduce."""
+    from s2ray.pipelines.spatial_join import idw_interpolate
+
+    return idw_interpolate(sf_dir, DIST_JOIN_M, k=KNN_GRAPH_K)
+
+
 def _q_city_visits_monthly(sf_dir: str):
     """Geofence x month rollup: per (city, month) page count inside the
     100 km fence; one vectorized distance-matrix pass, all-integer."""
@@ -2701,6 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_k": _q_cross_k,
         "doc_percent_rank": _q_doc_percent_rank,
         "city_visits_monthly": _q_city_visits_monthly,
+        "idw_interpolate": _q_idw_interpolate,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3590,6 +3599,21 @@ FROM f CROSS JOIN np_"""
         "SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1",
         "SELECT page_id, nn_id, CAST(rn AS BIGINT) AS rank, "
         f"dm AS dist_m FROM rk WHERE rn <= {KNN_GRAPH_K}")
+    idw_sql = nearest_neighbor_sql.replace(
+        "SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1",
+        f""",
+knn AS (SELECT page_id, nn_id, dm, rn FROM rk
+       WHERE rn <= {KNN_GRAPH_K}),
+jv AS (SELECT kk.page_id, kk.rn, 1.0 / (1.0 + kk.dm * kk.dm) AS w,
+              CAST(d.n_chars AS DOUBLE) AS v
+       FROM knn kk JOIN documents d ON d.doc_id = kk.nn_id),
+f AS (SELECT page_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(w * v ORDER BY rn)), (x, y) -> x + y) AS num,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(w ORDER BY rn)), (x, y) -> x + y) AS den
+  FROM jv GROUP BY page_id)
+SELECT page_id, n_neighbors, round(num / den, 6) AS idw_chars FROM f""")
     # Voronoi classification rollup: argmin over the city list; only
     # order-free reductions (count / min / max of rounded dist) follow the
     # float math, so distributed partial order can never touch the hash
@@ -4601,6 +4625,7 @@ GROUP BY m.event_type, m.median""",
         "nearest_neighbor": nearest_neighbor_sql,
         "bipartite_nn": bipartite_nn_sql,
         "knn_graph": knn_graph_sql,
+        "idw_interpolate": idw_sql,
         "nearest_city_stats": nearest_city_sql,
         "city_visits_monthly": city_visits_sql,
         "bearing_sectors": bearing_sql,

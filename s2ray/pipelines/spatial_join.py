@@ -1379,3 +1379,84 @@ def city_visits_monthly(pages_ds, facilities, radius_m: float = 100_000.0):
     return (agg.map_batches(finish, batch_format="pyarrow",
                             batch_size=None)
             .sort(["city_id", "month"]))
+
+
+def idw_interpolate(sf_dir: str, d_m: float, k: int = 3,
+                    n_parts: int = 64, max_bucket: int = 200_000):
+    """Inverse-distance-weighted kNN regression (spatial interpolation):
+    predict each page's n_chars from its up-to-k nearest neighbors
+    within ``d_m`` meters, weighted w = 1 / (1 + d^2) — (page_id,
+    n_neighbors, idw_chars).  The kriging-lite smoother of raster GIS,
+    run at the sample points themselves (leave-one-out form: a page
+    never contributes to its own estimate because knn_graph excludes
+    self-pairs); pages with no neighbor in range are absent.
+
+    Plan: :func:`knn_graph` supplies ranked neighbor edges (at most k
+    rows per page ever shuffle); neighbor values attach via the generic
+    nn_id = doc_id co-partition join (page_id == doc_id for this
+    corpus); one page-hash co-partition then folds num/den ORDER-PINNED
+    by rank — a k-step vectorized left fold, the identical IEEE addition
+    sequence as the oracle's list_reduce over list(... ORDER BY rank) —
+    and the single num/den division is mirrored CAST-for-CAST.  Weights
+    use the mm-ROUNDED knn distance, so both engines weight identical
+    doubles.
+    """
+    import pandas as pd
+
+    from ..sources.readers import read_table
+    from .join import copartition_hash_join
+    from .text import round_half_away
+    from .tiles import pages_with_cells
+
+    knn = knn_graph(pages_with_cells(sf_dir, token_level=None),
+                    d_m, k=k, max_bucket=max_bucket)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    j = copartition_hash_join(knn, docs, on="nn_id", right_on="doc_id",
+                              n_parts=n_parts)
+    P = np.int64(n_parts)
+    K = int(k)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pid = batch["page_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "part": pa.array((pid % P).astype(np.int32)),
+            "pid": pa.array(pid),
+            "rank": pa.array(batch["rank"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)),
+            "dm": pa.array(batch["dist_m"]
+                           .to_numpy(zero_copy_only=False)),
+            "v": pa.array(batch["n_chars"].to_numpy(zero_copy_only=False)
+                          .astype(np.float64)),
+        })
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({
+                "page_id": pa.array([], type=pa.int64()),
+                "n_neighbors": pa.array([], type=pa.int64()),
+                "idw_chars": pa.array([], type=pa.float64()),
+            })
+        pid = df["pid"].to_numpy().astype(np.int64)
+        rank = df["rank"].to_numpy().astype(np.int64)
+        dm = df["dm"].to_numpy()
+        v = df["v"].to_numpy()
+        w = 1.0 / (1.0 + dm * dm)
+        uniq, idx = np.unique(pid, return_inverse=True)
+        num = np.zeros(len(uniq), dtype=np.float64)
+        den = np.zeros(len(uniq), dtype=np.float64)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        for r in range(1, K + 1):        # order-pinned left fold by rank
+            m = rank == r
+            num[idx[m]] = num[idx[m]] + w[m] * v[m]
+            den[idx[m]] = den[idx[m]] + w[m]
+            cnt[idx[m]] += 1
+        return pa.table({
+            "page_id": pa.array(uniq),
+            "n_neighbors": pa.array(cnt),
+            "idw_chars": pa.array(round_half_away(num / den)),
+        })
+
+    return (j.map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))

@@ -88,7 +88,7 @@ def _compare(name, entrymod, con):
                                    "order_overlap", "bipartite_nn",
                                    "monthly_centroid", "lang_centroid_sim",
                                    "cross_k", "doc_percent_rank",
-                                   "city_visits_monthly",
+                                   "city_visits_monthly", "idw_interpolate",
                                    "late_shipments",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",

@@ -50,7 +50,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "phrase_search", "profile_table",
                "source_drift_psi", "domain_gini",
                "chi2_lang_source", "zipf_slope",
-               "knn_graph",
+               "knn_graph", "idw_interpolate",
                "vocab_coverage", "weighted_sample", "lang_corr",
                "domain_lang_entropy",
                "token_edit_pairs", "source_overlap", "pivot_lang_counts"]
