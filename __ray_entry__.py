@@ -2633,7 +2633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     additions local_moran, join_counts, tile_mann_kendall,
     lang_ellipse, product_profit, part_concentration, late_shipments,
     domain_components, order_overlap, bipartite_nn, monthly_centroid,
-    lang_centroid_sim, cross_k — these should lead the r5 window under
+    lang_centroid_sim, cross_k, doc_percent_rank,
+    city_visits_monthly, idw_interpolate — these should lead the r5 window under
     the same never-verified-first rule (full list: COVERAGE.md driver
     contract summary)."""
     return {
