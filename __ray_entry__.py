@@ -1715,6 +1715,14 @@ def _q_nearest_neighbor(sf_dir: str):
                                 DIST_JOIN_M)
 
 
+def _q_hourly_anomaly(sf_dir: str):
+    """Hour-of-day z-score profile per event type (zero-filled 24-hour
+    cells, exact big-int moments, one mirrored float chain)."""
+    from s2ray.pipelines.analytics import hourly_anomaly
+
+    return hourly_anomaly(sf_dir)
+
+
 def _q_idw_interpolate(sf_dir: str):
     """IDW kNN regression of n_chars over the 25 km top-3 neighbor
     graph; order-pinned rank fold mirrors list_reduce."""
@@ -2711,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_percent_rank": _q_doc_percent_rank,
         "city_visits_monthly": _q_city_visits_monthly,
         "idw_interpolate": _q_idw_interpolate,
+        "hourly_anomaly": _q_hourly_anomaly,
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -2939,6 +2948,7 @@ def oracle_sql() -> dict[str, str]:
                                         polyline_distance_select,
                                         s2_cell_select)
     from s2ray.pipelines.analytics import (CHI2_LANG_SOURCE_SQL,
+                                           HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
                                            EVENT_TYPE_TREND_SQL,
@@ -4570,6 +4580,7 @@ GROUP BY m.event_type, m.median""",
         ),
         "token_counts": _token_counts_oracle(),
         "lang_centroid_sim": LANG_CENTROID_SIM_SQL,
+        "hourly_anomaly": HOURLY_ANOMALY_SQL,
         "doc_percent_rank": (
             "SELECT doc_id, lang, n_chars, "
             "round(percent_rank() OVER (PARTITION BY lang "

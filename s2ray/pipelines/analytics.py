@@ -3965,3 +3965,103 @@ def doc_percent_rank(sf_dir: str, group_col: str = "lang",
 
     return ds.map_batches(attach, batch_format="pyarrow",
                           batch_size=None)
+
+
+def hourly_anomaly(sf_dir: str):
+    """Hour-of-day anomaly z-scores per event type: each type's 24-hour
+    activity profile (zero-filled) standardized against its own mean —
+    (event_type, hour, n_events, z); |z| > ~2 marks load-anomalous
+    hours.  The temporal twin of the Getis-Ord hotspot z.
+
+    Exactness: counts per (type, hour) come from ONE bounded-cardinality
+    groupby (types x 24 cells, zero-filled driver-side exactly like the
+    oracle's CROSS JOIN legs); with N = 24 and mean = T/N rational,
+    multiplying through by N gives the exact-integer pair
+    a = N*x - T, b = N*SXX - T^2 (big-int — at 100 TB b ~ 1e24 would
+    wrap int64) and ONE float chain
+    z = a / sqrt(b * (N / (N-1))) mirrored op-for-op.  NULL ts or type
+    drop on both engines; constant profiles yield NULL z like the SQL
+    CASE.  Epoch hour arithmetic assumes ts >= 1970 (asserted; the
+    corpus is 2024).
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["event_type"].to_pandas()
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        ok = t.notna().to_numpy() & ~np.isnat(ts)
+        t = t[ok]
+        tsv = ts[ok].astype("datetime64[us]").astype(np.int64)
+        assert len(tsv) == 0 or tsv.min() >= 0, \
+            "hourly_anomaly assumes post-1970 timestamps"
+        h = (tsv // 3_600_000_000) % 24
+        d = pd.DataFrame({"t": t.astype(str), "h": h}).groupby(
+            ["t", "h"], sort=False).size().reset_index(name="pn")
+        return pa.table({
+            "t": pa.array(d["t"], type=pa.string()),
+            "h": pa.array(d["h"].to_numpy().astype(np.int64)),
+            "pn": pa.array(d["pn"].to_numpy().astype(np.int64)),
+        })
+
+    m = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["t", "h"])
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+
+    out = {"event_type": [], "hour": [], "n_events": [], "z": []}
+    for t, grp in m.groupby("t", sort=True):
+        dense = np.zeros(24, dtype=object)
+        for h_, n_ in zip(grp["h"].to_numpy(), grp["n"].to_numpy()):
+            dense[int(h_)] = int(n_)
+        tot = sum(int(x) for x in dense)
+        sxx = sum(int(x) * int(x) for x in dense)
+        nn = 24
+        b = nn * sxx - tot * tot
+        for h_ in range(24):
+            a = nn * int(dense[h_]) - tot
+            z = (None if b <= 0 else float(round_half_away(np.float64(
+                float(a) / math.sqrt(float(b)
+                                     * (float(nn) / float(nn - 1)))))))
+            out["event_type"].append(t)
+            out["hour"].append(h_)
+            out["n_events"].append(int(dense[h_]))
+            out["z"].append(z)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "hour": pa.array(out["hour"], type=pa.int64()),
+        "n_events": pa.array(out["n_events"], type=pa.int64()),
+        "z": pa.array(out["z"], type=pa.float64()),
+    }))
+
+
+HOURLY_ANOMALY_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(extract(hour FROM ts) AS BIGINT) AS h
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM e),
+hrs AS (SELECT CAST(range AS BIGINT) AS h FROM range(24)),
+dense AS (SELECT ty.event_type, hrs.h, coalesce(c.n, 0) AS n
+          FROM ty CROSS JOIN hrs
+          LEFT JOIN c ON c.event_type = ty.event_type AND c.h = hrs.h),
+m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS nn,
+             CAST(sum(n) AS HUGEINT) AS t,
+             CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sxx
+      FROM dense GROUP BY 1)
+SELECT d.event_type, d.h AS hour, d.n AS n_events,
+       CASE WHEN m.nn * m.sxx - m.t * m.t <= 0 THEN NULL ELSE
+         round(CAST(m.nn * d.n - m.t AS DOUBLE)
+               / sqrt(CAST(m.nn * m.sxx - m.t * m.t AS DOUBLE)
+                      * (CAST(m.nn AS DOUBLE)
+                         / CAST(m.nn - 1 AS DOUBLE))), 6) END AS z
+FROM dense d JOIN m ON m.event_type = d.event_type
+ORDER BY 1, 2"""

@@ -89,6 +89,7 @@ def _compare(name, entrymod, con):
                                    "monthly_centroid", "lang_centroid_sim",
                                    "cross_k", "doc_percent_rank",
                                    "city_visits_monthly", "idw_interpolate",
+                                   "hourly_anomaly",
                                    "late_shipments",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",
