@@ -490,6 +490,26 @@ def run_bench():
 
     timed("nation_volume", _nation_volume)
 
+    def _local_moran():
+        # grid-stats family (round 4, session 5): grid_smooth stencil +
+        # big-int LISA combine in one grid-bounded task
+        from s2ray.pipelines.cluster import local_moran
+        from s2ray.pipelines.tiles import pages_with_cells
+
+        return local_moran(pages_with_cells(SF_DIR, repl=REPL,
+                                            token_level=None)).count()
+
+    timed("local_moran", _local_moran)
+
+    def _order_overlap():
+        # interval-overlap family (round 4, session 5): orderkey Max
+        # groupby + co-partition + offset-encoded per-customer sweep
+        from s2ray.pipelines.join import order_overlap
+
+        return order_overlap(SF_DIR).count()
+
+    timed("order_overlap", _order_overlap)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({

@@ -2967,7 +2967,7 @@ def order_overlap(sf_dir: str, n_parts: int = 64):
     truncating // identical to floor).
     """
     import ray.data
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     from ..sources.readers import read_table
 
@@ -2981,15 +2981,26 @@ def order_overlap(sf_dir: str, n_parts: int = 64):
             .astype(np.int64)
         sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
-        u, inv = np.unique(ok, return_inverse=True)
-        e = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
-        np.maximum.at(e, inv, sd)
+        order = np.argsort(ok, kind="stable")
+        ok, sd = ok[order], sd[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(ok[1:] != ok[:-1]) + 1]) \
+            if len(ok) else np.empty(0, np.int64)
+        u = ok[starts.astype(np.int64)] if len(ok) else ok
+        e = np.maximum.reduceat(sd, starts) if len(ok) else sd
         return pa.table({"l_orderkey": pa.array(u),
                          "pe": pa.array(e // day_us)})
 
-    spans = (li.map_batches(li_partial, batch_format="pyarrow",
-                            batch_size=None)
-             .groupby("l_orderkey").aggregate(Max("pe", alias_name="e_day")))
+    # NO orderkey-cardinality Ray Aggregate: per-batch max partials
+    # (duplicate orderkeys across batches are fine) ride the orderkey
+    # co-partition directly, and the per-order max finishes INSIDE the
+    # merge block — hash co-partitioning guarantees every partial of an
+    # orderkey lands in the same part, and map_batches(batch_size=None)
+    # sees one whole part block per call.  (The Max-groupby variant ran
+    # ~10x slower: Ray's sort aggregate costs ~84us/row on the ~0.5M
+    # partial rows.)
+    spans = li.map_batches(li_partial, batch_format="pyarrow",
+                           batch_size=None)
 
     orders = (read_table(sf_dir, "orders",
                          columns=["o_orderkey", "o_custkey",
@@ -3009,21 +3020,57 @@ def order_overlap(sf_dir: str, n_parts: int = 64):
     P = np.int64(n_parts)
 
     def tag_cust(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        sd = batch["s_day"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pe = batch["pe"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # finish the per-order max here: all partials of an orderkey are
+        # in this block (orderkey hash co-partition)
+        order = np.argsort(ok, kind="stable")
+        ok, c, sd, pe = ok[order], c[order], sd[order], pe[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(ok[1:] != ok[:-1]) + 1]) \
+            if len(ok) else np.empty(0, np.int64)
+        si = starts.astype(np.int64)
+        e = np.maximum.reduceat(pe, si) if len(ok) \
+            else pe
+        c1 = c[si] if len(ok) else c
+        s1 = sd[si] if len(ok) else sd
+        # compact to one Arrow-IPC blob row per (block, part): the
+        # custkey exchange then sorts ~n_parts rows per block instead of
+        # one row per ORDER (Ray's sort shuffle costs ~84us/raw row)
+        part = (c1 % P).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, c1, s1, e = part[ordp], c1[ordp], s1[ordp], e[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "c": pa.array(c1[a_:b_]),
+                "s": pa.array(s1[a_:b_]),
+                "e": pa.array(e[a_:b_])})))
         return pa.table({
-            "part": pa.array((c % P).astype(np.int32)),
-            "c": pa.array(c),
-            "s": pa.array(batch["s_day"].to_numpy(zero_copy_only=False)
-                          .astype(np.int64)),
-            "e": pa.array(batch["e_day"].to_numpy(zero_copy_only=False)
-                          .astype(np.int64)),
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
         })
 
     def count_overlaps(df) -> pa.Table:
-        c = df["c"].to_numpy().astype(np.int64)
-        s0 = df["s"].to_numpy().astype(np.int64)
-        e0 = df["e"].to_numpy().astype(np.int64)
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"c": pa.array([], type=pa.int64()),
+             "s": pa.array([], type=pa.int64()),
+             "e": pa.array([], type=pa.int64())})
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s0 = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e0 = t["e"].to_numpy(zero_copy_only=False).astype(np.int64)
         # normalize: the synthetic corpus ships some lines BEFORE the
         # order date, so the span is [min, max] (LEAST/GREATEST in the
         # oracle) — the disjoint-pair identity requires e >= s
