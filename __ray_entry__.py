@@ -764,6 +764,15 @@ def _q_part_concentration(sf_dir: str):
     return part_concentration(sf_dir)
 
 
+def _q_excess_shippers(sf_dir: str):
+    """TPC-H Q20 shape: excess-share shippers over name-filtered parts
+    (broadcast part keys, partkey blob co-partition, integer
+    cross-multiplied share test)."""
+    from s2ray.pipelines.join import excess_shippers
+
+    return excess_shippers(sf_dir)
+
+
 def _q_late_shipments(sf_dir: str):
     """TPC-H Q12 shape: shipping-delay buckets x high/low priority CASE
     counts over one orderkey co-partition join."""
@@ -1713,6 +1722,15 @@ def _q_nearest_neighbor(sf_dir: str):
 
     return nearest_neighbor_map(pages_with_cells(sf_dir, token_level=None),
                                 DIST_JOIN_M)
+
+
+def _q_daily_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of zero-filled daily counts per event type
+    (bounded types x days groupby, exact big-int moments, one mirrored
+    float chain)."""
+    from s2ray.pipelines.analytics import daily_autocorr
+
+    return daily_autocorr(sf_dir)
 
 
 def _q_hourly_anomaly(sf_dir: str):
@@ -2844,6 +2862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": _q_sample_per_lang,
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
+        "daily_autocorr": _q_daily_autocorr,
+        "excess_shippers": _q_excess_shippers,
         # ---- approximate / non-SQL-expressible (rows-only; pytest-gated
         # against their exact oracle-checked counterparts) ----
         "events_distinct_users_hll": _q_events_distinct_users_hll,
@@ -2948,6 +2968,7 @@ def oracle_sql() -> dict[str, str]:
                                         polyline_distance_select,
                                         s2_cell_select)
     from s2ray.pipelines.analytics import (CHI2_LANG_SOURCE_SQL,
+                                           DAILY_AUTOCORR_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -2969,6 +2990,7 @@ def oracle_sql() -> dict[str, str]:
                                        forecast_revenue_sql,
                                        idle_customers_sql,
                                        large_orders_sql,
+                                       excess_shippers_sql,
                                        late_shipments_sql,
                                        market_share_sql,
                                        nation_volume_sql,
@@ -4332,6 +4354,7 @@ FROM (
         "product_profit": product_profit_sql(),
         "part_concentration": part_concentration_sql(),
         "late_shipments": late_shipments_sql(),
+        "excess_shippers": excess_shippers_sql(),
         "order_overlap": order_overlap_sql(),
         "source_overlap": source_overlap_sql(),
         "pivot_lang_counts": pivot_lang_counts_sql(),
@@ -4581,6 +4604,7 @@ GROUP BY m.event_type, m.median""",
         "token_counts": _token_counts_oracle(),
         "lang_centroid_sim": LANG_CENTROID_SIM_SQL,
         "hourly_anomaly": HOURLY_ANOMALY_SQL,
+        "daily_autocorr": DAILY_AUTOCORR_SQL,
         "doc_percent_rank": (
             "SELECT doc_id, lang, n_chars, "
             "round(percent_rank() OVER (PARTITION BY lang "

@@ -4065,3 +4065,113 @@ SELECT d.event_type, d.h AS hour, d.n AS n_events,
                          / CAST(m.nn - 1 AS DOUBLE))), 6) END AS z
 FROM dense d JOIN m ON m.event_type = d.event_type
 ORDER BY 1, 2"""
+
+
+def daily_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the zero-filled daily count series per
+    event type — (event_type, n_pairs, r); r near +1 marks persistent
+    load regimes, near -1 alternating ones.  The temporal-persistence
+    twin of hourly_anomaly's profile z (reference has per-cell stats
+    only; this is an engine-side series statistic over the same corpus).
+
+    Exactness: per-(type, day) counts come from ONE bounded-cardinality
+    groupby (types x calendar days); the dense series is zero-filled
+    driver-side over the GLOBAL [min_day, max_day] range exactly like
+    the oracle's CROSS JOIN legs.  Lagged pairs (x_i, x_{i+1}) give
+    all-integer big-int moments a = m*Sxy - Sx*Sy, bx = m*Sxx - Sx^2,
+    by = m*Syy - Sy^2 (HUGEINT in SQL — at 100 TB Sxx ~ 1e20 would wrap
+    int64) and ONE mirrored float chain
+    r = a / sqrt(bx * by); bx <= 0 or by <= 0 (constant legs) yields
+    NULL like the SQL CASE.  Epoch-day floor assumes ts >= 1970
+    (asserted; the corpus is 2024) so numpy floor-// == SQL truncate-//.
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["event_type"].to_pandas()
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        ok = t.notna().to_numpy() & ~np.isnat(ts)
+        t = t[ok]
+        tsv = ts[ok].astype("datetime64[us]").astype(np.int64)
+        assert len(tsv) == 0 or tsv.min() >= 0, \
+            "daily_autocorr assumes post-1970 timestamps"
+        d = (tsv // 86_400_000_000)
+        g = pd.DataFrame({"t": t.astype(str), "d": d}).groupby(
+            ["t", "d"], sort=False).size().reset_index(name="pn")
+        return pa.table({
+            "t": pa.array(g["t"], type=pa.string()),
+            "d": pa.array(g["d"].to_numpy().astype(np.int64)),
+            "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+        })
+
+    m = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["t", "d"])
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+
+    out = {"event_type": [], "n_pairs": [], "r": []}
+    if len(m):
+        d0, d1 = int(m["d"].min()), int(m["d"].max())
+        ndays = d1 - d0 + 1
+        for t, grp in m.groupby("t", sort=True):
+            dense = [0] * ndays
+            for d_, n_ in zip(grp["d"].to_numpy(), grp["n"].to_numpy()):
+                dense[int(d_) - d0] = int(n_)
+            x, y = dense[:-1], dense[1:]
+            mm = len(x)
+            if mm == 0:  # single-day range: SQL's pairs CTE is empty
+                continue
+            sx, sy = sum(x), sum(y)
+            sxx = sum(v * v for v in x)
+            syy = sum(v * v for v in y)
+            sxy = sum(a_ * b_ for a_, b_ in zip(x, y))
+            a = mm * sxy - sx * sy
+            bx = mm * sxx - sx * sx
+            by = mm * syy - sy * sy
+            r = (None if mm < 2 or bx <= 0 or by <= 0 else float(
+                round_half_away(np.float64(
+                    float(a) / math.sqrt(float(bx) * float(by))))))
+            out["event_type"].append(t)
+            out["n_pairs"].append(mm)
+            out["r"].append(r)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_pairs": pa.array(out["n_pairs"], type=pa.int64()),
+        "r": pa.array(out["r"], type=pa.float64()),
+    }))
+
+
+DAILY_AUTOCORR_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+days AS (SELECT CAST(unnest(generate_series(b.d0, b.d1)) AS BIGINT) AS d
+         FROM b),
+ty AS (SELECT DISTINCT event_type FROM e),
+c AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+dense AS (SELECT ty.event_type, days.d, coalesce(c.n, 0) AS n
+          FROM ty CROSS JOIN days
+          LEFT JOIN c ON c.event_type = ty.event_type AND c.d = days.d),
+pairs AS (SELECT event_type, CAST(n AS HUGEINT) AS x,
+                 CAST(lead(n) OVER (PARTITION BY event_type ORDER BY d)
+                      AS HUGEINT) AS y
+          FROM dense),
+p AS (SELECT * FROM pairs WHERE y IS NOT NULL),
+m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS mm,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p GROUP BY 1)
+SELECT event_type, CAST(mm AS BIGINT) AS n_pairs,
+       CASE WHEN mm < 2 OR mm * sxx - sx * sx <= 0
+                 OR mm * syy - sy * sy <= 0 THEN NULL ELSE
+         round(CAST(mm * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(mm * sxx - sx * sx AS DOUBLE)
+                      * CAST(mm * syy - sy * sy AS DOUBLE)), 6) END AS r
+FROM m ORDER BY 1"""

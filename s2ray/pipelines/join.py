@@ -3126,3 +3126,184 @@ k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
 SELECT k.o_custkey AS c_custkey, k.n_orders,
        coalesce(p.np, 0) AS n_overlap_pairs
 FROM k LEFT JOIN p ON p.c = k.o_custkey"""
+
+
+def excess_shippers(sf_dir: str, name_like: str = "red",
+                    start: str = "1996-01-01", end: str = "1997-01-01",
+                    frac_bp: int = 2500, n_parts: int = 64):
+    """TPC-H Q20 shape (excess-share shippers) — completes the Q1-Q22
+    sweep.  The reference corpus has no partsupp table, so Q20's
+    "availqty > half the shipped quantity" test adapts to shipped share:
+    for each part whose name contains ``name_like``, a supplier
+    qualifies when its window-shipped quantity exceeds
+    ``frac_bp``/10000 of the part's total shipped quantity; output is
+    (s_suppkey, s_name, n_parts_qualified) for suppliers with at least
+    one qualifying part, suppkey-sorted.
+
+    Scale plan: the name-filtered part list is dimension-sized (LIKE
+    selectivity ~1/8 of an already-small table) and broadcasts once as
+    sorted keys; lineitem streams ONCE behind the window + membership
+    filter, pre-summing integral quantities per (partkey, suppkey)
+    in-batch (lexsort + reduceat), and the partials ride a
+    partkey-hashed blob co-partition (one Arrow-IPC row per (batch,
+    part) — never one Ray-sort row per pair) so each part's total and
+    the 10000*q > frac_bp*tq integer cross-multiply finish INSIDE the
+    merge block; only supplier-cardinality (suppkey, count) partials
+    reach the final groupby, and s_name attaches via a key-filtered
+    dimension read (searchsorted, no dict loop).  Quantities are
+    integral by corpus contract (round(q, 0) == q; mirrored with
+    CAST(round(..)) in SQL), so the share test is exact in int64:
+    10000 * q <= ~1e4 * part total stays far below 2^63 even at 100 TB.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    s_us = np.datetime64(start).astype("datetime64[us]").astype(np.int64)
+    e_us = np.datetime64(end).astype("datetime64[us]").astype(np.int64)
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_name"])
+    sel = pc.match_substring(pt["p_name"], name_like)
+    pkeys = np.sort(pc.cast(pt.filter(sel)["p_partkey"], pa.int64())
+                    .to_numpy(zero_copy_only=False))
+    pkeys_ref = ray.put(pkeys)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity",
+                             "l_shipdate"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from ..state.bcast import cached_get
+
+        keys = cached_get(pkeys_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        m = (sd >= s_us) & (sd < e_us) & _sorted_membership(keys, pk)
+        pk = pk[m]
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        q = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                    [m]).astype(np.int64)
+        order = np.lexsort((sk, pk))
+        pk, sk, q = pk[order], sk[order], q[order]
+        new = np.concatenate(
+            [[True], (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]) \
+            if len(pk) else np.zeros(0, dtype=bool)
+        starts = np.flatnonzero(new).astype(np.int64)
+        qs = np.add.reduceat(q, starts) if len(pk) \
+            else np.empty(0, np.int64)
+        pk, sk = pk[new], sk[new]
+        # blob-compact per target partition (see order_overlap.tag_cust)
+        part = _part_of(pk, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, pk, sk, qs = part[ordp], pk[ordp], sk[ordp], qs[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "pk": pa.array(pk[a_:b_]),
+                "sk": pa.array(sk[a_:b_]),
+                "q": pa.array(qs[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def qualify(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"pk": pa.array([], type=pa.int64()),
+             "sk": pa.array([], type=pa.int64()),
+             "q": pa.array([], type=pa.int64())})
+        pk = t["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["sk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sk, pk))
+        pk, sk, q = pk[order], sk[order], q[order]
+        if not len(pk):
+            return pa.table({"l_suppkey": pa.array([], type=pa.int64()),
+                             "pc_": pa.array([], type=pa.int64())})
+        # merge cross-batch partials of the same (part, supplier)
+        new = np.concatenate(
+            [[True], (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])])
+        starts = np.flatnonzero(new).astype(np.int64)
+        q = np.add.reduceat(q, starts)
+        pk, sk = pk[new], sk[new]
+        # per-part totals (every partial of a partkey is in this block)
+        pnew = np.concatenate([[True], pk[1:] != pk[:-1]])
+        pseg = np.cumsum(pnew) - 1
+        tq = np.zeros(int(pseg[-1]) + 1, dtype=np.int64)
+        np.add.at(tq, pseg, q)
+        winners = sk[10000 * q > np.int64(frac_bp) * tq[pseg]]
+        u, inv = np.unique(winners, return_inverse=True)
+        return pa.table({
+            "l_suppkey": pa.array(u),
+            "pc_": pa.array(np.bincount(inv, minlength=len(u))
+                            .astype(np.int64)),
+        })
+
+    counts = (li.map_batches(partials, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("part")
+              .map_groups(qualify, batch_format="pandas")
+              .groupby("l_suppkey")
+              .aggregate(Sum("pc_", alias_name="n_parts_qualified"))
+              .take_all())
+    sk = np.array([r["l_suppkey"] for r in counts], dtype=np.int64)
+    nq = np.array([r["n_parts_qualified"] for r in counts],
+                  dtype=np.int64)
+    order = np.argsort(sk)
+    sk, nq = sk[order], nq[order]
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"],
+                        filters=[("s_suppkey", "in", sk.tolist())]
+                        if len(sk) else None)
+    skeys = pc.cast(sup["s_suppkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    sorder = np.argsort(skeys)
+    idx = sorder[np.searchsorted(skeys[sorder], sk)] if len(sk) \
+        else np.empty(0, np.int64)
+    return ray.data.from_arrow(pa.table({
+        "s_suppkey": pa.array(sk),
+        "s_name": sup["s_name"].take(pa.array(idx, type=pa.int64())),
+        "n_parts_qualified": pa.array(nq),
+    }))
+
+
+def excess_shippers_sql(name_like: str = "red",
+                        start: str = "1996-01-01",
+                        end: str = "1997-01-01",
+                        frac_bp: int = 2500) -> str:
+    """Oracle for :func:`excess_shippers` — Q20's semi-join shape over
+    the shipped-share adaptation, integer cross-multiplied."""
+    return f"""
+WITH p AS (SELECT p_partkey FROM part
+           WHERE p_name LIKE '%{name_like}%'),
+sq AS (SELECT l_partkey, l_suppkey,
+              CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                AS q
+       FROM lineitem JOIN p ON p.p_partkey = l_partkey
+       WHERE l_shipdate >= TIMESTAMP '{start}'
+         AND l_shipdate < TIMESTAMP '{end}'
+       GROUP BY 1, 2),
+t AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq
+      FROM sq GROUP BY 1),
+qual AS (SELECT sq.l_suppkey,
+                CAST(count(*) AS BIGINT) AS n_parts_qualified
+         FROM sq JOIN t USING (l_partkey)
+         WHERE 10000 * sq.q > {frac_bp} * t.tq
+         GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, q.n_parts_qualified
+FROM qual q JOIN supplier s ON s.s_suppkey = q.l_suppkey
+ORDER BY 1"""

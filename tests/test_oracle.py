@@ -89,8 +89,8 @@ def _compare(name, entrymod, con):
                                    "monthly_centroid", "lang_centroid_sim",
                                    "cross_k", "doc_percent_rank",
                                    "city_visits_monthly", "idw_interpolate",
-                                   "hourly_anomaly",
-                                   "late_shipments",
+                                   "hourly_anomaly", "daily_autocorr",
+                                   "late_shipments", "excess_shippers",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",
                                    "domain_bfs_depth", "domain_components", "quadrat_dispersion", "source_js", "user_burstiness", "ripley_k", "domain_cocitation", "domain_coupling", "clark_evans", "heaps_law", "event_type_trend", "source_vocab_jaccard", "shipping_priority", "geo_destination", "location_codec", "returned_items",
