@@ -764,6 +764,23 @@ def _q_part_concentration(sf_dir: str):
     return part_concentration(sf_dir)
 
 
+def _q_covered_days(sf_dir: str):
+    """Per-customer interval-union coverage (gaps-and-islands): custkey
+    blob co-partition, offset-encoded running max, reduceat islands."""
+    from s2ray.pipelines.join import covered_days
+
+    return covered_days(sf_dir)
+
+
+def _q_order_cadence(sf_dir: str):
+    """Per-customer reorder cadence (distributed LAG): consecutive-day
+    gaps, max dormancy + telescoped average, customers with >= 2
+    orders."""
+    from s2ray.pipelines.join import order_cadence
+
+    return order_cadence(sf_dir)
+
+
 def _q_excess_shippers(sf_dir: str):
     """TPC-H Q20 shape: excess-share shippers over name-filtered parts
     (broadcast part keys, partkey blob co-partition, integer
@@ -2864,6 +2881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _q_emb_near_dup,
         "daily_autocorr": _q_daily_autocorr,
         "excess_shippers": _q_excess_shippers,
+        "covered_days": _q_covered_days,
+        "order_cadence": _q_order_cadence,
         # ---- approximate / non-SQL-expressible (rows-only; pytest-gated
         # against their exact oracle-checked counterparts) ----
         "events_distinct_users_hll": _q_events_distinct_users_hll,
@@ -2991,6 +3010,8 @@ def oracle_sql() -> dict[str, str]:
                                        idle_customers_sql,
                                        large_orders_sql,
                                        excess_shippers_sql,
+                                       covered_days_sql,
+                                       ORDER_CADENCE_SQL,
                                        late_shipments_sql,
                                        market_share_sql,
                                        nation_volume_sql,
@@ -4355,6 +4376,8 @@ FROM (
         "part_concentration": part_concentration_sql(),
         "late_shipments": late_shipments_sql(),
         "excess_shippers": excess_shippers_sql(),
+        "covered_days": covered_days_sql(),
+        "order_cadence": ORDER_CADENCE_SQL,
         "order_overlap": order_overlap_sql(),
         "source_overlap": source_overlap_sql(),
         "pivot_lang_counts": pivot_lang_counts_sql(),

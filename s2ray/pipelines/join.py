@@ -3307,3 +3307,245 @@ qual AS (SELECT sq.l_suppkey,
 SELECT s.s_suppkey, s.s_name, q.n_parts_qualified
 FROM qual q JOIN supplier s ON s.s_suppkey = q.l_suppkey
 ORDER BY 1"""
+
+
+def covered_days(sf_dir: str, span_days: int = 30, n_parts: int = 64):
+    """Interval-union coverage per customer (gaps-and-islands): each
+    order opens a [orderdate, orderdate + ``span_days``) activity
+    window; overlapping windows of one customer merge, and the output is
+    (c_custkey, covered_days, n_islands) — total union length and the
+    number of disjoint activity islands.  The interval-union primitive
+    SQL writes with a running-max window; the engine's sibling of
+    order_overlap's pair count.
+
+    Scale plan: orders stream once into a custkey-hashed blob
+    co-partition (one Arrow-IPC row per (batch, part)); inside each
+    merge block ONE lexsort by (customer, start) plus the rank*50000+day
+    offset encoding (days < 50000 asserted, like order_overlap) makes
+    the within-customer running max a single global
+    np.maximum.accumulate — island breaks, per-island spans and
+    per-customer sums all fall out of reduceat, no per-customer loop.
+    Day floor-division is exact on both engines (post-1970 midnight
+    dates).  Tie starts cannot split an island (e = s + span > s), so
+    the SQL window's nondeterministic tie order is result-stable.
+    """
+    import ray.data
+
+    from ..sources.readers import read_table
+
+    day_us = np.int64(86_400_000_000)
+    span = np.int64(span_days)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+
+    P = np.int64(n_parts)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // day_us
+        part = _part_of(c, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, c, s = part[ordp], c[ordp], s[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "c": pa.array(c[a_:b_]), "s": pa.array(s[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"c": pa.array([], type=pa.int64()),
+             "s": pa.array([], type=pa.int64())})
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(c):
+            return pa.table({
+                "c_custkey": pa.array([], type=pa.int64()),
+                "covered_days": pa.array([], type=pa.int64()),
+                "n_islands": pa.array([], type=pa.int64())})
+        e = s + span
+        assert s.min() >= 0 and e.max() < 50000, \
+            "covered_days day encoding assumes days in [0, 50000)"
+        order = np.lexsort((s, c))
+        c, s, e = c[order], s[order], e[order]
+        uniq, rank = np.unique(c, return_inverse=True)
+        base = rank.astype(np.int64) * np.int64(50000)
+        run = np.maximum.accumulate(base + e)
+        prev = np.concatenate([[np.int64(-1)], run[:-1]])
+        # break at a customer's first row (prev max belongs to an
+        # earlier rank block) or when this start clears the running max
+        brk = (prev < base) | (base + s > prev)
+        isl = np.cumsum(brk) - 1
+        istarts = np.flatnonzero(brk).astype(np.int64)
+        ilen = np.maximum.reduceat(e, istarts) - s[istarts]
+        irank = rank[istarts]
+        cov = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(cov, irank, ilen)
+        nisl = np.bincount(irank, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "c_custkey": pa.array(uniq),
+            "covered_days": pa.array(cov),
+            "n_islands": pa.array(nisl),
+        })
+
+    return (orders.map_batches(tag, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("part")
+            .map_groups(merge, batch_format="pandas"))
+
+
+def covered_days_sql(span_days: int = 30) -> str:
+    """Oracle for :func:`covered_days` — the running-max
+    gaps-and-islands window the engine's offset-encoded sweep replaces."""
+    return f"""
+WITH iv AS (
+  SELECT o_custkey AS c,
+         epoch_us(o_orderdate) // 86400000000 AS s,
+         epoch_us(o_orderdate) // 86400000000 + {span_days} AS e
+  FROM orders),
+w AS (SELECT c, s, e,
+             max(e) OVER (PARTITION BY c ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv),
+g AS (SELECT c, s, e,
+             CASE WHEN prev_max IS NULL OR s > prev_max
+                  THEN 1 ELSE 0 END AS brk
+      FROM w),
+isl AS (SELECT c, s, e,
+               sum(brk) OVER (PARTITION BY c ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM g),
+m AS (SELECT c, island, max(e) - min(s) AS len
+      FROM isl GROUP BY 1, 2)
+SELECT c AS c_custkey, CAST(sum(len) AS BIGINT) AS covered_days,
+       CAST(count(*) AS BIGINT) AS n_islands
+FROM m GROUP BY 1 ORDER BY 1"""
+
+
+def order_cadence(sf_dir: str, n_parts: int = 64):
+    """Per-customer reorder cadence: gaps between CONSECUTIVE order days
+    (the LAG window) — (c_custkey, n_orders, max_gap_days,
+    avg_gap_days) for customers with at least two orders.  max_gap is
+    the longest dormancy; avg telescopes to (max-min)/(n-1) and is
+    mirrored as one float chain.
+
+    Scale plan: same custkey-hashed blob co-partition as covered_days;
+    inside each merge block one lexsort by (customer, day) yields every
+    consecutive diff vectorized (d[1:] - d[:-1] masked to same-customer
+    adjacency), per-customer maxima via the offset-encoded
+    maximum.reduceat, and only customer-cardinality rows leave the
+    block.  No Ray sort ever sees an order-cardinality row.
+    """
+    import ray.data
+
+    from ..sources.readers import read_table
+
+    day_us = np.int64(86_400_000_000)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // day_us
+        part = _part_of(c, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, c, s = part[ordp], c[ordp], s[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "c": pa.array(c[a_:b_]), "d": pa.array(s[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"c": pa.array([], type=pa.int64()),
+             "d": pa.array([], type=pa.int64())})
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({
+            "c_custkey": pa.array([], type=pa.int64()),
+            "n_orders": pa.array([], type=pa.int64()),
+            "max_gap_days": pa.array([], type=pa.int64()),
+            "avg_gap_days": pa.array([], type=pa.float64())})
+        if not len(c):
+            return empty
+        order = np.lexsort((d, c))
+        c, d = c[order], d[order]
+        uniq, rank = np.unique(c, return_inverse=True)
+        n = np.bincount(rank, minlength=len(uniq)).astype(np.int64)
+        keep = n >= 2
+        if not keep.any():
+            return empty
+        same = np.concatenate([[False], c[1:] == c[:-1]])
+        gaps = np.concatenate([[np.int64(0)], d[1:] - d[:-1]])
+        # per-customer max gap: offset-encode so one reduceat suffices
+        assert gaps.max(initial=0) < 50000, \
+            "order_cadence gap encoding assumes day gaps in [0, 50000)"
+        enc = np.where(same, gaps, np.int64(-1)) + np.int64(1)
+        cstarts = np.flatnonzero(
+            np.concatenate([[True], c[1:] != c[:-1]])).astype(np.int64)
+        mx = np.maximum.reduceat(enc, cstarts) - 1
+        first = d[cstarts]
+        last = d[np.concatenate([cstarts[1:] - 1,
+                                 [len(d) - 1]]).astype(np.int64)]
+        avg = (last - first).astype(np.float64) \
+            / np.maximum(n - 1, 1).astype(np.float64)
+        from .text import round_half_away
+        return pa.table({
+            "c_custkey": pa.array(uniq[keep]),
+            "n_orders": pa.array(n[keep]),
+            "max_gap_days": pa.array(mx[keep]),
+            "avg_gap_days": pa.array(round_half_away(avg[keep])),
+        })
+
+    return (orders.map_batches(tag, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("part")
+            .map_groups(merge, batch_format="pandas"))
+
+
+ORDER_CADENCE_SQL = """
+WITH d AS (SELECT o_custkey,
+                  epoch_us(o_orderdate) // 86400000000 AS day
+           FROM orders),
+g AS (SELECT o_custkey,
+             day - lag(day) OVER (PARTITION BY o_custkey
+                                  ORDER BY day) AS gap
+      FROM d),
+m AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             min(day) AS mn, max(day) AS mx
+      FROM d GROUP BY 1)
+SELECT m.o_custkey AS c_custkey, m.n_orders,
+       CAST(max(g.gap) AS BIGINT) AS max_gap_days,
+       round(CAST(m.mx - m.mn AS DOUBLE)
+             / CAST(m.n_orders - 1 AS DOUBLE), 6) AS avg_gap_days
+FROM m JOIN g ON g.o_custkey = m.o_custkey
+WHERE m.n_orders >= 2 AND g.gap IS NOT NULL
+GROUP BY 1, 2, m.mx, m.mn ORDER BY 1"""
