@@ -764,6 +764,22 @@ def _q_part_concentration(sf_dir: str):
     return part_concentration(sf_dir)
 
 
+def _q_lexical_simpson(sf_dir: str):
+    """Per-language Simpson repeat index over token counts (vocab-sized
+    shuffle, hi/lo-split big-int moments, one mirrored division)."""
+    from s2ray.pipelines.text import lexical_simpson
+
+    return lexical_simpson(sf_dir)
+
+
+def _q_anagram_groups(sf_dir: str):
+    """Anagram classes of the vocabulary: sorted-codepoint signature
+    regroup of the token-count aggregate, classes with >= 2 members."""
+    from s2ray.pipelines.text import anagram_groups
+
+    return anagram_groups(sf_dir)
+
+
 def _q_covered_days(sf_dir: str):
     """Per-customer interval-union coverage (gaps-and-islands): custkey
     blob co-partition, offset-encoded running max, reduceat islands."""
@@ -2882,6 +2898,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_autocorr": _q_daily_autocorr,
         "excess_shippers": _q_excess_shippers,
         "covered_days": _q_covered_days,
+        "lexical_simpson": _q_lexical_simpson,
+        "anagram_groups": _q_anagram_groups,
         "order_cadence": _q_order_cadence,
         # ---- approximate / non-SQL-expressible (rows-only; pytest-gated
         # against their exact oracle-checked counterparts) ----
@@ -3035,8 +3053,10 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.spatial_join import (destination_points_sql,
                                               location_codec_sql)
     from s2ray.pipelines.polyline import Polyline
-    from s2ray.pipelines.text import (SOURCE_VOCAB_JACCARD_SQL,
-                                      TOKEN_EDIT_PAIRS_SQL, heaps_law_sql,
+    from s2ray.pipelines.text import (LEXICAL_SIMPSON_SQL,
+                                      SOURCE_VOCAB_JACCARD_SQL,
+                                      TOKEN_EDIT_PAIRS_SQL,
+                                      anagram_groups_sql, heaps_law_sql,
                                       phrase_search_sql,
                                       source_js_divergence_sql)
     from s2ray.pipelines.webgraph import (domain_assortativity_sql,
@@ -4377,6 +4397,8 @@ FROM (
         "late_shipments": late_shipments_sql(),
         "excess_shippers": excess_shippers_sql(),
         "covered_days": covered_days_sql(),
+        "lexical_simpson": LEXICAL_SIMPSON_SQL,
+        "anagram_groups": anagram_groups_sql(),
         "order_cadence": ORDER_CADENCE_SQL,
         "order_overlap": order_overlap_sql(),
         "source_overlap": source_overlap_sql(),

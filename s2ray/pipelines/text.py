@@ -2138,3 +2138,199 @@ SELECT i.src_a, i.src_b, i.n_shared,
              / CAST(pa.sz + pb.sz - i.n_shared AS DOUBLE), 6) AS jaccard
 FROM inter i JOIN per pa ON pa.source = i.src_a
 JOIN per pb ON pb.source = i.src_b"""
+
+
+def lexical_simpson(sf_dir: str, lower: bool = True):
+    """Per-language Simpson repeat index over the token distribution:
+    the probability two tokens drawn without replacement are identical —
+    (lang, n_tokens, vocab, simpson), simpson = sum c*(c-1) / (N*(N-1)).
+    High values mark repetitive/templated corpora (the collection-level
+    cousin of repetition_stats' per-document ratios).
+
+    Exactness: per-(lang, token) counts come from ONE vocabulary-sized
+    shuffle (same partial as vocab_top_k, keyed by lang too); the
+    c*(c-1) sum is folded per-batch in exact Python big ints and rides
+    wrap-safe hi/lo-split int64 lanes (at 100 TB a hot token's c^2 is
+    ~1e18 and the per-lang sum would wrap int64; HUGEINT mirrors it in
+    SQL); the only float op is the final mirrored division.  NULL lang
+    drops on both engines; N < 2 yields NULL like the SQL CASE.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pandas()
+        ok = lang.notna().to_numpy()
+        texts = _string_array(batch["text"]).filter(pa.array(ok))
+        lang = lang[ok].astype(str).to_numpy()
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if not len(codes):
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "token": pa.array([], type=pa.string()),
+                             "pn": pa.array([], type=pa.int64())})
+        # count per (row-lang, token): lang factorizes via row_idx
+        lcodes, luniq = pd.factorize(pd.Series(lang[row_idx]))
+        key = lcodes.astype(np.int64) * np.int64(len(uniques)) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(luniq[(uk // len(uniques)).astype(np.int64)],
+                             type=pa.string()),
+            "token": pa.array(uniques[(uk % len(uniques)).astype(np.int64)]
+                              .tolist(), type=pa.string()),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    cnt = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby(["lang", "token"])
+           .aggregate(Sum("pn", alias_name="c")))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pandas().astype(str).to_numpy()
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        luniq, lcode = np.unique(lang, return_inverse=True)
+        rows = {"lang": [], "v": [], "nh": [], "nl": [], "qh": [],
+                "ql": []}
+        for i, lg in enumerate(luniq.tolist()):
+            sel = lcode == i
+            cc = c[sel]
+            n = int(cc.sum())
+            q = sum(int(x) * (int(x) - 1) for x in cc)
+            rows["lang"].append(lg)
+            rows["v"].append(int(sel.sum()))
+            rows["nh"].append(n >> 31)
+            rows["nl"].append(n & ((1 << 31) - 1))
+            rows["qh"].append(q >> 31)
+            rows["ql"].append(q & ((1 << 31) - 1))
+        return pa.table({
+            "lang": pa.array(rows["lang"], type=pa.string()),
+            "v": pa.array(rows["v"], type=pa.int64()),
+            "nh": pa.array(rows["nh"], type=pa.int64()),
+            "nl": pa.array(rows["nl"], type=pa.int64()),
+            "qh": pa.array(rows["qh"], type=pa.int64()),
+            "ql": pa.array(rows["ql"], type=pa.int64()),
+        })
+
+    m = (cnt.map_batches(moments, batch_format="pyarrow",
+                         batch_size=None)
+         .groupby("lang")
+         .aggregate(Sum("v", alias_name="vocab"),
+                    Sum("nh"), Sum("nl"), Sum("qh"), Sum("ql"))) \
+        .to_pandas().sort_values("lang", ignore_index=True)
+
+    out = {"lang": [], "n_tokens": [], "vocab": [], "simpson": []}
+    for _, r in m.iterrows():
+        n = (int(r["sum(nh)"]) << 31) + int(r["sum(nl)"])
+        q = (int(r["sum(qh)"]) << 31) + int(r["sum(ql)"])
+        out["lang"].append(r["lang"])
+        out["n_tokens"].append(n)
+        out["vocab"].append(int(r["vocab"]))
+        out["simpson"].append(
+            None if n < 2 else float(round_half_away(np.float64(
+                float(q) / float(n * (n - 1))))))
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+        "vocab": pa.array(out["vocab"], type=pa.int64()),
+        "simpson": pa.array(out["simpson"], type=pa.float64()),
+    }))
+
+
+LEXICAL_SIMPSON_SQL = r"""
+WITH tok AS (SELECT lang,
+                    unnest(list_filter(regexp_split_to_array(
+                      lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                      AS token
+             FROM documents WHERE lang IS NOT NULL),
+cnt AS (SELECT lang, token, CAST(count(*) AS HUGEINT) AS c
+        FROM tok GROUP BY 1, 2),
+m AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab, sum(c) AS n,
+             sum(c * (c - 1)) AS q
+      FROM cnt GROUP BY 1)
+SELECT lang, CAST(n AS BIGINT) AS n_tokens, vocab,
+       CASE WHEN n < 2 THEN NULL ELSE
+         round(CAST(q AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) END
+         AS simpson
+FROM m ORDER BY 1"""
+
+
+def anagram_groups(sf_dir: str, lower: bool = True, min_tokens: int = 1):
+    """Anagram classes of the corpus vocabulary: distinct tokens grouped
+    by their sorted-codepoint signature — (signature, n_tokens,
+    n_occurrences) for classes with at least ``min_tokens`` distinct
+    members.  A vocabulary-normalization probe (OCR shuffles, leet
+    variants) exercising a derived-key regroup of an already-shuffled
+    aggregate.  The default keeps every class (min_tokens=1): the
+    synthetic corpus vocabulary is anagram-free, so a >= 2 cut would
+    gate a vacuously-empty result.
+
+    Scale plan: token counts come from the vocabulary-sized shuffle;
+    signatures are computed per VOCABULARY row (never per corpus token)
+    in the post-aggregate pass, and the signature regroup moves
+    vocabulary-cardinality rows once more.  Sorting is by raw codepoint
+    (Python sorted == DuckDB list_sort over single-char strings: UTF-8
+    memcmp preserves codepoint order).
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch["text"])
+        _, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({
+            "token": pa.array(uniques.tolist(), type=pa.string()),
+            "pn": pa.array(cnt),
+        })
+
+    vocab = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("token").aggregate(Sum("pn", alias_name="c")))
+
+    def sig_partial(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_pandas().astype(str).tolist()
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = ["".join(sorted(t)) for t in toks]  # vocab-sized, not hot
+        df = pd.DataFrame({"s": sigs, "c": c}).groupby("s", sort=False) \
+            .agg(nt=("c", "size"), no=("c", "sum")).reset_index()
+        return pa.table({
+            "signature": pa.array(df["s"], type=pa.string()),
+            "nt": pa.array(df["nt"].to_numpy().astype(np.int64)),
+            "no": pa.array(df["no"].to_numpy().astype(np.int64)),
+        })
+
+    g = (vocab.map_batches(sig_partial, batch_format="pyarrow",
+                           batch_size=None)
+         .groupby("signature")
+         .aggregate(Sum("nt", alias_name="n_tokens"),
+                    Sum("no", alias_name="n_occurrences")))
+
+    def cut(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["n_tokens"],
+                                pa.scalar(min_tokens, type=pa.int64()))
+        return batch.filter(keep)
+
+    return g.map_batches(cut, batch_format="pyarrow", batch_size=None)
+
+
+def anagram_groups_sql(min_tokens: int = 1) -> str:
+    """Oracle for :func:`anagram_groups` — list_sort over single-char
+    splits mirrors the engine's codepoint sort."""
+    return rf"""
+WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(
+               lower(coalesce(text, '')), '\s+'), x -> x <> '')) AS token
+             FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1),
+s AS (SELECT array_to_string(list_sort(string_split(token, '')), '')
+        AS signature, c
+      FROM cnt)
+SELECT signature, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM s GROUP BY 1 HAVING count(*) >= {min_tokens} ORDER BY 1"""
