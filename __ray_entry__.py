@@ -1148,6 +1148,24 @@ def _q_quadrat_dispersion(sf_dir: str):
     return quadrat_dispersion(sf_dir, level=8)
 
 
+def _q_colocation_quotient(sf_dir: str):
+    """Lang-pair colocation quotient over the 25 km NN graph (lang code
+    encoded through the exactly-once pair core, |langs|^2 cells out)."""
+    from s2ray.pipelines.spatial_join import colocation_quotient
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return colocation_quotient(pages_with_cells(sf_dir, token_level=None),
+                               DIST_JOIN_M)
+
+
+def _q_domain_clustering(sf_dir: str):
+    """Per-node local clustering coefficient of the undirected domain
+    graph (diag(A^3)/2 in the vocabulary-bounded final task)."""
+    from s2ray.pipelines.webgraph import domain_clustering
+
+    return domain_clustering(sf_dir)
+
+
 def _q_domain_reciprocity(sf_dir: str):
     """Edge reciprocity of the domain digraph: exact mutual-edge count
     over the vocabulary-bounded distinct edge set."""
@@ -2772,6 +2790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_interpolate": _q_idw_interpolate,
         "hourly_anomaly": _q_hourly_anomaly,
         "domain_reciprocity": _q_domain_reciprocity,
+        "domain_clustering": _q_domain_clustering,
+        "colocation_quotient": _q_colocation_quotient,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
         "quadrat_dispersion": _q_quadrat_dispersion,
@@ -3060,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
                                       phrase_search_sql,
                                       source_js_divergence_sql)
     from s2ray.pipelines.webgraph import (domain_assortativity_sql,
+                                          domain_clustering_sql,
                                           domain_bfs_depth_sql,
                                           domain_components_sql,
                                           domain_cocitation_sql,
@@ -3632,6 +3653,39 @@ rk AS (SELECT page_id, nn_id, dm,
               row_number() OVER (PARTITION BY page_id
                                  ORDER BY dm, nn_id) AS rn FROM sym)
 SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1"""
+    # colocation quotient: lang-pair CLQ over the same per-page argmin
+    # (NN universe = pages with a neighbor in range), mirrored float chain
+    colocation_sql = f"""
+{cte},
+pr AS (SELECT a.page_id AS i, b.page_id AS j, round({dist_pair}, 3) AS dm
+       FROM pages_geo a JOIN pages_geo b ON a.page_id < b.page_id
+       WHERE {dist_pair} <= {DIST_JOIN_M!r}),
+sym AS (SELECT i AS page_id, j AS nn_id, dm FROM pr
+        UNION ALL SELECT j, i, dm FROM pr),
+rk AS (SELECT page_id, nn_id, dm,
+              row_number() OVER (PARTITION BY page_id
+                                 ORDER BY dm, nn_id) AS rn FROM sym),
+nn1 AS (SELECT page_id, nn_id FROM rk WHERE rn = 1),
+lp AS (SELECT p1.lang AS lang_a, p2.lang AS lang_b
+       FROM nn1 JOIN pages_geo p1 ON p1.page_id = nn1.page_id
+       JOIN pages_geo p2 ON p2.page_id = nn1.nn_id),
+cab AS (SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM lp GROUP BY 1, 2),
+na AS (SELECT lang_a AS lang, CAST(count(*) AS BIGINT) AS n
+       FROM lp GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM lp)
+SELECT cab.lang_a, cab.lang_b, cab.n_ab,
+       CASE WHEN bb.n - (CASE WHEN cab.lang_a = cab.lang_b
+                              THEN 1 ELSE 0 END) <= 0
+                 OR t.nn < 2 THEN NULL ELSE
+         round((CAST(cab.n_ab AS DOUBLE) / CAST(aa.n AS DOUBLE))
+               / (CAST(bb.n - (CASE WHEN cab.lang_a = cab.lang_b
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(t.nn - 1 AS DOUBLE)), 6) END AS clq
+FROM cab JOIN na aa ON aa.lang = cab.lang_a
+JOIN na bb ON bb.lang = cab.lang_b
+CROSS JOIN tot t
+ORDER BY 1, 2"""
     # bipartite cross-lang NN: directed a -> b pair set, same ranking
     bipartite_nn_sql = f"""
 {cte},
@@ -4366,6 +4420,8 @@ FROM (
         "domain_hits": domain_hits_sql(cte),
         "domain_reciprocity": domain_reciprocity_sql(cte),
         "domain_assortativity": domain_assortativity_sql(cte),
+        "domain_clustering": domain_clustering_sql(cte),
+        "colocation_quotient": colocation_sql,
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "domain_components": domain_components_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,

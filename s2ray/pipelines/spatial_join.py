@@ -1460,3 +1460,137 @@ def idw_interpolate(sf_dir: str, d_m: float, k: int = 3,
     return (j.map_batches(tag, batch_format="pyarrow", batch_size=None)
             .groupby("part")
             .map_groups(fold, batch_format="pandas"))
+
+
+def colocation_quotient(pages_ds, d_m: float, max_bucket: int = 200_000):
+    """Colocation quotient between language point patterns: over the
+    pages that HAVE a nearest neighbor within ``d_m`` meters (the NN
+    universe; isolated pages drop on both engines), CLQ(a->b) =
+    (C_ab / N_a) / (N'_b / (N - 1)) where C_ab counts a-pages whose NN
+    is a b-page and N'_b subtracts self when a = b — the directional
+    "does a seek b" statistic of colocation analysis (> 1 attraction,
+    < 1 avoidance).  Output (lang_a, lang_b, n_ab, clq), lang-sorted.
+
+    Plan: one vocabulary-discovery pass collects the (tiny) lang set so
+    each lang gets a stable code; the code is ENCODED into the point id
+    (id * n_langs + code, monotonic in the true id, so the (dm, encoded
+    nn) lexsort ranks exactly like the oracle's (dm, true nn)
+    row_number — the bipartite_nn argument); the exactly-once
+    :func:`distance_join_pairs` core then carries both endpoint langs
+    through the bucket shuffle for free, the same two-stage distributed
+    argmin as :func:`nearest_neighbor_map` picks each page's NN, and
+    only (lang_a, lang_b) cell counts (|langs|^2-bounded) leave the
+    final pass.  The CLQ float chain is mirrored op-for-op; degenerate
+    denominators (single-point lang with a = b) yield NULL like the
+    SQL CASE.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    # vocabulary discovery: one pruned-column pass, bounded output
+    lang_rows = (pages_ds.select_columns(["lang"])
+                 .map_batches(lambda b: pa.table({
+                     "lang": pc.unique(pc.cast(b["lang"], pa.string()))}),
+                     batch_format="pyarrow", batch_size=None)
+                 .take_all())
+    langs = sorted({r["lang"] for r in lang_rows if r["lang"] is not None})
+    K = np.int64(max(len(langs), 1))
+    code = {lg: i for i, lg in enumerate(langs)}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pandas()
+        keep = lang.notna().to_numpy()
+        ids = batch["page_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        codes = lang[keep].map(code).to_numpy().astype(np.int64)
+        return pa.table({
+            "page_id": pa.array(ids * K + codes),
+            "lat": batch["lat"].filter(pa.array(keep)),
+            "lng": batch["lng"].filter(pa.array(keep)),
+        })
+
+    pairs = distance_join_pairs(
+        pages_ds.map_batches(prep, batch_format="pyarrow",
+                             batch_size=None),
+        d_m, max_bucket=max_bucket)
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = batch["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dm = batch["dist_m"].to_numpy(zero_copy_only=False)
+        pid = np.concatenate([i, j])
+        nn = np.concatenate([j, i])
+        d = np.concatenate([dm, dm])
+        if len(pid) == 0:
+            return pa.table({
+                "part": pa.array([], type=pa.int32()),
+                "page_id": pa.array([], type=pa.int64()),
+                "nn_id": pa.array([], type=pa.int64()),
+                "dist_m": pa.array([], type=pa.float64()),
+            })
+        order = np.lexsort((nn, d, pid))
+        pid, nn, d = pid[order], nn[order], d[order]
+        first = np.concatenate([[True], pid[1:] != pid[:-1]])
+        pid, nn, d = pid[first], nn[first], d[first]
+        return pa.table({
+            "part": pa.array(((pid // K) % _NN_PARTS).astype(np.int32)),
+            "page_id": pa.array(pid),
+            "nn_id": pa.array(nn),
+            "dist_m": pa.array(d),
+        })
+
+    def merge_cells(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "pn": pa.array([], type=pa.int64())})
+        pid = df["page_id"].to_numpy()
+        nn = df["nn_id"].to_numpy()
+        d = df["dist_m"].to_numpy()
+        order = np.lexsort((nn, d, pid))
+        pid, nn = pid[order], nn[order]
+        first = np.concatenate([[True], pid[1:] != pid[:-1]])
+        a = (pid[first] % K).astype(np.int64)
+        b = (nn[first] % K).astype(np.int64)
+        key = a * K + b
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "a": pa.array((uk // K).astype(np.int64)),
+            "b": pa.array((uk % K).astype(np.int64)),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    cells = (pairs.map_batches(local_best, batch_format="pyarrow",
+                               batch_size=None)
+             .groupby("part")
+             .map_groups(merge_cells, batch_format="pandas")
+             .groupby(["a", "b"])
+             .aggregate(Sum("pn", alias_name="n_ab"))).to_pandas()
+
+    na = {}
+    for _, r in cells.iterrows():
+        na[int(r["a"])] = na.get(int(r["a"]), 0) + int(r["n_ab"])
+    n_tot = sum(na.values())
+    out = {"lang_a": [], "lang_b": [], "n_ab": [], "clq": []}
+    for _, r in cells.sort_values(["a", "b"]).iterrows():
+        a, b, c = int(r["a"]), int(r["b"]), int(r["n_ab"])
+        nb = na.get(b, 0) - (1 if a == b else 0)
+        clq = (None if nb <= 0 or n_tot < 2 else float(
+            round_half_away(np.float64(
+                (float(c) / float(na[a]))
+                / (float(nb) / float(n_tot - 1))))))
+        out["lang_a"].append(langs[a])
+        out["lang_b"].append(langs[b])
+        out["n_ab"].append(c)
+        out["clq"].append(clq)
+    return ray.data.from_arrow(pa.table({
+        "lang_a": pa.array(out["lang_a"], type=pa.string()),
+        "lang_b": pa.array(out["lang_b"], type=pa.string()),
+        "n_ab": pa.array(out["n_ab"], type=pa.int64()),
+        "clq": pa.array(out["clq"], type=pa.float64()),
+    }))

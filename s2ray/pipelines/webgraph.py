@@ -692,3 +692,70 @@ def domain_components_sql(cte: str, min_links: int = 7) -> str:
         "AS component_id, cs.n AS component_size "
         "FROM comp JOIN cs ON cs.c = comp.c ORDER BY comp.v"
     )
+
+
+def domain_clustering(sf_dir: str):
+    """Per-node local clustering coefficient of the undirected simple
+    domain graph — (domain, degree, n_triangles, clustering) with
+    clustering = 2 * t / (deg * (deg - 1)), NULL for degree-1 nodes.
+    The node-level refinement of :func:`domain_triangles`' global
+    census (same graph, same exactness argument).
+
+    Exactness: per-node triangle counts are diag(A^3) / 2 over the
+    exact 0/1 adjacency in the vocabulary-bounded final task; the one
+    float division mirrors the SQL CAST-then-divide.  At web-scale
+    vocabularies this becomes the per-node edge-iterator count (bucket
+    by min-degree endpoint), same switch as domain_triangles.
+    """
+    from .text import round_half_away
+
+    edges = domain_link_graph(sf_dir)
+
+    def census(batch: pa.Table) -> pa.Table:
+        s = batch["src_domain"].to_pylist()
+        d = batch["dst_domain"].to_pylist()
+        und = {(min(a, b), max(a, b)) for a, b in zip(s, d) if a != b}
+        nodes = sorted({x for e in und for x in e})
+        idx = {x: i for i, x in enumerate(nodes)}
+        nn = len(nodes)
+        a = np.zeros((nn, nn), dtype=np.int64)
+        for u, v in und:
+            a[idx[u], idx[v]] = 1
+            a[idx[v], idx[u]] = 1
+        tri = (np.diagonal(a @ a @ a) // 2).astype(np.int64)
+        deg = a.sum(axis=1).astype(np.int64)
+        clus = [None if int(dg) < 2 else
+                float(round_half_away(np.float64(
+                    float(2 * int(t)) / float(int(dg) * (int(dg) - 1)))))
+                for t, dg in zip(tri, deg)]
+        return pa.table({
+            "domain": pa.array(nodes, type=pa.string()),
+            "degree": pa.array(deg),
+            "n_triangles": pa.array(tri),
+            "clustering": pa.array(clus, type=pa.float64()),
+        })
+
+    return edges.repartition(1).map_batches(census, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def domain_clustering_sql(cte: str) -> str:
+    """Oracle for :func:`domain_clustering` — ordered neighbor-pair
+    self-join per node with the undirected membership check."""
+    return f"""{cte}, {_EDGE_SQL},
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM e WHERE s <> d),
+nb AS (SELECT u AS x, v AS y FROM und
+       UNION ALL SELECT v, u FROM und),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS dg FROM nb GROUP BY 1),
+tr AS (SELECT a.x, CAST(count(*) AS BIGINT) AS t
+       FROM nb a JOIN nb b ON b.x = a.x AND b.y > a.y
+       JOIN und c ON c.u = a.y AND c.v = b.y
+       GROUP BY 1)
+SELECT deg.x AS domain, deg.dg AS degree,
+       coalesce(tr.t, 0) AS n_triangles,
+       CASE WHEN deg.dg < 2 THEN NULL ELSE
+         round(CAST(2 * coalesce(tr.t, 0) AS DOUBLE)
+               / CAST(deg.dg * (deg.dg - 1) AS DOUBLE), 6) END
+         AS clustering
+FROM deg LEFT JOIN tr ON tr.x = deg.x ORDER BY 1"""

@@ -54,7 +54,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "vocab_coverage", "weighted_sample", "lang_corr",
                "domain_lang_entropy",
                "token_edit_pairs", "source_overlap", "pivot_lang_counts",
-               "lexical_simpson", "anagram_groups"]
+               "lexical_simpson", "anagram_groups",
+               "domain_clustering", "colocation_quotient"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
