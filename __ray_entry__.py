@@ -1775,6 +1775,22 @@ def _q_nearest_neighbor(sf_dir: str):
                                 DIST_JOIN_M)
 
 
+def _q_daily_cusum(sf_dir: str):
+    """CUSUM changepoint excursion per event type over zero-filled daily
+    counts (exact integer argmax, one mirrored division)."""
+    from s2ray.pipelines.analytics import daily_cusum
+
+    return daily_cusum(sf_dir)
+
+
+def _q_daily_ewma(sf_dir: str):
+    """Order-pinned EWMA fold of zero-filled daily counts per event type
+    (list_reduce mirror, exact-binary alpha)."""
+    from s2ray.pipelines.analytics import daily_ewma
+
+    return daily_ewma(sf_dir)
+
+
 def _q_daily_autocorr(sf_dir: str):
     """Lag-1 autocorrelation of zero-filled daily counts per event type
     (bounded types x days groupby, exact big-int moments, one mirrored
@@ -2916,6 +2932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
         "daily_autocorr": _q_daily_autocorr,
+        "daily_cusum": _q_daily_cusum,
+        "daily_ewma": _q_daily_ewma,
         "excess_shippers": _q_excess_shippers,
         "covered_days": _q_covered_days,
         "lexical_simpson": _q_lexical_simpson,
@@ -3026,6 +3044,8 @@ def oracle_sql() -> dict[str, str]:
                                         s2_cell_select)
     from s2ray.pipelines.analytics import (CHI2_LANG_SOURCE_SQL,
                                            DAILY_AUTOCORR_SQL,
+                                           DAILY_CUSUM_SQL,
+                                           daily_ewma_sql,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -4706,6 +4726,8 @@ GROUP BY m.event_type, m.median""",
         "lang_centroid_sim": LANG_CENTROID_SIM_SQL,
         "hourly_anomaly": HOURLY_ANOMALY_SQL,
         "daily_autocorr": DAILY_AUTOCORR_SQL,
+        "daily_cusum": DAILY_CUSUM_SQL,
+        "daily_ewma": daily_ewma_sql(),
         "doc_percent_rank": (
             "SELECT doc_id, lang, n_chars, "
             "round(percent_rank() OVER (PARTITION BY lang "

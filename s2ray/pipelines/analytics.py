@@ -4175,3 +4175,184 @@ SELECT event_type, CAST(mm AS BIGINT) AS n_pairs,
                / sqrt(CAST(mm * sxx - sx * sx AS DOUBLE)
                       * CAST(mm * syy - sy * sy AS DOUBLE)), 6) END AS r
 FROM m ORDER BY 1"""
+
+
+def _daily_counts(sf_dir: str):
+    """Shared partial for the dense daily-count family: exact (type,
+    day) counts from ONE bounded-cardinality groupby plus the global
+    [min_day, max_day] range (types x calendar days; the same
+    zero-filled CROSS JOIN contract as hourly_anomaly / daily_autocorr).
+    Returns the pandas frame of (t, d, n)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["event_type"].to_pandas()
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        ok = t.notna().to_numpy() & ~np.isnat(ts)
+        t = t[ok]
+        tsv = ts[ok].astype("datetime64[us]").astype(np.int64)
+        assert len(tsv) == 0 or tsv.min() >= 0, \
+            "daily-count family assumes post-1970 timestamps"
+        d = (tsv // 86_400_000_000)
+        g = pd.DataFrame({"t": t.astype(str), "d": d}).groupby(
+            ["t", "d"], sort=False).size().reset_index(name="pn")
+        return pa.table({
+            "t": pa.array(g["t"], type=pa.string()),
+            "d": pa.array(g["d"].to_numpy().astype(np.int64)),
+            "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(["t", "d"])
+            .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+
+
+def daily_cusum(sf_dir: str):
+    """CUSUM changepoint excursion per event type: over the zero-filled
+    daily count series, the maximum absolute deviation of the running
+    sum from its expected ramp — (event_type, peak_day, max_dev) where
+    max_dev = max_k |P_k - k*T/N| and peak_day is the EARLIEST day
+    attaining it.  A level shift in event volume shows up as a large
+    excursion peaking at the change day.
+
+    Exactness: the deviation is maximized in the exact integer domain
+    (|N*P_k - k*T|, big-int safe via Python ints) with the earliest-day
+    tie-break, and ONE mirrored float division |.|/N reports it; the
+    oracle ranks with row_number() over the same integer expression.
+    """
+    import ray.data
+
+    from .text import round_half_away
+
+    m = _daily_counts(sf_dir)
+    out = {"event_type": [], "peak_day": [], "max_dev": []}
+    if len(m):
+        d0, d1 = int(m["d"].min()), int(m["d"].max())
+        ndays = d1 - d0 + 1
+        for t, grp in m.groupby("t", sort=True):
+            dense = [0] * ndays
+            for d_, n_ in zip(grp["d"].to_numpy(), grp["n"].to_numpy()):
+                dense[int(d_) - d0] = int(n_)
+            tot = sum(dense)
+            best_dev, best_k, pref = -1, -1, 0
+            for k1, x in enumerate(dense, start=1):
+                pref += x
+                dev = abs(ndays * pref - k1 * tot)
+                if dev > best_dev:
+                    best_dev, best_k = dev, k1
+            out["event_type"].append(t)
+            out["peak_day"].append(d0 + best_k - 1)
+            out["max_dev"].append(float(round_half_away(np.float64(
+                float(best_dev) / float(ndays)))))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "peak_day": pa.array(out["peak_day"], type=pa.int64()),
+        "max_dev": pa.array(out["max_dev"], type=pa.float64()),
+    }))
+
+
+DAILY_CUSUM_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+days AS (SELECT CAST(unnest(generate_series(b.d0, b.d1)) AS BIGINT) AS d
+         FROM b),
+ty AS (SELECT DISTINCT event_type FROM e),
+c AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+dense AS (SELECT ty.event_type, days.d, coalesce(c.n, 0) AS n
+          FROM ty CROSS JOIN days
+          LEFT JOIN c ON c.event_type = ty.event_type AND c.d = days.d),
+nd AS (SELECT CAST(d1 - d0 + 1 AS HUGEINT) AS ndays FROM b),
+run AS (SELECT event_type, d,
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+                 AS p,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY d) AS HUGEINT) AS k,
+               CAST(sum(n) OVER (PARTITION BY event_type) AS HUGEINT)
+                 AS tot
+        FROM dense),
+dev AS (SELECT event_type, d,
+               abs(nd.ndays * p - k * tot) AS dv
+        FROM run CROSS JOIN nd),
+rk AS (SELECT event_type, d, dv,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY dv DESC, d) AS rn
+       FROM dev)
+SELECT rk.event_type, rk.d AS peak_day,
+       round(CAST(rk.dv AS DOUBLE) / CAST(nd.ndays AS DOUBLE), 6)
+         AS max_dev
+FROM rk CROSS JOIN nd WHERE rk.rn = 1 ORDER BY 1"""
+
+
+def daily_ewma(sf_dir: str, alpha: float = 0.25):
+    """Exponentially weighted moving average of the zero-filled daily
+    count series per event type — (event_type, n_days, ewma); the
+    final smoothed level after folding the whole series in day order
+    (seeded with day one's count).  The order-pinned streaming
+    statistic of the daily family.
+
+    Exactness: the fold acc = (1-alpha)*acc + alpha*x runs as ONE
+    sequential float chain in day order, mirrored term-for-term by the
+    oracle's list_reduce over the day-ordered dense list (DuckDB seeds
+    list_reduce with the first element, exactly like the engine).
+    alpha must be an exact binary fraction (0.25 default) so both
+    engines multiply by identical doubles.
+    """
+    import ray.data
+
+    from .text import round_half_away
+
+    m = _daily_counts(sf_dir)
+    out = {"event_type": [], "n_days": [], "ewma": []}
+    if len(m):
+        d0, d1 = int(m["d"].min()), int(m["d"].max())
+        ndays = d1 - d0 + 1
+        a = np.float64(alpha)
+        b = np.float64(1.0) - a
+        for t, grp in m.groupby("t", sort=True):
+            dense = np.zeros(ndays, dtype=np.float64)
+            for d_, n_ in zip(grp["d"].to_numpy(), grp["n"].to_numpy()):
+                dense[int(d_) - d0] = np.float64(int(n_))
+            acc = dense[0]
+            for x in dense[1:]:
+                acc = b * acc + a * x
+            out["event_type"].append(t)
+            out["n_days"].append(ndays)
+            out["ewma"].append(float(round_half_away(np.float64(acc))))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_days": pa.array(out["n_days"], type=pa.int64()),
+        "ewma": pa.array(out["ewma"], type=pa.float64()),
+    }))
+
+
+def daily_ewma_sql(alpha: float = 0.25) -> str:
+    """Oracle for :func:`daily_ewma` — order-pinned list_reduce fold
+    over the day-ordered dense series, identical float op order."""
+    return f"""
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+days AS (SELECT CAST(unnest(generate_series(b.d0, b.d1)) AS BIGINT) AS d
+         FROM b),
+ty AS (SELECT DISTINCT event_type FROM e),
+c AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+dense AS (SELECT ty.event_type, days.d,
+                 CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+          FROM ty CROSS JOIN days
+          LEFT JOIN c ON c.event_type = ty.event_type AND c.d = days.d)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       round(list_reduce(list(x ORDER BY d),
+                         (a, v) -> {1.0 - alpha!r} * a + {alpha!r} * v),
+             6) AS ewma
+FROM dense GROUP BY 1 ORDER BY 1"""
