@@ -1775,6 +1775,14 @@ def _q_nearest_neighbor(sf_dir: str):
                                 DIST_JOIN_M)
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM segmentation: three-metric exact distributed NTILE(4) over
+    the customer metric table, k^3 cell histogram."""
+    from s2ray.pipelines.analytics import rfm_segments
+
+    return rfm_segments(sf_dir)
+
+
 def _q_daily_cusum(sf_dir: str):
     """CUSUM changepoint excursion per event type over zero-filled daily
     counts (exact integer argmax, one mirrored division)."""
@@ -2933,6 +2941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _q_emb_near_dup,
         "daily_autocorr": _q_daily_autocorr,
         "daily_cusum": _q_daily_cusum,
+        "rfm_segments": _q_rfm_segments,
         "daily_ewma": _q_daily_ewma,
         "excess_shippers": _q_excess_shippers,
         "covered_days": _q_covered_days,
@@ -3046,6 +3055,7 @@ def oracle_sql() -> dict[str, str]:
                                            DAILY_AUTOCORR_SQL,
                                            DAILY_CUSUM_SQL,
                                            daily_ewma_sql,
+                                           rfm_segments_sql,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -4727,6 +4737,7 @@ GROUP BY m.event_type, m.median""",
         "hourly_anomaly": HOURLY_ANOMALY_SQL,
         "daily_autocorr": DAILY_AUTOCORR_SQL,
         "daily_cusum": DAILY_CUSUM_SQL,
+        "rfm_segments": rfm_segments_sql(),
         "daily_ewma": daily_ewma_sql(),
         "doc_percent_rank": (
             "SELECT doc_id, lang, n_chars, "

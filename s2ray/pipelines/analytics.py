@@ -4356,3 +4356,289 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
                          (a, v) -> {1.0 - alpha!r} * a + {alpha!r} * v),
              6) AS ewma
 FROM dense GROUP BY 1 ORDER BY 1"""
+
+
+def rfm_segments(sf_dir: str, k: int = 4, n_parts: int = 64,
+                 day_bucket: int = 64, freq_bucket: int = 4,
+                 money_bucket: int = 1 << 20):
+    """RFM customer segmentation: NTILE(k) quartile labels on Recency
+    (last order day), Frequency (order count) and Monetary (lifetime
+    cents), jointly histogrammed — (r_bucket, f_bucket, m_bucket,
+    n_customers), k^3 cells.  The classic marketing segmentation, here
+    as a THREE-metric exact distributed NTILE (the window SQL writes as
+    three ntile() calls over one scan).
+
+    Scale plan: orders reduce to the customer metric table via ONE
+    custkey-hashed blob co-partition (per-batch partials, finished
+    inside the merge block — never an order-cardinality Ray sort row),
+    materialized once (customer-cardinality, the same contract as
+    doc_deciles' compact table).  Pass 1 counts customers per (metric,
+    value-range) — bounded by value SPREAD, not cardinality — and the
+    driver broadcasts exclusive range offsets; pass 2 co-locates each
+    (metric, range) with one groupby, local-sorts by (value, custkey)
+    so global rank = offset + local index (the doc_deciles argument),
+    and applies the exact NTILE split (first n%k buckets one row
+    larger); pass 3 co-partitions the three label rows per customer
+    back on custkey and only k^3 cell partials reach the final
+    groupby.  All arithmetic is integer; labels are 1-based like SQL.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+    from .join import _ipc_bytes, _ipc_table, _part_of
+
+    day_us = np.int64(86_400_000_000)
+    VB = {0: np.int64(day_bucket), 1: np.int64(freq_bucket),
+          2: np.int64(money_bucket)}
+    K = int(k)
+    P = np.int64(n_parts)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // day_us
+        cents = np.rint(batch["o_totalprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        order = np.argsort(c, kind="stable")
+        c, d, cents = c[order], d[order], cents[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(c[1:] != c[:-1]) + 1]).astype(np.int64) \
+            if len(c) else np.empty(0, np.int64)
+        cu = c[starts] if len(c) else c
+        r = np.maximum.reduceat(d, starts) if len(c) else d
+        f = np.diff(np.concatenate([starts, [len(c)]])).astype(np.int64) \
+            if len(c) else np.empty(0, np.int64)
+        m = np.add.reduceat(cents, starts) if len(c) else cents
+        part = _part_of(cu, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, cu, r, f, m = (part[ordp], cu[ordp], r[ordp], f[ordp],
+                             m[ordp])
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "c": pa.array(cu[a_:b_]), "r": pa.array(r[a_:b_]),
+                "f": pa.array(f[a_:b_]), "m": pa.array(m[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge_cust(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"c": pa.array([], type=pa.int64()),
+             "r": pa.array([], type=pa.int64()),
+             "f": pa.array([], type=pa.int64()),
+             "m": pa.array([], type=pa.int64())})
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(c, kind="stable")
+        c, r, f, m = c[order], r[order], f[order], m[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(c[1:] != c[:-1]) + 1]).astype(np.int64) \
+            if len(c) else np.empty(0, np.int64)
+        return pa.table({
+            "c": pa.array(c[starts] if len(c) else c),
+            "r": pa.array(np.maximum.reduceat(r, starts)
+                          if len(c) else r),
+            "f": pa.array(np.add.reduceat(f, starts) if len(c) else f),
+            "m": pa.array(np.add.reduceat(m, starts) if len(c) else m),
+        })
+
+    cust = (orders.map_batches(tag, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("part")
+            .map_groups(merge_cust, batch_format="pandas")) \
+        .materialize()
+
+    SHIFT = np.int64(1) << 40         # (metric, vrange) -> one int64 key
+
+    def count_ranges(batch: pa.Table) -> pa.Table:
+        keys, cnts = [], []
+        for mi, col in ((0, "r"), (1, "f"), (2, "m")):
+            v = batch[col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            assert len(v) == 0 or v.min() >= 0, \
+                "rfm_segments assumes non-negative metric values"
+            vr = v // VB[mi]
+            uk, cnt = np.unique(np.int64(mi) * SHIFT + vr,
+                                return_counts=True)
+            keys.append(uk)
+            cnts.append(cnt.astype(np.int64))
+        return pa.table({
+            "key": pa.array(np.concatenate(keys)
+                            if keys else np.empty(0, np.int64)),
+            "pn": pa.array(np.concatenate(cnts)
+                           if cnts else np.empty(0, np.int64)),
+        })
+
+    rng = (cust.map_batches(count_ranges, batch_format="pyarrow",
+                            batch_size=None)
+           .groupby("key").aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas().sort_values("key", ignore_index=True)
+    offsets = {}
+    totals = {0: 0, 1: 0, 2: 0}
+    for _, row in rng.iterrows():
+        key, n = int(row["key"]), int(row["n"])
+        mi = key >> 40
+        offsets[key] = totals[mi]
+        totals[mi] += n
+    n_cust = totals[0]
+    off_ref = ray.put(offsets)
+
+    def emit_metric_rows(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_k, out_c, out_v = [], [], []
+        for mi, col in ((0, "r"), (1, "f"), (2, "m")):
+            v = batch[col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            out_k.append(np.int64(mi) * SHIFT + v // VB[mi])
+            out_c.append(c)
+            out_v.append(v)
+        return pa.table({
+            "key": pa.array(np.concatenate(out_k)),
+            "c": pa.array(np.concatenate(out_c)),
+            "v": pa.array(np.concatenate(out_v)),
+        })
+
+    q, rem = divmod(n_cust, K) if n_cust else (0, 0)
+    cut = rem * (q + 1)
+
+    def label_group(g: pa.Table) -> pa.Table:
+        if not len(g):
+            return pa.table({"c": pa.array([], type=pa.int64()),
+                             "metric": pa.array([], type=pa.int64()),
+                             "lab": pa.array([], type=pa.int64())})
+        off = cached_get(off_ref)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((c, v, key))   # ranges co-located per key
+        key, c, v = key[order], c[order], v[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(key[1:] != key[:-1]) + 1]) \
+            .astype(np.int64)
+        local = np.arange(len(key), dtype=np.int64)
+        local -= np.repeat(starts, np.diff(
+            np.concatenate([starts, [len(key)]])).astype(np.int64))
+        base = np.array([off[int(kk)] for kk in key[starts]],
+                        dtype=np.int64)
+        i = local + np.repeat(base, np.diff(
+            np.concatenate([starts, [len(key)]])).astype(np.int64))
+        lab = np.where(i < cut, i // (q + 1),
+                       rem + (i - cut) // max(q, 1)) + 1
+        return pa.table({
+            "c": pa.array(c),
+            "metric": pa.array((key >> 40).astype(np.int64)),
+            "lab": pa.array(lab.astype(np.int64)),
+        })
+
+    labels = (cust.map_batches(emit_metric_rows, batch_format="pyarrow",
+                               batch_size=None)
+              .groupby("key")
+              .map_groups(label_group, batch_format="pyarrow"))
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mi = batch["metric"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lab = batch["lab"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        part = _part_of(c, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, c, mi, lab = part[ordp], c[ordp], mi[ordp], lab[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "c": pa.array(c[a_:b_]), "mi": pa.array(mi[a_:b_]),
+                "lab": pa.array(lab[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def pivot_cells(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"c": pa.array([], type=pa.int64()),
+             "mi": pa.array([], type=pa.int64()),
+             "lab": pa.array([], type=pa.int64())})
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mi = t["mi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(c):
+            return pa.table({"cell": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        order = np.lexsort((mi, c))
+        c, mi, lab = c[order], mi[order], lab[order]
+        # three rows per customer, metric-ordered: r, f, m
+        assert len(c) % 3 == 0 and (mi.reshape(-1, 3)
+                                    == [0, 1, 2]).all(), \
+            "each customer must carry exactly one label per metric"
+        tri = lab.reshape(-1, 3)
+        cell = (tri[:, 0] * (K + 1) + tri[:, 1]) * (K + 1) + tri[:, 2]
+        uk, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(uk.astype(np.int64)),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    cells = (labels.map_batches(tag_labels, batch_format="pyarrow",
+                                batch_size=None)
+             .groupby("part")
+             .map_groups(pivot_cells, batch_format="pandas")
+             .groupby("cell")
+             .aggregate(Sum("pn", alias_name="n_customers"))) \
+        .to_pandas().sort_values("cell", ignore_index=True)
+    cell = cells["cell"].to_numpy().astype(np.int64) if len(cells) \
+        else np.empty(0, np.int64)
+    return ray.data.from_arrow(pa.table({
+        "r_bucket": pa.array(cell // ((K + 1) * (K + 1))),
+        "f_bucket": pa.array((cell // (K + 1)) % (K + 1)),
+        "m_bucket": pa.array(cell % (K + 1)),
+        "n_customers": pa.array(
+            cells["n_customers"].to_numpy().astype(np.int64)
+            if len(cells) else np.empty(0, np.int64)),
+    }))
+
+
+def rfm_segments_sql(k: int = 4) -> str:
+    """Oracle for :func:`rfm_segments` — three ntile() windows with the
+    (value, custkey) total order, jointly histogrammed."""
+    return f"""
+WITH base AS (
+  SELECT o_custkey AS c,
+         max(epoch_us(o_orderdate) // 86400000000) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS m
+  FROM orders GROUP BY 1),
+lab AS (SELECT c,
+               ntile({k}) OVER (ORDER BY r, c) AS rb,
+               ntile({k}) OVER (ORDER BY f, c) AS fb,
+               ntile({k}) OVER (ORDER BY m, c) AS mb
+        FROM base)
+SELECT CAST(rb AS BIGINT) AS r_bucket, CAST(fb AS BIGINT) AS f_bucket,
+       CAST(mb AS BIGINT) AS m_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM lab GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""

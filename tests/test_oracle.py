@@ -90,7 +90,7 @@ def _compare(name, entrymod, con):
                                    "cross_k", "doc_percent_rank",
                                    "city_visits_monthly", "idw_interpolate",
                                    "hourly_anomaly", "daily_autocorr",
-                                   "daily_cusum", "daily_ewma",
+                                   "daily_cusum", "daily_ewma", "rfm_segments",
                                    "late_shipments", "excess_shippers",
                                    "covered_days", "order_cadence",
                                    "lexical_simpson", "anagram_groups",
