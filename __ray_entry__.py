@@ -1148,6 +1148,24 @@ def _q_quadrat_dispersion(sf_dir: str):
     return quadrat_dispersion(sf_dir, level=8)
 
 
+def _q_knox_pairs(sf_dir: str):
+    """Knox space-time interaction over the 25 km pair core (month index
+    encoded into the point id, one bounded counter row out)."""
+    from s2ray.pipelines.spatial_join import knox_pairs
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return knox_pairs(pages_with_cells(sf_dir, token_level=None),
+                      DIST_JOIN_M)
+
+
+def _q_basket_pairs(sf_dir: str):
+    """Top-100 market-basket part pairs via per-order vectorized pair
+    enumeration inside an orderkey blob co-partition."""
+    from s2ray.pipelines.join import basket_pairs
+
+    return basket_pairs(sf_dir)
+
+
 def _q_colocation_quotient(sf_dir: str):
     """Lang-pair colocation quotient over the 25 km NN graph (lang code
     encoded through the exactly-once pair core, |langs|^2 cells out)."""
@@ -2816,6 +2834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_reciprocity": _q_domain_reciprocity,
         "domain_clustering": _q_domain_clustering,
         "colocation_quotient": _q_colocation_quotient,
+        "knox_pairs": _q_knox_pairs,
+        "basket_pairs": _q_basket_pairs,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
         "quadrat_dispersion": _q_quadrat_dispersion,
@@ -3079,6 +3099,7 @@ def oracle_sql() -> dict[str, str]:
                                        large_orders_sql,
                                        excess_shippers_sql,
                                        covered_days_sql,
+                                       basket_pairs_sql,
                                        ORDER_CADENCE_SQL,
                                        late_shipments_sql,
                                        market_share_sql,
@@ -3683,6 +3704,28 @@ rk AS (SELECT page_id, nn_id, dm,
               row_number() OVER (PARTITION BY page_id
                                  ORDER BY dm, nn_id) AS rn FROM sym)
 SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1"""
+    # Knox space-time ratio: month index from the same warc_ts synth as
+    # city_visits_monthly; pair predicate identical to distance_join
+    knox_sql = f"""
+{cte},
+pm AS (SELECT page_id, lat, lng,
+              (CAST(date_part('year', mk) AS BIGINT) - 1970) * 12
+                + CAST(date_part('month', mk) AS BIGINT) - 1 AS m
+       FROM (SELECT page_id, lat, lng,
+                    make_timestamp((1704067200 + (page_id * 40499)
+                                    % 31536000) * 1000000) AS mk
+             FROM pages_geo)),
+pr AS (SELECT a.m AS ma, b.m AS mb
+       FROM pm a JOIN pm b ON a.page_id < b.page_id
+       WHERE {dist_pair} <= {DIST_JOIN_M!r})
+SELECT CAST(count(*) AS BIGINT) AS n_space_pairs,
+       CAST(coalesce(sum(CASE WHEN abs(ma - mb) <= 1 THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_spacetime_pairs,
+       CASE WHEN count(*) = 0 THEN NULL ELSE
+         round(CAST(coalesce(sum(CASE WHEN abs(ma - mb) <= 1
+                                      THEN 1 ELSE 0 END), 0) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) END AS ratio
+FROM pr"""
     # colocation quotient: lang-pair CLQ over the same per-page argmin
     # (NN universe = pages with a neighbor in range), mirrored float chain
     colocation_sql = f"""
@@ -4452,6 +4495,8 @@ FROM (
         "domain_assortativity": domain_assortativity_sql(cte),
         "domain_clustering": domain_clustering_sql(cte),
         "colocation_quotient": colocation_sql,
+        "knox_pairs": knox_sql,
+        "basket_pairs": basket_pairs_sql(),
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "domain_components": domain_components_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,

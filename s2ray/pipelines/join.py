@@ -3549,3 +3549,143 @@ SELECT m.o_custkey AS c_custkey, m.n_orders,
 FROM m JOIN g ON g.o_custkey = m.o_custkey
 WHERE m.n_orders >= 2 AND g.gap IS NOT NULL
 GROUP BY 1, 2, m.mx, m.mn ORDER BY 1"""
+
+
+def basket_pairs(sf_dir: str, k: int = 100, n_parts: int = 64):
+    """Market-basket part co-occurrence: the top ``k`` unordered part
+    pairs by the number of orders containing BOTH — (p1, p2,
+    n_orders), count DESC then (p1, p2).  The candidate-generation
+    step of frequent-itemset mining, which SQL writes as a quadratic
+    self-join on orderkey.
+
+    Scale plan: lineitem reduces in-batch to DISTINCT (orderkey,
+    partkey) (lexsort dedupe); ONE orderkey-hashed blob co-partition
+    co-locates each order's parts, where pairs enumerate vectorized
+    per order (repeat/concatenate over segment sizes — per-order part
+    counts are small, C(n,2) bounded by basket size, never a corpus
+    blowup) and collapse to per-block (pair, count) partials keyed as
+    p1 * 2^32 + p2; the pair groupby is co-occurrence-cardinality, and
+    the top-k cut is the standard two-level local merge.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        new = np.concatenate(
+            [[True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]) \
+            if len(ok) else np.zeros(0, dtype=bool)
+        ok, pk = ok[new], pk[new]
+        part = _part_of(ok, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, ok, pk = part[ordp], ok[ordp], pk[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "ok": pa.array(ok[a_:b_]), "pk": pa.array(pk[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    SH = np.int64(1) << 32
+
+    def enum_pairs(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"ok": pa.array([], type=pa.int64()),
+             "pk": pa.array([], type=pa.int64())})
+        ok = t["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ok):
+            return pa.table({"pair": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # cross-batch duplicates of (order, part) merge here
+        new = np.concatenate(
+            [[True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])])
+        ok, pk = ok[new], pk[new]
+        assert pk.max(initial=0) < (1 << 31), \
+            "basket_pairs pair key assumes partkey < 2^31"
+        onew = np.concatenate([[True], ok[1:] != ok[:-1]])
+        starts = np.flatnonzero(onew).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [len(ok)]])) \
+            .astype(np.int64)
+        # vectorized within-order pair enumeration: for each order of
+        # size s, indices (u, v) with u < v
+        # u runs 0..s-2 within each order, each u pairing with s-1-u vs
+        cnt_u = np.concatenate(
+            [np.arange(s - 1, 0, -1, dtype=np.int64) for s in sizes
+             if s >= 2]) if (sizes >= 2).any() else np.empty(0, np.int64)
+        u_idx = np.concatenate(
+            [st + np.arange(s - 1, dtype=np.int64)
+             for st, s in zip(starts, sizes) if s >= 2]) \
+            if (sizes >= 2).any() else np.empty(0, np.int64)
+        left = np.repeat(u_idx, cnt_u)
+        right = left + np.concatenate(
+            [np.arange(1, c + 1, dtype=np.int64) for c in cnt_u]) \
+            if len(cnt_u) else np.empty(0, np.int64)
+        pair = pk[left] * SH + pk[right]
+        uk, cnt = np.unique(pair, return_counts=True)
+        return pa.table({"pair": pa.array(uk.astype(np.int64)),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    counts = (li.map_batches(distinct_pairs, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("part")
+              .map_groups(enum_pairs, batch_format="pandas")
+              .groupby("pair")
+              .aggregate(Sum("pn", alias_name="n_orders")))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        n = batch["n_orders"].to_numpy(zero_copy_only=False)
+        pr = batch["pair"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((pr, -n))[:k]
+        return batch.take(pa.array(order))
+
+    top = (counts.map_batches(topk, batch_format="pyarrow",
+                              batch_size=None)
+           .repartition(1)
+           .map_batches(topk, batch_format="pyarrow", batch_size=None)
+           .take_all())
+    pr = np.array([r["pair"] for r in top], dtype=np.int64)
+    n = np.array([r["n_orders"] for r in top], dtype=np.int64)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "p1": pa.array((pr // SH).astype(np.int64)),
+        "p2": pa.array((pr % SH).astype(np.int64)),
+        "n_orders": pa.array(n),
+    }))
+
+
+def basket_pairs_sql(k: int = 100) -> str:
+    """Oracle for :func:`basket_pairs` — the quadratic orderkey
+    self-join the engine's co-partition enumeration replaces."""
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey)
+SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+FROM pr GROUP BY 1, 2
+ORDER BY n_orders DESC, p1, p2 LIMIT {k}"""

@@ -1594,3 +1594,70 @@ def colocation_quotient(pages_ds, d_m: float, max_bucket: int = 200_000):
         "n_ab": pa.array(out["n_ab"], type=pa.int64()),
         "clq": pa.array(out["clq"], type=pa.float64()),
     }))
+
+
+def knox_pairs(pages_ds, d_m: float, month_gap: int = 1,
+               max_bucket: int = 200_000):
+    """Knox space-time interaction over the crawl: among page pairs
+    within ``d_m`` meters, the fraction also close in TIME (crawl
+    months at most ``month_gap`` apart) — ONE row (n_space_pairs,
+    n_spacetime_pairs, ratio).  A ratio far above the unconditional
+    close-in-time rate signals space-time clustering (outbreak /
+    campaign detection); this is the classic Knox contingency numerator.
+
+    Plan: the month index (months since 1970, < 8192 asserted) is
+    ENCODED into the point id (id * 8192 + midx — monotonic, so the
+    exactly-once :func:`distance_join_pairs` core carries both
+    endpoints' months through the bucket shuffle for free); each pair
+    batch reduces to two counter partials and ONE bounded aggregate
+    row reaches the driver.  The ratio is the single mirrored float
+    division.
+    """
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    from .text import round_half_away
+
+    M = np.int64(8192)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["page_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        assert len(ids) == 0 or (ts.min() >= 0 and ts.max() < 8192
+                                 and ids.max() < (1 << 49)), \
+            "knox_pairs month encoding assumes 1970-2652 and id < 2^49"
+        return pa.table({
+            "page_id": pa.array(ids * M + ts),
+            "lat": batch["lat"],
+            "lng": batch["lng"],
+        })
+
+    pairs = distance_join_pairs(
+        pages_ds.map_batches(prep, batch_format="pyarrow",
+                             batch_size=None),
+        d_m, max_bucket=max_bucket)
+
+    def counters(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = batch["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        close = np.abs(i % M - j % M) <= month_gap
+        return pa.table({
+            "ns": pa.array([len(i)], type=pa.int64()),
+            "nst": pa.array([int(close.sum())], type=pa.int64()),
+        })
+
+    res = (pairs.map_batches(counters, batch_format="pyarrow",
+                             batch_size=None)
+           .aggregate(Sum("ns"), Sum("nst")))
+    ns = int(res["sum(ns)"] or 0)
+    nst = int(res["sum(nst)"] or 0)
+    ratio = (None if ns == 0 else float(round_half_away(np.float64(
+        float(nst) / float(ns)))))
+    return ray.data.from_arrow(pa.table({
+        "n_space_pairs": pa.array([ns], type=pa.int64()),
+        "n_spacetime_pairs": pa.array([nst], type=pa.int64()),
+        "ratio": pa.array([ratio], type=pa.float64()),
+    }))

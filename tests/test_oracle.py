@@ -95,6 +95,7 @@ def _compare(name, entrymod, con):
                                    "covered_days", "order_cadence",
                                    "lexical_simpson", "anagram_groups",
                                    "domain_clustering", "colocation_quotient",
+                                   "knox_pairs", "basket_pairs",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",
                                    "domain_bfs_depth", "domain_components", "quadrat_dispersion", "source_js", "user_burstiness", "ripley_k", "domain_cocitation", "domain_coupling", "clark_evans", "heaps_law", "event_type_trend", "source_vocab_jaccard", "shipping_priority", "geo_destination", "location_codec", "returned_items",

@@ -55,7 +55,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_lang_entropy",
                "token_edit_pairs", "source_overlap", "pivot_lang_counts",
                "lexical_simpson", "anagram_groups",
-               "domain_clustering", "colocation_quotient"]
+               "domain_clustering", "colocation_quotient", "knox_pairs"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma",
                  "funnel_views", "user_sessions", "events_asof",
