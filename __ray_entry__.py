@@ -1148,6 +1148,22 @@ def _q_quadrat_dispersion(sf_dir: str):
     return quadrat_dispersion(sf_dir, level=8)
 
 
+def _q_peak_window(sf_dir: str):
+    """Densest 10-minute window per event type (bounded minute counts,
+    per-type dense cumsum, earliest-argmax)."""
+    from s2ray.pipelines.analytics import peak_window
+
+    return peak_window(sf_dir)
+
+
+def _q_peak_open_orders(sf_dir: str):
+    """Peak simultaneously-open orders via the +1/-1 delta sweep over
+    calendar-bounded boundary days."""
+    from s2ray.pipelines.join import peak_open_orders
+
+    return peak_open_orders(sf_dir)
+
+
 def _q_knox_pairs(sf_dir: str):
     """Knox space-time interaction over the 25 km pair core (month index
     encoded into the point id, one bounded counter row out)."""
@@ -2835,6 +2851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_clustering": _q_domain_clustering,
         "colocation_quotient": _q_colocation_quotient,
         "knox_pairs": _q_knox_pairs,
+        "peak_window": _q_peak_window,
+        "peak_open_orders": _q_peak_open_orders,
         "basket_pairs": _q_basket_pairs,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3076,6 +3094,7 @@ def oracle_sql() -> dict[str, str]:
                                            DAILY_CUSUM_SQL,
                                            daily_ewma_sql,
                                            rfm_segments_sql,
+                                           peak_window_sql,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -3100,6 +3119,7 @@ def oracle_sql() -> dict[str, str]:
                                        excess_shippers_sql,
                                        covered_days_sql,
                                        basket_pairs_sql,
+                                       peak_open_orders_sql,
                                        ORDER_CADENCE_SQL,
                                        late_shipments_sql,
                                        market_share_sql,
@@ -4496,6 +4516,8 @@ FROM (
         "domain_clustering": domain_clustering_sql(cte),
         "colocation_quotient": colocation_sql,
         "knox_pairs": knox_sql,
+        "peak_window": peak_window_sql(),
+        "peak_open_orders": peak_open_orders_sql(),
         "basket_pairs": basket_pairs_sql(),
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "domain_components": domain_components_sql(cte),

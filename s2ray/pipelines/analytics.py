@@ -4642,3 +4642,114 @@ SELECT CAST(rb AS BIGINT) AS r_bucket, CAST(fb AS BIGINT) AS f_bucket,
        CAST(mb AS BIGINT) AS m_bucket,
        CAST(count(*) AS BIGINT) AS n_customers
 FROM lab GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+def peak_window(sf_dir: str, window_min: int = 10):
+    """Peak sliding-window burst per event type: the densest
+    ``window_min``-minute window (aligned to minute starts) over each
+    type's event stream — (event_type, start_minute, n_events), the
+    EARLIEST window on ties.  The stream-burst detector (rate-limit /
+    incident forensics), an exact distributed sliding-window max.
+
+    Scale plan: events reduce to (type, minute) counts in ONE
+    bounded-cardinality groupby (minutes are calendar-bounded, not
+    corpus-bounded); each type's dense series then lives in its OWN
+    map_groups task (type co-location, minutes-bounded memory) where
+    the sliding sum is one cumsum difference; only one row per type
+    reaches the driver.  All-integer; the earliest-argmax tie-break is
+    mirrored by the oracle's row_number ORDER BY n DESC, minute.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    W = int(window_min)
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["event_type"].to_pandas()
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        ok = t.notna().to_numpy() & ~np.isnat(ts)
+        t = t[ok]
+        tsv = ts[ok].astype("datetime64[us]").astype(np.int64)
+        assert len(tsv) == 0 or tsv.min() >= 0, \
+            "peak_window assumes post-1970 timestamps"
+        m = tsv // 60_000_000
+        g = pd.DataFrame({"t": t.astype(str), "m": m}).groupby(
+            ["t", "m"], sort=False).size().reset_index(name="pn")
+        return pa.table({
+            "t": pa.array(g["t"], type=pa.string()),
+            "m": pa.array(g["m"].to_numpy().astype(np.int64)),
+            "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+        })
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby(["t", "m"])
+              .aggregate(Sum("pn", alias_name="n")))
+
+    def per_type(g: pa.Table) -> pa.Table:
+        if not len(g):
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "start_minute": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64())})
+        t = g["t"].to_pandas().astype(str).to_numpy()
+        m = g["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_t, out_s, out_n = [], [], []
+        for ty in np.unique(t):
+            sel = t == ty
+            mm, nn = m[sel], n[sel]
+            lo, hi = int(mm.min()), int(mm.max())
+            dense = np.zeros(hi - lo + 1, dtype=np.int64)
+            dense[mm - lo] = nn
+            c = np.concatenate([[0], np.cumsum(dense)])
+            # windows starting at every minute in [lo, hi]
+            stop = np.minimum(np.arange(len(dense)) + W, len(dense))
+            win = c[stop] - c[:-1]
+            best = int(np.argmax(win))     # earliest on ties
+            out_t.append(ty)
+            out_s.append(lo + best)
+            out_n.append(int(win[best]))
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "start_minute": pa.array(out_s, type=pa.int64()),
+            "n_events": pa.array(out_n, type=pa.int64()),
+        })
+
+    return counts.groupby("t").map_groups(per_type,
+                                          batch_format="pyarrow")
+
+
+def peak_window_sql(window_min: int = 10) -> str:
+    """Oracle for :func:`peak_window` — dense per-type minute series
+    with a following-frame window sum and earliest-argmax rank."""
+    return f"""
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 60000000 AS BIGINT) AS m
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT event_type, m, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      FROM e GROUP BY 1),
+dense AS (SELECT b.event_type,
+                 CAST(unnest(generate_series(b.m0, b.m1)) AS BIGINT)
+                   AS m
+          FROM b),
+d2 AS (SELECT dense.event_type, dense.m, coalesce(c.n, 0) AS n
+       FROM dense LEFT JOIN c ON c.event_type = dense.event_type
+                             AND c.m = dense.m),
+win AS (SELECT event_type, m,
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY m
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND {window_min - 1} FOLLOWING)
+                    AS BIGINT) AS w
+        FROM d2),
+rk AS (SELECT event_type, m, w,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY w DESC, m) AS rn
+       FROM win)
+SELECT event_type, m AS start_minute, w AS n_events
+FROM rk WHERE rn = 1 ORDER BY 1"""

@@ -3689,3 +3689,75 @@ pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
 SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
 FROM pr GROUP BY 1, 2
 ORDER BY n_orders DESC, p1, p2 LIMIT {k}"""
+
+
+def peak_open_orders(sf_dir: str, span_days: int = 30):
+    """Peak order concurrency: each order is open [orderdate,
+    orderdate + ``span_days``); output the EARLIEST day with the most
+    simultaneously-open orders — ONE row (peak_day, n_open).  The
+    interval-stabbing max (capacity planning), computed as a delta
+    sweep instead of a day x order join.
+
+    Scale plan: each batch collapses to +1/-1 deltas per boundary day
+    (calendar-bounded cardinality); ONE bounded groupby sums deltas and
+    the driver's prefix sum over the sorted delta days finds the max —
+    a step function attains its maximum at a +delta day, so scanning
+    delta days only is exact.  All-integer.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    day_us = np.int64(86_400_000_000)
+    span = np.int64(span_days)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate"])
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        s = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // day_us
+        d = np.concatenate([s, s + span])
+        x = np.concatenate([np.ones(len(s), dtype=np.int64),
+                            -np.ones(len(s), dtype=np.int64)])
+        u, inv = np.unique(d, return_inverse=True)
+        return pa.table({
+            "d": pa.array(u),
+            "px": pa.array(np.bincount(inv, weights=x,
+                                       minlength=len(u))
+                           .astype(np.int64)),
+        })
+
+    agg = (orders.map_batches(deltas, batch_format="pyarrow",
+                              batch_size=None)
+           .groupby("d").aggregate(Sum("px", alias_name="dx"))) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    if not len(agg):
+        return ray.data.from_arrow(pa.table({
+            "peak_day": pa.array([], type=pa.int64()),
+            "n_open": pa.array([], type=pa.int64())}))
+    run = np.cumsum(agg["dx"].to_numpy().astype(np.int64))
+    best = int(np.argmax(run))            # earliest on ties
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "peak_day": pa.array([int(agg["d"].iloc[best])],
+                             type=pa.int64()),
+        "n_open": pa.array([int(run[best])], type=pa.int64()),
+    }))
+
+
+def peak_open_orders_sql(span_days: int = 30) -> str:
+    """Oracle for :func:`peak_open_orders` — delta sweep with a running
+    window sum, earliest-max rank."""
+    return f"""
+WITH iv AS (SELECT epoch_us(o_orderdate) // 86400000000 AS s
+            FROM orders),
+delta AS (SELECT s AS d, 1 AS x FROM iv
+          UNION ALL SELECT s + {span_days}, -1 FROM iv),
+agg AS (SELECT d, CAST(sum(x) AS BIGINT) AS dx FROM delta GROUP BY 1),
+run AS (SELECT d, CAST(sum(dx) OVER (ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS open
+        FROM agg)
+SELECT d AS peak_day, open AS n_open
+FROM run ORDER BY open DESC, d LIMIT 1"""

@@ -57,7 +57,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "lexical_simpson", "anagram_groups",
                "domain_clustering", "colocation_quotient", "knox_pairs"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
-                 "daily_cusum", "daily_ewma",
+                 "daily_cusum", "daily_ewma", "peak_window",
                  "funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
