@@ -510,6 +510,24 @@ def run_bench():
 
     timed("order_overlap", _order_overlap)
 
+    def _rfm_segments():
+        # three-metric distributed NTILE (round 4, session 6): custkey
+        # blob co-partition + range-offset rank assembly + k^3 pivot
+        from s2ray.pipelines.analytics import rfm_segments
+
+        return rfm_segments(SF_DIR).count()
+
+    timed("rfm_segments", _rfm_segments)
+
+    def _basket_pairs():
+        # market-basket mining (round 4, session 6): orderkey blob
+        # co-partition, vectorized per-order pair enumeration, top-k
+        from s2ray.pipelines.join import basket_pairs
+
+        return basket_pairs(SF_DIR).count()
+
+    timed("basket_pairs", _basket_pairs)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({

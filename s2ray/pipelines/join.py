@@ -3630,29 +3630,73 @@ def basket_pairs(sf_dir: str, k: int = 100, n_parts: int = 64):
             .astype(np.int64)
         # vectorized within-order pair enumeration: for each order of
         # size s, indices (u, v) with u < v
-        # u runs 0..s-2 within each order, each u pairing with s-1-u vs
-        cnt_u = np.concatenate(
-            [np.arange(s - 1, 0, -1, dtype=np.int64) for s in sizes
-             if s >= 2]) if (sizes >= 2).any() else np.empty(0, np.int64)
-        u_idx = np.concatenate(
-            [st + np.arange(s - 1, dtype=np.int64)
-             for st, s in zip(starts, sizes) if s >= 2]) \
-            if (sizes >= 2).any() else np.empty(0, np.int64)
+        # u runs 0..s-2 within each order, each u pairing with the
+        # s-1-u following parts: fully vectorized ragged enumeration
+        # (no per-order Python loop — that cost ~2s/leg at sf0.1)
+        nu = np.maximum(sizes - 1, 0)
+        u_order = np.repeat(np.arange(len(sizes), dtype=np.int64), nu)
+        u_within = np.arange(int(nu.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(nu) - nu, nu)
+        u_idx = starts[u_order] + u_within
+        cnt_u = sizes[u_order] - 1 - u_within
         left = np.repeat(u_idx, cnt_u)
-        right = left + np.concatenate(
-            [np.arange(1, c + 1, dtype=np.int64) for c in cnt_u]) \
-            if len(cnt_u) else np.empty(0, np.int64)
+        off = np.arange(int(cnt_u.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(cnt_u) - cnt_u, cnt_u)
+        right = left + 1 + off
         pair = pk[left] * SH + pk[right]
         uk, cnt = np.unique(pair, return_counts=True)
-        return pa.table({"pair": pa.array(uk.astype(np.int64)),
-                         "pn": pa.array(cnt.astype(np.int64))})
+        # second blob exchange keyed by pair hash: a pair recurs across
+        # MANY order blocks, so its global count needs one more
+        # co-partition — blob rows, never a pair-cardinality Ray sort
+        # (the r3 ~84us/raw-row lore; this cut the leg from 8.0s)
+        p2 = _part_of(uk, n_parts).astype(np.int64)
+        ordp = np.argsort(p2, kind="stable")
+        p2, uk, cnt = p2[ordp], uk[ordp], cnt[ordp].astype(np.int64)
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(p2[1:] != p2[:-1]) + 1,
+             [len(p2)]]) if len(p2) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(p2[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "pair": pa.array(uk[a_:b_]),
+                "pn": pa.array(cnt[a_:b_])})))
+        return pa.table({
+            "part2": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge_topk(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"pair": pa.array([], type=pa.int64()),
+             "pn": pa.array([], type=pa.int64())})
+        pr = t["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pn = t["pn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(pr):
+            return pa.table({"pair": pa.array([], type=pa.int64()),
+                             "n_orders": pa.array([], type=pa.int64())})
+        order = np.argsort(pr, kind="stable")
+        pr, pn = pr[order], pn[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(pr[1:] != pr[:-1]) + 1]) \
+            .astype(np.int64)
+        tot = np.add.reduceat(pn, starts)
+        pr = pr[starts]
+        # each pair lives wholly in this partition -> local top-k is a
+        # safe cut before the single-task global merge
+        cut = np.lexsort((pr, -tot))[:k]
+        return pa.table({"pair": pa.array(pr[cut]),
+                         "n_orders": pa.array(tot[cut])})
 
     counts = (li.map_batches(distinct_pairs, batch_format="pyarrow",
                              batch_size=None)
               .groupby("part")
               .map_groups(enum_pairs, batch_format="pandas")
-              .groupby("pair")
-              .aggregate(Sum("pn", alias_name="n_orders")))
+              .groupby("part2")
+              .map_groups(merge_topk, batch_format="pandas"))
 
     def topk(batch: pa.Table) -> pa.Table:
         if not len(batch):
@@ -3663,9 +3707,7 @@ def basket_pairs(sf_dir: str, k: int = 100, n_parts: int = 64):
         order = np.lexsort((pr, -n))[:k]
         return batch.take(pa.array(order))
 
-    top = (counts.map_batches(topk, batch_format="pyarrow",
-                              batch_size=None)
-           .repartition(1)
+    top = (counts.repartition(1)
            .map_batches(topk, batch_format="pyarrow", batch_size=None)
            .take_all())
     pr = np.array([r["pair"] for r in top], dtype=np.int64)
