@@ -1148,6 +1148,22 @@ def _q_quadrat_dispersion(sf_dir: str):
     return quadrat_dispersion(sf_dir, level=8)
 
 
+def _q_supplier_lead_time(sf_dir: str):
+    """Per-supplier shipping lead time over the orderkey blob
+    co-partition (int64-exact delay sums, mirrored avg chain)."""
+    from s2ray.pipelines.join import supplier_lead_time
+
+    return supplier_lead_time(sf_dir)
+
+
+def _q_char_entropy(sf_dir: str):
+    """Per-language codepoint Shannon entropy (alphabet-bounded shuffle,
+    order-pinned p*ln(p) fold)."""
+    from s2ray.pipelines.text import char_entropy
+
+    return char_entropy(sf_dir)
+
+
 def _q_peak_window(sf_dir: str):
     """Densest 10-minute window per event type (bounded minute counts,
     per-type dense cumsum, earliest-argmax)."""
@@ -2852,6 +2868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colocation_quotient": _q_colocation_quotient,
         "knox_pairs": _q_knox_pairs,
         "peak_window": _q_peak_window,
+        "supplier_lead_time": _q_supplier_lead_time,
+        "char_entropy": _q_char_entropy,
         "peak_open_orders": _q_peak_open_orders,
         "basket_pairs": _q_basket_pairs,
         "domain_assortativity": _q_domain_assortativity,
@@ -3120,6 +3138,7 @@ def oracle_sql() -> dict[str, str]:
                                        covered_days_sql,
                                        basket_pairs_sql,
                                        peak_open_orders_sql,
+                                       SUPPLIER_LEAD_TIME_SQL,
                                        ORDER_CADENCE_SQL,
                                        late_shipments_sql,
                                        market_share_sql,
@@ -3144,7 +3163,8 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.spatial_join import (destination_points_sql,
                                               location_codec_sql)
     from s2ray.pipelines.polyline import Polyline
-    from s2ray.pipelines.text import (LEXICAL_SIMPSON_SQL,
+    from s2ray.pipelines.text import (CHAR_ENTROPY_SQL,
+                                      LEXICAL_SIMPSON_SQL,
                                       SOURCE_VOCAB_JACCARD_SQL,
                                       TOKEN_EDIT_PAIRS_SQL,
                                       anagram_groups_sql, heaps_law_sql,
@@ -4517,6 +4537,8 @@ FROM (
         "colocation_quotient": colocation_sql,
         "knox_pairs": knox_sql,
         "peak_window": peak_window_sql(),
+        "supplier_lead_time": SUPPLIER_LEAD_TIME_SQL,
+        "char_entropy": CHAR_ENTROPY_SQL,
         "peak_open_orders": peak_open_orders_sql(),
         "basket_pairs": basket_pairs_sql(),
         "domain_bfs_depth": domain_bfs_depth_sql(cte),

@@ -2334,3 +2334,96 @@ s AS (SELECT array_to_string(list_sort(string_split(token, '')), '')
 SELECT signature, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM s GROUP BY 1 HAVING count(*) >= {min_tokens} ORDER BY 1"""
+
+
+def char_entropy(sf_dir: str):
+    """Per-language Shannon entropy of the character (codepoint)
+    distribution — (lang, n_chars, alphabet, entropy) in nats; the
+    corpus-level "is this text natural?" signal complementing
+    zipf_slope's token-rank fit (natural languages sit near 4-5 nats,
+    random bytes near 5.5).
+
+    Exactness: codepoint counts per (lang, cp) come from the
+    alphabet-bounded shuffle (the _codepoint_matrix vectorized extract;
+    NUL codepoints are excluded by contract — they are the matrix pad
+    sentinel, mirrored by the oracle's chr(0) filter); entropy is the
+    ORDER-PINNED float fold -sum (c/N) ln(c/N) ascending codepoint,
+    mirrored by list_reduce over the cp-ordered term list.  NULL lang
+    drops on both engines.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pandas()
+        ok = lang.notna().to_numpy()
+        texts = _string_array(batch["text"]).filter(pa.array(ok))
+        lang = lang[ok].astype(str).to_numpy()
+        cp = _codepoint_matrix(texts)
+        if cp.size == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "cp": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        lcodes, luniq = pd.factorize(pd.Series(lang))
+        rows = np.repeat(lcodes.astype(np.int64), cp.shape[1])
+        flat = cp.ravel()
+        keep = flat > 0                   # 0 == pad sentinel (and NUL)
+        key = rows[keep] * (np.int64(1) << 21) + flat[keep]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(luniq[(uk >> 21).astype(np.int64)],
+                             type=pa.string()),
+            "cp": pa.array((uk & ((1 << 21) - 1)).astype(np.int64)),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    m = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby(["lang", "cp"])
+         .aggregate(Sum("pn", alias_name="c"))).to_pandas()
+
+    out = {"lang": [], "n_chars": [], "alphabet": [], "entropy": []}
+    for lg, grp in m.groupby("lang", sort=True):
+        grp = grp.sort_values("cp")
+        c = grp["c"].to_numpy().astype(np.int64)
+        n = int(c.sum())
+        acc = np.float64(0.0)
+        nf = np.float64(float(n))
+        for x in c.tolist():              # alphabet-sized, not hot
+            p = np.float64(float(x)) / nf
+            acc = acc + p * np.log(p)
+        out["lang"].append(lg)
+        out["n_chars"].append(n)
+        out["alphabet"].append(len(c))
+        out["entropy"].append(float(round_half_away(-acc)))
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "n_chars": pa.array(out["n_chars"], type=pa.int64()),
+        "alphabet": pa.array(out["alphabet"], type=pa.int64()),
+        "entropy": pa.array(out["entropy"], type=pa.float64()),
+    }))
+
+
+CHAR_ENTROPY_SQL = r"""
+WITH ch AS (SELECT lang,
+                   CAST(unicode(unnest(list_filter(
+                     regexp_split_to_array(coalesce(text, ''), ''),
+                     x -> x <> '' AND x <> chr(0)))) AS BIGINT) AS cp
+            FROM documents WHERE lang IS NOT NULL),
+cnt AS (SELECT lang, cp, CAST(count(*) AS BIGINT) AS c
+        FROM ch GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS alphabet
+        FROM cnt GROUP BY 1),
+m AS (SELECT cnt.lang, t.n, t.alphabet,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    ORDER BY cp)), (a, b) -> a + b) AS acc
+      FROM cnt JOIN tot t USING (lang)
+      GROUP BY cnt.lang, t.n, t.alphabet)
+SELECT lang, n AS n_chars, alphabet, round(-acc, 6) AS entropy
+FROM m ORDER BY 1"""

@@ -55,7 +55,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_lang_entropy",
                "token_edit_pairs", "source_overlap", "pivot_lang_counts",
                "lexical_simpson", "anagram_groups",
-               "domain_clustering", "colocation_quotient", "knox_pairs"]
+               "domain_clustering", "colocation_quotient", "knox_pairs",
+               "char_entropy"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window",
                  "funnel_views", "user_sessions", "events_asof",
