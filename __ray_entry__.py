@@ -1148,6 +1148,14 @@ def _q_quadrat_dispersion(sf_dir: str):
     return quadrat_dispersion(sf_dir, level=8)
 
 
+def _q_silhouette_hist(sf_dir: str):
+    """Per-label simplified-silhouette histogram (exact-integer
+    centroids, dim-ordered float folds, bounded cell counts out)."""
+    from s2ray.pipelines.ann import silhouette_hist
+
+    return silhouette_hist(sf_dir)
+
+
 def _q_supplier_lead_time(sf_dir: str):
     """Per-supplier shipping lead time over the orderkey blob
     co-partition (int64-exact delay sums, mirrored avg chain)."""
@@ -2869,6 +2877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knox_pairs": _q_knox_pairs,
         "peak_window": _q_peak_window,
         "supplier_lead_time": _q_supplier_lead_time,
+        "silhouette_hist": _q_silhouette_hist,
         "char_entropy": _q_char_entropy,
         "peak_open_orders": _q_peak_open_orders,
         "basket_pairs": _q_basket_pairs,
@@ -3156,7 +3165,8 @@ def oracle_sql() -> dict[str, str]:
                                        top_supplier_sql)
     from s2ray.pipelines.ann import (DOMINANT_DIM_HIST_SQL,
                                      EMB_DIM_STATS_SQL,
-                                     LANG_CENTROID_SIM_SQL)
+                                     LANG_CENTROID_SIM_SQL,
+                                     SILHOUETTE_HIST_SQL)
     from s2ray.pipelines.relational import (pivot_lang_counts_sql,
                                             source_overlap_sql,
                                             user_type_matrix_sql)
@@ -4538,6 +4548,7 @@ FROM (
         "knox_pairs": knox_sql,
         "peak_window": peak_window_sql(),
         "supplier_lead_time": SUPPLIER_LEAD_TIME_SQL,
+        "silhouette_hist": SILHOUETTE_HIST_SQL,
         "char_entropy": CHAR_ENTROPY_SQL,
         "peak_open_orders": peak_open_orders_sql(),
         "basket_pairs": basket_pairs_sql(),

@@ -928,3 +928,160 @@ SELECT f.lang_a, f.lang_b, na.n AS n_a, nb.n AS n_b,
 FROM f JOIN nn na ON na.lang = f.lang_a
 JOIN nn nb ON nb.lang = f.lang_b
 ORDER BY 1, 2"""
+
+
+def silhouette_hist(sf_dir: str):
+    """Simplified-silhouette histogram per label: for every embedding,
+    a = distance to its OWN label centroid, b = distance to the nearest
+    OTHER centroid, s = (b - a) / max(a, b); output counts per (label,
+    floor(s * 10)) bucket — (label, s_bucket, n_vecs).  The linear-time
+    clustering-quality diagnostic (full silhouette is quadratic); mass
+    at negative buckets marks mislabeled or boundary vectors.
+
+    Exactness: centroid component sums ride the f32 x 2^40 exact
+    integer domain on hi/lo lanes through ONE (label, dim)-cardinality
+    groupby; the driver reconstructs each centroid with the mirrored
+    double chain CAST(S)/n/2^40 and broadcasts the (K, d) matrix; the
+    per-vector distance folds run ascending dim as SEQUENTIAL float64
+    adds (numpy column loop == the oracle's list_reduce ORDER BY dim),
+    min/max/sqrt/floor are all order-free IEEE ops, and only (label,
+    bucket) cell counts leave each batch.  Requires >= 2 labels
+    (asserted) so the nearest-other minimum is defined.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.vecs import embedding_matrix
+    from ..state.bcast import cached_get
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = embedding_matrix(batch["embedding"], dtype=np.float64)
+        if not mat.size:
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({"label": z, "dim": z, "sh": z, "sl": z,
+                             "pn": z})
+        s = np.floor(mat * _DIM_SCALE + 0.5).astype(np.int64)
+        codes, uniques = pd.factorize(pd.Series(lab))
+        k, d = len(uniques), mat.shape[1]
+        tot = np.zeros((k, d), dtype=np.int64)
+        np.add.at(tot, codes, s)
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        lab_r = np.repeat(uniques.to_numpy().astype(np.int64), d)
+        dim_r = np.tile(np.arange(d, dtype=np.int64), k)
+        flat = tot.ravel()
+        return pa.table({
+            "label": pa.array(lab_r), "dim": pa.array(dim_r),
+            "sh": pa.array(flat // (1 << 31)),
+            "sl": pa.array(flat % (1 << 31)),
+            "pn": pa.array(np.repeat(cnt, d)),
+        })
+
+    cs = (ds.map_batches(cent_partial, batch_format="pyarrow",
+                         batch_size=None)
+          .groupby(["label", "dim"])
+          .aggregate(Sum("sh"), Sum("sl"))).to_pandas() \
+        .sort_values(["label", "dim"], ignore_index=True)
+    def n_partial(b: pa.Table) -> pa.Table:
+        u, cnt = np.unique(b["label"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64), return_counts=True)
+        return pa.table({"label": pa.array(u),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    ncnt = (ds.map_batches(n_partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("label").aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas().sort_values("label", ignore_index=True)
+    labels = ncnt["label"].to_numpy().astype(np.int64)
+    K = len(labels)
+    assert K >= 2, "silhouette needs >= 2 labels"
+    d = int(cs["dim"].max()) + 1
+    nmap = dict(zip(labels.tolist(), ncnt["n"].astype(int).tolist()))
+    C = np.zeros((K, d), dtype=np.float64)
+    li = {int(l): i for i, l in enumerate(labels)}
+    for _, row in cs.iterrows():
+        S = (int(row["sum(sh)"]) << 31) + int(row["sum(sl)"])
+        C[li[int(row["label"])], int(row["dim"])] = (
+            np.float64(S) / np.float64(nmap[int(row["label"])])
+            / np.float64(_DIM_SCALE))
+    bc = ray.put((labels, C))
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        labs, cents = cached_get(bc)
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = embedding_matrix(batch["embedding"], dtype=np.float64)
+        rows = mat.shape[0]
+        if not rows:
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({"label": z, "s_bucket": z, "pn": z})
+        kk, dd = cents.shape
+        dist = np.empty((rows, kk), dtype=np.float64)
+        for k_ in range(kk):
+            acc = np.zeros(rows, dtype=np.float64)
+            for i in range(dd):       # ascending dim, sequential adds
+                t = mat[:, i] - cents[k_, i]
+                acc = acc + t * t
+            dist[:, k_] = np.sqrt(acc)
+        own = np.searchsorted(labs, lab)
+        a = dist[np.arange(rows), own]
+        masked = dist.copy()
+        masked[np.arange(rows), own] = np.inf
+        b = masked.min(axis=1)
+        g = np.maximum(a, b)
+        s = np.where(g > 0.0, (b - a) / np.where(g > 0.0, g, 1.0), 0.0)
+        bucket = np.floor(s * 10.0).astype(np.int64)
+        key = (lab.astype(np.int64) + np.int64(1 << 20)) \
+            * np.int64(64) + (bucket + 32)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "label": pa.array((uk // 64) - (1 << 20)),
+            "s_bucket": pa.array(uk % 64 - 32),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (ds.map_batches(bucket_partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(["label", "s_bucket"])
+            .aggregate(Sum("pn", alias_name="n_vecs"))
+            .sort(["label", "s_bucket"]))
+
+
+SILHOUETTE_HIST_SQL = """
+WITH u AS (SELECT vec_id, label,
+                  CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+cs AS (SELECT label, dim,
+              sum(CAST(floor(x * 1099511627776.0 + 0.5) AS BIGINT)) AS s
+       FROM u GROUP BY 1, 2),
+nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+       FROM embeddings GROUP BY 1),
+cent AS (SELECT cs.label, cs.dim,
+                CAST(cs.s AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                  / 1099511627776.0 AS c
+         FROM cs JOIN nn USING (label)),
+d2 AS (SELECT u.vec_id, cent.label AS k,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list((u.x - cent.c) * (u.x - cent.c) ORDER BY u.dim)),
+                (a, b) -> a + b) AS dist2
+       FROM u JOIN cent ON cent.dim = u.dim
+       GROUP BY u.vec_id, cent.label),
+ab AS (SELECT d2.vec_id, e.label AS own,
+              sqrt(max(CASE WHEN d2.k = e.label THEN d2.dist2 END)) AS a,
+              sqrt(min(CASE WHEN d2.k <> e.label THEN d2.dist2 END)) AS b
+       FROM d2 JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+sb AS (SELECT own AS label,
+              CASE WHEN greatest(a, b) <= 0.0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(floor((b - a) / greatest(a, b) * 10.0)
+                             AS BIGINT) END AS s_bucket
+       FROM ab)
+SELECT CAST(label AS BIGINT) AS label, s_bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM sb GROUP BY 1, 2 ORDER BY 1, 2"""
