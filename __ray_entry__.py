@@ -1148,6 +1148,14 @@ def _q_quadrat_dispersion(sf_dir: str):
     return quadrat_dispersion(sf_dir, level=8)
 
 
+def _q_events_quantiles_cont(sf_dir: str):
+    """Interpolated per-type value quantiles (quantile_cont) via the
+    3-pass bounded-memory rank machinery, two flanking ranks per q."""
+    from s2ray.pipelines.analytics import group_quantiles_cont
+
+    return group_quantiles_cont(sf_dir)
+
+
 def _q_silhouette_hist(sf_dir: str):
     """Per-label simplified-silhouette histogram (exact-integer
     centroids, dim-ordered float folds, bounded cell counts out)."""
@@ -2878,6 +2886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_window": _q_peak_window,
         "supplier_lead_time": _q_supplier_lead_time,
         "silhouette_hist": _q_silhouette_hist,
+        "events_quantiles_cont": _q_events_quantiles_cont,
         "char_entropy": _q_char_entropy,
         "peak_open_orders": _q_peak_open_orders,
         "basket_pairs": _q_basket_pairs,
@@ -4549,6 +4558,10 @@ FROM (
         "peak_window": peak_window_sql(),
         "supplier_lead_time": SUPPLIER_LEAD_TIME_SQL,
         "silhouette_hist": SILHOUETTE_HIST_SQL,
+        "events_quantiles_cont": (
+            "SELECT event_type, unnest([0.25, 0.5, 0.75]) AS q, "
+            "unnest(quantile_cont(value, [0.25, 0.5, 0.75])) AS value "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type"),
         "char_entropy": CHAR_ENTROPY_SQL,
         "peak_open_orders": peak_open_orders_sql(),
         "basket_pairs": basket_pairs_sql(),

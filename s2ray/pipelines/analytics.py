@@ -4753,3 +4753,166 @@ rk AS (SELECT event_type, m, w,
        FROM win)
 SELECT event_type, m AS start_minute, w AS n_events
 FROM rk WHERE rn = 1 ORDER BY 1"""
+
+
+def group_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75),
+                         group_col: str = "event_type",
+                         value_col: str = "value", n_bins: int = 4096):
+    """EXACT per-group INTERPOLATED quantiles (quantile_cont semantics:
+    value at continuous rank h = q * (n-1), linearly interpolated
+    between the flanking order statistics) — (group, q, value).  The
+    continuous companion of :func:`group_quantiles`' quantile_disc.
+
+    Same three bounded-memory passes (per-group stats, fixed-width
+    histograms, candidate-bucket fetch); each q targets the TWO ranks
+    floor(h) and ceil(h) and the driver mirrors DuckDB's interpolation
+    chain lower + (h - floor(h)) * (upper - lower) op-for-op, so the
+    doubles are bit-equal.  At 100 TB pass C still pulls ~2/4096ths of
+    the column at most.
+    """
+    import ray
+
+    def read():
+        base = read_table(sf_dir, "events", columns=[group_col, value_col])
+
+        def drop_null_values(batch: pa.Table) -> pa.Table:
+            if batch[value_col].null_count:
+                import pyarrow.compute as pc
+
+                batch = batch.filter(pc.is_valid(batch[value_col]))
+            return batch
+
+        return base.map_batches(drop_null_values, batch_format="pyarrow",
+                                batch_size=None)
+
+    qs = list(qs)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        gtype = batch[group_col].type
+        g, uniq = _dict_codes(batch[group_col])
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            return pa.table({
+                "g": pa.array([], type=gtype),
+                "mn": pa.array([], type=pa.float64()),
+                "mx": pa.array([], type=pa.float64()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        starts, ends = _group_runs(g)
+        return pa.table({
+            "g": pa.array([uniq[c] for c in g[starts]], type=gtype),
+            "mn": pa.array([float(np.min(v[s:e]))
+                            for s, e in zip(starts, ends)]),
+            "mx": pa.array([float(np.max(v[s:e]))
+                            for s, e in zip(starts, ends)]),
+            "n": pa.array([int(e - s) for s, e in zip(starts, ends)],
+                          type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    st = (read().map_batches(stats, batch_format="pyarrow",
+                             batch_size=None)
+          .groupby("g")
+          .aggregate(Min("mn", alias_name="mn"),
+                     Max("mx", alias_name="mx"),
+                     Sum("n", alias_name="n"))
+          .to_pandas().set_index("g"))
+    groups = sorted(st.index)
+    gidx = {g: i for i, g in enumerate(groups)}
+    mn = st["mn"].reindex(groups).to_numpy()
+    mx = st["mx"].reindex(groups).to_numpy()
+    cnt = st["n"].reindex(groups).to_numpy()
+    width = np.where(mx > mn, mx - mn, 1.0)
+    ginfo_ref = ray.put((gidx, mn, width, n_bins))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        gi, mn_, width_, nb = _cached_ginfo(ginfo_ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        codes, _ = _dict_codes(batch[group_col], gidx=gi)
+        lo = mn_[codes]
+        w = width_[codes]
+        b = np.clip(((v - lo) * (nb / w)).astype(np.int64), 0, nb - 1)
+        flat = codes * nb + b
+        h = np.bincount(flat, minlength=len(gi) * nb).astype(np.int64)
+        return pa.table({"h": pa.array([h.tobytes()], type=pa.binary())})
+
+    def merge_hist(batch: pa.Table) -> pa.Table:
+        blobs = batch["h"].to_pylist()
+        tot = np.zeros(len(gidx) * n_bins, dtype=np.int64)
+        for b in blobs:
+            tot += np.frombuffer(b, dtype=np.int64)
+        return pa.table({"h": pa.array([tot.tobytes()], type=pa.binary())})
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    hd = (read().map_batches(hist, batch_format="pyarrow",
+                             batch_size=None)
+          .repartition(max(1, ncpu))
+          .map_batches(merge_hist, batch_format="pyarrow",
+                       batch_size=None)
+          .repartition(1)
+          .map_batches(merge_hist, batch_format="pyarrow",
+                       batch_size=None)
+          .take_all())
+    hist_all = np.frombuffer(hd[0]["h"], dtype=np.int64).reshape(
+        len(gidx), n_bins)
+
+    # (group, q) -> continuous rank h; fetch ranks floor(h) and ceil(h)
+    targets = {}   # (g_code, bucket) -> [rank, ...]
+    wants = []     # (g_code, q, h, r_lo, r_hi)
+    for g, gi_ in gidx.items():
+        cum = np.concatenate([[0], np.cumsum(hist_all[gi_])])
+        for q in qs:
+            h = np.float64(q) * np.float64(int(cnt[gi_]) - 1)
+            r_lo = int(np.floor(h))
+            r_hi = int(np.ceil(h))
+            for r in {r_lo, r_hi}:
+                b = int(np.searchsorted(cum, r, side="right") - 1)
+                targets.setdefault((gi_, b), []).append(r - int(cum[b]))
+            wants.append((gi_, q, h, r_lo, r_hi,
+                          int(np.searchsorted(cum, r_lo, side="right") - 1),
+                          int(np.searchsorted(cum, r_hi, side="right") - 1),
+                          cum))
+    targets_ref = ray.put(targets)
+
+    def select(batch: pa.Table) -> pa.Table:
+        gi, mn_, width_, nb = _cached_ginfo(ginfo_ref)
+        tg = _cached_ginfo(targets_ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        codes, _ = _dict_codes(batch[group_col], gidx=gi)
+        lo = mn_[codes]
+        w = width_[codes]
+        b = np.clip(((v - lo) * (nb / w)).astype(np.int64), 0, nb - 1)
+        keep = np.zeros(len(v), dtype=bool)
+        for (gc, bk) in tg:
+            keep |= (codes == gc) & (b == bk)
+        return pa.table({
+            "gc": pa.array(codes[keep], type=pa.int64()),
+            "bk": pa.array(b[keep], type=pa.int64()),
+            "v": pa.array(v[keep], type=pa.float64()),
+        })
+
+    cand = (read().map_batches(select, batch_format="pyarrow",
+                               batch_size=None).to_pandas())
+    sorted_buckets = {
+        key: np.sort(cand.loc[(cand["gc"] == key[0])
+                              & (cand["bk"] == key[1]), "v"].to_numpy())
+        for key in targets}
+    inv = {v_: k_ for k_, v_ in gidx.items()}
+    rows = []
+    for gi_, q, h, r_lo, r_hi, b_lo, b_hi, cum in wants:
+        vlo = np.float64(sorted_buckets[(gi_, b_lo)][r_lo - int(cum[b_lo])])
+        vhi = np.float64(sorted_buckets[(gi_, b_hi)][r_hi - int(cum[b_hi])])
+        # DuckDB's quantile_cont interpolation: two-sided weighting
+        # (CRN - RN) * lo + (RN - FRN) * hi, NOT lo + frac * (hi - lo)
+        # (1-ULP divergence caught by the bit-exact gate)
+        if r_lo == r_hi:
+            val = float(vlo)
+        else:
+            val = float((np.float64(r_hi) - np.float64(h)) * vlo
+                        + (np.float64(h) - np.float64(r_lo)) * vhi)
+        rows.append((inv[gi_], float(q), val))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[group_col, "q", value_col])

@@ -59,6 +59,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "char_entropy"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window",
+                 "events_quantiles_cont",
                  "funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
