@@ -1148,6 +1148,22 @@ def _q_quadrat_dispersion(sf_dir: str):
     return quadrat_dispersion(sf_dir, level=8)
 
 
+def _q_tile_zipf(sf_dir: str):
+    """Rank-size regression over occupied level-8 tile populations
+    (order-pinned moment fold, tie-rank cancellation)."""
+    from s2ray.pipelines.tiles import tile_zipf
+
+    return tile_zipf(sf_dir)
+
+
+def _q_centroid_drift(sf_dir: str):
+    """Month-over-month great-circle drift of the crawl centroid (LAG
+    over the bit-agreed rounded monthly centroids)."""
+    from s2ray.pipelines.tiles import centroid_drift
+
+    return centroid_drift(sf_dir)
+
+
 def _q_events_quantiles_cont(sf_dir: str):
     """Interpolated per-type value quantiles (quantile_cont) via the
     3-pass bounded-memory rank machinery, two flanking ranks per q."""
@@ -2887,6 +2903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_lead_time": _q_supplier_lead_time,
         "silhouette_hist": _q_silhouette_hist,
         "events_quantiles_cont": _q_events_quantiles_cont,
+        "tile_zipf": _q_tile_zipf,
+        "centroid_drift": _q_centroid_drift,
         "char_entropy": _q_char_entropy,
         "peak_open_orders": _q_peak_open_orders,
         "basket_pairs": _q_basket_pairs,
@@ -3202,6 +3220,34 @@ def oracle_sql() -> dict[str, str]:
     # flagship: level-8 tile counts, cell id/token from the independent SQL
     # Hilbert encoder (bit-parity with the numpy kernel is itself pytest-
     # checked in tests/test_oracle.py)
+    tile_zipf_sql = (
+        f"{cte}, tc AS (SELECT cell_token, CAST(count(*) AS BIGINT) AS n "
+        "FROM (" + s2_cell_select("SELECT lat, lng FROM pages_geo",
+                                  level=8)
+        + ") GROUP BY 1), "
+        "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, cell_token)"
+        " AS i FROM tc), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS v, "
+        "CAST(coalesce(sum(n), 0) AS BIGINT) AS total, "
+        "CAST(count(*) AS DOUBLE) AS nf, "
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(ln(CAST(i AS DOUBLE)) ORDER BY i)), (x, y) -> x + y) AS sx,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(ln(CAST(n AS DOUBLE)) ORDER BY i)), (x, y) -> x + y) AS sy,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)) ORDER BY i)),"
+        " (x, y) -> x + y) AS sxx, "
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(ln(CAST(i AS DOUBLE)) * ln(CAST(n AS DOUBLE)) ORDER BY i)),"
+        " (x, y) -> x + y) AS sxy FROM r) "
+        "SELECT v AS n_tiles, total AS total_pages, "
+        "CASE WHEN v = 0 OR nf * sxx - sx * sx = 0.0 THEN NULL ELSE "
+        "round((nf * sxy - sx * sy) / (nf * sxx - sx * sx), 6) END "
+        "AS slope, "
+        "CASE WHEN v = 0 OR nf * sxx - sx * sx = 0.0 THEN NULL ELSE "
+        "round((sy - ((nf * sxy - sx * sy) / (nf * sxx - sx * sx)) * sx)"
+        " / nf, 6) END AS intercept FROM m"
+    )
     tile_counts_sql = (
         f"{cte} SELECT cell_id, cell_token, count(*) AS n_pages FROM ("
         + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
@@ -4558,6 +4604,7 @@ FROM (
         "peak_window": peak_window_sql(),
         "supplier_lead_time": SUPPLIER_LEAD_TIME_SQL,
         "silhouette_hist": SILHOUETTE_HIST_SQL,
+        "tile_zipf": tile_zipf_sql,
         "events_quantiles_cont": (
             "SELECT event_type, unnest([0.25, 0.5, 0.75]) AS q, "
             "unnest(quantile_cont(value, [0.25, 0.5, 0.75])) AS value "
@@ -4612,6 +4659,36 @@ FROM (
         "dominant_dim_hist": DOMINANT_DIM_HIST_SQL,
         "nn_g_function": nn_g_sql,
         "lang_geo_bbox": lang_bbox_sql,
+        "centroid_drift": (
+            f"{cte}, q AS (SELECT "
+            "date_trunc('month', make_timestamp("
+            "(1704067200 + (page_id * 40499) % 31536000) * 1000000)) "
+            "AS month, "
+            "CAST(round(cos(radians(lat)) * cos(radians(lng)) "
+            "* 1000000000.0) AS BIGINT) AS qx, "
+            "CAST(round(cos(radians(lat)) * sin(radians(lng)) "
+            "* 1000000000.0) AS BIGINT) AS qy, "
+            "CAST(round(sin(radians(lat)) * 1000000000.0) AS BIGINT) "
+            "AS qz FROM pages_geo), "
+            "base AS (SELECT month, CAST(count(*) AS BIGINT) AS n_pages, "
+            "round(degrees(atan2(CAST(CAST(sum(qz) AS BIGINT) AS DOUBLE), "
+            "sqrt(CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE) "
+            "* CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE) "
+            "+ CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE) "
+            "* CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE)))), 6) AS c_lat, "
+            "round(degrees(atan2(CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE), "
+            "CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE))), 6) AS c_lng "
+            "FROM q GROUP BY 1), "
+            "l AS (SELECT month, n_pages, c_lat, c_lng, "
+            "lag(c_lat) OVER (ORDER BY month) AS pla, "
+            "lag(c_lng) OVER (ORDER BY month) AS plo FROM base) "
+            "SELECT month, n_pages, CASE WHEN pla IS NULL THEN NULL ELSE "
+            "round(2 * 6371000 * asin(sqrt("
+            "(1 - cos(radians(pla) - radians(c_lat))) / 2 "
+            "+ cos(radians(pla)) * cos(radians(c_lat)) "
+            "* (1 - cos(radians(plo) - radians(c_lng))) / 2)), 3) END "
+            "AS drift_m FROM l ORDER BY month"
+        ),
         "monthly_centroid": (
             f"{cte}, q AS (SELECT "
             "date_trunc('month', make_timestamp("

@@ -958,3 +958,88 @@ def monthly_centroid(sf_dir: str, **read_kwargs):
     return (agg.map_batches(finish, batch_format="pyarrow",
                             batch_size=None)
             .sort("month"))
+
+
+def tile_zipf(sf_dir: str, level: int = 8, **read_kwargs):
+    """Rank-size law of tile populations: least-squares slope/intercept
+    of ln(n_pages) vs ln(rank) over the occupied level-``level`` tiles
+    — ONE row (n_tiles, total_pages, slope, intercept).  Urban-systems
+    rank-size exponents sit near -1 (Zipf for cities); the geospatial
+    twin of the vocabulary's zipf_slope, over the same tile-count core
+    as tile_counts_l8.
+
+    Exactness: tile counts are exact integers from the blob-compacted
+    tile shuffle; ranks are count-descending (equal-count rank
+    assignment provably cancels out of every moment, the zipf_slope
+    argument) and the four regression moments fold ORDER-PINNED
+    ascending rank, mirroring the oracle's list_reduce.
+    """
+    import math
+
+    import ray.data
+
+    from .text import round_half_away
+
+    counts = tile_counts(sf_dir, level=level, **read_kwargs).to_pandas()
+    n = np.sort(counts["n_pages"].to_numpy().astype(np.int64))[::-1]
+    v = len(n)
+    total = int(n.sum()) if v else 0
+    slope = intercept = None
+    if v:
+        sx = sy = sxx = sxy = 0.0
+        for i, f in enumerate(n.tolist(), start=1):   # ascending rank
+            x = math.log(float(i))
+            y = math.log(float(f))
+            sx += x
+            sy += y
+            sxx += x * x
+            sxy += x * y
+        nf = float(v)
+        den = nf * sxx - sx * sx
+        if den != 0.0:
+            sl = (nf * sxy - sx * sy) / den
+            slope = float(round_half_away(np.float64(sl)))
+            intercept = float(round_half_away(np.float64(
+                (sy - sl * sx) / nf)))
+    return ray.data.from_arrow(pa.table({
+        "n_tiles": pa.array([v], type=pa.int64()),
+        "total_pages": pa.array([total], type=pa.int64()),
+        "slope": pa.array([slope], type=pa.float64()),
+        "intercept": pa.array([intercept], type=pa.float64()),
+    }))
+
+
+def centroid_drift(sf_dir: str, **read_kwargs):
+    """Month-over-month drift of the crawl's spherical centroid: the
+    great-circle distance between consecutive monthly centroids —
+    (month, n_pages, drift_m); the first month's drift is NULL.  The
+    LAG layer over :func:`monthly_centroid`'s exact fixed-point track
+    (drift spikes mark crawl-coverage regime changes).
+
+    Exactness: consecutive distances are computed FROM THE ROUNDED
+    6-dp centroid coordinates both engines already agree on bit-exactly,
+    with the reference haversine chain mirrored op-for-op and mm
+    rounding — so the LAG layer cannot reintroduce divergence.
+    """
+    import ray.data
+
+    from .text import round_half_away
+
+    m = monthly_centroid(sf_dir, **read_kwargs).to_pandas() \
+        .sort_values("month", ignore_index=True)
+    lat = np.radians(m["c_lat"].to_numpy().astype(np.float64))
+    lng = np.radians(m["c_lng"].to_numpy().astype(np.float64))
+    drift = np.full(len(m), np.nan)
+    for i in range(1, len(m)):
+        a, b = i - 1, i
+        h = (1.0 - np.cos(lat[a] - lat[b])) / 2.0 \
+            + np.cos(lat[a]) * np.cos(lat[b]) \
+            * (1.0 - np.cos(lng[a] - lng[b])) / 2.0
+        drift[i] = float(round_half_away(np.float64(
+            2.0 * 6371000.0 * np.arcsin(np.sqrt(h)), ), 3))
+    return ray.data.from_arrow(pa.table({
+        "month": pa.array(m["month"]),
+        "n_pages": pa.array(m["n_pages"].to_numpy().astype(np.int64)),
+        "drift_m": pa.array([None if np.isnan(x) else float(x)
+                             for x in drift], type=pa.float64()),
+    }))
