@@ -1148,6 +1148,29 @@ def _q_quadrat_dispersion(sf_dir: str):
     return quadrat_dispersion(sf_dir, level=8)
 
 
+def _q_user_growth(sf_dir: str):
+    """Cumulative user-acquisition curve (per-user min-day via blob
+    co-partition, calendar-bounded day series, driver prefix sum)."""
+    from s2ray.pipelines.analytics import user_growth
+
+    return user_growth(sf_dir)
+
+
+def _q_order_size_hist(sf_dir: str):
+    """Basket-size histogram over the orderkey blob co-partition."""
+    from s2ray.pipelines.join import order_size_hist
+
+    return order_size_hist(sf_dir)
+
+
+def _q_token_len_stats(sf_dir: str):
+    """Per-language token-length profile (int64-exact length sums,
+    mirrored avg division)."""
+    from s2ray.pipelines.text import token_len_stats
+
+    return token_len_stats(sf_dir)
+
+
 def _q_tile_zipf(sf_dir: str):
     """Rank-size regression over occupied level-8 tile populations
     (order-pinned moment fold, tie-rank cancellation)."""
@@ -2904,6 +2927,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silhouette_hist": _q_silhouette_hist,
         "events_quantiles_cont": _q_events_quantiles_cont,
         "tile_zipf": _q_tile_zipf,
+        "user_growth": _q_user_growth,
+        "order_size_hist": _q_order_size_hist,
+        "token_len_stats": _q_token_len_stats,
         "centroid_drift": _q_centroid_drift,
         "char_entropy": _q_char_entropy,
         "peak_open_orders": _q_peak_open_orders,
@@ -3149,6 +3175,7 @@ def oracle_sql() -> dict[str, str]:
                                            daily_ewma_sql,
                                            rfm_segments_sql,
                                            peak_window_sql,
+                                           USER_GROWTH_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -3175,6 +3202,7 @@ def oracle_sql() -> dict[str, str]:
                                        basket_pairs_sql,
                                        peak_open_orders_sql,
                                        SUPPLIER_LEAD_TIME_SQL,
+                                       ORDER_SIZE_HIST_SQL,
                                        ORDER_CADENCE_SQL,
                                        late_shipments_sql,
                                        market_share_sql,
@@ -3201,6 +3229,7 @@ def oracle_sql() -> dict[str, str]:
                                               location_codec_sql)
     from s2ray.pipelines.polyline import Polyline
     from s2ray.pipelines.text import (CHAR_ENTROPY_SQL,
+                                      TOKEN_LEN_STATS_SQL,
                                       LEXICAL_SIMPSON_SQL,
                                       SOURCE_VOCAB_JACCARD_SQL,
                                       TOKEN_EDIT_PAIRS_SQL,
@@ -4605,6 +4634,9 @@ FROM (
         "supplier_lead_time": SUPPLIER_LEAD_TIME_SQL,
         "silhouette_hist": SILHOUETTE_HIST_SQL,
         "tile_zipf": tile_zipf_sql,
+        "user_growth": USER_GROWTH_SQL,
+        "order_size_hist": ORDER_SIZE_HIST_SQL,
+        "token_len_stats": TOKEN_LEN_STATS_SQL,
         "events_quantiles_cont": (
             "SELECT event_type, unnest([0.25, 0.5, 0.75]) AS q, "
             "unnest(quantile_cont(value, [0.25, 0.5, 0.75])) AS value "

@@ -4916,3 +4916,103 @@ def group_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75),
         rows.append((inv[gi_], float(q), val))
     rows.sort()
     return pd.DataFrame(rows, columns=[group_col, "q", value_col])
+
+
+def user_growth(sf_dir: str, n_parts: int = 64):
+    """Cumulative user-acquisition curve: each user's FIRST event day,
+    counted per day with a running total — (day, n_new_users,
+    cum_users).  The growth chart every event pipeline ships.
+
+    Scale plan: per-batch per-user min-day partials ride ONE user-hashed
+    blob co-partition (never a user-cardinality Ray sort row); the
+    per-user min finishes inside the merge block, each block emits
+    per-day new-user count partials (calendar-bounded), and the driver
+    prefix-sums the bounded day series.  NULL user/ts drop on both
+    engines; all-integer.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .join import _ipc_bytes, _ipc_table, _part_of
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(u) & ~np.isnat(ts)
+        uu = u[ok].astype(np.int64)
+        d = ts[ok].astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        order = np.argsort(uu, kind="stable")
+        uu, d = uu[order], d[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(uu[1:] != uu[:-1]) + 1]) \
+            .astype(np.int64) if len(uu) else np.empty(0, np.int64)
+        uu1 = uu[starts] if len(uu) else uu
+        d1 = np.minimum.reduceat(d, starts) if len(uu) else d
+        part = _part_of(uu1, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, uu1, d1 = part[ordp], uu1[ordp], d1[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "u": pa.array(uu1[a_:b_]), "d": pa.array(d1[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"u": pa.array([], type=pa.int64()),
+             "d": pa.array([], type=pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(u):
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        order = np.argsort(u, kind="stable")
+        u, d = u[order], d[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(u[1:] != u[:-1]) + 1]).astype(np.int64)
+        first = np.minimum.reduceat(d, starts)
+        ud, cnt = np.unique(first, return_counts=True)
+        return pa.table({"d": pa.array(ud),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    m = (ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+         .groupby("part")
+         .map_groups(merge, batch_format="pandas")
+         .groupby("d").aggregate(Sum("pn", alias_name="n_new_users"))) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    import ray.data as _rd
+    new = m["n_new_users"].to_numpy().astype(np.int64) if len(m) \
+        else np.empty(0, np.int64)
+    return _rd.from_arrow(pa.table({
+        "day": pa.array(m["d"].to_numpy().astype(np.int64)
+                        if len(m) else np.empty(0, np.int64)),
+        "n_new_users": pa.array(new),
+        "cum_users": pa.array(np.cumsum(new).astype(np.int64)),
+    }))
+
+
+USER_GROWTH_SQL = """
+WITH f AS (SELECT user_id,
+                  CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS d
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+c AS (SELECT d, CAST(count(*) AS BIGINT) AS n_new_users
+      FROM f GROUP BY 1)
+SELECT d AS day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM c ORDER BY 1"""

@@ -3970,3 +3970,82 @@ SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
          AS avg_delay_days,
        CAST(max(delay) AS BIGINT) AS max_delay_days
 FROM j GROUP BY 1 ORDER BY 1"""
+
+
+def order_size_hist(sf_dir: str, n_parts: int = 64):
+    """Order-size histogram: lineitems per order, counted by size —
+    (order_size, n_orders), size-sorted.  The basket-size distribution
+    (the marginal of basket_pairs' enumeration).
+
+    Scale plan: per-batch per-order count partials ride the orderkey
+    blob co-partition; counts finish inside the merge block, each block
+    emits (size, n) partials (size is basket-bounded) and one tiny
+    groupby sums them.  All-integer.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, cnt = np.unique(ok, return_counts=True)
+        part = _part_of(u, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, u, cnt = part[ordp], u[ordp], cnt[ordp].astype(np.int64)
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "ok": pa.array(u[a_:b_]), "c": pa.array(cnt[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"ok": pa.array([], type=pa.int64()),
+             "c": pa.array([], type=pa.int64())})
+        ok = t["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ok):
+            return pa.table({"sz": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        order = np.argsort(ok, kind="stable")
+        ok, c = ok[order], c[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(ok[1:] != ok[:-1]) + 1]).astype(np.int64)
+        tot = np.add.reduceat(c, starts)
+        sz, cnt = np.unique(tot, return_counts=True)
+        return pa.table({"sz": pa.array(sz),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    m = (li.map_batches(tag, batch_format="pyarrow", batch_size=None)
+         .groupby("part")
+         .map_groups(merge, batch_format="pandas")
+         .groupby("sz").aggregate(Sum("pn", alias_name="n_orders"))) \
+        .to_pandas().sort_values("sz", ignore_index=True)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "order_size": pa.array(m["sz"].to_numpy().astype(np.int64)
+                               if len(m) else np.empty(0, np.int64)),
+        "n_orders": pa.array(m["n_orders"].to_numpy().astype(np.int64)
+                             if len(m) else np.empty(0, np.int64)),
+    }))
+
+
+ORDER_SIZE_HIST_SQL = """
+WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
+           FROM lineitem GROUP BY 1)
+SELECT sz AS order_size, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY 1 ORDER BY 1"""

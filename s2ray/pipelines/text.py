@@ -2427,3 +2427,80 @@ m AS (SELECT cnt.lang, t.n, t.alphabet,
       GROUP BY cnt.lang, t.n, t.alphabet)
 SELECT lang, n AS n_chars, alphabet, round(-acc, 6) AS entropy
 FROM m ORDER BY 1"""
+
+
+def token_len_stats(sf_dir: str, lower: bool = True):
+    """Per-language token-length profile — (lang, n_tokens, avg_len,
+    max_len); codepoint lengths of whitespace tokens.  The quick
+    tokenizer-sanity probe (a drifting avg_len flags segmentation or
+    encoding regressions upstream).
+
+    Exactness: per-batch (lang: count, length-sum, length-max) partials
+    feed one lang-cardinality groupby; the length sum is int64-safe
+    (len < 2^20, rows < 2^43 per lang at 100 TB) and the only float op
+    is the mirrored avg division.  NULL lang drops on both engines.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pandas()
+        ok = lang.notna().to_numpy()
+        texts = _string_array(batch["text"]).filter(pa.array(ok))
+        lang = lang[ok].astype(str).to_numpy()
+        row_idx, _, _, _, flat = _token_codes(texts, lower=lower)
+        z = np.zeros(0, dtype=np.int64)
+        if not len(row_idx):
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "pn": z, "ps": z, "pm": z})
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lcodes, luniq = pd.factorize(pd.Series(lang[row_idx]))
+        k = len(luniq)
+        pn = np.bincount(lcodes, minlength=k).astype(np.int64)
+        ps = np.zeros(k, dtype=np.int64)
+        np.add.at(ps, lcodes, lens)
+        pm = np.zeros(k, dtype=np.int64)
+        np.maximum.at(pm, lcodes, lens)
+        return pa.table({
+            "lang": pa.array(luniq, type=pa.string()),
+            "pn": pa.array(pn), "ps": pa.array(ps), "pm": pa.array(pm),
+        })
+
+    m = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby("lang")
+         .aggregate(Sum("pn", alias_name="n_tokens"),
+                    Sum("ps", alias_name="len_sum"),
+                    Max("pm", alias_name="max_len"))).to_pandas() \
+        .sort_values("lang", ignore_index=True)
+    avg = np.array([
+        float(round_half_away(np.float64(float(s_) / float(n_))))
+        if n_ else None
+        for s_, n_ in zip(m["len_sum"], m["n_tokens"])], dtype=object) \
+        if len(m) else np.empty(0, object)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "lang": pa.array(m["lang"], type=pa.string()),
+        "n_tokens": pa.array(m["n_tokens"].to_numpy().astype(np.int64)
+                             if len(m) else np.empty(0, np.int64)),
+        "avg_len": pa.array(avg.tolist(), type=pa.float64()),
+        "max_len": pa.array(m["max_len"].to_numpy().astype(np.int64)
+                            if len(m) else np.empty(0, np.int64)),
+    }))
+
+
+TOKEN_LEN_STATS_SQL = r"""
+WITH tok AS (SELECT lang,
+                    unnest(list_filter(regexp_split_to_array(
+                      lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                      AS token
+             FROM documents WHERE lang IS NOT NULL)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(length(token)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_len,
+       CAST(max(length(token)) AS BIGINT) AS max_len
+FROM tok GROUP BY 1 ORDER BY 1"""

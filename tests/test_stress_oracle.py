@@ -55,12 +55,12 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "vocab_coverage", "weighted_sample", "lang_corr",
                "domain_lang_entropy",
                "token_edit_pairs", "source_overlap", "pivot_lang_counts",
-               "lexical_simpson", "anagram_groups",
+               "lexical_simpson", "anagram_groups", "token_len_stats",
                "domain_clustering", "colocation_quotient", "knox_pairs",
                "char_entropy"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window",
-                 "events_quantiles_cont",
+                 "events_quantiles_cont", "user_growth",
                  "funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
@@ -249,7 +249,8 @@ def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
     _assert_matches_oracle(qname, e.queries()[qname](unicode_dir), con)
 
 
-NULL_USER_QUERIES = ["user_sessions", "funnel_views", "event_gaps",
+NULL_USER_QUERIES = ["user_growth",
+                     "user_sessions", "funnel_views", "event_gaps",
                      "cohort_retention", "user_streaks",
                      "events_distinct_users", "events_asof",
                      "events_sliding_distinct", "user_type_matrix",
