@@ -1148,6 +1148,14 @@ def _q_quadrat_dispersion(sf_dir: str):
     return quadrat_dispersion(sf_dir, level=8)
 
 
+def _q_lang_radius(sf_dir: str):
+    """Per-language dispersion radius from the exact spherical centroid
+    (order-free fixed-point sums, broadcast rounded centroids)."""
+    from s2ray.pipelines.tiles import lang_radius
+
+    return lang_radius(sf_dir)
+
+
 def _q_user_growth(sf_dir: str):
     """Cumulative user-acquisition curve (per-user min-day via blob
     co-partition, calendar-bounded day series, driver prefix sum)."""
@@ -2928,6 +2936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_cont": _q_events_quantiles_cont,
         "tile_zipf": _q_tile_zipf,
         "user_growth": _q_user_growth,
+        "lang_radius": _q_lang_radius,
         "order_size_hist": _q_order_size_hist,
         "token_len_stats": _q_token_len_stats,
         "centroid_drift": _q_centroid_drift,
@@ -4635,6 +4644,33 @@ FROM (
         "silhouette_hist": SILHOUETTE_HIST_SQL,
         "tile_zipf": tile_zipf_sql,
         "user_growth": USER_GROWTH_SQL,
+        "lang_radius": (
+            f"{cte}, q AS (SELECT lang, "
+            "CAST(round(cos(radians(lat)) * cos(radians(lng)) "
+            "* 1000000000.0) AS BIGINT) AS qx, "
+            "CAST(round(cos(radians(lat)) * sin(radians(lng)) "
+            "* 1000000000.0) AS BIGINT) AS qy, "
+            "CAST(round(sin(radians(lat)) * 1000000000.0) AS BIGINT) "
+            "AS qz FROM pages_geo WHERE lang IS NOT NULL), "
+            "cent AS (SELECT lang, "
+            "round(degrees(atan2(CAST(CAST(sum(qz) AS BIGINT) AS DOUBLE),"
+            " sqrt(CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE) "
+            "* CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE) "
+            "+ CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE) "
+            "* CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE)))), 6) AS c_lat, "
+            "round(degrees(atan2(CAST(CAST(sum(qy) AS BIGINT) AS DOUBLE),"
+            " CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE))), 6) AS c_lng "
+            "FROM q GROUP BY 1), "
+            "d AS (SELECT p.lang, round(2 * 6371000 * asin(sqrt("
+            "(1 - cos(radians(c.c_lat) - radians(p.lat))) / 2 "
+            "+ cos(radians(c.c_lat)) * cos(radians(p.lat)) "
+            "* (1 - cos(radians(c.c_lng) - radians(p.lng))) / 2)), 3) "
+            "AS dm FROM pages_geo p JOIN cent c ON c.lang = p.lang) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_pages, "
+            "max(dm) AS max_dist_m, "
+            "CAST(coalesce(count(*) FILTER (dm > 1000000.0), 0) "
+            "AS BIGINT) AS n_beyond FROM d GROUP BY 1 ORDER BY 1"
+        ),
         "order_size_hist": ORDER_SIZE_HIST_SQL,
         "token_len_stats": TOKEN_LEN_STATS_SQL,
         "events_quantiles_cont": (

@@ -1043,3 +1043,121 @@ def centroid_drift(sf_dir: str, **read_kwargs):
         "drift_m": pa.array([None if np.isnan(x) else float(x)
                              for x in drift], type=pa.float64()),
     }))
+
+
+def lang_radius(sf_dir: str, beyond_m: float = 1_000_000.0,
+                **read_kwargs):
+    """Per-language dispersion radius: distance of every page to its
+    language's spherical centroid — (lang, n_pages, max_dist_m,
+    n_beyond); max great-circle radius plus the count of pages farther
+    than ``beyond_m`` (how concentrated is each language's footprint).
+
+    Two passes: per-lang fixed-point vector sums (the monthly_centroid
+    1e-9 integer domain, order-free) give the driver each centroid,
+    ROUNDED to the 6-dp coordinates both engines agree on bit-exactly;
+    pass 2 broadcasts the tiny (lang, lat, lng) table and folds
+    per-batch (max, beyond-count) partials — max is order-free IEEE,
+    the beyond test compares mm-rounded doubles, so no float fold ever
+    crosses batches.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from ..state.bcast import cached_get
+    from .text import round_half_away
+
+    ds = pages_with_cells(sf_dir, token_level=None, **read_kwargs)
+    _S = 1_000_000_000.0
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = batch["lang"].to_pandas()
+        ok = lang.notna().to_numpy()
+        lang = lang[ok].astype(str).to_numpy()
+        lat = batch["lat"].to_numpy(zero_copy_only=False)[ok]
+        lng = batch["lng"].to_numpy(zero_copy_only=False)[ok]
+        phi = np.radians(lat)
+        theta = np.radians(lng)
+        cp = np.cos(phi)
+        qx = round_half_away(cp * np.cos(theta) * _S, 0).astype(np.int64)
+        qy = round_half_away(cp * np.sin(theta) * _S, 0).astype(np.int64)
+        qz = round_half_away(np.sin(phi) * _S, 0).astype(np.int64)
+        codes, uniq = pd.factorize(pd.Series(lang))
+        k = len(uniq)
+        out = {"lang": pa.array(uniq, type=pa.string())}
+        for nm, v in (("qx", qx), ("qy", qy), ("qz", qz)):
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, codes, v)
+            out[nm] = pa.array(acc)
+        out["pn"] = pa.array(np.bincount(codes, minlength=k)
+                             .astype(np.int64))
+        return pa.table(out)
+
+    cs = (ds.map_batches(cpartial, batch_format="pyarrow",
+                         batch_size=None)
+          .groupby("lang")
+          .aggregate(Sum("qx", alias_name="sx"),
+                     Sum("qy", alias_name="sy"),
+                     Sum("qz", alias_name="sz"))).to_pandas() \
+        .sort_values("lang", ignore_index=True)
+    langs = cs["lang"].to_numpy()
+    sx = cs["sx"].to_numpy().astype(np.float64)
+    sy = cs["sy"].to_numpy().astype(np.float64)
+    sz = cs["sz"].to_numpy().astype(np.float64)
+    hyp = np.sqrt(sx * sx + sy * sy)
+    clat = round_half_away(np.degrees(np.arctan2(sz, hyp)), 6)
+    clng = round_half_away(np.degrees(np.arctan2(sy, sx)), 6)
+    cmap = {lg: (float(a), float(b))
+            for lg, a, b in zip(langs, clat, clng)}
+    bc = ray.put(cmap)
+
+    def dpartial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cm = cached_get(bc)
+        lang = batch["lang"].to_pandas()
+        ok = lang.notna().to_numpy()
+        lang = lang[ok].astype(str).to_numpy()
+        lat = batch["lat"].to_numpy(zero_copy_only=False)[ok]
+        lng = batch["lng"].to_numpy(zero_copy_only=False)[ok]
+        ca = np.radians(np.array([cm[lg][0] for lg in lang]))
+        co = np.radians(np.array([cm[lg][1] for lg in lang]))
+        pa_ = np.radians(lat)
+        po = np.radians(lng)
+        h = (1.0 - np.cos(ca - pa_)) / 2.0 \
+            + np.cos(ca) * np.cos(pa_) * (1.0 - np.cos(co - po)) / 2.0
+        dm = round_half_away(2.0 * 6371000.0 * np.arcsin(np.sqrt(h)), 3)
+        codes, uniq = pd.factorize(pd.Series(lang))
+        k = len(uniq)
+        mx = np.full(k, -1.0)
+        np.maximum.at(mx, codes, dm)
+        nb = np.zeros(k, dtype=np.int64)
+        np.add.at(nb, codes, (dm > beyond_m).astype(np.int64))
+        return pa.table({
+            "lang": pa.array(uniq, type=pa.string()),
+            "pm": pa.array(mx),
+            "pb": pa.array(nb),
+            "pn": pa.array(np.bincount(codes, minlength=k)
+                           .astype(np.int64)),
+        })
+
+    m = (ds.map_batches(dpartial, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby("lang")
+         .aggregate(Sum("pn", alias_name="n_pages"),
+                    Max("pm", alias_name="max_dist_m"),
+                    Sum("pb", alias_name="n_beyond"))).to_pandas() \
+        .sort_values("lang", ignore_index=True)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "lang": pa.array(m["lang"], type=pa.string()),
+        "n_pages": pa.array(m["n_pages"].to_numpy().astype(np.int64)
+                            if len(m) else np.empty(0, np.int64)),
+        "max_dist_m": pa.array(m["max_dist_m"].to_numpy()
+                               .astype(np.float64) if len(m)
+                               else np.empty(0, np.float64)),
+        "n_beyond": pa.array(m["n_beyond"].to_numpy().astype(np.int64)
+                             if len(m) else np.empty(0, np.int64)),
+    }))
