@@ -1148,6 +1148,15 @@ def _q_quadrat_dispersion(sf_dir: str):
     return quadrat_dispersion(sf_dir, level=8)
 
 
+def _q_lang_frontier(sf_dir: str):
+    """Dominant-language join counts over Moore-adjacent occupied grid
+    cells (categorical frontier map, all-integer)."""
+    from s2ray.pipelines.cluster import lang_frontier
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return lang_frontier(pages_with_cells(sf_dir, token_level=None))
+
+
 def _q_lang_radius(sf_dir: str):
     """Per-language dispersion radius from the exact spherical centroid
     (order-free fixed-point sums, broadcast rounded centroids)."""
@@ -2937,6 +2946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_zipf": _q_tile_zipf,
         "user_growth": _q_user_growth,
         "lang_radius": _q_lang_radius,
+        "lang_frontier": _q_lang_frontier,
         "order_size_hist": _q_order_size_hist,
         "token_len_stats": _q_token_len_stats,
         "centroid_drift": _q_centroid_drift,
@@ -4567,6 +4577,25 @@ FROM (
         # self-join counts every undirected link exactly twice, halved as
         # exact even integers with // (Moore wrap adjacency is symmetric
         # and irreflexive at W = 360)
+        "lang_frontier": (
+            f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
+            "CAST(floor(lng / 1.0) AS BIGINT) AS gx, lang, "
+            "count(*) AS n FROM pages_geo WHERE lang IS NOT NULL "
+            "GROUP BY 1, 2, 3), "
+            "dom AS (SELECT gy, gx, lang FROM ("
+            "SELECT gy, gx, lang, row_number() OVER ("
+            "PARTITION BY gy, gx ORDER BY n DESC, lang) AS rn FROM g) "
+            "WHERE rn = 1), "
+            "d AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+            "(0,1),(1,-1),(1,0),(1,1)) AS t(dy, dx)), "
+            "l AS (SELECT least(a.lang, b.lang) AS lang_a, "
+            "greatest(a.lang, b.lang) AS lang_b "
+            "FROM dom a CROSS JOIN d JOIN dom b "
+            "ON b.gy = a.gy + d.dy "
+            "AND b.gx = ((a.gx + d.dx + 180) % 360 + 360) % 360 - 180) "
+            "SELECT lang_a, lang_b, CAST(count(*) // 2 AS BIGINT) "
+            "AS n_links FROM l GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "join_counts": (
             f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
             "CAST(floor(lng / 1.0) AS BIGINT) AS gx, count(*) AS n "

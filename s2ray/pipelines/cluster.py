@@ -634,3 +634,94 @@ def tile_mann_kendall(pages_ds, cell_deg: float = 1.0,
 
     return agg.map_batches(combine, batch_format="pyarrow",
                            batch_size=None)
+
+
+def lang_frontier(pages_ds, cell_deg: float = 1.0):
+    """Language-frontier join counts: each occupied grid cell takes its
+    DOMINANT language (count DESC, lang ASC tie-break); undirected
+    Moore-adjacent cell pairs are then counted per unordered language
+    pair — (lang_a, lang_b, n_links).  Off-diagonal mass maps the
+    linguistic frontier zones; the categorical refinement of
+    :func:`join_counts`' binary hot/cold statistic.
+
+    Exactness: all integers.  The (cell, lang) counts ride ONE
+    grid x langs bounded groupby; dominance and the 8-offset
+    searchsorted adjacency scan (antimeridian wrap, the join_counts
+    machinery) run in one bounded combine task, and the directed scan
+    sees every undirected link exactly twice, so halving is exact.
+    """
+    from ray.data.aggregate import Sum
+
+    w = 360.0 / cell_deg
+    assert abs(w - round(w)) < 1e-9, "cell_deg must divide 360"
+    W = int(round(w))
+    assert W >= 3, "lang_frontier needs W >= 3 (wrap self-adjacency)"
+    offx, offy = W // 2, W // 4
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        lang = batch["lang"].to_pandas()
+        ok = lang.notna().to_numpy()
+        lang = lang[ok].astype(str).to_numpy()
+        gy = np.floor(lat[ok] / cell_deg).astype(np.int64)
+        gx = np.floor(lng[ok] / cell_deg).astype(np.int64)
+        p = (gy + offy) * W + (gx + offx)
+        g = pd.DataFrame({"p": p, "lang": lang}).groupby(
+            ["p", "lang"], sort=False).size().reset_index(name="pn")
+        return pa.table({
+            "p": pa.array(g["p"].to_numpy().astype(np.int64)),
+            "lang": pa.array(g["lang"], type=pa.string()),
+            "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+        })
+
+    occ = (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby(["p", "lang"]).aggregate(Sum("pn", alias_name="n"))
+           .repartition(1))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(p):
+            return pa.table({
+                "lang_a": pa.array([], type=pa.string()),
+                "lang_b": pa.array([], type=pa.string()),
+                "n_links": pa.array([], type=pa.int64())})
+        # dominant lang per cell: (count DESC, lang ASC) within cell
+        order = np.lexsort((lang, -n, p))
+        p, lang = p[order], lang[order]
+        first = np.concatenate([[True], p[1:] != p[:-1]])
+        p, dom = p[first], lang[first]
+        order2 = np.argsort(p)
+        p, dom = p[order2], dom[order2]
+        gy = p // W - offy
+        gx = p % W - offx
+        from collections import Counter
+
+        cnt = Counter()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                ngx = (gx + dx + offx) % W - offx    # antimeridian wrap
+                q = (gy + dy + offy) * W + (ngx + offx)
+                pos = np.searchsorted(p, q)
+                ok = pos < len(p)
+                hit = ok & (p[np.minimum(pos, len(p) - 1)] == q)
+                bdom = dom[np.minimum(pos, len(p) - 1)]
+                for a_, b_ in zip(dom[hit], bdom[hit]):
+                    cnt[(a_, b_) if a_ <= b_ else (b_, a_)] += 1
+        keys = sorted(cnt)
+        return pa.table({
+            "lang_a": pa.array([k[0] for k in keys], type=pa.string()),
+            "lang_b": pa.array([k[1] for k in keys], type=pa.string()),
+            "n_links": pa.array([cnt[k] // 2 for k in keys],
+                                type=pa.int64()),
+        })
+
+    return occ.map_batches(combine, batch_format="pyarrow",
+                           batch_size=None)

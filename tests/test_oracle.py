@@ -100,7 +100,7 @@ def _compare(name, entrymod, con):
                                    "supplier_lead_time", "char_entropy", "silhouette_hist",
                                    "events_quantiles_cont", "tile_zipf", "centroid_drift",
                                    "user_growth", "order_size_hist", "token_len_stats",
-                                   "lang_radius",
+                                   "lang_radius", "lang_frontier",
                                    "domain_link_graph", "domain_pagerank",
                                    "domain_reciprocity", "domain_assortativity",
                                    "domain_bfs_depth", "domain_components", "quadrat_dispersion", "source_js", "user_burstiness", "ripley_k", "domain_cocitation", "domain_coupling", "clark_evans", "heaps_law", "event_type_trend", "source_vocab_jaccard", "shipping_priority", "geo_destination", "location_codec", "returned_items",

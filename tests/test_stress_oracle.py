@@ -40,7 +40,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "source_mix", "langid_confusion", "emb_integrity", "lang_centroid_sim",
                "tile_growth", "grid_smooth", "morans_i", "grid_kde",
                "getis_ord", "local_moran", "join_counts",
-               "tile_mann_kendall", "lang_ellipse",
+               "tile_mann_kendall", "lang_ellipse", "lang_frontier",
                "domain_link_graph", "domain_pagerank", "domain_triangles",
                "domain_hits",
                "domain_reciprocity", "domain_assortativity",
