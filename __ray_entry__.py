@@ -1262,6 +1262,14 @@ def _q_knox_pairs(sf_dir: str):
                       DIST_JOIN_M)
 
 
+def _q_basket_lift(sf_dir: str):
+    """Association lift for the top-100 basket pairs (distinct-basket
+    counts via sentinel blob co-partition, mirrored lift chain)."""
+    from s2ray.pipelines.join import basket_lift
+
+    return basket_lift(sf_dir)
+
+
 def _q_basket_pairs(sf_dir: str):
     """Top-100 market-basket part pairs via per-order vectorized pair
     enumeration inside an orderkey blob co-partition."""
@@ -2953,6 +2961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "peak_open_orders": _q_peak_open_orders,
         "basket_pairs": _q_basket_pairs,
+        "basket_lift": _q_basket_lift,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
         "quadrat_dispersion": _q_quadrat_dispersion,
@@ -3219,6 +3228,7 @@ def oracle_sql() -> dict[str, str]:
                                        excess_shippers_sql,
                                        covered_days_sql,
                                        basket_pairs_sql,
+                                       basket_lift_sql,
                                        peak_open_orders_sql,
                                        SUPPLIER_LEAD_TIME_SQL,
                                        ORDER_SIZE_HIST_SQL,
@@ -4709,6 +4719,7 @@ FROM (
         "char_entropy": CHAR_ENTROPY_SQL,
         "peak_open_orders": peak_open_orders_sql(),
         "basket_pairs": basket_pairs_sql(),
+        "basket_lift": basket_lift_sql(),
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "domain_components": domain_components_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,

@@ -4049,3 +4049,142 @@ WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
            FROM lineitem GROUP BY 1)
 SELECT sz AS order_size, CAST(count(*) AS BIGINT) AS n_orders
 FROM c GROUP BY 1 ORDER BY 1"""
+
+
+def basket_lift(sf_dir: str, k: int = 100, n_parts: int = 64):
+    """Association lift for the top-``k`` co-occurring part pairs:
+    lift = P(a,b) / (P(a) P(b)) = n_ab * N / (n_a * n_b) over distinct
+    order baskets — (p1, p2, n_orders, lift).  Lift >> 1 marks genuine
+    affinity the raw co-occurrence count can't distinguish from two
+    independently-popular parts; the scoring step of frequent-itemset
+    mining on top of :func:`basket_pairs`.
+
+    Scale plan: the top pairs come from basket_pairs' blob-exchange
+    top-k (bounded); their <= 2k member parts broadcast as sorted keys;
+    one more lineitem pass emits per-batch distinct (order, part)
+    member rows PLUS one (order, -1) sentinel per order, and a single
+    orderkey blob co-partition finishes the global distinct so each
+    block yields exact per-part basket counts and its share of N.  The
+    lift float chain is one mirrored expression over four exact ints.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .text import round_half_away
+
+    top = basket_pairs(sf_dir, k=k, n_parts=n_parts).to_pandas()
+    if not len(top):
+        return ray.data.from_arrow(pa.table({
+            "p1": pa.array([], type=pa.int64()),
+            "p2": pa.array([], type=pa.int64()),
+            "n_orders": pa.array([], type=pa.int64()),
+            "lift": pa.array([], type=pa.float64())}))
+    members = np.unique(np.concatenate(
+        [top["p1"].to_numpy(), top["p2"].to_numpy()]).astype(np.int64))
+    mem_ref = ray.put(members)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..state.bcast import cached_get
+
+        mem = cached_get(mem_ref)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _sorted_membership(mem, pk)
+        okm, pkm = ok[m], pk[m]
+        # member rows + one sentinel row per order (for N)
+        ok2 = np.concatenate([okm, np.unique(ok)])
+        pk2 = np.concatenate([pkm, np.full(len(np.unique(ok)), -1,
+                                           dtype=np.int64)])
+        assert (len(ok2) == 0
+                or (ok2.max() < (1 << 42)
+                    and pk2.max() < (1 << 21) - 1)), \
+            "basket_lift key packing assumes ok < 2^42, pk < 2^21-1"
+        key = ok2 * np.int64(1 << 21) + (pk2 + 1)
+        uk = np.unique(key)
+        ok3 = uk >> 21
+        pk3 = (uk & ((1 << 21) - 1)) - 1
+        part = _part_of(ok3, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, ok3, pk3 = part[ordp], ok3[ordp], pk3[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "ok": pa.array(ok3[a_:b_]),
+                "pk": pa.array(pk3[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"ok": pa.array([], type=pa.int64()),
+             "pk": pa.array([], type=pa.int64())})
+        ok = t["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ok):
+            return pa.table({"pk": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        key = ok * np.int64(1 << 21) + (pk + 1)
+        uk = np.unique(key)            # global distinct (order, part)
+        pk2 = ((uk & ((1 << 21) - 1)) - 1).astype(np.int64)
+        u, cnt = np.unique(pk2, return_counts=True)
+        return pa.table({"pk": pa.array(u),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    cnts = (li.map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby("part")
+            .map_groups(merge, batch_format="pandas")
+            .groupby("pk").aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas()
+    nmap = dict(zip(cnts["pk"].astype(int), cnts["n"].astype(int)))
+    N = nmap.pop(-1, 0)
+    lift = [float(round_half_away(np.float64(
+        float(int(r["n_orders"])) * float(N)
+        / (float(nmap[int(r["p1"])]) * float(nmap[int(r["p2"])])))))
+        for _, r in top.iterrows()]
+    return ray.data.from_arrow(pa.table({
+        "p1": pa.array(top["p1"].to_numpy().astype(np.int64)),
+        "p2": pa.array(top["p2"].to_numpy().astype(np.int64)),
+        "n_orders": pa.array(top["n_orders"].to_numpy()
+                             .astype(np.int64)),
+        "lift": pa.array(lift, type=pa.float64()),
+    }))
+
+
+def basket_lift_sql(k: int = 100) -> str:
+    """Oracle for :func:`basket_lift` — lift over the same top-k pair
+    selection, one mirrored float expression."""
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey),
+top AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+        FROM pr GROUP BY 1, 2
+        ORDER BY n_orders DESC, p1, p2 LIMIT {k}),
+na AS (SELECT l_partkey,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+       FROM lp GROUP BY 1),
+nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+       FROM lineitem)
+SELECT t.p1, t.p2, t.n_orders,
+       round(CAST(t.n_orders AS DOUBLE) * CAST(nn.n AS DOUBLE)
+             / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 6) AS lift
+FROM top t JOIN na a ON a.l_partkey = t.p1
+JOIN na b ON b.l_partkey = t.p2
+CROSS JOIN nn ORDER BY 1, 2"""
