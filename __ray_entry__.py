@@ -1262,6 +1262,14 @@ def _q_knox_pairs(sf_dir: str):
                       DIST_JOIN_M)
 
 
+def _q_dup_by_length(sf_dir: str):
+    """Duplicate rate by length decile: digest blob co-partition flag
+    joined to the NTILE(10) decile, bounded cell aggregate."""
+    from s2ray.pipelines.dedup import dup_by_length
+
+    return dup_by_length(sf_dir)
+
+
 def _q_basket_lift(sf_dir: str):
     """Association lift for the top-100 basket pairs (distinct-basket
     counts via sentinel blob co-partition, mirrored lift chain)."""
@@ -2962,6 +2970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_open_orders": _q_peak_open_orders,
         "basket_pairs": _q_basket_pairs,
         "basket_lift": _q_basket_lift,
+        "dup_by_length": _q_dup_by_length,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
         "quadrat_dispersion": _q_quadrat_dispersion,
@@ -3257,6 +3266,7 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.spatial_join import (destination_points_sql,
                                               location_codec_sql)
     from s2ray.pipelines.polyline import Polyline
+    from s2ray.pipelines.dedup import DUP_BY_LENGTH_SQL
     from s2ray.pipelines.text import (CHAR_ENTROPY_SQL,
                                       TOKEN_LEN_STATS_SQL,
                                       LEXICAL_SIMPSON_SQL,
@@ -4720,6 +4730,7 @@ FROM (
         "peak_open_orders": peak_open_orders_sql(),
         "basket_pairs": basket_pairs_sql(),
         "basket_lift": basket_lift_sql(),
+        "dup_by_length": DUP_BY_LENGTH_SQL,
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "domain_components": domain_components_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,

@@ -1950,3 +1950,153 @@ def dup_degree_hist(sf_dir: str, tau: float = 0.5,
     return (deg.map_batches(hist_partial, batch_format="pyarrow",
                             batch_size=None)
             .groupby("degree").aggregate(Sum("pn", alias_name="n_docs")))
+
+
+def dup_by_length(sf_dir: str, n_parts: int = 64):
+    """Duplicate rate by document-length decile: are long documents more
+    (or less) likely to be exact duplicates?  Joins the exact-dup flag
+    (content-digest groups of size >= 2) with the per-language NTILE(10)
+    length decile — (lang, decile, n_docs, n_dups, dup_rate).  The
+    curation-dashboard composition of exact_dedup and doc_deciles.
+
+    Scale plan: the dup flag rides ONE digest-hashed blob co-partition
+    (16-byte digest + id per doc; all copies of a digest co-locate, so
+    group size finishes in-block); the per-doc decile comes from the
+    established doc_deciles two-level scan; ONE doc_id co-partition
+    joins flag to decile and only (lang, decile) cell partials reach
+    the final bounded groupby.  The rate is the single mirrored
+    division.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .analytics import doc_deciles
+    from .join import (_ipc_bytes, _ipc_table, _part_of,
+                       copartition_hash_join)
+    from .text import round_half_away
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch["text"].to_pandas()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dig = [content_digest(x) for x in t]  # handles None/NaN itself
+        d1 = np.frombuffer(b"".join(d[:8] for d in dig),
+                           dtype=">i8").astype(np.int64) \
+            if dig else np.empty(0, np.int64)
+        d2 = np.frombuffer(b"".join(d[8:] for d in dig),
+                           dtype=">i8").astype(np.int64) \
+            if dig else np.empty(0, np.int64)
+        part = _part_of(d1, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, d1, d2, ids = part[ordp], d1[ordp], d2[ordp], ids[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "d1": pa.array(d1[a_:b_]), "d2": pa.array(d2[a_:b_]),
+                "i": pa.array(ids[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def flags(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"d1": pa.array([], type=pa.int64()),
+             "d2": pa.array([], type=pa.int64()),
+             "i": pa.array([], type=pa.int64())})
+        d1 = t["d1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = t["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(i):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "dup": pa.array([], type=pa.int64())})
+        order = np.lexsort((d2, d1))
+        d1, d2, i = d1[order], d2[order], i[order]
+        new = np.concatenate(
+            [[True], (d1[1:] != d1[:-1]) | (d2[1:] != d2[:-1])])
+        seg = np.cumsum(new) - 1
+        sz = np.bincount(seg).astype(np.int64)
+        return pa.table({"doc_id": pa.array(i),
+                         "dup": pa.array((sz[seg] >= 2)
+                                         .astype(np.int64))})
+
+    flag_ds = (docs.map_batches(tag, batch_format="pyarrow",
+                                batch_size=None)
+               .groupby("part")
+               .map_groups(flags, batch_format="pandas"))
+
+    dec = doc_deciles(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "lang", "decile"]),
+        batch_format="pyarrow", batch_size=None)
+
+    j = copartition_hash_join(dec, flag_ds, on="doc_id",
+                              n_parts=n_parts, how="inner")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pandas()
+        gk = lang.where(lang.notna(), "\x00").astype(str).to_numpy()
+        dc = batch["decile"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dup = batch["dup"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pd.DataFrame({"lang": gk, "decile": dc, "dup": dup}) \
+            .groupby(["lang", "decile"], sort=False) \
+            .agg(pn=("dup", "size"), pd_=("dup", "sum")).reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"], type=pa.string()),
+            "decile": pa.array(g["decile"].to_numpy()
+                               .astype(np.int64)),
+            "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+            "pd_": pa.array(g["pd_"].to_numpy().astype(np.int64)),
+        })
+
+    m = (j.map_batches(cells, batch_format="pyarrow", batch_size=None)
+         .groupby(["lang", "decile"])
+         .aggregate(Sum("pn", alias_name="n_docs"),
+                    Sum("pd_", alias_name="n_dups"))).to_pandas() \
+        .sort_values(["lang", "decile"], ignore_index=True)
+    rate = [float(round_half_away(np.float64(
+        float(int(d_)) / float(int(n_)))))
+        for d_, n_ in zip(m["n_dups"], m["n_docs"])] if len(m) else []
+    lang_out = m["lang"].where(m["lang"] != "\x00", None) if len(m) \
+        else m.get("lang", pd.Series(dtype=object))
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(lang_out, type=pa.string()),
+        "decile": pa.array(m["decile"].to_numpy().astype(np.int64)
+                           if len(m) else np.empty(0, np.int64)),
+        "n_docs": pa.array(m["n_docs"].to_numpy().astype(np.int64)
+                           if len(m) else np.empty(0, np.int64)),
+        "n_dups": pa.array(m["n_dups"].to_numpy().astype(np.int64)
+                           if len(m) else np.empty(0, np.int64)),
+        "dup_rate": pa.array(rate, type=pa.float64()),
+    }))
+
+
+DUP_BY_LENGTH_SQL = """
+WITH dec AS (
+  SELECT doc_id, lang,
+         CAST(ntile(10) OVER (PARTITION BY lang
+                              ORDER BY n_chars, doc_id) AS BIGINT)
+           AS decile
+  FROM documents),
+fl AS (SELECT doc_id,
+              CASE WHEN count(*) OVER (PARTITION BY text) >= 2
+                   THEN 1 ELSE 0 END AS dup
+       FROM documents)
+SELECT dec.lang, dec.decile, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(fl.dup) AS BIGINT) AS n_dups,
+       round(CAST(sum(fl.dup) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM dec JOIN fl USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""

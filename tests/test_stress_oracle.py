@@ -27,7 +27,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "nearest_city_stats", "bearing_sectors", "bipartite_nn",
                "city_visits_monthly",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
-               "dup_span_stats", "ngram_novelty",
+               "dup_span_stats", "ngram_novelty", "dup_by_length",
                "inverted_index", "cosine_sim_pairs",
                "group_sizes_hist",
                "pmi_collocations",
