@@ -1262,6 +1262,22 @@ def _q_knox_pairs(sf_dir: str):
                       DIST_JOIN_M)
 
 
+def _q_activity_curve(sf_dir: str):
+    """User-aligned retention curve (distinct user-day blob
+    co-partition, calendar-bounded offsets, mirrored rate)."""
+    from s2ray.pipelines.analytics import activity_curve
+
+    return activity_curve(sf_dir)
+
+
+def _q_langid_mismatch(sf_dir: str):
+    """Per-source labeled-lang vs LangId mismatch rate (fused scan,
+    source-bounded partials)."""
+    from s2ray.pipelines.text import langid_mismatch_by_source
+
+    return langid_mismatch_by_source(sf_dir)
+
+
 def _q_dup_by_length(sf_dir: str):
     """Duplicate rate by length decile: digest blob co-partition flag
     joined to the NTILE(10) decile, bounded cell aggregate."""
@@ -2971,6 +2987,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": _q_basket_pairs,
         "basket_lift": _q_basket_lift,
         "dup_by_length": _q_dup_by_length,
+        "activity_curve": _q_activity_curve,
+        "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
         "quadrat_dispersion": _q_quadrat_dispersion,
@@ -3213,6 +3231,7 @@ def oracle_sql() -> dict[str, str]:
                                            rfm_segments_sql,
                                            peak_window_sql,
                                            USER_GROWTH_SQL,
+                                           ACTIVITY_CURVE_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -4731,6 +4750,7 @@ FROM (
         "basket_pairs": basket_pairs_sql(),
         "basket_lift": basket_lift_sql(),
         "dup_by_length": DUP_BY_LENGTH_SQL,
+        "activity_curve": ACTIVITY_CURVE_SQL,
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "domain_components": domain_components_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,
@@ -5254,6 +5274,17 @@ m AS (SELECT lang, quantile_disc(quality, 0.5) AS med
 SELECT ql.doc_id, ql.lang FROM ql JOIN m USING (lang)
 WHERE ql.quality >= m.med""",
         "lang_id": langid_sql,
+        "langid_mismatch": f"""
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN d.lang IS DISTINCT FROM p.lang_pred
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_mismatch,
+       round(CAST(coalesce(sum(CASE WHEN d.lang IS DISTINCT FROM
+                                         p.lang_pred
+                                    THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mismatch_rate
+FROM documents d JOIN ({langid_sql}) p USING (doc_id)
+GROUP BY 1 ORDER BY 1""",
         "langid_confusion": f"""
 SELECT d.lang AS lang, p.lang_pred AS lang_pred,
        CAST(count(*) AS BIGINT) AS n

@@ -5016,3 +5016,114 @@ SELECT d AS day, n_new_users,
                                    ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS cum_users
 FROM c ORDER BY 1"""
+
+
+def activity_curve(sf_dir: str, n_parts: int = 64):
+    """Cohort-free retention curve: the share of users active k days
+    after their OWN first day — (day_offset, n_users, rate); rate is
+    against the offset-0 population (every user is active on their
+    first day, so n_users(0) == total users).  The standard "does the
+    product retain?" curve, user-aligned rather than calendar-aligned
+    (cohort_retention is the calendar-aligned variant).
+
+    Scale plan: distinct (user, day) pairs collapse per batch, ride ONE
+    user-hashed blob co-partition, and each merge block turns its users
+    into per-offset distinct-user count partials (calendar-bounded);
+    one tiny groupby sums them and the rate is the mirrored division.
+    NULL user/ts drop on both engines.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .join import _ipc_bytes, _ipc_table, _part_of
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(u) & ~np.isnat(ts)
+        uu = u[ok].astype(np.int64)
+        d = ts[ok].astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        assert len(d) == 0 or (d.min() >= 0 and d.max() < 50000), \
+            "activity_curve day packing assumes days in [0, 50000)"
+        key = uu * np.int64(50000) + d
+        uk = np.unique(key)
+        uu, d = uk // 50000, uk % 50000
+        part = _part_of(uu, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, uu, d = part[ordp], uu[ordp], d[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "u": pa.array(uu[a_:b_]), "d": pa.array(d[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"u": pa.array([], type=pa.int64()),
+             "d": pa.array([], type=pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(u):
+            return pa.table({"off": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        key = np.unique(u * np.int64(50000) + d)   # global distinct
+        u, d = key // 50000, key % 50000
+        starts = np.concatenate(
+            [[0], np.flatnonzero(u[1:] != u[:-1]) + 1]).astype(np.int64)
+        first = np.repeat(np.minimum.reduceat(d, starts),
+                          np.diff(np.concatenate(
+                              [starts, [len(u)]])).astype(np.int64))
+        off = d - first
+        uo, cnt = np.unique(off, return_counts=True)
+        return pa.table({"off": pa.array(uo),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    m = (ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+         .groupby("part")
+         .map_groups(merge, batch_format="pandas")
+         .groupby("off").aggregate(Sum("pn", alias_name="n_users"))) \
+        .to_pandas().sort_values("off", ignore_index=True)
+    import ray.data as _rd
+    if not len(m):
+        return _rd.from_arrow(pa.table({
+            "day_offset": pa.array([], type=pa.int64()),
+            "n_users": pa.array([], type=pa.int64()),
+            "rate": pa.array([], type=pa.float64())}))
+    total = int(m.loc[m["off"] == 0, "n_users"].iloc[0])
+    rate = [float(round_half_away(np.float64(
+        float(int(n_)) / float(total))))
+        for n_ in m["n_users"]]
+    return _rd.from_arrow(pa.table({
+        "day_offset": pa.array(m["off"].to_numpy().astype(np.int64)),
+        "n_users": pa.array(m["n_users"].to_numpy().astype(np.int64)),
+        "rate": pa.array(rate, type=pa.float64()),
+    }))
+
+
+ACTIVITY_CURVE_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT user_id, min(day) AS f0 FROM d GROUP BY 1),
+c AS (SELECT d.day - f.f0 AS off, CAST(count(*) AS BIGINT) AS n_users
+      FROM d JOIN f USING (user_id) GROUP BY 1),
+t AS (SELECT n_users AS total FROM c WHERE off = 0)
+SELECT c.off AS day_offset, c.n_users,
+       round(CAST(c.n_users AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+         AS rate
+FROM c CROSS JOIN t ORDER BY 1"""

@@ -2504,3 +2504,59 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
              / CAST(count(*) AS DOUBLE), 6) AS avg_len,
        CAST(max(length(token)) AS BIGINT) AS max_len
 FROM tok GROUP BY 1 ORDER BY 1"""
+
+
+def langid_mismatch_by_source(sf_dir: str):
+    """Label-quality drill-down: per source, the share of documents
+    whose labeled ``lang`` disagrees with the marker-word LangId
+    prediction — (source, n_docs, n_mismatch, mismatch_rate).  The
+    per-provenance slice of :func:`langid_confusion` (a single noisy
+    source shows up here long before it moves the global matrix).
+
+    One streaming pass (LangId fuses with the scan); mismatch uses
+    IS-DISTINCT-FROM semantics (NULL label != prediction); only
+    (source)-bounded count partials shuffle; NULL source is its own
+    group via the sentinel key, restored in the finalize.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch)["lang_pred"].to_pandas()
+        lab = batch["lang"].to_pandas()
+        src = batch["source"].to_pandas()
+        gk = src.where(src.notna(), "\x00").astype(str)
+        mism = ~(lab.eq(pred) | (lab.isna() & pred.isna()))
+        g = pd.DataFrame({"gk": gk, "m": mism.astype(np.int64)}) \
+            .groupby("gk", sort=False) \
+            .agg(pn=("m", "size"), pm=("m", "sum")).reset_index()
+        return pa.table({
+            "gk": pa.array(g["gk"], type=pa.string()),
+            "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+            "pm": pa.array(g["pm"].to_numpy().astype(np.int64)),
+        })
+
+    m = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby("gk")
+         .aggregate(Sum("pn", alias_name="n_docs"),
+                    Sum("pm", alias_name="n_mismatch"))).to_pandas() \
+        .sort_values("gk", ignore_index=True)
+    rate = [float(round_half_away(np.float64(
+        float(int(x)) / float(int(n)))))
+        for x, n in zip(m["n_mismatch"], m["n_docs"])] if len(m) else []
+    src_out = m["gk"].where(m["gk"] != "\x00", None) if len(m) else []
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "source": pa.array(src_out, type=pa.string()),
+        "n_docs": pa.array(m["n_docs"].to_numpy().astype(np.int64)
+                           if len(m) else np.empty(0, np.int64)),
+        "n_mismatch": pa.array(m["n_mismatch"].to_numpy()
+                               .astype(np.int64) if len(m)
+                               else np.empty(0, np.int64)),
+        "mismatch_rate": pa.array(rate, type=pa.float64()),
+    }))

@@ -37,7 +37,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "tile_centroids", "monthly_centroid", "tile_zipf", "lang_radius",
                "centroid_drift",
                "standardize_docs", "doc_deciles", "doc_percent_rank", "cross_lang_nn",
-               "source_mix", "langid_confusion", "emb_integrity", "lang_centroid_sim",
+               "source_mix", "langid_confusion", "langid_mismatch", "emb_integrity", "lang_centroid_sim",
                "tile_growth", "grid_smooth", "morans_i", "grid_kde",
                "getis_ord", "local_moran", "join_counts",
                "tile_mann_kendall", "lang_ellipse", "lang_frontier",
@@ -60,7 +60,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "char_entropy"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window",
-                 "events_quantiles_cont", "user_growth",
+                 "events_quantiles_cont", "user_growth", "activity_curve",
                  "funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
                  "events_weekday_hour",
@@ -249,7 +249,7 @@ def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
     _assert_matches_oracle(qname, e.queries()[qname](unicode_dir), con)
 
 
-NULL_USER_QUERIES = ["user_growth",
+NULL_USER_QUERIES = ["user_growth", "activity_curve",
                      "user_sessions", "funnel_views", "event_gaps",
                      "cohort_retention", "user_streaks",
                      "events_distinct_users", "events_asof",
