@@ -1262,6 +1262,14 @@ def _q_knox_pairs(sf_dir: str):
                       DIST_JOIN_M)
 
 
+def _q_event_trigrams(sf_dir: str):
+    """Consecutive event-type trigram counts per user order (blob
+    co-partition, K^3-bounded output)."""
+    from s2ray.pipelines.analytics import event_trigrams
+
+    return event_trigrams(sf_dir)
+
+
 def _q_activity_curve(sf_dir: str):
     """User-aligned retention curve (distinct user-day blob
     co-partition, calendar-bounded offsets, mirrored rate)."""
@@ -2988,6 +2996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_lift": _q_basket_lift,
         "dup_by_length": _q_dup_by_length,
         "activity_curve": _q_activity_curve,
+        "event_trigrams": _q_event_trigrams,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3232,6 +3241,7 @@ def oracle_sql() -> dict[str, str]:
                                            peak_window_sql,
                                            USER_GROWTH_SQL,
                                            ACTIVITY_CURVE_SQL,
+                                           EVENT_TRIGRAMS_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -4751,6 +4761,7 @@ FROM (
         "basket_lift": basket_lift_sql(),
         "dup_by_length": DUP_BY_LENGTH_SQL,
         "activity_curve": ACTIVITY_CURVE_SQL,
+        "event_trigrams": EVENT_TRIGRAMS_SQL,
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "domain_components": domain_components_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,

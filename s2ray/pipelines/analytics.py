@@ -5127,3 +5127,104 @@ SELECT c.off AS day_offset, c.n_users,
        round(CAST(c.n_users AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
          AS rate
 FROM c CROSS JOIN t ORDER BY 1"""
+
+
+def event_trigrams(sf_dir: str, n_parts: int = 64):
+    """Third-order path mining: counts of CONSECUTIVE event-type
+    triples per user in (ts, event_id) order — (trigram, n), trigram
+    as "a,b,c".  Extends event_transitions' bigram matrix to the
+    three-step funnels ("view,click,purchase") product analytics
+    actually asks for; output is type-vocabulary bounded (K^3).
+
+    Scale plan: only (user, ts, event_id, type) rides ONE user-hashed
+    blob co-partition; each merge block lexsorts once, detects
+    same-user runs vectorized, packs type codes into one int key
+    (K^2 factorized per block) and emits (trigram, count) partials;
+    the final groupby is K^3-bounded.  NULL user/ts/type drop BEFORE
+    sequencing on both engines (adjacency is over the kept rows).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .join import _ipc_bytes, _ipc_table, _part_of
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        t = batch["event_type"].to_pandas()
+        ok = ~pd.isna(u) & ~np.isnat(ts) & t.notna().to_numpy()
+        uu = u[ok].astype(np.int64)
+        tsv = ts[ok].astype("datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)[ok] \
+            .astype(np.int64)
+        ty = t[ok].astype(str).to_numpy()
+        part = _part_of(uu, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, uu, tsv, eid, ty = (part[ordp], uu[ordp], tsv[ordp],
+                                  eid[ordp], ty[ordp])
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "u": pa.array(uu[a_:b_]), "ts": pa.array(tsv[a_:b_]),
+                "e": pa.array(eid[a_:b_]),
+                "t": pa.array(ty[a_:b_], type=pa.string())})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"u": pa.array([], type=pa.int64()),
+             "ts": pa.array([], type=pa.int64()),
+             "e": pa.array([], type=pa.int64()),
+             "t": pa.array([], type=pa.string())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t["e"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = np.asarray(t["t"].to_pandas(), dtype=object)
+        if len(u) < 3:
+            return pa.table({"trigram": pa.array([], type=pa.string()),
+                             "pn": pa.array([], type=pa.int64())})
+        order = np.lexsort((e, ts, u))
+        u, ty = u[order], ty[order]
+        codes, uniq = pd.factorize(pd.Series(ty))
+        K = np.int64(len(uniq))
+        same3 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        c = codes.astype(np.int64)
+        key = (c[:-2] * K + c[1:-1]) * K + c[2:]
+        uk, cnt = np.unique(key[same3], return_counts=True)
+        tri = [f"{uniq[k // (K * K)]},{uniq[(k // K) % K]},{uniq[k % K]}"
+               for k in uk.tolist()]
+        return pa.table({"trigram": pa.array(tri, type=pa.string()),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby("part")
+            .map_groups(merge, batch_format="pandas")
+            .groupby("trigram").aggregate(Sum("pn", alias_name="n"))
+            .sort("trigram"))
+
+
+EVENT_TRIGRAMS_SQL = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS t2,
+                  lead(event_type, 2) OVER w AS t3
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type || ',' || t2 || ',' || t3 AS trigram,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1 ORDER BY 1"""

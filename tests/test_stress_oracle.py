@@ -67,7 +67,7 @@ EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "events_distinct_users", "props_field_stats",
                  "events_winsorized", "events_mad", "user_streaks",
                  "events_sliding_distinct", "user_rolling",
-                 "event_transitions", "event_followups",
+                 "event_transitions", "event_followups", "event_trigrams",
                  "event_cooccurrence", "session_entry_exit",
                  "user_burstiness", "event_type_trend",
                  "user_type_matrix", "value_histogram", "user_skyline",
@@ -249,7 +249,7 @@ def test_unicode_whitespace_matches_oracle(qname, unicode_dir, ray_session):
     _assert_matches_oracle(qname, e.queries()[qname](unicode_dir), con)
 
 
-NULL_USER_QUERIES = ["user_growth", "activity_curve",
+NULL_USER_QUERIES = ["user_growth", "activity_curve", "event_trigrams",
                      "user_sessions", "funnel_views", "event_gaps",
                      "cohort_retention", "user_streaks",
                      "events_distinct_users", "events_asof",
