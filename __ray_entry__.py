@@ -1262,6 +1262,14 @@ def _q_knox_pairs(sf_dir: str):
                       DIST_JOIN_M)
 
 
+def _q_customer_concentration(sf_dir: str):
+    """Top-1% revenue share via bucket-offset exact rank cut (full
+    buckets summed, only the cut bucket fetched)."""
+    from s2ray.pipelines.join import customer_concentration
+
+    return customer_concentration(sf_dir)
+
+
 def _q_event_trigrams(sf_dir: str):
     """Consecutive event-type trigram counts per user order (blob
     co-partition, K^3-bounded output)."""
@@ -2997,6 +3005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_by_length": _q_dup_by_length,
         "activity_curve": _q_activity_curve,
         "event_trigrams": _q_event_trigrams,
+        "customer_concentration": _q_customer_concentration,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3270,6 +3279,7 @@ def oracle_sql() -> dict[str, str]:
                                        peak_open_orders_sql,
                                        SUPPLIER_LEAD_TIME_SQL,
                                        ORDER_SIZE_HIST_SQL,
+                                       customer_concentration_sql,
                                        ORDER_CADENCE_SQL,
                                        late_shipments_sql,
                                        market_share_sql,
@@ -4762,6 +4772,7 @@ FROM (
         "dup_by_length": DUP_BY_LENGTH_SQL,
         "activity_curve": ACTIVITY_CURVE_SQL,
         "event_trigrams": EVENT_TRIGRAMS_SQL,
+        "customer_concentration": customer_concentration_sql(),
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "domain_components": domain_components_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,

@@ -4188,3 +4188,173 @@ SELECT t.p1, t.p2, t.n_orders,
 FROM top t JOIN na a ON a.l_partkey = t.p1
 JOIN na b ON b.l_partkey = t.p2
 CROSS JOIN nn ORDER BY 1, 2"""
+
+
+def customer_concentration(sf_dir: str, top_frac: float = 0.01,
+                           money_bucket: int = 1 << 20,
+                           n_parts: int = 64):
+    """Revenue concentration: the share of lifetime revenue held by the
+    top ``top_frac`` of customers (by revenue, custkey tie-break) —
+    ONE row (n_customers, total_cents, top_cents, top_share).  The
+    inequality statistic ("do 1% of customers carry the book?").
+
+    Scale plan: customer revenue cents finish inside ONE custkey blob
+    co-partition and materialize once (customer-cardinality, the rfm
+    contract); a bucket pass aggregates (count, cents) per revenue
+    range — bounded by value SPREAD — so the driver locates the
+    top-cut rank's bucket from exclusive offsets; full buckets above
+    the cut contribute their exact sums and ONLY the cut bucket's
+    customers (~1/spread of the table) are fetched and sorted.  All
+    arithmetic is integer; the share is the single mirrored division;
+    the cut size ceil(top_frac * n) is the same double ceil on both
+    engines.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from ..state.bcast import cached_get
+    from .text import round_half_away
+
+    VB = np.int64(money_bucket)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.rint(batch["o_totalprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        ps = np.zeros(len(u), dtype=np.int64)
+        np.add.at(ps, inv, cents)
+        part = _part_of(u, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, u, ps = part[ordp], u[ordp], ps[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "c": pa.array(u[a_:b_]), "m": pa.array(ps[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"c": pa.array([], type=pa.int64()),
+             "m": pa.array([], type=pa.int64())})
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(c):
+            return pa.table({"c": pa.array([], type=pa.int64()),
+                             "m": pa.array([], type=pa.int64())})
+        order = np.argsort(c, kind="stable")
+        c, m = c[order], m[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(c[1:] != c[:-1]) + 1]).astype(np.int64)
+        return pa.table({"c": pa.array(c[starts]),
+                         "m": pa.array(np.add.reduceat(m, starts))})
+
+    cust = (orders.map_batches(tag, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("part")
+            .map_groups(merge, batch_format="pandas")).materialize()
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        m = batch["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert len(m) == 0 or m.min() >= 0, \
+            "customer_concentration assumes non-negative revenue"
+        vb = m // VB
+        u, inv = np.unique(vb, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, m)
+        return pa.table({
+            "vb": pa.array(u),
+            "pn": pa.array(np.bincount(inv, minlength=len(u))
+                           .astype(np.int64)),
+            "ph": pa.array(s // (1 << 31)),
+            "pl": pa.array(s % (1 << 31)),
+        })
+
+    bk = (cust.map_batches(buckets, batch_format="pyarrow",
+                           batch_size=None)
+          .groupby("vb").aggregate(Sum("pn", alias_name="n"),
+                                   Sum("ph"), Sum("pl"))).to_pandas() \
+        .sort_values("vb", ignore_index=True)
+    n_cust = int(bk["n"].sum()) if len(bk) else 0
+    total = sum(((int(h) << 31) + int(l))
+                for h, l in zip(bk.get("sum(ph)", []),
+                                bk.get("sum(pl)", [])))
+    if n_cust == 0:
+        return ray.data.from_arrow(pa.table({
+            "n_customers": pa.array([0], type=pa.int64()),
+            "total_cents": pa.array([0], type=pa.int64()),
+            "top_cents": pa.array([0], type=pa.int64()),
+            "top_share": pa.array([None], type=pa.float64())}))
+    k = int(np.ceil(np.float64(top_frac) * np.float64(n_cust)))
+    rstar = n_cust - k                       # 0-based ascending rank cut
+    cum = np.concatenate([[0], np.cumsum(bk["n"].to_numpy())])
+    bstar = int(np.searchsorted(cum, rstar, side="right") - 1)
+    # full buckets strictly above the cut bucket
+    top = sum(((int(h) << 31) + int(l))
+              for h, l in zip(bk["sum(ph)"][bstar + 1:],
+                              bk["sum(pl)"][bstar + 1:]))
+    vb_star = int(bk["vb"].iloc[bstar])
+    vb_ref = ray.put(vb_star)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        vbs = cached_get(vb_ref)
+        m = batch["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (m // VB) == vbs
+        return pa.table({"c": pa.array(c[keep]),
+                         "m": pa.array(m[keep])})
+
+    cand = (cust.map_batches(fetch, batch_format="pyarrow",
+                             batch_size=None)).to_pandas() \
+        .sort_values(["m", "c"], ignore_index=True)
+    off = rstar - int(cum[bstar])
+    top += int(cand["m"][off:].sum())
+    share = float(round_half_away(np.float64(
+        float(top) / float(total))))
+    return ray.data.from_arrow(pa.table({
+        "n_customers": pa.array([n_cust], type=pa.int64()),
+        "total_cents": pa.array([total], type=pa.int64()),
+        "top_cents": pa.array([top], type=pa.int64()),
+        "top_share": pa.array([share], type=pa.float64()),
+    }))
+
+
+def customer_concentration_sql(top_frac: float = 0.01) -> str:
+    """Oracle for :func:`customer_concentration` — rank window with the
+    same double-ceil cut."""
+    return f"""
+WITH c AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS total
+      FROM c),
+r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) - 1 AS rk
+      FROM c),
+t AS (SELECT CAST(coalesce(sum(CAST(r.cents AS HUGEINT)), 0) AS BIGINT)
+        AS top
+      FROM r CROSS JOIN m
+      WHERE r.rk >= m.n - CAST(ceil({top_frac!r} * m.n) AS BIGINT))
+SELECT m.n AS n_customers, m.total AS total_cents, t.top AS top_cents,
+       round(CAST(t.top AS DOUBLE) / CAST(m.total AS DOUBLE), 6)
+         AS top_share
+FROM m CROSS JOIN t"""
