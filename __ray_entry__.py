@@ -1262,6 +1262,16 @@ def _q_knox_pairs(sf_dir: str):
                       DIST_JOIN_M)
 
 
+def _q_source_cooccurrence(sf_dir: str):
+    """Cross-domain shared-text matrix over the crawl (digest blob
+    co-partition, |domains|^2-bounded output)."""
+    from s2ray.pipelines.dedup import source_cooccurrence
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return source_cooccurrence(pages_with_cells(sf_dir,
+                                                token_level=None))
+
+
 def _q_customer_concentration(sf_dir: str):
     """Top-1% revenue share via bucket-offset exact rank cut (full
     buckets summed, only the cut bucket fetched)."""
@@ -3006,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_curve": _q_activity_curve,
         "event_trigrams": _q_event_trigrams,
         "customer_concentration": _q_customer_concentration,
+        "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
@@ -3305,7 +3316,8 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.spatial_join import (destination_points_sql,
                                               location_codec_sql)
     from s2ray.pipelines.polyline import Polyline
-    from s2ray.pipelines.dedup import DUP_BY_LENGTH_SQL
+    from s2ray.pipelines.dedup import (DUP_BY_LENGTH_SQL,
+                                       source_cooccurrence_sql)
     from s2ray.pipelines.text import (CHAR_ENTROPY_SQL,
                                       TOKEN_LEN_STATS_SQL,
                                       LEXICAL_SIMPSON_SQL,
@@ -4773,6 +4785,7 @@ FROM (
         "activity_curve": ACTIVITY_CURVE_SQL,
         "event_trigrams": EVENT_TRIGRAMS_SQL,
         "customer_concentration": customer_concentration_sql(),
+        "source_cooccurrence": source_cooccurrence_sql(cte),
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "domain_components": domain_components_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,

@@ -2100,3 +2100,130 @@ SELECT dec.lang, dec.decile, CAST(count(*) AS BIGINT) AS n_docs,
          AS dup_rate
 FROM dec JOIN fl USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def source_cooccurrence(pages_ds, n_parts: int = 64):
+    """Cross-domain contamination matrix over the crawl: for each
+    unordered domain pair, the number of DISTINCT page texts both
+    domains serve — (source_a, source_b, n_shared_texts).  High
+    off-diagonal mass means mirrored feeds; the provenance companion
+    of exact_dedup (dup_span_stats tells you how much is duplicated,
+    this tells you between whom).  Domains extract from the url — the
+    only provenance field a real crawl record carries.
+
+    Scale plan: distinct (digest, domain) pairs collapse per batch and
+    ride ONE digest-hashed blob co-partition (16-byte digest + domain
+    string, never the text); each merge block sees every domain of a
+    digest, enumerates its C(k, 2) domain pairs (k <= domain
+    vocabulary, and ONLY shared digests enter the python loop) and
+    emits pair count partials — the final groupby is
+    |domains|^2-bounded.  NULL urls drop on both engines.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .join import _ipc_bytes, _ipc_table, _part_of
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch["text"].to_pandas()
+        dom = pc.struct_field(
+            pc.extract_regex(pc.cast(batch["url"], pa.string()),
+                             r"https://(?P<d>[^/]+)/"), "d")
+        s = dom.to_pandas()
+        ok = s.notna().to_numpy()
+        t, s = t[ok], s[ok].astype(str)
+        pairs = pd.DataFrame({"t": t, "s": s}).drop_duplicates()
+        dig = [content_digest(x) for x in pairs["t"]]
+        d1 = np.frombuffer(b"".join(d[:8] for d in dig),
+                           dtype=">i8").astype(np.int64) \
+            if dig else np.empty(0, np.int64)
+        d2 = np.frombuffer(b"".join(d[8:] for d in dig),
+                           dtype=">i8").astype(np.int64) \
+            if dig else np.empty(0, np.int64)
+        sv = pairs["s"].to_numpy()
+        part = _part_of(d1, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, d1, d2, sv = part[ordp], d1[ordp], d2[ordp], sv[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "d1": pa.array(d1[a_:b_]), "d2": pa.array(d2[a_:b_]),
+                "s": pa.array(sv[a_:b_], type=pa.string())})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def pairs_of(df) -> pa.Table:
+        from collections import Counter
+
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"d1": pa.array([], type=pa.int64()),
+             "d2": pa.array([], type=pa.int64()),
+             "s": pa.array([], type=pa.string())})
+        d1 = t["d1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = t["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.asarray(t["s"].to_pandas(), dtype=object)
+        if not len(d1):
+            return pa.table({
+                "source_a": pa.array([], type=pa.string()),
+                "source_b": pa.array([], type=pa.string()),
+                "pn": pa.array([], type=pa.int64())})
+        order = np.lexsort((s, d2, d1))
+        d1, d2, s = d1[order], d2[order], s[order]
+        # cross-batch duplicates of (digest, source) collapse here
+        new = np.concatenate(
+            [[True], (d1[1:] != d1[:-1]) | (d2[1:] != d2[:-1])
+             | (s[1:] != s[:-1])])
+        d1, d2, s = d1[new], d2[new], s[new]
+        dstart = np.concatenate(
+            [[True], (d1[1:] != d1[:-1]) | (d2[1:] != d2[:-1])])
+        starts = np.flatnonzero(dstart).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [len(d1)]])) \
+            .astype(np.int64)
+        cnt = Counter()
+        multi = sizes >= 2        # python loop over SHARED digests only
+        for st, sz in zip(starts[multi], sizes[multi]):
+            grp = s[st:st + sz]          # sorted, distinct sources
+            for i in range(sz - 1):
+                for j in range(i + 1, sz):
+                    cnt[(grp[i], grp[j])] += 1
+        keys = sorted(cnt)
+        return pa.table({
+            "source_a": pa.array([k[0] for k in keys],
+                                 type=pa.string()),
+            "source_b": pa.array([k[1] for k in keys],
+                                 type=pa.string()),
+            "pn": pa.array([cnt[k] for k in keys], type=pa.int64()),
+        })
+
+    return (pages_ds.map_batches(tag, batch_format="pyarrow",
+                                 batch_size=None)
+            .groupby("part")
+            .map_groups(pairs_of, batch_format="pandas")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("pn", alias_name="n_shared_texts"))
+            .sort(["source_a", "source_b"]))
+
+
+def source_cooccurrence_sql(cte: str) -> str:
+    """Oracle for :func:`source_cooccurrence` — distinct (text, domain)
+    self-join on text equality across domain pairs."""
+    return f"""{cte},
+g AS (SELECT DISTINCT text,
+             regexp_extract(url, 'https://([^/]+)/', 1) AS source
+      FROM pages_geo),
+pr AS (SELECT a.source AS source_a, b.source AS source_b
+       FROM g a JOIN g b ON a.text IS NOT DISTINCT FROM b.text
+                        AND a.source < b.source)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
+FROM pr GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -97,7 +97,7 @@ def _compare(name, entrymod, con):
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
-                                   "customer_concentration",
+                                   "customer_concentration", "source_cooccurrence",
                                    "peak_window", "peak_open_orders",
                                    "supplier_lead_time", "char_entropy", "silhouette_hist",
                                    "events_quantiles_cont", "tile_zipf", "centroid_drift",

@@ -28,6 +28,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "city_visits_monthly",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
                "dup_span_stats", "ngram_novelty", "dup_by_length",
+               "source_cooccurrence",
                "inverted_index", "cosine_sim_pairs",
                "group_sizes_hist",
                "pmi_collocations",
