@@ -1188,6 +1188,14 @@ def _q_token_len_stats(sf_dir: str):
     return token_len_stats(sf_dir)
 
 
+def _q_tile_gini(sf_dir: str):
+    """Gini inequality of level-8 tile populations (exact big-int rank
+    moments over the tile-count core)."""
+    from s2ray.pipelines.tiles import tile_gini
+
+    return tile_gini(sf_dir)
+
+
 def _q_tile_zipf(sf_dir: str):
     """Rank-size regression over occupied level-8 tile populations
     (order-pinned moment fold, tie-rank cancellation)."""
@@ -3002,6 +3010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silhouette_hist": _q_silhouette_hist,
         "events_quantiles_cont": _q_events_quantiles_cont,
         "tile_zipf": _q_tile_zipf,
+        "tile_gini": _q_tile_gini,
         "user_growth": _q_user_growth,
         "lang_radius": _q_lang_radius,
         "lang_frontier": _q_lang_frontier,
@@ -4743,6 +4752,22 @@ FROM (
         "supplier_lead_time": SUPPLIER_LEAD_TIME_SQL,
         "silhouette_hist": SILHOUETTE_HIST_SQL,
         "tile_zipf": tile_zipf_sql,
+        "tile_gini": (
+            f"{cte}, tc AS (SELECT CAST(count(*) AS BIGINT) AS x FROM ("
+            + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
+            + ") GROUP BY cell_id), "
+            "r AS (SELECT x, row_number() OVER (ORDER BY x) AS i "
+            "FROM tc), "
+            "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(coalesce(sum(x), 0) AS HUGEINT) AS s1, "
+            "CAST(coalesce(sum(CAST(i AS HUGEINT) * x), 0) AS HUGEINT) "
+            "AS s2 FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n_tiles, "
+            "CAST(s1 AS BIGINT) AS total_pages, "
+            "CASE WHEN n * s1 = 0 THEN NULL ELSE "
+            "round(CAST(2 * s2 - (n + 1) * s1 AS DOUBLE) "
+            "/ CAST(n * s1 AS DOUBLE), 6) END AS gini FROM m"
+        ),
         "user_growth": USER_GROWTH_SQL,
         "lang_radius": (
             f"{cte}, q AS (SELECT lang, "

@@ -1161,3 +1161,34 @@ def lang_radius(sf_dir: str, beyond_m: float = 1_000_000.0,
         "n_beyond": pa.array(m["n_beyond"].to_numpy().astype(np.int64)
                              if len(m) else np.empty(0, np.int64)),
     }))
+
+
+def tile_gini(sf_dir: str, level: int = 8, **read_kwargs):
+    """Gini coefficient of tile populations: how unequally do pages
+    spread over the occupied level-``level`` tiles — ONE row (n_tiles,
+    total_pages, gini); ~0 uniform sprawl, ~1 a single megacity tile.
+    The inequality summary next to :func:`tile_zipf`'s rank-size
+    exponent (same tile-count core, same single-number monitoring use).
+
+    Exactness: G = (2*S2 - (n+1)*S1) / (n*S1) over ascending-sorted
+    exact integer counts; equal counts make the rank weighting
+    permutation-invariant, so no tie-break is needed; all moments are
+    Python big ints (S2 ~ n^2 * max_count would wrap int64 at a fine
+    level) and ONE mirrored division reports it.
+    """
+    import ray.data
+
+    from .text import round_half_away
+
+    counts = tile_counts(sf_dir, level=level, **read_kwargs).to_pandas()
+    x = np.sort(counts["n_pages"].to_numpy().astype(np.int64))
+    n = len(x)
+    s1 = sum(int(v) for v in x)
+    s2 = sum((i + 1) * int(v) for i, v in enumerate(x))
+    gini = (None if n * s1 == 0 else float(round_half_away(np.float64(
+        float(2 * s2 - (n + 1) * s1) / float(n * s1)))))
+    return ray.data.from_arrow(pa.table({
+        "n_tiles": pa.array([n], type=pa.int64()),
+        "total_pages": pa.array([s1], type=pa.int64()),
+        "gini": pa.array([gini], type=pa.float64()),
+    }))

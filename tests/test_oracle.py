@@ -100,7 +100,7 @@ def _compare(name, entrymod, con):
                                    "customer_concentration", "source_cooccurrence",
                                    "peak_window", "peak_open_orders",
                                    "supplier_lead_time", "char_entropy", "silhouette_hist",
-                                   "events_quantiles_cont", "tile_zipf", "centroid_drift",
+                                   "events_quantiles_cont", "tile_zipf", "tile_gini", "centroid_drift",
                                    "user_growth", "order_size_hist", "token_len_stats",
                                    "lang_radius", "lang_frontier",
                                    "domain_link_graph", "domain_pagerank",
