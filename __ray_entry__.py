@@ -1280,6 +1280,29 @@ def _q_source_cooccurrence(sf_dir: str):
                                                 token_level=None))
 
 
+def _q_search_rank(sf_dir: str):
+    """Fixed-query TF-IDF retrieval top-20 (ordered term fold, rounded
+    rank, two-level local top-k)."""
+    from s2ray.pipelines.text import search_rank
+
+    return search_rank(sf_dir)
+
+
+def _q_order_quantiles(sf_dir: str):
+    """Exact per-priority order-value quantiles: the 3-pass bounded
+    rank machinery instantiated on a SECOND table via its make_ds
+    hook (orders, o_orderpriority x o_totalprice)."""
+    from s2ray.pipelines.analytics import group_quantiles
+    from s2ray.sources.readers import read_table
+
+    return group_quantiles(
+        sf_dir, qs=(0.5, 0.9, 0.99),
+        group_col="o_orderpriority", value_col="o_totalprice",
+        make_ds=lambda: read_table(
+            sf_dir, "orders",
+            columns=["o_orderpriority", "o_totalprice"]))
+
+
 def _q_customer_concentration(sf_dir: str):
     """Top-1% revenue share via bucket-offset exact rank cut (full
     buckets summed, only the cut bucket fetched)."""
@@ -3025,6 +3048,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_curve": _q_activity_curve,
         "event_trigrams": _q_event_trigrams,
         "customer_concentration": _q_customer_concentration,
+        "order_quantiles": _q_order_quantiles,
+        "search_rank": _q_search_rank,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3333,6 +3358,7 @@ def oracle_sql() -> dict[str, str]:
                                       SOURCE_VOCAB_JACCARD_SQL,
                                       TOKEN_EDIT_PAIRS_SQL,
                                       anagram_groups_sql, heaps_law_sql,
+                                      search_rank_sql,
                                       phrase_search_sql,
                                       source_js_divergence_sql)
     from s2ray.pipelines.webgraph import (domain_assortativity_sql,
@@ -4810,6 +4836,12 @@ FROM (
         "activity_curve": ACTIVITY_CURVE_SQL,
         "event_trigrams": EVENT_TRIGRAMS_SQL,
         "customer_concentration": customer_concentration_sql(),
+        "search_rank": search_rank_sql(),
+        "order_quantiles": (
+            "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
+            "unnest(quantile_disc(o_totalprice, [0.5, 0.9, 0.99])) "
+            "AS o_totalprice FROM orders "
+            "WHERE o_totalprice IS NOT NULL GROUP BY o_orderpriority"),
         "source_cooccurrence": source_cooccurrence_sql(cte),
         "domain_bfs_depth": domain_bfs_depth_sql(cte),
         "domain_components": domain_components_sql(cte),

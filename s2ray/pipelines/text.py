@@ -2560,3 +2560,121 @@ def langid_mismatch_by_source(sf_dir: str):
                                else np.empty(0, np.int64)),
         "mismatch_rate": pa.array(rate, type=pa.float64()),
     }))
+
+
+def search_rank(sf_dir: str, terms=("data", "spark", "vector"),
+                k: int = 20, lower: bool = True):
+    """Fixed-query TF-IDF retrieval: score every document against a
+    ``terms`` query (score = sum over matched terms of tf * ln(N/df))
+    and return the top ``k`` — (doc_id, score), score DESC then doc_id.
+    The minimal search-engine shape over the same tokenizer as
+    token_doc_freq / tfidf_top3.
+
+    Exactness: df and N are exact integers from one pass; idf =
+    ln(N/df) is the identical double chain; per-doc scores fold over
+    PRESENT terms in ascending term order (mirroring the oracle's
+    list_reduce ORDER BY token), rank on the ROUNDED score with doc_id
+    tie-break, and the two-level local top-k keeps only k rows per
+    batch in flight.
+    """
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+
+    terms = sorted(set(terms))
+    T = len(terms)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_matrix(batch: pa.Table):
+        texts = _string_array(batch["text"])
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        n = len(texts)
+        tf = np.zeros((n, T), dtype=np.int64)
+        upos = {u: i for i, u in enumerate(uniques.tolist())}
+        for ti, t in enumerate(terms):
+            c = upos.get(t)
+            if c is None:
+                continue
+            sel = codes == c
+            np.add.at(tf[:, ti], row_idx[sel], 1)
+        return tf
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        tf = tf_matrix(batch)
+        return pa.table({
+            "ti": pa.array(np.arange(T + 1, dtype=np.int64)),
+            "pn": pa.array(np.concatenate(
+                [(tf > 0).sum(axis=0).astype(np.int64),
+                 [np.int64(tf.shape[0])]])),
+        })
+
+    stats = (ds.map_batches(df_partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("ti").aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas().sort_values("ti", ignore_index=True)
+    N = int(stats["n"].iloc[T])
+    df = stats["n"].to_numpy()[:T].astype(np.int64)
+    idf = np.array([math.log(float(N) / float(d)) if d else 0.0
+                    for d in df], dtype=np.float64)
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = cached_get(idf_ref)
+        tf = tf_matrix(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sc = np.zeros(len(ids), dtype=np.float64)
+        for ti in range(T):      # ascending term order, sequential adds
+            hit = tf[:, ti] > 0
+            sc[hit] = sc[hit] + tf[hit, ti].astype(np.float64) * w[ti]
+        keep = (tf > 0).any(axis=1)
+        ids, sc = ids[keep], round_half_away(sc[keep])
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "score": pa.array(sc[order])})
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sc = batch["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))[:k]
+        return batch.take(pa.array(order))
+
+    return (ds.map_batches(score, batch_format="pyarrow",
+                           batch_size=None)
+            .repartition(1)
+            .map_batches(topk, batch_format="pyarrow", batch_size=None))
+
+
+def search_rank_sql(terms=("data", "spark", "vector"),
+                    k: int = 20) -> str:
+    """Oracle for :func:`search_rank` — ordered term fold, rank on the
+    rounded score."""
+    terms = sorted(set(terms))
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_filter(regexp_split_to_array(
+                      lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                      AS token
+             FROM documents),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok WHERE token IN ({tl}) GROUP BY 1),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE token IN ({tl}) GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id,
+              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(tf.tf AS DOUBLE)
+                     * ln(CAST(nn.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+                     ORDER BY tf.token)), (a, b) -> a + b), 6) AS score
+       FROM tf JOIN df USING (token) CROSS JOIN nn
+       GROUP BY tf.doc_id, nn.n)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {k}"""

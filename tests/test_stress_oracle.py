@@ -53,7 +53,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "source_drift_psi", "domain_gini",
                "chi2_lang_source", "zipf_slope",
                "knn_graph", "idw_interpolate",
-               "vocab_coverage", "weighted_sample", "lang_corr",
+               "vocab_coverage", "weighted_sample", "lang_corr", "search_rank",
                "domain_lang_entropy",
                "token_edit_pairs", "source_overlap", "pivot_lang_counts",
                "lexical_simpson", "anagram_groups", "token_len_stats",
