@@ -1288,6 +1288,22 @@ def _q_search_rank(sf_dir: str):
     return search_rank(sf_dir)
 
 
+def _q_weekly_ma(sf_dir: str):
+    """Trailing 7-day moving average over the shared dense daily count
+    family (integer prefix difference, one mirrored division)."""
+    from s2ray.pipelines.analytics import weekly_ma
+
+    return weekly_ma(sf_dir)
+
+
+def _q_search_bm25(sf_dir: str):
+    """BM25 retrieval top-20 with document-length saturation (ordered
+    term fold, mirrored chain)."""
+    from s2ray.pipelines.text import search_bm25
+
+    return search_bm25(sf_dir)
+
+
 def _q_order_quantiles(sf_dir: str):
     """Exact per-priority order-value quantiles: the 3-pass bounded
     rank machinery instantiated on a SECOND table via its make_ds
@@ -3050,6 +3066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_concentration": _q_customer_concentration,
         "order_quantiles": _q_order_quantiles,
         "search_rank": _q_search_rank,
+        "search_bm25": _q_search_bm25,
+        "weekly_ma": _q_weekly_ma,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3296,6 +3314,7 @@ def oracle_sql() -> dict[str, str]:
                                            USER_GROWTH_SQL,
                                            ACTIVITY_CURVE_SQL,
                                            EVENT_TRIGRAMS_SQL,
+                                           weekly_ma_sql,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -3359,6 +3378,7 @@ def oracle_sql() -> dict[str, str]:
                                       TOKEN_EDIT_PAIRS_SQL,
                                       anagram_groups_sql, heaps_law_sql,
                                       search_rank_sql,
+                                      search_bm25_sql,
                                       phrase_search_sql,
                                       source_js_divergence_sql)
     from s2ray.pipelines.webgraph import (domain_assortativity_sql,
@@ -4837,6 +4857,8 @@ FROM (
         "event_trigrams": EVENT_TRIGRAMS_SQL,
         "customer_concentration": customer_concentration_sql(),
         "search_rank": search_rank_sql(),
+        "search_bm25": search_bm25_sql(),
+        "weekly_ma": weekly_ma_sql(),
         "order_quantiles": (
             "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
             "unnest(quantile_disc(o_totalprice, [0.5, 0.9, 0.99])) "

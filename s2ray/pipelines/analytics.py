@@ -5228,3 +5228,72 @@ SELECT event_type || ',' || t2 || ',' || t3 AS trigram,
        CAST(count(*) AS BIGINT) AS n
 FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
 GROUP BY 1 ORDER BY 1"""
+
+
+def weekly_ma(sf_dir: str, window_days: int = 7):
+    """Trailing moving average of the dense daily count series per
+    event type — (event_type, day, n_events, ma); ma is the
+    ``window_days``-day trailing mean (shorter at the series head,
+    exactly like the SQL frame).  The smoothed companion of
+    daily_cusum's excursions.
+
+    Exactness: counts come from the shared bounded daily-count family;
+    the trailing sum is an integer prefix difference and the ONLY float
+    op is the mirrored division by the actual (clipped) window length.
+    """
+    import ray.data
+
+    from .text import round_half_away
+
+    W = int(window_days)
+    m = _daily_counts(sf_dir)
+    out = {"event_type": [], "day": [], "n_events": [], "ma": []}
+    if len(m):
+        d0, d1 = int(m["d"].min()), int(m["d"].max())
+        ndays = d1 - d0 + 1
+        for t, grp in m.groupby("t", sort=True):
+            dense = np.zeros(ndays, dtype=np.int64)
+            for d_, n_ in zip(grp["d"].to_numpy(), grp["n"].to_numpy()):
+                dense[int(d_) - d0] = int(n_)
+            pref = np.concatenate([[0], np.cumsum(dense)])
+            for i in range(ndays):
+                lo = max(0, i - W + 1)
+                s = int(pref[i + 1] - pref[lo])
+                w = i + 1 - lo
+                out["event_type"].append(t)
+                out["day"].append(d0 + i)
+                out["n_events"].append(int(dense[i]))
+                out["ma"].append(float(round_half_away(np.float64(
+                    float(s) / float(w)))))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "day": pa.array(out["day"], type=pa.int64()),
+        "n_events": pa.array(out["n_events"], type=pa.int64()),
+        "ma": pa.array(out["ma"], type=pa.float64()),
+    }))
+
+
+def weekly_ma_sql(window_days: int = 7) -> str:
+    """Oracle for :func:`weekly_ma` — trailing ROWS frame over the
+    zero-filled dense series."""
+    return f"""
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+days AS (SELECT CAST(unnest(generate_series(b.d0, b.d1)) AS BIGINT) AS d
+         FROM b),
+ty AS (SELECT DISTINCT event_type FROM e),
+c AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+dense AS (SELECT ty.event_type, days.d, coalesce(c.n, 0) AS n
+          FROM ty CROSS JOIN days
+          LEFT JOIN c ON c.event_type = ty.event_type AND c.d = days.d)
+SELECT event_type, d AS day, n AS n_events,
+       round(CAST(sum(n) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE), 6) AS ma
+FROM dense
+WINDOW w AS (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)
+ORDER BY 1, 2"""

@@ -2678,3 +2678,144 @@ sc AS (SELECT tf.doc_id,
        FROM tf JOIN df USING (token) CROSS JOIN nn
        GROUP BY tf.doc_id, nn.n)
 SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def search_bm25(sf_dir: str, terms=("data", "spark", "vector"),
+                k: int = 20, k1: float = 1.25, b: float = 0.75,
+                lower: bool = True):
+    """BM25 retrieval for a fixed query: the production-grade scoring
+    next to :func:`search_rank`'s raw TF-IDF — per matched term,
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen)) with document
+    length saturation; top ``k`` (doc_id, score).
+
+    Exactness: df, N, total token count (hence avglen = total/N, one
+    double division of exact ints) come from one pass; per-doc scores
+    fold over PRESENT terms ascending (list_reduce mirror), the BM25
+    term is one arithmetic chain evaluated in the identical op order,
+    rank is on the ROUNDED score with doc_id tie-break.  k1/b must be
+    exact binary fractions (1.25 / 0.75 defaults).
+    """
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..state.bcast import cached_get
+
+    terms = sorted(set(terms))
+    T = len(terms)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def matrices(batch: pa.Table):
+        texts = _string_array(batch["text"])
+        row_idx, codes, uniques, n_tokens, _ = _token_codes(
+            texts, lower=lower)
+        n = len(texts)
+        tf = np.zeros((n, T), dtype=np.int64)
+        upos = {u: i for i, u in enumerate(uniques.tolist())}
+        for ti, t in enumerate(terms):
+            c = upos.get(t)
+            if c is None:
+                continue
+            sel = codes == c
+            np.add.at(tf[:, ti], row_idx[sel], 1)
+        return tf, n_tokens
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tf, n_tokens = matrices(batch)
+        return pa.table({
+            "ti": pa.array(np.arange(T + 2, dtype=np.int64)),
+            "pn": pa.array(np.concatenate(
+                [(tf > 0).sum(axis=0).astype(np.int64),
+                 [np.int64(tf.shape[0])],
+                 [np.int64(int(n_tokens.sum()))]])),
+        })
+
+    st = (ds.map_batches(stats_partial, batch_format="pyarrow",
+                         batch_size=None)
+          .groupby("ti").aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas().sort_values("ti", ignore_index=True)
+    N = int(st["n"].iloc[T])
+    total_tok = int(st["n"].iloc[T + 1])
+    df = st["n"].to_numpy()[:T].astype(np.int64)
+    idf = np.array([math.log(float(N) / float(d)) if d else 0.0
+                    for d in df], dtype=np.float64)
+    avglen = np.float64(float(total_tok)) / np.float64(float(N))
+    bc = ray.put((idf, avglen))
+    K1 = np.float64(k1)
+    B = np.float64(b)
+
+    def score(batch: pa.Table) -> pa.Table:
+        w, avg = cached_get(bc)
+        tf, n_tokens = matrices(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dl = n_tokens.astype(np.float64)
+        norm = K1 * (np.float64(1.0) - B + B * dl / avg)
+        sc = np.zeros(len(ids), dtype=np.float64)
+        for ti in range(T):      # ascending term order, sequential adds
+            hit = tf[:, ti] > 0
+            tfd = tf[hit, ti].astype(np.float64)
+            sc[hit] = sc[hit] + w[ti] * (tfd * (K1 + np.float64(1.0))) \
+                / (tfd + norm[hit])
+        keep = (tf > 0).any(axis=1)
+        ids, sc = ids[keep], round_half_away(sc[keep])
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "score": pa.array(sc[order])})
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sc = batch["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))[:k]
+        return batch.take(pa.array(order))
+
+    return (ds.map_batches(score, batch_format="pyarrow",
+                           batch_size=None)
+            .repartition(1)
+            .map_batches(topk, batch_format="pyarrow", batch_size=None))
+
+
+def search_bm25_sql(terms=("data", "spark", "vector"), k: int = 20,
+                    k1: float = 1.25, b: float = 0.75) -> str:
+    """Oracle for :func:`search_bm25` — the identical BM25 chain with
+    the ordered term fold."""
+    terms = sorted(set(terms))
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_filter(regexp_split_to_array(
+                      lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                      AS token
+             FROM documents),
+dl AS (SELECT d.doc_id,
+              CAST(coalesce(t.c, 0) AS BIGINT) AS len
+       FROM documents d LEFT JOIN (
+         SELECT doc_id, count(*) AS c FROM tok GROUP BY 1) t
+         USING (doc_id)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST((SELECT count(*) FROM tok) AS BIGINT) AS tot
+       FROM documents),
+df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok WHERE token IN ({tl}) GROUP BY 1),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE token IN ({tl}) GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id,
+              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(ln(CAST(nn.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+                     * (CAST(tf.tf AS DOUBLE) * ({k1!r} + 1.0))
+                     / (CAST(tf.tf AS DOUBLE)
+                        + {k1!r} * (1.0 - {b!r}
+                                    + {b!r} * CAST(dl.len AS DOUBLE)
+                                    / (CAST(nn.tot AS DOUBLE)
+                                       / CAST(nn.n AS DOUBLE))))
+                     ORDER BY tf.token)), (a, x) -> a + x), 6) AS score
+       FROM tf JOIN df USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN nn
+       GROUP BY tf.doc_id, nn.n, nn.tot, dl.len)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {k}"""

@@ -54,13 +54,14 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "chi2_lang_source", "zipf_slope",
                "knn_graph", "idw_interpolate",
                "vocab_coverage", "weighted_sample", "lang_corr", "search_rank",
+               "search_bm25",
                "domain_lang_entropy",
                "token_edit_pairs", "source_overlap", "pivot_lang_counts",
                "lexical_simpson", "anagram_groups", "token_len_stats",
                "domain_clustering", "colocation_quotient", "knox_pairs",
                "char_entropy"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
-                 "daily_cusum", "daily_ewma", "peak_window",
+                 "daily_cusum", "daily_ewma", "peak_window", "weekly_ma",
                  "events_quantiles_cont", "user_growth", "activity_curve",
                  "funnel_views", "user_sessions", "events_asof",
                  "event_gaps", "cohort_retention", "session_quantiles",
