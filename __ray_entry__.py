@@ -1288,6 +1288,14 @@ def _q_search_rank(sf_dir: str):
     return search_rank(sf_dir)
 
 
+def _q_return_rates(sf_dir: str):
+    """Per-part return rate with Wilson lower bound (part-dimension
+    groupby, mirrored CI chain)."""
+    from s2ray.pipelines.join import return_rates
+
+    return return_rates(sf_dir)
+
+
 def _q_weekly_ma(sf_dir: str):
     """Trailing 7-day moving average over the shared dense daily count
     family (integer prefix difference, one mirrored division)."""
@@ -3068,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rank": _q_search_rank,
         "search_bm25": _q_search_bm25,
         "weekly_ma": _q_weekly_ma,
+        "return_rates": _q_return_rates,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3344,6 +3353,7 @@ def oracle_sql() -> dict[str, str]:
                                        SUPPLIER_LEAD_TIME_SQL,
                                        ORDER_SIZE_HIST_SQL,
                                        customer_concentration_sql,
+                                       return_rates_sql,
                                        ORDER_CADENCE_SQL,
                                        late_shipments_sql,
                                        market_share_sql,
@@ -4859,6 +4869,7 @@ FROM (
         "search_rank": search_rank_sql(),
         "search_bm25": search_bm25_sql(),
         "weekly_ma": weekly_ma_sql(),
+        "return_rates": return_rates_sql(),
         "order_quantiles": (
             "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
             "unnest(quantile_disc(o_totalprice, [0.5, 0.9, 0.99])) "

@@ -4358,3 +4358,95 @@ SELECT m.n AS n_customers, m.total AS total_cents, t.top AS top_cents,
        round(CAST(t.top AS DOUBLE) / CAST(m.total AS DOUBLE), 6)
          AS top_share
 FROM m CROSS JOIN t"""
+
+
+def return_rates(sf_dir: str, z: float = 1.96, min_lines: int = 20):
+    """Per-part return rate with a Wilson-score lower bound — for parts
+    with at least ``min_lines`` lineitems: (p_partkey, n_lines,
+    n_returned, rate, wilson_low), partkey-sorted.  Ranking by the
+    Wilson lower bound instead of the raw rate is the standard fix for
+    small-sample quality flags.
+
+    Exactness: (n, returned) counts are exact integers from per-batch
+    partials into ONE part-dimension-cardinality groupby; the Wilson
+    chain is evaluated in the identical op order on both engines
+    (same z literal -> same doubles), and rate/wilson_low are the only
+    float columns.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .text import round_half_away
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = pc.equal(batch["l_returnflag"], "R") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(pk, return_inverse=True)
+        nr = np.zeros(len(u), dtype=np.int64)
+        np.add.at(nr, inv, r)
+        return pa.table({
+            "p_partkey": pa.array(u),
+            "pn": pa.array(np.bincount(inv, minlength=len(u))
+                           .astype(np.int64)),
+            "pr": pa.array(nr),
+        })
+
+    m = (li.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby("p_partkey")
+         .aggregate(Sum("pn", alias_name="n_lines"),
+                    Sum("pr", alias_name="n_returned"))).to_pandas()
+    m = m[m["n_lines"] >= min_lines].sort_values("p_partkey",
+                                                 ignore_index=True)
+    Z = np.float64(z)
+    Z2 = Z * Z
+    rate, wl = [], []
+    for n_, r_ in zip(m["n_lines"], m["n_returned"]):
+        nf = np.float64(float(int(n_)))
+        p = np.float64(float(int(r_))) / nf
+        a = Z2 / (np.float64(2.0) * nf)
+        bb = p * (np.float64(1.0) - p) / nf \
+            + Z2 / (np.float64(4.0) * nf * nf)
+        w = (p + a - Z * np.sqrt(bb)) / (np.float64(1.0) + Z2 / nf)
+        rate.append(float(round_half_away(p)))
+        wl.append(float(round_half_away(np.float64(w))))
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "p_partkey": pa.array(m["p_partkey"].to_numpy().astype(np.int64)
+                              if len(m) else np.empty(0, np.int64)),
+        "n_lines": pa.array(m["n_lines"].to_numpy().astype(np.int64)
+                            if len(m) else np.empty(0, np.int64)),
+        "n_returned": pa.array(m["n_returned"].to_numpy()
+                               .astype(np.int64) if len(m)
+                               else np.empty(0, np.int64)),
+        "rate": pa.array(rate, type=pa.float64()),
+        "wilson_low": pa.array(wl, type=pa.float64()),
+    }))
+
+
+def return_rates_sql(z: float = 1.96, min_lines: int = 20) -> str:
+    """Oracle for :func:`return_rates` — the identical Wilson chain."""
+    return f"""
+WITH c AS (SELECT l_partkey AS p_partkey,
+                  CAST(count(*) AS BIGINT) AS n_lines,
+                  CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+                                         THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS n_returned
+           FROM lineitem GROUP BY 1
+           HAVING count(*) >= {min_lines}),
+w AS (SELECT p_partkey, n_lines, n_returned,
+             CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p,
+             CAST(n_lines AS DOUBLE) AS nf
+      FROM c)
+SELECT p_partkey, n_lines, n_returned, round(p, 6) AS rate,
+       round((p + {z!r} * {z!r} / (2.0 * nf)
+              - {z!r} * sqrt(p * (1.0 - p) / nf
+                             + {z!r} * {z!r} / (4.0 * nf * nf)))
+             / (1.0 + {z!r} * {z!r} / nf), 6) AS wilson_low
+FROM w ORDER BY 1"""
