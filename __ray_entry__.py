@@ -1288,6 +1288,22 @@ def _q_search_rank(sf_dir: str):
     return search_rank(sf_dir)
 
 
+def _q_revenue_growth(sf_dir: str):
+    """Month-over-month revenue growth (hi/lo cent lanes, driver LAG
+    mirror)."""
+    from s2ray.pipelines.join import revenue_growth
+
+    return revenue_growth(sf_dir)
+
+
+def _q_tile_entropy(sf_dir: str):
+    """Spatial entropy of tile populations (order-pinned p*ln(p) fold
+    ascending cell id)."""
+    from s2ray.pipelines.tiles import tile_entropy
+
+    return tile_entropy(sf_dir)
+
+
 def _q_return_rates(sf_dir: str):
     """Per-part return rate with Wilson lower bound (part-dimension
     groupby, mirrored CI chain)."""
@@ -3077,6 +3093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25": _q_search_bm25,
         "weekly_ma": _q_weekly_ma,
         "return_rates": _q_return_rates,
+        "revenue_growth": _q_revenue_growth,
+        "tile_entropy": _q_tile_entropy,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3354,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER_SIZE_HIST_SQL,
                                        customer_concentration_sql,
                                        return_rates_sql,
+                                       REVENUE_GROWTH_SQL,
                                        ORDER_CADENCE_SQL,
                                        late_shipments_sql,
                                        market_share_sql,
@@ -4808,6 +4827,23 @@ FROM (
         "supplier_lead_time": SUPPLIER_LEAD_TIME_SQL,
         "silhouette_hist": SILHOUETTE_HIST_SQL,
         "tile_zipf": tile_zipf_sql,
+        "tile_entropy": (
+            f"{cte}, tc AS (SELECT cell_id, "
+            "CAST(count(*) AS BIGINT) AS x FROM ("
+            + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
+            + ") GROUP BY cell_id), "
+            "m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(coalesce(sum(x), 0) AS BIGINT) AS total FROM tc), "
+            "f AS (SELECT m.n, m.total, "
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list((CAST(x AS DOUBLE) / CAST(m.total AS DOUBLE)) "
+            "* ln(CAST(x AS DOUBLE) / CAST(m.total AS DOUBLE)) "
+            "ORDER BY cell_id)), (a, b) -> a + b) AS acc "
+            "FROM tc CROSS JOIN m GROUP BY m.n, m.total) "
+            "SELECT n AS n_tiles, total AS total_pages, "
+            "CASE WHEN total = 0 THEN NULL ELSE round(-acc, 6) END "
+            "AS entropy FROM f"
+        ),
         "tile_gini": (
             f"{cte}, tc AS (SELECT CAST(count(*) AS BIGINT) AS x FROM ("
             + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
@@ -4870,6 +4906,7 @@ FROM (
         "search_bm25": search_bm25_sql(),
         "weekly_ma": weekly_ma_sql(),
         "return_rates": return_rates_sql(),
+        "revenue_growth": REVENUE_GROWTH_SQL,
         "order_quantiles": (
             "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
             "unnest(quantile_disc(o_totalprice, [0.5, 0.9, 0.99])) "

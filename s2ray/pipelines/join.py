@@ -4450,3 +4450,74 @@ SELECT p_partkey, n_lines, n_returned, round(p, 6) AS rate,
                              + {z!r} * {z!r} / (4.0 * nf * nf)))
              / (1.0 + {z!r} * {z!r} / nf), 6) AS wilson_low
 FROM w ORDER BY 1"""
+
+
+def revenue_growth(sf_dir: str):
+    """Month-over-month revenue growth: total order value per calendar
+    month with the LAG growth ratio — (month, revenue_cents, growth);
+    growth = round(rev/prev - 1, 6), NULL for the first month.  The
+    simplest time-series KPI every warehouse publishes.
+
+    Exactness: cents sums ride wrap-safe hi/lo int64 lanes through ONE
+    calendar-bounded month groupby; the driver's LAG over the sorted
+    bounded series mirrors the window, and growth is the single
+    mirrored float chain.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .text import round_half_away
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        mk = ts.astype("datetime64[M]").astype(np.int64)
+        cents = np.rint(batch["o_totalprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        u, inv = np.unique(mk, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "m": pa.array(u),
+            "ph": pa.array(s // (1 << 31)),
+            "pl": pa.array(s % (1 << 31)),
+        })
+
+    m = (orders.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+         .groupby("m").aggregate(Sum("ph"), Sum("pl"))).to_pandas() \
+        .sort_values("m", ignore_index=True)
+    months = m["m"].to_numpy().astype("datetime64[M]") \
+        .astype("datetime64[us]") if len(m) else \
+        np.empty(0, "datetime64[us]")
+    rev = [((int(h) << 31) + int(l))
+           for h, l in zip(m.get("sum(ph)", []), m.get("sum(pl)", []))]
+    growth = [None]
+    for i in range(1, len(rev)):
+        growth.append(float(round_half_away(np.float64(
+            float(rev[i]) / float(rev[i - 1]) - np.float64(1.0)))))
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "month": pa.array(months),
+        "revenue_cents": pa.array(rev, type=pa.int64()),
+        "growth": pa.array(growth[:len(rev)], type=pa.float64()),
+    }))
+
+
+REVENUE_GROWTH_SQL = """
+WITH r AS (SELECT date_trunc('month', o_orderdate) AS month,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS revenue_cents
+           FROM orders GROUP BY 1),
+l AS (SELECT month, revenue_cents,
+             lag(revenue_cents) OVER (ORDER BY month) AS prev
+      FROM r)
+SELECT month, revenue_cents,
+       CASE WHEN prev IS NULL THEN NULL ELSE
+         round(CAST(revenue_cents AS DOUBLE) / CAST(prev AS DOUBLE)
+               - 1.0, 6) END AS growth
+FROM l ORDER BY month"""

@@ -1192,3 +1192,38 @@ def tile_gini(sf_dir: str, level: int = 8, **read_kwargs):
         "total_pages": pa.array([s1], type=pa.int64()),
         "gini": pa.array([gini], type=pa.float64()),
     }))
+
+
+def tile_entropy(sf_dir: str, level: int = 8, **read_kwargs):
+    """Spatial entropy of the page distribution over occupied
+    level-``level`` tiles — ONE row (n_tiles, total_pages, entropy) in
+    nats; ln(n_tiles) is the uniform-sprawl ceiling.  The information
+    summary next to tile_gini's inequality and tile_zipf's rank-size
+    exponent (same tile-count core).
+
+    Exactness: exact integer tile counts; the -sum p*ln(p) fold is
+    ORDER-PINNED ascending cell id, mirrored by the oracle's
+    list_reduce over the id-ordered term list.
+    """
+    import ray.data
+
+    from .text import round_half_away
+
+    counts = tile_counts(sf_dir, level=level, **read_kwargs).to_pandas() \
+        .sort_values("cell_id", ignore_index=True)
+    x = counts["n_pages"].to_numpy().astype(np.int64)
+    n = len(x)
+    total = sum(int(v) for v in x)
+    acc = np.float64(0.0)
+    if total:
+        tf = np.float64(float(total))
+        for v in x.tolist():           # occupied-tile-bounded fold
+            p = np.float64(float(v)) / tf
+            acc = acc + p * np.log(p)
+    return ray.data.from_arrow(pa.table({
+        "n_tiles": pa.array([n], type=pa.int64()),
+        "total_pages": pa.array([total], type=pa.int64()),
+        "entropy": pa.array([None if total == 0 else
+                             float(round_half_away(-acc))],
+                            type=pa.float64()),
+    }))

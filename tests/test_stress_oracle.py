@@ -35,7 +35,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "adaptive_tiles", "grid_clusters", "doc_token_rank",
                "tile_quantiles", "tile_diversity",
                "docs_rollup", "dup_degree_hist", "tile_top_lang",
-               "tile_centroids", "monthly_centroid", "tile_zipf", "tile_gini", "lang_radius",
+               "tile_centroids", "monthly_centroid", "tile_zipf", "tile_gini",
+               "tile_entropy", "lang_radius",
                "centroid_drift",
                "standardize_docs", "doc_deciles", "doc_percent_rank", "cross_lang_nn",
                "source_mix", "langid_confusion", "langid_mismatch", "emb_integrity", "lang_centroid_sim",
