@@ -1288,6 +1288,14 @@ def _q_search_rank(sf_dir: str):
     return search_rank(sf_dir)
 
 
+def _q_doc_lang_runs(sf_dir: str):
+    """Runs statistic over the id-ordered language sequence (range
+    buckets + segment-concat fold — the distributed ordered scan)."""
+    from s2ray.pipelines.analytics import doc_lang_runs
+
+    return doc_lang_runs(sf_dir)
+
+
 def _q_revenue_growth(sf_dir: str):
     """Month-over-month revenue growth (hi/lo cent lanes, driver LAG
     mirror)."""
@@ -3094,6 +3102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_ma": _q_weekly_ma,
         "return_rates": _q_return_rates,
         "revenue_growth": _q_revenue_growth,
+        "doc_lang_runs": _q_doc_lang_runs,
         "tile_entropy": _q_tile_entropy,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
@@ -3342,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
                                            ACTIVITY_CURVE_SQL,
                                            EVENT_TRIGRAMS_SQL,
                                            weekly_ma_sql,
+                                           DOC_LANG_RUNS_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -4907,6 +4917,7 @@ FROM (
         "weekly_ma": weekly_ma_sql(),
         "return_rates": return_rates_sql(),
         "revenue_growth": REVENUE_GROWTH_SQL,
+        "doc_lang_runs": DOC_LANG_RUNS_SQL,
         "order_quantiles": (
             "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
             "unnest(quantile_disc(o_totalprice, [0.5, 0.9, 0.99])) "

@@ -5297,3 +5297,122 @@ FROM dense
 WINDOW w AS (PARTITION BY event_type ORDER BY d
              ROWS BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)
 ORDER BY 1, 2"""
+
+
+def doc_lang_runs(sf_dir: str, bucket: int = 4096):
+    """Runs statistic over the doc_id-ordered language sequence — ONE
+    row (n_docs, n_runs, longest_run): how clumped is the corpus by
+    language in ingest order (the Wald-Wolfowitz runs shape; a crawl
+    that interleaves languages well has many short runs).  A
+    distributed ORDERED scan, the one shape hash partitioning cannot
+    give you.
+
+    Scale plan: rows range-bucket by doc_id // ``bucket`` so each
+    groupby task holds a CONTIGUOUS id range and reduces it to a
+    constant-size segment summary (n, runs, longest, prefix/suffix run
+    lengths, first/last lang, all-same flag); the driver folds the
+    bucket summaries in id order with the classic segment-concat
+    algebra (boundary runs merge when adjacent langs agree), so no
+    global sort ever materializes.  NULL lang is its own value
+    (IS DISTINCT FROM semantics, mirrored).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum  # noqa: F401  (family convention)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    B = np.int64(bucket)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "bk": pa.array(ids // B),
+            "doc_id": pa.array(ids),
+            "lang": batch["lang"],
+        })
+
+    def summarize(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lang = g["lang"].to_pandas()
+        order = np.argsort(ids, kind="stable")
+        lang = lang.iloc[order].reset_index(drop=True)
+        n = len(lang)
+        prev = lang.shift(1)
+        neq = ~(lang.eq(prev) | (lang.isna() & prev.isna()))
+        neq.iloc[0] = True
+        brk = neq.to_numpy()
+        runs = int(brk.sum())
+        starts = np.flatnonzero(brk).astype(np.int64)
+        lens = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+        first = lang.iloc[0]
+        last = lang.iloc[n - 1]
+        return pa.table({
+            "bk": pa.array([int(g["bk"][0].as_py())], type=pa.int64()),
+            "n": pa.array([n], type=pa.int64()),
+            "runs": pa.array([runs], type=pa.int64()),
+            "longest": pa.array([int(lens.max())], type=pa.int64()),
+            "pre": pa.array([int(lens[0])], type=pa.int64()),
+            "suf": pa.array([int(lens[-1])], type=pa.int64()),
+            "first": pa.array([None if pd.isna(first) else str(first)],
+                              type=pa.string()),
+            "last": pa.array([None if pd.isna(last) else str(last)],
+                             type=pa.string()),
+        })
+
+    seg = (ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+           .groupby("bk")
+           .map_groups(summarize, batch_format="pyarrow")).to_pandas() \
+        .sort_values("bk", ignore_index=True)
+
+    if not len(seg):
+        return ray.data.from_arrow(pa.table({
+            "n_docs": pa.array([0], type=pa.int64()),
+            "n_runs": pa.array([0], type=pa.int64()),
+            "longest_run": pa.array([0], type=pa.int64())}))
+
+    # segment-concat fold in id order
+    n_docs = 0
+    runs = 0
+    longest = 0
+    cur_last = object()          # sentinel: nothing yet
+    cur_suf = 0
+    for _, r in seg.iterrows():
+        sn, sruns = int(r["n"]), int(r["runs"])
+        same = (n_docs > 0
+                and ((r["first"] is None and cur_last is None)
+                     or (r["first"] is not None and cur_last is not None
+                         and r["first"] == cur_last)))
+        n_docs += sn
+        runs += sruns - (1 if same else 0)
+        longest = max(longest, int(r["longest"]))
+        if same:
+            joined = cur_suf + int(r["pre"])
+            longest = max(longest, joined)
+            # an all-one-run segment extends the joined trailing run
+            cur_suf = joined if sruns == 1 else int(r["suf"])
+        else:
+            cur_suf = int(r["suf"])
+        cur_last = r["last"]
+    return ray.data.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], type=pa.int64()),
+        "n_runs": pa.array([runs], type=pa.int64()),
+        "longest_run": pa.array([longest], type=pa.int64()),
+    }))
+
+
+DOC_LANG_RUNS_SQL = """
+WITH s AS (SELECT doc_id, lang,
+                  CASE WHEN lang IS DISTINCT FROM
+                            lag(lang) OVER (ORDER BY doc_id)
+                       THEN 1 ELSE 0 END AS brk
+           FROM documents),
+i AS (SELECT doc_id,
+             sum(brk) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM s),
+r AS (SELECT island, CAST(count(*) AS BIGINT) AS len FROM i GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS longest_run
+FROM r"""

@@ -59,6 +59,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "domain_lang_entropy",
                "token_edit_pairs", "source_overlap", "pivot_lang_counts",
                "lexical_simpson", "anagram_groups", "token_len_stats",
+               "doc_lang_runs",
                "domain_clustering", "colocation_quotient", "knox_pairs",
                "char_entropy"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
@@ -541,3 +542,14 @@ def test_majority_duplicate_corpus_anti_join_plan(tmp_path, ray_session):
     drv = near_dup_clusters(ds, method="driver").to_pandas() \
         .sort_values("doc_id", ignore_index=True)
     assert auto_dist.equals(drv)
+
+
+def test_doc_lang_runs_fold_invariance(ray_session):
+    """The segment-concat fold must be bucket-size invariant: tiny
+    buckets (every boundary case exercised) == one giant bucket
+    (driver brute force)."""
+    from s2ray.pipelines.analytics import doc_lang_runs
+
+    tiny = doc_lang_runs(SRC, bucket=7).to_pandas()
+    brute = doc_lang_runs(SRC, bucket=1 << 40).to_pandas()
+    pd.testing.assert_frame_equal(tiny, brute)
