@@ -1288,6 +1288,14 @@ def _q_search_rank(sf_dir: str):
     return search_rank(sf_dir)
 
 
+def _q_nation_flow(sf_dir: str):
+    """Customer-nation x supplier-nation revenue matrix (broadcast dims,
+    one orderkey co-partition, hi/lo microcent lanes)."""
+    from s2ray.pipelines.join import nation_flow
+
+    return nation_flow(sf_dir)
+
+
 def _q_doc_lang_runs(sf_dir: str):
     """Runs statistic over the id-ordered language sequence (range
     buckets + segment-concat fold — the distributed ordered scan)."""
@@ -3103,6 +3111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "return_rates": _q_return_rates,
         "revenue_growth": _q_revenue_growth,
         "doc_lang_runs": _q_doc_lang_runs,
+        "nation_flow": _q_nation_flow,
         "tile_entropy": _q_tile_entropy,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
@@ -3383,6 +3392,7 @@ def oracle_sql() -> dict[str, str]:
                                        customer_concentration_sql,
                                        return_rates_sql,
                                        REVENUE_GROWTH_SQL,
+                                       NATION_FLOW_SQL,
                                        ORDER_CADENCE_SQL,
                                        late_shipments_sql,
                                        market_share_sql,
@@ -4918,6 +4928,7 @@ FROM (
         "return_rates": return_rates_sql(),
         "revenue_growth": REVENUE_GROWTH_SQL,
         "doc_lang_runs": DOC_LANG_RUNS_SQL,
+        "nation_flow": NATION_FLOW_SQL,
         "order_quantiles": (
             "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
             "unnest(quantile_disc(o_totalprice, [0.5, 0.9, 0.99])) "

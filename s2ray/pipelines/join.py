@@ -4521,3 +4521,143 @@ SELECT month, revenue_cents,
          round(CAST(revenue_cents AS DOUBLE) / CAST(prev AS DOUBLE)
                - 1.0, 6) END AS growth
 FROM l ORDER BY month"""
+
+
+def nation_flow(sf_dir: str, n_parts: int = 64):
+    """Trade-flow matrix: revenue per (customer nation, supplier
+    nation) — (cust_nation, supp_nation, revenue_microcents, n_lines),
+    both-name-sorted.  The full |N|^2 generalization of Q5's
+    one-dimensional rollup and Q7's two-nation volume.
+
+    Scale plan: the supplier -> nation map broadcasts once (dimension);
+    lineitem pre-aggregates per (orderkey, supp_nation) in-batch —
+    revenue in the exact integer microcent domain — and rides ONE
+    orderkey co-partition against orders x customer (broadcast customer
+    map below the same size threshold revenue_by_nation documents, the
+    co-partition lane existing above it); only |N|^2 cell partials on
+    wrap-safe hi/lo lanes reach the final groupby (Q5's plain int64
+    microcent Sum would wrap around 1e21 at the 100 TB design point).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from ..state.bcast import cached_get
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    smap = dict(zip(pc.cast(sup["s_suppkey"], pa.int64()).to_pylist(),
+                    pc.cast(sup["s_nationkey"], pa.int64()).to_pylist()))
+    smap_ref = ray.put(smap)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sm = cached_get(smap_ref)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.rint(ext * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        sn = np.array([sm[int(x)] for x in sk], dtype=np.int64)
+        key = ok * np.int64(32) + sn        # nations < 32 by contract
+        assert len(sn) == 0 or sn.max() < 32, \
+            "nation_flow key packing assumes nationkey < 32"
+        u, inv = np.unique(key, return_inverse=True)
+        rv = np.zeros(len(u), dtype=np.int64)
+        np.add.at(rv, inv, rev)
+        return pa.table({
+            "o_orderkey": pa.array((u // 32).astype(np.int64)),
+            "sn": pa.array((u % 32).astype(np.int64)),
+            "rev": pa.array(rv),
+            "n": pa.array(np.bincount(inv, minlength=len(u))
+                          .astype(np.int64)),
+        })
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=None)
+
+    ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"])
+    ct = pa.table({"c_custkey": ct["c_custkey"],
+                   "c_nationkey": pc.cast(ct["c_nationkey"],
+                                          pa.int64())})
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    oc = broadcast_hash_join(orders, ct, on="o_custkey",
+                             build_on="c_custkey", how="inner") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    j = copartition_hash_join(li_agg, oc, on="o_orderkey",
+                              n_parts=n_parts)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sn = batch["sn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = batch["rev"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = cn * np.int64(32) + sn
+        u, inv = np.unique(key, return_inverse=True)
+        rv = np.zeros(len(u), dtype=np.int64)
+        np.add.at(rv, inv, rev)
+        nn = np.zeros(len(u), dtype=np.int64)
+        np.add.at(nn, inv, n)
+        return pa.table({
+            "cell": pa.array(u.astype(np.int64)),
+            "rh": pa.array(rv // (1 << 31)),
+            "rl": pa.array(rv % (1 << 31)),
+            "pn": pa.array(nn),
+        })
+
+    m = (j.map_batches(cells, batch_format="pyarrow", batch_size=None)
+         .groupby("cell")
+         .aggregate(Sum("rh"), Sum("rl"),
+                    Sum("pn", alias_name="n_lines"))).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nm = dict(zip(pc.cast(nat["n_nationkey"], pa.int64()).to_pylist(),
+                  nat["n_name"].to_pylist()))
+    m["cust_nation"] = [nm[int(c) // 32] for c in m["cell"]]
+    m["supp_nation"] = [nm[int(c) % 32] for c in m["cell"]]
+    m["revenue_microcents"] = [((int(h) << 31) + int(l))
+                               for h, l in zip(m["sum(rh)"],
+                                               m["sum(rl)"])]
+    m = m.sort_values(["cust_nation", "supp_nation"],
+                      ignore_index=True)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "cust_nation": pa.array(m["cust_nation"], type=pa.string()),
+        "supp_nation": pa.array(m["supp_nation"], type=pa.string()),
+        "revenue_microcents": pa.array(m["revenue_microcents"],
+                                       type=pa.int64()),
+        "n_lines": pa.array(m["n_lines"].to_numpy().astype(np.int64)
+                            if len(m) else np.empty(0, np.int64)),
+    }))
+
+
+NATION_FLOW_SQL = """
+WITH r AS (SELECT l.l_orderkey, s.s_nationkey AS sn,
+                  CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT)
+                    AS rev
+           FROM lineitem l
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+oc AS (SELECT o.o_orderkey, c.c_nationkey AS cn
+       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+j AS (SELECT oc.cn, r.sn, r.rev
+      FROM r JOIN oc ON oc.o_orderkey = r.l_orderkey)
+SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+       CAST(sum(CAST(rev AS HUGEINT)) AS BIGINT) AS revenue_microcents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM j JOIN nation nc ON nc.n_nationkey = j.cn
+JOIN nation ns ON ns.n_nationkey = j.sn
+GROUP BY 1, 2 ORDER BY 1, 2"""
