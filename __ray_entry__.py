@@ -1288,6 +1288,18 @@ def _q_search_rank(sf_dir: str):
     return search_rank(sf_dir)
 
 
+def _q_voronoi_monthly(sf_dir: str):
+    """Voronoi x month market-share rollup (argmin assignment,
+    K x months bounded groupby)."""
+    from s2ray.pipelines.spatial_join import voronoi_monthly
+    from s2ray.pipelines.tiles import pages_with_cells
+    from s2ray.sources.pages import CITIES_E4
+
+    return voronoi_monthly(
+        pages_with_cells(sf_dir, token_level=None),
+        [(la / 1e4, ln / 1e4) for la, ln in CITIES_E4])
+
+
 def _q_nation_flow(sf_dir: str):
     """Customer-nation x supplier-nation revenue matrix (broadcast dims,
     one orderkey co-partition, hi/lo microcent lanes)."""
@@ -3112,6 +3124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_growth": _q_revenue_growth,
         "doc_lang_runs": _q_doc_lang_runs,
         "nation_flow": _q_nation_flow,
+        "voronoi_monthly": _q_voronoi_monthly,
         "tile_entropy": _q_tile_entropy,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
@@ -4167,6 +4180,20 @@ d AS (SELECT c.city_id,
 SELECT CAST(city_id AS BIGINT) AS city_id, month,
        CAST(count(*) AS BIGINT) AS n_pages
 FROM d WHERE dm <= 100000.0 GROUP BY 1, 2 ORDER BY 1, 2"""
+    voronoi_monthly_sql = f"""
+{cte},
+cities(city_id, clat, clng) AS (VALUES {city_rows}),
+d AS (SELECT p.page_id, c.city_id, {facility_dist} AS dm,
+             date_trunc('month', make_timestamp(
+               (1704067200 + (p.page_id * 40499) % 31536000) * 1000000))
+               AS month
+      FROM pages_geo p CROSS JOIN cities c),
+rk AS (SELECT page_id, city_id, month,
+              row_number() OVER (PARTITION BY page_id
+                                 ORDER BY dm, city_id) AS rn FROM d)
+SELECT CAST(city_id AS BIGINT) AS city_id, month,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM rk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
     nearest_city_sql = f"""
 {cte},
 cities(city_id, clat, clng) AS (VALUES {city_rows}),
@@ -4929,6 +4956,7 @@ FROM (
         "revenue_growth": REVENUE_GROWTH_SQL,
         "doc_lang_runs": DOC_LANG_RUNS_SQL,
         "nation_flow": NATION_FLOW_SQL,
+        "voronoi_monthly": voronoi_monthly_sql,
         "order_quantiles": (
             "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
             "unnest(quantile_disc(o_totalprice, [0.5, 0.9, 0.99])) "

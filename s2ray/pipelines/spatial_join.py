@@ -1661,3 +1661,58 @@ def knox_pairs(pages_ds, d_m: float, month_gap: int = 1,
         "n_spacetime_pairs": pa.array([nst], type=pa.int64()),
         "ratio": pa.array([ratio], type=pa.float64()),
     }))
+
+
+def voronoi_monthly(pages_ds, facilities):
+    """Voronoi x month rollup: every page assigned to its NEAREST
+    facility (argmin, smaller-id tie-break), counted per (city, crawl
+    month) — (city_id, month, n_pages).  The exclusive-assignment
+    companion of :func:`city_visits_monthly`'s overlapping geofences
+    (market-share vs coverage semantics).
+
+    One streaming pass computes the (batch x K) reference-haversine
+    matrix vectorized; per-(city, month) integer count partials ride
+    the only shuffle, a (K x months)-bounded groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..kernel import sphere as _sphere
+
+    flat = np.asarray(facilities, dtype=np.float64)
+    clat = np.radians(flat[:, 0])
+    clng = np.radians(flat[:, 1])
+    K = np.int64(len(flat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = np.radians(batch["lat"].to_numpy(zero_copy_only=False))
+        lng = np.radians(batch["lng"].to_numpy(zero_copy_only=False))
+        if len(lat) == 0:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        d = _sphere.haversine_distance_m(lat[:, None], lng[:, None],
+                                         clat[None, :], clng[None, :])
+        best = np.argmin(d, axis=1).astype(np.int64)
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False)
+        mkey = ts.astype("datetime64[M]").astype(np.int64)
+        key = best * np.int64(1 << 32) + (mkey % np.int64(1 << 32))
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(u.astype(np.int64)),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    agg = (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby("k").aggregate(Sum("pn", alias_name="n_pages")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "city_id": pa.array((k >> 32).astype(np.int64)),
+            "month": pa.array((k % np.int64(1 << 32))
+                              .astype("datetime64[M]")
+                              .astype("datetime64[us]")),
+            "n_pages": batch["n_pages"],
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
+            .sort(["city_id", "month"]))

@@ -99,7 +99,7 @@ def _compare(name, entrymod, con):
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
                                    "customer_concentration", "source_cooccurrence",
                                    "order_quantiles", "search_rank", "search_bm25", "weekly_ma", "return_rates",
-                                   "revenue_growth", "tile_entropy", "doc_lang_runs", "nation_flow",
+                                   "revenue_growth", "tile_entropy", "doc_lang_runs", "nation_flow", "voronoi_monthly",
                                    "peak_window", "peak_open_orders",
                                    "supplier_lead_time", "char_entropy", "silhouette_hist",
                                    "events_quantiles_cont", "tile_zipf", "tile_gini", "centroid_drift",

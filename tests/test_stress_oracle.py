@@ -25,6 +25,7 @@ K = 3
 DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "doc_perplexity", "distance_join", "nearest_neighbor",
                "nearest_city_stats", "bearing_sectors", "bipartite_nn",
+               "voronoi_monthly",
                "city_visits_monthly",
                "exact_dedup", "tile_counts_l8", "cap_join", "tfidf_top3",
                "dup_span_stats", "ngram_novelty", "dup_by_length",
