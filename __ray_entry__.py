@@ -707,6 +707,18 @@ def _q_morans_i(sf_dir: str):
                     cell_deg=1.0)
 
 
+def _q_geary_c(sf_dir: str):
+    """Global Geary's C of page counts over the occupied 1-degree grid
+    with Moore (queen) weights — the pairwise-difference sum reduces to
+    the same grid_smooth per-cell facts as Moran's I (GSUM = 2*(DXX-WXX)
+    by stencil symmetry), big-int combine in one grid-bounded task."""
+    from s2ray.pipelines.cluster import geary_c
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return geary_c(pages_with_cells(sf_dir, token_level=None),
+                   cell_deg=1.0)
+
+
 def _q_getis_ord(sf_dir: str):
     """Getis-Ord Gi* hotspot z-score per occupied 1-degree cell (Moore
     weights incl. self) — exact big-int moments, one grid-bounded task."""
@@ -3125,6 +3137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_runs": _q_doc_lang_runs,
         "nation_flow": _q_nation_flow,
         "voronoi_monthly": _q_voronoi_monthly,
+        "geary_c": _q_geary_c,
         "tile_entropy": _q_tile_entropy,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
@@ -4672,6 +4685,39 @@ FROM (
             "CASE WHEN s0 * (n * sxx - t * t) = 0 THEN NULL ELSE "
             "round(CAST(n * n * wxx - n * t * wsum + t * t * s0 AS DOUBLE) "
             "/ CAST(s0 * (n * sxx - t * t) AS DOUBLE), 6) END AS moran_i "
+            "FROM m"
+        ),
+        # Geary's C: same Moore-stencil self-join; the pairwise
+        # difference sum is 2*(DXX - WXX) by stencil symmetry, and the
+        # scaled-through-by-N all-integer form N*(N-1)*(DXX-WXX) /
+        # (S0*(N*SXX-T^2)) stays exact in HUGEINT; the final
+        # CAST-to-DOUBLE-then-divide matches the engine bit-for-bit
+        "geary_c": (
+            f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
+            "CAST(floor(lng / 1.0) AS BIGINT) AS gx, count(*) AS n "
+            "FROM pages_geo GROUP BY 1, 2), "
+            "d AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+            "(0,1),(1,-1),(1,0),(1,1)) AS t(dy, dx)), "
+            "nb AS (SELECT a.gx, a.gy, a.n, "
+            "CAST(coalesce(sum(b.n), 0) AS HUGEINT) AS nbp, "
+            "CAST(count(b.n) AS HUGEINT) AS deg "
+            "FROM g a CROSS JOIN d LEFT JOIN g b "
+            "ON b.gy = a.gy + d.dy "
+            "AND b.gx = ((a.gx + d.dx + 180) % 360 + 360) % 360 - 180 "
+            "GROUP BY a.gx, a.gy, a.n), "
+            "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(n) AS HUGEINT) AS t, "
+            "CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sxx, "
+            "CAST(coalesce(sum(deg), 0) AS HUGEINT) AS s0, "
+            "CAST(coalesce(sum(CAST(n AS HUGEINT) * nbp), 0) AS HUGEINT) "
+            "AS wxx, "
+            "CAST(coalesce(sum(deg * CAST(n AS HUGEINT) * n), 0) "
+            "AS HUGEINT) AS dxx FROM nb) "
+            "SELECT CAST(n AS BIGINT) AS n_cells, "
+            "CAST(s0 AS BIGINT) AS n_links, "
+            "CASE WHEN s0 * (n * sxx - t * t) = 0 THEN NULL ELSE "
+            "round(CAST(n * (n - 1) * (dxx - wxx) AS DOUBLE) "
+            "/ CAST(s0 * (n * sxx - t * t) AS DOUBLE), 6) END AS geary_c "
             "FROM m"
         ),
         # Getis-Ord Gi*: same Moore stencil with self added back (W = deg+1,

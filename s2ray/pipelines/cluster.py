@@ -244,6 +244,70 @@ def morans_i(pages_ds, cell_deg: float = 1.0):
                                          batch_size=None)
 
 
+def geary_c(pages_ds, cell_deg: float = 1.0):
+    """Global Geary's C spatial autocorrelation of page counts over the
+    occupied lat/lng grid with binary Moore (queen) weights — the
+    PAIRWISE-difference companion of :func:`morans_i` (C < 1: positive
+    autocorrelation, C > 1: negative; sensitive to local rather than
+    global structure).  Output: ONE row (n_cells, n_links, geary_c) with
+
+        C = (N-1) * sum_ij w_ij (x_i - x_j)^2
+            / (2 * S0 * sum_i (x_i - mean)^2) .
+
+    Exactness: the pairwise sum needs no pairwise pass — by symmetry of
+    the Moore adjacency (wrap included: i wraps to j iff j wraps to i),
+    sum over directed links of x_j^2 equals sum_i deg_i * x_i^2, so
+
+        GSUM = sum_ij w_ij (x_i - x_j)^2 = 2 * (DXX - WXX)
+
+    with DXX = sum_i deg_i * x_i^2 and WXX = sum_i x_i * nb_i — both
+    straight from the :func:`grid_smooth` per-cell facts morans_i already
+    consumes.  Multiplying through by N (mean = T/N rational) gives the
+    all-integer form
+
+        C = N * (N-1) * (DXX - WXX) / (S0 * (N*SXX - T^2))
+
+    combined in arbitrary-precision Python ints over the grid-bounded
+    occupied-cell table (<= 64800 rows at 1 degree — never corpus-sized;
+    N*DXX ~ 1e24 at web scale would wrap int64).  The final division
+    converts each exact integer to float64 FIRST (SQL's CAST(... AS
+    DOUBLE) / CAST(... AS DOUBLE)), then rounds half-away like every
+    oracled ratio.  Degenerate inputs (no links, or constant counts)
+    yield NULL like the SQL CASE.
+    """
+    from .text import round_half_away
+
+    sm = grid_smooth(pages_ds, cell_deg=cell_deg)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        x_np = batch["n_pages"].to_numpy(zero_copy_only=False)
+        nb_np = batch["nb_pages"].to_numpy(zero_copy_only=False)
+        dg_np = batch["nb_cells"].to_numpy(zero_copy_only=False)
+        n = len(x_np)
+        t = sxx = s0 = wxx = dxx = 0
+        for x, nb, dg in zip(x_np.tolist(), nb_np.tolist(), dg_np.tolist()):
+            t += x
+            sxx += x * x
+            s0 += dg
+            wxx += x * nb
+            dxx += dg * x * x
+        den = s0 * (n * sxx - t * t)
+        if den == 0:
+            gc = None
+        else:
+            num = n * (n - 1) * (dxx - wxx)
+            gc = float(round_half_away(
+                np.float64(float(num)) / np.float64(float(den))))
+        return pa.table({
+            "n_cells": pa.array([n], type=pa.int64()),
+            "n_links": pa.array([s0], type=pa.int64()),
+            "geary_c": pa.array([gc], type=pa.float64()),
+        })
+
+    return sm.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                         batch_size=None)
+
+
 def getis_ord(pages_ds, cell_deg: float = 1.0):
     """Getis-Ord Gi* hotspot z-score per occupied grid cell — the LOCAL
     companion of :func:`morans_i` ("which cells are hot?"), with binary

@@ -81,7 +81,8 @@ def _compare(name, entrymod, con):
                                    "events_mad", "doc_deciles",
                                    "cross_lang_nn", "user_streaks", "source_mix",
                                    "langid_confusion", "emb_integrity", "tile_growth",
-                                   "grid_smooth", "morans_i", "grid_kde",
+                                   "grid_smooth", "morans_i", "geary_c",
+                                   "grid_kde",
                                    "getis_ord", "local_moran", "join_counts",
                                    "tile_mann_kendall", "lang_ellipse",
                                    "product_profit", "part_concentration",
