@@ -675,6 +675,16 @@ def _q_knn_graph(sf_dir: str):
                      DIST_JOIN_M, k=KNN_GRAPH_K)
 
 
+def _q_knn_hubness(sf_dir: str):
+    """Hubness (kNN in-degree) histogram of the 25 km top-3 neighbor
+    graph — two bounded count groupbys over the knn_graph edge set."""
+    from s2ray.pipelines.spatial_join import knn_hubness
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return knn_hubness(pages_with_cells(sf_dir, token_level=None),
+                       DIST_JOIN_M, k=KNN_GRAPH_K)
+
+
 def _q_grid_smooth(sf_dir: str):
     """Moore-neighborhood raster convolution over the occupied 1-degree
     grid (antimeridian-aware), on the aggregated cell table."""
@@ -1334,6 +1344,39 @@ def _q_revenue_growth(sf_dir: str):
     from s2ray.pipelines.join import revenue_growth
 
     return revenue_growth(sf_dir)
+
+
+def _q_dau_mau(sf_dir: str):
+    """Monthly DAU/MAU stickiness — exact distinct at both grains via
+    one user-hashed blob co-partition, calendar-bounded finish."""
+    from s2ray.pipelines.analytics import dau_mau
+
+    return dau_mau(sf_dir)
+
+
+def _q_day_user_jaccard(sf_dir: str):
+    """Jaccard overlap of consecutive days' active-user sets — the
+    same user-hashed co-partition; per-user day sets stay local."""
+    from s2ray.pipelines.analytics import day_user_jaccard
+
+    return day_user_jaccard(sf_dir)
+
+
+def _q_benford_law(sf_dir: str):
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation — integer divide-down leading digit, one
+    digit-cardinality groupby."""
+    from s2ray.pipelines.join import benford_law
+
+    return benford_law(sf_dir)
+
+
+def _q_new_vs_repeat(sf_dir: str):
+    """New-vs-returning revenue split per month (cohort-month rule) —
+    custkey-hashed blob co-partition, wrap-safe hi/lo cent lanes."""
+    from s2ray.pipelines.join import new_vs_repeat
+
+    return new_vs_repeat(sf_dir)
 
 
 def _q_tile_entropy(sf_dir: str):
@@ -3138,6 +3181,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_flow": _q_nation_flow,
         "voronoi_monthly": _q_voronoi_monthly,
         "geary_c": _q_geary_c,
+        "knn_hubness": _q_knn_hubness,
+        "benford_law": _q_benford_law,
+        "new_vs_repeat": _q_new_vs_repeat,
+        "dau_mau": _q_dau_mau,
+        "day_user_jaccard": _q_day_user_jaccard,
         "tile_entropy": _q_tile_entropy,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
@@ -3383,6 +3431,8 @@ def oracle_sql() -> dict[str, str]:
                                            rfm_segments_sql,
                                            peak_window_sql,
                                            USER_GROWTH_SQL,
+                                           DAU_MAU_SQL,
+                                           DAY_USER_JACCARD_SQL,
                                            ACTIVITY_CURVE_SQL,
                                            EVENT_TRIGRAMS_SQL,
                                            weekly_ma_sql,
@@ -3418,6 +3468,8 @@ def oracle_sql() -> dict[str, str]:
                                        customer_concentration_sql,
                                        return_rates_sql,
                                        REVENUE_GROWTH_SQL,
+                                       BENFORD_LAW_SQL,
+                                       NEW_VS_REPEAT_SQL,
                                        NATION_FLOW_SQL,
                                        ORDER_CADENCE_SQL,
                                        late_shipments_sql,
@@ -4154,6 +4206,14 @@ FROM f CROSS JOIN np_"""
         "SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1",
         "SELECT page_id, nn_id, CAST(rn AS BIGINT) AS rank, "
         f"dm AS dist_m FROM rk WHERE rn <= {KNN_GRAPH_K}")
+    knn_hubness_sql = nearest_neighbor_sql.replace(
+        "SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1",
+        f""",
+knn AS (SELECT page_id, nn_id FROM rk WHERE rn <= {KNN_GRAPH_K}),
+indeg AS (SELECT nn_id, CAST(count(*) AS BIGINT) AS in_degree
+          FROM knn GROUP BY nn_id)
+SELECT in_degree, CAST(count(*) AS BIGINT) AS n_points
+FROM indeg GROUP BY 1 ORDER BY 1""")
     idw_sql = nearest_neighbor_sql.replace(
         "SELECT page_id, nn_id, dm AS dist_m FROM rk WHERE rn = 1",
         f""",
@@ -5000,6 +5060,10 @@ FROM (
         "weekly_ma": weekly_ma_sql(),
         "return_rates": return_rates_sql(),
         "revenue_growth": REVENUE_GROWTH_SQL,
+        "benford_law": BENFORD_LAW_SQL,
+        "new_vs_repeat": NEW_VS_REPEAT_SQL,
+        "dau_mau": DAU_MAU_SQL,
+        "day_user_jaccard": DAY_USER_JACCARD_SQL,
         "doc_lang_runs": DOC_LANG_RUNS_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,
@@ -5382,6 +5446,7 @@ GROUP BY m.event_type, m.median""",
         "nearest_neighbor": nearest_neighbor_sql,
         "bipartite_nn": bipartite_nn_sql,
         "knn_graph": knn_graph_sql,
+        "knn_hubness": knn_hubness_sql,
         "idw_interpolate": idw_sql,
         "nearest_city_stats": nearest_city_sql,
         "city_visits_monthly": city_visits_sql,

@@ -2453,6 +2453,107 @@ WHERE prev IS NOT NULL
 GROUP BY 1, 2"""
 
 
+def event_stationary(sf_dir: str, iters: int = 25,
+                     scale: int = 10 ** 12):
+    """Stationary distribution of the event-type Markov chain — where
+    does a user's session settle in the long run?  Fixed-point INTEGER
+    power iteration over the :func:`event_transitions` counts: pi is a
+    vector of ints scaled by 1e12, each step
+
+        pi'_j = sum_i (pi_i * c_ij) // r_i        (r_i = row total)
+
+    with floor division, so every engine computes the identical exact
+    integers — no float accumulation-order surface at all.  Dangling
+    states (observed only as a transition TARGET) get K uniform
+    synthetic out-edges (c = 1, r = K), the standard PageRank-style
+    patch, applied identically in the SQL mirror.  Output after
+    ``iters`` steps: (event_type, pi_scaled, stationary_p); states that
+    lose all inflow drop out exactly like the recursive-CTE rows do.
+
+    Scale shape: the chain is |event types|^2-bounded (the transition
+    rollup already reduced the corpus), so the iteration runs in one
+    bounded task on arbitrary-precision ints — mirrored by a DuckDB
+    RECURSIVE CTE with an iteration counter (aggregation in the
+    recursive term; verified supported).
+    """
+    trans = event_transitions(sf_dir)
+
+    def power(batch: pa.Table) -> pa.Table:
+        f = batch["from_type"].to_pylist()
+        t = batch["to_type"].to_pylist()
+        n = batch["n"].to_pylist()
+        states = sorted(set(f) | set(t))
+        empty = pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "pi_scaled": pa.array([], type=pa.int64()),
+            "stationary_p": pa.array([], type=pa.float64()),
+        })
+        if not states:
+            return empty
+        k = len(states)
+        r: dict = {}
+        edges: dict = {}
+        for a, b, c in zip(f, t, n):
+            r[a] = r.get(a, 0) + int(c)
+            edges.setdefault(a, []).append((b, int(c)))
+        for s in states:
+            if s not in r:                     # dangling: uniform jump
+                r[s] = k
+                edges[s] = [(j, 1) for j in states]
+        v = {s: scale // k for s in states}
+        for _ in range(iters):
+            nv: dict = {}
+            for i, vi in v.items():
+                ri = r[i]
+                for j, c in edges[i]:
+                    nv[j] = nv.get(j, 0) + (vi * c) // ri
+            v = nv
+        out = sorted(v)
+        return pa.table({
+            "event_type": pa.array(out, type=pa.string()),
+            "pi_scaled": pa.array([int(v[s]) for s in out],
+                                  type=pa.int64()),
+            "stationary_p": pa.array(
+                [float(round_half_away(np.float64(
+                    float(int(v[s])) / float(scale)))) for s in out],
+                type=pa.float64()),
+        })
+
+    return trans.repartition(1).map_batches(power, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+EVENT_STATIONARY_SQL = """
+WITH RECURSIVE tr AS (
+  SELECT prev AS f, event_type AS t, CAST(count(*) AS HUGEINT) AS c
+  FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev,
+               event_type
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL)
+  WHERE prev IS NOT NULL GROUP BY 1, 2),
+st AS (SELECT f AS s FROM tr UNION SELECT t FROM tr),
+kk AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM st),
+rr AS (SELECT f, CAST(sum(c) AS HUGEINT) AS r FROM tr GROUP BY 1),
+ed AS (SELECT tr.f, tr.t, tr.c, rr.r FROM tr JOIN rr USING (f)
+       UNION ALL
+       SELECT d.s, s2.s, CAST(1 AS HUGEINT), kk.k
+       FROM st d CROSS JOIN st s2 CROSS JOIN kk
+       WHERE d.s NOT IN (SELECT f FROM tr)),
+pi AS (
+  SELECT 0 AS it, s,
+         (SELECT CAST(1000000000000 AS HUGEINT) // k FROM kk) AS v
+  FROM st
+  UNION ALL
+  SELECT it + 1, e.t, CAST(sum((pi.v * e.c) // e.r) AS HUGEINT)
+  FROM pi JOIN ed e ON e.f = pi.s
+  WHERE it < 25 GROUP BY 1, 2)
+SELECT s AS event_type, CAST(v AS BIGINT) AS pi_scaled,
+       round(CAST(v AS DOUBLE) / 1000000000000.0, 6) AS stationary_p
+FROM pi WHERE it = 25 ORDER BY 1"""
+
+
 def event_followups(sf_dir: str, probe_type: str = "view",
                     follow_type: str = "purchase",
                     window_s: int = 7 * 86400, n_parts: int = 64):
@@ -5016,6 +5117,298 @@ SELECT d AS day, n_new_users,
                                    ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS cum_users
 FROM c ORDER BY 1"""
+
+
+def dau_mau(sf_dir: str, n_parts: int = 64):
+    """Monthly stickiness (DAU/MAU): per calendar month, the distinct
+    monthly actives (MAU), the distinct-user count summed over its
+    ACTIVE days (sum_dau over n_days days that saw >= 1 event), and
+    stickiness = (sum_dau / n_days) / mau — the engagement-frequency
+    KPI next to :func:`user_growth`.  Output: (month, mau, sum_dau,
+    n_days, avg_dau, stickiness).  NULL users/ts drop; active-day (not
+    calendar-day) averaging is the contract, documented here because a
+    trailing partial month would otherwise dilute.
+
+    Scale plan: neither DAU nor MAU is partially summable (a user seen
+    twice counts once), so per-batch-DISTINCT (day, user) pairs ride ONE
+    user-hashed blob co-partition — each user's pairs co-locate, so the
+    partition-local distinct is globally exact for both grains, and
+    per-user month sets partition cleanly (MAU = sum of per-partition
+    distinct).  Each merge block emits calendar-bounded (day, dau) and
+    (month, mau) partials; the final groupby and ratio chain run over
+    the bounded calendar table.  Assumes ts >= 1970 (the int64 // day
+    bucketing mirrors DuckDB's truncating // only for non-negative
+    epochs — same standing assumption as user_growth/activity_curve).
+    """
+    from ray.data.aggregate import Sum
+
+    from .join import _ipc_bytes, _ipc_table, _part_of
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_users(_drop_null_ts(batch))
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        # day index stays well under 1e5 until year 2243; the pack needs
+        # user_id < 2^63 / 1e5 ~ 9.2e13 (same class of bound as every
+        # other packed-key partial in this file)
+        key = u * 100_000 + d
+        keep = np.concatenate([[True], np.sort(key)[1:]
+                               != np.sort(key)[:-1]]) if len(key) \
+            else np.empty(0, bool)
+        order = np.argsort(key, kind="stable")
+        u, d = u[order][keep], d[order][keep]
+        part = _part_of(u, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, u, d = part[ordp], u[ordp], d[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "u": pa.array(u[a_:b_]), "d": pa.array(d[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"u": pa.array([], type=pa.int64()),
+             "d": pa.array([], type=pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({
+            "k": pa.array([], type=pa.int64()),
+            "grain": pa.array([], type=pa.int32()),
+            "pn": pa.array([], type=pa.int64()),
+        })
+        if not len(u):
+            return empty
+        key = u * 100_000 + d
+        uniq = np.unique(key)
+        uu, dd = uniq // 100_000, uniq % 100_000
+        # per-day distinct users in this partition (partials sum exactly:
+        # a user lives in exactly one partition)
+        du, dc = np.unique(dd, return_counts=True)
+        # per-month distinct users: distinct (user, month)
+        mm = dd.astype("datetime64[D]").astype("datetime64[M]") \
+            .astype(np.int64)
+        mk = np.unique(uu * 4096 + (mm % 4096))
+        mu_, mc = np.unique(mk % 4096, return_counts=True)
+        return pa.table({
+            "k": pa.array(np.concatenate([du, mu_]).astype(np.int64)),
+            "grain": pa.array(np.concatenate(
+                [np.zeros(len(du)), np.ones(len(mu_))]).astype(np.int32)),
+            "pn": pa.array(np.concatenate([dc, mc]).astype(np.int64)),
+        })
+
+    g = (ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+         .groupby("part").map_groups(merge, batch_format="pandas")
+         .groupby(["grain", "k"]).aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas()
+    days = g[g["grain"] == 0].sort_values("k", ignore_index=True)
+    mons = g[g["grain"] == 1].sort_values("k", ignore_index=True)
+    day_month = days["k"].to_numpy().astype("datetime64[D]") \
+        .astype("datetime64[M]").astype(np.int64) % 4096 \
+        if len(days) else np.empty(0, np.int64)
+    out_m, out_mau, out_sd, out_nd, out_avg, out_st = [], [], [], [], [], []
+    mau_of = dict(zip(mons["k"].astype(int), mons["n"].astype(int)))
+    for m in sorted(mau_of):
+        sel = day_month == m
+        sd = int(days["n"].to_numpy()[sel].sum())
+        nd = int(sel.sum())
+        mau = mau_of[m]
+        avg = float(sd) / float(nd)
+        out_m.append(m)
+        out_mau.append(mau)
+        out_sd.append(sd)
+        out_nd.append(nd)
+        out_avg.append(float(round_half_away(np.float64(avg))))
+        out_st.append(float(round_half_away(np.float64(
+            avg / float(mau)))))
+    # m % 4096 == m for the whole supported epoch range (months since
+    # 1970 stay < 4096 until year 2311), so k IS the absolute month
+    months = np.array(out_m, dtype=np.int64).astype("datetime64[M]") \
+        .astype("datetime64[us]") if out_m else \
+        np.empty(0, "datetime64[us]")
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "month": pa.array(months),
+        "mau": pa.array(out_mau, type=pa.int64()),
+        "sum_dau": pa.array(out_sd, type=pa.int64()),
+        "n_days": pa.array(out_nd, type=pa.int64()),
+        "avg_dau": pa.array(out_avg, type=pa.float64()),
+        "stickiness": pa.array(out_st, type=pa.float64()),
+    }))
+
+
+DAU_MAU_SQL = """
+WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+dd AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM e GROUP BY 1),
+mm AS (SELECT date_trunc('month', make_timestamp(d * 86400000000))
+              AS month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+       FROM e GROUP BY 1),
+md AS (SELECT date_trunc('month', make_timestamp(d * 86400000000))
+              AS month, CAST(sum(dau) AS BIGINT) AS sum_dau,
+              CAST(count(*) AS BIGINT) AS n_days
+       FROM dd GROUP BY 1)
+SELECT month, mau, sum_dau, n_days,
+       round(CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+         AS avg_dau,
+       round(CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE)
+             / CAST(mau AS DOUBLE), 6) AS stickiness
+FROM mm JOIN md USING (month) ORDER BY month"""
+
+
+def day_user_jaccard(sf_dir: str, n_parts: int = 64):
+    """Audience-overlap series: the Jaccard similarity between the
+    active-user sets of consecutive calendar days — (day, next_day,
+    n_a, n_b, n_both, jaccard), one row per adjacent pair of days BOTH
+    present in the data.  High churn shows up as a low Jaccard even when
+    DAU is flat; the set-overlap companion of :func:`dau_mau` and
+    cohort_retention.
+
+    Scale plan: per-batch-DISTINCT (day, user) pairs ride the same
+    user-hashed blob co-partition as dau_mau (set membership is not
+    partially summable); each user\'s day set is wholly local, so the
+    per-partition count of users active on both d and d+1 sums exactly
+    across partitions.  Merge blocks emit calendar-bounded (day,
+    n_users, n_both_with_next) partials; the driver assembles the
+    bounded series.  Assumes ts >= 1970 (same // truncation standing
+    assumption as dau_mau).
+    """
+    from ray.data.aggregate import Sum
+
+    from .join import _ipc_bytes, _ipc_table, _part_of
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_users(_drop_null_ts(batch))
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        key = u * 100_000 + d
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        first = np.concatenate([[True], ks[1:] != ks[:-1]]) \
+            if len(ks) else np.empty(0, bool)
+        uu = u[order][first]
+        du = d[order][first]
+        part = _part_of(uu, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, uu, du = part[ordp], uu[ordp], du[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
+             [len(part)]]) if len(part) else np.array([0, 0])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "u": pa.array(uu[a_:b_]), "d": pa.array(du[a_:b_])})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"u": pa.array([], type=pa.int64()),
+             "d": pa.array([], type=pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({
+            "d": pa.array([], type=pa.int64()),
+            "pn": pa.array([], type=pa.int64()),
+            "pb": pa.array([], type=pa.int64()),
+        })
+        if not len(u):
+            return empty
+        key = np.unique(u * 100_000 + d)
+        uu, dd = key // 100_000, key % 100_000
+        day_u, day_c = np.unique(dd, return_counts=True)
+        both = (uu[1:] == uu[:-1]) & (dd[1:] == dd[:-1] + 1)
+        bd_u, bd_c = np.unique(dd[:-1][both], return_counts=True)
+        alld = np.unique(np.concatenate([day_u, bd_u]))
+        pn = np.zeros(len(alld), dtype=np.int64)
+        pb = np.zeros(len(alld), dtype=np.int64)
+        pn[np.searchsorted(alld, day_u)] = day_c
+        pb[np.searchsorted(alld, bd_u)] = bd_c
+        return pa.table({
+            "d": pa.array(alld.astype(np.int64)),
+            "pn": pa.array(pn),
+            "pb": pa.array(pb),
+        })
+
+    g = (ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+         .groupby("part").map_groups(merge, batch_format="pandas")
+         .groupby("d").aggregate(Sum("pn"), Sum("pb"))) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    dd = g["d"].to_numpy().astype(np.int64) if len(g) else \
+        np.empty(0, np.int64)
+    na = g["sum(pn)"].to_numpy().astype(np.int64) if len(g) else \
+        np.empty(0, np.int64)
+    nb_ = g["sum(pb)"].to_numpy().astype(np.int64) if len(g) else \
+        np.empty(0, np.int64)
+    rows = {"day": [], "next_day": [], "n_a": [], "n_b": [],
+            "n_both": [], "jaccard": []}
+    pos = {int(v): i for i, v in enumerate(dd)}
+    for i, d0 in enumerate(dd):
+        j = pos.get(int(d0) + 1)
+        if j is None:
+            continue
+        a, b, nb2 = int(na[i]), int(na[j]), int(nb_[i])
+        rows["day"].append(int(d0))
+        rows["next_day"].append(int(d0) + 1)
+        rows["n_a"].append(a)
+        rows["n_b"].append(b)
+        rows["n_both"].append(nb2)
+        rows["jaccard"].append(float(round_half_away(np.float64(
+            float(nb2) / float(a + b - nb2)))))
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "day": pa.array(rows["day"], type=pa.int64()),
+        "next_day": pa.array(rows["next_day"], type=pa.int64()),
+        "n_a": pa.array(rows["n_a"], type=pa.int64()),
+        "n_b": pa.array(rows["n_b"], type=pa.int64()),
+        "n_both": pa.array(rows["n_both"], type=pa.int64()),
+        "jaccard": pa.array(rows["jaccard"], type=pa.float64()),
+    }))
+
+
+DAY_USER_JACCARD_SQL = """
+WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+da AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1),
+bo AS (SELECT a.d AS d, CAST(count(*) AS BIGINT) AS n_both
+       FROM du a JOIN du b ON b.user_id = a.user_id AND b.d = a.d + 1
+       GROUP BY 1)
+SELECT CAST(a.d AS BIGINT) AS day, CAST(b.d AS BIGINT) AS next_day,
+       a.n AS n_a, b.n AS n_b,
+       CAST(coalesce(bo.n_both, 0) AS BIGINT) AS n_both,
+       round(CAST(coalesce(bo.n_both, 0) AS DOUBLE)
+             / CAST(a.n + b.n - coalesce(bo.n_both, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM da a JOIN da b ON b.d = a.d + 1
+LEFT JOIN bo ON bo.d = a.d
+ORDER BY 1"""
 
 
 def activity_curve(sf_dir: str, n_parts: int = 64):

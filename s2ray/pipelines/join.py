@@ -4523,6 +4523,244 @@ SELECT month, revenue_cents,
 FROM l ORDER BY month"""
 
 
+def benford_law(sf_dir: str):
+    """Benford's-law audit of order totals: the distribution of the
+    FIRST significant digit of o_totalprice (in exact cents) against the
+    Benford expectation log10(1 + 1/d) — the classic fraud / synthetic-
+    data screen.  Output: (digit, n_orders, obs_p, benford_p) for the
+    digits that occur.
+
+    Exactness: cents = rint(price * 100) as everywhere; the leading
+    digit comes from a bounded INTEGER divide-down loop (≤ 19 rounds for
+    int64 — no float log10 on the data path), mirrored in SQL by
+    substr(CAST(cents AS VARCHAR), 1, 1).  Per-batch bincount partials
+    ride ONE digit-cardinality (≤ 10 keys) groupby; the share division
+    float(n)/float(total) and the log10 reference column evaluate the
+    identical expression chains both engines.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .text import round_half_away
+
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch["o_totalprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        v = np.abs(cents)
+        while (v >= 10).any():
+            big = v >= 10
+            v[big] //= 10
+        n = np.bincount(v, minlength=10).astype(np.int64)
+        has = n > 0
+        return pa.table({
+            "digit": pa.array(np.flatnonzero(has).astype(np.int64)),
+            "pn": pa.array(n[has]),
+        })
+
+    g = (orders.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+         .groupby("digit").aggregate(Sum("pn", alias_name="n_orders")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["digit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_orders"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        total = int(n.sum())
+        obs = [float(round_half_away(np.float64(
+            float(int(x)) / float(total)))) for x in n] if total else []
+        ben = [float(round_half_away(np.float64(
+            math.log10(1.0 + 1.0 / float(int(x)))))) if x > 0 else None
+            for x in d]
+        return pa.table({
+            "digit": pa.array(d),
+            "n_orders": pa.array(n),
+            "obs_p": pa.array(obs, type=pa.float64()),
+            "benford_p": pa.array(ben, type=pa.float64()),
+        })
+
+    return g.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                        batch_size=None)
+
+
+BENFORD_LAW_SQL = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+d AS (SELECT CAST(substr(CAST(abs(cents) AS VARCHAR), 1, 1) AS BIGINT)
+             AS digit FROM c),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM d
+      GROUP BY 1),
+t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot FROM g)
+SELECT digit, n_orders,
+       round(CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS obs_p,
+       CASE WHEN digit > 0 THEN
+         round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+       ELSE NULL END AS benford_p
+FROM g CROSS JOIN t ORDER BY digit"""
+
+
+def new_vs_repeat(sf_dir: str, n_parts: int = 64):
+    """New-vs-returning revenue split per calendar month: every order is
+    "new" iff it falls in its customer's FIRST active month (cohort
+    month), else "repeat" — (month, new_revenue_cents,
+    repeat_revenue_cents, n_new, n_repeat).  The acquisition-vs-
+    retention KPI split next to :func:`revenue_growth`.
+
+    Scale plan: per-batch (custkey, month) cent/count partials ride ONE
+    custkey-hashed blob co-partition (the first month of a customer
+    needs every partial of that customer — never a customer-cardinality
+    Ray sort row); each merge block resolves first months, classifies
+    its partials and emits (month, lanes) rows, and the final groupby is
+    calendar-bounded.  Cent sums ride wrap-safe hi/lo int64 lanes
+    (per-merge-block month sums stay < 2^63: bounded by per-partition
+    revenue, i.e. total revenue / n_parts).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mk = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        cents = np.rint(batch["o_totalprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        key = ck * 4096 + (mk % 4096)          # months fit 12 bits
+        order = np.argsort(key, kind="stable")
+        key, ck, mk, cents = key[order], ck[order], mk[order], \
+            cents[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(key[1:] != key[:-1]) + 1]) \
+            .astype(np.int64) if len(key) else np.empty(0, np.int64)
+        if not len(starts):
+            return pa.table({
+                "part": pa.array([], type=pa.int32()),
+                "blob": pa.array([], type=pa.large_binary()),
+            })
+        cku = ck[starts]
+        mku = mk[starts]
+        su = np.add.reduceat(cents, starts)
+        nu = np.diff(np.append(starts, len(key)))
+        part = _part_of(cku, n_parts).astype(np.int64)
+        ordp = np.argsort(part, kind="stable")
+        part, cku, mku, su, nu = part[ordp], cku[ordp], mku[ordp], \
+            su[ordp], nu[ordp]
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1, [len(part)]])
+        rows_p, rows_b = [], []
+        for a_, b_ in zip(bstarts[:-1], bstarts[1:]):
+            if b_ <= a_:
+                continue
+            rows_p.append(int(part[a_]))
+            rows_b.append(_ipc_bytes(pa.table({
+                "c": pa.array(cku[a_:b_]), "m": pa.array(mku[a_:b_]),
+                "s": pa.array(su[a_:b_]),
+                "n": pa.array(nu[a_:b_].astype(np.int64))})))
+        return pa.table({
+            "part": pa.array(rows_p, type=pa.int32()),
+            "blob": pa.array(rows_b, type=pa.large_binary()),
+        })
+
+    def merge(df) -> pa.Table:
+        tabs = [_ipc_table(b) for b in df["blob"]]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"c": pa.array([], type=pa.int64()),
+             "m": pa.array([], type=pa.int64()),
+             "s": pa.array([], type=pa.int64()),
+             "n": pa.array([], type=pa.int64())})
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({
+            "m": pa.array([], type=pa.int64()),
+            "nh": pa.array([], type=pa.int64()),
+            "nl": pa.array([], type=pa.int64()),
+            "rh": pa.array([], type=pa.int64()),
+            "rl": pa.array([], type=pa.int64()),
+            "nn": pa.array([], type=pa.int64()),
+            "nr": pa.array([], type=pa.int64()),
+        })
+        if not len(c):
+            return empty
+        order = np.argsort(c, kind="stable")
+        c, m, s, n = c[order], m[order], s[order], n[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(c[1:] != c[:-1]) + 1]).astype(np.int64)
+        first = np.minimum.reduceat(m, starts)
+        isn = m == np.repeat(first, np.diff(np.append(starts, len(c))))
+        mu, inv = np.unique(m, return_inverse=True)
+        k = len(mu)
+        rev_new = np.zeros(k, dtype=np.int64)
+        rev_rep = np.zeros(k, dtype=np.int64)
+        n_new = np.zeros(k, dtype=np.int64)
+        n_rep = np.zeros(k, dtype=np.int64)
+        np.add.at(rev_new, inv[isn], s[isn])
+        np.add.at(rev_rep, inv[~isn], s[~isn])
+        np.add.at(n_new, inv[isn], n[isn])
+        np.add.at(n_rep, inv[~isn], n[~isn])
+        return pa.table({
+            "m": pa.array(mu),
+            "nh": pa.array(rev_new // (1 << 31)),
+            "nl": pa.array(rev_new % (1 << 31)),
+            "rh": pa.array(rev_rep // (1 << 31)),
+            "rl": pa.array(rev_rep % (1 << 31)),
+            "nn": pa.array(n_new),
+            "nr": pa.array(n_rep),
+        })
+
+    g = (orders.map_batches(tag, batch_format="pyarrow", batch_size=None)
+         .groupby("part")
+         .map_groups(merge, batch_format="pandas")
+         .groupby("m").aggregate(Sum("nh"), Sum("nl"), Sum("rh"),
+                                 Sum("rl"), Sum("nn"), Sum("nr"))) \
+        .to_pandas().sort_values("m", ignore_index=True)
+    months = g["m"].to_numpy().astype("datetime64[M]") \
+        .astype("datetime64[us]") if len(g) else \
+        np.empty(0, "datetime64[us]")
+    new_rev = [(int(h) << 31) + int(l)
+               for h, l in zip(g.get("sum(nh)", []), g.get("sum(nl)", []))]
+    rep_rev = [(int(h) << 31) + int(l)
+               for h, l in zip(g.get("sum(rh)", []), g.get("sum(rl)", []))]
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "month": pa.array(months),
+        "new_revenue_cents": pa.array(new_rev, type=pa.int64()),
+        "repeat_revenue_cents": pa.array(rep_rev, type=pa.int64()),
+        "n_new": pa.array(g["sum(nn)"].to_numpy().astype(np.int64)
+                          if len(g) else np.empty(0, np.int64)),
+        "n_repeat": pa.array(g["sum(nr)"].to_numpy().astype(np.int64)
+                             if len(g) else np.empty(0, np.int64)),
+    }))
+
+
+NEW_VS_REPEAT_SQL = """
+WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+f AS (SELECT o_custkey, min(m) AS fm FROM o GROUP BY 1),
+c AS (SELECT o.m, CASE WHEN o.m = f.fm THEN 1 ELSE 0 END AS isn, o.cents
+      FROM o JOIN f USING (o_custkey))
+SELECT m AS month,
+  CAST(coalesce(sum(CASE WHEN isn = 1 THEN cents END), 0) AS BIGINT)
+    AS new_revenue_cents,
+  CAST(coalesce(sum(CASE WHEN isn = 0 THEN cents END), 0) AS BIGINT)
+    AS repeat_revenue_cents,
+  CAST(count(CASE WHEN isn = 1 THEN 1 END) AS BIGINT) AS n_new,
+  CAST(count(CASE WHEN isn = 0 THEN 1 END) AS BIGINT) AS n_repeat
+FROM c GROUP BY 1 ORDER BY 1"""
+
+
 def nation_flow(sf_dir: str, n_parts: int = 64):
     """Trade-flow matrix: revenue per (customer nation, supplier
     nation) — (cust_nation, supp_nation, revenue_microcents, n_lines),

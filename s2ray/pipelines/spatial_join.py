@@ -783,6 +783,53 @@ def knn_graph(pages_ds, d_m: float, k: int = 3, max_bucket: int = 200_000):
             .map_groups(merge_topk, batch_format="pandas"))
 
 
+def knn_hubness(pages_ds, d_m: float, k: int = 3,
+                max_bucket: int = 200_000):
+    """Hubness profile of the kNN graph — the histogram of IN-degrees
+    (how many points list point p among their k nearest): rows
+    (in_degree, n_points), in_degree >= 1.  The classic skew diagnostic
+    for neighbor-based methods: a heavy right tail ("hub" points that
+    appear in everyone's neighbor list) degrades kNN classification and
+    graph-based label propagation; under spatial uniformity in-degree
+    concentrates near k.  Points that never appear as anyone's neighbor
+    carry in-degree 0 and are absent by contract (representing them
+    would need the full point table for no analytic gain).
+
+    Scale shape: composes :func:`knn_graph` (shuffle bounded at k rows
+    per point per batch by the two-stage local/global top-k) with two
+    count groupbys, each preceded by a per-batch ``np.unique`` partial —
+    the first is keyed by nn_id (at most k*N rows in, N out), the second
+    by in_degree whose key cardinality is bounded by the max in-degree
+    (<< N), so the final table is tiny.
+    """
+    from ray.data.aggregate import Sum
+
+    edges = knn_graph(pages_ds, d_m, k=k, max_bucket=max_bucket)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        nn = batch["nn_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(nn, return_counts=True)
+        return pa.table({"nn_id": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    indeg = (edges.map_batches(count_partial, batch_format="pyarrow",
+                               batch_size=None)
+             .groupby("nn_id").aggregate(Sum("pn",
+                                             alias_name="in_degree")))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        d = batch["in_degree"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"in_degree": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    return (indeg.map_batches(hist_partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("in_degree").aggregate(Sum("pn",
+                                                alias_name="n_points")))
+
+
 def ripley_k(pages_ds, radii=(5_000.0, 10_000.0, 25_000.0),
              max_bucket: int = 200_000, n_parts: int = 64):
     """Ripley's K function of the page point pattern — the classic

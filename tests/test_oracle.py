@@ -82,6 +82,9 @@ def _compare(name, entrymod, con):
                                    "cross_lang_nn", "user_streaks", "source_mix",
                                    "langid_confusion", "emb_integrity", "tile_growth",
                                    "grid_smooth", "morans_i", "geary_c",
+                                   "knn_hubness", "benford_law",
+                                   "new_vs_repeat", "dau_mau",
+                                   "day_user_jaccard",
                                    "grid_kde",
                                    "getis_ord", "local_moran", "join_counts",
                                    "tile_mann_kendall", "lang_ellipse",

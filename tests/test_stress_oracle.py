@@ -260,7 +260,7 @@ NULL_USER_QUERIES = ["user_growth", "activity_curve", "event_trigrams",
                      "events_distinct_users", "events_asof",
                      "events_sliding_distinct", "user_type_matrix",
                      "user_skyline", "latest_event_state",
-                     "user_event_paths"]
+                     "user_event_paths", "dau_mau", "day_user_jaccard"]
 
 
 @pytest.fixture(scope="module")
