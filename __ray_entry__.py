@@ -1146,6 +1146,16 @@ def _q_ripley_k(sf_dir: str):
                     radii=RIPLEY_RADII)
 
 
+def _q_mann_whitney_length(sf_dir: str):
+    """Mann-Whitney U rank test of each source's document-length
+    distribution vs the rest — exact integer midranks + tie correction
+    from the (source, n_chars) count histogram, one scalar float chain
+    per source."""
+    from s2ray.pipelines.analytics import mann_whitney_length
+
+    return mann_whitney_length(sf_dir)
+
+
 def _q_user_burstiness(sf_dir: str):
     """Goh-Barabasi burstiness of per-user inter-event gaps: exact big-int
     moments in one user-hash co-partition."""
@@ -1208,6 +1218,15 @@ def _q_token_len_stats(sf_dir: str):
     from s2ray.pipelines.text import token_len_stats
 
     return token_len_stats(sf_dir)
+
+
+def _q_flesch_lang(sf_dir: str):
+    """Per-language Flesch reading-ease profile from exact integer
+    word/sentence/vowel-cluster corpus sums (regex-count kernels fused
+    with the scan; one scalar float chain per language)."""
+    from s2ray.pipelines.text import flesch_lang
+
+    return flesch_lang(sf_dir)
 
 
 def _q_tile_gini(sf_dir: str):
@@ -3187,6 +3206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_mau": _q_dau_mau,
         "day_user_jaccard": _q_day_user_jaccard,
         "tile_entropy": _q_tile_entropy,
+        "flesch_lang": _q_flesch_lang,
+        "mann_whitney_length": _q_mann_whitney_length,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3437,6 +3458,7 @@ def oracle_sql() -> dict[str, str]:
                                            EVENT_TRIGRAMS_SQL,
                                            weekly_ma_sql,
                                            DOC_LANG_RUNS_SQL,
+                                           MANN_WHITNEY_LENGTH_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -3499,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.dedup import (DUP_BY_LENGTH_SQL,
                                        source_cooccurrence_sql)
     from s2ray.pipelines.text import (CHAR_ENTROPY_SQL,
+                                      FLESCH_LANG_SQL,
                                       TOKEN_LEN_STATS_SQL,
                                       LEXICAL_SIMPSON_SQL,
                                       SOURCE_VOCAB_JACCARD_SQL,
@@ -5043,6 +5066,7 @@ FROM (
         ),
         "order_size_hist": ORDER_SIZE_HIST_SQL,
         "token_len_stats": TOKEN_LEN_STATS_SQL,
+        "flesch_lang": FLESCH_LANG_SQL,
         "events_quantiles_cont": (
             "SELECT event_type, unnest([0.25, 0.5, 0.75]) AS q, "
             "unnest(quantile_cont(value, [0.25, 0.5, 0.75])) AS value "
@@ -5065,6 +5089,7 @@ FROM (
         "dau_mau": DAU_MAU_SQL,
         "day_user_jaccard": DAY_USER_JACCARD_SQL,
         "doc_lang_runs": DOC_LANG_RUNS_SQL,
+        "mann_whitney_length": MANN_WHITNEY_LENGTH_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,
         "order_quantiles": (

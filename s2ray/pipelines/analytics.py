@@ -5809,3 +5809,140 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_runs,
        CAST(max(len) AS BIGINT) AS longest_run
 FROM r"""
+
+
+def mann_whitney_length(sf_dir: str):
+    """Mann-Whitney U rank test of the document-length distribution of
+    each source against the rest of the corpus — (source, n_docs,
+    u_stat, z_score), one row per source.  The nonparametric
+    "is this provenance feeding us different-length documents?" drift
+    test next to source_drift_psi (which needs binning; this one is
+    distribution-free).
+
+    Exactness: the test reduces ENTIRELY to the per-(source, n_chars)
+    count histogram — global midranks come from cumulative counts
+    (doubled to stay integer under ties: rank2 = 2*cum_before + c + 1),
+    the per-source rank sum is an exact int64 dot product, and the tie
+    correction T = sum(c^3 - c) is exact int64 (c < 2^21 per length at
+    any corpus size).  U, mu and the tie-corrected sigma are ONE scalar
+    float chain per source from those integers, mirrored op-for-op;
+    z_score is NULL when sigma is 0 (all lengths tied) or a side is
+    empty.  NULL source / NULL n_chars drop on both engines.
+
+    Scale shape: per-batch (source, len) count partials, one groupby
+    bounded by length-SPREAD x sources (never corpus rows), and a
+    driver finish over that bounded histogram.
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch["source"].null_count:
+            batch = batch.filter(pc.is_valid(batch["source"]))
+        if batch["n_chars"].null_count:
+            batch = batch.filter(pc.is_valid(batch["n_chars"]))
+        src = batch["source"].to_pandas().astype(str).to_numpy()
+        ln = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(src):
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "v": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        scodes, suniq = pd.factorize(pd.Series(src))
+        # n_chars is a document length < 2^40 by far, so the pack is safe
+        key = scodes.astype(np.int64) * np.int64(2**40) + ln
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": pa.array(suniq[(u // 2**40).astype(np.int64)],
+                               type=pa.string()),
+            "v": pa.array((u % 2**40).astype(np.int64)),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    h = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["source", "v"])
+         .aggregate(Sum("pn", alias_name="c"))).to_pandas()
+    out = {"source": [], "n_docs": [], "u_stat": [], "z_score": []}
+    if len(h):
+        g = h.groupby("v", sort=True)["c"].sum()
+        vals = g.index.to_numpy().astype(np.int64)
+        gc = g.to_numpy().astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(gc)[:-1]])
+        rank2 = 2 * cum + gc + 1            # 2x the midrank
+        big_n = int(gc.sum())
+        tie_t = int(np.sum(gc.astype(object) ** 3 - gc))
+        pos = {int(v_): i for i, v_ in enumerate(vals)}
+        for s_, grp in h.groupby("source", sort=True):
+            cs = np.zeros(len(vals), dtype=np.int64)
+            for v_, c_ in zip(grp["v"], grp["c"]):
+                cs[pos[int(v_)]] = int(c_)
+            n1 = int(cs.sum())
+            n2 = big_n - n1
+            r12 = int(np.dot(cs, rank2))     # 2x the rank sum
+            u2 = r12 - n1 * (n1 + 1)         # 2x the U statistic
+            out["source"].append(s_)
+            out["n_docs"].append(n1)
+            out["u_stat"].append(float(u2) / 2.0)
+            z = None
+            if n1 and n2 and big_n > 1:
+                var = float(n1) * float(n2) / 12.0 \
+                    * (float(big_n + 1)
+                       - float(tie_t) / (float(big_n)
+                                         * float(big_n - 1)))
+                if var > 0.0:
+                    z = float(round_half_away(np.float64(
+                        (float(u2) / 2.0
+                         - float(n1) * float(n2) / 2.0)
+                        / math.sqrt(var))))
+            out["z_score"].append(z)
+    return ray.data.from_arrow(pa.table({
+        "source": pa.array(out["source"], type=pa.string()),
+        "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+        "u_stat": pa.array(out["u_stat"], type=pa.float64()),
+        "z_score": pa.array(out["z_score"], type=pa.float64()),
+    }))
+
+
+MANN_WHITNEY_LENGTH_SQL = """
+WITH d AS (SELECT source, n_chars AS v FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2),
+g AS (SELECT v, CAST(sum(c) AS BIGINT) AS c FROM h GROUP BY 1),
+r AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) - c)
+             + c + 1 AS rank2
+      FROM g),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+              CAST(sum(c * c * c - c) AS BIGINT) AS t FROM g),
+s AS (SELECT h.source, CAST(sum(h.c) AS BIGINT) AS n1,
+             CAST(sum(h.c * r.rank2) AS BIGINT) AS r12
+      FROM h JOIN r USING (v) GROUP BY 1)
+SELECT s.source AS source, s.n1 AS n_docs,
+       CAST(s.r12 - s.n1 * (s.n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+       CASE WHEN s.n1 = 0 OR nt.n - s.n1 = 0 OR nt.n <= 1
+                 OR CAST(s.n1 AS DOUBLE) * CAST(nt.n - s.n1 AS DOUBLE)
+                    / 12.0
+                    * (CAST(nt.n + 1 AS DOUBLE)
+                       - CAST(nt.t AS DOUBLE)
+                         / (CAST(nt.n AS DOUBLE)
+                            * CAST(nt.n - 1 AS DOUBLE))) <= 0.0
+            THEN NULL
+            ELSE round(
+              (CAST(s.r12 - s.n1 * (s.n1 + 1) AS DOUBLE) / 2.0
+               - CAST(s.n1 AS DOUBLE) * CAST(nt.n - s.n1 AS DOUBLE)
+                 / 2.0)
+              / sqrt(CAST(s.n1 AS DOUBLE) * CAST(nt.n - s.n1 AS DOUBLE)
+                     / 12.0
+                     * (CAST(nt.n + 1 AS DOUBLE)
+                        - CAST(nt.t AS DOUBLE)
+                          / (CAST(nt.n AS DOUBLE)
+                             * CAST(nt.n - 1 AS DOUBLE)))), 6) END
+         AS z_score
+FROM s CROSS JOIN nt ORDER BY source"""

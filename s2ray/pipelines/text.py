@@ -2819,3 +2819,133 @@ sc AS (SELECT tf.doc_id,
        CROSS JOIN nn
        GROUP BY tf.doc_id, nn.n, nn.tot, dl.len)
 SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def flesch_lang(sf_dir: str):
+    """Per-language Flesch reading-ease profile — (lang, n_docs, n_words,
+    n_sentences, n_syllables, words_per_sentence, syllables_per_word,
+    flesch).  The corpus-quality readability dial next to
+    :func:`token_len_stats` (a collapsing Flesch score flags boilerplate
+    or OCR noise entering one language's slice).
+
+    Contract (identical by construction on both engines): words =
+    whitespace tokens; sentences = runs of ``[.!?]+`` in the raw text,
+    floored at ONE per document (the standard readability fallback —
+    an unpunctuated document is a single sentence, which also keeps the
+    score live on corpora with no terminal punctuation at all);
+    syllables = runs of ``[aeiouy]+`` in the lowercased text (the classic
+    vowel-cluster heuristic, applied corpus-wide — no per-word minimum,
+    documented semantics rather than a dictionary).  NULL lang drops,
+    NULL text == empty (the _string_array contract).  The score
+    206.835 - 1.015*(w/s) - 84.6*(y/w) is ONE scalar float chain per
+    language over the EXACT integer corpus sums, mirrored op-for-op
+    (NULL when a denominator is zero).
+
+    Scale shape: per-batch per-lang integer partials (three regex-count
+    kernels fused with the scan), one lang-cardinality groupby, and a
+    lang-bounded driver finish — no corpus rows ever shuffle.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pandas()
+        ok = lang.notna().to_numpy()
+        texts = _string_array(batch["text"]).filter(pa.array(ok))
+        lang = lang[ok].astype(str).to_numpy()
+        z = np.zeros(0, dtype=np.int64)
+        if not len(lang):
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "pd_": z, "pw": z, "ps": z, "py": z})
+        _, _, _, n_tokens, _ = _token_codes(texts, lower=False)
+        sent = np.maximum(
+            pc.count_substring_regex(texts, r"[.!?]+")
+            .to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        syl = pc.count_substring_regex(pc.utf8_lower(texts), r"[aeiouy]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lcodes, luniq = pd.factorize(pd.Series(lang))
+        k = len(luniq)
+        pw = np.zeros(k, dtype=np.int64)
+        ps = np.zeros(k, dtype=np.int64)
+        py = np.zeros(k, dtype=np.int64)
+        np.add.at(pw, lcodes, n_tokens)
+        np.add.at(ps, lcodes, sent)
+        np.add.at(py, lcodes, syl)
+        return pa.table({
+            "lang": pa.array(luniq, type=pa.string()),
+            "pd_": pa.array(np.bincount(lcodes, minlength=k)
+                            .astype(np.int64)),
+            "pw": pa.array(pw), "ps": pa.array(ps), "py": pa.array(py),
+        })
+
+    m = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby("lang")
+         .aggregate(Sum("pd_", alias_name="n_docs"),
+                    Sum("pw", alias_name="n_words"),
+                    Sum("ps", alias_name="n_sentences"),
+                    Sum("py", alias_name="n_syllables"))).to_pandas() \
+        .sort_values("lang", ignore_index=True)
+    wps, spw, fl = [], [], []
+    for w_, s_, y_ in zip(m["n_words"], m["n_sentences"], m["n_syllables"]):
+        w_, s_, y_ = int(w_), int(s_), int(y_)
+        a = float(w_) / float(s_) if s_ else None
+        b = float(y_) / float(w_) if w_ else None
+        wps.append(float(round_half_away(np.float64(a))) if a is not None
+                   else None)
+        spw.append(float(round_half_away(np.float64(b))) if b is not None
+                   else None)
+        fl.append(float(round_half_away(np.float64(
+            206.835 - 1.015 * a - 84.6 * b)))
+            if a is not None and b is not None else None)
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(m["lang"], type=pa.string()),
+        "n_docs": pa.array(m["n_docs"].to_numpy().astype(np.int64)
+                           if len(m) else np.empty(0, np.int64)),
+        "n_words": pa.array(m["n_words"].to_numpy().astype(np.int64)
+                            if len(m) else np.empty(0, np.int64)),
+        "n_sentences": pa.array(m["n_sentences"].to_numpy()
+                                .astype(np.int64)
+                                if len(m) else np.empty(0, np.int64)),
+        "n_syllables": pa.array(m["n_syllables"].to_numpy()
+                                .astype(np.int64)
+                                if len(m) else np.empty(0, np.int64)),
+        "words_per_sentence": pa.array(wps, type=pa.float64()),
+        "syllables_per_word": pa.array(spw, type=pa.float64()),
+        "flesch": pa.array(fl, type=pa.float64()),
+    }))
+
+
+FLESCH_LANG_SQL = r"""
+WITH d AS (SELECT lang,
+                  length(list_filter(regexp_split_to_array(
+                    coalesce(text, ''), '\s+'), x -> x <> '')) AS w,
+                  greatest(1, length(regexp_extract_all(coalesce(text, ''),
+                                                        '[.!?]+'))) AS s,
+                  length(regexp_extract_all(lower(coalesce(text, '')),
+                                            '[aeiouy]+')) AS y
+           FROM documents WHERE lang IS NOT NULL),
+a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(s) AS BIGINT) AS n_sentences,
+             CAST(sum(y) AS BIGINT) AS n_syllables
+      FROM d GROUP BY 1)
+SELECT lang, n_docs, n_words, n_sentences, n_syllables,
+       CASE WHEN n_sentences = 0 THEN NULL
+            ELSE round(CAST(n_words AS DOUBLE)
+                       / CAST(n_sentences AS DOUBLE), 6) END
+         AS words_per_sentence,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE round(CAST(n_syllables AS DOUBLE)
+                       / CAST(n_words AS DOUBLE), 6) END
+         AS syllables_per_word,
+       CASE WHEN n_sentences = 0 OR n_words = 0 THEN NULL
+            ELSE round(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE)
+                                  / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE)), 6) END
+         AS flesch
+FROM a ORDER BY lang"""

@@ -98,6 +98,7 @@ def _compare(name, entrymod, con):
                                    "late_shipments", "excess_shippers",
                                    "covered_days", "order_cadence",
                                    "lexical_simpson", "anagram_groups",
+                                   "flesch_lang", "mann_whitney_length",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
