@@ -1146,6 +1146,16 @@ def _q_ripley_k(sf_dir: str):
                     radii=RIPLEY_RADII)
 
 
+def _q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival of per-user inter-event waiting times,
+    right-censored at the corpus horizon — bucket-bounded count
+    shuffle + order-pinned ascending product fold (list_reduce
+    mirror)."""
+    from s2ray.pipelines.analytics import kaplan_meier_gaps
+
+    return kaplan_meier_gaps(sf_dir)
+
+
 def _q_mann_whitney_length(sf_dir: str):
     """Mann-Whitney U rank test of each source's document-length
     distribution vs the rest — exact integer midranks + tie correction
@@ -1218,6 +1228,24 @@ def _q_token_len_stats(sf_dir: str):
     from s2ray.pipelines.text import token_len_stats
 
     return token_len_stats(sf_dir)
+
+
+def _q_textrank_keywords(sf_dir: str):
+    """TextRank keyword extraction: weighted PageRank over the
+    top-200-token adjacency graph with the order-pinned contribution
+    fold (recursive-CTE oracle, domain_pagerank's mirror)."""
+    from s2ray.pipelines.text import textrank_keywords
+
+    return textrank_keywords(sf_dir)
+
+
+def _q_log_odds_keywords(sf_dir: str):
+    """Top-15 distinctive tokens per language by smoothed log-odds
+    z-score (Fightin' Words, uniform +1 prior) — one vocabulary-sized
+    count shuffle + bounded driver scoring with the libm ln mirror."""
+    from s2ray.pipelines.text import log_odds_keywords
+
+    return log_odds_keywords(sf_dir)
 
 
 def _q_flesch_lang(sf_dir: str):
@@ -2074,6 +2102,18 @@ def _q_distance_join(sf_dir: str):
 
 
 BEARING_SECTORS = 16
+
+
+def _q_bearing_circular(sf_dir: str):
+    """Monthly circular statistics (mean bearing, resultant length,
+    circular variance) of the Moscow-bearing field — 1e-9 fixed-point
+    sin/cos monthly sums, identical finishing doubles both engines."""
+    from s2ray.pipelines.spatial_join import bearing_circular_monthly
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return bearing_circular_monthly(
+        pages_with_cells(sf_dir, token_level=None),
+        KNN_Q["qlat"], KNN_Q["qlng"])
 
 
 def _q_bearing_sectors(sf_dir: str):
@@ -3208,6 +3248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_entropy": _q_tile_entropy,
         "flesch_lang": _q_flesch_lang,
         "mann_whitney_length": _q_mann_whitney_length,
+        "log_odds_keywords": _q_log_odds_keywords,
+        "bearing_circular": _q_bearing_circular,
+        "kaplan_meier": _q_kaplan_meier,
+        "textrank_keywords": _q_textrank_keywords,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3459,6 +3503,7 @@ def oracle_sql() -> dict[str, str]:
                                            weekly_ma_sql,
                                            DOC_LANG_RUNS_SQL,
                                            MANN_WHITNEY_LENGTH_SQL,
+                                           KAPLAN_MEIER_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -3527,6 +3572,8 @@ def oracle_sql() -> dict[str, str]:
                                       SOURCE_VOCAB_JACCARD_SQL,
                                       TOKEN_EDIT_PAIRS_SQL,
                                       anagram_groups_sql, heaps_law_sql,
+                                      log_odds_keywords_sql,
+                                      textrank_keywords_sql,
                                       search_rank_sql,
                                       search_bm25_sql,
                                       phrase_search_sql,
@@ -3760,6 +3807,42 @@ sec AS (SELECT CAST(floor(((deg + 360) % 360) / {_bw!r}) AS BIGINT)
 SELECT sector, CAST(count(*) AS BIGINT) AS n_pages,
        min(round(dm, 3)) AS min_dist_m, max(round(dm, 3)) AS max_dist_m
 FROM sec GROUP BY sector"""
+    # monthly circular statistics of the same bearing: per-page sin/cos
+    # rounded into the 1e-9 fixed-point domain (monthly_centroid's
+    # contract) -> exact BIGINT monthly sums -> identical finishing
+    # atan2/sqrt doubles on both engines
+    bearing_circ_sql = f"""
+{cte},
+b AS (SELECT date_trunc('month', make_timestamp(
+               (1704067200 + (page_id * 40499) % 31536000) * 1000000))
+               AS month,
+             atan2(sin(radians(lng) - radians({KNN_Q['qlng']}))
+                     * cos(radians(lat)),
+                   cos(radians({KNN_Q['qlat']})) * sin(radians(lat))
+                   - sin(radians({KNN_Q['qlat']})) * cos(radians(lat))
+                     * cos(radians(lng) - radians({KNN_Q['qlng']})))
+               AS brg
+      FROM pages_geo),
+q AS (SELECT month,
+             CAST(round(sin(brg) * 1000000000.0) AS BIGINT) AS qs,
+             CAST(round(cos(brg) * 1000000000.0) AS BIGINT) AS qc
+      FROM b),
+a AS (SELECT month, CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(sum(qs) AS BIGINT) AS ss,
+             CAST(sum(qc) AS BIGINT) AS sc
+      FROM q GROUP BY 1)
+SELECT month, n_pages,
+       round((degrees(atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)))
+              + 360.0) % 360.0, 6) AS mean_bearing_deg,
+       round(sqrt(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                  + CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             / (CAST(n_pages AS DOUBLE) * 1000000000.0), 6)
+         AS resultant_r,
+       round(1.0 - sqrt(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                        + CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                   / (CAST(n_pages AS DOUBLE) * 1000000000.0), 6)
+         AS circ_var
+FROM a ORDER BY month"""
     # rect-distance rank: branch-for-branch kernel mirror (sqlgen)
     from s2ray.functions.sqlgen import rect_distance_select
     from s2ray.kernel.region import LatLngRect
@@ -5067,6 +5150,8 @@ FROM (
         "order_size_hist": ORDER_SIZE_HIST_SQL,
         "token_len_stats": TOKEN_LEN_STATS_SQL,
         "flesch_lang": FLESCH_LANG_SQL,
+        "log_odds_keywords": log_odds_keywords_sql(),
+        "textrank_keywords": textrank_keywords_sql(),
         "events_quantiles_cont": (
             "SELECT event_type, unnest([0.25, 0.5, 0.75]) AS q, "
             "unnest(quantile_cont(value, [0.25, 0.5, 0.75])) AS value "
@@ -5090,6 +5175,7 @@ FROM (
         "day_user_jaccard": DAY_USER_JACCARD_SQL,
         "doc_lang_runs": DOC_LANG_RUNS_SQL,
         "mann_whitney_length": MANN_WHITNEY_LENGTH_SQL,
+        "kaplan_meier": KAPLAN_MEIER_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,
         "order_quantiles": (
@@ -5476,6 +5562,7 @@ GROUP BY m.event_type, m.median""",
         "nearest_city_stats": nearest_city_sql,
         "city_visits_monthly": city_visits_sql,
         "bearing_sectors": bearing_sql,
+        "bearing_circular": bearing_circ_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "

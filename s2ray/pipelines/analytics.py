@@ -5946,3 +5946,152 @@ SELECT s.source AS source, s.n1 AS n_docs,
                              * CAST(nt.n - 1 AS DOUBLE)))), 6) END
          AS z_score
 FROM s CROSS JOIN nt ORDER BY source"""
+
+
+def kaplan_meier_gaps(sf_dir: str, n_parts: int = 64,
+                      bucket_us: int = 3_600_000_000):
+    """Kaplan-Meier survival curve of the per-user inter-event waiting
+    time, right-censored at the corpus horizon — (gap_hours, n_risk,
+    n_events, n_censored, survival), one row per occupied hour bucket.
+    Every consecutive same-user gap is an observed "death" at its
+    duration; each user's open interval from their LAST event to the
+    global max timestamp is a censored observation (the user had not
+    yet returned when the data ends) — dropping it, as a naive gap
+    ECDF does, biases return-time estimates short.  The product-limit
+    estimator is the standard correction.
+
+    Exactness: bucket counts (d_i deaths, c_i censored per hour) are
+    exact int64 from one co-partition pass; n_risk is an exact integer
+    running difference; survival is the ORDER-PINNED ascending-bucket
+    product of (1.0 - d_i/n_risk_i) seeded at 1.0, mirrored
+    term-for-term by the oracle's list_reduce over
+    list(... ORDER BY b) with a 1.0 prepend (the daily_ewma fold
+    precedent).  NULL user / NULL ts drop (house contract); assumes
+    ts >= 1970 (// truncation, the standing dau_mau assumption —
+    gaps and horizons are non-negative regardless).
+
+    Scale shape: one tiny global-max scan, ONE user-hash co-partition
+    whose merge blocks emit only (hour-bucket, counts) partials, a
+    bucket-bounded groupby, and a driver fold over the bounded
+    (timespan / 1 hour) table — corpus rows shuffle once, counts
+    after that.
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tmax_partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(_drop_null_users(batch))
+        if not len(batch):
+            return pa.table({"t": pa.array([], type=pa.int64())})
+        t = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"t": pa.array([int(t.max())])})
+
+    agg = ds.map_batches(tmax_partial, batch_format="pyarrow",
+                         batch_size=None).aggregate(Max("t"))
+    tmax = agg.get("max(t)") if agg else None
+    empty = pa.table({
+        "gap_hours": pa.array([], type=pa.int64()),
+        "n_risk": pa.array([], type=pa.int64()),
+        "n_events": pa.array([], type=pa.int64()),
+        "n_censored": pa.array([], type=pa.int64()),
+        "survival": pa.array([], type=pa.float64()),
+    })
+    if tmax is None:
+        return ray.data.from_arrow(empty)
+    tmax = int(tmax)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(_drop_null_users(
+            batch.replace_schema_metadata(None)))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def km_counts(df: pd.DataFrame) -> pd.DataFrame:
+        z = pd.Series(dtype=np.int64)
+        if len(df) == 0:
+            return pd.DataFrame({"b": z, "pd_": z, "pc_": z})
+        df = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        gaps = np.concatenate([[0], t[1:] - t[:-1]])[same]
+        gb = gaps // bucket_us
+        last = np.concatenate([uid[1:] != uid[:-1], [True]])
+        cb = (tmax - t[last]) // bucket_us
+        ub, cnt = np.unique(gb, return_counts=True)
+        uc, ccnt = np.unique(cb, return_counts=True)
+        allb = np.unique(np.concatenate([ub, uc]))
+        d = np.zeros(len(allb), dtype=np.int64)
+        c = np.zeros(len(allb), dtype=np.int64)
+        d[np.searchsorted(allb, ub)] = cnt
+        c[np.searchsorted(allb, uc)] = ccnt
+        return pd.DataFrame({"b": allb.astype(np.int64),
+                             "pd_": d, "pc_": c})
+
+    h = (ds.map_batches(add_part, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby("part").map_groups(km_counts, batch_format="pandas")
+         .groupby("b").aggregate(Sum("pd_", alias_name="d"),
+                                 Sum("pc_", alias_name="c"))) \
+        .to_pandas().sort_values("b", ignore_index=True)
+    if not len(h):
+        return ray.data.from_arrow(empty)
+    d = h["d"].to_numpy().astype(np.int64)
+    c = h["c"].to_numpy().astype(np.int64)
+    big_n = int((d + c).sum())
+    consumed = np.concatenate([[0], np.cumsum(d + c)[:-1]])
+    n_risk = big_n - consumed
+    surv = np.empty(len(h), dtype=np.float64)
+    acc = 1.0
+    for i in range(len(h)):
+        if d[i] > 0:
+            acc = acc * (1.0 - float(d[i]) / float(n_risk[i]))
+        surv[i] = acc
+    return ray.data.from_arrow(pa.table({
+        "gap_hours": pa.array(h["b"].to_numpy().astype(np.int64)),
+        "n_risk": pa.array(n_risk.astype(np.int64)),
+        "n_events": pa.array(d),
+        "n_censored": pa.array(c),
+        "survival": pa.array(round_half_away(surv, 6)),
+    }))
+
+
+KAPLAN_MEIER_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+mx AS (SELECT max(t) AS tmax FROM e),
+g AS (SELECT t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+      FROM e),
+durs AS (SELECT CAST(gap // 3600000000 AS BIGINT) AS b, 0 AS cens
+         FROM g WHERE gap IS NOT NULL
+         UNION ALL
+         SELECT CAST(((SELECT tmax FROM mx) - max(t)) // 3600000000
+                     AS BIGINT) AS b, 1 AS cens
+         FROM e GROUP BY user_id),
+h AS (SELECT b,
+             CAST(coalesce(count(*) FILTER (cens = 0), 0) AS BIGINT)
+               AS d,
+             CAST(coalesce(count(*) FILTER (cens = 1), 0) AS BIGINT)
+               AS c
+      FROM durs GROUP BY 1),
+n AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM h),
+r AS (SELECT b, d, c,
+             (SELECT n FROM n)
+             - (sum(d + c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                - (d + c)) AS n_risk
+      FROM h)
+SELECT r.b AS gap_hours, CAST(r.n_risk AS BIGINT) AS n_risk,
+       r.d AS n_events, r.c AS n_censored,
+       round((SELECT list_reduce(
+                list_prepend(CAST(1.0 AS DOUBLE),
+                  list(1.0 - CAST(r2.d AS DOUBLE)
+                             / CAST(r2.n_risk AS DOUBLE)
+                       ORDER BY r2.b)),
+                (a, x) -> a * x)
+              FROM r r2 WHERE r2.d > 0 AND r2.b <= r.b), 6)
+         AS survival
+FROM r ORDER BY r.b"""

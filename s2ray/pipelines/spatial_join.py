@@ -1763,3 +1763,85 @@ def voronoi_monthly(pages_ds, facilities):
     return (agg.map_batches(finish, batch_format="pyarrow",
                             batch_size=None)
             .sort(["city_id", "month"]))
+
+
+def bearing_circular_monthly(pages_ds, qlat_deg: float, qlng_deg: float):
+    """Circular statistics of the initial great-circle bearing from a
+    query point to every page, per crawl month — (month, n_pages,
+    mean_bearing_deg, resultant_r, circ_var).  The directional-moment
+    layer over :func:`bearing_sectors`: the resultant length R measures
+    how concentrated the month's pages are around one compass direction
+    (circular variance = 1 - R), catching anisotropic crawl drift a
+    centroid track can miss.
+
+    Exactness: per-page sin/cos of the bearing are rounded into the
+    1e-9 fixed-point integer domain (monthly_centroid's order-free
+    vector-sum contract), so the monthly sums are exact int64 and the
+    finishing atan2/sqrt chain runs on identical doubles both engines.
+    Bound: |sum| <= 1e9 * rows/month, int64-safe to ~9e9 pages/month
+    per the shared fixed-point contract (block partials stay far under
+    it; the documented monthly_centroid bound).
+
+    Scale shape: per-batch per-month integer partials fused with the
+    scan, ONE month-cardinality groupby, tiny finishing map.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..kernel import sphere as _sphere
+    from .text import round_half_away
+
+    qlat = np.radians(np.float64(qlat_deg))
+    qlng = np.radians(np.float64(qlng_deg))
+    _S = 1_000_000_000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if not len(batch):
+            return pa.table({"mkey": z, "pn": z, "ps": z, "pc": z})
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False)
+        mkey = ts.astype("datetime64[M]").astype(np.int64)
+        lat = np.radians(batch["lat"].to_numpy(zero_copy_only=False))
+        lng = np.radians(batch["lng"].to_numpy(zero_copy_only=False))
+        brg = _sphere.great_circle_bearing(qlat, qlng, lat, lng)
+        qs = round_half_away(np.sin(brg) * _S, 0).astype(np.int64)
+        qc = round_half_away(np.cos(brg) * _S, 0).astype(np.int64)
+        u, inv = np.unique(mkey, return_inverse=True)
+        k = len(u)
+        ps = np.zeros(k, dtype=np.int64)
+        pc_ = np.zeros(k, dtype=np.int64)
+        np.add.at(ps, inv, qs)
+        np.add.at(pc_, inv, qc)
+        return pa.table({
+            "mkey": pa.array(u),
+            "pn": pa.array(np.bincount(inv, minlength=k)
+                           .astype(np.int64)),
+            "ps": pa.array(ps), "pc": pa.array(pc_),
+        })
+
+    agg = (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby("mkey")
+           .aggregate(Sum("ps", alias_name="ss"),
+                      Sum("pc", alias_name="sc"),
+                      Sum("pn", alias_name="n_pages")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = batch["mkey"].to_numpy(zero_copy_only=False)
+        ss = batch["ss"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sc = batch["sc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n_pages"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mean_deg = np.mod(np.degrees(np.arctan2(ss, sc)) + 360.0, 360.0)
+        r = np.sqrt(ss * ss + sc * sc) / (n * _S)
+        return pa.table({
+            "month": pa.array(m.astype("datetime64[M]")
+                              .astype("datetime64[us]")),
+            "n_pages": batch["n_pages"],
+            "mean_bearing_deg": pa.array(round_half_away(mean_deg, 6)),
+            "resultant_r": pa.array(round_half_away(r, 6)),
+            "circ_var": pa.array(round_half_away(1.0 - r, 6)),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
+            .sort("month"))

@@ -99,6 +99,8 @@ def _compare(name, entrymod, con):
                                    "covered_days", "order_cadence",
                                    "lexical_simpson", "anagram_groups",
                                    "flesch_lang", "mann_whitney_length",
+                                   "log_odds_keywords", "bearing_circular",
+                                   "kaplan_meier", "textrank_keywords",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
