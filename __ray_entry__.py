@@ -1146,6 +1146,40 @@ def _q_ripley_k(sf_dir: str):
                     radii=RIPLEY_RADII)
 
 
+def _q_yules_k(sf_dir: str):
+    """Yule's K vocabulary-concentration constant per language (exact
+    count-of-count moments, one vocabulary-sized shuffle)."""
+    from s2ray.pipelines.text import yules_k
+
+    return yules_k(sf_dir)
+
+
+def _q_ks_test_length(sf_dir: str):
+    """Two-sample KS statistic of each source's doc-length distribution
+    vs the rest — exact integer ECDF gaps over the shared length
+    histogram."""
+    from s2ray.pipelines.analytics import ks_test_length
+
+    return ks_test_length(sf_dir)
+
+
+def _q_lognormal_fit_length(sf_dir: str):
+    """Method-of-moments lognormal fit (mu, sigma, exp(mu)) of each
+    source's doc lengths — libm ln once per distinct length,
+    order-pinned weighted moment folds."""
+    from s2ray.pipelines.analytics import lognormal_fit_length
+
+    return lognormal_fit_length(sf_dir)
+
+
+def _q_weekday_chi2(sf_dir: str):
+    """Weekday-uniformity chi-square per event type (telescoped
+    7*S2/n - n from exact integer moments; 7-cell contract)."""
+    from s2ray.pipelines.analytics import weekday_chi2
+
+    return weekday_chi2(sf_dir)
+
+
 def _q_kaplan_meier(sf_dir: str):
     """Kaplan-Meier survival of per-user inter-event waiting times,
     right-censored at the corpus horizon — bucket-bounded count
@@ -3252,6 +3286,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bearing_circular": _q_bearing_circular,
         "kaplan_meier": _q_kaplan_meier,
         "textrank_keywords": _q_textrank_keywords,
+        "yules_k": _q_yules_k,
+        "ks_test_length": _q_ks_test_length,
+        "lognormal_fit_length": _q_lognormal_fit_length,
+        "weekday_chi2": _q_weekday_chi2,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3504,6 +3542,9 @@ def oracle_sql() -> dict[str, str]:
                                            DOC_LANG_RUNS_SQL,
                                            MANN_WHITNEY_LENGTH_SQL,
                                            KAPLAN_MEIER_SQL,
+                                           KS_TEST_LENGTH_SQL,
+                                           LOGNORMAL_FIT_LENGTH_SQL,
+                                           WEEKDAY_CHI2_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -3567,6 +3608,7 @@ def oracle_sql() -> dict[str, str]:
                                        source_cooccurrence_sql)
     from s2ray.pipelines.text import (CHAR_ENTROPY_SQL,
                                       FLESCH_LANG_SQL,
+                                      YULES_K_SQL,
                                       TOKEN_LEN_STATS_SQL,
                                       LEXICAL_SIMPSON_SQL,
                                       SOURCE_VOCAB_JACCARD_SQL,
@@ -5176,6 +5218,10 @@ FROM (
         "doc_lang_runs": DOC_LANG_RUNS_SQL,
         "mann_whitney_length": MANN_WHITNEY_LENGTH_SQL,
         "kaplan_meier": KAPLAN_MEIER_SQL,
+        "yules_k": YULES_K_SQL,
+        "ks_test_length": KS_TEST_LENGTH_SQL,
+        "lognormal_fit_length": LOGNORMAL_FIT_LENGTH_SQL,
+        "weekday_chi2": WEEKDAY_CHI2_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,
         "order_quantiles": (

@@ -5811,31 +5811,13 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
 FROM r"""
 
 
-def mann_whitney_length(sf_dir: str):
-    """Mann-Whitney U rank test of the document-length distribution of
-    each source against the rest of the corpus — (source, n_docs,
-    u_stat, z_score), one row per source.  The nonparametric
-    "is this provenance feeding us different-length documents?" drift
-    test next to source_drift_psi (which needs binning; this one is
-    distribution-free).
-
-    Exactness: the test reduces ENTIRELY to the per-(source, n_chars)
-    count histogram — global midranks come from cumulative counts
-    (doubled to stay integer under ties: rank2 = 2*cum_before + c + 1),
-    the per-source rank sum is an exact int64 dot product, and the tie
-    correction T = sum(c^3 - c) is exact int64 (c < 2^21 per length at
-    any corpus size).  U, mu and the tie-corrected sigma are ONE scalar
-    float chain per source from those integers, mirrored op-for-op;
-    z_score is NULL when sigma is 0 (all lengths tied) or a side is
-    empty.  NULL source / NULL n_chars drop on both engines.
-
-    Scale shape: per-batch (source, len) count partials, one groupby
-    bounded by length-SPREAD x sources (never corpus rows), and a
-    driver finish over that bounded histogram.
-    """
-    import math
-
-    import ray.data
+def _source_len_hist(sf_dir: str):
+    """Shared (source, n_chars) count histogram: per-batch packed
+    counting, one groupby bounded by length-SPREAD x sources, returned
+    as a pandas frame (source, v, c).  NULL source / NULL n_chars drop
+    (the documented contract of every length-distribution operator
+    built on it: mann_whitney_length, ks_test_length,
+    lognormal_fit_length)."""
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
@@ -5865,9 +5847,39 @@ def mann_whitney_length(sf_dir: str):
             "pn": pa.array(cnt.astype(np.int64)),
         })
 
-    h = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-         .groupby(["source", "v"])
-         .aggregate(Sum("pn", alias_name="c"))).to_pandas()
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(["source", "v"])
+            .aggregate(Sum("pn", alias_name="c"))).to_pandas()
+
+
+def mann_whitney_length(sf_dir: str):
+    """Mann-Whitney U rank test of the document-length distribution of
+    each source against the rest of the corpus — (source, n_docs,
+    u_stat, z_score), one row per source.  The nonparametric
+    "is this provenance feeding us different-length documents?" drift
+    test next to source_drift_psi (which needs binning; this one is
+    distribution-free).
+
+    Exactness: the test reduces ENTIRELY to the per-(source, n_chars)
+    count histogram — global midranks come from cumulative counts
+    (doubled to stay integer under ties: rank2 = 2*cum_before + c + 1),
+    the per-source rank sum is an exact int64 dot product, and the tie
+    correction T = sum(c^3 - c) is exact int64 (c < 2^21 per length at
+    any corpus size).  U, mu and the tie-corrected sigma are ONE scalar
+    float chain per source from those integers, mirrored op-for-op;
+    z_score is NULL when sigma is 0 (all lengths tied) or a side is
+    empty.  NULL source / NULL n_chars drop on both engines.
+
+    Scale shape: per-batch (source, len) count partials, one groupby
+    bounded by length-SPREAD x sources (never corpus rows), and a
+    driver finish over that bounded histogram.
+    """
+    import math
+
+    import ray.data
+
+    h = _source_len_hist(sf_dir)
     out = {"source": [], "n_docs": [], "u_stat": [], "z_score": []}
     if len(h):
         g = h.groupby("v", sort=True)["c"].sum()
@@ -6095,3 +6107,288 @@ SELECT r.b AS gap_hours, CAST(r.n_risk AS BIGINT) AS n_risk,
               FROM r r2 WHERE r2.d > 0 AND r2.b <= r.b), 6)
          AS survival
 FROM r ORDER BY r.b"""
+
+
+def ks_test_length(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic of each source's
+    document-length distribution against the rest of the corpus —
+    (source, n_docs, ks_d, at_length): the max absolute ECDF gap and
+    the smallest length where it is attained.  The supremum-norm
+    companion of mann_whitney_length (U detects location shift; D
+    detects ANY distributional change, including variance-only drift).
+
+    Exactness: D = max_v |F1(v) - F2(v)| over the shared
+    (source, n_chars) histogram reduces to EXACT integers —
+    |cum1(v) * n2 - cum2(v) * n1| maximized as int64 (bounded by
+    n1 * n2 < 2^63 for corpora to ~3e9 docs per side, documented), with
+    ONE float division at the end; at_length is the smallest v
+    attaining the integer max (identical tie-break both engines).
+    NULL source / NULL n_chars drop; D is NULL when either side is
+    empty.
+
+    Scale shape: the _source_len_hist shuffle (length-spread bounded)
+    plus a driver finish over the bounded histogram.
+    """
+    import ray.data
+
+    h = _source_len_hist(sf_dir)
+    out = {"source": [], "n_docs": [], "ks_d": [], "at_length": []}
+    if len(h):
+        g = h.groupby("v", sort=True)["c"].sum()
+        vals = g.index.to_numpy().astype(np.int64)
+        gc = g.to_numpy().astype(np.int64)
+        big_n = int(gc.sum())
+        pos = {int(v_): i for i, v_ in enumerate(vals)}
+        for s_, grp in h.groupby("source", sort=True):
+            cs = np.zeros(len(vals), dtype=np.int64)
+            for v_, c_ in zip(grp["v"], grp["c"]):
+                cs[pos[int(v_)]] = int(c_)
+            n1 = int(cs.sum())
+            n2 = big_n - n1
+            out["source"].append(s_)
+            out["n_docs"].append(n1)
+            if n1 == 0 or n2 == 0:
+                out["ks_d"].append(None)
+                out["at_length"].append(None)
+                continue
+            cum1 = np.cumsum(cs)
+            cum2 = np.cumsum(gc - cs)
+            gap = np.abs(cum1 * n2 - cum2 * n1)
+            best = int(gap.max())
+            at = int(vals[int(np.argmax(gap))])
+            out["ks_d"].append(float(round_half_away(np.float64(
+                float(best) / (float(n1) * float(n2))))))
+            out["at_length"].append(at)
+    return ray.data.from_arrow(pa.table({
+        "source": pa.array(out["source"], type=pa.string()),
+        "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+        "ks_d": pa.array(out["ks_d"], type=pa.float64()),
+        "at_length": pa.array(out["at_length"], type=pa.int64()),
+    }))
+
+
+KS_TEST_LENGTH_SQL = """
+WITH d AS (SELECT source, n_chars AS v FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2),
+vv AS (SELECT DISTINCT v FROM h),
+ss AS (SELECT DISTINCT source FROM h),
+f AS (SELECT ss.source, vv.v, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+      FROM ss CROSS JOIN vv
+      LEFT JOIN h ON h.source = ss.source AND h.v = vv.v),
+g AS (SELECT v, CAST(sum(c) AS BIGINT) AS gc FROM f GROUP BY 1),
+cum AS (SELECT f.source, f.v,
+               sum(f.c) OVER (PARTITION BY f.source ORDER BY f.v
+                              ROWS UNBOUNDED PRECEDING) AS cum1,
+               sum(g.gc - f.c) OVER (PARTITION BY f.source ORDER BY f.v
+                                     ROWS UNBOUNDED PRECEDING) AS cum2
+        FROM f JOIN g USING (v)),
+n1 AS (SELECT source, CAST(sum(c) AS BIGINT) AS n1 FROM f GROUP BY 1),
+nn AS (SELECT CAST(sum(gc) AS BIGINT) AS n FROM g),
+gaps AS (SELECT cum.source, cum.v,
+                abs(CAST(cum.cum1 AS BIGINT) * (nn.n - n1.n1)
+                    - CAST(cum.cum2 AS BIGINT) * n1.n1) AS gap
+         FROM cum JOIN n1 USING (source) CROSS JOIN nn),
+best AS (SELECT source, max(gap) AS best FROM gaps GROUP BY 1),
+at_ AS (SELECT gaps.source, min(gaps.v) AS at_length
+        FROM gaps JOIN best ON best.source = gaps.source
+                           AND gaps.gap = best.best
+        GROUP BY 1)
+SELECT n1.source AS source, n1.n1 AS n_docs,
+       CASE WHEN n1.n1 = 0 OR nn.n - n1.n1 = 0 THEN NULL
+            ELSE round(CAST(best.best AS DOUBLE)
+                       / (CAST(n1.n1 AS DOUBLE)
+                          * CAST(nn.n - n1.n1 AS DOUBLE)), 6) END
+         AS ks_d,
+       CASE WHEN n1.n1 = 0 OR nn.n - n1.n1 = 0 THEN NULL
+            ELSE at_.at_length END AS at_length
+FROM n1 JOIN best USING (source) JOIN at_ USING (source) CROSS JOIN nn
+ORDER BY source"""
+
+
+def lognormal_fit_length(sf_dir: str):
+    """Method-of-moments lognormal fit of each source's document-length
+    distribution — (source, n_docs, mu, sigma, median_est): the mean
+    and standard deviation of ln(n_chars) and the implied median
+    exp(mu).  Web-document lengths are canonically lognormal-ish; a
+    drifting (mu, sigma) pair is the parametric summary next to the
+    nonparametric KS/U tests sharing this histogram.
+
+    Exactness: the fit reduces to the (source, n_chars) histogram, so
+    ln runs once per DISTINCT length (libm math.log, the PMI mirror)
+    and the float moment folds are ORDER-PINNED ascending length via
+    weighted sequential sums — mirrored by the oracle's list_reduce
+    over list(c * ln(v) ORDER BY v) with a 0.0 prepend.  Zero-length
+    documents are excluded (ln undefined; mirrored WHERE v > 0).
+    sigma uses the population form sqrt(m2/n - mu^2), clamped at 0
+    before sqrt on both engines (float cancellation guard).
+
+    Scale shape: the _source_len_hist shuffle + a driver fold over the
+    bounded histogram.
+    """
+    import math
+
+    import ray.data
+
+    h = _source_len_hist(sf_dir)
+    out = {"source": [], "n_docs": [], "mu": [], "sigma": [],
+           "median_est": []}
+    if len(h):
+        h = h[h["v"] > 0]
+        for s_, grp in h.groupby("source", sort=True):
+            grp = grp.sort_values("v", ignore_index=True)
+            n = int(grp["c"].sum())
+            s1 = 0.0
+            s2 = 0.0
+            for v_, c_ in zip(grp["v"], grp["c"]):
+                lv = math.log(float(int(v_)))
+                s1 = s1 + float(int(c_)) * lv
+                s2 = s2 + float(int(c_)) * (lv * lv)
+            out["source"].append(s_)
+            out["n_docs"].append(n)
+            if n == 0:
+                out["mu"].append(None)
+                out["sigma"].append(None)
+                out["median_est"].append(None)
+                continue
+            mu = s1 / float(n)
+            var = s2 / float(n) - mu * mu
+            sig = math.sqrt(var) if var > 0.0 else 0.0
+            out["mu"].append(float(round_half_away(np.float64(mu))))
+            out["sigma"].append(float(round_half_away(np.float64(sig))))
+            out["median_est"].append(float(round_half_away(
+                np.float64(math.exp(mu)), 3)))
+    return ray.data.from_arrow(pa.table({
+        "source": pa.array(out["source"], type=pa.string()),
+        "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+        "mu": pa.array(out["mu"], type=pa.float64()),
+        "sigma": pa.array(out["sigma"], type=pa.float64()),
+        "median_est": pa.array(out["median_est"], type=pa.float64()),
+    }))
+
+
+LOGNORMAL_FIT_LENGTH_SQL = """
+WITH d AS (SELECT source, n_chars AS v FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             AND n_chars > 0),
+h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2),
+m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(c AS DOUBLE) * ln(CAST(v AS DOUBLE))
+                    ORDER BY v)), (a, x) -> a + x) AS s1,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(c AS DOUBLE) * (ln(CAST(v AS DOUBLE))
+                                         * ln(CAST(v AS DOUBLE)))
+                    ORDER BY v)), (a, x) -> a + x) AS s2
+      FROM h GROUP BY 1)
+SELECT source, n AS n_docs,
+       round(s1 / CAST(n AS DOUBLE), 6) AS mu,
+       round(CASE WHEN s2 / CAST(n AS DOUBLE)
+                       - (s1 / CAST(n AS DOUBLE))
+                         * (s1 / CAST(n AS DOUBLE)) > 0.0
+                  THEN sqrt(s2 / CAST(n AS DOUBLE)
+                            - (s1 / CAST(n AS DOUBLE))
+                              * (s1 / CAST(n AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS sigma,
+       round(exp(s1 / CAST(n AS DOUBLE)), 3) AS median_est
+FROM m ORDER BY source"""
+
+
+def weekday_chi2(sf_dir: str):
+    """Weekday-uniformity goodness-of-fit per event type — (event_type,
+    n_events, chi2, peak_dow): the chi-square statistic of the 7-cell
+    weekday histogram against the uniform null (6 degrees of freedom)
+    and the busiest weekday.  The "is this event type seasonal at all?"
+    screen in front of the hourly_anomaly / events_weekday_hour drill-
+    downs.
+
+    Exactness: with E = n/7 the statistic telescopes to
+    chi2 = 7 * S2 / n - n with S2 = sum of squared weekday counts —
+    exact int64 moments (S2 < 2^63 for < 3e9 events per (type, day)
+    bucket), ONE mirrored float expression; empty weekdays count (the
+    7-cell contract).  dow = (epoch_days + 4) % 7, Sunday = 0 — the
+    events_weekday_hour convention, integer math identical on both
+    engines; peak_dow ties break to the smallest dow.  NULL ts /
+    NULL event_type drop.
+
+    Scale shape: per-batch packed (type, dow) bincount partials, a
+    (types x 7)-bounded groupby, tiny driver finish.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch.replace_schema_metadata(None))
+        if batch["event_type"].null_count:
+            batch = batch.filter(pc.is_valid(batch["event_type"]))
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "dow": pa.array([], type=pa.int64()),
+                          "pn": pa.array([], type=pa.int64())})
+        if not len(batch):
+            return empty
+        t = batch["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        dow = ((t // 86400000000 + 4) % 7).astype(np.int64)
+        et = batch["event_type"].to_pandas().astype(str).to_numpy()
+        ecodes, euniq = pd.factorize(pd.Series(et))
+        packed = ecodes.astype(np.int64) * 7 + dow
+        u, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(euniq[(u // 7).astype(np.int64)],
+                                   type=pa.string()),
+            "dow": pa.array((u % 7).astype(np.int64)),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    h = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["event_type", "dow"])
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    out = {"event_type": [], "n_events": [], "chi2": [], "peak_dow": []}
+    if len(h):
+        for et_, grp in h.groupby("event_type", sort=True):
+            o = np.zeros(7, dtype=np.int64)
+            for d_, n_ in zip(grp["dow"], grp["n"]):
+                o[int(d_)] = int(n_)
+            n = int(o.sum())
+            s2 = int(np.dot(o, o))
+            out["event_type"].append(et_)
+            out["n_events"].append(n)
+            out["chi2"].append(float(round_half_away(np.float64(
+                7.0 * float(s2) / float(n) - float(n)))) if n else None)
+            out["peak_dow"].append(int(np.argmax(o)))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_events": pa.array(out["n_events"], type=pa.int64()),
+        "chi2": pa.array(out["chi2"], type=pa.float64()),
+        "peak_dow": pa.array(out["peak_dow"], type=pa.int64()),
+    }))
+
+
+WEEKDAY_CHI2_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                    AS dow
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+h AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+a AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM h GROUP BY 1),
+pk AS (SELECT event_type, min(dow) AS peak_dow
+       FROM h JOIN (SELECT event_type AS et2, max(n) AS mx
+                    FROM h GROUP BY 1) m
+         ON m.et2 = h.event_type AND h.n = m.mx
+       GROUP BY 1)
+SELECT a.event_type AS event_type, a.n_events,
+       CASE WHEN a.n_events = 0 THEN NULL
+            ELSE round(7.0 * CAST(a.s2 AS DOUBLE)
+                       / CAST(a.n_events AS DOUBLE)
+                       - CAST(a.n_events AS DOUBLE), 6) END AS chi2,
+       pk.peak_dow
+FROM a JOIN pk USING (event_type) ORDER BY event_type"""

@@ -3267,3 +3267,104 @@ FROM (SELECT pr.d AS token, pr.r AS r,
       FROM pr WHERE pr.kk = {iters}) f
 JOIN nodes USING (token)
 WHERE f.rank <= {k} ORDER BY f.rank"""
+
+
+def yules_k(sf_dir: str, lower: bool = True):
+    """Yule's K vocabulary-concentration characteristic per language —
+    (lang, n_tokens, v_distinct, s2, yules_k) where
+    K = 10^4 * (S2 - N) / N^2 with S2 = sum of squared per-token
+    counts.  The classic author/register "repetitiveness" constant:
+    unlike a raw type-token ratio it is (asymptotically) corpus-size
+    invariant, so drift in K is a real register change, not just more
+    data.  Companion of lexical_simpson (same moments, different
+    normalization and literature).
+
+    Exactness: per-(lang, token) counts are exact int64 from ONE
+    vocabulary-sized shuffle; S2 folds in PYTHON INTS (c^2 can overflow
+    int64 only beyond 3e9 occurrences of one token per language —
+    carried as HUGEINT in the oracle, object ints here); K is one
+    mirrored float expression; NULL when N = 0.  NULL lang drops,
+    NULL text == empty.
+
+    Scale shape: identical to log_odds_keywords' — packed per-batch
+    counting, a (lang x vocabulary)-bounded count shuffle, lang-bounded
+    driver finish.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pandas()
+        ok = lang.notna().to_numpy()
+        texts = _string_array(batch["text"]).filter(pa.array(ok))
+        lang = lang[ok].astype(str).to_numpy()
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "token": pa.array([], type=pa.string()),
+                          "pn": pa.array([], type=pa.int64())})
+        if not len(lang):
+            return empty
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if not len(codes):
+            return empty
+        lcodes, luniq = pd.factorize(pd.Series(lang))
+        packed = lcodes[row_idx].astype(np.int64) \
+            * np.int64(len(uniques)) + codes
+        u, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "lang": pa.array(luniq[(u // len(uniques)).astype(np.int64)],
+                             type=pa.string()),
+            "token": pa.array(uniques[(u % len(uniques)).astype(np.int64)],
+                              type=pa.string()),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    c = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["lang", "token"])
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    out = {"lang": [], "n_tokens": [], "v_distinct": [], "s2": [],
+           "yules_k": []}
+    if len(c):
+        for lang_, grp in c.groupby("lang", sort=True):
+            cnts = [int(x) for x in grp["n"]]
+            n = sum(cnts)
+            s2 = sum(x * x for x in cnts)
+            out["lang"].append(lang_)
+            out["n_tokens"].append(n)
+            out["v_distinct"].append(len(cnts))
+            out["s2"].append(s2)
+            out["yules_k"].append(
+                float(round_half_away(np.float64(
+                    10000.0 * (float(s2 - n)
+                               / (float(n) * float(n))))))
+                if n else None)
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+        "v_distinct": pa.array(out["v_distinct"], type=pa.int64()),
+        "s2": pa.array(out["s2"], type=pa.int64()),
+        "yules_k": pa.array(out["yules_k"], type=pa.float64()),
+    }))
+
+
+YULES_K_SQL = r"""
+WITH tok AS (SELECT lang,
+                    unnest(list_filter(regexp_split_to_array(
+                      lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                      AS token
+             FROM documents WHERE lang IS NOT NULL),
+c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2),
+a AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS v_distinct,
+             CAST(sum(CAST(n AS HUGEINT) * n) AS BIGINT) AS s2
+      FROM c GROUP BY 1)
+SELECT lang, n_tokens, v_distinct, s2,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE round(10000.0 * (CAST(s2 - n_tokens AS DOUBLE)
+                                  / (CAST(n_tokens AS DOUBLE)
+                                     * CAST(n_tokens AS DOUBLE))), 6)
+            END AS yules_k
+FROM a ORDER BY lang"""

@@ -101,6 +101,8 @@ def _compare(name, entrymod, con):
                                    "flesch_lang", "mann_whitney_length",
                                    "log_odds_keywords", "bearing_circular",
                                    "kaplan_meier", "textrank_keywords",
+                                   "yules_k", "ks_test_length",
+                                   "lognormal_fit_length", "weekday_chi2",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
