@@ -1146,6 +1146,33 @@ def _q_ripley_k(sf_dir: str):
                     radii=RIPLEY_RADII)
 
 
+def _q_distance_decay(sf_dir: str):
+    """Semi-log distance-decay regression of page density over 500 km
+    rings around the Moscow query point (order-pinned moment folds,
+    tile_zipf's contract)."""
+    from s2ray.pipelines.spatial_join import distance_decay
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return distance_decay(pages_with_cells(sf_dir, token_level=None),
+                          KNN_Q["qlat"], KNN_Q["qlng"])
+
+
+def _q_markov_entropy_rate(sf_dir: str):
+    """Entropy rate + perplexity of the event-type Markov chain over
+    the event_transitions counts (order-pinned ln fold)."""
+    from s2ray.pipelines.analytics import markov_entropy_rate
+
+    return markov_entropy_rate(sf_dir)
+
+
+def _q_vocab_richness(sf_dir: str):
+    """Hapax/dis-legomena frequency-spectrum profile per language
+    (exact count-of-count facts of the vocabulary shuffle)."""
+    from s2ray.pipelines.text import vocab_richness
+
+    return vocab_richness(sf_dir)
+
+
 def _q_yules_k(sf_dir: str):
     """Yule's K vocabulary-concentration constant per language (exact
     count-of-count moments, one vocabulary-sized shuffle)."""
@@ -3290,6 +3317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_test_length": _q_ks_test_length,
         "lognormal_fit_length": _q_lognormal_fit_length,
         "weekday_chi2": _q_weekday_chi2,
+        "distance_decay": _q_distance_decay,
+        "markov_entropy_rate": _q_markov_entropy_rate,
+        "vocab_richness": _q_vocab_richness,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3545,6 +3575,7 @@ def oracle_sql() -> dict[str, str]:
                                            KS_TEST_LENGTH_SQL,
                                            LOGNORMAL_FIT_LENGTH_SQL,
                                            WEEKDAY_CHI2_SQL,
+                                           MARKOV_ENTROPY_RATE_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -3609,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.text import (CHAR_ENTROPY_SQL,
                                       FLESCH_LANG_SQL,
                                       YULES_K_SQL,
+                                      VOCAB_RICHNESS_SQL,
                                       TOKEN_LEN_STATS_SQL,
                                       LEXICAL_SIMPSON_SQL,
                                       SOURCE_VOCAB_JACCARD_SQL,
@@ -3885,6 +3917,39 @@ SELECT month, n_pages,
                    / (CAST(n_pages AS DOUBLE) * 1000000000.0), 6)
          AS circ_var
 FROM a ORDER BY month"""
+    # semi-log distance-decay regression over 500 km rings: identical
+    # haversine doubles -> identical floor rings; order-pinned moment
+    # folds over occupied rings (tile_zipf's list_reduce contract)
+    distance_decay_sql = f"""
+{cte},
+rc AS (SELECT CAST(floor(({dist}) / 500000.0) AS BIGINT) AS ring,
+              CAST(count(*) AS BIGINT) AS n
+       FROM pages_geo GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS total,
+             CAST(count(*) AS DOUBLE) AS nf,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(ring AS DOUBLE) ORDER BY ring)),
+               (x, y) -> x + y) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ln(CAST(n AS DOUBLE)) ORDER BY ring)),
+               (x, y) -> x + y) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(ring AS DOUBLE) * CAST(ring AS DOUBLE)
+                    ORDER BY ring)), (x, y) -> x + y) AS sxx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(ring AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                    ORDER BY ring)), (x, y) -> x + y) AS sxy
+      FROM rc)
+SELECT v AS n_rings, total AS n_pages,
+       CASE WHEN v = 0 OR nf * sxx - sx * sx = 0.0 THEN NULL
+            ELSE round((nf * sxy - sx * sy) / (nf * sxx - sx * sx), 6)
+            END AS slope,
+       CASE WHEN v = 0 OR nf * sxx - sx * sx = 0.0 THEN NULL
+            ELSE round((sy - ((nf * sxy - sx * sy)
+                              / (nf * sxx - sx * sx)) * sx) / nf, 6)
+            END AS intercept
+FROM m"""
     # rect-distance rank: branch-for-branch kernel mirror (sqlgen)
     from s2ray.functions.sqlgen import rect_distance_select
     from s2ray.kernel.region import LatLngRect
@@ -5222,6 +5287,8 @@ FROM (
         "ks_test_length": KS_TEST_LENGTH_SQL,
         "lognormal_fit_length": LOGNORMAL_FIT_LENGTH_SQL,
         "weekday_chi2": WEEKDAY_CHI2_SQL,
+        "markov_entropy_rate": MARKOV_ENTROPY_RATE_SQL,
+        "vocab_richness": VOCAB_RICHNESS_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,
         "order_quantiles": (
@@ -5609,6 +5676,7 @@ GROUP BY m.event_type, m.median""",
         "city_visits_monthly": city_visits_sql,
         "bearing_sectors": bearing_sql,
         "bearing_circular": bearing_circ_sql,
+        "distance_decay": distance_decay_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "

@@ -6392,3 +6392,78 @@ SELECT a.event_type AS event_type, a.n_events,
                        - CAST(a.n_events AS DOUBLE), 6) END AS chi2,
        pk.peak_dow
 FROM a JOIN pk USING (event_type) ORDER BY event_type"""
+
+
+def markov_entropy_rate(sf_dir: str):
+    """Empirical entropy rate of the event-type Markov chain — ONE row
+    (n_transitions, n_states, entropy_nats, perplexity): the average
+    per-step uncertainty H = -sum_(s,d) p(s,d) * ln(p(d|s)) over the
+    observed transition counts, and its effective branching factor
+    exp(H).  The single-number "how predictable are user sessions?"
+    summary sitting above :func:`event_transitions` (counts) and
+    :func:`event_stationary` (long-run mix); a falling perplexity
+    flags behavioral collapse (e.g. bot loops) corpus-wide.
+
+    Exactness: transition counts are exact int64 from the
+    event_transitions co-partition; the float fold
+    acc += (n_sd/N) * ln(n_sd/n_s) runs ORDER-PINNED ascending
+    (from_type, to_type) with libm ln (the PMI mirror), matching the
+    oracle's list_reduce over the same ordered list; H = -acc and
+    perplexity = exp(-acc) are mirrored op-for-op.  n_states counts
+    distinct observed source states.  Same NULL contract as
+    event_transitions.
+
+    Scale shape: everything after the |types|^2-bounded transition
+    table is a scalar driver fold.
+    """
+    import math
+
+    import ray.data
+
+    tr = event_transitions(sf_dir).to_pandas()
+    n_tr = int(tr["n"].sum()) if len(tr) else 0
+    n_states = int(tr["from_type"].nunique()) if len(tr) else 0
+    ent = perp = None
+    if n_tr:
+        row_tot = tr.groupby("from_type", sort=False)["n"].sum().to_dict()
+        tr = tr.sort_values(["from_type", "to_type"], ignore_index=True)
+        acc = 0.0
+        for s_, d_, n_ in zip(tr["from_type"], tr["to_type"], tr["n"]):
+            n_ = int(n_)
+            acc = acc + (float(n_) / float(n_tr)) \
+                * math.log(float(n_) / float(int(row_tot[s_])))
+        ent = float(round_half_away(np.float64(-acc)))
+        perp = float(round_half_away(np.float64(math.exp(-acc))))
+    return ray.data.from_arrow(pa.table({
+        "n_transitions": pa.array([n_tr], type=pa.int64()),
+        "n_states": pa.array([n_states], type=pa.int64()),
+        "entropy_nats": pa.array([ent], type=pa.float64()),
+        "perplexity": pa.array([perp], type=pa.float64()),
+    }))
+
+
+MARKOV_ENTROPY_RATE_SQL = """
+WITH tr AS (SELECT prev AS s, event_type AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                         AS prev, event_type
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                    AND event_type IS NOT NULL)
+            WHERE prev IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT s, CAST(sum(n) AS BIGINT) AS r FROM tr GROUP BY 1),
+nn AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+              CAST(count(DISTINCT s) AS BIGINT) AS st FROM tr),
+f AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list((CAST(tr.n AS DOUBLE) / CAST(nn.n AS DOUBLE))
+             * ln(CAST(tr.n AS DOUBLE) / CAST(rt.r AS DOUBLE))
+             ORDER BY tr.s, tr.d)), (a, x) -> a + x) AS acc
+      FROM tr JOIN rt USING (s) CROSS JOIN nn
+      GROUP BY nn.n)
+SELECT nn.n AS n_transitions, nn.st AS n_states,
+       CASE WHEN nn.n = 0 THEN NULL
+            ELSE (SELECT round(-acc, 6) FROM f) END AS entropy_nats,
+       CASE WHEN nn.n = 0 THEN NULL
+            ELSE (SELECT round(exp(-acc), 6) FROM f) END AS perplexity
+FROM nn"""

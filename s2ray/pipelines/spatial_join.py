@@ -1845,3 +1845,77 @@ def bearing_circular_monthly(pages_ds, qlat_deg: float, qlng_deg: float):
     return (agg.map_batches(finish, batch_format="pyarrow",
                             batch_size=None)
             .sort("month"))
+
+
+def distance_decay(pages_ds, qlat_deg: float, qlng_deg: float,
+                   ring_m: float = 500_000.0):
+    """Distance-decay gradient of page density: semi-log regression of
+    ln(ring count) on ring index over concentric ``ring_m``-wide
+    great-circle rings around a query point — ONE row (n_rings,
+    n_pages, slope, intercept).  The canonical spatial-interaction
+    decay exponent (how fast does crawl density fall off with distance
+    from the hub?); the radial companion of :func:`bearing_sectors`'
+    angular rollup.
+
+    Exactness: ring assignment floors identical haversine doubles on
+    both engines (the knn/cap mirror precedent); ring counts are exact
+    int64; the four regression moments fold ORDER-PINNED ascending ring
+    over occupied rings only (libm ln of exact counts — the tile_zipf
+    contract), mirrored by list_reduce in the oracle.  Slope is NULL
+    when fewer than two occupied rings (degenerate denominator).
+
+    Scale shape: per-batch ring bincounts (<= ~41 rings at 500 km),
+    one ring-bounded groupby, scalar driver fold.
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..kernel import sphere as _sphere
+    from .text import round_half_away
+
+    qlat = np.radians(np.float64(qlat_deg))
+    qlng = np.radians(np.float64(qlng_deg))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if not len(batch):
+            return pa.table({"ring": z, "pn": z})
+        lat = np.radians(batch["lat"].to_numpy(zero_copy_only=False))
+        lng = np.radians(batch["lng"].to_numpy(zero_copy_only=False))
+        dm = _sphere.haversine_distance_m(qlat, qlng, lat, lng)
+        ring = np.floor(dm / ring_m).astype(np.int64)
+        u, cnt = np.unique(ring, return_counts=True)
+        return pa.table({"ring": pa.array(u),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    m = (pages_ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+         .groupby("ring").aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas().sort_values("ring", ignore_index=True)
+    v = len(m)
+    total = int(m["n"].sum()) if v else 0
+    slope = intercept = None
+    if v:
+        sx = sy = sxx = sxy = 0.0
+        for r_, n_ in zip(m["ring"], m["n"]):
+            x = float(int(r_))
+            y = math.log(float(int(n_)))
+            sx += x
+            sy += y
+            sxx += x * x
+            sxy += x * y
+        nf = float(v)
+        den = nf * sxx - sx * sx
+        if den != 0.0:
+            sl = (nf * sxy - sx * sy) / den
+            slope = float(round_half_away(np.float64(sl)))
+            intercept = float(round_half_away(np.float64(
+                (sy - sl * sx) / nf)))
+    return ray.data.from_arrow(pa.table({
+        "n_rings": pa.array([v], type=pa.int64()),
+        "n_pages": pa.array([total], type=pa.int64()),
+        "slope": pa.array([slope], type=pa.float64()),
+        "intercept": pa.array([intercept], type=pa.float64()),
+    }))

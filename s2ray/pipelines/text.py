@@ -3368,3 +3368,111 @@ SELECT lang, n_tokens, v_distinct, s2,
                                      * CAST(n_tokens AS DOUBLE))), 6)
             END AS yules_k
 FROM a ORDER BY lang"""
+
+
+def vocab_richness(sf_dir: str, lower: bool = True):
+    """Count-of-counts lexical-richness profile per language — (lang,
+    n_tokens, v_distinct, v1_hapax, v2_dis, hapax_ratio, sichel_s):
+    the hapax legomena count (tokens seen once), dis legomena (seen
+    twice), hapax share V1/V and Sichel's S = V2/V.  The frequency-
+    spectrum face of the richness family (Yule's K is its second
+    moment; Heaps' law its growth curve): a collapsing hapax share
+    under constant corpus size is the classic signature of template
+    or duplicated text flooding one language.
+
+    Exactness: V, V1, V2 are exact integer facts of the per-(lang,
+    token) count table; the two ratio columns are mirrored single
+    float divisions (NULL when V = 0).  NULL lang drops, NULL text ==
+    empty.
+
+    Scale shape: the same (lang x vocabulary)-bounded count shuffle as
+    yules_k, lang-bounded driver finish.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pandas()
+        ok = lang.notna().to_numpy()
+        texts = _string_array(batch["text"]).filter(pa.array(ok))
+        lang = lang[ok].astype(str).to_numpy()
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "token": pa.array([], type=pa.string()),
+                          "pn": pa.array([], type=pa.int64())})
+        if not len(lang):
+            return empty
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if not len(codes):
+            return empty
+        lcodes, luniq = pd.factorize(pd.Series(lang))
+        packed = lcodes[row_idx].astype(np.int64) \
+            * np.int64(len(uniques)) + codes
+        u, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "lang": pa.array(luniq[(u // len(uniques)).astype(np.int64)],
+                             type=pa.string()),
+            "token": pa.array(uniques[(u % len(uniques)).astype(np.int64)],
+                              type=pa.string()),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    c = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["lang", "token"])
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    out = {"lang": [], "n_tokens": [], "v_distinct": [], "v1_hapax": [],
+           "v2_dis": [], "hapax_ratio": [], "sichel_s": []}
+    if len(c):
+        for lang_, grp in c.groupby("lang", sort=True):
+            cnts = grp["n"].to_numpy().astype(np.int64)
+            n = int(cnts.sum())
+            v = len(cnts)
+            v1 = int((cnts == 1).sum())
+            v2 = int((cnts == 2).sum())
+            out["lang"].append(lang_)
+            out["n_tokens"].append(n)
+            out["v_distinct"].append(v)
+            out["v1_hapax"].append(v1)
+            out["v2_dis"].append(v2)
+            out["hapax_ratio"].append(float(round_half_away(np.float64(
+                float(v1) / float(v)))) if v else None)
+            out["sichel_s"].append(float(round_half_away(np.float64(
+                float(v2) / float(v)))) if v else None)
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+        "v_distinct": pa.array(out["v_distinct"], type=pa.int64()),
+        "v1_hapax": pa.array(out["v1_hapax"], type=pa.int64()),
+        "v2_dis": pa.array(out["v2_dis"], type=pa.int64()),
+        "hapax_ratio": pa.array(out["hapax_ratio"], type=pa.float64()),
+        "sichel_s": pa.array(out["sichel_s"], type=pa.float64()),
+    }))
+
+
+VOCAB_RICHNESS_SQL = r"""
+WITH tok AS (SELECT lang,
+                    unnest(list_filter(regexp_split_to_array(
+                      lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                      AS token
+             FROM documents WHERE lang IS NOT NULL),
+c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2),
+a AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS v_distinct,
+             CAST(coalesce(count(*) FILTER (n = 1), 0) AS BIGINT)
+               AS v1_hapax,
+             CAST(coalesce(count(*) FILTER (n = 2), 0) AS BIGINT)
+               AS v2_dis
+      FROM c GROUP BY 1)
+SELECT lang, n_tokens, v_distinct, v1_hapax, v2_dis,
+       CASE WHEN v_distinct = 0 THEN NULL
+            ELSE round(CAST(v1_hapax AS DOUBLE)
+                       / CAST(v_distinct AS DOUBLE), 6) END
+         AS hapax_ratio,
+       CASE WHEN v_distinct = 0 THEN NULL
+            ELSE round(CAST(v2_dis AS DOUBLE)
+                       / CAST(v_distinct AS DOUBLE), 6) END
+         AS sichel_s
+FROM a ORDER BY lang"""

@@ -103,6 +103,8 @@ def _compare(name, entrymod, con):
                                    "kaplan_meier", "textrank_keywords",
                                    "yules_k", "ks_test_length",
                                    "lognormal_fit_length", "weekday_chi2",
+                                   "distance_decay", "markov_entropy_rate",
+                                   "vocab_richness",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
