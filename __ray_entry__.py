@@ -1146,6 +1146,24 @@ def _q_ripley_k(sf_dir: str):
                     radii=RIPLEY_RADII)
 
 
+def _q_theil_decomposition(sf_dir: str):
+    """Theil-T inequality of level-8 tile populations decomposed by S2
+    cube face (exact tile counts, order-pinned within-face ln folds,
+    nibble-derived face on both engines)."""
+    from s2ray.pipelines.tiles import theil_decomposition
+
+    return theil_decomposition(sf_dir)
+
+
+def _q_pettitt_test(sf_dir: str):
+    """Pettitt rank changepoint per event type over zero-filled daily
+    counts (integer telescoped U_t, earliest-day tie-break, mirrored
+    significance approximation)."""
+    from s2ray.pipelines.analytics import pettitt_test
+
+    return pettitt_test(sf_dir)
+
+
 def _q_distance_decay(sf_dir: str):
     """Semi-log distance-decay regression of page density over 500 km
     rings around the Moscow query point (order-pinned moment folds,
@@ -3324,6 +3342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_decay": _q_distance_decay,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "vocab_richness": _q_vocab_richness,
+        "theil_decomposition": _q_theil_decomposition,
+        "pettitt_test": _q_pettitt_test,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3580,6 +3600,7 @@ def oracle_sql() -> dict[str, str]:
                                            LOGNORMAL_FIT_LENGTH_SQL,
                                            WEEKDAY_CHI2_SQL,
                                            MARKOV_ENTROPY_RATE_SQL,
+                                           PETTITT_TEST_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -3954,6 +3975,38 @@ SELECT v AS n_rings, total AS n_pages,
                               / (nf * sxx - sx * sx)) * sx) / nf, 6)
             END AS intercept
 FROM m"""
+    # Theil-T by cube face: face = first token nibble >> 1 on both
+    # engines; within-face folds order-pinned ascending cell_token
+    _face_case = ("CASE substr(cell_token, 1, 1) "
+                  + " ".join(f"WHEN '{x:x}' THEN {x >> 1}"
+                             for x in range(12))
+                  + " END")
+    theil_sql = (
+        f"{cte}, tc AS (SELECT cell_token, CAST(count(*) AS BIGINT) AS n "
+        "FROM (" + s2_cell_select("SELECT lat, lng FROM pages_geo",
+                                  level=8)
+        + ") GROUP BY 1), "
+        f"fc AS (SELECT {_face_case} AS face, cell_token, n FROM tc), "
+        "gm AS (SELECT face, CAST(count(*) AS BIGINT) AS ng, "
+        "CAST(sum(n) AS BIGINT) AS xg, "
+        "CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) "
+        "/ CAST(count(*) AS DOUBLE) AS mg FROM fc GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS xx, "
+        "CAST(count(*) AS BIGINT) AS nt FROM tc), "
+        "w AS (SELECT fc.face AS face, gm.ng AS ng, gm.xg AS xg, "
+        "gm.mg AS mg, "
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list((CAST(fc.n AS DOUBLE) / gm.mg) "
+        "* ln(CAST(fc.n AS DOUBLE) / gm.mg) ORDER BY fc.cell_token)), "
+        "(a, v) -> a + v) AS acc "
+        "FROM fc JOIN gm USING (face) GROUP BY 1, 2, 3, 4) "
+        "SELECT face, ng AS n_tiles, xg AS n_pages, "
+        "round(acc / CAST(ng AS DOUBLE), 6) AS theil_within, "
+        "round((CAST(xg AS DOUBLE) / CAST(tot.xx AS DOUBLE)) "
+        "* ln(mg / (CAST(tot.xx AS DOUBLE) / CAST(tot.nt AS DOUBLE))), 6)"
+        " AS between_term "
+        "FROM w CROSS JOIN tot ORDER BY face"
+    )
     # rect-distance rank: branch-for-branch kernel mirror (sqlgen)
     from s2ray.functions.sqlgen import rect_distance_select
     from s2ray.kernel.region import LatLngRect
@@ -5292,6 +5345,7 @@ FROM (
         "lognormal_fit_length": LOGNORMAL_FIT_LENGTH_SQL,
         "weekday_chi2": WEEKDAY_CHI2_SQL,
         "markov_entropy_rate": MARKOV_ENTROPY_RATE_SQL,
+        "pettitt_test": PETTITT_TEST_SQL,
         "vocab_richness": VOCAB_RICHNESS_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,
@@ -5681,6 +5735,7 @@ GROUP BY m.event_type, m.median""",
         "bearing_sectors": bearing_sql,
         "bearing_circular": bearing_circ_sql,
         "distance_decay": distance_decay_sql,
+        "theil_decomposition": theil_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "

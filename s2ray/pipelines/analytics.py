@@ -6467,3 +6467,127 @@ SELECT nn.n AS n_transitions, nn.st AS n_states,
        CASE WHEN nn.n = 0 THEN NULL
             ELSE (SELECT round(exp(-acc), 6) FROM f) END AS perplexity
 FROM nn"""
+
+
+def pettitt_test(sf_dir: str):
+    """Pettitt nonparametric changepoint test per event type over the
+    zero-filled daily count series — (event_type, n_days, k_stat,
+    change_day, p_approx): the rank-based statistic
+    K = max_t |U_t|, U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j), the
+    earliest day attaining it, and the classic significance
+    approximation p ~ 2*exp(-6K^2/(n^3+n^2)).  The distribution-free
+    partner of :func:`daily_cusum` (CUSUM reacts to mean shifts in
+    level units; Pettitt is invariant to any monotone transform of the
+    counts, so heavy-tailed days cannot fake a change).
+
+    Exactness: U_t folds entirely in the INTEGER domain via the
+    telescoping identity U_t = U_{t-1} + V_t with V_t = (#days below
+    x_t) - (#days above x_t), both exact counts over the day-value
+    histogram; K and the argmax tie-break (earliest day) are integer
+    comparisons; p is ONE mirrored float expression (K^2 < 2^63 for
+    series to ~55 M days).  t ranges over 1..n-1 (the full/empty split
+    U_n = 0 is excluded on both engines).  NULL ts / NULL type drop;
+    the zero-filled dense-calendar contract of the daily family.
+
+    Scale shape: the _daily_counts bounded groupby plus a driver pass
+    over (types x calendar days).
+    """
+    import math
+
+    import ray.data
+
+    m = _daily_counts(sf_dir)
+    out = {"event_type": [], "n_days": [], "k_stat": [],
+           "change_day": [], "p_approx": []}
+    if len(m):
+        d0, d1 = int(m["d"].min()), int(m["d"].max())
+        ndays = d1 - d0 + 1
+        for t, grp in m.groupby("t", sort=True):
+            dense = np.zeros(ndays, dtype=np.int64)
+            for d_, n_ in zip(grp["d"].to_numpy(), grp["n"].to_numpy()):
+                dense[int(d_) - d0] = int(n_)
+            sx = np.sort(dense)
+            below = np.searchsorted(sx, dense, side="left")
+            above = ndays - np.searchsorted(sx, dense, side="right")
+            v = below - above
+            u = np.cumsum(v)[:-1] if ndays > 1 else np.zeros(0, np.int64)
+            out["event_type"].append(t)
+            out["n_days"].append(ndays)
+            if not len(u):
+                out["k_stat"].append(None)
+                out["change_day"].append(None)
+                out["p_approx"].append(None)
+                continue
+            k = int(np.abs(u).max())
+            at = int(np.argmax(np.abs(u)))
+            out["k_stat"].append(k)
+            out["change_day"].append(d0 + at)
+            nf = float(ndays)
+            out["p_approx"].append(float(round_half_away(np.float64(
+                2.0 * math.exp((-6.0 * (float(k) * float(k)))
+                               / (nf * nf * nf + nf * nf))))))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_days": pa.array(out["n_days"], type=pa.int64()),
+        "k_stat": pa.array(out["k_stat"], type=pa.int64()),
+        "change_day": pa.array(out["change_day"], type=pa.int64()),
+        "p_approx": pa.array(out["p_approx"], type=pa.float64()),
+    }))
+
+
+PETTITT_TEST_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+b AS (SELECT min(d) AS d0, max(d) AS d1,
+             CAST(max(d) - min(d) + 1 AS BIGINT) AS ndays FROM e),
+days AS (SELECT CAST(unnest(generate_series(b.d0, b.d1)) AS BIGINT) AS d
+         FROM b),
+ty AS (SELECT DISTINCT event_type FROM e),
+c AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+dense AS (SELECT ty.event_type, days.d,
+                 CAST(coalesce(c.n, 0) AS BIGINT) AS x
+          FROM ty CROSS JOIN days
+          LEFT JOIN c ON c.event_type = ty.event_type AND c.d = days.d),
+hist AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS hc
+         FROM dense GROUP BY 1, 2),
+cw AS (SELECT event_type, x,
+              sum(hc) OVER (PARTITION BY event_type ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) - hc AS below,
+              sum(hc) OVER (PARTITION BY event_type) -
+                sum(hc) OVER (PARTITION BY event_type ORDER BY x
+                              ROWS UNBOUNDED PRECEDING) AS above
+       FROM hist),
+vv AS (SELECT dense.event_type, dense.d,
+              CAST(cw.below - cw.above AS BIGINT) AS v
+       FROM dense JOIN cw ON cw.event_type = dense.event_type
+                         AND cw.x = dense.x),
+uu AS (SELECT event_type, d,
+              CAST(sum(v) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS u,
+              row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS rn
+       FROM vv),
+last AS (SELECT event_type, u, d,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(u) DESC, d) AS rk
+         FROM uu CROSS JOIN b WHERE uu.rn < b.ndays),
+best AS (SELECT event_type, abs(u) AS k_stat, d AS change_day
+         FROM last WHERE rk = 1)
+SELECT ty.event_type AS event_type, b.ndays AS n_days,
+       CASE WHEN b.ndays <= 1 THEN NULL ELSE best.k_stat END AS k_stat,
+       CASE WHEN b.ndays <= 1 THEN NULL ELSE best.change_day END
+         AS change_day,
+       CASE WHEN b.ndays <= 1 THEN NULL
+            ELSE round(2.0 * exp((-6.0 * (CAST(best.k_stat AS DOUBLE)
+                                          * CAST(best.k_stat AS DOUBLE)))
+                                 / (CAST(b.ndays AS DOUBLE)
+                                    * CAST(b.ndays AS DOUBLE)
+                                    * CAST(b.ndays AS DOUBLE)
+                                    + CAST(b.ndays AS DOUBLE)
+                                      * CAST(b.ndays AS DOUBLE))), 6)
+            END AS p_approx
+FROM ty CROSS JOIN b LEFT JOIN best USING (event_type) ORDER BY 1"""

@@ -1227,3 +1227,67 @@ def tile_entropy(sf_dir: str, level: int = 8, **read_kwargs):
                              float(round_half_away(-acc))],
                             type=pa.float64()),
     }))
+
+
+def theil_decomposition(sf_dir: str, level: int = 8, **read_kwargs):
+    """Theil-T inequality of tile populations DECOMPOSED by cube face —
+    (face, n_tiles, n_pages, theil_within, between_term), one row per
+    occupied S2 face.  Theil is the only standard inequality index that
+    decomposes exactly (T = sum_g s_g*T_g + sum_g s_g*ln(mean_g/mean)),
+    so this splits the crawl's spatial concentration into
+    within-continent crowding vs between-continent imbalance — the
+    question tile_gini's single number cannot answer.
+
+    Exactness: tile counts are exact integers from the tile_counts
+    core; face = top 3 bits of the cell id, derived from the FIRST HEX
+    DIGIT of the token (nibble >> 1) identically on both engines; the
+    within-face entropy folds are ORDER-PINNED ascending cell_token
+    (libm ln, the tile_zipf contract) and the share/between terms are
+    mirrored scalar float chains.
+
+    Scale shape: everything past the tile-count shuffle is a
+    tile-bounded driver fold.
+    """
+    import math
+
+    import ray.data
+
+    from .text import round_half_away
+
+    counts = tile_counts(sf_dir, level=level, **read_kwargs).to_pandas()
+    out = {"face": [], "n_tiles": [], "n_pages": [], "theil_within": [],
+           "between_term": []}
+    if len(counts):
+        counts = counts.sort_values("cell_token", ignore_index=True)
+        face = counts["cell_token"].str[0].map(
+            lambda h: int(h, 16) >> 1).to_numpy()
+        n = counts["n_pages"].to_numpy().astype(np.int64)
+        big_x = int(n.sum())
+        big_n = len(n)
+        mean = float(big_x) / float(big_n)
+        for f in sorted(set(face.tolist())):
+            sel = face == f
+            xs = n[sel]
+            ng = int(sel.sum())
+            xg = int(xs.sum())
+            mg = float(xg) / float(ng)
+            acc = 0.0
+            for x_ in xs.tolist():          # ascending cell_token order
+                r = float(x_) / mg
+                acc = acc + r * math.log(r)
+            tg = acc / float(ng)
+            bt = (float(xg) / float(big_x)) * math.log(mg / mean)
+            out["face"].append(int(f))
+            out["n_tiles"].append(ng)
+            out["n_pages"].append(xg)
+            out["theil_within"].append(float(round_half_away(
+                np.float64(tg))))
+            out["between_term"].append(float(round_half_away(
+                np.float64(bt))))
+    return ray.data.from_arrow(pa.table({
+        "face": pa.array(out["face"], type=pa.int64()),
+        "n_tiles": pa.array(out["n_tiles"], type=pa.int64()),
+        "n_pages": pa.array(out["n_pages"], type=pa.int64()),
+        "theil_within": pa.array(out["theil_within"], type=pa.float64()),
+        "between_term": pa.array(out["between_term"], type=pa.float64()),
+    }))

@@ -104,7 +104,8 @@ def _compare(name, entrymod, con):
                                    "yules_k", "ks_test_length",
                                    "lognormal_fit_length", "weekday_chi2",
                                    "distance_decay", "markov_entropy_rate",
-                                   "vocab_richness",
+                                   "vocab_richness", "theil_decomposition",
+                                   "pettitt_test",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
