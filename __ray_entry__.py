@@ -625,6 +625,23 @@ def _q_near_dup_clusters(sf_dir: str):
     return near_dup_clusters(ds, tau=NEAR_DUP_TAU)
 
 
+def _q_rank_corr_qty_discount(sf_dir: str):
+    """Spearman rho + Kendall tau-b between line-item quantity and
+    discount from the exact bounded contingency table (big-int
+    midrank/concordance moments, mirrored float chains)."""
+    from s2ray.pipelines.join import rank_corr_qty_discount
+
+    return rank_corr_qty_discount(sf_dir)
+
+
+def _q_dup_cluster_purity(sf_dir: str):
+    """Language purity by near-dup cluster size — the recursive-closure
+    cluster core joined to lang via the broadcast member filter."""
+    from s2ray.pipelines.dedup import dup_cluster_purity
+
+    return dup_cluster_purity(sf_dir, tau=NEAR_DUP_TAU)
+
+
 def _q_events_asof(sf_dir: str):
     from s2ray.pipelines.analytics import events_asof
 
@@ -1117,6 +1134,14 @@ def _q_clark_evans(sf_dir: str):
 
     return clark_evans(pages_with_cells(sf_dir, token_level=None),
                        DIST_JOIN_M)
+
+
+def _q_domain_link_jaccard(sf_dir: str):
+    """Neighborhood-Jaccard link prediction over non-adjacent domain
+    pairs on the undirected simple domain graph."""
+    from s2ray.pipelines.webgraph import domain_link_jaccard
+
+    return domain_link_jaccard(sf_dir)
 
 
 def _q_domain_cocitation(sf_dir: str):
@@ -3344,6 +3369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_richness": _q_vocab_richness,
         "theil_decomposition": _q_theil_decomposition,
         "pettitt_test": _q_pettitt_test,
+        "dup_cluster_purity": _q_dup_cluster_purity,
+        "domain_link_jaccard": _q_domain_link_jaccard,
+        "rank_corr_qty_discount": _q_rank_corr_qty_discount,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3617,6 +3645,7 @@ def oracle_sql() -> dict[str, str]:
                                            user_rolling_sql,
                                            value_histogram_sql)
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
+                                      RANK_CORR_QTY_DISCOUNT_SQL,
                                        bracket_revenue_sql,
                                        cust_order_dist_sql,
                                        forecast_revenue_sql,
@@ -3682,6 +3711,7 @@ def oracle_sql() -> dict[str, str]:
                                           domain_bfs_depth_sql,
                                           domain_components_sql,
                                           domain_cocitation_sql,
+                                          domain_link_jaccard_sql,
                                           domain_coupling_sql,
                                           domain_hits_sql,
                                           domain_reciprocity_sql)
@@ -4104,6 +4134,33 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 )
 SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"""
+    # cluster language purity: the same recursive closure, joined back
+    # to documents.lang (NULL lang is its own label per SQL GROUP BY),
+    # purity facts exact integers grouped by cluster size
+    dup_cluster_purity_sql = f"""
+WITH RECURSIVE {near_dup_ctes},
+edges AS (SELECT i AS u, j AS v FROM dup UNION ALL SELECT j, i FROM dup),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cl AS (SELECT u AS doc_id, least(u, min(v)) AS cid FROM reach GROUP BY u),
+lc AS (SELECT cl.cid, d.lang, CAST(count(*) AS BIGINT) AS c
+       FROM cl JOIN documents d USING (doc_id) GROUP BY 1, 2),
+cs AS (SELECT cid, CAST(sum(c) AS BIGINT) AS size,
+              CAST(max(c) AS BIGINT) AS mx
+       FROM lc GROUP BY 1)
+SELECT size AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(coalesce(count(*) FILTER (mx = size), 0) AS BIGINT)
+         AS n_pure,
+       CAST(sum(mx) AS BIGINT) AS sum_max_lang,
+       round(CAST(CAST(sum(mx) AS BIGINT) AS DOUBLE)
+             / (CAST(size AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
+         AS avg_purity,
+       round(CAST(coalesce(count(*) FILTER (mx = size), 0) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS pure_rate
+FROM cs GROUP BY size ORDER BY size"""
     # sketch oracles: the engine's mod-(2^61-1) hashing is mirrored exactly
     # in HUGEINT arithmetic (token hash -> shingle Horner -> minhash perms
     # -> band keys; simhash bit votes)
@@ -5359,6 +5416,7 @@ FROM (
         "domain_components": domain_components_sql(cte),
         "quadrat_dispersion": quadrat_dispersion_sql,
         "domain_cocitation": domain_cocitation_sql(cte),
+        "domain_link_jaccard": domain_link_jaccard_sql(cte),
         "domain_coupling": domain_coupling_sql(cte),
         "clark_evans": clark_evans_sql,
         "heaps_law": heaps_law_sql(),
@@ -5544,6 +5602,8 @@ FROM (
         "cosine_sim_pairs": cosine_sim_sql,
         "pmi_collocations": pmi_sql,
         "near_dup_clusters": near_dup_clusters_sql,
+        "dup_cluster_purity": dup_cluster_purity_sql,
+        "rank_corr_qty_discount": RANK_CORR_QTY_DISCOUNT_SQL,
         "minhash_pairs": minhash_sql,
         "simhash_pairs": simhash_sql,
         "events_asof": events_asof_sql,

@@ -2227,3 +2227,88 @@ pr AS (SELECT a.source AS source_a, b.source AS source_b
                         AND a.source < b.source)
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM pr GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def dup_cluster_purity(sf_dir: str, tau: float = 0.5):
+    """Language purity of the near-duplicate clusters — (cluster_size,
+    n_clusters, n_pure, sum_max_lang, avg_purity, pure_rate), one row
+    per observed cluster size.  Cross-language "duplicates" out of a
+    Jaccard-shingle join are usually template/boilerplate families
+    rather than true copies, so a falling purity at a given size is a
+    direct measure of template pollution the dedup keep-rule is about
+    to mis-drop.
+
+    Exactness: clusters come from the oracle-gated near_dup_clusters
+    core; per-cluster language counts follow SQL GROUP BY semantics
+    (NULL lang is its own label); purity facts (max-language count,
+    size, pure flag) are exact integers grouped by size, and the two
+    rate columns are mirrored float divisions.
+
+    Scale shape: the cluster table is duplicate-bounded; its doc-id
+    set broadcasts into an np.isin scan filter (the corpus_dedup_keep
+    pattern), so only cluster members' (doc_id, lang) rows — never the
+    corpus — reach the driver join.
+    """
+    import ray
+    import ray.data
+
+    from ..sources.readers import read_table
+    from ..state.bcast import cached_get
+    from .text import round_half_away
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cl = near_dup_clusters(docs, tau=tau).to_pandas()
+    empty = pa.table({
+        "cluster_size": pa.array([], type=pa.int64()),
+        "n_clusters": pa.array([], type=pa.int64()),
+        "n_pure": pa.array([], type=pa.int64()),
+        "sum_max_lang": pa.array([], type=pa.int64()),
+        "avg_purity": pa.array([], type=pa.float64()),
+        "pure_rate": pa.array([], type=pa.float64()),
+    })
+    if not len(cl):
+        return ray.data.from_arrow(empty)
+    member_ids = np.sort(cl["doc_id"].to_numpy().astype(np.int64))
+    ref = ray.put(member_ids)
+
+    def members_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mm = cached_get(ref)
+        keep = np.isin(ids, mm)
+        out = batch.filter(pa.array(keep))
+        lang = pc.fill_null(out["lang"], "\x00null\x00")
+        return pa.table({"doc_id": out["doc_id"], "lang": lang})
+
+    mem = (read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+           .map_batches(members_only, batch_format="pyarrow",
+                        batch_size=None)).to_pandas()
+    j = cl.merge(mem, on="doc_id", how="inner")
+    lc = j.groupby(["cluster_id", "lang"], sort=False) \
+        .size().reset_index(name="c")
+    cs = lc.groupby("cluster_id", sort=False).agg(
+        size=("c", "sum"), mx=("c", "max")).reset_index()
+    out = {"cluster_size": [], "n_clusters": [], "n_pure": [],
+           "sum_max_lang": [], "avg_purity": [], "pure_rate": []}
+    for sz, grp in cs.groupby("size", sort=True):
+        nc = len(grp)
+        npure = int((grp["mx"] == sz).sum())
+        smx = int(grp["mx"].sum())
+        out["cluster_size"].append(int(sz))
+        out["n_clusters"].append(nc)
+        out["n_pure"].append(npure)
+        out["sum_max_lang"].append(smx)
+        out["avg_purity"].append(float(round_half_away(np.float64(
+            float(smx) / (float(int(sz)) * float(nc))))))
+        out["pure_rate"].append(float(round_half_away(np.float64(
+            float(npure) / float(nc)))))
+    return ray.data.from_arrow(pa.table({
+        "cluster_size": pa.array(out["cluster_size"], type=pa.int64()),
+        "n_clusters": pa.array(out["n_clusters"], type=pa.int64()),
+        "n_pure": pa.array(out["n_pure"], type=pa.int64()),
+        "sum_max_lang": pa.array(out["sum_max_lang"], type=pa.int64()),
+        "avg_purity": pa.array(out["avg_purity"], type=pa.float64()),
+        "pure_rate": pa.array(out["pure_rate"], type=pa.float64()),
+    }))

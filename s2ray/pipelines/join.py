@@ -4899,3 +4899,180 @@ SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
 FROM j JOIN nation nc ON nc.n_nationkey = j.cn
 JOIN nation ns ON ns.n_nationkey = j.sn
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def rank_corr_qty_discount(sf_dir: str):
+    """Rank correlation between line-item quantity and discount — ONE
+    row (n_rows, spearman_rho, kendall_tau): Spearman's rho (Pearson
+    over midranks, tie-corrected by construction) and Kendall's tau-b.
+    The "is the discount schedule actually volume-based?" audit: both
+    statistics are invariant to any monotone rescaling of either
+    column, so they see through dollar-vs-percent encodings that wreck
+    a raw Pearson.
+
+    Exactness: both statistics reduce ENTIRELY to the (quantity,
+    discount-cent) contingency table — midranks are doubled-integer
+    cumulative counts, every Spearman moment and every Kendall
+    concordant/discordant/tie count folds in PYTHON BIG INTS (HUGEINT
+    in the oracle), and each statistic is ONE mirrored float chain
+    (num / (sqrt(d1) * sqrt(d2))).  Values enter the table via
+    round(q) and round(d * 100) on identical doubles.  NULL quantity /
+    discount rows drop on both engines; NULL statistics on degenerate
+    (constant-column) inputs.
+
+    Scale shape: per-batch packed (q, cent) bincount partials, ONE
+    value-spread-bounded groupby (~50 x 11 cells), scalar driver
+    finish — the contingency never grows with the corpus.
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch["l_quantity"].null_count:
+            batch = batch.filter(pc.is_valid(batch["l_quantity"]))
+        if batch["l_discount"].null_count:
+            batch = batch.filter(pc.is_valid(batch["l_discount"]))
+        z = pa.array([], type=pa.int64())
+        if not len(batch):
+            return pa.table({"q": z, "c": z, "pn": z})
+        from .text import round_half_away as rha
+
+        q = rha(batch["l_quantity"].to_numpy(zero_copy_only=False), 0) \
+            .astype(np.int64)
+        d = rha(batch["l_discount"].to_numpy(zero_copy_only=False)
+                * 100.0, 0).astype(np.int64)
+        key = q * np.int64(1024) + d
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"q": pa.array((u // 1024).astype(np.int64)),
+                         "c": pa.array((u % 1024).astype(np.int64)),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    h = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["q", "c"])
+         .aggregate(Sum("pn", alias_name="w"))).to_pandas()
+    n_rows = int(h["w"].sum()) if len(h) else 0
+    rho = tau = None
+    if n_rows > 1:
+        qs = h.groupby("q", sort=True)["w"].sum()
+        cs = h.groupby("c", sort=True)["w"].sum()
+
+        def rank2_of(marg):
+            vals = marg.index.to_numpy().astype(np.int64)
+            cnts = [int(x) for x in marg]
+            r2, cum = {}, 0
+            for v_, c_ in zip(vals, cnts):
+                r2[int(v_)] = 2 * cum + c_ + 1
+                cum += c_
+            return r2
+
+        r2q = rank2_of(qs)
+        r2c = rank2_of(cs)
+        sx = sy = sxx = syy = sxy = 0
+        for q_, c_, w_ in zip(h["q"], h["c"], h["w"]):
+            w_ = int(w_)
+            x = r2q[int(q_)]
+            y = r2c[int(c_)]
+            sx += w_ * x
+            sy += w_ * y
+            sxx += w_ * x * x
+            syy += w_ * y * y
+            sxy += w_ * x * y
+        num = n_rows * sxy - sx * sy
+        d1 = n_rows * sxx - sx * sx
+        d2 = n_rows * syy - sy * sy
+        if d1 > 0 and d2 > 0:
+            rho = float(round_half_away(np.float64(
+                float(num) / (math.sqrt(float(d1))
+                              * math.sqrt(float(d2))))))
+        # Kendall tau-b from the same contingency: concordant /
+        # discordant pair counts in exact ints
+        cells = [(int(q_), int(c_), int(w_))
+                 for q_, c_, w_ in zip(h["q"], h["c"], h["w"])]
+        conc = disc = 0
+        for i, (qa, ca, wa) in enumerate(cells):
+            for qb, cb, wb in cells[i + 1:]:
+                if qa == qb or ca == cb:
+                    continue
+                if (qa < qb) == (ca < cb):
+                    conc += wa * wb
+                else:
+                    disc += wa * wb
+        n0 = n_rows * (n_rows - 1) // 2
+        n1 = sum(int(t) * (int(t) - 1) // 2 for t in qs)
+        n2 = sum(int(t) * (int(t) - 1) // 2 for t in cs)
+        if n0 > n1 and n0 > n2:
+            tau = float(round_half_away(np.float64(
+                float(conc - disc) / (math.sqrt(float(n0 - n1))
+                                      * math.sqrt(float(n0 - n2))))))
+    return ray.data.from_arrow(pa.table({
+        "n_rows": pa.array([n_rows], type=pa.int64()),
+        "spearman_rho": pa.array([rho], type=pa.float64()),
+        "kendall_tau": pa.array([tau], type=pa.float64()),
+    }))
+
+
+RANK_CORR_QTY_DISCOUNT_SQL = """
+WITH d AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                  CAST(round(l_discount * 100.0) AS BIGINT) AS c
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+h AS (SELECT q, c, CAST(count(*) AS HUGEINT) AS w FROM d GROUP BY 1, 2),
+qm AS (SELECT q, CAST(sum(w) AS HUGEINT) AS t,
+              2 * (sum(sum(w)) OVER (ORDER BY q
+                                     ROWS UNBOUNDED PRECEDING)
+                   - sum(w)) + sum(w) + 1 AS r2
+       FROM h GROUP BY 1),
+cm AS (SELECT c, CAST(sum(w) AS HUGEINT) AS t,
+              2 * (sum(sum(w)) OVER (ORDER BY c
+                                     ROWS UNBOUNDED PRECEDING)
+                   - sum(w)) + sum(w) + 1 AS r2
+       FROM h GROUP BY 1),
+nn AS (SELECT CAST(sum(w) AS HUGEINT) AS n FROM h),
+mom AS (SELECT CAST(sum(h.w * qm.r2) AS HUGEINT) AS sx,
+               CAST(sum(h.w * cm.r2) AS HUGEINT) AS sy,
+               CAST(sum(h.w * qm.r2 * qm.r2) AS HUGEINT) AS sxx,
+               CAST(sum(h.w * cm.r2 * cm.r2) AS HUGEINT) AS syy,
+               CAST(sum(h.w * qm.r2 * cm.r2) AS HUGEINT) AS sxy
+        FROM h JOIN qm USING (q) JOIN cm USING (c)),
+kd AS (SELECT
+         CAST(coalesce(sum(CASE WHEN (a.q < b.q) = (a.c < b.c)
+                                THEN a.w * b.w END), 0) AS HUGEINT)
+           AS conc,
+         CAST(coalesce(sum(CASE WHEN (a.q < b.q) <> (a.c < b.c)
+                                THEN a.w * b.w END), 0) AS HUGEINT)
+           AS disc
+       FROM h a JOIN h b
+         ON (a.q < b.q OR (a.q = b.q AND a.c < b.c))
+        AND a.q <> b.q AND a.c <> b.c),
+ties AS (SELECT (SELECT CAST(sum(t * (t - 1) // 2) AS HUGEINT) FROM qm)
+                  AS n1,
+                (SELECT CAST(sum(t * (t - 1) // 2) AS HUGEINT) FROM cm)
+                  AS n2)
+SELECT CAST(nn.n AS BIGINT) AS n_rows,
+       CASE WHEN nn.n <= 1
+                 OR nn.n * mom.sxx - mom.sx * mom.sx <= 0
+                 OR nn.n * mom.syy - mom.sy * mom.sy <= 0 THEN NULL
+            ELSE round(CAST(nn.n * mom.sxy - mom.sx * mom.sy AS DOUBLE)
+                       / (sqrt(CAST(nn.n * mom.sxx - mom.sx * mom.sx
+                                    AS DOUBLE))
+                          * sqrt(CAST(nn.n * mom.syy - mom.sy * mom.sy
+                                      AS DOUBLE))), 6) END
+         AS spearman_rho,
+       CASE WHEN nn.n <= 1
+                 OR nn.n * (nn.n - 1) // 2 - ties.n1 <= 0
+                 OR nn.n * (nn.n - 1) // 2 - ties.n2 <= 0 THEN NULL
+            ELSE round(CAST(kd.conc - kd.disc AS DOUBLE)
+                       / (sqrt(CAST(nn.n * (nn.n - 1) // 2 - ties.n1
+                                    AS DOUBLE))
+                          * sqrt(CAST(nn.n * (nn.n - 1) // 2 - ties.n2
+                                      AS DOUBLE))), 6) END
+         AS kendall_tau
+FROM nn CROSS JOIN mom CROSS JOIN kd CROSS JOIN ties"""

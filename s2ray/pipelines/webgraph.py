@@ -759,3 +759,93 @@ SELECT deg.x AS domain, deg.dg AS degree,
                / CAST(deg.dg * (deg.dg - 1) AS DOUBLE), 6) END
          AS clustering
 FROM deg LEFT JOIN tr ON tr.x = deg.x ORDER BY 1"""
+
+
+def domain_link_jaccard(sf_dir: str, k: int = 20):
+    """Neighborhood-Jaccard similarity on the UNDIRECTED simple domain
+    graph: for every domain pair with a shared neighbor, the Jaccard
+    similarity of their neighbor sets, flagged by whether the pair is
+    ALREADY linked — top ``k`` rows (d1, d2, n_common, n_union,
+    jaccard, is_adjacent) by (jaccard DESC, d1, d2).  High-jaccard
+    non-adjacent rows are the classic link-prediction candidates;
+    high-jaccard adjacent rows are redundancy (the synthetic domain
+    graph is near-complete, so the flag — not a non-adjacency filter —
+    keeps the operator live on it).  Complements cocitation/coupling,
+    which score the directed co-reference structure.
+
+    Exactness: neighbor sets come from the exact distinct undirected
+    edge set (self-loops dropped); intersection/union counts are exact
+    integers (|union| = deg1 + deg2 - common) and jaccard is one
+    mirrored float division; ordering compares identical doubles with
+    the (d1, d2) tie-break.
+
+    Scale shape: vocabulary-bounded final task, like every domain-graph
+    op (the domain_pagerank note applies — at web-scale vocabularies
+    this becomes a bucketed common-neighbor join).
+    """
+    from .text import round_half_away
+
+    edges = domain_link_graph(sf_dir)
+
+    def predict(batch: pa.Table) -> pa.Table:
+        s = batch["src_domain"].to_pylist()
+        d = batch["dst_domain"].to_pylist()
+        und = {(min(a, b), max(a, b)) for a, b in zip(s, d) if a != b}
+        nodes = sorted({x for e_ in und for x in e_})
+        nbr = {x: set() for x in nodes}
+        for a, b in und:
+            nbr[a].add(b)
+            nbr[b].add(a)
+        rows = []
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                common = len(nbr[a] & nbr[b])
+                if common < 1:
+                    continue
+                union = len(nbr[a]) + len(nbr[b]) - common
+                rows.append((float(common) / float(union), a, b,
+                             common, union, (a, b) in und))
+        rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+        rows = rows[:k]
+        return pa.table({
+            "d1": pa.array([r[1] for r in rows], type=pa.string()),
+            "d2": pa.array([r[2] for r in rows], type=pa.string()),
+            "n_common": pa.array([r[3] for r in rows], type=pa.int64()),
+            "n_union": pa.array([r[4] for r in rows], type=pa.int64()),
+            "jaccard": pa.array(
+                [float(round_half_away(np.float64(r[0]))) for r in rows],
+                type=pa.float64()),
+            "is_adjacent": pa.array([bool(r[5]) for r in rows],
+                                    type=pa.bool_()),
+        })
+
+    return edges.repartition(1).map_batches(predict,
+                                            batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def domain_link_jaccard_sql(cte: str, k: int = 20) -> str:
+    """Oracle: undirected distinct simple edges -> neighbor-set
+    intersection counts on shared-neighbor pairs with the adjacency
+    flag, identical float order."""
+    return f"""{cte}, {_EDGE_SQL},
+ed AS (SELECT DISTINCT s, d FROM e WHERE s <> d),
+und AS (SELECT s AS a, d AS b FROM ed UNION SELECT d, s FROM ed),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+common AS (SELECT x.a AS d1, y.a AS d2,
+                  CAST(count(*) AS BIGINT) AS n_common
+           FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+           GROUP BY 1, 2),
+sc AS (SELECT c.d1, c.d2, c.n_common,
+              da.deg + db.deg - c.n_common AS n_union,
+              CAST(c.n_common AS DOUBLE)
+              / CAST(da.deg + db.deg - c.n_common AS DOUBLE) AS j,
+              EXISTS (SELECT 1 FROM und z
+                      WHERE z.a = c.d1 AND z.b = c.d2) AS is_adjacent
+       FROM common c JOIN deg da ON da.a = c.d1
+                     JOIN deg db ON db.a = c.d2)
+SELECT d1, d2, n_common, CAST(n_union AS BIGINT) AS n_union,
+       round(j, 6) AS jaccard, is_adjacent
+FROM sc
+QUALIFY row_number() OVER (ORDER BY j DESC, d1, d2) <= {k}
+ORDER BY j DESC, d1, d2"""

@@ -105,7 +105,9 @@ def _compare(name, entrymod, con):
                                    "lognormal_fit_length", "weekday_chi2",
                                    "distance_decay", "markov_entropy_rate",
                                    "vocab_richness", "theil_decomposition",
-                                   "pettitt_test",
+                                   "pettitt_test", "dup_cluster_purity",
+                                   "domain_link_jaccard",
+                                   "rank_corr_qty_discount",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
