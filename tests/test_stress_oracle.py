@@ -62,7 +62,13 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "lexical_simpson", "anagram_groups", "token_len_stats",
                "doc_lang_runs",
                "domain_clustering", "colocation_quotient", "knox_pairs",
-               "char_entropy"]
+               "char_entropy",
+               "flesch_lang", "yules_k", "vocab_richness",
+               "log_odds_keywords", "textrank_keywords",
+               "mann_whitney_length", "ks_test_length",
+               "lognormal_fit_length", "dup_cluster_purity",
+               "distance_decay", "bearing_circular",
+               "theil_decomposition", "domain_link_jaccard"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window", "weekly_ma",
                  "events_quantiles_cont", "user_growth", "activity_curve",
@@ -76,7 +82,9 @@ EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "event_cooccurrence", "session_entry_exit",
                  "user_burstiness", "event_type_trend",
                  "user_type_matrix", "value_histogram", "user_skyline",
-                 "latest_event_state", "user_event_paths"]
+                 "latest_event_state", "user_event_paths",
+                 "kaplan_meier", "weekday_chi2", "markov_entropy_rate",
+                 "pettitt_test"]
 
 
 def _assert_matches_oracle(qname, res, con):
