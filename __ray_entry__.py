@@ -616,6 +616,18 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Shingle-containment (overlap-coefficient) pairs >= 9/10 on the
+    smaller document — quote/subset detection on the shared
+    inverted-index core, exact integer threshold."""
+    import ray.data
+
+    from s2ray.pipelines.dedup import containment_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return containment_pairs(ds)
+
+
 def _q_near_dup_clusters(sf_dir: str):
     import ray.data
 
@@ -1169,6 +1181,22 @@ def _q_ripley_k(sf_dir: str):
 
     return ripley_k(pages_with_cells(sf_dir, token_level=None),
                     radii=RIPLEY_RADII)
+
+
+def _q_monthly_lang_js(sf_dir: str):
+    """Month-over-month Jensen-Shannon drift of the language mix
+    (order-pinned ascending-lang folds over the global language grid)."""
+    from s2ray.pipelines.tiles import monthly_lang_js
+
+    return monthly_lang_js(sf_dir)
+
+
+def _q_cramers_v_lang_face(sf_dir: str):
+    """Cramér's V association between language and S2 cube face from
+    the exact zero-filled contingency (order-pinned chi-square fold)."""
+    from s2ray.pipelines.tiles import cramers_v_lang_face
+
+    return cramers_v_lang_face(sf_dir)
 
 
 def _q_theil_decomposition(sf_dir: str):
@@ -3372,6 +3400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_purity": _q_dup_cluster_purity,
         "domain_link_jaccard": _q_domain_link_jaccard,
         "rank_corr_qty_discount": _q_rank_corr_qty_discount,
+        "containment_pairs": _q_containment_pairs,
+        "monthly_lang_js": _q_monthly_lang_js,
+        "cramers_v_lang_face": _q_cramers_v_lang_face,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3748,6 +3779,84 @@ def oracle_sql() -> dict[str, str]:
         "round((sy - ((nf * sxy - sx * sy) / (nf * sxx - sx * sx)) * sx)"
         " / nf, 6) END AS intercept FROM m"
     )
+    # month-over-month JS drift of the language mix: order-pinned
+    # ascending-lang folds over the global language grid (source_js's
+    # exact element op order), month from the synthetic warc_ts rule
+    _pjs = "(CAST(na AS DOUBLE) / CAST(pt AS DOUBLE))"
+    _qjs = "(CAST(nb AS DOUBLE) / CAST(t AS DOUBLE))"
+    _mjs = f"(0.5 * ({_pjs} + {_qjs}))"
+    _eljs = (f"(CASE WHEN na > 0 THEN 0.5 * ({_pjs} * ln({_pjs} / {_mjs}))"
+             f" ELSE 0.0 END + "
+             f"CASE WHEN nb > 0 THEN 0.5 * ({_qjs} * ln({_qjs} / {_mjs}))"
+             f" ELSE 0.0 END)")
+    _face_case = ("CASE substr(cell_token, 1, 1) "
+                  + " ".join(f"WHEN '{x:x}' THEN {x >> 1}"
+                             for x in range(12))
+                  + " END")
+    monthly_lang_js_sql = f"""
+{cte},
+pl AS (SELECT date_trunc('month', make_timestamp(
+         (1704067200 + (page_id * 40499) % 31536000) * 1000000))
+         AS month, lang
+       FROM pages_geo WHERE lang IS NOT NULL),
+ml AS (SELECT month, lang, CAST(count(*) AS BIGINT) AS n
+       FROM pl GROUP BY 1, 2),
+mt AS (SELECT month, CAST(sum(n) AS BIGINT) AS t FROM ml GROUP BY 1),
+sq AS (SELECT month, t, lag(month) OVER (ORDER BY month) AS pm,
+              lag(t) OVER (ORDER BY month) AS pt FROM mt),
+langs AS (SELECT DISTINCT lang FROM ml),
+grid AS (SELECT s.month, s.t, s.pt, l.lang,
+                CAST(coalesce(b.n, 0) AS BIGINT) AS nb,
+                CAST(coalesce(a.n, 0) AS BIGINT) AS na
+         FROM sq s CROSS JOIN langs l
+         LEFT JOIN ml b ON b.month = s.month AND b.lang = l.lang
+         LEFT JOIN ml a ON a.month = s.pm AND a.lang = l.lang
+         WHERE s.pm IS NOT NULL),
+f AS (SELECT month, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list({_eljs} ORDER BY lang)), (x, y) -> x + y) AS js
+      FROM grid GROUP BY month, t, pt)
+SELECT mt.month AS month, mt.t AS n_pages, round(f.js, 6) AS js_prev
+FROM mt LEFT JOIN f ON f.month = mt.month ORDER BY month"""
+    # Cramer's V of lang x cube face: zero-filled grid fold ordered by
+    # (lang, face), theil's nibble face rule, mirrored sqrt chain
+    cramers_sql = (
+        f"{cte}, tc AS (SELECT lang, {_face_case} AS face, "
+        "CAST(count(*) AS BIGINT) AS n FROM ("
+        + s2_cell_select("SELECT lat, lng, lang FROM pages_geo "
+                         "WHERE lang IS NOT NULL", level=8)
+        + ") GROUP BY 1, 2), "
+        "langs AS (SELECT DISTINCT lang FROM tc), "
+        "faces AS (SELECT DISTINCT face FROM tc), "
+        "rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rt FROM tc "
+        "GROUP BY 1), "
+        "ct AS (SELECT face, CAST(sum(n) AS BIGINT) AS ct FROM tc "
+        "GROUP BY 1), "
+        "nn AS (SELECT CAST(sum(n) AS BIGINT) AS n, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS r, "
+        "CAST(count(DISTINCT face) AS BIGINT) AS c FROM tc), "
+        "grid AS (SELECT l.lang, fs.face, rt.rt, ct.ct, "
+        "CAST(coalesce(tc.n, 0) AS BIGINT) AS o "
+        "FROM langs l CROSS JOIN faces fs "
+        "JOIN rt ON rt.lang = l.lang JOIN ct ON ct.face = fs.face "
+        "LEFT JOIN tc ON tc.lang = l.lang AND tc.face = fs.face), "
+        "f AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list((CAST(o AS DOUBLE) "
+        "- (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) "
+        "/ (SELECT CAST(n AS DOUBLE) FROM nn)) "
+        "* (CAST(o AS DOUBLE) "
+        "- (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) "
+        "/ (SELECT CAST(n AS DOUBLE) FROM nn)) "
+        "/ ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) "
+        "/ (SELECT CAST(n AS DOUBLE) FROM nn)) "
+        "ORDER BY lang, face)), (x, y) -> x + y) AS chi2 FROM grid) "
+        "SELECT nn.n AS n_pages, nn.r AS n_langs, nn.c AS n_faces, "
+        "CASE WHEN nn.n = 0 OR nn.r <= 1 OR nn.c <= 1 THEN NULL "
+        "ELSE round(f.chi2, 6) END AS chi2, "
+        "CASE WHEN nn.n = 0 OR nn.r <= 1 OR nn.c <= 1 THEN NULL "
+        "ELSE round(sqrt(f.chi2 / (CAST(nn.n AS DOUBLE) "
+        "* CAST(least(nn.r, nn.c) - 1 AS DOUBLE))), 6) END AS cramers_v "
+        "FROM nn CROSS JOIN f"
+    )
     tile_counts_sql = (
         f"{cte} SELECT cell_id, cell_token, count(*) AS n_pages FROM ("
         + s2_cell_select("SELECT lat, lng FROM pages_geo", level=8)
@@ -4007,10 +4116,6 @@ SELECT v AS n_rings, total AS n_pages,
 FROM m"""
     # Theil-T by cube face: face = first token nibble >> 1 on both
     # engines; within-face folds order-pinned ascending cell_token
-    _face_case = ("CASE substr(cell_token, 1, 1) "
-                  + " ".join(f"WHEN '{x:x}' THEN {x >> 1}"
-                             for x in range(12))
-                  + " END")
     theil_sql = (
         f"{cte}, tc AS (SELECT cell_token, CAST(count(*) AS BIGINT) AS n "
         "FROM (" + s2_cell_select("SELECT lat, lng FROM pages_geo",
@@ -4117,6 +4222,19 @@ dup AS (SELECT i, j, inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
                    JOIN sizes sb ON sb.doc_id = pairs.j
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {NEAR_DUP_TAU!r})"""
     near_dup = f"WITH {near_dup_ctes} SELECT i, j, jaccard FROM dup"
+    # containment (overlap coefficient): same postings base, integer
+    # boundary rule c_den*inter >= c_num*min(si, sj) on both engines
+    containment_sql = f"""
+WITH {near_dup_ctes},
+ct AS (SELECT pairs.i, pairs.j, CAST(pairs.inter AS BIGINT) AS inter,
+              CAST(sa.sz AS BIGINT) AS size_i,
+              CAST(sb.sz AS BIGINT) AS size_j
+       FROM pairs JOIN sizes sa ON sa.doc_id = pairs.i
+                  JOIN sizes sb ON sb.doc_id = pairs.j)
+SELECT i, j, inter, size_i, size_j,
+       round(CAST(inter AS DOUBLE)
+             / CAST(least(size_i, size_j) AS DOUBLE), 6) AS containment
+FROM ct WHERE 10 * inter >= 9 * least(size_i, size_j)"""
     dup_degree_sql = f"""
 WITH {near_dup_ctes},
 deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree
@@ -5604,6 +5722,7 @@ FROM (
         "near_dup_clusters": near_dup_clusters_sql,
         "dup_cluster_purity": dup_cluster_purity_sql,
         "rank_corr_qty_discount": RANK_CORR_QTY_DISCOUNT_SQL,
+        "containment_pairs": containment_sql,
         "minhash_pairs": minhash_sql,
         "simhash_pairs": simhash_sql,
         "events_asof": events_asof_sql,
@@ -5796,6 +5915,8 @@ GROUP BY m.event_type, m.median""",
         "bearing_circular": bearing_circ_sql,
         "distance_decay": distance_decay_sql,
         "theil_decomposition": theil_sql,
+        "monthly_lang_js": monthly_lang_js_sql,
+        "cramers_v_lang_face": cramers_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "

@@ -321,19 +321,16 @@ def _pairs_from_buckets(df, key_col: str, carry: tuple, max_bucket: int):
 # ---------------------------------------------------------------------------
 # exact near-dup pairs via shingle inverted index
 
-def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
-                         id_col: str = "doc_id", text_col: str = "text",
-                         max_posting: int = 10000):
-    """Exact Jaccard >= tau pairs via a distributed inverted-index join.
-
-    doc -> (shingle_hash, doc_id, set_size) rows; groupby shingle emits
-    candidate pairs; groupby pair sums intersections; jaccard from carried
-    set sizes.  ``max_posting`` caps pathological stop-shingles (documented
-    deviation; groups above the cap are dropped — at the default it never
-    triggers on sane corpora).
+def _pair_intersections(ds, k: int, id_col: str, text_col: str,
+                        max_posting: int, finish):
+    """Shared distributed inverted-index pair-intersection core: doc ->
+    (shingle_hash, doc_id, set_size) postings, blob-compacted two-level
+    shuffle, and a caller-supplied ``finish(table)`` applied per pair
+    partition over the merged (pk, inter, si, sj) blob groups.  Backs
+    near_dup_pairs_exact (Jaccard) and containment_pairs (overlap
+    coefficient) with identical candidate generation.
     """
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     from ..kernel import keys as _keys
 
@@ -437,6 +434,27 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
             "sj_b": pa.array(rows["sj_b"], type=pa.binary()),
         })
 
+    return (
+        ds.map_batches(to_postings, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby("pkpart")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         max_posting: int = 10000):
+    """Exact Jaccard >= tau pairs via a distributed inverted-index join.
+
+    doc -> (shingle_hash, doc_id, set_size) rows; groupby shingle emits
+    candidate pairs; groupby pair sums intersections; jaccard from carried
+    set sizes.  ``max_posting`` caps pathological stop-shingles (documented
+    deviation; groups above the cap are dropped — at the default it never
+    triggers on sane corpora).  Candidate generation lives in
+    :func:`_pair_intersections`; only the Jaccard finish is local here.
+    """
     def merge_pairs(t: pa.Table) -> pa.Table:
         pk = _cat_i64_blobs(t["pk_b"])
         inter = _cat_i64_blobs(t["inter_b"])
@@ -459,13 +477,68 @@ def near_dup_pairs_exact(ds, tau: float = 0.5, k: int = 3,
             "jaccard": pa.array(jac[keep], type=pa.float64()),
         })
 
-    return (
-        ds.map_batches(to_postings, batch_format="pyarrow", batch_size=None)
-        .groupby("part")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby("pkpart")
-        .map_groups(merge_pairs, batch_format="pyarrow")
-    )
+    return _pair_intersections(ds, k, id_col, text_col, max_posting,
+                               merge_pairs)
+
+
+def containment_pairs(ds, c_num: int = 9, c_den: int = 10, k: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_posting: int = 10000):
+    """Exact shingle-containment pairs (overlap coefficient): document
+    pairs whose shingle-set intersection covers >= c_num/c_den of the
+    SMALLER document — (i, j, inter, size_i, size_j, containment).
+    Jaccard misses quote/subset relationships (a short doc fully
+    embedded in a long one has tiny Jaccard but containment 1.0), and
+    those are exactly the contamination/quotation cases an LLM data
+    pipeline must see; this is the subset-detection face of the same
+    inverted-index core as near_dup_pairs.
+
+    Exactness: the threshold is evaluated ENTIRELY in integers
+    (c_den * inter >= c_num * min(si, sj)), so boundary pairs agree
+    bit-exactly with the SQL mirror; the reported containment is one
+    mirrored float division rounded to 6 dp.
+
+    Scale shape: identical to near_dup_pairs_exact — the shared
+    :func:`_pair_intersections` blob-compacted two-level shuffle; only
+    the finish differs.
+    """
+    cn = int(c_num)
+    cd = int(c_den)
+
+    def merge_containment(t: pa.Table) -> pa.Table:
+        from .text import round_half_away
+
+        pk = _cat_i64_blobs(t["pk_b"])
+        inter = _cat_i64_blobs(t["inter_b"])
+        si = _cat_i64_blobs(t["si_b"])
+        sj = _cat_i64_blobs(t["sj_b"])
+        order = np.argsort(pk, kind="stable")
+        pk, inter, si, sj = pk[order], inter[order], si[order], sj[order]
+        starts = (np.concatenate([[0],
+                                  np.flatnonzero(pk[1:] != pk[:-1]) + 1])
+                  if len(pk) else np.empty(0, dtype=np.int64))
+        u = pk[starts] if len(pk) else pk
+        inter_s = (np.add.reduceat(inter, starts) if len(pk) else inter)
+        si_u = si[starts] if len(pk) else si
+        sj_u = sj[starts] if len(pk) else sj
+        mn = np.minimum(si_u, sj_u)
+        keep = cd * inter_s >= cn * mn          # exact integer threshold
+        u, inter_s, si_u, sj_u, mn = (u[keep], inter_s[keep], si_u[keep],
+                                      sj_u[keep], mn[keep])
+        cont = (inter_s.astype(np.float64) / mn.astype(np.float64)
+                if len(u) else np.zeros(0))
+        return pa.table({
+            "i": pa.array((u >> 32).astype(np.int64)),
+            "j": pa.array((u & 0xFFFFFFFF).astype(np.int64)),
+            "inter": pa.array(inter_s.astype(np.int64)),
+            "size_i": pa.array(si_u.astype(np.int64)),
+            "size_j": pa.array(sj_u.astype(np.int64)),
+            "containment": pa.array(round_half_away(cont, 6),
+                                    type=pa.float64()),
+        })
+
+    return _pair_intersections(ds, k, id_col, text_col, max_posting,
+                               merge_containment)
 
 
 def _weighted_pairs_from_buckets(df, key_col: str, max_bucket: int):

@@ -1291,3 +1291,187 @@ def theil_decomposition(sf_dir: str, level: int = 8, **read_kwargs):
         "theil_within": pa.array(out["theil_within"], type=pa.float64()),
         "between_term": pa.array(out["between_term"], type=pa.float64()),
     }))
+
+
+def monthly_lang_js(sf_dir: str, **read_kwargs):
+    """Month-over-month Jensen-Shannon drift of the crawl's language
+    mix — (month, n_pages, js_prev): the JS divergence (nats) between
+    each month's language distribution and the previous month's, NULL
+    for the first month.  The temporal face of source_js_divergence
+    (which compares two provenances at a point in time); a JS spike
+    marks a crawl-composition regime change that per-language counts
+    alone smear out.
+
+    Exactness: (month, lang) counts are exact integers from ONE
+    bounded groupby; each month-pair fold runs ORDER-PINNED ascending
+    lang over the GLOBAL language set (zero-count terms exactly 0.0),
+    with p/q/m and the 0.5*p*ln(p/m) elements in the oracle's exact op
+    order (libm math.log — the source_js contract).  NULL lang drops.
+
+    Scale shape: per-batch (month, lang) partials, a (months x langs)-
+    bounded groupby, driver folds over the bounded grid.
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    ds = pages_with_cells(sf_dir, token_level=None, **read_kwargs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch["lang"].null_count:
+            batch = batch.filter(pc.is_valid(batch["lang"]))
+        empty = pa.table({"mkey": pa.array([], type=pa.int64()),
+                          "lang": pa.array([], type=pa.string()),
+                          "pn": pa.array([], type=pa.int64())})
+        if not len(batch):
+            return empty
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False)
+        mkey = ts.astype("datetime64[M]").astype(np.int64)
+        lang = batch["lang"].to_pandas().astype(str).to_numpy()
+        import pandas as pd
+        lcodes, luniq = pd.factorize(pd.Series(lang))
+        packed = mkey * np.int64(4096) + lcodes
+        u, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "mkey": pa.array((u // 4096).astype(np.int64)),
+            "lang": pa.array(luniq[(u % 4096).astype(np.int64)],
+                             type=pa.string()),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    m = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["mkey", "lang"])
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    out = {"month": [], "n_pages": [], "js_prev": []}
+    if len(m):
+        langs = sorted(m["lang"].unique().tolist())
+        months = sorted(m["mkey"].unique().tolist())
+        tab = {(int(r["mkey"]), r["lang"]): int(r["n"])
+               for _, r in m.iterrows()}
+        totals = {mo: sum(tab.get((mo, lg), 0) for lg in langs)
+                  for mo in months}
+        prev = None
+        for mo in months:
+            js = None
+            if prev is not None and totals[prev] > 0 and totals[mo] > 0:
+                fta = float(totals[prev])
+                ftb = float(totals[mo])
+                acc = 0.0
+                for lg in langs:             # ascending lang order
+                    a = tab.get((prev, lg), 0)
+                    b = tab.get((mo, lg), 0)
+                    p = float(a) / fta
+                    q = float(b) / ftb
+                    mm = 0.5 * (p + q)
+                    el = 0.0
+                    if a > 0:
+                        el = 0.5 * (p * math.log(p / mm))
+                    if b > 0:
+                        el = el + 0.5 * (q * math.log(q / mm))
+                    acc += el
+                js = float(round_half_away(np.float64(acc), 6))
+            out["month"].append(mo)
+            out["n_pages"].append(totals[mo])
+            out["js_prev"].append(js)
+            prev = mo
+    months_ts = np.array(out["month"], dtype=np.int64) \
+        .astype("datetime64[M]").astype("datetime64[us]") \
+        if out["month"] else np.empty(0, "datetime64[us]")
+    return ray.data.from_arrow(pa.table({
+        "month": pa.array(months_ts),
+        "n_pages": pa.array(out["n_pages"], type=pa.int64()),
+        "js_prev": pa.array(out["js_prev"], type=pa.float64()),
+    }))
+
+
+def cramers_v_lang_face(sf_dir: str, level: int = 8, **read_kwargs):
+    """Cramér's V association between page language and S2 cube face —
+    ONE row (n_pages, n_langs, n_faces, chi2, cramers_v): the
+    normalized [0, 1] strength of the language-geography association
+    (chi2_lang_source's effect-size companion; chi-square grows with N,
+    V does not, so V is the number to monitor across crawl sizes).
+
+    Exactness: the (lang, face) contingency is exact integers (face =
+    first token nibble >> 1, the theil_decomposition rule); the
+    chi-square fold is ORDER-PINNED ascending (lang, face) over the
+    FULL zero-filled grid with e/d/el in the oracle's exact op order,
+    and V = sqrt(chi2 / (N * (min(r,c) - 1))) is one mirrored chain.
+    NULL lang drops.
+
+    Scale shape: per-batch packed (lang, face) counts, a (langs x 6)-
+    bounded groupby, scalar driver finish.
+    """
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from .text import round_half_away
+
+    ds = pages_with_cells(sf_dir, token_level=level, **read_kwargs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Sum  # noqa: F401
+
+        if batch["lang"].null_count:
+            batch = batch.filter(pc.is_valid(batch["lang"]))
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "face": pa.array([], type=pa.int64()),
+                          "pn": pa.array([], type=pa.int64())})
+        if not len(batch):
+            return empty
+        # face = top 3 bits of the uint64 ancestor id — identical to the
+        # oracle's first-token-nibble >> 1 rule by construction
+        anc = batch["cell_l8"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        face = (anc >> np.uint64(61)).astype(np.int64)
+        lang = batch["lang"].to_pandas().astype(str).to_numpy()
+        lcodes, luniq = pd.factorize(pd.Series(lang))
+        packed = lcodes.astype(np.int64) * 8 + face
+        u, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "lang": pa.array(luniq[(u // 8).astype(np.int64)],
+                             type=pa.string()),
+            "face": pa.array((u % 8).astype(np.int64)),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    h = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["lang", "face"])
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    n_pages = int(h["n"].sum()) if len(h) else 0
+    n_langs = int(h["lang"].nunique()) if len(h) else 0
+    n_faces = int(h["face"].nunique()) if len(h) else 0
+    chi2 = v = None
+    if n_pages > 0 and n_langs > 1 and n_faces > 1:
+        langs = sorted(h["lang"].unique().tolist())
+        faces = sorted(int(x) for x in h["face"].unique())
+        tab = {(r["lang"], int(r["face"])): int(r["n"])
+               for _, r in h.iterrows()}
+        rt = {lg: sum(tab.get((lg, f), 0) for f in faces) for lg in langs}
+        ct = {f: sum(tab.get((lg, f), 0) for lg in langs) for f in faces}
+        nf = float(n_pages)
+        acc = 0.0
+        for lg in langs:                     # ascending (lang, face)
+            for f in faces:
+                e = (float(rt[lg]) * float(ct[f])) / nf
+                d = float(tab.get((lg, f), 0)) - e
+                acc += (d * d) / e
+        chi2 = float(round_half_away(np.float64(acc), 6))
+        v = float(round_half_away(np.float64(math.sqrt(
+            acc / (nf * float(min(n_langs, n_faces) - 1)))), 6))
+    return ray.data.from_arrow(pa.table({
+        "n_pages": pa.array([n_pages], type=pa.int64()),
+        "n_langs": pa.array([n_langs], type=pa.int64()),
+        "n_faces": pa.array([n_faces], type=pa.int64()),
+        "chi2": pa.array([chi2], type=pa.float64()),
+        "cramers_v": pa.array([v], type=pa.float64()),
+    }))

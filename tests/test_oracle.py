@@ -108,6 +108,8 @@ def _compare(name, entrymod, con):
                                    "pettitt_test", "dup_cluster_purity",
                                    "domain_link_jaccard",
                                    "rank_corr_qty_discount",
+                                   "containment_pairs",
+                                   "monthly_lang_js", "cramers_v_lang_face",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",

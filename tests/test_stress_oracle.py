@@ -68,7 +68,9 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "mann_whitney_length", "ks_test_length",
                "lognormal_fit_length", "dup_cluster_purity",
                "distance_decay", "bearing_circular",
-               "theil_decomposition", "domain_link_jaccard"]
+               "theil_decomposition", "domain_link_jaccard",
+               "containment_pairs", "monthly_lang_js",
+               "cramers_v_lang_face"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window", "weekly_ma",
                  "events_quantiles_cont", "user_growth", "activity_curve",
