@@ -532,6 +532,27 @@ def run_bench():
 
     timed("basket_pairs", _basket_pairs)
 
+    def _textrank():
+        # keyword-graph family (round 4, session 8): fused unigram+bigram
+        # count shuffle + bounded weighted power iteration
+        from s2ray.pipelines.text import textrank_keywords
+
+        return textrank_keywords(SF_DIR).count()
+
+    timed("textrank_keywords", _textrank)
+
+    def _containment():
+        # subset-detection face of the shared inverted-index pair core
+        # (round 4, session 8): integer overlap-coefficient threshold
+        from s2ray.pipelines.dedup import containment_pairs
+        from s2ray.sources.readers import read_table
+
+        return containment_pairs(
+            read_table(SF_DIR, "documents",
+                       columns=["doc_id", "text"])).count()
+
+    timed("containment_pairs", _containment)
+
     total = round(sum(queries.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({
