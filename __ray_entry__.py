@@ -1183,6 +1183,31 @@ def _q_ripley_k(sf_dir: str):
                     radii=RIPLEY_RADII)
 
 
+def _q_cohort_ltv(sf_dir: str):
+    """Revenue-LTV cohort matrix over orders: first-order-month cohorts
+    x months-since-acquisition with exact integer cents (custkey
+    co-partition, matrix-cell-sized second shuffle)."""
+    from s2ray.pipelines.analytics import cohort_ltv
+
+    return cohort_ltv(sf_dir)
+
+
+def _q_tile_month_jaccard(sf_dir: str):
+    """Month-over-month Jaccard of the occupied level-8 tile sets
+    (bounded distinct grid, strict-previous-month contract)."""
+    from s2ray.pipelines.tiles import tile_month_jaccard
+
+    return tile_month_jaccard(sf_dir)
+
+
+def _q_kruskal_wallis_qty(sf_dir: str):
+    """Kruskal-Wallis rank test of line quantity across return flags
+    from the exact bounded contingency (order-pinned group fold)."""
+    from s2ray.pipelines.join import kruskal_wallis_qty
+
+    return kruskal_wallis_qty(sf_dir)
+
+
 def _q_monthly_lang_js(sf_dir: str):
     """Month-over-month Jensen-Shannon drift of the language mix
     (order-pinned ascending-lang folds over the global language grid)."""
@@ -3403,6 +3428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "monthly_lang_js": _q_monthly_lang_js,
         "cramers_v_lang_face": _q_cramers_v_lang_face,
+        "cohort_ltv": _q_cohort_ltv,
+        "tile_month_jaccard": _q_tile_month_jaccard,
+        "kruskal_wallis_qty": _q_kruskal_wallis_qty,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3660,6 +3688,7 @@ def oracle_sql() -> dict[str, str]:
                                            WEEKDAY_CHI2_SQL,
                                            MARKOV_ENTROPY_RATE_SQL,
                                            PETTITT_TEST_SQL,
+                                           COHORT_LTV_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -3677,6 +3706,7 @@ def oracle_sql() -> dict[str, str]:
                                            value_histogram_sql)
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
                                       RANK_CORR_QTY_DISCOUNT_SQL,
+                                      KRUSKAL_WALLIS_QTY_SQL,
                                        bracket_revenue_sql,
                                        cust_order_dist_sql,
                                        forecast_revenue_sql,
@@ -3856,6 +3886,35 @@ FROM mt LEFT JOIN f ON f.month = mt.month ORDER BY month"""
         "ELSE round(sqrt(f.chi2 / (CAST(nn.n AS DOUBLE) "
         "* CAST(least(nn.r, nn.c) - 1 AS DOUBLE))), 6) END AS cramers_v "
         "FROM nn CROSS JOIN f"
+    )
+    # month-over-month occupied-tile Jaccard: distinct (month, token)
+    # grid; strict previous-calendar-month comparison (gap -> NULL)
+    tile_month_jaccard_sql = (
+        f"{cte}, tl AS (SELECT DISTINCT "
+        "date_trunc('month', make_timestamp("
+        "(1704067200 + (page_id * 40499) % 31536000) * 1000000)) "
+        "AS month, "
+        "CAST(date_diff('month', TIMESTAMP '1970-01-01', "
+        "date_trunc('month', make_timestamp("
+        "(1704067200 + (page_id * 40499) % 31536000) * 1000000))) "
+        "AS BIGINT) AS mi, cell_token FROM ("
+        + s2_cell_select("SELECT lat, lng, page_id FROM pages_geo",
+                         level=8)
+        + ")), "
+        "mt AS (SELECT month, mi, CAST(count(*) AS BIGINT) AS n "
+        "FROM tl GROUP BY 1, 2), "
+        "iv AS (SELECT a.mi, CAST(count(*) AS BIGINT) AS ni "
+        "FROM tl a JOIN tl b ON b.cell_token = a.cell_token "
+        "AND b.mi = a.mi - 1 GROUP BY 1) "
+        "SELECT t.month AS month, t.n AS n_tiles, "
+        "CASE WHEN p.n IS NULL THEN NULL "
+        "ELSE coalesce(iv.ni, 0) END AS n_common_prev, "
+        "CASE WHEN p.n IS NULL THEN NULL "
+        "ELSE round(CAST(coalesce(iv.ni, 0) AS DOUBLE) "
+        "/ CAST(t.n + p.n - coalesce(iv.ni, 0) AS DOUBLE), 6) END "
+        "AS jaccard_prev "
+        "FROM mt t LEFT JOIN mt p ON p.mi = t.mi - 1 "
+        "LEFT JOIN iv ON iv.mi = t.mi ORDER BY t.month"
     )
     tile_counts_sql = (
         f"{cte} SELECT cell_id, cell_token, count(*) AS n_pages FROM ("
@@ -5521,6 +5580,8 @@ FROM (
         "weekday_chi2": WEEKDAY_CHI2_SQL,
         "markov_entropy_rate": MARKOV_ENTROPY_RATE_SQL,
         "pettitt_test": PETTITT_TEST_SQL,
+        "cohort_ltv": COHORT_LTV_SQL,
+        "kruskal_wallis_qty": KRUSKAL_WALLIS_QTY_SQL,
         "vocab_richness": VOCAB_RICHNESS_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,
@@ -5916,6 +5977,7 @@ GROUP BY m.event_type, m.median""",
         "distance_decay": distance_decay_sql,
         "theil_decomposition": theil_sql,
         "monthly_lang_js": monthly_lang_js_sql,
+        "tile_month_jaccard": tile_month_jaccard_sql,
         "cramers_v_lang_face": cramers_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("

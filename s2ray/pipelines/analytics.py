@@ -6591,3 +6591,97 @@ SELECT ty.event_type AS event_type, b.ndays AS n_days,
                                       * CAST(b.ndays AS DOUBLE))), 6)
             END AS p_approx
 FROM ty CROSS JOIN b LEFT JOIN best USING (event_type) ORDER BY 1"""
+
+
+def cohort_ltv(sf_dir: str, n_parts: int = 64):
+    """Revenue-LTV cohort matrix over orders: customers grouped by the
+    calendar month of their FIRST order; per (cohort_month, month_idx)
+    — active customers and exact revenue cents that many months after
+    acquisition.  Output: (cohort_month, month_idx, n_customers,
+    revenue_cents).  The money-weighted companion of cohort_retention
+    (retention says who came back; this says what they were worth).
+
+    Exactness: prices lift to integer cents via rint (the
+    pricing_summary contract); month math is integer epoch-month
+    arithmetic (month index via the [M] datetime cast, identical to
+    the oracle's date_diff on month-truncated dates); a customer's
+    cohort needs their whole history, so orders ride ONE custkey-hash
+    co-partition and the merge emits (cohort, idx, n, cents) partials
+    — the second shuffle is matrix-cell-sized.  NULL custkey /
+    orderdate / totalprice rows drop on both engines.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)
+        for c in ("o_custkey", "o_orderdate", "o_totalprice"):
+            if batch[c].null_count:
+                batch = batch.filter(pc.is_valid(batch[c]))
+        uid = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        z = pd.Series(dtype=np.int64)
+        if len(df) == 0:
+            return pd.DataFrame({"cm": z, "mi": z, "pn": z, "pc_": z})
+        cust = df["o_custkey"].to_numpy().astype(np.int64)
+        mon = df["o_orderdate"].to_numpy().astype("datetime64[M]") \
+            .astype(np.int64)
+        cents = np.rint(df["o_totalprice"].to_numpy()
+                        * 100.0).astype(np.int64)
+        first = pd.DataFrame({"u": cust, "m": mon}).groupby("u")["m"] \
+            .min()
+        cm = first.loc[cust].to_numpy()
+        mi = mon - cm
+        # distinct active customers per cell + exact cents
+        cell = pd.DataFrame({"cm": cm, "mi": mi, "u": cust,
+                             "cents": cents})
+        g = cell.groupby(["cm", "mi"]).agg(
+            pn=("u", "nunique"), pc_=("cents", "sum")).reset_index()
+        g["pn"] = g["pn"].astype(np.int64)
+        g["pc_"] = g["pc_"].astype(np.int64)
+        return g
+
+    m = (ds.map_batches(add_part, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby("part").map_groups(merge, batch_format="pandas")
+         .groupby(["cm", "mi"])
+         .aggregate(Sum("pn", alias_name="n_customers"),
+                    Sum("pc_", alias_name="revenue_cents"))).to_pandas() \
+        .sort_values(["cm", "mi"], ignore_index=True)
+    months = m["cm"].to_numpy().astype(np.int64) \
+        .astype("datetime64[M]").astype("datetime64[us]") if len(m) \
+        else np.empty(0, "datetime64[us]")
+    return ray.data.from_arrow(pa.table({
+        "cohort_month": pa.array(months),
+        "month_idx": pa.array(m["mi"].to_numpy().astype(np.int64)
+                              if len(m) else np.empty(0, np.int64)),
+        "n_customers": pa.array(m["n_customers"].to_numpy()
+                                .astype(np.int64)
+                                if len(m) else np.empty(0, np.int64)),
+        "revenue_cents": pa.array(m["revenue_cents"].to_numpy()
+                                  .astype(np.int64)
+                                  if len(m) else np.empty(0, np.int64)),
+    }))
+
+
+COHORT_LTV_SQL = """
+WITH o AS (SELECT o_custkey AS u,
+                  date_trunc('month', o_orderdate) AS m,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             AND o_totalprice IS NOT NULL),
+f AS (SELECT u, min(m) AS cm FROM o GROUP BY 1)
+SELECT f.cm AS cohort_month,
+       CAST(date_diff('month', f.cm, o.m) AS BIGINT) AS month_idx,
+       CAST(count(DISTINCT o.u) AS BIGINT) AS n_customers,
+       CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN f USING (u)
+GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -5076,3 +5076,140 @@ SELECT CAST(nn.n AS BIGINT) AS n_rows,
                                       AS DOUBLE))), 6) END
          AS kendall_tau
 FROM nn CROSS JOIN mom CROSS JOIN kd CROSS JOIN ties"""
+
+
+def kruskal_wallis_qty(sf_dir: str):
+    """Kruskal-Wallis rank test of line-item quantity across return
+    flags — ONE row (n_rows, n_groups, h_stat, h_adj): the
+    nonparametric one-way "are these distributions the same?" test
+    (the k-group generalization of Mann-Whitney), tie-corrected.  The
+    returns-audit question ("do returned lines skew to different
+    quantities?") without any normality assumption.
+
+    Exactness: everything reduces to the (flag, quantity) contingency
+    (flags x <= ~50 quantities): doubled midranks and per-group rank
+    sums are exact int64, the tie sum T = sum(t^3 - t) is exact, the
+    per-group fold (R_g/2)^2 / n_g is ORDER-PINNED ascending flag
+    (list_reduce mirror), and H / the tie correction are one mirrored
+    float chain.  NULL flag / quantity rows drop; NULL statistics when
+    N <= 1, a single group, or all values tied.
+
+    Scale shape: per-batch packed (flag, q) counts, a tiny bounded
+    groupby, scalar driver finish.
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch["l_returnflag"].null_count:
+            batch = batch.filter(pc.is_valid(batch["l_returnflag"]))
+        if batch["l_quantity"].null_count:
+            batch = batch.filter(pc.is_valid(batch["l_quantity"]))
+        empty = pa.table({"flag": pa.array([], type=pa.string()),
+                          "q": pa.array([], type=pa.int64()),
+                          "pn": pa.array([], type=pa.int64())})
+        if not len(batch):
+            return empty
+        from .text import round_half_away as rha
+
+        q = rha(batch["l_quantity"].to_numpy(zero_copy_only=False), 0) \
+            .astype(np.int64)
+        flag = batch["l_returnflag"].to_pandas().astype(str).to_numpy()
+        fcodes, funiq = pd.factorize(pd.Series(flag))
+        key = fcodes.astype(np.int64) * np.int64(1 << 20) + q
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "flag": pa.array(funiq[(u >> 20).astype(np.int64)],
+                             type=pa.string()),
+            "q": pa.array((u & ((1 << 20) - 1)).astype(np.int64)),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    h = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["flag", "q"])
+         .aggregate(Sum("pn", alias_name="c"))).to_pandas()
+    n_rows = int(h["c"].sum()) if len(h) else 0
+    n_groups = int(h["flag"].nunique()) if len(h) else 0
+    h_stat = h_adj = None
+    if n_rows > 1 and n_groups > 1:
+        g = h.groupby("q", sort=True)["c"].sum()
+        vals = g.index.to_numpy().astype(np.int64)
+        gc = [int(x) for x in g]
+        r2, cum = {}, 0
+        for v_, c_ in zip(vals, gc):
+            r2[int(v_)] = 2 * cum + c_ + 1
+            cum += c_
+        tie_t = sum(c_ ** 3 - c_ for c_ in gc)
+        nf = float(n_rows)
+        acc = 0.0
+        for flag_, grp in h.groupby("flag", sort=True):  # ascending flag
+            ng = int(grp["c"].sum())
+            rg2 = sum(int(c_) * r2[int(q_)]
+                      for q_, c_ in zip(grp["q"], grp["c"]))
+            t1 = float(rg2) / 2.0
+            acc = acc + (t1 * t1) / float(ng)
+        hs = 12.0 / (nf * (nf + 1.0)) * acc - 3.0 * (nf + 1.0)
+        corr = 1.0 - float(tie_t) / (nf * nf * nf - nf)
+        h_stat = float(round_half_away(np.float64(hs)))
+        if corr > 0.0:
+            h_adj = float(round_half_away(np.float64(hs / corr)))
+    return ray.data.from_arrow(pa.table({
+        "n_rows": pa.array([n_rows], type=pa.int64()),
+        "n_groups": pa.array([n_groups], type=pa.int64()),
+        "h_stat": pa.array([h_stat], type=pa.float64()),
+        "h_adj": pa.array([h_adj], type=pa.float64()),
+    }))
+
+
+KRUSKAL_WALLIS_QTY_SQL = """
+WITH d AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_quantity) AS BIGINT) AS q
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+h AS (SELECT flag, q, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+g AS (SELECT q, CAST(sum(c) AS BIGINT) AS c FROM h GROUP BY 1),
+r AS (SELECT q, 2 * (sum(c) OVER (ORDER BY q
+                                  ROWS UNBOUNDED PRECEDING) - c)
+             + c + 1 AS rank2
+      FROM g),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+              CAST(sum(c * c * c - c) AS BIGINT) AS t,
+              CAST((SELECT count(DISTINCT flag) FROM h) AS BIGINT) AS k
+       FROM g),
+s AS (SELECT h.flag, CAST(sum(h.c) AS BIGINT) AS ng,
+             CAST(sum(h.c * r.rank2) AS BIGINT) AS rg2
+      FROM h JOIN r USING (q) GROUP BY 1),
+f AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list((CAST(rg2 AS DOUBLE) / 2.0) * (CAST(rg2 AS DOUBLE) / 2.0)
+             / CAST(ng AS DOUBLE) ORDER BY flag)),
+        (a, x) -> a + x) AS acc
+      FROM s)
+SELECT nt.n AS n_rows, nt.k AS n_groups,
+       CASE WHEN nt.n <= 1 OR nt.k <= 1 THEN NULL
+            ELSE round(12.0 / (CAST(nt.n AS DOUBLE)
+                               * (CAST(nt.n AS DOUBLE) + 1.0)) * f.acc
+                       - 3.0 * (CAST(nt.n AS DOUBLE) + 1.0), 6) END
+         AS h_stat,
+       CASE WHEN nt.n <= 1 OR nt.k <= 1
+                 OR 1.0 - CAST(nt.t AS DOUBLE)
+                          / (CAST(nt.n AS DOUBLE) * CAST(nt.n AS DOUBLE)
+                             * CAST(nt.n AS DOUBLE)
+                             - CAST(nt.n AS DOUBLE)) <= 0.0 THEN NULL
+            ELSE round((12.0 / (CAST(nt.n AS DOUBLE)
+                                * (CAST(nt.n AS DOUBLE) + 1.0)) * f.acc
+                        - 3.0 * (CAST(nt.n AS DOUBLE) + 1.0))
+                       / (1.0 - CAST(nt.t AS DOUBLE)
+                                / (CAST(nt.n AS DOUBLE)
+                                   * CAST(nt.n AS DOUBLE)
+                                   * CAST(nt.n AS DOUBLE)
+                                   - CAST(nt.n AS DOUBLE))), 6) END
+         AS h_adj
+FROM nt CROSS JOIN f"""

@@ -1475,3 +1475,78 @@ def cramers_v_lang_face(sf_dir: str, level: int = 8, **read_kwargs):
         "chi2": pa.array([chi2], type=pa.float64()),
         "cramers_v": pa.array([v], type=pa.float64()),
     }))
+
+
+def tile_month_jaccard(sf_dir: str, level: int = 8, **read_kwargs):
+    """Spatial-coverage churn: the Jaccard similarity between the sets
+    of occupied level-``level`` tiles in consecutive calendar months —
+    (month, n_tiles, n_common_prev, jaccard_prev).  The geographic twin
+    of day_user_jaccard: DAU-style tile counts can stay flat while the
+    crawl wanders, and this is the statistic that sees the wandering.
+    Comparison is against the strictly previous calendar month; a
+    calendar gap yields NULL (no adjacent month to compare).
+
+    Exactness: the distinct (month, tile) grid is exact from ONE
+    bounded groupby (months x occupied tiles, <= 393k tiles at level
+    8); intersection/union counts are integers and jaccard one
+    mirrored division.
+
+    Scale shape: per-batch distinct (month, ancestor) partials, the
+    bounded grid groupby, driver set algebra over the grid.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    ds = pages_with_cells(sf_dir, token_level=level, **read_kwargs)
+    col = f"cell_l{level}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if not len(batch):
+            return pa.table({"mi": z, "cell": z, "pn": z})
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False)
+        mi = ts.astype("datetime64[M]").astype(np.int64)
+        # int64 bit view of the uint64 ancestor: pure set identity (the
+        # wrap for faces 4-5 is deterministic and never leaves the job)
+        cell = batch[col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64).view(np.int64)
+        key = np.unique(np.stack([mi, cell], axis=1), axis=0)
+        return pa.table({"mi": pa.array(key[:, 0]),
+                         "cell": pa.array(key[:, 1]),
+                         "pn": pa.array(np.ones(len(key), np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["mi", "cell"])
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    out = {"month": [], "n_tiles": [], "n_common_prev": [],
+           "jaccard_prev": []}
+    if len(g):
+        sets = {int(mi_): set(grp["cell"].astype(int))
+                for mi_, grp in g.groupby("mi", sort=True)}
+        for mi_ in sorted(sets):
+            cur = sets[mi_]
+            out["month"].append(mi_)
+            out["n_tiles"].append(len(cur))
+            prev = sets.get(mi_ - 1)
+            if prev is None:
+                out["n_common_prev"].append(None)
+                out["jaccard_prev"].append(None)
+            else:
+                ni = len(cur & prev)
+                out["n_common_prev"].append(ni)
+                out["jaccard_prev"].append(float(round_half_away(
+                    np.float64(float(ni)
+                               / float(len(cur) + len(prev) - ni)))))
+    months = np.array(out["month"], dtype=np.int64) \
+        .astype("datetime64[M]").astype("datetime64[us]") \
+        if out["month"] else np.empty(0, "datetime64[us]")
+    return ray.data.from_arrow(pa.table({
+        "month": pa.array(months),
+        "n_tiles": pa.array(out["n_tiles"], type=pa.int64()),
+        "n_common_prev": pa.array(out["n_common_prev"],
+                                  type=pa.int64()),
+        "jaccard_prev": pa.array(out["jaccard_prev"],
+                                 type=pa.float64()),
+    }))

@@ -110,6 +110,8 @@ def _compare(name, entrymod, con):
                                    "rank_corr_qty_discount",
                                    "containment_pairs",
                                    "monthly_lang_js", "cramers_v_lang_face",
+                                   "cohort_ltv", "tile_month_jaccard",
+                                   "kruskal_wallis_qty",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",

@@ -70,7 +70,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "distance_decay", "bearing_circular",
                "theil_decomposition", "domain_link_jaccard",
                "containment_pairs", "monthly_lang_js",
-               "cramers_v_lang_face"]
+               "cramers_v_lang_face", "tile_month_jaccard"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window", "weekly_ma",
                  "events_quantiles_cont", "user_growth", "activity_curve",
