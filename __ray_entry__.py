@@ -1183,6 +1183,30 @@ def _q_ripley_k(sf_dir: str):
                     radii=RIPLEY_RADII)
 
 
+def _q_user_activity_gini(sf_dir: str):
+    """Gini concentration of events over users from the count-of-counts
+    histogram (analytic rank moment, big-int exact)."""
+    from s2ray.pipelines.analytics import user_activity_gini
+
+    return user_activity_gini(sf_dir)
+
+
+def _q_anova_len_by_source(sf_dir: str):
+    """One-way ANOVA eta-squared + F of doc length across sources from
+    exact big-int moments (order-pinned between-group fold)."""
+    from s2ray.pipelines.analytics import anova_len_by_source
+
+    return anova_len_by_source(sf_dir)
+
+
+def _q_skipgram_pairs(sf_dir: str):
+    """Top-100 windowed (distance <= 5) token co-occurrence pairs —
+    vectorized shifted-array extraction, exact integer ranking."""
+    from s2ray.pipelines.text import skipgram_pairs
+
+    return skipgram_pairs(sf_dir)
+
+
 def _q_cohort_ltv(sf_dir: str):
     """Revenue-LTV cohort matrix over orders: first-order-month cohorts
     x months-since-acquisition with exact integer cents (custkey
@@ -3431,6 +3455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": _q_cohort_ltv,
         "tile_month_jaccard": _q_tile_month_jaccard,
         "kruskal_wallis_qty": _q_kruskal_wallis_qty,
+        "user_activity_gini": _q_user_activity_gini,
+        "anova_len_by_source": _q_anova_len_by_source,
+        "skipgram_pairs": _q_skipgram_pairs,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3689,6 +3716,8 @@ def oracle_sql() -> dict[str, str]:
                                            MARKOV_ENTROPY_RATE_SQL,
                                            PETTITT_TEST_SQL,
                                            COHORT_LTV_SQL,
+                                           USER_ACTIVITY_GINI_SQL,
+                                           ANOVA_LEN_BY_SOURCE_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
                                            EVENT_TRANSITIONS_SQL,
@@ -3763,6 +3792,7 @@ def oracle_sql() -> dict[str, str]:
                                       anagram_groups_sql, heaps_law_sql,
                                       log_odds_keywords_sql,
                                       textrank_keywords_sql,
+                                      skipgram_pairs_sql,
                                       search_rank_sql,
                                       search_bm25_sql,
                                       phrase_search_sql,
@@ -5582,6 +5612,9 @@ FROM (
         "pettitt_test": PETTITT_TEST_SQL,
         "cohort_ltv": COHORT_LTV_SQL,
         "kruskal_wallis_qty": KRUSKAL_WALLIS_QTY_SQL,
+        "user_activity_gini": USER_ACTIVITY_GINI_SQL,
+        "anova_len_by_source": ANOVA_LEN_BY_SOURCE_SQL,
+        "skipgram_pairs": skipgram_pairs_sql(),
         "vocab_richness": VOCAB_RICHNESS_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,

@@ -6685,3 +6685,219 @@ SELECT f.cm AS cohort_month,
        CAST(sum(o.cents) AS BIGINT) AS revenue_cents
 FROM o JOIN f USING (u)
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def user_activity_gini(sf_dir: str, n_parts: int = 64):
+    """Gini coefficient of user activity: how unequally are events
+    spread over users — ONE row (n_users, n_events, gini).  The
+    power-user concentration dial (bot farms and scraper accounts show
+    up as a climbing Gini long before any single account trips a
+    threshold); the user-side twin of tile_gini.
+
+    Exactness: per-user event counts ride ONE user-hash co-partition;
+    each merge block emits the (events-per-user -> #users)
+    COUNT-OF-COUNTS histogram, bounded by activity SPREAD, never user
+    cardinality.  Equal counts are permutation-invariant under the
+    rank weighting, so the Gini rank moment folds ANALYTICALLY over
+    the histogram (S2 = sum v * (m*cum + m*(m+1)/2)) in Python big
+    ints (HUGEINT in the oracle), and ONE mirrored division reports
+    G = (2*S2 - (N+1)*S1) / (N*S1).  NULL user/ts drop (house
+    contract).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(_drop_null_users(
+            batch.replace_schema_metadata(None)))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        z = pd.Series(dtype=np.int64)
+        if len(df) == 0:
+            return pd.DataFrame({"v": z, "pm": z})
+        cnt = df.groupby("user_id").size().to_numpy()
+        v, m = np.unique(cnt, return_counts=True)
+        return pd.DataFrame({"v": v.astype(np.int64),
+                             "pm": m.astype(np.int64)})
+
+    h = (ds.map_batches(add_part, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby("part").map_groups(hist, batch_format="pandas")
+         .groupby("v").aggregate(Sum("pm", alias_name="m"))) \
+        .to_pandas().sort_values("v", ignore_index=True)
+    n_users = int(h["m"].sum()) if len(h) else 0
+    s1 = s2 = 0
+    cum = 0
+    for v_, m_ in zip(h["v"], h["m"]):
+        v_, m_ = int(v_), int(m_)
+        s1 += m_ * v_
+        s2 += v_ * (m_ * cum + m_ * (m_ + 1) // 2)
+        cum += m_
+    gini = (None if n_users * s1 == 0 else float(round_half_away(
+        np.float64(float(2 * s2 - (n_users + 1) * s1)
+                   / float(n_users * s1)))))
+    return ray.data.from_arrow(pa.table({
+        "n_users": pa.array([n_users], type=pa.int64()),
+        "n_events": pa.array([s1], type=pa.int64()),
+        "gini": pa.array([gini], type=pa.float64()),
+    }))
+
+
+USER_ACTIVITY_GINI_SQL = """
+WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+h AS (SELECT v, CAST(count(*) AS HUGEINT) AS m FROM u GROUP BY 1),
+c AS (SELECT v, m, sum(m) OVER (ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) - m AS cum
+      FROM h),
+a AS (SELECT CAST(sum(m) AS HUGEINT) AS n,
+             CAST(sum(m * v) AS HUGEINT) AS s1,
+             CAST(sum(v * (m * cum + m * (m + 1) // 2)) AS HUGEINT)
+               AS s2
+      FROM c)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(s1 AS BIGINT) AS n_events,
+       CASE WHEN n * s1 = 0 THEN NULL
+            ELSE round(CAST(2 * s2 - (n + 1) * s1 AS DOUBLE)
+                       / CAST(n * s1 AS DOUBLE), 6) END AS gini
+FROM a"""
+
+
+def anova_len_by_source(sf_dir: str):
+    """One-way ANOVA effect size of document length across sources —
+    ONE row (n_docs, n_sources, eta_sq, f_stat): the share of length
+    variance explained by provenance and its F statistic.  The
+    parametric effect-size companion of mann_whitney_length /
+    ks_test_length (those detect per-source drift; eta-squared says
+    how much of the corpus-wide spread provenance explains at all).
+
+    Exactness: per-source (n, sum, sum-of-squares) moments are exact
+    integers (big-int safe: sums fold in Python ints, HUGEINT in the
+    oracle); the between-group fold sum(S_g^2 / n_g) is ORDER-PINNED
+    ascending source (list_reduce mirror) and eta/F are one mirrored
+    float chain; NULL statistics when sources < 2, N <= k, or zero
+    total variance.  NULL source / n_chars drop.
+
+    Scale shape: per-batch per-source moment partials, a
+    source-cardinality groupby, scalar driver finish.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch["source"].null_count:
+            batch = batch.filter(pc.is_valid(batch["source"]))
+        if batch["n_chars"].null_count:
+            batch = batch.filter(pc.is_valid(batch["n_chars"]))
+        empty = pa.table({"source": pa.array([], type=pa.string()),
+                          "pn": pa.array([], type=pa.int64()),
+                          "ps": pa.array([], type=pa.int64()),
+                          "pq": pa.array([], type=pa.int64())})
+        if not len(batch):
+            return empty
+        src = batch["source"].to_pandas().astype(str).to_numpy()
+        x = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        scodes, suniq = pd.factorize(pd.Series(src))
+        k = len(suniq)
+        pn = np.bincount(scodes, minlength=k).astype(np.int64)
+        ps = np.zeros(k, dtype=np.int64)
+        pq = np.zeros(k, dtype=np.int64)
+        np.add.at(ps, scodes, x)
+        np.add.at(pq, scodes, x * x)
+        return pa.table({"source": pa.array(suniq, type=pa.string()),
+                         "pn": pa.array(pn), "ps": pa.array(ps),
+                         "pq": pa.array(pq)})
+
+    m = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby("source")
+         .aggregate(Sum("pn", alias_name="n"),
+                    Sum("ps", alias_name="s"),
+                    Sum("pq", alias_name="q"))).to_pandas() \
+        .sort_values("source", ignore_index=True)
+    n_docs = int(m["n"].sum()) if len(m) else 0
+    k = len(m)
+    eta = f_stat = None
+    if n_docs > 1 and k > 1 and n_docs > k:
+        big_s = sum(int(x) for x in m["s"])
+        big_q = sum(int(x) for x in m["q"])
+        nf = float(n_docs)
+        acc = 0.0
+        for _, r in m.iterrows():           # ascending source order
+            acc = acc + (float(int(r["s"])) * float(int(r["s"]))) \
+                / float(int(r["n"]))
+        grand = (float(big_s) * float(big_s)) / nf
+        ssb = acc - grand
+        sst = float(big_q) - grand
+        if sst > 0.0:
+            eta = float(round_half_away(np.float64(ssb / sst)))
+            ssw = sst - ssb
+            if ssw > 0.0:
+                f_stat = float(round_half_away(np.float64(
+                    (ssb / float(k - 1)) / (ssw / float(n_docs - k)))))
+    return ray.data.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], type=pa.int64()),
+        "n_sources": pa.array([k], type=pa.int64()),
+        "eta_sq": pa.array([eta], type=pa.float64()),
+        "f_stat": pa.array([f_stat], type=pa.float64()),
+    }))
+
+
+ANOVA_LEN_BY_SOURCE_SQL = """
+WITH d AS (SELECT source, CAST(n_chars AS HUGEINT) AS x FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+g AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS q
+      FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS HUGEINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(s) AS HUGEINT) AS s, CAST(sum(q) AS HUGEINT) AS q
+      FROM g),
+f AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)
+             ORDER BY source)), (a, x) -> a + x) AS acc
+      FROM g)
+SELECT CAST(t.n AS BIGINT) AS n_docs, t.k AS n_sources,
+       CASE WHEN t.n <= 1 OR t.k <= 1 OR t.n <= t.k
+                 OR CAST(t.q AS DOUBLE)
+                    - (CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+                      / CAST(t.n AS DOUBLE) <= 0.0 THEN NULL
+            ELSE round((f.acc - (CAST(t.s AS DOUBLE)
+                                 * CAST(t.s AS DOUBLE))
+                                / CAST(t.n AS DOUBLE))
+                       / (CAST(t.q AS DOUBLE)
+                          - (CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+                            / CAST(t.n AS DOUBLE)), 6) END AS eta_sq,
+       CASE WHEN t.n <= 1 OR t.k <= 1 OR t.n <= t.k
+                 OR CAST(t.q AS DOUBLE)
+                    - (CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+                      / CAST(t.n AS DOUBLE) <= 0.0
+                 OR (CAST(t.q AS DOUBLE)
+                     - (CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+                       / CAST(t.n AS DOUBLE))
+                    - (f.acc - (CAST(t.s AS DOUBLE)
+                                * CAST(t.s AS DOUBLE))
+                               / CAST(t.n AS DOUBLE)) <= 0.0 THEN NULL
+            ELSE round(((f.acc - (CAST(t.s AS DOUBLE)
+                                  * CAST(t.s AS DOUBLE))
+                                 / CAST(t.n AS DOUBLE))
+                        / CAST(t.k - 1 AS DOUBLE))
+                       / (((CAST(t.q AS DOUBLE)
+                            - (CAST(t.s AS DOUBLE)
+                               * CAST(t.s AS DOUBLE))
+                              / CAST(t.n AS DOUBLE))
+                           - (f.acc - (CAST(t.s AS DOUBLE)
+                                       * CAST(t.s AS DOUBLE))
+                                      / CAST(t.n AS DOUBLE)))
+                          / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE))),
+                       6) END AS f_stat
+FROM t CROSS JOIN f"""

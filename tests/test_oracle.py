@@ -112,6 +112,9 @@ def _compare(name, entrymod, con):
                                    "monthly_lang_js", "cramers_v_lang_face",
                                    "cohort_ltv", "tile_month_jaccard",
                                    "kruskal_wallis_qty",
+                                   "user_activity_gini",
+                                   "anova_len_by_source",
+                                   "skipgram_pairs",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",

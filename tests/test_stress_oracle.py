@@ -70,7 +70,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "distance_decay", "bearing_circular",
                "theil_decomposition", "domain_link_jaccard",
                "containment_pairs", "monthly_lang_js",
-               "cramers_v_lang_face", "tile_month_jaccard"]
+               "cramers_v_lang_face", "tile_month_jaccard",
+               "anova_len_by_source", "skipgram_pairs"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window", "weekly_ma",
                  "events_quantiles_cont", "user_growth", "activity_curve",
@@ -86,7 +87,7 @@ EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "user_type_matrix", "value_histogram", "user_skyline",
                  "latest_event_state", "user_event_paths",
                  "kaplan_meier", "weekday_chi2", "markov_entropy_rate",
-                 "pettitt_test"]
+                 "pettitt_test", "user_activity_gini"]
 
 
 def _assert_matches_oracle(qname, res, con):
