@@ -1183,6 +1183,23 @@ def _q_ripley_k(sf_dir: str):
                     radii=RIPLEY_RADII)
 
 
+def _q_retention_half_life(sf_dir: str):
+    """Exponential-decay fit (and half-life) of the user-aligned
+    retention curve — order-pinned semi-log regression over the exact
+    activity_curve facts."""
+    from s2ray.pipelines.analytics import retention_half_life
+
+    return retention_half_life(sf_dir)
+
+
+def _q_lang_tile_jaccard(sf_dir: str):
+    """Pairwise language tile-footprint Jaccard matrix over occupied
+    level-8 tiles (bounded distinct grid)."""
+    from s2ray.pipelines.tiles import lang_tile_jaccard
+
+    return lang_tile_jaccard(sf_dir)
+
+
 def _q_user_activity_gini(sf_dir: str):
     """Gini concentration of events over users from the count-of-counts
     histogram (analytic rank moment, big-int exact)."""
@@ -3458,6 +3475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_gini": _q_user_activity_gini,
         "anova_len_by_source": _q_anova_len_by_source,
         "skipgram_pairs": _q_skipgram_pairs,
+        "retention_half_life": _q_retention_half_life,
+        "lang_tile_jaccard": _q_lang_tile_jaccard,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3717,6 +3736,7 @@ def oracle_sql() -> dict[str, str]:
                                            PETTITT_TEST_SQL,
                                            COHORT_LTV_SQL,
                                            USER_ACTIVITY_GINI_SQL,
+                                           RETENTION_HALF_LIFE_SQL,
                                            ANOVA_LEN_BY_SOURCE_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
@@ -3945,6 +3965,30 @@ FROM mt LEFT JOIN f ON f.month = mt.month ORDER BY month"""
         "AS jaccard_prev "
         "FROM mt t LEFT JOIN mt p ON p.mi = t.mi - 1 "
         "LEFT JOIN iv ON iv.mi = t.mi ORDER BY t.month"
+    )
+    # pairwise language tile-set Jaccard: distinct (lang, token) grid,
+    # all ordered language pairs (zero-overlap rows kept)
+    lang_tile_jaccard_sql = (
+        f"{cte}, tl AS (SELECT DISTINCT lang, cell_token FROM ("
+        + s2_cell_select("SELECT lat, lng, lang FROM pages_geo "
+                         "WHERE lang IS NOT NULL", level=8)
+        + ")), "
+        "deg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM tl "
+        "GROUP BY 1), "
+        "cm AS (SELECT a.lang AS l1, b.lang AS l2, "
+        "CAST(count(*) AS BIGINT) AS ni "
+        "FROM tl a JOIN tl b ON a.cell_token = b.cell_token "
+        "AND a.lang < b.lang GROUP BY 1, 2) "
+        "SELECT d1.lang AS lang1, d2.lang AS lang2, "
+        "d1.n AS n_tiles_1, d2.n AS n_tiles_2, "
+        "CAST(coalesce(cm.ni, 0) AS BIGINT) AS n_common, "
+        "CASE WHEN d1.n + d2.n - coalesce(cm.ni, 0) = 0 THEN NULL "
+        "ELSE round(CAST(coalesce(cm.ni, 0) AS DOUBLE) "
+        "/ CAST(d1.n + d2.n - coalesce(cm.ni, 0) AS DOUBLE), 6) END "
+        "AS jaccard "
+        "FROM deg d1 JOIN deg d2 ON d1.lang < d2.lang "
+        "LEFT JOIN cm ON cm.l1 = d1.lang AND cm.l2 = d2.lang "
+        "ORDER BY lang1, lang2"
     )
     tile_counts_sql = (
         f"{cte} SELECT cell_id, cell_token, count(*) AS n_pages FROM ("
@@ -5614,6 +5658,7 @@ FROM (
         "kruskal_wallis_qty": KRUSKAL_WALLIS_QTY_SQL,
         "user_activity_gini": USER_ACTIVITY_GINI_SQL,
         "anova_len_by_source": ANOVA_LEN_BY_SOURCE_SQL,
+        "retention_half_life": RETENTION_HALF_LIFE_SQL,
         "skipgram_pairs": skipgram_pairs_sql(),
         "vocab_richness": VOCAB_RICHNESS_SQL,
         "nation_flow": NATION_FLOW_SQL,
@@ -6011,6 +6056,7 @@ GROUP BY m.event_type, m.median""",
         "theil_decomposition": theil_sql,
         "monthly_lang_js": monthly_lang_js_sql,
         "tile_month_jaccard": tile_month_jaccard_sql,
+        "lang_tile_jaccard": lang_tile_jaccard_sql,
         "cramers_v_lang_face": cramers_sql,
         "decontaminate": (
             "WITH words AS (SELECT doc_id, list_filter("

@@ -6901,3 +6901,111 @@ SELECT CAST(t.n AS BIGINT) AS n_docs, t.k AS n_sources,
                           / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE))),
                        6) END AS f_stat
 FROM t CROSS JOIN f"""
+
+
+def retention_half_life(sf_dir: str):
+    """Exponential-decay fit of the user-aligned retention curve — ONE
+    row (n_offsets, total_users, slope, intercept, half_life_days):
+    least squares of ln(rate_k) on day offset k over offsets >= 1 with
+    active users, plus the implied half-life -ln(2)/slope (NULL when
+    retention is not decaying).  The single-number "how fast do users
+    evaporate?" summary sitting above :func:`activity_curve`'s full
+    curve.
+
+    Exactness: the curve's (offset, n_users) facts are the exact
+    activity_curve integers; y = ln(n_k / n_0) uses libm math.log on
+    one identical double per offset, and the four regression moments
+    fold ORDER-PINNED ascending offset (tile_zipf's list_reduce
+    contract).  Offset 0 is excluded (y == 0 by construction — it
+    would only dilute the fit and both engines agree by construction
+    anyway).
+    """
+    import math
+
+    import ray.data
+
+    cur = activity_curve(sf_dir).to_pandas() \
+        .sort_values("day_offset", ignore_index=True)
+    slope = intercept = hl = None
+    n_off = 0
+    total = 0
+    if len(cur):
+        total = int(cur.loc[cur["day_offset"] == 0, "n_users"].iloc[0]) \
+            if (cur["day_offset"] == 0).any() else 0
+        fit = cur[(cur["day_offset"] >= 1) & (cur["n_users"] > 0)]
+        n_off = len(fit)
+        if n_off >= 2 and total > 0:
+            sx = sy = sxx = sxy = 0.0
+            for k_, n_ in zip(fit["day_offset"], fit["n_users"]):
+                x = float(int(k_))
+                y = math.log(float(int(n_)) / float(total))
+                sx += x
+                sy += y
+                sxx += x * x
+                sxy += x * y
+            nf = float(n_off)
+            den = nf * sxx - sx * sx
+            if den != 0.0:
+                sl = (nf * sxy - sx * sy) / den
+                slope = float(round_half_away(np.float64(sl)))
+                intercept = float(round_half_away(np.float64(
+                    (sy - sl * sx) / nf)))
+                if sl < 0.0:
+                    hl = float(round_half_away(np.float64(
+                        -math.log(2.0) / sl)))
+    return ray.data.from_arrow(pa.table({
+        "n_offsets": pa.array([n_off], type=pa.int64()),
+        "total_users": pa.array([total], type=pa.int64()),
+        "slope": pa.array([slope], type=pa.float64()),
+        "intercept": pa.array([intercept], type=pa.float64()),
+        "half_life_days": pa.array([hl], type=pa.float64()),
+    }))
+
+
+RETENTION_HALF_LIFE_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT user_id, min(day) AS f0 FROM d GROUP BY 1),
+c AS (SELECT d.day - f.f0 AS off, CAST(count(*) AS BIGINT) AS n_users
+      FROM d JOIN f USING (user_id) GROUP BY 1),
+t AS (SELECT CAST(coalesce((SELECT n_users FROM c WHERE off = 0), 0)
+             AS BIGINT) AS total),
+fit AS (SELECT off, n_users FROM c WHERE off >= 1 AND n_users > 0),
+m AS (SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(count(*) AS DOUBLE) AS nf,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(off AS DOUBLE) ORDER BY off)),
+               (x, y) -> x + y) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ln(CAST(n_users AS DOUBLE)
+                       / (SELECT CAST(total AS DOUBLE) FROM t))
+                    ORDER BY off)), (x, y) -> x + y) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(off AS DOUBLE) * CAST(off AS DOUBLE)
+                    ORDER BY off)), (x, y) -> x + y) AS sxx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(off AS DOUBLE)
+                    * ln(CAST(n_users AS DOUBLE)
+                         / (SELECT CAST(total AS DOUBLE) FROM t))
+                    ORDER BY off)), (x, y) -> x + y) AS sxy
+      FROM fit)
+SELECT m.v AS n_offsets, t.total AS total_users,
+       CASE WHEN m.v < 2 OR t.total = 0
+                 OR m.nf * m.sxx - m.sx * m.sx = 0.0 THEN NULL
+            ELSE round((m.nf * m.sxy - m.sx * m.sy)
+                       / (m.nf * m.sxx - m.sx * m.sx), 6) END AS slope,
+       CASE WHEN m.v < 2 OR t.total = 0
+                 OR m.nf * m.sxx - m.sx * m.sx = 0.0 THEN NULL
+            ELSE round((m.sy - ((m.nf * m.sxy - m.sx * m.sy)
+                                / (m.nf * m.sxx - m.sx * m.sx)) * m.sx)
+                       / m.nf, 6) END AS intercept,
+       CASE WHEN m.v < 2 OR t.total = 0
+                 OR m.nf * m.sxx - m.sx * m.sx = 0.0
+                 OR (m.nf * m.sxy - m.sx * m.sy)
+                    / (m.nf * m.sxx - m.sx * m.sx) >= 0.0 THEN NULL
+            ELSE round(-ln(2.0) / ((m.nf * m.sxy - m.sx * m.sy)
+                                   / (m.nf * m.sxx - m.sx * m.sx)), 6)
+            END AS half_life_days
+FROM m CROSS JOIN t"""

@@ -1550,3 +1550,78 @@ def tile_month_jaccard(sf_dir: str, level: int = 8, **read_kwargs):
         "jaccard_prev": pa.array(out["jaccard_prev"],
                                  type=pa.float64()),
     }))
+
+
+def lang_tile_jaccard(sf_dir: str, level: int = 8, **read_kwargs):
+    """Pairwise geographic-footprint similarity of languages: Jaccard
+    between the occupied level-``level`` tile sets of every language
+    pair — (lang1, lang2, n_tiles_1, n_tiles_2, n_common, jaccard),
+    all ordered pairs of observed languages (zero-overlap pairs
+    included).  The symmetric-matrix companion of lang_frontier (which
+    counts adjacency contacts) and colocation_quotient (which scores
+    point-level mixing): this one asks whether two languages even
+    crawl the same places at tile granularity.
+
+    Exactness: the distinct (lang, tile) grid is exact from ONE
+    bounded groupby (langs x occupied tiles); set counts are integers
+    and jaccard one mirrored division.  NULL lang drops.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .text import round_half_away
+
+    ds = pages_with_cells(sf_dir, token_level=level, **read_kwargs)
+    col = f"cell_l{level}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch["lang"].null_count:
+            batch = batch.filter(pc.is_valid(batch["lang"]))
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "cell": pa.array([], type=pa.int64()),
+                          "pn": pa.array([], type=pa.int64())})
+        if not len(batch):
+            return empty
+        cell = batch[col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64).view(np.int64)
+        lang = batch["lang"].to_pandas().astype(str).to_numpy()
+        lcodes, luniq = pd.factorize(pd.Series(lang))
+        df = pd.DataFrame({"l": lcodes, "c": cell}).drop_duplicates()
+        return pa.table({
+            "lang": pa.array(luniq[df["l"].to_numpy()],
+                             type=pa.string()),
+            "cell": pa.array(df["c"].to_numpy().astype(np.int64)),
+            "pn": pa.array(np.ones(len(df), np.int64)),
+        })
+
+    g = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["lang", "cell"])
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    out = {"lang1": [], "lang2": [], "n_tiles_1": [], "n_tiles_2": [],
+           "n_common": [], "jaccard": []}
+    if len(g):
+        sets = {lg: set(grp["cell"].astype(int))
+                for lg, grp in g.groupby("lang", sort=True)}
+        langs = sorted(sets)
+        for i, a in enumerate(langs):
+            for b in langs[i + 1:]:
+                ni = len(sets[a] & sets[b])
+                un = len(sets[a]) + len(sets[b]) - ni
+                out["lang1"].append(a)
+                out["lang2"].append(b)
+                out["n_tiles_1"].append(len(sets[a]))
+                out["n_tiles_2"].append(len(sets[b]))
+                out["n_common"].append(ni)
+                out["jaccard"].append(float(round_half_away(np.float64(
+                    float(ni) / float(un)))) if un else None)
+    return ray.data.from_arrow(pa.table({
+        "lang1": pa.array(out["lang1"], type=pa.string()),
+        "lang2": pa.array(out["lang2"], type=pa.string()),
+        "n_tiles_1": pa.array(out["n_tiles_1"], type=pa.int64()),
+        "n_tiles_2": pa.array(out["n_tiles_2"], type=pa.int64()),
+        "n_common": pa.array(out["n_common"], type=pa.int64()),
+        "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+    }))

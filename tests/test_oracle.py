@@ -115,6 +115,8 @@ def _compare(name, entrymod, con):
                                    "user_activity_gini",
                                    "anova_len_by_source",
                                    "skipgram_pairs",
+                                   "retention_half_life",
+                                   "lang_tile_jaccard",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",

@@ -71,7 +71,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "theil_decomposition", "domain_link_jaccard",
                "containment_pairs", "monthly_lang_js",
                "cramers_v_lang_face", "tile_month_jaccard",
-               "anova_len_by_source", "skipgram_pairs"]
+               "anova_len_by_source", "skipgram_pairs",
+               "lang_tile_jaccard"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window", "weekly_ma",
                  "events_quantiles_cont", "user_growth", "activity_curve",
@@ -87,7 +88,8 @@ EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "user_type_matrix", "value_histogram", "user_skyline",
                  "latest_event_state", "user_event_paths",
                  "kaplan_meier", "weekday_chi2", "markov_entropy_rate",
-                 "pettitt_test", "user_activity_gini"]
+                 "pettitt_test", "user_activity_gini",
+                 "retention_half_life"]
 
 
 def _assert_matches_oracle(qname, res, con):
