@@ -616,6 +616,14 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def _q_dup_threshold_curve(sf_dir: str):
+    """Connected-component census of the near-dup graph at each
+    calibration tau — one pair join, pair-bounded driver sweep."""
+    from s2ray.pipelines.dedup import dup_threshold_curve
+
+    return dup_threshold_curve(sf_dir)
+
+
 def _q_containment_pairs(sf_dir: str):
     """Shingle-containment (overlap-coefficient) pairs >= 9/10 on the
     smaller document — quote/subset detection on the shared
@@ -3477,6 +3485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs": _q_skipgram_pairs,
         "retention_half_life": _q_retention_half_life,
         "lang_tile_jaccard": _q_lang_tile_jaccard,
+        "dup_threshold_curve": _q_dup_threshold_curve,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -4355,6 +4364,41 @@ dup AS (SELECT i, j, inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
                    JOIN sizes sb ON sb.doc_id = pairs.j
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {NEAR_DUP_TAU!r})"""
     near_dup = f"WITH {near_dup_ctes} SELECT i, j, jaccard FROM dup"
+    # dedup threshold calibration: one recursive closure per tau over
+    # the SAME unthresholded pair base (identical-double comparisons)
+    from s2ray.pipelines.dedup import DUP_CURVE_TAUS
+
+    _curve_blocks = []
+    for _k, _t in enumerate(sorted(DUP_CURVE_TAUS)):
+        _curve_blocks.append(f"""
+ed{_k} AS (SELECT i, j FROM pairs
+           JOIN sizes sa ON sa.doc_id = pairs.i
+           JOIN sizes sb ON sb.doc_id = pairs.j
+           WHERE inter * 1.0 / (sa.sz + sb.sz - inter)
+                 >= CAST({_t!r} AS DOUBLE)),
+e{_k} AS (SELECT i AS u, j AS v FROM ed{_k}
+          UNION ALL SELECT j, i FROM ed{_k}),
+r{_k}(u, v) AS (
+  SELECT u, v FROM e{_k}
+  UNION
+  SELECT r.u, e.v FROM r{_k} r JOIN e{_k} e ON r.v = e.u),
+cl{_k} AS (SELECT u, least(u, min(v)) AS cid FROM r{_k} GROUP BY u),
+cs{_k} AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz
+           FROM cl{_k} GROUP BY 1),
+s{_k} AS (SELECT CAST({_t!r} AS DOUBLE) AS tau,
+                 (SELECT CAST(count(*) AS BIGINT) FROM ed{_k})
+                   AS n_pairs,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_members,
+                 CAST(coalesce(max(sz), 0) AS BIGINT)
+                   AS largest_cluster
+          FROM cs{_k})""")
+    dup_threshold_curve_sql = (
+        f"WITH RECURSIVE {near_dup_ctes}," + ",".join(_curve_blocks)
+        + " " + " UNION ALL ".join(
+            f"SELECT * FROM s{_k}" for _k in range(len(DUP_CURVE_TAUS)))
+        + " ORDER BY tau"
+    )
     # containment (overlap coefficient): same postings base, integer
     # boundary rule c_den*inter >= c_num*min(si, sj) on both engines
     containment_sql = f"""
@@ -5862,6 +5906,7 @@ FROM (
         "dup_cluster_purity": dup_cluster_purity_sql,
         "rank_corr_qty_discount": RANK_CORR_QTY_DISCOUNT_SQL,
         "containment_pairs": containment_sql,
+        "dup_threshold_curve": dup_threshold_curve_sql,
         "minhash_pairs": minhash_sql,
         "simhash_pairs": simhash_sql,
         "events_asof": events_asof_sql,

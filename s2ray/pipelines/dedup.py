@@ -2385,3 +2385,71 @@ def dup_cluster_purity(sf_dir: str, tau: float = 0.5):
         "avg_purity": pa.array(out["avg_purity"], type=pa.float64()),
         "pure_rate": pa.array(out["pure_rate"], type=pa.float64()),
     }))
+
+
+DUP_CURVE_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dup_threshold_curve(sf_dir: str, taus=DUP_CURVE_TAUS):
+    """Dedup threshold calibration curve: for each Jaccard threshold
+    in ``taus``, the connected-component census of the near-dup pair
+    graph — (tau, n_pairs, n_clusters, n_members, largest_cluster).
+    THE operator you run before choosing a dedup tau: the knee where
+    n_members stops falling (and largest_cluster stops exploding) is
+    where near-duplication ends and template pollution begins.
+
+    Exactness: the pair list is computed ONCE at min(taus) (the
+    oracle-gated inverted-index join) and re-thresholded per tau — the
+    float comparison jaccard >= tau sees identical doubles on both
+    engines (the near_dup_pairs contract); component facts per tau are
+    exact integers (driver union-find over the duplicate-bounded pair
+    list, the near_dup_clusters fast path; the distributed
+    label-propagation variant applies verbatim when pairs outgrow the
+    driver).
+
+    Scale shape: one inverted-index pair join + a pair-bounded driver
+    sweep; the curve itself is len(taus) rows.
+    """
+    import ray.data
+
+    from ..sources.readers import read_table
+    from .text import round_half_away  # noqa: F401  (module convention)
+
+    taus = sorted(float(t) for t in taus)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = near_dup_pairs_exact(ds, tau=taus[0]).to_pandas()
+    out = {"tau": [], "n_pairs": [], "n_clusters": [], "n_members": [],
+           "largest_cluster": []}
+    for t in taus:
+        sel = pairs[pairs["jaccard"] >= t]
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for i_, j_ in zip(sel["i"].astype(int), sel["j"].astype(int)):
+            parent.setdefault(i_, i_)
+            parent.setdefault(j_, j_)
+            ri, rj = find(i_), find(j_)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        sizes = {}
+        for x in list(parent):
+            sizes[find(x)] = sizes.get(find(x), 0) + 1
+        out["tau"].append(t)
+        out["n_pairs"].append(int(len(sel)))
+        out["n_clusters"].append(len(sizes))
+        out["n_members"].append(int(sum(sizes.values())))
+        out["largest_cluster"].append(int(max(sizes.values()))
+                                      if sizes else 0)
+    return ray.data.from_arrow(pa.table({
+        "tau": pa.array(out["tau"], type=pa.float64()),
+        "n_pairs": pa.array(out["n_pairs"], type=pa.int64()),
+        "n_clusters": pa.array(out["n_clusters"], type=pa.int64()),
+        "n_members": pa.array(out["n_members"], type=pa.int64()),
+        "largest_cluster": pa.array(out["largest_cluster"],
+                                    type=pa.int64()),
+    }))

@@ -117,6 +117,7 @@ def _compare(name, entrymod, con):
                                    "skipgram_pairs",
                                    "retention_half_life",
                                    "lang_tile_jaccard",
+                                   "dup_threshold_curve",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
