@@ -616,6 +616,22 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def _q_rich_club(sf_dir: str):
+    """Rich-club density profile phi(k) of the undirected simple
+    domain graph (exact per-threshold subgraph counts)."""
+    from s2ray.pipelines.webgraph import rich_club
+
+    return rich_club(sf_dir)
+
+
+def _q_token_dispersion(sf_dir: str):
+    """Fano burstiness of the top-20 tokens' per-document counts
+    (exact big-int moments, one mirrored division)."""
+    from s2ray.pipelines.text import token_dispersion
+
+    return token_dispersion(sf_dir)
+
+
 def _q_dup_threshold_curve(sf_dir: str):
     """Connected-component census of the near-dup graph at each
     calibration tau — one pair join, pair-bounded driver sweep."""
@@ -3486,6 +3502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_half_life": _q_retention_half_life,
         "lang_tile_jaccard": _q_lang_tile_jaccard,
         "dup_threshold_curve": _q_dup_threshold_curve,
+        "rich_club": _q_rich_club,
+        "token_dispersion": _q_token_dispersion,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3822,6 +3840,7 @@ def oracle_sql() -> dict[str, str]:
                                       log_odds_keywords_sql,
                                       textrank_keywords_sql,
                                       skipgram_pairs_sql,
+                                      token_dispersion_sql,
                                       search_rank_sql,
                                       search_bm25_sql,
                                       phrase_search_sql,
@@ -3832,6 +3851,7 @@ def oracle_sql() -> dict[str, str]:
                                           domain_components_sql,
                                           domain_cocitation_sql,
                                           domain_link_jaccard_sql,
+                                          rich_club_sql,
                                           domain_coupling_sql,
                                           domain_hits_sql,
                                           domain_reciprocity_sql)
@@ -5704,6 +5724,7 @@ FROM (
         "anova_len_by_source": ANOVA_LEN_BY_SOURCE_SQL,
         "retention_half_life": RETENTION_HALF_LIFE_SQL,
         "skipgram_pairs": skipgram_pairs_sql(),
+        "token_dispersion": token_dispersion_sql(),
         "vocab_richness": VOCAB_RICHNESS_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,
@@ -5718,6 +5739,7 @@ FROM (
         "quadrat_dispersion": quadrat_dispersion_sql,
         "domain_cocitation": domain_cocitation_sql(cte),
         "domain_link_jaccard": domain_link_jaccard_sql(cte),
+        "rich_club": rich_club_sql(cte),
         "domain_coupling": domain_coupling_sql(cte),
         "clark_evans": clark_evans_sql,
         "heaps_law": heaps_law_sql(),

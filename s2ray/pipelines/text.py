@@ -3568,3 +3568,116 @@ SELECT w1, w2, n,
 FROM c
 QUALIFY row_number() OVER (ORDER BY n DESC, w1, w2) <= {k}
 ORDER BY rank"""
+
+
+def token_dispersion(sf_dir: str, k: int = 20, lower: bool = True):
+    """Corpus burstiness of the top-``k`` tokens: the Fano factor
+    (variance-to-mean ratio) of each token's PER-DOCUMENT count over
+    the whole corpus, zero-count documents included — (token, n_total,
+    n_docs_with, fano, rank) by (n_total DESC, token).  Fano ~ 1 is
+    Poisson scatter; Fano >> 1 is the classic content-word burstiness
+    (a token that floods a few documents), and a frequent token with
+    LOW Fano is templating — the signal raw frequency hides.
+
+    Exactness: with D docs, C total count and Q = sum of squared
+    per-doc counts, Fano = (D*Q - C^2) / (D*C) — EXACT integer
+    numerator/denominator (Python big ints; HUGEINT in the oracle) and
+    ONE mirrored division.  NULL text == empty (counts as a
+    zero-count document on both engines).
+
+    Scale shape: per-batch packed (token, doc) square-sum partials,
+    one vocabulary-bounded shuffle, top-k driver finish.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch["text"])
+        n_rows = len(texts)
+        rows_t = [""]                 # sentinel: per-batch doc count
+        rows_q = [0]
+        rows_c = [np.int64(n_rows)]   # rides the pc lane
+        rows_d = [0]
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if len(codes):
+            nu = np.int64(len(uniques))
+            key = row_idx * nu + codes
+            u, cnt = np.unique(key, return_counts=True)
+            tok_code = (u % nu).astype(np.int64)
+            per = pd.DataFrame({"t": tok_code,
+                                "c": cnt.astype(np.int64)})
+            g = per.groupby("t", sort=False).agg(
+                q=("c", lambda x: int(np.dot(x, x))),
+                s=("c", "sum"), d=("c", "size")).reset_index()
+            rows_t += [uniques[int(t_)] for t_ in g["t"]]
+            rows_q += [int(x) for x in g["q"]]
+            rows_c += [int(x) for x in g["s"]]
+            rows_d += [int(x) for x in g["d"]]
+        return pa.table({
+            "token": pa.array(rows_t, type=pa.string()),
+            "pq": pa.array(rows_q, type=pa.int64()),
+            "pc": pa.array(rows_c, type=pa.int64()),
+            "pd_": pa.array(rows_d, type=pa.int64()),
+        })
+
+    m = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby("token")
+         .aggregate(Sum("pq", alias_name="q"),
+                    Sum("pc", alias_name="c"),
+                    Sum("pd_", alias_name="d"))).to_pandas()
+    out = {"token": [], "n_total": [], "n_docs_with": [], "fano": [],
+           "rank": []}
+    if len(m):
+        drow = m[m["token"] == ""]
+        big_d = int(drow["c"].iloc[0]) if len(drow) else 0
+        m = m[m["token"] != ""]
+        m = m.sort_values(["c", "token"], ascending=[False, True],
+                          ignore_index=True, kind="stable").head(k)
+        for i, r in m.iterrows():
+            cc = int(r["c"])
+            qq = int(r["q"])
+            num = big_d * qq - cc * cc
+            den = big_d * cc
+            out["token"].append(r["token"])
+            out["n_total"].append(cc)
+            out["n_docs_with"].append(int(r["d"]))
+            out["fano"].append(float(round_half_away(np.float64(
+                float(num) / float(den)))) if den else None)
+            out["rank"].append(i + 1)
+    return ray.data.from_arrow(pa.table({
+        "token": pa.array(out["token"], type=pa.string()),
+        "n_total": pa.array(out["n_total"], type=pa.int64()),
+        "n_docs_with": pa.array(out["n_docs_with"], type=pa.int64()),
+        "fano": pa.array(out["fano"], type=pa.float64()),
+        "rank": pa.array(out["rank"], type=pa.int64()),
+    }))
+
+
+def token_dispersion_sql(k: int = 20) -> str:
+    """Oracle for :func:`token_dispersion` — HUGEINT exact moments,
+    identical integer ranking and single division."""
+    return rf"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_filter(regexp_split_to_array(
+                      lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                      AS token
+             FROM documents),
+tf AS (SELECT token, doc_id, CAST(count(*) AS HUGEINT) AS c
+       FROM tok GROUP BY 1, 2),
+a AS (SELECT token, CAST(sum(c * c) AS HUGEINT) AS q,
+             CAST(sum(c) AS HUGEINT) AS c,
+             CAST(count(*) AS BIGINT) AS d
+      FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS HUGEINT) AS d FROM documents)
+SELECT token, CAST(a.c AS BIGINT) AS n_total, a.d AS n_docs_with,
+       CASE WHEN nd.d * a.c = 0 THEN NULL
+            ELSE round(CAST(nd.d * a.q - a.c * a.c AS DOUBLE)
+                       / CAST(nd.d * a.c AS DOUBLE), 6) END AS fano,
+       CAST(row_number() OVER (ORDER BY a.c DESC, token) AS BIGINT)
+         AS rank
+FROM a CROSS JOIN nd
+QUALIFY row_number() OVER (ORDER BY a.c DESC, token) <= {k}
+ORDER BY rank"""

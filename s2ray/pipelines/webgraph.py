@@ -849,3 +849,87 @@ SELECT d1, d2, n_common, CAST(n_union AS BIGINT) AS n_union,
 FROM sc
 QUALIFY row_number() OVER (ORDER BY j DESC, d1, d2) <= {k}
 ORDER BY j DESC, d1, d2"""
+
+
+def rich_club(sf_dir: str):
+    """Rich-club coefficient profile of the UNDIRECTED simple domain
+    graph: for every degree threshold k present, the edge density
+    among nodes of degree > k — (k, n_nodes, n_edges, phi) with
+    phi = 2*E_k / (N_k * (N_k - 1)).  A rising phi(k) means the hubs
+    wire to each other (the "rich club" of reference webs); flat phi
+    means hub links spread evenly.  Completes the degree-structure
+    family (assortativity is its correlation summary; this is the
+    curve).
+
+    Exactness: degrees, subgraph node/edge counts and the single
+    density division are exact integers per threshold; thresholds are
+    the distinct degrees (rows bounded by max degree).  Self-loops
+    drop, direction and weights collapse — the domain_triangles graph
+    contract.
+
+    Scale shape: vocabulary-bounded final task (the domain_pagerank
+    note).
+    """
+    from .text import round_half_away
+
+    edges = domain_link_graph(sf_dir)
+
+    def profile(batch: pa.Table) -> pa.Table:
+        s = batch["src_domain"].to_pylist()
+        d = batch["dst_domain"].to_pylist()
+        und = {(min(a, b), max(a, b)) for a, b in zip(s, d) if a != b}
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        ks = sorted(set(deg.values()))
+        rows = {"k": [], "n_nodes": [], "n_edges": [], "phi": []}
+        for k in ks:
+            club = {x for x, dg in deg.items() if dg > k}
+            nk = len(club)
+            ek = sum(1 for a, b in und if a in club and b in club)
+            rows["k"].append(k)
+            rows["n_nodes"].append(nk)
+            rows["n_edges"].append(ek)
+            rows["phi"].append(
+                float(round_half_away(np.float64(
+                    float(2 * ek) / float(nk * (nk - 1)))))
+                if nk > 1 else None)
+        return pa.table({
+            "k": pa.array(rows["k"], type=pa.int64()),
+            "n_nodes": pa.array(rows["n_nodes"], type=pa.int64()),
+            "n_edges": pa.array(rows["n_edges"], type=pa.int64()),
+            "phi": pa.array(rows["phi"], type=pa.float64()),
+        })
+
+    return edges.repartition(1).map_batches(profile,
+                                            batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def rich_club_sql(cte: str) -> str:
+    """Oracle: distinct simple undirected edges -> degree table ->
+    per-threshold subgraph node/edge counts, identical float division."""
+    return f"""{cte}, {_EDGE_SQL},
+ed AS (SELECT DISTINCT s, d FROM e WHERE s <> d),
+und AS (SELECT least(s, d) AS a, greatest(s, d) AS b FROM ed
+        GROUP BY 1, 2),
+deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS dg
+        FROM (SELECT a AS x FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+ks AS (SELECT DISTINCT dg AS k FROM deg),
+nn AS (SELECT ks.k, CAST(count(deg.node) AS BIGINT) AS n_nodes
+       FROM ks LEFT JOIN deg ON deg.dg > ks.k GROUP BY 1),
+ue AS (SELECT und.a, da.dg AS dga, db.dg AS dgb
+       FROM und JOIN deg da ON da.node = und.a
+                JOIN deg db ON db.node = und.b),
+ee AS (SELECT ks.k, CAST(count(ue.a) AS BIGINT) AS n_edges
+       FROM ks LEFT JOIN ue ON ue.dga > ks.k AND ue.dgb > ks.k
+       GROUP BY 1)
+SELECT nn.k AS k, nn.n_nodes,
+       coalesce(ee.n_edges, 0) AS n_edges,
+       CASE WHEN nn.n_nodes <= 1 THEN NULL
+            ELSE round(CAST(2 * coalesce(ee.n_edges, 0) AS DOUBLE)
+                       / CAST(nn.n_nodes * (nn.n_nodes - 1) AS DOUBLE),
+                       6) END AS phi
+FROM nn LEFT JOIN ee USING (k) ORDER BY k"""
