@@ -770,6 +770,18 @@ def _q_morans_i(sf_dir: str):
                     cell_deg=1.0)
 
 
+def _q_morans_i_chars(sf_dir: str):
+    """Attribute-valued global Moran's I: spatial autocorrelation of
+    per-cell TOTAL text codepoints (the extensive document-length
+    surface) over the same Moore-stencil grid — shows the grid-stats
+    core is measure-agnostic."""
+    from s2ray.pipelines.cluster import morans_i
+    from s2ray.pipelines.tiles import pages_with_cells
+
+    return morans_i(pages_with_cells(sf_dir, token_level=None),
+                    cell_deg=1.0, value="chars")
+
+
 def _q_geary_c(sf_dir: str):
     """Global Geary's C of page counts over the occupied 1-degree grid
     with Moore (queen) weights — the pairwise-difference sum reduces to
@@ -3504,6 +3516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_threshold_curve": _q_dup_threshold_curve,
         "rich_club": _q_rich_club,
         "token_dispersion": _q_token_dispersion,
+        "morans_i_chars": _q_morans_i_chars,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -5361,6 +5374,35 @@ FROM (
         # the scaled-through-by-N^2 numerator exact, and the final
         # CAST-to-DOUBLE-then-divide matches the engine's float(num) /
         # float(den) bit-for-bit
+        "morans_i_chars": (
+            f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
+            "CAST(floor(lng / 1.0) AS BIGINT) AS gx, "
+            "CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n "
+            "FROM pages_geo GROUP BY 1, 2), "
+            "d AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+            "(0,1),(1,-1),(1,0),(1,1)) AS t(dy, dx)), "
+            "nb AS (SELECT a.gx, a.gy, a.n, "
+            "CAST(coalesce(sum(b.n), 0) AS HUGEINT) AS nbp, "
+            "CAST(count(b.n) AS HUGEINT) AS deg "
+            "FROM g a CROSS JOIN d LEFT JOIN g b "
+            "ON b.gy = a.gy + d.dy "
+            "AND b.gx = ((a.gx + d.dx + 180) % 360 + 360) % 360 - 180 "
+            "GROUP BY a.gx, a.gy, a.n), "
+            "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(n) AS HUGEINT) AS t, "
+            "CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sxx, "
+            "CAST(coalesce(sum(deg), 0) AS HUGEINT) AS s0, "
+            "CAST(coalesce(sum(CAST(n AS HUGEINT) * nbp), 0) AS HUGEINT) "
+            "AS wxx, "
+            "CAST(coalesce(sum(deg * CAST(n AS HUGEINT) + nbp), 0) "
+            "AS HUGEINT) AS wsum FROM nb) "
+            "SELECT CAST(n AS BIGINT) AS n_cells, "
+            "CAST(s0 AS BIGINT) AS n_links, "
+            "CASE WHEN s0 * (n * sxx - t * t) = 0 THEN NULL ELSE "
+            "round(CAST(n * n * wxx - n * t * wsum + t * t * s0 AS DOUBLE) "
+            "/ CAST(s0 * (n * sxx - t * t) AS DOUBLE), 6) END AS moran_i "
+            "FROM m"
+        ),
         "morans_i": (
             f"{cte}, g AS (SELECT CAST(floor(lat / 1.0) AS BIGINT) AS gy, "
             "CAST(floor(lng / 1.0) AS BIGINT) AS gx, count(*) AS n "

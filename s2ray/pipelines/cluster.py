@@ -109,7 +109,7 @@ def grid_clusters(pages_ds, cell_deg: float = 1.0, min_pages: int = 1):
                                           batch_size=None)
 
 
-def grid_smooth(pages_ds, cell_deg: float = 1.0):
+def grid_smooth(pages_ds, cell_deg: float = 1.0, value: str = "count"):
     """Raster stencil over the occupied lat/lng grid: for every occupied
     cell, the 8-neighbor (Moore) convolution of page counts — (gx, gy,
     n_pages, nb_pages, nb_cells) with antimeridian wrap on gx, no wrap on
@@ -119,23 +119,39 @@ def grid_smooth(pages_ds, cell_deg: float = 1.0):
     occupied-cell table (<= W*W/2 rows — 64800 at 1 degree — never pages;
     same bounded-final-task argument as grid_clusters; a finer-than-0.01
     degree grid would stripe by gx with one-column halo exchange).
+
+    ``value`` picks the cell measure: "count" (pages, the default) or
+    "chars" (total text codepoints — the extensive attribute surface
+    the attribute-Moran variant runs on).  Column names stay n_pages /
+    nb_pages either way: downstream moment combines are
+    measure-agnostic.
     """
     from ray.data.aggregate import Sum
 
+    assert value in ("count", "chars")
     w = 360.0 / cell_deg
     assert abs(w - round(w)) < 1e-9, "cell_deg must divide 360"
     W = int(round(w))
     offx, offy = W // 2, W // 4
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         lng = batch["lng"].to_numpy(zero_copy_only=False)
         gy = np.floor(lat / cell_deg).astype(np.int64)
         gx = np.floor(lng / cell_deg).astype(np.int64)
         p = (gy + offy) * W + (gx + offx)
-        u, c = np.unique(p, return_counts=True)
+        u, inv = np.unique(p, return_inverse=True)
+        if value == "chars":
+            v = pc.utf8_length(pc.fill_null(batch["text"], "")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            s = np.zeros(len(u), dtype=np.int64)
+            np.add.at(s, inv, v)
+        else:
+            s = np.bincount(inv, minlength=len(u)).astype(np.int64)
         return pa.table({"p": pa.array(u, type=pa.int64()),
-                         "pn": pa.array(c.astype(np.int64))})
+                         "pn": pa.array(s)})
 
     occ = (pages_ds.map_batches(partial, batch_format="pyarrow",
                                 batch_size=None)
@@ -182,7 +198,7 @@ def grid_smooth(pages_ds, cell_deg: float = 1.0):
                            batch_size=None)
 
 
-def morans_i(pages_ds, cell_deg: float = 1.0):
+def morans_i(pages_ds, cell_deg: float = 1.0, value: str = "count"):
     """Global Moran's I spatial autocorrelation of page counts over the
     occupied lat/lng grid with binary Moore (queen) weights — THE summary
     statistic of hot-spot analysis ("are dense cells next to dense
@@ -211,7 +227,7 @@ def morans_i(pages_ds, cell_deg: float = 1.0):
     """
     from .text import round_half_away
 
-    sm = grid_smooth(pages_ds, cell_deg=cell_deg)
+    sm = grid_smooth(pages_ds, cell_deg=cell_deg, value=value)
 
     def combine(batch: pa.Table) -> pa.Table:
         x_np = batch["n_pages"].to_numpy(zero_copy_only=False)
@@ -244,7 +260,7 @@ def morans_i(pages_ds, cell_deg: float = 1.0):
                                          batch_size=None)
 
 
-def geary_c(pages_ds, cell_deg: float = 1.0):
+def geary_c(pages_ds, cell_deg: float = 1.0, value: str = "count"):
     """Global Geary's C spatial autocorrelation of page counts over the
     occupied lat/lng grid with binary Moore (queen) weights — the
     PAIRWISE-difference companion of :func:`morans_i` (C < 1: positive
@@ -277,7 +293,7 @@ def geary_c(pages_ds, cell_deg: float = 1.0):
     """
     from .text import round_half_away
 
-    sm = grid_smooth(pages_ds, cell_deg=cell_deg)
+    sm = grid_smooth(pages_ds, cell_deg=cell_deg, value=value)
 
     def combine(batch: pa.Table) -> pa.Table:
         x_np = batch["n_pages"].to_numpy(zero_copy_only=False)

@@ -119,6 +119,7 @@ def _compare(name, entrymod, con):
                                    "lang_tile_jaccard",
                                    "dup_threshold_curve",
                                    "rich_club", "token_dispersion",
+                                   "morans_i_chars",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
