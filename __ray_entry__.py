@@ -616,6 +616,22 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def _q_time_to_convert(sf_dir: str):
+    """First-view to first-purchase latency quantiles (minute-bucketed
+    histogram, quantile_disc rule, one user co-partition)."""
+    from s2ray.pipelines.analytics import time_to_convert
+
+    return time_to_convert(sf_dir)
+
+
+def _q_token_entropy_rate(sf_dir: str):
+    """Bigram conditional entropy (and perplexity) of the corpus token
+    stream — order-pinned ln fold over the bigram count shuffle."""
+    from s2ray.pipelines.text import token_entropy_rate
+
+    return token_entropy_rate(sf_dir)
+
+
 def _q_rich_club(sf_dir: str):
     """Rich-club density profile phi(k) of the undirected simple
     domain graph (exact per-threshold subgraph counts)."""
@@ -3517,6 +3533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": _q_rich_club,
         "token_dispersion": _q_token_dispersion,
         "morans_i_chars": _q_morans_i_chars,
+        "time_to_convert": _q_time_to_convert,
+        "token_entropy_rate": _q_token_entropy_rate,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3777,6 +3795,7 @@ def oracle_sql() -> dict[str, str]:
                                            COHORT_LTV_SQL,
                                            USER_ACTIVITY_GINI_SQL,
                                            RETENTION_HALF_LIFE_SQL,
+                                           time_to_convert_sql,
                                            ANOVA_LEN_BY_SOURCE_SQL,
                                            HOURLY_ANOMALY_SQL,
                                            DOMAIN_GINI_SQL,
@@ -3854,6 +3873,7 @@ def oracle_sql() -> dict[str, str]:
                                       textrank_keywords_sql,
                                       skipgram_pairs_sql,
                                       token_dispersion_sql,
+                                      TOKEN_ENTROPY_RATE_SQL,
                                       search_rank_sql,
                                       search_bm25_sql,
                                       phrase_search_sql,
@@ -5767,6 +5787,8 @@ FROM (
         "retention_half_life": RETENTION_HALF_LIFE_SQL,
         "skipgram_pairs": skipgram_pairs_sql(),
         "token_dispersion": token_dispersion_sql(),
+        "time_to_convert": time_to_convert_sql(),
+        "token_entropy_rate": TOKEN_ENTROPY_RATE_SQL,
         "vocab_richness": VOCAB_RICHNESS_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,

@@ -7009,3 +7009,123 @@ SELECT m.v AS n_offsets, t.total AS total_users,
                                    / (m.nf * m.sxx - m.sx * m.sx)), 6)
             END AS half_life_days
 FROM m CROSS JOIN t"""
+
+
+def time_to_convert(sf_dir: str, a: str = "view", b: str = "purchase",
+                    n_parts: int = 64):
+    """Conversion-latency distribution: per user, the delta from their
+    FIRST ``a`` event to their first ``b`` event strictly after it —
+    minute-bucketed and summarized as ONE row (n_a_users, n_converted,
+    p25_min, p50_min, p75_min): discrete quantiles of the latency in
+    whole minutes.  The "how long does the funnel take?" statistic
+    funnel_conversions' within-window count cannot answer.
+
+    Exactness: the per-user latency is integer microseconds from ONE
+    user-hash co-partition (first-a / first-b-after-a are min scans);
+    minute buckets are non-negative integer division; quantiles are
+    quantile_disc over the bounded minute histogram — the engine walks
+    cumulative counts to the ceil(q*n)-th order statistic, exactly
+    SQL's discrete-quantile rule.  NULL user/ts/type drop (house
+    contract).
+
+    Scale shape: users co-partition once; merge blocks emit
+    minute-bucket count partials (timespan-bounded); driver walks the
+    bounded histogram.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)
+        et = pc.fill_null(batch["event_type"], "")
+        sel = pc.or_(pc.equal(et, a), pc.equal(et, b))
+        batch = batch.filter(sel)
+        batch = _drop_null_ts(_drop_null_users(batch))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def lat(df: pd.DataFrame) -> pd.DataFrame:
+        z = pd.Series(dtype=np.int64)
+        if len(df) == 0:
+            return pd.DataFrame({"m": z, "pn": z, "pa_": z})
+        df = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_a = (df["event_type"] == a).to_numpy()
+        rows_m, n_a_users = [], 0
+        for u_ in np.unique(uid):
+            sel = uid == u_
+            ts_u, a_u = t[sel], is_a[sel]
+            if not a_u.any():
+                continue
+            n_a_users += 1
+            t_a = ts_u[a_u][0]
+            after_b = ts_u[(~a_u) & (ts_u > t_a)]
+            if len(after_b):
+                rows_m.append(int((int(after_b[0]) - int(t_a))
+                                  // 60_000_000))
+        m, c = (np.unique(np.array(rows_m, np.int64),
+                          return_counts=True)
+                if rows_m else (np.zeros(0, np.int64),
+                                np.zeros(0, np.int64)))
+        out = pd.DataFrame({"m": m.astype(np.int64),
+                            "pn": c.astype(np.int64),
+                            "pa_": np.zeros(len(m), np.int64)})
+        # sentinel row carries the a-user count (m = -1 is unreachable:
+        # latencies are non-negative)
+        return pd.concat([out, pd.DataFrame(
+            {"m": [-1], "pn": [0], "pa_": [n_a_users]})],
+            ignore_index=True)
+
+    h = (ds.map_batches(add_part, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby("part").map_groups(lat, batch_format="pandas")
+         .groupby("m").aggregate(Sum("pn", alias_name="n"),
+                                 Sum("pa_", alias_name="na"))) \
+        .to_pandas().sort_values("m", ignore_index=True)
+    n_a_users = int(h["na"].sum()) if len(h) else 0
+    hh = h[h["m"] >= 0]
+    n_conv = int(hh["n"].sum()) if len(hh) else 0
+    qs = {0.25: None, 0.5: None, 0.75: None}
+    if n_conv:
+        ms = hh["m"].to_numpy().astype(np.int64)
+        cs = np.cumsum(hh["n"].to_numpy().astype(np.int64))
+        for q in qs:
+            k = int(np.ceil(q * n_conv))
+            k = max(k, 1)
+            qs[q] = int(ms[int(np.searchsorted(cs, k))])
+    return ray.data.from_arrow(pa.table({
+        "n_a_users": pa.array([n_a_users], type=pa.int64()),
+        "n_converted": pa.array([n_conv], type=pa.int64()),
+        "p25_min": pa.array([qs[0.25]], type=pa.int64()),
+        "p50_min": pa.array([qs[0.5]], type=pa.int64()),
+        "p75_min": pa.array([qs[0.75]], type=pa.int64()),
+    }))
+
+
+def time_to_convert_sql(a: str = "view", b: str = "purchase") -> str:
+    """Oracle for :func:`time_to_convert` — first-a / first-b-after
+    scans and quantile_disc over the minute buckets."""
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IN ('{a}', '{b}')),
+fa AS (SELECT user_id, min(t) AS ta FROM e
+       WHERE event_type = '{a}' GROUP BY 1),
+fb AS (SELECT fa.user_id, min(e.t) AS tb
+       FROM fa JOIN e ON e.user_id = fa.user_id
+                     AND e.event_type = '{b}' AND e.t > fa.ta
+       GROUP BY 1),
+lt AS (SELECT CAST((fb.tb - fa.ta) // 60000000 AS BIGINT) AS m
+       FROM fa JOIN fb USING (user_id))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM fa) AS n_a_users,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(m, 0.25) AS BIGINT) AS p25_min,
+       CAST(quantile_disc(m, 0.5) AS BIGINT) AS p50_min,
+       CAST(quantile_disc(m, 0.75) AS BIGINT) AS p75_min
+FROM lt"""

@@ -3681,3 +3681,107 @@ SELECT token, CAST(a.c AS BIGINT) AS n_total, a.d AS n_docs_with,
 FROM a CROSS JOIN nd
 QUALIFY row_number() OVER (ORDER BY a.c DESC, token) <= {k}
 ORDER BY rank"""
+
+
+def token_entropy_rate(sf_dir: str, lower: bool = True):
+    """Bigram entropy rate of the corpus: the conditional entropy
+    H(next token | current token) over within-document adjacent pairs
+    — ONE row (n_bigrams, n_bigram_types, n_left_types, entropy_nats,
+    perplexity).  The text twin of the event chain's
+    markov_entropy_rate and the sequencing complement of char_entropy
+    (which sees symbols, not transitions): synthetic/templated text
+    collapses the perplexity long before unigram statistics move.
+
+    Exactness: bigram and left-marginal counts are exact int64 from
+    the pmi_collocations-shaped count shuffle; the fold
+    acc += (n_ab/N) * ln(n_ab/n_a) runs ORDER-PINNED ascending
+    (w1, w2) with libm math.log, mirrored by the oracle's list_reduce;
+    H = -acc and perplexity = exp(-acc) are mirrored op-for-op.  NULL
+    text == empty.
+
+    Scale shape: per-batch packed bigram counting, the
+    bigram-vocabulary-bounded shuffle, vocabulary-bounded driver fold
+    (the documented rare_tokens/pmi budget).
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch["text"])
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "pn": pa.array([], type=pa.int64())})
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if len(codes) < 2:
+            return empty
+        same = row_idx[1:] == row_idx[:-1]
+        left, right = codes[:-1][same], codes[1:][same]
+        if not len(left):
+            return empty
+        nu = np.int64(len(uniques))
+        u, cnt = np.unique(left * nu + right, return_counts=True)
+        return pa.table({
+            "w1": pa.array(uniques[(u // nu).astype(np.int64)],
+                           type=pa.string()),
+            "w2": pa.array(uniques[(u % nu).astype(np.int64)],
+                           type=pa.string()),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    c = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby(["w1", "w2"])
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    n_total = int(c["n"].sum()) if len(c) else 0
+    n_types = len(c)
+    n_left = int(c["w1"].nunique()) if len(c) else 0
+    ent = perp = None
+    if n_total:
+        lm = c.groupby("w1", sort=False)["n"].sum().to_dict()
+        c = c.sort_values(["w1", "w2"], ignore_index=True)
+        acc = 0.0
+        for w1_, _, n_ in zip(c["w1"], c["w2"], c["n"]):
+            n_ = int(n_)
+            acc = acc + (float(n_) / float(n_total)) \
+                * math.log(float(n_) / float(int(lm[w1_])))
+        ent = float(round_half_away(np.float64(-acc)))
+        perp = float(round_half_away(np.float64(math.exp(-acc))))
+    return ray.data.from_arrow(pa.table({
+        "n_bigrams": pa.array([n_total], type=pa.int64()),
+        "n_bigram_types": pa.array([n_types], type=pa.int64()),
+        "n_left_types": pa.array([n_left], type=pa.int64()),
+        "entropy_nats": pa.array([ent], type=pa.float64()),
+        "perplexity": pa.array([perp], type=pa.float64()),
+    }))
+
+
+TOKEN_ENTROPY_RATE_SQL = r"""
+WITH words AS (SELECT list_filter(regexp_split_to_array(
+                 lower(coalesce(text, '')), '\s+'), x -> x <> '') AS ws
+               FROM documents),
+bgr AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+               i -> ws[i] || chr(31) || ws[i+1])) AS b
+        FROM words WHERE coalesce(len(ws), 0) >= 2),
+cb AS (SELECT string_split(b, chr(31))[1] AS w1,
+              string_split(b, chr(31))[2] AS w2,
+              CAST(count(*) AS BIGINT) AS n
+       FROM bgr GROUP BY 1, 2),
+lm AS (SELECT w1, CAST(sum(n) AS BIGINT) AS r FROM cb GROUP BY 1),
+nn AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS ty,
+              CAST(count(DISTINCT w1) AS BIGINT) AS lt FROM cb),
+f AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list((CAST(cb.n AS DOUBLE) / CAST(nn.n AS DOUBLE))
+             * ln(CAST(cb.n AS DOUBLE) / CAST(lm.r AS DOUBLE))
+             ORDER BY cb.w1, cb.w2)), (a, x) -> a + x) AS acc
+      FROM cb JOIN lm USING (w1) CROSS JOIN nn GROUP BY nn.n)
+SELECT nn.n AS n_bigrams, nn.ty AS n_bigram_types,
+       nn.lt AS n_left_types,
+       CASE WHEN nn.n = 0 THEN NULL
+            ELSE (SELECT round(-acc, 6) FROM f) END AS entropy_nats,
+       CASE WHEN nn.n = 0 THEN NULL
+            ELSE (SELECT round(exp(-acc), 6) FROM f) END AS perplexity
+FROM nn"""

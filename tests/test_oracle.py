@@ -120,6 +120,8 @@ def _compare(name, entrymod, con):
                                    "dup_threshold_curve",
                                    "rich_club", "token_dispersion",
                                    "morans_i_chars",
+                                   "time_to_convert",
+                                   "token_entropy_rate",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",

@@ -73,7 +73,8 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "cramers_v_lang_face", "tile_month_jaccard",
                "anova_len_by_source", "skipgram_pairs",
                "lang_tile_jaccard", "dup_threshold_curve",
-               "rich_club", "token_dispersion", "morans_i_chars"]
+               "rich_club", "token_dispersion", "morans_i_chars",
+               "token_entropy_rate"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window", "weekly_ma",
                  "events_quantiles_cont", "user_growth", "activity_curve",
@@ -90,7 +91,7 @@ EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "latest_event_state", "user_event_paths",
                  "kaplan_meier", "weekday_chi2", "markov_entropy_rate",
                  "pettitt_test", "user_activity_gini",
-                 "retention_half_life"]
+                 "retention_half_life", "time_to_convert"]
 
 
 def _assert_matches_oracle(qname, res, con):
