@@ -1201,8 +1201,10 @@ def _q_clark_evans(sf_dir: str):
 
 
 def _q_domain_link_jaccard(sf_dir: str):
-    """Neighborhood-Jaccard link prediction over non-adjacent domain
-    pairs on the undirected simple domain graph."""
+    """Neighborhood-Jaccard similarity over shared-neighbor domain
+    pairs on the undirected simple domain graph, flagged by adjacency
+    (non-adjacent high-jaccard rows are the link-prediction
+    candidates; the near-complete synthetic graph keeps both)."""
     from s2ray.pipelines.webgraph import domain_link_jaccard
 
     return domain_link_jaccard(sf_dir)
@@ -3973,7 +3975,7 @@ FROM mt LEFT JOIN f ON f.month = mt.month ORDER BY month"""
         "GROUP BY 1), "
         "ct AS (SELECT face, CAST(sum(n) AS BIGINT) AS ct FROM tc "
         "GROUP BY 1), "
-        "nn AS (SELECT CAST(sum(n) AS BIGINT) AS n, "
+        "nn AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n, "
         "CAST(count(DISTINCT lang) AS BIGINT) AS r, "
         "CAST(count(DISTINCT face) AS BIGINT) AS c FROM tc), "
         "grid AS (SELECT l.lang, fs.face, rt.rt, ct.ct, "

@@ -6653,8 +6653,12 @@ def cohort_ltv(sf_dir: str, n_parts: int = 64):
          .groupby("part").map_groups(merge, batch_format="pandas")
          .groupby(["cm", "mi"])
          .aggregate(Sum("pn", alias_name="n_customers"),
-                    Sum("pc_", alias_name="revenue_cents"))).to_pandas() \
-        .sort_values(["cm", "mi"], ignore_index=True)
+                    Sum("pc_", alias_name="revenue_cents"))).to_pandas()
+    if "cm" not in m.columns:       # empty input loses the schema
+        m = pd.DataFrame({c: pd.Series(dtype=np.int64)
+                          for c in ("cm", "mi", "n_customers",
+                                    "revenue_cents")})
+    m = m.sort_values(["cm", "mi"], ignore_index=True)
     months = m["cm"].to_numpy().astype(np.int64) \
         .astype("datetime64[M]").astype("datetime64[us]") if len(m) \
         else np.empty(0, "datetime64[us]")
@@ -6728,8 +6732,11 @@ def user_activity_gini(sf_dir: str, n_parts: int = 64):
     h = (ds.map_batches(add_part, batch_format="pyarrow",
                         batch_size=None)
          .groupby("part").map_groups(hist, batch_format="pandas")
-         .groupby("v").aggregate(Sum("pm", alias_name="m"))) \
-        .to_pandas().sort_values("v", ignore_index=True)
+         .groupby("v").aggregate(Sum("pm", alias_name="m"))).to_pandas()
+    if "v" not in h.columns:        # empty input loses the schema
+        h = pd.DataFrame({"v": pd.Series(dtype=np.int64),
+                          "m": pd.Series(dtype=np.int64)})
+    h = h.sort_values("v", ignore_index=True)
     n_users = int(h["m"].sum()) if len(h) else 0
     s1 = s2 = 0
     cum = 0
@@ -6756,10 +6763,10 @@ h AS (SELECT v, CAST(count(*) AS HUGEINT) AS m FROM u GROUP BY 1),
 c AS (SELECT v, m, sum(m) OVER (ORDER BY v
                                 ROWS UNBOUNDED PRECEDING) - m AS cum
       FROM h),
-a AS (SELECT CAST(sum(m) AS HUGEINT) AS n,
-             CAST(sum(m * v) AS HUGEINT) AS s1,
-             CAST(sum(v * (m * cum + m * (m + 1) // 2)) AS HUGEINT)
-               AS s2
+a AS (SELECT CAST(coalesce(sum(m), 0) AS HUGEINT) AS n,
+             CAST(coalesce(sum(m * v), 0) AS HUGEINT) AS s1,
+             CAST(coalesce(sum(v * (m * cum + m * (m + 1) // 2)), 0)
+                  AS HUGEINT) AS s2
       FROM c)
 SELECT CAST(n AS BIGINT) AS n_users, CAST(s1 AS BIGINT) AS n_events,
        CASE WHEN n * s1 = 0 THEN NULL
@@ -6777,8 +6784,11 @@ def anova_len_by_source(sf_dir: str):
     how much of the corpus-wide spread provenance explains at all).
 
     Exactness: per-source (n, sum, sum-of-squares) moments are exact
-    integers (big-int safe: sums fold in Python ints, HUGEINT in the
-    oracle); the between-group fold sum(S_g^2 / n_g) is ORDER-PINNED
+    integers; the PER-SOURCE partials ride int64 (the sum-of-squares
+    bound: < 2^63 needs n_docs_per_source * max_len^2 < 9.2e18 —
+    ~10^10 docs/source at 3e4-char documents; the DRIVER totals then
+    fold in Python ints, HUGEINT in the oracle); the between-group
+    fold sum(S_g^2 / n_g) is ORDER-PINNED
     ascending source (list_reduce mirror) and eta/F are one mirrored
     float chain; NULL statistics when sources < 2, N <= k, or zero
     total variance.  NULL source / n_chars drop.
@@ -6822,8 +6832,13 @@ def anova_len_by_source(sf_dir: str):
          .groupby("source")
          .aggregate(Sum("pn", alias_name="n"),
                     Sum("ps", alias_name="s"),
-                    Sum("pq", alias_name="q"))).to_pandas() \
-        .sort_values("source", ignore_index=True)
+                    Sum("pq", alias_name="q"))).to_pandas()
+    if "source" not in m.columns:   # empty input loses the schema
+        m = pd.DataFrame({"source": pd.Series(dtype=object),
+                          "n": pd.Series(dtype=np.int64),
+                          "s": pd.Series(dtype=np.int64),
+                          "q": pd.Series(dtype=np.int64)})
+    m = m.sort_values("source", ignore_index=True)
     n_docs = int(m["n"].sum()) if len(m) else 0
     k = len(m)
     eta = f_stat = None
@@ -6859,8 +6874,10 @@ g AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
              CAST(sum(x) AS HUGEINT) AS s,
              CAST(sum(x * x) AS HUGEINT) AS q
       FROM d GROUP BY 1),
-t AS (SELECT CAST(sum(n) AS HUGEINT) AS n, CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(s) AS HUGEINT) AS s, CAST(sum(q) AS HUGEINT) AS q
+t AS (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(coalesce(sum(s), 0) AS HUGEINT) AS s,
+             CAST(coalesce(sum(q), 0) AS HUGEINT) AS q
       FROM g),
 f AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         list((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)
@@ -7053,22 +7070,37 @@ def time_to_convert(sf_dir: str, a: str = "view", b: str = "purchase",
         z = pd.Series(dtype=np.int64)
         if len(df) == 0:
             return pd.DataFrame({"m": z, "pn": z, "pa_": z})
+        # vectorized per-segment scan (no per-user Python loop): sort by
+        # (user, is_b, ts) so each user's a-events come first in time
+        # order, then b-events in time order; first-a = segment head,
+        # first-b-after = first b past it via ONE searchsorted per user
         df = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
         uid = df["user_id"].to_numpy()
         t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         is_a = (df["event_type"] == a).to_numpy()
-        rows_m, n_a_users = [], 0
-        for u_ in np.unique(uid):
-            sel = uid == u_
-            ts_u, a_u = t[sel], is_a[sel]
-            if not a_u.any():
-                continue
-            n_a_users += 1
-            t_a = ts_u[a_u][0]
-            after_b = ts_u[(~a_u) & (ts_u > t_a)]
-            if len(after_b):
-                rows_m.append(int((int(after_b[0]) - int(t_a))
-                                  // 60_000_000))
+        starts = np.concatenate(
+            [[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        # first a-event index per segment: min index with is_a
+        idx = np.arange(len(uid), dtype=np.int64)
+        big = np.int64(len(uid))
+        a_idx = np.where(is_a, idx, big)
+        first_a = np.minimum.reduceat(a_idx, starts)
+        has_a = first_a < big
+        n_a_users = int(has_a.sum())
+        # first b strictly after t[first_a]: min index with ~is_a and
+        # t > t_a (rows sorted by ts within the segment)
+        rows_m = []
+        if has_a.any():
+            ta = t[np.minimum(first_a, big - 1)]
+            b_ok = ~is_a
+            for s_, e_, fa_, ha_ in zip(starts, ends, first_a, has_a):
+                if not ha_:
+                    continue
+                seg_b = idx[s_:e_][b_ok[s_:e_] & (t[s_:e_] > t[fa_])]
+                if len(seg_b):
+                    rows_m.append(int((int(t[seg_b[0]]) - int(t[fa_]))
+                                      // 60_000_000))
         m, c = (np.unique(np.array(rows_m, np.int64),
                           return_counts=True)
                 if rows_m else (np.zeros(0, np.int64),
@@ -7086,8 +7118,11 @@ def time_to_convert(sf_dir: str, a: str = "view", b: str = "purchase",
                         batch_size=None)
          .groupby("part").map_groups(lat, batch_format="pandas")
          .groupby("m").aggregate(Sum("pn", alias_name="n"),
-                                 Sum("pa_", alias_name="na"))) \
-        .to_pandas().sort_values("m", ignore_index=True)
+                                 Sum("pa_", alias_name="na"))).to_pandas()
+    if "m" not in h.columns:        # empty input loses the schema
+        h = pd.DataFrame({c: pd.Series(dtype=np.int64)
+                          for c in ("m", "n", "na")})
+    h = h.sort_values("m", ignore_index=True)
     n_a_users = int(h["na"].sum()) if len(h) else 0
     hh = h[h["m"] >= 0]
     n_conv = int(hh["n"].sum()) if len(hh) else 0

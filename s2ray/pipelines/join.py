@@ -5035,7 +5035,7 @@ cm AS (SELECT c, CAST(sum(w) AS HUGEINT) AS t,
                                      ROWS UNBOUNDED PRECEDING)
                    - sum(w)) + sum(w) + 1 AS r2
        FROM h GROUP BY 1),
-nn AS (SELECT CAST(sum(w) AS HUGEINT) AS n FROM h),
+nn AS (SELECT CAST(coalesce(sum(w), 0) AS HUGEINT) AS n FROM h),
 mom AS (SELECT CAST(sum(h.w * qm.r2) AS HUGEINT) AS sx,
                CAST(sum(h.w * cm.r2) AS HUGEINT) AS sy,
                CAST(sum(h.w * qm.r2 * qm.r2) AS HUGEINT) AS sxx,
@@ -5180,8 +5180,8 @@ r AS (SELECT q, 2 * (sum(c) OVER (ORDER BY q
                                   ROWS UNBOUNDED PRECEDING) - c)
              + c + 1 AS rank2
       FROM g),
-nt AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-              CAST(sum(c * c * c - c) AS BIGINT) AS t,
+nt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+              CAST(coalesce(sum(c * c * c - c), 0) AS BIGINT) AS t,
               CAST((SELECT count(DISTINCT flag) FROM h) AS BIGINT) AS k
        FROM g),
 s AS (SELECT h.flag, CAST(sum(h.c) AS BIGINT) AS ng,

@@ -2951,35 +2951,13 @@ SELECT lang, n_docs, n_words, n_sentences, n_syllables,
 FROM a ORDER BY lang"""
 
 
-def log_odds_keywords(sf_dir: str, k: int = 15, min_count: int = 5,
-                      lower: bool = True):
-    """Distinctive vocabulary per language by smoothed log-odds z-score
-    (the "Fightin' Words" statistic, Monroe et al. 2008, with a uniform
-    +1 Dirichlet prior): for each language, the ``k`` tokens whose usage
-    rate most exceeds the rest of the corpus — (lang, token, n_lang,
-    n_rest, z_score, rank).  Candidates need >= ``min_count``
-    occurrences inside the language; z =
-    [ln((y+1)/(nl+V-y-1)) - ln((r+1)/(nr+V-r-1))] / sqrt(1/(y+1) +
-    1/(r+1)) with V = global distinct tokens, nl/nr = token totals of
-    the language / the rest, r = rest count of the token.
-
-    Exactness: every count is an exact int64 from ONE
-    (lang, token)-cardinality shuffle; the z chain is per-candidate
-    scalar float math (math.log like the doc_perplexity/PMI ln-mirror
-    precedent — numpy's SIMD log diverges from libm by an ulp), and the
-    top-k order (z DESC, token ASC) compares identical doubles on both
-    engines.  Denominator guards drop the degenerate single-token
-    corner on both sides.  NULL lang drops; NULL text == empty.
-
-    Scale shape: per-batch packed (lang, token) counting (np.unique
-    over fused codes), one vocabulary-x-languages count shuffle, and a
-    vocabulary-bounded driver finish (rare_tokens' documented budget) —
-    corpus rows never move.
-    """
-    import math
-
+def _lang_token_counts(sf_dir: str, lower: bool = True):
+    """Shared (lang, token) count table: per-batch packed counting, one
+    (langs x vocabulary)-bounded Sum shuffle, returned as the pandas
+    frame (lang, token, n).  NULL lang drops, NULL text == empty — the
+    contract of every per-language vocabulary statistic built on it
+    (log_odds_keywords, yules_k, vocab_richness)."""
     import pandas as pd
-    import ray.data
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -3009,9 +2987,48 @@ def log_odds_keywords(sf_dir: str, k: int = 15, min_count: int = 5,
             "pn": pa.array(cnt.astype(np.int64)),
         })
 
-    c = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-         .groupby(["lang", "token"])
-         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby(["lang", "token"])
+           .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    if "lang" not in out.columns:   # empty input loses the schema
+        import pandas as pd
+        out = pd.DataFrame({"lang": pd.Series(dtype=object),
+                            "token": pd.Series(dtype=object),
+                            "n": pd.Series(dtype=np.int64)})
+    return out
+
+
+def log_odds_keywords(sf_dir: str, k: int = 15, min_count: int = 5,
+                      lower: bool = True):
+    """Distinctive vocabulary per language by smoothed log-odds z-score
+    (the "Fightin' Words" statistic, Monroe et al. 2008, with a uniform
+    +1 Dirichlet prior): for each language, the ``k`` tokens whose usage
+    rate most exceeds the rest of the corpus — (lang, token, n_lang,
+    n_rest, z_score, rank).  Candidates need >= ``min_count``
+    occurrences inside the language; z =
+    [ln((y+1)/(nl+V-y-1)) - ln((r+1)/(nr+V-r-1))] / sqrt(1/(y+1) +
+    1/(r+1)) with V = global distinct tokens, nl/nr = token totals of
+    the language / the rest, r = rest count of the token.
+
+    Exactness: every count is an exact int64 from ONE
+    (lang, token)-cardinality shuffle; the z chain is per-candidate
+    scalar float math (math.log like the doc_perplexity/PMI ln-mirror
+    precedent — numpy's SIMD log diverges from libm by an ulp), and the
+    top-k order (z DESC, token ASC) compares identical doubles on both
+    engines.  Denominator guards drop the degenerate single-token
+    corner on both sides.  NULL lang drops; NULL text == empty.
+
+    Scale shape: per-batch packed (lang, token) counting (np.unique
+    over fused codes), one vocabulary-x-languages count shuffle, and a
+    vocabulary-bounded driver finish (rare_tokens' documented budget) —
+    corpus rows never move.
+    """
+    import math
+
+    import ray.data
+
+    c = _lang_token_counts(sf_dir, lower=lower)
     out = {"lang": [], "token": [], "n_lang": [], "n_rest": [],
            "z_score": [], "rank": []}
     if len(c):
@@ -3290,40 +3307,9 @@ def yules_k(sf_dir: str, lower: bool = True):
     counting, a (lang x vocabulary)-bounded count shuffle, lang-bounded
     driver finish.
     """
-    import pandas as pd
     import ray.data
-    from ray.data.aggregate import Sum
 
-    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        lang = batch["lang"].to_pandas()
-        ok = lang.notna().to_numpy()
-        texts = _string_array(batch["text"]).filter(pa.array(ok))
-        lang = lang[ok].astype(str).to_numpy()
-        empty = pa.table({"lang": pa.array([], type=pa.string()),
-                          "token": pa.array([], type=pa.string()),
-                          "pn": pa.array([], type=pa.int64())})
-        if not len(lang):
-            return empty
-        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
-        if not len(codes):
-            return empty
-        lcodes, luniq = pd.factorize(pd.Series(lang))
-        packed = lcodes[row_idx].astype(np.int64) \
-            * np.int64(len(uniques)) + codes
-        u, cnt = np.unique(packed, return_counts=True)
-        return pa.table({
-            "lang": pa.array(luniq[(u // len(uniques)).astype(np.int64)],
-                             type=pa.string()),
-            "token": pa.array(uniques[(u % len(uniques)).astype(np.int64)],
-                              type=pa.string()),
-            "pn": pa.array(cnt.astype(np.int64)),
-        })
-
-    c = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-         .groupby(["lang", "token"])
-         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    c = _lang_token_counts(sf_dir, lower=lower)
     out = {"lang": [], "n_tokens": [], "v_distinct": [], "s2": [],
            "yules_k": []}
     if len(c):
@@ -3388,40 +3374,9 @@ def vocab_richness(sf_dir: str, lower: bool = True):
     Scale shape: the same (lang x vocabulary)-bounded count shuffle as
     yules_k, lang-bounded driver finish.
     """
-    import pandas as pd
     import ray.data
-    from ray.data.aggregate import Sum
 
-    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        lang = batch["lang"].to_pandas()
-        ok = lang.notna().to_numpy()
-        texts = _string_array(batch["text"]).filter(pa.array(ok))
-        lang = lang[ok].astype(str).to_numpy()
-        empty = pa.table({"lang": pa.array([], type=pa.string()),
-                          "token": pa.array([], type=pa.string()),
-                          "pn": pa.array([], type=pa.int64())})
-        if not len(lang):
-            return empty
-        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
-        if not len(codes):
-            return empty
-        lcodes, luniq = pd.factorize(pd.Series(lang))
-        packed = lcodes[row_idx].astype(np.int64) \
-            * np.int64(len(uniques)) + codes
-        u, cnt = np.unique(packed, return_counts=True)
-        return pa.table({
-            "lang": pa.array(luniq[(u // len(uniques)).astype(np.int64)],
-                             type=pa.string()),
-            "token": pa.array(uniques[(u % len(uniques)).astype(np.int64)],
-                              type=pa.string()),
-            "pn": pa.array(cnt.astype(np.int64)),
-        })
-
-    c = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-         .groupby(["lang", "token"])
-         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    c = _lang_token_counts(sf_dir, lower=lower)
     out = {"lang": [], "n_tokens": [], "v_distinct": [], "v1_hapax": [],
            "v2_dis": [], "hapax_ratio": [], "sichel_s": []}
     if len(c):
