@@ -616,6 +616,14 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def _q_revenue_seasonality(sf_dir: str):
+    """Month-of-year ratio-to-mean seasonal index of order revenue
+    (exact cents, 12-cell partials)."""
+    from s2ray.pipelines.join import revenue_seasonality
+
+    return revenue_seasonality(sf_dir)
+
+
 def _q_time_to_convert(sf_dir: str):
     """First-view to first-purchase latency quantiles (minute-bucketed
     histogram, quantile_disc rule, one user co-partition)."""
@@ -3537,6 +3545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morans_i_chars": _q_morans_i_chars,
         "time_to_convert": _q_time_to_convert,
         "token_entropy_rate": _q_token_entropy_rate,
+        "revenue_seasonality": _q_revenue_seasonality,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3817,6 +3826,7 @@ def oracle_sql() -> dict[str, str]:
     from s2ray.pipelines.join import (CHEAPEST_SUPPLIER_SQL,
                                       RANK_CORR_QTY_DISCOUNT_SQL,
                                       KRUSKAL_WALLIS_QTY_SQL,
+                                      REVENUE_SEASONALITY_SQL,
                                        bracket_revenue_sql,
                                        cust_order_dist_sql,
                                        forecast_revenue_sql,
@@ -5790,6 +5800,7 @@ FROM (
         "skipgram_pairs": skipgram_pairs_sql(),
         "token_dispersion": token_dispersion_sql(),
         "time_to_convert": time_to_convert_sql(),
+        "revenue_seasonality": REVENUE_SEASONALITY_SQL,
         "token_entropy_rate": TOKEN_ENTROPY_RATE_SQL,
         "vocab_richness": VOCAB_RICHNESS_SQL,
         "nation_flow": NATION_FLOW_SQL,

@@ -5213,3 +5213,95 @@ SELECT nt.n AS n_rows, nt.k AS n_groups,
                                    - CAST(nt.n AS DOUBLE))), 6) END
          AS h_adj
 FROM nt CROSS JOIN f"""
+
+
+def revenue_seasonality(sf_dir: str):
+    """Month-of-year seasonal index of order revenue — (month_of_year,
+    n_orders, revenue_cents, seasonal_index): exact cents per calendar
+    month bucket (1 = January) and the classical ratio-to-mean index
+    12 * bucket / total (1.0 = flat seasonality).  The
+    seasonal-decomposition step sitting under revenue_growth's
+    month-over-month deltas (growth can't tell drift from December).
+
+    Exactness: cents lift via rint (pricing_summary contract);
+    month-of-year is integer epoch-month % 12 (+1, matching SQL
+    month()); the index is ONE mirrored float chain from exact ints;
+    NULL orderdate / totalprice drop.  Assumes dates >= 1970 (epoch
+    month % 12, the standing // truncation family assumption).
+
+    Scale shape: per-batch 12-cell partials, a 12-row groupby, tiny
+    finish.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+    from .text import round_half_away
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for c in ("o_orderdate", "o_totalprice"):
+            if batch[c].null_count:
+                batch = batch.filter(pc.is_valid(batch[c]))
+        z = pa.array([], type=pa.int64())
+        if not len(batch):
+            return pa.table({"moy": z, "pn": z, "pc_": z})
+        mon = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        moy = (mon % 12 + 1).astype(np.int64)
+        cents = np.rint(batch["o_totalprice"]
+                        .to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        pn = np.zeros(12, dtype=np.int64)
+        pc_ = np.zeros(12, dtype=np.int64)
+        np.add.at(pn, moy - 1, 1)
+        np.add.at(pc_, moy - 1, cents)
+        has = pn > 0
+        return pa.table({
+            "moy": pa.array((np.arange(12) + 1)[has].astype(np.int64)),
+            "pn": pa.array(pn[has]),
+            "pc_": pa.array(pc_[has]),
+        })
+
+    m = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby("moy")
+         .aggregate(Sum("pn", alias_name="n_orders"),
+                    Sum("pc_", alias_name="revenue_cents"))).to_pandas()
+    if "moy" not in m.columns:      # empty input loses the schema
+        m = pd.DataFrame({c: pd.Series(dtype=np.int64)
+                          for c in ("moy", "n_orders", "revenue_cents")})
+    m = m.sort_values("moy", ignore_index=True)
+    total = int(m["revenue_cents"].sum()) if len(m) else 0
+    idx = [float(round_half_away(np.float64(
+        (12.0 * float(int(r))) / float(total))))
+        if total else None for r in m["revenue_cents"]]
+    return ray.data.from_arrow(pa.table({
+        "month_of_year": pa.array(m["moy"].to_numpy().astype(np.int64)
+                                  if len(m) else np.empty(0, np.int64)),
+        "n_orders": pa.array(m["n_orders"].to_numpy().astype(np.int64)
+                             if len(m) else np.empty(0, np.int64)),
+        "revenue_cents": pa.array(m["revenue_cents"].to_numpy()
+                                  .astype(np.int64)
+                                  if len(m) else np.empty(0, np.int64)),
+        "seasonal_index": pa.array(idx, type=pa.float64()),
+    }))
+
+
+REVENUE_SEASONALITY_SQL = """
+WITH o AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS moy,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+m AS (SELECT moy, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM o GROUP BY 1),
+t AS (SELECT CAST(coalesce(sum(revenue_cents), 0) AS BIGINT) AS total
+      FROM m)
+SELECT moy AS month_of_year, n_orders, revenue_cents,
+       CASE WHEN t.total = 0 THEN NULL
+            ELSE round((12.0 * CAST(revenue_cents AS DOUBLE))
+                       / CAST(t.total AS DOUBLE), 6) END
+         AS seasonal_index
+FROM m CROSS JOIN t ORDER BY moy"""

@@ -122,6 +122,7 @@ def _compare(name, entrymod, con):
                                    "morans_i_chars",
                                    "time_to_convert",
                                    "token_entropy_rate",
+                                   "revenue_seasonality",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",
