@@ -3388,13 +3388,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     lang_ellipse, product_profit, part_concentration, late_shipments,
     domain_components, order_overlap, bipartite_nn, monthly_centroid,
     lang_centroid_sim, cross_k, doc_percent_rank,
-    city_visits_monthly, idw_interpolate, and the later session additions
-    through flesch_lang, mann_whitney_length, log_odds_keywords,
-    textrank_keywords, kaplan_meier, bearing_circular, yules_k,
-    ks_test_length, lognormal_fit_length, weekday_chi2, distance_decay,
-    markov_entropy_rate, vocab_richness — these should lead the r5
-    window under the same never-verified-first rule (full list:
-    COVERAGE.md driver contract summary)."""
+    city_visits_monthly, idw_interpolate, and the session-8 additions
+    (flesch_lang through revenue_seasonality — 39 operators: readability,
+    rank tests, survival, circular stats, Theil/Pettitt, TextRank,
+    containment, calibration curve, rich club, dispersion, entropy
+    rates, seasonality; full list in COVERAGE.md) — these should lead
+    the r5 window under the same never-verified-first rule."""
     return {
         # ---- driver window (50): every entry SQL-oracled ----
         # never driver-verified (added after the r03 window filled)
