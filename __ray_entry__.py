@@ -616,6 +616,14 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def _q_zipf_abbreviation(sf_dir: str):
+    """Zipf's law of abbreviation: token length vs ln(frequency)
+    regression over the vocabulary (order-pinned moment folds)."""
+    from s2ray.pipelines.text import zipf_abbreviation
+
+    return zipf_abbreviation(sf_dir)
+
+
 def _q_revenue_seasonality(sf_dir: str):
     """Month-of-year ratio-to-mean seasonal index of order revenue
     (exact cents, 12-cell partials)."""
@@ -3545,6 +3553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_convert": _q_time_to_convert,
         "token_entropy_rate": _q_token_entropy_rate,
         "revenue_seasonality": _q_revenue_seasonality,
+        "zipf_abbreviation": _q_zipf_abbreviation,
         "source_cooccurrence": _q_source_cooccurrence,
         "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
@@ -3885,6 +3894,7 @@ def oracle_sql() -> dict[str, str]:
                                       skipgram_pairs_sql,
                                       token_dispersion_sql,
                                       TOKEN_ENTROPY_RATE_SQL,
+                                      ZIPF_ABBREVIATION_SQL,
                                       search_rank_sql,
                                       search_bm25_sql,
                                       phrase_search_sql,
@@ -5801,6 +5811,7 @@ FROM (
         "time_to_convert": time_to_convert_sql(),
         "revenue_seasonality": REVENUE_SEASONALITY_SQL,
         "token_entropy_rate": TOKEN_ENTROPY_RATE_SQL,
+        "zipf_abbreviation": ZIPF_ABBREVIATION_SQL,
         "vocab_richness": VOCAB_RICHNESS_SQL,
         "nation_flow": NATION_FLOW_SQL,
         "voronoi_monthly": voronoi_monthly_sql,

@@ -3740,3 +3740,128 @@ SELECT nn.n AS n_bigrams, nn.ty AS n_bigram_types,
        CASE WHEN nn.n = 0 THEN NULL
             ELSE (SELECT round(exp(-acc), 6) FROM f) END AS perplexity
 FROM nn"""
+
+
+def zipf_abbreviation(sf_dir: str, lower: bool = True):
+    """Zipf's law of abbreviation: the regression of token LENGTH on
+    ln(frequency) over the corpus vocabulary — ONE row (n_types,
+    n_tokens, slope, intercept, pearson_r).  Natural language shows a
+    robust negative slope (frequent words are short — the
+    communicative-efficiency law); machine-generated or identifier-
+    heavy text flattens or inverts it, which makes the slope a cheap
+    corpus-naturalness probe next to zipf_slope's rank-frequency
+    exponent.
+
+    Exactness: type frequencies and codepoint lengths are exact
+    integers from the vocabulary shuffle; x = ln(freq) uses libm
+    math.log once per type and the five regression moments fold
+    ORDER-PINNED ascending token (list_reduce mirror); slope/intercept
+    /r are one mirrored float chain, NULL on degenerate variance.
+
+    Scale shape: the vocabulary-bounded count shuffle + a
+    vocabulary-bounded driver fold (the rare_tokens budget).
+    """
+    import math
+
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch["text"])
+        empty = pa.table({"token": pa.array([], type=pa.string()),
+                          "pn": pa.array([], type=pa.int64())})
+        _, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if not len(codes):
+            return empty
+        u, cnt = np.unique(codes, return_counts=True)
+        return pa.table({
+            "token": pa.array(uniques[u].tolist(), type=pa.string()),
+            "pn": pa.array(cnt.astype(np.int64)),
+        })
+
+    c = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby("token")
+         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    if "token" not in c.columns:    # empty input loses the schema
+        c = pd.DataFrame({"token": pd.Series(dtype=object),
+                          "n": pd.Series(dtype=np.int64)})
+    n_types = len(c)
+    n_tokens = int(c["n"].sum()) if len(c) else 0
+    slope = intercept = r = None
+    if n_types >= 2:
+        c = c.sort_values("token", ignore_index=True)
+        sx = sy = sxx = syy = sxy = 0.0
+        for t_, f_ in zip(c["token"], c["n"]):
+            x = math.log(float(int(f_)))
+            y = float(len(t_))
+            sx += x
+            sy += y
+            sxx += x * x
+            syy += y * y
+            sxy += x * y
+        nf = float(n_types)
+        dx = nf * sxx - sx * sx
+        dy = nf * syy - sy * sy
+        if dx != 0.0:
+            sl = (nf * sxy - sx * sy) / dx
+            slope = float(round_half_away(np.float64(sl)))
+            intercept = float(round_half_away(np.float64(
+                (sy - sl * sx) / nf)))
+            if dy > 0.0 and dx > 0.0:
+                r = float(round_half_away(np.float64(
+                    (nf * sxy - sx * sy)
+                    / (math.sqrt(dx) * math.sqrt(dy)))))
+    return ray.data.from_arrow(pa.table({
+        "n_types": pa.array([n_types], type=pa.int64()),
+        "n_tokens": pa.array([n_tokens], type=pa.int64()),
+        "slope": pa.array([slope], type=pa.float64()),
+        "intercept": pa.array([intercept], type=pa.float64()),
+        "pearson_r": pa.array([r], type=pa.float64()),
+    }))
+
+
+ZIPF_ABBREVIATION_SQL = r"""
+WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(
+               lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+               AS token
+             FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS tot,
+             CAST(count(*) AS DOUBLE) AS nf,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ln(CAST(n AS DOUBLE)) ORDER BY token)),
+               (a, x) -> a + x) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(length(token) AS DOUBLE) ORDER BY token)),
+               (a, x) -> a + x) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                    ORDER BY token)), (a, x) -> a + x) AS sxx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(length(token) AS DOUBLE)
+                    * CAST(length(token) AS DOUBLE) ORDER BY token)),
+               (a, x) -> a + x) AS syy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ln(CAST(n AS DOUBLE))
+                    * CAST(length(token) AS DOUBLE) ORDER BY token)),
+               (a, x) -> a + x) AS sxy
+      FROM c)
+SELECT v AS n_types, tot AS n_tokens,
+       CASE WHEN v < 2 OR nf * sxx - sx * sx = 0.0 THEN NULL
+            ELSE round((nf * sxy - sx * sy) / (nf * sxx - sx * sx), 6)
+            END AS slope,
+       CASE WHEN v < 2 OR nf * sxx - sx * sx = 0.0 THEN NULL
+            ELSE round((sy - ((nf * sxy - sx * sy)
+                              / (nf * sxx - sx * sx)) * sx) / nf, 6)
+            END AS intercept,
+       CASE WHEN v < 2 OR nf * sxx - sx * sx <= 0.0
+                 OR nf * syy - sy * sy <= 0.0 THEN NULL
+            ELSE round((nf * sxy - sx * sy)
+                       / (sqrt(nf * sxx - sx * sx)
+                          * sqrt(nf * syy - sy * sy)), 6) END
+         AS pearson_r
+FROM m"""

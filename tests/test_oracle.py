@@ -123,6 +123,7 @@ def _compare(name, entrymod, con):
                                    "time_to_convert",
                                    "token_entropy_rate",
                                    "revenue_seasonality",
+                                   "zipf_abbreviation",
                                    "domain_clustering", "colocation_quotient",
                                    "knox_pairs", "basket_pairs", "basket_lift",
                                    "dup_by_length", "activity_curve", "langid_mismatch", "event_trigrams",

@@ -74,7 +74,7 @@ DOC_QUERIES = ["chunk_dedup", "decontaminate", "decontaminate_bloom",
                "anova_len_by_source", "skipgram_pairs",
                "lang_tile_jaccard", "dup_threshold_curve",
                "rich_club", "token_dispersion", "morans_i_chars",
-               "token_entropy_rate"]
+               "token_entropy_rate", "zipf_abbreviation"]
 EVENT_QUERIES = ["hourly_anomaly", "daily_autocorr",
                  "daily_cusum", "daily_ewma", "peak_window", "weekly_ma",
                  "events_quantiles_cont", "user_growth", "activity_curve",
