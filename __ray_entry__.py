@@ -3358,204 +3358,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering contract: the driver's CORRECTNESS window checks the FIRST
     50 entries, so positions 1-50 are exactly SQL-oracled queries (every
     one has an oracle_sql() entry and a green in-suite DuckDB gate),
-    prioritizing queries with no prior driver verification.  Round-4
-    rotation: the 17 operators that were added after the round-3 window
-    filled (weighted_sample ... vocab_coverage — in-suite hash-green but
-    never driver-verified) lead the window, followed by the 17 operators
-    new in round 4 (user_rolling, event_transitions, token_edit_pairs,
-    cheapest_supplier, event_followups, morans_i*, grid_kde*,
-    getis_ord*, domain_link_graph*, domain_pagerank*,
-    event_cooccurrence*, domain_triangles*, phrase_search*,
-    session_entry_exit*, profile_table*, domain_hits*,
-    source_drift_psi*, domain_gini*, chi2_lang_source*, zipf_slope*,
-    ngram_novelty, domain_lang_entropy, tile_centroids; *seated inline
-    with the 17, count tracked by the dict itself), so cumulative
-    driver evidence reaches every oracled query; the remaining slots
-    re-seat queries whose latest driver row is from round 2, keeping
-    their evidence fresh (cap_join_shuffle, knn_pruned_moscow,
-    pages_per_month, emb_norm_by_lang, rect_filter_wrap, knn_moscow,
-    covering_member_join, near_dup_pairs, pages_per_lang,
-    events_hourly, text_identity, lsh_knn, knn_embeddings,
-    emb_near_dup_lsh, minhash_pairs, polyline_near, token_counts,
-    vocab_top100, events_distinct_users, rect_filter, user_sessions,
-    pip_join and corpus_keep yield their re-seat slots to the new ops —
-    they keep r02 driver rows + the in-suite gate).
-    Everything r03-driver-green yields its slot and stays hash-gated
-    in-suite (tests/test_oracle.py).  The remaining oracled queries
-    follow, and the inherently non-SQL queries close the dict.
+    prioritizing queries with no prior driver verification.  Round-5
+    rotation: per the round-4 verdict (task 2) the window is seated with
+    the 50 OLDEST never-driver-verified oracled queries (oldest = first
+    commit touching the key in __ray_entry__.py; ties broken by dict
+    position) -- the round-4 session-6/7 graph and spatial statistics,
+    the TPC-H sweep shapes, the relational/stats ops, and the first of
+    the late-r4 additions, domain_reciprocity .. domain_components.
+    Everything previously driver-green (r01-r04 cumulative, 137 keys)
+    yields its slot and stays hash-gated in-suite
+    (tests/test_oracle.py, all 278 oracles).  No new operators were
+    added this round (the verdict paused additions until cumulative
+    driver evidence exceeds ~80%): after this window lands, cumulative
+    evidence is 187/278.
 
-    Round-5 rotation candidates (oracled late in round 4, after this
-    window was seated; in-suite hash-green, never driver-verified):
-    domain_reciprocity, domain_assortativity, domain_bfs_depth,
-    quadrat_dispersion, source_js, user_burstiness, ripley_k,
-    domain_cocitation, domain_coupling, clark_evans, heaps_law,
-    event_type_trend, source_vocab_jaccard, shipping_priority, the
-    TPC-H shapes geo_destination..sole_fault_supplier, the relational
-    and stats ops source_overlap..lang_geo_bbox, and the 13 late-r4
-    additions local_moran, join_counts, tile_mann_kendall,
-    lang_ellipse, product_profit, part_concentration, late_shipments,
-    domain_components, order_overlap, bipartite_nn, monthly_centroid,
-    lang_centroid_sim, cross_k, doc_percent_rank,
-    city_visits_monthly, idw_interpolate, and the session-8 additions
-    (flesch_lang through revenue_seasonality — 39 operators: readability,
-    rank tests, survival, circular stats, Theil/Pettitt, TextRank,
-    containment, calibration curve, rich club, dispersion, entropy
-    rates, seasonality; full list in COVERAGE.md) — these should lead
-    the r5 window under the same never-verified-first rule."""
+    Round-6 rotation candidates (remaining never-driver-verified,
+    oldest first): order_overlap, bipartite_nn, monthly_centroid,
+    lang_centroid_sim, cross_k, doc_percent_rank, city_visits_monthly,
+    idw_interpolate, hourly_anomaly, daily_autocorr, and the rest of
+    the 96-key queue in the dict order below (everything between
+    domain_components and the driver-verified section) -- these should
+    lead the r6 window under the same never-verified-first rule, which
+    clears the backlog in two further rounds at zero additions.
+
+    The driver-verified oracled queries follow (kept hash-gated
+    in-suite), and the 11 inherently non-SQL queries close the dict;
+    their rows/schema driver artifact is NONORACLED_r05.json (refreshed
+    per round by tools/run_nonoracled.py).
+    """
     return {
-        # ---- driver window (50): every entry SQL-oracled ----
-        # never driver-verified (added after the r03 window filled)
-        "weighted_sample": _q_weighted_sample,
-        "lang_corr": _q_lang_corr,
-        "events_sliding_distinct": _q_events_sliding_distinct,
-        "events_weekday_hour": _q_events_weekday_hour,
-        "group_sizes_hist": _q_group_sizes_hist,
-        "standardize_docs": _q_standardize_docs,
-        "events_mad": _q_events_mad,
-        "doc_deciles": _q_doc_deciles,
-        "cross_lang_nn": _q_cross_lang_nn,
-        "user_streaks": _q_user_streaks,
-        "source_mix": _q_source_mix,
-        "langid_confusion": _q_langid_confusion,
-        "emb_integrity": _q_emb_integrity,
-        "tile_growth": _q_tile_growth,
-        "grid_smooth": _q_grid_smooth,
-        "morans_i": _q_morans_i,
-        "grid_kde": _q_grid_kde,
-        "getis_ord": _q_getis_ord,
-        "domain_link_graph": _q_domain_link_graph,
-        "domain_pagerank": _q_domain_pagerank,
-        "event_cooccurrence": _q_event_cooccurrence,
-        "domain_triangles": _q_domain_triangles,
-        "phrase_search": _q_phrase_search,
-        "session_entry_exit": _q_session_entry_exit,
-        "profile_table": _q_profile_table,
-        "domain_hits": _q_domain_hits,
-        "source_drift_psi": _q_source_drift_psi,
-        "domain_gini": _q_domain_gini,
-        "chi2_lang_source": _q_chi2_lang_source,
-        "zipf_slope": _q_zipf_slope,
-        "knn_graph": _q_knn_graph,
-        "vocab_coverage": _q_vocab_coverage,
-        # new in round 4 — never driver-verified
-        "user_rolling": _q_user_rolling,
-        "event_transitions": _q_event_transitions,
-        "token_edit_pairs": _q_token_edit_pairs,
-        "cheapest_supplier": _q_cheapest_supplier,
-        "event_followups": _q_event_followups,
-        "ngram_novelty": _q_ngram_novelty,
-        "domain_lang_entropy": _q_domain_lang_entropy,
-        "tile_centroids": _q_tile_centroids,
-        # latest driver row is from round 2 — re-seat for fresh evidence
-        "boolean_pip_join": _q_boolean_pip_join,
-        "assembled_pip_join": _q_assembled_pip_join,
-        "text_stats": _q_text_stats,
-        "events_asof": _q_events_asof,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "events_quantiles": _q_events_quantiles,
-        "tile_pyramid": _q_tile_pyramid,
-        "region_relations": _q_region_relations,
-        "cap_join": _q_cap_join,
-        "exact_dedup": _q_exact_dedup,
-        # ---- oracled, outside the 50-slot driver window (driver-green
-        # in r02/r03; still hash-gated in-suite by tests/test_oracle.py) ----
-        # new this session — oracled, queued for the r5 rotation
-        "local_moran": _q_local_moran,
-        "join_counts": _q_join_counts,
-        "tile_mann_kendall": _q_tile_mann_kendall,
-        "lang_ellipse": _q_lang_ellipse,
-        "product_profit": _q_product_profit,
-        "part_concentration": _q_part_concentration,
-        "late_shipments": _q_late_shipments,
-        "domain_components": _q_domain_components,
-        "order_overlap": _q_order_overlap,
-        "bipartite_nn": _q_bipartite_nn,
-        "monthly_centroid": _q_monthly_centroid,
-        "lang_centroid_sim": _q_lang_centroid_sim,
-        "cross_k": _q_cross_k,
-        "doc_percent_rank": _q_doc_percent_rank,
-        "city_visits_monthly": _q_city_visits_monthly,
-        "idw_interpolate": _q_idw_interpolate,
-        "hourly_anomaly": _q_hourly_anomaly,
+        # ---- driver window (50): the 50 oldest never-driver-verified
+        # oracled queries (round-4 verdict task 2) ----
         "domain_reciprocity": _q_domain_reciprocity,
-        "domain_clustering": _q_domain_clustering,
-        "colocation_quotient": _q_colocation_quotient,
-        "knox_pairs": _q_knox_pairs,
-        "peak_window": _q_peak_window,
-        "supplier_lead_time": _q_supplier_lead_time,
-        "silhouette_hist": _q_silhouette_hist,
-        "events_quantiles_cont": _q_events_quantiles_cont,
-        "tile_zipf": _q_tile_zipf,
-        "tile_gini": _q_tile_gini,
-        "user_growth": _q_user_growth,
-        "lang_radius": _q_lang_radius,
-        "lang_frontier": _q_lang_frontier,
-        "order_size_hist": _q_order_size_hist,
-        "token_len_stats": _q_token_len_stats,
-        "centroid_drift": _q_centroid_drift,
-        "char_entropy": _q_char_entropy,
-        "peak_open_orders": _q_peak_open_orders,
-        "basket_pairs": _q_basket_pairs,
-        "basket_lift": _q_basket_lift,
-        "dup_by_length": _q_dup_by_length,
-        "activity_curve": _q_activity_curve,
-        "event_trigrams": _q_event_trigrams,
-        "customer_concentration": _q_customer_concentration,
-        "order_quantiles": _q_order_quantiles,
-        "search_rank": _q_search_rank,
-        "search_bm25": _q_search_bm25,
-        "weekly_ma": _q_weekly_ma,
-        "return_rates": _q_return_rates,
-        "revenue_growth": _q_revenue_growth,
-        "doc_lang_runs": _q_doc_lang_runs,
-        "nation_flow": _q_nation_flow,
-        "voronoi_monthly": _q_voronoi_monthly,
-        "geary_c": _q_geary_c,
-        "knn_hubness": _q_knn_hubness,
-        "benford_law": _q_benford_law,
-        "new_vs_repeat": _q_new_vs_repeat,
-        "dau_mau": _q_dau_mau,
-        "day_user_jaccard": _q_day_user_jaccard,
-        "tile_entropy": _q_tile_entropy,
-        "flesch_lang": _q_flesch_lang,
-        "mann_whitney_length": _q_mann_whitney_length,
-        "log_odds_keywords": _q_log_odds_keywords,
-        "bearing_circular": _q_bearing_circular,
-        "kaplan_meier": _q_kaplan_meier,
-        "textrank_keywords": _q_textrank_keywords,
-        "yules_k": _q_yules_k,
-        "ks_test_length": _q_ks_test_length,
-        "lognormal_fit_length": _q_lognormal_fit_length,
-        "weekday_chi2": _q_weekday_chi2,
-        "distance_decay": _q_distance_decay,
-        "markov_entropy_rate": _q_markov_entropy_rate,
-        "vocab_richness": _q_vocab_richness,
-        "theil_decomposition": _q_theil_decomposition,
-        "pettitt_test": _q_pettitt_test,
-        "dup_cluster_purity": _q_dup_cluster_purity,
-        "domain_link_jaccard": _q_domain_link_jaccard,
-        "rank_corr_qty_discount": _q_rank_corr_qty_discount,
-        "containment_pairs": _q_containment_pairs,
-        "monthly_lang_js": _q_monthly_lang_js,
-        "cramers_v_lang_face": _q_cramers_v_lang_face,
-        "cohort_ltv": _q_cohort_ltv,
-        "tile_month_jaccard": _q_tile_month_jaccard,
-        "kruskal_wallis_qty": _q_kruskal_wallis_qty,
-        "user_activity_gini": _q_user_activity_gini,
-        "anova_len_by_source": _q_anova_len_by_source,
-        "skipgram_pairs": _q_skipgram_pairs,
-        "retention_half_life": _q_retention_half_life,
-        "lang_tile_jaccard": _q_lang_tile_jaccard,
-        "dup_threshold_curve": _q_dup_threshold_curve,
-        "rich_club": _q_rich_club,
-        "token_dispersion": _q_token_dispersion,
-        "morans_i_chars": _q_morans_i_chars,
-        "time_to_convert": _q_time_to_convert,
-        "token_entropy_rate": _q_token_entropy_rate,
-        "revenue_seasonality": _q_revenue_seasonality,
-        "zipf_abbreviation": _q_zipf_abbreviation,
-        "source_cooccurrence": _q_source_cooccurrence,
-        "langid_mismatch": _q_langid_mismatch,
         "domain_assortativity": _q_domain_assortativity,
         "domain_bfs_depth": _q_domain_bfs_depth,
         "quadrat_dispersion": _q_quadrat_dispersion,
@@ -3597,6 +3431,164 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_dim_hist": _q_dominant_dim_hist,
         "nn_g_function": _q_nn_g_function,
         "lang_geo_bbox": _q_lang_geo_bbox,
+        "local_moran": _q_local_moran,
+        "join_counts": _q_join_counts,
+        "tile_mann_kendall": _q_tile_mann_kendall,
+        "lang_ellipse": _q_lang_ellipse,
+        "product_profit": _q_product_profit,
+        "part_concentration": _q_part_concentration,
+        "late_shipments": _q_late_shipments,
+        "domain_components": _q_domain_components,
+        # ---- remaining never-driver-verified oracled queries (96):
+        # queued, oldest first, for the round-6 window ----
+        "order_overlap": _q_order_overlap,
+        "bipartite_nn": _q_bipartite_nn,
+        "monthly_centroid": _q_monthly_centroid,
+        "lang_centroid_sim": _q_lang_centroid_sim,
+        "cross_k": _q_cross_k,
+        "doc_percent_rank": _q_doc_percent_rank,
+        "city_visits_monthly": _q_city_visits_monthly,
+        "idw_interpolate": _q_idw_interpolate,
+        "hourly_anomaly": _q_hourly_anomaly,
+        "daily_autocorr": _q_daily_autocorr,
+        "excess_shippers": _q_excess_shippers,
+        "covered_days": _q_covered_days,
+        "order_cadence": _q_order_cadence,
+        "lexical_simpson": _q_lexical_simpson,
+        "anagram_groups": _q_anagram_groups,
+        "domain_clustering": _q_domain_clustering,
+        "colocation_quotient": _q_colocation_quotient,
+        "daily_cusum": _q_daily_cusum,
+        "daily_ewma": _q_daily_ewma,
+        "rfm_segments": _q_rfm_segments,
+        "knox_pairs": _q_knox_pairs,
+        "basket_pairs": _q_basket_pairs,
+        "peak_window": _q_peak_window,
+        "peak_open_orders": _q_peak_open_orders,
+        "supplier_lead_time": _q_supplier_lead_time,
+        "char_entropy": _q_char_entropy,
+        "silhouette_hist": _q_silhouette_hist,
+        "events_quantiles_cont": _q_events_quantiles_cont,
+        "tile_zipf": _q_tile_zipf,
+        "centroid_drift": _q_centroid_drift,
+        "user_growth": _q_user_growth,
+        "order_size_hist": _q_order_size_hist,
+        "token_len_stats": _q_token_len_stats,
+        "lang_radius": _q_lang_radius,
+        "lang_frontier": _q_lang_frontier,
+        "basket_lift": _q_basket_lift,
+        "dup_by_length": _q_dup_by_length,
+        "activity_curve": _q_activity_curve,
+        "langid_mismatch": _q_langid_mismatch,
+        "event_trigrams": _q_event_trigrams,
+        "customer_concentration": _q_customer_concentration,
+        "source_cooccurrence": _q_source_cooccurrence,
+        "tile_gini": _q_tile_gini,
+        "order_quantiles": _q_order_quantiles,
+        "search_rank": _q_search_rank,
+        "search_bm25": _q_search_bm25,
+        "weekly_ma": _q_weekly_ma,
+        "return_rates": _q_return_rates,
+        "revenue_growth": _q_revenue_growth,
+        "tile_entropy": _q_tile_entropy,
+        "doc_lang_runs": _q_doc_lang_runs,
+        "nation_flow": _q_nation_flow,
+        "voronoi_monthly": _q_voronoi_monthly,
+        "geary_c": _q_geary_c,
+        "knn_hubness": _q_knn_hubness,
+        "benford_law": _q_benford_law,
+        "new_vs_repeat": _q_new_vs_repeat,
+        "dau_mau": _q_dau_mau,
+        "day_user_jaccard": _q_day_user_jaccard,
+        "flesch_lang": _q_flesch_lang,
+        "mann_whitney_length": _q_mann_whitney_length,
+        "log_odds_keywords": _q_log_odds_keywords,
+        "bearing_circular": _q_bearing_circular,
+        "kaplan_meier": _q_kaplan_meier,
+        "textrank_keywords": _q_textrank_keywords,
+        "yules_k": _q_yules_k,
+        "ks_test_length": _q_ks_test_length,
+        "lognormal_fit_length": _q_lognormal_fit_length,
+        "weekday_chi2": _q_weekday_chi2,
+        "distance_decay": _q_distance_decay,
+        "markov_entropy_rate": _q_markov_entropy_rate,
+        "vocab_richness": _q_vocab_richness,
+        "theil_decomposition": _q_theil_decomposition,
+        "pettitt_test": _q_pettitt_test,
+        "dup_cluster_purity": _q_dup_cluster_purity,
+        "domain_link_jaccard": _q_domain_link_jaccard,
+        "rank_corr_qty_discount": _q_rank_corr_qty_discount,
+        "containment_pairs": _q_containment_pairs,
+        "monthly_lang_js": _q_monthly_lang_js,
+        "cramers_v_lang_face": _q_cramers_v_lang_face,
+        "cohort_ltv": _q_cohort_ltv,
+        "tile_month_jaccard": _q_tile_month_jaccard,
+        "kruskal_wallis_qty": _q_kruskal_wallis_qty,
+        "user_activity_gini": _q_user_activity_gini,
+        "anova_len_by_source": _q_anova_len_by_source,
+        "skipgram_pairs": _q_skipgram_pairs,
+        "retention_half_life": _q_retention_half_life,
+        "lang_tile_jaccard": _q_lang_tile_jaccard,
+        "dup_threshold_curve": _q_dup_threshold_curve,
+        "rich_club": _q_rich_club,
+        "token_dispersion": _q_token_dispersion,
+        "morans_i_chars": _q_morans_i_chars,
+        "time_to_convert": _q_time_to_convert,
+        "token_entropy_rate": _q_token_entropy_rate,
+        "revenue_seasonality": _q_revenue_seasonality,
+        "zipf_abbreviation": _q_zipf_abbreviation,
+        # ---- driver-verified oracled queries (r01-r04 cumulative;
+        # still hash-gated in-suite by tests/test_oracle.py) ----
+        "weighted_sample": _q_weighted_sample,
+        "lang_corr": _q_lang_corr,
+        "events_sliding_distinct": _q_events_sliding_distinct,
+        "events_weekday_hour": _q_events_weekday_hour,
+        "group_sizes_hist": _q_group_sizes_hist,
+        "standardize_docs": _q_standardize_docs,
+        "events_mad": _q_events_mad,
+        "doc_deciles": _q_doc_deciles,
+        "cross_lang_nn": _q_cross_lang_nn,
+        "user_streaks": _q_user_streaks,
+        "source_mix": _q_source_mix,
+        "langid_confusion": _q_langid_confusion,
+        "emb_integrity": _q_emb_integrity,
+        "tile_growth": _q_tile_growth,
+        "grid_smooth": _q_grid_smooth,
+        "morans_i": _q_morans_i,
+        "grid_kde": _q_grid_kde,
+        "getis_ord": _q_getis_ord,
+        "domain_link_graph": _q_domain_link_graph,
+        "domain_pagerank": _q_domain_pagerank,
+        "event_cooccurrence": _q_event_cooccurrence,
+        "domain_triangles": _q_domain_triangles,
+        "phrase_search": _q_phrase_search,
+        "session_entry_exit": _q_session_entry_exit,
+        "profile_table": _q_profile_table,
+        "domain_hits": _q_domain_hits,
+        "source_drift_psi": _q_source_drift_psi,
+        "domain_gini": _q_domain_gini,
+        "chi2_lang_source": _q_chi2_lang_source,
+        "zipf_slope": _q_zipf_slope,
+        "knn_graph": _q_knn_graph,
+        "vocab_coverage": _q_vocab_coverage,
+        "user_rolling": _q_user_rolling,
+        "event_transitions": _q_event_transitions,
+        "token_edit_pairs": _q_token_edit_pairs,
+        "cheapest_supplier": _q_cheapest_supplier,
+        "event_followups": _q_event_followups,
+        "ngram_novelty": _q_ngram_novelty,
+        "domain_lang_entropy": _q_domain_lang_entropy,
+        "tile_centroids": _q_tile_centroids,
+        "boolean_pip_join": _q_boolean_pip_join,
+        "assembled_pip_join": _q_assembled_pip_join,
+        "text_stats": _q_text_stats,
+        "events_asof": _q_events_asof,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "events_quantiles": _q_events_quantiles,
+        "tile_pyramid": _q_tile_pyramid,
+        "region_relations": _q_region_relations,
+        "cap_join": _q_cap_join,
+        "exact_dedup": _q_exact_dedup,
         "pip_join": _q_pip_join,
         "corpus_keep": _q_corpus_keep,
         "rect_filter": _q_rect_filter,
@@ -3679,20 +3671,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": _q_sample_per_lang,
         "simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
-        "daily_autocorr": _q_daily_autocorr,
-        "daily_cusum": _q_daily_cusum,
-        "rfm_segments": _q_rfm_segments,
-        "daily_ewma": _q_daily_ewma,
-        "excess_shippers": _q_excess_shippers,
-        "covered_days": _q_covered_days,
-        "lexical_simpson": _q_lexical_simpson,
-        "anagram_groups": _q_anagram_groups,
-        "order_cadence": _q_order_cadence,
-        # ---- approximate / non-SQL-expressible (rows-only; pytest-gated
-        # against their exact oracle-checked counterparts) ----
+        # ---- inherently non-SQL queries (rows/schema artifact:
+        # NONORACLED_r05.json via tools/run_nonoracled.py) ----
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_quantiles_sketch": _q_events_quantiles_sketch,
-        # ---- inherently non-SQL-expressible (rows-only; pytest-gated) ----
         "polygon_covering": _q_polygon_covering,
         "polyline_covering": _q_polyline_covering,
         "media_stats": _q_media_stats,
