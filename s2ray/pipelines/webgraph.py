@@ -109,7 +109,37 @@ def domain_link_graph(sf_dir: str):
             .aggregate(Sum("n", alias_name="n_links")))
 
 
-def domain_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 20):
+def _dispatch_edges(edges, method: str, dist_edge_threshold: int | None):
+    """Shared method="auto" dispatch (the dedup.near_dup_clusters
+    pattern): materialize the vocabulary-bounded edge aggregate, count
+    it, and pick the single-task exact finisher below the threshold or
+    the distributed path (webgraph_dist) above it.  Returns
+    (materialized edges, resolved method)."""
+    if method == "auto":
+        from .webgraph_dist import DIST_EDGE_THRESHOLD
+
+        edges = edges.materialize()
+        thr = (DIST_EDGE_THRESHOLD if dist_edge_threshold is None
+               else dist_edge_threshold)
+        method = "exact" if edges.count() <= thr else "distributed"
+    if method not in ("exact", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    return edges, method
+
+
+def domain_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 20,
+                    method: str = "auto",
+                    dist_edge_threshold: int | None = None):
+    """Dispatching wrapper over :func:`pagerank_from_edges` — see it and
+    :func:`webgraph_dist.pagerank_dist` for the two execution paths."""
+    return pagerank_from_edges(domain_link_graph(sf_dir), damping=damping,
+                               iters=iters, method=method,
+                               dist_edge_threshold=dist_edge_threshold)
+
+
+def pagerank_from_edges(edges, damping: float = 0.85, iters: int = 20,
+                        method: str = "auto",
+                        dist_edge_threshold: int | None = None):
     """PageRank over the domain link graph — an ITERATIVE graph algorithm
     under the exact SQL gate (the oracle unrolls the power iteration as a
     recursive CTE).  Output: (domain, out_links, pagerank) per domain.
@@ -125,12 +155,20 @@ def domain_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 20):
     an exact identity.  Edges whose target domain has no pages (hence no
     out-links) are dropped on both sides (standard dangling-node
     simplification).  The final task is bounded by the domain vocabulary
-    (20 nodes / <=400 edges), never the corpus; at web-scale vocabularies
-    the same iteration runs as a bucketed contribution shuffle instead.
+    (20 nodes / <=400 edges), never the corpus; above
+    ``dist_edge_threshold`` aggregate edges (method="auto") the same
+    iteration runs as the bucketed contribution shuffle of
+    :func:`webgraph_dist.pagerank_dist`, whose order-pinned stepped
+    fold keeps the ranks bit-identical (equivalence pytest:
+    tests/test_webgraph_dist.py).
     """
     from .text import round_half_away
 
-    edges = domain_link_graph(sf_dir)
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import pagerank_dist
+
+        return pagerank_dist(edges, damping=damping, iters=iters)
 
     def power_iter(batch: pa.Table) -> pa.Table:
         if not len(batch):
@@ -185,7 +223,15 @@ def domain_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 20):
                                             batch_size=None)
 
 
-def domain_triangles(sf_dir: str):
+def domain_triangles(sf_dir: str, method: str = "auto",
+                     dist_edge_threshold: int | None = None):
+    """Dispatching wrapper over :func:`triangles_from_edges`."""
+    return triangles_from_edges(domain_link_graph(sf_dir), method=method,
+                                dist_edge_threshold=dist_edge_threshold)
+
+
+def triangles_from_edges(edges, method: str = "auto",
+                         dist_edge_threshold: int | None = None):
     """Triangle census of the UNDIRECTED simple domain graph (self-loops
     dropped, direction and weights collapsed): ONE row (n_nodes, n_edges,
     n_wedges, n_triangles, clustering) where clustering is the global
@@ -198,12 +244,17 @@ def domain_triangles(sf_dir: str):
     sum(deg * (deg - 1)) // 2 in Python big ints, and the one float
     division float(3T) / float(W) mirrors the SQL CAST-then-divide.
     Runs in the same vocabulary-bounded final task as the other domain
-    ops; at web-scale vocabularies this becomes the standard
-    edge-iterator triangle join (bucket by min-degree endpoint).
+    ops; above ``dist_edge_threshold`` aggregate edges (method="auto")
+    it becomes the min-degree-oriented edge-iterator enumeration of
+    :func:`webgraph_dist.triangles_dist` (bit-equal integers).
     """
     from .text import round_half_away
 
-    edges = domain_link_graph(sf_dir)
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import triangles_dist
+
+        return triangles_dist(edges)
 
     def census(batch: pa.Table) -> pa.Table:
         s = batch["src_domain"].to_pylist()
@@ -234,7 +285,16 @@ def domain_triangles(sf_dir: str):
                                             batch_size=None)
 
 
-def domain_hits(sf_dir: str, iters: int = 10):
+def domain_hits(sf_dir: str, iters: int = 10, method: str = "auto",
+                dist_edge_threshold: int | None = None):
+    """Dispatching wrapper over :func:`hits_from_edges`."""
+    return hits_from_edges(domain_link_graph(sf_dir), iters=iters,
+                           method=method,
+                           dist_edge_threshold=dist_edge_threshold)
+
+
+def hits_from_edges(edges, iters: int = 10, method: str = "auto",
+                    dist_edge_threshold: int | None = None):
     """HITS hubs & authorities over the UNWEIGHTED domain digraph —
     Kleinberg's other eigenvector, next to :func:`domain_pagerank`:
     Jacobi iterations a' = A^T h, h' = A a (simultaneous update from the
@@ -250,11 +310,19 @@ def domain_hits(sf_dir: str, iters: int = 10):
     over list(... ORDER BY dir, s), with zero-weight filler elements
     that are exact identities (x * 0.0 = +0.0 and x + 0.0 = x for the
     nonnegative values here).  Same vocabulary-bounded final task as the
-    other domain-graph ops.
+    other domain-graph ops; above ``dist_edge_threshold`` aggregate
+    edges (method="auto") the iteration runs as the bucketed double
+    contribution shuffle of :func:`webgraph_dist.hits_dist` (bit-equal
+    iteration; the final L1 constant is the correctly-rounded true sum
+    — see its docstring).
     """
     from .text import round_half_away
 
-    edges = domain_link_graph(sf_dir)
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import hits_dist
+
+        return hits_dist(edges, iters=iters)
 
     def hits(batch: pa.Table) -> pa.Table:
         s = batch["src_domain"].to_pylist()
@@ -337,7 +405,16 @@ SELECT d AS domain,
 FROM fin CROSS JOIN nm"""
 
 
-def domain_reciprocity(sf_dir: str):
+def domain_reciprocity(sf_dir: str, method: str = "auto",
+                       dist_edge_threshold: int | None = None):
+    """Dispatching wrapper over :func:`reciprocity_from_edges`."""
+    return reciprocity_from_edges(
+        domain_link_graph(sf_dir), method=method,
+        dist_edge_threshold=dist_edge_threshold)
+
+
+def reciprocity_from_edges(edges, method: str = "auto",
+                           dist_edge_threshold: int | None = None):
     """Edge reciprocity of the domain digraph — the classic directed-graph
     statistic (what fraction of links are mutual): ONE row (n_edges,
     n_reciprocal, reciprocity) over the distinct directed edge set with
@@ -348,12 +425,17 @@ def domain_reciprocity(sf_dir: str):
     edge set (the membership test is a set lookup, mirrored as a SQL
     self-join); the single float division is evaluated in the oracle's
     CAST-then-divide op order.  Same vocabulary-bounded final task as the
-    other domain-graph ops — at web-scale vocabularies this becomes one
-    hash self-join on the (min, max) endpoint key.
+    other domain-graph ops; above ``dist_edge_threshold`` aggregate
+    edges (method="auto") it runs as the canonical-pair co-partition of
+    :func:`webgraph_dist.reciprocity_dist` (bit-equal).
     """
     from .text import round_half_away
 
-    edges = domain_link_graph(sf_dir)
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import reciprocity_dist
+
+        return reciprocity_dist(edges)
 
     def recip(batch: pa.Table) -> pa.Table:
         if not len(batch):
@@ -376,7 +458,16 @@ def domain_reciprocity(sf_dir: str):
                                             batch_size=None)
 
 
-def domain_assortativity(sf_dir: str):
+def domain_assortativity(sf_dir: str, method: str = "auto",
+                         dist_edge_threshold: int | None = None):
+    """Dispatching wrapper over :func:`assortativity_from_edges`."""
+    return assortativity_from_edges(
+        domain_link_graph(sf_dir), method=method,
+        dist_edge_threshold=dist_edge_threshold)
+
+
+def assortativity_from_edges(edges, method: str = "auto",
+                             dist_edge_threshold: int | None = None):
     """Degree assortativity of the UNDIRECTED simple domain graph —
     Newman's r: the Pearson correlation of endpoint degrees over the
     symmetrized edge list (each undirected edge contributes both
@@ -390,12 +481,17 @@ def domain_assortativity(sf_dir: str):
     Syy = Sxx, so r = (m2*Sxy - Sx^2) / (m2*Sxx - Sx^2) — numerator and
     denominator are computed exactly, then ONE float division in the
     oracle's CAST-then-divide order.  Vocabulary-bounded final task;
-    the web-scale path is a degree-table co-partition join keyed by
-    either endpoint.
+    above ``dist_edge_threshold`` aggregate edges (method="auto") the
+    degree-table co-partition joins of
+    :func:`webgraph_dist.assortativity_dist` run instead (bit-equal).
     """
     from .text import round_half_away
 
-    edges = domain_link_graph(sf_dir)
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import assortativity_dist
+
+        return assortativity_dist(edges)
 
     def assort(batch: pa.Table) -> pa.Table:
         und = set()
@@ -427,7 +523,17 @@ def domain_assortativity(sf_dir: str):
 
 
 def domain_bfs_depth(sf_dir: str, seed: str = "src0.example.com",
-                     max_depth: int = 20):
+                     max_depth: int = 20, method: str = "auto",
+                     dist_edge_threshold: int | None = None):
+    """Dispatching wrapper over :func:`bfs_depth_from_edges`."""
+    return bfs_depth_from_edges(
+        domain_link_graph(sf_dir), seed=seed, max_depth=max_depth,
+        method=method, dist_edge_threshold=dist_edge_threshold)
+
+
+def bfs_depth_from_edges(edges, seed: str = "src0.example.com",
+                         max_depth: int = 20, method: str = "auto",
+                         dist_edge_threshold: int | None = None):
     """Directed BFS hop distance from a seed domain over the domain
     digraph — the shortest-path primitive of web-graph analysis
     (crawl-frontier depth): (domain, depth) for every domain reachable
@@ -437,11 +543,17 @@ def domain_bfs_depth(sf_dir: str, seed: str = "src0.example.com",
     Exactness: pure integer BFS over the vocabulary-bounded edge set; the
     oracle's recursive CTE enumerates (node, k) states with UNION
     dedup and takes min(k) per node — identical to BFS depth because any
-    node reachable at depth j is enumerated at j before the k-cap.  At
-    web-scale vocabularies this is the standard iterative frontier
-    expansion (one co-partition join per level).
+    node reachable at depth j is enumerated at j before the k-cap.
+    Above ``dist_edge_threshold`` aggregate edges (method="auto") the
+    standard iterative frontier expansion of
+    :func:`webgraph_dist.bfs_depth_dist` runs instead (one frontier +
+    one label co-partition per level; bit-equal integer depths).
     """
-    edges = domain_link_graph(sf_dir)
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import bfs_depth_dist
+
+        return bfs_depth_dist(edges, seed=seed, max_depth=max_depth)
 
     def bfs(batch: pa.Table) -> pa.Table:
         adj: dict = {}
@@ -567,25 +679,53 @@ def _common_neighbor_pairs(batch: pa.Table, group_col: str,
     })
 
 
-def domain_cocitation(sf_dir: str):
+def domain_cocitation(sf_dir: str, method: str = "auto",
+                      dist_edge_threshold: int | None = None):
     """Co-citation counts on the domain digraph — for every target pair
     (d1 < d2), how many distinct domains link to BOTH (Small's classic
     similarity signal: strongly co-cited pages are topically related).
     Output: (d1, d2, n_common), pairs with n_common >= 1 only.
     Exact integers end-to-end; self-loops participate like any edge
-    (mirrored in the oracle's unfiltered distinct edge set)."""
-    edges = domain_link_graph(sf_dir)
+    (mirrored in the oracle's unfiltered distinct edge set).  Above
+    ``dist_edge_threshold`` aggregate edges (method="auto") the
+    (source -> target-pair) fan-out shuffle of
+    :func:`webgraph_dist.cocitation_dist` runs instead (bit-equal)."""
+    return cocitation_from_edges(domain_link_graph(sf_dir), method=method,
+                                 dist_edge_threshold=dist_edge_threshold)
+
+
+def cocitation_from_edges(edges, method: str = "auto",
+                          dist_edge_threshold: int | None = None):
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import cocitation_dist
+
+        return cocitation_dist(edges)
     return edges.repartition(1).map_batches(
         lambda b: _common_neighbor_pairs(b, "src_domain", "dst_domain"),
         batch_format="pyarrow", batch_size=None)
 
 
-def domain_coupling(sf_dir: str):
+def domain_coupling(sf_dir: str, method: str = "auto",
+                    dist_edge_threshold: int | None = None):
     """Bibliographic coupling on the domain digraph — for every source
     pair (d1 < d2), how many distinct domains BOTH link to (Kessler's
     dual of co-citation).  Output: (d1, d2, n_common), pairs with
-    n_common >= 1 only.  Exact integers end-to-end."""
-    edges = domain_link_graph(sf_dir)
+    n_common >= 1 only.  Exact integers end-to-end.  Above
+    ``dist_edge_threshold`` aggregate edges (method="auto") the
+    (target -> source-pair) fan-out shuffle of
+    :func:`webgraph_dist.coupling_dist` runs instead (bit-equal)."""
+    return coupling_from_edges(domain_link_graph(sf_dir), method=method,
+                               dist_edge_threshold=dist_edge_threshold)
+
+
+def coupling_from_edges(edges, method: str = "auto",
+                        dist_edge_threshold: int | None = None):
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import coupling_dist
+
+        return coupling_dist(edges)
     return edges.repartition(1).map_batches(
         lambda b: _common_neighbor_pairs(b, "dst_domain", "src_domain"),
         batch_format="pyarrow", batch_size=None)
@@ -694,7 +834,15 @@ def domain_components_sql(cte: str, min_links: int = 7) -> str:
     )
 
 
-def domain_clustering(sf_dir: str):
+def domain_clustering(sf_dir: str, method: str = "auto",
+                      dist_edge_threshold: int | None = None):
+    """Dispatching wrapper over :func:`clustering_from_edges`."""
+    return clustering_from_edges(domain_link_graph(sf_dir), method=method,
+                                 dist_edge_threshold=dist_edge_threshold)
+
+
+def clustering_from_edges(edges, method: str = "auto",
+                          dist_edge_threshold: int | None = None):
     """Per-node local clustering coefficient of the undirected simple
     domain graph — (domain, degree, n_triangles, clustering) with
     clustering = 2 * t / (deg * (deg - 1)), NULL for degree-1 nodes.
@@ -703,13 +851,19 @@ def domain_clustering(sf_dir: str):
 
     Exactness: per-node triangle counts are diag(A^3) / 2 over the
     exact 0/1 adjacency in the vocabulary-bounded final task; the one
-    float division mirrors the SQL CAST-then-divide.  At web-scale
-    vocabularies this becomes the per-node edge-iterator count (bucket
-    by min-degree endpoint), same switch as domain_triangles.
+    float division mirrors the SQL CAST-then-divide.  Above
+    ``dist_edge_threshold`` aggregate edges (method="auto") the
+    min-degree-oriented per-node edge-iterator count of
+    :func:`webgraph_dist.clustering_dist` runs instead (bit-equal),
+    same switch as domain_triangles.
     """
     from .text import round_half_away
 
-    edges = domain_link_graph(sf_dir)
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import clustering_dist
+
+        return clustering_dist(edges)
 
     def census(batch: pa.Table) -> pa.Table:
         s = batch["src_domain"].to_pylist()
@@ -761,7 +915,16 @@ SELECT deg.x AS domain, deg.dg AS degree,
 FROM deg LEFT JOIN tr ON tr.x = deg.x ORDER BY 1"""
 
 
-def domain_link_jaccard(sf_dir: str, k: int = 20):
+def domain_link_jaccard(sf_dir: str, k: int = 20, method: str = "auto",
+                        dist_edge_threshold: int | None = None):
+    """Dispatching wrapper over :func:`link_jaccard_from_edges`."""
+    return link_jaccard_from_edges(
+        domain_link_graph(sf_dir), k=k, method=method,
+        dist_edge_threshold=dist_edge_threshold)
+
+
+def link_jaccard_from_edges(edges, k: int = 20, method: str = "auto",
+                            dist_edge_threshold: int | None = None):
     """Neighborhood-Jaccard similarity on the UNDIRECTED simple domain
     graph: for every domain pair with a shared neighbor, the Jaccard
     similarity of their neighbor sets, flagged by whether the pair is
@@ -779,13 +942,19 @@ def domain_link_jaccard(sf_dir: str, k: int = 20):
     mirrored float division; ordering compares identical doubles with
     the (d1, d2) tie-break.
 
-    Scale shape: vocabulary-bounded final task, like every domain-graph
-    op (the domain_pagerank note applies — at web-scale vocabularies
-    this becomes a bucketed common-neighbor join).
+    Scale shape: vocabulary-bounded final task; above
+    ``dist_edge_threshold`` aggregate edges (method="auto") the
+    bucketed common-neighbor join of
+    :func:`webgraph_dist.link_jaccard_dist` runs instead (bit-equal
+    values; P*k-bounded driver merge for the top-k).
     """
     from .text import round_half_away
 
-    edges = domain_link_graph(sf_dir)
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import link_jaccard_dist
+
+        return link_jaccard_dist(edges, k=k)
 
     def predict(batch: pa.Table) -> pa.Table:
         s = batch["src_domain"].to_pylist()
@@ -851,7 +1020,15 @@ QUALIFY row_number() OVER (ORDER BY j DESC, d1, d2) <= {k}
 ORDER BY j DESC, d1, d2"""
 
 
-def rich_club(sf_dir: str):
+def rich_club(sf_dir: str, method: str = "auto",
+              dist_edge_threshold: int | None = None):
+    """Dispatching wrapper over :func:`rich_club_from_edges`."""
+    return rich_club_from_edges(domain_link_graph(sf_dir), method=method,
+                                dist_edge_threshold=dist_edge_threshold)
+
+
+def rich_club_from_edges(edges, method: str = "auto",
+                         dist_edge_threshold: int | None = None):
     """Rich-club coefficient profile of the UNDIRECTED simple domain
     graph: for every degree threshold k present, the edge density
     among nodes of degree > k — (k, n_nodes, n_edges, phi) with
@@ -867,12 +1044,19 @@ def rich_club(sf_dir: str):
     drop, direction and weights collapse — the domain_triangles graph
     contract.
 
-    Scale shape: vocabulary-bounded final task (the domain_pagerank
-    note).
+    Scale shape: vocabulary-bounded final task; above
+    ``dist_edge_threshold`` aggregate edges (method="auto") both curves
+    come from histogram suffix sums in
+    :func:`webgraph_dist.rich_club_dist` (bit-equal; driver finish
+    bounded by distinct degree values).
     """
     from .text import round_half_away
 
-    edges = domain_link_graph(sf_dir)
+    edges, method = _dispatch_edges(edges, method, dist_edge_threshold)
+    if method == "distributed":
+        from .webgraph_dist import rich_club_dist
+
+        return rich_club_dist(edges)
 
     def profile(batch: pa.Table) -> pa.Table:
         s = batch["src_domain"].to_pylist()
