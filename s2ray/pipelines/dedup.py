@@ -81,6 +81,17 @@ def fnv1a_bytes(data: bytes, seed: int = 0) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
+def key64_strings(arr: np.ndarray) -> np.ndarray:
+    """int64 blake2b-64 shuffle keys for an object array of strings,
+    hashing each DISTINCT value once (vocab-bounded per batch).  The
+    repo-wide digest-key contract (content_digest) applies: collisions
+    are 2^-64-scale and would need ~2^32 distinct values per bucket."""
+    uniq, inv = np.unique(arr.astype(object), return_inverse=True)
+    ks = np.array([fnv1a_bytes(str(u).encode()) for u in uniq],
+                  dtype=np.uint64).view(np.int64)
+    return ks[inv] if len(arr) else np.empty(0, dtype=np.int64)
+
+
 def _cat_i64_blobs(col) -> np.ndarray:
     """Decode a binary column of concatenated int64 little-endian blobs
     into one flat int64 array (the compact-blob shuffle's row format)."""

@@ -425,8 +425,84 @@ _BG_SEP = "\x1f"  # bigram pack separator: a control char, NOT RE2 \s, so
 # both engines pack identically even if a token contained it
 
 
+def _pmi_score_joined(bg_ds, lm_ds, rm_ds, n_total: int, min_count: int):
+    """Web-vocabulary PMI scoring path: marginals attach to the bigram
+    table via two co-partition hash joins keyed by blake2b-64 token
+    digests (no driver dict, no broadcast copy).  Bit-identical rows to
+    the broadcast path: same exact int64 counts, same single np.log
+    over the identical double ratio (equivalence pytest:
+    tests/test_pipelines_robustness.py::test_pmi_joined_path)."""
+    from .dedup import key64_strings
+    from .join import copartition_hash_join
+
+    def split_keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.greater_equal(batch["n_ab"], min_count))
+        parts = pc.split_pattern(batch["bg"], _BG_SEP)
+        w1 = pc.list_element(parts, 0) if len(batch) \
+            else pa.array([], type=pa.string())
+        w2 = pc.list_element(parts, 1) if len(batch) \
+            else pa.array([], type=pa.string())
+        return pa.table({
+            "k": pa.array(key64_strings(
+                np.asarray(w1.to_pylist(), dtype=object))),
+            "w1": w1, "w2": w2, "n_ab": batch["n_ab"]})
+
+    lmk = lm_ds.map_batches(
+        lambda b: pa.table({
+            "k": pa.array(key64_strings(np.asarray(
+                b["token"].to_pylist(), dtype=object))),
+            "n_left": b["n"]}),
+        batch_format="pyarrow", batch_size=None)
+    rmk = rm_ds.map_batches(
+        lambda b: pa.table({
+            "k": pa.array(key64_strings(np.asarray(
+                b["token"].to_pylist(), dtype=object))),
+            "n_right": b["n"]}),
+        batch_format="pyarrow", batch_size=None)
+    j1 = copartition_hash_join(
+        bg_ds.map_batches(split_keyed, batch_format="pyarrow",
+                          batch_size=None), lmk, on="k")
+    j2 = copartition_hash_join(
+        j1.map_batches(lambda b: pa.table({
+            "k": pa.array(key64_strings(np.asarray(
+                b["w2"].to_pylist(), dtype=object))),
+            "w1": b["w1"], "w2": b["w2"], "n_ab": b["n_ab"],
+            "n_left": b["n_left"]}),
+            batch_format="pyarrow", batch_size=None),
+        rmk, on="k")
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nl = batch["n_left"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nr = batch["n_right"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(n_ab):
+            if (int(n_ab.max()) * n_total >= 1 << 63
+                    or int(nl.max()) * int(nr.max()) >= 1 << 63):
+                raise ValueError("pmi_collocations: count products "
+                                 "overflow int64")
+            pmi = round_half_away(np.log((n_ab * np.int64(n_total))
+                                         / (nl * nr)))
+        else:
+            pmi = np.empty(0, dtype=np.float64)
+        return pa.table({
+            "w1": batch["w1"], "w2": batch["w2"],
+            "n_ab": pa.array(n_ab), "n_left": pa.array(nl),
+            "n_right": pa.array(nr),
+            "pmi": pa.array(pmi, type=pa.float64()),
+        })
+
+    return j2.map_batches(score, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def pmi_collocations(sf_dir: str, min_count: int = 5, lower: bool = False,
-                     text_col: str = "text"):
+                     text_col: str = "text",
+                     marginal_broadcast_max: int = 2_000_000):
     """Bigram collocation mining by pointwise mutual information:
     (w1, w2, n_ab, n_left, n_right, pmi) for every within-document
     bigram with n_ab >= min_count, where
@@ -438,9 +514,16 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, lower: bool = False,
 
     Shape: per-batch packed-bigram counting (one np.unique over
     code pairs, no Python loop over tokens) -> a bigram-vocabulary-sized
-    count shuffle -> two vocabulary-sized marginal aggregations whose
-    results broadcast (rare_tokens' driver budget) -> one streaming
-    score pass over the bigram table.  No stage ever moves corpus rows.
+    count shuffle -> two TOKEN-vocabulary marginal aggregations -> one
+    streaming score pass over the bigram table.  No stage ever moves
+    corpus rows, and the bigram table never leaves the cluster.  The
+    marginals dispatch on vocabulary size (round-4 review): at or below
+    ``marginal_broadcast_max`` distinct tokens they collect once and
+    broadcast via ray.put (the rare_tokens budget — fast, and the
+    oracle-gate path); above it they stay Datasets and attach to the
+    bigram table through two ``copartition_hash_join`` passes keyed by
+    blake2b-64 token digests, so a Heaps-law 1e8-token web vocabulary
+    never forms a driver dict or a per-worker broadcast copy.
     """
     import ray
     import ray.data
@@ -483,14 +566,31 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, lower: bool = False,
             return pa.table({"token": w, "pm": batch["n_ab"]})
         return fn
 
-    marg = []
+    marg_ds = []
     for ci in (0, 1):
-        m = (bg_ds.map_batches(side_partial(ci), batch_format="pyarrow",
+        marg_ds.append(
+            (bg_ds.map_batches(side_partial(ci), batch_format="pyarrow",
                                batch_size=None)
              .groupby("token")
-             .aggregate(Sum("pm", alias_name="n"))).to_pandas()
-        marg.append(dict(zip(m["token"], m["n"].astype(np.int64))))
-    n_total = int(sum(marg[0].values()))
+             .aggregate(Sum("pm", alias_name="n"))).materialize())
+    vocab_n = marg_ds[0].count()
+    # n_total = sum of left-marginals: exact int64 per-block partials,
+    # driver folds block-count rows
+    tot_rows = marg_ds[0].map_batches(
+        lambda b: pa.table({"s": pa.array([np.int64(np.sum(
+            b["n"].to_numpy(zero_copy_only=False)))])}),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    n_total = int(tot_rows["s"].sum()) if len(tot_rows) else 0
+
+    if vocab_n > marginal_broadcast_max:
+        return _pmi_score_joined(bg_ds, marg_ds[0], marg_ds[1],
+                                 n_total, min_count)
+
+    marg = []
+    for m_ds in marg_ds:
+        m = m_ds.to_pandas()
+        marg.append(dict(zip(m["token"], m["n"].astype(np.int64)))
+                    if len(m) else {})
     lm_ref = ray.put(marg[0])
     rm_ref = ray.put(marg[1])
 
@@ -662,21 +762,106 @@ def token_doc_freq(sf_dir: str, k: int = 100, lower: bool = True,
     return agg.sort(["df", "token"], descending=[True, False]).limit(k)
 
 
+def _tfidf_joined(ds, df_ds, n_docs: int, top_n: int, lower: bool,
+                  text_col: str, id_col: str, n_parts: int = 64):
+    """Web-vocabulary TF-IDF path: per-(doc, token) tf rows join the DF
+    Dataset through one token-digest co-partition, then re-bucket by
+    doc id for the per-document top-N — no vocab-sized driver Series
+    or broadcast.  Bit-identical to the broadcast path: idf is
+    ``math.log(n_docs / int(df))`` per DISTINCT df value (identical
+    constants), same tf * idf double, same (tfidf DESC, token) rank."""
+    import math
+
+    import pandas as pd
+
+    from .dedup import key64_strings
+    from .join import _part_of, copartition_hash_join
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        texts = _string_array(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
+        if len(codes) == 0:
+            return pa.table({
+                "k": pa.array([], type=pa.int64()),
+                "doc": pa.array([], type=pa.int64()),
+                "token": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64())})
+        nu = np.int64(len(uniques))
+        pk, tf = np.unique(row_idx * nu + codes, return_counts=True)
+        r = (pk // nu).astype(np.int64)
+        c = (pk % nu).astype(np.int64)
+        toks = uniques[c]
+        return pa.table({
+            "k": pa.array(key64_strings(toks.astype(object))),
+            "doc": pa.array(ids[r]),
+            "token": pa.array(toks.tolist(), type=pa.string()),
+            "tf": pa.array(tf.astype(np.int64))})
+
+    dfk = df_ds.map_batches(
+        lambda b: pa.table({
+            "k": pa.array(key64_strings(np.asarray(
+                b["token"].to_pylist(), dtype=object))),
+            "df": b["df"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = copartition_hash_join(
+        ds.map_batches(tf_rows, batch_format="pyarrow",
+                       batch_size=None),
+        dfk, on="k", n_parts=n_parts)
+
+    tagged = j.map_batches(
+        lambda b: b.append_column("part", pa.array(_part_of(
+            b["doc"].to_numpy(zero_copy_only=False).astype(np.int64),
+            n_parts))),
+        batch_format="pyarrow", batch_size=None)
+
+    def per_doc(dfr: "pd.DataFrame") -> pa.Table:
+        dvals = np.unique(dfr["df"].to_numpy(np.int64))
+        idf_map = {int(d): math.log(n_docs / int(d))
+                   for d in dvals.tolist()}    # distinct-df-bounded
+        idf = dfr["df"].map(idf_map).to_numpy(np.float64)
+        s = dfr["tf"].to_numpy(np.int64).astype(np.float64) * idf
+        toks = dfr["token"].to_numpy(dtype=object)
+        r = dfr["doc"].to_numpy(np.int64)
+        order = np.lexsort((toks, -s, r))
+        r, s, toks = r[order], s[order], toks[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(r[1:] != r[:-1]) + 1])
+        counts = np.diff(np.concatenate([starts, [len(r)]]))
+        rank = (np.arange(len(r), dtype=np.int64)
+                - np.repeat(starts, counts) + 1)
+        keep = rank <= top_n
+        return pa.table({
+            id_col: pa.array(r[keep], type=pa.int64()),
+            "token": pa.array(toks[keep].tolist(), type=pa.string()),
+            "tfidf": pa.array(round_half_away(s[keep]),
+                              type=pa.float64()),
+            "rank": pa.array(rank[keep], type=pa.int64())})
+
+    return tagged.groupby("part").map_groups(per_doc,
+                                             batch_format="pandas")
+
+
 def tfidf_top_terms(sf_dir: str, top_n: int = 3, lower: bool = True,
-                    text_col: str = "text", id_col: str = "doc_id"):
+                    text_col: str = "text", id_col: str = "doc_id",
+                    df_broadcast_max: int = 2_000_000):
     """Per-document top-N terms by TF-IDF: (doc_id, token, tfidf, rank),
     tfidf = tf * ln(N / df), rank by (tfidf DESC, token ASC).
 
     Two passes: (1) distributed document-frequency aggregation (the same
-    partial as :func:`token_doc_freq`, un-limited), collected into a
-    vocabulary-sized idf Series and broadcast once via ``ray.put`` +
-    worker cache; (2) one streaming pass scoring every document's term
-    vector and keeping its top N, fully vectorized.  The DF table is
-    sublinear in corpus size, so the broadcast holds to very large
-    corpora; for a vocabulary too big for one heap, swap the broadcast
-    for a token-keyed co-partition join (``join.copartition_hash_join``
-    contract) — same output.  idf values are computed ONCE driver-side
-    with ``math.log`` so every batch applies identical constants.
+    partial as :func:`token_doc_freq`, un-limited); (2) scoring.  The
+    DF table is Heaps-sublinear in corpus size, so at or below
+    ``df_broadcast_max`` distinct tokens it collects into an idf Series
+    broadcast once via ``ray.put`` + worker cache and pass 2 is one
+    shuffle-free streaming score.  Above the threshold (round-4
+    review) the DF table stays a Dataset: per-(doc, token) tf rows
+    co-partition-join it by token digest and re-bucket by doc id for
+    the per-document top-N — two corpus shuffles instead of a
+    vocab-sized per-worker dict (:func:`_tfidf_joined`, bit-identical
+    output, equivalence pytest in tests/test_pipelines_robustness.py).
+    idf values are computed ONCE per distinct df value with
+    ``math.log`` on both paths so identical constants apply.
     """
     import math
 
@@ -696,16 +881,22 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, lower: bool = True,
 
     partial_df = functools.partial(_df_partial, text_col=text_col,
                                    lower=lower)
-    df_pd = (ds_text.map_batches(partial_df, batch_format="pyarrow",
+    df_ds = (ds_text.map_batches(partial_df, batch_format="pyarrow",
                                  batch_size=None)
              .groupby("token")
-             .aggregate(Sum("partial_df", alias_name="df"))).to_pandas()
+             .aggregate(Sum("partial_df", alias_name="df"))).materialize()
     import pyarrow.parquet as pq
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if df_ds.count() > df_broadcast_max:
+        return _tfidf_joined(ds, df_ds, n_docs, top_n=top_n,
+                             lower=lower, text_col=text_col,
+                             id_col=id_col)
+    df_pd = df_ds.to_pandas()
     idf_ser = pd.Series(
         [math.log(n_docs / int(d)) for d in df_pd["df"]],
-        index=df_pd["token"].to_numpy(), dtype=np.float64)
+        index=df_pd["token"].to_numpy(), dtype=np.float64) \
+        if len(df_pd) else pd.Series(dtype=np.float64)
     idf_ref = ray.put(idf_ser)
 
     def score(batch: pa.Table, idf_ref=idf_ref) -> pa.Table:
@@ -3131,11 +3322,16 @@ def textrank_keywords(sf_dir: str, n_nodes: int = 200, k: int = 50,
     its join (+0.0 is an exact identity, so the engine omits them).
     Final ranking compares identical doubles (score DESC, token ASC).
 
-    Scale shape: per-batch packed unigram+bigram counting, one
-    bigram-vocabulary-sized count shuffle, and an ``n_nodes``-bounded
-    driver iteration — corpus rows never move; at web-scale node
-    budgets the iteration becomes a bucketed contribution shuffle
-    (the domain_pagerank note).
+    Scale shape (round-4 review fix — the bigram vocabulary grows
+    superlinearly with corpus size and must never reach the driver):
+    TWO corpus passes.  Pass 1 counts unigrams (token-vocabulary
+    shuffle) and selects the top ``n_nodes`` with the two-level cut
+    (per-block partial + one n_nodes-bounded merge, the basket_pairs
+    shape).  The node set broadcasts (n_nodes strings) and pass 2
+    filters adjacent pairs to node x node INSIDE each batch BEFORE the
+    aggregate, so at most n_nodes^2 pair rows ever enter the shuffle
+    or the n_nodes-bounded driver iteration.  Two reads beat shipping
+    the full bigram table at any scale where it matters.
     """
     import pandas as pd
     import ray.data
@@ -3143,46 +3339,77 @@ def textrank_keywords(sf_dir: str, n_nodes: int = 200, k: int = 50,
 
     ds = read_table(sf_dir, "documents", columns=["text"])
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def uni_partial(batch: pa.Table) -> pa.Table:
         texts = _string_array(batch["text"])
-        empty = pa.table({"w1": pa.array([], type=pa.string()),
-                          "w2": pa.array([], type=pa.string()),
-                          "pn": pa.array([], type=pa.int64())})
         row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
         if not len(codes):
-            return empty
-        nu = np.int64(len(uniques))
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "pn": pa.array([], type=pa.int64())})
         uc, ucnt = np.unique(codes, return_counts=True)
-        w1 = [uniques[c] for c in uc]
-        w2 = [""] * len(uc)                       # unigram sentinel
-        pn = ucnt.astype(np.int64).tolist()
-        same = row_idx[1:] == row_idx[:-1]
-        left, right = codes[:-1][same], codes[1:][same]
-        keep = left != right                      # self-pairs dropped
-        left, right = left[keep], right[keep]
-        if len(left):
-            packed = left * nu + right
-            ub, bcnt = np.unique(packed, return_counts=True)
-            w1 += [uniques[c] for c in (ub // nu)]
-            w2 += [uniques[c] for c in (ub % nu)]
-            pn += bcnt.astype(np.int64).tolist()
-        return pa.table({"w1": pa.array(w1, type=pa.string()),
-                         "w2": pa.array(w2, type=pa.string()),
-                         "pn": pa.array(pn, type=pa.int64())})
+        return pa.table({
+            "w1": pa.array([uniques[c] for c in uc], type=pa.string()),
+            "pn": pa.array(ucnt.astype(np.int64))})
 
-    c = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-         .groupby(["w1", "w2"])
-         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
-    out = {"token": [], "n_count": [], "score": [], "rank": []}
-    if len(c):
-        uni = c[c["w2"] == ""].sort_values(
+    def uni_cut(batch: pa.Table) -> pa.Table:
+        # post-aggregate: every token appears once, so a per-block cut
+        # keeps every global top-n_nodes candidate
+        if not len(batch):
+            return batch
+        df = batch.to_pandas().sort_values(
             ["n", "w1"], ascending=[False, True], ignore_index=True,
             kind="stable").head(n_nodes)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uni = (ds.map_batches(uni_partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("w1").aggregate(Sum("pn", alias_name="n"))
+           .map_batches(uni_cut, batch_format="pyarrow",
+                        batch_size=None)
+           .repartition(1)
+           .map_batches(uni_cut, batch_format="pyarrow",
+                        batch_size=None)).to_pandas()  # <= n_nodes rows
+    out = {"token": [], "n_count": [], "score": [], "rank": []}
+    if len(uni):
         nodes = sorted(uni["w1"].tolist())
         count_of = dict(zip(uni["w1"], uni["n"].astype(int)))
         idx = {t: i for i, t in enumerate(nodes)}
         nn_ = len(nodes)
-        bg = c[(c["w2"] != "") & c["w1"].isin(idx) & c["w2"].isin(idx)]
+        node_set = frozenset(nodes)    # n_nodes strings: closure bcast
+
+        def bg_partial(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"w1": pa.array([], type=pa.string()),
+                              "w2": pa.array([], type=pa.string()),
+                              "pn": pa.array([], type=pa.int64())})
+            texts = _string_array(batch["text"])
+            row_idx, codes, uniques, _, _ = _token_codes(texts,
+                                                         lower=lower)
+            if len(codes) < 2:
+                return empty
+            nu = np.int64(len(uniques))
+            in_set = np.array([u in node_set for u in uniques],
+                              dtype=bool)        # vocab-bounded probe
+            same = row_idx[1:] == row_idx[:-1]
+            left, right = codes[:-1][same], codes[1:][same]
+            keep = (left != right) & in_set[left] & in_set[right]
+            left, right = left[keep], right[keep]
+            if not len(left):
+                return empty
+            packed = left * nu + right
+            ub, bcnt = np.unique(packed, return_counts=True)
+            return pa.table({
+                "w1": pa.array([uniques[c] for c in (ub // nu)],
+                               type=pa.string()),
+                "w2": pa.array([uniques[c] for c in (ub % nu)],
+                               type=pa.string()),
+                "pn": pa.array(bcnt.astype(np.int64))})
+
+        bg = (ds.map_batches(bg_partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby(["w1", "w2"])
+              .aggregate(Sum("pn", alias_name="n"))) \
+            .to_pandas()                         # <= n_nodes^2 rows
+        if "w1" not in bg.columns:       # empty groupby loses schema
+            bg = pd.DataFrame({"w1": [], "w2": [], "n": []})
         w = {}
         for a_, b_, n_ in zip(bg["w1"], bg["w2"], bg["n"]):
             ia, ib = idx[a_], idx[b_]
@@ -3448,7 +3675,11 @@ def skipgram_pairs(sf_dir: str, window: int = 5, k: int = 100,
 
     Scale shape: per-batch vectorized pair extraction (``window``
     shifted-array comparisons, no Python loop over tokens), the pair
-    count shuffle, and a pair-vocabulary-bounded driver top-k.
+    count shuffle, then the standard two-level top-k cut (the
+    basket_pairs shape, join.py:3554): a per-block top-k partial after
+    the aggregate and ONE k-bounded final merge — the driver frame is
+    <= k rows, never the pair vocabulary (round-4 review fix; pair
+    vocabularies grow superlinearly with corpus size).
     """
     import pandas as pd
     import ray.data
@@ -3482,9 +3713,24 @@ def skipgram_pairs(sf_dir: str, window: int = 5, k: int = 100,
             "pn": pa.array(cnt.astype(np.int64)),
         })
 
+    def topk_cut(batch: pa.Table) -> pa.Table:
+        # each (w1, w2) appears exactly once after the aggregate, so a
+        # per-block cut keeps every global top-k candidate
+        if not len(batch):
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "w1", "w2"],
+                            ascending=[False, True, True],
+                            ignore_index=True, kind="stable").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     c = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
          .groupby(["w1", "w2"])
-         .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+         .aggregate(Sum("pn", alias_name="n"))
+         .map_batches(topk_cut, batch_format="pyarrow", batch_size=None)
+         .repartition(1)
+         .map_batches(topk_cut, batch_format="pyarrow",
+                      batch_size=None)).to_pandas()      # <= k rows
     if len(c):
         c = c.sort_values(["n", "w1", "w2"],
                           ascending=[False, True, True],
@@ -3541,7 +3787,11 @@ def token_dispersion(sf_dir: str, k: int = 20, lower: bool = True):
     zero-count document on both engines).
 
     Scale shape: per-batch packed (token, doc) square-sum partials,
-    one vocabulary-bounded shuffle, top-k driver finish.
+    one vocabulary-bounded shuffle, then the two-level top-k cut (the
+    basket_pairs shape): per-block (n_total DESC, token) partials —
+    each carrying the "" doc-count sentinel through — and ONE
+    k-bounded final merge, so the driver frame is <= k+1 rows, never
+    the token vocabulary (round-4 review fix).
     """
     import pandas as pd
     import ray.data
@@ -3578,11 +3828,30 @@ def token_dispersion(sf_dir: str, k: int = 20, lower: bool = True):
             "pd_": pa.array(rows_d, type=pa.int64()),
         })
 
+    def disp_cut(batch: pa.Table) -> pa.Table:
+        # post-aggregate per-block cut: every token appears once, so
+        # top-k by (c DESC, token) keeps all global candidates; the ""
+        # doc-count sentinel row (one row globally) always survives
+        if not len(batch):
+            return batch
+        df = batch.to_pandas()
+        sent = df[df["token"] == ""]
+        rest = df[df["token"] != ""].sort_values(
+            ["c", "token"], ascending=[False, True],
+            kind="stable").head(k)
+        return pa.Table.from_pandas(
+            pd.concat([sent, rest], ignore_index=True),
+            preserve_index=False)
+
     m = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
          .groupby("token")
          .aggregate(Sum("pq", alias_name="q"),
                     Sum("pc", alias_name="c"),
-                    Sum("pd_", alias_name="d"))).to_pandas()
+                    Sum("pd_", alias_name="d"))
+         .map_batches(disp_cut, batch_format="pyarrow", batch_size=None)
+         .repartition(1)
+         .map_batches(disp_cut, batch_format="pyarrow",
+                      batch_size=None)).to_pandas()    # <= k+1 rows
     out = {"token": [], "n_total": [], "n_docs_with": [], "fano": [],
            "rank": []}
     if len(m):
@@ -3656,7 +3925,13 @@ def token_entropy_rate(sf_dir: str, lower: bool = True):
 
     Scale shape: per-batch packed bigram counting, the
     bigram-vocabulary-bounded shuffle, vocabulary-bounded driver fold
-    (the documented rare_tokens/pmi budget).
+    (the documented rare_tokens/pmi budget).  DOCUMENTED BOUND: the
+    scalar output requires the GLOBAL order-pinned ln-fold the oracle
+    mirrors, so the driver frame here is the distinct-bigram table —
+    superlinear in corpus size.  A web-scale variant must relax the
+    fold contract (per-bucket exact Fraction partials, the hits_dist
+    normalization pattern) and give up bit-parity with the recursive
+    SQL mirror; until a caller needs that corpus size, exactness wins.
     """
     import math
 

@@ -64,7 +64,6 @@ from fractions import Fraction
 import numpy as np
 import pyarrow as pa
 
-from .dedup import fnv1a_bytes
 from .join import _part_of, copartition_hash_join
 
 # Above this many aggregate edges the method="auto" dispatchers in
@@ -76,12 +75,11 @@ _LO30 = np.int64((1 << 30) - 1)
 
 
 def _key64(doms: np.ndarray) -> np.ndarray:
-    """int64 blake2b-64 keys for an object array of domain strings,
-    hashing each DISTINCT value once (vocab-bounded per batch)."""
-    uniq, inv = np.unique(doms.astype(object), return_inverse=True)
-    ks = np.array([fnv1a_bytes(str(u).encode()) for u in uniq],
-                  dtype=np.uint64).view(np.int64)
-    return ks[inv] if len(doms) else np.empty(0, dtype=np.int64)
+    """int64 blake2b-64 keys for an object array of domain strings
+    (shared digest-key infra: dedup.key64_strings)."""
+    from .dedup import key64_strings
+
+    return key64_strings(doms)
 
 
 def _pair_key64(u: np.ndarray, v: np.ndarray) -> np.ndarray:

@@ -267,3 +267,66 @@ def test_returned_items_plans_agree(ray_session):
     b = b[cols].sort_values(cols).reset_index(drop=True)
     assert a.astype(str).equals(b.astype(str))
     assert len(a) == 20
+
+
+def test_pmi_joined_path(ray_session):
+    """The web-vocabulary PMI path (co-partition marginal joins, forced
+    with marginal_broadcast_max=0) must return bit-identical rows to
+    the broadcast-dict path (round-4 review: no vocab-sized driver
+    dict above the threshold)."""
+    from s2ray.pipelines.text import pmi_collocations
+
+    sf = "/root/testdata/sf0.001"
+    a = pmi_collocations(sf, min_count=3).to_pandas()
+    b = pmi_collocations(sf, min_count=3,
+                         marginal_broadcast_max=0).to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_skipgram_textrank_bounded_topk(ray_session):
+    """The reworked two-level top-k paths still produce full-k frames
+    with strictly ordered ranks on the real corpus."""
+    from s2ray.pipelines.text import skipgram_pairs, textrank_keywords
+
+    sf = "/root/testdata/sf0.001"
+    sg = skipgram_pairs(sf, k=25).to_pandas()
+    assert len(sg) == 25
+    assert sg["rank"].tolist() == list(range(1, 26))
+    assert (np.diff(sg["n"].to_numpy()) <= 0).all()
+    tr = textrank_keywords(sf, n_nodes=50, k=10).to_pandas()
+    assert len(tr) == 10
+    assert tr["rank"].tolist() == list(range(1, 11))
+    assert (np.diff(tr["score"].to_numpy()) <= 0).all()
+
+
+def test_tfidf_joined_path(ray_session):
+    """The web-vocabulary TF-IDF path (co-partition DF join + doc-id
+    re-bucket, forced with df_broadcast_max=0) must return
+    bit-identical rows to the broadcast-Series path."""
+    from s2ray.pipelines.text import tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    a = tfidf_top_terms(sf).to_pandas()
+    b = tfidf_top_terms(sf, df_broadcast_max=0).to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_token_dispersion_bounded_topk(ray_session):
+    """The two-level dispersion cut still yields the full top-k frame
+    with the doc-count sentinel folded in (fano well-defined)."""
+    from s2ray.pipelines.text import token_dispersion
+
+    sf = "/root/testdata/sf0.001"
+    td = token_dispersion(sf, k=15).to_pandas()
+    assert len(td) == 15
+    assert td["rank"].tolist() == list(range(1, 16))
+    assert (np.diff(td["n_total"].to_numpy()) <= 0).all()
+    assert td["fano"].notna().all()
