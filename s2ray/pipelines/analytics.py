@@ -3,6 +3,18 @@ time-window aggregates, domain rollups, per-label embedding centroids.
 
 All use the partial-then-merge pattern: vectorized in-batch aggregation
 first, so the shuffle moves only (key, partial) rows.
+
+Epoch floor-division audit (review follow-up): numpy's ``//`` FLOORS
+while DuckDB's integer ``//`` TRUNCATES toward zero, so any shared
+``epoch // bucket`` expression diverges for pre-1970 timestamps.  The
+sliding-window operators (events_sliding_distinct, peak_window) carry
+the double-mod guard ``es - ((es % s) + s) % s`` in their SQL mirrors
+(regression: tests/test_pipelines_robustness.py::
+test_sliding_distinct_negative_epochs); the day/hour-bucket family
+(events_hourly, weekday/dau/retention/cohort/...) documents the
+``ts >= 1970`` bound where it appears — the synthetic events table and
+any crawl corpus satisfy it, and a pre-1970 use case must add the same
+double-mod to BOTH sides.
 """
 
 from __future__ import annotations
@@ -625,11 +637,17 @@ def group_sizes_hist(sf_dir: str, table: str = "documents",
         df = batch.to_pandas()
         g = df.groupby(list(dims), sort=False, dropna=False) \
             .size().reset_index(name="pn")
-        # sentinel-pack the group key: a shuffle key cannot be NULL
+        # collision-free group key: per-dim length-prefixed value with
+        # an explicit null flag ("N" vs "V<len>:<value>") — no real
+        # value can alias NULL or re-align across the dim separator
+        # (review finding: the old "\x00" sentinel could)
         key = None
         for d in dims:
-            part = g[d].where(g[d].notna(), "\x00").astype(str)
-            key = part if key is None else key + "\x1f" + part
+            isnull = g[d].isna()
+            s = g[d].where(~isnull, "").astype(str)
+            part = ("V" + s.str.len().astype(str) + ":" + s) \
+                .where(~isnull, "N")
+            key = part if key is None else key + "|" + part
         return pa.table({
             "gk": pa.array(key.tolist(), type=pa.string()),
             "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
@@ -1714,7 +1732,11 @@ def doc_token_rank(sf_dir: str, value_bucket: int = 16,
             .map_groups(rank_range, batch_format="pandas"))
 
 
-_ROLLUP_ALL = "\x00ALL"     # shuffle-safe sentinel for a rolled-up dim
+# rolled-up-dim marker in the prefix-flagged shuffle-key space: real
+# values ride as "V<value>", null data values as "N", rollups as "A" —
+# distinct first bytes, so no real value can alias either marker
+# (review finding: the old "\x00ALL" sentinel could)
+_ROLLUP_ALL = "A"
 
 
 def docs_rollup(sf_dir: str):
@@ -1742,8 +1764,10 @@ def docs_rollup(sf_dir: str):
             .to_numpy(zero_copy_only=False).astype(np.int64)
         lcodes, luq = _dict_codes(batch["lang"])
         scodes, suq = _dict_codes(batch["source"])
-        luq = list(luq) + [_ROLLUP_ALL]
-        suq = list(suq) + [_ROLLUP_ALL]
+        luq = ["N" if u is None else "V" + str(u) for u in luq] \
+            + [_ROLLUP_ALL]
+        suq = ["N" if u is None else "V" + str(u) for u in suq] \
+            + [_ROLLUP_ALL]
         la, sa = np.int64(len(luq) - 1), np.int64(len(suq) - 1)
         outs = {"lang": [], "source": [], "pn": [], "pt": []}
         for lsel, ssel in ((lcodes, scodes), (lcodes, None),
@@ -1774,11 +1798,15 @@ def docs_rollup(sf_dir: str):
     def finalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        lang = pc.if_else(pc.equal(batch["lang"], _ROLLUP_ALL),
-                          pa.scalar(None, type=pa.string()), batch["lang"])
-        src = pc.if_else(pc.equal(batch["source"], _ROLLUP_ALL),
-                         pa.scalar(None, type=pa.string()),
-                         batch["source"])
+        def unflag(col):
+            # "A"/"N" -> NULL, "V<value>" -> value
+            real = pc.starts_with(col, "V")
+            return pc.if_else(real, pc.utf8_slice_codeunits(
+                col, 1, np.iinfo(np.int32).max),
+                pa.scalar(None, type=pa.string()))
+
+        lang = unflag(batch["lang"])
+        src = unflag(batch["source"])
         return pa.table({
             "lang": lang,
             "source": src,
@@ -1958,7 +1986,11 @@ def doc_deciles(sf_dir: str, k: int = 10, value_bucket: int = 64,
 
     def tag(batch: pa.Table) -> pa.Table:
         g = batch[group_col].to_pandas()
-        gk = g.where(g.notna(), "\x00").astype(str)
+        # explicit null flag + length prefix: no real group value can
+        # alias NULL or re-align across the "\x1f" separator below
+        isnull = g.isna()
+        s = g.where(~isnull, "").astype(str)
+        gk = ("V" + s.str.len().astype(str) + ":" + s).where(~isnull, "N")
         v = batch[value_col].to_numpy(zero_copy_only=False)
         v = np.where(np.isnan(v.astype(np.float64)), SENT,
                      v).astype(np.int64) if v.dtype.kind == "f" \
@@ -7088,23 +7120,24 @@ def time_to_convert(sf_dir: str, a: str = "view", b: str = "purchase",
         first_a = np.minimum.reduceat(a_idx, starts)
         has_a = first_a < big
         n_a_users = int(has_a.sum())
-        # first b strictly after t[first_a]: min index with ~is_a and
-        # t > t_a (rows sorted by ts within the segment)
-        rows_m = []
+        # first b strictly after t[first_a]: one more reduceat over
+        # candidate indices (per-row segment broadcast via repeat), so
+        # high-user partitions never pay a per-user interpreter loop
+        m = np.zeros(0, np.int64)
+        c = np.zeros(0, np.int64)
         if has_a.any():
-            ta = t[np.minimum(first_a, big - 1)]
-            b_ok = ~is_a
-            for s_, e_, fa_, ha_ in zip(starts, ends, first_a, has_a):
-                if not ha_:
-                    continue
-                seg_b = idx[s_:e_][b_ok[s_:e_] & (t[s_:e_] > t[fa_])]
-                if len(seg_b):
-                    rows_m.append(int((int(t[seg_b[0]]) - int(t[fa_]))
-                                      // 60_000_000))
-        m, c = (np.unique(np.array(rows_m, np.int64),
-                          return_counts=True)
-                if rows_m else (np.zeros(0, np.int64),
-                                np.zeros(0, np.int64)))
+            seg_of = np.repeat(np.arange(len(starts), dtype=np.int64),
+                               ends - starts)
+            ta_seg = np.where(has_a, t[np.minimum(first_a, big - 1)],
+                              np.iinfo(np.int64).max)
+            cand = np.where((~is_a) & (t > ta_seg[seg_of]), idx, big)
+            first_b = np.minimum.reduceat(cand, starts)
+            ok = has_a & (first_b < big)
+            if ok.any():
+                deltas = (t[first_b[ok]] - t[first_a[ok]]) \
+                    // np.int64(60_000_000)
+                m, c = np.unique(deltas.astype(np.int64),
+                                 return_counts=True)
         out = pd.DataFrame({"m": m.astype(np.int64),
                             "pn": c.astype(np.int64),
                             "pa_": np.zeros(len(m), np.int64)})

@@ -4949,6 +4949,13 @@ def rank_corr_qty_discount(sf_dir: str):
             .astype(np.int64)
         d = rha(batch["l_discount"].to_numpy(zero_copy_only=False)
                 * 100.0, 0).astype(np.int64)
+        # documented packing contract: corrupt data must fail loudly,
+        # not alias contingency cells (review finding)
+        if len(q) and (int(q.min()) < 0 or int(d.min()) < 0
+                       or int(d.max()) >= 1024):
+            raise ValueError("rank_corr_qty_discount: quantity/discount "
+                             "outside the 0 <= q, 0 <= d < 1024 "
+                             "packing contract")
         key = q * np.int64(1024) + d
         u, cnt = np.unique(key, return_counts=True)
         return pa.table({"q": pa.array((u // 1024).astype(np.int64)),
@@ -5124,6 +5131,11 @@ def kruskal_wallis_qty(sf_dir: str):
             .astype(np.int64)
         flag = batch["l_returnflag"].to_pandas().astype(str).to_numpy()
         fcodes, funiq = pd.factorize(pd.Series(flag))
+        # packing contract guard: a quantity outside 20 bits would
+        # silently corrupt the (flag, q) histogram (review finding)
+        if len(q) and (int(q.min()) < 0 or int(q.max()) >= (1 << 20)):
+            raise ValueError("kruskal_wallis_qty: quantity outside the "
+                             "0 <= q < 2^20 packing contract")
         key = fcodes.astype(np.int64) * np.int64(1 << 20) + q
         u, cnt = np.unique(key, return_counts=True)
         return pa.table({

@@ -1335,6 +1335,12 @@ def monthly_lang_js(sf_dir: str, **read_kwargs):
         lang = batch["lang"].to_pandas().astype(str).to_numpy()
         import pandas as pd
         lcodes, luniq = pd.factorize(pd.Series(lang))
+        # packing stride guard: > 4096 distinct languages in one batch
+        # would silently collide counts (review finding)
+        if len(luniq) >= 4096:
+            raise ValueError("monthly_lang_js: more than 4096 distinct "
+                             "languages in one batch exceeds the "
+                             "packing stride")
         packed = mkey * np.int64(4096) + lcodes
         u, cnt = np.unique(packed, return_counts=True)
         return pa.table({

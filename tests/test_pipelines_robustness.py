@@ -1,6 +1,7 @@
 """Robustness: malformed pages (missing/truncated geo meta, empty html)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from s2ray.functions.extract import drop_html, extract_geotag, extract_text
@@ -330,3 +331,91 @@ def test_token_dispersion_bounded_topk(ray_session):
     assert td["rank"].tolist() == list(range(1, 16))
     assert (np.diff(td["n_total"].to_numpy()) <= 0).all()
     assert td["fano"].notna().all()
+
+
+def test_sliding_distinct_negative_epochs(tmp_path, ray_session):
+    """Pre-1970 timestamps: numpy's `//` floors while DuckDB's integer
+    `//` truncates toward zero, so the oracle's double-mod window base
+    (es - ((es % s) + s) % s) is load-bearing — engine and oracle must
+    agree bit-exactly on a corpus straddling the epoch."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    n = 400
+    # timestamps from 1969-12-29 to 1970-01-02, every ~17 minutes
+    es = np.arange(n, dtype=np.int64) * 1021 - 200_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(es.astype("datetime64[s]").astype(
+            "datetime64[us]")),
+        "user_id": pa.array((np.arange(n) * 7) % 23, type=pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array(["{}"] * n),
+    }), f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    out = e.queries()["events_sliding_distinct"](d).to_pandas()
+    ora = con.execute(e.oracle_sql()["events_sliding_distinct"]).df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols, ignore_index=True)
+    b = ora[cols].sort_values(cols, ignore_index=True)
+    assert len(a) == len(b) and len(a) > 0
+    for c in cols:
+        assert np.array_equal(np.asarray(a[c]), np.asarray(b[c])), c
+
+
+def test_group_keys_with_nul_and_flag_bytes(tmp_path, ray_session):
+    """Group values containing NUL bytes, the old separator byte, and
+    strings that mimic the flag prefixes ("N", "V3:abc") must neither
+    alias NULL groups nor each other (review finding: the former
+    sentinel packing could alias) — engine vs oracle bit-exact for the
+    three repacked operators."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    langs = ["en", None, "\x00", "N", "V2:en", "a\x1fb", "", "en"]
+    srcs = ["s1", "s1", None, "\x1f", "s1", "a", "b\x00", "s1"]
+    n = len(langs)
+    texts = [f"tok{i} tok{i} alpha" for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs, type=pa.string()),
+        "source": pa.array(srcs, type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }), f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    for q in ("group_sizes_hist", "doc_deciles"):
+        out = e.queries()[q](d).to_pandas()
+        ora = con.execute(e.oracle_sql()[q]).df()
+        cols = sorted(out.columns)
+        a = out[cols].sort_values(cols, ignore_index=True)
+        b = ora[cols].sort_values(cols, ignore_index=True)
+        assert len(a) == len(b) and len(a) > 0, q
+        for c in cols:
+            av, bv = np.asarray(a[c]), np.asarray(b[c])
+            if av.dtype.kind == "f":
+                assert np.array_equal(av, bv, equal_nan=True), (q, c)
+            else:
+                assert np.array_equal(
+                    pd.isna(av), pd.isna(bv)), (q, c)
+                m = ~pd.isna(av)
+                assert np.array_equal(av[m], bv[m]), (q, c)
+    # docs_rollup: rollup NULLs and data NULLs must stay separate rows
+    from s2ray.pipelines.analytics import docs_rollup
+
+    r = docs_rollup(d).to_pandas()
+    both_null = r[r["lang"].isna() & r["source"].isna()]
+    # grand-total rollup + any (NULL lang, NULL source) data group
+    assert int(both_null["n_docs"].max()) == n
+    assert int(r["n_docs"].max()) == n
