@@ -554,11 +554,21 @@ def run_bench():
     timed("containment_pairs", _containment)
 
     total = round(sum(queries.values()), 3)
+    # FROZEN round-2 core leg set: totals stopped being round-comparable
+    # when the suite grew 12 -> 19 -> 28 legs, so every bench JSON also
+    # carries the subtotal over exactly these 12 legs (never extend this
+    # list — add new frozen sets instead if a new baseline is needed)
+    core12 = ("flagship_tiles", "cap_join", "pip_join", "knn_moscow",
+              "exact_dedup", "minhash_pairs", "knn_embeddings",
+              "near_dup_pairs", "text_stats", "user_sessions",
+              "tile_pyramid", "events_quantiles")
+    core12_total = round(sum(queries.get(q, 0.0) for q in core12), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR))
     print(json.dumps({
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
+        "core12_total": core12_total,
         "queries": queries,
         "sf": sf,
         "num_cpus": NUM_CPUS,

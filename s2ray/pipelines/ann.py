@@ -414,7 +414,8 @@ def quantize_embeddings(sf_dir: str, n_levels: int = 256):
     return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)
 
 
-def cross_lang_nn(sf_dir: str):
+def cross_lang_nn(sf_dir: str, method: str = "auto",
+                  broadcast_rows_max: int = 1_000_000):
     """Bitext-mining-shape constrained nearest neighbor: for EVERY vector,
     the most cosine-similar vector whose document language DIFFERS —
     (vec_id, lang, nn_id, nn_lang), ties on similarity broken by smaller
@@ -422,19 +423,37 @@ def cross_lang_nn(sf_dir: str):
     (cf. LASER/CCMatrix margin mining) restricted to its exact top-1 core
     so the result is SQL-oracle-checkable.
 
-    Declared broadcast baseline like embedding_near_dup: the L2-normalized
-    corpus matrix + its language codes ship once via ray.put and every
-    batch does ONE (B, N) matmul with a same-language/self mask — the
-    right call while the matrix fits one object, and the bit-exact
-    formulation the SQL oracle gates.  The >1-object scale path is
-    :func:`cross_lang_nn_bucketed` (banded LSH, no corpus-sized object
-    anywhere, recall pytest-bounded against this baseline).  Vectors with
-    no document row or a NULL language are excluded on both sides (SQL
-    inner-join + lang <> lang semantics).
+    Dispatch (method="auto", the dedup.near_dup_clusters pattern): at
+    or below ``broadcast_rows_max`` embedding rows (parquet metadata,
+    no read) the EXACT broadcast path runs — the L2-normalized corpus
+    matrix + language codes ship once via ray.put and every batch does
+    ONE (B, N) matmul with a same-language/self mask; this is the
+    bit-exact formulation the SQL oracle gates, and the right call
+    while the matrix fits one object (1M rows x 128 dims f32 = 512 MB;
+    raise the knob on bigger hosts).  Above it, the banded-LSH
+    :func:`cross_lang_nn_bucketed` runs instead — same output
+    contract, NO corpus-sized object anywhere, recall < 1 by design
+    and pytest-bounded against this baseline
+    (tests/test_dedup_text_ann.py).  method="broadcast"/"bucketed"
+    force a path (dispatch pytest: test_cross_lang_nn_dispatch).
+    Vectors with no document row or a NULL language are excluded on
+    both sides (SQL inner-join + lang <> lang semantics).
     """
     import ray
 
     from ..sources.readers import load_doc_langs, load_embedding_matrix
+
+    if method == "auto":
+        import pyarrow.parquet as pq
+
+        n_rows = pq.read_metadata(
+            f"{sf_dir}/embeddings.parquet").num_rows
+        method = "broadcast" if n_rows <= broadcast_rows_max \
+            else "bucketed"
+    if method == "bucketed":
+        return cross_lang_nn_bucketed(sf_dir)
+    if method != "broadcast":
+        raise ValueError(f"unknown method {method!r}")
 
     vec_ids, mat = load_embedding_matrix(sf_dir)
     order = np.argsort(vec_ids)      # argmax picks the FIRST max -> the

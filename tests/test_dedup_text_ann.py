@@ -1052,3 +1052,27 @@ def test_cross_lang_nn_bucketed_recall(ray_session):
     j = base.join(got.set_index("vec_id"), rsuffix="_b", how="left")
     recall = float((j["nn_id"] == j["nn_id_b"]).mean())
     assert recall >= 0.6, recall
+
+
+def test_cross_lang_nn_dispatch(ray_session):
+    """method="auto" picks the exact broadcast path below the row
+    threshold and the banded-LSH path above it (forced with
+    broadcast_rows_max=0); forced methods match the respective direct
+    calls row-for-row."""
+    from s2ray.pipelines.ann import cross_lang_nn, cross_lang_nn_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["vec_id", "lang", "nn_id", "nn_lang"]
+
+    def canon(ds):
+        return ds.to_pandas()[cols].sort_values(
+            cols, ignore_index=True)
+
+    auto = canon(cross_lang_nn(sf))
+    exact = canon(cross_lang_nn(sf, method="broadcast"))
+    assert auto.equals(exact)            # default corpus -> broadcast
+    forced = canon(cross_lang_nn(sf, method="auto",
+                                 broadcast_rows_max=0))
+    direct = canon(cross_lang_nn_bucketed(sf))
+    assert forced.equals(direct)         # above threshold -> bucketed
+    assert len(forced) > 0
