@@ -3365,12 +3365,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     position) -- the round-4 session-6/7 graph and spatial statistics,
     the TPC-H sweep shapes, the relational/stats ops, and the first of
     the late-r4 additions, domain_reciprocity .. domain_components.
-    Everything previously driver-green (r01-r04 cumulative, 137 keys)
+    Everything previously driver-green (r01-r04 cumulative: 132
+    oracled keys, plus 5 rows-only driver rows on non-oracled keys)
     yields its slot and stays hash-gated in-suite
     (tests/test_oracle.py, all 278 oracles).  No new operators were
     added this round (the verdict paused additions until cumulative
     driver evidence exceeds ~80%): after this window lands, cumulative
-    evidence is 187/278.
+    oracled evidence is 182/278.
 
     Round-6 rotation candidates (remaining never-driver-verified,
     oldest first): order_overlap, bipartite_nn, monthly_centroid,

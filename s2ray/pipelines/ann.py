@@ -434,8 +434,13 @@ def cross_lang_nn(sf_dir: str, method: str = "auto",
     :func:`cross_lang_nn_bucketed` runs instead — same output
     contract, NO corpus-sized object anywhere, recall < 1 by design
     and pytest-bounded against this baseline
-    (tests/test_dedup_text_ann.py).  method="broadcast"/"bucketed"
-    force a path (dispatch pytest: test_cross_lang_nn_dispatch).
+    (tests/test_dedup_text_ann.py).  WARNING: unlike the engine's
+    other auto dispatchers, the two paths are NOT bit-identical —
+    above the threshold results are approximate (that is the point:
+    the exact formulation cannot run there).  Callers needing the
+    exact answer regardless of cost pass method="broadcast";
+    method="broadcast"/"bucketed" force a path (dispatch pytest:
+    test_cross_lang_nn_dispatch).
     Vectors with no document row or a NULL language are excluded on
     both sides (SQL inner-join + lang <> lang semantics).
     """

@@ -1337,7 +1337,7 @@ def monthly_lang_js(sf_dir: str, **read_kwargs):
         lcodes, luniq = pd.factorize(pd.Series(lang))
         # packing stride guard: > 4096 distinct languages in one batch
         # would silently collide counts (review finding)
-        if len(luniq) >= 4096:
+        if len(luniq) > 4096:    # codes 0..4095 pack safely
             raise ValueError("monthly_lang_js: more than 4096 distinct "
                              "languages in one batch exceeds the "
                              "packing stride")

@@ -83,9 +83,15 @@ def _key64(doms: np.ndarray) -> np.ndarray:
 
 
 def _pair_key64(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Canonical-pair key: blake2b-64 of ``u|v`` (callers pass u < v)."""
-    joined = np.array([f"{a}|{b}" for a, b in zip(u.tolist(), v.tolist())],
-                      dtype=object)
+    """Canonical-pair key: blake2b-64 of the LENGTH-PREFIXED pair
+    encoding ``<len(u)>:<u>|<v>`` (callers pass u < v).  The length
+    prefix makes the encoding injective for arbitrary domain strings —
+    ("a", "b|c") and ("a|b", "c") must not share a key (the same
+    aliasing class the flag-prefixed group keys close in analytics.py);
+    only the 2^-64 digest contract remains."""
+    joined = np.array(
+        [f"{len(a)}:{a}|{b}" for a, b in zip(u.tolist(), v.tolist())],
+        dtype=object)
     return _key64(joined)
 
 
@@ -414,11 +420,12 @@ def bfs_depth_dist(edges, seed: str = "src0.example.com",
         if frontier.count() > 0:
             labels = labels.union(frontier).repartition(P).materialize()
 
-    out = labels.to_pandas().sort_values("node", ignore_index=True)
-    return _from_arrow(pa.table({
-        "domain": pa.array(out["node"].tolist(), type=pa.string()),
-        "depth": pa.array(out["depth"].to_numpy(np.int64)),
-    }))
+    # distributed finish: the reachable set is O(N) at web scale, so
+    # the label table must never form a driver frame (review finding) —
+    # rename + distributed sort, like pagerank_dist/clustering_dist
+    return labels.map_batches(
+        lambda b: pa.table({"domain": b["node"], "depth": b["depth"]}),
+        batch_format="pyarrow", batch_size=None).sort("domain")
 
 
 def pagerank_dist(edges, damping: float = 0.85, iters: int = 20,

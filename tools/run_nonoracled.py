@@ -64,7 +64,7 @@ def main() -> None:
             rows, cols, dtypes = _shape(fn(args.sf_dir))
             out[name] = {"rows": rows, "columns": cols, "dtypes": dtypes,
                          "sec": round(time.perf_counter() - t0, 3),
-                         "status": "ok" if rows >= 0 else "empty"}
+                         "status": "ok" if rows > 0 else "empty"}
         except Exception as ex:  # record, don't abort: the artifact must list every key
             out[name] = {"status": "error", "err": repr(ex)[:300]}
     path = os.path.join(REPO, f"NONORACLED_r{args.round:02d}.json")
