@@ -111,12 +111,18 @@ def _seq_segment_fold(seg_sorted: np.ndarray, values: np.ndarray):
         np.concatenate([[True], seg_sorted[1:] != seg_sorted[:-1]]))
     lens = np.diff(np.concatenate([starts, [n]]))
     acc = np.zeros(len(starts))
-    step = 0
-    active = lens > np.int64(0)
-    while active.any():
-        acc[np.flatnonzero(active)] += values[starts[active] + step]
-        step += 1
-        active = lens > np.int64(step)
+    # compact the active-segment arrays each step so total work is
+    # O(rows), not O(segments x max_segment_length): one hub target
+    # must not make every short segment pay per-step cost
+    cur = starts.copy()
+    rem = lens.copy()
+    idx = np.arange(len(starts), dtype=np.int64)
+    while len(cur):
+        acc[idx] += values[cur]
+        cur += 1
+        rem -= 1
+        keep = rem > 0
+        cur, rem, idx = cur[keep], rem[keep], idx[keep]
     return starts, acc
 
 
@@ -188,6 +194,44 @@ def _degrees(und, n_parts: int):
             .groupby("part").map_groups(count, batch_format="pandas"))
 
 
+def _edges_with_degrees(und, deg, n_parts: int, carry=()):
+    """Attach BOTH endpoint degrees to the distinct undirected edge
+    shards via two ``copartition_hash_join`` passes (on u -> dgu, rekey
+    by v -> dgv).  ``carry`` names und columns to ride through.  Shared
+    by assortativity / the triangle core / rich-club — one place to fix
+    key derivation or add hot-key salting."""
+    deg_u = deg.map_batches(
+        lambda b: pa.table({"k": b["nk"], "dgu": b["dg"]}),
+        batch_format="pyarrow", batch_size=None)
+    deg_v = deg.map_batches(
+        lambda b: pa.table({"k": b["nk"], "dgv": b["dg"]}),
+        batch_format="pyarrow", batch_size=None)
+
+    def key_u(batch: pa.Table) -> pa.Table:
+        cols = {"k": pa.array(_key64(np.asarray(
+            batch["u"].to_pylist(), dtype=object))),
+            "v2": batch["v"]}
+        for c in carry:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    ju = copartition_hash_join(
+        und.map_batches(key_u, batch_format="pyarrow", batch_size=None),
+        deg_u, on="k", n_parts=int(n_parts))
+
+    def key_v(batch: pa.Table) -> pa.Table:
+        cols = {"k": pa.array(_key64(np.asarray(
+            batch["v2"].to_pylist(), dtype=object))),
+            "dgu": batch["dgu"]}
+        for c in carry:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    return copartition_hash_join(
+        ju.map_batches(key_v, batch_format="pyarrow", batch_size=None),
+        deg_v, on="k", n_parts=int(n_parts))
+
+
 def reciprocity_dist(edges, n_parts: int = 32):
     """Distributed :func:`webgraph.domain_reciprocity`: canonical-pair
     co-partition — a directed edge and its mirror always share a
@@ -239,59 +283,25 @@ def reciprocity_dist(edges, n_parts: int = 32):
 def assortativity_dist(edges, n_parts: int = 32):
     """Distributed :func:`webgraph.domain_assortativity`.
 
-    The three single-endpoint moments collapse to degree-table sums
-    (sum over edges of deg_u + deg_v == sum over nodes of deg^2, and
-    likewise deg^2+deg^2 -> deg^3), so only Sxy needs the per-edge
-    degree pair — two ``copartition_hash_join`` passes.  All moments
-    are exact: per-bucket node folds run over the (degree value ->
-    count) histogram in Python big ints and ship as decimal strings
-    (deg^3 overflows int64 at web-scale degrees); the per-edge product
-    deg_u*deg_v fits int64 and rides hi/lo lanes (the emb_dim_stats
-    wrap-safe pattern)."""
-    import pandas as pd
-
+    The three single-endpoint moments collapse to degree-HISTOGRAM
+    sums (sum over edges of deg_u + deg_v == sum over nodes of deg^2,
+    likewise deg^2 + deg^2 -> deg^3), folded in Python big ints over
+    the distinct-degree-bounded histogram (deg^3 overflows int64 at
+    web-scale degrees); only Sxy needs the per-edge degree pair — the
+    shared :func:`_edges_with_degrees` co-partition — whose product
+    fits int64 and rides hi/lo lanes (the emb_dim_stats wrap-safe
+    pattern)."""
     from .text import round_half_away
 
     und = _und_edges(edges, n_parts).materialize()
     deg = _degrees(und, n_parts).materialize()
+    hist = _deg_histogram(deg)
+    n_nodes = sum(hist.values())
+    m2 = sum(c * v for v, c in hist.items())              # sum deg == 2E
+    sx = sum(c * v * v for v, c in hist.items())          # sum deg^2
+    sxx = sum(c * v * v * v for v, c in hist.items())     # sum deg^3
 
-    def node_moments(df: "pd.DataFrame") -> "pd.DataFrame":
-        vals, cnts = np.unique(df["dg"].to_numpy(np.int64),
-                               return_counts=True)
-        m1 = m2 = m3 = 0
-        for v, c in zip(vals.tolist(), cnts.tolist()):     # histogram-
-            m1 += c * v                                     # bounded fold
-            m2 += c * v * v
-            m3 += c * v * v * v
-        return pd.DataFrame({"n_nodes": [np.int64(len(df))],
-                             "m1": [str(m1)], "m2": [str(m2)],
-                             "m3": [str(m3)]})
-
-    nm = deg.groupby("part").map_groups(
-        node_moments, batch_format="pandas").to_pandas()
-    n_nodes = int(nm["n_nodes"].sum()) if len(nm) else 0
-    sum_dg = sum(int(x) for x in nm["m1"]) if len(nm) else 0
-    sx = sum(int(x) for x in nm["m2"]) if len(nm) else 0      # sum deg^2
-    sxx = sum(int(x) for x in nm["m3"]) if len(nm) else 0     # sum deg^3
-    m2 = sum_dg                                               # == 2E
-
-    # join und x deg on u (-> dgu), rekey by v, join on v (-> dgv)
-    deg_u = deg.map_batches(
-        lambda b: pa.table({"k": b["nk"], "dgu": b["dg"]}),
-        batch_format="pyarrow", batch_size=None)
-    deg_v = deg.map_batches(
-        lambda b: pa.table({"k": b["nk"], "dgv": b["dg"]}),
-        batch_format="pyarrow", batch_size=None)
-    left_u = und.map_batches(lambda b: pa.table({
-        "k": pa.array(_key64(np.asarray(b["u"].to_pylist(),
-                                        dtype=object))),
-        "vdom": b["v"]}), batch_format="pyarrow", batch_size=None)
-    ju = copartition_hash_join(left_u, deg_u, on="k", n_parts=n_parts)
-    left_v = ju.map_batches(lambda b: pa.table({
-        "k": pa.array(_key64(np.asarray(b["vdom"].to_pylist(),
-                                        dtype=object))),
-        "dgu": b["dgu"]}), batch_format="pyarrow", batch_size=None)
-    jv = copartition_hash_join(left_v, deg_v, on="k", n_parts=n_parts)
+    jv = _edges_with_degrees(und, deg, n_parts)
 
     def sxy_lanes(batch: pa.Table) -> pa.Table:
         a = batch["dgu"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -345,12 +355,15 @@ def bfs_depth_dist(edges, seed: str = "src0.example.com",
                             batch_size=None).materialize()
 
     seed_k = int(_key64(np.array([seed], dtype=object))[0])
-    lab = pd.DataFrame({"part": [int(_part_of(
-        np.array([seed_k], dtype=np.int64), P)[0])],
-        "nk": [np.int64(seed_k)], "node": [seed],
-        "depth": [np.int64(0)]})
-    labels = _from_arrow(pa.Table.from_pandas(
-        lab, preserve_index=False)).materialize()
+    # part is int32 EVERYWHERE (matching _part_of) so the per-level
+    # unions never mix block schemas
+    labels = _from_arrow(pa.table({
+        "part": pa.array(_part_of(np.array([seed_k], dtype=np.int64),
+                                  P)),
+        "nk": pa.array([seed_k], type=pa.int64()),
+        "node": pa.array([seed], type=pa.string()),
+        "depth": pa.array([0], type=pa.int64()),
+    })).materialize()
     frontier = labels
 
     k = 0
@@ -543,20 +556,23 @@ def pagerank_dist(edges, damping: float = 0.85, iters: int = 20,
                                 "dst": b["dst"], "t": b["t"]}),
             batch_format="pyarrow", batch_size=None)
         joined = copartition_hash_join(ek, rk, on="k", n_parts=P)
-        contrib = joined.map_batches(
-            lambda b: pa.table({
-                "part": pa.array(_part_of(
-                    _key64(np.asarray(b["dst"].to_pylist(),
-                                      dtype=object)), P)),
+
+        def contrib(b: pa.Table) -> pa.Table:
+            # hash dst ONCE per batch (part + nk share it) — this is
+            # the hottest per-iteration stage
+            nk = _key64(np.asarray(b["dst"].to_pylist(), dtype=object))
+            return pa.table({
+                "part": pa.array(_part_of(nk, P)),
                 "kind": pa.array(np.zeros(len(b), dtype=np.int8)),
-                "nk": pa.array(_key64(np.asarray(
-                    b["dst"].to_pylist(), dtype=object))),
+                "nk": pa.array(nk),
                 "node": b["dst"], "aux": b["src"],
                 "val": pa.array(
                     b["t"].to_numpy(zero_copy_only=False)
                     * b["r"].to_numpy(zero_copy_only=False)),
-                "out": pa.array(np.zeros(len(b), dtype=np.int64))}),
-            batch_format="pyarrow", batch_size=None)
+                "out": pa.array(np.zeros(len(b), dtype=np.int64))})
+
+        contrib = joined.map_batches(contrib, batch_format="pyarrow",
+                                     batch_size=None)
         st_tag = state.map_batches(
             lambda b: pa.table({
                 "part": b["part"],
@@ -856,16 +872,19 @@ def common_pairs_dist(edges, group_col: str, item_col: str,
 
 def cocitation_dist(edges, n_parts: int = 32,
                     hot_group_cap: int | None = None):
-    """Distributed :func:`webgraph.domain_cocitation` (shared source)."""
+    """Distributed :func:`webgraph.domain_cocitation` (shared source).
+    Sorted (d1, d2) like the single-task finisher, so auto dispatch
+    never changes row order."""
     return common_pairs_dist(edges, "src_domain", "dst_domain",
-                             n_parts, hot_group_cap)
+                             n_parts, hot_group_cap).sort(["d1", "d2"])
 
 
 def coupling_dist(edges, n_parts: int = 32,
                   hot_group_cap: int | None = None):
-    """Distributed :func:`webgraph.domain_coupling` (shared target)."""
+    """Distributed :func:`webgraph.domain_coupling` (shared target).
+    Sorted (d1, d2) like the single-task finisher."""
     return common_pairs_dist(edges, "dst_domain", "src_domain",
-                             n_parts, hot_group_cap)
+                             n_parts, hot_group_cap).sort(["d1", "d2"])
 
 
 def _tri_node_counts(edges, n_parts: int):
@@ -887,24 +906,7 @@ def _tri_node_counts(edges, n_parts: int):
     und = _und_edges(edges, P).materialize()
     deg = _degrees(und, P).materialize()
 
-    deg_u = deg.map_batches(
-        lambda b: pa.table({"k": b["nk"], "dgu": b["dg"]}),
-        batch_format="pyarrow", batch_size=None)
-    deg_v = deg.map_batches(
-        lambda b: pa.table({"k": b["nk"], "dgv": b["dg"]}),
-        batch_format="pyarrow", batch_size=None)
-    left_u = und.map_batches(lambda b: pa.table({
-        "k": pa.array(_key64(np.asarray(b["u"].to_pylist(),
-                                        dtype=object))),
-        "u": b["u"], "v": b["v"]}),
-        batch_format="pyarrow", batch_size=None)
-    ju = copartition_hash_join(left_u, deg_u, on="k", n_parts=P)
-    left_v = ju.map_batches(lambda b: pa.table({
-        "k": pa.array(_key64(np.asarray(b["v"].to_pylist(),
-                                        dtype=object))),
-        "u": b["u"], "v": b["v"], "dgu": b["dgu"]}),
-        batch_format="pyarrow", batch_size=None)
-    jv = copartition_hash_join(left_v, deg_v, on="k", n_parts=P)
+    jv = _edges_with_degrees(und, deg, P, carry=("u", "v"))
 
     def orient(batch: pa.Table) -> pa.Table:
         u = np.asarray(batch["u"].to_pylist(), dtype=object)
@@ -1145,8 +1147,17 @@ def link_jaccard_dist(edges, k: int = 20, n_parts: int = 32):
         batch_format="pyarrow", batch_size=None)
     j3 = copartition_hash_join(c3, adj, on="k", n_parts=P, how="left")
 
+    _TOPK_SCHEMA = pa.schema([
+        ("d1", pa.string()), ("d2", pa.string()),
+        ("n_common", pa.int64()), ("n_union", pa.int64()),
+        ("jac", pa.float64()), ("is_adjacent", pa.bool_())])
+
     def topk_partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        if not len(batch):
+            # typed empty (the matchless-bucket convention): from_pandas
+            # on an empty frame would infer null-typed string columns
+            return _TOPK_SCHEMA.empty_table()
         common_ = batch["n_common"].to_numpy(
             zero_copy_only=False).astype(np.int64)
         union = (batch["dg1"].to_numpy(zero_copy_only=False)
@@ -1164,7 +1175,9 @@ def link_jaccard_dist(edges, k: int = 20, n_parts: int = 32):
         df = df.sort_values(["jac", "d1", "d2"],
                             ascending=[False, True, True],
                             kind="stable").head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).select(
+            _TOPK_SCHEMA.names).cast(_TOPK_SCHEMA)
 
     parts = j3.map_batches(topk_partial, batch_format="pyarrow",
                            batch_size=None).to_pandas()  # <= P*k rows
@@ -1199,22 +1212,7 @@ def rich_club_dist(edges, n_parts: int = 32):
     deg = _degrees(und, P).materialize()
     hist = _deg_histogram(deg)
 
-    deg_u = deg.map_batches(
-        lambda b: pa.table({"k": b["nk"], "dgu": b["dg"]}),
-        batch_format="pyarrow", batch_size=None)
-    deg_v = deg.map_batches(
-        lambda b: pa.table({"k": b["nk"], "dgv": b["dg"]}),
-        batch_format="pyarrow", batch_size=None)
-    left_u = und.map_batches(lambda b: pa.table({
-        "k": pa.array(_key64(np.asarray(b["u"].to_pylist(),
-                                        dtype=object))),
-        "v": b["v"]}), batch_format="pyarrow", batch_size=None)
-    ju = copartition_hash_join(left_u, deg_u, on="k", n_parts=P)
-    left_v = ju.map_batches(lambda b: pa.table({
-        "k": pa.array(_key64(np.asarray(b["v"].to_pylist(),
-                                        dtype=object))),
-        "dgu": b["dgu"]}), batch_format="pyarrow", batch_size=None)
-    jv = copartition_hash_join(left_v, deg_v, on="k", n_parts=P)
+    jv = _edges_with_degrees(und, deg, P)
 
     def min_hist(batch: pa.Table) -> pa.Table:
         a = batch["dgu"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1230,11 +1228,26 @@ def rich_club_dist(edges, n_parts: int = 32):
     for v, c in zip(mh["m"].tolist(), mh["cnt"].tolist()):
         mhist[int(v)] = mhist.get(int(v), 0) + int(c)
 
+    # true suffix sums over the SORTED histograms: O(D log D) driver
+    # work, not a full-histogram rescan per threshold
     ks = sorted(hist)
+    ksuf = {}
+    run = 0
+    for v in reversed(ks):
+        run += hist[v]
+        ksuf[v] = run                   # nodes with degree >= v
+    mvals = sorted(mhist)
+    msuf = {}
+    run = 0
+    for v in reversed(mvals):
+        run += mhist[v]
+        msuf[v] = run                   # edges with min-degree >= v
     rows = {"k": [], "n_nodes": [], "n_edges": [], "phi": []}
-    for kk in ks:
-        nk_ = sum(c for v, c in hist.items() if v > kk)
-        ek = sum(c for v, c in mhist.items() if v > kk)
+    for i, kk in enumerate(ks):
+        # degree > kk == degree >= next distinct degree
+        nk_ = ksuf[ks[i + 1]] if i + 1 < len(ks) else 0
+        pos = np.searchsorted(np.asarray(mvals), kk, side="right")
+        ek = msuf[mvals[pos]] if pos < len(mvals) else 0
         rows["k"].append(kk)
         rows["n_nodes"].append(nk_)
         rows["n_edges"].append(ek)
