@@ -696,9 +696,17 @@ def standardize_by_group(sf_dir: str, group_col: str = "lang",
         v = np.asarray(batch[value_col].to_pandas(), dtype=np.float64)
         valid = ~np.isnan(v)
         v = np.where(valid, v, 0.0)
-        s = np.array([mm[k][0] for k in keys], dtype=np.int64)
-        qq = np.array([mm[k][1] for k in keys], dtype=np.int64)
-        n = np.array([mm[k][2] for k in keys], dtype=np.int64)
+        # a group whose values are ALL NULL never enters the moment
+        # table (moments() drops NULL values); its rows are invalid and
+        # must come out z=NULL like the oracle's outer join — the (0,
+        # 0, 1) stand-in keeps the arithmetic finite and is never
+        # emitted because valid is False for every such row
+        s = np.array([mm.get(k, (0, 0, 1))[0] for k in keys],
+                     dtype=np.int64)
+        qq = np.array([mm.get(k, (0, 0, 1))[1] for k in keys],
+                      dtype=np.int64)
+        n = np.array([mm.get(k, (0, 0, 1))[2] for k in keys],
+                     dtype=np.int64)
         mean = s / n
         var = qq / n - mean * mean
         zero = (n * qq) == (s * s)
@@ -1182,6 +1190,13 @@ def quality_median_filter(sf_dir: str):
         ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
         def with_quality(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # NULL-lang docs drop: the oracle's JOIN USING (lang)
+            # discards them, and the per-language median machinery
+            # cannot sort a None group key (review finding)
+            if batch["lang"].null_count:
+                batch = batch.filter(pc.is_valid(batch["lang"]))
             q = quality_score(batch)
             return pa.table({
                 "doc_id": batch["doc_id"],
@@ -2070,12 +2085,12 @@ def heaps_law(sf_dir: str, n_checkpoints: int = 10):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    # checkpoint thresholds from exact int min/max of doc_id (one cheap
-    # column-pruned aggregate pass; the corpus pass below is separate
-    # because the thresholds parameterize its batch function)
-    stats = ds.map_batches(
-        lambda b: pa.table({"d": b["doc_id"]}),
-        batch_format="pyarrow", batch_size=None) \
+    # checkpoint thresholds from exact int min/max of doc_id — its own
+    # SINGLE-COLUMN projection so this pass never decodes the text
+    # column (review finding; mapping over `ds` would re-read text)
+    stats = read_table(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(lambda b: pa.table({"d": b["doc_id"]}),
+                     batch_format="pyarrow", batch_size=None) \
         .aggregate(Min("d"), Max("d"))
     dmin = int(stats["min(d)"]) if stats["min(d)"] is not None else 0
     dmax = int(stats["max(d)"]) if stats["max(d)"] is not None else 0
@@ -2553,17 +2568,40 @@ def char_entropy(sf_dir: str):
         ok = lang.notna().to_numpy()
         texts = _string_array(batch["text"]).filter(pa.array(ok))
         lang = lang[ok].astype(str).to_numpy()
-        cp = _codepoint_matrix(texts)
-        if cp.size == 0:
-            return pa.table({"lang": pa.array([], type=pa.string()),
-                             "cp": pa.array([], type=pa.int64()),
-                             "pn": pa.array([], type=pa.int64())})
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "cp": pa.array([], type=pa.int64()),
+                          "pn": pa.array([], type=pa.int64())})
+        if len(lang) == 0:
+            return empty
         lcodes, luniq = pd.factorize(pd.Series(lang))
-        rows = np.repeat(lcodes.astype(np.int64), cp.shape[1])
-        flat = cp.ravel()
-        keep = flat > 0                   # 0 == pad sentinel (and NUL)
-        key = rows[keep] * (np.int64(1) << 21) + flat[keep]
-        uk, cnt = np.unique(key, return_counts=True)
+        # chunk the dense (rows x longest-doc) matrix like fingerprint:
+        # one megabyte-scale document in a 16k-row block must not
+        # allocate rows x 1e6 int64 cells (review finding)
+        CH = 2048
+        uks, cnts = [], []
+        for s0 in range(0, len(lang), CH):
+            cp = _codepoint_matrix(texts.slice(s0, CH))
+            if cp.size == 0:
+                continue
+            rows = np.repeat(
+                lcodes[s0:s0 + cp.shape[0]].astype(np.int64),
+                cp.shape[1])
+            flat = cp.ravel()
+            keep = flat > 0               # 0 == pad sentinel (and NUL)
+            u_, c_ = np.unique(rows[keep] * (np.int64(1) << 21)
+                               + flat[keep], return_counts=True)
+            uks.append(u_)
+            cnts.append(c_.astype(np.int64))
+        if not uks:
+            return empty
+        allk = np.concatenate(uks)
+        allc = np.concatenate(cnts)
+        order = np.argsort(allk, kind="stable")
+        allk, allc = allk[order], allc[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], allk[1:] != allk[:-1]]))
+        uk = allk[starts]
+        cnt = np.add.reduceat(allc, starts)
         return pa.table({
             "lang": pa.array(luniq[(uk >> 21).astype(np.int64)],
                              type=pa.string()),
@@ -3803,7 +3841,8 @@ def token_dispersion(sf_dir: str, k: int = 20, lower: bool = True):
         texts = _string_array(batch["text"])
         n_rows = len(texts)
         rows_t = [""]                 # sentinel: per-batch doc count
-        rows_q = [0]
+        rows_qh = [0]
+        rows_ql = [0]
         rows_c = [np.int64(n_rows)]   # rides the pc lane
         rows_d = [0]
         row_idx, codes, uniques, _, _ = _token_codes(texts, lower=lower)
@@ -3811,6 +3850,10 @@ def token_dispersion(sf_dir: str, k: int = 20, lower: bool = True):
             nu = np.int64(len(uniques))
             key = row_idx * nu + codes
             u, cnt = np.unique(key, return_counts=True)
+            if int(cnt.max()) ** 2 * len(cnt) >= 1 << 63:
+                raise ValueError("token_dispersion: per-batch square "
+                                 "sum would overflow int64; lower "
+                                 "batch_size")
             tok_code = (u % nu).astype(np.int64)
             per = pd.DataFrame({"t": tok_code,
                                 "c": cnt.astype(np.int64)})
@@ -3818,12 +3861,18 @@ def token_dispersion(sf_dir: str, k: int = 20, lower: bool = True):
                 q=("c", lambda x: int(np.dot(x, x))),
                 s=("c", "sum"), d=("c", "size")).reset_index()
             rows_t += [uniques[int(t_)] for t_ in g["t"]]
-            rows_q += [int(x) for x in g["q"]]
+            # cross-batch hi/lo lanes (the corr_by_group wrap-free
+            # convention): per-token square sums are quadratic in count
+            # and the oracle sums HUGEINT, so the Ray Sum must not ride
+            # a single int64 lane
+            rows_qh += [int(x) >> 31 for x in g["q"]]
+            rows_ql += [int(x) & ((1 << 31) - 1) for x in g["q"]]
             rows_c += [int(x) for x in g["s"]]
             rows_d += [int(x) for x in g["d"]]
         return pa.table({
             "token": pa.array(rows_t, type=pa.string()),
-            "pq": pa.array(rows_q, type=pa.int64()),
+            "pq_hi": pa.array(rows_qh, type=pa.int64()),
+            "pq_lo": pa.array(rows_ql, type=pa.int64()),
             "pc": pa.array(rows_c, type=pa.int64()),
             "pd_": pa.array(rows_d, type=pa.int64()),
         })
@@ -3845,7 +3894,8 @@ def token_dispersion(sf_dir: str, k: int = 20, lower: bool = True):
 
     m = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
          .groupby("token")
-         .aggregate(Sum("pq", alias_name="q"),
+         .aggregate(Sum("pq_hi", alias_name="q_hi"),
+                    Sum("pq_lo", alias_name="q_lo"),
                     Sum("pc", alias_name="c"),
                     Sum("pd_", alias_name="d"))
          .map_batches(disp_cut, batch_format="pyarrow", batch_size=None)
@@ -3862,7 +3912,7 @@ def token_dispersion(sf_dir: str, k: int = 20, lower: bool = True):
                           ignore_index=True, kind="stable").head(k)
         for i, r in m.iterrows():
             cc = int(r["c"])
-            qq = int(r["q"])
+            qq = (int(r["q_hi"]) << 31) + int(r["q_lo"])
             num = big_d * qq - cc * cc
             den = big_d * cc
             out["token"].append(r["token"])

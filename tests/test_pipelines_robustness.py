@@ -419,3 +419,59 @@ def test_group_keys_with_nul_and_flag_bytes(tmp_path, ray_session):
     # grand-total rollup + any (NULL lang, NULL source) data group
     assert int(both_null["n_docs"].max()) == n
     assert int(r["n_docs"].max()) == n
+
+
+def test_standardize_all_null_value_group(tmp_path, ray_session):
+    """A group whose values are ALL NULL never enters the moment table;
+    its rows must come out z=NULL (oracle outer-join semantics), not
+    crash the score pass (review finding, reproduced as KeyError)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    langs = ["en", "en", "xx", "xx", "de"]
+    chars = [10, 20, None, None, 7]
+    texts = ["a b", "c d", "e", "f", "g h i"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(5), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array(chars, type=pa.int64()),
+    }), f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    out = e.queries()["standardize_docs"](d).to_pandas()
+    ora = con.execute(e.oracle_sql()["standardize_docs"]).df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols, ignore_index=True)
+    b = ora[cols].sort_values(cols, ignore_index=True)
+    assert len(a) == len(b) == 5
+    assert a["z"].isna().sum() == 2 and b["z"].isna().sum() == 2
+
+
+def test_quality_median_filter_null_lang(tmp_path, ray_session):
+    """NULL-lang documents drop (the oracle's JOIN USING (lang)
+    semantics) instead of crashing the per-language median shuffle
+    (review finding, reproduced as TypeError)."""
+    import pyarrow.parquet as pq
+
+    from s2ray.pipelines.text import quality_median_filter
+
+    d = str(tmp_path)
+    langs = ["en", "en", None, "de", "de", None]
+    texts = [f"word{i} text here more tokens now" for i in range(6)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(6), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs, type=pa.string()),
+        "source": pa.array(["s"] * 6),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }), f"{d}/documents.parquet")
+    out = quality_median_filter(d).to_pandas()
+    assert out["lang"].notna().all()
+    assert set(out["lang"]) <= {"en", "de"}
+    assert len(out) >= 2            # each lang keeps >= its median doc
