@@ -5226,13 +5226,19 @@ WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)"""
     )
     # sliding windows: 1h window / 30min slide; mirror the engine's
     # floor-to-second timestamps exactly
+    # window base via the double-mod FLOOR (es - ((es % s) + s) % s),
+    # matching numpy's floor-dividing // for pre-1970 timestamps —
+    # DuckDB's integer // truncates toward zero (cf. the
+    # events_sliding_distinct oracle, same guard)
     sliding = """
 SELECT make_timestamp(w * 1000000) AS window_start, event_type,
        count(*) AS n_events
 FROM (
-  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800 * k.k AS w,
-         CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type
-  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+  SELECT es - ((es % 1800) + 1800) % 1800 - 1800 * k.k AS w,
+         es, event_type
+  FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type
+        FROM events WHERE ts IS NOT NULL)
+  CROSS JOIN (VALUES (0), (1)) AS k(k)
 ) WHERE es < w + 3600
 GROUP BY 1, 2"""
     sessions = """

@@ -225,7 +225,11 @@ def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 1800):
     import ray.data
     from ray.data.aggregate import Sum
 
-    n_windows = window_s // slide_s
+    # CEIL, not floor: when window_s is not a multiple of slide_s an
+    # event can belong to one more window than window_s // slide_s
+    # (review finding); the `t < start + window` mask trims the
+    # over-generation, and the SQL mirror uses the same ceil
+    n_windows = -(-window_s // slide_s)
     ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -291,7 +295,9 @@ def top_k_per_region(pages_ds, regions: dict, k: int = 3):
                                     keep_cols=("page_id", "lat", "lng"))
 
     def with_dist(batch: pa.Table, centers_ref=centers_ref) -> pa.Table:
-        cs = ray.get(centers_ref)
+        from ..state.bcast import cached_get
+
+        cs = cached_get(centers_ref)   # per-worker memoized fetch
         lat = sphere.degrees_to_radians(batch["lat"].to_numpy(zero_copy_only=False))
         lng = sphere.degrees_to_radians(batch["lng"].to_numpy(zero_copy_only=False))
         codes, uniq = _dict_codes(batch["region_id"])
@@ -770,9 +776,10 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
     """
     import ray.data
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type"])
+    # read_table strips the unhashable pandas schema metadata at the
+    # READ layer (raw read_parquet spams schema-dedup warnings per task)
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
 
     def prep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1170,10 +1177,28 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
 
     qs = list(qs)
 
+    # String group columns ride the pass-A shuffle FLAG-PREFIXED
+    # ("N" for a NULL key, "V" + value otherwise): Ray's sort-based
+    # groupby cannot compare None against str, and NULL group keys form
+    # their own group by contract (review finding; regression:
+    # test_group_quantiles_null_group_key).
+    _sch = read().schema()            # Ray Schema: .names / .types
+    gtype0 = dict(zip(_sch.names, _sch.types))[group_col]
+    flag_keys = (pa.types.is_string(gtype0)
+                 or pa.types.is_large_string(gtype0))
+
+    def _flag(u):
+        return "N" if u is None else "V" + str(u)
+
+    def _unflag(k):
+        return None if k == "N" else k[1:]
+
     # -- pass A: per-group stats -------------------------------------------
     def stats(batch: pa.Table) -> pa.Table:
-        gtype = batch[group_col].type
+        gtype = pa.string() if flag_keys else batch[group_col].type
         g, uniq = _dict_codes(batch[group_col])
+        if flag_keys:
+            uniq = [_flag(u) for u in uniq]
         v = batch[value_col].to_numpy(zero_copy_only=False)
         if len(g) == 0:
             return pa.table({
@@ -1202,11 +1227,18 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
           .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
                      Sum("n", alias_name="n"))
           .to_pandas().set_index("g"))
-    groups = sorted(st.index)
+    # None-safe group order: NULL group keys form their own group
+    # (the _dict_codes contract) and must not break the sort
+    keys = sorted(st.index,
+                  key=lambda g: (g is None,
+                                 "" if g is None else str(g)))
+    # gidx maps ORIGINAL group values (None included) — passes B/C
+    # look original _dict_codes uniques up in it
+    groups = [_unflag(k) for k in keys] if flag_keys else list(keys)
     gidx = {g: i for i, g in enumerate(groups)}
-    mn = st["mn"].reindex(groups).to_numpy()
-    mx = st["mx"].reindex(groups).to_numpy()
-    cnt = st["n"].reindex(groups).to_numpy()
+    mn = st["mn"].reindex(keys).to_numpy()
+    mx = st["mx"].reindex(keys).to_numpy()
+    cnt = st["n"].reindex(keys).to_numpy()
     # degenerate ranges still need a nonzero width for searchsorted edges
     width = np.where(mx > mn, mx - mn, 1.0)
     ginfo_ref = ray.put((gidx, mn, width, n_bins))
@@ -1281,7 +1313,9 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
                                 "v"].to_numpy())
         for q, off in wants:
             rows.append((inv[gc], float(q), float(vals[off])))
-    rows.sort()
+    rows.sort(key=lambda r: ((r[0] is None,
+                              r[0] if r[0] is not None else ""),
+                             r[1], r[2]))
     return pd.DataFrame(rows, columns=[group_col, "q", value_col])
 
 
@@ -1570,8 +1604,14 @@ def props_field_stats(sf_dir: str, field: str = "k"):
     import ray.data
     from ray.data.aggregate import Max, Min, Sum
 
+    import re as _re
+
     ds = read_table(sf_dir, "events", columns=["event_type", "props"])
-    pattern = '"%s": (?P<v>[0-9]+)' % field
+    # escape the field for RE2: a literal key like "k.x" must not match
+    # "kQx" through an unescaped metacharacter (review finding); the
+    # default field "k" is unchanged, and an oracle for a non-default
+    # field must apply the same escaping to its regexp_extract
+    pattern = '"%s": (?P<v>[0-9]+)' % _re.escape(field)
     LO, HI = np.iinfo(np.int64).min, np.iinfo(np.int64).max
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2257,7 +2297,11 @@ def events_sliding_distinct(sf_dir: str, window_s: int = 3600,
     distinct locally.  NULL users and NULL timestamps drop (COUNT
     (DISTINCT) / NULL-comparison SQL parity).  Shuffle volume is
     bounded by windows x active-users-per-batch, not event count."""
-    n_windows = window_s // slide_s
+    # CEIL, not floor: when window_s is not a multiple of slide_s an
+    # event can belong to one more window than window_s // slide_s
+    # (review finding); the `t < start + window` mask trims the
+    # over-generation, and the SQL mirror uses the same ceil
+    n_windows = -(-window_s // slide_s)
     ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2313,7 +2357,7 @@ def events_sliding_distinct_sql(window_s: int = 3600,
     # floor-dividing `//` for pre-1970 (negative-epoch) timestamps —
     # DuckDB's integer `//` truncates toward zero (-7//2 = -3), which
     # would shift negative-epoch events one window late.
-    ks = ", ".join(f"({k})" for k in range(window_s // slide_s))
+    ks = ", ".join(f"({k})" for k in range(-(-window_s // slide_s)))
     return f"""
 SELECT make_timestamp(w * 1000000) AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -3734,6 +3778,8 @@ def value_histogram(sf_dir: str, width: float = 25.0, n_bins: int = 20):
     ds = read_table(sf_dir, "events", columns=["value"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         v = batch["value"]
         if v.null_count:
             v = pc.drop_null(v)
@@ -4078,7 +4124,9 @@ def doc_percent_rank(sf_dir: str, group_col: str = "lang",
     bc_ref = ray.put(tables)
 
     def attach(batch: pa.Table) -> pa.Table:
-        tbl = ray.get(bc_ref)
+        from ..state.bcast import cached_get
+
+        tbl = cached_get(bc_ref)       # per-worker memoized fetch
         g = np.asarray(batch[group_col].to_pandas().astype(str))
         v = batch[value_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
@@ -4920,9 +4968,24 @@ def group_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75),
 
     qs = list(qs)
 
+    # flag-prefixed string shuffle keys for NULL group safety — the
+    # group_quantiles contract (see its pass-A comment)
+    _sch = read().schema()            # Ray Schema: .names / .types
+    gtype0 = dict(zip(_sch.names, _sch.types))[group_col]
+    flag_keys = (pa.types.is_string(gtype0)
+                 or pa.types.is_large_string(gtype0))
+
+    def _flag(u):
+        return "N" if u is None else "V" + str(u)
+
+    def _unflag(k):
+        return None if k == "N" else k[1:]
+
     def stats(batch: pa.Table) -> pa.Table:
-        gtype = batch[group_col].type
+        gtype = pa.string() if flag_keys else batch[group_col].type
         g, uniq = _dict_codes(batch[group_col])
+        if flag_keys:
+            uniq = [_flag(u) for u in uniq]
         v = batch[value_col].to_numpy(zero_copy_only=False)
         if len(g) == 0:
             return pa.table({
@@ -4953,11 +5016,15 @@ def group_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75),
                      Max("mx", alias_name="mx"),
                      Sum("n", alias_name="n"))
           .to_pandas().set_index("g"))
-    groups = sorted(st.index)
+    # None-safe group order; gidx maps ORIGINAL group values
+    keys = sorted(st.index,
+                  key=lambda g: (g is None,
+                                 "" if g is None else str(g)))
+    groups = [_unflag(k) for k in keys] if flag_keys else list(keys)
     gidx = {g: i for i, g in enumerate(groups)}
-    mn = st["mn"].reindex(groups).to_numpy()
-    mx = st["mx"].reindex(groups).to_numpy()
-    cnt = st["n"].reindex(groups).to_numpy()
+    mn = st["mn"].reindex(keys).to_numpy()
+    mx = st["mx"].reindex(keys).to_numpy()
+    cnt = st["n"].reindex(keys).to_numpy()
     width = np.where(mx > mn, mx - mn, 1.0)
     ginfo_ref = ray.put((gidx, mn, width, n_bins))
 
@@ -5047,7 +5114,9 @@ def group_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75),
             val = float((np.float64(r_hi) - np.float64(h)) * vlo
                         + (np.float64(h) - np.float64(r_lo)) * vhi)
         rows.append((inv[gi_], float(q), val))
-    rows.sort()
+    rows.sort(key=lambda r: ((r[0] is None,
+                              r[0] if r[0] is not None else ""),
+                             r[1], r[2]))
     return pd.DataFrame(rows, columns=[group_col, "q", value_col])
 
 
@@ -5071,11 +5140,14 @@ def user_growth(sf_dir: str, n_parts: int = 64):
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
     def tag(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
-        ts = batch["ts"].to_numpy(zero_copy_only=False)
-        ok = ~pd.isna(u) & ~np.isnat(ts)
-        uu = u[ok].astype(np.int64)
-        d = ts[ok].astype("datetime64[us]").astype(np.int64) \
+        # Arrow-level null drop BEFORE to_numpy: a null-bearing int64
+        # column converts via float64 and collapses ids above 2^53
+        # (review finding; the _drop_null_users contract)
+        batch = _drop_null_ts(_drop_null_users(batch))
+        uu = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
             // 86_400_000_000
         order = np.argsort(uu, kind="stable")
         uu, d = uu[order], d[order]
@@ -5189,10 +5261,13 @@ def dau_mau(sf_dir: str, n_parts: int = 64):
         # user_id < 2^63 / 1e5 ~ 9.2e13 (same class of bound as every
         # other packed-key partial in this file)
         key = u * 100_000 + d
-        keep = np.concatenate([[True], np.sort(key)[1:]
-                               != np.sort(key)[:-1]]) if len(key) \
-            else np.empty(0, bool)
+        # ONE argsort serves both the ordering and the dedup mask (the
+        # day_user_jaccard.tag shape; the old double np.sort discarded
+        # two full sorts per batch)
         order = np.argsort(key, kind="stable")
+        ks = key[order]
+        keep = np.concatenate([[True], ks[1:] != ks[:-1]]) \
+            if len(ks) else np.empty(0, bool)
         u, d = u[order][keep], d[order][keep]
         part = _part_of(u, n_parts).astype(np.int64)
         ordp = np.argsort(part, kind="stable")
@@ -5466,11 +5541,12 @@ def activity_curve(sf_dir: str, n_parts: int = 64):
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
     def tag(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
-        ts = batch["ts"].to_numpy(zero_copy_only=False)
-        ok = ~pd.isna(u) & ~np.isnat(ts)
-        uu = u[ok].astype(np.int64)
-        d = ts[ok].astype("datetime64[us]").astype(np.int64) \
+        # Arrow-level null drop first (see user_growth.tag)
+        batch = _drop_null_ts(_drop_null_users(batch))
+        uu = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
             // 86_400_000_000
         assert len(d) == 0 or (d.min() >= 0 and d.max() < 50000), \
             "activity_curve day packing assumes days in [0, 50000)"
@@ -5577,15 +5653,19 @@ def event_trigrams(sf_dir: str, n_parts: int = 64):
                     columns=["user_id", "ts", "event_id", "event_type"])
 
     def tag(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
-        ts = batch["ts"].to_numpy(zero_copy_only=False)
-        t = batch["event_type"].to_pandas()
-        ok = ~pd.isna(u) & ~np.isnat(ts) & t.notna().to_numpy()
-        uu = u[ok].astype(np.int64)
-        tsv = ts[ok].astype("datetime64[us]").astype(np.int64)
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)[ok] \
+        import pyarrow.compute as pc
+
+        # Arrow-level null drop first (see user_growth.tag)
+        batch = _drop_null_ts(_drop_null_users(batch))
+        if batch["event_type"].null_count:
+            batch = batch.filter(pc.is_valid(batch["event_type"]))
+        uu = batch["user_id"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        ty = t[ok].astype(str).to_numpy()
+        tsv = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ty = batch["event_type"].to_pandas().astype(str).to_numpy()
         part = _part_of(uu, n_parts).astype(np.int64)
         ordp = np.argsort(part, kind="stable")
         part, uu, tsv, eid, ty = (part[ordp], uu[ordp], tsv[ordp],

@@ -359,14 +359,16 @@ def test_sliding_distinct_negative_epochs(tmp_path, ray_session):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"read_parquet('{d}/events.parquet')")
-    out = e.queries()["events_sliding_distinct"](d).to_pandas()
-    ora = con.execute(e.oracle_sql()["events_sliding_distinct"]).df()
-    cols = sorted(out.columns)
-    a = out[cols].sort_values(cols, ignore_index=True)
-    b = ora[cols].sort_values(cols, ignore_index=True)
-    assert len(a) == len(b) and len(a) > 0
-    for c in cols:
-        assert np.array_equal(np.asarray(a[c]), np.asarray(b[c])), c
+    for q in ("events_sliding_distinct", "events_sliding"):
+        out = e.queries()[q](d).to_pandas()
+        ora = con.execute(e.oracle_sql()[q]).df()
+        cols = sorted(out.columns)
+        a = out[cols].sort_values(cols, ignore_index=True)
+        b = ora[cols].sort_values(cols, ignore_index=True)
+        assert len(a) == len(b) and len(a) > 0, q
+        for c in cols:
+            assert np.array_equal(np.asarray(a[c]),
+                                  np.asarray(b[c])), (q, c)
 
 
 def test_group_keys_with_nul_and_flag_bytes(tmp_path, ray_session):
@@ -475,3 +477,39 @@ def test_quality_median_filter_null_lang(tmp_path, ray_session):
     assert out["lang"].notna().all()
     assert set(out["lang"]) <= {"en", "de"}
     assert len(out) >= 2            # each lang keeps >= its median doc
+
+
+def test_group_quantiles_null_group_key(tmp_path, ray_session):
+    """A NULL event_type must form its own quantile group (the
+    _dict_codes contract) instead of crashing the driver's group sort
+    (review finding, reproduced as TypeError on sorted([None, ...]))."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    n = 60
+    types = [None if i % 10 == 0 else f"t{i % 3}" for i in range(n)]
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(np.arange(n) * 1000, type=pa.timestamp("us")),
+        "user_id": pa.array(np.arange(n) % 7, type=pa.int64()),
+        "event_type": pa.array(types, type=pa.string()),
+        "value": pa.array((np.arange(n) * 13 % 97).astype(np.float64)),
+        "props": pa.array(["{}"] * n),
+    }), f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    out = e.queries()["events_quantiles"](d)
+    out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    ora = con.execute(e.oracle_sql()["events_quantiles"]).df()
+    assert len(out) == len(ora)
+    # the NULL group yields one row per requested quantile (3), on
+    # both engines, with identical values
+    assert out["event_type"].isna().sum() \
+        == ora["event_type"].isna().sum() == 3
+    a = out[out["event_type"].isna()].sort_values("q", ignore_index=True)
+    b = ora[ora["event_type"].isna()].sort_values("q", ignore_index=True)
+    assert a["value"].tolist() == b["value"].tolist()

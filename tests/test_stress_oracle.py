@@ -387,7 +387,8 @@ def test_all_empty_batch_sketches_no_crash(tmp_path, ray_session):
                                .queries()[q](str(tmp_path)), con)
 
 
-NULL_VALUE_QUERIES = ["events_hourly", "events_quantiles"]
+NULL_VALUE_QUERIES = ["events_hourly", "events_quantiles",
+                      "value_histogram"]
 
 
 @pytest.fixture(scope="module")
