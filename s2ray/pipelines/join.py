@@ -402,6 +402,15 @@ def pricing_summary(sf_dir: str):
             .astype(np.int64)
         u, inv = np.unique(key, return_inverse=True)
         n = len(u)
+        # float64 bincount weights are exact only below 2^53: guard the
+        # per-batch per-group bound so a huge block fails loudly rather
+        # than silently losing microcents (review finding)
+        if len(key):
+            mx = int(np.max(price_c * disc_c))
+            if mx * len(key) >= (1 << 53):
+                raise ValueError("pricing_summary: per-batch weighted "
+                                 "bincount would exceed float64 exact "
+                                 "range; lower the block size")
         return pa.table({
             "l_returnflag": pa.array(
                 [fuq[int(k) // max(1, len(suq))] for k in u],
@@ -473,15 +482,30 @@ def emb_integrity(sf_dir: str, n_parts: int = 64):
                                 batch_size=None))
 
     def audit(df) -> pa.Table:
-        import pandas as pd
+        # mirrors the oracle's LEFT JOIN under DUPLICATE ids (the very
+        # corruption an integrity audit exists for): each left row
+        # contributes max(1, matches) to n_total and matches to
+        # n_matched — join fan-out semantics, not distinct-id counts
+        d = np.sort(df.loc[df["side"] == 0, "id"].to_numpy()
+                    .astype(np.int64))
+        v = np.sort(df.loc[df["side"] == 1, "id"].to_numpy()
+                    .astype(np.int64))
 
-        d = df.loc[df["side"] == 0, "id"].to_numpy()
-        v = df.loc[df["side"] == 1, "id"].to_numpy()
-        m = np.int64(len(np.intersect1d(d, v)))
+        def fanout(left, right):
+            if not len(left):
+                return np.int64(0), np.int64(0)
+            lo = np.searchsorted(right, left, side="left")
+            hi = np.searchsorted(right, left, side="right")
+            matches = (hi - lo).astype(np.int64)
+            return (np.int64(np.maximum(matches, 1).sum()),
+                    np.int64(matches.sum()))
+
+        td, md = fanout(d, v)
+        tv, mv = fanout(v, d)
         return pa.table({
             "side": pa.array(["documents", "embeddings"]),
-            "pn": pa.array(np.array([len(d), len(v)], dtype=np.int64)),
-            "pm": pa.array(np.array([m, m], dtype=np.int64)),
+            "pn": pa.array(np.array([td, tv], dtype=np.int64)),
+            "pm": pa.array(np.array([md, mv], dtype=np.int64)),
         })
 
     agg = (both.groupby("part").map_groups(audit, batch_format="pandas")
@@ -2350,8 +2374,11 @@ def market_share(sf_dir: str, supp_nation: str = "NATION_1",
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
         rev = (np.rint(ext * 100.0).astype(np.int64)
                * np.rint((1.0 - disc) * 100.0).astype(np.int64))
-        bit = sb[np.searchsorted(skeys, lsk)]
-        # suppliers are a closed key space (every l_suppkey exists)
+        pos = np.minimum(np.searchsorted(skeys, lsk),
+                         max(0, len(skeys) - 1))
+        assert len(lsk) == 0 or bool((skeys[pos] == lsk).all()), \
+            "lineitem references a suppkey absent from supplier (FK)"
+        bit = sb[pos]
         yr = (sd[keep].astype("datetime64[Y]").astype(np.int64)
               + 1970 - y0)
         comp = ok * (2 * n_years) + bit * n_years + yr
@@ -3027,8 +3054,11 @@ def order_overlap(sf_dir: str, n_parts: int = 64):
         sd = batch["s_day"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         pe = batch["pe"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # finish the per-order max here: all partials of an orderkey are
-        # in this block (orderkey hash co-partition)
+        # per-order max WITHIN this block; the orderkey RIDES the blob
+        # so the custkey stage can re-merge partials if Ray's dynamic
+        # block splitting ever splits a co-partition group's output
+        # across map_batches calls (review finding — block integrity is
+        # not a Ray contract, unlike map_groups group integrity)
         order = np.argsort(ok, kind="stable")
         ok, c, sd, pe = ok[order], c[order], sd[order], pe[order]
         starts = np.concatenate(
@@ -3037,6 +3067,7 @@ def order_overlap(sf_dir: str, n_parts: int = 64):
         si = starts.astype(np.int64)
         e = np.maximum.reduceat(pe, si) if len(ok) \
             else pe
+        ok1 = ok[si] if len(ok) else ok
         c1 = c[si] if len(ok) else c
         s1 = sd[si] if len(ok) else sd
         # compact to one Arrow-IPC blob row per (block, part): the
@@ -3044,7 +3075,8 @@ def order_overlap(sf_dir: str, n_parts: int = 64):
         # one row per ORDER (Ray's sort shuffle costs ~84us/raw row)
         part = (c1 % P).astype(np.int64)
         ordp = np.argsort(part, kind="stable")
-        part, c1, s1, e = part[ordp], c1[ordp], s1[ordp], e[ordp]
+        part, ok1, c1, s1, e = (part[ordp], ok1[ordp], c1[ordp],
+                                s1[ordp], e[ordp])
         bstarts = np.concatenate(
             [[0], np.flatnonzero(part[1:] != part[:-1]) + 1,
              [len(part)]]) if len(part) else np.array([0, 0])
@@ -3054,6 +3086,7 @@ def order_overlap(sf_dir: str, n_parts: int = 64):
                 continue
             rows_p.append(int(part[a_]))
             rows_b.append(_ipc_bytes(pa.table({
+                "o": pa.array(ok1[a_:b_]),
                 "c": pa.array(c1[a_:b_]),
                 "s": pa.array(s1[a_:b_]),
                 "e": pa.array(e[a_:b_])})))
@@ -3065,12 +3098,25 @@ def order_overlap(sf_dir: str, n_parts: int = 64):
     def count_overlaps(df) -> pa.Table:
         tabs = [_ipc_table(b) for b in df["blob"]]
         t = pa.concat_tables(tabs) if tabs else pa.table(
-            {"c": pa.array([], type=pa.int64()),
+            {"o": pa.array([], type=pa.int64()),
+             "c": pa.array([], type=pa.int64()),
              "s": pa.array([], type=pa.int64()),
              "e": pa.array([], type=pa.int64())})
+        o_ = t["o"].to_numpy(zero_copy_only=False).astype(np.int64)
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         s0 = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
         e0 = t["e"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # re-merge per-order partials that arrived split (s0 constant
+        # per order; the span end is the max of partial maxima)
+        om = np.argsort(o_, kind="stable")
+        o_, c, s0, e0 = o_[om], c[om], s0[om], e0[om]
+        ost = np.concatenate(
+            [[0], np.flatnonzero(o_[1:] != o_[:-1]) + 1]) \
+            .astype(np.int64) if len(o_) else np.empty(0, np.int64)
+        if len(o_):
+            c = c[ost]
+            s0 = s0[ost]
+            e0 = np.maximum.reduceat(e0, ost)
         # normalize: the synthetic corpus ships some lines BEFORE the
         # order date, so the span is [min, max] (LEAST/GREATEST in the
         # oracle) — the disjoint-pair identity requires e >= s
@@ -4102,14 +4148,16 @@ def basket_lift(sf_dir: str, k: int = 100, n_parts: int = 64):
         ok2 = np.concatenate([okm, np.unique(ok)])
         pk2 = np.concatenate([pkm, np.full(len(np.unique(ok)), -1,
                                            dtype=np.int64)])
+        # stride matches basket_pairs' partkey bound (pk < 2^31), not
+        # the former 2^21 that broke past TPC-H SF ~10 (review finding)
         assert (len(ok2) == 0
-                or (ok2.max() < (1 << 42)
-                    and pk2.max() < (1 << 21) - 1)), \
-            "basket_lift key packing assumes ok < 2^42, pk < 2^21-1"
-        key = ok2 * np.int64(1 << 21) + (pk2 + 1)
+                or (ok2.max() < (1 << 32)
+                    and pk2.max() < (1 << 31) - 1)), \
+            "basket_lift key packing assumes ok < 2^32, pk < 2^31-1"
+        key = ok2 * np.int64(1 << 31) + (pk2 + 1)
         uk = np.unique(key)
-        ok3 = uk >> 21
-        pk3 = (uk & ((1 << 21) - 1)) - 1
+        ok3 = uk >> 31
+        pk3 = (uk & ((1 << 31) - 1)) - 1
         part = _part_of(ok3, n_parts).astype(np.int64)
         ordp = np.argsort(part, kind="stable")
         part, ok3, pk3 = part[ordp], ok3[ordp], pk3[ordp]
@@ -4498,8 +4546,13 @@ def revenue_growth(sf_dir: str):
            for h, l in zip(m.get("sum(ph)", []), m.get("sum(pl)", []))]
     growth = [None]
     for i in range(1, len(rev)):
-        growth.append(float(round_half_away(np.float64(
-            float(rev[i]) / float(rev[i - 1]) - np.float64(1.0)))))
+        if rev[i - 1] == 0:
+            # DuckDB double division by zero yields NaN (not an error):
+            # mirror it instead of raising ZeroDivisionError
+            growth.append(float("nan"))
+        else:
+            growth.append(float(round_half_away(np.float64(
+                float(rev[i]) / float(rev[i - 1]) - np.float64(1.0)))))
     import ray.data as _rd
     return _rd.from_arrow(pa.table({
         "month": pa.array(months),
@@ -4786,16 +4839,19 @@ def nation_flow(sf_dir: str, n_parts: int = 64):
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_nationkey"])
-    smap = dict(zip(pc.cast(sup["s_suppkey"], pa.int64()).to_pylist(),
-                    pc.cast(sup["s_nationkey"], pa.int64()).to_pylist()))
-    smap_ref = ray.put(smap)
+    skeys_nf = pc.cast(sup["s_suppkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    snat_nf = pc.cast(sup["s_nationkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    _o = np.argsort(skeys_nf)
+    smap_ref = ray.put((skeys_nf[_o], snat_nf[_o]))
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey",
                              "l_extendedprice", "l_discount"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
-        sm = cached_get(smap_ref)
+        skeys_s, snat_s = cached_get(smap_ref)
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
@@ -4804,7 +4860,12 @@ def nation_flow(sf_dir: str, n_parts: int = 64):
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
         rev = (np.rint(ext * 100.0).astype(np.int64)
                * np.rint((1.0 - disc) * 100.0).astype(np.int64))
-        sn = np.array([sm[int(x)] for x in sk], dtype=np.int64)
+        # vectorized suppkey -> nationkey attach (product_profit shape)
+        pos = np.minimum(np.searchsorted(skeys_s, sk),
+                         max(0, len(skeys_s) - 1))
+        assert len(sk) == 0 or bool((skeys_s[pos] == sk).all()), \
+            "lineitem references a suppkey absent from supplier (FK)"
+        sn = snat_s[pos]
         key = ok * np.int64(32) + sn        # nations < 32 by contract
         assert len(sn) == 0 or sn.max() < 32, \
             "nation_flow key packing assumes nationkey < 32"

@@ -513,3 +513,36 @@ def test_group_quantiles_null_group_key(tmp_path, ray_session):
     a = out[out["event_type"].isna()].sort_values("q", ignore_index=True)
     b = ora[ora["event_type"].isna()].sort_values("q", ignore_index=True)
     assert a["value"].tolist() == b["value"].tolist()
+
+
+def test_emb_integrity_duplicate_ids(tmp_path, ray_session):
+    """Duplicate ids — the very corruption an integrity audit exists
+    for — must mirror the oracle's LEFT-JOIN fan-out counts, not
+    distinct-id intersection counts (review finding)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a"] * 4), "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([1] * 4, type=pa.int64()),
+    }), f"{d}/documents.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 3, 3, 9], type=pa.int64()),
+        "embedding": pa.array([[0.0, 1.0]] * 4,
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 4, type=pa.int32()),
+    }), f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    out = e.queries()["emb_integrity"](d).to_pandas() \
+        .sort_values("side").reset_index(drop=True)
+    ora = con.execute(e.oracle_sql()["emb_integrity"]).df() \
+        .sort_values("side").reset_index(drop=True)
+    assert ora.equals(out.astype(ora.dtypes.to_dict()))
